@@ -1,0 +1,842 @@
+"""Mongo aggregation *expression* language -> native Spark ``Column``.
+
+Operator inventory and semantics follow the reference's spec
+(/root/reference/docs/aggregation_operators.md, implemented there by the
+pincette-mongo library — SURVEY.md §2.6).  Design rule: every operator
+compiles to built-in ``pyspark.sql.functions`` so the whole expression tree
+stays inside Catalyst/whole-stage-codegen; Python UDFs appear only for the
+few operators with no JVM equivalent ($jes-name-uuid's RFC-4122 name UUID).
+
+Compilation forms:
+  "$a.b"            field reference
+  "$$VAR" / "$$VAR.p"  variable reference (optionally descending)
+  {"$op": args}     operator application (single-key dict)
+  {"k": expr, ...}  document literal -> struct
+  [e1, e2]          array literal -> F.array
+  scalar            literal
+"""
+
+from __future__ import annotations
+
+import re
+import uuid as _uuid
+from typing import Any, Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+from pincette_json_streams_spark.operators.context import Ctx
+
+__all__ = ["compile_expr", "UnsupportedExpression", "OPERATORS"]
+
+
+class UnsupportedExpression(Exception):
+    """Raised when an expression has no compilation (caller may fall back
+    to a UDF-based row interpreter)."""
+
+
+# --------------------------------------------------------------------------
+# entry point
+# --------------------------------------------------------------------------
+
+def compile_expr(expr: Any, ctx: Ctx) -> Column:
+    """Compile a Mongo aggregation expression to a Spark Column."""
+    if isinstance(expr, str):
+        if expr.startswith("$$"):
+            return _compile_var(expr[2:], ctx)
+        if expr.startswith("$"):
+            return ctx.field(expr[1:])
+        return F.lit(expr)
+    if isinstance(expr, bool) or isinstance(expr, (int, float)):
+        return F.lit(expr)
+    if expr is None:
+        return F.lit(None)
+    if isinstance(expr, list):
+        return F.array(*[compile_expr(e, ctx) for e in expr])
+    if isinstance(expr, dict):
+        if len(expr) == 1:
+            (op, args), = expr.items()
+            if op.startswith("$"):
+                handler = OPERATORS.get(op)
+                if handler is None:
+                    raise UnsupportedExpression(f"unknown operator {op}")
+                return handler(args, ctx)
+        # document literal -> struct with compiled member expressions
+        if any(k.startswith("$") for k in expr):
+            raise UnsupportedExpression(
+                f"operator mixed into document literal: {list(expr)}"
+            )
+        return F.struct(
+            *[compile_expr(v, ctx).alias(k) for k, v in expr.items()]
+        )
+    raise UnsupportedExpression(f"cannot compile {expr!r}")
+
+
+def _compile_var(ref: str, ctx: Ctx) -> Column:
+    parts = ref.split(".")
+    col = ctx.var(parts[0])
+    for p in parts[1:]:
+        col = col.getField(p)
+    return col
+
+
+def _nary(expr: Any, ctx: Ctx, n: int | None = None) -> list[Column]:
+    args = expr if isinstance(expr, list) else [expr]
+    cols = [compile_expr(a, ctx) for a in args]
+    if n is not None and len(cols) != n:
+        raise UnsupportedExpression(f"expected {n} args, got {len(cols)}")
+    return cols
+
+
+# --------------------------------------------------------------------------
+# arithmetic  (docs/aggregation_operators.md:7-153)
+# --------------------------------------------------------------------------
+
+def _add(args, ctx):
+    cols = _nary(args, ctx)
+    out = cols[0]
+    for c in cols[1:]:
+        out = out + c
+    return out
+
+
+def _multiply(args, ctx):
+    cols = _nary(args, ctx)
+    out = cols[0]
+    for c in cols[1:]:
+        out = out * c
+    return out
+
+
+def _round_like(fn):
+    def h(args, ctx):
+        cols = _nary(args, ctx)
+        place = cols[1] if len(cols) > 1 else F.lit(0)
+        return fn(cols[0], place)
+    return h
+
+
+# --------------------------------------------------------------------------
+# arrays  (docs/aggregation_operators.md:157-352)
+# --------------------------------------------------------------------------
+
+def _array_elem_at(args, ctx):
+    arr, idx = _nary(args, ctx, 2)
+    # Mongo is 0-based with negative-from-end; element_at is 1-based with
+    # negative-from-end.
+    return F.when(idx >= 0, F.element_at(arr, (idx + 1).cast("int"))).otherwise(
+        F.element_at(arr, idx.cast("int"))
+    )
+
+
+def _array_to_object(args, ctx):
+    arr = compile_expr(args if not isinstance(args, list) or len(args) != 1
+                       else args[0], ctx)
+    # [[k,v],...] or [{k:,v:},...] -> map (dynamic keys can't be a struct)
+    return F.map_from_entries(arr)
+
+
+def _elem_match(args, ctx):
+    # extension (docs/aggregation_operators.md:195): first array element
+    # matching a *query*; lazy import to avoid a cycle with match.py.
+    from pincette_json_streams_spark.operators.match import compile_query
+
+    arr_e, query = args
+    arr = compile_expr(arr_e, ctx)
+    matched = F.filter(
+        arr, lambda e: compile_query(query, ctx.rebased(e))
+    )
+    return F.element_at(matched, 1)
+
+
+def _filter(args, ctx):
+    var = args.get("as", "this")
+    arr = compile_expr(args["input"], ctx)
+    limit = args.get("limit")
+    out = F.filter(
+        arr,
+        lambda e: compile_expr(args["cond"], ctx.child({var: e, "this": e})),
+    )
+    if limit is not None:
+        out = F.slice(out, 1, compile_expr(limit, ctx))
+    return out
+
+
+def _map(args, ctx):
+    var = args.get("as", "this")
+    arr = compile_expr(args["input"], ctx)
+    return F.transform(
+        arr,
+        lambda e: compile_expr(args["in"], ctx.child({var: e, "this": e})),
+    )
+
+
+def _reduce(args, ctx):
+    arr = compile_expr(args["input"], ctx)
+    init = compile_expr(args["initialValue"], ctx)
+    return F.aggregate(
+        arr,
+        init,
+        lambda acc, e: compile_expr(
+            args["in"], ctx.child({"value": acc, "this": e})
+        ),
+    )
+
+
+def _index_of_array(args, ctx):
+    cols = _nary(args, ctx)
+    arr, val = cols[0], cols[1]
+    if len(cols) > 2:  # start/end restrict the search range
+        start = cols[2]
+        end = cols[3] if len(cols) > 3 else F.size(arr)
+        sub = F.slice(arr, (start + 1).cast("int"), (end - start).cast("int"))
+        pos = F.array_position(sub, val)
+        return F.when(pos == 0, F.lit(-1)).otherwise(pos - 1 + start)
+    pos = F.array_position(arr, val)
+    return F.when(pos == 0, F.lit(-1)).otherwise(pos - 1)
+
+
+def _is_array(args, ctx):
+    col = _nary(args, ctx, 1)[0]
+    return F.typeof(col).startswith("array")
+
+
+def _object_to_array(args, ctx):
+    col = _nary(args, ctx, 1)[0]
+    # maps only; struct inputs are expanded at the stage layer where the
+    # schema is known.
+    return F.transform(
+        F.map_entries(col),
+        lambda e: F.struct(e.getField("key").alias("k"),
+                           e.getField("value").alias("v")),
+    )
+
+
+def _range(args, ctx):
+    cols = _nary(args, ctx)
+    start, end = cols[0], cols[1]
+    step = cols[2] if len(cols) > 2 else F.lit(1)
+    # Mongo $range excludes `end`; F.sequence includes it.
+    last = end - F.signum(step.cast("double")).cast("long")
+    empty = F.array().cast("array<long>")
+    return F.when(
+        ((step > 0) & (start >= end)) | ((step < 0) & (start <= end)), empty
+    ).otherwise(
+        F.sequence(start.cast("long"), last.cast("long"), step.cast("long"))
+    )
+
+
+def _slice(args, ctx):
+    cols = _nary(args, ctx)
+    arr = cols[0]
+    if len(cols) == 2:
+        n = cols[1]
+        # n>=0: first n; n<0: last n
+        return F.when(n >= 0, F.slice(arr, 1, n.cast("int"))).otherwise(
+            F.slice(arr, n.cast("int"), (-n).cast("int"))
+        )
+    pos, n = cols[1], cols[2]
+    # pos is 0-based (negative = from end); n must be positive
+    start = F.when(pos >= 0, (pos + 1)).otherwise(
+        F.greatest(F.size(arr) + pos + 1, F.lit(1))
+    )
+    return F.slice(arr, start.cast("int"), n.cast("int"))
+
+
+def _zip(args, ctx):
+    inputs = [compile_expr(e, ctx) for e in args["inputs"]]
+    use_longest = bool(args.get("useLongestLength", False))
+    defaults = args.get("defaults")
+    if use_longest and defaults is None:
+        # arrays_zip pads with NULL on the longest length
+        z = F.arrays_zip(*inputs)
+        return F.transform(
+            z, lambda s: F.array(*[s.getField(str(i))
+                                   for i in range(len(inputs))])
+        )
+    if use_longest:
+        dcols = [compile_expr(d, ctx) for d in defaults]
+        z = F.arrays_zip(*inputs)
+        return F.transform(
+            z,
+            lambda s: F.array(
+                *[F.coalesce(s.getField(str(i)), dcols[i])
+                  for i in range(len(inputs))]
+            ),
+        )
+    # Mongo default: shortest length
+    n = F.least(*[F.size(c) for c in inputs]) if len(inputs) > 1 \
+        else F.size(inputs[0])
+    return F.transform(
+        F.sequence(F.lit(1), n.cast("int")),
+        lambda i: F.array(*[F.element_at(c, i.cast("int")) for c in inputs]),
+    )
+
+
+def _sort_arr(args, ctx):
+    # extension operator (docs/aggregation_operators.md:1204): sorts an
+    # array value; `direction` asc|desc, optional hierarchical `paths`.
+    arr = compile_expr(args["input"], ctx)
+    desc = args.get("direction", "asc") == "desc"
+    paths = args.get("paths")
+    if not paths:
+        return F.sort_array(arr, asc=not desc)
+
+    def cmp(a, b):
+        out = F.lit(0)
+        for p in reversed(paths):
+            fa, fb = a, b
+            for seg in p.split("."):
+                fa, fb = fa.getField(seg), fb.getField(seg)
+            lt, gt = (1, -1) if desc else (-1, 1)
+            out = (
+                F.when(fa < fb, F.lit(lt))
+                .when(fa > fb, F.lit(gt))
+                .otherwise(out)
+            )
+        return out
+
+    return F.array_sort(arr, cmp)
+
+
+# --------------------------------------------------------------------------
+# comparison / boolean / conditional
+# --------------------------------------------------------------------------
+
+def _cmp(args, ctx):
+    a, b = _nary(args, ctx, 2)
+    return F.when(a < b, F.lit(-1)).when(a > b, F.lit(1)).otherwise(F.lit(0))
+
+
+def _binop(fn):
+    def h(args, ctx):
+        a, b = _nary(args, ctx, 2)
+        return fn(a, b)
+    return h
+
+
+def _and(args, ctx):
+    cols = _nary(args, ctx)
+    out = cols[0]
+    for c in cols[1:]:
+        out = out & c
+    return out
+
+
+def _or(args, ctx):
+    cols = _nary(args, ctx)
+    out = cols[0]
+    for c in cols[1:]:
+        out = out | c
+    return out
+
+
+def _cond(args, ctx):
+    if isinstance(args, dict):
+        i, t, e = args["if"], args["then"], args["else"]
+    else:
+        i, t, e = args
+    return F.when(compile_expr(i, ctx), compile_expr(t, ctx)).otherwise(
+        compile_expr(e, ctx)
+    )
+
+
+def _switch(args, ctx):
+    out = None
+    for br in args["branches"]:
+        case = compile_expr(br["case"], ctx)
+        then = compile_expr(br["then"], ctx)
+        out = F.when(case, then) if out is None else out.when(case, then)
+    if "default" in args:
+        out = out.otherwise(compile_expr(args["default"], ctx))
+    return out
+
+
+# --------------------------------------------------------------------------
+# ISO-8601 / date-time extensions  (docs/aggregation_operators.md:514-614)
+# Timestamps travel as ISO strings in the reference; epoch ops use millis.
+# Our columns may already be TIMESTAMP (typed parquet) — accept both.
+# --------------------------------------------------------------------------
+
+_ISO_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
+
+
+def _as_ts(col: Column) -> Column:
+    return col.cast("timestamp")
+
+
+def _from_epoch_millis(args, ctx):
+    (x,) = _nary(args, ctx, 1)
+    return F.date_format(F.timestamp_millis(x.cast("long")), _ISO_FMT)
+
+
+def _from_epoch_seconds(args, ctx):
+    (x,) = _nary(args, ctx, 1)
+    return F.date_format(F.timestamp_seconds(x.cast("long")), _ISO_FMT)
+
+
+def _from_epoch_nanos(args, ctx):
+    (x,) = _nary(args, ctx, 1)
+    return F.date_format(
+        F.timestamp_micros((x.cast("long") / 1000).cast("long")), _ISO_FMT
+    )
+
+
+# --------------------------------------------------------------------------
+# strings  (docs/aggregation_operators.md:726-949)
+# --------------------------------------------------------------------------
+
+def _regex_flags(options: str | None) -> str:
+    return f"(?{options})" if options else ""
+
+
+def _regex_match(args, ctx):
+    inp = compile_expr(args["input"], ctx)
+    pat = _regex_flags(args.get("options")) + args["regex"]
+    return inp.rlike(pat)
+
+
+def _regex_find(args, ctx):
+    inp = compile_expr(args["input"], ctx)
+    pat = _regex_flags(args.get("options")) + args["regex"]
+    m = F.regexp_extract(inp, pat, 0)
+    idx = F.regexp_instr(inp, F.lit(pat)) - 1
+    return F.when(
+        idx >= 0, F.struct(m.alias("match"), idx.alias("idx"))
+    ).otherwise(F.lit(None))
+
+
+def _regex_find_all(args, ctx):
+    inp = compile_expr(args["input"], ctx)
+    pat = _regex_flags(args.get("options")) + args["regex"]
+    return F.regexp_extract_all(inp, F.lit(pat), F.lit(0))
+
+
+def _replace_one(args, ctx):
+    inp = compile_expr(args["input"], ctx)
+    find = compile_expr(args["find"], ctx)
+    repl = compile_expr(args["replacement"], ctx)
+    pos = F.instr(inp, find)
+    return F.when(pos == 0, inp).otherwise(
+        F.concat(
+            F.substring(inp, F.lit(1), pos - 1),
+            repl,
+            F.substring(inp, pos + F.length(find),
+                        F.length(inp)),
+        )
+    )
+
+
+def _replace_all(args, ctx):
+    inp = compile_expr(args["input"], ctx)
+    find = compile_expr(args["find"], ctx)
+    repl = compile_expr(args["replacement"], ctx)
+    return F.replace(inp, find, repl)
+
+
+def _split(args, ctx):
+    s, delim = args
+    inp = compile_expr(s, ctx)
+    if isinstance(delim, str) and not delim.startswith("$"):
+        return F.split(inp, re.escape(delim))
+    # dynamic delimiter: quote it at runtime
+    d = compile_expr(delim, ctx)
+    return F.split(inp, F.concat(F.lit("\\Q"), d, F.lit("\\E")))
+
+
+def _index_of_cp(args, ctx):
+    cols = _nary(args, ctx)
+    s, sub = cols[0], cols[1]
+    if len(cols) == 2:
+        return F.instr(s, sub) - 1
+    start = cols[2]
+    tail = F.substring(s, (start + 1).cast("int"), F.length(s))
+    pos = F.instr(tail, sub)
+    found = F.when(pos == 0, F.lit(-1)).otherwise(pos - 1 + start)
+    if len(cols) > 3:
+        end = cols[3]
+        found = F.when(found >= end, F.lit(-1)).otherwise(found)
+    return found
+
+
+def _trim_like(which):
+    def h(args, ctx):
+        if isinstance(args, dict):
+            inp = compile_expr(args["input"], ctx)
+            chars = args.get("chars")
+        else:
+            inp, chars = compile_expr(args, ctx), None
+        if chars is None:
+            return {"l": F.ltrim, "r": F.rtrim, "b": F.trim}[which](inp)
+        cls = "[" + re.escape(chars) + "]+"
+        pat = {"l": f"^{cls}", "r": f"{cls}$", "b": f"^{cls}|{cls}$"}[which]
+        return F.regexp_replace(inp, pat, "")
+    return h
+
+
+def _substr_cp(args, ctx):
+    s, start, length = _nary(args, ctx, 3)
+    return F.substring(s, (start + 1).cast("int"), length.cast("int"))
+
+
+def _strcasecmp(args, ctx):
+    a, b = _nary(args, ctx, 2)
+    la, lb = F.lower(a), F.lower(b)
+    return F.when(la < lb, F.lit(-1)).when(la > lb, F.lit(1)).otherwise(F.lit(0))
+
+
+def _to_string(args, ctx):
+    (x,) = _nary(args, ctx, 1)
+    return x.cast("string")
+
+
+def _json_to_string(args, ctx):
+    (x,) = _nary(args, ctx, 1)
+    return F.to_json(x)
+
+
+def _string_to_json(args, ctx):
+    (x,) = _nary(args, ctx, 1)
+    return F.parse_json(x)  # VariantType (Spark 4)
+
+
+# --------------------------------------------------------------------------
+# type conversion  (docs/aggregation_operators.md:1094-1161)
+# --------------------------------------------------------------------------
+
+_CONVERT_TYPES = {
+    "double": "double", 1: "double",
+    "string": "string", 2: "string",
+    "bool": "boolean", 8: "boolean",
+    "date": "timestamp", 9: "timestamp",
+    "int": "int", 16: "int",
+    "long": "bigint", 18: "bigint",
+    "decimal": "decimal(38,10)", 19: "decimal(38,10)",
+}
+
+
+def _convert(args, ctx):
+    inp = compile_expr(args["input"], ctx)
+    to = args["to"]
+    spark_t = _CONVERT_TYPES.get(to)
+    if spark_t is None:
+        raise UnsupportedExpression(f"$convert to {to!r}")
+    out = inp.try_cast(spark_t) if "onError" in args else inp.cast(spark_t)
+    if "onError" in args:
+        out = F.coalesce(out, compile_expr(args["onError"], ctx))
+    if "onNull" in args:
+        out = F.when(inp.isNull(),
+                     compile_expr(args["onNull"], ctx)).otherwise(out)
+    return out
+
+
+def _cast_to(t):
+    def h(args, ctx):
+        (x,) = _nary(args, ctx, 1)
+        return x.cast(t)
+    return h
+
+
+_TYPE_NAMES = [
+    ("boolean", "bool"), ("tinyint", "int"), ("smallint", "int"),
+    ("int", "int"), ("bigint", "long"), ("float", "double"),
+    ("double", "double"), ("decimal", "decimal"), ("string", "string"),
+    ("date", "date"), ("timestamp", "date"), ("array", "array"),
+    ("map", "object"), ("struct", "object"), ("void", "null"),
+    ("binary", "binData"), ("variant", "object"),
+]
+
+
+def _type(args, ctx):
+    (x,) = _nary(args, ctx, 1)
+    t = F.typeof(x)
+    out = F.when(x.isNull(), F.lit("null"))
+    for spark_name, mongo_name in _TYPE_NAMES:
+        out = out.when(t.startswith(spark_name), F.lit(mongo_name))
+    return out.otherwise(t)
+
+
+# --------------------------------------------------------------------------
+# object
+# --------------------------------------------------------------------------
+
+def _merge_objects_expr(args, ctx):
+    # Full dynamic-schema merge needs the stage layer (schema known there).
+    # Here: compile-time merge of document literals, or map_concat for maps.
+    exprs = args if isinstance(args, list) else [args]
+    if all(isinstance(e, dict) and not any(k.startswith("$") for k in e)
+           for e in exprs):
+        merged: dict = {}
+        for e in exprs:
+            merged.update(e)
+        return compile_expr(merged, ctx)
+    cols = [compile_expr(e, ctx) for e in exprs]
+    return F.map_concat(*cols)
+
+
+# --------------------------------------------------------------------------
+# misc / extensions
+# --------------------------------------------------------------------------
+
+def _let(args, ctx):
+    new_vars = {
+        name: compile_expr(v, ctx) for name, v in args["vars"].items()
+    }
+    return compile_expr(args["in"], ctx.child(new_vars))
+
+
+def _literal(args, ctx):
+    def lit_of(v):
+        if isinstance(v, list):
+            return F.array(*[lit_of(x) for x in v])
+        if isinstance(v, dict):
+            return F.struct(*[lit_of(x).alias(k) for k, x in v.items()])
+        return F.lit(v)
+    return lit_of(args)
+
+
+def _trace_expr(args, ctx):
+    return compile_expr(args, ctx)  # identity; logging handled by $trace stage
+
+
+def _name_uuid_py(namespace, name):
+    if name is None:
+        return None
+    ns = _uuid.UUID(namespace) if namespace else _uuid.NAMESPACE_URL
+    return str(_uuid.uuid5(ns, name))
+
+
+_name_uuid_udf = F.udf(_name_uuid_py, StringType())
+
+
+def _jes_name_uuid(args, ctx):
+    # RFC-4122 name-based (v5) UUID (docs/aggregation_operators.md:1289)
+    (x,) = _nary(args, ctx, 1)
+    return _name_uuid_udf(F.lit(""), x.cast("string"))
+
+
+def _jes_uuid(args, ctx):
+    return F.uuid()
+
+
+def _jes_href(args, ctx):
+    cols = _nary(args, ctx)
+    return F.concat(F.lit("/"), F.concat_ws("/", *cols))
+
+
+def _ops_predicate(op_names: tuple[str, ...]):
+    """Predicates over the RFC-6902 `_ops` patch array of a full event
+    (docs/aggregation_operators.md:1235-1321)."""
+    def h(args, ctx):
+        (path,) = _nary(args, ctx, 1)
+        ops = ctx.field("_ops")
+        ptr = F.concat(F.lit("/"),
+                       F.replace(path.cast("string"), F.lit("."), F.lit("/")))
+        return F.exists(
+            ops,
+            lambda o: o.getField("op").isin(*op_names)
+            & (o.getField("path") == ptr),
+        )
+    return h
+
+
+def _jes_changed(args, ctx):
+    if isinstance(args, dict) and "from" in args:
+        # {field, from, to}: needs _before/_after of a full event
+        field = args["field"] if "field" in args else args.get("path")
+        before = ctx.field("_before")
+        after = ctx.field("_after")
+        cond = F.lit(True)
+        if "from" in args:
+            fr = compile_expr(args["from"], ctx)
+            b = before
+            for seg in field.split("."):
+                b = b.getField(seg)
+            cond = cond & (b == fr)
+        if "to" in args:
+            to = compile_expr(args["to"], ctx)
+            a = after
+            for seg in field.split("."):
+                a = a.getField(seg)
+            cond = cond & (a == to)
+        return cond
+    return _ops_predicate(("replace", "add", "remove"))(args, ctx)
+
+
+# --------------------------------------------------------------------------
+# operator table
+# --------------------------------------------------------------------------
+
+def _simple(fn: Callable[[Column], Column]):
+    def h(args, ctx):
+        (x,) = _nary(args, ctx, 1)
+        return fn(x)
+    return h
+
+
+OPERATORS: dict[str, Callable[[Any, Ctx], Column]] = {
+    # arithmetic
+    "$abs": _simple(F.abs),
+    "$add": _add,
+    "$ceil": _simple(F.ceil),
+    "$divide": _binop(lambda a, b: a / b),
+    "$exp": _simple(F.exp),
+    "$floor": _simple(F.floor),
+    "$ln": _simple(F.log),
+    "$log": lambda a, c: F.log(_nary(a, c, 2)[1], _nary(a, c, 2)[0]),
+    "$log10": _simple(F.log10),
+    "$mod": _binop(lambda a, b: a % b),
+    "$multiply": _multiply,
+    "$pow": _binop(F.pow),
+    "$round": _round_like(F.round),
+    "$sqrt": _simple(F.sqrt),
+    "$subtract": _binop(lambda a, b: a - b),
+    "$trunc": _round_like(lambda x, p: F.expr("0")),  # replaced below
+    # arrays
+    "$arrayElemAt": _array_elem_at,
+    "$arrayToObject": _array_to_object,
+    "$concatArrays": lambda a, c: F.concat(*_nary(a, c)),
+    "$elemMatch": _elem_match,
+    "$filter": _filter,
+    "$first": _simple(lambda x: F.element_at(x, 1)),
+    "$in": lambda a, c: F.array_contains(_nary(a, c, 2)[1], _nary(a, c, 2)[0]),
+    "$indexOfArray": _index_of_array,
+    "$isArray": _is_array,
+    "$last": _simple(lambda x: F.element_at(x, -1)),
+    "$map": _map,
+    "$objectToArray": _object_to_array,
+    "$range": _range,
+    "$reduce": _reduce,
+    "$reverseArray": _simple(F.reverse),
+    "$size": _simple(F.size),
+    "$slice": _slice,
+    "$zip": _zip,
+    # boolean
+    "$and": _and,
+    "$not": _simple(lambda x: ~x.cast("boolean")),
+    "$or": _or,
+    # comparison
+    "$cmp": _cmp,
+    "$eq": _binop(lambda a, b: a.eqNullSafe(b)),
+    "$gt": _binop(lambda a, b: a > b),
+    "$gte": _binop(lambda a, b: a >= b),
+    "$lt": _binop(lambda a, b: a < b),
+    "$lte": _binop(lambda a, b: a <= b),
+    "$ne": _binop(lambda a, b: ~a.eqNullSafe(b)),
+    # conditional
+    "$cond": _cond,
+    "$ifNull": lambda a, c: F.coalesce(*_nary(a, c)),
+    "$switch": _switch,
+    # ISO-8601 date-time (extensions)
+    "$fromEpochMillis": _from_epoch_millis,
+    "$fromEpochNanos": _from_epoch_nanos,
+    "$fromEpochSeconds": _from_epoch_seconds,
+    "$toDate": _simple(lambda x: x.cast("timestamp")),
+    "$toDay": _simple(lambda x: F.dayofmonth(_as_ts(x))),
+    "$toEpochMillis": _simple(lambda x: F.unix_millis(_as_ts(x))),
+    "$toEpochNanos": _simple(lambda x: F.unix_micros(_as_ts(x)) * 1000),
+    "$toEpochSeconds": _simple(lambda x: F.unix_seconds(_as_ts(x))),
+    "$toMonth": _simple(lambda x: F.month(_as_ts(x))),
+    "$toYear": _simple(lambda x: F.year(_as_ts(x))),
+    # literal
+    "$literal": _literal,
+    # object
+    "$mergeObjects": _merge_objects_expr,
+    # set ops on arrays
+    "$allElementsTrue": _simple(
+        lambda x: F.forall(x, lambda e: e.cast("boolean"))),
+    "$anyElementTrue": _simple(
+        lambda x: F.exists(x, lambda e: e.cast("boolean"))),
+    "$setDifference": _binop(
+        lambda a, b: F.array_distinct(F.array_except(a, b))),
+    "$setEquals": lambda a, c: _set_equals(_nary(a, c)),
+    "$setIntersection": lambda a, c: _fold(F.array_intersect, _nary(a, c)),
+    "$setIsSubset": _binop(lambda a, b: F.size(F.array_except(a, b)) == 0),
+    "$setUnion": lambda a, c: F.array_sort(_fold(F.array_union, _nary(a, c))),
+    # strings
+    "$base64Decode": _simple(lambda x: F.unbase64(x).cast("string")),
+    "$base64Encode": _simple(lambda x: F.base64(F.encode(x, "UTF-8"))),
+    "$concat": lambda a, c: F.concat(*_nary(a, c)),
+    "$indexOfCP": _index_of_cp,
+    "$jsonToString": _json_to_string,
+    "$ltrim": _trim_like("l"),
+    "$regexFind": _regex_find,
+    "$regexFindAll": _regex_find_all,
+    "$regexMatch": _regex_match,
+    "$replaceAll": _replace_all,
+    "$replaceOne": _replace_one,
+    "$rtrim": _trim_like("r"),
+    "$split": _split,
+    "$strcasecmp": _strcasecmp,
+    "$stringToJson": _string_to_json,
+    "$strLenCP": _simple(F.length),
+    "$substrCP": _substr_cp,
+    "$toLower": _simple(F.lower),
+    "$toString": _to_string,
+    "$toUpper": _simple(F.upper),
+    "$trim": _trim_like("b"),
+    "$uriDecode": _simple(F.url_decode),
+    "$uriEncode": _simple(F.url_encode),
+    # trigonometry
+    "$acos": _simple(F.acos), "$acosh": _simple(F.acosh),
+    "$asin": _simple(F.asin), "$asinh": _simple(F.asinh),
+    "$atan": _simple(F.atan),
+    "$atan2": _binop(F.atan2),
+    "$atanh": _simple(F.atanh),
+    "$cos": _simple(F.cos), "$cosh": _simple(F.cosh),
+    "$degreesToRadians": _simple(F.radians),
+    "$radiansToDegrees": _simple(F.degrees),
+    "$sin": _simple(F.sin), "$sinh": _simple(F.sinh),
+    "$tan": _simple(F.tan), "$tanh": _simple(F.tanh),
+    # type
+    "$convert": _convert,
+    "$toBool": _cast_to("boolean"),
+    "$toDecimal": _cast_to("decimal(38,10)"),
+    "$toDouble": _cast_to("double"),
+    "$toInt": _cast_to("int"),
+    "$toLong": _cast_to("bigint"),
+    "$type": _type,
+    # misc
+    "$let": _let,
+    "$sort": _sort_arr,
+    "$trace": _trace_expr,
+    # event-sourcing extensions
+    "$jes-added": _ops_predicate(("add",)),
+    "$jes-changed": _jes_changed,
+    "$jes-href": _jes_href,
+    "$jes-name-uuid": _jes_name_uuid,
+    "$jes-removed": _ops_predicate(("remove",)),
+    "$jes-uuid": _jes_uuid,
+}
+
+
+def _trunc(args, ctx):
+    cols = _nary(args, ctx)
+    x = cols[0]
+    if len(cols) == 1:
+        return F.when(x >= 0, F.floor(x)).otherwise(F.ceil(x))
+    p = cols[1]
+    scale = F.pow(F.lit(10.0), p)
+    scaled = x * scale
+    return (
+        F.when(scaled >= 0, F.floor(scaled)).otherwise(F.ceil(scaled)) / scale
+    )
+
+
+OPERATORS["$trunc"] = _trunc
+
+
+def _fold(fn, cols):
+    out = cols[0]
+    for c in cols[1:]:
+        out = fn(out, c)
+    return out
+
+
+def _set_equals(cols):
+    canon = [F.array_sort(F.array_distinct(c)) for c in cols]
+    out = F.lit(True)
+    for c in canon[1:]:
+        out = out & (canon[0] == c)
+    return out

@@ -1,0 +1,162 @@
+"""Mongo *query* language (used by $match, validators, join `on`,
+$lookup pipelines) -> boolean Spark ``Column``.
+
+Spec: /root/reference/docs/query.md (implemented there by pincette-mongo's
+``Match`` — SURVEY.md §2.7).  Notable reference extension honored here:
+``$expr`` is allowed at any nesting level, not just top level
+(docs/query.md:156).
+
+Field-presence note: on a typed DataFrame, ``$exists: true`` compiles to
+IS NOT NULL when the column is in the schema and constant-false when it is
+not, matching the fixtures' use of absence (FIXTURES.md §1) under a schema
+model where absent fields surface as NULLs.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from pincette_json_streams_spark.operators.context import Ctx
+from pincette_json_streams_spark.operators.expressions import (
+    UnsupportedExpression,
+    compile_expr,
+)
+
+__all__ = ["compile_query"]
+
+_TOP_OPS = ("$and", "$or", "$nor", "$expr", "$comment")
+
+
+def compile_query(query: dict, ctx: Ctx) -> Column:
+    """Compile a Mongo query document to a boolean Column (conjunction of
+    all its clauses)."""
+    conds: list[Column] = []
+    for key, value in query.items():
+        if key == "$and":
+            conds.append(_fold_and([compile_query(q, ctx) for q in value]))
+        elif key == "$or":
+            conds.append(_fold_or([compile_query(q, ctx) for q in value]))
+        elif key == "$nor":
+            conds.append(~_fold_or([compile_query(q, ctx) for q in value]))
+        elif key == "$expr":
+            conds.append(compile_expr(value, ctx).cast("boolean"))
+        elif key == "$comment":
+            continue
+        elif key.startswith("$"):
+            raise UnsupportedExpression(f"unknown top-level query op {key}")
+        else:
+            conds.append(_field_condition(key, value, ctx))
+    if not conds:
+        return F.lit(True)
+    return _fold_and(conds)
+
+
+def _field_condition(path: str, value: Any, ctx: Ctx) -> Column:
+    if isinstance(value, dict) and any(k.startswith("$") for k in value):
+        return _fold_and(
+            [_field_op(path, op, arg, ctx) for op, arg in value.items()]
+        )
+    # implicit equality (docs/query.md:15-19)
+    if not ctx.has_field(path):
+        return F.lit(value is None)
+    return ctx.field(path).eqNullSafe(F.lit(value))
+
+
+def _field_op(path: str, op: str, arg: Any, ctx: Ctx) -> Column:
+    if op == "$exists":
+        present = (
+            ctx.field(path).isNotNull() if ctx.has_field(path) else F.lit(False)
+        )
+        return present if arg else ~present
+
+    if not ctx.has_field(path):
+        # comparisons with an absent field never match; $ne/$nin match.
+        return F.lit(op in ("$ne", "$nin", "$not"))
+
+    col = ctx.field(path)
+    if op == "$eq":
+        return col.eqNullSafe(F.lit(arg))
+    if op == "$ne":
+        return ~col.eqNullSafe(F.lit(arg))
+    if op == "$gt":
+        return col > F.lit(arg)
+    if op == "$gte":
+        return col >= F.lit(arg)
+    if op == "$lt":
+        return col < F.lit(arg)
+    if op == "$lte":
+        return col <= F.lit(arg)
+    if op == "$in":
+        return col.isin(*arg)
+    if op == "$nin":
+        return ~F.coalesce(col.isin(*arg), F.lit(False))
+    if op == "$not":
+        return ~F.coalesce(_field_condition(path, arg, ctx), F.lit(False))
+    if op == "$expr":
+        # reference extension: $expr at any level (docs/query.md:156)
+        return compile_expr(arg, ctx).cast("boolean")
+    if op == "$mod":
+        divisor, remainder = arg
+        return col % F.lit(divisor) == F.lit(remainder)
+    if op == "$regex":
+        return col.rlike(_regex_pattern(arg))
+    if op == "$options":
+        # consumed together with $regex by _fold of the enclosing dict;
+        # appears standalone only when $regex present — handled below.
+        return F.lit(True)
+    if op == "$size":
+        return F.size(col) == F.lit(arg)
+    if op == "$all":
+        return _fold_and([F.array_contains(col, v) for v in arg])
+    if op == "$elemMatch":
+        return F.exists(col, lambda e: compile_query(arg, ctx.rebased(e)))
+    if op == "$type":
+        from pincette_json_streams_spark.operators.expressions import OPERATORS
+        return OPERATORS["$type"]([f"${path}"], ctx) == F.lit(arg)
+    if op == "$bitsAllSet":
+        mask = _bitmask(arg)
+        return (col.cast("bigint").bitwiseAND(F.lit(mask))) == F.lit(mask)
+    if op == "$bitsAllClear":
+        mask = _bitmask(arg)
+        return (col.cast("bigint").bitwiseAND(F.lit(mask))) == F.lit(0)
+    if op == "$bitsAnySet":
+        mask = _bitmask(arg)
+        return (col.cast("bigint").bitwiseAND(F.lit(mask))) != F.lit(0)
+    if op == "$bitsAnyClear":
+        mask = _bitmask(arg)
+        return (col.cast("bigint").bitwiseAND(F.lit(mask))) != F.lit(mask)
+    if op == "$comment":
+        return F.lit(True)
+    raise UnsupportedExpression(f"unknown query operator {op}")
+
+
+def _regex_pattern(arg: Any) -> str:
+    """Accept '/pattern/opts' shorthand (docs/query.md:190-194)."""
+    if isinstance(arg, str) and arg.startswith("/") and arg.count("/") >= 2:
+        body, _, opts = arg[1:].rpartition("/")
+        return (f"(?{opts})" if opts else "") + body
+    return arg
+
+
+def _bitmask(arg: Any) -> int:
+    if isinstance(arg, int):
+        return arg
+    return sum(1 << p for p in arg)
+
+
+def _fold_and(conds: list[Column]) -> Column:
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
+def _fold_or(conds: list[Column]) -> Column:
+    out = conds[0]
+    for c in conds[1:]:
+        out = out | c
+    return out

@@ -1,0 +1,655 @@
+"""Pipeline *stages* -> DataFrame transformations.
+
+Stage inventory per SURVEY.md §2.1-2.5; semantics from
+/root/reference/docs/aggregation_stages.md (the reference implements most
+stages in the pincette-mongo-streams library and interprets them per
+message; here each stage is a declarative DataFrame transformation so
+Catalyst gets the whole pipeline as one logical plan — pushdown, pruning
+and whole-stage codegen apply across stage boundaries, which the reference
+cannot do at all, SURVEY.md §4).
+
+Batch/streaming agnostic: every stage below works on both static and
+streaming DataFrames except where noted ($group family needs update output
+mode in streaming; $deduplicate maps to dropDuplicates[WithinWatermark]).
+
+Side-effect stages ($http, $s3*, $send, $delay, $log, $probe, $signJwt)
+live in ``pincette_json_streams_spark.streaming.effects``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pincette_json_streams_spark.operators.context import Ctx, ctx_for
+from pincette_json_streams_spark.operators.expressions import (
+    UnsupportedExpression,
+    compile_expr,
+)
+from pincette_json_streams_spark.operators.match import compile_query
+
+__all__ = ["compile_pipeline", "PipelineContext", "STAGES"]
+
+
+@dataclass
+class PipelineContext:
+    """Catalog and options threaded through stage compilation.
+
+    ``catalog`` resolves collection names (for $lookup / $merge / $out /
+    $delete) to DataFrames or writable locations; tests and the batch
+    planner populate it with parquet-backed DataFrames, the streaming
+    runtime with Delta tables.
+    """
+
+    catalog: dict[str, DataFrame] = field(default_factory=dict)
+    trace: Optional[Callable[[str, Any], None]] = None
+    # sinks captured by side-effecting stages in batch mode ($out, $merge)
+    outputs: dict[str, DataFrame] = field(default_factory=dict)
+
+    def collection(self, name: str) -> DataFrame:
+        if name not in self.catalog:
+            raise KeyError(f"unknown collection {name!r}")
+        return self.catalog[name]
+
+
+def compile_pipeline(
+    df: DataFrame,
+    stages: list[dict],
+    pctx: Optional[PipelineContext] = None,
+) -> DataFrame:
+    """Apply a Mongo aggregation pipeline to a DataFrame."""
+    pctx = pctx or PipelineContext()
+    for stage in stages:
+        if not (isinstance(stage, dict) and len(stage) == 1):
+            raise ValueError(f"stage must be single-key dict: {stage!r}")
+        (name, spec), = stage.items()
+        handler = STAGES.get(name)
+        if handler is None:
+            raise UnsupportedExpression(f"unknown stage {name}")
+        df = handler(df, spec, pctx)
+    return df
+
+
+# --------------------------------------------------------------------------
+# field-path editing helpers (dotted paths into structs)
+# --------------------------------------------------------------------------
+
+def _set_path(df: DataFrame, path: str, value: Column) -> DataFrame:
+    parts = path.split(".")
+    if len(parts) == 1:
+        return df.withColumn(path, value)
+    head, rest = parts[0], ".".join(parts[1:])
+    return df.withColumn(head, F.col(head).withField(rest, value))
+
+
+def _drop_path(df: DataFrame, path: str) -> DataFrame:
+    parts = path.split(".")
+    if len(parts) == 1:
+        return df.drop(path)
+    head, rest = parts[0], ".".join(parts[1:])
+    return df.withColumn(head, F.col(head).dropFields(rest))
+
+
+# --------------------------------------------------------------------------
+# projections / filters  (docs/aggregation_stages.md:374,468,5,823,515)
+# --------------------------------------------------------------------------
+
+def _stage_match(df, spec, pctx):
+    return df.filter(compile_query(spec, ctx_for(df)))
+
+
+def _stage_project(df, spec, pctx):
+    ctx = ctx_for(df)
+    exclusions = [k for k, v in spec.items() if v in (0, False)]
+    inclusions = {k: v for k, v in spec.items() if v not in (0, False)}
+    if inclusions:
+        cols: list[Column] = []
+        # _id kept by default in inclusion mode (docs:468-489)
+        if "_id" in df.columns and "_id" not in spec:
+            cols.append(F.col("_id"))
+        for k, v in inclusions.items():
+            if v in (1, True):
+                if ctx.has_field(k):
+                    cols.append(ctx.field(k).alias(k.split(".")[-1])
+                                if "." in k else F.col(k))
+            else:
+                cols.append(compile_expr(v, ctx).alias(k))
+        return df.select(*cols)
+    out = df
+    for k in exclusions:
+        out = _drop_path(out, k)
+    return out
+
+
+def _stage_add_fields(df, spec, pctx):
+    ctx = ctx_for(df)
+    for k, v in spec.items():
+        df = _set_path(df, k, compile_expr(v, ctx))
+        ctx = ctx_for(df)  # later fields may reference earlier ones
+    return df
+
+
+def _stage_unset(df, spec, pctx):
+    paths = spec if isinstance(spec, list) else [spec]
+    for p in paths:
+        df = _drop_path(df, p)
+    return df
+
+
+def _stage_replace_root(df, spec, pctx):
+    expr = spec["newRoot"] if isinstance(spec, dict) and "newRoot" in spec \
+        else spec
+    col = compile_expr(expr, ctx_for(df))
+    return df.select(col.alias("__root")).select("__root.*")
+
+
+def _stage_unwind(df, spec, pctx):
+    if isinstance(spec, str):
+        path, new_ids = spec, False
+    else:
+        path, new_ids = spec["path"], bool(spec.get("newIds", False))
+    path = path.lstrip("$")
+    col = ctx_for(df).field(path)
+    df = _set_path(df, path, F.explode(col))
+    if new_ids and "_id" in df.columns:
+        # docs/aggregation_stages.md:848: newIds gives each element row a
+        # fresh UUID message id
+        df = df.withColumn("_id", F.uuid())
+    return df
+
+
+def _stage_set_key(df, spec, pctx):
+    # $setKey (docs:571-589): re-key the message -> repartition boundary.
+    key = compile_expr(spec, ctx_for(df)).cast("string")
+    out = df.withColumn("_key", key)
+    return out.repartition(F.col("_key"))
+
+
+# --------------------------------------------------------------------------
+# grouping  (docs/aggregation_stages.md:28-205)
+# --------------------------------------------------------------------------
+
+_ACCUMULATORS: dict[str, Callable[[Column], Column]] = {
+    "$addToSet": lambda c: F.array_sort(F.collect_set(c)),
+    "$avg": F.avg,
+    "$count": lambda c: F.count(F.lit(1)),
+    "$first": F.first,
+    "$last": F.last,
+    "$max": F.max,
+    "$min": F.min,
+    "$push": F.collect_list,
+    "$stdDevPop": F.stddev_pop,
+    "$sum": F.sum,
+}
+
+
+def _accumulator(name: str, arg: Any, ctx: Ctx, alias: str) -> Column:
+    if name == "$count":
+        return F.count(F.lit(1)).alias(alias)
+    if name == "$mergeObjects":
+        # incremental merge of documents; batch mode keeps the last
+        # non-null per group (reference emits every incremental state,
+        # docs:29-37 — batch emits the final one)
+        return F.last(compile_expr(arg, ctx), ignorenulls=True).alias(alias)
+    fn = _ACCUMULATORS.get(name)
+    if fn is None:
+        raise UnsupportedExpression(f"unknown accumulator {name}")
+    if name == "$sum" and isinstance(arg, (int, float)) and not \
+            isinstance(arg, bool) and arg == 1:
+        return F.count(F.lit(1)).alias(alias)
+    return fn(compile_expr(arg, ctx)).alias(alias)
+
+
+def _group_key(spec_id: Any, ctx: Ctx) -> tuple[list[Column], bool]:
+    """-> (grouping columns, id_is_struct)."""
+    if spec_id is None:
+        return [F.lit(None).alias("_id")], False
+    if isinstance(spec_id, dict) and not any(
+        k.startswith("$") for k in spec_id
+    ):
+        cols = [compile_expr(v, ctx).alias(f"__gk_{k}") for k, v in
+                spec_id.items()]
+        return cols, True
+    return [compile_expr(spec_id, ctx).alias("_id")], False
+
+
+def _stage_group(df, spec, pctx):
+    ctx = ctx_for(df)
+    keys, is_struct = _group_key(spec.get("_id"), ctx)
+    aggs = []
+    for out_name, acc in spec.items():
+        if out_name == "_id":
+            continue
+        if out_name == "_collection":  # state collection name: no-op here
+            continue
+        (acc_name, acc_arg), = acc.items()
+        aggs.append(_accumulator(acc_name, acc_arg, ctx, out_name))
+    grouped = df.groupBy(*keys).agg(*aggs) if aggs else \
+        df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n")).drop("__n")
+    if is_struct:
+        names = list(spec["_id"].keys())
+        id_struct = F.struct(
+            *[F.col(f"__gk_{n}").alias(n) for n in names]
+        ).alias("_id")
+        keep = [c for c in grouped.columns if not c.startswith("__gk_")]
+        grouped = grouped.select(id_struct, *keep)
+    return grouped
+
+
+def _stage_bucket(df, spec, pctx):
+    ctx = ctx_for(df)
+    group_by = compile_expr(spec["groupBy"], ctx)
+    bounds = spec["boundaries"]
+    default = spec.get("default")
+    bucket = None
+    for i in range(len(bounds) - 1):
+        cond = (group_by >= F.lit(bounds[i])) & (group_by < F.lit(bounds[i + 1]))
+        bucket = F.when(cond, F.lit(bounds[i])) if bucket is None else \
+            bucket.when(cond, F.lit(bounds[i]))
+    bucket = bucket.otherwise(F.lit(default))
+    output = spec.get("output", {"count": {"$sum": 1}})
+    aggs = []
+    for out_name, acc in output.items():
+        (acc_name, acc_arg), = acc.items()
+        aggs.append(_accumulator(acc_name, acc_arg, ctx, out_name))
+    return df.groupBy(bucket.alias("_id")).agg(*aggs)
+
+
+def _stage_count(df, spec, pctx):
+    name = spec if isinstance(spec, str) else "count"
+    return df.groupBy().agg(F.count(F.lit(1)).alias(name))
+
+
+def _stage_deduplicate(df, spec, pctx):
+    # docs:93-116 — drop duplicates by expression.  Batch: exact global
+    # dedup; streaming: dropDuplicatesWithinWatermark in the runtime.
+    expr = spec["expression"] if isinstance(spec, dict) else spec
+    key = compile_expr(expr, ctx_for(df)).cast("string")
+    tagged = df.withColumn("__dedup_key", key)
+    return tagged.dropDuplicates(["__dedup_key"]).drop("__dedup_key")
+
+
+def _stage_per(df, spec, pctx):
+    """$per (docs:393-411): batch N messages into one message carrying an
+    array in `as`.  Distributed semantics: batches form per partition (the
+    reference batches per consumer thread, so per-partition batching is the
+    faithful scale-out analogue — no global ordering exists either way)."""
+    amount = spec.get("amount", 500)
+    as_field = spec.get("as", "messages")
+
+    def batch(it):
+        import pandas as pd
+        buf: list[dict] = []
+        for pdf in it:
+            for rec in pdf.to_dict("records"):
+                buf.append(rec)
+                if len(buf) >= amount:
+                    yield pd.DataFrame({as_field: [buf]})
+                    buf = []
+        if buf:
+            yield pd.DataFrame({as_field: [buf]})
+
+    inner = ", ".join(f"{f.name}: {f.dataType.simpleString()}"
+                      for f in df.schema.fields)
+    out_schema = f"{as_field} array<struct<{inner}>>"
+    return df.mapInPandas(batch, schema=out_schema)
+
+
+# --------------------------------------------------------------------------
+# $lookup  (docs/aggregation_stages.md:346-372)
+# --------------------------------------------------------------------------
+
+def _stage_lookup(df, spec, pctx):
+    other = pctx.collection(spec["from"])
+    as_field = spec["as"]
+    inner = bool(spec.get("inner", False))
+    unwind = bool(spec.get("unwind", False))
+
+    if "pipeline" in spec:
+        let_vars = spec.get("let", {})
+        if let_vars:
+            # correlated form: bind let vars as columns on the left, join
+            # on the equality conditions extracted from the sub-pipeline's
+            # $match/$expr — the standard decorrelation Spark can execute
+            # as one shuffled (or broadcast) join instead of per-row
+            # subqueries.
+            return _lookup_correlated(
+                df, other, spec, let_vars, as_field, inner, unwind, pctx
+            )
+        sub = compile_pipeline(other, spec["pipeline"], pctx)
+        if unwind:
+            how = "inner"  # unwind implies inner (docs:361)
+            joined = df.crossJoin(
+                F.broadcast(sub.select(F.struct("*").alias(as_field)))
+            )
+            return joined
+        arr = sub.agg(
+            F.collect_list(F.struct("*")).alias(as_field)
+        )
+        out = df.crossJoin(F.broadcast(arr))
+        if inner:
+            out = out.filter(F.size(F.col(as_field)) > 0)
+        return out
+
+    local, foreign = spec["localField"], spec["foreignField"]
+    lcol = ctx_for(df).field(local)
+    right = other.select(
+        F.col(foreign).alias("__fk"), F.struct("*").alias("__doc")
+    )
+    if unwind:
+        joined = df.join(right, lcol == F.col("__fk"), "inner")
+        return joined.withColumn(as_field, F.col("__doc")) \
+                     .drop("__fk", "__doc")
+    grouped = right.groupBy("__fk").agg(
+        F.collect_list("__doc").alias(as_field)
+    )
+    how = "inner" if inner else "left"
+    out = df.join(grouped, lcol == F.col("__fk"), how).drop("__fk")
+    if not inner:
+        out = out.withColumn(
+            as_field,
+            F.coalesce(F.col(as_field),
+                       F.array().cast(dict(grouped.dtypes)[as_field])),
+        )
+    return out
+
+
+def _lookup_correlated(df, other, spec, let_vars, as_field, inner, unwind,
+                       pctx):
+    """$lookup with let+pipeline: decorrelate $expr $eq conditions into
+    join keys; residual conditions become post-join filters."""
+    ctx = ctx_for(df)
+    left = df
+    bound = {}
+    for var, expr in let_vars.items():
+        cname = f"__let_{var}"
+        left = left.withColumn(cname, compile_expr(expr, ctx))
+        bound[var] = cname
+
+    # compile the sub-pipeline's stages against `other`, treating a leading
+    # $match with $expr over let-vars as the join condition.
+    stages = list(spec["pipeline"])
+    join_conds: list[Column] = []
+    rest: list[dict] = []
+    right = other
+    for st in stages:
+        if (
+            not join_conds
+            and len(st) == 1
+            and "$match" in st
+            and "$expr" in st["$match"]
+            and len(st["$match"]) == 1
+        ):
+            cond = _decorrelate_expr(
+                st["$match"]["$expr"], bound, ctx_for(right)
+            )
+            if cond is not None:
+                join_conds.append(cond)
+                continue
+        rest.append(st)
+    if rest:
+        right = compile_pipeline(right, rest, pctx)
+
+    rdoc = right.select(F.struct("*").alias("__doc"), "*")
+    on = join_conds[0] if join_conds else F.lit(True)
+    for c in join_conds[1:]:
+        on = on & c
+    if unwind:
+        out = left.join(rdoc, on, "inner").select(
+            *[F.col(c) for c in df.columns if not c.startswith("__let_")],
+            F.col("__doc").alias(as_field),
+        )
+        return out
+    # array form: aggregate matches per left row via groupBy on the left key
+    left = left.withColumn("__rowid", F.monotonically_increasing_id())
+    joined = left.join(rdoc, on, "left")
+    arr = joined.groupBy("__rowid").agg(
+        F.collect_list("__doc").alias(as_field)
+    )
+    out = left.join(arr, "__rowid", "left").drop("__rowid")
+    out = out.select(
+        *[c for c in df.columns], F.col(as_field)
+    )
+    if inner:
+        out = out.filter(F.size(F.col(as_field)) > 0)
+    return out
+
+
+def _decorrelate_expr(expr: Any, bound: dict[str, str], rctx: Ctx):
+    """Turn {$eq: ["$$var", "$field"]} (and $and of those) into join
+    conditions where $$var refs resolve to pre-bound left columns."""
+    if not isinstance(expr, dict) or len(expr) != 1:
+        return None
+    (op, args), = expr.items()
+    if op == "$and":
+        conds = [_decorrelate_expr(a, bound, rctx) for a in args]
+        if any(c is None for c in conds):
+            return None
+        out = conds[0]
+        for c in conds[1:]:
+            out = out & c
+        return out
+    if op in ("$eq", "$gt", "$gte", "$lt", "$lte", "$ne"):
+        def side(e):
+            if isinstance(e, str) and e.startswith("$$"):
+                var = e[2:].split(".")[0]
+                if var in bound:
+                    col = F.col(bound[var])
+                    for seg in e[2:].split(".")[1:]:
+                        col = col.getField(seg)
+                    return col
+                return None
+            return compile_expr(e, rctx)
+        a, b = side(args[0]), side(args[1])
+        if a is None or b is None:
+            return None
+        return {
+            "$eq": lambda: a.eqNullSafe(b), "$ne": lambda: ~a.eqNullSafe(b),
+            "$gt": lambda: a > b, "$gte": lambda: a >= b,
+            "$lt": lambda: a < b, "$lte": lambda: a <= b,
+        }[op]()
+    return None
+
+
+# --------------------------------------------------------------------------
+# $redact  (docs/aggregation_stages.md:491-513)
+# --------------------------------------------------------------------------
+
+def _stage_redact(df, spec, pctx):
+    """Recursive keep/prune via $$DESCEND/$$PRUNE/$$KEEP.  Compiled as a
+    row-level JSON transform (no native recursive struct op exists); rows
+    whose top-level decision is $$PRUNE are dropped."""
+    from pyspark.sql.types import StringType
+
+    spec_json = json.dumps(spec)
+    cols = df.columns
+
+    def redact_doc(doc, expr):
+        def ev(e, cur):
+            # tiny interpreter for the subset used by $redact specs:
+            # $cond/$eq/field refs/literals/system vars
+            if isinstance(e, str):
+                if e in ("$$DESCEND", "$$PRUNE", "$$KEEP"):
+                    return e
+                if e.startswith("$"):
+                    v = cur
+                    for seg in e[1:].split("."):
+                        v = v.get(seg) if isinstance(v, dict) else None
+                    return v
+                return e
+            if isinstance(e, dict) and len(e) == 1:
+                (op, args), = e.items()
+                if op == "$cond":
+                    if isinstance(args, dict):
+                        i, t, el = args["if"], args["then"], args["else"]
+                    else:
+                        i, t, el = args
+                    return ev(t, cur) if ev(i, cur) else ev(el, cur)
+                if op == "$eq":
+                    return ev(args[0], cur) == ev(args[1], cur)
+                if op == "$gt":
+                    a, b = ev(args[0], cur), ev(args[1], cur)
+                    return a is not None and b is not None and a > b
+                if op == "$in":
+                    return ev(args[0], cur) in (ev(args[1], cur) or [])
+                if op == "$ifNull":
+                    v = ev(args[0], cur)
+                    return v if v is not None else ev(args[1], cur)
+            return e
+
+        def walk(node):
+            decision = ev(expr, node)
+            if decision == "$$PRUNE":
+                return None
+            if decision == "$$KEEP":
+                return node
+            # $$DESCEND: keep this level, recurse into subdocuments
+            if isinstance(node, dict):
+                out = {}
+                for k, v in node.items():
+                    if isinstance(v, dict):
+                        r = walk(v)
+                        if r is not None:
+                            out[k] = r
+                    elif isinstance(v, list):
+                        out[k] = [
+                            w for w in (
+                                walk(x) if isinstance(x, dict) else x
+                                for x in v
+                            ) if w is not None
+                        ]
+                    else:
+                        out[k] = v
+                return out
+            return node
+        return walk(doc)
+
+    def do_redact(js: str) -> str | None:
+        doc = json.loads(js)
+        expr = json.loads(spec_json)
+        out = redact_doc(doc, expr)
+        return None if out is None else json.dumps(out)
+
+    redact_udf = F.udf(do_redact, StringType())
+    schema_ddl = df.select(F.struct(*cols).alias("s")).schema["s"].dataType
+    out = (
+        df.select(redact_udf(F.to_json(F.struct(*cols))).alias("__js"))
+        .filter(F.col("__js").isNotNull())
+        .select(F.from_json("__js", schema_ddl).alias("__root"))
+        .select("__root.*")
+    )
+    return out
+
+
+# --------------------------------------------------------------------------
+# $validate  (docs/aggregation_stages.md:857-879, docs/validator.md)
+# --------------------------------------------------------------------------
+
+def _stage_validate(df, spec, pctx):
+    from pincette_json_streams_spark.operators.validator import (
+        compile_validator,
+    )
+    return compile_validator(df, spec)
+
+
+# --------------------------------------------------------------------------
+# observability stages — pass-through in batch plans
+# --------------------------------------------------------------------------
+
+def _stage_trace(df, spec, pctx):
+    if pctx.trace is not None:
+        pctx.trace("$trace", spec)
+    return df
+
+
+def _stage_noop(df, spec, pctx):
+    return df
+
+
+def _stage_probe(df, spec, pctx):
+    # $probe (docs:413-466): per-minute throughput counters.  In Spark this
+    # is an observe() metric; a StreamingQueryListener forwards counts to
+    # the `topic` in the streaming runtime.
+    name = spec.get("name", "probe") if isinstance(spec, dict) else "probe"
+    return df.observe(str(name), F.count(F.lit(1)).alias("count"))
+
+
+# --------------------------------------------------------------------------
+# sinks usable inside a pipeline
+# --------------------------------------------------------------------------
+
+def _stage_out(df, spec, pctx):
+    name = spec if isinstance(spec, str) else spec["coll"]
+    pctx.outputs[name] = df
+    return df
+
+
+def _stage_merge(df, spec, pctx):
+    name = spec if isinstance(spec, str) else spec["into"]
+    pctx.outputs[name] = df
+    return df
+
+
+# --------------------------------------------------------------------------
+# batch-order extensions (not in the reference: streams are unordered —
+# SURVEY.md §2.5 — but batch/training pipelines need them)
+# --------------------------------------------------------------------------
+
+def _stage_sort_ext(df, spec, pctx):
+    cols = [
+        F.col(k).asc() if d >= 0 else F.col(k).desc()
+        for k, d in spec.items()
+    ]
+    return df.orderBy(*cols)
+
+
+def _stage_limit_ext(df, spec, pctx):
+    return df.limit(int(spec))
+
+
+def _stage_sample_ext(df, spec, pctx):
+    frac = spec.get("fraction") if isinstance(spec, dict) else None
+    if frac is not None:
+        return df.sample(fraction=float(frac), seed=int(spec.get("seed", 42)))
+    n = int(spec["size"]) if isinstance(spec, dict) else int(spec)
+    total = df.count()
+    return df.sample(fraction=min(1.0, (n * 1.2) / max(total, 1)),
+                     seed=42).limit(n)
+
+
+STAGES: dict[str, Callable[[DataFrame, Any, PipelineContext], DataFrame]] = {
+    "$match": _stage_match,
+    "$project": _stage_project,
+    "$addFields": _stage_add_fields,
+    "$set": _stage_add_fields,  # synonym (docs:567-569)
+    "$unset": _stage_unset,
+    "$replaceRoot": _stage_replace_root,
+    "$replaceWith": _stage_replace_root,
+    "$unwind": _stage_unwind,
+    "$setKey": _stage_set_key,
+    "$group": _stage_group,
+    "$bucket": _stage_bucket,
+    "$count": _stage_count,
+    "$deduplicate": _stage_deduplicate,
+    "$per": _stage_per,
+    "$lookup": _stage_lookup,
+    "$redact": _stage_redact,
+    "$validate": _stage_validate,
+    "$trace": _stage_trace,
+    "$log": _stage_noop,
+    "$probe": _stage_probe,
+    "$lag": _stage_noop,
+    "$throttle": _stage_noop,  # maps to source rate options in streaming
+    "$out": _stage_out,
+    "$merge": _stage_merge,
+    # batch extensions
+    "$sort_ext": _stage_sort_ext,
+    "$limit": _stage_limit_ext,
+    "$skip": lambda df, spec, pctx: df.offset(int(spec)),
+    "$sample": _stage_sample_ext,
+}

@@ -1,0 +1,142 @@
+"""Validators (docs/validator.md; runtime net.pincette.mongo.Validator,
+wired in /root/reference/src/main/java/net/pincette/json/streams/
+ValidateStage.java:18-41 — SURVEY.md §2.9).
+
+A validator is a compile-time construct: a list of conditions (Mongo query
+documents, optionally carrying ``$code``), composed via ``include`` and
+``macros`` (both resolved by the spec loader at build time, mirroring the
+reference's build-time inlining Common.java:856-901).  Compilation produces
+one ``when`` Column per condition; failures collect into an ``errors``
+array of ``{location, code}`` and ``_error: true``.
+
+Field-specific conditions fire only when the field exists
+(docs/validator.md:3); ``$exists`` conditions always fire.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pincette_json_streams_spark.operators.context import ctx_for
+from pincette_json_streams_spark.operators.match import compile_query
+
+__all__ = ["compile_validator", "expand_macros"]
+
+
+def expand_macros(spec: Any, macros: dict[str, Any]) -> Any:
+    """Replace ``_name_`` placeholder strings with macro expressions
+    (docs/validator.md: Macros)."""
+    if isinstance(spec, str) and len(spec) > 2 and spec.startswith("_") \
+            and spec.endswith("_") and spec[1:-1] in macros:
+        return macros[spec[1:-1]]
+    if isinstance(spec, dict):
+        return {k: expand_macros(v, macros) for k, v in spec.items()}
+    if isinstance(spec, list):
+        return [expand_macros(v, macros) for v in spec]
+    return spec
+
+
+def _conditions(spec: dict) -> list[dict]:
+    macros = spec.get("macros", {})
+    conds = [expand_macros(c, macros) for c in spec.get("conditions", [])]
+    return conds
+
+
+def _flatten(
+    spec: dict, df: DataFrame, prefix: str
+) -> list[tuple[Column, str, str | None]]:
+    """-> list of (failure condition, location json-pointer, code)."""
+    ctx = ctx_for(df)
+    out: list[tuple[Column, str, str | None]] = []
+    for cond in _conditions(spec):
+        for path, criteria in cond.items():
+            if isinstance(criteria, dict) and "conditions" in criteria:
+                # nested validator on a subobject (docs/validator.md:116)
+                sub_prefix = f"{prefix}/{path.replace('.', '/')}"
+                nested = _flatten_nested(criteria, ctx, path, sub_prefix)
+                out.extend(nested)
+                continue
+            crit = dict(criteria) if isinstance(criteria, dict) else criteria
+            code = None
+            if isinstance(crit, dict):
+                code = crit.pop("$code", None)
+            if isinstance(crit, dict) and "$exists" in crit and crit["$exists"]:
+                # presence check: fires even when field is absent; the
+                # reference reports the parent location (docs example: "/")
+                present = (
+                    ctx.field(path).isNotNull()
+                    if ctx.has_field(path) else F.lit(False)
+                )
+                parent = prefix + "/".join(path.split(".")[:-1])
+                out.append((~present, parent or "/", code))
+                rest = {k: v for k, v in crit.items() if k != "$exists"}
+                if rest:
+                    crit = rest
+                else:
+                    continue
+            matched = compile_query({path: crit}, ctx)
+            present = (
+                ctx.field(path).isNotNull()
+                if ctx.has_field(path) else F.lit(False)
+            )
+            loc = f"{prefix}/{path.replace('.', '/')}" if prefix != "/" \
+                else "/" + path.replace(".", "/")
+            # apply-only-if-present semantics
+            out.append((present & ~matched, loc, code))
+    return out
+
+
+def _flatten_nested(spec, ctx, path, prefix):
+    out = []
+    base = ctx.field(path)
+    for cond in _conditions(spec):
+        for sub_path, criteria in cond.items():
+            crit = dict(criteria) if isinstance(criteria, dict) else criteria
+            code = None
+            if isinstance(crit, dict):
+                code = crit.pop("$code", None)
+            sub_ctx = ctx.rebased(base)
+            loc = f"{prefix}/{sub_path.replace('.', '/')}"
+            if isinstance(crit, dict) and "$exists" in crit and crit["$exists"]:
+                present = _nested_field(base, sub_path).isNotNull()
+                out.append((base.isNotNull() & ~present, prefix, code))
+                continue
+            matched = compile_query({sub_path: crit}, sub_ctx)
+            present = _nested_field(base, sub_path).isNotNull()
+            out.append((base.isNotNull() & present & ~matched, loc, code))
+    return out
+
+
+def _nested_field(base: Column, path: str) -> Column:
+    col = base
+    for seg in path.split("."):
+        col = col.getField(seg)
+    return col
+
+
+def compile_validator(df: DataFrame, spec: dict) -> DataFrame:
+    """Annotate rows with ``_error``/``errors`` per the validator spec."""
+    checks = _flatten(spec, df, "/")
+    err_entries = [
+        F.when(
+            fail,
+            F.struct(
+                F.lit(loc).alias("location"),
+                F.lit(code).cast("string").alias("code"),
+            ),
+        )
+        for fail, loc, code in checks
+    ]
+    errors = F.filter(
+        F.array(*err_entries), lambda e: e.isNotNull()
+    )
+    return (
+        df.withColumn("errors", errors)
+        .withColumn("_error", F.size("errors") > 0)
+        .withColumn(
+            "errors", F.when(F.col("_error"), F.col("errors"))
+        )
+    )

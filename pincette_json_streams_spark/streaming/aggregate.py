@@ -1,0 +1,203 @@
+"""Event-sourcing aggregate part (docs/state.md; wired App.java:605-634 —
+SURVEY.md §2.8).
+
+Commands keyed by ``_id`` fold through a reducer into aggregate state;
+each accepted command emits ``aggregate``, ``command``, ``event``,
+``event-full`` and ``reply`` streams.
+
+Spark mapping:
+  - batch (this module): ``applyInPandas`` over ``_id`` groups — the fold
+    is per-key sequential by definition (the reference serializes commands
+    per aggregate instance through Kafka key partitioning), so grouped
+    Pandas execution is the faithful distributed analogue: parallel across
+    keys, ordered within a key.
+  - streaming: ``transformWithStateInPandas`` keyed the same way
+    (pincette_json_streams_spark.streaming.runtime — later round).
+
+Reducers: built-ins ``put``/``delete``/``patch`` (docs/state.md:95) and
+pipeline reducers (a Mongo pipeline over ``{command, state}`` documents).
+JQ/JSLT script reducers are out of scope for the Python engine (no jq
+package in the runtime; documented divergence).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["compile_aggregate_batch", "reduce_commands"]
+
+
+def _diff_ops(before: dict, after: dict, prefix: str = "") -> list[dict]:
+    """RFC-6902 diff (add/remove/replace) between two JSON objects."""
+    try:
+        import jsonpatch
+
+        return list(jsonpatch.make_patch(before, after))
+    except Exception:
+        ops: list[dict] = []
+        keys = set(before) | set(after)
+        for k in sorted(keys):
+            p = f"{prefix}/{k}"
+            if k not in after:
+                ops.append({"op": "remove", "path": p})
+            elif k not in before:
+                ops.append({"op": "add", "path": p, "value": after[k]})
+            elif before[k] != after[k]:
+                if isinstance(before[k], dict) and isinstance(after[k], dict):
+                    ops.extend(_diff_ops(before[k], after[k], p))
+                else:
+                    ops.append({"op": "replace", "path": p,
+                                "value": after[k]})
+        return ops
+
+
+_TECH = ("_id", "_corr", "_type", "_command", "_jwt", "_timestamp", "_seq",
+         "_deleted", "_error", "errors", "_ops", "_before", "_after",
+         "_languages")
+
+
+def reduce_commands(
+    state: dict | None,
+    commands: list[dict],
+    reducer: Any,
+    agg_type: str,
+    now_millis: int = 0,
+) -> list[dict]:
+    """Fold `commands` (ordered) into `state`; emit output records tagged
+    with a `purpose` in {aggregate, event, event-full, reply, command}."""
+    out: list[dict] = []
+    seq = (state or {}).get("_seq", -1)
+    cur = dict(state or {})
+
+    for cmd in commands:
+        command = cmd.get("_command")
+        out.append({"purpose": "command", "doc": cmd})
+        if command == "put":
+            new = {
+                k: v for k, v in cmd.items()
+                if k not in ("_command", "_jwt") or k == "_id"
+            }
+            new.pop("_command", None)
+        elif command == "delete":
+            new = dict(cur)
+            new["_deleted"] = True
+        elif command == "patch":
+            try:
+                import jsonpatch
+
+                clean = {k: v for k, v in cur.items() if k not in
+                         ("_seq", "_timestamp")}
+                new = jsonpatch.apply_patch(clean, cmd.get("_ops", []))
+            except Exception:
+                new = dict(cur)
+        elif reducer is not None:
+            new = reducer(cur, cmd)
+        else:
+            new = dict(cur)
+        if new is None:
+            new = dict(cur)
+
+        before = {k: v for k, v in cur.items() if k != "_timestamp"}
+        after_cmp = {k: v for k, v in new.items()
+                     if k not in ("_seq", "_timestamp")}
+        before_cmp = {k: v for k, v in before.items() if k != "_seq"}
+        if after_cmp == before_cmp:
+            # unchanged -> only a reply with the current state
+            out.append({"purpose": "reply", "doc": cur or cmd})
+            continue
+
+        seq += 1
+        new_state = dict(after_cmp)
+        new_state["_id"] = cmd.get("_id")
+        new_state["_type"] = agg_type
+        if "_corr" in cmd:
+            new_state["_corr"] = cmd["_corr"]
+        if "_jwt" in cmd:
+            new_state["_jwt"] = cmd["_jwt"]
+        new_state["_seq"] = seq
+
+        ops = _diff_ops(
+            {k: v for k, v in before_cmp.items() if k not in _TECH},
+            {k: v for k, v in after_cmp.items() if k not in _TECH},
+        )
+        event = {
+            "_id": cmd.get("_id"),
+            "_corr": cmd.get("_corr"),
+            "_type": agg_type,
+            "_command": command,
+            "_seq": seq,
+            "_timestamp": now_millis,
+            "_ops": ops,
+        }
+        event_full = dict(event)
+        event_full["_before"] = before
+        event_full["_after"] = dict(new_state)
+
+        out.append({"purpose": "aggregate", "doc": new_state})
+        out.append({"purpose": "event", "doc": event})
+        out.append({"purpose": "event-full", "doc": event_full})
+        out.append({"purpose": "reply", "doc": new_state})
+        cur = dict(new_state)
+    return out
+
+
+def compile_aggregate_batch(part: dict, app) -> dict[str, DataFrame]:
+    """Batch-mode aggregate: fold the `<app>-<type>-command` source per key.
+
+    Returns one DataFrame per purpose stream, named
+    `<app>-<type>-{aggregate,command,event,event-full,reply}`
+    (docs/state.md:97-127).  Values are JSON strings (the schemaless
+    message payload); downstream pipelines parse what they need.
+    """
+    app_name = part.get("application") or app.spec["application"]
+    agg_type = part["aggregateType"] if "aggregateType" in part else \
+        part["type"]
+    agg_type = part.get("aggregateType", part.get("name"))
+    full = f"{app_name}-{agg_type}" if "-" not in agg_type else agg_type
+    cmd_topic = f"{full}-command"
+    source = app.catalog.get(cmd_topic)
+    if source is None:
+        raise KeyError(f"aggregate command topic {cmd_topic!r} not in catalog")
+
+    reducer = None
+    if "commands" in part:
+        # pipeline reducers per command — executed via the row interpreter
+        from pincette_json_streams_spark.streaming.reducers import (
+            pipeline_reducer,
+        )
+        reducer = pipeline_reducer(part["commands"])
+
+    def fold(key, pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("__order")
+        cmds = [json.loads(r) for r in pdf["__json"]]
+        recs = reduce_commands(None, cmds, reducer, full)
+        return pd.DataFrame(
+            {
+                "purpose": [r["purpose"] for r in recs],
+                "value": [json.dumps(r["doc"]) for r in recs],
+                "_id": [r["doc"].get("_id") for r in recs],
+            }
+        )
+
+    ordered = source.withColumn(
+        "__order", F.monotonically_increasing_id()
+    ).select(
+        F.col("_id").cast("string").alias("__key"),
+        F.to_json(F.struct(*[c for c in source.columns])).alias("__json"),
+        "__order",
+    )
+    folded = ordered.groupBy("__key").applyInPandas(
+        fold, schema="purpose string, value string, _id string"
+    )
+    out: dict[str, DataFrame] = {}
+    for purpose in ("aggregate", "command", "event", "event-full", "reply"):
+        out[f"{full}-{purpose}"] = folded.filter(
+            F.col("purpose") == purpose
+        ).select("_id", "value")
+    return out
