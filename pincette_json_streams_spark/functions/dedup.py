@@ -1,0 +1,369 @@
+"""Deduplication operators for training-data pipelines, designed for the
+100 TB regime:
+
+- exact_dedup          — hash-groupBy on a normalized fingerprint; one
+  shuffle on a short key, map-side combine.
+- minhash_signature /
+  minhash_lsh_pairs    — shingle -> MinHash -> banded LSH.  Signatures are
+  computed scan-side (pure Column math, no UDF); candidate generation is an
+  equi-join on (band, band-hash) buckets, so cost scales with bucket
+  collisions, never O(n^2).  Verification computes true Jaccard only for
+  candidates.
+- simhash              — 64-bit SimHash over word tokens, pure Column
+  bit-arithmetic; near-dup = small Hamming distance, found via LSH on bit
+  bands of the signature.
+- ngram_jaccard_pairs  — word-ngram inverted-index join (classic
+  candidate-pair generation); exact Jaccard on pairs sharing >= 1 ngram.
+- embedding_pairs      — cosine near-dup over an embedding column; exact
+  for bounded inputs, hyperplane-LSH bucketing as the scale path.
+
+Every function is deterministic (md5-derived hashing, fixed coefficient
+tables) so the DuckDB oracle replays the identical computation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pincette_json_streams_spark.functions.text import (
+    fingerprint,
+    normalize_text,
+    shingles,
+    word_ngrams,
+)
+
+__all__ = [
+    "exact_dedup", "minhash_signature", "minhash_lsh_pairs", "simhash",
+    "simhash_pairs", "ngram_jaccard_pairs", "embedding_cosine",
+    "embedding_pairs", "hyperplane_bucket",
+]
+
+# Universal-hash family h_i(x) = (a_i * x + b_i) mod p over the Mersenne
+# prime 2^31-1.  31-bit domain keeps every intermediate product under
+# 2^62 — safe in 64-bit integer arithmetic (Spark runs ANSI mode: an
+# overflow would be an error, not a wrap).
+_P = (1 << 31) - 1
+
+
+def _coeffs(n: int) -> list[tuple[int, int]]:
+    # deterministic, engine-independent LCG-derived coefficients
+    out = []
+    a, b = 1103515245, 12345
+    x = 42
+    for _ in range(n):
+        x = (a * x + b) % _P
+        a_i = (x % (_P - 1)) + 1  # a in [1, p-1]
+        x = (a * x + b) % _P
+        b_i = x % _P
+        out.append((a_i, b_i))
+    return out
+
+
+def _hash_str(col: Column) -> Column:
+    """Engine-portable string hash into [0, 2^31-1): first 8 hex digits of
+    md5, reduced mod p."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+        % F.lit(_P)
+    )
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the lowest-id representative per normalized-content group."""
+    keyed = df.withColumn("__fp", fingerprint(F.col(text_col)))
+    return (
+        keyed.groupBy("__fp")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .withColumnsRenamed({"__fp": "fingerprint"})
+    )
+
+
+def minhash_signature(
+    text: Column, num_hashes: int = 32, k: int = 9
+) -> Column:
+    """MinHash signature (array<bigint>) over char-k-shingles.  Pure Column
+    expression: shingle hashes once, then num_hashes mins — all inside
+    codegen, no shuffle, no UDF."""
+    sh = F.transform(shingles(text, k), _hash_str)
+
+    def perm(a, b):
+        return lambda h: (a * h + b) % F.lit(_P)
+
+    sig = [
+        F.array_min(F.transform(sh, perm(a, b)))
+        for a, b in _coeffs(num_hashes)
+    ]
+    return F.array(*sig)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 9,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash-LSH + exact-Jaccard verify.
+
+    Plan shape at scale: one scan computing (id, signature, shingles) ->
+    explode to `bands` rows -> shuffle on (band, bandkey) -> per-bucket
+    self-join (skew-bounded by bucket size) -> exact verify on candidates.
+    """
+    rows = num_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(F.col(text_col), num_hashes, k).alias("sig"),
+        shingles(F.col(text_col), k).alias("sh"),
+    )
+    banded = base.select(
+        "id", "sig", "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                F.slice(F.col("sig"), b * rows + 1, rows),
+                            )
+                        ).alias("bandkey"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "sh", F.col("bk.band").alias("band"),
+             F.col("bk.bandkey").alias("bandkey"))
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bandkey") == F.col("r.bandkey"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.sh").alias("sh_a"),
+            F.col("r.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def simhash(text: Column, bits: int = 64) -> Column:
+    """SimHash over word tokens: bit b of the signature is the sign of
+    sum(+/-1 over tokens by their hash's bit b).  Computed as `bits`
+    aggregate expressions over the token-hash array — native Columns."""
+    words = F.array_distinct(F.split(normalize_text(text), " "))
+    hashes = F.transform(words, _hash_str)
+
+    def bit_test(b):
+        return lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1
+
+    acc = []
+    for b in range(bits):
+        ones = F.size(F.filter(hashes, bit_test(b)))
+        bit = (ones * 2 > F.size(hashes)).cast("bigint")
+        acc.append(F.shiftleft(bit, b))
+    out = acc[0]
+    for a in acc[1:]:
+        out = out.bitwiseOR(a)
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    bits: int = 60,
+    bands: int = 6,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, candidates via LSH on
+    signature bit-bands (pigeonhole: distance<=max_hamming implies an equal
+    band when bands > max_hamming ... approximate for smaller band counts)."""
+    band_width = bits // bands
+    base = df.select(
+        F.col(id_col).alias("id"),
+        simhash(F.col(text_col), bits).alias("sig"),
+    )
+    banded = base.select(
+        "id", "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("sig"), b * band_width)
+                        .bitwiseAND(F.lit((1 << band_width) - 1))
+                        .alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "sig", "bk.band", "bk.key")
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+            F.col("l.sig").alias("sig_a"), F.col("r.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard (inverted-index candidate join)
+# --------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact Jaccard over word n-gram sets for every pair sharing at least
+    one n-gram.  The inverted-index join bounds cost by posting-list sizes
+    (at scale: drop top-frequency ngrams first — cheap pre-aggregation)."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        word_ngrams(F.col(text_col), n).alias("ng"),
+    )
+    posting = base.select("id", F.explode("ng").alias("g"))
+    l, r = posting.alias("l"), posting.alias("r")
+    shared = (
+        l.join(r, (F.col("l.g") == F.col("r.g"))
+               & (F.col("l.id") < F.col("r.id")))
+        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = base.select("id", F.size("ng").alias("sz"))
+    out = (
+        shared.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}),
+                    "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter")
+                    / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+# --------------------------------------------------------------------------
+# embedding near-dup / similarity
+# --------------------------------------------------------------------------
+
+def embedding_cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<float> columns — native zip_with +
+    aggregate (runs in codegen; no Python)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot / (na * nb)
+
+
+# deterministic pseudo-random hyperplanes: sign pattern from md5 of
+# (plane, dim) — identical in any engine with md5.
+def _plane_sign(plane: int, dim: Column) -> Column:
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("_", F.lit(plane), dim.cast("string"))), 1, 2
+        ), 16, 10,
+    ).cast("int")
+    return F.when(h % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+
+def hyperplane_bucket(vec: Column, planes: int = 8) -> Column:
+    """LSH bucket id: sign bits of `planes` deterministic hyperplane dot
+    products.  Same-bucket vectors are cosine-close with high probability;
+    at scale the ANN search shuffles once on bucket id."""
+    def sign_of(p):
+        return lambda i: _plane_sign(p, i)
+
+    out = F.lit(0)
+    for p in range(planes):
+        dot = F.aggregate(
+            F.zip_with(
+                vec,
+                F.transform(F.sequence(F.lit(0), F.size(vec) - 1),
+                            sign_of(p)),
+                lambda v, s: v * s,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        out = out.bitwiseOR(F.shiftleft((dot > 0).cast("int"), p))
+    return out
+
+
+def embedding_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    use_lsh: bool = False,
+    planes: int = 8,
+) -> DataFrame:
+    """Near-duplicate vector pairs by cosine >= threshold.  use_lsh=True
+    restricts comparisons to hyperplane buckets (the 100 TB path)."""
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if use_lsh:
+        base = base.withColumn("bucket", hyperplane_bucket(F.col("v"),
+                                                           planes))
+        cond = (F.col("l.bucket") == F.col("r.bucket")) & \
+            (F.col("l.id") < F.col("r.id"))
+    else:
+        cond = F.col("l.id") < F.col("r.id")
+    l, r = base.alias("l"), base.alias("r")
+    pairs = l.join(r, cond).select(
+        F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+        F.round(embedding_cosine(F.col("l.v"), F.col("r.v")), 6)
+        .alias("cosine"),
+    )
+    return pairs.filter(F.col("cosine") >= threshold)

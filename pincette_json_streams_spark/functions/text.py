@@ -1,0 +1,160 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All pure native-Column implementations (no UDFs): at 100 TB these run
+inside whole-stage codegen with full predicate pushdown, and every function
+is deterministic so a SQL oracle can replay it exactly.
+
+Operators: token counting (whitespace + BPE-ish regex), quality scoring
+(length/punctuation/stopword/repetition signals), language ID (marker-word
+n-gram heuristic), document fingerprinting (normalized content hash +
+shingle-based rolling hashes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "ws_token_count", "bpe_token_count", "quality_features",
+    "quality_score", "lang_id", "fingerprint", "shingles", "word_ngrams",
+    "STOPWORDS", "LANG_MARKERS", "BPE_TOKEN_RE",
+]
+
+# A compact English stopword list (public knowledge).
+STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "for", "on", "with", "as", "at", "by", "it", "this", "that", "be",
+)
+
+# Marker words per language for the n-gram/stopword language heuristic.
+# Deterministic argmax with fixed tie-break order (list order).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "pas", "une", "pour", "que"),
+    "es": ("el", "la", "los", "y", "es", "no", "una", "por", "que"),
+    "it": ("il", "la", "che", "e", "non", "per", "una", "sono", "di"),
+}
+
+# BPE-ish pre-tokenizer: word pieces, numbers, or single punctuation —
+# the GPT-2 style split, simplified to a portable character-class regex.
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def ws_token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, "\\s+"))
+    )
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Token count under the BPE-ish pre-tokenization regex."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), F.lit(0)))
+
+
+def _words(text: Column) -> Column:
+    return F.split(F.lower(F.trim(text)), "\\s+")
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Raw quality signals (each a Column), composable into filters."""
+    n_chars = F.length(text)
+    words = _words(text)
+    n_words = F.size(words)
+    # greatest(x, 1) guards: ANSI mode makes /0 an error, and empty text
+    # must score 0, not fail the whole stage
+    distinct_ratio = F.size(F.array_distinct(words)) / F.greatest(
+        n_words, F.lit(1)
+    )
+    stop_hits = F.size(
+        F.array_intersect(words, F.array(*[F.lit(s) for s in STOPWORDS]))
+    )
+    punct = F.size(
+        F.regexp_extract_all(text, F.lit("[^A-Za-z0-9\\s]"), F.lit(0))
+    )
+    mean_word_len = (F.length(F.regexp_replace(text, "\\s+", ""))
+                     / F.greatest(n_words, F.lit(1)))
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "distinct_word_ratio": distinct_ratio,
+        "has_stopwords": (stop_hits > 0).cast("int"),
+        "punct_ratio": punct / F.greatest(n_chars, F.lit(1)),
+        "mean_word_len": mean_word_len,
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality score: length band + lexical diversity +
+    stopword presence − punctuation excess.  Mirrors the C4/Gopher-style
+    rule stack in a single deterministic formula."""
+    f = quality_features(text)
+    length_ok = (
+        (f["n_words"] >= 10) & (f["n_words"] <= 5000)
+        & (f["mean_word_len"] >= 2) & (f["mean_word_len"] <= 12)
+    ).cast("double")
+    diversity = F.least(f["distinct_word_ratio"] * 2, F.lit(1.0))
+    stop = f["has_stopwords"].cast("double")
+    punct_penalty = F.least(f["punct_ratio"] * 5, F.lit(1.0))
+    score = (0.4 * length_ok + 0.3 * diversity + 0.3 * stop) \
+        * (1.0 - punct_penalty)
+    return F.round(score, 6)
+
+
+def lang_id(text: Column) -> Column:
+    """Marker-word language heuristic: score = #marker words present per
+    language; deterministic argmax (ties -> LANG_MARKERS order); 'und'
+    when nothing matches."""
+    words = _words(text)
+    out = F.lit("und")
+    best = F.lit(0)
+    # iterate reversed so earlier languages win ties
+    for lang in reversed(list(LANG_MARKERS)):
+        markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+        score = F.size(F.array_intersect(words, markers))
+        out = F.when(score >= F.greatest(best, F.lit(1)), F.lit(lang)) \
+            .otherwise(out)
+        best = F.greatest(best, score)
+    return out
+
+
+def normalize_text(text: Column) -> Column:
+    """Dedup normalization: lowercase, collapse whitespace, strip."""
+    return F.trim(F.regexp_replace(F.lower(text), "\\s+", " "))
+
+
+def fingerprint(text: Column) -> Column:
+    """64-bit-ish content fingerprint: md5 of normalized text, first 15 hex
+    digits as bigint (reproducible in any engine with md5)."""
+    return F.conv(
+        F.substring(F.md5(normalize_text(text)), 1, 15), 16, 10
+    ).cast("bigint")
+
+
+def shingles(text: Column, k: int = 9) -> Column:
+    """Character k-shingles of the normalized text (distinct)."""
+    norm = normalize_text(text)
+    n = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.substring(norm, i.cast("int"), F.lit(k).cast("int")),
+        )
+    )
+
+
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams of the normalized text."""
+    words = F.split(normalize_text(text), " ")
+    cnt = F.greatest(F.size(words) - F.lit(n - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), cnt),
+            lambda i: F.concat_ws(
+                " ", F.slice(words, i.cast("int"), F.lit(n).cast("int"))
+            ),
+        )
+    )
