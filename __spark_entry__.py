@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every query runs through the pincette_json_streams_spark engine — either a
+Mongo-pipeline spec compiled by ``compile_pipeline``/``Application`` (the
+reference's query language, SURVEY.md §2) or the training-data operators in
+``pincette_json_streams_spark.functions`` — and each has a DuckDB oracle
+that replays the identical computation in ANSI SQL.
+
+Naming discipline: every computed column is aliased identically in the
+Spark pipeline and the oracle SQL (the driver hashes values under sorted
+column names).  Integer outputs are BIGINT on both sides; float outputs are
+rounded the same way on both sides.
 """
 
 from __future__ import annotations
@@ -12,27 +17,1018 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from pincette_json_streams_spark.operators.stages import (
+    PipelineContext,
+    compile_pipeline,
+)
+from pincette_json_streams_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _pipe(spark, sf_dir, table, stages, catalog_tables=()):
+    catalog = {t: _t(spark, sf_dir, t) for t in catalog_tables}
+    return compile_pipeline(
+        _t(spark, sf_dir, table), stages, PipelineContext(catalog=catalog)
+    )
+
+
+# ===========================================================================
+# 1. Pipeline-language queries (reference surface, SURVEY.md §2)
+# ===========================================================================
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 as a Mongo pipeline ($match + $group with the accumulator
+    set of docs/aggregation_stages.md:35)."""
+    return _pipe(spark, sf_dir, "lineitem", [
+        {"$match": {"l_shipdate": {"$lte": "1998-09-02"}}},
+        {"$group": {
+            "_id": {"rf": "$l_returnflag", "ls": "$l_linestatus"},
+            "sum_qty": {"$sum": "$l_quantity"},
+            "sum_base_price": {"$sum": "$l_extendedprice"},
+            "sum_disc_price": {"$sum": {"$multiply": [
+                "$l_extendedprice", {"$subtract": [1, "$l_discount"]}]}},
+            "avg_qty": {"$avg": "$l_quantity"},
+            "avg_disc": {"$avg": "$l_discount"},
+            "count_order": {"$count": {}},
+        }},
+        {"$project": {
+            "_id": 0,
+            "l_returnflag": "$_id.rf",
+            "l_linestatus": "$_id.ls",
+            "sum_qty": {"$round": ["$sum_qty", 2]},
+            "sum_base_price": {"$round": ["$sum_base_price", 2]},
+            "sum_disc_price": {"$round": ["$sum_disc_price", 2]},
+            "avg_qty": {"$round": ["$avg_qty", 4]},
+            "avg_disc": {"$round": ["$avg_disc", 4]},
+            "count_order": 1,
+        }},
+    ])
+
+
+_ORACLE_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                          AS sum_qty,
+       round(sum(l_extendedprice), 2)                     AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)  AS sum_disc_price,
+       round(avg(l_quantity), 4)                          AS avg_qty,
+       round(avg(l_discount), 4)                          AS avg_disc,
+       count(*)                                           AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_segment_revenue(spark, sf_dir):
+    """$lookup(unwind) + $group: revenue by customer market segment."""
+    return _pipe(spark, sf_dir, "orders", [
+        {"$lookup": {"from": "customer", "localField": "o_custkey",
+                     "foreignField": "c_custkey", "as": "cust",
+                     "unwind": True}},
+        {"$group": {"_id": "$cust.c_mktsegment",
+                    "revenue": {"$sum": "$o_totalprice"},
+                    "n_orders": {"$count": {}}}},
+        {"$project": {"_id": 0, "c_mktsegment": "$_id",
+                      "revenue": {"$round": ["$revenue", 2]},
+                      "n_orders": 1}},
+    ], catalog_tables=("customer",))
+
+
+_ORACLE_SEGMENT = """
+SELECT c_mktsegment, round(sum(o_totalprice), 2) AS revenue,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_match_query_ops(spark, sf_dir):
+    """Query-language gallery: $in/$nin/$regex/$exists/$or/$not/$mod
+    (docs/query.md)."""
+    return _pipe(spark, sf_dir, "part", [
+        {"$match": {
+            "p_brand": {"$in": ["Brand#1", "Brand#2", "Brand#3"]},
+            "p_type": {"$regex": "^(small|large)"},
+            "p_size": {"$mod": [2, 0], "$exists": True},
+            "$or": [{"p_retailprice": {"$lt": 1200}},
+                    {"p_retailprice": {"$gte": 1800}}],
+            "p_name": {"$not": {"$regex": "plutonium"}},
+        }},
+        {"$project": {"p_partkey": 1, "p_brand": 1, "p_type": 1,
+                      "p_size": 1}},
+    ])
+
+
+_ORACLE_MATCH_OPS = """
+SELECT p_partkey, p_brand, p_type, p_size FROM part
+WHERE p_brand IN ('Brand#1','Brand#2','Brand#3')
+  AND regexp_matches(p_type, '^(small|large)')
+  AND p_size % 2 = 0 AND p_size IS NOT NULL
+  AND (p_retailprice < 1200 OR p_retailprice >= 1800)
+  AND NOT regexp_matches(p_name, 'plutonium')
+"""
+
+
+def q_project_compute(spark, sf_dir):
+    """$project with computed expressions + $cond."""
+    return _pipe(spark, sf_dir, "lineitem", [
+        {"$match": {"l_linenumber": 1}},
+        {"$project": {
+            "l_orderkey": 1,
+            "disc_price": {"$divide": [{"$round": [{"$multiply": [
+                "$l_extendedprice",
+                {"$subtract": [1, "$l_discount"]}, 100]}, 0]}, 100]},
+            "charge": {"$divide": [{"$round": [{"$multiply": [
+                "$l_extendedprice", {"$subtract": [1, "$l_discount"]},
+                {"$add": [1, "$l_tax"]}, 100]}, 0]}, 100]},
+            "heavy": {"$cond": [{"$gte": ["$l_quantity", 30]},
+                                "heavy", "light"]},
+        }},
+    ])
+
+
+_ORACLE_PROJECT = """
+SELECT l_orderkey,
+       round(l_extendedprice * (1 - l_discount) * 100) / 100 AS disc_price,
+       round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) / 100
+         AS charge,
+       CASE WHEN l_quantity >= 30 THEN 'heavy' ELSE 'light' END AS heavy
+FROM lineitem WHERE l_linenumber = 1
+"""
+
+
+def q_switch_let(spark, sf_dir):
+    """$addFields with $let + $switch (docs/aggregation_operators.md:
+    495,1189)."""
+    return _pipe(spark, sf_dir, "orders", [
+        {"$addFields": {
+            "price_band": {"$let": {
+                "vars": {"p": "$o_totalprice"},
+                "in": {"$switch": {
+                    "branches": [
+                        {"case": {"$gte": ["$$p", 200000]}, "then": "big"},
+                        {"case": {"$gte": ["$$p", 100000]}, "then": "mid"},
+                    ],
+                    "default": "small"}}}},
+        }},
+        {"$group": {"_id": "$price_band", "n": {"$count": {}},
+                    "total": {"$sum": "$o_totalprice"}}},
+        {"$project": {"_id": 0, "price_band": "$_id", "n": 1,
+                      "total": {"$round": ["$total", 2]}}},
+    ])
+
+
+_ORACLE_SWITCH = """
+SELECT CASE WHEN o_totalprice >= 200000 THEN 'big'
+            WHEN o_totalprice >= 100000 THEN 'mid'
+            ELSE 'small' END AS price_band,
+       count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY 1
+"""
+
+
+def q_unwind_words(spark, sf_dir):
+    """$set(split) + $unwind + $group (docs/aggregation_stages.md:840)."""
+    return _pipe(spark, sf_dir, "part", [
+        {"$set": {"word": {"$split": ["$p_name", " "]}}},
+        {"$unwind": "$word"},
+        {"$group": {"_id": "$word", "n": {"$count": {}}}},
+        {"$project": {"_id": 0, "word": "$_id", "n": 1}},
+    ])
+
+
+_ORACLE_UNWIND = """
+SELECT word, count(*) AS n
+FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+GROUP BY word
+"""
+
+
+def q_group_accumulators(spark, sf_dir):
+    """Full accumulator set: min/max/avg/stdDevPop/addToSet/push-size."""
+    return _pipe(spark, sf_dir, "lineitem", [
+        {"$group": {
+            "_id": "$l_returnflag",
+            "min_qty": {"$min": "$l_quantity"},
+            "max_qty": {"$max": "$l_quantity"},
+            "avg_price": {"$avg": "$l_extendedprice"},
+            "sd_price": {"$stdDevPop": "$l_extendedprice"},
+            "statuses": {"$addToSet": "$l_linestatus"},
+            "n_items": {"$count": {}},
+        }},
+        {"$project": {
+            "_id": 0, "l_returnflag": "$_id",
+            "min_qty": 1, "max_qty": 1,
+            "avg_price": {"$round": ["$avg_price", 2]},
+            "sd_price": {"$round": ["$sd_price", 2]},
+            "statuses": {"$reduce": {
+                "input": "$statuses", "initialValue": "",
+                "in": {"$concat": ["$$value", "|", "$$this"]}}},
+            "n_items": 1,
+        }},
+    ])
+
+
+_ORACLE_ACCUM = """
+SELECT l_returnflag,
+       min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+       round(avg(l_extendedprice), 2) AS avg_price,
+       round(stddev_pop(l_extendedprice), 2) AS sd_price,
+       '|' || array_to_string(list_sort(list_distinct(list(l_linestatus))),
+                              '|') AS statuses,
+       count(*) AS n_items
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_bucket_prices(spark, sf_dir):
+    """$bucket stage (docs/aggregation_stages.md:28-71)."""
+    return _pipe(spark, sf_dir, "part", [
+        {"$bucket": {
+            "groupBy": "$p_retailprice",
+            "boundaries": [0, 500, 1000, 1500, 2000],
+            "default": 9999,
+            "output": {"n": {"$sum": 1},
+                       "avg_price": {"$avg": "$p_retailprice"}},
+        }},
+        {"$project": {"_id": 0, "bucket": {"$toLong": "$_id"},
+                      "n": 1,
+                      "avg_price": {"$round": ["$avg_price", 2]}}},
+    ])
+
+
+_ORACLE_BUCKET = """
+SELECT CAST(CASE WHEN p_retailprice >= 0 AND p_retailprice < 500 THEN 0
+            WHEN p_retailprice >= 500 AND p_retailprice < 1000 THEN 500
+            WHEN p_retailprice >= 1000 AND p_retailprice < 1500 THEN 1000
+            WHEN p_retailprice >= 1500 AND p_retailprice < 2000 THEN 1500
+            ELSE 9999 END AS BIGINT) AS bucket,
+       count(*) AS n, round(avg(p_retailprice), 2) AS avg_price
+FROM part GROUP BY 1
+"""
+
+
+def q_count_stage(spark, sf_dir):
+    """$count stage (docs/aggregation_stages.md:73-91)."""
+    return _pipe(spark, sf_dir, "lineitem", [
+        {"$match": {"l_discount": {"$gte": 0.05}}},
+        {"$count": "n_discounted"},
+    ])
+
+
+_ORACLE_COUNT = """
+SELECT count(*) AS n_discounted FROM lineitem WHERE l_discount >= 0.05
+"""
+
+
+def q_dedup_stage(spark, sf_dir):
+    """$deduplicate stage (docs/aggregation_stages.md:93-116)."""
+    return _pipe(spark, sf_dir, "lineitem", [
+        {"$project": {"l_orderkey": 1, "l_suppkey": 1}},
+        {"$deduplicate": {"expression": {"$concat": [
+            {"$toString": "$l_orderkey"}, "-",
+            {"$toString": "$l_suppkey"}]}}},
+    ])
+
+
+_ORACLE_DEDUP_STAGE = """
+SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+"""
+
+
+def q_lookup_array(spark, sf_dir):
+    """$lookup left-outer array form: per-customer order count incl. 0."""
+    return _pipe(spark, sf_dir, "customer", [
+        {"$lookup": {"from": "orders", "localField": "c_custkey",
+                     "foreignField": "o_custkey", "as": "ords"}},
+        {"$project": {"_id": 0, "c_custkey": 1,
+                      "n_orders": {"$toLong": {"$size": "$ords"}}}},
+    ], catalog_tables=("orders",))
+
+
+_ORACLE_LOOKUP_ARRAY = """
+SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey
+"""
+
+
+def q_lookup_pipeline(spark, sf_dir):
+    """$lookup with let + pipeline + unwind (correlated subquery form,
+    app40 pattern) — decorrelated into a join by the compiler."""
+    return _pipe(spark, sf_dir, "supplier", [
+        {"$lookup": {
+            "from": "lineitem",
+            "let": {"sk": "$s_suppkey"},
+            "pipeline": [
+                {"$match": {"$expr": {"$eq": ["$$sk", "$l_suppkey"]}}},
+                {"$match": {"l_quantity": {"$gte": 45}}},
+            ],
+            "as": "li", "unwind": True}},
+        {"$group": {"_id": "$s_name",
+                    "big_lines": {"$count": {}},
+                    "qty": {"$sum": "$li.l_quantity"}}},
+        {"$project": {"_id": 0, "s_name": "$_id", "big_lines": 1,
+                      "qty": {"$round": ["$qty", 1]}}},
+    ], catalog_tables=("lineitem",))
+
+
+_ORACLE_LOOKUP_PIPE = """
+SELECT s_name, count(*) AS big_lines, round(sum(l_quantity), 1) AS qty
+FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+WHERE l_quantity >= 45 GROUP BY s_name
+"""
+
+
+def q_join_part(spark, sf_dir):
+    """A `join` part (docs/join.md): orders x customer on computed keys;
+    output {_id, left, right} flattened to scalars."""
+    from pincette_json_streams_spark import Application
+
+    catalog = {
+        "orders": _t(spark, sf_dir, "orders"),
+        "customer": _t(spark, sf_dir, "customer"),
+    }
+    app = Application(
+        {
+            "application": "q-join", "parts": [
+                {"type": "join", "name": "j", "toTopic": "out",
+                 "left": {"fromTopic": "orders", "on": "$o_custkey"},
+                 "right": {"fromTopic": "customer", "on": "$c_custkey"}},
+            ],
+        },
+        catalog,
+    )
+    j = app.run_batch()["out"]
+    return j.select(
+        F.col("_id"),
+        F.col("left.o_orderkey").alias("o_orderkey"),
+        F.col("right.c_name").alias("c_name"),
+    )
+
+
+_ORACLE_JOIN_PART = """
+SELECT CAST(o_custkey AS VARCHAR) AS _id, o_orderkey, c_name
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_merge_part(spark, sf_dir):
+    """A `merge` part (docs/merge.md): union of two filtered streams."""
+    from pincette_json_streams_spark import Application
+
+    catalog = {"orders": _t(spark, sf_dir, "orders")}
+    app = Application(
+        {
+            "application": "q-merge", "parts": [
+                {"type": "stream", "name": "hi", "fromTopic": "orders",
+                 "pipeline": [{"$match": {"o_totalprice": {"$gte": 150000}}},
+                              {"$set": {"band": "hi"}}]},
+                {"type": "stream", "name": "lo", "fromTopic": "orders",
+                 "pipeline": [{"$match": {"o_totalprice": {"$lt": 50000}}},
+                              {"$set": {"band": "lo"}}]},
+                {"type": "merge", "name": "m",
+                 "fromStreams": ["hi", "lo"], "toTopic": "out"},
+            ],
+        },
+        catalog,
+    )
+    out = app.run_batch()["out"]
+    return out.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+_ORACLE_MERGE_PART = """
+SELECT band, count(*) AS n, round(sum(o_totalprice), 2) AS total FROM (
+  SELECT 'hi' AS band, o_totalprice FROM orders WHERE o_totalprice >= 150000
+  UNION ALL
+  SELECT 'lo' AS band, o_totalprice FROM orders WHERE o_totalprice < 50000
+) GROUP BY band
+"""
+
+
+def q_string_ops(spark, sf_dir):
+    """String operator gallery (docs/aggregation_operators.md:726-949)."""
+    return _pipe(spark, sf_dir, "customer", [
+        {"$project": {
+            "_id": 0,
+            "c_custkey": 1,
+            "upper_name": {"$toUpper": "$c_name"},
+            "name_len": {"$strLenCP": "$c_name"},
+            "digits": {"$substrCP": ["$c_name", 9, 9]},
+            "seg_lower": {"$toLower": "$c_mktsegment"},
+            "replaced": {"$replaceAll": {"input": "$c_name",
+                                         "find": "Customer",
+                                         "replacement": "Cust"}},
+            "idx": {"$indexOfCP": ["$c_name", "#"]},
+            "trimmed": {"$trim": {"input": {"$concat":
+                                            ["  ", "$c_mktsegment", "  "]}}},
+        }},
+    ])
+
+
+_ORACLE_STRINGS = """
+SELECT c_custkey,
+       upper(c_name) AS upper_name,
+       length(c_name) AS name_len,
+       substr(c_name, 10, 9) AS digits,
+       lower(c_mktsegment) AS seg_lower,
+       replace(c_name, 'Customer', 'Cust') AS replaced,
+       instr(c_name, '#') - 1 AS idx,
+       trim('  ' || c_mktsegment || '  ') AS trimmed
+FROM customer
+"""
+
+
+def q_datetime_ops(spark, sf_dir):
+    """ISO-8601 extension operators (docs/aggregation_operators.md:
+    514-614) over the orders timestamps."""
+    return _pipe(spark, sf_dir, "orders", [
+        {"$project": {
+            "_id": 0,
+            "o_orderkey": 1,
+            "y": {"$toLong": {"$toYear": "$o_orderdate"}},
+            "m": {"$toLong": {"$toMonth": "$o_orderdate"}},
+            "d": {"$toLong": {"$toDay": "$o_orderdate"}},
+            "epoch_ms": {"$toEpochMillis": "$o_orderdate"},
+            "epoch_s": {"$toEpochSeconds": "$o_orderdate"},
+        }},
+    ])
+
+
+_ORACLE_DATETIME = """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS BIGINT) AS y,
+       CAST(month(o_orderdate) AS BIGINT) AS m,
+       CAST(day(o_orderdate) AS BIGINT) AS d,
+       epoch_ms(o_orderdate) AS epoch_ms,
+       CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+FROM orders
+"""
+
+
+def q_arith_ops(spark, sf_dir):
+    """Arithmetic operator gallery."""
+    return _pipe(spark, sf_dir, "lineitem", [
+        {"$match": {"l_linenumber": {"$lte": 2}}},
+        {"$project": {
+            "_id": 0,
+            "l_orderkey": 1, "l_linenumber": 1,
+            "q_mod": {"$mod": [{"$toLong": "$l_quantity"}, 7]},
+            "q_pow": {"$round": [{"$pow": ["$l_discount", 2]}, 6]},
+            "q_sqrt": {"$round": [{"$sqrt": "$l_quantity"}, 4]},
+            "q_abs": {"$abs": {"$subtract": ["$l_quantity", 25]}},
+            "q_ceil": {"$toLong": {"$ceil": "$l_extendedprice"}},
+            "q_floor": {"$toLong": {"$floor": "$l_extendedprice"}},
+            "q_trunc": {"$trunc": [{"$divide":
+                                    ["$l_extendedprice", 1000]}, 1]},
+            "q_ln": {"$round": [{"$ln": "$l_extendedprice"}, 6]},
+        }},
+    ])
+
+
+_ORACLE_ARITH = """
+SELECT l_orderkey, l_linenumber,
+       CAST(l_quantity AS BIGINT) % 7 AS q_mod,
+       round(pow(l_discount, 2), 6) AS q_pow,
+       round(sqrt(l_quantity), 4) AS q_sqrt,
+       abs(l_quantity - 25) AS q_abs,
+       CAST(ceil(l_extendedprice) AS BIGINT) AS q_ceil,
+       CAST(floor(l_extendedprice) AS BIGINT) AS q_floor,
+       trunc(l_extendedprice / 1000 * 10) / 10 AS q_trunc,
+       round(ln(l_extendedprice), 6) AS q_ln
+FROM lineitem WHERE l_linenumber <= 2
+"""
+
+
+def q_array_ops(spark, sf_dir):
+    """Array operator gallery: $split/$filter/$map/$reduce/$slice/$size/
+    $setUnion/$reverseArray/$indexOfArray — projected to scalars."""
+    return _pipe(spark, sf_dir, "part", [
+        {"$set": {"words": {"$split": ["$p_name", " "]}}},
+        {"$project": {
+            "_id": 0,
+            "p_partkey": 1,
+            "n_words": {"$toLong": {"$size": "$words"}},
+            "long_words": {"$toLong": {"$size": {"$filter": {
+                "input": "$words", "as": "w",
+                "cond": {"$gte": [{"$strLenCP": "$$w"}, 5]}}}}},
+            "upper_first": {"$toUpper": {"$first": "$words"}},
+            "last_word": {"$last": "$words"},
+            "joined_rev": {"$reduce": {
+                "input": {"$reverseArray": "$words"},
+                "initialValue": "",
+                "in": {"$concat": ["$$value", "_", "$$this"]}}},
+            "total_len": {"$toLong": {"$reduce": {
+                "input": {"$map": {"input": "$words", "as": "w",
+                                   "in": {"$strLenCP": "$$w"}}},
+                "initialValue": 0,
+                "in": {"$add": ["$$value", "$$this"]}}}},
+            "has_widget": {"$in": ["widget", "$words"]},
+            "widget_at": {"$toLong": {"$indexOfArray":
+                                      ["$words", "widget"]}},
+        }},
+    ])
+
+
+_ORACLE_ARRAYS = """
+WITH w AS (SELECT p_partkey, string_split(p_name, ' ') AS words FROM part)
+SELECT p_partkey,
+       CAST(len(words) AS BIGINT) AS n_words,
+       CAST(len(list_filter(words, x -> length(x) >= 5)) AS BIGINT)
+         AS long_words,
+       upper(words[1]) AS upper_first,
+       words[-1] AS last_word,
+       list_reduce(list_prepend('', list_reverse(words)),
+                   (a, b) -> a || '_' || b) AS joined_rev,
+       CAST(list_sum(list_transform(words, x -> length(x))) AS BIGINT)
+         AS total_len,
+       list_contains(words, 'widget') AS has_widget,
+       CAST(coalesce(list_position(words, 'widget'), 0) - 1 AS BIGINT)
+         AS widget_at
+FROM w
+"""
+
+
+def q_type_convert(spark, sf_dir):
+    """$convert/$toInt/$toLong/$toString/$toBool family."""
+    return _pipe(spark, sf_dir, "customer", [
+        {"$project": {
+            "_id": 0,
+            "c_custkey": 1,
+            "bal_int": {"$toLong": {"$toInt": "$c_acctbal"}},
+            "bal_str": {"$toString": {"$round": ["$c_acctbal", 2]}},
+            "key_str": {"$toString": "$c_custkey"},
+            "positive": {"$toBool": {"$gt": ["$c_acctbal", 0]}},
+            "converted": {"$convert": {"input": "$c_custkey",
+                                       "to": "double"}},
+        }},
+    ])
+
+
+_ORACLE_CONVERT = """
+SELECT c_custkey,
+       CAST(trunc(c_acctbal) AS BIGINT) AS bal_int,
+       CAST(round(c_acctbal, 2) AS VARCHAR) AS bal_str,
+       CAST(c_custkey AS VARCHAR) AS key_str,
+       c_acctbal > 0 AS positive,
+       CAST(c_custkey AS DOUBLE) AS converted
+FROM customer
+"""
+
+
+def q_validate(spark, sf_dir):
+    """$validate stage (docs/validator.md): annotate invalid orders."""
+    return _pipe(spark, sf_dir, "orders", [
+        {"$validate": {
+            "conditions": [
+                {"o_totalprice": {"$lt": 400000, "$code": "MAXPRICE"}},
+                {"o_orderpriority": {"$regex": "^[1-5]-",
+                                     "$code": "PRIO"}},
+                {"o_clerk": {"$exists": True, "$code": "CLERK"}},
+            ],
+        }},
+        {"$project": {
+            "_id": 0,
+            "o_orderkey": 1,
+            "_error": 1,
+            "n_errors": {"$toLong": {"$cond":
+                                     ["$_error", {"$size": "$errors"}, 0]}},
+            "first_code": {"$cond": ["$_error",
+                                     {"$first": "$errors.code"}, None]},
+        }},
+    ])
+
+
+_ORACLE_VALIDATE = """
+SELECT o_orderkey, TRUE AS _error, CAST(2 AS BIGINT) AS n_errors,
+       CASE WHEN o_totalprice >= 400000 THEN 'MAXPRICE'
+            ELSE 'CLERK' END AS first_code
+FROM orders WHERE o_totalprice >= 400000
+   OR NOT regexp_matches(o_orderpriority, '^[1-5]-')
+UNION ALL
+SELECT o_orderkey, TRUE, 1, 'CLERK'
+FROM orders WHERE o_totalprice < 400000
+   AND regexp_matches(o_orderpriority, '^[1-5]-')
+"""
+
+
+def q_events_funnel(spark, sf_dir):
+    """events table: $match on event_type + per-user-type counts +
+    epoch-millis extraction (nanos-timestamp handling)."""
+    return _pipe(spark, sf_dir, "events", [
+        {"$match": {"event_type": {"$in": ["click", "view", "purchase"]}}},
+        {"$group": {
+            "_id": {"u": {"$mod": ["$user_id", 100]}, "t": "$event_type"},
+            "n": {"$count": {}},
+            "total_value": {"$sum": "$value"},
+        }},
+        {"$project": {"_id": 0, "user_bucket": "$_id.u",
+                      "event_type": "$_id.t", "n": 1,
+                      "total_value": {"$round": ["$total_value", 4]}}},
+    ])
+
+
+_ORACLE_EVENTS = """
+SELECT user_id % 100 AS user_bucket, event_type, count(*) AS n,
+       round(sum(value), 4) AS total_value
+FROM events WHERE event_type IN ('click','view','purchase')
+GROUP BY 1, 2
+"""
+
+
+# ===========================================================================
+# 2. Training-data operators (dedup / similarity / text — SURVEY plus-scope)
+# ===========================================================================
+
+def q_text_stats(spark, sf_dir):
+    from pincette_json_streams_spark.functions.text import (
+        bpe_token_count, fingerprint, lang_id, quality_score,
+        ws_token_count,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        ws_token_count(F.col("text")).cast("long").alias("ws_tokens"),
+        bpe_token_count(F.col("text")).cast("long").alias("bpe_tokens"),
+        quality_score(F.col("text")).alias("quality"),
+        lang_id(F.col("text")).alias("lang_guess"),
+        fingerprint(F.col("text")).alias("fp"),
+    )
+
+
+def _sql_norm(col="text"):
+    return f"trim(regexp_replace(lower({col}), '\\s+', ' ', 'g'))"
+
+
+def _oracle_text_stats():
+    from pincette_json_streams_spark.functions.text import (
+        BPE_TOKEN_RE, LANG_MARKERS, STOPWORDS,
+    )
+    stop_list = "[" + ",".join(f"'{s}'" for s in STOPWORDS) + "]"
+    score_cols = []
+    for lang, markers in LANG_MARKERS.items():
+        ml = "[" + ",".join(f"'{m}'" for m in markers) + "]"
+        score_cols.append(
+            f"len(list_intersect(words, {ml})) AS s_{lang}"
+        )
+    langs = list(LANG_MARKERS)
+    cases = []
+    for i, lang in enumerate(langs):
+        others = [f"s_{o}" for o in langs[i + 1:]]
+        cond = f"s_{lang} >= 1"
+        if others:
+            cond += f" AND s_{lang} >= greatest({', '.join(others)})"
+        cases.append(f"WHEN {cond} THEN '{lang}'")
+    lang_case = "CASE " + " ".join(cases) + " ELSE 'und' END"
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, {_sql_norm()} AS norm,
+         string_split(lower(trim(text)), ' ') AS raw_words
+  FROM documents
+), feat AS (
+  SELECT doc_id, text, norm,
+         string_split_regex(lower(trim(text)), '\\s+') AS words,
+         len(string_split_regex(trim(text), '\\s+')) AS n_words,
+         length(text) AS n_chars
+  FROM base
+), scored AS (
+  SELECT doc_id, text, norm, words, n_words, n_chars,
+         len(list_distinct(words))::DOUBLE / greatest(n_words, 1)
+           AS distinct_ratio,
+         (len(list_intersect(words, {stop_list})) > 0)::INT AS has_stop,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE
+           / greatest(n_chars, 1) AS punct_ratio,
+         length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE
+           / greatest(n_words, 1) AS mean_word_len,
+         {", ".join(score_cols)}
+  FROM feat
+)
+SELECT doc_id,
+       CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE n_words END
+            AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS BIGINT)
+         AS bpe_tokens,
+       round((0.4 * ((n_words >= 10 AND n_words <= 5000
+                      AND mean_word_len >= 2 AND mean_word_len <= 12)::INT)
+              + 0.3 * least(distinct_ratio * 2, 1.0)
+              + 0.3 * has_stop)
+             * (1.0 - least(punct_ratio * 5, 1.0)), 6) AS quality,
+       {lang_case} AS lang_guess,
+       ('0x' || substr(md5(norm), 1, 15))::BIGINT AS fp
+FROM scored
+"""
+
+
+def q_dedup_exact(spark, sf_dir):
+    from pincette_json_streams_spark.functions.dedup import exact_dedup
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs).select(
+        "fingerprint", "doc_id", F.col("dup_count").cast("long")
+        .alias("dup_count")
+    )
+
+
+_ORACLE_DEDUP_EXACT = f"""
+SELECT ('0x' || substr(md5({_sql_norm()}), 1, 15))::BIGINT AS fingerprint,
+       min(doc_id) AS doc_id, count(*) AS dup_count
+FROM documents GROUP BY 1
+"""
+
+
+def _oracle_minhash(num_hashes=32, bands=8, k=9, threshold=0.5):
+    from pincette_json_streams_spark.functions.dedup import _P, _coeffs
+    rows = num_hashes // bands
+    coeffs = _coeffs(num_hashes)
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(h, v -> ({a} * v + {b}) % {_P}))"
+        for a, b in coeffs
+    )
+    return f"""
+WITH norm AS (
+  SELECT doc_id AS id, {_sql_norm()} AS n FROM documents
+), sh AS (
+  SELECT id, list_distinct(
+    [substr(n, i, {k}) for i in range(1, greatest(len(n) - {k - 1}, 1) + 1)]
+  ) AS s FROM norm
+), hashed AS (
+  SELECT id, s, list_transform(
+    s, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT % {_P}) AS h
+  FROM sh
+), sig AS (
+  SELECT id, s, [{sig_exprs}] AS sg FROM hashed
+), banded AS (
+  SELECT id, s, band,
+         md5(array_to_string(sg[band * {rows} + 1 : band * {rows} + {rows}],
+                             ',')) AS bandkey
+  FROM sig, range({bands}) t(band)
+), cand AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b, l.s AS sa, r.s AS sb
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.bandkey = r.bandkey AND l.id < r.id
+)
+SELECT id_a, id_b,
+       round(len(list_intersect(sa, sb))::DOUBLE /
+             (len(sa) + len(sb) - len(list_intersect(sa, sb))), 6)
+         AS jaccard
+FROM cand
+WHERE round(len(list_intersect(sa, sb))::DOUBLE /
+            (len(sa) + len(sb) - len(list_intersect(sa, sb))), 6)
+      >= {threshold}
+"""
+
+
+def q_dedup_minhash(spark, sf_dir):
+    from pincette_json_streams_spark.functions.dedup import minhash_lsh_pairs
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, threshold=0.5)
+
+
+def q_dedup_ngram(spark, sf_dir):
+    from pincette_json_streams_spark.functions.dedup import (
+        ngram_jaccard_pairs,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.4)
+
+
+_ORACLE_NGRAM = f"""
+WITH norm AS (
+  SELECT doc_id AS id, string_split({_sql_norm()}, ' ') AS w FROM documents
+), ng AS (
+  SELECT id, list_distinct(
+    [array_to_string(w[i : i + 2], ' ')
+     for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS g
+  FROM norm
+), posting AS (
+  SELECT id, unnest(g) AS gram FROM ng
+), shared AS (
+  SELECT l.id AS id_a, r.id AS id_b, count(*) AS inter
+  FROM posting l JOIN posting r ON l.gram = r.gram AND l.id < r.id
+  GROUP BY 1, 2
+), sizes AS (SELECT id, len(g) AS sz FROM ng)
+SELECT id_a, id_b,
+       round(inter::DOUBLE / (a.sz + b.sz - inter), 6) AS jaccard
+FROM shared JOIN sizes a ON a.id = id_a JOIN sizes b ON b.id = id_b
+WHERE round(inter::DOUBLE / (a.sz + b.sz - inter), 6) >= 0.4
+"""
+
+
+def q_dedup_simhash(spark, sf_dir):
+    from pincette_json_streams_spark.functions.dedup import simhash_pairs
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_pairs(docs, max_hamming=8).select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+def _oracle_simhash(max_hamming=8, bits=60, bands=6):
+    from pincette_json_streams_spark.functions.dedup import _P
+    band_width = bits // bands
+    bit_terms = " + ".join(
+        f"((2 * len(list_filter(h, x -> (x >> {b}) & 1 = 1)) > len(h))"
+        f"::BIGINT << {b})"
+        for b in range(bits)
+    )
+    return f"""
+WITH norm AS (
+  SELECT doc_id AS id,
+         list_distinct(string_split({_sql_norm()}, ' ')) AS w
+  FROM documents
+), hashed AS (
+  SELECT id, list_transform(
+    w, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT % {_P}) AS h
+  FROM norm
+), sig AS (
+  SELECT id, {bit_terms} AS sg FROM hashed
+), banded AS (
+  SELECT id, sg, band,
+         (sg >> (band * {band_width})) & {(1 << band_width) - 1} AS key
+  FROM sig, range({bands}) t(band)
+), cand AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b, l.sg AS sga, r.sg AS sgb
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.key = r.key AND l.id < r.id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sga, sgb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sga, sgb)) <= {max_hamming}
+"""
+
+
+def q_ann_topk(spark, sf_dir):
+    """Brute-force cosine top-k (queries = 5 lowest vec_ids); ranks only
+    for engine-portable hashing."""
+    from pincette_json_streams_spark.functions.similarity import (
+        brute_force_topk,
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    dbl = emb.withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    qs = dbl.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(dbl, qs, k=10).select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "vec_id"
+    )
+
+
+_ORACLE_ANN = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+  WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_dot_product(q.qv, e.embedding::DOUBLE[]) /
+         (sqrt(list_dot_product(q.qv, q.qv)) *
+          sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                e.embedding::DOUBLE[]))) AS cosine
+  FROM embeddings e, q
+), ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, vec_id FROM ranked WHERE rank <= 10
+"""
+
+
+def q_quality_filter(spark, sf_dir):
+    """Composite pipeline: quality + language gate then length stats by
+    source — the canonical pretraining-corpus filter shape."""
+    from pincette_json_streams_spark.functions.text import (
+        lang_id, quality_score,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    kept = docs.withColumn("q", quality_score(F.col("text"))).withColumn(
+        "lg", lang_id(F.col("text"))
+    ).filter((F.col("q") >= 0.8) & (F.col("lg") == "en"))
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+def _oracle_quality_filter():
+    from pincette_json_streams_spark.functions.text import (
+        LANG_MARKERS, STOPWORDS,
+    )
+    stop_list = "[" + ",".join(f"'{s}'" for s in STOPWORDS) + "]"
+    langs = list(LANG_MARKERS)
+    score_defs = ", ".join(
+        "len(list_intersect(words, ["
+        + ",".join(f"'{m}'" for m in LANG_MARKERS[lang]) + f"])) AS s_{lang}"
+        for lang in langs
+    )
+    en_cond = "s_en >= 1 AND s_en >= greatest(" + ", ".join(
+        f"s_{o}" for o in langs[1:]
+    ) + ")"
+    return f"""
+WITH feat AS (
+  SELECT doc_id, text, source, n_chars,
+         string_split_regex(lower(trim(text)), '\\s+') AS words,
+         len(string_split_regex(trim(text), '\\s+')) AS n_words
+  FROM documents
+), scored AS (
+  SELECT doc_id, source, n_chars, {score_defs},
+         round((0.4 * ((n_words >= 10 AND n_words <= 5000
+                AND length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE
+                    / greatest(n_words,1) >= 2
+                AND length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE
+                    / greatest(n_words,1) <= 12)::INT)
+           + 0.3 * least(len(list_distinct(words))::DOUBLE
+                         / greatest(n_words,1) * 2, 1.0)
+           + 0.3 * (len(list_intersect(words, {stop_list})) > 0)::INT)
+          * (1.0 - least(len(regexp_extract_all(text,
+                '[^A-Za-z0-9\\s]'))::DOUBLE / greatest(length(text),1) * 5,
+                1.0)), 6) AS q
+  FROM feat
+)
+SELECT source, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
+FROM scored WHERE q >= 0.8 AND {en_cond}
+GROUP BY source
+"""
+
+
+# ===========================================================================
+# driver contract
+# ===========================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # pipeline language (reference surface)
+        "pricing_summary": q_pricing_summary,
+        "segment_revenue": q_segment_revenue,
+        "match_query_ops": q_match_query_ops,
+        "project_compute": q_project_compute,
+        "switch_let": q_switch_let,
+        "unwind_words": q_unwind_words,
+        "group_accumulators": q_group_accumulators,
+        "bucket_prices": q_bucket_prices,
+        "count_stage": q_count_stage,
+        "dedup_stage": q_dedup_stage,
+        "lookup_array": q_lookup_array,
+        "lookup_pipeline": q_lookup_pipeline,
+        "join_part": q_join_part,
+        "merge_part": q_merge_part,
+        "string_ops": q_string_ops,
+        "datetime_ops": q_datetime_ops,
+        "arith_ops": q_arith_ops,
+        "array_ops": q_array_ops,
+        "type_convert": q_type_convert,
+        "validate": q_validate,
+        "events_funnel": q_events_funnel,
+        # training-data operators
+        "text_stats": q_text_stats,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_ngram": q_dedup_ngram,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_topk": q_ann_topk,
+        "quality_filter": q_quality_filter,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": _ORACLE_PRICING,
+        "segment_revenue": _ORACLE_SEGMENT,
+        "match_query_ops": _ORACLE_MATCH_OPS,
+        "project_compute": _ORACLE_PROJECT,
+        "switch_let": _ORACLE_SWITCH,
+        "unwind_words": _ORACLE_UNWIND,
+        "group_accumulators": _ORACLE_ACCUM,
+        "bucket_prices": _ORACLE_BUCKET,
+        "count_stage": _ORACLE_COUNT,
+        "dedup_stage": _ORACLE_DEDUP_STAGE,
+        "lookup_array": _ORACLE_LOOKUP_ARRAY,
+        "lookup_pipeline": _ORACLE_LOOKUP_PIPE,
+        "join_part": _ORACLE_JOIN_PART,
+        "merge_part": _ORACLE_MERGE_PART,
+        "string_ops": _ORACLE_STRINGS,
+        "datetime_ops": _ORACLE_DATETIME,
+        "arith_ops": _ORACLE_ARITH,
+        "array_ops": _ORACLE_ARRAYS,
+        "type_convert": _ORACLE_CONVERT,
+        "validate": _ORACLE_VALIDATE,
+        "events_funnel": _ORACLE_EVENTS,
+        "text_stats": _oracle_text_stats(),
+        "dedup_exact": _ORACLE_DEDUP_EXACT,
+        "dedup_minhash": _oracle_minhash(),
+        "dedup_ngram": _ORACLE_NGRAM,
+        "dedup_simhash": _oracle_simhash(),
+        "ann_topk": _ORACLE_ANN,
+        "quality_filter": _oracle_quality_filter(),
+    }

@@ -1,0 +1,92 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line with per-query wall times.
+
+Numbers are compared against BASELINE.md (the reference's design-capacity
+envelope — it publishes no benchmarks, SURVEY.md §6), so the headline
+metric is total seconds over the suite plus derived rows/sec.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# the heavier, scale-relevant subset: full-table aggregations, joins,
+# dedup family, ANN, text analysis.  Cheap per-row galleries are covered by
+# the correctness gate; benchmarking them would just measure Spark startup.
+BENCH_QUERIES = [
+    "pricing_summary",
+    "segment_revenue",
+    "lookup_array",
+    "lookup_pipeline",
+    "join_part",
+    "events_funnel",
+    "unwind_words",
+    "group_accumulators",
+    "dedup_stage",
+    "text_stats",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_ngram",
+    "dedup_simhash",
+    "ann_topk",
+    "quality_filter",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("pincette-json-streams-spark-bench")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", "48g")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    times: dict[str, float] = {}
+    total_rows = 0
+    for name in BENCH_QUERIES:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        # count() executes the whole plan without driver-side row transfer
+        n = df.count()
+        times[name] = round(time.time() - t0, 3)
+        total_rows += n
+
+    total = round(sum(times.values()), 3)
+    print(json.dumps({
+        "metric": "suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_queries": len(times),
+        "output_rows": total_rows,
+        "cpus": int(cpus),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -84,22 +84,31 @@ def exact_dedup(
     )
 
 
-def minhash_signature(
-    text: Column, num_hashes: int = 32, k: int = 9
-) -> Column:
-    """MinHash signature (array<bigint>) over char-k-shingles.  Pure Column
-    expression: shingle hashes once, then num_hashes mins — all inside
-    codegen, no shuffle, no UDF."""
-    sh = F.transform(shingles(text, k), _hash_str)
+def _min_under_perms(hashed: Column, num_hashes: int) -> Column:
+    """MinHash signature from a *materialized* hashed-shingle column.
 
+    ``hashed`` must be a plain column reference (not an inline expression):
+    each of the ``num_hashes`` mins references it, and CollapseProject
+    would otherwise duplicate the md5 pipeline per permutation —
+    num_hashes× the scan cost."""
     def perm(a, b):
         return lambda h: (a * h + b) % F.lit(_P)
 
-    sig = [
-        F.array_min(F.transform(sh, perm(a, b)))
+    return F.array(*[
+        F.array_min(F.transform(hashed, perm(a, b)))
         for a, b in _coeffs(num_hashes)
-    ]
-    return F.array(*sig)
+    ])
+
+
+def minhash_signature(
+    text: Column, num_hashes: int = 32, k: int = 9
+) -> Column:
+    """MinHash signature (array<bigint>) over char-k-shingles.  NOTE: for
+    hot paths prefer the two-step used by ``minhash_lsh_pairs`` (hash
+    shingles into a real column first); as a single inline expression the
+    optimizer re-derives the shingle hashes once per permutation."""
+    return _min_under_perms(F.transform(shingles(text, k), _hash_str),
+                            num_hashes)
 
 
 def minhash_lsh_pairs(
@@ -118,10 +127,16 @@ def minhash_lsh_pairs(
     self-join (skew-bounded by bucket size) -> exact verify on candidates.
     """
     rows = num_hashes // bands
-    base = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(F.col(text_col), num_hashes, k).alias("sig"),
-        shingles(F.col(text_col), k).alias("sh"),
+    base = (
+        df.select(
+            F.col(id_col).alias("id"),
+            shingles(F.col(text_col), k).alias("sh"),
+        )
+        # separate projections: shingle once, md5 once, then 32 cheap
+        # (a*h+b)%p passes — not 32 md5 pipelines (see _min_under_perms)
+        .withColumn("h", F.transform("sh", _hash_str))
+        .withColumn("sig", _min_under_perms(F.col("h"), num_hashes))
+        .drop("h")
     )
     banded = base.select(
         "id", "sig", "sh",

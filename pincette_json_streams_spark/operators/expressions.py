@@ -138,14 +138,17 @@ def _array_to_object(args, ctx):
 
 
 def _elem_match(args, ctx):
-    # extension (docs/aggregation_operators.md:195): first array element
-    # matching a *query*; lazy import to avoid a cycle with match.py.
-    from pincette_json_streams_spark.operators.match import compile_query
+    # extension (docs/aggregation_operators.md:195-207): first array element
+    # matching a value-level query like {$gt: 1}; lazy import to avoid a
+    # cycle with match.py.
+    from pincette_json_streams_spark.operators.match import (
+        compile_value_query,
+    )
 
     arr_e, query = args
     arr = compile_expr(arr_e, ctx)
     matched = F.filter(
-        arr, lambda e: compile_query(query, ctx.rebased(e))
+        arr, lambda e: compile_value_query(query, e, ctx)
     )
     return F.element_at(matched, 1)
 
@@ -174,7 +177,12 @@ def _map(args, ctx):
 
 def _reduce(args, ctx):
     arr = compile_expr(args["input"], ctx)
-    init = compile_expr(args["initialValue"], ctx)
+    init_v = args["initialValue"]
+    init = compile_expr(init_v, ctx)
+    if isinstance(init_v, int) and not isinstance(init_v, bool):
+        # the accumulator type is fixed by the zero value and integer
+        # arithmetic widens to bigint — start wide so `merge` type-checks
+        init = init.cast("bigint")
     return F.aggregate(
         arr,
         init,
@@ -203,14 +211,45 @@ def _is_array(args, ctx):
 
 
 def _object_to_array(args, ctx):
-    col = _nary(args, ctx, 1)[0]
-    # maps only; struct inputs are expanded at the stage layer where the
-    # schema is known.
+    arg = args[0] if isinstance(args, list) and len(args) == 1 else args
+    if isinstance(arg, dict) and not any(k.startswith("$") for k in arg):
+        # document literal: expand at compile time
+        return F.array(*[
+            F.struct(F.lit(k).alias("k"), compile_expr(v, ctx).alias("v"))
+            for k, v in arg.items()
+        ])
+    if isinstance(arg, str) and arg.startswith("$") and \
+            not arg.startswith("$$"):
+        fields = _struct_fields(arg[1:], ctx)
+        if fields is not None:
+            col = compile_expr(arg, ctx)
+            return F.array(*[
+                F.struct(F.lit(f).alias("k"),
+                         col.getField(f).cast("string").alias("v"))
+                for f in fields
+            ])
+    col = compile_expr(arg, ctx)
+    # map-typed values
     return F.transform(
         F.map_entries(col),
         lambda e: F.struct(e.getField("key").alias("k"),
                            e.getField("value").alias("v")),
     )
+
+
+def _struct_fields(path: str, ctx: Ctx) -> list[str] | None:
+    """Field names of a struct column resolved from the DataFrame schema
+    (None when the path is not a struct or no schema is available)."""
+    if ctx.df is None:
+        return None
+    from pyspark.sql.types import StructType
+
+    t = ctx.df.schema
+    for seg in path.split("."):
+        if not isinstance(t, StructType) or seg not in t.fieldNames():
+            return None
+        t = t[seg].dataType
+    return t.fieldNames() if isinstance(t, StructType) else None
 
 
 def _range(args, ctx):
@@ -360,26 +399,35 @@ def _switch(args, ctx):
 # --------------------------------------------------------------------------
 
 _ISO_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
+_ISO_FMT_S = "yyyy-MM-dd'T'HH:mm:ss'Z'"
 
 
 def _as_ts(col: Column) -> Column:
     return col.cast("timestamp")
 
 
+def _iso_instant(ts: Column) -> Column:
+    # java.time.Instant.toString() omits fractional seconds when zero —
+    # the reference's wire format for ISO timestamps.
+    return F.when(
+        F.unix_millis(ts) % 1000 == 0, F.date_format(ts, _ISO_FMT_S)
+    ).otherwise(F.date_format(ts, _ISO_FMT))
+
+
 def _from_epoch_millis(args, ctx):
     (x,) = _nary(args, ctx, 1)
-    return F.date_format(F.timestamp_millis(x.cast("long")), _ISO_FMT)
+    return _iso_instant(F.timestamp_millis(x.cast("long")))
 
 
 def _from_epoch_seconds(args, ctx):
     (x,) = _nary(args, ctx, 1)
-    return F.date_format(F.timestamp_seconds(x.cast("long")), _ISO_FMT)
+    return _iso_instant(F.timestamp_seconds(x.cast("long")))
 
 
 def _from_epoch_nanos(args, ctx):
     (x,) = _nary(args, ctx, 1)
-    return F.date_format(
-        F.timestamp_micros((x.cast("long") / 1000).cast("long")), _ISO_FMT
+    return _iso_instant(
+        F.timestamp_micros((x.cast("long") / 1000).cast("long"))
     )
 
 
@@ -562,15 +610,27 @@ def _type(args, ctx):
 # --------------------------------------------------------------------------
 
 def _merge_objects_expr(args, ctx):
-    # Full dynamic-schema merge needs the stage layer (schema known there).
-    # Here: compile-time merge of document literals, or map_concat for maps.
+    # Schema-aware struct merge: later documents' fields override earlier
+    # ones (docs/aggregation_operators.md:631).  Each arg must be a document
+    # literal or a struct-typed field reference resolvable in the schema;
+    # map-typed args fall back to map_concat.
     exprs = args if isinstance(args, list) else [args]
-    if all(isinstance(e, dict) and not any(k.startswith("$") for k in e)
-           for e in exprs):
-        merged: dict = {}
-        for e in exprs:
-            merged.update(e)
-        return compile_expr(merged, ctx)
+    merged: dict[str, Column] | None = {}
+    for e in exprs:
+        if isinstance(e, dict) and not any(k.startswith("$") for k in e):
+            for k, v in e.items():
+                merged[k] = compile_expr(v, ctx)
+        elif isinstance(e, str) and e.startswith("$") and \
+                not e.startswith("$$") and \
+                _struct_fields(e[1:], ctx) is not None:
+            col = compile_expr(e, ctx)
+            for f in _struct_fields(e[1:], ctx):
+                merged[f] = col.getField(f)
+        else:
+            merged = None
+            break
+    if merged is not None:
+        return F.struct(*[c.alias(k) for k, c in merged.items()])
     cols = [compile_expr(e, ctx) for e in exprs]
     return F.map_concat(*cols)
 
@@ -611,9 +671,18 @@ _name_uuid_udf = F.udf(_name_uuid_py, StringType())
 
 
 def _jes_name_uuid(args, ctx):
-    # RFC-4122 name-based (v5) UUID (docs/aggregation_operators.md:1289)
-    (x,) = _nary(args, ctx, 1)
-    return _name_uuid_udf(F.lit(""), x.cast("string"))
+    # RFC-4122 name-based (v5) UUID; spec form {scope, key}
+    # (docs/aggregation_operators.md:1289-1305); a bare expression is also
+    # accepted for convenience.
+    if isinstance(args, dict) and "scope" in args:
+        name = F.concat_ws(
+            ":", compile_expr(args["scope"], ctx).cast("string"),
+            compile_expr(args["key"], ctx).cast("string"),
+        )
+    else:
+        (name,) = _nary(args, ctx, 1)
+        name = name.cast("string")
+    return _name_uuid_udf(F.lit(""), name)
 
 
 def _jes_uuid(args, ctx):
@@ -621,45 +690,55 @@ def _jes_uuid(args, ctx):
 
 
 def _jes_href(args, ctx):
-    cols = _nary(args, ctx)
+    # {app, type, id?} -> "/app/type[/id]" (docs/aggregation_operators.md:
+    # 1270-1287)
+    if isinstance(args, dict):
+        cols = [compile_expr(args["app"], ctx).cast("string"),
+                compile_expr(args["type"], ctx).cast("string")]
+        if "id" in args:
+            cols.append(compile_expr(args["id"], ctx).cast("string"))
+    else:
+        cols = [c.cast("string") for c in _nary(args, ctx)]
     return F.concat(F.lit("/"), F.concat_ws("/", *cols))
 
 
 def _ops_predicate(op_names: tuple[str, ...]):
-    """Predicates over the RFC-6902 `_ops` patch array of a full event
-    (docs/aggregation_operators.md:1235-1321)."""
+    """Predicates over the RFC-6902 `_ops` patch array of an event; the
+    argument is an expression yielding a JSON pointer
+    (docs/aggregation_operators.md:1235-1260)."""
     def h(args, ctx):
-        (path,) = _nary(args, ctx, 1)
+        (ptr,) = _nary(args, ctx, 1)
         ops = ctx.field("_ops")
-        ptr = F.concat(F.lit("/"),
-                       F.replace(path.cast("string"), F.lit("."), F.lit("/")))
         return F.exists(
             ops,
             lambda o: o.getField("op").isin(*op_names)
-            & (o.getField("path") == ptr),
+            & (o.getField("path") == ptr.cast("string")),
         )
     return h
 
 
 def _jes_changed(args, ctx):
-    if isinstance(args, dict) and "from" in args:
-        # {field, from, to}: needs _before/_after of a full event
-        field = args["field"] if "field" in args else args.get("path")
-        before = ctx.field("_before")
-        after = ctx.field("_after")
-        cond = F.lit(True)
+    if isinstance(args, dict) and "pointer" in args:
+        # {pointer, from?, to?}: from/to need the full event's
+        # _before/_after (docs/aggregation_operators.md:1251-1268)
+        pointer = args["pointer"]
+        changed = _ops_predicate(("replace", "add", "remove"))(
+            pointer, ctx
+        )
+        if "from" not in args and "to" not in args:
+            return changed
+        segs = [s for s in str(pointer).split("/") if s]
+        cond = changed
         if "from" in args:
-            fr = compile_expr(args["from"], ctx)
-            b = before
-            for seg in field.split("."):
+            b = ctx.field("_before")
+            for seg in segs:
                 b = b.getField(seg)
-            cond = cond & (b == fr)
+            cond = cond & (b == compile_expr(args["from"], ctx))
         if "to" in args:
-            to = compile_expr(args["to"], ctx)
-            a = after
-            for seg in field.split("."):
+            a = ctx.field("_after")
+            for seg in segs:
                 a = a.getField(seg)
-            cond = cond & (a == to)
+            cond = cond & (a == compile_expr(args["to"], ctx))
         return cond
     return _ops_predicate(("replace", "add", "remove"))(args, ctx)
 
@@ -684,7 +763,7 @@ OPERATORS: dict[str, Callable[[Any, Ctx], Column]] = {
     "$exp": _simple(F.exp),
     "$floor": _simple(F.floor),
     "$ln": _simple(F.log),
-    "$log": lambda a, c: F.log(_nary(a, c, 2)[1], _nary(a, c, 2)[0]),
+    "$log": lambda a, c: (lambda x, b: F.ln(x) / F.ln(b))(*_nary(a, c, 2)),
     "$log10": _simple(F.log10),
     "$mod": _binop(lambda a, b: a % b),
     "$multiply": _multiply,
@@ -777,7 +856,9 @@ OPERATORS: dict[str, Callable[[Any, Ctx], Column]] = {
     "$toUpper": _simple(F.upper),
     "$trim": _trim_like("b"),
     "$uriDecode": _simple(F.url_decode),
-    "$uriEncode": _simple(F.url_encode),
+    # url_encode is form-encoding (space -> '+'); URIs want percent-encoding
+    "$uriEncode": _simple(lambda x: F.replace(
+        F.url_encode(x), F.lit("+"), F.lit("%20"))),
     # trigonometry
     "$acos": _simple(F.acos), "$acosh": _simple(F.acosh),
     "$asin": _simple(F.asin), "$asinh": _simple(F.asinh),

@@ -26,7 +26,7 @@ from pincette_json_streams_spark.operators.expressions import (
     compile_expr,
 )
 
-__all__ = ["compile_query"]
+__all__ = ["compile_query", "compile_value_query"]
 
 _TOP_OPS = ("$and", "$or", "$nor", "$expr", "$comment")
 
@@ -53,6 +53,54 @@ def compile_query(query: dict, ctx: Ctx) -> Column:
     if not conds:
         return F.lit(True)
     return _fold_and(conds)
+
+
+def compile_value_query(query: Any, col: Column, ctx: Ctx) -> Column:
+    """Apply a value-level query ({$gt: 1}, {$in: [...]}, a literal, or a
+    nested {field: cond} document matched against struct fields) directly
+    to ``col`` — used by the $elemMatch forms
+    (docs/aggregation_operators.md:195-207, docs/query.md:212)."""
+    if not isinstance(query, dict):
+        return col.eqNullSafe(F.lit(query))
+    conds: list[Column] = []
+    for op, arg in query.items():
+        if op.startswith("$"):
+            conds.append(_value_op(col, op, arg, ctx))
+        else:
+            sub = col
+            for seg in op.split("."):
+                sub = sub.getField(seg)
+            conds.append(compile_value_query(arg, sub, ctx))
+    return _fold_and(conds) if conds else F.lit(True)
+
+
+def _value_op(col: Column, op: str, arg: Any, ctx: Ctx) -> Column:
+    if op == "$eq":
+        return col.eqNullSafe(F.lit(arg))
+    if op == "$ne":
+        return ~col.eqNullSafe(F.lit(arg))
+    if op == "$gt":
+        return col > F.lit(arg)
+    if op == "$gte":
+        return col >= F.lit(arg)
+    if op == "$lt":
+        return col < F.lit(arg)
+    if op == "$lte":
+        return col <= F.lit(arg)
+    if op == "$in":
+        return col.isin(*arg)
+    if op == "$nin":
+        return ~F.coalesce(col.isin(*arg), F.lit(False))
+    if op == "$regex":
+        return col.rlike(_regex_pattern(arg))
+    if op == "$mod":
+        divisor, remainder = arg
+        return col % F.lit(divisor) == F.lit(remainder)
+    if op == "$exists":
+        return col.isNotNull() if arg else col.isNull()
+    if op == "$not":
+        return ~F.coalesce(compile_value_query(arg, col, ctx), F.lit(False))
+    raise UnsupportedExpression(f"unknown value-query operator {op}")
 
 
 def _field_condition(path: str, value: Any, ctx: Ctx) -> Column:
@@ -113,7 +161,7 @@ def _field_op(path: str, op: str, arg: Any, ctx: Ctx) -> Column:
     if op == "$all":
         return _fold_and([F.array_contains(col, v) for v in arg])
     if op == "$elemMatch":
-        return F.exists(col, lambda e: compile_query(arg, ctx.rebased(e)))
+        return F.exists(col, lambda e: compile_value_query(arg, e, ctx))
     if op == "$type":
         from pincette_json_streams_spark.operators.expressions import OPERATORS
         return OPERATORS["$type"]([f"${path}"], ctx) == F.lit(arg)

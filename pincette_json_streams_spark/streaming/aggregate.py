@@ -101,10 +101,10 @@ def reduce_commands(
         if new is None:
             new = dict(cur)
 
+        _meta = ("_seq", "_timestamp", "_type", "_corr", "_jwt")
         before = {k: v for k, v in cur.items() if k != "_timestamp"}
-        after_cmp = {k: v for k, v in new.items()
-                     if k not in ("_seq", "_timestamp")}
-        before_cmp = {k: v for k, v in before.items() if k != "_seq"}
+        after_cmp = {k: v for k, v in new.items() if k not in _meta}
+        before_cmp = {k: v for k, v in before.items() if k not in _meta}
         if after_cmp == before_cmp:
             # unchanged -> only a reply with the current state
             out.append({"purpose": "reply", "doc": cur or cmd})

@@ -1,0 +1,293 @@
+"""Expression-operator compiler tests (SURVEY.md §2.6;
+reference spec /root/reference/docs/aggregation_operators.md)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pincette_json_streams_spark.operators.context import ctx_for
+from pincette_json_streams_spark.operators.expressions import compile_expr
+
+
+def ev(df, expr, n=1):
+    """Evaluate one Mongo expression over df, return first n values."""
+    col = compile_expr(expr, ctx_for(df))
+    vals = [r[0] for r in df.select(col.alias("v")).collect()]
+    return vals[0] if n == 1 else vals[:n]
+
+
+def one(spark, **cols):
+    return spark.createDataFrame([tuple(cols.values())],
+                                 list(cols.keys()))
+
+
+class TestArithmetic:
+    def test_basics(self, spark):
+        df = one(spark, a=7.0, b=2.0)
+        assert ev(df, {"$add": ["$a", "$b", 1]}) == 10.0
+        assert ev(df, {"$subtract": ["$a", "$b"]}) == 5.0
+        assert ev(df, {"$multiply": ["$a", "$b"]}) == 14.0
+        assert ev(df, {"$divide": ["$a", "$b"]}) == 3.5
+        assert ev(df, {"$mod": [7, 2]}) == 1
+        assert ev(df, {"$abs": -3}) == 3
+        assert ev(df, {"$pow": [2, 10]}) == 1024.0
+        assert ev(df, {"$sqrt": 16}) == 4.0
+
+    def test_rounding(self, spark):
+        df = one(spark, x=2.567)
+        assert ev(df, {"$round": ["$x", 2]}) == 2.57
+        assert ev(df, {"$trunc": ["$x", 2]}) == 2.56
+        assert ev(df, {"$ceil": "$x"}) == 3.0
+        assert ev(df, {"$floor": "$x"}) == 2.0
+
+    def test_logs(self, spark):
+        import math
+        df = one(spark, x=100.0)
+        assert ev(df, {"$log10": "$x"}) == pytest.approx(2.0)
+        assert ev(df, {"$ln": "$x"}) == pytest.approx(math.log(100))
+        assert ev(df, {"$log": ["$x", 10]}) == pytest.approx(2.0)
+        assert ev(df, {"$exp": 0}) == 1.0
+
+
+class TestStrings:
+    def test_concat_case(self, spark):
+        df = one(spark, s="Hello", t="World")
+        assert ev(df, {"$concat": ["$s", " ", "$t"]}) == "Hello World"
+        assert ev(df, {"$toUpper": "$s"}) == "HELLO"
+        assert ev(df, {"$toLower": "$s"}) == "hello"
+        assert ev(df, {"$strLenCP": "$s"}) == 5
+
+    def test_substr_index(self, spark):
+        df = one(spark, s="abcdef")
+        assert ev(df, {"$substrCP": ["$s", 1, 3]}) == "bcd"
+        assert ev(df, {"$indexOfCP": ["$s", "cd"]}) == 2
+        assert ev(df, {"$indexOfCP": ["$s", "zz"]}) == -1
+
+    def test_split_trim_replace(self, spark):
+        df = one(spark, s="  a,b,c  ")
+        assert ev(df, {"$split": [{"$trim": {"input": "$s"}}, ","]}) == \
+            ["a", "b", "c"]
+        assert ev(df, {"$ltrim": {"input": "$s"}}) == "a,b,c  "
+        assert ev(df, {"$rtrim": {"input": "$s"}}) == "  a,b,c"
+        assert ev(df, {"$replaceAll": {"input": "aXbXc", "find": "X",
+                                       "replacement": "-"}}) == "a-b-c"
+        assert ev(df, {"$replaceOne": {"input": "aXbXc", "find": "X",
+                                       "replacement": "-"}}) == "a-bXc"
+
+    def test_regex(self, spark):
+        df = one(spark, s="order-123-x")
+        assert ev(df, {"$regexMatch": {"input": "$s",
+                                       "regex": "\\d+"}}) is True
+        found = ev(df, {"$regexFind": {"input": "$s", "regex": "\\d+"}})
+        assert found["match"] == "123"
+        assert ev(df, {"$regexFindAll": {"input": "a1b22",
+                                         "regex": "\\d+"}}) == ["1", "22"]
+
+    def test_base64_uri(self, spark):
+        df = one(spark, s="hi there/x")
+        assert ev(df, {"$base64Decode":
+                       {"$base64Encode": "$s"}}) == "hi there/x"
+        assert ev(df, {"$uriEncode": "$s"}) == "hi%20there%2Fx"
+        assert ev(df, {"$uriDecode": {"$uriEncode": "$s"}}) == "hi there/x"
+
+    def test_strcasecmp(self, spark):
+        df = one(spark, a="ABC", b="abd")
+        assert ev(df, {"$strcasecmp": ["$a", "$b"]}) == -1
+        assert ev(df, {"$strcasecmp": ["$a", "abc"]}) == 0
+
+
+class TestArrays:
+    def test_core(self, spark, people):
+        df = people.filter("_id = 'p1'")
+        assert ev(df, {"$size": "$tags"}) == 2
+        assert ev(df, {"$arrayElemAt": ["$tags", 0]}) == "red"
+        assert ev(df, {"$arrayElemAt": ["$tags", -1]}) == "blue"
+        assert ev(df, {"$first": "$tags"}) == "red"
+        assert ev(df, {"$last": "$tags"}) == "blue"
+        assert ev(df, {"$in": ["red", "$tags"]}) is True
+        assert ev(df, {"$indexOfArray": ["$tags", "blue"]}) == 1
+        assert ev(df, {"$isArray": "$tags"}) is True
+        assert ev(df, {"$isArray": "$name"}) is False
+        assert ev(df, {"$reverseArray": "$tags"}) == ["blue", "red"]
+        assert ev(df, {"$slice": ["$tags", 1]}) == ["red"]
+        assert ev(df, {"$concatArrays": ["$tags", ["x"]]}) == \
+            ["red", "blue", "x"]
+
+    def test_lambda_ops(self, spark):
+        df = one(spark, a=[1, 2, 3, 4])
+        assert ev(df, {"$filter": {"input": "$a", "as": "x",
+                                   "cond": {"$gt": ["$$x", 2]}}}) == [3, 4]
+        assert ev(df, {"$map": {"input": "$a", "as": "x",
+                                "in": {"$multiply": ["$$x", 10]}}}) == \
+            [10, 20, 30, 40]
+        assert ev(df, {"$reduce": {"input": "$a", "initialValue": 0,
+                                   "in": {"$add":
+                                          ["$$value", "$$this"]}}}) == 10
+
+    def test_range_zip(self, spark):
+        df = one(spark, n=3)
+        assert ev(df, {"$range": [0, 6, 2]}) == [0, 2, 4]
+        z = ev(df, {"$zip": {"inputs": [[1, 2], [3, 4]]}})
+        assert [list(t) for t in z] == [[1, 3], [2, 4]]
+
+    def test_elem_match(self, spark):
+        df = one(spark, a=[1, 5, 9])
+        assert ev(df, {"$elemMatch": ["$a", {"$gt": 4}]}) == 5
+
+    def test_set_ops(self, spark):
+        df = one(spark, a=[1, 2, 2, 3], b=[2, 3, 4])
+        assert sorted(ev(df, {"$setUnion": ["$a", "$b"]})) == [1, 2, 3, 4]
+        assert sorted(ev(df, {"$setIntersection": ["$a", "$b"]})) == [2, 3]
+        assert ev(df, {"$setDifference": ["$a", "$b"]}) == [1]
+        assert ev(df, {"$setIsSubset": [[2, 3], "$a"]}) is True
+        assert ev(df, {"$setEquals": [[3, 2, 1], [1, 2, 3]]}) is True
+        assert ev(df, {"$allElementsTrue": [[True, True]]}) is True
+        assert ev(df, {"$allElementsTrue": [[True, False]]}) is False
+        assert ev(df, {"$anyElementTrue": [[False, True]]}) is True
+
+    def test_object_array_conversion(self, spark):
+        df = one(spark, x=1)
+        arr = ev(df, {"$objectToArray": {"a": 1, "b": 2}})
+        assert [(e["k"], e["v"]) for e in arr] == [("a", 1), ("b", 2)]
+        obj = ev(df, {"$arrayToObject": [[{"k": "a", "v": 10}]]})
+        assert obj["a"] == 10
+
+    def test_sort_ext(self, spark):
+        # $sort expression operator (extension: sorts an array value,
+        # docs/aggregation_operators.md:1204)
+        df = one(spark, a=[3, 1, 2])
+        assert ev(df, {"$sort": {"input": "$a"}}) == [1, 2, 3]
+        assert ev(df, {"$sort": {"input": "$a",
+                                 "direction": "desc"}}) == [3, 2, 1]
+
+
+class TestConditionals:
+    def test_cond_ifnull_switch(self, spark):
+        df = spark.createDataFrame([(5, None)], "a int, b string")
+        assert ev(df, {"$cond": [{"$gt": ["$a", 3]}, "big", "small"]}) == \
+            "big"
+        assert ev(df, {"$cond": {"if": {"$lt": ["$a", 3]},
+                                 "then": "y", "else": "n"}}) == "n"
+        assert ev(df, {"$ifNull": ["$b", "dflt"]}) == "dflt"
+        assert ev(df, {"$switch": {
+            "branches": [{"case": {"$eq": ["$a", 1]}, "then": "one"},
+                         {"case": {"$eq": ["$a", 5]}, "then": "five"}],
+            "default": "other"}}) == "five"
+
+    def test_comparison(self, spark):
+        df = one(spark, a=2, b=3)
+        assert ev(df, {"$cmp": ["$a", "$b"]}) == -1
+        assert ev(df, {"$cmp": ["$b", "$a"]}) == 1
+        assert ev(df, {"$cmp": ["$a", "$a"]}) == 0
+        assert ev(df, {"$eq": ["$a", 2]}) is True
+        assert ev(df, {"$ne": ["$a", 2]}) is False
+        assert ev(df, {"$and": [{"$gt": ["$b", "$a"]}, True]}) is True
+        assert ev(df, {"$or": [False, {"$gte": ["$a", 2]}]}) is True
+        assert ev(df, {"$not": [{"$lt": ["$a", 1]}]}) is True
+
+
+class TestLetAndVariables:
+    def test_let(self, spark):
+        df = one(spark, price=100.0)
+        assert ev(df, {"$let": {
+            "vars": {"disc": 0.1},
+            "in": {"$multiply": ["$price",
+                                 {"$subtract": [1, "$$disc"]}]}}}) == 90.0
+
+    def test_nested_let(self, spark):
+        df = one(spark, x=1)
+        assert ev(df, {"$let": {
+            "vars": {"a": 2},
+            "in": {"$let": {"vars": {"b": {"$add": ["$$a", 3]}},
+                            "in": {"$add": ["$$a", "$$b"]}}}}}) == 7
+
+    def test_literal(self, spark):
+        df = one(spark, x=1)
+        assert ev(df, {"$literal": "$x"}) == "$x"
+        assert ev(df, {"$literal": {"a": 1}})["a"] == 1
+
+
+class TestDates:
+    def test_iso8601_family(self, spark):
+        # reference extension ops (docs/aggregation_operators.md:514-614)
+        df = one(spark, ts="2024-03-15T12:30:45Z")
+        assert ev(df, {"$toYear": "$ts"}) == 2024
+        assert ev(df, {"$toMonth": "$ts"}) == 3
+        assert ev(df, {"$toDay": "$ts"}) == 15
+        millis = ev(df, {"$toEpochMillis": "$ts"})
+        assert millis == 1710505845000
+        assert ev(df, {"$toEpochSeconds": "$ts"}) == 1710505845
+        assert ev(df, {"$fromEpochMillis": millis}) == \
+            "2024-03-15T12:30:45Z"
+        assert ev(df, {"$fromEpochSeconds": 1710505845}) == \
+            "2024-03-15T12:30:45Z"
+        assert ev(df, {"$toDate": "$ts"}).year == 2024
+
+
+class TestTypes:
+    def test_conversions(self, spark):
+        df = one(spark, s="42", d=3.99)
+        assert ev(df, {"$toInt": "$s"}) == 42
+        assert ev(df, {"$toInt": "$d"}) == 3  # truncation, not rounding
+        assert ev(df, {"$toLong": "$d"}) == 3
+        assert ev(df, {"$toDouble": "$s"}) == 42.0
+        assert ev(df, {"$toString": 42}) == "42"
+        assert ev(df, {"$toBool": 1}) is True
+        assert ev(df, {"$convert": {"input": "$s", "to": "int"}}) == 42
+
+    def test_type_of(self, spark):
+        df = one(spark, s="x", n=1.5, a=[1])
+        assert ev(df, {"$type": "$s"}) == "string"
+        assert ev(df, {"$type": "$n"}) == "double"
+        assert ev(df, {"$type": "$a"}) == "array"
+
+
+class TestObjects:
+    def test_merge_objects(self, spark, people):
+        df = people.filter("_id='p1'")
+        m = ev(df, {"$mergeObjects": ["$address", {"country": "BE"}]})
+        assert m["city"] == "Ghent" and m["country"] == "BE"
+
+
+class TestTrig:
+    def test_trig(self, spark):
+        import math
+        df = one(spark, x=0.5)
+        assert ev(df, {"$sin": "$x"}) == pytest.approx(math.sin(0.5))
+        assert ev(df, {"$atan2": [1, 1]}) == pytest.approx(math.pi / 4)
+        assert ev(df, {"$degreesToRadians": 180}) == pytest.approx(math.pi)
+        assert ev(df, {"$radiansToDegrees": math.pi}) == pytest.approx(180)
+
+
+class TestJsonStringOps:
+    def test_json_roundtrip(self, spark):
+        df = one(spark, x=1)
+        s = ev(df, {"$jsonToString": {"a": 1, "b": "x"}})
+        assert '"a":1' in s.replace(" ", "")
+
+
+class TestJesOps:
+    def test_uuid_ops(self, spark):
+        import uuid as uuid_mod
+        df = one(spark, x="hello")
+        u = ev(df, {"$jes-uuid": None})
+        uuid_mod.UUID(u)  # parses
+        nu = ev(df, {"$jes-name-uuid": {"scope": "ent", "key": "$x"}})
+        assert nu == str(uuid_mod.uuid5(uuid_mod.NAMESPACE_URL,
+                                        "ent:hello"))
+
+    def test_href(self, spark):
+        df = one(spark, x=1)
+        assert ev(df, {"$jes-href": {"app": "myapp", "type": "order",
+                                     "id": "42"}}) == "/myapp/order/42"
+        assert ev(df, {"$jes-href": {"app": "myapp",
+                                     "type": "order"}}) == "/myapp/order"
+
+    def test_ops_predicates(self, spark):
+        df = spark.createDataFrame(
+            [([{"op": "add", "path": "/a"},
+               {"op": "remove", "path": "/b"}],)],
+            "_ops array<struct<op:string, path:string>>")
+        assert ev(df, {"$jes-added": "/a"}) is True
+        assert ev(df, {"$jes-added": "/b"}) is False
+        assert ev(df, {"$jes-removed": "/b"}) is True
+        assert ev(df, {"$jes-changed": "/a"}) is True

@@ -1,0 +1,165 @@
+"""Training-data operator tests: dedup / similarity / text / multimodal
+(the plus-scope of SURVEY.md §2 — these run over the driver's documents
+and embeddings tables)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog", "web"),
+            (1, "The quick brown fox jumps over the lazy dog", "web"),
+            (2, "the quick brown fox jumps over a lazy cat", "web"),
+            (3, "completely different text about spark engines and "
+                "distributed processing of large data", "book"),
+            (4, "", "web"),
+        ],
+        "doc_id long, text string, source string",
+    )
+
+
+class TestText:
+    def test_token_counts(self, docs):
+        from pincette_json_streams_spark.functions.text import (
+            bpe_token_count, ws_token_count,
+        )
+        out = {
+            r["doc_id"]: (r["ws"], r["bpe"])
+            for r in docs.select(
+                "doc_id",
+                ws_token_count(F.col("text")).alias("ws"),
+                bpe_token_count(F.col("text")).alias("bpe"),
+            ).collect()
+        }
+        assert out[0][0] == 9
+        assert out[4][0] == 0
+        assert out[0][1] >= 9
+
+    def test_quality_and_lang(self, docs):
+        from pincette_json_streams_spark.functions.text import (
+            lang_id, quality_score,
+        )
+        out = {
+            r["doc_id"]: (r["q"], r["lang"])
+            for r in docs.select(
+                "doc_id",
+                quality_score(F.col("text")).alias("q"),
+                lang_id(F.col("text")).alias("lang"),
+            ).collect()
+        }
+        assert out[3][1] == "en"
+        assert 0.0 <= out[4][0] <= out[3][0] <= 1.0
+
+    def test_fingerprint_normalizes(self, spark):
+        from pincette_json_streams_spark.functions.text import fingerprint
+        df = spark.createDataFrame(
+            [("a", "Hello  World"), ("b", "hello world"), ("c", "bye")],
+            "id string, text string",
+        )
+        out = {r["id"]: r["fp"] for r in df.select(
+            "id", fingerprint(F.col("text")).alias("fp")).collect()}
+        assert out["a"] == out["b"] != out["c"]
+
+
+class TestDedup:
+    def test_exact(self, spark):
+        from pincette_json_streams_spark.functions.dedup import exact_dedup
+        df = spark.createDataFrame(
+            [(1, "same text"), (2, "Same  TEXT"), (3, "other")],
+            "doc_id long, text string",
+        )
+        out = exact_dedup(df).collect()
+        counts = sorted(r["dup_count"] for r in out)
+        assert counts == [1, 2]
+
+    def test_minhash_finds_near_dups(self, docs):
+        from pincette_json_streams_spark.functions.dedup import (
+            minhash_lsh_pairs,
+        )
+        pairs = {(r["id_a"], r["id_b"])
+                 for r in minhash_lsh_pairs(docs, threshold=0.5).collect()}
+        assert (0, 1) in pairs  # case-only difference
+        assert all(3 not in p for p in pairs)
+
+    def test_ngram_jaccard(self, docs):
+        from pincette_json_streams_spark.functions.dedup import (
+            ngram_jaccard_pairs,
+        )
+        got = {(r["id_a"], r["id_b"]): r["jaccard"]
+               for r in ngram_jaccard_pairs(docs, n=3,
+                                            threshold=0.3).collect()}
+        assert got[(0, 1)] == pytest.approx(1.0)
+        assert (0, 2) in got
+
+    def test_simhash(self, docs):
+        from pincette_json_streams_spark.functions.dedup import simhash_pairs
+        pairs = {(r["id_a"], r["id_b"])
+                 for r in simhash_pairs(docs, max_hamming=8).collect()}
+        assert (0, 1) in pairs
+
+
+class TestSimilarity:
+    def test_brute_force_topk(self, spark):
+        from pincette_json_streams_spark.functions.similarity import (
+            brute_force_topk,
+        )
+        vecs = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0])],
+            "vec_id long, embedding array<double>",
+        )
+        qs = vecs.filter("vec_id = 0").select(
+            F.col("vec_id").alias("query_id"), "embedding")
+        out = brute_force_topk(vecs, qs, k=2).collect()
+        ranked = sorted((r["rank"], r["vec_id"]) for r in out)
+        assert ranked == [(1, 0), (2, 1)]  # self first, near second
+
+    def test_embedding_pairs(self, spark):
+        from pincette_json_streams_spark.functions.dedup import (
+            embedding_pairs,
+        )
+        vecs = spark.createDataFrame(
+            [(0, [1.0, 0.0, 0.0]), (1, [0.99, 0.01, 0.0]),
+             (2, [0.0, 1.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+        pairs = {(r["id_a"], r["id_b"])
+                 for r in embedding_pairs(vecs, threshold=0.95).collect()}
+        assert (0, 1) in pairs
+        assert (0, 2) not in pairs
+
+
+class TestMultimodal:
+    def test_metadata_and_decode_stub(self, spark):
+        from pincette_json_streams_spark.functions.multimodal import (
+            attach_media_metadata, decode_features,
+        )
+        assets = spark.createDataFrame(
+            [("a1", "image/png", bytearray(b"\x89PNG fake")),
+             ("a2", "audio/wav", bytearray(b"RIFF fake"))],
+            "asset_id string, media_type string, media binary",
+        )
+        meta = attach_media_metadata(assets).collect()
+        assert all(r["media_bytes"] > 0 and len(r["media_sha"]) == 64
+                   for r in meta)
+        out = decode_features(assets).collect()
+        assert all(len(r["features"]) == 8 for r in out)
+        # deterministic: same bytes -> same features
+        again = decode_features(assets).collect()
+        assert [r["features"] for r in out] == \
+            [r["features"] for r in again]
+
+    def test_sample_frames(self, spark):
+        from pincette_json_streams_spark.functions.multimodal import (
+            sample_frames,
+        )
+        assets = spark.createDataFrame(
+            [("v1", "video/mp4", bytearray(b"fake video bytes"))],
+            "asset_id string, media_type string, media binary",
+        )
+        out = sample_frames(assets).collect()
+        frames = out[0]["frames"]
+        assert [f["idx"] for f in frames] == [0, 1, 2, 3]
+        assert all(f["frame"] for f in frames)

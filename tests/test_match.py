@@ -1,0 +1,118 @@
+"""Query-language compiler tests (SURVEY.md §2.7;
+reference spec /root/reference/docs/query.md)."""
+
+from pincette_json_streams_spark.operators.context import ctx_for
+from pincette_json_streams_spark.operators.match import compile_query
+
+
+def ids(df, query):
+    col = compile_query(query, ctx_for(df))
+    return sorted(r["_id"] for r in df.filter(col).select("_id").collect())
+
+
+class TestComparison:
+    def test_implicit_eq(self, people):
+        assert ids(people, {"name": "Alice"}) == ["p1"]
+        assert ids(people, {"age": 28}) == ["p2", "p4"]
+
+    def test_explicit(self, people):
+        assert ids(people, {"age": {"$eq": 34}}) == ["p1"]
+        assert ids(people, {"age": {"$gt": 30}}) == ["p1", "p3"]
+        assert ids(people, {"age": {"$gte": 34}}) == ["p1", "p3"]
+        assert ids(people, {"age": {"$lt": 30}}) == ["p2", "p4"]
+        assert ids(people, {"age": {"$ne": 28}}) == ["p1", "p3"]
+        assert ids(people, {"age": {"$in": [28, 41]}}) == \
+            ["p2", "p3", "p4"]
+        assert ids(people, {"age": {"$nin": [28, 41]}}) == ["p1"]
+
+    def test_range_conjunction(self, people):
+        assert ids(people, {"age": {"$gte": 28, "$lt": 40}}) == \
+            ["p1", "p2", "p4"]
+
+
+class TestLogical:
+    def test_and_or_nor(self, people):
+        assert ids(people, {"$and": [{"age": {"$gt": 25}},
+                                     {"balance": {"$gt": 0}}]}) == \
+            ["p1", "p4"]
+        assert ids(people, {"$or": [{"name": "Alice"},
+                                    {"name": "Bob"}]}) == ["p1", "p2"]
+        assert ids(people, {"$nor": [{"age": {"$lt": 30}},
+                                     {"name": "Carol"}]}) == ["p1"]
+
+    def test_not(self, people):
+        assert ids(people, {"age": {"$not": {"$gt": 30}}}) == ["p2", "p4"]
+        assert ids(people, {"name": {"$not": {"$regex": "^A"}}}) == \
+            ["p2", "p3", "p4"]
+
+
+class TestElement:
+    def test_exists(self, people):
+        assert ids(people, {"address": {"$exists": True}}) == \
+            ["p1", "p2", "p3"]
+        assert ids(people, {"address": {"$exists": False}}) == ["p4"]
+        # absent-from-schema field
+        assert ids(people, {"nosuch": {"$exists": False}}) == \
+            ["p1", "p2", "p3", "p4"]
+        assert ids(people, {"nosuch": {"$exists": True}}) == []
+
+    def test_nested_path(self, people):
+        assert ids(people, {"address.city": "Ghent"}) == ["p1", "p3"]
+
+
+class TestEvaluation:
+    def test_expr(self, people):
+        assert ids(people, {"$expr": {"$gt": ["$balance",
+                                              {"$multiply":
+                                               ["$age", 20]}]}}) == \
+            ["p1", "p4"]
+
+    def test_expr_nested(self, people):
+        # reference extension: $expr at any nesting level (docs/query.md:156)
+        assert ids(people, {"$or": [
+            {"$expr": {"$eq": ["$name", "Carol"]}},
+            {"age": 34},
+        ]}) == ["p1", "p3"]
+
+    def test_mod(self, people):
+        assert ids(people, {"age": {"$mod": [2, 0]}}) == ["p1", "p2", "p4"]
+
+    def test_regex(self, people):
+        assert ids(people, {"name": {"$regex": "^[AB]"}}) == ["p1", "p2"]
+        assert ids(people, {"name": {"$regex": "/^a/i"}}) == ["p1"]
+
+
+class TestArrayOps:
+    def test_size_all_elem(self, people):
+        assert ids(people, {"tags": {"$size": 2}}) == ["p1", "p4"]
+        assert ids(people, {"tags": {"$all": ["red", "blue"]}}) == ["p1"]
+        assert ids(people, {"tags": {"$elemMatch": {"$eq": "green"}}}) == \
+            ["p2"]
+
+    def test_array_contains_implicit(self, people):
+        # Mongo: {field: v} matches arrays containing v — divergence: we
+        # require $elemMatch for membership on typed array columns.
+        assert ids(people, {"tags": {"$elemMatch": {"$in":
+                                                    ["red", "green"]}}}) \
+            == ["p1", "p2"]
+
+
+class TestBitwise:
+    def test_bits(self, spark):
+        df = spark.createDataFrame(
+            [("a", 0b1010), ("b", 0b0110), ("c", 0b0001)], "_id string, v int"
+        )
+        assert ids(df, {"v": {"$bitsAllSet": 0b0010}}) == ["a", "b"]
+        assert ids(df, {"v": {"$bitsAllSet": [1]}}) == ["a", "b"]
+        assert ids(df, {"v": {"$bitsAllClear": 0b0001}}) == ["a", "b"]
+        assert ids(df, {"v": {"$bitsAnySet": 0b1001}}) == ["a", "c"]
+        assert ids(df, {"v": {"$bitsAnyClear": 0b1010}}) == ["b", "c"]
+
+
+class TestMisc:
+    def test_comment_ignored(self, people):
+        assert ids(people, {"age": 34, "$comment": "why not"}) == ["p1"]
+
+    def test_type(self, people):
+        assert ids(people, {"name": {"$type": "string"}}) == \
+            ["p1", "p2", "p3", "p4"]

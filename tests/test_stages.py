@@ -1,0 +1,213 @@
+"""Pipeline-stage tests (SURVEY.md §2.1-2.5;
+reference spec /root/reference/docs/aggregation_stages.md)."""
+
+import pytest
+
+from pincette_json_streams_spark.operators.stages import (
+    PipelineContext,
+    compile_pipeline,
+)
+
+
+def run(df, stages, **kw):
+    return compile_pipeline(df, stages, PipelineContext(**kw))
+
+
+def rows(df, stages, **kw):
+    return [r.asDict(recursive=True) for r in run(df, stages, **kw).collect()]
+
+
+class TestProjection:
+    def test_project_include(self, people):
+        out = rows(people, [{"$project": {"name": 1}}])
+        # _id kept by default (docs:468-489)
+        assert sorted(out[0]) == ["_id", "name"]
+
+    def test_project_exclude_id(self, people):
+        out = rows(people, [{"$project": {"_id": 0, "name": 1}}])
+        assert sorted(out[0]) == ["name"]
+
+    def test_project_exclusion_mode(self, people):
+        out = rows(people, [{"$project": {"tags": 0, "address": 0}}])
+        assert sorted(out[0]) == ["_id", "age", "balance", "name"]
+
+    def test_project_computed(self, people):
+        out = rows(people.filter("_id='p1'"),
+                   [{"$project": {"_id": 0,
+                                  "shout": {"$toUpper": "$name"}}}])
+        assert out == [{"shout": "ALICE"}]
+
+    def test_add_fields_nested_and_chained(self, people):
+        out = rows(people.filter("_id='p2'"), [
+            {"$addFields": {"a": {"$add": ["$age", 1]},
+                            "b": {"$multiply": ["$age", 2]}}},
+            {"$set": {"c": {"$add": ["$a", "$b"]}}},
+        ])
+        assert out[0]["a"] == 29 and out[0]["b"] == 56 and out[0]["c"] == 85
+
+    def test_set_nested_path(self, people):
+        out = rows(people.filter("_id='p1'"),
+                   [{"$set": {"address.country": "BE"}}])
+        assert out[0]["address"]["country"] == "BE"
+        assert out[0]["address"]["city"] == "Ghent"
+
+    def test_unset(self, people):
+        out = rows(people, [{"$unset": ["tags", "address.zip"]}])
+        assert "tags" not in out[0]
+        assert "zip" not in out[0]["address"]
+
+    def test_replace_root(self, people):
+        out = rows(people.filter("_id='p1'"),
+                   [{"$replaceRoot": {"newRoot": "$address"}}])
+        assert out == [{"city": "Ghent", "zip": "9000"}]
+
+    def test_replace_with_literal_doc(self, people):
+        out = rows(people.filter("_id='p1'"),
+                   [{"$replaceWith": {"n": "$name", "a": "$age"}}])
+        assert out == [{"n": "Alice", "a": 34}]
+
+
+class TestUnwind:
+    def test_unwind(self, people):
+        out = rows(people, [{"$unwind": "$tags"},
+                            {"$project": {"_id": 1, "tags": 1}}])
+        got = sorted((r["_id"], r["tags"]) for r in out)
+        assert got == [("p1", "blue"), ("p1", "red"), ("p2", "green"),
+                       ("p4", "blue"), ("p4", "blue")]
+
+    def test_unwind_new_ids(self, people):
+        out = rows(people, [{"$unwind": {"path": "$tags", "newIds": True}}])
+        assert len({r["_id"] for r in out}) == 5  # all fresh UUIDs
+
+
+class TestGrouping:
+    def test_group_accumulators(self, people):
+        out = rows(people, [{"$group": {
+            "_id": "$age",
+            "n": {"$count": {}},
+            "total": {"$sum": "$balance"},
+            "hi": {"$max": "$balance"},
+            "lo": {"$min": "$balance"},
+            "names": {"$push": "$name"},
+        }}])
+        by_id = {r["_id"]: r for r in out}
+        assert by_id[28]["n"] == 2
+        assert by_id[28]["total"] == pytest.approx(949.74)
+        assert sorted(by_id[28]["names"]) == ["Bob", "Dave"]
+
+    def test_group_null_id(self, people):
+        out = rows(people, [{"$group": {"_id": None,
+                                        "n": {"$count": {}}}}])
+        assert out[0]["n"] == 4
+
+    def test_group_doc_id(self, people):
+        out = rows(people, [
+            {"$group": {"_id": {"a": "$age"}, "n": {"$sum": 1}}}])
+        assert {r["_id"]["a"]: r["n"] for r in out} == {34: 1, 28: 2, 41: 1}
+
+    def test_bucket(self, people):
+        out = rows(people, [{"$bucket": {
+            "groupBy": "$age", "boundaries": [20, 30, 40], "default": -1,
+            "output": {"n": {"$sum": 1}}}}])
+        assert {r["_id"]: r["n"] for r in out} == {20: 2, 30: 1, -1: 1}
+
+    def test_count(self, people):
+        out = rows(people, [{"$count": "total"}])
+        assert out == [{"total": 4}]
+
+    def test_deduplicate(self, people):
+        out = rows(people, [{"$deduplicate":
+                             {"expression": "$age"}}])
+        assert len(out) == 3
+
+    def test_per(self, people):
+        out = rows(people.coalesce(1),
+                   [{"$per": {"amount": 3, "as": "msgs"}}])
+        sizes = sorted(len(r["msgs"]) for r in out)
+        assert sizes == [1, 3]
+
+
+class TestLookup:
+    def test_lookup_array_and_unwind(self, spark, people):
+        orders = spark.createDataFrame(
+            [("o1", "p1", 10.0), ("o2", "p1", 5.0), ("o3", "p2", 1.0)],
+            "oid string, pid string, amt double",
+        )
+        out = rows(people, [
+            {"$lookup": {"from": "orders", "localField": "_id",
+                         "foreignField": "pid", "as": "ords"}},
+            {"$project": {"_id": 1, "n": {"$size": "$ords"}}},
+        ], catalog={"orders": orders})
+        assert {r["_id"]: r["n"] for r in out} == \
+            {"p1": 2, "p2": 1, "p3": 0, "p4": 0}
+
+        inner = rows(people, [
+            {"$lookup": {"from": "orders", "localField": "_id",
+                         "foreignField": "pid", "as": "o", "unwind": True}},
+            {"$project": {"_id": 1, "amt": "$o.amt"}},
+        ], catalog={"orders": orders})
+        assert sorted((r["_id"], r["amt"]) for r in inner) == \
+            [("p1", 5.0), ("p1", 10.0), ("p2", 1.0)]
+
+    def test_lookup_inner_array(self, spark, people):
+        orders = spark.createDataFrame([("o1", "p1", 1.0)],
+                                       "oid string, pid string, amt double")
+        out = rows(people, [
+            {"$lookup": {"from": "orders", "localField": "_id",
+                         "foreignField": "pid", "as": "o", "inner": True}},
+        ], catalog={"orders": orders})
+        assert [r["_id"] for r in out] == ["p1"]
+
+    def test_lookup_let_pipeline(self, spark, people):
+        orders = spark.createDataFrame(
+            [("o1", "p1", 10.0), ("o2", "p1", 5.0), ("o3", "p2", 1.0)],
+            "oid string, pid string, amt double",
+        )
+        out = rows(people, [
+            {"$lookup": {
+                "from": "orders",
+                "let": {"me": "$_id"},
+                "pipeline": [
+                    {"$match": {"$expr": {"$eq": ["$$me", "$pid"]}}},
+                    {"$match": {"amt": {"$gte": 5}}},
+                ],
+                "as": "big", "unwind": True}},
+            {"$project": {"_id": 1, "amt": "$big.amt"}},
+        ], catalog={"orders": orders})
+        assert sorted((r["_id"], r["amt"]) for r in out) == \
+            [("p1", 5.0), ("p1", 10.0)]
+
+
+class TestRedactValidate:
+    def test_redact(self, spark):
+        df = spark.createDataFrame(
+            [("d1", "public", "x"), ("d2", "secret", "y")],
+            "_id string, level string, data string",
+        )
+        out = rows(df, [{"$redact": {"$cond": [
+            {"$eq": ["$level", "secret"]}, "$$PRUNE", "$$DESCEND"]}}])
+        assert [r["_id"] for r in out] == ["d1"]
+
+    def test_validate(self, spark):
+        df = spark.createDataFrame(
+            [("a", 5), ("b", 50)], "_id string, qty int")
+        out = rows(df, [{"$validate": {"conditions": [
+            {"qty": {"$lte": 10, "$code": "TOOBIG"}},
+        ]}}])
+        by_id = {r["_id"]: r for r in out}
+        assert by_id["a"]["_error"] is False
+        assert by_id["b"]["_error"] is True
+        assert by_id["b"]["errors"][0]["code"] == "TOOBIG"
+
+
+class TestBatchExtensions:
+    def test_sort_limit_skip(self, people):
+        out = rows(people, [{"$sort_ext": {"age": -1}}, {"$limit": 2}])
+        assert [r["_id"] for r in out] == ["p3", "p1"]
+        out = rows(people, [{"$sort_ext": {"age": 1}}, {"$skip": 3}])
+        assert [r["_id"] for r in out] == ["p3"]
+
+    def test_set_key(self, people):
+        out = run(people, [{"$setKey": "$name"}])
+        assert "_key" in out.columns
+        assert out.count() == 4
