@@ -758,11 +758,11 @@ WITH norm AS (
     [substr(n, i, {k}) for i in range(1, greatest(len(n) - {k - 1}, 1) + 1)]
   ) AS s FROM norm
 ), hashed AS (
-  SELECT id, s, list_transform(
+  SELECT id, list_transform(
     s, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT % {_P}) AS h
   FROM sh
 ), sig AS (
-  SELECT id, s, [{sig_exprs}] AS sg FROM hashed
+  SELECT id, list_distinct(h) AS s, [{sig_exprs}] AS sg FROM hashed
 ), banded AS (
   SELECT id, s, band,
          md5(array_to_string(sg[band * {rows} + 1 : band * {rows} + {rows}],

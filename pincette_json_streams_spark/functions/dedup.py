@@ -128,7 +128,11 @@ def minhash_lsh_pairs(
     """
     rows = num_hashes // bands
     base = (
-        df.select(
+        # repartition first: the raw documents often arrive as ONE small
+        # parquet split, which would serialize the md5-heavy signature
+        # stage on a single core
+        df.repartition(F.col(id_col))
+        .select(
             F.col(id_col).alias("id"),
             shingles(F.col(text_col), k).alias("sh"),
         )
@@ -136,10 +140,22 @@ def minhash_lsh_pairs(
         # (a*h+b)%p passes — not 32 md5 pipelines (see _min_under_perms)
         .withColumn("h", F.transform("sh", _hash_str))
         .withColumn("sig", _min_under_perms(F.col("h"), num_hashes))
-        .drop("h")
+        # exact-verify intersects the hashed shingles (8-byte compares
+        # instead of 9-char strings; deterministic on any md5 engine)
+        .select("id", F.array_distinct("h").alias("sh"), "sig")
     )
-    banded = base.select(
-        "id", "sig", "sh",
+
+    # Cluster compression: training corpora carry large exact-duplicate
+    # clusters; comparing their members pairwise is the classic LSH
+    # blowup.  Group docs by shingle-SET first — within a group every
+    # pair has Jaccard exactly 1, and the quadratic candidate join runs
+    # over *distinct sets* only.
+    groups = base.groupBy("sh", "sig").agg(
+        F.sort_array(F.collect_list("id")).alias("ids")
+    ).withColumn("gid", F.xxhash64(F.to_json("sh")))
+
+    banded = groups.select(
+        "gid", "sh", "ids",
         F.explode(
             F.array(
                 *[
@@ -156,7 +172,7 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("id", "sh", F.col("bk.band").alias("band"),
+    ).select("gid", "sh", "ids", F.col("bk.band").alias("band"),
              F.col("bk.bandkey").alias("bandkey"))
 
     left = banded.alias("l")
@@ -166,36 +182,46 @@ def minhash_lsh_pairs(
             right,
             (F.col("l.band") == F.col("r.band"))
             & (F.col("l.bandkey") == F.col("r.bandkey"))
-            & (F.col("l.id") < F.col("r.id")),
+            & (F.col("l.gid") < F.col("r.gid")),
         )
         .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.col("l.sh").alias("sh_a"),
-            F.col("r.sh").alias("sh_b"),
+            F.col("l.ids").alias("ids_a"), F.col("r.ids").alias("ids_b"),
+            F.col("l.sh").alias("sh_a"), F.col("r.sh").alias("sh_b"),
+            F.col("l.gid").alias("gid_a"), F.col("r.gid").alias("gid_b"),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        .dropDuplicates(["gid_a", "gid_b"])
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
-    return (
+    cross = (
         cand.withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select(F.explode("ids_a").alias("ia"), "ids_b", "jaccard")
+        .select("ia", F.explode("ids_b").alias("ib"), "jaccard")
+        .select(F.least("ia", "ib").alias("id_a"),
+                F.greatest("ia", "ib").alias("id_b"), "jaccard")
     )
+    within = (
+        groups.filter(F.size("ids") > 1)
+        .select(F.explode("ids").alias("ia"), F.col("ids"))
+        .select("ia", F.explode("ids").alias("ib"))
+        .filter(F.col("ia") < F.col("ib"))
+        .select(F.col("ia").alias("id_a"), F.col("ib").alias("id_b"),
+                F.lit(1.0).alias("jaccard"))
+    )
+    return cross.unionByName(within)
 
 
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------
 
-def simhash(text: Column, bits: int = 64) -> Column:
-    """SimHash over word tokens: bit b of the signature is the sign of
-    sum(+/-1 over tokens by their hash's bit b).  Computed as `bits`
-    aggregate expressions over the token-hash array — native Columns."""
-    words = F.array_distinct(F.split(normalize_text(text), " "))
-    hashes = F.transform(words, _hash_str)
-
+def _simhash_from_hashes(hashes: Column, bits: int) -> Column:
+    """SimHash signature from a *materialized* token-hash column: bit b of
+    the signature is the majority vote of the tokens' hash bit b.  Like
+    ``_min_under_perms``, ``hashes`` must be a plain column reference —
+    the ``bits``×2 passes below are cheap bit-ops, but would each drag a
+    full md5 pipeline along if the optimizer inlined the hash expression."""
     def bit_test(b):
         return lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1
 
@@ -210,6 +236,14 @@ def simhash(text: Column, bits: int = 64) -> Column:
     return out
 
 
+def simhash(text: Column, bits: int = 64) -> Column:
+    """SimHash over word tokens, as one inline expression.  For hot paths
+    prefer the two-step in ``simhash_pairs`` (materialize token hashes
+    first)."""
+    words = F.array_distinct(F.split(normalize_text(text), " "))
+    return _simhash_from_hashes(F.transform(words, _hash_str), bits)
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -222,12 +256,25 @@ def simhash_pairs(
     signature bit-bands (pigeonhole: distance<=max_hamming implies an equal
     band when bands > max_hamming ... approximate for smaller band counts)."""
     band_width = bits // bands
-    base = df.select(
-        F.col(id_col).alias("id"),
-        simhash(F.col(text_col), bits).alias("sig"),
+    base = (
+        df.repartition(F.col(id_col))
+        .select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(
+                F.split(normalize_text(F.col(text_col)), " ")
+            ).alias("w"),
+        )
+        .withColumn("h", F.transform("w", _hash_str))
+        .select("id", _simhash_from_hashes(F.col("h"), bits).alias("sig"))
     )
-    banded = base.select(
-        "id", "sig",
+    # cluster compression (see minhash_lsh_pairs): docs sharing a
+    # signature pair at Hamming 0 without any join — the LSH self-join
+    # runs over distinct signatures only
+    groups = base.groupBy("sig").agg(
+        F.sort_array(F.collect_list("id")).alias("ids")
+    )
+    banded = groups.select(
+        "sig", "ids",
         F.explode(
             F.array(
                 *[
@@ -241,27 +288,39 @@ def simhash_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("id", "sig", "bk.band", "bk.key")
+    ).select("sig", "ids", "bk.band", "bk.key")
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
         l.join(
             r,
             (F.col("l.band") == F.col("r.band"))
             & (F.col("l.key") == F.col("r.key"))
-            & (F.col("l.id") < F.col("r.id")),
+            & (F.col("l.sig") < F.col("r.sig")),
         )
         .select(
-            F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
             F.col("l.sig").alias("sig_a"), F.col("r.sig").alias("sig_b"),
+            F.col("l.ids").alias("ids_a"), F.col("r.ids").alias("ids_b"),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        .dropDuplicates(["sig_a", "sig_b"])
     )
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return (
+    cross = (
         cand.withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .select(F.explode("ids_a").alias("ia"), "ids_b", "hamming")
+        .select("ia", F.explode("ids_b").alias("ib"), "hamming")
+        .select(F.least("ia", "ib").alias("id_a"),
+                F.greatest("ia", "ib").alias("id_b"), "hamming")
     )
+    within = (
+        groups.filter(F.size("ids") > 1)
+        .select(F.explode("ids").alias("ia"), F.col("ids"))
+        .select("ia", F.explode("ids").alias("ib"))
+        .filter(F.col("ia") < F.col("ib"))
+        .select(F.col("ia").alias("id_a"), F.col("ib").alias("id_b"),
+                F.lit(0).cast("int").alias("hamming"))
+    )
+    return cross.unionByName(within)
 
 
 # --------------------------------------------------------------------------
@@ -276,34 +335,56 @@ def ngram_jaccard_pairs(
     threshold: float = 0.2,
 ) -> DataFrame:
     """Exact Jaccard over word n-gram sets for every pair sharing at least
-    one n-gram.  The inverted-index join bounds cost by posting-list sizes
-    (at scale: drop top-frequency ngrams first — cheap pre-aggregation)."""
-    base = df.select(
+    one n-gram.  Inverted-index join over *distinct n-gram sets* (cluster
+    compression, see minhash_lsh_pairs) — exact-duplicate clusters pair at
+    Jaccard 1 without touching the quadratic join."""
+    base = df.repartition(F.col(id_col)).select(
         F.col(id_col).alias("id"),
         word_ngrams(F.col(text_col), n).alias("ng"),
     )
-    posting = base.select("id", F.explode("ng").alias("g"))
+    groups = base.groupBy("ng").agg(
+        F.sort_array(F.collect_list("id")).alias("ids")
+    ).withColumn("gid", F.xxhash64(F.to_json("ng")))
+
+    posting = groups.select("gid", F.explode("ng").alias("g"))
     l, r = posting.alias("l"), posting.alias("r")
     shared = (
         l.join(r, (F.col("l.g") == F.col("r.g"))
-               & (F.col("l.id") < F.col("r.id")))
-        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+               & (F.col("l.gid") < F.col("r.gid")))
+        .groupBy(F.col("l.gid").alias("gid_a"),
+                 F.col("r.gid").alias("gid_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sizes = base.select("id", F.size("ng").alias("sz"))
-    out = (
-        shared.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}),
-                    "id_a")
-        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
+    sets = groups.select("gid", "ids", F.size("ng").alias("sz"))
+    cross = (
+        shared.join(
+            sets.select(F.col("gid").alias("gid_a"),
+                        F.col("ids").alias("ids_a"),
+                        F.col("sz").alias("sz_a")), "gid_a")
+        .join(
+            sets.select(F.col("gid").alias("gid_b"),
+                        F.col("ids").alias("ids_b"),
+                        F.col("sz").alias("sz_b")), "gid_b")
         .withColumn(
             "jaccard",
             F.round(F.col("inter")
                     / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select(F.explode("ids_a").alias("ia"), "ids_b", "jaccard")
+        .select("ia", F.explode("ids_b").alias("ib"), "jaccard")
+        .select(F.least("ia", "ib").alias("id_a"),
+                F.greatest("ia", "ib").alias("id_b"), "jaccard")
     )
-    return out
+    within = (
+        groups.filter(F.size("ids") > 1)
+        .select(F.explode("ids").alias("ia"), F.col("ids"))
+        .select("ia", F.explode("ids").alias("ib"))
+        .filter(F.col("ia") < F.col("ib"))
+        .select(F.col("ia").alias("id_a"), F.col("ib").alias("id_b"),
+                F.lit(1.0).alias("jaccard"))
+    )
+    return cross.unionByName(within)
 
 
 # --------------------------------------------------------------------------

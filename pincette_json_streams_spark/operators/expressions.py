@@ -649,6 +649,22 @@ def _let(args, ctx):
 def _literal(args, ctx):
     def lit_of(v):
         if isinstance(v, list):
+            if v and all(isinstance(x, dict) for x in v):
+                # JSON arrays hold heterogeneous objects; Spark arrays
+                # need one struct type — unify on the union of keys
+                keys: list[str] = []
+                for x in v:
+                    for k in x:
+                        if k not in keys:
+                            keys.append(k)
+                return F.array(*[
+                    F.struct(*[
+                        lit_of(x[k]).alias(k) if k in x
+                        else F.lit(None).cast("string").alias(k)
+                        for k in keys
+                    ])
+                    for x in v
+                ])
             return F.array(*[lit_of(x) for x in v])
         if isinstance(v, dict):
             return F.struct(*[lit_of(x).alias(k) for k, x in v.items()])

@@ -50,6 +50,15 @@ class PipelineContext:
     trace: Optional[Callable[[str, Any], None]] = None
     # sinks captured by side-effecting stages in batch mode ($out, $merge)
     outputs: dict[str, DataFrame] = field(default_factory=dict)
+    # $send/$delay routed streams (rows carry a `topic` column; $delay adds
+    # `deliver_after` epoch-millis) — the streaming runtime's Kafka sink
+    # consumes these, batch runs can inspect them
+    sends: list = field(default_factory=list)
+    # injectable transports for the side-effect stages (streaming.effects):
+    # http_transport(method, url, headers, body) -> HttpResponse;
+    # object_store with read/write/url (LocalObjectStore or boto3-backed)
+    http_transport: Optional[Callable] = None
+    object_store: Optional[Any] = None
 
     def collection(self, name: str) -> DataFrame:
         if name not in self.catalog:
@@ -622,6 +631,15 @@ def _stage_sample_ext(df, spec, pctx):
                      seed=42).limit(n)
 
 
+def _effect(name: str):
+    # lazy import: effects pull in transports/crypto only when used
+    def h(df, spec, pctx):
+        from pincette_json_streams_spark.streaming import effects
+
+        return getattr(effects, name)(df, spec, pctx)
+    return h
+
+
 STAGES: dict[str, Callable[[DataFrame, Any, PipelineContext], DataFrame]] = {
     "$match": _stage_match,
     "$project": _stage_project,
@@ -647,6 +665,16 @@ STAGES: dict[str, Callable[[DataFrame, Any, PipelineContext], DataFrame]] = {
     "$throttle": _stage_noop,  # maps to source rate options in streaming
     "$out": _stage_out,
     "$merge": _stage_merge,
+    # side-effect stages (streaming/effects.py)
+    "$http": _effect("stage_http"),
+    "$signJwt": _effect("stage_sign_jwt"),
+    "$send": _effect("stage_send"),
+    "$delay": _effect("stage_delay"),
+    "$delete": _effect("stage_delete"),
+    "$s3Csv": _effect("stage_s3_csv"),
+    "$s3Out": _effect("stage_s3_out"),
+    "$s3Transfer": _effect("stage_s3_transfer"),
+    "$s3Attachments": _effect("stage_s3_attachments"),
     # batch extensions
     "$sort_ext": _stage_sort_ext,
     "$limit": _stage_limit_ext,

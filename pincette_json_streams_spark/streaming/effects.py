@@ -1,0 +1,530 @@
+"""Side-effect pipeline stages: $http, $signJwt, $send, $delay, $delete,
+$s3Csv, $s3Out, $s3Transfer, $s3Attachments.
+
+Reference semantics: /root/reference/docs/aggregation_stages.md
+($http 207-244, $send 550-565, $delay 118-158, $delete 161-178,
+$signJwt 591-639, $s3* 641-785); the reference executes these per message
+inside its reactive pipeline.  Spark-first design:
+
+- Expressions (url, body, headers, topic, bucket, key, claims) compile to
+  native Columns *first* — only the I/O call itself runs in Python, via
+  ``mapInPandas`` (Arrow batches, zero driver involvement, scales with
+  partitions).
+- Transports are injectable: ``HttpTransport`` (default urllib) and
+  ``ObjectStore`` (default local-filesystem fake with s3:// URL shape;
+  swap in a boto3-backed store in production).  Tests run fully offline.
+- Dynamic response/message payloads travel as JSON *strings* (the
+  schemaless part of the message); downstream pipelines read them with
+  $stringToJson / get_json_object.  Structured error info (``httpError``)
+  is a typed struct so $match can filter on ``httpError.statusCode``
+  natively.
+- At-least-once: a retried Spark task re-executes its partition's calls,
+  matching the reference's at-least-once contract (docs/index.md:3).
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import time
+from dataclasses import dataclass
+from typing import Any, Callable, Iterator, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pincette_json_streams_spark.operators.context import ctx_for
+from pincette_json_streams_spark.operators.expressions import compile_expr
+
+__all__ = [
+    "HttpResponse", "urllib_transport", "LocalObjectStore",
+    "stage_http", "stage_sign_jwt", "stage_send", "stage_delay",
+    "stage_delete", "stage_s3_csv", "stage_s3_out", "stage_s3_transfer",
+    "stage_s3_attachments",
+]
+
+
+# --------------------------------------------------------------------------
+# transports
+# --------------------------------------------------------------------------
+
+@dataclass
+class HttpResponse:
+    status: int
+    body: str | None
+
+
+def urllib_transport(method: str, url: str, headers: dict,
+                     body: str | None) -> HttpResponse:
+    """Default HTTP transport (stdlib only)."""
+    import urllib.error
+    import urllib.request
+
+    req = urllib.request.Request(
+        url, method=method,
+        data=body.encode() if body is not None else None,
+        headers={k: str(v) for k, v in (headers or {}).items()},
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            return HttpResponse(resp.status, resp.read().decode())
+    except urllib.error.HTTPError as e:
+        return HttpResponse(e.code, e.read().decode(errors="replace"))
+
+
+@dataclass
+class LocalObjectStore:
+    """Filesystem-backed object store with the S3 naming shape — the
+    offline stand-in for boto3 (production: same three methods on S3)."""
+
+    root: str
+
+    def _path(self, bucket: str, key: str) -> str:
+        return os.path.join(self.root, bucket, key)
+
+    def read(self, bucket: str, key: str) -> bytes:
+        with open(self._path(bucket, key), "rb") as f:
+            return f.read()
+
+    def write(self, bucket: str, key: str, data: bytes) -> None:
+        p = self._path(bucket, key)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "wb") as f:
+            f.write(data)
+
+    def url(self, bucket: str, key: str) -> str:
+        return f"s3://{bucket}/{key}"
+
+
+_HTTP_ERROR_T = "struct<statusCode:int,body:string>"
+
+
+def _schema_ddl(df: DataFrame, extra: str = "") -> str:
+    base = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    return f"{base}, {extra}" if extra else base
+
+
+def _expr_json(spec_val: Any, df: DataFrame) -> Column:
+    """Compile an expression and serialize its value to a JSON string
+    (payloads cross into Python as JSON text)."""
+    col = compile_expr(spec_val, ctx_for(df))
+    return F.to_json(F.struct(col.alias("v")))
+
+
+def _unwrap(js: str | None) -> Any:
+    if js is None:
+        return None
+    return json.loads(js).get("v")
+
+
+# --------------------------------------------------------------------------
+# $http  (docs:207-244)
+# --------------------------------------------------------------------------
+
+def stage_http(df: DataFrame, spec: dict, pctx) -> DataFrame:
+    transport = getattr(pctx, "http_transport", None) or urllib_transport
+    as_field = spec.get("as")
+    unwind = bool(spec.get("unwind", False))
+    in_cols = list(df.columns)
+
+    prepared = df.withColumns({
+        "__url": compile_expr(spec["url"], ctx_for(df)).cast("string"),
+        "__method": compile_expr(spec["method"], ctx_for(df)).cast("string"),
+        "__headers": _expr_json(spec["headers"], df)
+        if "headers" in spec else F.lit(None).cast("string"),
+        "__body": _expr_json(spec["body"], df)
+        if "body" in spec else F.lit(None).cast("string"),
+    })
+
+    extra = f"httpError {_HTTP_ERROR_T}"
+    if as_field:
+        extra = f"`{as_field}` string, " + extra
+    out_schema = _schema_ddl(df, extra)
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out_rows = []
+            for rec in pdf.to_dict("records"):
+                headers = _unwrap(rec.pop("__headers")) or {}
+                body_v = _unwrap(rec.pop("__body"))
+                url = rec.pop("__url")
+                method = rec.pop("__method")
+                body = None if body_v is None else (
+                    body_v if isinstance(body_v, str) else json.dumps(body_v)
+                )
+                try:
+                    resp = transport(method, url, headers, body)
+                    err = None if resp.status < 400 else {
+                        "statusCode": resp.status, "body": resp.body}
+                except Exception as e:  # transport failure -> httpError
+                    resp, err = None, {"statusCode": -1, "body": str(e)}
+                base = dict(rec)
+                base["httpError"] = err
+                if not as_field:
+                    out_rows.append(base)
+                    continue
+                payload = resp.body if resp is not None and err is None \
+                    else None
+                if unwind and err is None:
+                    try:
+                        arr = json.loads(payload) if payload else []
+                    except Exception:
+                        arr = []
+                    for entry in arr if isinstance(arr, list) else [arr]:
+                        r = dict(base)
+                        r[as_field] = json.dumps(entry)
+                        out_rows.append(r)
+                else:
+                    base[as_field] = payload
+                    out_rows.append(base)
+            cols = in_cols + ([as_field] if as_field else []) + ["httpError"]
+            yield pd.DataFrame(out_rows, columns=cols)
+
+    return prepared.mapInPandas(run, schema=out_schema)
+
+
+# --------------------------------------------------------------------------
+# $signJwt  (docs:591-639)
+# --------------------------------------------------------------------------
+
+_jwt_cache: dict = {}
+
+
+def _b64url(data: bytes) -> str:
+    return base64.urlsafe_b64encode(data).rstrip(b"=").decode()
+
+
+def _sign_rs256(private_key_pem: str, claims: dict, ttl: int,
+                kid: str | None) -> str:
+    """RS256 JWT with a per-executor cache keyed on the claim set; tokens
+    are reused until 80% of ttl elapses (reference caches its token too,
+    docs:636)."""
+    cache_key = (private_key_pem[:64], json.dumps(claims, sort_keys=True),
+                 kid)
+    hit = _jwt_cache.get(cache_key)
+    now = int(time.time())
+    if hit and hit[1] > now:
+        return hit[0]
+
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import padding
+
+    header = {"alg": "RS256", "typ": "JWT"}
+    if kid:
+        header["kid"] = kid
+    payload = dict(claims)
+    payload["iat"] = now
+    payload["exp"] = now + ttl
+    signing_input = (
+        _b64url(json.dumps(header, separators=(",", ":")).encode())
+        + "."
+        + _b64url(json.dumps(payload, separators=(",", ":")).encode())
+    )
+    key = serialization.load_pem_private_key(
+        private_key_pem.encode(), password=None
+    )
+    sig = key.sign(signing_input.encode(), padding.PKCS1v15(),
+                   hashes.SHA256())
+    token = signing_input + "." + _b64url(sig)
+    _jwt_cache[cache_key] = (token, now + int(ttl * 0.8))
+    return token
+
+
+def stage_sign_jwt(df: DataFrame, spec: dict, pctx) -> DataFrame:
+    as_field = spec["as"]
+    ttl = int(spec.get("ttl", 5))
+    ctx = ctx_for(df)
+
+    claim_cols = {}
+    for std in ("aud", "iss", "sub"):
+        if std in spec:
+            claim_cols[std] = compile_expr(spec[std], ctx).cast("string")
+    kid_col = compile_expr(spec["kid"], ctx).cast("string") \
+        if "kid" in spec else F.lit(None).cast("string")
+    custom = _expr_json(spec["claims"], df) if "claims" in spec \
+        else F.lit(None).cast("string")
+    pk_col = compile_expr(spec["privateKey"], ctx).cast("string")
+
+    prepared = df.withColumns({
+        "__claims_std": F.to_json(F.struct(
+            *[c.alias(k) for k, c in claim_cols.items()]) if claim_cols
+            else F.struct(F.lit(None).alias("__none"))),
+        "__claims_custom": custom,
+        "__kid": kid_col,
+        "__pk": pk_col,
+    })
+    in_cols = list(df.columns)
+    out_schema = _schema_ddl(df, f"`{as_field}` string")
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for rec in pdf.to_dict("records"):
+                std = json.loads(rec.pop("__claims_std") or "{}")
+                std.pop("__none", None)
+                cust = _unwrap(rec.pop("__claims_custom")) or {}
+                claims = {**cust, **std}
+                kid = rec.pop("__kid")
+                pk = rec.pop("__pk")
+                r = dict(rec)
+                r[as_field] = _sign_rs256(pk, claims, ttl, kid)
+                out.append(r)
+            yield pd.DataFrame(out, columns=in_cols + [as_field])
+
+    return prepared.mapInPandas(run, schema=out_schema)
+
+
+# --------------------------------------------------------------------------
+# $send / $delay  (docs:550-565, 118-158)
+# --------------------------------------------------------------------------
+
+def stage_send(df: DataFrame, spec: dict, pctx) -> DataFrame:
+    """Dynamic topic routing: the compiled ``topic`` expression becomes a
+    per-row column; the streaming runtime's Kafka sink writes each row to
+    its ``topic`` (Kafka sinks honor a `topic` column natively).  Batch
+    runs capture the routed stream in ``pctx.outputs`` under '#send'."""
+    topic = compile_expr(
+        spec["topic"] if isinstance(spec, dict) else spec, ctx_for(df)
+    ).cast("string")
+    routed = df.withColumn("topic", topic)
+    sends = getattr(pctx, "sends", None)
+    if sends is not None:
+        sends.append(routed)
+    return df  # pass-through (docs: main flow continues)
+
+
+def stage_delay(df: DataFrame, spec: dict, pctx) -> DataFrame:
+    """Delayed re-produce: rows are routed to ``topic`` with a
+    ``deliver_after`` timestamp; the streaming runtime re-ingests them once
+    `now >= deliver_after` (retry pattern).  Loss mid-delay is possible in
+    the reference too (docs:122)."""
+    duration_ms = int(spec["duration"])
+    topic = compile_expr(spec["topic"], ctx_for(df)).cast("string")
+    routed = df.withColumn("topic", topic).withColumn(
+        "deliver_after",
+        F.unix_millis(F.current_timestamp()) + F.lit(duration_ms),
+    )
+    sends = getattr(pctx, "sends", None)
+    if sends is not None:
+        sends.append(routed)
+    return df
+
+
+# --------------------------------------------------------------------------
+# $delete  (docs:161-178)
+# --------------------------------------------------------------------------
+
+def stage_delete(df: DataFrame, spec: dict, pctx) -> DataFrame:
+    """Delete collection documents whose ``on`` fields equal the incoming
+    message's.  Batch: anti-join updates the catalog (the Delta-backed
+    runtime replaces this with MERGE ... WHEN MATCHED DELETE in
+    foreachBatch).  Message passes through unchanged."""
+    coll_name = spec["from"]
+    on = spec["on"] if isinstance(spec["on"], list) else [spec["on"]]
+    coll = pctx.collection(coll_name)
+    keys = df.select(*[F.col(f) for f in on]).dropDuplicates()
+    cond = None
+    for f_name in on:
+        c = coll[f_name].eqNullSafe(keys[f_name])
+        cond = c if cond is None else cond & c
+    remaining = coll.join(keys, cond, "left_anti")
+    pctx.catalog[coll_name] = remaining
+    pctx.outputs[coll_name] = remaining
+    return df
+
+
+# --------------------------------------------------------------------------
+# $s3Csv / $s3Out / $s3Transfer / $s3Attachments  (docs:641-785)
+# --------------------------------------------------------------------------
+
+def _infer(v: str) -> Any:
+    """CSV value typing: long, double, else string (the reference's
+    S3CsvStage.java:246-251 numeric split)."""
+    try:
+        return int(v)
+    except ValueError:
+        try:
+            return float(v)
+        except ValueError:
+            return v
+
+
+def stage_s3_csv(df: DataFrame, spec: dict, pctx) -> DataFrame:
+    """Per incoming message, stream the referenced CSV object line by line;
+    one output message per line, header row as field names, messages as
+    JSON strings (schemaless payloads).  Each input row's object is read in
+    the executor — a partition of N referenced objects parallelizes N-wide;
+    resume-from-eTag maps to Spark task retry."""
+    store = getattr(pctx, "object_store", None)
+    if store is None:
+        raise ValueError("$s3Csv needs pctx.object_store")
+    ctx = ctx_for(df)
+    sep = spec.get("separator", "\t")
+    prepared = df.select(
+        compile_expr(spec["bucket"], ctx).cast("string").alias("__bucket"),
+        compile_expr(spec["key"], ctx).cast("string").alias("__key"),
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            for rec in pdf.to_dict("records"):
+                data = store.read(rec["__bucket"], rec["__key"]).decode()
+                lines = [ln for ln in data.splitlines() if ln]
+                if not lines:
+                    continue
+                fields = lines[0].split(sep)
+                vals = [
+                    json.dumps({
+                        f: _infer(v) for f, v in
+                        zip(fields, ln.split(sep))
+                    })
+                    for ln in lines[1:]
+                ]
+                yield pd.DataFrame({"value": vals})
+
+    return prepared.mapInPandas(run, schema="value string")
+
+
+def stage_s3_out(df: DataFrame, spec: dict, pctx) -> DataFrame:
+    """Write each message as a JSON object to the store; pass-through."""
+    store = getattr(pctx, "object_store", None)
+    if store is None:
+        raise ValueError("$s3Out needs pctx.object_store")
+    ctx = ctx_for(df)
+    in_cols = list(df.columns)
+    # accept both documented spellings ($bucket/$key appear in the docs
+    # example, bucket/key in the prose)
+    b_spec = spec.get("bucket", spec.get("$bucket"))
+    k_spec = spec.get("key", spec.get("$key"))
+    prepared = df.withColumns({
+        "__bucket": compile_expr(b_spec, ctx).cast("string"),
+        "__key": compile_expr(k_spec, ctx).cast("string"),
+        "__doc": F.to_json(F.struct(*[F.col(c) for c in df.columns])),
+    })
+
+    def run(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            for rec in pdf.to_dict("records"):
+                store.write(rec["__bucket"], rec["__key"],
+                            rec["__doc"].encode())
+            yield pdf[in_cols]
+
+    return prepared.mapInPandas(run, schema=_schema_ddl(df))
+
+
+def stage_s3_transfer(df: DataFrame, spec: dict, pctx) -> DataFrame:
+    """GET from HTTP, PUT to the object store, record the object URL in
+    ``as``; httpError on failure (docs:748-785)."""
+    store = getattr(pctx, "object_store", None)
+    transport = getattr(pctx, "http_transport", None) or urllib_transport
+    if store is None:
+        raise ValueError("$s3Transfer needs pctx.object_store")
+    as_field = spec["as"]
+    ctx = ctx_for(df)
+    in_cols = list(df.columns)
+    prepared = df.withColumns({
+        "__url": compile_expr(spec["url"], ctx).cast("string"),
+        "__bucket": compile_expr(spec["bucket"], ctx).cast("string"),
+        "__key": compile_expr(spec["key"], ctx).cast("string"),
+        "__headers": _expr_json(spec["headers"], df)
+        if "headers" in spec else F.lit(None).cast("string"),
+    })
+    out_schema = _schema_ddl(
+        df, f"`{as_field}` string, httpError {_HTTP_ERROR_T}")
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for rec in pdf.to_dict("records"):
+                headers = _unwrap(rec.pop("__headers")) or {}
+                url, bucket, key = (rec.pop("__url"), rec.pop("__bucket"),
+                                    rec.pop("__key"))
+                r = dict(rec)
+                try:
+                    resp = transport("GET", url, headers, None)
+                    if resp.status < 400:
+                        store.write(bucket, key, (resp.body or "").encode())
+                        r[as_field] = store.url(bucket, key)
+                        r["httpError"] = None
+                    else:
+                        r[as_field] = None
+                        r["httpError"] = {"statusCode": resp.status,
+                                          "body": resp.body}
+                except Exception as e:
+                    r[as_field] = None
+                    r["httpError"] = {"statusCode": -1, "body": str(e)}
+                out.append(r)
+            yield pd.DataFrame(out, columns=in_cols + [as_field,
+                                                       "httpError"])
+
+    return prepared.mapInPandas(run, schema=out_schema)
+
+
+def stage_s3_attachments(df: DataFrame, spec: dict, pctx) -> DataFrame:
+    """POST N store objects as multipart/mixed (docs:641-694); httpError
+    captured per message."""
+    store = getattr(pctx, "object_store", None)
+    transport = getattr(pctx, "http_transport", None) or urllib_transport
+    if store is None:
+        raise ValueError("$s3Attachments needs pctx.object_store")
+    ctx = ctx_for(df)
+    in_cols = list(df.columns)
+    prepared = df.withColumns({
+        "__url": compile_expr(spec["url"], ctx).cast("string"),
+        "__atts": _expr_json(spec["attachments"], df),
+        "__headers": _expr_json(spec["headers"], df)
+        if "headers" in spec else F.lit(None).cast("string"),
+    })
+    out_schema = _schema_ddl(df, f"httpError {_HTTP_ERROR_T}")
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        boundary = "pjs-boundary"
+        for pdf in batches:
+            out = []
+            for rec in pdf.to_dict("records"):
+                atts = _unwrap(rec.pop("__atts")) or []
+                headers = _unwrap(rec.pop("__headers")) or {}
+                url = rec.pop("__url")
+                parts = []
+                r = dict(rec)
+                try:
+                    for att in atts:
+                        data = store.read(att["bucket"], att["key"])
+                        mime_headers = {
+                            k: v for k, v in att.items()
+                            if k not in ("bucket", "key")
+                        }
+                        mime_headers["Content-Length"] = str(len(data))
+                        mime_headers["Content-Transfer-Encoding"] = "binary"
+                        head = "".join(f"{k}: {v}\r\n"
+                                       for k, v in mime_headers.items())
+                        parts.append(
+                            f"--{boundary}\r\n{head}\r\n".encode() + data
+                            + b"\r\n")
+                    body = b"".join(parts) + f"--{boundary}--\r\n".encode()
+                    headers.setdefault(
+                        "Content-Type",
+                        f"multipart/mixed; boundary={boundary}")
+                    resp = transport("POST", url, headers, body.decode(
+                        "latin-1"))
+                    r["httpError"] = None if resp.status < 400 else {
+                        "statusCode": resp.status, "body": resp.body}
+                except Exception as e:
+                    r["httpError"] = {"statusCode": -1, "body": str(e)}
+                out.append(r)
+            yield pd.DataFrame(out, columns=in_cols + ["httpError"])
+
+    return prepared.mapInPandas(run, schema=out_schema)

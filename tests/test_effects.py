@@ -1,0 +1,217 @@
+"""Side-effect stage tests: $http/$signJwt/$send/$delay/$delete/$s3*
+(reference spec /root/reference/docs/aggregation_stages.md:118-244,
+550-639, 641-785).  All offline: fake HTTP transport + local object
+store."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from pincette_json_streams_spark.operators.stages import (
+    PipelineContext,
+    compile_pipeline,
+)
+from pincette_json_streams_spark.streaming.effects import (
+    HttpResponse,
+    LocalObjectStore,
+)
+
+
+def _make_fake_http():
+    # closure, not a module-level function: cloudpickle ships it by VALUE,
+    # so Spark workers don't need the tests package on their path
+    def fake_http(method, url, headers, body):
+        import json as _json
+
+        if url.endswith("/fail"):
+            return HttpResponse(503, '"unavailable"')
+        if url.endswith("/list"):
+            return HttpResponse(200, _json.dumps([{"n": 1}, {"n": 2}]))
+        try:
+            echo = _json.loads(body) if body else None
+        except ValueError:
+            echo = {"raw_len": len(body)}  # non-JSON (e.g. multipart)
+        return HttpResponse(
+            200,
+            _json.dumps({"method": method, "url": url, "echo": echo,
+                         "auth": headers.get("Authorization")}),
+        )
+    return fake_http
+
+
+@pytest.fixture()
+def pctx(tmp_path):
+    return PipelineContext(
+        http_transport=_make_fake_http(),
+        object_store=LocalObjectStore(str(tmp_path)),
+    )
+
+
+class TestHttp:
+    def test_get_with_as(self, people, pctx):
+        out = compile_pipeline(people.filter("_id='p1'"), [
+            {"$http": {"url": {"$concat": ["http://svc/", "$_id"]},
+                       "method": "GET", "as": "result"}},
+        ], pctx).collect()
+        body = json.loads(out[0]["result"])
+        assert body["url"] == "http://svc/p1"
+        assert out[0]["httpError"] is None
+
+    def test_post_body_headers(self, people, pctx):
+        out = compile_pipeline(people.filter("_id='p2'"), [
+            {"$http": {"url": "http://svc/post", "method": "POST",
+                       "headers": {"Authorization": "Bearer tok"},
+                       "body": {"name": "$name"},
+                       "as": "r"}},
+        ], pctx).collect()
+        body = json.loads(out[0]["r"])
+        assert body["echo"] == {"name": "Bob"}
+        assert body["auth"] == "Bearer tok"
+
+    def test_error_captured(self, people, pctx):
+        out = compile_pipeline(people, [
+            {"$http": {"url": "http://svc/fail", "method": "GET",
+                       "as": "r"}},
+            {"$match": {"httpError.statusCode": 503}},
+        ], pctx)
+        assert out.count() == 4
+        assert out.collect()[0]["r"] is None
+
+    def test_unwind(self, people, pctx):
+        out = compile_pipeline(people.filter("_id='p1'"), [
+            {"$http": {"url": "http://svc/list", "method": "GET",
+                       "as": "item", "unwind": True}},
+        ], pctx).collect()
+        assert [json.loads(r["item"])["n"] for r in out] == [1, 2]
+
+
+class TestSignJwt:
+    def test_rs256_roundtrip(self, people, pctx):
+        from cryptography.hazmat.primitives import serialization
+        from cryptography.hazmat.primitives.asymmetric import rsa
+
+        key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+        pem = key.private_bytes(
+            serialization.Encoding.PEM,
+            serialization.PrivateFormat.PKCS8,
+            serialization.NoEncryption(),
+        ).decode()
+
+        out = compile_pipeline(people.filter("_id='p1'"), [
+            {"$signJwt": {"privateKey": pem, "as": "_token", "ttl": 60,
+                          "sub": "$name", "iss": "tests",
+                          "claims": {"roles": ["admin"]}}},
+        ], PipelineContext()).collect()
+        token = out[0]["_token"]
+        header, payload, sig = token.split(".")
+        import base64
+
+        def dec(part):
+            return json.loads(base64.urlsafe_b64decode(part + "=="))
+
+        assert dec(header)["alg"] == "RS256"
+        claims = dec(payload)
+        assert claims["sub"] == "Alice" and claims["iss"] == "tests"
+        assert claims["roles"] == ["admin"]
+        assert claims["exp"] - claims["iat"] == 60
+        # signature verifies against the public key
+        from cryptography.hazmat.primitives import hashes
+        from cryptography.hazmat.primitives.asymmetric import padding
+
+        key.public_key().verify(
+            base64.urlsafe_b64decode(sig + "=="),
+            f"{header}.{payload}".encode(),
+            padding.PKCS1v15(), hashes.SHA256(),
+        )
+
+
+class TestSendDelay:
+    def test_send_routes_and_passes_through(self, people, pctx):
+        out = compile_pipeline(people, [
+            {"$send": {"topic": {"$concat": ["t-", "$name"]}}},
+        ], pctx)
+        assert out.count() == 4  # pass-through
+        assert len(pctx.sends) == 1
+        routed = pctx.sends[0]
+        assert sorted(r["topic"] for r in routed.select("topic")
+                      .collect()) == ["t-Alice", "t-Bob", "t-Carol",
+                                      "t-Dave"]
+
+    def test_delay_adds_deliver_after(self, people, pctx):
+        compile_pipeline(people, [
+            {"$delay": {"duration": 5000, "topic": "retry"}},
+        ], pctx)
+        routed = pctx.sends[0].collect()
+        import time
+        now_ms = time.time() * 1000
+        assert all(r["topic"] == "retry" for r in routed)
+        assert all(r["deliver_after"] >= now_ms + 4000 for r in routed)
+
+
+class TestDelete:
+    def test_delete_from_collection(self, spark, people, pctx):
+        coll = spark.createDataFrame(
+            [("x1", "Alice"), ("x2", "Bob"), ("x3", "Zoe")],
+            "rec string, name string",
+        )
+        pctx.catalog["mycoll"] = coll
+        out = compile_pipeline(people, [
+            {"$delete": {"from": "mycoll", "on": "name"}},
+        ], pctx)
+        assert out.count() == 4  # pass-through
+        remaining = pctx.catalog["mycoll"].collect()
+        assert [r["name"] for r in remaining] == ["Zoe"]
+
+
+class TestS3:
+    def test_s3_out_and_csv_roundtrip(self, spark, pctx):
+        msgs = spark.createDataFrame(
+            [("m1", "b", "data/one.json")], "_id string, bkt string, "
+            "k string")
+        compile_pipeline(msgs, [
+            {"$s3Out": {"bucket": "$bkt", "key": "$k"}},
+        ], pctx).count()
+        stored = json.loads(pctx.object_store.read("b", "data/one.json"))
+        assert stored["_id"] == "m1"
+
+        # $s3Csv: emit one message per line with header fields + long/
+        # double/string inference (S3CsvStage.java:246-251)
+        pctx.object_store.write(
+            "b", "t.csv", b"id\tqty\tprice\tname\n1\t5\t9.5\twidget\n"
+            b"2\t6\t8.25\tgadget\n")
+        ev = spark.createDataFrame([("e1", "b", "t.csv")],
+                                   "_id string, bucket string, key string")
+        out = compile_pipeline(ev, [
+            {"$s3Csv": {"bucket": "$bucket", "key": "$key",
+                        "separator": "\t"}},
+        ], pctx).collect()
+        docs = [json.loads(r["value"]) for r in out]
+        assert docs[0] == {"id": 1, "qty": 5, "price": 9.5,
+                           "name": "widget"}
+        assert isinstance(docs[1]["qty"], int)
+
+    def test_s3_transfer(self, spark, pctx):
+        msgs = spark.createDataFrame([("m1",)], "_id string")
+        out = compile_pipeline(msgs, [
+            {"$s3Transfer": {"url": "http://svc/obj", "bucket": "b2",
+                             "key": "fetched.json", "as": "loc"}},
+        ], pctx).collect()
+        assert out[0]["loc"] == "s3://b2/fetched.json"
+        assert pctx.object_store.read("b2", "fetched.json")
+
+    def test_s3_attachments(self, spark, pctx):
+        pctx.object_store.write("b", "a1.txt", b"hello")
+        pctx.object_store.write("b", "a2.txt", b"world")
+        msgs = spark.createDataFrame([("m1",)], "_id string")
+        out = compile_pipeline(msgs, [
+            {"$s3Attachments": {
+                "url": "http://svc/post",
+                "attachments": {"$literal": [
+                    {"bucket": "b", "key": "a1.txt",
+                     "x-my-header": "v"},
+                    {"bucket": "b", "key": "a2.txt"},
+                ]},
+            }},
+        ], pctx).collect()
+        assert out[0]["httpError"] is None
