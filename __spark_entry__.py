@@ -643,6 +643,220 @@ GROUP BY 1, 2
 """
 
 
+def q_redact(spark, sf_dir):
+    """$redact stage (docs/aggregation_stages.md:491-513): prune whole
+    documents via $$PRUNE/$$DESCEND decisions."""
+    return _pipe(spark, sf_dir, "orders", [
+        {"$project": {"_id": 0, "o_orderkey": 1, "o_orderstatus": 1,
+                      "o_totalprice": 1}},
+        {"$redact": {"$cond": [{"$eq": ["$o_orderstatus", "F"]},
+                               "$$PRUNE", "$$DESCEND"]}},
+        {"$project": {"o_orderkey": 1,
+                      "o_totalprice": {"$round": ["$o_totalprice", 2]}}},
+    ])
+
+
+_ORACLE_REDACT = """
+SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+FROM orders WHERE o_orderstatus <> 'F'
+"""
+
+
+def q_replace_root(spark, sf_dir):
+    """$replaceRoot (docs/aggregation_stages.md:515-548): promote a
+    computed subdocument to the message root."""
+    return _pipe(spark, sf_dir, "orders", [
+        {"$addFields": {"sub": {"okey": "$o_orderkey",
+                                "price": "$o_totalprice",
+                                "year": {"$toLong":
+                                         {"$toYear": "$o_orderdate"}}}}},
+        {"$replaceRoot": {"newRoot": "$sub"}},
+        {"$project": {"okey": 1, "year": 1,
+                      "price": {"$round": ["$price", 2]}}},
+    ])
+
+
+_ORACLE_REPLACE_ROOT = """
+SELECT o_orderkey AS okey, CAST(year(o_orderdate) AS BIGINT) AS year,
+       round(o_totalprice, 2) AS price
+FROM orders
+"""
+
+
+def q_array_setops(spark, sf_dir):
+    """Set operators on arrays (docs/aggregation_operators.md:648-723)."""
+    return _pipe(spark, sf_dir, "part", [
+        {"$set": {"words": {"$split": ["$p_name", " "]}}},
+        {"$project": {
+            "_id": 0,
+            "p_partkey": 1,
+            "n_union": {"$toLong": {"$size": {"$setUnion":
+                                              ["$words",
+                                               ["red", "green", "blue"]]}}},
+            "n_inter": {"$toLong": {"$size": {"$setIntersection":
+                                              ["$words",
+                                               ["red", "green", "blue"]]}}},
+            "n_diff": {"$toLong": {"$size": {"$setDifference":
+                                             ["$words",
+                                              ["red", "green", "blue"]]}}},
+            "has_any_color": {"$anyElementTrue": [{"$map": {
+                "input": "$words", "as": "w",
+                "in": {"$in": ["$$w", ["red", "green", "blue"]]}}}]},
+        }},
+    ])
+
+
+_ORACLE_SETOPS = """
+WITH w AS (
+  SELECT p_partkey, list_distinct(string_split(p_name, ' ')) AS words
+  FROM part
+)
+SELECT p_partkey,
+       CAST(len(list_distinct(words || ['red','green','blue'])) AS BIGINT)
+         AS n_union,
+       CAST(len(list_intersect(words, ['red','green','blue'])) AS BIGINT)
+         AS n_inter,
+       CAST(len(list_filter(words,
+                 x -> NOT list_contains(['red','green','blue'], x)))
+            AS BIGINT) AS n_diff,
+       len(list_intersect(words, ['red','green','blue'])) > 0
+         AS has_any_color
+FROM w
+"""
+
+
+def q_match_arrays(spark, sf_dir):
+    """Array query operators in $match: $size/$all/$elemMatch
+    (docs/query.md:198-230) over per-customer order-priority arrays."""
+    return _pipe(spark, sf_dir, "orders", [
+        {"$group": {"_id": "$o_custkey",
+                    "prios": {"$addToSet": "$o_orderpriority"},
+                    "n": {"$count": {}}}},
+        {"$match": {"prios": {"$size": 5},
+                    "$and": [{"prios": {"$all": ["1-URGENT", "2-HIGH"]}},
+                             {"prios": {"$elemMatch":
+                                        {"$regex": "^5-"}}}]}},
+        {"$project": {"_id": 0, "o_custkey": "$_id", "n": 1}},
+    ])
+
+
+_ORACLE_MATCH_ARRAYS = """
+SELECT o_custkey, count(*) AS n
+FROM orders GROUP BY o_custkey
+HAVING count(DISTINCT o_orderpriority) = 5
+   AND bool_or(o_orderpriority = '1-URGENT')
+   AND bool_or(o_orderpriority = '2-HIGH')
+   AND bool_or(o_orderpriority LIKE '5-%')
+"""
+
+
+def q_jq_stage(spark, sf_dir):
+    """$jq whole-message transform (docs/aggregation_stages.md:245-277)
+    through the embedded jq-subset interpreter, typed output."""
+    return _pipe(spark, sf_dir, "orders", [
+        {"$match": {"o_orderkey": {"$lte": 2000}}},
+        {"$jq": {
+            "script": "{okey: .o_orderkey, "
+                      "band: (if .o_totalprice > 150000 then \"hi\" "
+                      "else \"lo\" end), "
+                      "prio_no: (.o_orderpriority | split(\"-\") "
+                      "| .[0] | tonumber)}",
+            "schema": "okey bigint, band string, prio_no bigint"}},
+    ])
+
+
+_ORACLE_JQ = """
+SELECT o_orderkey AS okey,
+       CASE WHEN o_totalprice > 150000 THEN 'hi' ELSE 'lo' END AS band,
+       CAST(string_split(o_orderpriority, '-')[1] AS BIGINT) AS prio_no
+FROM orders WHERE o_orderkey <= 2000
+"""
+
+
+def q_region_revenue(spark, sf_dir):
+    """Star-join chain via chained $lookup(unwind): lineitem -> orders ->
+    customer -> nation -> region, revenue per region (the broadcast-join
+    showcase: every dimension side is small)."""
+    return _pipe(spark, sf_dir, "lineitem", [
+        {"$lookup": {"from": "orders", "localField": "l_orderkey",
+                     "foreignField": "o_orderkey", "as": "o",
+                     "unwind": True}},
+        {"$lookup": {"from": "customer", "localField": "o.o_custkey",
+                     "foreignField": "c_custkey", "as": "c",
+                     "unwind": True}},
+        {"$lookup": {"from": "nation", "localField": "c.c_nationkey",
+                     "foreignField": "n_nationkey", "as": "n",
+                     "unwind": True}},
+        {"$lookup": {"from": "region", "localField": "n.n_regionkey",
+                     "foreignField": "r_regionkey", "as": "r",
+                     "unwind": True}},
+        {"$group": {"_id": "$r.r_name",
+                    "revenue": {"$sum": {"$multiply": [
+                        "$l_extendedprice",
+                        {"$subtract": [1, "$l_discount"]}]}},
+                    "n_items": {"$count": {}}}},
+        {"$project": {"_id": 0, "r_name": "$_id", "n_items": 1,
+                      "revenue": {"$round": ["$revenue", 2]}}},
+    ], catalog_tables=("orders", "customer", "nation", "region"))
+
+
+_ORACLE_REGION_REVENUE = """
+SELECT r_name, count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_top_customers(spark, sf_dir):
+    """Batch-order extensions $sort_ext/$limit (SURVEY §2.5 — streams are
+    unordered in the reference; batch pipelines need top-k)."""
+    return _pipe(spark, sf_dir, "orders", [
+        {"$group": {"_id": "$o_custkey",
+                    "spend": {"$sum": "$o_totalprice"}}},
+        {"$project": {"_id": 0, "o_custkey": "$_id",
+                      "spend": {"$round": ["$spend", 2]}}},
+        {"$sort_ext": {"spend": -1, "o_custkey": 1}},
+        {"$limit": 10},
+    ])
+
+
+_ORACLE_TOP_CUSTOMERS = """
+SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+FROM orders GROUP BY o_custkey
+ORDER BY spend DESC, o_custkey LIMIT 10
+"""
+
+
+def q_aggregate_fold(spark, sf_dir):
+    """Event-sourcing aggregate part (docs/state.md, SURVEY §2.8): fold
+    put commands per customer; emits the aggregate stream.  Stateful and
+    order-dependent -> rows-only driver check (no SQL oracle)."""
+    from pincette_json_streams_spark import Application
+
+    orders = _t(spark, sf_dir, "orders")
+    commands = orders.select(
+        F.col("o_custkey").cast("string").alias("_id"),
+        F.lit("put").alias("_command"),
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_totalprice").alias("price"),
+    )
+    app = Application(
+        {"application": "shop", "parts": [
+            {"type": "aggregate", "aggregateType": "cust"},
+        ]},
+        {"shop-cust-command": commands},
+    )
+    agg = app.streams["shop-cust-aggregate"]
+    return agg.groupBy("_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_versions")
+    )
+
+
 # ===========================================================================
 # 2. Training-data operators (dedup / similarity / text — SURVEY plus-scope)
 # ===========================================================================
@@ -990,6 +1204,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "type_convert": q_type_convert,
         "validate": q_validate,
         "events_funnel": q_events_funnel,
+        "redact": q_redact,
+        "replace_root": q_replace_root,
+        "array_setops": q_array_setops,
+        "match_arrays": q_match_arrays,
+        "jq_stage": q_jq_stage,
+        "region_revenue": q_region_revenue,
+        "top_customers": q_top_customers,
+        "aggregate_fold": q_aggregate_fold,
         # training-data operators
         "text_stats": q_text_stats,
         "dedup_exact": q_dedup_exact,
@@ -1024,6 +1246,14 @@ def oracle_sql() -> dict[str, str]:
         "type_convert": _ORACLE_CONVERT,
         "validate": _ORACLE_VALIDATE,
         "events_funnel": _ORACLE_EVENTS,
+        "redact": _ORACLE_REDACT,
+        "replace_root": _ORACLE_REPLACE_ROOT,
+        "array_setops": _ORACLE_SETOPS,
+        "match_arrays": _ORACLE_MATCH_ARRAYS,
+        "jq_stage": _ORACLE_JQ,
+        "region_revenue": _ORACLE_REGION_REVENUE,
+        "top_customers": _ORACLE_TOP_CUSTOMERS,
+        # aggregate_fold: stateful event-sourcing fold — rows-only check
         "text_stats": _oracle_text_stats(),
         "dedup_exact": _ORACLE_DEDUP_EXACT,
         "dedup_minhash": _oracle_minhash(),

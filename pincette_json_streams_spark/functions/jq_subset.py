@@ -1,0 +1,944 @@
+"""A self-contained JQ-subset interpreter.
+
+The reference treats JQ as the *preferred* script language for reducers
+and the $jq stage/operator (/root/reference/docs/index.md:11,
+docs/aggregation_stages.md:245-277, docs/aggregation_operators.md:1163;
+script compilation App.java:1212-1263).  No maintained jq binding exists
+in this runtime, so this module implements the subset the reference's
+corpus and docs exercise, from the public jq language manual:
+
+  - pipes ``a | b``, comma streams ``a, b``, parentheses
+  - identity ``.``, field paths ``.a.b``, optional ``.a?``, iteration
+    ``.[]``, indexing ``.[0]``, slices ``.[1:3]``, generic ``.[expr]``
+  - literals (numbers, strings with ``\\(interpolation)``, true/false/null),
+    array ``[...]`` and object ``{a: v, "b": v, c, (expr): v}`` construction
+  - arithmetic ``+ - * / %`` (jq semantics: + merges objects, concatenates
+    arrays/strings), comparisons, ``and/or/not``, alternative ``//``
+  - ``if .. then .. elif .. else .. end``, ``reduce EXPR as $v (init; f)``
+  - assignment ``.path = v``, update ``.path |= f``, arithmetic update
+    ``.path += v``
+  - variables ``EXPR as $x | body``
+  - ``def name: body;`` / ``def name(params): body;``, file ``import``s
+    with namespaces (``import "x.jq" as ns;`` then ``ns::name``)
+  - builtins: length, keys, has, del, map, select, add, any, all, range,
+    floor, ceil, sqrt, fabs, tostring, tonumber, type, not, empty, error,
+    ascii_downcase, ascii_upcase, split, join, ltrimstr, rtrimstr,
+    startswith, endswith, contains, test, reverse, sort, sort_by, unique,
+    min, max, first, last, to_entries, from_entries
+
+Evaluation is generator-based like jq itself: every expression yields a
+*stream* of values.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import re
+from typing import Any, Callable, Iterable, Iterator
+
+__all__ = ["compile_jq", "JqError"]
+
+
+class JqError(ValueError):
+    pass
+
+
+# --------------------------------------------------------------------------
+# lexer
+# --------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(r"""
+    (?P<ws>\s+|\#[^\n]*)
+  | (?P<num>\d+(\.\d+)?([eE][+-]?\d+)?)
+  | (?P<str>"(?:[^"\\]|\\.)*")
+  | (?P<op>\.\.|\|=|\+=|-=|==|!=|<=|>=|//|::|\||\.|\[|\]|\{|\}|\(|\)|,|:|;|\+|-|\*|/|%|<|>|=|\?|\$|@)
+  | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
+""", re.VERBOSE)
+
+_KEYWORDS = {"if", "then", "elif", "else", "end", "and", "or", "not",
+             "def", "as", "import", "reduce", "true", "false", "null"}
+
+
+def _lex(src: str) -> list[tuple[str, str]]:
+    out = []
+    pos = 0
+    while pos < len(src):
+        m = _TOKEN_RE.match(src, pos)
+        if not m:
+            raise JqError(f"jq: bad character at {src[pos:pos+20]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        text = m.group()
+        if kind == "ident" and text in _KEYWORDS:
+            out.append(("kw", text))
+        else:
+            out.append((kind, text))
+    out.append(("eof", ""))
+    return out
+
+
+# --------------------------------------------------------------------------
+# parser -> AST (tuples)
+# --------------------------------------------------------------------------
+
+class _Parser:
+    def __init__(self, tokens: list[tuple[str, str]]):
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i]
+
+    def next(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def accept(self, kind, text=None):
+        k, v = self.peek()
+        if k == kind and (text is None or v == text):
+            self.i += 1
+            return v
+        return None
+
+    def expect(self, kind, text=None):
+        got = self.accept(kind, text)
+        if got is None:
+            raise JqError(
+                f"jq: expected {text or kind}, got {self.peek()!r}")
+        return got
+
+    # program := (import ';')* (def ';')* pipe
+    def program(self):
+        imports = []
+        while self.peek() == ("kw", "import"):
+            self.next()
+            path = json.loads(self.expect("str"))
+            self.expect("kw", "as")
+            ns = self.expect("ident")
+            self.expect("op", ";")
+            imports.append((path, ns))
+        defs = []
+        while self.peek() == ("kw", "def"):
+            defs.append(self._def())
+        body = self.pipe()
+        self.expect("eof")
+        return ("program", imports, defs, body)
+
+    def _def(self):
+        self.expect("kw", "def")
+        name = self.expect("ident")
+        params = []
+        if self.accept("op", "("):
+            while True:
+                self.expect("op", "$")
+                params.append(self.expect("ident"))
+                if not self.accept("op", ";"):
+                    break
+            self.expect("op", ")")
+        self.expect("op", ":")
+        body = self.pipe()
+        self.expect("op", ";")
+        return (name, params, body)
+
+    def pipe(self):
+        left = self.comma()
+        if self.accept("op", "|"):
+            return ("pipe", left, self.pipe())
+        return left
+
+    def comma(self):
+        left = self.assign()
+        if self.accept("op", ","):
+            return ("comma", left, self.comma())
+        return left
+
+    def assign(self):
+        left = self.alt()
+        k, v = self.peek()
+        if k == "op" and v in ("=", "|=", "+=", "-="):
+            self.next()
+            right = self.alt()
+            return ("assign", v, left, right)
+        if self.peek() == ("kw", "as"):
+            self.next()
+            self.expect("op", "$")
+            var = self.expect("ident")
+            self.expect("op", "|")
+            body = self.pipe()
+            return ("bind", left, var, body)
+        return left
+
+    def alt(self):
+        left = self.or_()
+        if self.accept("op", "//"):
+            return ("alt", left, self.alt())
+        return left
+
+    def or_(self):
+        left = self.and_()
+        while self.peek() == ("kw", "or"):
+            self.next()
+            left = ("or", left, self.and_())
+        return left
+
+    def and_(self):
+        left = self.cmp()
+        while self.peek() == ("kw", "and"):
+            self.next()
+            left = ("and", left, self.cmp())
+        return left
+
+    def cmp(self):
+        left = self.addsub()
+        k, v = self.peek()
+        if k == "op" and v in ("==", "!=", "<", "<=", ">", ">="):
+            self.next()
+            return ("cmp", v, left, self.addsub())
+        return left
+
+    def addsub(self):
+        left = self.muldiv()
+        while True:
+            k, v = self.peek()
+            if k == "op" and v in ("+", "-"):
+                self.next()
+                left = ("arith", v, left, self.muldiv())
+            else:
+                return left
+
+    def muldiv(self):
+        left = self.unary()
+        while True:
+            k, v = self.peek()
+            if k == "op" and v in ("*", "/", "%"):
+                self.next()
+                left = ("arith", v, left, self.unary())
+            else:
+                return left
+
+    def unary(self):
+        if self.accept("op", "-"):
+            return ("neg", self.postfix())
+        return self.postfix()
+
+    def postfix(self):
+        node = self.primary()
+        while True:
+            k, v = self.peek()
+            if k == "op" and v == ".":
+                # .foo after an expression (e.g. $x.foo)
+                nxt = self.toks[self.i + 1]
+                if nxt[0] == "ident":
+                    self.next()
+                    node = ("index", node, ("lit", self.next()[1]))
+                    continue
+                break
+            if k == "op" and v == "[":
+                self.next()
+                if self.accept("op", "]"):
+                    node = ("iterate", node)
+                elif self.accept("op", ":"):
+                    hi = self.pipe()
+                    self.expect("op", "]")
+                    node = ("slice", node, None, hi)
+                else:
+                    idx = self.pipe()
+                    if self.accept("op", ":"):
+                        if self.peek() == ("op", "]"):
+                            hi = None
+                        else:
+                            hi = self.pipe()
+                        self.expect("op", "]")
+                        node = ("slice", node, idx, hi)
+                    else:
+                        self.expect("op", "]")
+                        node = ("index", node, idx)
+                continue
+            if k == "op" and v == "?":
+                self.next()
+                node = ("try", node)
+                continue
+            return node
+        return node
+
+    def primary(self):
+        k, v = self.peek()
+        if k == "op" and v == ".":
+            self.next()
+            k2, v2 = self.peek()
+            if k2 == "ident":
+                self.next()
+                return ("index", ("identity",), ("lit", v2))
+            if k2 == "str":
+                self.next()
+                return ("index", ("identity",), ("lit", json.loads(v2)))
+            return ("identity",)
+        if k == "num":
+            self.next()
+            f = float(v)
+            return ("lit", int(f) if f.is_integer() and "." not in v
+                    and "e" not in v.lower() else f)
+        if k == "str":
+            self.next()
+            return self._string(v)
+        if k == "kw" and v in ("true", "false", "null"):
+            self.next()
+            return ("lit", {"true": True, "false": False,
+                            "null": None}[v])
+        if k == "kw" and v == "if":
+            return self._if()
+        if k == "kw" and v == "not":
+            self.next()
+            return ("call", "not", [])
+        if k == "kw" and v == "reduce":
+            return self._reduce()
+        if k == "op" and v == "$":
+            self.next()
+            return ("var", self.expect("ident"))
+        if k == "op" and v == "(":
+            self.next()
+            node = self.pipe()
+            self.expect("op", ")")
+            return node
+        if k == "op" and v == "[":
+            self.next()
+            if self.accept("op", "]"):
+                return ("array", None)
+            node = self.pipe()
+            self.expect("op", "]")
+            return ("array", node)
+        if k == "op" and v == "{":
+            return self._object()
+        if k == "ident":
+            self.next()
+            if self.accept("op", "::"):
+                name = self.expect("ident")
+                return self._call(f"{v}::{name}")
+            return self._call(v)
+        raise JqError(f"jq: unexpected token {self.peek()!r}")
+
+    def _call(self, name):
+        args = []
+        if self.accept("op", "("):
+            while True:
+                args.append(self.pipe())
+                if not self.accept("op", ";"):
+                    break
+            self.expect("op", ")")
+        return ("call", name, args)
+
+    def _string(self, raw):
+        # handle \(...) interpolation
+        body = raw[1:-1]
+        parts: list = []
+        buf = ""
+        i = 0
+        while i < len(body):
+            if body[i] == "\\" and i + 1 < len(body) and body[i+1] == "(":
+                depth = 1
+                j = i + 2
+                while j < len(body) and depth:
+                    if body[j] == "(":
+                        depth += 1
+                    elif body[j] == ")":
+                        depth -= 1
+                    j += 1
+                if buf:
+                    parts.append(("lit", json.loads(f'"{buf}"')))
+                    buf = ""
+                inner = _Parser(_lex(body[i+2:j-1])).pipe()
+                parts.append(("call", "tostring_i", [inner]))
+                i = j
+            else:
+                if body[i] == "\\":
+                    buf += body[i:i+2]
+                    i += 2
+                else:
+                    buf += body[i]
+                    i += 1
+        if buf or not parts:
+            parts.append(("lit", json.loads(f'"{buf}"')))
+        if len(parts) == 1:
+            return parts[0]
+        node = parts[0]
+        for p in parts[1:]:
+            node = ("arith", "+", node, p)
+        return node
+
+    def _if(self):
+        self.expect("kw", "if")
+        cond = self.pipe()
+        self.expect("kw", "then")
+        then = self.pipe()
+        branches = [(cond, then)]
+        alt = ("identity",)
+        while True:
+            k, v = self.peek()
+            if (k, v) == ("kw", "elif"):
+                self.next()
+                c = self.pipe()
+                self.expect("kw", "then")
+                t = self.pipe()
+                branches.append((c, t))
+            elif (k, v) == ("kw", "else"):
+                self.next()
+                alt = self.pipe()
+            elif (k, v) == ("kw", "end"):
+                self.next()
+                return ("if", branches, alt)
+            else:
+                raise JqError(f"jq: bad if, got {self.peek()!r}")
+
+    def _reduce(self):
+        self.expect("kw", "reduce")
+        src = self.postfix()
+        self.expect("kw", "as")
+        self.expect("op", "$")
+        var = self.expect("ident")
+        self.expect("op", "(")
+        init = self.pipe()
+        self.expect("op", ";")
+        upd = self.pipe()
+        self.expect("op", ")")
+        return ("reduce", src, var, init, upd)
+
+    def _objval(self):
+        # object values allow pipes but not commas: {a: .x | f, b: 2}
+        left = self.assign()
+        if self.accept("op", "|"):
+            return ("pipe", left, self._objval())
+        return left
+
+    def _object(self):
+        self.expect("op", "{")
+        entries = []
+        if self.accept("op", "}"):
+            return ("object", entries)
+        while True:
+            k, v = self.peek()
+            if k == "str":
+                self.next()
+                key = ("lit", json.loads(v))
+            elif k == "op" and v == "(":
+                self.next()
+                key = self.pipe()
+                self.expect("op", ")")
+            elif k == "ident" or (k == "kw"):
+                self.next()
+                key = ("lit", v)
+            elif k == "op" and v == "$":
+                self.next()
+                name = self.expect("ident")
+                entries.append((("lit", name), ("var", name)))
+                if not self.accept("op", ","):
+                    break
+                continue
+            else:
+                raise JqError(f"jq: bad object key {self.peek()!r}")
+            if self.accept("op", ":"):
+                val = self._objval()
+            else:
+                val = ("index", ("identity",), key)
+            entries.append((key, val))
+            if not self.accept("op", ","):
+                break
+        self.expect("op", "}")
+        return ("object", entries)
+
+
+# --------------------------------------------------------------------------
+# evaluator (stream semantics)
+# --------------------------------------------------------------------------
+
+def _truthy(v) -> bool:
+    return v is not None and v is not False
+
+
+def _tostr(v) -> str:
+    if isinstance(v, str):
+        return v
+    return json.dumps(v, separators=(",", ":"))
+
+
+class _Env:
+    def __init__(self, funcs, variables):
+        self.funcs = funcs
+        self.vars = variables
+
+    def child_vars(self, extra):
+        e = _Env(self.funcs, dict(self.vars))
+        e.vars.update(extra)
+        return e
+
+
+def _eval(node, inp, env: _Env) -> Iterator[Any]:
+    tag = node[0]
+    if tag == "identity":
+        yield inp
+    elif tag == "lit":
+        yield node[1]
+    elif tag == "pipe":
+        for v in _eval(node[1], inp, env):
+            yield from _eval(node[2], v, env)
+    elif tag == "comma":
+        yield from _eval(node[1], inp, env)
+        yield from _eval(node[2], inp, env)
+    elif tag == "index":
+        for base in _eval(node[1], inp, env):
+            for k in _eval(node[2], inp, env):
+                if base is None:
+                    yield None
+                elif isinstance(base, dict):
+                    yield base.get(k)
+                elif isinstance(base, list) and isinstance(k, int):
+                    n = len(base)
+                    i = k if k >= 0 else n + k
+                    yield base[i] if 0 <= i < n else None
+                else:
+                    raise JqError(
+                        f"jq: cannot index {type(base).__name__}")
+    elif tag == "slice":
+        for base in _eval(node[1], inp, env):
+            lo = next(_eval(node[2], inp, env)) if node[2] else None
+            hi = next(_eval(node[3], inp, env)) if node[3] else None
+            yield base[lo:hi] if base is not None else None
+    elif tag == "iterate":
+        for base in _eval(node[1], inp, env):
+            if isinstance(base, list):
+                yield from base
+            elif isinstance(base, dict):
+                yield from base.values()
+            elif base is None:
+                pass
+            else:
+                raise JqError(
+                    f"jq: cannot iterate {type(base).__name__}")
+    elif tag == "try":
+        try:
+            yield from list(_eval(node[1], inp, env))
+        except JqError:
+            pass
+    elif tag == "neg":
+        for v in _eval(node[1], inp, env):
+            yield -v
+    elif tag == "arith":
+        op = node[1]
+        for a in _eval(node[2], inp, env):
+            for b in _eval(node[3], inp, env):
+                yield _arith(op, a, b)
+    elif tag == "cmp":
+        op = node[1]
+        for a in _eval(node[2], inp, env):
+            for b in _eval(node[3], inp, env):
+                yield {
+                    "==": lambda: a == b, "!=": lambda: a != b,
+                    "<": lambda: _lt(a, b), "<=": lambda: not _lt(b, a),
+                    ">": lambda: _lt(b, a), ">=": lambda: not _lt(a, b),
+                }[op]()
+    elif tag == "and":
+        for a in _eval(node[1], inp, env):
+            if not _truthy(a):
+                yield False
+            else:
+                for b in _eval(node[2], inp, env):
+                    yield _truthy(b)
+    elif tag == "or":
+        for a in _eval(node[1], inp, env):
+            if _truthy(a):
+                yield True
+            else:
+                for b in _eval(node[2], inp, env):
+                    yield _truthy(b)
+    elif tag == "alt":
+        produced = False
+        try:
+            for v in _eval(node[1], inp, env):
+                if _truthy(v):
+                    produced = True
+                    yield v
+        except JqError:
+            pass
+        if not produced:
+            yield from _eval(node[2], inp, env)
+    elif tag == "if":
+        for branches, alt in [(node[1], node[2])]:
+            def run(i):
+                if i >= len(branches):
+                    yield from _eval(alt, inp, env)
+                    return
+                cond, then = branches[i]
+                for c in _eval(cond, inp, env):
+                    if _truthy(c):
+                        yield from _eval(then, inp, env)
+                    else:
+                        yield from run(i + 1)
+            yield from run(0)
+    elif tag == "array":
+        if node[1] is None:
+            yield []
+        else:
+            yield list(_eval(node[1], inp, env))
+    elif tag == "object":
+        def build(i, acc):
+            if i == len(node[1]):
+                yield dict(acc)
+                return
+            kexpr, vexpr = node[1][i]
+            for k in _eval(kexpr, inp, env):
+                for v in _eval(vexpr, inp, env):
+                    yield from build(i + 1, acc + [(k, v)])
+        yield from build(0, [])
+    elif tag == "var":
+        if node[1] not in env.vars:
+            raise JqError(f"jq: undefined variable ${node[1]}")
+        yield env.vars[node[1]]
+    elif tag == "bind":
+        for v in _eval(node[1], inp, env):
+            yield from _eval(node[3], inp, env.child_vars({node[2]: v}))
+    elif tag == "reduce":
+        for init in _eval(node[3], inp, env):
+            acc = init
+            for v in _eval(node[1], inp, env):
+                e2 = env.child_vars({node[2]: v})
+                results = list(_eval(node[4], acc, e2))
+                acc = results[-1] if results else None
+            yield acc
+    elif tag == "assign":
+        yield from _assign(node, inp, env)
+    elif tag == "call":
+        yield from _call(node[1], node[2], inp, env)
+    else:
+        raise JqError(f"jq: unhandled node {tag}")
+
+
+def _lt(a, b):
+    ta, tb = _type_rank(a), _type_rank(b)
+    if ta != tb:
+        return ta < tb
+    if isinstance(a, (list, tuple)):
+        return list(a) < list(b)
+    if isinstance(a, dict):
+        return sorted(a.items()) < sorted(b.items())
+    if a is None:
+        return False
+    if isinstance(a, bool):
+        return (not a) and b
+    return a < b
+
+
+def _type_rank(v):
+    if v is None:
+        return 0
+    if isinstance(v, bool):
+        return 1
+    if isinstance(v, (int, float)):
+        return 2
+    if isinstance(v, str):
+        return 3
+    if isinstance(v, list):
+        return 4
+    return 5
+
+
+def _arith(op, a, b):
+    if op == "+":
+        if a is None:
+            return b
+        if b is None:
+            return a
+        if isinstance(a, dict) and isinstance(b, dict):
+            out = dict(a)
+            out.update(b)
+            return out
+        if isinstance(a, list) and isinstance(b, list):
+            return a + b
+        if isinstance(a, str) or isinstance(b, str):
+            return _tostr(a) + _tostr(b) if not (
+                isinstance(a, str) and isinstance(b, str)) else a + b
+        return a + b
+    if op == "-":
+        if isinstance(a, list) and isinstance(b, list):
+            return [x for x in a if x not in b]
+        return a - b
+    if op == "*":
+        if isinstance(a, dict) and isinstance(b, dict):
+            out = dict(a)
+            for k, v in b.items():
+                if isinstance(v, dict) and isinstance(out.get(k), dict):
+                    out[k] = _arith("*", out[k], v)
+                else:
+                    out[k] = v
+            return out
+        return a * b
+    if op == "/":
+        if isinstance(a, str) and isinstance(b, str):
+            return a.split(b)
+        if b == 0:
+            raise JqError("jq: division by zero")
+        return a / b
+    if op == "%":
+        return int(a) % int(b)
+    raise JqError(f"jq: bad arith {op}")
+
+
+def _path_of(node, inp, env) -> list:
+    """Resolve an lvalue expression to a concrete path list."""
+    if node[0] == "identity":
+        return []
+    if node[0] == "index":
+        base = _path_of(node[1], inp, env)
+        key = next(_eval(node[2], inp, env))
+        return base + [key]
+    raise JqError("jq: unsupported assignment target")
+
+
+def _get_in(doc, path):
+    cur = doc
+    for k in path:
+        if isinstance(cur, dict):
+            cur = cur.get(k)
+        elif isinstance(cur, list) and isinstance(k, int):
+            cur = cur[k] if 0 <= k < len(cur) else None
+        else:
+            return None
+    return cur
+
+
+def _set_in(doc, path, value):
+    if not path:
+        return value
+    head, rest = path[0], path[1:]
+    if isinstance(head, int):
+        out = list(doc) if isinstance(doc, list) else []
+        while len(out) <= head:
+            out.append(None)
+        out[head] = _set_in(out[head], rest, value)
+        return out
+    out = dict(doc) if isinstance(doc, dict) else {}
+    out[head] = _set_in(out.get(head), rest, value)
+    return out
+
+
+def _del_in(doc, path):
+    if not path:
+        return None
+    if len(path) == 1:
+        if isinstance(doc, dict):
+            out = dict(doc)
+            out.pop(path[0], None)
+            return out
+        if isinstance(doc, list) and isinstance(path[0], int):
+            return [x for i, x in enumerate(doc) if i != path[0]]
+        return doc
+    if isinstance(doc, dict):
+        out = dict(doc)
+        if path[0] in out:
+            out[path[0]] = _del_in(out[path[0]], path[1:])
+        return out
+    return doc
+
+
+def _assign(node, inp, env):
+    op, target, rhs = node[1], node[2], node[3]
+    path = _path_of(target, inp, env)
+    if op == "=":
+        for v in _eval(rhs, inp, env):
+            yield _set_in(inp, path, v)
+    elif op == "|=":
+        cur = _get_in(inp, path)
+        for v in _eval(rhs, cur, env):
+            yield _set_in(inp, path, v)
+    elif op in ("+=", "-="):
+        cur = _get_in(inp, path)
+        for v in _eval(rhs, inp, env):
+            yield _set_in(inp, path,
+                          _arith(op[0], cur, v))
+    else:
+        raise JqError(f"jq: bad assignment {op}")
+
+
+def _call(name, args, inp, env: _Env):
+    if name in env.funcs:
+        params, body, closure_funcs = env.funcs[name]
+        if len(params) != len(args):
+            raise JqError(f"jq: {name} expects {len(params)} args")
+        bound = {}
+        for p, a in zip(params, args):
+            vals = list(_eval(a, inp, env))
+            bound[p] = vals[0] if vals else None
+        call_env = _Env(closure_funcs, dict(env.vars))
+        call_env.vars.update(bound)
+        yield from _eval(body, inp, call_env)
+        return
+
+    def one(i=0):
+        return next(_eval(args[i], inp, env))
+
+    if name == "length":
+        yield 0 if inp is None else (
+            abs(inp) if isinstance(inp, (int, float)) else len(inp))
+    elif name == "keys":
+        yield sorted(inp.keys()) if isinstance(inp, dict) else \
+            list(range(len(inp)))
+    elif name == "has":
+        k = one()
+        yield (k in inp) if isinstance(inp, dict) else (
+            isinstance(k, int) and 0 <= k < len(inp))
+    elif name == "del":
+        path = _path_of(args[0], inp, env)
+        yield _del_in(inp, path)
+    elif name == "map":
+        out = []
+        for x in inp:
+            out.extend(_eval(args[0], x, env))
+        yield out
+    elif name == "select":
+        for c in _eval(args[0], inp, env):
+            if _truthy(c):
+                yield inp
+    elif name == "add":
+        if not inp:
+            yield None
+        else:
+            acc = inp[0]
+            for x in inp[1:]:
+                acc = _arith("+", acc, x)
+            yield acc
+    elif name in ("any", "all"):
+        f = (lambda x: _truthy(x)) if not args else (
+            lambda x: any(_truthy(v) for v in _eval(args[0], x, env)))
+        yield (any if name == "any" else all)(f(x) for x in inp)
+    elif name == "range":
+        if len(args) == 1:
+            yield from range(int(one()))
+        else:
+            lo, hi = int(one(0)), int(one(1))
+            yield from range(lo, hi)
+    elif name == "floor":
+        yield math.floor(inp)
+    elif name == "ceil":
+        yield math.ceil(inp)
+    elif name == "sqrt":
+        yield math.sqrt(inp)
+    elif name == "fabs":
+        yield abs(inp)
+    elif name in ("tostring", "tostring_i"):
+        v = one() if args else inp
+        yield _tostr(v)
+    elif name == "tonumber":
+        v = one() if args else inp
+        f = float(v)
+        yield int(f) if f.is_integer() else f
+    elif name == "type":
+        yield {0: "null", 1: "boolean", 2: "number", 3: "string",
+               4: "array", 5: "object"}[_type_rank(inp)]
+    elif name == "not":
+        yield not _truthy(inp)
+    elif name == "empty":
+        return
+    elif name == "error":
+        raise JqError(_tostr(one() if args else inp))
+    elif name == "ascii_downcase":
+        yield inp.lower()
+    elif name == "ascii_upcase":
+        yield inp.upper()
+    elif name == "split":
+        yield inp.split(one())
+    elif name == "join":
+        sep = one()
+        yield sep.join(_tostr(x) if not isinstance(x, str) else x
+                       for x in inp)
+    elif name == "ltrimstr":
+        s = one()
+        yield inp[len(s):] if isinstance(inp, str) and \
+            inp.startswith(s) else inp
+    elif name == "rtrimstr":
+        s = one()
+        yield inp[:-len(s)] if isinstance(inp, str) and s and \
+            inp.endswith(s) else inp
+    elif name == "startswith":
+        yield inp.startswith(one())
+    elif name == "endswith":
+        yield inp.endswith(one())
+    elif name == "contains":
+        c = one()
+        yield c in inp if isinstance(inp, (str, list)) else False
+    elif name == "test":
+        yield re.search(one(), inp) is not None
+    elif name == "reverse":
+        yield list(reversed(inp))
+    elif name == "sort":
+        yield sorted(inp, key=_sort_key)
+    elif name == "sort_by":
+        yield sorted(inp, key=lambda x: _sort_key(
+            next(_eval(args[0], x, env))))
+    elif name == "unique":
+        seen, out = set(), []
+        for x in sorted(inp, key=_sort_key):
+            k = json.dumps(x, sort_keys=True)
+            if k not in seen:
+                seen.add(k)
+                out.append(x)
+        yield out
+    elif name == "min":
+        yield min(inp, key=_sort_key) if inp else None
+    elif name == "max":
+        yield max(inp, key=_sort_key) if inp else None
+    elif name == "first":
+        if args:
+            for v in _eval(args[0], inp, env):
+                yield v
+                return
+        else:
+            yield inp[0] if inp else None
+    elif name == "last":
+        yield inp[-1] if inp else None
+    elif name == "to_entries":
+        yield [{"key": k, "value": v} for k, v in inp.items()]
+    elif name == "from_entries":
+        yield {e.get("key", e.get("k")): e.get("value", e.get("v"))
+               for e in inp}
+    else:
+        raise JqError(f"jq: unknown function {name}")
+
+
+def _sort_key(v):
+    return (_type_rank(v), json.dumps(v, sort_keys=True)
+            if isinstance(v, (dict, list)) else v)
+
+
+# --------------------------------------------------------------------------
+# public API
+# --------------------------------------------------------------------------
+
+def compile_jq(
+    src: str,
+    loader: Callable[[str], str] | None = None,
+) -> Callable[[Any], list]:
+    """Compile a jq program to ``fn(value) -> [results]``.
+
+    ``loader`` resolves ``import "path" as ns;`` references to source text
+    (the reference inlines imports at build time, Common.java:803-846 —
+    pass a loader that reads the spec's ``scriptImports``)."""
+    _, imports, defs, body = _Parser(_lex(src)).program()
+
+    funcs: dict[str, tuple] = {}
+    for path, ns in imports:
+        if loader is None:
+            raise JqError(f"jq: import {path!r} needs a loader")
+        sub = loader(path)
+        _, sub_imports, sub_defs, _sub_body = _Parser(
+            _lex(sub + "\n.")).program()
+        for dname, dparams, dbody in sub_defs:
+            funcs[f"{ns}::{dname}"] = (dparams, dbody, funcs)
+    for dname, dparams, dbody in defs:
+        funcs[dname] = (dparams, dbody, funcs)
+
+    def run(value):
+        return list(_eval(body, value, _Env(funcs, {})))
+
+    return run

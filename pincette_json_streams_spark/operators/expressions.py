@@ -676,6 +676,36 @@ def _trace_expr(args, ctx):
     return compile_expr(args, ctx)  # identity; logging handled by $trace stage
 
 
+def _jq_expr(args, ctx):
+    """$jq expression operator (docs/aggregation_operators.md:1163-1174):
+    {input, script} — runs the jq-subset interpreter on the input value.
+    Result crosses back as a JSON string (dynamic type); the common
+    scalar cases can be cast by the caller."""
+    import json as _json
+
+    from pyspark.sql.types import StringType
+
+    from pincette_json_streams_spark.functions.jq_subset import compile_jq
+
+    script = args["script"]
+    inp = compile_expr(args["input"], ctx)
+    fn_holder = {}
+
+    def apply_jq(js):
+        if js is None:
+            return None
+        if "fn" not in fn_holder:
+            fn_holder["fn"] = compile_jq(script)
+        results = fn_holder["fn"](_json.loads(js).get("v"))
+        if not results:
+            return None
+        r = results[0]
+        return r if isinstance(r, str) else _json.dumps(r)
+
+    udf = F.udf(apply_jq, StringType())
+    return udf(F.to_json(F.struct(inp.alias("v"))))
+
+
 def _name_uuid_py(namespace, name):
     if name is None:
         return None
@@ -898,6 +928,7 @@ OPERATORS: dict[str, Callable[[Any, Ctx], Column]] = {
     "$let": _let,
     "$sort": _sort_arr,
     "$trace": _trace_expr,
+    "$jq": lambda a, c: _jq_expr(a, c),
     # event-sourcing extensions
     "$jes-added": _ops_predicate(("add",)),
     "$jes-changed": _jes_changed,

@@ -556,6 +556,55 @@ def _stage_redact(df, spec, pctx):
 
 
 # --------------------------------------------------------------------------
+# $jq / $jslt  (docs/aggregation_stages.md:245-277)
+# --------------------------------------------------------------------------
+
+def _stage_jq(df, spec, pctx):
+    """Whole-message JQ transform.  The message is schemaless by nature
+    here, so output rows carry the result as a JSON `value` string; pass
+    {"script": ..., "schema": "<DDL>"} to get typed columns back (the
+    engine can't infer a static schema from an arbitrary script).  A
+    changed `_id` re-keys the message (docs:276) — the `_id` column is
+    surfaced when present."""
+    if isinstance(spec, str):
+        script, schema = spec, None
+    else:
+        script, schema = spec["script"], spec.get("schema")
+    cols = list(df.columns)
+
+    def run(batches):
+        import pandas as pd
+
+        from pincette_json_streams_spark.functions.jq_subset import (
+            compile_jq,
+        )
+
+        fn = compile_jq(script)
+        for pdf in batches:
+            out_vals, out_ids = [], []
+            for js in pdf["__json"]:
+                for result in fn(json.loads(js)):
+                    out_vals.append(json.dumps(result))
+                    out_ids.append(
+                        str(result.get("_id"))
+                        if isinstance(result, dict)
+                        and result.get("_id") is not None else None)
+            yield pd.DataFrame({"_id": out_ids, "value": out_vals})
+
+    src = df.select(
+        F.to_json(F.struct(*[F.col(c) for c in cols])).alias("__json")
+    )
+    out = src.mapInPandas(run, schema="_id string, value string")
+    if schema:
+        # typed form: exactly the declared columns (declare _id in the
+        # schema to keep the re-keyed message id)
+        return out.select(
+            F.from_json("value", schema).alias("__v")
+        ).select("__v.*")
+    return out
+
+
+# --------------------------------------------------------------------------
 # $validate  (docs/aggregation_stages.md:857-879, docs/validator.md)
 # --------------------------------------------------------------------------
 
@@ -657,6 +706,7 @@ STAGES: dict[str, Callable[[DataFrame, Any, PipelineContext], DataFrame]] = {
     "$per": _stage_per,
     "$lookup": _stage_lookup,
     "$redact": _stage_redact,
+    "$jq": _stage_jq,
     "$validate": _stage_validate,
     "$trace": _stage_trace,
     "$log": _stage_noop,

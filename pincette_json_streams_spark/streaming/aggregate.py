@@ -165,11 +165,14 @@ def compile_aggregate_batch(part: dict, app) -> dict[str, DataFrame]:
 
     reducer = None
     if "commands" in part:
-        # pipeline reducers per command — executed via the row interpreter
+        # per-command reducers: Mongo pipelines (row interpreter) or JQ
+        # scripts; scriptImports carries inlined jq imports
+        # (Common.java:803-846)
         from pincette_json_streams_spark.streaming.reducers import (
             pipeline_reducer,
         )
-        reducer = pipeline_reducer(part["commands"])
+        reducer = pipeline_reducer(part["commands"],
+                                   part.get("scriptImports"))
 
     def fold(key, pdf):
         import pandas as pd

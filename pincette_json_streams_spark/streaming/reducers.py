@@ -321,20 +321,40 @@ def run_pipeline_doc(stages: list[dict], doc: dict) -> dict | None:
 
 def pipeline_reducer(
     commands: dict[str, list[dict]],
+    script_imports: dict[str, str] | None = None,
 ) -> Callable[[dict, dict], dict | None]:
-    """Reducer from per-command pipelines (docs/state.md:61-95): the
-    pipeline sees {command, state} and must end as the new state
-    (conventionally via $replaceRoot)."""
+    """Reducer from per-command specs (docs/state.md:61-95).  Each command
+    maps to either a Mongo pipeline over {command, state} (ending as the
+    new state, conventionally via $replaceRoot) or a JQ script string —
+    the reference's preferred reducer language (docs/index.md:11,
+    App.java:793-812).  ``script_imports`` resolves jq `import`s the way
+    the build step inlines them (Common.java:803-846)."""
+    jq_cache: dict[str, Callable] = {}
+
+    def jq_for(src: str) -> Callable:
+        fn = jq_cache.get(src)
+        if fn is None:
+            from pincette_json_streams_spark.functions.jq_subset import (
+                compile_jq,
+            )
+            loader = (script_imports or {}).get
+            fn = compile_jq(src, loader=lambda p: loader(p) or "")
+            jq_cache[src] = fn
+        return fn
 
     def reduce(state: dict, command: dict) -> dict | None:
         name = command.get("_command")
         spec = commands.get(name)
         if spec is None:
             return None
-        stages = spec if isinstance(spec, list) else spec.get("reducer", [])
+        stages = spec if isinstance(spec, (list, str)) \
+            else spec.get("reducer", [])
         if isinstance(stages, dict):
             stages = stages.get("pipeline", [])
         doc = {"command": command, "state": state}
+        if isinstance(stages, str):  # a JQ script
+            results = jq_for(stages)(doc)
+            return results[0] if results else None
         return run_pipeline_doc(stages, doc)
 
     return reduce

@@ -135,6 +135,7 @@ def streaming_aggregate(
     agg_type: str,
     reducer_spec: Optional[dict] = None,
     order_col: Optional[str] = None,
+    script_imports: Optional[dict] = None,
 ) -> DataFrame:
     """Event-sourcing aggregate over a streaming command source.
 
@@ -154,7 +155,7 @@ def streaming_aggregate(
         from pincette_json_streams_spark.streaming.reducers import (
             pipeline_reducer,
         )
-        reducer = pipeline_reducer(reducer_spec)
+        reducer = pipeline_reducer(reducer_spec, script_imports)
 
     cols = commands.columns
     src = commands.select(
@@ -232,6 +233,7 @@ class StreamingApp:
             folded = streaming_aggregate(
                 source, full, part.get("commands"),
                 order_col=part.get("orderBy"),
+                script_imports=part.get("scriptImports"),
             )
             for purpose in ("aggregate", "command", "event", "event-full",
                             "reply"):

@@ -1,0 +1,203 @@
+"""JQ-subset interpreter tests (reference: docs/index.md:11 — JQ is the
+preferred script language; $jq stage docs/aggregation_stages.md:245-277,
+operator docs/aggregation_operators.md:1163; reducer wiring
+App.java:793-812)."""
+
+import json
+
+import pytest
+
+from pincette_json_streams_spark.functions.jq_subset import (
+    JqError,
+    compile_jq,
+)
+
+
+def jq(src, value, loader=None):
+    return compile_jq(src, loader)(value)
+
+
+class TestCore:
+    def test_identity_and_paths(self):
+        assert jq(".", {"a": 1}) == [{"a": 1}]
+        assert jq(".a", {"a": 1}) == [1]
+        assert jq(".a.b", {"a": {"b": 2}}) == [2]
+        assert jq(".a", {}) == [None]
+        assert jq(".[1]", [10, 20, 30]) == [20]
+        assert jq(".[-1]", [10, 20]) == [20]
+        assert jq(".[1:3]", [0, 1, 2, 3]) == [[1, 2]]
+
+    def test_iteration_and_pipe(self):
+        assert jq(".[]", [1, 2, 3]) == [1, 2, 3]
+        assert jq(".a[] | . * 2", {"a": [1, 2]}) == [2, 4]
+        assert jq(".[] | .x", [{"x": 1}, {"x": 2}]) == [1, 2]
+
+    def test_comma_stream(self):
+        assert jq(".a, .b", {"a": 1, "b": 2}) == [1, 2]
+
+    def test_construction(self):
+        assert jq("{x: .a, y: 2}", {"a": 1}) == [{"x": 1, "y": 2}]
+        assert jq("[.a, .b]", {"a": 1, "b": 2}) == [[1, 2]]
+        assert jq("{a}", {"a": 5, "b": 6}) == [{"a": 5}]
+        assert jq('{("k" + "1"): 2}', None) == [{"k1": 2}]
+
+    def test_arithmetic_jq_semantics(self):
+        assert jq(".a + .b", {"a": {"x": 1}, "b": {"y": 2}}) == \
+            [{"x": 1, "y": 2}]
+        assert jq(".a + .b", {"a": [1], "b": [2]}) == [[1, 2]]
+        assert jq('"a" + "b"', None) == ["ab"]
+        assert jq(".a - .b", {"a": [1, 2, 3], "b": [2]}) == [[1, 3]]
+        assert jq("5 % 3", None) == [2]
+        assert jq('"a,b,c" / ","', None) == [["a", "b", "c"]]
+
+    def test_null_plus(self):
+        assert jq(".missing + 1", {}) == [1]
+        assert jq("null + {a: 1}", None) == [{"a": 1}]
+
+    def test_conditionals(self):
+        src = 'if .x > 2 then "big" elif .x > 0 then "small" else "neg" end'
+        assert jq(src, {"x": 5}) == ["big"]
+        assert jq(src, {"x": 1}) == ["small"]
+        assert jq(src, {"x": -1}) == ["neg"]
+
+    def test_alternative(self):
+        assert jq(".a // 42", {}) == [42]
+        assert jq(".a // 42", {"a": 7}) == [7]
+
+    def test_variables(self):
+        assert jq(".a as $x | .b + $x", {"a": 1, "b": 2}) == [3]
+
+    def test_reduce(self):
+        assert jq("reduce .[] as $x (0; . + $x)", [1, 2, 3, 4]) == [10]
+
+    def test_assignment(self):
+        assert jq(".a = 5", {"a": 1, "b": 2}) == [{"a": 5, "b": 2}]
+        assert jq(".a.b = 1", {}) == [{"a": {"b": 1}}]
+        assert jq(".a |= . + 1", {"a": 1}) == [{"a": 2}]
+        assert jq(".a += 2", {"a": 1}) == [{"a": 3}]
+
+    def test_string_interpolation(self):
+        assert jq('"v=\\(.x + 1)"', {"x": 1}) == ["v=2"]
+
+    def test_try_optional(self):
+        assert jq(".a?", 5) == []
+        with pytest.raises(JqError):
+            jq(".a", 5)
+
+
+class TestBuiltins:
+    def test_collection_fns(self):
+        assert jq("length", [1, 2, 3]) == [3]
+        assert jq("length", "abcd") == [4]
+        assert jq("keys", {"b": 1, "a": 2}) == [["a", "b"]]
+        assert jq('has("a")', {"a": 1}) == [True]
+        assert jq("map(. * 2)", [1, 2]) == [[2, 4]]
+        assert jq(".[] | select(. > 1)", [1, 2, 3]) == [2, 3]
+        assert jq("add", [1, 2, 3]) == [6]
+        assert jq("reverse", [1, 2]) == [[2, 1]]
+        assert jq("sort", [3, 1, 2]) == [[1, 2, 3]]
+        assert jq("sort_by(.x)", [{"x": 2}, {"x": 1}]) == \
+            [[{"x": 1}, {"x": 2}]]
+        assert jq("unique", [2, 1, 2]) == [[1, 2]]
+        assert jq("min, max", [3, 1, 2]) == [1, 3]
+
+    def test_del(self):
+        assert jq("del(.b)", {"a": 1, "b": 2}) == [{"a": 1}]
+        assert jq(".command | del(._command)",
+                  {"command": {"_command": "put", "v": 1}}) == [{"v": 1}]
+
+    def test_strings(self):
+        assert jq("ascii_upcase", "ab") == ["AB"]
+        assert jq('split(",")', "a,b") == [["a", "b"]]
+        assert jq('join("-")', ["a", "b"]) == ["a-b"]
+        assert jq('ltrimstr("pre")', "prefix") == ["fix"]
+        assert jq('test("\\\\d+")', "a1") == [True]
+        assert jq("tostring", 5) == ["5"]
+        assert jq("tonumber", "5.5") == [5.5]
+
+    def test_entries(self):
+        assert jq("to_entries", {"a": 1}) == [[{"key": "a", "value": 1}]]
+        assert jq("from_entries",
+                  [{"key": "a", "value": 1}]) == [{"a": 1}]
+
+    def test_type_and_range(self):
+        assert jq("type", [1]) == ["array"]
+        assert jq("[range(3)]", None) == [[0, 1, 2]]
+        assert jq("empty", 1) == []
+
+
+class TestDefsAndImports:
+    def test_def(self):
+        assert jq("def incr: . + 1; .x | incr", {"x": 4}) == [5]
+
+    def test_def_with_params(self):
+        assert jq("def addn($n): . + $n; .x | addn(10)", {"x": 4}) == [14]
+
+    def test_import_namespace(self):
+        # the reference's app38 reducer shape
+        # (src/test/resources/app38/reducers/plus.jq)
+        loader = {"../common/op.jq":
+                  "def decr: . - 1;\ndef incr: . + 1;"}.get
+        src = ('import "../common/op.jq" as op;\n'
+               '.state + { "value" : .state.value | op::incr }')
+        out = jq(src, {"state": {"value": 4, "_id": "a"},
+                       "command": {}}, loader)
+        assert out == [{"value": 5, "_id": "a"}]
+
+
+class TestSparkIntegration:
+    def test_jq_expression_operator(self, spark):
+        from pincette_json_streams_spark.operators.context import ctx_for
+        from pincette_json_streams_spark.operators.expressions import (
+            compile_expr,
+        )
+        df = spark.createDataFrame([(5,)], "x int")
+        col = compile_expr(
+            {"$jq": {"input": "$x", "script": ". + 1"}}, ctx_for(df))
+        assert df.select(col.alias("v")).collect()[0]["v"] == "6"
+
+    def test_jq_stage(self, spark, people):
+        from pincette_json_streams_spark.operators.stages import (
+            compile_pipeline,
+        )
+        out = compile_pipeline(
+            people.filter("_id='p1'"),
+            [{"$jq": "{_id, shout: (.name | ascii_upcase)}"}],
+        ).collect()
+        assert json.loads(out[0]["value"]) == {"_id": "p1",
+                                               "shout": "ALICE"}
+        assert out[0]["_id"] == "p1"
+
+    def test_jq_stage_typed(self, spark, people):
+        from pincette_json_streams_spark.operators.stages import (
+            compile_pipeline,
+        )
+        out = compile_pipeline(
+            people.filter("_id='p2'"),
+            [{"$jq": {"script": "{n: (.age + 1)}",
+                      "schema": "n int"}}],
+        ).collect()
+        assert out[0]["n"] == 29
+
+    def test_jq_reducer_in_aggregate(self, spark):
+        from pincette_json_streams_spark.plans.planner import Application
+
+        commands = spark.createDataFrame(
+            [("a1", "plus"), ("a1", "plus"), ("a1", "minus")],
+            "_id string, _command string",
+        )
+        app = Application(
+            {"application": "calc", "parts": [
+                {"type": "aggregate", "aggregateType": "counter",
+                 "commands": {
+                     "plus": ".state + {value: ((.state.value // 0) + 1)}",
+                     "minus": ".state + {value: ((.state.value // 0) - 1)}",
+                 }},
+            ]},
+            {"calc-counter-command": commands},
+        )
+        aggs = [json.loads(r["value"]) for r in
+                app.streams["calc-counter-aggregate"].collect()]
+        assert [a["value"] for a in sorted(aggs,
+                                           key=lambda a: a["_seq"])] == \
+            [1, 2, 1]
