@@ -22,6 +22,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BENCH_QUERIES = [
     "pricing_summary",
     "segment_revenue",
+    "region_revenue",
+    "top_customers",
     "lookup_array",
     "lookup_pipeline",
     "join_part",

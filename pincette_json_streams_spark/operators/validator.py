@@ -40,9 +40,18 @@ def expand_macros(spec: Any, macros: dict[str, Any]) -> Any:
 
 
 def _conditions(spec: dict) -> list[dict]:
-    macros = spec.get("macros", {})
-    conds = [expand_macros(c, macros) for c in spec.get("conditions", [])]
-    return conds
+    """Conditions of a validator, with ``include``d validators merged
+    (docs/validator.md:71 — the spec loader has already replaced file
+    references with their parsed content) and macros expanded."""
+    macros = dict(spec.get("macros", {}))
+    conds: list[dict] = []
+    includes = spec.get("include", [])
+    for inc in includes if isinstance(includes, list) else [includes]:
+        if isinstance(inc, dict):
+            macros.update(inc.get("macros", {}))
+            conds.extend(inc.get("conditions", []))
+    conds.extend(spec.get("conditions", []))
+    return [expand_macros(c, macros) for c in conds]
 
 
 def _flatten(
@@ -53,9 +62,17 @@ def _flatten(
     out: list[tuple[Column, str, str | None]] = []
     for cond in _conditions(spec):
         for path, criteria in cond.items():
-            if isinstance(criteria, dict) and "conditions" in criteria:
+            if isinstance(criteria, dict) and "ref" in criteria and \
+                    isinstance(criteria["ref"], dict):
+                # `ref` file reference, already inlined by the loader
+                # (docs/validator.md:170)
+                criteria = criteria["ref"]
+            if isinstance(criteria, dict) and (
+                "conditions" in criteria or "include" in criteria
+            ):
                 # nested validator on a subobject (docs/validator.md:116)
-                sub_prefix = f"{prefix}/{path.replace('.', '/')}"
+                base_prefix = "" if prefix == "/" else prefix
+                sub_prefix = f"{base_prefix}/{path.replace('.', '/')}"
                 nested = _flatten_nested(criteria, ctx, path, sub_prefix)
                 out.extend(nested)
                 continue

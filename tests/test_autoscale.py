@@ -1,0 +1,70 @@
+"""Autoscaling advisor tests (reference behavior docs/autoscaling.md;
+the reference validates the same calculus with lag-snapshot fixtures,
+TestWork.java — these vectors cover the same behavioral space)."""
+
+from pincette_json_streams_spark.plans.autoscale import (
+    desired_instances,
+    excess_lag,
+)
+
+
+def calc(lags, max_lag=None, running=None, avg=50, max_apps=10):
+    return desired_instances(lags, max_lag, running, avg, max_apps)
+
+
+class TestExcessLag:
+    def test_only_constrained_topics_count(self):
+        lag = {"hot": {"0": 500, "1": 700}, "cold": {"0": 9999}}
+        assert excess_lag(lag, {"hot": 100}) == 1100
+        assert excess_lag(lag, {}) == 0
+
+    def test_no_excess_below_allowed(self):
+        assert excess_lag({"t": {"0": 50}}, {"t": 100}) == 0
+
+
+class TestDesiredInstances:
+    def test_no_constraints_packs_apps(self):
+        lags = {f"app{i}": {"t": {"0": 10}} for i in range(3)}
+        assert calc(lags, max_apps=10) == 1
+        assert calc(lags, max_apps=2) == 2
+        assert calc(lags, max_apps=1) == 3
+
+    def test_lag_pressure_adds_replicas(self):
+        # capacity = 1000/50 * 60 = 1200 msgs/interval
+        lags = {"a": {"t": {"0": 700, "1": 650}}}  # excess 1250
+        # one running replica + ceil(1250/1200)=2 -> but 2 partitions cap
+        assert calc(lags, {"a": {"t": 100}},
+                    {"i1": ["a"]}) == 2
+
+    def test_partition_ceiling(self):
+        lags = {"a": {"t": {"0": 99999}}}  # 1 partition: no parallelism
+        assert calc(lags, {"a": {"t": 100}}, {"i1": ["a"]}) == 1
+
+    def test_three_partitions_allow_three_replicas(self):
+        lags = {"a": {"t": {"0": 500, "1": 500, "2": 450}}}  # excess 1350
+        assert calc(lags, {"a": {"t": 100}}, {"i1": ["a"]}) == 3
+
+    def test_replicas_consume_app_slots(self):
+        # 6 apps at 2 per instance = 3 instances; one lagging app needing
+        # 2 replicas -> 7 slots -> 4 instances
+        lags = {f"app{i}": {"t": {"0": 0, "1": 5}} for i in range(2, 7)}
+        lags["app1"] = {"hot": {"0": 850, "1": 300}}
+        assert calc(lags, {"app1": {"hot": 100}},
+                    {"i1": ["app1", "app2"]}, max_apps=2) == 4
+
+    def test_scale_down_when_overprovisioned(self):
+        lags = {"a": {"t": {"0": 8, "1": 3}},
+                "b": {"t": {"0": 10, "1": 6, "2": 5}}}
+        running = {"i1": ["a", "b"], "i2": ["a", "b"]}
+        assert calc(lags, {"a": {"t": 100}, "b": {"t": 100}},
+                    running, max_apps=2) == 1
+
+    def test_max_of_needs_not_sum(self):
+        # two lagging apps share the extra instances (work is spread)
+        lags = {"a": {"t1": {"0": 600, "1": 550}},     # needs 2 replicas
+                "b": {"t2": {"0": 700, "1": 500, "2": 406}}}  # needs 3
+        assert calc(lags, {"a": {"t1": 100}, "b": {"t2": 100}},
+                    {"i1": ["a", "b"]}, max_apps=2) == 3
+
+    def test_empty_everything(self):
+        assert desired_instances({}, None, None) == 1
