@@ -55,7 +55,9 @@ def main():
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.driver.memory", "48g")
-        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # default 10m broadcast threshold: big enough for every dimension
+        # table, small enough not to broadcast the LSH self-join sides
+        # (measured 2-3x slower when broadcast at 64m)
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

@@ -676,33 +676,40 @@ def _trace_expr(args, ctx):
     return compile_expr(args, ctx)  # identity; logging handled by $trace stage
 
 
-def _jq_expr(args, ctx):
-    """$jq expression operator (docs/aggregation_operators.md:1163-1174):
-    {input, script} — runs the jq-subset interpreter on the input value.
-    Result crosses back as a JSON string (dynamic type); the common
-    scalar cases can be cast by the caller."""
+def _script_expr(args, ctx, language):
+    """$jq / $jslt expression operators (docs/aggregation_operators.md:
+    1163-1187): {input, script} — runs the embedded interpreter on the
+    input value.  Result crosses back as a JSON string (dynamic type);
+    the common scalar cases can be cast by the caller."""
     import json as _json
 
     from pyspark.sql.types import StringType
-
-    from pincette_json_streams_spark.functions.jq_subset import compile_jq
 
     script = args["script"]
     inp = compile_expr(args["input"], ctx)
     fn_holder = {}
 
-    def apply_jq(js):
+    def apply_script(js):
         if js is None:
             return None
         if "fn" not in fn_holder:
-            fn_holder["fn"] = compile_jq(script)
-        results = fn_holder["fn"](_json.loads(js).get("v"))
-        if not results:
+            if language == "jq":
+                from pincette_json_streams_spark.functions.jq_subset \
+                    import compile_jq
+
+                jqf = compile_jq(script)
+                fn_holder["fn"] = lambda v: (jqf(v) or [None])[0]
+            else:
+                from pincette_json_streams_spark.functions.jslt_subset \
+                    import compile_jslt
+
+                fn_holder["fn"] = compile_jslt(script)
+        r = fn_holder["fn"](_json.loads(js).get("v"))
+        if r is None:
             return None
-        r = results[0]
         return r if isinstance(r, str) else _json.dumps(r)
 
-    udf = F.udf(apply_jq, StringType())
+    udf = F.udf(apply_script, StringType())
     return udf(F.to_json(F.struct(inp.alias("v"))))
 
 
@@ -928,7 +935,8 @@ OPERATORS: dict[str, Callable[[Any, Ctx], Column]] = {
     "$let": _let,
     "$sort": _sort_arr,
     "$trace": _trace_expr,
-    "$jq": lambda a, c: _jq_expr(a, c),
+    "$jq": lambda a, c: _script_expr(a, c, "jq"),
+    "$jslt": lambda a, c: _script_expr(a, c, "jslt"),
     # event-sourcing extensions
     "$jes-added": _ops_predicate(("add",)),
     "$jes-changed": _jes_changed,

@@ -559,13 +559,12 @@ def _stage_redact(df, spec, pctx):
 # $jq / $jslt  (docs/aggregation_stages.md:245-277)
 # --------------------------------------------------------------------------
 
-def _stage_jq(df, spec, pctx):
-    """Whole-message JQ transform.  The message is schemaless by nature
-    here, so output rows carry the result as a JSON `value` string; pass
-    {"script": ..., "schema": "<DDL>"} to get typed columns back (the
-    engine can't infer a static schema from an arbitrary script).  A
-    changed `_id` re-keys the message (docs:276) — the `_id` column is
-    surfaced when present."""
+def _stage_script(df, spec, pctx, language):
+    """Whole-message JQ/JSLT transform.  The message is schemaless by
+    nature here, so output rows carry the result as a JSON `value`
+    string; pass {"script": ..., "schema": "<DDL>"} to get typed columns
+    back (the engine can't infer a static schema from an arbitrary
+    script).  A changed `_id` re-keys the message (docs:276)."""
     if isinstance(spec, str):
         script, schema = spec, None
     else:
@@ -575,11 +574,17 @@ def _stage_jq(df, spec, pctx):
     def run(batches):
         import pandas as pd
 
-        from pincette_json_streams_spark.functions.jq_subset import (
-            compile_jq,
-        )
-
-        fn = compile_jq(script)
+        if language == "jq":
+            from pincette_json_streams_spark.functions.jq_subset import (
+                compile_jq as compile_script,
+            )
+            fn = compile_script(script)
+        else:
+            from pincette_json_streams_spark.functions.jslt_subset import (
+                compile_jslt,
+            )
+            one = compile_jslt(script)
+            fn = lambda doc: [one(doc)]  # noqa: E731
         for pdf in batches:
             out_vals, out_ids = [], []
             for js in pdf["__json"]:
@@ -602,6 +607,14 @@ def _stage_jq(df, spec, pctx):
             F.from_json("value", schema).alias("__v")
         ).select("__v.*")
     return out
+
+
+def _stage_jq(df, spec, pctx):
+    return _stage_script(df, spec, pctx, "jq")
+
+
+def _stage_jslt(df, spec, pctx):
+    return _stage_script(df, spec, pctx, "jslt")
 
 
 # --------------------------------------------------------------------------
@@ -707,6 +720,7 @@ STAGES: dict[str, Callable[[DataFrame, Any, PipelineContext], DataFrame]] = {
     "$lookup": _stage_lookup,
     "$redact": _stage_redact,
     "$jq": _stage_jq,
+    "$jslt": _stage_jslt,
     "$validate": _stage_validate,
     "$trace": _stage_trace,
     "$log": _stage_noop,

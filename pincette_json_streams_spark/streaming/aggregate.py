@@ -76,30 +76,32 @@ def reduce_commands(
     for cmd in commands:
         command = cmd.get("_command")
         out.append({"purpose": "command", "doc": cmd})
-        if command == "put":
-            new = {
-                k: v for k, v in cmd.items()
-                if k not in ("_command", "_jwt") or k == "_id"
-            }
-            new.pop("_command", None)
-        elif command == "delete":
-            new = dict(cur)
-            new["_deleted"] = True
-        elif command == "patch":
-            try:
-                import jsonpatch
-
-                clean = {k: v for k, v in cur.items() if k not in
-                         ("_seq", "_timestamp")}
-                new = jsonpatch.apply_patch(clean, cmd.get("_ops", []))
-            except Exception:
-                new = dict(cur)
-        elif reducer is not None:
-            new = reducer(cur, cmd)
-        else:
-            new = dict(cur)
+        # a custom reducer for the command name overrides the built-ins
+        # (the reference's corpus ships its own put reducers, e.g.
+        # src/test/resources/app8/reducers/put.jslt); reducer -> None
+        # means "no reducer declared for this command"
+        new = reducer(cur, cmd) if reducer is not None else None
         if new is None:
-            new = dict(cur)
+            if command == "put":
+                new = {
+                    k: v for k, v in cmd.items()
+                    if k not in ("_command", "_jwt") or k == "_id"
+                }
+                new.pop("_command", None)
+            elif command == "delete":
+                new = dict(cur)
+                new["_deleted"] = True
+            elif command == "patch":
+                try:
+                    import jsonpatch
+
+                    clean = {k: v for k, v in cur.items() if k not in
+                             ("_seq", "_timestamp")}
+                    new = jsonpatch.apply_patch(clean, cmd.get("_ops", []))
+                except Exception:
+                    new = dict(cur)
+            else:
+                new = dict(cur)
 
         _meta = ("_seq", "_timestamp", "_type", "_corr", "_jwt")
         before = {k: v for k, v in cur.items() if k != "_timestamp"}

@@ -329,17 +329,24 @@ def pipeline_reducer(
     the reference's preferred reducer language (docs/index.md:11,
     App.java:793-812).  ``script_imports`` resolves jq `import`s the way
     the build step inlines them (Common.java:803-846)."""
-    jq_cache: dict[str, Callable] = {}
+    script_cache: dict[tuple, Callable] = {}
 
-    def jq_for(src: str) -> Callable:
-        fn = jq_cache.get(src)
+    def script_for(src: str, language: str) -> Callable:
+        fn = script_cache.get((language, src))
         if fn is None:
-            from pincette_json_streams_spark.functions.jq_subset import (
-                compile_jq,
-            )
             loader = (script_imports or {}).get
-            fn = compile_jq(src, loader=lambda p: loader(p) or "")
-            jq_cache[src] = fn
+            if language == "jslt":
+                from pincette_json_streams_spark.functions.jslt_subset \
+                    import compile_jslt
+
+                fn = compile_jslt(src, loader=lambda p: loader(p) or "")
+            else:
+                from pincette_json_streams_spark.functions.jq_subset \
+                    import compile_jq
+
+                jqf = compile_jq(src, loader=lambda p: loader(p) or "")
+                fn = lambda v: (jqf(v) or [None])[0]  # noqa: E731
+            script_cache[(language, src)] = fn
         return fn
 
     def reduce(state: dict, command: dict) -> dict | None:
@@ -347,14 +354,23 @@ def pipeline_reducer(
         spec = commands.get(name)
         if spec is None:
             return None
-        stages = spec if isinstance(spec, (list, str)) \
-            else spec.get("reducer", [])
+        language = "jq"
+        stages = spec
         if isinstance(stages, dict):
-            stages = stages.get("pipeline", [])
+            if "jslt" in stages:
+                stages, language = stages["jslt"], "jslt"
+            elif "jq" in stages:
+                stages = stages["jq"]
+            else:
+                stages = stages.get("reducer", stages.get("pipeline", []))
+        if isinstance(stages, dict):  # {"reducer": {"jslt"/"jq": ...}}
+            if "jslt" in stages:
+                stages, language = stages["jslt"], "jslt"
+            elif "jq" in stages:
+                stages = stages["jq"]
         doc = {"command": command, "state": state}
-        if isinstance(stages, str):  # a JQ script
-            results = jq_for(stages)(doc)
-            return results[0] if results else None
+        if isinstance(stages, str):  # a JQ (default) or JSLT script
+            return script_for(stages, language)(doc)
         return run_pipeline_doc(stages, doc)
 
     return reduce
