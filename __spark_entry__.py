@@ -1114,6 +1114,45 @@ SELECT query_id, rank, vec_id FROM ranked WHERE rank <= 10
 """
 
 
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (exact baseline; the LSH
+    bucket variant is the scale path)."""
+    from pincette_json_streams_spark.functions.dedup import embedding_pairs
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    ).filter(F.col("vec_id") < 300)
+    return embedding_pairs(emb, threshold=0.3).select("id_a", "id_b")
+
+
+_ORACLE_DEDUP_EMBEDDING = """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+  WHERE vec_id < 300
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.e, b.e) /
+            (sqrt(list_dot_product(a.e, a.e)) *
+             sqrt(list_dot_product(b.e, b.e))), 6) >= 0.3
+"""
+
+
+def q_per_batching(spark, sf_dir):
+    """$per stage (docs/aggregation_stages.md:393-411): batch N messages
+    into one array message.  Partition-order dependent -> rows-only
+    driver check; the deterministic projection is the batch-size
+    histogram."""
+    df = _pipe(spark, sf_dir, "orders", [
+        {"$match": {"o_orderkey": {"$lte": 4000}}},
+    ]).coalesce(1)
+    batched = compile_pipeline(
+        df, [{"$per": {"amount": 100, "as": "msgs"}}], PipelineContext()
+    )
+    return batched.groupBy(
+        F.size("msgs").alias("batch_size")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_batches"))
+
+
 def q_quality_filter(spark, sf_dir):
     """Composite pipeline: quality + language gate then length stats by
     source — the canonical pretraining-corpus filter shape."""
@@ -1218,6 +1257,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_ngram": q_dedup_ngram,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
+        "per_batching": q_per_batching,
         "ann_topk": q_ann_topk,
         "quality_filter": q_quality_filter,
     }
@@ -1259,6 +1300,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": _oracle_minhash(),
         "dedup_ngram": _ORACLE_NGRAM,
         "dedup_simhash": _oracle_simhash(),
+        "dedup_embedding": _ORACLE_DEDUP_EMBEDDING,
+        # per_batching: partition-order dependent — rows-only check
         "ann_topk": _ORACLE_ANN,
         "quality_filter": _oracle_quality_filter(),
     }

@@ -146,16 +146,41 @@ class Application:
         right = self._source(right_spec)
         lkey = compile_expr(left_spec["on"], ctx_for(left))
         rkey = compile_expr(right_spec["on"], ctx_for(right))
+        window_ms = part.get("window")
+        streaming = left.isStreaming or right.isStreaming
         l = left.select(
             lkey.cast("string").alias("_id"), F.struct("*").alias("left")
         )
         r = right.select(
             rkey.cast("string").alias("_id"), F.struct("*").alias("right")
         )
-        # Output shape {_id, left, right} per App.java:433-447.  The window
-        # (ms, default infinite) constrains *arrival-time* skew; for bounded
-        # batch inputs every pair is within any window.  The streaming
-        # runtime applies `withWatermark` + a time-range condition.
+        # Output shape {_id, left, right} per App.java:433-447.  The
+        # window (ms, default infinite) constrains *arrival-time* skew —
+        # the reference stamps each side with `_join_timestamp` on arrival
+        # and queries the other side within [now-window, now]
+        # (App.java:367-369,418-427).  Streaming mapping: ingest-time
+        # column + watermark + symmetric time-range join condition, which
+        # lets Spark expire join state at exactly the window the reference
+        # TTLs its Mongo buffers at.  Infinite window (no `window` field)
+        # -> unbounded state, like the reference's default.  Bounded batch
+        # inputs: every pair is within any window -> plain equi-join.
+        if streaming and window_ms:
+            delay = f"{max(int(window_ms), 1000) // 1000} seconds"
+            l = l.withColumn("__l_ts", F.current_timestamp()) \
+                 .withWatermark("__l_ts", delay)
+            r = r.withColumn("__r_ts", F.current_timestamp()) \
+                 .withWatermark("__r_ts", delay)
+            cond = (
+                (l["_id"] == r["_id"])
+                & (l["__l_ts"] >= r["__r_ts"] - F.expr(
+                    f"INTERVAL {delay}"))
+                & (l["__l_ts"] <= r["__r_ts"] + F.expr(
+                    f"INTERVAL {delay}"))
+            )
+            return (
+                l.join(r, cond, "inner")
+                .select(l["_id"].alias("_id"), "left", "right")
+            )
         return l.join(r, "_id", "inner")
 
     # -- execution -----------------------------------------------------------

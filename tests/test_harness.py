@@ -1,0 +1,152 @@
+"""Golden-test harness + CLI tests (docs/testing.md conventions,
+docs/cli.md subcommands)."""
+
+import json
+
+import pytest
+
+from pincette_json_streams_spark.plans.testing import run_app_test
+
+
+def write_app(tmp_path, app_yaml, fixtures):
+    """fixtures: {relative path under test/: json-serializable}"""
+    (tmp_path / "application.yaml").write_text(app_yaml)
+    for rel, content in fixtures.items():
+        p = tmp_path / "test" / rel
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_text(json.dumps(content))
+    return tmp_path
+
+
+APP2_STYLE = """\
+application: routing
+parts:
+  - type: stream
+    name: zeroes
+    fromTopic: in
+    toTopic: out1
+    pipeline:
+      - $match:
+          value: 0
+          _id:
+            $exists: true
+  - type: stream
+    name: absent
+    fromTopic: in
+    toTopic: out2
+    pipeline:
+      - $match:
+          value:
+            $exists: false
+"""
+
+
+class TestGoldenHarness:
+    def test_routing_app_passes(self, spark, tmp_path):
+        d = write_app(tmp_path, APP2_STYLE, {
+            "topics/from/in/message1.json": {"_id": "A", "value": 0},
+            "topics/from/in/message2.json": {"_id": "B"},
+            "topics/to/out1/message1.json": {"_id": "A", "value": 0},
+            "topics/to/out2/message1.json": {"_id": "B"},
+        })
+        report = run_app_test(spark, d)
+        assert report.ok, str(report)
+
+    def test_mismatch_reported(self, spark, tmp_path):
+        d = write_app(tmp_path, APP2_STYLE, {
+            "topics/from/in/message1.json": {"_id": "A", "value": 0},
+            "topics/to/out1/message1.json": {"_id": "WRONG", "value": 0},
+        })
+        report = run_app_test(spark, d)
+        assert not report.ok
+        assert "out1" in report.diffs
+
+    def test_count_mismatch_reported(self, spark, tmp_path):
+        d = write_app(tmp_path, APP2_STYLE, {
+            "topics/from/in/message1.json": {"_id": "A", "value": 0},
+            "topics/to/out1/message1.json": {"_id": "A", "value": 0},
+            "topics/to/out1/message2.json": {"_id": "Z", "value": 0},
+        })
+        report = run_app_test(spark, d)
+        assert "expected 2 messages, got 1" in report.diffs["out1"]
+
+    def test_preload_and_lookup(self, spark, tmp_path):
+        app = """\
+application: enrich
+parts:
+  - type: stream
+    name: s
+    fromTopic: in
+    toTopic: out
+    pipeline:
+      - $lookup:
+          from: values
+          localField: ref
+          foreignField: _id
+          as: v
+          unwind: true
+      - $project:
+          _id: 1
+          label: "$v.label"
+"""
+        d = write_app(tmp_path, app, {
+            "topics/from/in/message1.json": {"_id": "A", "ref": "v1"},
+            "preload/values/value1.json": {"_id": "v1", "label": "hello"},
+            "topics/to/out/message1.json": {"_id": "A", "label": "hello"},
+        })
+        report = run_app_test(spark, d)
+        assert report.ok, str(report)
+
+    def test_lenient_subset_matching(self, spark, tmp_path):
+        app = """\
+application: extra
+parts:
+  - type: stream
+    name: s
+    fromTopic: in
+    toTopic: out
+    pipeline:
+      - $set:
+          extra_field: computed
+"""
+        d = write_app(tmp_path, app, {
+            "topics/from/in/message1.json": {"_id": "A", "v": 1},
+            # expected omits extra_field -> only lenient passes
+            "topics/to/out/message1.json": {"_id": "A", "v": 1},
+        })
+        assert not run_app_test(spark, d).ok
+        assert run_app_test(spark, d, lenient=True).ok
+
+    def test_timestamps_stripped(self, spark, tmp_path):
+        app = """\
+application: ts
+parts:
+  - type: stream
+    name: s
+    fromTopic: in
+    toTopic: out
+    pipeline:
+      - $set:
+          _timestamp: 1234567890
+"""
+        d = write_app(tmp_path, app, {
+            "topics/from/in/message1.json": {"_id": "A"},
+            "topics/to/out/message1.json": {"_id": "A"},
+        })
+        assert run_app_test(spark, d).ok
+
+
+class TestCli:
+    def test_build_doc_dot(self, tmp_path, capsys):
+        from pincette_json_streams_spark.__main__ import main
+
+        (tmp_path / "app.yaml").write_text(APP2_STYLE)
+        assert main(["build", str(tmp_path / "app.yaml")]) == 0
+        built = json.loads(capsys.readouterr().out)
+        assert built["application"] == "routing"
+        assert main(["doc", str(tmp_path / "app.yaml")]) == 0
+        md = capsys.readouterr().out
+        assert "# routing" in md and "`$match`" in md
+        assert main(["dot", str(tmp_path / "app.yaml")]) == 0
+        dot = capsys.readouterr().out
+        assert 'digraph "routing"' in dot and '"part_zeroes"' in dot

@@ -105,6 +105,40 @@ class TestStreamParts:
         assert len(got) == 3
 
 
+class TestStreamingJoin:
+    def test_windowed_stream_join(self, spark, tmp_path):
+        """join part with a window (docs/join.md:14): watermarked
+        stream-stream equi-join; bounded input arriving together joins
+        fully within the window."""
+        pd_ = str(tmp_path / "jl")
+        od = str(tmp_path / "jr")
+        spark.createDataFrame(
+            [("p1", "A"), ("p2", "B")], "_id string, name string"
+        ).write.parquet(pd_)
+        spark.createDataFrame(
+            [("o1", "p1"), ("o2", "p1"), ("o3", "p9")],
+            "oid string, pid string",
+        ).write.parquet(od)
+        catalog = file_stream_catalog(
+            spark, {"people": pd_, "orders": od},
+            {"people": "_id string, name string",
+             "orders": "oid string, pid string"})
+        app = StreamingApp(spark, {
+            "application": "sj", "parts": [
+                {"type": "join", "name": "j", "toTopic": "out",
+                 "window": 60000,
+                 "left": {"fromTopic": "people", "on": "$_id"},
+                 "right": {"fromTopic": "orders", "on": "$pid"}},
+            ],
+        }, catalog)
+        sink = memory_sink(tmp_path)
+        app.run_until_drained(sink)
+        got = spark.sql(f"SELECT * FROM mem_{sink.run_id}_out").collect()
+        assert sorted((r["_id"], r["right"]["oid"]) for r in got) == \
+            [("p1", "o1"), ("p1", "o2")]
+        assert all(r["left"]["name"] == "A" for r in got)
+
+
 class TestStreamingAggregate:
     def test_fold_with_state(self, spark, tmp_path):
         d = str(tmp_path / "cmds")
