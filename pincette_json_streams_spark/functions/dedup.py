@@ -111,6 +111,38 @@ def minhash_signature(
                             num_hashes)
 
 
+def _min_under_perms_vec(num_hashes: int):
+    """Vectorized MinHash signature: numpy broadcast over Arrow batches.
+
+    Catalyst evaluates higher-order-function lambdas *interpreted*, per
+    element — num_hashes passes over the hash array cost ~44M interpreted
+    expression evals per 5k docs (measured ~20 s).  The same arithmetic
+    as one numpy broadcast runs ~100x faster; results are identical
+    (pure int64 arithmetic, products < 2^62 so no overflow)."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    coeffs = _coeffs(num_hashes)
+
+    def sig(hs):
+        import numpy as np
+        import pandas as pd
+
+        A = np.array([a for a, _ in coeffs], dtype=np.int64)[:, None]
+        B = np.array([b for _, b in coeffs], dtype=np.int64)[:, None]
+        out = []
+        for h in hs:
+            hv = np.asarray(h, dtype=np.int64)[None, :]
+            if hv.size == 0:
+                out.append([_P] * len(coeffs))
+                continue
+            out.append(((A * hv + B) % _P).min(axis=1).tolist())
+        return pd.Series(out)
+
+    # explicit functionType: `from __future__ import annotations` turns
+    # hints into strings pandas_udf's inference can't resolve
+    return pandas_udf(sig, "array<bigint>", PandasUDFType.SCALAR)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -136,10 +168,10 @@ def minhash_lsh_pairs(
             F.col(id_col).alias("id"),
             shingles(F.col(text_col), k).alias("sh"),
         )
-        # separate projections: shingle once, md5 once, then 32 cheap
-        # (a*h+b)%p passes — not 32 md5 pipelines (see _min_under_perms)
+        # shingle once, md5 once, then the num_hashes mins in one
+        # vectorized numpy pass (see _min_under_perms_vec)
         .withColumn("h", F.transform("sh", _hash_str))
-        .withColumn("sig", _min_under_perms(F.col("h"), num_hashes))
+        .withColumn("sig", _min_under_perms_vec(num_hashes)(F.col("h")))
         # exact-verify intersects the hashed shingles (8-byte compares
         # instead of 9-char strings; deterministic on any md5 engine)
         .select("id", F.array_distinct("h").alias("sh"), "sig")
@@ -149,47 +181,63 @@ def minhash_lsh_pairs(
     # clusters; comparing their members pairwise is the classic LSH
     # blowup.  Group docs by shingle-SET first — within a group every
     # pair has Jaccard exactly 1, and the quadratic candidate join runs
-    # over *distinct sets* only.
-    groups = base.groupBy("sh", "sig").agg(
-        F.sort_array(F.collect_list("id")).alias("ids")
-    ).withColumn("gid", F.xxhash64(F.to_json("sh")))
+    # over *distinct sets* only.  The group key is an md5 digest of the
+    # set, NOT the array itself: shuffling/comparing ~300-element array
+    # keys costs ~10x a 32-char string key (measured).
+    groups = (
+        base.withColumn("gid", F.md5(F.to_json("sh")))
+        .groupBy("gid")
+        .agg(
+            F.first("sh").alias("sh"), F.first("sig").alias("sig"),
+            F.sort_array(F.collect_list("id")).alias("ids"),
+        )
+    )
+    # three consumers (both sides of the LSH self-join + the within-group
+    # expansion) would each recompute the whole signature pipeline
+    groups = groups.persist()
 
+    # Bands carry ONLY the group digest: exploding (and then shuffling)
+    # the shingle arrays band-times would multiply the join payload ~300x.
+    # Arrays join back AFTER candidate-pair dedup, when the row count is
+    # smallest.
     banded = groups.select(
-        "gid", "sh", "ids",
+        "gid",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                ",",
-                                F.slice(F.col("sig"), b * rows + 1, rows),
-                            )
-                        ).alias("bandkey"),
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            F.lit(b),
+                            F.slice(F.col("sig"), b * rows + 1, rows),
+                        )
                     )
                     for b in range(bands)
                 ]
             )
-        ).alias("bk"),
-    ).select("gid", "sh", "ids", F.col("bk.band").alias("band"),
-             F.col("bk.bandkey").alias("bandkey"))
+        ).alias("bandkey"),
+    )
 
     left = banded.alias("l")
     right = banded.alias("r")
-    cand = (
+    cand_ids = (
         left.join(
             right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bandkey") == F.col("r.bandkey"))
+            (F.col("l.bandkey") == F.col("r.bandkey"))
             & (F.col("l.gid") < F.col("r.gid")),
         )
-        .select(
-            F.col("l.ids").alias("ids_a"), F.col("r.ids").alias("ids_b"),
-            F.col("l.sh").alias("sh_a"), F.col("r.sh").alias("sh_b"),
-            F.col("l.gid").alias("gid_a"), F.col("r.gid").alias("gid_b"),
-        )
+        .select(F.col("l.gid").alias("gid_a"),
+                F.col("r.gid").alias("gid_b"))
         .dropDuplicates(["gid_a", "gid_b"])
+    )
+    cand = cand_ids.join(
+        groups.select(F.col("gid").alias("gid_a"),
+                      F.col("sh").alias("sh_a"),
+                      F.col("ids").alias("ids_a")), "gid_a"
+    ).join(
+        groups.select(F.col("gid").alias("gid_b"),
+                      F.col("sh").alias("sh_b"),
+                      F.col("ids").alias("ids_b")), "gid_b"
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
@@ -272,7 +320,7 @@ def simhash_pairs(
     # runs over distinct signatures only
     groups = base.groupBy("sig").agg(
         F.sort_array(F.collect_list("id")).alias("ids")
-    )
+    ).persist()
     banded = groups.select(
         "sig", "ids",
         F.explode(
@@ -342,9 +390,14 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"),
         word_ngrams(F.col(text_col), n).alias("ng"),
     )
-    groups = base.groupBy("ng").agg(
-        F.sort_array(F.collect_list("id")).alias("ids")
-    ).withColumn("gid", F.xxhash64(F.to_json("ng")))
+    # md5-digest group key (see minhash_lsh_pairs: array keys shuffle 10x
+    # slower than digest strings)
+    groups = (
+        base.withColumn("gid", F.md5(F.to_json("ng")))
+        .groupBy("gid")
+        .agg(F.first("ng").alias("ng"),
+             F.sort_array(F.collect_list("id")).alias("ids"))
+    ).persist()
 
     posting = groups.select("gid", F.explode("ng").alias("g"))
     l, r = posting.alias("l"), posting.alias("r")
