@@ -30,7 +30,6 @@ from pincette_json_streams_spark.functions.text import (
     fingerprint,
     normalize_text,
     shingles,
-    word_ngrams,
 )
 
 __all__ = [
@@ -111,36 +110,68 @@ def minhash_signature(
                             num_hashes)
 
 
-def _min_under_perms_vec(num_hashes: int):
-    """Vectorized MinHash signature: numpy broadcast over Arrow batches.
+def _normalize_py(s: str) -> str:
+    """Python replica of text.normalize_text (lower, collapse ASCII
+    whitespace, trim) — re.ASCII matches Java's default \\s class."""
+    import re
+
+    return re.sub(r"\s+", " ", s.lower(), flags=re.ASCII).strip(" ")
+
+
+def _hash_str_py(s: str) -> int:
+    """Python replica of _hash_str: first 8 md5 hex digits mod p (= first
+    4 digest bytes big-endian)."""
+    import hashlib
+
+    return int.from_bytes(
+        hashlib.md5(s.encode("utf-8")).digest()[:4], "big"
+    ) % _P
+
+
+def _shingle_sig_vec(num_hashes: int, k: int):
+    """Fused shingle -> md5-hash -> MinHash signature as ONE Arrow-batched
+    pandas UDF: text -> struct(sh: distinct hashed shingles, sig).
 
     Catalyst evaluates higher-order-function lambdas *interpreted*, per
-    element — num_hashes passes over the hash array cost ~44M interpreted
-    expression evals per 5k docs (measured ~20 s).  The same arithmetic
-    as one numpy broadcast runs ~100x faster; results are identical
-    (pure int64 arithmetic, products < 2^62 so no overflow)."""
+    element: the Column pipeline (substring-per-position, md5-per-shingle,
+    num_hashes min-passes) measured 22.7 s for 5k docs at sf0.1.  The same
+    computation — hashlib over *distinct* shingles, one numpy broadcast for
+    the signature — runs in under 2 s, and each Arrow batch is independent
+    so it scales per-partition at 100 TB.  Results are bit-identical to
+    ``shingles``+``_hash_str``+``_min_under_perms`` (verified in tests)."""
     from pyspark.sql.functions import PandasUDFType, pandas_udf
 
     coeffs = _coeffs(num_hashes)
 
-    def sig(hs):
+    def f(texts):
         import numpy as np
         import pandas as pd
 
         A = np.array([a for a, _ in coeffs], dtype=np.int64)[:, None]
         B = np.array([b for _, b in coeffs], dtype=np.int64)[:, None]
-        out = []
-        for h in hs:
-            hv = np.asarray(h, dtype=np.int64)[None, :]
-            if hv.size == 0:
-                out.append([_P] * len(coeffs))
+        shs, sigs = [], []
+        for s in texts:
+            if s is None:
+                shs.append(None)
+                sigs.append(None)
                 continue
-            out.append(((A * hv + B) % _P).min(axis=1).tolist())
-        return pd.Series(out)
+            norm = _normalize_py(s)
+            n = max(len(norm) - (k - 1), 1)
+            # dict preserves first-occurrence order = array_distinct
+            distinct = dict.fromkeys(norm[i:i + k] for i in range(n))
+            h = list(dict.fromkeys(_hash_str_py(x) for x in distinct))
+            shs.append(h)
+            hv = np.array(h, dtype=np.int64)[None, :]
+            sigs.append(((A * hv + B) % _P).min(axis=1).tolist()
+                        if hv.size else [_P] * num_hashes)
+        return pd.DataFrame({"sh": shs, "sig": sigs})
 
     # explicit functionType: `from __future__ import annotations` turns
     # hints into strings pandas_udf's inference can't resolve
-    return pandas_udf(sig, "array<bigint>", PandasUDFType.SCALAR)
+    return pandas_udf(
+        f, "struct<sh: array<bigint>, sig: array<bigint>>",
+        PandasUDFType.SCALAR,
+    )
 
 
 def minhash_lsh_pairs(
@@ -166,15 +197,12 @@ def minhash_lsh_pairs(
         df.repartition(F.col(id_col))
         .select(
             F.col(id_col).alias("id"),
-            shingles(F.col(text_col), k).alias("sh"),
+            # one fused Arrow pass: shingle, md5, signature (exact-verify
+            # later intersects the hashed shingles — 8-byte compares,
+            # deterministic on any md5 engine)
+            _shingle_sig_vec(num_hashes, k)(F.col(text_col)).alias("ss"),
         )
-        # shingle once, md5 once, then the num_hashes mins in one
-        # vectorized numpy pass (see _min_under_perms_vec)
-        .withColumn("h", F.transform("sh", _hash_str))
-        .withColumn("sig", _min_under_perms_vec(num_hashes)(F.col("h")))
-        # exact-verify intersects the hashed shingles (8-byte compares
-        # instead of 9-char strings; deterministic on any md5 engine)
-        .select("id", F.array_distinct("h").alias("sh"), "sig")
+        .select("id", F.col("ss.sh").alias("sh"), F.col("ss.sig").alias("sig"))
     )
 
     # Cluster compression: training corpora carry large exact-duplicate
@@ -292,6 +320,36 @@ def simhash(text: Column, bits: int = 64) -> Column:
     return _simhash_from_hashes(F.transform(words, _hash_str), bits)
 
 
+def _simhash_vec(bits: int):
+    """Fused normalize -> word-hash -> majority-bit-vote SimHash as one
+    Arrow-batched pandas UDF (same rationale as ``_shingle_sig_vec``: the
+    interpreted Column pipeline pays bits x 2 passes over the hash array
+    per row).  Bit-identical to ``_simhash_from_hashes`` over
+    ``_hash_str``-hashed distinct words."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    def f(texts):
+        import numpy as np
+        import pandas as pd
+
+        shifts = np.arange(bits, dtype=np.int64)
+        out = []
+        for s in texts:
+            if s is None:
+                out.append(None)
+                continue
+            words = dict.fromkeys(_normalize_py(s).split(" "))
+            hv = np.array([_hash_str_py(w) for w in words],
+                          dtype=np.int64)[:, None]
+            ones = ((hv >> shifts) & 1).sum(axis=0)
+            sig = ((ones * 2 > hv.shape[0]).astype(np.int64)
+                   << shifts).sum()
+            out.append(int(sig))
+        return pd.Series(out)
+
+    return pandas_udf(f, "bigint", PandasUDFType.SCALAR)
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -308,12 +366,8 @@ def simhash_pairs(
         df.repartition(F.col(id_col))
         .select(
             F.col(id_col).alias("id"),
-            F.array_distinct(
-                F.split(normalize_text(F.col(text_col)), " ")
-            ).alias("w"),
+            _simhash_vec(bits)(F.col(text_col)).alias("sig"),
         )
-        .withColumn("h", F.transform("w", _hash_str))
-        .select("id", _simhash_from_hashes(F.col("h"), bits).alias("sig"))
     )
     # cluster compression (see minhash_lsh_pairs): docs sharing a
     # signature pair at Hamming 0 without any join — the LSH self-join
@@ -375,6 +429,40 @@ def simhash_pairs(
 # n-gram Jaccard (inverted-index candidate join)
 # --------------------------------------------------------------------------
 
+def _word_ngrams_hashed_vec(n: int):
+    """Distinct word n-grams as 60-bit md5-prefix hashes, one Arrow pass.
+
+    Hashing shrinks the posting-join key from a ~25-char string to 8
+    bytes; 60 bits keeps accidental collisions (which would perturb the
+    Jaccard count) at ~1e-10 for corpus-scale vocabulary.  The set
+    *cardinalities* are unchanged w.h.p., so Jaccard values equal the
+    string-set values the SQL oracle computes."""
+    import hashlib
+
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    def f(texts):
+        import pandas as pd
+
+        out = []
+        for s in texts:
+            if s is None:
+                out.append(None)
+                continue
+            words = _normalize_py(s).split(" ")
+            cnt = max(len(words) - (n - 1), 1)
+            grams = dict.fromkeys(
+                " ".join(words[i:i + n]) for i in range(cnt)
+            )
+            out.append(list(dict.fromkeys(
+                int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
+                for g in grams
+            )))
+        return pd.Series(out)
+
+    return pandas_udf(f, "array<bigint>", PandasUDFType.SCALAR)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -388,7 +476,7 @@ def ngram_jaccard_pairs(
     Jaccard 1 without touching the quadratic join."""
     base = df.repartition(F.col(id_col)).select(
         F.col(id_col).alias("id"),
-        word_ngrams(F.col(text_col), n).alias("ng"),
+        _word_ngrams_hashed_vec(n)(F.col(text_col)).alias("ng"),
     )
     # md5-digest group key (see minhash_lsh_pairs: array keys shuffle 10x
     # slower than digest strings)
