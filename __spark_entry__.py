@@ -1211,6 +1211,315 @@ GROUP BY source
 
 
 # ===========================================================================
+# gallery round 2: trig, bitwise, encode, arrays, jes, batch-order stages
+# ===========================================================================
+
+def q_trig_ops(spark, sf_dir):
+    """Trigonometry operator gallery (docs/aggregation_operators.md:
+    951-1090): full trig + hyperbolic + degree/radian set; args derived
+    from p_partkey so every value is in-domain."""
+    return _pipe(spark, sf_dir, "part", [
+        {"$addFields": {
+            "x": {"$divide": [{"$mod": ["$p_partkey", 100]}, 100]},
+            "y": {"$add": [{"$mod": ["$p_partkey", 7]}, 1]}}},
+        {"$project": {
+            "_id": 0, "p_partkey": 1,
+            "sin_x": {"$round": [{"$sin": "$x"}, 6]},
+            "cos_x": {"$round": [{"$cos": "$x"}, 6]},
+            "tan_x": {"$round": [{"$tan": "$x"}, 6]},
+            "asin_x": {"$round": [{"$asin": "$x"}, 6]},
+            "acos_x": {"$round": [{"$acos": "$x"}, 6]},
+            "atan_x": {"$round": [{"$atan": "$x"}, 6]},
+            "atan2_xy": {"$round": [{"$atan2": ["$x", "$y"]}, 6]},
+            "sinh_x": {"$round": [{"$sinh": "$x"}, 6]},
+            "cosh_x": {"$round": [{"$cosh": "$x"}, 6]},
+            "tanh_x": {"$round": [{"$tanh": "$x"}, 6]},
+            "asinh_x": {"$round": [{"$asinh": "$x"}, 6]},
+            "acosh_1x": {"$round": [{"$acosh": {"$add": [1, "$x"]}}, 6]},
+            "atanh_x": {"$round": [{"$atanh": "$x"}, 6]},
+            "rad_y": {"$round": [{"$degreesToRadians": "$y"}, 6]},
+            "deg_x": {"$round": [{"$radiansToDegrees": "$x"}, 6]},
+        }},
+    ])
+
+
+# sinh/cosh/tanh/asinh/acosh/atanh don't exist in this DuckDB build —
+# replayed via their exp/ln definitions (same formulas Spark's Catalyst
+# expressions use); outputs rounded to 6 digits on both engines.
+_ORACLE_TRIG = """
+WITH v AS (
+  SELECT p_partkey, (p_partkey % 100) / 100.0 AS x,
+         (p_partkey % 7) + 1 AS y
+  FROM part
+)
+SELECT p_partkey,
+       round(sin(x), 6) AS sin_x,
+       round(cos(x), 6) AS cos_x,
+       round(tan(x), 6) AS tan_x,
+       round(asin(x), 6) AS asin_x,
+       round(acos(x), 6) AS acos_x,
+       round(atan(x), 6) AS atan_x,
+       round(atan2(x, y), 6) AS atan2_xy,
+       round((exp(x) - exp(-x)) / 2, 6) AS sinh_x,
+       round((exp(x) + exp(-x)) / 2, 6) AS cosh_x,
+       round((exp(x) - exp(-x)) / (exp(x) + exp(-x)), 6) AS tanh_x,
+       round(ln(x + sqrt(x * x + 1)), 6) AS asinh_x,
+       round(ln((1 + x) + sqrt((1 + x) * (1 + x) - 1)), 6) AS acosh_1x,
+       round(0.5 * ln((1 + x) / (1 - x)), 6) AS atanh_x,
+       round(radians(y), 6) AS rad_y,
+       round(degrees(x), 6) AS deg_x
+FROM v
+"""
+
+
+def q_bitwise_match(spark, sf_dir):
+    """Bitwise query operators $bitsAllSet/$bitsAnyClear (docs/query.md:
+    233-277), bit positions form."""
+    return _pipe(spark, sf_dir, "orders", [
+        {"$match": {"o_orderkey": {"$bitsAllSet": [0, 2]},
+                    "o_custkey": {"$bitsAnyClear": [1]}}},
+        {"$project": {"_id": 0, "o_orderkey": 1, "o_custkey": 1}},
+    ])
+
+
+_ORACLE_BITWISE = """
+SELECT o_orderkey, o_custkey FROM orders
+WHERE (o_orderkey & 5) = 5 AND (o_custkey & 2) != 2
+"""
+
+
+def q_encode_ops(spark, sf_dir):
+    """Encoding + regex string extensions (docs/aggregation_operators.md:
+    726-949): base64, uri %-encoding, $jsonToString, $regexMatch/Find/
+    FindAll, $replaceOne, $strcasecmp, $cmp, $ltrim/$rtrim."""
+    return _pipe(spark, sf_dir, "part", [
+        {"$project": {
+            "_id": 0, "p_partkey": 1,
+            "b64": {"$base64Encode": "$p_brand"},
+            "b64rt": {"$base64Decode": {"$base64Encode": "$p_name"}},
+            "uri": {"$uriEncode": {"$concat": ["$p_type", " ", "$p_brand"]}},
+            "urirt": {"$uriDecode": {"$uriEncode": "$p_type"}},
+            "doc_json": {"$jsonToString": {"k": "$p_partkey",
+                                           "s": "$p_brand"}},
+            "has_iv": {"$regexMatch": {"input": "$p_name",
+                                       "regex": "ivory"}},
+            "first_word": {"$let": {
+                "vars": {"f": {"$regexFind": {"input": "$p_name",
+                                              "regex": "[a-z]+"}}},
+                "in": "$$f.match"}},
+            "find_idx": {"$toLong": {"$let": {
+                "vars": {"f": {"$regexFind": {"input": "$p_name",
+                                              "regex": "o[a-z]+"}}},
+                "in": "$$f.idx"}}},
+            "n_words": {"$toLong": {"$size": {"$regexFindAll": {
+                "input": "$p_name", "regex": "[a-z]+"}}}},
+            "repl1": {"$replaceOne": {"input": "$p_name", "find": " ",
+                                      "replacement": "_"}},
+            "casecmp": {"$strcasecmp": ["$p_brand", "brand#21"]},
+            "cmp_key": {"$cmp": ["$p_size", 25]},
+            "ltrimmed": {"$ltrim": {"input": {"$concat":
+                                              ["  ", "$p_brand"]}}},
+            "rtrimmed": {"$rtrim": {"input": {"$concat":
+                                              ["$p_brand", "  "]}}},
+        }},
+    ])
+
+
+# $uriEncode percent-encodes (space -> %20, '#' -> %23); the oracle
+# replays it with replace() because the input charset is [A-Z0-9# a-z].
+_ORACLE_ENCODE = """
+SELECT p_partkey,
+       base64(p_brand::BLOB) AS b64,
+       p_name AS b64rt,
+       replace(replace(p_type || ' ' || p_brand, '#', '%23'),
+               ' ', '%20') AS uri,
+       p_type AS urirt,
+       '{"k":' || p_partkey || ',"s":"' || p_brand || '"}' AS doc_json,
+       regexp_matches(p_name, 'ivory') AS has_iv,
+       regexp_extract(p_name, '[a-z]+') AS first_word,
+       CASE WHEN regexp_matches(p_name, 'o[a-z]+')
+            THEN instr(p_name, regexp_extract(p_name, 'o[a-z]+')) - 1
+       END AS find_idx,
+       len(regexp_extract_all(p_name, '[a-z]+'))::BIGINT AS n_words,
+       regexp_replace(p_name, ' ', '_') AS repl1,
+       CASE WHEN lower(p_brand) < 'brand#21' THEN -1
+            WHEN lower(p_brand) > 'brand#21' THEN 1 ELSE 0 END AS casecmp,
+       CASE WHEN p_size < 25 THEN -1
+            WHEN p_size > 25 THEN 1 ELSE 0 END AS cmp_key,
+       ltrim('  ' || p_brand) AS ltrimmed,
+       rtrim(p_brand || '  ') AS rtrimmed
+FROM part
+"""
+
+
+def q_array_ops2(spark, sf_dir):
+    """Second array gallery: $arrayElemAt/$concatArrays/$slice/$range/
+    $reduce/$isArray/$setEquals/$setIsSubset/$allElementsTrue/$zip/
+    $objectToArray/$arrayToObject/$mergeObjects/$sort (array form);
+    arrays serialized with $jsonToString so the value hash is stable."""
+    return _pipe(spark, sf_dir, "part", [
+        {"$set": {"words": {"$split": ["$p_name", " "]}}},
+        {"$project": {
+            "_id": 0, "p_partkey": 1,
+            "elem1": {"$arrayElemAt": ["$words", 1]},
+            "cat_json": {"$jsonToString": {"$concatArrays": [
+                {"$slice": ["$words", 1, 2]}, ["zz"]]}},
+            "rng_sum": {"$reduce": {
+                "input": {"$range": [0, {"$mod": ["$p_partkey", 5]}]},
+                "initialValue": 0,
+                "in": {"$add": ["$$value", "$$this"]}}},
+            "is_arr": {"$isArray": "$words"},
+            "is_arr2": {"$isArray": "$p_name"},
+            "set_eq": {"$setEquals": ["$words",
+                                      {"$reverseArray": "$words"}]},
+            "subset": {"$setIsSubset": [{"$slice": ["$words", 1]},
+                                        "$words"]},
+            "all_true": {"$allElementsTrue": [{"$map": {
+                "input": "$words",
+                "in": {"$gt": [{"$strLenCP": "$$this"}, 0]}}}]},
+            "sorted_desc": {"$jsonToString": {"$sort": {
+                "input": "$words", "direction": "desc"}}},
+            "zipped": {"$jsonToString": {"$map": {
+                "input": {"$zip": {"inputs": [
+                    "$words", {"$reverseArray": "$words"}]}},
+                "in": {"$concat": [{"$arrayElemAt": ["$$this", 0]}, "-",
+                                   {"$arrayElemAt": ["$$this", 1]}]}}}},
+            "o2a": {"$jsonToString": {"$map": {
+                "input": {"$objectToArray": {
+                    "brand": "$p_brand", "size": {"$toString": "$p_size"}}},
+                "in": {"$concat": ["$$this.k", "=", "$$this.v"]}}}},
+            "a2o": {"$jsonToString": {"$arrayToObject": [[
+                {"k": "brand", "v": "$p_brand"},
+                {"k": "type", "v": "$p_type"}]]}},
+            "merged": {"$jsonToString": {"$mergeObjects": [
+                {"a": "$p_brand"}, {"b": "$p_size"},
+                {"a": "$p_type"}]}},
+        }},
+    ])
+
+
+_ORACLE_ARRAY2 = """
+WITH v AS (
+  SELECT p_partkey, p_brand, p_type, p_size,
+         string_split(p_name, ' ') AS w,
+         p_partkey % 5 AS m
+  FROM part
+)
+SELECT p_partkey,
+       w[2] AS elem1,
+       to_json(list_concat(list_slice(w, 2, 3), ['zz']))::VARCHAR
+         AS cat_json,
+       ((m - 1) * m // 2)::BIGINT AS rng_sum,
+       true AS is_arr,
+       false AS is_arr2,
+       list_sort(list_distinct(w)) = list_sort(list_distinct(list_reverse(w)))
+         AS set_eq,
+       len(list_filter(w[1:1], x -> NOT list_contains(w, x))) = 0
+         AS subset,
+       len(list_filter(w, x -> length(x) > 0)) = len(w) AS all_true,
+       to_json(list_reverse_sort(w))::VARCHAR AS sorted_desc,
+       to_json(list_transform(list_zip(w, list_reverse(w)),
+               z -> struct_extract(z, 1) || '-' || struct_extract(z, 2)
+               ))::VARCHAR AS zipped,
+       to_json(['brand=' || p_brand, 'size=' || p_size::VARCHAR])::VARCHAR
+         AS o2a,
+       '{"brand":"' || p_brand || '","type":"' || p_type || '"}' AS a2o,
+       '{"a":"' || p_type || '","b":' || p_size || '}' AS merged
+FROM v
+"""
+
+
+def q_jes_ops(spark, sf_dir):
+    """Event-sourcing extension operators over a constructed RFC-6902
+    `_ops` patch array: $jes-added/$jes-removed/$jes-changed/$jes-href
+    (docs/aggregation_operators.md:1235-1307)."""
+    return _pipe(spark, sf_dir, "orders", [
+        {"$set": {"_ops": {"$cond": {
+            "if": {"$eq": ["$o_orderstatus", "F"]},
+            "then": [{"op": "add", "path": "/status"},
+                     {"op": "remove", "path": "/draft"}],
+            "else": [{"op": "replace", "path": "/status"}]}}}},
+        {"$project": {
+            "_id": 0, "o_orderkey": 1,
+            "added": {"$jes-added": "/status"},
+            "removed": {"$jes-removed": "/draft"},
+            "changed_draft": {"$jes-changed": "/draft"},
+            "changed_status": {"$jes-changed": "/status"},
+            "href": {"$jes-href": {"app": "orders",
+                                   "type": "$o_orderstatus",
+                                   "id": {"$toString": "$o_orderkey"}}},
+        }},
+    ])
+
+
+_ORACLE_JES = """
+SELECT o_orderkey,
+       o_orderstatus = 'F' AS added,
+       o_orderstatus = 'F' AS removed,
+       o_orderstatus = 'F' AS changed_draft,
+       true AS changed_status,
+       '/orders/' || o_orderstatus || '/' || o_orderkey AS href
+FROM orders
+"""
+
+
+def q_sort_limit(spark, sf_dir):
+    """Batch-order extension stages $sort/$skip/$limit (streams are
+    unordered in the reference — these exist for batch/collection mode);
+    tie-broken on the key for determinism."""
+    return _pipe(spark, sf_dir, "orders", [
+        {"$sort": {"o_totalprice": -1, "o_orderkey": 1}},
+        {"$skip": 5},
+        {"$limit": 10},
+        {"$project": {"_id": 0, "o_orderkey": 1, "o_totalprice": 1}},
+    ])
+
+
+_ORACLE_SORT_LIMIT = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 5
+"""
+
+
+def q_setkey_stage(spark, sf_dir):
+    """$setKey re-keying stage (docs/aggregation_stages.md:571-589): the
+    new key lands in _key and repartitions the stream."""
+    return _pipe(spark, sf_dir, "orders", [
+        {"$match": {"o_orderkey": {"$lte": 1000}}},
+        {"$setKey": {"$toString": "$o_custkey"}},
+        {"$project": {"_id": 0, "o_orderkey": 1, "key": "$_key"}},
+    ])
+
+
+_ORACLE_SETKEY = """
+SELECT o_orderkey, CAST(o_custkey AS VARCHAR) AS key
+FROM orders WHERE o_orderkey <= 1000
+"""
+
+
+def q_jslt_stage(spark, sf_dir):
+    """$jslt whole-message transform (docs/aggregation_stages.md:245-277)
+    through the embedded JSLT-subset interpreter, typed output."""
+    return _pipe(spark, sf_dir, "orders", [
+        {"$match": {"o_orderkey": {"$lte": 2000}}},
+        {"$jslt": {
+            "script": '{"okey": .o_orderkey, '
+                      '"pricy": if (.o_totalprice > 150000) "yes" '
+                      'else "no", '
+                      '"seg": split(.o_orderpriority, "-")[0]}',
+            "schema": "okey bigint, pricy string, seg string"}},
+    ])
+
+
+_ORACLE_JSLT = """
+SELECT o_orderkey AS okey,
+       CASE WHEN o_totalprice > 150000 THEN 'yes' ELSE 'no' END AS pricy,
+       string_split(o_orderpriority, '-')[1] AS seg
+FROM orders WHERE o_orderkey <= 2000
+"""
+
+
+# ===========================================================================
 # driver contract
 # ===========================================================================
 
@@ -1248,6 +1557,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_setops": q_array_setops,
         "match_arrays": q_match_arrays,
         "jq_stage": q_jq_stage,
+        "jslt_stage": q_jslt_stage,
+        "trig_ops": q_trig_ops,
+        "bitwise_match": q_bitwise_match,
+        "encode_ops": q_encode_ops,
+        "array_ops2": q_array_ops2,
+        "jes_ops": q_jes_ops,
+        "sort_limit": q_sort_limit,
+        "setkey_stage": q_setkey_stage,
         "region_revenue": q_region_revenue,
         "top_customers": q_top_customers,
         "aggregate_fold": q_aggregate_fold,
@@ -1292,6 +1609,14 @@ def oracle_sql() -> dict[str, str]:
         "array_setops": _ORACLE_SETOPS,
         "match_arrays": _ORACLE_MATCH_ARRAYS,
         "jq_stage": _ORACLE_JQ,
+        "jslt_stage": _ORACLE_JSLT,
+        "trig_ops": _ORACLE_TRIG,
+        "bitwise_match": _ORACLE_BITWISE,
+        "encode_ops": _ORACLE_ENCODE,
+        "array_ops2": _ORACLE_ARRAY2,
+        "jes_ops": _ORACLE_JES,
+        "sort_limit": _ORACLE_SORT_LIMIT,
+        "setkey_stage": _ORACLE_SETKEY,
         "region_revenue": _ORACLE_REGION_REVENUE,
         "top_customers": _ORACLE_TOP_CUSTOMERS,
         # aggregate_fold: stateful event-sourcing fold — rows-only check

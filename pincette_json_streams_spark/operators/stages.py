@@ -740,6 +740,7 @@ STAGES: dict[str, Callable[[DataFrame, Any, PipelineContext], DataFrame]] = {
     "$s3Transfer": _effect("stage_s3_transfer"),
     "$s3Attachments": _effect("stage_s3_attachments"),
     # batch extensions
+    "$sort": _stage_sort_ext,
     "$sort_ext": _stage_sort_ext,
     "$limit": _stage_limit_ext,
     "$skip": lambda df, spec, pctx: df.offset(int(spec)),
