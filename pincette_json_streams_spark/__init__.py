@@ -24,6 +24,7 @@ Architecture (Spark-first, NOT a port):
 
 __version__ = "0.1.0"
 
+from pincette_json_streams_spark import plugins
 from pincette_json_streams_spark.operators.expressions import compile_expr
 from pincette_json_streams_spark.operators.match import compile_query
 from pincette_json_streams_spark.operators.stages import compile_pipeline
@@ -36,4 +37,5 @@ __all__ = [
     "compile_pipeline",
     "load_application",
     "Application",
+    "plugins",
 ]

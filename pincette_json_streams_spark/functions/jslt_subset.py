@@ -675,16 +675,23 @@ def _call(name, args, ctx, env):
         s = a()
         return int(datetime.fromisoformat(
             s.replace("Z", "+00:00")).timestamp())
+    ext = env.get("ext") or {}
+    if name in ext:
+        return ext[name](*[a(i) for i in range(n)])
     raise JsltError(f"jslt: unknown function {name}")
 
 
 def compile_jslt(
     src: str,
     loader: Callable[[str], str] | None = None,
+    extensions: dict[str, Callable] | None = None,
 ) -> Callable[[Any], Any]:
     """Compile a JSLT program to ``fn(value) -> value`` (single-valued,
     unlike jq's streams).  ``loader`` resolves file imports from the
-    spec's inlined ``scriptImports`` (Common.java:803-846)."""
+    spec's inlined ``scriptImports`` (Common.java:803-846).
+    ``extensions`` overrides the plugin-function snapshot — callers that
+    compile on an executor must capture the registry driver-side and pass
+    it here."""
     imports, defs, lets, body = _Parser(_lex(src)).program()
     funcs: dict[str, tuple] = {}
     for path, ns in imports:
@@ -697,8 +704,19 @@ def compile_jslt(
     for dname, dparams, dbody in defs:
         funcs[dname] = (dparams, dbody)
 
+    # snapshot plugin functions at compile time (driver side): the dict is
+    # captured in the closure, so cloudpickle ships the functions by value
+    # to executor Python workers, where the plugins module import would be
+    # a fresh empty registry
+    if extensions is None:
+        from pincette_json_streams_spark.plugins import (
+            JSLT_FUNCTION_EXTENSIONS,
+        )
+        extensions = dict(JSLT_FUNCTION_EXTENSIONS)
+    ext = extensions
+
     def run(value):
-        env = {"funcs": funcs, "vars": {}}
+        env = {"funcs": funcs, "vars": {}, "ext": ext}
         for name, vex in lets:
             env["vars"][name] = _eval(vex, value, env)
         return _eval(body, value, env)

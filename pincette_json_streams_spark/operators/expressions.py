@@ -60,6 +60,11 @@ def compile_expr(expr: Any, ctx: Ctx) -> Column:
             if op.startswith("$"):
                 handler = OPERATORS.get(op)
                 if handler is None:
+                    from pincette_json_streams_spark.plugins import (
+                        OPERATOR_EXTENSIONS,
+                    )
+                    handler = OPERATOR_EXTENSIONS.get(op)
+                if handler is None:
                     raise UnsupportedExpression(f"unknown operator {op}")
                 return handler(args, ctx)
         # document literal -> struct with compiled member expressions
@@ -688,6 +693,10 @@ def _script_expr(args, ctx, language):
     script = args["script"]
     inp = compile_expr(args["input"], ctx)
     fn_holder = {}
+    # driver-side snapshot of plugin JSLT functions (the lazy compile
+    # below runs on executor workers, where the registry is empty)
+    from pincette_json_streams_spark.plugins import JSLT_FUNCTION_EXTENSIONS
+    jslt_ext = dict(JSLT_FUNCTION_EXTENSIONS)
 
     def apply_script(js):
         if js is None:
@@ -703,7 +712,7 @@ def _script_expr(args, ctx, language):
                 from pincette_json_streams_spark.functions.jslt_subset \
                     import compile_jslt
 
-                fn_holder["fn"] = compile_jslt(script)
+                fn_holder["fn"] = compile_jslt(script, extensions=jslt_ext)
         r = fn_holder["fn"](_json.loads(js).get("v"))
         if r is None:
             return None

@@ -179,6 +179,9 @@ def _field_op(path: str, op: str, arg: Any, ctx: Ctx) -> Column:
         return (col.cast("bigint").bitwiseAND(F.lit(mask))) != F.lit(mask)
     if op == "$comment":
         return F.lit(True)
+    from pincette_json_streams_spark.plugins import MATCH_EXTENSIONS
+    if op in MATCH_EXTENSIONS:
+        return MATCH_EXTENSIONS[op](col, arg, ctx)
     raise UnsupportedExpression(f"unknown query operator {op}")
 
 

@@ -79,6 +79,9 @@ def compile_pipeline(
         (name, spec), = stage.items()
         handler = STAGES.get(name)
         if handler is None:
+            from pincette_json_streams_spark.plugins import STAGE_EXTENSIONS
+            handler = STAGE_EXTENSIONS.get(name)
+        if handler is None:
             raise UnsupportedExpression(f"unknown stage {name}")
         df = handler(df, spec, pctx)
     return df
@@ -570,6 +573,9 @@ def _stage_script(df, spec, pctx, language):
     else:
         script, schema = spec["script"], spec.get("schema")
     cols = list(df.columns)
+    # driver-side snapshot: worker-side compile would see an empty registry
+    from pincette_json_streams_spark.plugins import JSLT_FUNCTION_EXTENSIONS
+    jslt_ext = dict(JSLT_FUNCTION_EXTENSIONS)
 
     def run(batches):
         import pandas as pd
@@ -583,7 +589,7 @@ def _stage_script(df, spec, pctx, language):
             from pincette_json_streams_spark.functions.jslt_subset import (
                 compile_jslt,
             )
-            one = compile_jslt(script)
+            one = compile_jslt(script, extensions=jslt_ext)
             fn = lambda doc: [one(doc)]  # noqa: E731
         for pdf in batches:
             out_vals, out_ids = [], []

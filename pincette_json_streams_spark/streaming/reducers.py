@@ -330,6 +330,10 @@ def pipeline_reducer(
     App.java:793-812).  ``script_imports`` resolves jq `import`s the way
     the build step inlines them (Common.java:803-846)."""
     script_cache: dict[tuple, Callable] = {}
+    # driver-side snapshot: script_for may first run inside the stateful
+    # executor worker, where the plugin registry import is empty
+    from pincette_json_streams_spark.plugins import JSLT_FUNCTION_EXTENSIONS
+    _jslt_ext = dict(JSLT_FUNCTION_EXTENSIONS)
 
     def script_for(src: str, language: str) -> Callable:
         fn = script_cache.get((language, src))
@@ -339,7 +343,8 @@ def pipeline_reducer(
                 from pincette_json_streams_spark.functions.jslt_subset \
                     import compile_jslt
 
-                fn = compile_jslt(src, loader=lambda p: loader(p) or "")
+                fn = compile_jslt(src, loader=lambda p: loader(p) or "",
+                                  extensions=_jslt_ext)
             else:
                 from pincette_json_streams_spark.functions.jq_subset \
                     import compile_jq
