@@ -1497,6 +1497,83 @@ FROM orders WHERE o_orderkey <= 1000
 """
 
 
+def q_misc_ops(spark, sf_dir):
+    """Remaining operator sweep: $exp/$log/$log10, $ifNull, $literal,
+    $type, $toDouble, $stringToJson round-trip, and the query-side
+    $ne/$nin/$nor/$comment/$bitsAllClear/$bitsAnySet."""
+    return _pipe(spark, sf_dir, "orders", [
+        {"$match": {
+            "o_orderstatus": {"$ne": "P"},
+            "o_custkey": {"$nin": [1, 2, 3]},
+            "$nor": [{"o_orderkey": {"$bitsAllClear": [0]}},
+                     {"o_orderkey": {"$bitsAnySet": [3]}}],
+            "$comment": "operator-sweep gallery",
+        }},
+        {"$project": {
+            "_id": 0, "o_orderkey": 1,
+            "e": {"$round": [{"$exp": {"$divide":
+                                       ["$o_totalprice", 100000]}}, 6]},
+            "lg2": {"$round": [{"$log": ["$o_totalprice", 2]}, 6]},
+            "l10": {"$round": [{"$log10": "$o_totalprice"}, 6]},
+            "ifn": {"$ifNull": [{"$first": {"$regexFindAll": {
+                "input": "$o_orderpriority", "regex": "URGENT"}}},
+                "none"]},
+            "litv": {"$literal": "$notAField"},
+            "typ": {"$type": "$o_totalprice"},
+            "dbl": {"$toDouble": "$o_orderkey"},
+            "jrt": {"$jsonToString": {"$stringToJson": {"$concat": [
+                "{\"a\":", {"$toString": "$o_orderkey"}, "}"]}}},
+        }},
+    ])
+
+
+_ORACLE_MISC = """
+SELECT o_orderkey,
+       round(exp(o_totalprice / 100000), 6) AS e,
+       round(ln(o_totalprice) / ln(2), 6) AS lg2,
+       round(log10(o_totalprice), 6) AS l10,
+       CASE WHEN regexp_matches(o_orderpriority, 'URGENT')
+            THEN 'URGENT' ELSE 'none' END AS ifn,
+       '$notAField' AS litv,
+       'double' AS typ,
+       CAST(o_orderkey AS DOUBLE) AS dbl,
+       '{"a":' || o_orderkey || '}' AS jrt
+FROM orders
+WHERE o_orderstatus != 'P' AND o_custkey NOT IN (1, 2, 3)
+  AND NOT ((o_orderkey & 1) = 0 OR (o_orderkey & 8) != 0)
+"""
+
+
+def q_epoch_ops(spark, sf_dir):
+    """Epoch<->ISO-8601 conversion extensions (docs/aggregation_operators
+    .md:514-614): $fromEpochMillis/Seconds/Nanos (Instant.toString wire
+    format, fractional part omitted when zero), $toEpochNanos,
+    $toDecimal."""
+    return _pipe(spark, sf_dir, "orders", [
+        {"$set": {"ms": {"$toEpochMillis": "$o_orderdate"}}},
+        {"$project": {
+            "_id": 0, "o_orderkey": 1,
+            "iso_ms": {"$fromEpochMillis": {"$add": ["$ms", 500]}},
+            "iso_s": {"$fromEpochSeconds": {"$divide": ["$ms", 1000]}},
+            "iso_ns": {"$fromEpochNanos": {"$multiply": ["$ms", 1000000]}},
+            "ens": {"$toEpochNanos": "$o_orderdate"},
+            "dec": {"$toDecimal": "$o_totalprice"},
+        }},
+    ])
+
+
+_ORACLE_EPOCH = """
+SELECT o_orderkey,
+       strftime(epoch_ms(epoch_ms(o_orderdate) + 500),
+                '%Y-%m-%dT%H:%M:%S.%gZ') AS iso_ms,
+       strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ') AS iso_s,
+       strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ') AS iso_ns,
+       epoch_ns(o_orderdate) AS ens,
+       CAST(o_totalprice AS DECIMAL(38, 10)) AS dec
+FROM orders
+"""
+
+
 def q_jslt_stage(spark, sf_dir):
     """$jslt whole-message transform (docs/aggregation_stages.md:245-277)
     through the embedded JSLT-subset interpreter, typed output."""
@@ -1558,6 +1635,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_arrays": q_match_arrays,
         "jq_stage": q_jq_stage,
         "jslt_stage": q_jslt_stage,
+        "epoch_ops": q_epoch_ops,
+        "misc_ops": q_misc_ops,
         "trig_ops": q_trig_ops,
         "bitwise_match": q_bitwise_match,
         "encode_ops": q_encode_ops,
@@ -1610,6 +1689,8 @@ def oracle_sql() -> dict[str, str]:
         "match_arrays": _ORACLE_MATCH_ARRAYS,
         "jq_stage": _ORACLE_JQ,
         "jslt_stage": _ORACLE_JSLT,
+        "epoch_ops": _ORACLE_EPOCH,
+        "misc_ops": _ORACLE_MISC,
         "trig_ops": _ORACLE_TRIG,
         "bitwise_match": _ORACLE_BITWISE,
         "encode_ops": _ORACLE_ENCODE,

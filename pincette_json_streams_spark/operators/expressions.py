@@ -129,10 +129,11 @@ def _round_like(fn):
 def _array_elem_at(args, ctx):
     arr, idx = _nary(args, ctx, 2)
     # Mongo is 0-based with negative-from-end; element_at is 1-based with
-    # negative-from-end.
-    return F.when(idx >= 0, F.element_at(arr, (idx + 1).cast("int"))).otherwise(
-        F.element_at(arr, idx.cast("int"))
-    )
+    # negative-from-end.  try_element_at: out-of-range yields missing in
+    # Mongo, while plain element_at is an error under ANSI mode.
+    return F.when(
+        idx >= 0, F.try_element_at(arr, (idx + 1).cast("int"))
+    ).otherwise(F.try_element_at(arr, idx.cast("int")))
 
 
 def _array_to_object(args, ctx):
@@ -840,11 +841,11 @@ OPERATORS: dict[str, Callable[[Any, Ctx], Column]] = {
     "$concatArrays": lambda a, c: F.concat(*_nary(a, c)),
     "$elemMatch": _elem_match,
     "$filter": _filter,
-    "$first": _simple(lambda x: F.element_at(x, 1)),
+    "$first": _simple(lambda x: F.try_element_at(x, F.lit(1))),
     "$in": lambda a, c: F.array_contains(_nary(a, c, 2)[1], _nary(a, c, 2)[0]),
     "$indexOfArray": _index_of_array,
     "$isArray": _is_array,
-    "$last": _simple(lambda x: F.element_at(x, -1)),
+    "$last": _simple(lambda x: F.try_element_at(x, F.lit(-1))),
     "$map": _map,
     "$objectToArray": _object_to_array,
     "$range": _range,
