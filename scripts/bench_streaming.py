@@ -1,0 +1,128 @@
+"""Streaming micro-batch throughput benchmark (BASELINE.md's streaming
+plan): run pipelines over the `events` table as an unbounded file-stream
+source, drain with availableNow, report msgs/sec.
+
+The reference's design capacity is 50 msg/s per app instance
+(1000 / averageMessageTimeEstimate of 20 ms, Work.java:131-133); the
+Spark engine should clear that by orders of magnitude per core.
+
+Usage: python scripts/bench_streaming.py [sf_dir]
+Prints one JSON line: {"metric": "streaming_msgs_per_sec", ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+EVENTS_SCHEMA = ("event_id bigint, ts bigint, user_id bigint, "
+                 "event_type string, value double, props string")
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else \
+        os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("streaming-bench")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.streaming.schemaInference", "false")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from pincette_json_streams_spark.streaming.runtime import (
+        StreamingApp,
+        file_stream_catalog,
+    )
+
+    # stream parts under test: identity-ish $match (the reference's
+    # apples-to-apples baseline) and a stateful update-mode $group
+    specs = {
+        "identity_match": {
+            "application": "bench-identity", "parts": [
+                {"type": "stream", "name": "s", "fromTopic": "events",
+                 "toTopic": "out", "pipeline": [
+                     {"$match": {"event_id": {"$exists": True}}},
+                 ]},
+            ],
+        },
+        "transform_chain": {
+            "application": "bench-transform", "parts": [
+                {"type": "stream", "name": "s", "fromTopic": "events",
+                 "toTopic": "out", "pipeline": [
+                     {"$match": {"value": {"$gte": 0}}},
+                     {"$addFields": {"bucket": {"$toInt": {"$divide":
+                                                           ["$value", 10]}},
+                                     "kind": {"$toUpper": "$event_type"}}},
+                     {"$project": {"_id": 0, "event_id": 1, "user_id": 1,
+                                   "bucket": 1, "kind": 1}},
+                 ]},
+            ],
+        },
+        "grouped_update": {
+            "application": "bench-group", "parts": [
+                {"type": "stream", "name": "s", "fromTopic": "events",
+                 "toTopic": "out", "pipeline": [
+                     {"$group": {"_id": "$event_type",
+                                 "n": {"$sum": 1},
+                                 "total": {"$sum": "$value"}}},
+                 ]},
+            ],
+        },
+    }
+
+    n_events = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")).count()
+    tmp = tempfile.mkdtemp(prefix="stream_bench_")
+    # the file-stream source wants a topic *directory* (appends = files)
+    topic_dir = os.path.join(tmp, "events")
+    os.makedirs(topic_dir)
+    os.symlink(os.path.join(sf_dir, "events.parquet"),
+               os.path.join(topic_dir, "events.parquet"))
+    results = {}
+    try:
+        for name, spec in specs.items():
+            catalog = file_stream_catalog(
+                spark, {"events": topic_dir},
+                {"events": EVENTS_SCHEMA})
+            app = StreamingApp(spark, spec, catalog)
+
+            def sink(sink_name, df, _n=name):
+                mode = ("update" if _n == "grouped_update" else "append")
+                return (df.writeStream.format("noop").outputMode(mode)
+                        .option("checkpointLocation",
+                                os.path.join(tmp, _n, sink_name)))
+
+            t0 = time.time()
+            app.run_until_drained(sink, timeout=300)
+            dt = time.time() - t0
+            results[name] = round(n_events / dt, 1)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    print(json.dumps({
+        "metric": "streaming_msgs_per_sec",
+        "value": max(results.values()),
+        "unit": "msgs/sec",
+        "queries": results,
+        "n_events": n_events,
+        "reference_design_capacity_per_instance": 50,
+        "cpus": int(cpus),
+    }))
+
+
+if __name__ == "__main__":
+    main()
