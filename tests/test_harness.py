@@ -150,3 +150,45 @@ class TestCli:
         assert main(["dot", str(tmp_path / "app.yaml")]) == 0
         dot = capsys.readouterr().out
         assert 'digraph "routing"' in dot and '"part_zeroes"' in dot
+
+
+class TestFieldEscaping:
+    """Mongo-hostile field-name escaping at the storage boundary
+    (Common.java:148-150,979-981)."""
+
+    def test_key_roundtrip(self):
+        from pincette_json_streams_spark.sources.escape import (
+            escape_key,
+            unescape_key,
+        )
+        for raw, esc in [("$set", "_dollar_set"), ("a.b", "a_dot_b"),
+                         ("x/y", "x_slash_y"),
+                         ("$a.b/c", "_dollar_a_dot_b_slash_c")]:
+            assert escape_key(raw) == esc
+            assert unescape_key(esc) == raw
+
+    def test_doc_roundtrip(self):
+        from pincette_json_streams_spark.sources.escape import (
+            escape_doc,
+            unescape_doc,
+        )
+        doc = {"$op": {"a.b": [{"c/d": 1}, 2]}, "plain": True}
+        esc = escape_doc(doc)
+        assert esc == {"_dollar_op": {"a_dot_b": [{"c_slash_d": 1}, 2]},
+                       "plain": True}
+        assert unescape_doc(esc) == doc
+
+    def test_columns_roundtrip(self, spark, tmp_path):
+        from pincette_json_streams_spark.sources.escape import (
+            escape_columns,
+            unescape_columns,
+        )
+        df = spark.createDataFrame([(1, 2)], ["a.b", "$c"])
+        esc = escape_columns(df)
+        assert esc.columns == ["a_dot_b", "_dollar_c"]
+        # escaped frame is parquet-storable; raw one is not
+        p = str(tmp_path / "esc.parquet")
+        esc.write.parquet(p)
+        back = unescape_columns(spark.read.parquet(p))
+        assert back.columns == ["a.b", "$c"]
+        assert back.collect()[0][0] == 1
