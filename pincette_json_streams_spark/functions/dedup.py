@@ -68,6 +68,18 @@ def _hash_str(col: Column) -> Column:
     )
 
 
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to total cores before CPU-heavy per-row
+    work.  Two traps this dodges (both measured): (1) small parquet
+    arrives as ONE input split, serializing the signature UDF on a single
+    core; (2) `repartition(col)` without an explicit count lets AQE
+    coalesce the ~MB-sized shuffle back to one partition by byte size --
+    AQE can't know the downstream UDF is CPU-bound per row (5k docs:
+    3.2 s -> 0.9 s)."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -144,14 +156,17 @@ def _shingle_sig_vec(num_hashes: int, k: int):
     coeffs = _coeffs(num_hashes)
 
     def f(texts):
+        import hashlib
+
         import numpy as np
         import pandas as pd
 
         A = np.array([a for a, _ in coeffs], dtype=np.int64)[:, None]
         B = np.array([b for _, b in coeffs], dtype=np.int64)[:, None]
-        shs, sigs = [], []
+        gids, shs, sigs = [], [], []
         for s in texts:
             if s is None:
+                gids.append(None)
                 shs.append(None)
                 sigs.append(None)
                 continue
@@ -164,12 +179,67 @@ def _shingle_sig_vec(num_hashes: int, k: int):
             hv = np.array(h, dtype=np.int64)[None, :]
             sigs.append(((A * hv + B) % _P).min(axis=1).tolist()
                         if hv.size else [_P] * num_hashes)
-        return pd.DataFrame({"sh": shs, "sig": sigs})
+            # the shingle-set digest is internal (cluster-compression
+            # key), so it's computed here rather than as an
+            # md5(to_json(...)) Column — that expression was the widest
+            # codegen unit in the plan
+            gids.append(hashlib.md5(
+                ",".join(map(str, h)).encode()).hexdigest())
+        return pd.DataFrame({"gid": gids, "sh": shs, "sig": sigs})
 
     # explicit functionType: `from __future__ import annotations` turns
     # hints into strings pandas_udf's inference can't resolve
     return pandas_udf(
-        f, "struct<sh: array<bigint>, sig: array<bigint>>",
+        f, "struct<gid: string, sh: array<bigint>, sig: array<bigint>>",
+        PandasUDFType.SCALAR,
+    )
+
+
+def _shingle_band_vec(num_hashes: int, k: int, bands: int):
+    """Like ``_shingle_sig_vec`` but also emits the banded LSH keys, so
+    the whole signature side of ``minhash_lsh_pairs`` is one narrow Arrow
+    pass and the Spark plan carries only (gid, sh, bandkeys) — no
+    signature column, no md5/concat/slice codegen units."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    coeffs = _coeffs(num_hashes)
+    rows = num_hashes // bands
+
+    def f(texts):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        A = np.array([a for a, _ in coeffs], dtype=np.int64)[:, None]
+        B = np.array([b for _, b in coeffs], dtype=np.int64)[:, None]
+        gids, shs, bkss = [], [], []
+        for s in texts:
+            if s is None:
+                gids.append(None)
+                shs.append(None)
+                bkss.append(None)
+                continue
+            norm = _normalize_py(s)
+            n = max(len(norm) - (k - 1), 1)
+            distinct = dict.fromkeys(norm[i:i + k] for i in range(n))
+            h = list(dict.fromkeys(_hash_str_py(x) for x in distinct))
+            shs.append(h)
+            hv = np.array(h, dtype=np.int64)[None, :]
+            sig = (((A * hv + B) % _P).min(axis=1).tolist()
+                   if hv.size else [_P] * num_hashes)
+            gids.append(hashlib.md5(
+                ",".join(map(str, h)).encode()).hexdigest())
+            bkss.append([
+                hashlib.md5(",".join(
+                    [str(b)] + [str(x) for x in sig[b * rows:(b + 1) * rows]]
+                ).encode()).hexdigest()
+                for b in range(bands)
+            ])
+        return pd.DataFrame({"gid": gids, "sh": shs, "bks": bkss})
+
+    return pandas_udf(
+        f, "struct<gid: string, sh: array<bigint>, bks: array<string>>",
         PandasUDFType.SCALAR,
     )
 
@@ -189,34 +259,34 @@ def minhash_lsh_pairs(
     explode to `bands` rows -> shuffle on (band, bandkey) -> per-bucket
     self-join (skew-bounded by bucket size) -> exact verify on candidates.
     """
-    rows = num_hashes // bands
     base = (
-        # repartition first: the raw documents often arrive as ONE small
-        # parquet split, which would serialize the md5-heavy signature
-        # stage on a single core
-        df.repartition(F.col(id_col))
+        _spread(df)
         .select(
             F.col(id_col).alias("id"),
-            # one fused Arrow pass: shingle, md5, signature (exact-verify
-            # later intersects the hashed shingles — 8-byte compares,
-            # deterministic on any md5 engine)
-            _shingle_sig_vec(num_hashes, k)(F.col(text_col)).alias("ss"),
+            # ONE fused Arrow pass: shingle, md5, signature, group digest
+            # and banded LSH keys (exact-verify later intersects the
+            # hashed shingles — 8-byte compares, deterministic on any md5
+            # engine).  gid/bandkeys are internal keys, so hashing them in
+            # Python removes the widest codegen units (md5-of-json,
+            # 8-way md5/concat/slice explode) from the plan — first-run
+            # compile dominated the wall time on short-lived sessions.
+            _shingle_band_vec(num_hashes, k, bands)(
+                F.col(text_col)).alias("ss"),
         )
-        .select("id", F.col("ss.sh").alias("sh"), F.col("ss.sig").alias("sig"))
+        .select("id", F.col("ss.gid").alias("gid"),
+                F.col("ss.sh").alias("sh"), F.col("ss.bks").alias("bks"))
     )
 
     # Cluster compression: training corpora carry large exact-duplicate
     # clusters; comparing their members pairwise is the classic LSH
-    # blowup.  Group docs by shingle-SET first — within a group every
-    # pair has Jaccard exactly 1, and the quadratic candidate join runs
-    # over *distinct sets* only.  The group key is an md5 digest of the
-    # set, NOT the array itself: shuffling/comparing ~300-element array
-    # keys costs ~10x a 32-char string key (measured).
+    # blowup.  Group docs by shingle-SET digest first — within a group
+    # every pair has Jaccard exactly 1, and the quadratic candidate join
+    # runs over *distinct sets* only.  The digest, not the ~300-element
+    # array, is the shuffle key (measured ~10x cheaper).
     groups = (
-        base.withColumn("gid", F.md5(F.to_json("sh")))
-        .groupBy("gid")
+        base.groupBy("gid")
         .agg(
-            F.first("sh").alias("sh"), F.first("sig").alias("sig"),
+            F.first("sh").alias("sh"), F.first("bks").alias("bks"),
             F.sort_array(F.collect_list("id")).alias("ids"),
         )
     )
@@ -228,23 +298,7 @@ def minhash_lsh_pairs(
     # the shingle arrays band-times would multiply the join payload ~300x.
     # Arrays join back AFTER candidate-pair dedup, when the row count is
     # smallest.
-    banded = groups.select(
-        "gid",
-        F.explode(
-            F.array(
-                *[
-                    F.md5(
-                        F.concat_ws(
-                            ",",
-                            F.lit(b),
-                            F.slice(F.col("sig"), b * rows + 1, rows),
-                        )
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bandkey"),
-    )
+    banded = groups.select("gid", F.explode("bks").alias("bandkey"))
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -363,7 +417,7 @@ def simhash_pairs(
     band when bands > max_hamming ... approximate for smaller band counts)."""
     band_width = bits // bands
     base = (
-        df.repartition(F.col(id_col))
+        _spread(df)
         .select(
             F.col(id_col).alias("id"),
             _simhash_vec(bits)(F.col(text_col)).alias("sig"),
@@ -444,23 +498,29 @@ def _word_ngrams_hashed_vec(n: int):
     def f(texts):
         import pandas as pd
 
-        out = []
+        gids, ngs = [], []
         for s in texts:
             if s is None:
-                out.append(None)
+                gids.append(None)
+                ngs.append(None)
                 continue
             words = _normalize_py(s).split(" ")
             cnt = max(len(words) - (n - 1), 1)
             grams = dict.fromkeys(
                 " ".join(words[i:i + n]) for i in range(cnt)
             )
-            out.append(list(dict.fromkeys(
+            ng = list(dict.fromkeys(
                 int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
                 for g in grams
-            )))
-        return pd.Series(out)
+            ))
+            ngs.append(ng)
+            # internal cluster-compression digest (see _shingle_band_vec)
+            gids.append(hashlib.md5(
+                ",".join(map(str, ng)).encode()).hexdigest())
+        return pd.DataFrame({"gid": gids, "ng": ngs})
 
-    return pandas_udf(f, "array<bigint>", PandasUDFType.SCALAR)
+    return pandas_udf(f, "struct<gid: string, ng: array<bigint>>",
+                      PandasUDFType.SCALAR)
 
 
 def ngram_jaccard_pairs(
@@ -474,15 +534,14 @@ def ngram_jaccard_pairs(
     one n-gram.  Inverted-index join over *distinct n-gram sets* (cluster
     compression, see minhash_lsh_pairs) — exact-duplicate clusters pair at
     Jaccard 1 without touching the quadratic join."""
-    base = df.repartition(F.col(id_col)).select(
+    base = _spread(df).select(
         F.col(id_col).alias("id"),
-        _word_ngrams_hashed_vec(n)(F.col(text_col)).alias("ng"),
-    )
+        _word_ngrams_hashed_vec(n)(F.col(text_col)).alias("ss"),
+    ).select("id", F.col("ss.gid").alias("gid"), F.col("ss.ng").alias("ng"))
     # md5-digest group key (see minhash_lsh_pairs: array keys shuffle 10x
-    # slower than digest strings)
+    # slower than digest strings; digest computed in the Arrow pass)
     groups = (
-        base.withColumn("gid", F.md5(F.to_json("ng")))
-        .groupBy("gid")
+        base.groupBy("gid")
         .agg(F.first("ng").alias("ng"),
              F.sort_array(F.collect_list("id")).alias("ids"))
     ).persist()
