@@ -1429,6 +1429,49 @@ FROM v
 """
 
 
+def q_ann_lsh(spark, sf_dir):
+    """Hyperplane-LSH embedding near-dup (the 100 TB ANN path,
+    functions/dedup.py:hyperplane_bucket): deterministic md5-derived
+    hyperplane signs, one shuffle on bucket id, cosine verify inside
+    buckets."""
+    from pincette_json_streams_spark.functions.dedup import embedding_pairs
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return embedding_pairs(emb, threshold=0.2, use_lsh=True,
+                           planes=8).select("id_a", "id_b", "cosine")
+
+
+def _oracle_ann_lsh(planes=8, threshold=0.2):
+    sign = ("CASE WHEN ('0x' || substr(md5({p} || '_' || i), 1, 2))::INT "
+            "% 2 = 0 THEN 1.0 ELSE -1.0 END")
+    dots = " + ".join(
+        "(CASE WHEN list_sum(list_transform(range(0, len(e)), "
+        f"i -> e[i + 1] * {sign.format(p=p)})) > 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(planes)
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), b AS (
+  SELECT vec_id, e, {dots} AS bucket FROM v
+)
+SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+       round(list_sum(list_transform(range(0, len(a.e)),
+                                     i -> a.e[i + 1] * c.e[i + 1]))
+             / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+                * sqrt(list_sum(list_transform(c.e, x -> x * x)))), 6)
+         AS cosine
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE round(list_sum(list_transform(range(0, len(a.e)),
+                                    i -> a.e[i + 1] * c.e[i + 1]))
+            / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+               * sqrt(list_sum(list_transform(c.e, x -> x * x)))), 6)
+      >= {threshold}
+"""
+
+
 def q_jes_ops(spark, sf_dir):
     """Event-sourcing extension operators over a constructed RFC-6902
     `_ops` patch array: $jes-added/$jes-removed/$jes-changed/$jes-href
@@ -1654,6 +1697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram": q_dedup_ngram,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
+        "ann_lsh": q_ann_lsh,
         "per_batching": q_per_batching,
         "ann_topk": q_ann_topk,
         "quality_filter": q_quality_filter,
@@ -1707,6 +1751,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram": _ORACLE_NGRAM,
         "dedup_simhash": _oracle_simhash(),
         "dedup_embedding": _ORACLE_DEDUP_EMBEDDING,
+        "ann_lsh": _oracle_ann_lsh(),
         # per_batching: partition-order dependent — rows-only check
         "ann_topk": _ORACLE_ANN,
         "quality_filter": _oracle_quality_filter(),
