@@ -83,6 +83,15 @@ def main():
      .repartition(int(cpus))
      .select(warm(F.col("id").cast("string")).alias("x"))
      .agg(F.sum("x")).collect())
+    # warm parquet footers + OS page cache so the first timed query
+    # measures its plan, not cold I/O
+    import glob
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for p in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        try:
+            spark.read.parquet(p).limit(1).collect()
+        except Exception:
+            pass
 
     times: dict[str, float] = {}
     total_rows = 0
