@@ -1600,19 +1600,23 @@ def q_epoch_ops(spark, sf_dir):
             "iso_s": {"$fromEpochSeconds": {"$divide": ["$ms", 1000]}},
             "iso_ns": {"$fromEpochNanos": {"$multiply": ["$ms", 1000000]}},
             "ens": {"$toEpochNanos": "$o_orderdate"},
-            "dec": {"$toDecimal": "$o_totalprice"},
+            # $toString wrapper makes the value a plain string on both
+            # engines — driver-side Decimal repr differences can't bite.
+            "dec": {"$toString": {"$toDecimal": "$o_totalprice"}},
         }},
     ])
 
 
+# iso_ms is built with string math (dates are midnight, so +500 ms is
+# always a ".500" fraction) — no strftime '%g', whose output varies by
+# DuckDB version.
 _ORACLE_EPOCH = """
 SELECT o_orderkey,
-       strftime(epoch_ms(epoch_ms(o_orderdate) + 500),
-                '%Y-%m-%dT%H:%M:%S.%gZ') AS iso_ms,
+       strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') || '.500Z' AS iso_ms,
        strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ') AS iso_s,
        strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ') AS iso_ns,
        epoch_ns(o_orderdate) AS ens,
-       CAST(o_totalprice AS DECIMAL(38, 10)) AS dec
+       CAST(CAST(o_totalprice AS DECIMAL(38, 10)) AS VARCHAR) AS dec
 FROM orders
 """
 
