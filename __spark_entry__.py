@@ -182,6 +182,40 @@ def q_switch_let(spark, sf_dir):
     ])
 
 
+def q_group_mergeobjects(spark, sf_dir):
+    """$mergeObjects accumulator (docs/aggregation_operators.md:631):
+    field-wise merge across grouped documents.  Group members carry
+    DISJOINT fields (each conditional on the row), so a whole-document
+    last() would lose fields; the merge takes each field from whichever
+    member has it.  Field values are constant-when-present, making the
+    result order-independent and oracle-checkable."""
+    return _pipe(spark, sf_dir, "orders", [
+        {"$set": {"doc": {
+            "st_f": {"$cond": [{"$eq": ["$o_orderstatus", "F"]},
+                               "F", None]},
+            "st_o": {"$cond": [{"$eq": ["$o_orderstatus", "O"]},
+                               "O", None]},
+            "pri1": {"$cond": [
+                {"$eq": [{"$substrCP": ["$o_orderpriority", 0, 1]}, "1"]},
+                "urgent", None]},
+        }}},
+        {"$group": {"_id": "$o_custkey",
+                    "merged": {"$mergeObjects": "$doc"}}},
+        {"$project": {"_id": 1, "st_f": "$merged.st_f",
+                      "st_o": "$merged.st_o", "pri1": "$merged.pri1"}},
+    ])
+
+
+_ORACLE_MERGEOBJECTS = """
+SELECT o_custkey AS _id,
+       max(CASE WHEN o_orderstatus = 'F' THEN 'F' END) AS st_f,
+       max(CASE WHEN o_orderstatus = 'O' THEN 'O' END) AS st_o,
+       max(CASE WHEN substr(o_orderpriority, 1, 1) = '1'
+                THEN 'urgent' END) AS pri1
+FROM orders GROUP BY o_custkey
+"""
+
+
 _ORACLE_SWITCH = """
 SELECT CASE WHEN o_totalprice >= 200000 THEN 'big'
             WHEN o_totalprice >= 100000 THEN 'mid'
@@ -863,16 +897,17 @@ def q_aggregate_fold(spark, sf_dir):
 
 def q_text_stats(spark, sf_dir):
     from pincette_json_streams_spark.functions.text import (
-        bpe_token_count, fingerprint, lang_id, quality_score,
-        ws_token_count,
+        fingerprint, quality_score_from, with_text_features,
     )
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
+    tf = with_text_features(docs)
+    return tf.select(
         "doc_id",
-        ws_token_count(F.col("text")).cast("long").alias("ws_tokens"),
-        bpe_token_count(F.col("text")).cast("long").alias("bpe_tokens"),
-        quality_score(F.col("text")).alias("quality"),
-        lang_id(F.col("text")).alias("lang_guess"),
+        F.col("__tf.ws_tokens").alias("ws_tokens"),
+        F.col("__tf.bpe_tokens").alias("bpe_tokens"),
+        quality_score_from(F.col("__tf"), F.length("text"))
+        .alias("quality"),
+        F.col("__tf.lang").alias("lang_guess"),
         fingerprint(F.col("text")).alias("fp"),
     )
 
@@ -1157,12 +1192,13 @@ def q_quality_filter(spark, sf_dir):
     """Composite pipeline: quality + language gate then length stats by
     source — the canonical pretraining-corpus filter shape."""
     from pincette_json_streams_spark.functions.text import (
-        lang_id, quality_score,
+        quality_score_from, with_text_features,
     )
     docs = _t(spark, sf_dir, "documents")
-    kept = docs.withColumn("q", quality_score(F.col("text"))).withColumn(
-        "lg", lang_id(F.col("text"))
-    ).filter((F.col("q") >= 0.8) & (F.col("lg") == "en"))
+    tf = with_text_features(docs)
+    kept = tf.withColumn(
+        "q", quality_score_from(F.col("__tf"), F.length("text"))
+    ).filter((F.col("q") >= 0.8) & (F.col("__tf.lang") == "en"))
     return kept.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
@@ -1660,6 +1696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_query_ops": q_match_query_ops,
         "project_compute": q_project_compute,
         "switch_let": q_switch_let,
+        "group_mergeobjects": q_group_mergeobjects,
         "unwind_words": q_unwind_words,
         "group_accumulators": q_group_accumulators,
         "bucket_prices": q_bucket_prices,
@@ -1715,6 +1752,7 @@ def oracle_sql() -> dict[str, str]:
         "match_query_ops": _ORACLE_MATCH_OPS,
         "project_compute": _ORACLE_PROJECT,
         "switch_let": _ORACLE_SWITCH,
+        "group_mergeobjects": _ORACLE_MERGEOBJECTS,
         "unwind_words": _ORACLE_UNWIND,
         "group_accumulators": _ORACLE_ACCUM,
         "bucket_prices": _ORACLE_BUCKET,

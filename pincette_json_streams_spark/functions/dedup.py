@@ -84,7 +84,7 @@ def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Keep the lowest-id representative per normalized-content group."""
-    keyed = df.withColumn("__fp", fingerprint(F.col(text_col)))
+    keyed = _spread(df).withColumn("__fp", fingerprint(F.col(text_col)))
     return (
         keyed.groupBy("__fp")
         .agg(

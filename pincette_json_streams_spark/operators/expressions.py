@@ -156,7 +156,9 @@ def _elem_match(args, ctx):
     matched = F.filter(
         arr, lambda e: compile_value_query(query, e, ctx)
     )
-    return F.element_at(matched, 1)
+    # try_element_at: under ANSI mode a no-match (empty array) must yield
+    # NULL like Mongo's missing, not INVALID_ARRAY_INDEX
+    return F.try_element_at(matched, F.lit(1))
 
 
 def _filter(args, ctx):
@@ -310,13 +312,18 @@ def _zip(args, ctx):
                   for i in range(len(inputs))]
             ),
         )
-    # Mongo default: shortest length
+    # Mongo default: shortest length.  sequence(1, 0) would infer step -1
+    # and produce [1, 0] -> element_at(col, 0) always throws, so any empty
+    # input must short-circuit to an empty result.
     n = F.least(*[F.size(c) for c in inputs]) if len(inputs) > 1 \
         else F.size(inputs[0])
-    return F.transform(
-        F.sequence(F.lit(1), n.cast("int")),
-        lambda i: F.array(*[F.element_at(c, i.cast("int")) for c in inputs]),
+    zipped = F.transform(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1)).cast("int")),
+        lambda i: F.array(
+            *[F.try_element_at(c, i.cast("int")) for c in inputs]
+        ),
     )
+    return F.when(n < 1, F.slice(zipped, 1, 0)).otherwise(zipped)
 
 
 def _sort_arr(args, ctx):

@@ -204,10 +204,26 @@ def _accumulator(name: str, arg: Any, ctx: Ctx, alias: str) -> Column:
     if name == "$count":
         return F.count(F.lit(1)).alias(alias)
     if name == "$mergeObjects":
-        # incremental merge of documents; batch mode keeps the last
-        # non-null per group (reference emits every incremental state,
-        # docs:29-37 — batch emits the final one)
-        return F.last(compile_expr(arg, ctx), ignorenulls=True).alias(alias)
+        # field-wise document merge (docs/aggregation_operators.md:631):
+        # each field takes its value from the last group member that has
+        # it.  In the parquet/struct data model "absent" is NULL (see
+        # context.py header), so per-field last-non-null IS the merge —
+        # a whole-document last() would drop fields the final document
+        # lacks.  Non-struct args (maps, opaque docs) keep last-non-null
+        # of the whole value.
+        from pyspark.sql.types import StructType
+
+        col = compile_expr(arg, ctx)
+        dtype = (
+            ctx.df.select(col).schema[0].dataType
+            if ctx.df is not None else None
+        )
+        if isinstance(dtype, StructType):
+            return F.struct(*[
+                F.last(col.getField(f.name), ignorenulls=True).alias(f.name)
+                for f in dtype.fields
+            ]).alias(alias)
+        return F.last(col, ignorenulls=True).alias(alias)
     fn = _ACCUMULATORS.get(name)
     if fn is None:
         raise UnsupportedExpression(f"unknown accumulator {name}")
@@ -386,65 +402,120 @@ def _lookup_correlated(df, other, spec, let_vars, as_field, inner, unwind,
     # compile the sub-pipeline's stages against `other`, treating a leading
     # $match with $expr over let-vars as the join condition.
     stages = list(spec["pipeline"])
-    join_conds: list[Column] = []
+    equi: list[tuple[Column, Column]] = []   # (left expr, right expr) $eq
+    residual: list[Column] = []              # non-equi join conditions
+    seen_match = False
     rest: list[dict] = []
     right = other
     for st in stages:
         if (
-            not join_conds
+            not seen_match
             and len(st) == 1
             and "$match" in st
+            and isinstance(st["$match"], dict)
             and "$expr" in st["$match"]
             and len(st["$match"]) == 1
         ):
-            cond = _decorrelate_expr(
+            seen_match = True
+            pairs = _decorrelate_pairs(
                 st["$match"]["$expr"], bound, ctx_for(right)
             )
-            if cond is not None:
-                join_conds.append(cond)
-                continue
+            if pairs is not None:
+                for op, a, b, a_left, b_left in pairs:
+                    if op == "$eq" and a_left != b_left:
+                        equi.append((a, b) if a_left else (b, a))
+                    else:
+                        residual.append(_cmp_cond(op, a, b))
+            else:
+                # general fallback: the whole $expr becomes the join
+                # condition, $$vars bound to the tagged left columns —
+                # never a silent lit(True) cross join
+                fctx = ctx_for(right).child(
+                    {v: left[c] for v, c in bound.items()}
+                )
+                residual.append(
+                    compile_expr(st["$match"]["$expr"], fctx)
+                    .cast("boolean")
+                )
+            continue
         rest.append(st)
     if rest:
         right = compile_pipeline(right, rest, pctx)
 
     rdoc = right.select(F.struct("*").alias("__doc"), "*")
-    on = join_conds[0] if join_conds else F.lit(True)
-    for c in join_conds[1:]:
-        on = on & c
+
+    def combined_on():
+        conds = [a.eqNullSafe(b) for a, b in equi] + residual
+        on = conds[0] if conds else F.lit(True)
+        for c in conds[1:]:
+            on = on & c
+        return on
+
     if unwind:
-        out = left.join(rdoc, on, "inner").select(
+        return left.join(rdoc, combined_on(), "inner").select(
             *[F.col(c) for c in df.columns if not c.startswith("__let_")],
             F.col("__doc").alias(as_field),
         )
-        return out
-    # array form: aggregate matches per left row via groupBy on the left key
-    left = left.withColumn("__rowid", F.monotonically_increasing_id())
-    joined = left.join(rdoc, on, "left")
-    arr = joined.groupBy("__rowid").agg(
-        F.collect_list("__doc").alias(as_field)
-    )
-    out = left.join(arr, "__rowid", "left").drop("__rowid")
-    out = out.select(
-        *[c for c in df.columns], F.col(as_field)
-    )
+
+    if equi and not residual:
+        # scale path (array form, pure equi): pre-aggregate the right side
+        # per join key — one shuffle of the right side, no per-row tagging,
+        # no join-explosion regroup.  Null keys group together, matching
+        # the eqNullSafe semantics of the general path.
+        keys = [f"__k{i}" for i in range(len(equi))]
+        ragg = rdoc.groupBy(
+            *[r.alias(k) for k, (_, r) in zip(keys, equi)]
+        ).agg(F.collect_list("__doc").alias(as_field))
+        on = None
+        for k, (l, _) in zip(keys, equi):
+            c = l.eqNullSafe(ragg[k])
+            on = c if on is None else on & c
+        empty = F.array().cast(ragg.schema[as_field].dataType)
+        out = left.join(ragg, on, "left").select(
+            *[F.col(c) for c in df.columns],
+            F.coalesce(F.col(as_field), empty).alias(as_field),
+        )
+    else:
+        # general path: tag rows once, join once, regroup on the tag.
+        # The tag appears in a SINGLE plan branch (carried through the
+        # groupBy, never re-joined against its own source), so the
+        # nondeterminism of monotonically_increasing_id across re-executed
+        # branches cannot misalign rows.
+        tagged = left.withColumn("__rowid", F.monotonically_increasing_id())
+        joined = tagged.join(rdoc, combined_on(), "left")
+        out = joined.groupBy("__rowid").agg(
+            *[F.first(tagged[c]).alias(c) for c in df.columns],
+            F.collect_list("__doc").alias(as_field),
+        ).select(*[F.col(c) for c in df.columns], F.col(as_field))
     if inner:
         out = out.filter(F.size(F.col(as_field)) > 0)
     return out
 
 
-def _decorrelate_expr(expr: Any, bound: dict[str, str], rctx: Ctx):
-    """Turn {$eq: ["$$var", "$field"]} (and $and of those) into join
-    conditions where $$var refs resolve to pre-bound left columns."""
+def _cmp_cond(op: str, a: Column, b: Column) -> Column:
+    return {
+        "$eq": lambda: a.eqNullSafe(b), "$ne": lambda: ~a.eqNullSafe(b),
+        "$gt": lambda: a > b, "$gte": lambda: a >= b,
+        "$lt": lambda: a < b, "$lte": lambda: a <= b,
+    }[op]()
+
+
+def _decorrelate_pairs(expr: Any, bound: dict[str, str], rctx: Ctx):
+    """Decompose {$eq: ["$$var", "$field"]} (and $and of comparisons) into
+    (op, a, b, a_is_left, b_is_left) tuples, where $$var refs resolve to
+    pre-bound left columns.  Returns None when the expression isn't a
+    conjunction of simple comparisons — the caller then compiles the whole
+    expression as a join condition instead."""
     if not isinstance(expr, dict) or len(expr) != 1:
         return None
     (op, args), = expr.items()
     if op == "$and":
-        conds = [_decorrelate_expr(a, bound, rctx) for a in args]
-        if any(c is None for c in conds):
-            return None
-        out = conds[0]
-        for c in conds[1:]:
-            out = out & c
+        out = []
+        for a in args:
+            sub = _decorrelate_pairs(a, bound, rctx)
+            if sub is None:
+                return None
+            out.extend(sub)
         return out
     if op in ("$eq", "$gt", "$gte", "$lt", "$lte", "$ne"):
         def side(e):
@@ -454,17 +525,14 @@ def _decorrelate_expr(expr: Any, bound: dict[str, str], rctx: Ctx):
                     col = F.col(bound[var])
                     for seg in e[2:].split(".")[1:]:
                         col = col.getField(seg)
-                    return col
-                return None
-            return compile_expr(e, rctx)
-        a, b = side(args[0]), side(args[1])
+                    return col, True
+                return None, False
+            return compile_expr(e, rctx), False
+        a, a_left = side(args[0])
+        b, b_left = side(args[1])
         if a is None or b is None:
             return None
-        return {
-            "$eq": lambda: a.eqNullSafe(b), "$ne": lambda: ~a.eqNullSafe(b),
-            "$gt": lambda: a > b, "$gte": lambda: a >= b,
-            "$lt": lambda: a < b, "$lte": lambda: a <= b,
-        }[op]()
+        return [(op, a, b, a_left, b_left)]
     return None
 
 

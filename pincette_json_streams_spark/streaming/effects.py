@@ -25,6 +25,7 @@ inside its reactive pipeline.  Spark-first design:
 from __future__ import annotations
 
 import base64
+import hashlib
 import json
 import os
 import time
@@ -56,14 +57,17 @@ class HttpResponse:
 
 
 def urllib_transport(method: str, url: str, headers: dict,
-                     body: str | None) -> HttpResponse:
-    """Default HTTP transport (stdlib only)."""
+                     body: str | bytes | None) -> HttpResponse:
+    """Default HTTP transport (stdlib only).  Accepts bytes so binary
+    multipart payloads ($s3Attachments) round-trip byte-exactly — a UTF-8
+    re-encode would expand every byte >= 0x80 and corrupt the body."""
     import urllib.error
     import urllib.request
 
     req = urllib.request.Request(
         url, method=method,
-        data=body.encode() if body is not None else None,
+        data=body if isinstance(body, bytes)
+        else body.encode() if body is not None else None,
         headers={k: str(v) for k, v in (headers or {}).items()},
     )
     try:
@@ -204,8 +208,13 @@ def _sign_rs256(private_key_pem: str, claims: dict, ttl: int,
     """RS256 JWT with a per-executor cache keyed on the claim set; tokens
     are reused until 80% of ttl elapses (reference caches its token too,
     docs:636)."""
-    cache_key = (private_key_pem[:64], json.dumps(claims, sort_keys=True),
-                 kid)
+    # full-PEM digest: the first chars of a PEM are the BEGIN header plus
+    # a fixed DER prefix, identical across distinct same-size keys
+    cache_key = (
+        hashlib.sha256(private_key_pem.encode()).hexdigest(),
+        json.dumps(claims, sort_keys=True),
+        kid,
+    )
     hit = _jwt_cache.get(cache_key)
     now = int(time.time())
     if hit and hit[1] > now:
@@ -518,8 +527,9 @@ def stage_s3_attachments(df: DataFrame, spec: dict, pctx) -> DataFrame:
                     headers.setdefault(
                         "Content-Type",
                         f"multipart/mixed; boundary={boundary}")
-                    resp = transport("POST", url, headers, body.decode(
-                        "latin-1"))
+                    # hand the transport raw bytes — binary attachments
+                    # must not pass through a str encode/decode cycle
+                    resp = transport("POST", url, headers, body)
                     r["httpError"] = None if resp.status < 400 else {
                         "statusCode": resp.status, "body": resp.body}
                 except Exception as e:

@@ -125,6 +125,44 @@ class TestSignJwt:
             padding.PKCS1v15(), hashes.SHA256(),
         )
 
+    def test_sign_jwt_cache_distinct_keys(self):
+        """Two different private keys with identical claims must not share
+        a cached token (PEMs agree on their first 64 chars)."""
+        from cryptography.hazmat.primitives import serialization
+        from cryptography.hazmat.primitives.asymmetric import rsa
+
+        from pincette_json_streams_spark.streaming.effects import (
+            _sign_rs256,
+        )
+
+        def pem():
+            k = rsa.generate_private_key(
+                public_exponent=65537, key_size=2048
+            )
+            return k.private_bytes(
+                serialization.Encoding.PEM,
+                serialization.PrivateFormat.PKCS8,
+                serialization.NoEncryption(),
+            ).decode()
+
+        # find two keys agreeing on their first 64 chars (the old cache
+        # key); the DER length byte varies, so sample a few
+        by_prefix = {}
+        a = b = None
+        for _ in range(12):
+            p = pem()
+            other = by_prefix.setdefault(p[:64], p)
+            if other != p:
+                a, b = other, p
+                break
+        if a is None:
+            a, b = pem(), pem()  # still verifies distinct-key tokens
+        claims = {"sub": "alice"}
+        ta = _sign_rs256(a, claims, 60, None)
+        tb = _sign_rs256(b, claims, 60, None)
+        assert ta != tb
+        assert ta.rsplit(".", 1)[1] != tb.rsplit(".", 1)[1]
+
 
 class TestSendDelay:
     def test_send_routes_and_passes_through(self, people, pctx):
@@ -199,6 +237,36 @@ class TestS3:
         ], pctx).collect()
         assert out[0]["loc"] == "s3://b2/fetched.json"
         assert pctx.object_store.read("b2", "fetched.json")
+
+    def test_s3_attachments_binary_exact(self, spark, tmp_path):
+        """Bytes >= 0x80 must reach the transport unexpanded (a UTF-8
+        re-encode would double them and corrupt Content-Length).  The
+        transport reports what it saw through the httpError body."""
+        def measuring_http(method, url, headers, body):
+            raw = body if isinstance(body, bytes) else body.encode()
+            return HttpResponse(400, str(len(raw)))
+
+        pctx = PipelineContext(
+            http_transport=measuring_http,
+            object_store=LocalObjectStore(str(tmp_path)),
+        )
+        payload = bytes(range(256)) * 4
+        pctx.object_store.write("b", "bin.dat", payload)
+        msgs = spark.createDataFrame([("m1",)], "_id string")
+        out = compile_pipeline(msgs, [
+            {"$s3Attachments": {
+                "url": "http://svc/post",
+                "attachments": {"$literal": [
+                    {"bucket": "b", "key": "bin.dat"},
+                ]},
+            }},
+        ], pctx).collect()
+        boundary = "pjs-boundary"
+        head = (f"--{boundary}\r\nContent-Length: {len(payload)}\r\n"
+                "Content-Transfer-Encoding: binary\r\n\r\n")
+        expected_len = (len(head.encode()) + len(payload) + 2
+                        + len(f"--{boundary}--\r\n"))
+        assert int(out[0]["httpError"]["body"]) == expected_len
 
     def test_s3_attachments(self, spark, pctx):
         pctx.object_store.write("b", "a1.txt", b"hello")

@@ -129,9 +129,20 @@ class TestArrays:
         z = ev(df, {"$zip": {"inputs": [[1, 2], [3, 4]]}})
         assert [list(t) for t in z] == [[1, 3], [2, 4]]
 
+    def test_zip_empty_input(self, spark):
+        # sequence(1, 0) would infer step -1 and crash on element_at(_, 0);
+        # an empty input array must zip to an empty result
+        df = one(spark, a=[1, 2])
+        assert ev(df, {"$zip": {"inputs": [[], [3, 4]]}}) == []
+        assert ev(df, {"$zip": {"inputs": [[]]}}) == []
+        z = ev(df, {"$zip": {"inputs": ["$a", [9]]}})
+        assert [list(t) for t in z] == [[1, 9]]
+
     def test_elem_match(self, spark):
         df = one(spark, a=[1, 5, 9])
         assert ev(df, {"$elemMatch": ["$a", {"$gt": 4}]}) == 5
+        # no matching element: missing (NULL), not INVALID_ARRAY_INDEX
+        assert ev(df, {"$elemMatch": ["$a", {"$gt": 100}]}) is None
 
     def test_set_ops(self, spark):
         df = one(spark, a=[1, 2, 2, 3], b=[2, 3, 4])

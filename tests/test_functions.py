@@ -53,6 +53,54 @@ class TestText:
         assert out[3][1] == "en"
         assert 0.0 <= out[4][0] <= out[3][0] <= 1.0
 
+    def test_fused_features_match_columns(self, spark):
+        """The single-Arrow-pass feature extractor must agree bit-for-bit
+        with the composable Column functions on edge cases: tabs/newlines
+        (F.trim strips ASCII space only), leading whitespace (Spark split
+        keeps the leading empty token), empty and null text, unicode."""
+        from pincette_json_streams_spark.functions.text import (
+            bpe_token_count, lang_id, quality_score, quality_score_from,
+            with_text_features, ws_token_count,
+        )
+        rows = [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "\tder hund und die katze\n"),
+            (2, "  le chat est   sur le toit  "),
+            (3, ""),
+            (4, "   "),
+            (5, "\t\n"),
+            (6, "a"),
+            (7, "¡Hola! ¿Qué tal? — naïve café ünïcødé"),
+            (8, "x " * 2000 + "punct!!!??;;"),
+            (9, None),
+            (10, "el perro y el gato no es una cosa por que"),
+            (11, "12 34 punct-only: !!! ??? ;;; ..."),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        expected = {
+            r["doc_id"]: (r["ws"], r["bpe"], r["q"], r["lang"])
+            for r in df.select(
+                "doc_id",
+                ws_token_count(F.col("text")).alias("ws"),
+                bpe_token_count(F.col("text")).alias("bpe"),
+                quality_score(F.col("text")).alias("q"),
+                lang_id(F.col("text")).alias("lang"),
+            ).collect()
+        }
+        got = {
+            r["doc_id"]: (r["ws"], r["bpe"], r["q"], r["lang"])
+            for r in with_text_features(df).select(
+                "doc_id",
+                F.col("__tf.ws_tokens").alias("ws"),
+                F.col("__tf.bpe_tokens").alias("bpe"),
+                quality_score_from(F.col("__tf"), F.length("text"))
+                .alias("q"),
+                F.col("__tf.lang").alias("lang"),
+            ).collect()
+        }
+        for doc_id, exp in expected.items():
+            assert got[doc_id] == exp, (doc_id, exp, got[doc_id])
+
     def test_fingerprint_normalizes(self, spark):
         from pincette_json_streams_spark.functions.text import fingerprint
         df = spark.createDataFrame(

@@ -177,6 +177,87 @@ class TestLookup:
         assert sorted((r["_id"], r["amt"]) for r in out) == \
             [("p1", 5.0), ("p1", 10.0)]
 
+    def test_lookup_let_pipeline_array_equi(self, spark, people):
+        """Pure-equi array form takes the group-right-then-join scale
+        path; misses must be [] (not null)."""
+        orders = spark.createDataFrame(
+            [("o1", "p1", 10.0), ("o2", "p1", 5.0), ("o3", "p2", 1.0)],
+            "oid string, pid string, amt double",
+        )
+        out = rows(people, [
+            {"$lookup": {
+                "from": "orders",
+                "let": {"me": "$_id"},
+                "pipeline": [
+                    {"$match": {"$expr": {"$eq": ["$$me", "$pid"]}}},
+                ],
+                "as": "ords"}},
+            {"$project": {"_id": 1, "n": {"$size": "$ords"}}},
+        ], catalog={"orders": orders})
+        assert {r["_id"]: r["n"] for r in out} == \
+            {"p1": 2, "p2": 1, "p3": 0, "p4": 0}
+
+    def test_lookup_let_pipeline_non_equi(self, spark, people):
+        """$gt over a let var joins on a range condition — the
+        decorrelated non-equi path, both array and unwind forms."""
+        thresholds = spark.createDataFrame(
+            [("t1", 30.0), ("t2", 40.0), ("t3", 27.0)],
+            "tid string, cutoff double",
+        )
+        out = rows(people, [
+            {"$lookup": {
+                "from": "thresholds",
+                "let": {"a": "$age"},
+                "pipeline": [
+                    {"$match": {"$expr": {"$gt": ["$$a", "$cutoff"]}}},
+                ],
+                "as": "beaten"}},
+            {"$project": {"_id": 1, "n": {"$size": "$beaten"}}},
+        ], catalog={"thresholds": thresholds})
+        # ages: p1=34 beats 30,27; p2=28 beats 27; p3=41 beats all; p4=28
+        assert {r["_id"]: r["n"] for r in out} == \
+            {"p1": 2, "p2": 1, "p3": 3, "p4": 1}
+
+    def test_lookup_let_pipeline_fallback_expr(self, spark, people):
+        """A $match whose $expr can't be decomposed into comparisons
+        (here $in over an array let var) must become the join condition,
+        never a silent cross join."""
+        cities = spark.createDataFrame(
+            [("c1", "red"), ("c2", "green"), ("c3", "mauve")],
+            "cid string, color string",
+        )
+        out = rows(people, [
+            {"$lookup": {
+                "from": "cities",
+                "let": {"t": "$tags"},
+                "pipeline": [
+                    {"$match": {"$expr": {"$in": ["$color", "$$t"]}}},
+                ],
+                "as": "matched"}},
+            {"$project": {"_id": 1, "n": {"$size": "$matched"}}},
+        ], catalog={"cities": cities})
+        # tags: p1=[red,blue]->c1; p2=[green]->c2; p3=[]; p4=[blue,blue]
+        assert {r["_id"]: r["n"] for r in out} == \
+            {"p1": 1, "p2": 1, "p3": 0, "p4": 0}
+
+
+class TestMergeObjects:
+    def test_field_wise_merge_disjoint_fields(self, spark):
+        """Grouped docs with disjoint fields must merge field-wise (a
+        whole-document last() would drop fields the final doc lacks)."""
+        df = spark.createDataFrame(
+            [("g1", "a", None, None), ("g1", None, "b", None),
+             ("g1", None, None, "c"), ("g2", None, "y", None)],
+            "k string, f1 string, f2 string, f3 string",
+        )
+        out = rows(df, [
+            {"$set": {"doc": {"f1": "$f1", "f2": "$f2", "f3": "$f3"}}},
+            {"$group": {"_id": "$k", "m": {"$mergeObjects": "$doc"}}},
+        ])
+        by_k = {r["_id"]: dict(r["m"]) for r in out}
+        assert by_k["g1"] == {"f1": "a", "f2": "b", "f3": "c"}
+        assert by_k["g2"] == {"f1": None, "f2": "y", "f3": None}
+
 
 class TestRedactValidate:
     def test_redact(self, spark):
