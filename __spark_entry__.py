@@ -891,6 +891,166 @@ def q_aggregate_fold(spark, sf_dir):
     )
 
 
+def q_aggregate_unique(spark, sf_dir):
+    """uniqueExpression re-key (docs/state.md:176-197): commands with
+    distinct _ids converge on one instance per business key.  Every put
+    changes state (distinct okey), so versions-per-key == orders-per-
+    customer regardless of fold order -> oracle-checkable."""
+    from pincette_json_streams_spark import Application
+
+    orders = _t(spark, sf_dir, "orders")
+    commands = orders.select(
+        F.col("o_orderkey").cast("string").alias("_id"),
+        F.lit("put").alias("_command"),
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderkey").alias("okey"),
+    )
+    app = Application(
+        {"application": "shop", "parts": [
+            {"type": "aggregate", "aggregateType": "acct",
+             "uniqueExpression": "$cust"},
+        ]},
+        {"shop-acct-command": commands},
+    )
+    agg = app.streams["shop-acct-aggregate"]
+    return agg.select(
+        F.get_json_object("value", "$.cust").cast("long").alias("cust"),
+        F.get_json_object("value", "$._seq").cast("long").alias("_seq"),
+    ).groupBy("cust").agg(
+        F.count(F.lit(1)).cast("long").alias("n_versions"),
+        F.max("_seq").cast("long").alias("max_seq"),
+    )
+
+
+_ORACLE_AGG_UNIQUE = """
+SELECT o_custkey AS cust, count(*) AS n_versions,
+       count(*) - 1 AS max_seq
+FROM orders GROUP BY o_custkey
+"""
+
+
+def q_aggregate_jslt_reducer(spark, sf_dir):
+    """JSLT script reducer (docs/state.md:61, the reference's preferred
+    reducer form — app8's reducers/*.jslt pattern) through the embedded
+    JSLT interpreter.  One command per instance -> order-free."""
+    from pincette_json_streams_spark import Application
+
+    orders = _t(spark, sf_dir, "orders")
+    commands = orders.filter(F.col("o_orderkey") <= 4000).select(
+        F.col("o_orderkey").cast("string").alias("_id"),
+        F.lit("scale").alias("_command"),
+        F.col("o_totalprice").alias("price"),
+    )
+    app = Application(
+        {"application": "shop", "parts": [
+            {"type": "aggregate", "aggregateType": "quote",
+             "commands": {"scale": {"jslt":
+                 '{"_id": .command._id,'
+                 ' "total": .command.price * 2,'
+                 ' "band": if (.command.price > 150000) "hi" else "lo"}'}},
+            },
+        ]},
+        {"shop-quote-command": commands},
+    )
+    agg = app.streams["shop-quote-aggregate"]
+    return agg.select(
+        F.col("_id"),
+        F.get_json_object("value", "$.total").cast("double").alias("total"),
+        F.get_json_object("value", "$.band").alias("band"),
+    )
+
+
+_ORACLE_AGG_JSLT = """
+SELECT CAST(o_orderkey AS VARCHAR) AS _id,
+       o_totalprice * 2 AS total,
+       CASE WHEN o_totalprice > 150000 THEN 'hi' ELSE 'lo' END AS band
+FROM orders WHERE o_orderkey <= 4000
+"""
+
+
+def q_aggregate_validate(spark, sf_dir):
+    """Per-command validators (docs/state.md:63): invalid commands land
+    on the reply stream with _error + errors; valid ones fold.  One
+    command per instance -> order-free."""
+    from pincette_json_streams_spark import Application
+
+    orders = _t(spark, sf_dir, "orders")
+    commands = orders.filter(F.col("o_orderkey") <= 4000).select(
+        F.col("o_orderkey").cast("string").alias("_id"),
+        F.lit("put").alias("_command"),
+        F.col("o_totalprice").alias("price"),
+    )
+    app = Application(
+        {"application": "shop", "parts": [
+            {"type": "aggregate", "aggregateType": "order",
+             "commands": {"put": {"validator": {"conditions": [
+                 {"price": {"$lte": 150000, "$code": "PRICEY"}},
+             ]}}}},
+        ]},
+        {"shop-order-command": commands},
+    )
+    reply = app.streams["shop-order-reply"]
+    return reply.select(
+        F.col("_id"),
+        F.coalesce(
+            F.get_json_object("value", "$._error").cast("boolean"),
+            F.lit(False),
+        ).alias("rejected"),
+        F.get_json_object("value", "$.errors[0].code").alias("code"),
+    )
+
+
+_ORACLE_AGG_VALIDATE = """
+SELECT CAST(o_orderkey AS VARCHAR) AS _id,
+       o_totalprice > 150000 AS rejected,
+       CASE WHEN o_totalprice > 150000 THEN 'PRICEY' END AS code
+FROM orders WHERE o_orderkey <= 4000
+"""
+
+
+def q_aggregate_acl(spark, sf_dir):
+    """_acl role gate (docs/state.md:199-232): a system put seeds state
+    with _acl, a follow-up user put without the role is denied to the
+    reply stream.  Stateful and order-dependent -> rows-only check."""
+    from pincette_json_streams_spark import Application
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") <= 2000)
+    seed = base.select(
+        F.col("o_orderkey").cast("string").alias("_id"),
+        F.lit("put").alias("_command"),
+        F.struct(F.lit("system").alias("sub")).alias("_jwt"),
+        F.struct(F.array(F.lit("admin")).alias("put")).alias("_acl"),
+        F.col("o_totalprice").alias("price"),
+        F.lit(0).alias("ord"),
+    )
+    attempt = base.select(
+        F.col("o_orderkey").cast("string").alias("_id"),
+        F.lit("put").alias("_command"),
+        F.struct(F.lit("mallory").alias("sub")).alias("_jwt"),
+        F.lit(None).cast(seed.schema["_acl"].dataType).alias("_acl"),
+        (F.col("o_totalprice") * 0).alias("price"),
+        F.lit(1).alias("ord"),
+    )
+    commands = seed.unionByName(attempt).withColumn(
+        "_seq",
+        F.when(F.col("ord") == 1, F.lit(0)).cast("long"),
+    )
+    app = Application(
+        {"application": "shop", "parts": [
+            {"type": "aggregate", "aggregateType": "locked"},
+        ]},
+        {"shop-locked-command": commands},
+    )
+    reply = app.streams["shop-locked-reply"]
+    denied = reply.filter(
+        F.get_json_object("value", "$._error").cast("boolean")
+    )
+    return denied.select("_id").groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_denied")
+    )
+
+
 # ===========================================================================
 # 2. Training-data operators (dedup / similarity / text — SURVEY plus-scope)
 # ===========================================================================
@@ -1731,6 +1891,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_revenue": q_region_revenue,
         "top_customers": q_top_customers,
         "aggregate_fold": q_aggregate_fold,
+        "aggregate_unique": q_aggregate_unique,
+        "aggregate_jslt_reducer": q_aggregate_jslt_reducer,
+        "aggregate_validate": q_aggregate_validate,
+        "aggregate_acl": q_aggregate_acl,
         # training-data operators
         "text_stats": q_text_stats,
         "dedup_exact": q_dedup_exact,
@@ -1786,7 +1950,11 @@ def oracle_sql() -> dict[str, str]:
         "setkey_stage": _ORACLE_SETKEY,
         "region_revenue": _ORACLE_REGION_REVENUE,
         "top_customers": _ORACLE_TOP_CUSTOMERS,
-        # aggregate_fold: stateful event-sourcing fold — rows-only check
+        # aggregate_fold / aggregate_acl: stateful, order-dependent
+        # event-sourcing folds — rows-only check
+        "aggregate_unique": _ORACLE_AGG_UNIQUE,
+        "aggregate_jslt_reducer": _ORACLE_AGG_JSLT,
+        "aggregate_validate": _ORACLE_AGG_VALIDATE,
         "text_stats": _oracle_text_stats(),
         "dedup_exact": _ORACLE_DEDUP_EXACT,
         "dedup_minhash": _oracle_minhash(),

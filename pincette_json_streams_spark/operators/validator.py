@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pincette_json_streams_spark.operators.context import ctx_for
 from pincette_json_streams_spark.operators.match import compile_query
 
-__all__ = ["compile_validator", "expand_macros"]
+__all__ = ["compile_validator", "expand_macros", "validate_doc"]
 
 
 def expand_macros(spec: Any, macros: dict[str, Any]) -> Any:
@@ -61,7 +61,16 @@ def _flatten(
     ctx = ctx_for(df)
     out: list[tuple[Column, str, str | None]] = []
     for cond in _conditions(spec):
+        cond = dict(cond)
+        code_all = cond.pop("$code", None)
         for path, criteria in cond.items():
+            if path.startswith("$"):
+                # whole-message condition ($expr/$and/$or...): always
+                # applies (docs/validator.md:3)
+                matched = compile_query({path: criteria}, ctx)
+                out.append((~matched, prefix if prefix != "/" else "/",
+                            code_all))
+                continue
             if isinstance(criteria, dict) and "ref" in criteria and \
                     isinstance(criteria["ref"], dict):
                 # `ref` file reference, already inlined by the loader
@@ -132,6 +141,73 @@ def _nested_field(base: Column, path: str) -> Column:
     for seg in path.split("."):
         col = col.getField(seg)
     return col
+
+
+def validate_doc(spec: dict, doc: dict) -> list[dict]:
+    """Row-level twin of ``compile_validator`` for per-command validation
+    inside the aggregate fold (docs/state.md:63 — command validators run
+    against the command document, with ``_state`` holding the current
+    aggregate state).  Returns ``[{location, code}, ...]`` — empty means
+    valid.  Semantics mirror the Column compiler exactly: field conditions
+    fire only when the field is present, ``$exists`` conditions always
+    fire and report the parent location."""
+    from pincette_json_streams_spark.streaming.reducers import (
+        _get_path, _has_path, _match_doc,
+    )
+
+    errs: list[dict] = []
+
+    def walk(vspec: dict, d: dict, prefix: str) -> None:
+        for cond in _conditions(vspec):
+            cond = dict(cond)
+            code_all = cond.pop("$code", None)
+            for path, criteria in cond.items():
+                if path.startswith("$"):
+                    # whole-message condition: always applies
+                    if not _match_doc({path: criteria}, d):
+                        errs.append({"location": prefix or "/",
+                                     "code": code_all})
+                    continue
+                crit = criteria
+                if isinstance(crit, dict) and isinstance(
+                    crit.get("ref"), dict
+                ):
+                    crit = crit["ref"]
+                if isinstance(crit, dict) and (
+                    "conditions" in crit or "include" in crit
+                ):
+                    base = _get_path(d, path)
+                    sub = ("" if prefix == "/" else prefix) \
+                        + "/" + path.replace(".", "/")
+                    if isinstance(base, dict):
+                        walk(crit, base, sub)
+                    continue
+                crit = dict(crit) if isinstance(crit, dict) else crit
+                code = None
+                if isinstance(crit, dict):
+                    code = crit.pop("$code", None)
+                loc = ("" if prefix == "/" else prefix) \
+                    + "/" + path.replace(".", "/")
+                if isinstance(crit, dict) and crit.get("$exists"):
+                    present = _has_path(d, path) \
+                        and _get_path(d, path) is not None
+                    if not present:
+                        parent = ("" if prefix == "/" else prefix) + "/" \
+                            + "/".join(path.split(".")[:-1])
+                        errs.append({"location": parent.rstrip("/") or "/",
+                                     "code": code})
+                    rest = {k: v for k, v in crit.items() if k != "$exists"}
+                    if rest:
+                        crit = rest
+                    else:
+                        continue
+                present = _has_path(d, path) \
+                    and _get_path(d, path) is not None
+                if present and not _match_doc({path: crit}, d):
+                    errs.append({"location": loc, "code": code})
+
+    walk(spec, doc, "/")
+    return errs
 
 
 def compile_validator(df: DataFrame, spec: dict) -> DataFrame:

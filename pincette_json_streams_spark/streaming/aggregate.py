@@ -14,10 +14,20 @@ Spark mapping:
   - streaming: ``transformWithStateInPandas`` keyed the same way
     (pincette_json_streams_spark.streaming.runtime — later round).
 
-Reducers: built-ins ``put``/``delete``/``patch`` (docs/state.md:95) and
-pipeline reducers (a Mongo pipeline over ``{command, state}`` documents).
-JQ/JSLT script reducers are out of scope for the Python engine (no jq
-package in the runtime; documented divergence).
+Reducers: built-ins ``put``/``delete``/``patch`` (docs/state.md:95),
+pipeline reducers (a Mongo pipeline over ``{command, state}`` documents)
+and JQ/JSLT script reducers through the embedded interpreters
+(functions/jq_subset.py, functions/jslt_subset.py — the reference's
+preferred reducer form, docs/index.md:11).
+
+Command admission, in reference order (docs/state.md:53-232):
+``preprocessor`` pipelines (part-level then per-command), the ``_seq``
+optimistic lock (mismatch -> command ignored), the ``_acl`` role check
+against ``_jwt.roles`` (``write`` fallback, ``sub == "system"`` bypass;
+denial -> reply with ``_error``), then the per-command validator
+(failure -> reply with ``_error`` + ``errors``).  ``uniqueExpression``
+re-keys commands so instances converge on a business key; the instance
+keeps the ``_id`` of the first command per key (docs/state.md:176-197).
 """
 
 from __future__ import annotations
@@ -28,7 +38,27 @@ from typing import Any
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["compile_aggregate_batch", "reduce_commands"]
+__all__ = ["compile_aggregate_batch", "reduce_commands", "acl_allows"]
+
+
+def acl_allows(state: dict | None, cmd: dict) -> bool:
+    """Instance-level access control (docs/state.md:199-232): the current
+    state's ``_acl.<command>`` role list must intersect the command's
+    ``_jwt.roles``; missing command entry falls back to ``_acl.write``;
+    no ``_acl`` (or no applicable entry) allows; ``_jwt.sub == "system"``
+    always allows."""
+    jwt = cmd.get("_jwt") or {}
+    if jwt.get("sub") == "system":
+        return True
+    acl = (state or {}).get("_acl")
+    if not isinstance(acl, dict):
+        return True
+    command = cmd.get("_command")
+    roles = acl.get(command) if command in acl else acl.get("write")
+    if roles is None:
+        return True
+    have = jwt.get("roles") or []
+    return bool(set(roles) & set(have))
 
 
 def _diff_ops(before: dict, after: dict, prefix: str = "") -> list[dict]:
@@ -66,16 +96,55 @@ def reduce_commands(
     reducer: Any,
     agg_type: str,
     now_millis: int = 0,
+    validators: dict[str, dict] | None = None,
+    preprocessors: dict[str, list] | None = None,
+    part_preprocessor: list | None = None,
 ) -> list[dict]:
     """Fold `commands` (ordered) into `state`; emit output records tagged
-    with a `purpose` in {aggregate, event, event-full, reply, command}."""
+    with a `purpose` in {aggregate, event, event-full, reply, command}.
+
+    Admission order per command: preprocessors -> ``_seq`` lock -> ACL ->
+    validator -> reducer (module docstring has the spec references)."""
+    from pincette_json_streams_spark.operators.validator import validate_doc
+    from pincette_json_streams_spark.streaming.reducers import (
+        run_pipeline_doc,
+    )
+
     out: list[dict] = []
     seq = (state or {}).get("_seq", -1)
     cur = dict(state or {})
 
     for cmd in commands:
-        command = cmd.get("_command")
         out.append({"purpose": "command", "doc": cmd})
+        if part_preprocessor:
+            cmd = run_pipeline_doc(part_preprocessor, cmd)
+            if cmd is None:
+                continue
+        command = cmd.get("_command")
+        pre = (preprocessors or {}).get(command)
+        if pre:
+            cmd = run_pipeline_doc(pre, cmd)
+            if cmd is None:
+                continue
+            command = cmd.get("_command")
+        # optimistic lock (docs/state.md:72): a command carrying _seq must
+        # match the instance's sequence, else it is ignored outright
+        if cmd.get("_seq") is not None and cmd["_seq"] != seq:
+            continue
+        if not acl_allows(cur, cmd):
+            denied = dict(cmd)
+            denied["_error"] = True
+            out.append({"purpose": "reply", "doc": denied})
+            continue
+        vspec = (validators or {}).get(command)
+        if vspec:
+            errs = validate_doc(vspec, {**cmd, "_state": cur or {}})
+            if errs:
+                invalid = dict(cmd)
+                invalid["_error"] = True
+                invalid["errors"] = errs
+                out.append({"purpose": "reply", "doc": invalid})
+                continue
         # a custom reducer for the command name overrides the built-ins
         # (the reference's corpus ships its own put reducers, e.g.
         # src/test/resources/app8/reducers/put.jslt); reducer -> None
@@ -166,22 +235,42 @@ def compile_aggregate_batch(part: dict, app) -> dict[str, DataFrame]:
         raise KeyError(f"aggregate command topic {cmd_topic!r} not in catalog")
 
     reducer = None
+    validators: dict = {}
+    preprocessors: dict = {}
     if "commands" in part:
-        # per-command reducers: Mongo pipelines (row interpreter) or JQ
-        # scripts; scriptImports carries inlined jq imports
-        # (Common.java:803-846)
+        # per-command reducers: Mongo pipelines (row interpreter), JQ or
+        # JSLT scripts; scriptImports carries inlined jq imports
+        # (Common.java:803-846).  validator/preprocessor sub-fields per
+        # docs/state.md:53-63.
         from pincette_json_streams_spark.streaming.reducers import (
             pipeline_reducer,
         )
         reducer = pipeline_reducer(part["commands"],
                                    part.get("scriptImports"))
+        for cname, cspec in part["commands"].items():
+            if isinstance(cspec, dict):
+                if isinstance(cspec.get("validator"), dict):
+                    validators[cname] = cspec["validator"]
+                if isinstance(cspec.get("preprocessor"), list):
+                    preprocessors[cname] = cspec["preprocessor"]
+    part_pre = part.get("preprocessor")
+    unique = part.get("uniqueExpression")
 
     def fold(key, pdf):
         import pandas as pd
 
         pdf = pdf.sort_values("__order")
         cmds = [json.loads(r) for r in pdf["__json"]]
-        recs = reduce_commands(None, cmds, reducer, full)
+        if unique is not None and cmds:
+            # instances converge on the business key; the instance _id is
+            # the first command's (docs/state.md:176-197)
+            first_id = cmds[0].get("_id")
+            cmds = [{**c, "_id": first_id} for c in cmds]
+        recs = reduce_commands(
+            None, cmds, reducer, full,
+            validators=validators, preprocessors=preprocessors,
+            part_preprocessor=part_pre,
+        )
         return pd.DataFrame(
             {
                 "purpose": [r["purpose"] for r in recs],
@@ -190,10 +279,22 @@ def compile_aggregate_batch(part: dict, app) -> dict[str, DataFrame]:
             }
         )
 
+    if unique is not None:
+        # re-key on the unique expression (the reference's `unique` topic:
+        # one shuffle on the business key, docs/state.md:124)
+        from pincette_json_streams_spark.operators.context import ctx_for
+        from pincette_json_streams_spark.operators.expressions import (
+            compile_expr,
+        )
+        key_col = F.to_json(F.struct(
+            compile_expr(unique, ctx_for(source)).alias("__u")
+        ))
+    else:
+        key_col = F.col("_id").cast("string")
     ordered = source.withColumn(
         "__order", F.monotonically_increasing_id()
     ).select(
-        F.col("_id").cast("string").alias("__key"),
+        key_col.alias("__key"),
         F.to_json(F.struct(*[c for c in source.columns])).alias("__json"),
         "__order",
     )

@@ -136,6 +136,8 @@ def streaming_aggregate(
     reducer_spec: Optional[dict] = None,
     order_col: Optional[str] = None,
     script_imports: Optional[dict] = None,
+    unique_expression=None,
+    part_preprocessor: Optional[list] = None,
 ) -> DataFrame:
     """Event-sourcing aggregate over a streaming command source.
 
@@ -151,15 +153,35 @@ def streaming_aggregate(
     )
 
     reducer = None
+    validators: dict = {}
+    preprocessors: dict = {}
     if reducer_spec:
         from pincette_json_streams_spark.streaming.reducers import (
             pipeline_reducer,
         )
         reducer = pipeline_reducer(reducer_spec, script_imports)
+        for cname, cspec in reducer_spec.items():
+            if isinstance(cspec, dict):
+                if isinstance(cspec.get("validator"), dict):
+                    validators[cname] = cspec["validator"]
+                if isinstance(cspec.get("preprocessor"), list):
+                    preprocessors[cname] = cspec["preprocessor"]
 
     cols = commands.columns
+    if unique_expression is not None:
+        # re-key on the business key — the streaming analogue of the
+        # reference's `unique` topic (docs/state.md:124,176-197)
+        from pincette_json_streams_spark.operators.context import ctx_for
+        from pincette_json_streams_spark.operators.expressions import (
+            compile_expr,
+        )
+        key_col = F.to_json(F.struct(
+            compile_expr(unique_expression, ctx_for(commands)).alias("__u")
+        ))
+    else:
+        key_col = F.col("_id").cast("string")
     src = commands.select(
-        F.col("_id").cast("string").alias("__key"),
+        key_col.alias("__key"),
         F.to_json(F.struct(*[F.col(c) for c in cols])).alias("__json"),
         (F.col(order_col) if order_col else F.lit(0)).alias("__order"),
     )
@@ -172,7 +194,14 @@ def streaming_aggregate(
         for pdf in pdf_iter:
             pdf = pdf.sort_values("__order")
             cmds = [json.loads(r) for r in pdf["__json"]]
-            recs = reduce_commands(cur, cmds, reducer, agg_type)
+            if unique_expression is not None and cmds:
+                inst = (cur or {}).get("_id") or cmds[0].get("_id")
+                cmds = [{**c, "_id": inst} for c in cmds]
+            recs = reduce_commands(
+                cur, cmds, reducer, agg_type,
+                validators=validators, preprocessors=preprocessors,
+                part_preprocessor=part_preprocessor,
+            )
             for r in recs:
                 out_rows.append(
                     (r["purpose"], json.dumps(r["doc"]),
