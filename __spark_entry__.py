@@ -690,6 +690,40 @@ def q_redact(spark, sf_dir):
     ])
 
 
+def q_redact_nested(spark, sf_dir):
+    """$redact over NESTED subdocuments with a non-trivial decision
+    ($in + $gt + $ifNull through the full row interpreter): sub-docs
+    whose level isn't in the allow-list are pruned, the rest descend."""
+    return _pipe(spark, sf_dir, "orders", [
+        {"$project": {
+            "_id": 0, "okey": "$o_orderkey",
+            "pub": {"val": "$o_totalprice"},
+            "sec": {
+                "level": {"$cond": [
+                    {"$eq": [{"$mod": ["$o_orderkey", 3]}, 0]},
+                    "secret", "internal"]},
+                "val": "$o_custkey"},
+        }},
+        {"$redact": {"$cond": [
+            {"$and": [
+                {"$in": [{"$ifNull": ["$level", "public"]},
+                         ["public", "internal"]]},
+                {"$gt": [{"$ifNull": ["$val", 1]}, 0]},
+            ]},
+            "$$DESCEND", "$$PRUNE"]}},
+        {"$project": {"okey": 1, "pub_val": "$pub.val",
+                      "sec_val": "$sec.val"}},
+    ])
+
+
+_ORACLE_REDACT_NESTED = """
+SELECT o_orderkey AS okey, o_totalprice AS pub_val,
+       CASE WHEN o_orderkey % 3 != 0 AND o_custkey > 0
+            THEN o_custkey END AS sec_val
+FROM orders
+"""
+
+
 _ORACLE_REDACT = """
 SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
 FROM orders WHERE o_orderstatus <> 'F'
@@ -1874,6 +1908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate": q_validate,
         "events_funnel": q_events_funnel,
         "redact": q_redact,
+        "redact_nested": q_redact_nested,
         "replace_root": q_replace_root,
         "array_setops": q_array_setops,
         "match_arrays": q_match_arrays,
@@ -1934,6 +1969,7 @@ def oracle_sql() -> dict[str, str]:
         "validate": _ORACLE_VALIDATE,
         "events_funnel": _ORACLE_EVENTS,
         "redact": _ORACLE_REDACT,
+        "redact_nested": _ORACLE_REDACT_NESTED,
         "replace_root": _ORACLE_REPLACE_ROOT,
         "array_setops": _ORACLE_SETOPS,
         "match_arrays": _ORACLE_MATCH_ARRAYS,

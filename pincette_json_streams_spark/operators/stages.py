@@ -541,49 +541,27 @@ def _decorrelate_pairs(expr: Any, bound: dict[str, str], rctx: Ctx):
 # --------------------------------------------------------------------------
 
 def _stage_redact(df, spec, pctx):
-    """Recursive keep/prune via $$DESCEND/$$PRUNE/$$KEEP.  Compiled as a
-    row-level JSON transform (no native recursive struct op exists); rows
-    whose top-level decision is $$PRUNE are dropped."""
-    from pyspark.sql.types import StringType
+    """Recursive keep/prune via $$DESCEND/$$PRUNE/$$KEEP.  Compiled as an
+    Arrow ``mapInPandas`` JSON transform (no native recursive struct op
+    exists); the decision expression runs through the full row
+    interpreter (streaming/reducers.eval_expr) at every document level —
+    unsupported operators raise instead of silently evaluating as
+    literals.  Rows whose top-level decision is $$PRUNE are dropped."""
+    from pincette_json_streams_spark.streaming.reducers import eval_expr
 
     spec_json = json.dumps(spec)
     cols = df.columns
+    schema_dt = df.select(F.struct(*cols).alias("s")).schema["s"].dataType
 
-    def redact_doc(doc, expr):
-        def ev(e, cur):
-            # tiny interpreter for the subset used by $redact specs:
-            # $cond/$eq/field refs/literals/system vars
-            if isinstance(e, str):
-                if e in ("$$DESCEND", "$$PRUNE", "$$KEEP"):
-                    return e
-                if e.startswith("$"):
-                    v = cur
-                    for seg in e[1:].split("."):
-                        v = v.get(seg) if isinstance(v, dict) else None
-                    return v
-                return e
-            if isinstance(e, dict) and len(e) == 1:
-                (op, args), = e.items()
-                if op == "$cond":
-                    if isinstance(args, dict):
-                        i, t, el = args["if"], args["then"], args["else"]
-                    else:
-                        i, t, el = args
-                    return ev(t, cur) if ev(i, cur) else ev(el, cur)
-                if op == "$eq":
-                    return ev(args[0], cur) == ev(args[1], cur)
-                if op == "$gt":
-                    a, b = ev(args[0], cur), ev(args[1], cur)
-                    return a is not None and b is not None and a > b
-                if op == "$in":
-                    return ev(args[0], cur) in (ev(args[1], cur) or [])
-                if op == "$ifNull":
-                    v = ev(args[0], cur)
-                    return v if v is not None else ev(args[1], cur)
-            return e
+    def run(batches):
+        import pandas as pd
+
+        expr = json.loads(spec_json)
+        markers = {"DESCEND": "$$DESCEND", "PRUNE": "$$PRUNE",
+                   "KEEP": "$$KEEP"}
 
         def walk(node):
-            decision = ev(expr, node)
+            decision = eval_expr(expr, node, markers)
             if decision == "$$PRUNE":
                 return None
             if decision == "$$KEEP":
@@ -607,23 +585,21 @@ def _stage_redact(df, spec, pctx):
                         out[k] = v
                 return out
             return node
-        return walk(doc)
 
-    def do_redact(js: str) -> str | None:
-        doc = json.loads(js)
-        expr = json.loads(spec_json)
-        out = redact_doc(doc, expr)
-        return None if out is None else json.dumps(out)
+        for pdf in batches:
+            vals = []
+            for js in pdf["__json"]:
+                r = walk(json.loads(js))
+                if r is not None:
+                    vals.append(json.dumps(r))
+            yield pd.DataFrame({"__js": vals})
 
-    redact_udf = F.udf(do_redact, StringType())
-    schema_ddl = df.select(F.struct(*cols).alias("s")).schema["s"].dataType
-    out = (
-        df.select(redact_udf(F.to_json(F.struct(*cols))).alias("__js"))
-        .filter(F.col("__js").isNotNull())
-        .select(F.from_json("__js", schema_ddl).alias("__root"))
+    prepared = df.select(F.to_json(F.struct(*cols)).alias("__json"))
+    return (
+        prepared.mapInPandas(run, schema="__js string")
+        .select(F.from_json("__js", schema_dt).alias("__root"))
         .select("__root.*")
     )
-    return out
 
 
 # --------------------------------------------------------------------------
