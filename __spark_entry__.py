@@ -1350,7 +1350,9 @@ def q_dedup_embedding(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     ).filter(F.col("vec_id") < 300)
-    return embedding_pairs(emb, threshold=0.3).select("id_a", "id_b")
+    # exact all-pairs is opt-in (bounded input here); LSH is the default
+    return embedding_pairs(emb, threshold=0.3, use_lsh=False) \
+        .select("id_a", "id_b")
 
 
 _ORACLE_DEDUP_EMBEDDING = """

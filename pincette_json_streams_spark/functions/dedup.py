@@ -643,11 +643,16 @@ def embedding_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.9,
-    use_lsh: bool = False,
+    use_lsh: bool = True,
     planes: int = 8,
 ) -> DataFrame:
-    """Near-duplicate vector pairs by cosine >= threshold.  use_lsh=True
-    restricts comparisons to hyperplane buckets (the 100 TB path)."""
+    """Near-duplicate vector pairs by cosine >= threshold.
+
+    LSH bucketing is the DEFAULT: comparisons are restricted to
+    hyperplane buckets (one shuffle on bucket id), so the operator is
+    safe to ship at 100 TB as-is — an unrestricted self-join is O(n^2)
+    and must be requested explicitly with ``use_lsh=False`` (the exact
+    baseline, for bounded inputs and recall evaluation only)."""
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     if use_lsh:
         base = base.withColumn("bucket", hyperplane_bucket(F.col("v"),
