@@ -295,10 +295,22 @@ def _stage_count(df, spec, pctx):
 
 def _stage_deduplicate(df, spec, pctx):
     # docs:93-116 — drop duplicates by expression.  Batch: exact global
-    # dedup; streaming: dropDuplicatesWithinWatermark in the runtime.
+    # dedup.  Streaming: dropDuplicatesWithinWatermark over an ingest-time
+    # watermark sized by `cacheWindow` (ms, default 1000) — state expires
+    # at exactly the window the reference caches dedup keys for, so
+    # memory is bounded at any scale.
     expr = spec["expression"] if isinstance(spec, dict) else spec
     key = compile_expr(expr, ctx_for(df)).cast("string")
     tagged = df.withColumn("__dedup_key", key)
+    if df.isStreaming:
+        cache_ms = int(spec.get("cacheWindow", 1000)) \
+            if isinstance(spec, dict) else 1000
+        secs = max(cache_ms // 1000, 1)
+        tagged = tagged.withColumn(
+            "__dedup_ts", F.current_timestamp()
+        ).withWatermark("__dedup_ts", f"{secs} seconds")
+        return tagged.dropDuplicatesWithinWatermark(["__dedup_key"]) \
+            .drop("__dedup_key", "__dedup_ts")
     return tagged.dropDuplicates(["__dedup_key"]).drop("__dedup_key")
 
 

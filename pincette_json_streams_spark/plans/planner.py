@@ -177,9 +177,26 @@ class Application:
                 & (l["__l_ts"] <= r["__r_ts"] + F.expr(
                     f"INTERVAL {delay}"))
             )
-            return (
+            joined = (
                 l.join(r, cond, "inner")
-                .select(l["_id"].alias("_id"), "left", "right")
+                .select(l["_id"].alias("_id"), "left", "right",
+                        l["__l_ts"])
+            )
+            # the reference suppresses identical join outputs within 1 s
+            # (App.java:707-708: duplicateFilter on the message value) —
+            # matching pairs arriving simultaneously can double-emit.
+            # Same here: value-keyed dropDuplicatesWithinWatermark rides
+            # the join's existing watermark (a new one can't be defined
+            # downstream of a stream-stream join), so the suppression
+            # window is max(1 s, join window) and dedup state expires
+            # with it — O(rate), not O(data).
+            return (
+                joined.withColumn(
+                    "__pair_key",
+                    F.sha2(F.to_json(F.struct("_id", "left", "right")), 256),
+                )
+                .dropDuplicatesWithinWatermark(["__pair_key"])
+                .drop("__pair_key", "__l_ts")
             )
         return l.join(r, "_id", "inner")
 

@@ -38,7 +38,8 @@ from pincette_json_streams_spark.operators.stages import (
 
 __all__ = [
     "kafka_source", "kafka_sink", "file_stream_catalog",
-    "StreamingApp", "streaming_aggregate",
+    "collection_change_stream", "StreamingApp", "streaming_aggregate",
+    "delay_spool_sink", "delay_release_stream", "redelivery_sink",
 ]
 
 
@@ -124,6 +125,134 @@ def file_stream_catalog(
                                    str(max_files_per_trigger))
         catalog[name] = reader.load(d)
     return catalog
+
+
+def collection_change_stream(
+    spark: SparkSession,
+    collection_dir: str,
+    schema: str,
+    max_files_per_trigger: Optional[int] = None,
+) -> DataFrame:
+    """Incremental ``fromCollection`` change feed: the reference tails a
+    Mongo change stream with resume tokens (App.java:650-683,1056-1081);
+    the Spark-first stand-in is an unbounded file source over the
+    collection directory — appends become change events, and the
+    streaming checkpoint IS the resume token (processed files are never
+    re-read across restarts)."""
+    reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    return reader.load(collection_dir)
+
+
+# --------------------------------------------------------------------------
+# $delay redelivery  (docs/aggregation_stages.md:118-158)
+# --------------------------------------------------------------------------
+#
+# The reference delays each message in-process and re-produces it to the
+# target Kafka topic.  Spark-first decomposition, all checkpointed:
+#
+#   $delay stage (effects.py) tags rows with topic + deliver_after
+#     -> delay_spool_sink: spool the routed rows (parquet append)
+#     -> delay_release_stream: stateful hold (applyInPandasWithState with
+#        a processing-time timeout) that emits each message once
+#        now >= deliver_after — state is O(in-flight delayed messages)
+#     -> redelivery_sink: append released messages back into the target
+#        topic's directory, where the normal source re-ingests them.
+#
+# Loss mid-delay is possible in the reference too (docs:122); here the
+# spool + checkpoints narrow that window to the release hold.
+
+def delay_spool_sink(routed: DataFrame, spool_dir: str, checkpoint: str):
+    """Writer that spools $delay-routed rows (topic + deliver_after +
+    payload) as JSON values."""
+    payload = [c for c in routed.columns
+               if c not in ("topic", "deliver_after")]
+    rows = routed.select(
+        F.col("topic").cast("string"),
+        F.col("deliver_after").cast("long"),
+        F.to_json(F.struct(*[F.col(c) for c in payload])).alias("value"),
+    )
+    return (
+        rows.writeStream.format("parquet")
+        .option("path", spool_dir)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+
+
+def delay_release_stream(
+    spark: SparkSession, spool_dir: str, buckets: int = 8
+) -> DataFrame:
+    """Spool -> held messages released when due.  Keys spread over
+    ``buckets`` so the hold state parallelizes; each key sets a
+    processing-time timeout at its earliest pending deliver_after."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    src = spark.readStream.schema(
+        "topic string, deliver_after long, value string"
+    ).format("parquet").load(spool_dir)
+    keyed = src.withColumn(
+        "__k", (F.crc32(F.col("value")) % buckets).cast("string")
+    )
+
+    def hold(key, pdf_iter, state):
+        import time
+
+        import pandas as pd
+
+        pending = json.loads(state.get[0]) if state.exists else []
+        for pdf in pdf_iter:
+            pending.extend(
+                pdf[["topic", "deliver_after", "value"]].to_dict("records")
+            )
+        now_ms = int(time.time() * 1000)
+        due = [p for p in pending if p["deliver_after"] <= now_ms]
+        rest = [p for p in pending if p["deliver_after"] > now_ms]
+        state.update((json.dumps(rest),))
+        if rest:
+            state.setTimeoutDuration(max(
+                min(p["deliver_after"] for p in rest) - now_ms, 50
+            ))
+        yield pd.DataFrame(
+            due, columns=["topic", "deliver_after", "value"]
+        )
+
+    out = keyed.groupBy("__k").applyInPandasWithState(
+        hold,
+        outputStructType="topic string, deliver_after long, value string",
+        stateStructType="pending string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+    return out.select("topic", "value")
+
+
+def redelivery_sink(
+    released: DataFrame,
+    topic_dirs: dict[str, str],
+    schemas: dict[str, str],
+    checkpoint: str,
+):
+    """Writer that appends released messages into their target topic's
+    directory (the file-source analogue of producing back to Kafka) —
+    the topic's normal streaming source then re-ingests them."""
+
+    def write_batch(batch_df, _epoch):
+        for topic, d in topic_dirs.items():
+            part = batch_df.filter(F.col("topic") == topic)
+            if part.isEmpty():
+                continue  # no empty files polluting the topic listing
+            parsed = part.select(
+                F.from_json("value", schemas[topic]).alias("v")
+            ).select("v.*")
+            parsed.write.mode("append").parquet(d)
+
+    return (
+        released.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+    )
 
 
 # --------------------------------------------------------------------------
@@ -290,6 +419,38 @@ class StreamingApp:
             if available_now:
                 writer = writer.trigger(availableNow=True)
             queries.append(writer.start())
+        return queries
+
+    def start_delay_redelivery(
+        self,
+        topic_dirs: dict[str, str],
+        schemas: dict[str, str],
+        base_dir: str,
+        buckets: int = 8,
+    ) -> list:
+        """Start the $delay redelivery loop (spool -> timed hold ->
+        append into the target topic directory).  Returns the queries;
+        callers stop them when shutting the app down."""
+        import os
+
+        routed = [s for s in getattr(self.pctx, "sends", [])
+                  if s.isStreaming and "deliver_after" in s.columns]
+        if not routed:
+            return []
+        spool = os.path.join(base_dir, "delay-spool")
+        queries = [
+            delay_spool_sink(
+                r, spool, os.path.join(base_dir, f"ckpt-spool-{i}")
+            ).start()
+            for i, r in enumerate(routed)
+        ]
+        released = delay_release_stream(self.spark, spool, buckets)
+        queries.append(
+            redelivery_sink(
+                released, topic_dirs, schemas,
+                os.path.join(base_dir, "ckpt-release"),
+            ).trigger(processingTime="500 milliseconds").start()
+        )
         return queries
 
     def run_until_drained(self, sink_factory, timeout: int = 120) -> None:

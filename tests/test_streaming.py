@@ -139,6 +139,149 @@ class TestStreamingJoin:
         assert all(r["left"]["name"] == "A" for r in got)
 
 
+class TestStreamingEdges:
+    def test_dedup_cache_window_same_batch(self, spark, tmp_path):
+        d = str(tmp_path / "dups")
+        spark.createDataFrame(
+            [("a", 1), ("a", 1), ("b", 2), ("a", 1)],
+            "k string, v int",
+        ).write.parquet(d)
+        catalog = file_stream_catalog(
+            spark, {"msgs": d}, {"msgs": "k string, v int"})
+        app = StreamingApp(spark, {
+            "application": "sdw", "parts": [
+                {"type": "stream", "name": "d", "fromTopic": "msgs",
+                 "toTopic": "uniq", "pipeline": [
+                     {"$deduplicate": {"expression": "$k",
+                                       "cacheWindow": 60000}},
+                     {"$project": {"k": 1}},
+                 ]},
+            ],
+        }, catalog)
+        sink = memory_sink(tmp_path)
+        app.run_until_drained(sink)
+        got = spark.sql(f"SELECT * FROM mem_{sink.run_id}_uniq").collect()
+        assert sorted(r["k"] for r in got) == ["a", "b"]
+
+    def test_join_suppresses_identical_pairs(self, spark, tmp_path):
+        """Identical join outputs within the 1 s window collapse to one
+        (the reference's duplicateFilter, App.java:707-708)."""
+        ld, rd = str(tmp_path / "jl"), str(tmp_path / "jr")
+        spark.createDataFrame(
+            [("p1", "A"), ("p1", "A")], "_id string, name string"
+        ).write.parquet(ld)
+        spark.createDataFrame(
+            [("o1", "p1")], "oid string, pid string"
+        ).write.parquet(rd)
+        catalog = file_stream_catalog(
+            spark, {"l": ld, "r": rd},
+            {"l": "_id string, name string", "r": "oid string, pid string"})
+        app = StreamingApp(spark, {
+            "application": "sjd", "parts": [
+                {"type": "join", "name": "j", "toTopic": "out",
+                 "window": 60000,
+                 "left": {"fromTopic": "l", "on": "$_id"},
+                 "right": {"fromTopic": "r", "on": "$pid"}},
+            ],
+        }, catalog)
+        sink = memory_sink(tmp_path)
+        app.run_until_drained(sink)
+        got = spark.sql(f"SELECT * FROM mem_{sink.run_id}_out").collect()
+        assert len(got) == 1
+        assert got[0]["left"]["name"] == "A" and got[0]["right"]["oid"] == "o1"
+
+    def test_delay_redelivery_loop(self, spark, tmp_path):
+        """A $delay-ed message re-enters through the target topic after
+        deliver_after: spool -> timed hold -> append to the topic dir ->
+        normal source re-ingests (docs/aggregation_stages.md:118-158)."""
+        import os
+        import time
+
+        inbox = str(tmp_path / "inbox")
+        retry = str(tmp_path / "retry")
+        os.makedirs(retry)
+        spark.createDataFrame(
+            [("m1", 7)], "_id string, v int"
+        ).write.parquet(inbox)
+        schemas = {"inbox": "_id string, v int",
+                   "retry": "_id string, v int"}
+        catalog = file_stream_catalog(
+            spark, {"inbox": inbox, "retry": retry}, schemas)
+        app = StreamingApp(spark, {
+            "application": "sd", "parts": [
+                {"type": "stream", "name": "delayer", "fromTopic": "inbox",
+                 "pipeline": [
+                     {"$delay": {"duration": 2000, "topic": "retry"}},
+                 ]},
+                {"type": "stream", "name": "consumer", "fromTopic": "retry",
+                 "toTopic": "out", "pipeline": []},
+            ],
+        }, catalog)
+        sink = memory_sink(tmp_path)
+        t0 = time.time()
+        queries = app.start(sink)
+        queries += app.start_delay_redelivery(
+            {"retry": retry}, schemas, str(tmp_path / "delay"))
+        try:
+            got = []
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                got = spark.sql(
+                    f"SELECT * FROM mem_{sink.run_id}_out").collect()
+                if got:
+                    break
+                time.sleep(0.5)
+            assert [(r["_id"], r["v"]) for r in got] == [("m1", 7)]
+            assert time.time() - t0 >= 2.0  # it actually waited
+        finally:
+            for q in queries:
+                q.stop()
+
+    def test_collection_change_feed_checkpointed(self, spark, tmp_path):
+        """fromCollection over a change feed: appends propagate through a
+        stream part; the checkpoint is the resume token (a second drain
+        processes only the new documents)."""
+        from pincette_json_streams_spark.streaming.runtime import (
+            collection_change_stream,
+        )
+
+        coll = str(tmp_path / "coll")
+        spark.createDataFrame(
+            [("c1", 1), ("c2", 2)], "_id string, v int"
+        ).write.parquet(coll)
+        schema = "_id string, v int"
+
+        def build():
+            return StreamingApp(spark, {
+                "application": "cf", "parts": [
+                    {"type": "stream", "name": "feed",
+                     "fromCollection": "things", "toTopic": "out",
+                     "pipeline": [{"$set": {"vv": {"$multiply":
+                                                   ["$v", 10]}}}]},
+                ],
+            }, {"things": collection_change_stream(spark, coll, schema)})
+
+        out_dir = str(tmp_path / "outdir")
+
+        # file sink: supports restart from its checkpoint (memory doesn't)
+        def sink(name, df):
+            return (df.writeStream.format("parquet")
+                    .option("path", out_dir)
+                    .option("checkpointLocation",
+                            str(tmp_path / "ckpt" / name)))
+
+        build().run_until_drained(sink)
+        first = spark.read.parquet(out_dir).collect()
+        assert sorted(r["vv"] for r in first) == [10, 20]
+
+        # append a document to the collection; re-drain from checkpoint
+        spark.createDataFrame([("c3", 3)], schema) \
+            .write.mode("append").parquet(coll)
+        build().run_until_drained(sink)
+        second = spark.read.parquet(out_dir).collect()
+        assert sorted(r["vv"] for r in second) == [10, 20, 30]
+
+
 class TestStreamingAggregate:
     def test_fold_with_state(self, spark, tmp_path):
         d = str(tmp_path / "cmds")
