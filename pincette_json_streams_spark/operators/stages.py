@@ -58,6 +58,8 @@ class PipelineContext:
     # http_transport(method, url, headers, body) -> HttpResponse;
     # object_store with read/write/url (LocalObjectStore or boto3-backed)
     http_transport: Optional[Callable] = None
+    # $s3Csv resume positions (get/put) — the reference's resumeCollection
+    resume_store: Optional[Any] = None
     object_store: Optional[Any] = None
 
     def collection(self, name: str) -> DataFrame:

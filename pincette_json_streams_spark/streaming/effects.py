@@ -365,20 +365,70 @@ def _infer(v: str) -> Any:
             return v
 
 
+class LocalResumeStore:
+    """File-backed resume positions for $s3Csv — the stand-in for the
+    reference's Mongo ``resumeCollection`` (S3CsvStage.java:145-183):
+    maps ``bucket/key/eTag`` -> last consumed line.  Any shared KV with
+    ``get(key) -> int | None`` / ``put(key, line)`` plugs in the same
+    way the reference points at a collection."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def _path(self, key: str):
+        import hashlib
+        import os
+
+        return os.path.join(
+            self.root, hashlib.sha256(key.encode()).hexdigest() + ".json"
+        )
+
+    def get(self, key: str):
+        try:
+            with open(self._path(key)) as f:
+                return json.load(f).get("last_line")
+        except OSError:
+            return None
+
+    def put(self, key: str, last_line: int) -> None:
+        import os
+        import time as _t
+
+        os.makedirs(self.root, exist_ok=True)
+        tmp = self._path(key) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"last_line": last_line,
+                       "_timestamp": int(_t.time() * 1000)}, f)
+        os.replace(tmp, self._path(key))
+
+
 def stage_s3_csv(df: DataFrame, spec: dict, pctx) -> DataFrame:
     """Per incoming message, stream the referenced CSV object line by line;
     one output message per line, header row as field names, messages as
     JSON strings (schemaless payloads).  Each input row's object is read in
-    the executor — a partition of N referenced objects parallelizes N-wide;
-    resume-from-eTag maps to Spark task retry."""
+    the executor — a partition of N referenced objects parallelizes N-wide.
+
+    Resumability (S3CsvStage.java:145-183,232-244): with ``eTag`` and
+    ``resumeCollection`` in the spec (and a ``resume_store`` on the
+    context), consumption restarts after the last recorded line for the
+    ``bucket/key/eTag`` triple; progress is recorded every 1000 lines
+    and at completion.  A changed eTag (new object version) naturally
+    restarts from the top, exactly like the reference's key scheme."""
     store = getattr(pctx, "object_store", None)
     if store is None:
         raise ValueError("$s3Csv needs pctx.object_store")
+    resume_store = getattr(pctx, "resume_store", None) \
+        if "resumeCollection" in spec else None
+    if "resumeCollection" in spec and "eTag" not in spec:
+        raise ValueError("$s3Csv: resumeCollection requires eTag")
     ctx = ctx_for(df)
     sep = spec.get("separator", "\t")
+    etag_col = compile_expr(spec["eTag"], ctx).cast("string") \
+        if "eTag" in spec else F.lit("").cast("string")
     prepared = df.select(
         compile_expr(spec["bucket"], ctx).cast("string").alias("__bucket"),
         compile_expr(spec["key"], ctx).cast("string").alias("__key"),
+        etag_col.alias("__etag"),
     )
 
     def run(batches: Iterator) -> Iterator:
@@ -390,15 +440,26 @@ def stage_s3_csv(df: DataFrame, spec: dict, pctx) -> DataFrame:
                 lines = [ln for ln in data.splitlines() if ln]
                 if not lines:
                     continue
+                rkey = "/".join((rec["__bucket"], rec["__key"],
+                                 rec["__etag"] or ""))
+                last = resume_store.get(rkey) \
+                    if resume_store is not None else None
+                start = (last + 1) if last is not None else 0
                 fields = lines[0].split(sep)
-                vals = [
-                    json.dumps({
+                vals = []
+                for n, ln in enumerate(lines[1:]):
+                    if n < start:
+                        continue
+                    vals.append(json.dumps({
                         f: _infer(v) for f, v in
                         zip(fields, ln.split(sep))
-                    })
-                    for ln in lines[1:]
-                ]
-                yield pd.DataFrame({"value": vals})
+                    }))
+                    if resume_store is not None and (n + 1) % 1000 == 0:
+                        resume_store.put(rkey, n)
+                if resume_store is not None and len(lines) > 1:
+                    resume_store.put(rkey, len(lines) - 2)
+                if vals:
+                    yield pd.DataFrame({"value": vals})
 
     return prepared.mapInPandas(run, schema="value string")
 

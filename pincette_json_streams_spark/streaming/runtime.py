@@ -53,13 +53,18 @@ def kafka_source(
     bootstrap: str,
     schema: Optional[str] = None,
     max_offsets_per_trigger: Optional[int] = None,
+    wire_format: str = "cbor",
 ) -> DataFrame:
     """Kafka topic -> streaming DataFrame.  With a schema, the JSON value
     is parsed into typed columns plus the Kafka key as ``_key``; without
     one, rows are (``_key``, ``value`` JSON string) — the schemaless
     shape, accessed downstream via $stringToJson / get_json_object.
     ``maxOffsetsPerTrigger`` is the backpressure knob standing in for the
-    reference's batchSize/batchTimeout (KafkaProvider.java:61-66)."""
+    reference's batchSize/batchTimeout (KafkaProvider.java:61-66).
+
+    ``wire_format="cbor"`` (the reference's wire format,
+    docs/serialisation.md) decodes gzip-CBOR message values with the
+    string fallback; ``"string"`` casts the raw bytes."""
     reader = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap)
@@ -69,9 +74,19 @@ def kafka_source(
     if max_offsets_per_trigger:
         reader = reader.option("maxOffsetsPerTrigger",
                                str(max_offsets_per_trigger))
-    raw = reader.load().selectExpr(
-        "CAST(key AS STRING) AS _key", "CAST(value AS STRING) AS value"
-    )
+    loaded = reader.load()
+    if wire_format == "cbor":
+        from pincette_json_streams_spark.sources.serialisation import (
+            decode_col,
+        )
+        raw = loaded.select(
+            F.col("key").cast("string").alias("_key"),
+            decode_col(F.col("value")).alias("value"),
+        )
+    else:
+        raw = loaded.selectExpr(
+            "CAST(key AS STRING) AS _key", "CAST(value AS STRING) AS value"
+        )
     if schema is None:
         return raw
     return raw.select(
@@ -86,16 +101,28 @@ def kafka_sink(
     checkpoint: str,
     key_col: str = "_id",
     output_mode: str = "append",
+    to_string: bool = False,
 ):
-    """Streaming DataFrame -> Kafka.  Messages serialize as JSON of the
-    whole row; a per-row ``topic`` column (from $send/$delay) takes
-    precedence over the fixed topic — Kafka sinks route on it natively."""
+    """Streaming DataFrame -> Kafka.  Messages serialize as gzip-CBOR of
+    the row document (the reference's wire format); ``to_string=True``
+    produces plain JSON strings instead — the stream-part ``toString``
+    flag (docs/serialisation.md).  A per-row ``topic`` column (from
+    $send/$delay) takes precedence over the fixed topic — Kafka sinks
+    route on it natively."""
     cols = [c for c in df.columns if c not in ("topic",)]
+    value_json = F.to_json(F.struct(*[F.col(c) for c in cols]))
+    if to_string:
+        value = value_json
+    else:
+        from pincette_json_streams_spark.sources.serialisation import (
+            encode_col,
+        )
+        value = encode_col(value_json)
     out = df.select(
         *( [F.col("topic")] if "topic" in df.columns else [] ),
         (F.col(key_col).cast("string") if key_col in df.columns
          else F.lit(None).cast("string")).alias("key"),
-        F.to_json(F.struct(*[F.col(c) for c in cols])).alias("value"),
+        value.alias("value"),
     )
     writer = (
         out.writeStream.format("kafka")
