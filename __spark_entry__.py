@@ -1169,6 +1169,81 @@ FROM scored
 """
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII scrubbing (pretraining-corpus redaction): typed placeholders
+    for emails/SSNs/IPs/phones via chained native regexp_replace.  PII is
+    synthesized deterministically per doc so the scrub is observable."""
+    from pincette_json_streams_spark.functions.text import (
+        pii_counts, scrub_pii,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id"),
+            F.lit("@example.com ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 ssn 123-45-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("dirty"),
+    )
+    counts = pii_counts(F.col("dirty"))
+    return dirty.select(
+        "doc_id",
+        scrub_pii(F.col("dirty")).alias("clean"),
+        counts["email"].cast("long").alias("n_email"),
+        counts["ipv4"].cast("long").alias("n_ipv4"),
+        counts["ssn"].cast("long").alias("n_ssn"),
+    )
+
+
+def _oracle_pii_scrub():
+    from pincette_json_streams_spark.functions.text import PII_PATTERNS
+    pats = dict(PII_PATTERNS)
+    dirty = ("text || ' contact user' || doc_id || '@example.com ip 10.0.'"
+             " || (doc_id % 256) || '.7 ssn 123-45-'"
+             " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')")
+    clean = dirty
+    for name, _ in PII_PATTERNS:
+        clean = (f"regexp_replace({clean}, '{pats[name]}', "
+                 f"'<{name.upper()}>', 'g')")
+    return f"""
+SELECT doc_id, {clean} AS clean,
+       len(regexp_extract_all({dirty}, '{pats["email"]}')) AS n_email,
+       len(regexp_extract_all({dirty}, '{pats["ipv4"]}')) AS n_ipv4,
+       len(regexp_extract_all({dirty}, '{pats["ssn"]}')) AS n_ssn
+FROM documents
+"""
+
+
+def q_token_vocab(spark, sf_dir):
+    """Corpus vocabulary/frequency table (tokenizer-training pass):
+    explode BPE-ish tokens, one hash aggregation on the token."""
+    from pincette_json_streams_spark.functions.text import token_vocabulary
+    docs = _t(spark, sf_dir, "documents")
+    return token_vocabulary(docs, min_count=2).select(
+        "token",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_occurrences").cast("long").alias("n_occurrences"),
+    )
+
+
+def _oracle_token_vocab():
+    from pincette_json_streams_spark.functions.text import BPE_TOKEN_RE
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{BPE_TOKEN_RE}'))
+           AS token
+  FROM documents
+)
+SELECT token, count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_occurrences
+FROM toks GROUP BY token HAVING count(*) >= 2
+"""
+
+
 def q_dedup_exact(spark, sf_dir):
     from pincette_json_streams_spark.functions.dedup import exact_dedup
     docs = _t(spark, sf_dir, "documents")
@@ -1934,6 +2009,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aggregate_acl": q_aggregate_acl,
         # training-data operators
         "text_stats": q_text_stats,
+        "pii_scrub": q_pii_scrub,
+        "token_vocab": q_token_vocab,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_ngram": q_dedup_ngram,
@@ -1994,6 +2071,8 @@ def oracle_sql() -> dict[str, str]:
         "aggregate_jslt_reducer": _ORACLE_AGG_JSLT,
         "aggregate_validate": _ORACLE_AGG_VALIDATE,
         "text_stats": _oracle_text_stats(),
+        "pii_scrub": _oracle_pii_scrub(),
+        "token_vocab": _oracle_token_vocab(),
         "dedup_exact": _ORACLE_DEDUP_EXACT,
         "dedup_minhash": _oracle_minhash(),
         "dedup_ngram": _ORACLE_NGRAM,

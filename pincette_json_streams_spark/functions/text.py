@@ -20,8 +20,9 @@ from pyspark.sql import functions as F
 __all__ = [
     "ws_token_count", "bpe_token_count", "quality_features",
     "quality_score", "lang_id", "fingerprint", "shingles", "word_ngrams",
-    "with_text_features", "quality_score_from", "STOPWORDS", "LANG_MARKERS",
-    "BPE_TOKEN_RE",
+    "with_text_features", "quality_score_from", "scrub_pii", "pii_counts",
+    "token_vocabulary", "STOPWORDS", "LANG_MARKERS", "BPE_TOKEN_RE",
+    "PII_PATTERNS",
 ]
 
 # A compact English stopword list (public knowledge).
@@ -237,6 +238,65 @@ def quality_score_from(tf: Column, n_chars: Column) -> Column:
     score = (0.4 * length_ok + 0.3 * diversity + 0.3 * stop) \
         * (1.0 - punct_penalty)
     return F.round(score, 6)
+
+
+# PII scrubbing patterns, ORDER MATTERS: more-specific classes first so
+# e.g. the phone pattern can't eat half an IPv4 or an SSN.  Engine-
+# portable regex (no lookaround, ASCII classes), so a SQL oracle replays
+# them with the same order + global-replace flag.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"),
+    ("ssn", "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"),
+    ("ipv4",
+     "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"),
+    ("phone",
+     "\\+?[0-9]{1,3}[-. ]?\\(?[0-9]{2,4}\\)?[-. ]?[0-9]{3,4}[-. ]?"
+     "[0-9]{3,4}"),
+)
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact common PII classes with typed placeholders — the standard
+    pretraining-corpus scrub.  Pure chained ``regexp_replace`` (native,
+    whole-stage codegen; one streaming pass per pattern, no UDF)."""
+    out = text
+    for name, pat in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, f"<{name.upper()}>")
+    return out
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-class PII hit counts (for corpus auditing before scrubbing)."""
+    return {
+        name: F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+        for name, pat in PII_PATTERNS
+    }
+
+
+def token_vocabulary(
+    df, text_col: str = "text", id_col: str = "doc_id",
+    min_count: int = 1
+):
+    """Corpus token-frequency table: (token, n_docs, n_occurrences) —
+    the vocabulary/frequency pass of a tokenizer-training pipeline.
+    Plan shape at 100 TB: one scan -> explode -> single hash aggregation
+    on the token (map-side partial combine collapses the per-doc
+    duplicates before the shuffle)."""
+    toks = df.select(
+        F.col(id_col).alias("__doc"),
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(BPE_TOKEN_RE), F.lit(0)
+            )
+        ).alias("token"),
+    )
+    out = toks.groupBy("token").agg(
+        F.count_distinct("__doc").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+    )
+    if min_count > 1:
+        out = out.filter(F.col("n_occurrences") >= min_count)
+    return out
 
 
 def normalize_text(text: Column) -> Column:

@@ -41,15 +41,17 @@ def expand_macros(spec: Any, macros: dict[str, Any]) -> Any:
 
 def _conditions(spec: dict) -> list[dict]:
     """Conditions of a validator, with ``include``d validators merged
-    (docs/validator.md:71 — the spec loader has already replaced file
-    references with their parsed content) and macros expanded."""
+    RECURSIVELY (docs/validator.md:71 — include chains like app8's
+    validate_plus -> operator.yaml -> type.yaml; the spec loader has
+    already replaced file references with their parsed content) and
+    macros expanded."""
     macros = dict(spec.get("macros", {}))
     conds: list[dict] = []
     includes = spec.get("include", [])
     for inc in includes if isinstance(includes, list) else [includes]:
         if isinstance(inc, dict):
             macros.update(inc.get("macros", {}))
-            conds.extend(inc.get("conditions", []))
+            conds.extend(_conditions(inc))
     conds.extend(spec.get("conditions", []))
     return [expand_macros(c, macros) for c in conds]
 
@@ -86,9 +88,11 @@ def _flatten(
                 out.extend(nested)
                 continue
             crit = dict(criteria) if isinstance(criteria, dict) else criteria
-            code = None
+            # condition-level $code (sibling key, app8 pattern) is the
+            # default; a criteria-level $code overrides it
+            code = code_all
             if isinstance(crit, dict):
-                code = crit.pop("$code", None)
+                code = crit.pop("$code", code_all)
             if isinstance(crit, dict) and "$exists" in crit and crit["$exists"]:
                 # presence check: fires even when field is absent; the
                 # reference reports the parent location (docs example: "/")
@@ -183,9 +187,9 @@ def validate_doc(spec: dict, doc: dict) -> list[dict]:
                         walk(crit, base, sub)
                     continue
                 crit = dict(crit) if isinstance(crit, dict) else crit
-                code = None
+                code = code_all
                 if isinstance(crit, dict):
-                    code = crit.pop("$code", None)
+                    code = crit.pop("$code", code_all)
                 loc = ("" if prefix == "/" else prefix) \
                     + "/" + path.replace(".", "/")
                 if isinstance(crit, dict) and crit.get("$exists"):

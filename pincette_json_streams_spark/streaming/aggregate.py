@@ -253,7 +253,17 @@ def compile_aggregate_batch(part: dict, app) -> dict[str, DataFrame]:
                     validators[cname] = cspec["validator"]
                 if isinstance(cspec.get("preprocessor"), list):
                     preprocessors[cname] = cspec["preprocessor"]
+    # the part-level preprocessor sits between the command topic and the
+    # reducer (docs/state.md:53) — a full pipeline on the command STREAM,
+    # so stateful stages like app8's $deduplicate preprocessor work.
+    # Per-command preprocessors stay row-level inside the fold.
     part_pre = part.get("preprocessor")
+    if part_pre:
+        from pincette_json_streams_spark.operators.stages import (
+            compile_pipeline,
+        )
+        source = compile_pipeline(source, part_pre, app.pctx)
+        part_pre = None
     unique = part.get("uniqueExpression")
 
     def fold(key, pdf):

@@ -314,9 +314,34 @@ def run_pipeline_doc(stages: list[dict], doc: dict) -> dict | None:
             expr = spec.get("newRoot", spec) if isinstance(spec, dict) \
                 else spec
             cur = eval_expr(expr, cur)
+        elif name in ("$jq", "$jslt"):
+            # script stages inside reducer pipelines (app39's form:
+            # `reducer: [{$jq: file}]` — the build inlines the file)
+            cur = _doc_script(name[1:], spec)(cur)
         else:
             raise ValueError(f"reducer pipeline: unsupported stage {name}")
     return cur
+
+
+_doc_script_cache: dict[tuple, Callable] = {}
+
+
+def _doc_script(language: str, src: str) -> Callable:
+    fn = _doc_script_cache.get((language, src))
+    if fn is None:
+        if language == "jslt":
+            from pincette_json_streams_spark.functions.jslt_subset import (
+                compile_jslt,
+            )
+            fn = compile_jslt(src)
+        else:
+            from pincette_json_streams_spark.functions.jq_subset import (
+                compile_jq,
+            )
+            jqf = compile_jq(src)
+            fn = lambda v: (jqf(v) or [None])[0]  # noqa: E731
+        _doc_script_cache[(language, src)] = fn
+    return fn
 
 
 def pipeline_reducer(
@@ -373,7 +398,13 @@ def pipeline_reducer(
                 stages, language = stages["jslt"], "jslt"
             elif "jq" in stages:
                 stages = stages["jq"]
-        doc = {"command": command, "state": state}
+        # deep-copy: pipeline stages mutate documents in place
+        # ($replaceRoot returns the actual nested object); the caller's
+        # state must stay pristine for the before/after event diff
+        import copy
+
+        doc = {"command": copy.deepcopy(command),
+               "state": copy.deepcopy(state)}
         if isinstance(stages, str):  # a JQ (default) or JSLT script
             return script_for(stages, language)(doc)
         return run_pipeline_doc(stages, doc)

@@ -3,6 +3,8 @@ reference spec /root/reference/docs/state.md)."""
 
 import json
 
+import pytest
+
 from pincette_json_streams_spark.streaming.aggregate import (
     compile_aggregate_batch,
     reduce_commands,
@@ -216,6 +218,152 @@ class TestAdmission:
         )
         aggs = [r["doc"] for r in out if r["purpose"] == "aggregate"]
         assert [a["v"] for a in aggs] == [4, 9]
+
+
+class TestApp8Golden:
+    """Replicas of the reference's plusminus-counter golden apps
+    (src/test/resources/app8/35-39): the SAME command flow through every
+    reducer form the reference ships — JSLT scripts with a namespaced
+    import (app8), JQ scripts with a module import (app38), Mongo
+    pipeline reducers (app37), and $jq/$jslt stage-form pipelines
+    (app39) — plus include-chained validators and the $deduplicate
+    preprocessor, end to end through the public Application surface."""
+
+    OP_JSLT = "def decr(value) $value - 1\n\ndef incr(value) $value + 1\n"
+    OP_JQ = "def decr: . - 1;\ndef incr: . + 1;\n"
+    JSLT_PLUS = ('import "common/op.jslt" as op\n'
+                 '.state | {"value": op:incr(.value), *: .}')
+    JSLT_MINUS = ('import "common/op.jslt" as op\n'
+                  '.state | {"value": op:decr(.value), *: .}')
+    JSLT_PUT = '.command | {"_command": null, *: .}'
+    JQ_PLUS = ('import "common/op.jq" as op;\n'
+               '.state + {"value": .state.value | op::incr}')
+    JQ_MINUS = ('import "common/op.jq" as op;\n'
+                '.state + {"value": .state.value | op::decr}')
+    JQ_PUT = '.command | del(._command)'
+    PIPE_PLUS = [{"$replaceRoot": {"newRoot": "$state"}},
+                 {"$addFields": {"value": {"$add": ["$value", 1]}}}]
+    PIPE_MINUS = [{"$replaceRoot": {"newRoot": "$state"}},
+                  {"$addFields": {"value": {"$subtract": ["$value", 1]}}}]
+    PIPE_PUT = [{"$replaceRoot": {"newRoot": "$command"}},
+                {"$unset": "_command"}]
+    TYPE_V = {"conditions": [{"_type": "plusminus-counter"}]}
+    OPERATOR_V = {"include": [TYPE_V],
+                  "conditions": [{"value": {"$exists": False,
+                                            "$code": "OPERATOR"}}]}
+
+    REDUCER_FORMS = {
+        "app8-jslt": (
+            {"plus": {"jslt": JSLT_PLUS}, "minus": {"jslt": JSLT_MINUS},
+             "put": {"jslt": JSLT_PUT}},
+            {"common/op.jslt": OP_JSLT},
+        ),
+        "app38-jq": (
+            {"plus": JQ_PLUS, "minus": JQ_MINUS, "put": JQ_PUT},
+            {"common/op.jq": OP_JQ},
+        ),
+        "app37-pipeline": (
+            {"plus": PIPE_PLUS, "minus": PIPE_MINUS, "put": PIPE_PUT},
+            None,
+        ),
+        "app39-mixed": (
+            {"plus": [{"$jq": JQ_PLUS.replace(
+                'import "common/op.jq" as op;\n', ''
+            ).replace("op::incr", ". + 1")}],
+             "minus": [{"$jslt":
+                        '.state | {"value": .value - 1, *: .}'}],
+             "put": [{"$jslt": JSLT_PUT}]},
+            None,
+        ),
+    }
+
+    def _spec(self, form: str):
+        reducers, imports = self.REDUCER_FORMS[form]
+        commands = {}
+        for name, red in reducers.items():
+            commands[name] = {"reducer": red} \
+                if not isinstance(red, dict) else dict(red)
+            validator = {
+                "put": {"include": [self.TYPE_V],
+                        "conditions": [{"_command": "put"},
+                                       {"value": 0, "$code": "INIT"}]},
+            }.get(name) or {
+                "include": [self.OPERATOR_V],
+                "conditions": [{"_command": name}],
+            }
+            commands[name]["validator"] = validator
+        part = {
+            "type": "aggregate",
+            "aggregateType": "plusminus-counter",
+            "name": "plusminus",
+            "preprocessor": [
+                {"$deduplicate": {
+                    "expression": {"$concat":
+                                   ["$_id", "$_corr", "$_command"]},
+                    "collection": "plusminus-duplicate-commands",
+                    "cacheWindow": 5000}},
+            ],
+            "commands": commands,
+        }
+        if imports:
+            part["scriptImports"] = imports
+        return {"application": "app8", "parts": [part]}
+
+    @pytest.fixture(params=list(REDUCER_FORMS))
+    def form(self, request):
+        return request.param
+
+    def test_plusminus_counter_flow(self, spark, form):
+        t = "plusminus-counter"
+        rows = [
+            # (_id, _corr, _command, value or None)
+            ("c1", "k0", "put", 0),
+            ("c1", "k1", "plus", None),
+            ("c1", "k1", "plus", None),   # duplicate -> preprocessor drop
+            ("c1", "k2", "plus", None),
+            ("c1", "k3", "minus", None),
+            ("c1", "k4", "put", 5),       # INIT violation -> reply error
+            ("c1", "k5", "plus", 7),      # OPERATOR violation
+            ("c2", "k6", "put", 0),
+        ]
+        commands = spark.createDataFrame(
+            [(i, c, cmd, v, t) for i, c, cmd, v in rows],
+            "_id string, _corr string, _command string, value int, "
+            "_type string",
+        ).coalesce(1)  # keep command order deterministic for the fold
+        app = Application(self._spec(form), {f"{t}-command": commands})
+
+        aggs = [json.loads(r["value"])
+                for r in app.streams[f"{t}-aggregate"].collect()]
+        c1 = [a["value"] for a in aggs if a["_id"] == "c1"]
+        assert c1 == [0, 1, 2, 1]  # put, plus, plus, minus (dup dropped)
+        assert [a["value"] for a in aggs if a["_id"] == "c2"] == [0]
+
+        replies = [json.loads(r["value"])
+                   for r in app.streams[f"{t}-reply"].collect()]
+        errors = {r["_corr"]: r["errors"][0]["code"]
+                  for r in replies if r.get("_error")}
+        assert errors == {"k4": "INIT", "k5": "OPERATOR"}
+
+        events = [json.loads(r["value"])
+                  for r in app.streams[f"{t}-event"].collect()]
+        c1_events = sorted(e["_seq"] for e in events if e["_id"] == "c1")
+        assert c1_events == [0, 1, 2, 3]  # no holes in the event log
+        assert all(e["_type"] == t for e in events)
+
+    def test_wrong_type_rejected(self, spark):
+        t = "plusminus-counter"
+        commands = spark.createDataFrame(
+            [("c1", "k0", "put", 0, "other-type")],
+            "_id string, _corr string, _command string, value int, "
+            "_type string",
+        )
+        app = Application(self._spec("app8-jslt"),
+                          {f"{t}-command": commands})
+        replies = [json.loads(r["value"])
+                   for r in app.streams[f"{t}-reply"].collect()]
+        assert replies[0]["_error"] is True
+        assert app.streams[f"{t}-aggregate"].count() == 0
 
 
 class TestAggregatePart:

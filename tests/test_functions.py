@@ -101,6 +101,33 @@ class TestText:
         for doc_id, exp in expected.items():
             assert got[doc_id] == exp, (doc_id, exp, got[doc_id])
 
+    def test_scrub_pii(self, spark):
+        from pincette_json_streams_spark.functions.text import scrub_pii
+        df = spark.createDataFrame(
+            [(1, "mail a.b+c@x-corp.io, call +32 2 555 1234, "
+                 "host 192.168.0.1, ssn 123-45-6789 end")],
+            "id long, text string",
+        )
+        out = df.select(scrub_pii(F.col("text")).alias("t")).collect()[0]["t"]
+        assert "<EMAIL>" in out and "<PHONE>" in out
+        assert "<IPV4>" in out and "<SSN>" in out
+        assert "@" not in out and "192.168" not in out
+        assert "123-45-6789" not in out
+
+    def test_token_vocabulary(self, spark):
+        from pincette_json_streams_spark.functions.text import (
+            token_vocabulary,
+        )
+        df = spark.createDataFrame(
+            [(1, "the cat sat"), (2, "the dog sat down")],
+            "doc_id long, text string",
+        )
+        out = {r["token"]: (r["n_docs"], r["n_occurrences"])
+               for r in token_vocabulary(df).collect()}
+        assert out["the"] == (2, 2)
+        assert out["sat"] == (2, 2)
+        assert out["cat"] == (1, 1)
+
     def test_fingerprint_normalizes(self, spark):
         from pincette_json_streams_spark.functions.text import fingerprint
         df = spark.createDataFrame(
