@@ -250,7 +250,7 @@ PII_PATTERNS: tuple[tuple[str, str], ...] = (
     ("ipv4",
      "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"),
     ("phone",
-     "\\+?[0-9]{1,3}[-. ]?\\(?[0-9]{2,4}\\)?[-. ]?[0-9]{3,4}[-. ]?"
+     "\\+?[0-9]{1,3}[-. ]?\\(?[0-9]{1,4}\\)?[-. ]?[0-9]{3,4}[-. ]?"
      "[0-9]{3,4}"),
 )
 
