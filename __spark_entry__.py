@@ -910,6 +910,7 @@ def q_aggregate_fold(spark, sf_dir):
     commands = orders.select(
         F.col("o_custkey").cast("string").alias("_id"),
         F.lit("put").alias("_command"),
+        F.struct(F.lit("system").alias("sub")).alias("_jwt"),
         F.col("o_orderkey").alias("okey"),
         F.col("o_totalprice").alias("price"),
     )
@@ -936,6 +937,7 @@ def q_aggregate_unique(spark, sf_dir):
     commands = orders.select(
         F.col("o_orderkey").cast("string").alias("_id"),
         F.lit("put").alias("_command"),
+        F.struct(F.lit("system").alias("sub")).alias("_jwt"),
         F.col("o_custkey").alias("cust"),
         F.col("o_orderkey").alias("okey"),
     )
@@ -973,6 +975,7 @@ def q_aggregate_jslt_reducer(spark, sf_dir):
     commands = orders.filter(F.col("o_orderkey") <= 4000).select(
         F.col("o_orderkey").cast("string").alias("_id"),
         F.lit("scale").alias("_command"),
+        F.struct(F.lit("system").alias("sub")).alias("_jwt"),
         F.col("o_totalprice").alias("price"),
     )
     app = Application(
@@ -1012,6 +1015,7 @@ def q_aggregate_validate(spark, sf_dir):
     commands = orders.filter(F.col("o_orderkey") <= 4000).select(
         F.col("o_orderkey").cast("string").alias("_id"),
         F.lit("put").alias("_command"),
+        F.struct(F.lit("system").alias("sub")).alias("_jwt"),
         F.col("o_totalprice").alias("price"),
     )
     app = Application(

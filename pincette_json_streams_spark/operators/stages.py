@@ -76,6 +76,11 @@ def compile_pipeline(
     """Apply a Mongo aggregation pipeline to a DataFrame."""
     pctx = pctx or PipelineContext()
     for stage in stages:
+        if isinstance(stage, dict) and len(stage) > 1:
+            # stages may carry a `_trace: true` annotation beside the
+            # operator (reference app1; Common.java stage tracing)
+            stage = {k: v for k, v in stage.items()
+                     if not (isinstance(k, str) and k.startswith("_"))}
         if not (isinstance(stage, dict) and len(stage) == 1):
             raise ValueError(f"stage must be single-key dict: {stage!r}")
         (name, spec), = stage.items()

@@ -122,9 +122,16 @@ class Application:
             df = out
             if part.get("toString"):
                 df = df.select(F.to_json(F.struct("*")).alias("value"))
-            self.sinks[part["toTopic"]] = df
+            self._add_sink(part["toTopic"], df)
         if "toCollection" in part:
-            self.sinks[part["toCollection"]] = out
+            self._add_sink(part["toCollection"], out)
+
+    def _add_sink(self, name: str, df: DataFrame) -> None:
+        # several parts may produce to the same topic (reference app3:
+        # two streams -> one `out`); a topic is a UNION of its producers
+        prev = self.sinks.get(name)
+        self.sinks[name] = df if prev is None else \
+            prev.unionByName(df, allowMissingColumns=True)
 
     def _compile_merge(self, part: dict) -> DataFrame:
         sources: list[DataFrame] = []

@@ -77,10 +77,25 @@ def substitute_parameters(node: Any, params: dict[str, Any]) -> Any:
     return node
 
 
+def _fix_yaml11_keys(node: Any) -> Any:
+    """YAML 1.1 parses bare ``on``/``off``/``yes``/``no`` KEYS as
+    booleans; the reference's join spec uses ``on:`` as a field name
+    (docs/join.md).  Map boolean keys back to their spelled form."""
+    if isinstance(node, dict):
+        return {
+            ("on" if k is True else "off" if k is False else k):
+                _fix_yaml11_keys(v)
+            for k, v in node.items()
+        }
+    if isinstance(node, list):
+        return [_fix_yaml11_keys(v) for v in node]
+    return node
+
+
 def _load_file(path: Path) -> Any:
     text = path.read_text()
     if path.suffix in (".yml", ".yaml"):
-        docs = list(yaml.safe_load_all(text))
+        docs = [_fix_yaml11_keys(d) for d in yaml.safe_load_all(text)]
         return docs[0] if len(docs) == 1 else docs
     return json.loads(text)
 
@@ -89,11 +104,19 @@ def _expand_includes(node: Any, base: Path, params: dict[str, Any]) -> Any:
     """Recursively expand file references in parts/pipelines/stages
     (docs/application.md:47-91; Common.java:388-511)."""
     if isinstance(node, str) and node.endswith((".yml", ".yaml", ".json")):
+        # only a string that resolves to a real file is an include — a
+        # ".json"-suffixed data value (e.g. an $s3Out object key) is data
+        if not (base / node).is_file():
+            return node
         included = _load_file(base / node)
         return _expand_includes(
             substitute_parameters(included, params), (base / node).parent,
             params,
         )
+    if isinstance(node, dict) and set(node) == {"include"}:
+        # wrapper form: `include: {file, parameters}` or `include: "f.yml"`
+        # (app32/33; docs/application.md:63-78)
+        return _expand_includes(node["include"], base, params)
     if isinstance(node, dict) and set(node) <= {"file", "parameters"} \
             and "file" in node:
         inner = dict(params)
@@ -109,8 +132,15 @@ def _expand_includes(node: Any, base: Path, params: dict[str, Any]) -> Any:
         out = []
         for v in node:
             expanded = _expand_includes(v, base, params)
-            # a part file may contain an array of parts -> splice
-            if isinstance(v, str) and isinstance(expanded, list):
+            # a part file may contain an array of parts -> splice; same
+            # for the include-wrapper and {file,...} dict forms (app33)
+            was_ref = isinstance(v, str) or (
+                isinstance(v, dict)
+                and (set(v) == {"include"}
+                     or ("file" in v and set(v) <= {"file", "parameters"}))
+            )
+            if was_ref and isinstance(expanded, list) \
+                    and not isinstance(v, list):
                 out.extend(expanded)
             else:
                 out.append(expanded)
@@ -176,9 +206,67 @@ def load_applications(
         params = _resolve_params(doc.get("parameters"), config)
         built = substitute_parameters(doc, params)
         built = _expand_includes(built, base, params)
+        _inline_reducer_scripts(built, base)
         validate_application(built)
         out.append(built)
     return out
+
+
+_SCRIPT_SUFFIXES = (".jq", ".jslt")
+_IMPORT_RE = re.compile(r'import\s+"([^"]+)"')
+
+
+def _inline_reducer_scripts(spec: dict, base: Path) -> None:
+    """Build-time inlining of aggregate reducer script files, the way
+    the reference's build command makes deployed apps self-contained
+    (Common.java:803-846): a ``reducer: reducers/plus.jslt`` file ref
+    becomes the script text (tagged with its language), and the
+    scripts' transitive ``import``s are collected into the part's
+    ``scriptImports`` keyed by the literal import path."""
+    for part in spec.get("parts", []):
+        if not isinstance(part, dict) or part.get("type") != "aggregate":
+            continue
+        imports: dict[str, str] = dict(part.get("scriptImports") or {})
+
+        def scan_imports(text: str, parent: Path) -> None:
+            for m in _IMPORT_RE.finditer(text):
+                ip = m.group(1)
+                if ip not in imports:
+                    p = (parent / ip).resolve()
+                    imports[ip] = p.read_text()
+                    scan_imports(imports[ip], p.parent)
+
+        def load_script(rel: str):
+            p = (base / rel).resolve()
+            text = p.read_text()
+            scan_imports(text, p.parent)
+            return {"jslt": text} if rel.endswith(".jslt") else \
+                {"jq": text}
+
+        def is_ref(v) -> bool:
+            return isinstance(v, str) and v.endswith(_SCRIPT_SUFFIXES)
+
+        for cname, cspec in list(part.get("commands", {}).items()):
+            if is_ref(cspec):
+                part["commands"][cname] = load_script(cspec)
+            elif isinstance(cspec, dict):
+                red = cspec.get("reducer")
+                if is_ref(red):
+                    cspec["reducer"] = load_script(red)
+                elif isinstance(red, list):
+                    for st in red:
+                        if isinstance(st, dict):
+                            for k in ("$jq", "$jslt"):
+                                if is_ref(st.get(k)):
+                                    text = (base / st[k]).resolve() \
+                                        .read_text()
+                                    scan_imports(
+                                        text,
+                                        (base / st[k]).resolve().parent,
+                                    )
+                                    st[k] = text
+        if imports:
+            part["scriptImports"] = imports
 
 
 # --------------------------------------------------------------------------

@@ -131,9 +131,14 @@ def reduce_commands(
         # match the instance's sequence, else it is ignored outright
         if cmd.get("_seq") is not None and cmd["_seq"] != seq:
             continue
-        if not acl_allows(cur, cmd):
+        # a command without a principal is forbidden, as is one whose
+        # roles fail the _acl gate — 403 reply, the reference's shape
+        # (app8 fixture 3_error.json -> reply: _statusCode 403 Forbidden)
+        if "_jwt" not in cmd or not acl_allows(cur, cmd):
             denied = dict(cmd)
             denied["_error"] = True
+            denied["_statusCode"] = 403
+            denied["message"] = "Forbidden"
             out.append({"purpose": "reply", "doc": denied})
             continue
         vspec = (validators or {}).get(command)
@@ -204,9 +209,21 @@ def reduce_commands(
             "_timestamp": now_millis,
             "_ops": ops,
         }
+        if "_jwt" in cmd:
+            # events propagate the command's JWT (docs/state.md:86;
+            # app8 event fixtures)
+            event["_jwt"] = cmd["_jwt"]
         event_full = dict(event)
-        event_full["_before"] = before
-        event_full["_after"] = dict(new_state)
+        # _before/_after carry the state WITHOUT _jwt; a brand-new
+        # instance's "before" is the seeded empty instance {_id, _type}
+        # (app8 event-full fixtures)
+        before_pub = {k: v for k, v in before.items() if k != "_jwt"}
+        if not before_pub:
+            before_pub = {"_id": cmd.get("_id"), "_type": agg_type}
+        event_full["_before"] = before_pub
+        event_full["_after"] = {
+            k: v for k, v in new_state.items() if k != "_jwt"
+        }
 
         out.append({"purpose": "aggregate", "doc": new_state})
         out.append({"purpose": "event", "doc": event})
@@ -253,6 +270,12 @@ def compile_aggregate_batch(part: dict, app) -> dict[str, DataFrame]:
                     validators[cname] = cspec["validator"]
                 if isinstance(cspec.get("preprocessor"), list):
                     preprocessors[cname] = cspec["preprocessor"]
+    # arrival order is assigned BEFORE the preprocessor: its stages (e.g.
+    # app8's $deduplicate) shuffle, and the fold must still replay
+    # commands in command-topic order
+    source = source.withColumn(
+        "__order", F.monotonically_increasing_id()
+    )
     # the part-level preprocessor sits between the command topic and the
     # reducer (docs/state.md:53) — a full pipeline on the command STREAM,
     # so stateful stages like app8's $deduplicate preprocessor work.
@@ -264,6 +287,22 @@ def compile_aggregate_batch(part: dict, app) -> dict[str, DataFrame]:
         )
         source = compile_pipeline(source, part_pre, app.pctx)
         part_pre = None
+    # per-command preprocessors likewise run as DataFrame pipelines over
+    # the subset with that command name (app35's put-deduplicate), so
+    # stateful stages work; arrival order survives through __order
+    if preprocessors:
+        from pincette_json_streams_spark.operators.stages import (
+            compile_pipeline,
+        )
+        for cname, pp in preprocessors.items():
+            sub = compile_pipeline(
+                source.filter(F.col("_command") == cname), pp, app.pctx
+            )
+            source = source.filter(
+                (F.col("_command") != cname)
+                | F.col("_command").isNull()
+            ).unionByName(sub, allowMissingColumns=True)
+        preprocessors = {}
     unique = part.get("uniqueExpression")
 
     def fold(key, pdf):
@@ -301,11 +340,10 @@ def compile_aggregate_batch(part: dict, app) -> dict[str, DataFrame]:
         ))
     else:
         key_col = F.col("_id").cast("string")
-    ordered = source.withColumn(
-        "__order", F.monotonically_increasing_id()
-    ).select(
+    payload = [c for c in source.columns if c != "__order"]
+    ordered = source.select(
         key_col.alias("__key"),
-        F.to_json(F.struct(*[c for c in source.columns])).alias("__json"),
+        F.to_json(F.struct(*payload)).alias("__json"),
         "__order",
     )
     folded = ordered.groupBy("__key").applyInPandas(

@@ -280,9 +280,14 @@ def _has_path(doc: Any, path: str) -> bool:
     return True
 
 
-def run_pipeline_doc(stages: list[dict], doc: dict) -> dict | None:
+def run_pipeline_doc(
+    stages: list[dict], doc: dict,
+    script_imports: dict[str, str] | None = None,
+) -> dict | None:
     """Run a pipeline over ONE document (reducer semantics).  $match that
-    fails -> None (command rejected / no-op)."""
+    fails -> None (command rejected / no-op).  ``script_imports``
+    resolves imports inside $jq/$jslt stages (build-time inlined files,
+    Common.java:803-846)."""
     cur: dict | None = dict(doc)
     for stage in stages:
         if cur is None:
@@ -317,7 +322,7 @@ def run_pipeline_doc(stages: list[dict], doc: dict) -> dict | None:
         elif name in ("$jq", "$jslt"):
             # script stages inside reducer pipelines (app39's form:
             # `reducer: [{$jq: file}]` — the build inlines the file)
-            cur = _doc_script(name[1:], spec)(cur)
+            cur = _doc_script(name[1:], spec, script_imports)(cur)
         else:
             raise ValueError(f"reducer pipeline: unsupported stage {name}")
     return cur
@@ -326,21 +331,28 @@ def run_pipeline_doc(stages: list[dict], doc: dict) -> dict | None:
 _doc_script_cache: dict[tuple, Callable] = {}
 
 
-def _doc_script(language: str, src: str) -> Callable:
-    fn = _doc_script_cache.get((language, src))
+def _doc_script(
+    language: str, src: str,
+    script_imports: dict[str, str] | None = None,
+) -> Callable:
+    key = (language, src,
+           frozenset((script_imports or {}).items()))
+    fn = _doc_script_cache.get(key)
     if fn is None:
+        loader = (script_imports or {}).get
+
         if language == "jslt":
             from pincette_json_streams_spark.functions.jslt_subset import (
                 compile_jslt,
             )
-            fn = compile_jslt(src)
+            fn = compile_jslt(src, loader=lambda p: loader(p) or "")
         else:
             from pincette_json_streams_spark.functions.jq_subset import (
                 compile_jq,
             )
-            jqf = compile_jq(src)
+            jqf = compile_jq(src, loader=lambda p: loader(p) or "")
             fn = lambda v: (jqf(v) or [None])[0]  # noqa: E731
-        _doc_script_cache[(language, src)] = fn
+        _doc_script_cache[key] = fn
     return fn
 
 
@@ -407,6 +419,7 @@ def pipeline_reducer(
                "state": copy.deepcopy(state)}
         if isinstance(stages, str):  # a JQ (default) or JSLT script
             return script_for(stages, language)(doc)
-        return run_pipeline_doc(stages, doc)
+        return run_pipeline_doc(stages, doc,
+                                script_imports=script_imports)
 
     return reduce

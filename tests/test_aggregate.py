@@ -11,12 +11,15 @@ from pincette_json_streams_spark.streaming.aggregate import (
 )
 from pincette_json_streams_spark.plans.planner import Application
 
+# commands need a principal: no _jwt -> 403 Forbidden (app8 3_error fixture)
+JWT = {"_jwt": {"sub": "system"}}
+
 
 class TestReduceCommands:
     def test_put_command(self):
         out = reduce_commands(
             None,
-            [{"_id": "a1", "_command": "put", "name": "x", "v": 1}],
+            [{**JWT, "_id": "a1", "_command": "put", "name": "x", "v": 1}],
             None, "app-type",
         )
         purposes = [r["purpose"] for r in out]
@@ -29,8 +32,8 @@ class TestReduceCommands:
     def test_seq_increments_and_ops_diff(self):
         out = reduce_commands(
             None,
-            [{"_id": "a1", "_command": "put", "v": 1},
-             {"_id": "a1", "_command": "put", "v": 2, "w": 9}],
+            [{**JWT, "_id": "a1", "_command": "put", "v": 1},
+             {**JWT, "_id": "a1", "_command": "put", "v": 2, "w": 9}],
             None, "t",
         )
         aggs = [r["doc"] for r in out if r["purpose"] == "aggregate"]
@@ -41,7 +44,7 @@ class TestReduceCommands:
         assert {"op": "add", "path": "/w", "value": 9} in ops2
 
     def test_unchanged_put_only_replies(self):
-        c = {"_id": "a1", "_command": "put", "v": 1}
+        c = {**JWT, "_id": "a1", "_command": "put", "v": 1}
         out = reduce_commands(None, [c, dict(c)], None, "t")
         purposes = [r["purpose"] for r in out]
         # second identical put -> no new event, just command+reply
@@ -51,8 +54,8 @@ class TestReduceCommands:
     def test_delete_command(self):
         out = reduce_commands(
             None,
-            [{"_id": "a1", "_command": "put", "v": 1},
-             {"_id": "a1", "_command": "delete"}],
+            [{**JWT, "_id": "a1", "_command": "put", "v": 1},
+             {**JWT, "_id": "a1", "_command": "delete"}],
             None, "t",
         )
         aggs = [r["doc"] for r in out if r["purpose"] == "aggregate"]
@@ -61,8 +64,8 @@ class TestReduceCommands:
     def test_patch_command(self):
         out = reduce_commands(
             None,
-            [{"_id": "a1", "_command": "put", "v": 1},
-             {"_id": "a1", "_command": "patch",
+            [{**JWT, "_id": "a1", "_command": "put", "v": 1},
+             {**JWT, "_id": "a1", "_command": "patch",
               "_ops": [{"op": "replace", "path": "/v", "value": 5}]}],
             None, "t",
         )
@@ -72,8 +75,8 @@ class TestReduceCommands:
     def test_event_full_before_after(self):
         out = reduce_commands(
             None,
-            [{"_id": "a1", "_command": "put", "v": 1},
-             {"_id": "a1", "_command": "put", "v": 2}],
+            [{**JWT, "_id": "a1", "_command": "put", "v": 1},
+             {**JWT, "_id": "a1", "_command": "put", "v": 2}],
             None, "t",
         )
         fulls = [r["doc"] for r in out if r["purpose"] == "event-full"]
@@ -88,9 +91,9 @@ class TestAdmission:
     def test_acl_denies_without_role(self):
         out = reduce_commands(
             None,
-            [{"_id": "a1", "_command": "put", "_jwt": {"sub": "sys0"},
+            [{**JWT, "_id": "a1", "_command": "put", "_jwt": {"sub": "sys0"},
               "v": 1, "_acl": {"put": ["writer"]}},
-             {"_id": "a1", "_command": "put", "v": 2,
+             {**JWT, "_id": "a1", "_command": "put", "v": 2,
               "_jwt": {"sub": "u1", "roles": ["reader"]}}],
             None, "t",
         )
@@ -101,10 +104,10 @@ class TestAdmission:
 
     def test_acl_role_match_and_write_fallback(self):
         state_cmds = [
-            {"_id": "a1", "_command": "put", "v": 1,
+            {**JWT, "_id": "a1", "_command": "put", "v": 1,
              "_acl": {"write": ["editor"]}},
             # no `patch` entry -> write fallback, role matches
-            {"_id": "a1", "_command": "patch",
+            {**JWT, "_id": "a1", "_command": "patch",
              "_jwt": {"sub": "u1", "roles": ["editor"]},
              "_ops": [{"op": "replace", "path": "/v", "value": 9}]},
         ]
@@ -115,9 +118,9 @@ class TestAdmission:
     def test_acl_system_bypass(self):
         out = reduce_commands(
             None,
-            [{"_id": "a1", "_command": "put", "v": 1,
+            [{**JWT, "_id": "a1", "_command": "put", "v": 1,
               "_acl": {"put": ["writer"]}},
-             {"_id": "a1", "_command": "put", "v": 2,
+             {**JWT, "_id": "a1", "_command": "put", "v": 2,
               "_acl": {"put": ["writer"]},
               "_jwt": {"sub": "system"}}],
             None, "t",
@@ -128,10 +131,10 @@ class TestAdmission:
     def test_seq_lock_ignores_stale_command(self):
         out = reduce_commands(
             None,
-            [{"_id": "a1", "_command": "put", "v": 1},
+            [{**JWT, "_id": "a1", "_command": "put", "v": 1},
              # instance _seq is 0; a stale _seq -> ignored outright
-             {"_id": "a1", "_command": "put", "v": 2, "_seq": 5},
-             {"_id": "a1", "_command": "put", "v": 3, "_seq": 0}],
+             {**JWT, "_id": "a1", "_command": "put", "v": 2, "_seq": 5},
+             {**JWT, "_id": "a1", "_command": "put", "v": 3, "_seq": 0}],
             None, "t",
         )
         aggs = [r["doc"] for r in out if r["purpose"] == "aggregate"]
@@ -142,8 +145,8 @@ class TestAdmission:
     def test_validator_rejects_to_reply(self):
         out = reduce_commands(
             None,
-            [{"_id": "a1", "_command": "put", "qty": 50},
-             {"_id": "a1", "_command": "put", "qty": 5}],
+            [{**JWT, "_id": "a1", "_command": "put", "qty": 50},
+             {**JWT, "_id": "a1", "_command": "put", "qty": 5}],
             None, "t",
             validators={"put": {"conditions": [
                 {"qty": {"$lte": 10, "$code": "TOOBIG"}},
@@ -160,9 +163,9 @@ class TestAdmission:
         # value may only grow: validator references the current state
         out = reduce_commands(
             None,
-            [{"_id": "a1", "_command": "put", "v": 10},
-             {"_id": "a1", "_command": "put", "v": 3},
-             {"_id": "a1", "_command": "put", "v": 20}],
+            [{**JWT, "_id": "a1", "_command": "put", "v": 10},
+             {**JWT, "_id": "a1", "_command": "put", "v": 3},
+             {**JWT, "_id": "a1", "_command": "put", "v": 20}],
             None, "t",
             validators={"put": {"conditions": [
                 {"$expr": {"$or": [
@@ -177,8 +180,8 @@ class TestAdmission:
     def test_preprocessor_transforms_and_drops(self):
         out = reduce_commands(
             None,
-            [{"_id": "a1", "_command": "put", "v": 1, "drop": True},
-             {"_id": "a1", "_command": "put", "v": 2}],
+            [{**JWT, "_id": "a1", "_command": "put", "v": 1, "drop": True},
+             {**JWT, "_id": "a1", "_command": "put", "v": 2}],
             None, "t",
             part_preprocessor=[
                 {"$match": {"drop": {"$exists": False}}},
@@ -198,7 +201,7 @@ class TestAdmission:
         reducer = pipeline_reducer({"scale": {"jslt":
             '{"_id": .command._id, "v": .command.v * 3}'}})
         out = reduce_commands(
-            None, [{"_id": "a1", "_command": "scale", "v": 7}],
+            None, [{**JWT, "_id": "a1", "_command": "scale", "v": 7}],
             reducer, "t",
         )
         aggs = [r["doc"] for r in out if r["purpose"] == "aggregate"]
@@ -212,8 +215,8 @@ class TestAdmission:
             {"add": '.state + {v: ((.state.v // 0) + .command.inc)}'})
         out = reduce_commands(
             None,
-            [{"_id": "a1", "_command": "add", "inc": 4},
-             {"_id": "a1", "_command": "add", "inc": 5}],
+            [{**JWT, "_id": "a1", "_command": "add", "inc": 4},
+             {**JWT, "_id": "a1", "_command": "add", "inc": 5}],
             reducer, "t",
         )
         aggs = [r["doc"] for r in out if r["purpose"] == "aggregate"]
@@ -327,9 +330,10 @@ class TestApp8Golden:
             ("c2", "k6", "put", 0),
         ]
         commands = spark.createDataFrame(
-            [(i, c, cmd, v, t) for i, c, cmd, v in rows],
+            [(i, c, cmd, v, t, {"sub": "system"})
+             for i, c, cmd, v in rows],
             "_id string, _corr string, _command string, value int, "
-            "_type string",
+            "_type string, _jwt map<string,string>",
         ).coalesce(1)  # keep command order deterministic for the fold
         app = Application(self._spec(form), {f"{t}-command": commands})
 
@@ -354,9 +358,9 @@ class TestApp8Golden:
     def test_wrong_type_rejected(self, spark):
         t = "plusminus-counter"
         commands = spark.createDataFrame(
-            [("c1", "k0", "put", 0, "other-type")],
+            [("c1", "k0", "put", 0, "other-type", {"sub": "system"})],
             "_id string, _corr string, _command string, value int, "
-            "_type string",
+            "_type string, _jwt map<string,string>",
         )
         app = Application(self._spec("app8-jslt"),
                           {f"{t}-command": commands})
@@ -369,8 +373,10 @@ class TestApp8Golden:
 class TestAggregatePart:
     def test_batch_aggregate(self, spark):
         commands = spark.createDataFrame(
-            [("a1", "put", 10), ("a2", "put", 5), ("a1", "put", 20)],
-            "_id string, _command string, v int",
+            [("a1", "put", 10, {"sub": "system"}),
+             ("a2", "put", 5, {"sub": "system"}),
+             ("a1", "put", 20, {"sub": "system"})],
+            "_id string, _command string, v int, _jwt map<string,string>",
         )
         app = Application(
             {"application": "shop", "parts": [
@@ -394,9 +400,11 @@ class TestAggregatePart:
         """Distinct _ids sharing a business key fold into ONE instance
         whose _id is the first command's (docs/state.md:176-197)."""
         commands = spark.createDataFrame(
-            [("c1", "put", "alice", 1), ("c2", "put", "alice", 2),
-             ("c3", "put", "bob", 7)],
-            "_id string, _command string, user string, v int",
+            [("c1", "put", "alice", 1, {"sub": "system"}),
+             ("c2", "put", "alice", 2, {"sub": "system"}),
+             ("c3", "put", "bob", 7, {"sub": "system"})],
+            "_id string, _command string, user string, v int, "
+            "_jwt map<string,string>",
         )
         app = Application(
             {"application": "shop", "parts": [

@@ -183,8 +183,10 @@ class TestSparkIntegration:
         from pincette_json_streams_spark.plans.planner import Application
 
         commands = spark.createDataFrame(
-            [("a1", "plus"), ("a1", "plus"), ("a1", "minus")],
-            "_id string, _command string",
+            [("a1", "plus", {"sub": "system"}),
+             ("a1", "plus", {"sub": "system"}),
+             ("a1", "minus", {"sub": "system"})],
+            "_id string, _command string, _jwt map<string,string>",
         )
         app = Application(
             {"application": "calc", "parts": [

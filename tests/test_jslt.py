@@ -136,8 +136,9 @@ class TestSparkIntegration:
         from pincette_json_streams_spark.plans.planner import Application
 
         commands = spark.createDataFrame(
-            [("a1", "put", 7), ("a1", "bump", 0)],
-            "_id string, _command string, v int",
+            [("a1", "put", 7, {"sub": "system"}),
+             ("a1", "bump", 0, {"sub": "system"})],
+            "_id string, _command string, v int, _jwt map<string,string>",
         )
         app = Application(
             {"application": "j", "parts": [

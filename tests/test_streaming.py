@@ -286,13 +286,15 @@ class TestStreamingAggregate:
     def test_fold_with_state(self, spark, tmp_path):
         d = str(tmp_path / "cmds")
         spark.createDataFrame(
-            [("a1", "put", 10, 1), ("a2", "put", 5, 2), ("a1", "put", 20, 3)],
-            "_id string, _command string, v int, seq_in int",
+            [("a1", "put", 10, 1, {"sub": "system"}),
+             ("a2", "put", 5, 2, {"sub": "system"}),
+             ("a1", "put", 20, 3, {"sub": "system"})],
+            "_id string, _command string, v int, seq_in int, _jwt map<string,string>",
         ).write.parquet(d)
         catalog = file_stream_catalog(
             spark, {"shop-cart-command": d},
             {"shop-cart-command":
-             "_id string, _command string, v int, seq_in int"})
+             "_id string, _command string, v int, seq_in int, _jwt map<string,string>"})
         app = StreamingApp(spark, {
             "application": "shop", "parts": [
                 {"type": "aggregate", "aggregateType": "cart",
@@ -322,8 +324,9 @@ class TestStreamingAggregate:
         d = tmp_path / "cmds2"
         d.mkdir()
         spark.createDataFrame(
-            [("b1", "put", 1, 1)],
-            "_id string, _command string, v int, seq_in int",
+            [("b1", "put", 1, 1, {"sub": "system"})],
+            "_id string, _command string, v int, seq_in int, "
+            "_jwt map<string,string>",
         ).write.mode("append").parquet(str(d))
 
         out_dir = str(tmp_path / "agg-out")
@@ -332,7 +335,7 @@ class TestStreamingAggregate:
             catalog = file_stream_catalog(
                 spark, {"inc-acc-command": str(d)},
                 {"inc-acc-command":
-                 "_id string, _command string, v int, seq_in int"})
+                 "_id string, _command string, v int, seq_in int, _jwt map<string,string>"})
             app = StreamingApp(spark, {
                 "application": "inc", "parts": [
                     {"type": "aggregate", "aggregateType": "acc",
@@ -358,8 +361,9 @@ class TestStreamingAggregate:
         assert [a["_seq"] for a in first] == [0]
         # append a second command file, run again from the same checkpoint
         spark.createDataFrame(
-            [("b1", "put", 2, 2)],
-            "_id string, _command string, v int, seq_in int",
+            [("b1", "put", 2, 2, {"sub": "system"})],
+            "_id string, _command string, v int, seq_in int, "
+            "_jwt map<string,string>",
         ).write.mode("append").parquet(str(d))
         second = run_once()
         # resumed, not replayed: exactly one new state, _seq continues
