@@ -34,7 +34,7 @@ from pincette_json_streams_spark.functions.text import (
 
 __all__ = [
     "exact_dedup", "minhash_signature", "minhash_lsh_pairs", "simhash",
-    "simhash_pairs", "ngram_jaccard_pairs", "embedding_cosine",
+    "simhash_pairs", "ngram_jaccard_pairs", "embedding_cosine", "cosine_vec",
     "embedding_pairs", "hyperplane_bucket",
 ]
 
@@ -593,7 +593,9 @@ def ngram_jaccard_pairs(
 
 def embedding_cosine(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<float> columns — native zip_with +
-    aggregate (runs in codegen; no Python)."""
+    aggregate.  NOTE: Catalyst evaluates HOF lambdas *interpreted*, per
+    element; fine for a handful of pairs, but pair-expanded joins should
+    score with :func:`cosine_vec` (Arrow-vectorized numpy) instead."""
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -604,38 +606,82 @@ def embedding_cosine(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
-# deterministic pseudo-random hyperplanes: sign pattern from md5 of
-# (plane, dim) — identical in any engine with md5.
-def _plane_sign(plane: int, dim: Column) -> Column:
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat_ws("_", F.lit(plane), dim.cast("string"))), 1, 2
-        ), 16, 10,
-    ).cast("int")
-    return F.when(h % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+def _cosine_kernel(va, vb):
+    import numpy as np
+    import pandas as pd
+
+    if len(va) == 0:
+        return pd.Series([], dtype="float64")
+    A = np.array(va.tolist(), dtype=np.float64)
+    B = np.array(vb.tolist(), dtype=np.float64)
+    dot = (A * B).sum(axis=1)
+    n = np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))
+    return pd.Series(dot / n)
+
+
+def cosine_vec(a: Column, b: Column) -> Column:
+    """Arrow-vectorized cosine: one numpy batch kernel instead of
+    interpreted per-element lambdas (~100x on pair-expanded joins).
+    The UDF object is created at CALL time — a module-level
+    ``@pandas_udf`` would run on worker re-import, where no
+    SparkSession exists."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    return pandas_udf(_cosine_kernel, "double",
+                      PandasUDFType.SCALAR)(a, b)
+
+
+def _sign_matrix(planes: int, dim: int):
+    """Deterministic pseudo-random hyperplanes: sign[p][i] = +1 iff the
+    first md5 byte of "p_i" is even — identical in any engine with md5
+    (the oracle replays it as ('0x'||substr(md5(p||'_'||i),1,2))::INT)."""
+    import hashlib
+
+    import numpy as np
+
+    S = np.empty((planes, dim), dtype=np.float64)
+    for p in range(planes):
+        for i in range(dim):
+            h = hashlib.md5(f"{p}_{i}".encode()).hexdigest()
+            S[p, i] = 1.0 if int(h[:2], 16) % 2 == 0 else -1.0
+    return S
+
+
+_SIGN_CACHE: dict = {}
+
+
+def _bucket_of(V, planes: int):
+    """numpy bucket ids for a (n, dim) matrix: sign bits of the plane
+    dot products packed little-endian."""
+    import numpy as np
+
+    key = (planes, V.shape[1])
+    S = _SIGN_CACHE.get(key)
+    if S is None:
+        S = _SIGN_CACHE[key] = _sign_matrix(planes, V.shape[1])
+    bits = (V @ S.T) > 0  # (n, planes)
+    return (bits.astype(np.int64)
+            << np.arange(planes, dtype=np.int64)).sum(axis=1)
 
 
 def hyperplane_bucket(vec: Column, planes: int = 8) -> Column:
     """LSH bucket id: sign bits of `planes` deterministic hyperplane dot
     products.  Same-bucket vectors are cosine-close with high probability;
-    at scale the ANN search shuffles once on bucket id."""
-    def sign_of(p):
-        return lambda i: _plane_sign(p, i)
+    at scale the ANN search shuffles once on bucket id.  One Arrow batch
+    kernel (numpy matmul against the cached sign matrix) — the Column-HOF
+    formulation costs 8x64 interpreted md5 evals per row."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
 
-    out = F.lit(0)
-    for p in range(planes):
-        dot = F.aggregate(
-            F.zip_with(
-                vec,
-                F.transform(F.sequence(F.lit(0), F.size(vec) - 1),
-                            sign_of(p)),
-                lambda v, s: v * s,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        out = out.bitwiseOR(F.shiftleft((dot > 0).cast("int"), p))
-    return out
+    def bucket(v):
+        import numpy as np
+        import pandas as pd
+
+        if len(v) == 0:
+            return pd.Series([], dtype="int64")
+        V = np.array(v.tolist(), dtype=np.float64)
+        return pd.Series(_bucket_of(V, planes))
+
+    return pandas_udf(bucket, "long", PandasUDFType.SCALAR)(vec)
 
 
 def embedding_pairs(
@@ -649,22 +695,57 @@ def embedding_pairs(
     """Near-duplicate vector pairs by cosine >= threshold.
 
     LSH bucketing is the DEFAULT: comparisons are restricted to
-    hyperplane buckets (one shuffle on bucket id), so the operator is
-    safe to ship at 100 TB as-is — an unrestricted self-join is O(n^2)
-    and must be requested explicitly with ``use_lsh=False`` (the exact
-    baseline, for bounded inputs and recall evaluation only)."""
+    hyperplane buckets, so the operator is safe to ship at 100 TB as-is —
+    an unrestricted self-join is O(n^2) and must be requested explicitly
+    with ``use_lsh=False`` (the exact baseline, for bounded inputs and
+    recall evaluation only).
+
+    Plan shape (LSH): scan -> Arrow bucket assignment (numpy matmul
+    against the cached deterministic sign matrix) -> ONE shuffle on
+    bucket id -> per-bucket all-pairs via a numpy gram matrix inside
+    applyInPandas.  Everything CPU-heavy is a vectorized batch kernel;
+    the interpreted-HOF formulation cost 8x64 md5 evals per row per join
+    side.  Bucket population is controlled by `planes` (2^planes
+    buckets); skewed buckets are the caller's recall/cost dial."""
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    if use_lsh:
-        base = base.withColumn("bucket", hyperplane_bucket(F.col("v"),
-                                                           planes))
-        cond = (F.col("l.bucket") == F.col("r.bucket")) & \
-            (F.col("l.id") < F.col("r.id"))
-    else:
-        cond = F.col("l.id") < F.col("r.id")
-    l, r = base.alias("l"), base.alias("r")
-    pairs = l.join(r, cond).select(
-        F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
-        F.round(embedding_cosine(F.col("l.v"), F.col("r.v")), 6)
-        .alias("cosine"),
-    )
-    return pairs.filter(F.col("cosine") >= threshold)
+    id_type = base.schema["id"].dataType.simpleString()
+    if not use_lsh:
+        # exact all-pairs baseline: nested-loop join, Arrow-scored
+        l, r = base.alias("l"), base.alias("r")
+        pairs = l.join(r, F.col("l.id") < F.col("r.id")).select(
+            F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+            F.round(cosine_vec(F.col("l.v"), F.col("r.v")), 6)
+            .alias("cosine"),
+        )
+        return pairs.filter(F.col("cosine") >= threshold)
+
+    bucketed = _spread(base).withColumn(
+        "bucket", hyperplane_bucket(F.col("v"), planes))
+    # prefilter margin: the authoritative test is round(cos, 6) >=
+    # threshold, applied JVM-side below; the kernel only discards pairs
+    # that cannot round up across the boundary
+    margin = threshold - 5.0e-7 - 1.0e-12
+
+    def pair_gen(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("id")
+        ids = pdf["id"].to_numpy()
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({"id_a": ids[:0], "id_b": ids[:0],
+                                 "cosine": np.array([], dtype=np.float64)})
+        V = np.array(pdf["v"].tolist(), dtype=np.float64)
+        norms = np.sqrt((V * V).sum(axis=1))
+        C = (V @ V.T) / np.outer(norms, norms)
+        ia, ib = np.triu_indices(n, k=1)
+        keep = C[ia, ib] >= margin
+        return pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]],
+                             "cosine": C[ia[keep], ib[keep]]})
+
+    pairs = bucketed.groupBy("bucket").applyInPandas(
+        pair_gen, f"id_a {id_type}, id_b {id_type}, cosine double")
+    return pairs.select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    ).filter(F.col("cosine") >= threshold)

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from pincette_json_streams_spark.functions.dedup import (
-    embedding_cosine,
+    cosine_vec,
     hyperplane_bucket,
 )
 
@@ -43,7 +43,7 @@ def brute_force_topk(
                       F.col(vec_col).alias("cv"))
     scored = c.crossJoin(F.broadcast(q)).select(
         "query_id", "vec_id",
-        F.round(embedding_cosine(F.col("qv"), F.col("cv")), 6)
+        F.round(cosine_vec(F.col("qv"), F.col("cv")), 6)
         .alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -79,7 +79,7 @@ def lsh_topk(
     )
     scored = c.join(F.broadcast(q), "bucket").select(
         "query_id", "vec_id",
-        F.round(embedding_cosine(F.col("qv"), F.col("cv")), 6)
+        F.round(cosine_vec(F.col("qv"), F.col("cv")), 6)
         .alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
