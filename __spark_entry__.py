@@ -1783,6 +1783,61 @@ WHERE round(list_sum(list_transform(range(0, len(a.e)),
 """
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF approximate top-k (functions/similarity.py:ivf_topk): stride-
+    sampled coarse quantizer (vec_id % 64 == 0), broadcast-centroid
+    map-side assignment (no shuffle), nprobe=2 probing, exact re-rank of
+    candidates only — the FAISS-style scale path next to `ann_lsh`."""
+    from pincette_json_streams_spark.functions.similarity import ivf_topk
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, qs, k=10, nprobe=2, centroid_stride=64).select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "vec_id",
+        "cosine",
+    )
+
+
+_ORACLE_ANN_IVF = """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), cent AS (
+  SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id % 64 = 0
+), cos_vc AS (
+  SELECT v.vec_id, v.e, cent.cid,
+         round(list_dot_product(v.e, cent.ce) /
+               (sqrt(list_dot_product(v.e, v.e)) *
+                sqrt(list_dot_product(cent.ce, cent.ce))), 6) AS c
+  FROM v, cent
+), ranked_assign AS (
+  SELECT vec_id, e, cid,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY c DESC, cid ASC) AS rnk
+  FROM cos_vc
+), assigned AS (
+  SELECT vec_id, e, cid AS list_id FROM ranked_assign WHERE rnk = 1
+), q AS (
+  SELECT vec_id AS query_id, e AS qv, cid AS list_id
+  FROM ranked_assign WHERE vec_id < 5 AND rnk <= 2
+), scored AS (
+  SELECT q.query_id, a.vec_id,
+         round(list_dot_product(q.qv, a.e) /
+               (sqrt(list_dot_product(q.qv, q.qv)) *
+                sqrt(list_dot_product(a.e, a.e))), 6) AS cosine
+  FROM assigned a JOIN q ON a.list_id = q.list_id
+), rr AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, vec_id, cosine FROM rr WHERE rank <= 10
+"""
+
+
 def q_jes_ops(spark, sf_dir):
     """Event-sourcing extension operators over a constructed RFC-6902
     `_ops` patch array: $jes-added/$jes-removed/$jes-changed/$jes-href
@@ -2021,6 +2076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "per_batching": q_per_batching,
         "ann_topk": q_ann_topk,
         "quality_filter": q_quality_filter,
@@ -2083,6 +2139,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _oracle_simhash(),
         "dedup_embedding": _ORACLE_DEDUP_EMBEDDING,
         "ann_lsh": _oracle_ann_lsh(),
+        "ann_ivf": _ORACLE_ANN_IVF,
         # per_batching: partition-order dependent — rows-only check
         "ann_topk": _ORACLE_ANN,
         "quality_filter": _oracle_quality_filter(),

@@ -12,6 +12,7 @@
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -21,7 +22,9 @@ from pincette_json_streams_spark.functions.dedup import (
     hyperplane_bucket,
 )
 
-__all__ = ["brute_force_topk", "lsh_topk"]
+__all__ = [
+    "brute_force_topk", "ivf_topk", "lsh_topk", "train_kmeans_centroids",
+]
 
 
 def brute_force_topk(
@@ -81,6 +84,137 @@ def lsh_topk(
         "query_id", "vec_id",
         F.round(cosine_vec(F.col("qv"), F.col("cv")), 6)
         .alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
+def _rounded_cosines(V, C):
+    """(n, nlist) cosine matrix of rows V against centroids C, rounded to
+    6 decimals so engine-order float noise cannot flip an argmax."""
+    import numpy as np
+
+    vn = np.sqrt((V * V).sum(axis=1, keepdims=True))
+    cn = np.sqrt((C * C).sum(axis=1, keepdims=True))
+    return np.round((V @ C.T) / (vn @ cn.T), 6)
+
+
+def _assign_udf(C, cids, nprobe: int):
+    """Pandas UDF: vec -> array of the `nprobe` nearest centroid ids.
+
+    The centroid matrix rides in the closure (cloudpickle ships it to
+    every worker once -- the broadcast-variable pattern), so assignment is
+    a pure map: NO shuffle, which is what makes IVF the scale path at a
+    100 TB corpus.  Ties on the rounded cosine break to the lowest
+    centroid id (cids are sorted; argsort is stable)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def assign(v: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        S = _rounded_cosines(np.array(v.tolist(), dtype=np.float64), C)
+        near = np.argsort(-S, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([cids[row].tolist() for row in near])
+
+    return assign
+
+
+def train_kmeans_centroids(
+    corpus: DataFrame,
+    nlist: int,
+    vec_col: str = "embedding",
+    iters: int = 10,
+    sample: int = 100_000,
+) -> "list[list[float]]":
+    """Offline coarse-quantizer training: Lloyd's k-means on a bounded
+    driver-side sample (deterministic -- seeds are the `nlist` stride-
+    sampled vectors of the sample, no RNG).  At 100 TB you train once on
+    a sample and persist the centroids; assignment stays a broadcast
+    map.  Empty clusters keep their previous centroid."""
+    import numpy as np
+
+    rows = (
+        corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
+        .limit(sample).collect()
+    )
+    X = np.array([r["v"] for r in rows], dtype=np.float64)
+    stride = max(1, len(X) // nlist)
+    C = X[::stride][:nlist].copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        lab = d.argmin(axis=1)
+        for j in range(len(C)):
+            members = X[lab == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    return C.tolist()
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    centroid_stride: int = 64,
+    centroids: "list[list[float]] | None" = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k by cosine.
+
+    Plan shape -- the one that survives 100 TB:
+      1. coarse quantizer: either caller-supplied `centroids` (trained
+         offline with :func:`train_kmeans_centroids`) or the
+         deterministic stride sample ``vec_id % centroid_stride == 0``
+         (oracle-replayable in plain SQL);
+      2. corpus assignment: ONE Arrow map over the scan (numpy matmul
+         against the closure-shipped centroid matrix) -- no shuffle; at
+         scale the assignment is materialized/partitioned by list once;
+      3. queries probe their `nprobe` nearest lists; candidates come from
+         ONE equi-join on list id with the tiny query side broadcast;
+      4. exact cosine re-rank of candidates only (window per query).
+
+    Compared to `lsh_topk`, IVF adapts to the data distribution (with
+    trained centroids) and `nprobe` is a recall dial that doesn't change
+    the index."""
+    import numpy as np
+
+    c = corpus.select(F.col(id_col).alias("vec_id"),
+                      F.col(vec_col).cast("array<double>").alias("cv"))
+    if centroids is not None:
+        C = np.array(centroids, dtype=np.float64)
+        cids = np.arange(len(C), dtype=np.int64)
+    else:
+        seed = (
+            c.filter((F.col("vec_id") % centroid_stride) == 0)
+            .orderBy("vec_id").collect()
+        )
+        cids = np.array([r["vec_id"] for r in seed], dtype=np.int64)
+        C = np.array([r["cv"] for r in seed], dtype=np.float64)
+
+    assigned = c.withColumn(
+        "list_id",
+        F.element_at(_assign_udf(C, cids, 1)(F.col("cv")), 1),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn("list_id", F.explode(_assign_udf(C, cids, nprobe)(
+        F.col("qv"))))
+    scored = assigned.join(F.broadcast(q), "list_id").select(
+        "query_id", "vec_id",
+        F.round(cosine_vec(F.col("qv"), F.col("cv")), 6).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc()

@@ -142,6 +142,11 @@ class Application:
         ):
             for name in part.get(key, []):
                 sources.append(self._source({single: name, "type": "stream"}))
+        if not sources:
+            raise SpecError(
+                f"merge part {part.get('name')!r} has no sources "
+                "(fromTopics/fromStreams/fromCollections)"
+            )
         out = sources[0]
         for s in sources[1:]:
             out = out.unionByName(s, allowMissingColumns=True)

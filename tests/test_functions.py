@@ -191,6 +191,26 @@ class TestSimilarity:
         ranked = sorted((r["rank"], r["vec_id"]) for r in out)
         assert ranked == [(1, 0), (2, 1)]  # self first, near second
 
+    def test_ivf_topk(self, spark):
+        from pincette_json_streams_spark.functions.similarity import (
+            ivf_topk, train_kmeans_centroids,
+        )
+        vecs = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]),
+             (3, [0.1, 0.9]), (4, [0.95, 0.05]), (5, [0.05, 0.95])],
+            "vec_id long, embedding array<double>",
+        )
+        qs = vecs.filter("vec_id in (0, 2)").select(
+            F.col("vec_id").alias("query_id"), "embedding")
+        # trained centroids: two clear clusters around the axes
+        cents = train_kmeans_centroids(vecs, nlist=2, iters=5)
+        out = ivf_topk(vecs, qs, k=2, nprobe=1, centroids=cents).collect()
+        got = {(r["query_id"], r["rank"]): r["vec_id"] for r in out}
+        assert got[(0, 1)] == 0          # self is nearest
+        assert got[(0, 2)] in (1, 4)     # same-cluster neighbor
+        assert got[(2, 1)] == 2
+        assert got[(2, 2)] in (3, 5)
+
     def test_embedding_pairs(self, spark):
         from pincette_json_streams_spark.functions.dedup import (
             embedding_pairs,
