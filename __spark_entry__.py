@@ -18,6 +18,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from pincette_json_streams_spark.operators.stages import (
     PipelineContext,
@@ -1312,6 +1313,47 @@ def q_dedup_minhash(spark, sf_dir):
     return minhash_lsh_pairs(docs, threshold=0.5)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup cluster resolution (functions/dedup.py:
+    connected_components): MinHash-LSH pairs -> min-label-propagation
+    connected components -> one deterministic canonical doc per cluster
+    (keep = doc_id == cluster_id) + cluster size.  This is the step a
+    100 TB dedup pipeline runs after candidate pairing."""
+    from pincette_json_streams_spark.functions.dedup import (
+        connected_components, minhash_lsh_pairs,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    comp = connected_components(pairs, nodes=docs.select("doc_id"))
+    w = Window.partitionBy("cluster_id")
+    return comp.select(
+        F.col("id").alias("doc_id"), "cluster_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
+        (F.col("id") == F.col("cluster_id")).alias("keep"),
+    )
+
+
+def _oracle_dedup_clusters():
+    return f"""
+WITH RECURSIVE pairs AS ({_oracle_minhash()}),
+nodes AS (SELECT doc_id AS id FROM documents),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+walk(id, reach) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT w.id, e.b FROM walk w JOIN edges e ON e.a = w.reach
+),
+comp AS (
+  SELECT id AS doc_id, min(reach) AS cluster_id FROM walk GROUP BY id
+)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       doc_id = cluster_id AS keep
+FROM comp
+"""
+
+
 def q_dedup_ngram(spark, sf_dir):
     from pincette_json_streams_spark.functions.dedup import (
         ngram_jaccard_pairs,
@@ -2072,6 +2114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_vocab": q_token_vocab,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_ngram": q_dedup_ngram,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
@@ -2135,6 +2178,7 @@ def oracle_sql() -> dict[str, str]:
         "token_vocab": _oracle_token_vocab(),
         "dedup_exact": _ORACLE_DEDUP_EXACT,
         "dedup_minhash": _oracle_minhash(),
+        "dedup_clusters": _oracle_dedup_clusters(),
         "dedup_ngram": _ORACLE_NGRAM,
         "dedup_simhash": _oracle_simhash(),
         "dedup_embedding": _ORACLE_DEDUP_EMBEDDING,

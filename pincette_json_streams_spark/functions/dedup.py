@@ -16,6 +16,9 @@
   candidate-pair generation); exact Jaccard on pairs sharing >= 1 ngram.
 - embedding_pairs      — cosine near-dup over an embedding column; exact
   for bounded inputs, hyperplane-LSH bucketing as the scale path.
+- connected_components — resolve pairwise near-dup output into clusters
+  (iterative min-label propagation with lineage truncation); the step
+  that turns "pairs" into "keep one document per duplicate group".
 
 Every function is deterministic (md5-derived hashing, fixed coefficient
 tables) so the DuckDB oracle replays the identical computation.
@@ -33,9 +36,9 @@ from pincette_json_streams_spark.functions.text import (
 )
 
 __all__ = [
-    "exact_dedup", "minhash_signature", "minhash_lsh_pairs", "simhash",
-    "simhash_pairs", "ngram_jaccard_pairs", "embedding_cosine", "cosine_vec",
-    "embedding_pairs", "hyperplane_bucket",
+    "connected_components", "exact_dedup", "minhash_signature",
+    "minhash_lsh_pairs", "simhash", "simhash_pairs", "ngram_jaccard_pairs",
+    "embedding_cosine", "cosine_vec", "embedding_pairs", "hyperplane_bucket",
 ]
 
 # Universal-hash family h_i(x) = (a_i * x + b_i) mod p over the Mersenne
@@ -749,3 +752,61 @@ def embedding_pairs(
     return pairs.select(
         "id_a", "id_b", F.round("cosine", 6).alias("cosine")
     ).filter(F.col("cosine") >= threshold)
+
+
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame | None = None,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Resolve pairwise duplicate edges into clusters: -> (id, cluster_id)
+    with cluster_id = the minimum member id (deterministic canonical
+    representative — "keep doc where id == cluster_id" is the dedup rule).
+
+    `nodes` (one column named `id_a`'s type) optionally supplies the full
+    id universe so edge-free documents appear as singleton clusters.
+
+    Scale shape: iterative min-label propagation.  Each round is one
+    equi-join (labels onto edge endpoints) + one map-side-combining min
+    aggregation; `localCheckpoint` truncates lineage so the plan does not
+    grow with iterations, and the convergence probe reuses the
+    checkpointed result.  Rounds needed = graph diameter, which for
+    near-dup clusters (dense blobs produced by LSH band collisions) is
+    small — single digits in practice.  For adversarial long-chain
+    graphs at extreme scale, alternate label propagation with graph
+    contraction (large-star/small-star, Kiveris et al. "Connected
+    Components in MapReduce and Beyond") to get O(log n) rounds; the
+    per-round plan here is the same building block."""
+    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # id universe first (before dropping self-loops, which still name a node)
+    labels = sym.select(F.col("a").alias("id")).distinct()
+    sym = sym.filter(F.col("a") != F.col("b")).distinct()
+    sym = sym.localCheckpoint(eager=False)
+    if nodes is not None:
+        ids = nodes.select(F.col(nodes.columns[0]).alias("id")).distinct()
+        labels = labels.unionByName(ids).distinct()
+    labels = labels.withColumn("comp", F.col("id"))
+
+    for _ in range(max_iters):
+        msgs = (
+            sym.join(labels, sym["a"] == labels["id"])
+            .select(F.col("b").alias("id"), "comp")
+        )
+        new = (
+            labels.select("id", "comp").unionByName(msgs)
+            .groupBy("id").agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1).count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select("id", F.col("comp").alias("cluster_id"))

@@ -169,6 +169,20 @@ class TestDedup:
         assert got[(0, 1)] == pytest.approx(1.0)
         assert (0, 2) in got
 
+    def test_connected_components(self, spark):
+        from pincette_json_streams_spark.functions.dedup import (
+            connected_components,
+        )
+        # chain 1-2-3 (diameter > 1), pair 5-6, self-loop 9, isolated 4
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (5, 6), (9, 9)], "id_a long, id_b long")
+        nodes = spark.createDataFrame(
+            [(i,) for i in range(1, 8)], "doc_id long")
+        got = sorted((r["id"], r["cluster_id"])
+                     for r in connected_components(pairs, nodes).collect())
+        assert got == [(1, 1), (2, 1), (3, 1), (4, 4), (5, 5), (6, 5),
+                       (7, 7), (9, 9)]
+
     def test_simhash(self, docs):
         from pincette_json_streams_spark.functions.dedup import simhash_pairs
         pairs = {(r["id_a"], r["id_b"])
