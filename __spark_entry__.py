@@ -1249,6 +1249,49 @@ FROM toks GROUP BY token HAVING count(*) >= 2
 """
 
 
+def q_sample_split(spark, sf_dir):
+    """Deterministic stratified sampling + train/test split
+    (functions/sampling.py): per-language downsample via md5-hash
+    thresholds, then a rerun-stable split column; aggregated counts per
+    (lang, split).  Scan-side filter, no UDF, no extra shuffle beyond
+    the final count agg — the reproducible-split pattern a 100 TB corpus
+    rebuild needs."""
+    from pincette_json_streams_spark.functions.sampling import (
+        stratified_hash_sample, train_test_split,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    sampled = stratified_hash_sample(
+        docs, "lang", {"en": 0.5, "de": 1.0, "fr": 0.25},
+        default_fraction=0.1,
+    )
+    return (
+        train_test_split(sampled, test_fraction=0.2)
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+             F.sum("n_chars").cast("long").alias("n_chars"))
+    )
+
+
+_ORACLE_SAMPLE_SPLIT = """
+WITH bucketed AS (
+  SELECT lang, n_chars,
+         ('0x' || substr(md5('' || doc_id::VARCHAR), 1, 8))::BIGINT
+           / 4294967296.0 AS b,
+         ('0x' || substr(md5('split' || doc_id::VARCHAR), 1, 8))::BIGINT
+           / 4294967296.0 AS bs
+  FROM documents
+), sampled AS (
+  SELECT lang, n_chars,
+         CASE WHEN bs < 0.2 THEN 'test' ELSE 'train' END AS split
+  FROM bucketed
+  WHERE b < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0
+                      WHEN 'fr' THEN 0.25 ELSE 0.1 END
+)
+SELECT lang, split, count(*) AS n_docs, sum(n_chars) AS n_chars
+FROM sampled GROUP BY lang, split
+"""
+
+
 def q_dedup_exact(spark, sf_dir):
     from pincette_json_streams_spark.functions.dedup import exact_dedup
     docs = _t(spark, sf_dir, "documents")
@@ -2112,6 +2155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "pii_scrub": q_pii_scrub,
         "token_vocab": q_token_vocab,
+        "sample_split": q_sample_split,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_clusters": q_dedup_clusters,
@@ -2176,6 +2220,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": _oracle_text_stats(),
         "pii_scrub": _oracle_pii_scrub(),
         "token_vocab": _oracle_token_vocab(),
+        "sample_split": _ORACLE_SAMPLE_SPLIT,
         "dedup_exact": _ORACLE_DEDUP_EXACT,
         "dedup_minhash": _oracle_minhash(),
         "dedup_clusters": _oracle_dedup_clusters(),

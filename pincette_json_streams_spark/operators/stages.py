@@ -757,9 +757,11 @@ def _stage_sample_ext(df, spec, pctx):
     if frac is not None:
         return df.sample(fraction=float(frac), seed=int(spec.get("seed", 42)))
     n = int(spec["size"]) if isinstance(spec, dict) else int(spec)
-    total = df.count()
-    return df.sample(fraction=min(1.0, (n * 1.2) / max(total, 1)),
-                     seed=42).limit(n)
+    # rand-order + limit compiles to TakeOrderedAndProject: one pass,
+    # per-partition top-n then a driver merge of n rows — no count()
+    # action at plan-build time and no full sort shuffle
+    seed = int(spec.get("seed", 42)) if isinstance(spec, dict) else 42
+    return df.orderBy(F.rand(seed)).limit(n)
 
 
 def _effect(name: str):

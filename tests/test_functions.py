@@ -240,6 +240,38 @@ class TestSimilarity:
         assert (0, 2) not in pairs
 
 
+class TestSampling:
+    def test_hash_sample_deterministic_and_stable(self, spark):
+        from pincette_json_streams_spark.functions.sampling import (
+            hash_sample, train_test_split,
+        )
+        docs = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+        a = {r["doc_id"] for r in hash_sample(docs, 0.3).collect()}
+        b = {r["doc_id"] for r in
+             hash_sample(docs.repartition(7), 0.3).collect()}
+        assert a == b            # partition-independent
+        assert 200 < len(a) < 400
+        # growing the corpus never flips an existing row's split
+        s1 = {r["doc_id"]: r["split"]
+              for r in train_test_split(docs, 0.2).collect()}
+        grown = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+        s2 = {r["doc_id"]: r["split"]
+              for r in train_test_split(grown, 0.2).collect()}
+        assert all(s2[k] == v for k, v in s1.items())
+
+    def test_stratified_fractions(self, spark):
+        from pincette_json_streams_spark.functions.sampling import (
+            stratified_hash_sample,
+        )
+        df = spark.createDataFrame(
+            [(i, "en" if i % 2 else "de") for i in range(400)],
+            "doc_id long, lang string")
+        out = stratified_hash_sample(
+            df, "lang", {"de": 1.0}, default_fraction=0.0).collect()
+        assert len(out) == 200
+        assert all(r["lang"] == "de" for r in out)
+
+
 class TestMultimodal:
     def test_metadata_and_decode_stub(self, spark):
         from pincette_json_streams_spark.functions.multimodal import (

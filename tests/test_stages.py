@@ -292,3 +292,13 @@ class TestBatchExtensions:
         out = run(people, [{"$setKey": "$name"}])
         assert "_key" in out.columns
         assert out.count() == 4
+
+    def test_sample(self, people):
+        out = run(people, [{"$sample": {"size": 2, "seed": 7}}])
+        assert out.count() == 2
+        # size form must not trigger a count() action at compile time:
+        # plan is a rand-ordered top-n, not sample-over-counted-fraction
+        assert "TakeOrderedAndProject" in out._jdf.queryExecution() \
+            .executedPlan().toString()
+        frac = run(people, [{"$sample": {"fraction": 1.0}}])
+        assert frac.count() == 4
