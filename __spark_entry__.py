@@ -1249,6 +1249,43 @@ FROM toks GROUP BY token HAVING count(*) >= 2
 """
 
 
+def q_corpus_stats(spark, sf_dir):
+    """Corpus profiling pass (the first query any training-data
+    pipeline runs): per-language doc counts, exact length percentiles
+    (p50/p90/p99, linear interpolation), length stddev, total
+    whitespace tokens.  One scan + one hash-agg shuffle; percentiles
+    aggregate per group without a global sort."""
+    from pincette_json_streams_spark.functions.text import ws_token_count
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("toks", ws_token_count(F.col("text")))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.percentile("n_chars", F.lit(0.5)).alias("p50_chars"),
+            F.percentile("n_chars", F.lit(0.9)).alias("p90_chars"),
+            F.percentile("n_chars", F.lit(0.99)).alias("p99_chars"),
+            F.round(F.stddev_pop("n_chars"), 4).alias("sd_chars"),
+            F.sum("toks").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+_ORACLE_CORPUS_STATS = """
+SELECT lang, count(*) AS n_docs,
+       round(avg(n_chars), 4) AS avg_chars,
+       quantile_cont(n_chars, 0.5) AS p50_chars,
+       quantile_cont(n_chars, 0.9) AS p90_chars,
+       quantile_cont(n_chars, 0.99) AS p99_chars,
+       round(stddev_pop(n_chars), 4) AS sd_chars,
+       sum(CASE WHEN len(trim(text)) = 0 THEN 0
+                ELSE len(regexp_extract_all(trim(text), '\\S+')) END)
+         AS n_tokens
+FROM documents GROUP BY lang
+"""
+
+
 def q_sample_split(spark, sf_dir):
     """Deterministic stratified sampling + train/test split
     (functions/sampling.py): per-language downsample via md5-hash
@@ -2155,6 +2192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "pii_scrub": q_pii_scrub,
         "token_vocab": q_token_vocab,
+        "corpus_stats": q_corpus_stats,
         "sample_split": q_sample_split,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
@@ -2220,6 +2258,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": _oracle_text_stats(),
         "pii_scrub": _oracle_pii_scrub(),
         "token_vocab": _oracle_token_vocab(),
+        "corpus_stats": _ORACLE_CORPUS_STATS,
         "sample_split": _ORACLE_SAMPLE_SPLIT,
         "dedup_exact": _ORACLE_DEDUP_EXACT,
         "dedup_minhash": _oracle_minhash(),
