@@ -183,6 +183,43 @@ class TestDedup:
         assert got == [(1, 1), (2, 1), (3, 1), (4, 4), (5, 5), (6, 5),
                        (7, 7), (9, 9)]
 
+    def test_connected_components_matches_union_find(self, spark):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from pincette_json_streams_spark.functions.dedup import (
+            connected_components,
+        )
+
+        @settings(max_examples=8, deadline=None,
+                  suppress_health_check=list(HealthCheck))
+        @given(st.lists(
+            st.tuples(st.integers(0, 30), st.integers(0, 30)),
+            min_size=1, max_size=25,
+        ))
+        def check(edges):
+            parent = {}
+
+            def find(x):
+                parent.setdefault(x, x)
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for a, b in edges:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            want = {x: find(x) for x in parent}
+
+            pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+            got = {r["id"]: r["cluster_id"]
+                   for r in connected_components(pairs).collect()}
+            assert got == want
+
+        check()
+
     def test_simhash(self, docs):
         from pincette_json_streams_spark.functions.dedup import simhash_pairs
         pairs = {(r["id_a"], r["id_b"])
