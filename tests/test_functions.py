@@ -310,6 +310,42 @@ class TestSampling:
 
 
 class TestMultimodal:
+    def test_probe_media_real_headers(self, spark):
+        import struct
+
+        from pincette_json_streams_spark.functions.multimodal import (
+            probe_media,
+        )
+        png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+               + struct.pack(">IIBBBBB", 640, 480, 8, 6, 0, 0, 0))
+        # 16-bit mono 8 kHz, 16000 bytes of data = 1000 ms
+        wav = (b"RIFF" + struct.pack("<I", 36 + 16000) + b"WAVE"
+               + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000,
+                                       16000, 2, 16)
+               + b"data" + struct.pack("<I", 16000) + b"\0" * 16)
+        jpg = (b"\xff\xd8\xff\xe0" + struct.pack(">H", 16) + b"JFIF\0"
+               + b"\0" * 9
+               + b"\xff\xc0" + struct.pack(">HBHH", 11, 8, 600, 800)
+               + b"\0\0\0")
+        rows = spark.createDataFrame(
+            [("png", bytearray(png)), ("wav", bytearray(wav)),
+             ("jpg", bytearray(jpg)), ("junk", bytearray(b"not media")),
+             ("empty", None)],
+            "asset_id string, media binary",
+        )
+        got = {r["asset_id"]: r["probe"].asDict()
+               for r in probe_media(rows).collect()}
+        assert got["png"]["format"] == "png"
+        assert (got["png"]["width"], got["png"]["height"]) == (640, 480)
+        assert got["jpg"]["format"] == "jpeg"
+        assert (got["jpg"]["width"], got["jpg"]["height"]) == (800, 600)
+        assert got["wav"]["format"] == "wav"
+        assert got["wav"]["sample_rate"] == 8000
+        assert got["wav"]["channels"] == 1
+        assert got["wav"]["duration_ms"] == 1000
+        assert got["junk"]["format"] is None
+        assert got["empty"]["format"] is None
+
     def test_metadata_and_decode_stub(self, spark):
         from pincette_json_streams_spark.functions.multimodal import (
             attach_media_metadata, decode_features,
