@@ -36,9 +36,10 @@ from pincette_json_streams_spark.functions.text import (
 )
 
 __all__ = [
-    "connected_components", "exact_dedup", "minhash_signature",
-    "minhash_lsh_pairs", "simhash", "simhash_pairs", "ngram_jaccard_pairs",
-    "embedding_cosine", "cosine_vec", "embedding_pairs", "hyperplane_bucket",
+    "connected_components", "connected_components_star", "exact_dedup",
+    "minhash_signature", "minhash_lsh_pairs", "simhash", "simhash_pairs",
+    "ngram_jaccard_pairs", "embedding_cosine", "cosine_vec",
+    "embedding_pairs", "hyperplane_bucket",
 ]
 
 # Universal-hash family h_i(x) = (a_i * x + b_i) mod p over the Mersenne
@@ -810,3 +811,94 @@ def connected_components(
         if changed == 0:
             break
     return labels.select("id", F.col("comp").alias("cluster_id"))
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    nodes: DataFrame | None = None,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Alternating large-star / small-star connected components (Kiveris
+    et al., "Connected Components in MapReduce and Beyond") — same
+    contract as :func:`connected_components`, O(log n) rounds instead of
+    O(diameter), so it's the variant to reach for when clusters can
+    chain (e.g. transitive near-dup bridges across a crawl).
+
+    Each round is two join+min-aggregate steps over the shrinking edge
+    set; edges converge to stars centered at each component's minimum
+    id.  `localCheckpoint` truncates lineage per round; the fixpoint
+    probe (any node whose parent changed?) runs on the checkpointed
+    result."""
+    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    universe = (
+        e.select("a").union(e.select(F.col("b").alias("a")))
+        .withColumnsRenamed({"a": "id"}).distinct()
+    )
+    if nodes is not None:
+        ids = nodes.select(F.col(nodes.columns[0]).alias("id")).distinct()
+        universe = universe.unionByName(ids).distinct()
+    universe = universe.localCheckpoint(eager=False)
+    edges = (
+        e.filter(F.col("a") != F.col("b")).distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _sym(es):
+        return es.union(
+            es.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).distinct()
+
+    def parents(es):
+        return _sym(es).groupBy("a").agg(F.min("b").alias("p"))
+
+    prev = parents(edges)
+    for _ in range(max_iters):
+        # large-star: every strictly-larger neighbor of u links to
+        # min(N(u) + u) — long chains collapse geometrically.  The edge
+        # set is undirected, so each round works on the symmetric view.
+        s = _sym(edges)
+        mins = s.groupBy("a").agg(F.least(F.col("a"), F.min("b")).alias("m"))
+        s2 = s.join(mins, "a")
+        large = (
+            s2.filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .union(s2.select("a", F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b")).distinct()
+        )
+        # small-star: downward edges regroup onto the local minimum
+        down = _sym(large).filter(F.col("b") < F.col("a"))
+        mins2 = down.groupBy("a").agg(
+            F.least(F.col("a"), F.min("b")).alias("m"))
+        edges = (
+            down.join(mins2, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .union(mins2.select("a", F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b")).distinct()
+            .localCheckpoint(eager=True)
+        )
+        cur = parents(edges)
+        moved = (
+            cur.alias("c").join(prev.alias("p"), "a", "full")
+            .filter(
+                F.col("c.p").isNull() | F.col("p.p").isNull()
+                | (F.col("c.p") != F.col("p.p"))
+            )
+            .limit(1).count()
+        )
+        prev = cur
+        if moved == 0:
+            break
+    # at the star fixpoint every member points at the component min, and
+    # the min's own parent is the second-smallest member — least(id, p)
+    # is therefore the root for both
+    comp = prev.select(
+        F.col("a").alias("id"),
+        F.least(F.col("a"), F.col("p")).alias("comp"),
+    )
+    return (
+        universe.join(comp, "id", "left")
+        .select("id",
+                F.coalesce(F.col("comp"), F.col("id")).alias("cluster_id"))
+    )

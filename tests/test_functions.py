@@ -188,10 +188,10 @@ class TestDedup:
         from hypothesis import strategies as st
 
         from pincette_json_streams_spark.functions.dedup import (
-            connected_components,
+            connected_components, connected_components_star,
         )
 
-        @settings(max_examples=8, deadline=None,
+        @settings(max_examples=5, deadline=None,
                   suppress_health_check=list(HealthCheck))
         @given(st.lists(
             st.tuples(st.integers(0, 30), st.integers(0, 30)),
@@ -214,11 +214,25 @@ class TestDedup:
             want = {x: find(x) for x in parent}
 
             pairs = spark.createDataFrame(edges, "id_a long, id_b long")
-            got = {r["id"]: r["cluster_id"]
-                   for r in connected_components(pairs).collect()}
-            assert got == want
+            for fn in (connected_components, connected_components_star):
+                got = {r["id"]: r["cluster_id"]
+                       for r in fn(pairs).collect()}
+                assert got == want, fn.__name__
 
         check()
+
+    def test_star_collapses_chain_in_log_rounds(self, spark):
+        from pincette_json_streams_spark.functions.dedup import (
+            connected_components_star,
+        )
+        # a 24-node path: diameter 24, but alternating stars need only
+        # ~log2 rounds — max_iters=8 would starve plain propagation
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(24)], "id_a long, id_b long")
+        got = {r["id"]: r["cluster_id"]
+               for r in connected_components_star(
+                   pairs, max_iters=8).collect()}
+        assert got == {i: 0 for i in range(25)}
 
     def test_simhash(self, docs):
         from pincette_json_streams_spark.functions.dedup import simhash_pairs
