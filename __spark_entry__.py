@@ -1434,6 +1434,25 @@ FROM comp
 """
 
 
+def q_dedup_clusters_star(spark, sf_dir):
+    """Same clusters via the O(log n) large-star/small-star alternation
+    (functions/dedup.py:connected_components_star) — identical output
+    contract (cluster_id = component min), so it shares the recursive-
+    CTE oracle with `dedup_clusters`."""
+    from pincette_json_streams_spark.functions.dedup import (
+        connected_components_star, minhash_lsh_pairs,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    comp = connected_components_star(pairs, nodes=docs.select("doc_id"))
+    w = Window.partitionBy("cluster_id")
+    return comp.select(
+        F.col("id").alias("doc_id"), "cluster_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
+        (F.col("id") == F.col("cluster_id")).alias("keep"),
+    )
+
+
 def q_dedup_ngram(spark, sf_dir):
     from pincette_json_streams_spark.functions.dedup import (
         ngram_jaccard_pairs,
@@ -2197,6 +2216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_clusters_star": q_dedup_clusters_star,
         "dedup_ngram": q_dedup_ngram,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
@@ -2263,6 +2283,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _ORACLE_DEDUP_EXACT,
         "dedup_minhash": _oracle_minhash(),
         "dedup_clusters": _oracle_dedup_clusters(),
+        "dedup_clusters_star": _oracle_dedup_clusters(),
         "dedup_ngram": _ORACLE_NGRAM,
         "dedup_simhash": _oracle_simhash(),
         "dedup_embedding": _ORACLE_DEDUP_EMBEDDING,
