@@ -31,7 +31,10 @@ from pincette_json_streams_spark.operators.stages import (
     PipelineContext,
     compile_pipeline,
 )
-from pincette_json_streams_spark.plans.spec import SpecError
+from pincette_json_streams_spark.plans.spec import (
+    SpecError,
+    validate_application,
+)
 
 __all__ = ["Application"]
 
@@ -45,6 +48,7 @@ class Application:
         catalog: dict[str, DataFrame],
         pctx: Optional[PipelineContext] = None,
     ):
+        validate_application(spec)  # Validate.java runs on every load
         self.spec = spec
         self.catalog = dict(catalog)
         self.pctx = pctx or PipelineContext(catalog=self.catalog)
