@@ -1090,6 +1090,14 @@ def q_aggregate_acl(spark, sf_dir):
     )
 
 
+# every attempt is denied: the seed's _acl.put=[admin] gate rejects
+# mallory's put on each of the seeded instances, and the _seq=0 lock pins
+# the fold order — the denial count is deterministic.
+_ORACLE_AGG_ACL = """
+SELECT count(*)::BIGINT AS n_denied FROM orders WHERE o_orderkey <= 2000
+"""
+
+
 # ===========================================================================
 # 2. Training-data operators (dedup / similarity / text — SURVEY plus-scope)
 # ===========================================================================
@@ -2270,8 +2278,8 @@ def oracle_sql() -> dict[str, str]:
         "setkey_stage": _ORACLE_SETKEY,
         "region_revenue": _ORACLE_REGION_REVENUE,
         "top_customers": _ORACLE_TOP_CUSTOMERS,
-        # aggregate_fold / aggregate_acl: stateful, order-dependent
-        # event-sourcing folds — rows-only check
+        # aggregate_fold: stateful, order-dependent fold — rows-only check
+        "aggregate_acl": _ORACLE_AGG_ACL,
         "aggregate_unique": _ORACLE_AGG_UNIQUE,
         "aggregate_jslt_reducer": _ORACLE_AGG_JSLT,
         "aggregate_validate": _ORACLE_AGG_VALIDATE,
