@@ -1337,6 +1337,163 @@ FROM sampled GROUP BY lang, split
 """
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher/MassiveText-style repetition quality signals per document:
+    most-frequent-word fraction, most-frequent-2-gram fraction, fraction
+    of 5-gram occurrences covered by duplicated 5-grams, and word-
+    distribution entropy.  One fused Arrow pass with per-doc counters
+    (O(len) per doc), float math in native Columns."""
+    from pincette_json_streams_spark.functions.text import (
+        with_repetition_features,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    rep = with_repetition_features(docs)
+    r = F.col("__rep")
+    return rep.select(
+        "doc_id",
+        r["n_words"].alias("n_words"),
+        F.round(r["top_word_n"] / r["n_words"], 6).alias("top_word_frac"),
+        F.round(
+            r["top_2gram_n"] / F.greatest(r["n_2grams"], F.lit(1)), 6
+        ).alias("top_2gram_frac"),
+        F.round(
+            r["dup_5gram_n"] / F.greatest(r["n_5grams"], F.lit(1)), 6
+        ).alias("dup_5gram_frac"),
+        F.round(r["word_entropy"], 6).alias("word_entropy"),
+    )
+
+
+_ORACLE_REPETITION = """
+WITH w AS (
+  SELECT doc_id,
+         string_split_regex(lower(trim(text, ' ')), '\\s+') AS ws
+  FROM documents
+), tok AS (
+  SELECT doc_id, unnest(ws) AS t FROM w
+), wc AS (
+  SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2
+), went AS (
+  SELECT doc_id, sum(c) AS n_words, max(c) AS top_word_n
+  FROM wc GROUP BY doc_id
+), ent AS (
+  SELECT wc.doc_id,
+         -sum((c::DOUBLE / n_words) * ln(c::DOUBLE / n_words))
+           AS entropy
+  FROM wc JOIN went ON wc.doc_id = went.doc_id
+  GROUP BY wc.doc_id
+), g2 AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(ws) - 1, 0)),
+           i -> ws[i] || ' ' || ws[i + 1])) AS g
+  FROM w
+), g2c AS (
+  SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2
+), g2stats AS (
+  SELECT doc_id, max(c) AS top_2gram_n, sum(c) AS n_2grams
+  FROM g2c GROUP BY doc_id
+), g5 AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(ws) - 4, 0)),
+           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                || ws[i+3] || ' ' || ws[i+4])) AS g
+  FROM w
+), g5c AS (
+  SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY 1, 2
+), g5stats AS (
+  SELECT doc_id,
+         coalesce(sum(c) FILTER (WHERE c > 1), 0) AS dup_5gram_n,
+         sum(c) AS n_5grams
+  FROM g5c GROUP BY doc_id
+)
+SELECT went.doc_id, went.n_words::BIGINT AS n_words,
+       round(went.top_word_n::DOUBLE / went.n_words, 6) AS top_word_frac,
+       round(coalesce(g2stats.top_2gram_n, 0)::DOUBLE
+             / greatest(coalesce(g2stats.n_2grams, 0), 1), 6)
+         AS top_2gram_frac,
+       round(coalesce(g5stats.dup_5gram_n, 0)::DOUBLE
+             / greatest(coalesce(g5stats.n_5grams, 0), 1), 6)
+         AS dup_5gram_frac,
+       round(ent.entropy, 6) AS word_entropy
+FROM went
+JOIN ent ON went.doc_id = ent.doc_id
+LEFT JOIN g2stats ON went.doc_id = g2stats.doc_id
+LEFT JOIN g5stats ON went.doc_id = g5stats.doc_id
+"""
+
+
+def q_contamination(spark, sf_dir):
+    """Benchmark-contamination check (the decontamination pass every
+    training corpus needs): docs sharing any distinct 3-gram with the
+    held-out benchmark subset (doc_id % 50 == 0), with the shared-gram
+    count.  The benchmark gram set is broadcast — the training side
+    never shuffles its grams."""
+    from pincette_json_streams_spark.functions.text import (
+        benchmark_overlap,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    out = benchmark_overlap(train, bench, n=3)
+    return out.select(
+        "doc_id", F.col("n_shared_grams").cast("long")
+        .alias("n_shared_grams"),
+    )
+
+
+_ORACLE_CONTAMINATION = f"""
+WITH norm AS (
+  SELECT doc_id, string_split({_sql_norm()}, ' ') AS ws FROM documents
+), grams AS (
+  -- ws[i:i+4] truncates at the end of the list exactly like Spark's
+  -- slice(words, i, 5) + concat_ws
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(ws) - 2, 1)),
+           i -> array_to_string(ws[i:i+2], ' ')))) AS g
+  FROM norm
+), bench AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0
+)
+SELECT g.doc_id, count(*) AS n_shared_grams
+FROM grams g JOIN bench b ON g.g = b.g
+WHERE g.doc_id % 50 != 0
+GROUP BY g.doc_id
+"""
+
+
+def q_lm_score(spark, sf_dir):
+    """Unigram LM quality scoring: mean token log-probability under the
+    corpus's own unigram distribution — the cheap perplexity proxy used
+    to rank/filter pretraining documents.  Vocabulary agg + broadcast
+    join; one doc-id shuffle."""
+    from pincette_json_streams_spark.functions.text import unigram_logprob
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_logprob(docs).select(
+        "doc_id", "mean_logprob",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
+_ORACLE_LM_SCORE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split({_sql_norm()}, ' ')) AS w
+  FROM documents
+), vocab AS (
+  SELECT w, count(*) AS c FROM tok GROUP BY w
+), tot AS (
+  SELECT sum(c) AS t FROM vocab
+), lp AS (
+  SELECT w, ln(c::DOUBLE / (SELECT t FROM tot)) AS logp FROM vocab
+)
+SELECT doc_id, round(avg(logp), 6) AS mean_logprob,
+       count(*) AS n_tokens
+FROM tok JOIN lp USING (w)
+GROUP BY doc_id
+"""
+
+
 def q_dedup_exact(spark, sf_dir):
     from pincette_json_streams_spark.functions.dedup import exact_dedup
     docs = _t(spark, sf_dir, "documents")
@@ -2221,6 +2378,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_vocab": q_token_vocab,
         "corpus_stats": q_corpus_stats,
         "sample_split": q_sample_split,
+        "repetition_stats": q_repetition_stats,
+        "contamination": q_contamination,
+        "lm_score": q_lm_score,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_clusters": q_dedup_clusters,
@@ -2288,6 +2448,9 @@ def oracle_sql() -> dict[str, str]:
         "token_vocab": _oracle_token_vocab(),
         "corpus_stats": _ORACLE_CORPUS_STATS,
         "sample_split": _ORACLE_SAMPLE_SPLIT,
+        "repetition_stats": _ORACLE_REPETITION,
+        "contamination": _ORACLE_CONTAMINATION,
+        "lm_score": _ORACLE_LM_SCORE,
         "dedup_exact": _ORACLE_DEDUP_EXACT,
         "dedup_minhash": _oracle_minhash(),
         "dedup_clusters": _oracle_dedup_clusters(),

@@ -21,7 +21,8 @@ __all__ = [
     "ws_token_count", "bpe_token_count", "quality_features",
     "quality_score", "lang_id", "fingerprint", "shingles", "word_ngrams",
     "with_text_features", "quality_score_from", "scrub_pii", "pii_counts",
-    "token_vocabulary", "STOPWORDS", "LANG_MARKERS", "BPE_TOKEN_RE",
+    "token_vocabulary", "with_repetition_features", "benchmark_overlap",
+    "unigram_logprob", "STOPWORDS", "LANG_MARKERS", "BPE_TOKEN_RE",
     "PII_PATTERNS",
 ]
 
@@ -297,6 +298,144 @@ def token_vocabulary(
     if min_count > 1:
         out = out.filter(F.col("n_occurrences") >= min_count)
     return out
+
+
+# --------------------------------------------------------------------------
+# Repetition signals (Gopher/MassiveText-style quality heuristics)
+# --------------------------------------------------------------------------
+
+_REP_FIELDS = (
+    "n_words top_word_n top_2gram_n n_2grams dup_5gram_n n_5grams"
+).split()
+_REP_SCHEMA = ", ".join(
+    f"{f} long" for f in _REP_FIELDS
+) + ", word_entropy double"
+
+
+def _rep_tuple(t):
+    import math
+    from collections import Counter
+
+    if t is None:
+        return (None,) * len(_REP_FIELDS) + (None,)
+    words = _WS_RE.split(t.strip(" ").lower())
+    n = len(words)
+    wc = Counter(words)
+    entropy = -sum(c / n * math.log(c / n) for c in wc.values())
+    g2 = [words[i] + " " + words[i + 1] for i in range(n - 1)]
+    c2 = Counter(g2)
+    g5 = [" ".join(words[i:i + 5]) for i in range(n - 4)]
+    c5 = Counter(g5)
+    return (
+        n,
+        max(wc.values()),
+        max(c2.values()) if c2 else 0,
+        len(g2),
+        sum(c for c in c5.values() if c > 1),
+        len(g5),
+        entropy,
+    )
+
+
+def with_repetition_features(
+    df: DataFrame, text_col: str = "text", out: str = "__rep"
+) -> DataFrame:
+    """Attach per-document repetition signals (the Gopher-style quality
+    heuristics): most-frequent-word count, most-frequent-2-gram count,
+    occurrences covered by duplicated 5-grams, and word-distribution
+    entropy.  One Arrow ``mapInPandas`` pass with per-doc counters —
+    O(len) per document, where the equivalent higher-order-function
+    formulation (count of every distinct word via ``filter``) is O(len²).
+
+    Same word split as ``with_text_features`` (ASCII trim + lower +
+    ``\\s+``), so a SQL oracle replays it via
+    ``string_split_regex(lower(trim(text, ' ')), '\\s+')``."""
+    spark = df.sparkSession
+    schema_str = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", {out} struct<{_REP_SCHEMA}>"
+    fields = _REP_FIELDS + ["word_entropy"]
+
+    def run(batches):
+        for pdf in batches:
+            pdf[out] = [
+                dict(zip(fields, _rep_tuple(t))) for t in pdf[text_col]
+            ]
+            yield pdf
+
+    spread = df.repartition(spark.sparkContext.defaultParallelism)
+    return spread.mapInPandas(run, schema=schema_str)
+
+
+def benchmark_overlap(
+    df: DataFrame,
+    bench_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark-contamination check: per training document, how many
+    distinct word ``n``-grams it shares with the benchmark corpus
+    (docs with any overlap are candidates for decontamination removal).
+
+    Plan shape at 100 TB: the benchmark side is orders of magnitude
+    smaller than the training corpus, so its distinct gram set is
+    broadcast — the big side never shuffles; matched grams collapse in a
+    single per-doc hash aggregation (map-side combine first).  Joining on
+    the gram string keeps the result exact; hash the gram (xxhash64) to
+    shrink the broadcast when the benchmark set is near the broadcast
+    ceiling."""
+    bench = (
+        bench_df.select(
+            F.explode(word_ngrams(F.col(text_col), n)).alias("g")
+        )
+        .distinct()
+    )
+    grams = df.select(
+        F.col(id_col),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("g"),
+    )
+    return (
+        grams.join(F.broadcast(bench), "g")
+        .groupBy(id_col)
+        # word_ngrams is distinct-per-doc, so this counts distinct
+        # shared grams without a count_distinct shuffle
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
+def unigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unigram language-model quality score: mean log-probability of a
+    document's tokens under the corpus's own unigram distribution (low =
+    rare-token soup / junk; high = repetitive boilerplate — both tails
+    are filter candidates).
+
+    Two passes over the token stream: (1) one hash aggregation builds the
+    vocabulary with counts (map-side combine collapses in-doc repeats
+    before the shuffle — vocabularies are ~millions of rows even at
+    corpus scale, far under the broadcast ceiling); (2) the exploded
+    token stream joins the broadcast vocabulary and folds straight into
+    the per-document mean — a single shuffle on the document id."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " "))
+        .alias("w"),
+    )
+    vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("tot"))
+    logp = vocab.crossJoin(F.broadcast(total)).select(
+        "w", F.log(F.col("c") / F.col("tot")).alias("logp")
+    )
+    return (
+        toks.join(F.broadcast(logp), "w")
+        .groupBy(id_col)
+        .agg(
+            F.round(F.avg("logp"), 6).alias("mean_logprob"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
 
 
 def normalize_text(text: Column) -> Column:

@@ -139,6 +139,73 @@ class TestText:
         assert out["a"] == out["b"] != out["c"]
 
 
+class TestRepetition:
+    def test_repetition_features(self, spark):
+        from pincette_json_streams_spark.functions.text import (
+            with_repetition_features,
+        )
+        df = spark.createDataFrame(
+            [
+                (0, "a a a a a b"),                   # heavy repetition
+                (1, "one two three four five six"),   # all distinct
+                (2, "x y x y x y x y x y"),           # repeated 2-grams
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r["__rep"].asDict()
+            for r in with_repetition_features(df).collect()
+        }
+        assert out[0]["n_words"] == 6 and out[0]["top_word_n"] == 5
+        assert out[1]["top_word_n"] == 1
+        assert out[1]["dup_5gram_n"] == 0 and out[1]["n_5grams"] == 2
+        # "x y" appears 5 times among the 9 2-grams
+        assert out[2]["top_2gram_n"] == 5 and out[2]["n_2grams"] == 9
+        # all six 5-grams alternate between two forms -> all duplicated
+        assert out[2]["dup_5gram_n"] == out[2]["n_5grams"] == 6
+        assert out[1]["word_entropy"] > out[0]["word_entropy"]
+
+    def test_benchmark_overlap(self, spark):
+        from pincette_json_streams_spark.functions.text import (
+            benchmark_overlap,
+        )
+        bench = spark.createDataFrame(
+            [(100, "alpha beta gamma delta")], "doc_id long, text string"
+        )
+        train = spark.createDataFrame(
+            [
+                (0, "alpha beta gamma epsilon"),   # shares 1 3-gram
+                (1, "zeta eta theta iota"),        # shares none
+                (2, "x alpha beta gamma delta y"), # shares 2 3-grams
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r["n_shared_grams"]
+            for r in benchmark_overlap(train, bench, n=3).collect()
+        }
+        assert out == {0: 1, 2: 2}
+
+    def test_unigram_logprob(self, spark):
+        import math
+
+        from pincette_json_streams_spark.functions.text import (
+            unigram_logprob,
+        )
+        df = spark.createDataFrame(
+            [(0, "a a a b"), (1, "b b b b")], "doc_id long, text string"
+        )
+        out = {
+            r["doc_id"]: (r["mean_logprob"], r["n_tokens"])
+            for r in unigram_logprob(df).collect()
+        }
+        # corpus: a x3, b x5, total 8
+        pa, pb = math.log(3 / 8), math.log(5 / 8)
+        assert out[0][1] == 4 and out[1][1] == 4
+        assert abs(out[0][0] - round((3 * pa + pb) / 4, 6)) < 1e-9
+        assert abs(out[1][0] - round(pb, 6)) < 1e-9
+
+
 class TestDedup:
     def test_exact(self, spark):
         from pincette_json_streams_spark.functions.dedup import exact_dedup
