@@ -1494,6 +1494,96 @@ GROUP BY doc_id
 """
 
 
+def q_asof_join(spark, sf_dir):
+    """Backward as-of join (functions/timeseries.py): each event picks
+    the user's latest order at-or-before the event time.  Union trick —
+    one shuffle on the entity key, no per-row range scan; DuckDB's
+    native ASOF JOIN is the oracle.  Right side pre-aggregated to one
+    row per (key, instant) so the match is fully deterministic."""
+    from pincette_json_streams_spark.functions.timeseries import asof_join
+    events = _t(spark, sf_dir, "events")
+    orders = _t(spark, sf_dir, "orders")
+    right = (
+        orders.withColumn(
+            "ots",
+            F.expr(
+                "timestampdiff(MICROSECOND, "
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+                "cast(o_orderdate as timestamp_ntz))"
+            ) * F.lit(1000),
+        )
+        .groupBy("o_custkey", "ots")
+        .agg(
+            F.max("o_orderkey").alias("okey"),
+            F.max_by("o_totalprice", "o_orderkey").alias("price"),
+        )
+    )
+    out = asof_join(
+        events.select("event_id", "user_id", "ts_nanos"),
+        right, on="ts_nanos", by="user_id",
+        right_on="ots", right_by="o_custkey", as_field="m",
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.col("m")["okey"].alias("okey"),
+        F.col("m")["price"].alias("price"),
+    )
+
+
+_ORACLE_ASOF = """
+WITH r AS (
+  SELECT o_custkey, o_orderdate, max(o_orderkey) AS okey,
+         arg_max(o_totalprice, o_orderkey) AS price
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, r.okey, r.price
+FROM events e
+ASOF LEFT JOIN r ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+"""
+
+
+def q_sessionize_events(spark, sf_dir):
+    """Gap-based sessionization (functions/timeseries.py): 8-hour
+    inactivity gap per user, then per-session rollup.  One keyed
+    window shuffle; the session aggregation reuses the partitioning."""
+    from pincette_json_streams_spark.functions.timeseries import sessionize
+    events = _t(spark, sf_dir, "events")
+    gap_ns = 8 * 3600 * 1_000_000_000
+    sess = sessionize(
+        events, by="user_id", ts="ts_nanos", gap=gap_ns,
+        tiebreak=["event_id"],
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        ((F.max("ts_nanos") - F.min("ts_nanos")) / F.lit(1_000_000_000))
+        .cast("long").alias("span_s"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+_ORACLE_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, event_id, value, epoch_ns(ts) AS tns,
+         CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+                   OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w
+                      > 28800::BIGINT * 1000000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, value, tns,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY tns, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+)
+SELECT user_id, session_id::BIGINT AS session_id,
+       count(*) AS n_events,
+       ((max(tns) - min(tns)) // 1000000000)::BIGINT AS span_s,
+       round(sum(value), 4) AS total_value
+FROM s GROUP BY user_id, session_id
+"""
+
+
 def q_dedup_exact(spark, sf_dir):
     from pincette_json_streams_spark.functions.dedup import exact_dedup
     docs = _t(spark, sf_dir, "documents")
@@ -2381,6 +2471,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "contamination": q_contamination,
         "lm_score": q_lm_score,
+        "asof_join": q_asof_join,
+        "sessionize_events": q_sessionize_events,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_clusters": q_dedup_clusters,
@@ -2451,6 +2543,8 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": _ORACLE_REPETITION,
         "contamination": _ORACLE_CONTAMINATION,
         "lm_score": _ORACLE_LM_SCORE,
+        "asof_join": _ORACLE_ASOF,
+        "sessionize_events": _ORACLE_SESSIONIZE,
         "dedup_exact": _ORACLE_DEDUP_EXACT,
         "dedup_minhash": _oracle_minhash(),
         "dedup_clusters": _oracle_dedup_clusters(),

@@ -39,6 +39,11 @@ BENCH_QUERIES = [
     "ann_topk",
     "ann_ivf",
     "quality_filter",
+    "repetition_stats",
+    "contamination",
+    "lm_score",
+    "asof_join",
+    "sessionize_events",
 ]
 
 

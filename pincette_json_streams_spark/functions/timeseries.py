@@ -1,0 +1,126 @@
+"""Time-series operators: as-of join and gap-based sessionization.
+
+Neither exists as a Spark built-in; both are classic needs of event-log /
+feature-engineering pipelines (and both are native in DuckDB/kdb, which
+gives the correctness gate an exact oracle).
+
+Scale design: each operator is ONE shuffle on the entity key followed by a
+per-partition sort — the same cost envelope as any keyed window function.
+No UDFs, no per-row subqueries, no broadcast of the big side; skewed
+entity keys are the usual mitigation territory (AQE skew handling / key
+salting upstream).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join", "sessionize"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    right_on: Optional[str] = None,
+    right_by: Optional[str] = None,
+    as_field: str = "matched",
+    tiebreak: Optional[str] = None,
+) -> DataFrame:
+    """Backward as-of join: for every left row, the right row with the
+    greatest ``right_on`` <= ``on`` within the same ``by`` group (the
+    match is inclusive, like DuckDB ``ASOF JOIN`` with ``>=``).  Right
+    columns arrive in a struct column ``as_field`` (NULL when nothing
+    precedes the left row).
+
+    Implementation is the union trick: tag both sides, union them, sort
+    each ``by`` partition on (time, side) and carry the last-seen right
+    row forward with ``last(ignorenulls)`` over an unbounded-preceding
+    running window — then keep only left rows.  One shuffle total (the
+    window's partitionBy), versus the naive per-left-row range join
+    which is O(left x right) within each key.
+
+    ``on``/``right_on`` must be mutually comparable (use epoch longs
+    across mixed timestamp flavors).  With ``tiebreak`` (a right-side
+    column), equal-timestamp right rows resolve to the greatest tiebreak
+    value; otherwise ties are arbitrary — pre-aggregate the right side
+    to one row per (key, time) for fully deterministic output.
+    """
+    right_on = right_on or on
+    right_by = right_by or by
+    l_struct = F.struct(*[F.col(c) for c in left.columns])
+    r_struct = F.struct(*[F.col(c) for c in right.columns])
+    l_type = left.select(l_struct.alias("s")).schema[0].dataType
+    r_type = right.select(r_struct.alias("s")).schema[0].dataType
+
+    l2 = left.select(
+        F.col(by).alias("__by"),
+        F.col(on).alias("__ts"),
+        F.lit(1).alias("__side"),
+        l_struct.alias("__l"),
+        F.lit(None).cast(r_type).alias("__r"),
+    )
+    r2 = right.select(
+        F.col(right_by).alias("__by"),
+        F.col(right_on).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(l_type).alias("__l"),
+        r_struct.alias("__r"),
+    )
+    order: list[Column] = [F.col("__ts"), F.col("__side")]
+    if tiebreak is not None:
+        # after (__ts, __side): right rows of the same instant sort among
+        # themselves by tiebreak (greatest wins the running last());
+        # left rows still sort after all of them
+        order.append(F.col("__r")[tiebreak])
+    w = (
+        Window.partitionBy("__by")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        l2.unionByName(r2)
+        .withColumn("__m", F.last("__r", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+    )
+    return matched.select("__l.*", F.col("__m").alias(as_field))
+
+
+def sessionize(
+    df: DataFrame,
+    by: str,
+    ts: str,
+    gap: int,
+    tiebreak: Optional[Sequence[str]] = None,
+    out: str = "session_id",
+) -> DataFrame:
+    """Gap-based sessionization: within each ``by`` group ordered by
+    ``ts``, a new session starts when the gap to the previous row is
+    STRICTLY greater than ``gap`` (same units as ``ts`` — use epoch
+    longs).  Adds ``out``: the 1-based session index per group.
+
+    lag + running sum over one keyed window — a single shuffle; session
+    aggregation afterwards groups on (by, session_id) and reuses the
+    same partitioning."""
+    order = [F.col(ts)] + [F.col(c) for c in (tiebreak or [])]
+    w = Window.partitionBy(by).orderBy(*order)
+    new_session = (
+        F.when(
+            (F.col(ts) - F.lag(ts).over(w) > gap)
+            | F.lag(ts).over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+    )
+    running = (
+        Window.partitionBy(by)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn("__new", new_session).withColumn(
+        out, F.sum("__new").over(running)
+    ).drop("__new")

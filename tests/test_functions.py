@@ -206,6 +206,58 @@ class TestRepetition:
         assert abs(out[1][0] - round(pb, 6)) < 1e-9
 
 
+class TestTimeseries:
+    def test_asof_join_backward_inclusive(self, spark):
+        from pincette_json_streams_spark.functions.timeseries import (
+            asof_join,
+        )
+        left = spark.createDataFrame(
+            [(1, 10, 5), (2, 10, 15), (3, 10, 20), (4, 99, 8)],
+            "eid long, k long, t long",
+        )
+        right = spark.createDataFrame(
+            [(10, 5, "a"), (10, 12, "b"), (10, 20, "c")],
+            "k long, t long, v string",
+        )
+        out = {
+            r["eid"]: r["m"]["v"] if r["m"] else None
+            for r in asof_join(
+                left, right, on="t", by="k", as_field="m"
+            ).collect()
+        }
+        # t=5 matches the equal-instant row (inclusive); t=15 the latest
+        # earlier row; t=20 the equal row; unmatched key -> NULL
+        assert out == {1: "a", 2: "b", 3: "c", 4: None}
+
+    def test_asof_join_tiebreak(self, spark):
+        from pincette_json_streams_spark.functions.timeseries import (
+            asof_join,
+        )
+        left = spark.createDataFrame([(1, 10, 7)], "eid long, k long, t long")
+        right = spark.createDataFrame(
+            [(10, 7, 1, "lo"), (10, 7, 9, "hi")],
+            "k long, t long, seq long, v string",
+        )
+        row = asof_join(
+            left, right, on="t", by="k", as_field="m", tiebreak="seq"
+        ).collect()[0]
+        assert row["m"]["v"] == "hi"
+
+    def test_sessionize(self, spark):
+        from pincette_json_streams_spark.functions.timeseries import (
+            sessionize,
+        )
+        df = spark.createDataFrame(
+            [(1, 0), (1, 50), (1, 200), (1, 210), (2, 0)],
+            "u long, t long",
+        )
+        out = sessionize(df, by="u", ts="t", gap=100)
+        got = {(r["u"], r["t"]): r["session_id"] for r in out.collect()}
+        # gap of 150 between 50 and 200 (>100) starts session 2
+        assert got == {(1, 0): 1, (1, 50): 1, (1, 200): 2,
+                       (1, 210): 2, (2, 0): 1}
+
+
 class TestDedup:
     def test_exact(self, spark):
         from pincette_json_streams_spark.functions.dedup import exact_dedup
