@@ -95,3 +95,39 @@ class TestPlanShapes:
         # candidate generation must be an equi-join (bucket id), not
         # an all-pairs nested loop over the corpus
         assert "CartesianProduct" not in plan
+
+    def test_contamination_broadcasts_benchmark_side(self, spark):
+        plan = _plan(spark, "contamination")
+        # the benchmark gram set broadcasts; the training side must
+        # never sort-merge-shuffle its exploded grams
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_lm_score_broadcasts_vocab(self, spark):
+        plan = _plan(spark, "lm_score")
+        # the token->logp join must be broadcast (vocab is small), not
+        # a sort-merge shuffle of the full token stream
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_asof_join_single_shuffle_no_range_scan(self, spark):
+        plan = _plan(spark, "asof_join")
+        # union trick: a window over the entity key — never a join node
+        # for the as-of match itself (the only joins allowed are none)
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert plan.count("Window") >= 1
+
+    def test_sessionize_reuses_partitioning(self, spark):
+        plan = _plan(spark, "sessionize_events")
+        # the session rollup groups on (user, session) — with the window
+        # already partitioned by user there must be at most 2 data
+        # shuffles in the whole plan (window + final agg; AQE may merge)
+        exchanges = [
+            line for line in plan.splitlines()
+            if line.strip().startswith("(") and "Exchange" in line
+            and "BroadcastExchange" not in line
+        ]
+        assert len(exchanges) <= 2, exchanges
