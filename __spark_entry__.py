@@ -1494,6 +1494,37 @@ GROUP BY doc_id
 """
 
 
+def q_chunk_docs(spark, sf_dir):
+    """Context-window chunking (functions/text.py chunk_documents):
+    32-word windows, 8-word overlap; per-chunk word count.  Native
+    split/sequence/transform/posexplode — the explode is the only data
+    growth, no shuffle at all."""
+    from pincette_json_streams_spark.functions.text import chunk_documents
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(
+        docs.select("doc_id", "text", "lang"), size=32, overlap=8
+    ).select("doc_id", "lang", "chunk_idx", "chunk", "n_tokens")
+
+
+_ORACLE_CHUNK = f"""
+WITH w AS (
+  SELECT doc_id, lang, string_split({_sql_norm()}, ' ') AS ws
+  FROM documents
+), c AS (
+  SELECT doc_id, lang, ws,
+         unnest(generate_series(
+           0,
+           (greatest(ceil((len(ws) - 8) / 24.0), 1)::INT - 1) * 24,
+           24)) AS s
+  FROM w
+)
+SELECT doc_id, lang, (s // 24)::BIGINT AS chunk_idx,
+       array_to_string(ws[s + 1:s + 32], ' ') AS chunk,
+       least(len(ws) - s, 32)::BIGINT AS n_tokens
+FROM c
+"""
+
+
 def q_asof_join(spark, sf_dir):
     """Backward as-of join (functions/timeseries.py): each event picks
     the user's latest order at-or-before the event time.  Union trick —
@@ -2473,6 +2504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": q_lm_score,
         "asof_join": q_asof_join,
         "sessionize_events": q_sessionize_events,
+        "chunk_docs": q_chunk_docs,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_clusters": q_dedup_clusters,
@@ -2545,6 +2577,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_score": _ORACLE_LM_SCORE,
         "asof_join": _ORACLE_ASOF,
         "sessionize_events": _ORACLE_SESSIONIZE,
+        "chunk_docs": _ORACLE_CHUNK,
         "dedup_exact": _ORACLE_DEDUP_EXACT,
         "dedup_minhash": _oracle_minhash(),
         "dedup_clusters": _oracle_dedup_clusters(),

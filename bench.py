@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "lm_score",
     "asof_join",
     "sessionize_events",
+    "chunk_docs",
 ]
 
 

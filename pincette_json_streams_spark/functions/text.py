@@ -22,8 +22,8 @@ __all__ = [
     "quality_score", "lang_id", "fingerprint", "shingles", "word_ngrams",
     "with_text_features", "quality_score_from", "scrub_pii", "pii_counts",
     "token_vocabulary", "with_repetition_features", "benchmark_overlap",
-    "unigram_logprob", "STOPWORDS", "LANG_MARKERS", "BPE_TOKEN_RE",
-    "PII_PATTERNS",
+    "unigram_logprob", "chunk_documents", "STOPWORDS", "LANG_MARKERS",
+    "BPE_TOKEN_RE", "PII_PATTERNS",
 ]
 
 # A compact English stopword list (public knowledge).
@@ -391,7 +391,11 @@ def benchmark_overlap(
         )
         .distinct()
     )
-    grams = df.select(
+    # spread before the CPU-heavy gram construction: small parquet
+    # arrives as ONE input split, which would serialize the whole
+    # normalize+slice+concat pipeline on a single core
+    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    grams = spread.select(
         F.col(id_col),
         F.explode(word_ngrams(F.col(text_col), n)).alias("g"),
     )
@@ -434,6 +438,55 @@ def unigram_logprob(
         .agg(
             F.round(F.avg("logp"), 6).alias("mean_logprob"),
             F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split each document into fixed-size word windows with overlap —
+    the context-window packing step before tokenization.  Chunk ``i``
+    covers words ``[i*stride, i*stride + size)`` with
+    ``stride = size - overlap``; the final chunk truncates at the
+    document end; every document yields at least one chunk.
+
+    All native (split / sequence / transform / posexplode): the explode
+    happens AFTER the per-doc window list is built inside whole-stage
+    codegen, so the only data growth is the ~``overlap/stride`` output
+    redundancy — no shuffle at all until whatever consumes the chunks."""
+    if overlap >= size:
+        raise ValueError("overlap must be < size")
+    stride = size - overlap
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    n = F.size(words)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)) / F.lit(stride)), F.lit(1)
+    ).cast("int")
+    starts = F.sequence(
+        F.lit(0), (n_chunks - 1) * stride, F.lit(stride)
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            F.concat_ws(
+                " ", F.slice(words, (s + 1).cast("int"), size)
+            ).alias("chunk"),
+            F.least(n - s, F.lit(size)).cast("long").alias("n_tokens"),
+        ),
+    )
+    other = [c for c in df.columns if c not in (text_col,)]
+    return (
+        df.select(*other, F.posexplode(chunks).alias("chunk_idx", "__c"))
+        .select(
+            *other,
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.col("__c.chunk").alias("chunk"),
+            F.col("__c.n_tokens").alias("n_tokens"),
         )
     )
 

@@ -186,6 +186,31 @@ class TestRepetition:
         }
         assert out == {0: 1, 2: 2}
 
+    def test_chunk_documents(self, spark):
+        from pincette_json_streams_spark.functions.text import (
+            chunk_documents,
+        )
+        df = spark.createDataFrame(
+            [(0, " ".join(f"w{i}" for i in range(10))),  # 10 words
+             (1, "a b")],                                # shorter than size
+            "doc_id long, text string",
+        )
+        out = chunk_documents(df, size=4, overlap=1)
+        rows = sorted(
+            ((r["doc_id"], r["chunk_idx"], r["chunk"], r["n_tokens"])
+             for r in out.collect())
+        )
+        # stride 3: starts 0,3,6 cover w0..w9 (ceil((10-1)/3)=3 chunks)
+        assert rows == [
+            (0, 0, "w0 w1 w2 w3", 4),
+            (0, 1, "w3 w4 w5 w6", 4),
+            (0, 2, "w6 w7 w8 w9", 4),
+            (1, 0, "a b", 2),
+        ]
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            chunk_documents(df, size=4, overlap=4)
+
     def test_unigram_logprob(self, spark):
         import math
 
