@@ -445,7 +445,6 @@ def unigram_logprob(
 def chunk_documents(
     df: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
     size: int = 128,
     overlap: int = 16,
 ) -> DataFrame:

@@ -764,6 +764,63 @@ def _stage_sample_ext(df, spec, pctx):
     return df.orderBy(F.rand(seed)).limit(n)
 
 
+def _stage_chunk_ext(df, spec, pctx):
+    # {"text": col, "size": n, "overlap": n} — context-window chunking
+    # (functions/text.py chunk_documents)
+    from pincette_json_streams_spark.functions.text import chunk_documents
+
+    spec = spec if isinstance(spec, dict) else {}
+    return chunk_documents(
+        df,
+        text_col=spec.get("text", "text"),
+        size=int(spec.get("size", 128)),
+        overlap=int(spec.get("overlap", 16)),
+    )
+
+
+def _stage_sessionize_ext(df, spec, pctx):
+    # {"by": col, "ts": col, "gap": n, "tiebreak": [cols], "as": name}
+    from pincette_json_streams_spark.functions.timeseries import sessionize
+
+    return sessionize(
+        df,
+        by=spec["by"],
+        ts=spec["ts"],
+        gap=int(spec["gap"]),
+        tiebreak=spec.get("tiebreak"),
+        out=spec.get("as", "session_id"),
+    )
+
+
+def _stage_asof_lookup_ext(df, spec, pctx):
+    # {"from": collection, "on": col, "by": col, "rightOn": col,
+    #  "rightBy": col, "as": field, "tiebreak": col} — backward as-of
+    # match against a catalog collection (functions/timeseries.py)
+    from pincette_json_streams_spark.functions.timeseries import asof_join
+
+    right = pctx.collection(spec["from"])
+    return asof_join(
+        df,
+        right,
+        on=spec["on"],
+        by=spec["by"],
+        right_on=spec.get("rightOn"),
+        right_by=spec.get("rightBy"),
+        as_field=spec.get("as", "matched"),
+        tiebreak=spec.get("tiebreak"),
+    )
+
+
+def _stage_scrub_pii_ext(df, spec, pctx):
+    # {"field": col} or {"field": col, "as": out} — typed-placeholder
+    # PII redaction (functions/text.py scrub_pii)
+    from pincette_json_streams_spark.functions.text import scrub_pii
+
+    field = spec.get("field", "text") if isinstance(spec, dict) else spec
+    out = spec.get("as", field) if isinstance(spec, dict) else field
+    return df.withColumn(out, scrub_pii(F.col(field)))
+
+
 def _effect(name: str):
     # lazy import: effects pull in transports/crypto only when used
     def h(df, spec, pctx):
@@ -816,4 +873,8 @@ STAGES: dict[str, Callable[[DataFrame, Any, PipelineContext], DataFrame]] = {
     "$limit": _stage_limit_ext,
     "$skip": lambda df, spec, pctx: df.offset(int(spec)),
     "$sample": _stage_sample_ext,
+    "$chunk": _stage_chunk_ext,
+    "$sessionize": _stage_sessionize_ext,
+    "$asofLookup": _stage_asof_lookup_ext,
+    "$scrubPii": _stage_scrub_pii_ext,
 }

@@ -302,3 +302,47 @@ class TestBatchExtensions:
             .executedPlan().toString()
         frac = run(people, [{"$sample": {"fraction": 1.0}}])
         assert frac.count() == 4
+
+    def test_chunk_stage(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c d e f")], "doc_id long, text string"
+        )
+        out = rows(df, [{"$chunk": {"size": 4, "overlap": 2}}])
+        assert [(r["chunk_idx"], r["chunk"]) for r in
+                sorted(out, key=lambda r: r["chunk_idx"])] == [
+            (0, "a b c d"), (1, "c d e f"),
+        ]
+
+    def test_sessionize_stage(self, spark):
+        df = spark.createDataFrame(
+            [(1, 0), (1, 500), (2, 0)], "u long, t long"
+        )
+        out = rows(df, [
+            {"$sessionize": {"by": "u", "ts": "t", "gap": 100}},
+        ])
+        got = {(r["u"], r["t"]): r["session_id"] for r in out}
+        assert got == {(1, 0): 1, (1, 500): 2, (2, 0): 1}
+
+    def test_asof_lookup_stage(self, spark):
+        left = spark.createDataFrame(
+            [(1, 10, 15)], "eid long, k long, t long"
+        )
+        quotes = spark.createDataFrame(
+            [(10, 12, "b"), (10, 20, "c")], "k long, t long, v string"
+        )
+        out = rows(
+            left,
+            [{"$asofLookup": {"from": "quotes", "on": "t", "by": "k",
+                              "as": "q"}}],
+            catalog={"quotes": quotes},
+        )
+        assert out[0]["q"]["v"] == "b"
+
+    def test_scrub_pii_stage(self, spark):
+        df = spark.createDataFrame(
+            [(1, "mail me at bob@corp.example.org now")],
+            "doc_id long, text string",
+        )
+        out = rows(df, [{"$scrubPii": {"field": "text"}}])
+        assert "<EMAIL>" in out[0]["text"]
+        assert "bob@" not in out[0]["text"]
