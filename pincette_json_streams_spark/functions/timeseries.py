@@ -18,7 +18,7 @@ from typing import Optional, Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "sessionize"]
+__all__ = ["asof_join", "sessionize", "sessionize_stream"]
 
 
 def asof_join(
@@ -124,3 +124,37 @@ def sessionize(
     return df.withColumn("__new", new_session).withColumn(
         out, F.sum("__new").over(running)
     ).drop("__new")
+
+
+def sessionize_stream(
+    df: DataFrame,
+    by: str,
+    ts: str,
+    gap_duration: str,
+    watermark: str = "1 hour",
+    aggs: Optional[dict[str, Column]] = None,
+) -> DataFrame:
+    """Streaming sessionization over Spark's NATIVE session window —
+    state management, session merging and late-data expiry come from
+    the engine (no custom ``applyInPandasWithState`` needed).  ``ts``
+    must be a timestamp column; ``gap_duration`` e.g. ``"8 hours"``.
+
+    Emits one row per closed session (watermark passed) with
+    ``session_start``/``session_end`` plus ``aggs`` (default: event
+    count).  Boundary nuance vs the batch ``sessionize``: the native
+    window starts a new session when the gap is >= gap_duration, while
+    the batch twin uses strictly-greater — equal-to-gap events land in
+    the previous session there."""
+    aggs = aggs or {"n_events": F.count(F.lit(1))}
+    win = F.session_window(F.col(ts), gap_duration)
+    return (
+        df.withWatermark(ts, watermark)
+        .groupBy(F.col(by), win)
+        .agg(*[c.alias(n) for n, c in aggs.items()])
+        .select(
+            F.col(by),
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            *aggs.keys(),
+        )
+    )

@@ -105,6 +105,42 @@ class TestStreamParts:
         assert len(got) == 3
 
 
+class TestStreamingSessionize:
+    def test_native_session_window(self, spark, tmp_path):
+        """sessionize_stream rides Spark's native session_window: events
+        within the gap merge into one session, a larger gap splits."""
+        import pyspark.sql.functions as F
+
+        from pincette_json_streams_spark.functions.timeseries import (
+            sessionize_stream,
+        )
+        d = str(tmp_path / "ev")
+        spark.createDataFrame(
+            [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:03:00"),
+             (1, "2024-01-01 02:00:00"), (2, "2024-01-01 00:00:00")],
+            "u long, t string",
+        ).select("u", F.col("t").cast("timestamp").alias("t")) \
+         .write.parquet(d)
+        src = (spark.readStream.schema("u long, t timestamp")
+               .format("parquet").load(d))
+        sess = sessionize_stream(
+            src, by="u", ts="t", gap_duration="10 minutes",
+            watermark="0 seconds",
+        )
+        q = (sess.writeStream.format("memory").queryName("mem_sess")
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = {(r["u"], str(r["session_start"])): r["n_events"]
+               for r in spark.sql("SELECT * FROM mem_sess").collect()}
+        # user 1: two events 3 min apart merge; the 02:00 event is its
+        # own session.  append mode only emits watermark-closed sessions;
+        # with the 0s watermark held at max event time, the last session
+        # per user stays open — so we see the merged early session only.
+        assert got[(1, "2024-01-01 00:00:00")] == 2
+
+
 class TestStreamingJoin:
     def test_windowed_stream_join(self, spark, tmp_path):
         """join part with a window (docs/join.md:14): watermarked
