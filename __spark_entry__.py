@@ -1494,6 +1494,81 @@ GROUP BY doc_id
 """
 
 
+def q_quantize_embeddings(spark, sf_dir):
+    """int8 scalar quantization of the embedding column (ANN-index
+    storage prep): per-vector scale + quantized array checksum.  One
+    codegen pass, no shuffle; double math on both engines."""
+    from pincette_json_streams_spark.functions.similarity import (
+        quantize_embeddings,
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(emb)
+    return q.select(
+        "vec_id",
+        F.round(F.col("q_scale"), 8).alias("scale"),
+        F.aggregate(
+            "q", F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
+        ).alias("q_sum"),
+        F.array_min("q").cast("long").alias("q_min"),
+        F.array_max("q").cast("long").alias("q_max"),
+    )
+
+
+_ORACLE_QUANTIZE = """
+WITH s AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS amax
+  FROM embeddings
+), sc AS (
+  SELECT vec_id, CASE WHEN amax > 0 THEN amax / 127.0 ELSE 1.0 END AS sc
+  FROM s
+), q AS (
+  SELECT e.vec_id, sc.sc,
+         list_transform(e.embedding, x -> round(x::DOUBLE / sc.sc)::BIGINT)
+           AS qv
+  FROM embeddings e JOIN sc ON e.vec_id = sc.vec_id
+)
+SELECT vec_id, round(sc, 8) AS scale,
+       list_sum(qv)::BIGINT AS q_sum,
+       list_min(qv)::BIGINT AS q_min,
+       list_max(qv)::BIGINT AS q_max
+FROM q
+"""
+
+
+def q_quality_trim(spark, sf_dir):
+    """Percentile-threshold corpus trimming: per-language p5/p95 length
+    cutoffs computed in one hash agg, broadcast back onto the scan, docs
+    outside the band dropped — the winsorize/trim pass of corpus
+    curation.  Thresholds are tiny (one row per language), so the
+    join-back never shuffles the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    th = docs.groupBy("lang").agg(
+        F.percentile("n_chars", F.lit(0.05)).alias("lo"),
+        F.percentile("n_chars", F.lit(0.95)).alias("hi"),
+    )
+    kept = docs.join(F.broadcast(th), "lang").filter(
+        (F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") <= F.col("hi"))
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+_ORACLE_QUALITY_TRIM = """
+WITH th AS (
+  SELECT lang, quantile_cont(n_chars, 0.05) AS lo,
+         quantile_cont(n_chars, 0.95) AS hi
+  FROM documents GROUP BY lang
+)
+SELECT d.lang, count(*) AS n_kept, round(avg(d.n_chars), 4) AS avg_chars
+FROM documents d JOIN th ON d.lang = th.lang
+WHERE d.n_chars >= th.lo AND d.n_chars <= th.hi
+GROUP BY d.lang
+"""
+
+
 def q_chunk_docs(spark, sf_dir):
     """Context-window chunking (functions/text.py chunk_documents):
     32-word windows, 8-word overlap; per-chunk word count.  Native
@@ -2505,6 +2580,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "sessionize_events": q_sessionize_events,
         "chunk_docs": q_chunk_docs,
+        "quantize_embeddings": q_quantize_embeddings,
+        "quality_trim": q_quality_trim,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_clusters": q_dedup_clusters,
@@ -2578,6 +2655,8 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": _ORACLE_ASOF,
         "sessionize_events": _ORACLE_SESSIONIZE,
         "chunk_docs": _ORACLE_CHUNK,
+        "quantize_embeddings": _ORACLE_QUANTIZE,
+        "quality_trim": _ORACLE_QUALITY_TRIM,
         "dedup_exact": _ORACLE_DEDUP_EXACT,
         "dedup_minhash": _oracle_minhash(),
         "dedup_clusters": _oracle_dedup_clusters(),

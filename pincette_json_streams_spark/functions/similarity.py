@@ -23,8 +23,38 @@ from pincette_json_streams_spark.functions.dedup import (
 )
 
 __all__ = [
-    "brute_force_topk", "ivf_topk", "lsh_topk", "train_kmeans_centroids",
+    "brute_force_topk", "ivf_topk", "lsh_topk", "quantize_embeddings",
+    "train_kmeans_centroids",
 ]
+
+
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", out: str = "q"
+) -> DataFrame:
+    """Symmetric int8 scalar quantization — the storage-prep step of an
+    ANN index (4x smaller vectors, SIMD-friendly dot products).  Adds
+    ``{out}`` (array<tinyint>) and ``{out}_scale`` (the per-vector
+    dequantization factor max|x|/127).
+
+    Pure higher-order Columns inside whole-stage codegen: one pass, no
+    UDF, no shuffle.  Math runs in double on BOTH engines (the float32
+    source is upcast first) so a SQL oracle reproduces it bit-for-bit."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(v, F.abs))
+    # scale materializes as a real column BEFORE the per-element lambda:
+    # an inline expression would re-embed the array_max subtree per
+    # element (O(d^2) per vector — the CollapseProject trap)
+    scaled = df.withColumn(
+        out + "_scale",
+        F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(1.0)),
+    )
+    return scaled.withColumn(
+        out,
+        F.transform(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")),
+            lambda x: F.round(x / F.col(out + "_scale")).cast("tinyint"),
+        ),
+    )
 
 
 def brute_force_topk(

@@ -435,6 +435,24 @@ class TestSimilarity:
         assert (0, 2) not in pairs
 
 
+class TestQuantize:
+    def test_int8_symmetric(self, spark):
+        from pincette_json_streams_spark.functions.similarity import (
+            quantize_embeddings,
+        )
+        df = spark.createDataFrame(
+            [(0, [1.0, -2.0, 0.5]), (1, [0.0, 0.0, 0.0])],
+            "vec_id long, embedding array<float>",
+        )
+        out = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+        # scale = max|x|/127 = 2/127; q = round(x/scale)
+        assert out[0]["q"] == [64, -127, 32]
+        assert abs(out[0]["q_scale"] - 2.0 / 127) < 1e-12
+        # zero vector: scale falls back to 1, q stays all-zero
+        assert out[1]["q"] == [0, 0, 0]
+        assert out[1]["q_scale"] == 1.0
+
+
 class TestSampling:
     def test_hash_sample_deterministic_and_stable(self, spark):
         from pincette_json_streams_spark.functions.sampling import (
