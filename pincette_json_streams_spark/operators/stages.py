@@ -61,6 +61,9 @@ class PipelineContext:
     # $s3Csv resume positions (get/put) — the reference's resumeCollection
     resume_store: Optional[Any] = None
     object_store: Optional[Any] = None
+    # $lag consumer-lag snapshot provider: () -> {group: {topic: {part:
+    # n}}} — Kafka AdminClient in production, injectable fake in tests
+    lag_provider: Optional[Callable[[], dict]] = None
 
     def collection(self, name: str) -> DataFrame:
         if name not in self.catalog:
@@ -764,6 +767,68 @@ def _stage_sample_ext(df, spec, pctx):
     return df.orderBy(F.rand(seed)).limit(n)
 
 
+def _stage_lag(df, spec, pctx):
+    # $lag (docs/aggregation_stages.md:279-303): attach the Kafka
+    # consumer-lag snapshot under `as`.  The lag source is an injectable
+    # provider (AdminClient in production; tests inject a fake) — same
+    # philosophy as http_transport/object_store.  The object's keys are
+    # dynamic (consumer groups/topics/partitions), so it lands as a JSON
+    # string column, the engine's representation for open-schema values.
+    as_field = spec.get("as", "lag") if isinstance(spec, dict) else "lag"
+    provider = pctx.lag_provider
+    if provider is None:
+        # no admin client in this runtime: documented no-op
+        return df
+
+    schema_str = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", `{as_field}` string"
+
+    def attach(batches):
+        import json as _json
+
+        snap = _json.dumps(provider())
+        for pdf in batches:
+            pdf[as_field] = snap
+            yield pdf
+
+    return df.mapInPandas(attach, schema=schema_str)
+
+
+def _stage_throttle(df, spec, pctx):
+    # $throttle (docs/aggregation_stages.md:787-802): cap pipeline
+    # throughput at maxPerSecond.  Streaming: an executor-side pacing
+    # pass — each task sleeps off the remainder of its rows' rate
+    # budget (rate split across partitions), which caps steady-state
+    # throughput like Kafka quotas do, without any driver coordination.
+    # Batch: no-op (a bounded job has no sustained rate to cap); source
+    # knobs (maxOffsetsPerTrigger/maxFilesPerTrigger) remain the
+    # coarse-grained companion in kafka_source/file_stream_catalog.
+    rate = None
+    if isinstance(spec, dict) and spec.get("maxPerSecond"):
+        rate = float(spec["maxPerSecond"])
+    if not rate or not df.isStreaming:
+        return df
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    per_part = max(rate / max(parallelism, 1), 1e-9)
+    schema_str = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+
+    def pace(batches):
+        import time as _time
+
+        for pdf in batches:
+            t0 = _time.time()
+            yield pdf
+            budget = len(pdf) / per_part
+            elapsed = _time.time() - t0
+            if budget > elapsed:
+                _time.sleep(min(budget - elapsed, 30.0))
+
+    return df.mapInPandas(pace, schema=schema_str)
+
+
 def _stage_chunk_ext(df, spec, pctx):
     # {"text": col, "size": n, "overlap": n} — context-window chunking
     # (functions/text.py chunk_documents)
@@ -853,8 +918,8 @@ STAGES: dict[str, Callable[[DataFrame, Any, PipelineContext], DataFrame]] = {
     "$trace": _stage_trace,
     "$log": _stage_noop,
     "$probe": _stage_probe,
-    "$lag": _stage_noop,
-    "$throttle": _stage_noop,  # maps to source rate options in streaming
+    "$lag": _stage_lag,
+    "$throttle": _stage_throttle,
     "$out": _stage_out,
     "$merge": _stage_merge,
     # side-effect stages (streaming/effects.py)

@@ -338,6 +338,28 @@ class TestBatchExtensions:
         )
         assert out[0]["q"]["v"] == "b"
 
+    def test_lag_stage_with_provider(self, spark):
+        import json
+        df = spark.createDataFrame([(1,)], "x long")
+        out = rows(
+            df,
+            [{"$lag": {"as": "messageLag"}}],
+            lag_provider=lambda: {"my-consumer": {"topic1": {"0": 3}}},
+        )
+        assert json.loads(out[0]["messageLag"]) == {
+            "my-consumer": {"topic1": {"0": 3}}
+        }
+
+    def test_lag_stage_noop_without_provider(self, spark):
+        df = spark.createDataFrame([(1,)], "x long")
+        out = run(df, [{"$lag": {"as": "messageLag"}}])
+        assert out.columns == ["x"]
+
+    def test_throttle_noop_in_batch(self, spark):
+        df = spark.createDataFrame([(1,), (2,)], "x long")
+        out = run(df, [{"$throttle": {"maxPerSecond": 1}}])
+        assert sorted(r["x"] for r in out.collect()) == [1, 2]
+
     def test_scrub_pii_stage(self, spark):
         df = spark.createDataFrame(
             [(1, "mail me at bob@corp.example.org now")],

@@ -141,6 +141,35 @@ class TestStreamingSessionize:
         assert got[(1, "2024-01-01 00:00:00")] == 2
 
 
+class TestStreamingThrottle:
+    def test_throttle_paces_stream(self, spark, tmp_path, people_dir):
+        """$throttle maxPerSecond genuinely slows the stream: 4 rows at
+        an aggregate ~6 rows/s budget must take >= ~0.5 s of executor
+        pacing, and every row still arrives exactly once."""
+        import time
+
+        catalog = file_stream_catalog(
+            spark, {"people": people_dir}, {"people": PEOPLE_SCHEMA})
+        app = StreamingApp(spark, {
+            "application": "thr", "parts": [
+                {"type": "stream", "name": "t", "fromTopic": "people",
+                 "toTopic": "slow", "pipeline": [
+                     {"$throttle": {"maxPerSecond": 6}},
+                     {"$project": {"_id": 1}},
+                 ]},
+            ],
+        }, catalog)
+        sink = memory_sink(tmp_path)
+        t0 = time.time()
+        app.run_until_drained(sink)
+        elapsed = time.time() - t0
+        got = spark.sql(f"SELECT * FROM mem_{sink.run_id}_slow").collect()
+        assert len(got) == 4
+        # 4 rows / (6/s split over cores): at least one task must have
+        # slept; bound loosely to stay robust under load
+        assert elapsed >= 0.4
+
+
 class TestStreamingJoin:
     def test_windowed_stream_join(self, spark, tmp_path):
         """join part with a window (docs/join.md:14): watermarked
