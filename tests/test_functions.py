@@ -282,6 +282,86 @@ class TestTimeseries:
         assert got == {(1, 0): 1, (1, 50): 1, (1, 200): 2,
                        (1, 210): 2, (2, 0): 1}
 
+    def test_asof_join_matches_naive(self, spark):
+        """Property: asof_join == per-row 'latest right at-or-before'
+        on random keyed event sets (dedup'd right instants so the match
+        is well-defined)."""
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from pincette_json_streams_spark.functions.timeseries import (
+            asof_join,
+        )
+
+        ev = st.tuples(st.integers(0, 3), st.integers(0, 50))
+
+        @settings(max_examples=5, deadline=None,
+                  suppress_health_check=list(HealthCheck))
+        @given(st.lists(ev, min_size=1, max_size=15),
+               st.lists(ev, min_size=1, max_size=15))
+        def check(lefts, rights):
+            rmap = {}
+            for i, (k, t) in enumerate(rights):
+                rmap[(k, t)] = i  # last write wins per instant
+            rrows = [(k, t, v) for (k, t), v in rmap.items()]
+
+            def naive(k, t):
+                cands = [(rt, v) for (rk, rt, v) in rrows
+                         if rk == k and rt <= t]
+                return max(cands)[1] if cands else None
+
+            left = spark.createDataFrame(
+                [(i, k, t) for i, (k, t) in enumerate(lefts)],
+                "eid long, k long, t long",
+            )
+            right = spark.createDataFrame(rrows, "k long, t long, v long")
+            got = {
+                r["eid"]: (r["m"]["v"] if r["m"] else None)
+                for r in asof_join(
+                    left, right, on="t", by="k", as_field="m"
+                ).collect()
+            }
+            want = {i: naive(k, t) for i, (k, t) in enumerate(lefts)}
+            assert got == want
+
+        check()
+
+    def test_sessionize_matches_naive(self, spark):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from pincette_json_streams_spark.functions.timeseries import (
+            sessionize,
+        )
+
+        @settings(max_examples=5, deadline=None,
+                  suppress_health_check=list(HealthCheck))
+        @given(st.lists(
+            st.tuples(st.integers(0, 2), st.integers(0, 100)),
+            min_size=1, max_size=20, unique=True,
+        ), st.integers(1, 30))
+        def check(events, gap):
+            want = {}
+            by_key: dict = {}
+            for k, t in sorted(events):
+                by_key.setdefault(k, []).append(t)
+            for k, ts in by_key.items():
+                sid = 0
+                prev = None
+                for t in ts:
+                    if prev is None or t - prev > gap:
+                        sid += 1
+                    want[(k, t)] = sid
+                    prev = t
+
+            df = spark.createDataFrame(events, "u long, t long")
+            got = {(r["u"], r["t"]): r["session_id"]
+                   for r in sessionize(df, by="u", ts="t", gap=gap)
+                   .collect()}
+            assert got == want
+
+        check()
+
 
 class TestDedup:
     def test_exact(self, spark):
