@@ -1494,6 +1494,43 @@ GROUP BY doc_id
 """
 
 
+def q_tfidf_terms(spark, sf_dir):
+    """Per-language top-5 TF-IDF terms (functions/text.py
+    tfidf_top_terms): two hash aggs + broadcast IDF + WindowGroupLimit
+    top-k."""
+    from pincette_json_streams_spark.functions.text import tfidf_top_terms
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, k=5)
+
+
+_ORACLE_TFIDF = f"""
+WITH toks AS (
+  SELECT lang, doc_id, unnest(string_split({_sql_norm()}, ' ')) AS w
+  FROM documents
+), total AS (
+  SELECT count(DISTINCT doc_id) AS n FROM documents
+), dfq AS (
+  SELECT w, count(*) AS dfreq FROM (
+    SELECT DISTINCT doc_id, w FROM toks
+  ) GROUP BY w
+), tf AS (
+  SELECT lang, w, count(*) AS tf FROM toks GROUP BY 1, 2
+), scored AS (
+  SELECT tf.lang, tf.w, tf.tf, dfq.dfreq,
+         tf.tf * ln((SELECT n FROM total)::DOUBLE / dfq.dfreq) AS score
+  FROM tf JOIN dfq ON tf.w = dfq.w
+), ranked AS (
+  SELECT lang, w, tf, dfreq, score,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY score DESC, w ASC) AS rank
+  FROM scored
+)
+SELECT lang, rank::BIGINT AS rank, w AS term, tf, dfreq,
+       round(score, 6) AS score
+FROM ranked WHERE rank <= 5
+"""
+
+
 def q_quantize_embeddings(spark, sf_dir):
     """int8 scalar quantization of the embedding column (ANN-index
     storage prep): per-vector scale + quantized array checksum.  One
@@ -2582,6 +2619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": q_chunk_docs,
         "quantize_embeddings": q_quantize_embeddings,
         "quality_trim": q_quality_trim,
+        "tfidf_terms": q_tfidf_terms,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_clusters": q_dedup_clusters,
@@ -2657,6 +2695,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_docs": _ORACLE_CHUNK,
         "quantize_embeddings": _ORACLE_QUANTIZE,
         "quality_trim": _ORACLE_QUALITY_TRIM,
+        "tfidf_terms": _ORACLE_TFIDF,
         "dedup_exact": _ORACLE_DEDUP_EXACT,
         "dedup_minhash": _oracle_minhash(),
         "dedup_clusters": _oracle_dedup_clusters(),

@@ -22,8 +22,8 @@ __all__ = [
     "quality_score", "lang_id", "fingerprint", "shingles", "word_ngrams",
     "with_text_features", "quality_score_from", "scrub_pii", "pii_counts",
     "token_vocabulary", "with_repetition_features", "benchmark_overlap",
-    "unigram_logprob", "chunk_documents", "STOPWORDS", "LANG_MARKERS",
-    "BPE_TOKEN_RE", "PII_PATTERNS",
+    "unigram_logprob", "chunk_documents", "tfidf_top_terms", "STOPWORDS",
+    "LANG_MARKERS", "BPE_TOKEN_RE", "PII_PATTERNS",
 ]
 
 # A compact English stopword list (public knowledge).
@@ -438,6 +438,60 @@ def unigram_logprob(
         .agg(
             F.round(F.avg("logp"), 6).alias("mean_logprob"),
             F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per group — the corpus-characterization
+    pass (what distinguishes each language/source slice).  Ranked by
+    ``tf * ln(N / df)`` descending, term ascending on ties.
+
+    Plan: token explode feeds two hash aggregations (group-term TF and
+    corpus DF, both with map-side combine); document count and IDF table
+    are broadcast back (tiny); per-group top-k is a rank window that
+    WindowGroupLimit prunes before the final shuffle."""
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(group_col),
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " "))
+        .alias("__w"),
+    )
+    total = df.agg(F.count_distinct(id_col).alias("__n"))
+    docfreq = (
+        toks.select(id_col, "__w").distinct()
+        .groupBy("__w").agg(F.count(F.lit(1)).alias("dfreq"))
+    )
+    idf = docfreq.crossJoin(F.broadcast(total)).select(
+        "__w", "dfreq", F.log(F.col("__n") / F.col("dfreq")).alias("__idf")
+    )
+    tf = toks.groupBy(group_col, "__w").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    scored = tf.join(F.broadcast(idf), "__w").withColumn(
+        "__score", F.col("tf") * F.col("__idf")
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("__score").desc(), F.col("__w").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col(group_col),
+            F.col("rank").cast("long").alias("rank"),
+            F.col("__w").alias("term"),
+            F.col("tf").cast("long").alias("tf"),
+            F.col("dfreq").cast("long").alias("dfreq"),
+            F.round("__score", 6).alias("score"),
         )
     )
 

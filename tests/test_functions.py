@@ -186,6 +186,29 @@ class TestRepetition:
         }
         assert out == {0: 1, 2: 2}
 
+    def test_tfidf_top_terms(self, spark):
+        import math
+
+        from pincette_json_streams_spark.functions.text import (
+            tfidf_top_terms,
+        )
+        df = spark.createDataFrame(
+            [(0, "en", "apple apple banana"),
+             (1, "en", "banana cherry"),
+             (2, "de", "apfel apfel apfel")],
+            "doc_id long, lang string, text string",
+        )
+        out = tfidf_top_terms(df, k=2)
+        en = sorted(
+            (r["rank"], r["term"], r["tf"], r["score"])
+            for r in out.collect() if r["lang"] == "en"
+        )
+        # en scores: apple 2*ln3 = 2.197, cherry 1*ln3 = 1.099,
+        # banana 2*ln1.5 = 0.811 -> top-2 is apple, cherry
+        assert en[0][1] == "apple" and en[0][0] == 1
+        assert abs(en[0][3] - round(2 * math.log(3), 6)) < 1e-9
+        assert en[1][1] == "cherry"
+
     def test_chunk_documents(self, spark):
         from pincette_json_streams_spark.functions.text import (
             chunk_documents,
