@@ -30,6 +30,7 @@ def asof_join(
     right_by: Optional[str] = None,
     as_field: str = "matched",
     tiebreak: Optional[str] = None,
+    bucket_span: Optional[int] = None,
 ) -> DataFrame:
     """Backward as-of join: for every left row, the right row with the
     greatest ``right_on`` <= ``on`` within the same ``by`` group (the
@@ -43,6 +44,16 @@ def asof_join(
     running window — then keep only left rows.  One shuffle total (the
     window's partitionBy), versus the naive per-left-row range join
     which is O(left x right) within each key.
+
+    **Skew**: with the plain form a hot entity key sorts in ONE task.
+    Pass ``bucket_span`` (time units per bucket; e.g. a day of epoch
+    nanos) to partition each key's timeline into
+    ``floor(ts / bucket_span)`` buckets: the running window then works
+    per (key, bucket) — a hot key spreads over its buckets — and
+    bucket-boundary matches are restored from a per-(key, bucket)
+    carry table (one row per non-empty bucket) whose prefix scan is
+    tiny.  Output is identical to the unbucketed form (property-
+    tested).
 
     ``on``/``right_on`` must be mutually comparable (use epoch longs
     across mixed timestamp flavors).  With ``tiebreak`` (a right-side
@@ -77,17 +88,62 @@ def asof_join(
         # themselves by tiebreak (greatest wins the running last());
         # left rows still sort after all of them
         order.append(F.col("__r")[tiebreak])
-    w = (
-        Window.partitionBy("__by")
+
+    if bucket_span is None:
+        w = (
+            Window.partitionBy("__by")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        matched = (
+            l2.unionByName(r2)
+            .withColumn("__m", F.last("__r", ignorenulls=True).over(w))
+            .filter(F.col("__side") == 1)
+        )
+        return matched.select("__l.*", F.col("__m").alias(as_field))
+
+    u = l2.unionByName(r2).withColumn(
+        "__b", F.floor(F.col("__ts") / F.lit(int(bucket_span)))
+    )
+    w_in = (
+        Window.partitionBy("__by", "__b")
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    matched = (
-        l2.unionByName(r2)
-        .withColumn("__m", F.last("__r", ignorenulls=True).over(w))
-        .filter(F.col("__side") == 1)
+    in_bucket = u.withColumn(
+        "__m", F.last("__r", ignorenulls=True).over(w_in)
     )
-    return matched.select("__l.*", F.col("__m").alias(as_field))
+    # carry table: the latest right row of each non-empty (key, bucket),
+    # then for every bucket in the spine the latest right row of any
+    # STRICTLY EARLIER bucket — tiny (one row per key-bucket), so its
+    # key-partitioned prefix window is never the skew bottleneck
+    rank = F.struct(
+        F.col("__ts"),
+        F.col("__r")[tiebreak] if tiebreak is not None else F.lit(0),
+    )
+    rb = (
+        u.filter(F.col("__side") == 0)
+        .groupBy("__by", "__b")
+        .agg(F.max_by("__r", rank).alias("__last"))
+    )
+    spine = u.select("__by", "__b").distinct()
+    w_seed = (
+        Window.partitionBy("__by")
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seeds = (
+        spine.join(rb, ["__by", "__b"], "left")
+        .withColumn("__seed", F.last("__last", ignorenulls=True)
+                    .over(w_seed))
+        .select("__by", "__b", "__seed")
+    )
+    matched = (
+        in_bucket.filter(F.col("__side") == 1)
+        .join(seeds, ["__by", "__b"], "left")
+        .withColumn("__m2", F.coalesce(F.col("__m"), F.col("__seed")))
+    )
+    return matched.select("__l.*", F.col("__m2").alias(as_field))
 
 
 def sessionize(

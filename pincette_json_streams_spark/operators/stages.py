@@ -847,6 +847,13 @@ def _stage_sessionize_ext(df, spec, pctx):
     # {"by": col, "ts": col, "gap": n, "tiebreak": [cols], "as": name}
     from pincette_json_streams_spark.functions.timeseries import sessionize
 
+    if df.isStreaming:
+        # running-sum windows don't exist on streams; the native
+        # session_window path has a different (windowed-agg) shape
+        raise UnsupportedExpression(
+            "$sessionize is batch-only; use "
+            "functions.timeseries.sessionize_stream for streams"
+        )
     return sessionize(
         df,
         by=spec["by"],

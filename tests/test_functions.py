@@ -338,14 +338,18 @@ class TestTimeseries:
                 "eid long, k long, t long",
             )
             right = spark.createDataFrame(rrows, "k long, t long, v long")
-            got = {
-                r["eid"]: (r["m"]["v"] if r["m"] else None)
-                for r in asof_join(
-                    left, right, on="t", by="k", as_field="m"
-                ).collect()
-            }
             want = {i: naive(k, t) for i, (k, t) in enumerate(lefts)}
-            assert got == want
+            # plain and skew-bucketed forms must agree with the naive
+            # reference (span 7 forces multiple buckets + empty buckets)
+            for span in (None, 7):
+                got = {
+                    r["eid"]: (r["m"]["v"] if r["m"] else None)
+                    for r in asof_join(
+                        left, right, on="t", by="k", as_field="m",
+                        bucket_span=span,
+                    ).collect()
+                }
+                assert got == want, f"span={span}"
 
         check()
 
