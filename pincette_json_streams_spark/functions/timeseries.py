@@ -153,6 +153,7 @@ def sessionize(
     gap: int,
     tiebreak: Optional[Sequence[str]] = None,
     out: str = "session_id",
+    bucket_span: Optional[int] = None,
 ) -> DataFrame:
     """Gap-based sessionization: within each ``by`` group ordered by
     ``ts``, a new session starts when the gap to the previous row is
@@ -161,25 +162,84 @@ def sessionize(
 
     lag + running sum over one keyed window — a single shuffle; session
     aggregation afterwards groups on (by, session_id) and reuses the
-    same partitioning."""
+    same partitioning.
+
+    **Skew**: as with ``asof_join``, pass ``bucket_span`` to split each
+    key's timeline into time buckets.  Rows get LOCAL session ids per
+    (key, bucket); a per-bucket summary (first/last ts, session count —
+    one row per non-empty bucket) is prefix-scanned per key to derive
+    each bucket's global offset and whether its first session continues
+    the previous bucket's last session.  Output is identical to the
+    plain form (property-tested)."""
     order = [F.col(ts)] + [F.col(c) for c in (tiebreak or [])]
-    w = Window.partitionBy(by).orderBy(*order)
-    new_session = (
-        F.when(
-            (F.col(ts) - F.lag(ts).over(w) > gap)
-            | F.lag(ts).over(w).isNull(),
-            1,
+
+    if bucket_span is None:
+        w = Window.partitionBy(by).orderBy(*order)
+        new_session = (
+            F.when(
+                (F.col(ts) - F.lag(ts).over(w) > gap)
+                | F.lag(ts).over(w).isNull(),
+                1,
+            )
+            .otherwise(0)
         )
-        .otherwise(0)
+        running = (
+            Window.partitionBy(by)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return df.withColumn("__new", new_session).withColumn(
+            out, F.sum("__new").over(running)
+        ).drop("__new")
+
+    b = F.floor(F.col(ts) / F.lit(int(bucket_span)))
+    w_local = Window.partitionBy(by, "__b").orderBy(*order)
+    run_local = w_local.rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
-    running = (
-        Window.partitionBy(by)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    local = (
+        df.withColumn("__b", b)
+        .withColumn(
+            "__new",
+            F.when(
+                (F.col(ts) - F.lag(ts).over(w_local) > gap)
+                | F.lag(ts).over(w_local).isNull(),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("__lsid", F.sum("__new").over(run_local))
     )
-    return df.withColumn("__new", new_session).withColumn(
-        out, F.sum("__new").over(running)
-    ).drop("__new")
+    summary = local.groupBy(by, "__b").agg(
+        F.min(ts).alias("__first"),
+        F.max(ts).alias("__last"),
+        F.max("__lsid").alias("__n"),
+    )
+    w_key = Window.partitionBy(by).orderBy("__b")
+    # first local session merges into the previous bucket's last session
+    # when the cross-boundary gap is within `gap`
+    merged = summary.withColumn(
+        "__merge",
+        F.when(
+            F.col("__first") - F.lag("__last").over(w_key) <= gap, 1
+        ).otherwise(0),
+    ).withColumn(
+        "__offset",
+        F.coalesce(
+            F.sum(F.col("__n") - F.col("__merge")).over(
+                w_key.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    return (
+        local.join(
+            merged.select(by, "__b", "__merge", "__offset"), [by, "__b"]
+        )
+        .withColumn(
+            out, F.col("__offset") + F.col("__lsid") - F.col("__merge")
+        )
+        .drop("__b", "__new", "__lsid", "__merge", "__offset")
+    )
 
 
 def sessionize_stream(

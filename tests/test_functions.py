@@ -382,10 +382,13 @@ class TestTimeseries:
                     prev = t
 
             df = spark.createDataFrame(events, "u long, t long")
-            got = {(r["u"], r["t"]): r["session_id"]
-                   for r in sessionize(df, by="u", ts="t", gap=gap)
-                   .collect()}
-            assert got == want
+            # plain and skew-bucketed forms against the naive reference
+            # (span 13 exercises cross-bucket session merging)
+            for span in (None, 13):
+                got = {(r["u"], r["t"]): r["session_id"]
+                       for r in sessionize(df, by="u", ts="t", gap=gap,
+                                           bucket_span=span).collect()}
+                assert got == want, f"span={span}"
 
         check()
 
