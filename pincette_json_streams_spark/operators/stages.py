@@ -861,6 +861,7 @@ def _stage_sessionize_ext(df, spec, pctx):
         gap=int(spec["gap"]),
         tiebreak=spec.get("tiebreak"),
         out=spec.get("as", "session_id"),
+        bucket_span=spec.get("bucketSpan"),
     )
 
 
@@ -880,6 +881,7 @@ def _stage_asof_lookup_ext(df, spec, pctx):
         right_by=spec.get("rightBy"),
         as_field=spec.get("as", "matched"),
         tiebreak=spec.get("tiebreak"),
+        bucket_span=spec.get("bucketSpan"),
     )
 
 
