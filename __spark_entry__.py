@@ -1961,6 +1961,42 @@ SELECT query_id, rank, vec_id FROM ranked WHERE rank <= 10
 """
 
 
+def q_ann_recall(spark, sf_dir):
+    """Index-quality metric: recall@10 of the IVF approximate top-k
+    against the exact brute-force top-k, per query — the measurement
+    every ANN deployment runs before trusting an index.  Both sides are
+    deterministic (tie-break on vec_id), so recall is exact and
+    oracle-checkable."""
+    from pincette_json_streams_spark.functions.similarity import (
+        brute_force_topk, ivf_topk,
+    )
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, qs, k=10).select("query_id", "vec_id")
+    approx = ivf_topk(emb, qs, k=10, nprobe=2, centroid_stride=64) \
+        .select("query_id", "vec_id")
+    return (
+        exact.join(approx, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg((F.count(F.lit(1)) / 10.0).alias("recall_at_10"))
+    )
+
+
+def _oracle_ann_recall():
+    return f"""
+WITH exact AS ({_ORACLE_ANN}),
+approx AS ({_ORACLE_ANN_IVF})
+SELECT e.query_id, count(*) / 10.0 AS recall_at_10
+FROM exact e JOIN approx a
+  ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+GROUP BY e.query_id
+"""
+
+
 def q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (exact baseline; the LSH
     bucket variant is the scale path)."""
@@ -2629,6 +2665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "ann_recall": q_ann_recall,
         "per_batching": q_per_batching,
         "ann_topk": q_ann_topk,
         "quality_filter": q_quality_filter,
@@ -2705,6 +2742,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": _ORACLE_DEDUP_EMBEDDING,
         "ann_lsh": _oracle_ann_lsh(),
         "ann_ivf": _ORACLE_ANN_IVF,
+        "ann_recall": _oracle_ann_recall(),
         # per_batching: partition-order dependent — rows-only check
         "ann_topk": _ORACLE_ANN,
         "quality_filter": _oracle_quality_filter(),
