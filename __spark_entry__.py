@@ -1531,6 +1531,65 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def q_passage_dedup(spark, sf_dir):
+    """Duplicated-passage removal (exact substring dedup at passage
+    granularity): disjoint 32-word chunks -> content fingerprint ->
+    keep the lexicographically first (doc_id, chunk_idx) occurrence per
+    passage.  Composition of chunk_documents + the dedup_exact group —
+    one explode, one hash agg; at 100 TB the agg shuffles only
+    (fingerprint, keeper-key, count)."""
+    from pincette_json_streams_spark.functions.text import (
+        chunk_documents, fingerprint,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    chunks = chunk_documents(
+        docs.select("doc_id", "text"), size=32, overlap=0
+    )
+    # single sortable keeper key: engine-portable min over the pair
+    keyed = chunks.select(
+        fingerprint(F.col("chunk")).alias("fp"),
+        (F.col("doc_id") * 100000 + F.col("chunk_idx")).alias("__k"),
+    )
+    return (
+        keyed.groupBy("fp")
+        .agg(
+            F.min("__k").alias("__kmin"),
+            F.count(F.lit(1)).cast("long").alias("dup_count"),
+        )
+        .select(
+            F.col("fp").alias("fingerprint"),
+            (F.col("__kmin") / 100000).cast("long").alias("keep_doc"),
+            (F.col("__kmin") % 100000).cast("long").alias("keep_idx"),
+            "dup_count",
+        )
+    )
+
+
+_ORACLE_PASSAGE = f"""
+WITH w AS (
+  SELECT doc_id, string_split({_sql_norm()}, ' ') AS ws FROM documents
+), c AS (
+  SELECT doc_id, ws,
+         unnest(generate_series(
+           0, (greatest(ceil(len(ws) / 32.0), 1)::INT - 1) * 32,
+           32)) AS s
+  FROM w
+), ch AS (
+  SELECT doc_id, s // 32 AS chunk_idx,
+         array_to_string(ws[s + 1:s + 32], ' ') AS chunk
+  FROM c
+), keyed AS (
+  SELECT ('0x' || substr(md5(chunk), 1, 15))::BIGINT AS fingerprint,
+         doc_id * 100000 + chunk_idx AS k
+  FROM ch
+)
+SELECT fingerprint, (min(k) // 100000)::BIGINT AS keep_doc,
+       (min(k) % 100000)::BIGINT AS keep_idx,
+       count(*) AS dup_count
+FROM keyed GROUP BY fingerprint
+"""
+
+
 def q_quantize_embeddings(spark, sf_dir):
     """int8 scalar quantization of the embedding column (ANN-index
     storage prep): per-vector scale + quantized array checksum.  One
@@ -2656,6 +2715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": q_quantize_embeddings,
         "quality_trim": q_quality_trim,
         "tfidf_terms": q_tfidf_terms,
+        "passage_dedup": q_passage_dedup,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_clusters": q_dedup_clusters,
@@ -2733,6 +2793,7 @@ def oracle_sql() -> dict[str, str]:
         "quantize_embeddings": _ORACLE_QUANTIZE,
         "quality_trim": _ORACLE_QUALITY_TRIM,
         "tfidf_terms": _ORACLE_TFIDF,
+        "passage_dedup": _ORACLE_PASSAGE,
         "dedup_exact": _ORACLE_DEDUP_EXACT,
         "dedup_minhash": _oracle_minhash(),
         "dedup_clusters": _oracle_dedup_clusters(),
