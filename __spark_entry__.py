@@ -1531,6 +1531,50 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def q_profile_table(spark, sf_dir):
+    """Per-column profiling of lineitem (functions/profiling.py): nulls,
+    distincts, numeric/timestamp/string extremes — one scan, one
+    hash-agg job for all 11 columns."""
+    from pincette_json_streams_spark.functions.profiling import (
+        profile_table,
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return profile_table(li).withColumn(
+        "min_num", F.round("min_num", 4)
+    ).withColumn("max_num", F.round("max_num", 4))
+
+
+def _oracle_profile():
+    cols = [
+        ("l_orderkey", "num"), ("l_partkey", "num"), ("l_suppkey", "num"),
+        ("l_linenumber", "num"), ("l_quantity", "num"),
+        ("l_extendedprice", "num"), ("l_discount", "num"),
+        ("l_tax", "num"), ("l_returnflag", "str"), ("l_linestatus", "str"),
+        ("l_shipdate", "ts"),
+    ]
+    parts = []
+    for c, kind in cols:
+        if kind == "num":
+            mn = f"round(min({c})::DOUBLE, 4)"
+            mx = f"round(max({c})::DOUBLE, 4)"
+            ms = me = "NULL::VARCHAR"
+        elif kind == "ts":
+            mn = f"round(epoch(min({c}))::DOUBLE, 4)"
+            mx = f"round(epoch(max({c}))::DOUBLE, 4)"
+            ms = me = "NULL::VARCHAR"
+        else:
+            mn = mx = "NULL::DOUBLE"
+            ms, me = f"min({c})", f"max({c})"
+        parts.append(
+            f"SELECT '{c}' AS column, "
+            f"count(*) FILTER (WHERE {c} IS NULL) AS n_nulls, "
+            f"count(DISTINCT {c}) AS n_distinct, "
+            f"{mn} AS min_num, {mx} AS max_num, "
+            f"{ms} AS min_str, {me} AS max_str FROM lineitem"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
 def q_passage_dedup(spark, sf_dir):
     """Duplicated-passage removal (exact substring dedup at passage
     granularity): disjoint 32-word chunks -> content fingerprint ->
@@ -2716,6 +2760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_trim": q_quality_trim,
         "tfidf_terms": q_tfidf_terms,
         "passage_dedup": q_passage_dedup,
+        "profile_table": q_profile_table,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_clusters": q_dedup_clusters,
@@ -2794,6 +2839,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_trim": _ORACLE_QUALITY_TRIM,
         "tfidf_terms": _ORACLE_TFIDF,
         "passage_dedup": _ORACLE_PASSAGE,
+        "profile_table": _oracle_profile(),
         "dedup_exact": _ORACLE_DEDUP_EXACT,
         "dedup_minhash": _oracle_minhash(),
         "dedup_clusters": _oracle_dedup_clusters(),

@@ -1,0 +1,93 @@
+"""Table profiling: per-column null/distinct/min/max statistics in ONE
+scan — the data-quality pass (DuckDB ``SUMMARIZE``, Deequ profiles) a
+pipeline runs before trusting a new data drop.
+
+Scale design: every statistic is an aggregate over the same scan, so the
+whole profile is a single hash-agg job regardless of column count; the
+unpivot to long form happens on the one-row result.  Numeric and
+timestamp extremes surface as doubles (timestamps as epoch seconds,
+timezone-proof), string extremes as strings — no engine-specific value
+formatting in the output.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DateType,
+    NumericType,
+    StringType,
+    TimestampNTZType,
+    TimestampType,
+)
+
+__all__ = ["profile_table"]
+
+
+def _epoch_seconds(col):
+    # NTZ-safe epoch: never routes through the session timezone, matching
+    # a SQL engine's naive-timestamp epoch()
+    return (
+        F.expr(
+            "timestampdiff(MICROSECOND, "
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+            f"cast({col} as timestamp_ntz))"
+        ) / F.lit(1_000_000.0)
+    )
+
+
+def profile_table(
+    df: DataFrame, columns: Optional[Sequence[str]] = None
+) -> DataFrame:
+    """One row per profiled column: ``column, n_nulls, n_distinct,
+    min_num, max_num, min_str, max_str`` (the num/str pair that doesn't
+    apply is NULL)."""
+    cols = list(columns or df.columns)
+    aggs = []
+    specs = []
+    for c in cols:
+        dt = df.schema[c].dataType
+        aggs.append(
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nulls")
+        )
+        aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__distinct"))
+        if isinstance(dt, NumericType):
+            lo, hi = F.min(c).cast("double"), F.max(c).cast("double")
+            kind = "num"
+        elif isinstance(dt, (TimestampType, TimestampNTZType, DateType)):
+            e = _epoch_seconds(c)
+            lo, hi = F.min(e), F.max(e)
+            kind = "num"
+        elif isinstance(dt, StringType):
+            lo, hi = F.min(c), F.max(c)
+            kind = "str"
+        else:
+            lo, hi, kind = F.lit(None), F.lit(None), "skip"
+        aggs.append(lo.alias(f"{c}__min"))
+        aggs.append(hi.alias(f"{c}__max"))
+        specs.append((c, kind))
+
+    one = df.agg(*aggs)
+    parts = []
+    for c, kind in specs:
+        mn = F.col(f"`{c}__min`")
+        mx = F.col(f"`{c}__max`")
+        parts.append(F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"`{c}__nulls`").cast("long").alias("n_nulls"),
+            F.col(f"`{c}__distinct`").cast("long").alias("n_distinct"),
+            (mn if kind == "num" else F.lit(None)).cast("double")
+            .alias("min_num"),
+            (mx if kind == "num" else F.lit(None)).cast("double")
+            .alias("max_num"),
+            (mn if kind == "str" else F.lit(None)).cast("string")
+            .alias("min_str"),
+            (mx if kind == "str" else F.lit(None)).cast("string")
+            .alias("max_str"),
+        ))
+    return one.select(
+        F.explode(F.array(*parts)).alias("p")
+    ).select("p.*")

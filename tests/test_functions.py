@@ -563,6 +563,28 @@ class TestQuantize:
         assert out[1]["q_scale"] == 1.0
 
 
+class TestProfiling:
+    def test_profile_table_one_pass(self, spark):
+        from pincette_json_streams_spark.functions.profiling import (
+            profile_table,
+        )
+        df = spark.createDataFrame(
+            [(1, "a", 2.5), (2, None, 1.0), (None, "b", 1.0)],
+            "id long, name string, score double",
+        )
+        out = {r["column"]: r for r in profile_table(df).collect()}
+        assert out["id"]["n_nulls"] == 1
+        assert out["id"]["n_distinct"] == 2
+        assert out["id"]["min_num"] == 1.0 and out["id"]["max_num"] == 2.0
+        assert out["name"]["min_str"] == "a" and out["name"]["max_str"] == "b"
+        assert out["name"]["min_num"] is None
+        assert out["score"]["n_distinct"] == 2
+        # the whole profile must be ONE aggregation over one scan
+        plan = profile_table(df)._jdf.queryExecution().executedPlan() \
+            .toString()
+        assert plan.count("Scan ") <= 1
+
+
 class TestSampling:
     def test_hash_sample_deterministic_and_stable(self, spark):
         from pincette_json_streams_spark.functions.sampling import (
