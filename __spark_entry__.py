@@ -1531,6 +1531,44 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def q_events_gapfill(spark, sf_dir):
+    """Daily per-user event rollup WITH gap rows (functions/
+    timeseries.py time_bucket_gapfill): users 0-19, day buckets over
+    epoch nanos, empty days at n=0 — the hypertable/continuous-
+    aggregate query shape."""
+    from pincette_json_streams_spark.functions.timeseries import (
+        time_bucket_gapfill,
+    )
+    events = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    day_ns = 86400 * 1_000_000_000
+    out = time_bucket_gapfill(
+        events, by="user_id", ts="ts_nanos", bucket=day_ns,
+        aggs={
+            "n": F.count(F.lit(1)).cast("long"),
+            "total_value": F.round(F.sum("value"), 4),
+        },
+        fill_zero=["n"],
+    )
+    return out.select("user_id", "bucket", "n", "total_value")
+
+
+_ORACLE_GAPFILL = """
+WITH rolled AS (
+  SELECT user_id, epoch_ns(ts) // (86400 * 1000000000::BIGINT) AS bucket,
+         count(*) AS n, round(sum(value), 4) AS total_value
+  FROM events WHERE user_id < 20 GROUP BY 1, 2
+), bounds AS (
+  SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+  FROM rolled GROUP BY user_id
+), grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi)) AS bucket FROM bounds
+)
+SELECT g.user_id, g.bucket, coalesce(r.n, 0) AS n, r.total_value
+FROM grid g LEFT JOIN rolled r
+  ON g.user_id = r.user_id AND g.bucket = r.bucket
+"""
+
+
 def q_profile_table(spark, sf_dir):
     """Per-column profiling of lineitem (functions/profiling.py): nulls,
     distincts, numeric/timestamp/string extremes — one scan, one
@@ -2761,6 +2799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_terms": q_tfidf_terms,
         "passage_dedup": q_passage_dedup,
         "profile_table": q_profile_table,
+        "events_gapfill": q_events_gapfill,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_clusters": q_dedup_clusters,
@@ -2840,6 +2879,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_terms": _ORACLE_TFIDF,
         "passage_dedup": _ORACLE_PASSAGE,
         "profile_table": _oracle_profile(),
+        "events_gapfill": _ORACLE_GAPFILL,
         "dedup_exact": _ORACLE_DEDUP_EXACT,
         "dedup_minhash": _oracle_minhash(),
         "dedup_clusters": _oracle_dedup_clusters(),

@@ -18,7 +18,10 @@ from typing import Optional, Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "sessionize", "sessionize_stream"]
+__all__ = [
+    "asof_join", "forward_fill", "sessionize", "sessionize_stream",
+    "time_bucket_gapfill",
+]
 
 
 def asof_join(
@@ -240,6 +243,60 @@ def sessionize(
         )
         .drop("__b", "__new", "__lsid", "__merge", "__offset")
     )
+
+
+def forward_fill(
+    df: DataFrame,
+    cols: Sequence[str],
+    by: str,
+    order: Sequence[str],
+) -> DataFrame:
+    """LOCF forward fill: each NULL in ``cols`` takes the latest
+    preceding non-null value within its ``by`` group under ``order`` —
+    the standard sensor/event gap repair.  One keyed window shuffle for
+    all filled columns together."""
+    w = (
+        Window.partitionBy(by)
+        .orderBy(*[F.col(c) for c in order])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out
+
+
+def time_bucket_gapfill(
+    df: DataFrame,
+    by: str,
+    ts: str,
+    bucket: int,
+    aggs: dict[str, Column],
+    fill_zero: Sequence[str] = (),
+) -> DataFrame:
+    """Time-bucketed rollup WITH gap rows (TimescaleDB's
+    ``time_bucket_gapfill``): aggregate per (key, floor(ts / bucket)),
+    then emit every bucket between each key's first and last — empty
+    buckets appear with NULLs (or 0 for ``fill_zero`` columns).
+
+    Two hash aggs (rollup + per-key bounds, both map-side combining) and
+    one join back; the grid explode generates only (key, bucket) pairs,
+    never touches the raw rows again."""
+    b = F.floor(F.col(ts) / F.lit(int(bucket)))
+    rolled = df.groupBy(F.col(by), b.alias("bucket")).agg(
+        *[c.alias(n) for n, c in aggs.items()]
+    )
+    bounds = rolled.groupBy(by).agg(
+        F.min("bucket").alias("__lo"), F.max("bucket").alias("__hi")
+    )
+    grid = bounds.select(
+        F.col(by),
+        F.explode(F.sequence("__lo", "__hi")).alias("bucket"),
+    )
+    out = grid.join(rolled, [by, "bucket"], "left")
+    for c in fill_zero:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
+    return out
 
 
 def sessionize_stream(

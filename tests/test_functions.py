@@ -305,6 +305,43 @@ class TestTimeseries:
         assert got == {(1, 0): 1, (1, 50): 1, (1, 200): 2,
                        (1, 210): 2, (2, 0): 1}
 
+    def test_forward_fill(self, spark):
+        from pincette_json_streams_spark.functions.timeseries import (
+            forward_fill,
+        )
+        df = spark.createDataFrame(
+            [(1, 1, None), (1, 2, 5.0), (1, 3, None), (1, 4, None),
+             (2, 1, None)],
+            "u long, t long, v double",
+        )
+        out = {(r["u"], r["t"]): r["v"] for r in
+               forward_fill(df, ["v"], by="u", order=["t"]).collect()}
+        assert out == {(1, 1): None, (1, 2): 5.0, (1, 3): 5.0,
+                       (1, 4): 5.0, (2, 1): None}
+
+    def test_time_bucket_gapfill(self, spark):
+        import pyspark.sql.functions as F
+
+        from pincette_json_streams_spark.functions.timeseries import (
+            time_bucket_gapfill,
+        )
+        df = spark.createDataFrame(
+            [(1, 5, 1.0), (1, 35, 2.0), (2, 12, 3.0)],
+            "u long, t long, v double",
+        )
+        out = time_bucket_gapfill(
+            df, by="u", ts="t", bucket=10,
+            aggs={"n": F.count(F.lit(1)), "s": F.sum("v")},
+            fill_zero=["n"],
+        )
+        got = {(r["u"], r["bucket"]): (r["n"], r["s"])
+               for r in out.collect()}
+        # user 1 spans buckets 0..3: 1 and 2 are gap rows (n=0, s NULL)
+        assert got == {
+            (1, 0): (1, 1.0), (1, 1): (0, None), (1, 2): (0, None),
+            (1, 3): (1, 2.0), (2, 1): (1, 3.0),
+        }
+
     def test_asof_join_matches_naive(self, spark):
         """Property: asof_join == per-row 'latest right at-or-before'
         on random keyed event sets (dedup'd right instants so the match
