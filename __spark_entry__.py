@@ -1271,9 +1271,9 @@ def q_corpus_stats(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.round(F.avg("n_chars"), 4).alias("avg_chars"),
-            F.percentile("n_chars", F.lit(0.5)).alias("p50_chars"),
-            F.percentile("n_chars", F.lit(0.9)).alias("p90_chars"),
-            F.percentile("n_chars", F.lit(0.99)).alias("p99_chars"),
+            F.round(F.percentile("n_chars", F.lit(0.5)), 4).alias("p50_chars"),
+            F.round(F.percentile("n_chars", F.lit(0.9)), 4).alias("p90_chars"),
+            F.round(F.percentile("n_chars", F.lit(0.99)), 4).alias("p99_chars"),
             F.round(F.stddev_pop("n_chars"), 4).alias("sd_chars"),
             F.sum("toks").cast("long").alias("n_tokens"),
         )
@@ -1281,14 +1281,14 @@ def q_corpus_stats(spark, sf_dir):
 
 
 _ORACLE_CORPUS_STATS = """
-SELECT lang, count(*) AS n_docs,
+SELECT lang, count(*)::BIGINT AS n_docs,
        round(avg(n_chars), 4) AS avg_chars,
-       quantile_cont(n_chars, 0.5) AS p50_chars,
-       quantile_cont(n_chars, 0.9) AS p90_chars,
-       quantile_cont(n_chars, 0.99) AS p99_chars,
+       round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+       round(quantile_cont(n_chars, 0.9), 4) AS p90_chars,
+       round(quantile_cont(n_chars, 0.99), 4) AS p99_chars,
        round(stddev_pop(n_chars), 4) AS sd_chars,
        sum(CASE WHEN len(trim(text)) = 0 THEN 0
-                ELSE len(regexp_extract_all(trim(text), '\\S+')) END)
+                ELSE len(regexp_extract_all(trim(text), '\\S+')) END)::BIGINT
          AS n_tokens
 FROM documents GROUP BY lang
 """
@@ -1332,7 +1332,8 @@ WITH bucketed AS (
   WHERE b < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0
                       WHEN 'fr' THEN 0.25 ELSE 0.1 END
 )
-SELECT lang, split, count(*) AS n_docs, sum(n_chars) AS n_chars
+SELECT lang, split, count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS n_chars
 FROM sampled GROUP BY lang, split
 """
 
@@ -1446,8 +1447,8 @@ _ORACLE_CONTAMINATION = f"""
 WITH norm AS (
   SELECT doc_id, string_split({_sql_norm()}, ' ') AS ws FROM documents
 ), grams AS (
-  -- ws[i:i+4] truncates at the end of the list exactly like Spark's
-  -- slice(words, i, 5) + concat_ws
+  -- 3-grams: ws[i:i+2] truncates at the end of the list exactly like
+  -- Spark's slice(words, i, 3) + concat_ws
   SELECT doc_id,
          unnest(list_distinct(list_transform(
            generate_series(1, greatest(len(ws) - 2, 1)),
@@ -1627,10 +1628,12 @@ def q_passage_dedup(spark, sf_dir):
     chunks = chunk_documents(
         docs.select("doc_id", "text"), size=32, overlap=0
     )
-    # single sortable keeper key: engine-portable min over the pair
+    # lexicographic min over the (doc_id, chunk_idx) pair via struct
+    # ordering — collision-free for any chunk_idx, unlike arithmetic
+    # packing
     keyed = chunks.select(
         fingerprint(F.col("chunk")).alias("fp"),
-        (F.col("doc_id") * 100000 + F.col("chunk_idx")).alias("__k"),
+        F.struct(F.col("doc_id"), F.col("chunk_idx")).alias("__k"),
     )
     return (
         keyed.groupBy("fp")
@@ -1640,8 +1643,8 @@ def q_passage_dedup(spark, sf_dir):
         )
         .select(
             F.col("fp").alias("fingerprint"),
-            (F.col("__kmin") / 100000).cast("long").alias("keep_doc"),
-            (F.col("__kmin") % 100000).cast("long").alias("keep_idx"),
+            F.col("__kmin.doc_id").cast("long").alias("keep_doc"),
+            F.col("__kmin.chunk_idx").cast("long").alias("keep_idx"),
             "dup_count",
         )
     )
@@ -1662,11 +1665,12 @@ WITH w AS (
   FROM c
 ), keyed AS (
   SELECT ('0x' || substr(md5(chunk), 1, 15))::BIGINT AS fingerprint,
-         doc_id * 100000 + chunk_idx AS k
+         doc_id, chunk_idx
   FROM ch
 )
-SELECT fingerprint, (min(k) // 100000)::BIGINT AS keep_doc,
-       (min(k) % 100000)::BIGINT AS keep_idx,
+SELECT fingerprint,
+       first(doc_id ORDER BY doc_id, chunk_idx)::BIGINT AS keep_doc,
+       first(chunk_idx ORDER BY doc_id, chunk_idx)::BIGINT AS keep_idx,
        count(*) AS dup_count
 FROM keyed GROUP BY fingerprint
 """
@@ -2120,10 +2124,15 @@ def q_ann_recall(spark, sf_dir):
     exact = brute_force_topk(emb, qs, k=10).select("query_id", "vec_id")
     approx = ivf_topk(emb, qs, k=10, nprobe=2, centroid_stride=64) \
         .select("query_id", "vec_id")
+    # left join so a query with ZERO overlap still reports recall 0.0
+    # (the worst-case queries are exactly the ones the metric exists
+    # to surface)
     return (
-        exact.join(approx, ["query_id", "vec_id"])
+        exact.join(approx.withColumn("__hit", F.lit(1)),
+                   ["query_id", "vec_id"], "left")
         .groupBy("query_id")
-        .agg((F.count(F.lit(1)) / 10.0).alias("recall_at_10"))
+        .agg((F.coalesce(F.sum("__hit"), F.lit(0)) / 10.0)
+             .alias("recall_at_10"))
     )
 
 
@@ -2131,8 +2140,9 @@ def _oracle_ann_recall():
     return f"""
 WITH exact AS ({_ORACLE_ANN}),
 approx AS ({_ORACLE_ANN_IVF})
-SELECT e.query_id, count(*) / 10.0 AS recall_at_10
-FROM exact e JOIN approx a
+SELECT e.query_id,
+       count(a.vec_id) / 10.0 AS recall_at_10
+FROM exact e LEFT JOIN approx a
   ON e.query_id = a.query_id AND e.vec_id = a.vec_id
 GROUP BY e.query_id
 """
