@@ -2745,8 +2745,43 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering contract: if the driver samples a prefix of this dict, the
+    # least-recently-driver-checked queries must come first.  Block 1 =
+    # never checked in any CORRECTNESS round (r2 additions), block 2 =
+    # hash-fixed this round, block 3 = green in r1 but absent from r2,
+    # block 4 = long-green r2 gallery.
     return {
-        # pipeline language (reference surface)
+        # -- block 1: no driver row yet ---------------------------------
+        "asof_join": q_asof_join,
+        "sessionize_events": q_sessionize_events,
+        "contamination": q_contamination,
+        "lm_score": q_lm_score,
+        "ann_ivf": q_ann_ivf,
+        "ann_recall": q_ann_recall,
+        "events_gapfill": q_events_gapfill,
+        "profile_table": q_profile_table,
+        "tfidf_terms": q_tfidf_terms,
+        "chunk_docs": q_chunk_docs,
+        "passage_dedup": q_passage_dedup,
+        "quantize_embeddings": q_quantize_embeddings,
+        "quality_trim": q_quality_trim,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_clusters_star": q_dedup_clusters_star,
+        "per_batching": q_per_batching,
+        # -- block 2: hash-robustness fixed this round ------------------
+        "corpus_stats": q_corpus_stats,
+        "sample_split": q_sample_split,
+        # -- block 3: green in r1, absent from r2 -----------------------
+        "repetition_stats": q_repetition_stats,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_ngram": q_dedup_ngram,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
+        "ann_lsh": q_ann_lsh,
+        "ann_topk": q_ann_topk,
+        "quality_filter": q_quality_filter,
+        # -- block 4: long-green gallery (r2) ---------------------------
         "pricing_summary": q_pricing_summary,
         "segment_revenue": q_segment_revenue,
         "match_query_ops": q_match_query_ops,
@@ -2792,37 +2827,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aggregate_jslt_reducer": q_aggregate_jslt_reducer,
         "aggregate_validate": q_aggregate_validate,
         "aggregate_acl": q_aggregate_acl,
-        # training-data operators
         "text_stats": q_text_stats,
         "pii_scrub": q_pii_scrub,
         "token_vocab": q_token_vocab,
-        "corpus_stats": q_corpus_stats,
-        "sample_split": q_sample_split,
-        "repetition_stats": q_repetition_stats,
-        "contamination": q_contamination,
-        "lm_score": q_lm_score,
-        "asof_join": q_asof_join,
-        "sessionize_events": q_sessionize_events,
-        "chunk_docs": q_chunk_docs,
-        "quantize_embeddings": q_quantize_embeddings,
-        "quality_trim": q_quality_trim,
-        "tfidf_terms": q_tfidf_terms,
-        "passage_dedup": q_passage_dedup,
-        "profile_table": q_profile_table,
-        "events_gapfill": q_events_gapfill,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_clusters_star": q_dedup_clusters_star,
-        "dedup_ngram": q_dedup_ngram,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_embedding": q_dedup_embedding,
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
-        "ann_recall": q_ann_recall,
-        "per_batching": q_per_batching,
-        "ann_topk": q_ann_topk,
-        "quality_filter": q_quality_filter,
     }
 
 

@@ -102,9 +102,10 @@ def main():
 
     # Host CPU steal on this box inflates identical plans 3-10x for
     # minutes at a time (verified: same query 0.6 s and 47 s in adjacent
-    # sessions while DuckDB held steady).  Two passes per query, min
-    # taken, measures the plan rather than the neighbors; disclosed via
-    # "passes"/"agg" and the per-pass detail below.
+    # sessions while DuckDB held steady; round-2's reported 4x
+    # region_revenue "regression" vanished on re-measure).  Three passes
+    # per query, min taken, measures the plan rather than the neighbors;
+    # disclosed via "passes"/"agg" and the per-pass detail below.
     times: dict[str, float] = {}
     all_passes: dict[str, list[float]] = {}
     total_rows = 0
@@ -113,7 +114,7 @@ def main():
         if fn is None:
             continue
         runs = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             df = fn(spark, sf_dir)
             # count() executes the whole plan, no driver-side row transfer
@@ -137,7 +138,7 @@ def main():
         "n_queries": len(times),
         "output_rows": total_rows,
         "cpus": int(cpus),
-        "passes": 2,
+        "passes": 3,
         "agg": "min",
         "pass_detail": all_passes,
         "loadavg_after": [round(load1, 2), round(load5, 2)],
