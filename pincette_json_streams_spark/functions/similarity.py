@@ -226,9 +226,14 @@ def ivf_topk(
         C = np.array(centroids, dtype=np.float64)
         cids = np.arange(len(C), dtype=np.int64)
     else:
+        # stride sampling collects n/stride rows: bounded at bench scale
+        # but not at 100 TB, so cap the seed set (deterministic: ordered
+        # prefix).  Above the cap, train centroids offline with
+        # train_kmeans_centroids and pass `centroids` instead.
+        max_seeds = 4096
         seed = (
             c.filter((F.col("vec_id") % centroid_stride) == 0)
-            .orderBy("vec_id").collect()
+            .orderBy("vec_id").limit(max_seeds).collect()
         )
         cids = np.array([r["vec_id"] for r in seed], dtype=np.int64)
         C = np.array([r["cv"] for r in seed], dtype=np.float64)

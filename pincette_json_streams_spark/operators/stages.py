@@ -354,6 +354,25 @@ def _stage_per(df, spec, pctx):
 # $lookup  (docs/aggregation_stages.md:346-372)
 # --------------------------------------------------------------------------
 
+# rows above which an uncorrelated sub-pipeline result is not broadcast;
+# ~100 B/row of struct payload keeps the hint inside Spark's default 10 MB
+# autoBroadcastJoinThreshold
+_BROADCAST_ROW_LIMIT = 100_000
+
+
+def _broadcast_if_small(side: DataFrame) -> DataFrame:
+    """Hint broadcast only when a bounded probe proves the side small.
+
+    Streaming DataFrames can't be counted — they skip the probe and the
+    hint (the streaming runtime joins against static catalog tables, so
+    this path is batch-only in practice).
+    """
+    if side.isStreaming:
+        return side
+    n = side.limit(_BROADCAST_ROW_LIMIT + 1).count()
+    return F.broadcast(side) if n <= _BROADCAST_ROW_LIMIT else side
+
+
 def _stage_lookup(df, spec, pctx):
     other = pctx.collection(spec["from"])
     as_field = spec["as"]
@@ -373,14 +392,20 @@ def _stage_lookup(df, spec, pctx):
             )
         sub = compile_pipeline(other, spec["pipeline"], pctx)
         if unwind:
-            how = "inner"  # unwind implies inner (docs:361)
+            # unwind implies inner (docs:361); cross join every left row
+            # with every sub-pipeline row.  Broadcasting an unbounded
+            # sub-pipeline result is a scale hazard, so probe its size
+            # first and only hint broadcast when it is provably small —
+            # otherwise leave the strategy to Catalyst/AQE (cartesian).
             joined = df.crossJoin(
-                F.broadcast(sub.select(F.struct("*").alias(as_field)))
+                _broadcast_if_small(sub.select(
+                    F.struct("*").alias(as_field)))
             )
             return joined
         arr = sub.agg(
             F.collect_list(F.struct("*")).alias(as_field)
         )
+        # the aggregated form is a single row — always broadcastable
         out = df.crossJoin(F.broadcast(arr))
         if inner:
             out = out.filter(F.size(F.col(as_field)) > 0)

@@ -567,6 +567,38 @@ class TestSimilarity:
         assert got[(2, 1)] == 2
         assert got[(2, 2)] in (3, 5)
 
+    def test_ivf_recall_floor(self, spark):
+        """CI guard on index quality: recall@10 of IVF vs exact top-10 on
+        the sf0.001 embeddings fixture (500 vecs, ~8 stride lists).
+        Asserts a mean-recall floor at two nprobe settings AND that
+        raising nprobe raises recall (the dial works) — quantizer or
+        assignment changes can't silently destroy the index."""
+        from pincette_json_streams_spark.functions.similarity import (
+            brute_force_topk, ivf_topk,
+        )
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).withColumn("embedding", F.col("embedding").cast("array<double>"))
+        qs = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding")
+        exact = brute_force_topk(emb, qs, k=10).select(
+            "query_id", "vec_id")
+
+        def mean_recall(nprobe):
+            approx = ivf_topk(
+                emb, qs, k=10, nprobe=nprobe, centroid_stride=64
+            ).select("query_id", "vec_id")
+            hits = exact.join(approx, ["query_id", "vec_id"]) \
+                .groupBy("query_id").count().collect()
+            recall = {r["query_id"]: r["count"] / 10.0 for r in hits}
+            return sum(recall.get(q, 0.0) for q in range(5)) / 5.0
+
+        r2, r4 = mean_recall(2), mean_recall(4)
+        # measured baseline: 0.56 @ nprobe=2, 0.82 @ nprobe=4
+        assert r2 >= 0.5, r2
+        assert r4 >= 0.7, r4
+        assert r4 >= r2
+
     def test_embedding_pairs(self, spark):
         from pincette_json_streams_spark.functions.dedup import (
             embedding_pairs,

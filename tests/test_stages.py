@@ -240,6 +240,37 @@ class TestLookup:
         assert {r["_id"]: r["n"] for r in out} == \
             {"p1": 1, "p2": 1, "p3": 0, "p4": 0}
 
+    def test_uncorrelated_pipeline_unwind_broadcast_guard(
+        self, spark, people, monkeypatch
+    ):
+        """An uncorrelated pipeline+unwind lookup must not hint broadcast
+        when the sub-pipeline result exceeds the row limit — the plan
+        falls back to Catalyst's choice instead of an unbounded driver
+        broadcast; results are identical either way."""
+        from pincette_json_streams_spark.operators import stages as st
+
+        orders = spark.createDataFrame(
+            [(f"o{i}", float(i)) for i in range(10)],
+            "oid string, amt double",
+        )
+        pipeline = [
+            {"$lookup": {"from": "orders",
+                         "pipeline": [{"$match": {"amt": {"$lt": 4}}}],
+                         "as": "o", "unwind": True}},
+            {"$project": {"_id": 1, "amt": "$o.amt"}},
+        ]
+        big = rows(people, pipeline, catalog={"orders": orders})
+
+        monkeypatch.setattr(st, "_BROADCAST_ROW_LIMIT", 2)
+        df = compile_pipeline(
+            people, pipeline,
+            PipelineContext(catalog={"orders": orders}),
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert sorted((r["_id"], r["amt"]) for r in df.collect()) == \
+            sorted((r["_id"], r["amt"]) for r in big)
+
 
 class TestMergeObjects:
     def test_field_wise_merge_disjoint_fields(self, spark):
