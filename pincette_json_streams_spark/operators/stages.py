@@ -64,6 +64,12 @@ class PipelineContext:
     # $lag consumer-lag snapshot provider: () -> {group: {topic: {part:
     # n}}} — Kafka AdminClient in production, injectable fake in tests
     lag_provider: Optional[Callable[[], dict]] = None
+    # $log structured-record emitter (record dict -> None), executor-side;
+    # default = stdlib logging under the application's logger name
+    log_emitter: Optional[Callable[[dict], None]] = None
+    # logger name for $log (the reference names the logger after the
+    # application); Application sets this from spec["application"]
+    app_name: Optional[str] = None
 
     def collection(self, name: str) -> DataFrame:
         if name not in self.catalog:
@@ -950,7 +956,7 @@ STAGES: dict[str, Callable[[DataFrame, Any, PipelineContext], DataFrame]] = {
     "$jslt": _stage_jslt,
     "$validate": _stage_validate,
     "$trace": _stage_trace,
-    "$log": _stage_noop,
+    "$log": _effect("stage_log"),
     "$probe": _stage_probe,
     "$lag": _stage_lag,
     "$throttle": _stage_throttle,

@@ -52,6 +52,8 @@ class Application:
         self.spec = spec
         self.catalog = dict(catalog)
         self.pctx = pctx or PipelineContext(catalog=self.catalog)
+        if self.pctx.app_name is None:
+            self.pctx.app_name = spec.get("application")
         self.streams: dict[str, DataFrame] = {}
         self.sinks: dict[str, DataFrame] = {}
         self._compile()

@@ -42,7 +42,7 @@ __all__ = [
     "HttpResponse", "urllib_transport", "LocalObjectStore",
     "stage_http", "stage_sign_jwt", "stage_send", "stage_delay",
     "stage_delete", "stage_s3_csv", "stage_s3_out", "stage_s3_transfer",
-    "stage_s3_attachments",
+    "stage_s3_attachments", "stage_log", "default_log_emitter",
 ]
 
 
@@ -286,6 +286,110 @@ def stage_sign_jwt(df: DataFrame, spec: dict, pctx) -> DataFrame:
                 r[as_field] = _sign_rs256(pk, claims, ttl, kid)
                 out.append(r)
             yield pd.DataFrame(out, columns=in_cols + [as_field])
+
+    return prepared.mapInPandas(run, schema=out_schema)
+
+
+# --------------------------------------------------------------------------
+# $log  (docs/aggregation_stages.md:319-344; LogStage.java:72-103)
+# --------------------------------------------------------------------------
+
+# Java util.logging level -> Python logging level
+_PY_LEVELS = {
+    "SEVERE": 40, "WARNING": 30, "INFO": 20, "CONFIG": 20,
+    "FINE": 10, "FINER": 10, "FINEST": 10, "ALL": 10, "OFF": 0,
+}
+
+
+def default_log_emitter(record: dict) -> None:
+    """Executor-side structured emission via the stdlib logging module.
+    The logger carries the application name (reference: 'the logger ...
+    has the same name as the application'); OTEL-shaped fields ride in
+    ``extra`` so structured handlers (JSON formatters, OTLP exporters)
+    can forward them."""
+    import logging
+
+    logging.getLogger(record["logger"]).log(
+        _PY_LEVELS.get(record["level"], 20),
+        record["message"],
+        extra={
+            "otel_attributes": record.get("attributes") or {},
+            "trace_id": record.get("trace_id"),
+            "span_id": record.get("span_id"),
+        },
+    )
+
+
+def stage_log(df: DataFrame, spec: dict, pctx) -> DataFrame:
+    """$log: write a structured entry per message, pass the message
+    through unchanged.
+
+    Reference semantics (LogStage.java:72-103): `message` (expression,
+    stringified) is required — without it, or with a non-object spec,
+    the stage object itself is logged once and the stage is a
+    pass-through.  Optional `level` (expression -> Java level name,
+    default INFO) and `attributes` (expression -> object, merged into
+    the OTEL attributes).  A `_corr` UUID yields trace_id (dashes
+    stripped) and span_id (first half of the trace id — JSON Streams'
+    root span).
+
+    Spark-first: all expressions compile to native Columns; only the
+    emit call runs in Python (Arrow batches, executor-side — no driver
+    round-trip, scales with partitions).  The emitter is injectable via
+    ``pctx.log_emitter`` (tests spool to a file; production swaps in an
+    OTLP/JSON handler)."""
+    emitter = getattr(pctx, "log_emitter", None) or default_log_emitter
+    app = getattr(pctx, "app_name", None) or "pincette-json-streams-spark"
+
+    if not isinstance(spec, dict) or "message" not in spec:
+        # logStageObject: the spec itself is logged, stage is a no-op
+        emitter({
+            "logger": app, "level": "INFO",
+            "message": json.dumps(spec, default=str),
+            "attributes": {}, "trace_id": None, "span_id": None,
+        })
+        return df
+
+    ctx = ctx_for(df)
+    msg = _expr_json(spec["message"], df)
+    level = compile_expr(spec["level"], ctx).cast("string") \
+        if "level" in spec else F.lit(None).cast("string")
+    attrs = _expr_json(spec["attributes"], df) if "attributes" in spec \
+        else F.lit(None).cast("string")
+    trace = (
+        F.lower(F.regexp_replace(F.col("_corr").cast("string"), "-", ""))
+        if "_corr" in df.columns else F.lit(None).cast("string")
+    )
+
+    prepared = df.withColumns({
+        "__log_msg": msg, "__log_level": level,
+        "__log_attrs": attrs, "__log_trace": trace,
+    })
+    in_cols = list(df.columns)
+    out_schema = _schema_ddl(df)
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            for rec in pdf.to_dict("records"):
+                v = _unwrap(rec["__log_msg"])
+                message = v if isinstance(v, str) \
+                    else json.dumps(v, default=str)
+                a = _unwrap(rec["__log_attrs"])
+                tid = rec["__log_trace"]
+                tid = tid if isinstance(tid, str) and tid else None
+                lvl = rec["__log_level"]
+                emitter({
+                    "logger": app,
+                    "level": lvl if isinstance(lvl, str) and lvl
+                    else "INFO",
+                    "message": message,
+                    "attributes": a if isinstance(a, dict) else {},
+                    "trace_id": tid,
+                    "span_id": tid[:16] if tid else None,
+                })
+            yield pdf[in_cols]
 
     return prepared.mapInPandas(run, schema=out_schema)
 

@@ -187,6 +187,73 @@ class TestSendDelay:
         assert all(r["deliver_after"] >= now_ms + 4000 for r in routed)
 
 
+def _make_spool_emitter(path):
+    # file-backed spool: mapInPandas runs in Python worker processes, so
+    # an in-memory list in the test process would never see the records
+    def emit(record):
+        import json as _json
+        with open(path, "a") as f:
+            f.write(_json.dumps(record) + "\n")
+    return emit
+
+
+class TestLog:
+    def _records(self, path):
+        with open(path) as f:
+            return [json.loads(line) for line in f]
+
+    def test_log_emits_and_passes_through(self, spark, tmp_path):
+        spool = str(tmp_path / "log.jsonl")
+        pctx = PipelineContext(
+            log_emitter=_make_spool_emitter(spool), app_name="my-app"
+        )
+        df = spark.createDataFrame(
+            [("d1", "hello", "6f1c9f0e-2a51-4b2e-9c3d-aabbccddeeff"),
+             ("d2", "world", None)],
+            "_id string, txt string, _corr string",
+        ).coalesce(1)
+        out = compile_pipeline(df, [
+            {"$log": {"message": "$txt", "level": "WARNING",
+                      "attributes": {"dataset": "test",
+                                     "id": "$_id"}}},
+        ], pctx)
+        rows = out.collect()  # triggers emission
+        assert sorted(r["_id"] for r in rows) == ["d1", "d2"]
+        assert out.columns == df.columns  # schema unchanged
+        recs = {r["message"]: r for r in self._records(spool)}
+        assert set(recs) == {"hello", "world"}
+        r1 = recs["hello"]
+        assert r1["logger"] == "my-app"
+        assert r1["level"] == "WARNING"
+        assert r1["attributes"] == {"dataset": "test", "id": "d1"}
+        # _corr -> trace id without dashes; span = first half
+        assert r1["trace_id"] == "6f1c9f0e2a514b2e9c3daabbccddeeff"
+        assert r1["span_id"] == "6f1c9f0e2a514b2e"
+        r2 = recs["world"]
+        assert r2["trace_id"] is None and r2["span_id"] is None
+
+    def test_log_non_string_message_serialized(self, spark, tmp_path):
+        spool = str(tmp_path / "log.jsonl")
+        pctx = PipelineContext(log_emitter=_make_spool_emitter(spool))
+        df = spark.createDataFrame([("d1", 7)], "_id string, n int") \
+            .coalesce(1)
+        compile_pipeline(df, [
+            {"$log": {"message": {"doc": "$_id", "n": "$n"}}},
+        ], pctx).collect()
+        (rec,) = self._records(spool)
+        assert json.loads(rec["message"]) == {"doc": "d1", "n": 7}
+        assert rec["level"] == "INFO"  # default
+
+    def test_log_without_message_logs_spec_once(self, spark, tmp_path):
+        spool = str(tmp_path / "log.jsonl")
+        pctx = PipelineContext(log_emitter=_make_spool_emitter(spool))
+        df = spark.createDataFrame([("d1",)], "_id string")
+        out = compile_pipeline(df, [{"$log": "just-a-string"}], pctx)
+        assert out.count() == 1  # pass-through
+        (rec,) = self._records(spool)
+        assert rec["message"] == '"just-a-string"'
+
+
 class TestDelete:
     def test_delete_from_collection(self, spark, people, pctx):
         coll = spark.createDataFrame(
