@@ -70,6 +70,9 @@ class PipelineContext:
     # logger name for $log (the reference names the logger after the
     # application); Application sets this from spec["application"]
     app_name: Optional[str] = None
+    # enable jes href resolution in aggregate parts (streaming/hrefs.py);
+    # parts can also opt in per-part via `resolveHrefs: true`
+    resolve_hrefs: bool = False
 
     def collection(self, name: str) -> DataFrame:
         if name not in self.catalog:

@@ -58,7 +58,17 @@ def _df_of(spark: SparkSession, messages: list[dict]) -> DataFrame:
     rdd = spark.sparkContext.parallelize(
         [json.dumps(m) for m in messages], max(len(messages), 1)
     )
-    return spark.read.json(rdd)
+    df = spark.read.json(rdd)
+    # read.json alphabetizes fields; restore first-seen document order —
+    # aggregate event `_ops` derive their op order from it (app36)
+    order: list[str] = []
+    for m in messages:
+        for k in m:
+            if k not in order:
+                order.append(k)
+    cols = [c for c in order if c in df.columns] + \
+        [c for c in df.columns if c not in order]
+    return df.select(cols)
 
 
 def _strip(value: Any) -> Any:
@@ -116,6 +126,17 @@ def _compare(expected: list[dict], actual: list[dict],
     return None
 
 
+def _fixtures_use_hrefs(test_dir: Path) -> bool:
+    from_dir = test_dir / "topics" / "from"
+    if not from_dir.is_dir():
+        return False
+    return any(
+        '"href"' in p.read_text()
+        for tdir in from_dir.iterdir() if tdir.is_dir()
+        for p in tdir.glob("*.json")
+    )
+
+
 def run_app_test(
     spark: SparkSession,
     app_dir: str | Path,
@@ -143,6 +164,11 @@ def run_app_test(
 
     pctx = pctx or PipelineContext()
     pctx.catalog.update(catalog)
+    # fixtures that link aggregates by href (app36) need jes resolution;
+    # detection is driver-side over the tiny fixture files only — the
+    # production opt-in is `resolveHrefs: true` on the aggregate part
+    if not pctx.resolve_hrefs:
+        pctx.resolve_hrefs = _fixtures_use_hrefs(test_dir)
     outputs: dict[str, DataFrame] = {}
     for spec in specs:
         app = Application(spec, catalog, pctx)

@@ -37,6 +37,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 __all__ = ["compile_aggregate_batch", "reduce_commands", "acl_allows"]
 
@@ -61,28 +62,34 @@ def acl_allows(state: dict | None, cmd: dict) -> bool:
     return bool(set(roles) & set(have))
 
 
-def _diff_ops(before: dict, after: dict, prefix: str = "") -> list[dict]:
-    """RFC-6902 diff (add/remove/replace) between two JSON objects."""
-    try:
-        import jsonpatch
+def _ptr(key: str) -> str:
+    # RFC-6901 token escaping
+    return key.replace("~", "~0").replace("/", "~1")
 
-        return list(jsonpatch.make_patch(before, after))
-    except Exception:
-        ops: list[dict] = []
-        keys = set(before) | set(after)
-        for k in sorted(keys):
-            p = f"{prefix}/{k}"
-            if k not in after:
-                ops.append({"op": "remove", "path": p})
-            elif k not in before:
-                ops.append({"op": "add", "path": p, "value": after[k]})
-            elif before[k] != after[k]:
-                if isinstance(before[k], dict) and isinstance(after[k], dict):
-                    ops.extend(_diff_ops(before[k], after[k], p))
-                else:
-                    ops.append({"op": "replace", "path": p,
-                                "value": after[k]})
-        return ops
+
+def _diff_ops(before: dict, after: dict, prefix: str = "") -> list[dict]:
+    """RFC-6902 diff (add/remove/replace) between two JSON objects.
+
+    Deterministic DOCUMENT order — removes in `before` order, then
+    adds/replaces in `after` insertion order — matching the reference's
+    event `_ops` fixtures (app36 3-put: ops follow the command's field
+    order; jsonpatch.make_patch emits a set-dependent order and was
+    replaced for exactly that reason)."""
+    ops: list[dict] = []
+    for k in before:
+        if k not in after:
+            ops.append({"op": "remove", "path": f"{prefix}/{_ptr(k)}"})
+    for k in after:
+        p = f"{prefix}/{_ptr(k)}"
+        if k not in before:
+            ops.append({"op": "add", "path": p, "value": after[k]})
+        elif before[k] != after[k]:
+            if isinstance(before[k], dict) and isinstance(after[k], dict):
+                ops.extend(_diff_ops(before[k], after[k], p))
+            else:
+                ops.append({"op": "replace", "path": p,
+                            "value": after[k]})
+    return ops
 
 
 _TECH = ("_id", "_corr", "_type", "_command", "_jwt", "_timestamp", "_seq",
@@ -99,12 +106,21 @@ def reduce_commands(
     validators: dict[str, dict] | None = None,
     preprocessors: dict[str, list] | None = None,
     part_preprocessor: list | None = None,
+    resolver: Any = None,
+    lenient: bool = False,
 ) -> list[dict]:
     """Fold `commands` (ordered) into `state`; emit output records tagged
     with a `purpose` in {aggregate, event, event-full, reply, command}.
 
     Admission order per command: preprocessors -> ``_seq`` lock -> ACL ->
-    validator -> reducer (module docstring has the spec references)."""
+    validator -> reducer (module docstring has the spec references).
+
+    ``resolver`` (href -> state dict or None) enables jes href
+    resolution around the validator+reducer, mirroring the reference's
+    resolve -> validate -> reduce -> unresolve pipe (App.java:808-811;
+    streaming/hrefs.py).  ``lenient`` swallows reducer exceptions as
+    no-ops — used by the phase-1 resolution-source fold, where reducers
+    that need resolution would otherwise crash on unexpanded links."""
     from pincette_json_streams_spark.operators.validator import validate_doc
     from pincette_json_streams_spark.streaming.reducers import (
         run_pipeline_doc,
@@ -141,9 +157,19 @@ def reduce_commands(
             denied["message"] = "Forbidden"
             out.append({"purpose": "reply", "doc": denied})
             continue
+        # href links expand for the validator and reducer only; stored
+        # state and built-in fallbacks stay unresolved
+        if resolver is not None:
+            from pincette_json_streams_spark.streaming.hrefs import (
+                resolve_doc, unresolve_doc,
+            )
+            cmd_eff = resolve_doc(cmd, resolver)
+            cur_eff = resolve_doc(cur, resolver)
+        else:
+            cmd_eff, cur_eff = cmd, cur
         vspec = (validators or {}).get(command)
         if vspec:
-            errs = validate_doc(vspec, {**cmd, "_state": cur or {}})
+            errs = validate_doc(vspec, {**cmd_eff, "_state": cur_eff or {}})
             if errs:
                 invalid = dict(cmd)
                 invalid["_error"] = True
@@ -154,7 +180,17 @@ def reduce_commands(
         # (the reference's corpus ships its own put reducers, e.g.
         # src/test/resources/app8/reducers/put.jslt); reducer -> None
         # means "no reducer declared for this command"
-        new = reducer(cur, cmd) if reducer is not None else None
+        if reducer is not None:
+            try:
+                new = reducer(cur_eff, cmd_eff)
+            except Exception:
+                if not lenient:
+                    raise
+                new = None
+            if new is not None and resolver is not None:
+                new = unresolve_doc(new)
+        else:
+            new = None
         if new is None:
             if command == "put":
                 new = {
@@ -305,28 +341,41 @@ def compile_aggregate_batch(part: dict, app) -> dict[str, DataFrame]:
         preprocessors = {}
     unique = part.get("uniqueExpression")
 
-    def fold(key, pdf):
-        import pandas as pd
+    def make_fold(with_resolver: bool, lenient: bool):
+        def fold(key, pdf):
+            import pandas as pd
 
-        pdf = pdf.sort_values("__order")
-        cmds = [json.loads(r) for r in pdf["__json"]]
-        if unique is not None and cmds:
-            # instances converge on the business key; the instance _id is
-            # the first command's (docs/state.md:176-197)
-            first_id = cmds[0].get("_id")
-            cmds = [{**c, "_id": first_id} for c in cmds]
-        recs = reduce_commands(
-            None, cmds, reducer, full,
-            validators=validators, preprocessors=preprocessors,
-            part_preprocessor=part_pre,
-        )
-        return pd.DataFrame(
-            {
-                "purpose": [r["purpose"] for r in recs],
-                "value": [json.dumps(r["doc"]) for r in recs],
-                "_id": [r["doc"].get("_id") for r in recs],
-            }
-        )
+            pdf = pdf.sort_values("__order")
+            cmds = [json.loads(r) for r in pdf["__json"]]
+            if unique is not None and cmds:
+                # instances converge on the business key; the instance
+                # _id is the first command's (docs/state.md:176-197)
+                first_id = cmds[0].get("_id")
+                cmds = [{**c, "_id": first_id} for c in cmds]
+            resolver = None
+            if with_resolver:
+                raw = next(
+                    (v for v in pdf["__resolved"] if isinstance(v, str)),
+                    None,
+                )
+                if raw:
+                    states = {h: json.loads(s)
+                              for h, s in json.loads(raw).items()}
+                    resolver = states.get
+            recs = reduce_commands(
+                None, cmds, reducer, full,
+                validators=validators, preprocessors=preprocessors,
+                part_preprocessor=part_pre,
+                resolver=resolver, lenient=lenient,
+            )
+            return pd.DataFrame(
+                {
+                    "purpose": [r["purpose"] for r in recs],
+                    "value": [json.dumps(r["doc"]) for r in recs],
+                    "_id": [r["doc"].get("_id") for r in recs],
+                }
+            )
+        return fold
 
     if unique is not None:
         # re-key on the unique expression (the reference's `unique` topic:
@@ -346,8 +395,61 @@ def compile_aggregate_batch(part: dict, app) -> dict[str, DataFrame]:
         F.to_json(F.struct(*payload)).alias("__json"),
         "__order",
     )
+    out_schema = "purpose string, value string, _id string"
+
+    # jes href resolution (streaming/hrefs.py): opt-in because it costs a
+    # second fold — the resolution SOURCE is the phase-1 (lenient,
+    # resolution-free) fold of the same commands, so everything stays a
+    # join: extract hrefs of this aggregate type from the command JSON,
+    # equi-join them against the phase-1 final states, and ship each
+    # key's resolved map into the phase-2 fold as a column.  No driver
+    # collect at any size.
+    resolve_hrefs = bool(part.get("resolveHrefs")) or bool(
+        getattr(app.pctx, "resolve_hrefs", False)
+    )
+    if resolve_hrefs:
+        phase1 = ordered.groupBy("__key").applyInPandas(
+            make_fold(False, True), schema=out_schema
+        )
+        seq = F.get_json_object("value", "$._seq").cast("long")
+        w = Window.partitionBy("_id").orderBy(F.desc("__seq"))
+        finals = (
+            phase1.filter(F.col("purpose") == "aggregate")
+            .withColumn("__seq", seq)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(F.col("_id").alias("__rid"),
+                    F.col("value").alias("__state"))
+        )
+        seg = F.split(F.col("__href"), "/")
+        hrefs = (
+            ordered.select(
+                "__key",
+                F.explode(F.array_distinct(F.regexp_extract_all(
+                    "__json", F.lit(r'"href"\s*:\s*"([^"]+)"'), 1
+                ))).alias("__href"),
+            )
+            # only links to THIS aggregate type resolve from phase 1
+            .filter(
+                (F.size(seg) == 4)
+                & (F.concat_ws(
+                    "-", F.element_at(seg, 2), F.element_at(seg, 3)
+                ) == full)
+            )
+            .withColumn("__rid", F.element_at(seg, 4))
+            .distinct()
+        )
+        resolved = (
+            hrefs.join(finals, "__rid")
+            .groupBy("__key")
+            .agg(F.to_json(F.map_from_entries(F.collect_list(
+                F.struct("__href", "__state")
+            ))).alias("__resolved"))
+        )
+        ordered = ordered.join(resolved, "__key", "left")
+
     folded = ordered.groupBy("__key").applyInPandas(
-        fold, schema="purpose string, value string, _id string"
+        make_fold(resolve_hrefs, False), schema=out_schema
     )
     out: dict[str, DataFrame] = {}
     for purpose in ("aggregate", "command", "event", "event-full", "reply"):

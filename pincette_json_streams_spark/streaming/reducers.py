@@ -410,6 +410,11 @@ def pipeline_reducer(
                 stages, language = stages["jslt"], "jslt"
             elif "jq" in stages:
                 stages = stages["jq"]
+        if not stages or isinstance(stages, dict):
+            # command declared without a reducer (e.g. `put: {}` with only
+            # a validator) -> built-ins apply, not an identity pipeline
+            # over the {command, state} envelope
+            return None
         # deep-copy: pipeline stages mutate documents in place
         # ($replaceRoot returns the actual nested object); the caller's
         # state must stay pristine for the before/after event diff

@@ -421,3 +421,85 @@ class TestAggregatePart:
         assert len({d["_id"] for d in by_user["alice"]}) == 1
         assert sorted(d["_seq"] for d in by_user["alice"]) == [0, 1]
         assert by_user["bob"][0]["_seq"] == 0
+
+
+class TestHrefs:
+    def test_resolve_and_unresolve_walkers(self):
+        from pincette_json_streams_spark.streaming.hrefs import (
+            href_type, resolve_doc, unresolve_doc,
+        )
+        states = {"/app/t/a1": {"_id": "a1", "value": 3}}
+        doc = {
+            "x": 1,
+            "other": {"href": "/app/t/a1"},
+            "nested": [[{"href": "/app/t/a1"}], {"href": "/app/t/missing"}],
+        }
+        r = resolve_doc(doc, states.get)
+        assert r["other"] == {"_id": "a1", "value": 3, "href": "/app/t/a1"}
+        assert r["nested"][0][0]["value"] == 3
+        # unresolvable links stay untouched
+        assert r["nested"][1] == {"href": "/app/t/missing"}
+        # round-trip: unresolve collapses every href carrier back
+        u = unresolve_doc(r)
+        assert u == {
+            "x": 1, "other": {"href": "/app/t/a1"},
+            "nested": [[{"href": "/app/t/a1"}],
+                       {"href": "/app/t/missing"}],
+        }
+        assert href_type("/app36/resolve/abc") == "app36-resolve"
+        assert href_type("not-a-href") is None
+        assert href_type("/a/b") is None
+
+    def test_aggregate_resolves_hrefs_between_instances(self, spark):
+        """An add reducer reads a linked instance's state through its
+        href (app36 pattern); stored state keeps the bare link."""
+        import json as j
+        from pincette_json_streams_spark import Application
+
+        cmds = [
+            {"_id": "a1", "_command": "put", "_jwt": {"sub": "system"},
+             "value": 4},
+            {"_id": "b2", "_command": "put", "_jwt": {"sub": "system"},
+             "value": 0, "link": {"href": "/shop-acct/a1"}},
+        ]
+        # hold: "/<app>/<type>/<id>" -> app=shop type=acct
+        cmds[1]["link"] = {"href": "/shop/acct/a1"}
+        commands = spark.createDataFrame(
+            [(j.dumps(c),) for c in cmds], "js string"
+        )
+        from pyspark.sql import functions as F
+        commands = commands.select(
+            F.get_json_object("js", "$._id").alias("_id"),
+            F.get_json_object("js", "$._command").alias("_command"),
+            F.from_json(F.get_json_object("js", "$._jwt"),
+                        "sub string").alias("_jwt"),
+            F.get_json_object("js", "$.value").cast("int").alias("value"),
+            F.from_json(F.get_json_object("js", "$.link"),
+                        "href string").alias("link"),
+        )
+        app = Application(
+            {"application": "shop", "parts": [
+                {"type": "aggregate", "aggregateType": "acct",
+                 "resolveHrefs": True,
+                 "commands": {
+                     "put": {},
+                     "add": {"reducer": [
+                         {"$replaceWith": "$state"},
+                         {"$set": {"value": {"$add": [
+                             "$value", "$link.value"]}}},
+                     ]},
+                 }},
+            ]},
+            {"shop-acct-command": commands.unionByName(
+                spark.createDataFrame(
+                    [("b2", "add", {"sub": "system"}, None, None)],
+                    commands.schema,
+                ), allowMissingColumns=True)},
+        )
+        aggs = [j.loads(r["value"])
+                for r in app.streams["shop-acct-aggregate"].collect()]
+        final_b2 = max((d for d in aggs if d["_id"] == "b2"),
+                       key=lambda d: d["_seq"])
+        # add saw link.value = 4 through the href; stored link stays bare
+        assert final_b2["value"] == 4
+        assert final_b2["link"] == {"href": "/shop/acct/a1"}

@@ -7,10 +7,10 @@ the app on the `from` messages and compares every `to` topic exactly
 (order-insensitive, `_timestamp`-stripped) — the strongest parity
 evidence available: the reference's own inputs and expected outputs.
 
-Exclusions, each for a stated reason:
-  - app36: depends on jes href-resolution against live Mongo state; the
-    reference's own spec comments it is flaky in test mode.
-  - apps with no test dir (none currently).
+Exclusions: none.  app36 (jes href links between aggregate instances)
+runs through the engine's join-based href resolution
+(streaming/hrefs.py) — the harness enables it when fixtures carry
+``"href"`` fields.
 """
 
 import os
@@ -21,9 +21,7 @@ from pincette_json_streams_spark.plans.testing import run_app_test
 
 BASE = "/root/reference/src/test/resources"
 
-REFERENCE_APPS = [
-    f"app{i}" for i in list(range(1, 36)) + list(range(37, 41))
-]
+REFERENCE_APPS = [f"app{i}" for i in range(1, 41)]
 
 
 @pytest.mark.parametrize("app", REFERENCE_APPS)
