@@ -160,12 +160,16 @@ def collection_change_stream(
     schema: str,
     max_files_per_trigger: Optional[int] = None,
 ) -> DataFrame:
-    """Incremental ``fromCollection`` change feed: the reference tails a
-    Mongo change stream with resume tokens (App.java:650-683,1056-1081);
-    the Spark-first stand-in is an unbounded file source over the
-    collection directory — appends become change events, and the
-    streaming checkpoint IS the resume token (processed files are never
-    re-read across restarts)."""
+    """Append-only tail of a plain parquet directory (appends become
+    change events; the streaming checkpoint is the resume token).
+
+    This is the lightweight form for append-only collections.  The FULL
+    ``fromCollection`` contract — insert/replace/delete operationType
+    per document with checkpointed per-key state, matching the
+    reference's Mongo change streams (App.java:650-683,1056-1081) — is
+    ``sources.changelog.ChangeLogCollection.change_stream``; pass that
+    DataFrame as the catalog entry instead when the collection is
+    written as a change log."""
     reader = spark.readStream.schema(schema).format("parquet")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger",

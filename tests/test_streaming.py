@@ -302,6 +302,78 @@ class TestStreamingEdges:
             for q in queries:
                 q.stop()
 
+    def test_changelog_kinds_and_resume(self, spark, tmp_path):
+        """The real fromCollection contract (App.java:650-683): a
+        change-log collection emits insert/replace/delete kinds, and the
+        checkpoint is the resume token — after a restart, an upsert to an
+        EXISTING _id arrives exactly once, as a replace (the per-key
+        existence state survives the restart too)."""
+        from pincette_json_streams_spark.sources.changelog import (
+            ChangeLogCollection,
+        )
+
+        coll = ChangeLogCollection(str(tmp_path / "coll"),
+                                   "_id string, v int")
+        out_dir = str(tmp_path / "events")
+        ckpt = str(tmp_path / "ckpt")
+
+        def drain():
+            q = (
+                coll.change_stream(spark).writeStream
+                .format("parquet").option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True).start()
+            )
+            q.awaitTermination(120)
+            return sorted(
+                ((r["operationType"], r["_id"], r["v"])
+                 for r in spark.read.parquet(out_dir).collect()),
+            )
+
+        coll.upsert(spark.createDataFrame(
+            [("a", 1), ("b", 1)], "_id string, v int"))
+        assert drain() == [("insert", "a", 1), ("insert", "b", 1)]
+
+        # restart from the same checkpoint: only the NEW commits replay,
+        # and the existing key comes through as replace, not insert
+        coll.upsert(spark.createDataFrame([("a", 2)], "_id string, v int"))
+        coll.delete(spark.createDataFrame([("b",)], "_id string"))
+        assert drain() == [
+            ("delete", "b", None), ("insert", "a", 1),
+            ("insert", "b", 1), ("replace", "a", 2),
+        ]
+
+        # batch view: last writer wins, tombstones drop out
+        snap = coll.snapshot(spark).collect()
+        assert [(r["_id"], r["v"]) for r in snap] == [("a", 2)]
+
+        # re-inserting a deleted key is an insert again
+        coll.upsert(spark.createDataFrame([("b", 9)], "_id string, v int"))
+        assert ("insert", "b", 9) in drain()
+
+    def test_changelog_compaction(self, spark, tmp_path):
+        from pincette_json_streams_spark.sources.changelog import (
+            ChangeLogCollection,
+        )
+
+        coll = ChangeLogCollection(str(tmp_path / "c2"), "_id string, v int")
+        coll.upsert(spark.createDataFrame(
+            [("a", 1), ("b", 5)], "_id string, v int"))
+        coll.upsert(spark.createDataFrame([("a", 2)], "_id string, v int"))
+        coll.delete(spark.createDataFrame([("b",)], "_id string"))
+        coll.compact(spark)
+        snap = coll.snapshot(spark).collect()
+        assert [(r["_id"], r["v"]) for r in snap] == [("a", 2)]
+        # a fresh stream over the compacted log sees one insert per key
+        out_dir, ckpt = str(tmp_path / "ev2"), str(tmp_path / "ck2")
+        q = (coll.change_stream(spark).writeStream.format("parquet")
+             .option("path", out_dir).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = [(r["operationType"], r["_id"], r["v"])
+               for r in spark.read.parquet(out_dir).collect()]
+        assert got == [("insert", "a", 2)]
+
     def test_collection_change_feed_checkpointed(self, spark, tmp_path):
         """fromCollection over a change feed: appends propagate through a
         stream part; the checkpoint is the resume token (a second drain
