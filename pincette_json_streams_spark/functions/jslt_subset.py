@@ -11,15 +11,21 @@ language reference:
   - pipe ``expr | expr`` (left value becomes the context of the right)
   - object templates ``{"k": expr, * : .}`` — the ``*`` matcher copies the
     remaining keys of the context object; **pairs evaluating to null are
-    omitted** (JSLT's way to delete keys: ``{"_command": null, *: .}``)
-  - array/object ``for`` comprehensions, ``if (...) ... else ...``
+    omitted** (JSLT's way to delete keys: ``{"_command": null, *: .}``);
+    matcher exclusions ``{* - a, b : .}``
+  - array/object ``for`` comprehensions with ``if (...)`` filters,
+    ``if (...) ... else ...``
   - ``let name = expr`` bindings and ``$name`` references
   - ``def name(p1, p2) expr`` with ``$p`` parameters; file ``import``s
     with namespace prefixes (``import "x.jslt" as ns`` then ``ns:f(...)``)
   - arithmetic/comparison/boolean operators, string ``+``
-  - core built-ins (size, string, number, boolean, not, round, floor,
-    ceiling, contains, join, split, lowercase, uppercase, test, capture?,
-    starts-with, ends-with, trim, is-*, get-key, error, min, max, sum)
+  - core built-ins (size, string, number(+fallback), boolean, not,
+    fallback, round, floor, ceiling, contains, join, split, lowercase,
+    uppercase, test, capture, replace, starts-with, ends-with, trim,
+    is-* incl. is-integral/is-decimal, get-key, error, min, max
+    (binary + array extension), sum, mod, flatten, all, any, zip,
+    zip-with-index, index-of, array, from-json, to-json, sha256-hex,
+    hash-int, now, parse-time, format-time)
   - the platform's custom functions (docs/custom_jslt.md): base64-decode,
     base64-encode, get-pointer, pointer, set-pointer, substr, trace,
     uri-decode, uri-encode, uuid, parse-iso-instant
@@ -344,10 +350,17 @@ class _Parser:
             kexpr = self.expr()
             self.expect("op", ":")
             vexpr = self.expr()
+            cond = None
+            if self.peek() == ("kw", "if"):
+                self.next()
+                self.expect("op", "(")
+                cond = self.expr()
+                self.expect("op", ")")
             self.expect("op", "}")
-            return ("for_object", src, kexpr, vexpr)
+            return ("for_object", src, kexpr, vexpr, cond)
         pairs = []
         matcher = None
+        matcher_minus: list[str] = []
         lets = []
         while self.peek() != ("op", "}"):
             if self.peek() == ("kw", "let"):
@@ -355,6 +368,19 @@ class _Parser:
                 self.accept("op", ",")
                 continue
             if self.accept("op", "*"):
+                # `* - k1, k2 : expr` — matcher with key exclusions
+                if self.accept("op", "-"):
+                    while True:
+                        k, v = self.next()
+                        if k == "str":
+                            matcher_minus.append(json.loads(v))
+                        elif k in ("ident", "kw"):
+                            matcher_minus.append(v)
+                        else:
+                            raise JsltError(
+                                f"jslt: bad matcher exclusion {(k, v)!r}")
+                        if not self.accept("op", ","):
+                            break
                 self.expect("op", ":")
                 matcher = self.expr()
             else:
@@ -370,7 +396,7 @@ class _Parser:
             if not self.accept("op", ","):
                 break
         self.expect("op", "}")
-        return ("object", lets, pairs, matcher)
+        return ("object", lets, pairs, matcher, matcher_minus)
 
 
 # --------------------------------------------------------------------------
@@ -378,7 +404,10 @@ class _Parser:
 # --------------------------------------------------------------------------
 
 def _truthy(v):
+    # JSLT boolean(): false is null, false, 0/0.0, "", [], {}
     if v is None or v is False:
+        return False
+    if isinstance(v, (int, float)) and v == 0:
         return False
     if v == [] or v == {} or v == "":
         return False
@@ -490,8 +519,11 @@ def _eval(node, ctx, env):
         items = src if isinstance(src, list) else [
             {"key": k, "value": v} for k, v in (src or {}).items()
         ]
+        cond = node[4] if len(node) > 4 else None
         out = {}
         for x in items:
+            if cond is not None and not _truthy(_eval(cond, x, env)):
+                continue
             k = _eval(node[2], x, env)
             v = _eval(node[3], x, env)
             if v is not None:
@@ -499,6 +531,7 @@ def _eval(node, ctx, env):
         return out
     if tag == "object":
         lets, pairs, matcher = node[1], node[2], node[3]
+        minus = set(node[4]) if len(node) > 4 else set()
         local = env
         for name, vex in lets:
             local = {**local, "vars": {**local["vars"],
@@ -513,7 +546,7 @@ def _eval(node, ctx, env):
                 out[k] = v
         if matcher is not None and isinstance(ctx, dict):
             for k, v in ctx.items():
-                if k not in explicit:
+                if k not in explicit and k not in minus:
                     mv = _eval(matcher, v, local)
                     if mv is not None:
                         out[k] = mv
@@ -566,6 +599,23 @@ def _ptr_set(obj, pointer, value):
     return go(obj, 0)
 
 
+_JAVA_TIME = [
+    ("yyyy", "%Y"), ("yy", "%y"), ("MM", "%m"), ("dd", "%d"),
+    ("HH", "%H"), ("mm", "%M"), ("ss", "%S"), ("SSS", "%f"),
+    ("XXX", "%z"), ("XX", "%z"), ("X", "%z"), ("Z", "%z"),
+    ("'T'", "T"), ("EEE", "%a"), ("MMM", "%b"),
+]
+
+
+def _java_time_format(fmt: str) -> str:
+    """Translate the common java.time pattern letters (JSLT's
+    parse-time/format-time contract) to strptime directives."""
+    out = fmt
+    for j, p in _JAVA_TIME:
+        out = out.replace(j, p)
+    return out
+
+
 def _call(name, args, ctx, env):
     if name in env["funcs"]:
         params, body = env["funcs"][name]
@@ -588,8 +638,21 @@ def _call(name, args, ctx, env):
         v = a()
         if v is None or isinstance(v, (int, float)):
             return v
-        f = float(v)
+        try:
+            f = float(v)
+        except (TypeError, ValueError):
+            if n > 1:  # number(x, fallback)
+                return a(1)
+            raise JsltError(f"jslt: number() cannot convert {v!r}")
         return int(f) if f.is_integer() else f
+    if name == "fallback":
+        # lazy: evaluate args until one has a value (the JSLT operator
+        # for absent-field defaults)
+        for i in range(n):
+            v = a(i)
+            if v is not None:
+                return v
+        return None
     if name == "boolean":
         return _truthy(a())
     if name == "not":
@@ -604,8 +667,65 @@ def _call(name, args, ctx, env):
         v = a()
         return sum(v) if v else None
     if name in ("min", "max"):
+        # JSLT's min/max are binary (min(a, b)); the unary-over-array
+        # form is kept as a compatible extension
+        f = min if name == "min" else max
+        if n == 2:
+            x, y = a(0), a(1)
+            return None if x is None or y is None else f(x, y)
         v = a()
-        return (min if name == "min" else max)(v) if v else None
+        return f(v) if v else None
+    if name == "mod":
+        x, y = a(0), a(1)
+        return None if x is None or y is None else x % y
+    if name == "flatten":
+        def _flat(xs):
+            out = []
+            for x in xs:
+                out.extend(_flat(x) if isinstance(x, list) else [x])
+            return out
+        v = a()
+        return None if v is None else _flat(v)
+    if name == "all":
+        v = a()
+        return None if v is None else all(_truthy(x) for x in v)
+    if name == "any":
+        v = a()
+        return None if v is None else any(_truthy(x) for x in v)
+    if name == "zip":
+        x, y = a(0), a(1)
+        if x is None or y is None:
+            return None
+        return [[i, j] for i, j in zip(x, y)]
+    if name == "zip-with-index":
+        v = a()
+        return None if v is None else [
+            {"index": i, "value": x} for i, x in enumerate(v)]
+    if name == "index-of":
+        arr, val = a(0), a(1)
+        if arr is None:
+            return None
+        try:
+            return arr.index(val)
+        except ValueError:
+            return -1
+    if name == "array":
+        v = a()
+        if v is None or isinstance(v, list):
+            return v
+        if isinstance(v, dict):
+            return [{"key": k, "value": x} for k, x in v.items()]
+        raise JsltError(f"jslt: array() cannot convert {type(v).__name__}")
+    if name == "from-json":
+        v = a()
+        if v is None:
+            return None
+        try:
+            return json.loads(v)
+        except (TypeError, ValueError):
+            return a(1) if n > 1 else None
+    if name == "to-json":
+        return json.dumps(a())
     if name == "contains":
         el, seq = a(0), a(1)
         if isinstance(seq, dict):
@@ -629,6 +749,54 @@ def _call(name, args, ctx, env):
         return a(0).endswith(a(1))
     if name == "test":
         return re.search(a(1), a(0)) is not None
+    if name == "capture":
+        s = a(0)
+        if s is None:
+            return None
+        m = re.search(a(1), s)
+        return {k: v for k, v in (m.groupdict() if m else {}).items()
+                if v is not None}
+    if name == "replace":
+        s = a(0)
+        return None if s is None else re.sub(a(1), a(2), s)
+    if name == "sha256-hex":
+        import hashlib as _hl
+
+        return _hl.sha256(_to_string(a()).encode()).hexdigest()
+    if name == "hash-int":
+        import hashlib as _hl
+
+        canon = json.dumps(a(), sort_keys=True, separators=(",", ":"))
+        return int.from_bytes(
+            _hl.sha256(canon.encode()).digest()[:8], "big", signed=False
+        ) >> 1  # non-negative 63-bit
+    if name == "now":
+        import time as _time
+
+        return _time.time()
+    if name == "parse-time":
+        s = a(0)
+        if s is None:
+            return None
+        try:
+            from datetime import datetime, timezone
+
+            dt = datetime.strptime(s, _java_time_format(a(1)))
+            if dt.tzinfo is None:
+                dt = dt.replace(tzinfo=timezone.utc)
+            return dt.timestamp()
+        except ValueError:
+            if n > 2:
+                return a(2)
+            raise JsltError(f"jslt: parse-time failed for {s!r}")
+    if name == "format-time":
+        v = a(0)
+        if v is None:
+            return None
+        from datetime import datetime, timezone
+
+        return datetime.fromtimestamp(v, tz=timezone.utc).strftime(
+            _java_time_format(a(1)))
     if name == "get-key":
         obj, key = a(0), a(1)
         dflt = a(2) if n > 2 else None
@@ -637,10 +805,12 @@ def _call(name, args, ctx, env):
         raise JsltError(_to_string(a()))
     if name.startswith("is-"):
         v = a()
+        is_num = isinstance(v, (int, float)) and not isinstance(v, bool)
         return {
             "is-string": isinstance(v, str),
-            "is-number": isinstance(v, (int, float))
-            and not isinstance(v, bool),
+            "is-number": is_num,
+            "is-integral": is_num and float(v).is_integer(),
+            "is-decimal": is_num and not float(v).is_integer(),
             "is-boolean": isinstance(v, bool),
             "is-object": isinstance(v, dict),
             "is-array": isinstance(v, list),

@@ -843,8 +843,17 @@ def _stage_throttle(df, spec, pctx):
         rate = float(spec["maxPerSecond"])
     if not rate or not df.isStreaming:
         return df
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    per_part = max(rate / max(parallelism, 1), 1e-9)
+    # repartition to a KNOWN width so the per-partition budget is exact:
+    # splitting by defaultParallelism under- or over-throttles whenever
+    # the stream's real partition count differs (fewer partitions than
+    # cores -> over-throttle; more -> aggregate rate exceeds the cap).
+    # A throttled stream is rate-bound anyway, so the extra exchange is
+    # noise next to the pacing sleeps.
+    parallelism = max(
+        df.sparkSession.sparkContext.defaultParallelism, 1
+    )
+    df = df.repartition(parallelism)
+    per_part = max(rate / parallelism, 1e-9)
     schema_str = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
     )

@@ -156,3 +156,84 @@ class TestSparkIntegration:
                 app.streams["j-thing-aggregate"].collect()]
         by_seq = sorted(aggs, key=lambda a: a["_seq"])
         assert [a["v"] for a in by_seq] == [7, 8]
+
+
+class TestSpecCompletion:
+    """Remaining public-spec surface: capture/replace, matcher
+    exclusions, comprehension filters, fallback, time and collection
+    built-ins (docs/custom_jslt.md + the JSLT language reference)."""
+
+    def test_capture_named_groups(self):
+        out = jslt(r'capture(., "(?P<year>\\d{4})-(?P<month>\\d{2})")',
+                   "2024-07-15")
+        assert out == {"year": "2024", "month": "07"}
+        assert jslt(r'capture(., "(?P<x>z)")', "abc") == {}
+        assert jslt(r'capture(.missing, "x")', {}) is None
+
+    def test_replace(self):
+        assert jslt(r'replace(., "\\s+", "-")', "a  b c") == "a-b-c"
+        assert jslt(r'replace(.missing, "x", "y")', {}) is None
+
+    def test_matcher_exclusions(self):
+        out = jslt('{* - b, "c" : .}', {"a": 1, "b": 2, "c": 3, "d": 4})
+        assert out == {"a": 1, "d": 4}
+        # exclusions compose with explicit keys
+        out = jslt('{"a": 99, * - d : .}',
+                   {"a": 1, "b": 2, "d": 4})
+        assert out == {"a": 99, "b": 2}
+
+    def test_object_for_with_filter(self):
+        out = jslt('{for (.) .key : .value if (.value > 1)}',
+                   {"a": 1, "b": 2, "c": 3})
+        assert out == {"b": 2, "c": 3}
+
+    def test_fallback(self):
+        assert jslt('fallback(.a, .b, "dflt")', {"b": 5}) == 5
+        assert jslt('fallback(.a, .b)', {}) is None
+        assert jslt('fallback(.a, "x")', {"a": 0}) == 0  # 0 has a value
+
+    def test_number_with_fallback_and_binary_minmax(self):
+        assert jslt('number(., -1)', "no") == -1
+        assert jslt('number(.)', "2.5") == 2.5
+        assert jslt('min(3, 7)', None) == 3
+        assert jslt('max(3, 7)', None) == 7
+        assert jslt('mod(7, 3)', None) == 1
+
+    def test_collections(self):
+        assert jslt('flatten(.)', [1, [2, [3, 4]], 5]) == [1, 2, 3, 4, 5]
+        assert jslt('all(.)', [True, 1, "x"]) is True
+        assert jslt('all(.)', [True, 0]) is False
+        assert jslt('any(.)', [False, 0, 2]) is True
+        assert jslt('zip(.a, .b)', {"a": [1, 2], "b": ["x", "y"]}) == \
+            [[1, "x"], [2, "y"]]
+        assert jslt('zip-with-index(.)', ["a", "b"]) == \
+            [{"index": 0, "value": "a"}, {"index": 1, "value": "b"}]
+        assert jslt('index-of(., 7)', [5, 7, 9]) == 1
+        assert jslt('index-of(., 8)', [5, 7, 9]) == -1
+        assert jslt('array(.)', {"a": 1}) == [{"key": "a", "value": 1}]
+
+    def test_json_roundtrip(self):
+        assert jslt('from-json(.)', '{"a": 1}') == {"a": 1}
+        assert jslt('from-json(., "bad")', "{nope") == "bad"
+        assert json.loads(jslt('to-json(.)', {"a": [1, 2]})) == \
+            {"a": [1, 2]}
+
+    def test_time_functions(self):
+        t = jslt('parse-time(., "yyyy-MM-dd\'T\'HH:mm:ss")',
+                 "1970-01-02T00:00:00")
+        assert t == 86400.0
+        assert jslt('format-time(., "yyyy-MM-dd")', 86400) == "1970-01-02"
+        assert jslt('parse-time(., "yyyy", -1)', "junk") == -1
+        now = jslt("now()", None)
+        assert isinstance(now, float) and now > 1e9
+
+    def test_hashes_and_types(self):
+        assert jslt('sha256-hex(.)', "abc") == (
+            "ba7816bf8f01cfea414140de5dae2223"
+            "b00361a396177a9cb410ff61f20015ad")
+        h1 = jslt("hash-int(.)", {"b": 1, "a": [2]})
+        h2 = jslt("hash-int(.)", {"a": [2], "b": 1})
+        assert h1 == h2 and isinstance(h1, int) and h1 >= 0
+        assert jslt("is-integral(.)", 4.0) is True
+        assert jslt("is-decimal(.)", 4.5) is True
+        assert jslt("is-integral(.)", "4") is False
