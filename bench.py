@@ -125,6 +125,17 @@ def main():
         total_rows += n
 
     total = round(sum(times.values()), 3)
+
+    # streaming throughput row (BASELINE.md's second anchor: the
+    # reference's 50 msg/s/instance design capacity) — best-effort so a
+    # streaming hiccup can't take down the batch numbers
+    try:
+        from scripts.bench_streaming import measure as stream_measure
+
+        streaming = stream_measure(spark, sf_dir)
+    except Exception as e:  # pragma: no cover
+        streaming = {"error": str(e)[:200]}
+
     try:
         load1, load5, _ = os.getloadavg()
     except OSError:
@@ -141,6 +152,7 @@ def main():
         "passes": 3,
         "agg": "min",
         "pass_detail": all_passes,
+        "streaming": streaming,
         "loadavg_after": [round(load1, 2), round(load5, 2)],
     }))
 

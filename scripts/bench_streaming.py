@@ -8,6 +8,8 @@ Spark engine should clear that by orders of magnitude per core.
 
 Usage: python scripts/bench_streaming.py [sf_dir]
 Prints one JSON line: {"metric": "streaming_msgs_per_sec", ...}.
+``measure(spark, sf_dir)`` is importable — bench.py embeds its result
+as the `streaming` key of the round's JSON line.
 """
 
 from __future__ import annotations
@@ -21,8 +23,90 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-EVENTS_SCHEMA = ("event_id bigint, ts bigint, user_id bigint, "
-                 "event_type string, value double, props string")
+# stream parts under test: identity-ish $match (the reference's
+# apples-to-apples baseline) and a stateful update-mode $group
+SPECS = {
+    "identity_match": {
+        "application": "bench-identity", "parts": [
+            {"type": "stream", "name": "s", "fromTopic": "events",
+             "toTopic": "out", "pipeline": [
+                 {"$match": {"event_id": {"$exists": True}}},
+             ]},
+        ],
+    },
+    "transform_chain": {
+        "application": "bench-transform", "parts": [
+            {"type": "stream", "name": "s", "fromTopic": "events",
+             "toTopic": "out", "pipeline": [
+                 {"$match": {"value": {"$gte": 0}}},
+                 {"$addFields": {"bucket": {"$toInt": {"$divide":
+                                                       ["$value", 10]}},
+                                 "kind": {"$toUpper": "$event_type"}}},
+                 {"$project": {"_id": 0, "event_id": 1, "user_id": 1,
+                               "bucket": 1, "kind": 1}},
+             ]},
+        ],
+    },
+    "grouped_update": {
+        "application": "bench-group", "parts": [
+            {"type": "stream", "name": "s", "fromTopic": "events",
+             "toTopic": "out", "pipeline": [
+                 {"$group": {"_id": "$event_type",
+                             "n": {"$sum": 1},
+                             "total": {"$sum": "$value"}}},
+            ]},
+        ],
+    },
+}
+
+
+def measure(spark, sf_dir: str) -> dict:
+    """Drain the three benchmark pipelines over the events table as a
+    file stream; -> {"queries": {name: msgs/sec}, "n_events": n,
+    "msgs_per_sec": best}."""
+    from pincette_json_streams_spark.streaming.runtime import (
+        StreamingApp,
+        file_stream_catalog,
+    )
+
+    events_path = os.path.join(sf_dir, "events.parquet")
+    # schema drifts between testdata drops (TIMESTAMP(NANOS)-as-long vs
+    # timestamp[us]); derive the stream schema from the actual footer
+    events_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in spark.read.parquet(events_path).schema.fields
+    )
+    n_events = spark.read.parquet(events_path).count()
+    tmp = tempfile.mkdtemp(prefix="stream_bench_")
+    topic_dir = os.path.join(tmp, "events")
+    os.makedirs(topic_dir)
+    # the file-stream source wants a topic *directory* (appends = files)
+    os.symlink(events_path, os.path.join(topic_dir, "events.parquet"))
+    results = {}
+    try:
+        for name, spec in SPECS.items():
+            catalog = file_stream_catalog(
+                spark, {"events": topic_dir}, {"events": events_schema})
+            app = StreamingApp(spark, spec, catalog)
+
+            def sink(sink_name, df, _n=name):
+                mode = ("update" if _n == "grouped_update" else "append")
+                return (df.writeStream.format("noop").outputMode(mode)
+                        .option("checkpointLocation",
+                                os.path.join(tmp, _n, sink_name)))
+
+            t0 = time.time()
+            app.run_until_drained(sink, timeout=300)
+            dt = time.time() - t0
+            results[name] = round(n_events / dt, 1)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "queries": results,
+        "n_events": n_events,
+        "msgs_per_sec": max(results.values()),
+        "reference_design_capacity_per_instance": 50,
+    }
 
 
 def main():
@@ -42,84 +126,12 @@ def main():
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-
-    from pincette_json_streams_spark.streaming.runtime import (
-        StreamingApp,
-        file_stream_catalog,
-    )
-
-    # stream parts under test: identity-ish $match (the reference's
-    # apples-to-apples baseline) and a stateful update-mode $group
-    specs = {
-        "identity_match": {
-            "application": "bench-identity", "parts": [
-                {"type": "stream", "name": "s", "fromTopic": "events",
-                 "toTopic": "out", "pipeline": [
-                     {"$match": {"event_id": {"$exists": True}}},
-                 ]},
-            ],
-        },
-        "transform_chain": {
-            "application": "bench-transform", "parts": [
-                {"type": "stream", "name": "s", "fromTopic": "events",
-                 "toTopic": "out", "pipeline": [
-                     {"$match": {"value": {"$gte": 0}}},
-                     {"$addFields": {"bucket": {"$toInt": {"$divide":
-                                                           ["$value", 10]}},
-                                     "kind": {"$toUpper": "$event_type"}}},
-                     {"$project": {"_id": 0, "event_id": 1, "user_id": 1,
-                                   "bucket": 1, "kind": 1}},
-                 ]},
-            ],
-        },
-        "grouped_update": {
-            "application": "bench-group", "parts": [
-                {"type": "stream", "name": "s", "fromTopic": "events",
-                 "toTopic": "out", "pipeline": [
-                     {"$group": {"_id": "$event_type",
-                                 "n": {"$sum": 1},
-                                 "total": {"$sum": "$value"}}},
-                 ]},
-            ],
-        },
-    }
-
-    n_events = spark.read.parquet(
-        os.path.join(sf_dir, "events.parquet")).count()
-    tmp = tempfile.mkdtemp(prefix="stream_bench_")
-    # the file-stream source wants a topic *directory* (appends = files)
-    topic_dir = os.path.join(tmp, "events")
-    os.makedirs(topic_dir)
-    os.symlink(os.path.join(sf_dir, "events.parquet"),
-               os.path.join(topic_dir, "events.parquet"))
-    results = {}
-    try:
-        for name, spec in specs.items():
-            catalog = file_stream_catalog(
-                spark, {"events": topic_dir},
-                {"events": EVENTS_SCHEMA})
-            app = StreamingApp(spark, spec, catalog)
-
-            def sink(sink_name, df, _n=name):
-                mode = ("update" if _n == "grouped_update" else "append")
-                return (df.writeStream.format("noop").outputMode(mode)
-                        .option("checkpointLocation",
-                                os.path.join(tmp, _n, sink_name)))
-
-            t0 = time.time()
-            app.run_until_drained(sink, timeout=300)
-            dt = time.time() - t0
-            results[name] = round(n_events / dt, 1)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
-
+    m = measure(spark, sf_dir)
     print(json.dumps({
         "metric": "streaming_msgs_per_sec",
-        "value": max(results.values()),
+        "value": m["msgs_per_sec"],
         "unit": "msgs/sec",
-        "queries": results,
-        "n_events": n_events,
-        "reference_design_capacity_per_instance": 50,
+        **m,
         "cpus": int(cpus),
     }))
 
