@@ -2,15 +2,18 @@
 columns with typed metadata.
 
 Three tiers of honesty about what runs in this codec-free runtime:
-- `attach_media_metadata` (byte length, content hash) and `probe_media`
+- `attach_media_metadata` (byte length, content hash), `probe_media`
   (container-header parsing: PNG/JPEG/GIF/BMP dimensions, WAV sample
   rate/channels/duration — pure stdlib ``struct``, no codec libraries)
-  are REAL.
-- pixel/audio *decoding* (`decode_features`) and frame extraction
+  and `decode_audio` (REAL PCM WAV decode via stdlib ``wave`` + numpy:
+  8/16/24/32-bit PCM -> mono float samples, RMS/peak energy, fixed-bin
+  downsampled waveform) are REAL.
+- image pixel *decoding* (`decode_features`) and video frame extraction
   (`sample_frames`) are stubbed with deterministic fakes clearly
-  marked; swap `_decode_stub` for a real decoder (PIL/torchaudio/pyav)
-  without touching the plumbing — schema, Arrow batch shape,
-  ``mapInPandas`` signatures and partition sizing are production-real.
+  marked (JPEG/PNG entropy decode genuinely needs codec libraries);
+  swap `_decode_stub` for a real decoder (PIL/pyav) without touching
+  the plumbing — schema, Arrow batch shape, ``mapInPandas`` signatures
+  and partition sizing are production-real.
 
 Scale design: media bytes stay in the executor (never collect), batches
 flow through Arrow; per-file work parallelizes by repartitioning on a
@@ -25,8 +28,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
-    "MEDIA_SCHEMA", "attach_media_metadata", "decode_features",
-    "probe_media", "sample_frames",
+    "MEDIA_SCHEMA", "attach_media_metadata", "decode_audio",
+    "decode_features", "probe_media", "sample_frames",
 ]
 
 # canonical media column group
@@ -121,6 +124,90 @@ def probe_media(
         for pdf in batches:
             pdf[out_col] = pdf[media_col].map(
                 lambda b: _probe_bytes(bytes(b) if b is not None else None)
+            )
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+_AUDIO_FIELDS = ("sample_rate", "channels", "n_samples", "duration_ms",
+                 "rms", "peak", "waveform")
+
+
+def _decode_wav(b: bytes | None, waveform_bins: int) -> dict:
+    """REAL PCM WAV decode — stdlib ``wave`` + numpy, no codecs.
+    Supports 8/16/24/32-bit PCM; compressed or non-RIFF payloads yield
+    all-NULL fields (probe_media tells callers what they have)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    out = dict.fromkeys(_AUDIO_FIELDS)
+    if not b:
+        return out
+    try:
+        with wave.open(io.BytesIO(b)) as w:
+            ch = w.getnchannels()
+            sw = w.getsampwidth()
+            sr = w.getframerate()
+            n = w.getnframes()
+            raw = w.readframes(n)
+    except (wave.Error, EOFError):
+        return out
+    if sw == 1:  # unsigned 8-bit
+        x = (np.frombuffer(raw, np.uint8).astype(np.float32) - 128.0) \
+            / 128.0
+    elif sw == 2:
+        x = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
+    elif sw == 3:  # packed 24-bit: widen to int32 with sign extension
+        a = np.frombuffer(raw, np.uint8)
+        a = a[: (len(a) // 3) * 3].reshape(-1, 3).astype(np.uint32)
+        v = (a[:, 0] | (a[:, 1] << 8) | (a[:, 2] << 16)).astype(np.int32)
+        v = (v << 8) >> 8
+        x = v.astype(np.float32) / float(1 << 23)
+    elif sw == 4:
+        x = np.frombuffer(raw, "<i4").astype(np.float32) / float(1 << 31)
+    else:
+        return out
+    if ch > 1:
+        x = x[: (len(x) // ch) * ch].reshape(-1, ch).mean(axis=1)
+    n_samples = int(len(x))
+    out.update(
+        sample_rate=sr, channels=ch, n_samples=n_samples,
+        duration_ms=int(n_samples * 1000 / sr) if sr else None,
+    )
+    if n_samples:
+        out["rms"] = float(np.sqrt(np.mean(x.astype(np.float64) ** 2)))
+        out["peak"] = float(np.abs(x).max())
+        # fixed-bin mean-abs envelope: the cheap waveform fingerprint
+        bins = np.array_split(np.abs(x), min(waveform_bins, n_samples))
+        out["waveform"] = [float(seg.mean()) for seg in bins]
+    return out
+
+
+def decode_audio(
+    df: DataFrame,
+    media_col: str = "media",
+    out_col: str = "audio",
+    waveform_bins: int = 64,
+) -> DataFrame:
+    """REAL audio decode for PCM WAV payloads: per-row
+    struct(sample_rate, channels, n_samples, duration_ms, rms, peak,
+    waveform array<float>).  Arrow-batched ``mapInPandas``; bytes never
+    leave the executor; unsupported formats yield NULL fields rather
+    than failing the batch."""
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + (f", {out_col} struct<sample_rate:int,channels:int,"
+         "n_samples:bigint,duration_ms:bigint,rms:double,peak:double,"
+         "waveform:array<float>>")
+
+    def run(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            pdf[out_col] = pdf[media_col].map(
+                lambda b: _decode_wav(
+                    bytes(b) if b is not None else None, waveform_bins)
             )
             yield pdf
 

@@ -723,6 +723,55 @@ class TestMultimodal:
         assert got["junk"]["format"] is None
         assert got["empty"]["format"] is None
 
+    def test_decode_audio_real_pcm(self, spark):
+        """decode_audio is a REAL decoder for PCM WAV: a generated
+        440 Hz sine must come back with the right duration, RMS ~ A/√2,
+        peak ~ A, and a flat 64-bin envelope."""
+        import io
+        import math
+        import struct
+        import wave
+
+        from pincette_json_streams_spark.functions.multimodal import (
+            decode_audio,
+        )
+
+        sr, secs, amp = 8000, 1.0, 0.5
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(2)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            frames = b"".join(
+                struct.pack(
+                    "<hh",
+                    int(amp * 32767 * math.sin(2 * math.pi * 440 * t / sr)),
+                    int(amp * 32767 * math.sin(2 * math.pi * 440 * t / sr)),
+                )
+                for t in range(int(sr * secs))
+            )
+            w.writeframes(frames)
+        rows = spark.createDataFrame(
+            [("tone", bytearray(buf.getvalue())),
+             ("junk", bytearray(b"not audio")), ("none", None)],
+            "asset_id string, media binary",
+        )
+        got = {r["asset_id"]: r["audio"].asDict()
+               for r in decode_audio(rows).collect()}
+        tone = got["tone"]
+        assert tone["sample_rate"] == 8000
+        assert tone["channels"] == 2
+        assert tone["n_samples"] == 8000
+        assert tone["duration_ms"] == 1000
+        assert abs(tone["rms"] - amp / math.sqrt(2)) < 0.01
+        assert abs(tone["peak"] - amp) < 0.01
+        assert len(tone["waveform"]) == 64
+        # a pure tone's mean-abs envelope is flat: 2A/pi per bin
+        expect = 2 * amp / math.pi
+        assert all(abs(v - expect) < 0.05 for v in tone["waveform"])
+        assert got["junk"]["sample_rate"] is None
+        assert got["none"]["sample_rate"] is None
+
     def test_metadata_and_decode_stub(self, spark):
         from pincette_json_streams_spark.functions.multimodal import (
             attach_media_metadata, decode_features,
