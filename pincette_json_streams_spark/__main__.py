@@ -1,16 +1,21 @@
 """CLI mirroring the reference platform's subcommands
 (Application.java:30-42, docs/cli.md):
 
-  build   spec -> canonical self-contained JSON on stdout
-  yaml    canonical JSON -> YAML (and back with --json)
-  doc     spec -> markdown documentation
-  dot     spec -> Graphviz topology graph
-  test    run an application folder's golden test (docs/testing.md)
-  run     batch-run an app over parquet-backed topics, write sinks
+  build    spec -> canonical self-contained JSON on stdout
+  yaml     canonical JSON -> YAML (and back with --json)
+  doc      spec -> markdown documentation
+  dot      spec -> Graphviz topology graph
+  test     run an application folder's golden test (docs/testing.md)
+  run      batch-run an app over parquet-backed topics, write sinks
+           (--register also stores the built spec in the registry)
+  list     print registered applications (name + version)
+  delete   remove an application from the registry (stops it)
+  restart  touch an application's _timestamp so workers reload it
 
-Registry-backed subcommands (list/delete/restart) need a shared spec
-store and belong to the deployment layer; they are out of scope for the
-local CLI.
+The registry is a directory of JSON app documents
+(plans/registry.py; default ~/.pincette-json-streams-spark/apps or
+$PINCETTE_JSON_STREAMS_REGISTRY) — the local analogue of the
+reference's MongoDB applications collection.
 """
 
 from __future__ import annotations
@@ -95,6 +100,10 @@ def cmd_run(args) -> int:
     }
     out_dir = Path(args.out)
     for spec in _load(args.spec):
+        if args.register:
+            from pincette_json_streams_spark.plans.registry import register
+
+            register(spec, args.registry)
         app = Application(spec, catalog)
         for name, df in app.run_batch().items():
             target = out_dir / spec["application"] / name
@@ -102,6 +111,34 @@ def cmd_run(args) -> int:
             print(f"{spec['application']}/{name}: "
                   f"{spark.read.parquet(str(target)).count()} rows "
                   f"-> {target}")
+    return 0
+
+
+def cmd_list(args) -> int:
+    from pincette_json_streams_spark.plans.registry import list_apps
+
+    for name, version in list_apps(args.registry):
+        print(f"{name} {version}" if version is not None else name)
+    return 0
+
+
+def cmd_delete(args) -> int:
+    from pincette_json_streams_spark.plans.registry import delete_app
+
+    if not delete_app(args.registry, args.application):
+        print(f"The application {args.application} doesn't exist.",
+              file=sys.stderr)
+        return 1
+    return 0
+
+
+def cmd_restart(args) -> int:
+    from pincette_json_streams_spark.plans.registry import restart_app
+
+    if not restart_app(args.registry, args.application):
+        print(f"The application {args.application} doesn't exist.",
+              file=sys.stderr)
+        return 1
     return 0
 
 
@@ -132,13 +169,33 @@ def main(argv=None) -> int:
     t.add_argument("--cpus", default="4")
     t.set_defaults(fn=cmd_test)
 
+    from pincette_json_streams_spark.plans.registry import default_registry
+
     r = sub.add_parser("run", help="batch-run over parquet topics")
     r.add_argument("spec")
     r.add_argument("--data", required=True,
                    help="directory of <topic>.parquet files")
     r.add_argument("--out", required=True)
     r.add_argument("--cpus", default="4")
+    r.add_argument("--register", action="store_true",
+                   help="also store the built spec in the registry")
+    r.add_argument("--registry", default=default_registry())
     r.set_defaults(fn=cmd_run)
+
+    ls = sub.add_parser("list", help="list registered applications")
+    ls.add_argument("--registry", "-c", default=default_registry())
+    ls.set_defaults(fn=cmd_list)
+
+    de = sub.add_parser("delete", help="remove an app from the registry")
+    de.add_argument("--application", "-a", required=True)
+    de.add_argument("--registry", "-c", default=default_registry())
+    de.set_defaults(fn=cmd_delete)
+
+    re_ = sub.add_parser("restart",
+                         help="touch an app so workers reload it")
+    re_.add_argument("--application", "-a", required=True)
+    re_.add_argument("--registry", "-c", default=default_registry())
+    re_.set_defaults(fn=cmd_restart)
 
     args = p.parse_args(argv)
     return args.fn(args)

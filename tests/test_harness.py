@@ -152,6 +152,41 @@ class TestCli:
         assert 'digraph "routing"' in dot and '"part_zeroes"' in dot
 
 
+class TestRegistry:
+    """list/delete/restart registry verbs (Delete.java, ListApps.java,
+    Restart.java) against the file-backed local registry."""
+
+    def test_register_list_restart_delete(self, tmp_path, capsys):
+        from pincette_json_streams_spark.__main__ import main
+        from pincette_json_streams_spark.plans.registry import register
+
+        reg = str(tmp_path / "reg")
+        register({"application": "app-b", "version": "2.0",
+                  "parts": []}, reg)
+        p = register({"application": "app-a", "version": "1.1",
+                      "parts": []}, reg)
+        ts0 = json.loads(p.read_text())["_timestamp"]
+
+        assert main(["list", "--registry", reg]) == 0
+        assert capsys.readouterr().out.splitlines() == \
+            ["app-a 1.1", "app-b 2.0"]
+
+        import time
+        time.sleep(0.01)
+        assert main(["restart", "-a", "app-a", "--registry", reg]) == 0
+        assert json.loads(p.read_text())["_timestamp"] > ts0
+        # restart must not clobber the spec body
+        assert json.loads(p.read_text())["application"] == "app-a"
+
+        assert main(["delete", "-a", "app-a", "--registry", reg]) == 0
+        assert main(["list", "--registry", reg]) == 0
+        assert capsys.readouterr().out.splitlines() == ["app-b 2.0"]
+        # absent app: nonzero rc + reference's message shape
+        assert main(["delete", "-a", "nope", "--registry", reg]) == 1
+        assert "doesn't exist" in capsys.readouterr().err
+        assert main(["restart", "-a", "nope", "--registry", reg]) == 1
+
+
 class TestFieldEscaping:
     """Mongo-hostile field-name escaping at the storage boundary
     (Common.java:148-150,979-981)."""
