@@ -1338,6 +1338,71 @@ FROM sampled GROUP BY lang, split
 """
 
 
+def q_domain_mix(spark, sf_dir):
+    """Per-domain mixture weights (functions/sampling.py
+    domain_mixture): token share per source + temperature-scaled
+    sampling weight share^0.7 / sum — the multi-source rebalancing rule
+    every pretraining mix uses.  One corpus groupBy; the normalization
+    windows run on the #domains-row aggregate."""
+    from pincette_json_streams_spark.functions.sampling import (
+        domain_mixture,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    return domain_mixture(docs, alpha=0.7)
+
+
+_ORACLE_DOMAIN_MIX = """
+WITH per AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         sum(CASE WHEN len(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_extract_all(trim(text), '\\S+')) END)
+           ::BIGINT AS n_tokens
+  FROM documents GROUP BY source
+), shares AS (
+  SELECT *, n_tokens / sum(n_tokens) OVER () AS share FROM per
+)
+SELECT source, n_docs, n_tokens,
+       round(share, 6) AS token_share,
+       round(pow(share, 0.7) / sum(pow(share, 0.7)) OVER (), 6) AS weight
+FROM shares
+"""
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing accounting
+    (functions/sampling.py sequence_packing): documents laid out in
+    doc_id order within each source shard, sliced into 2048-token
+    sequences; per-sequence doc counts / token sums / fill.  The
+    running-sum window partitions by source, so packing parallelizes
+    across shards instead of the single-partition global-order trap."""
+    from pincette_json_streams_spark.functions.sampling import (
+        sequence_packing,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    return sequence_packing(docs, budget=2048)
+
+
+_ORACLE_PACK_SEQUENCES = """
+WITH toks AS (
+  SELECT source, doc_id,
+         CASE WHEN len(trim(text)) = 0 THEN 0
+              ELSE len(regexp_extract_all(trim(text), '\\S+')) END AS t
+  FROM documents
+), placed AS (
+  SELECT source, doc_id, t,
+         coalesce(sum(t) OVER (PARTITION BY source ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS start
+  FROM toks
+)
+SELECT source, (start // 2048)::BIGINT AS seq_id,
+       count(*)::BIGINT AS n_docs, sum(t)::BIGINT AS n_tokens,
+       min(doc_id)::BIGINT AS first_doc, max(doc_id)::BIGINT AS last_doc,
+       round(sum(t) / 2048.0, 4) AS fill
+FROM placed GROUP BY source, start // 2048
+"""
+
+
 def q_repetition_stats(spark, sf_dir):
     """Gopher/MassiveText-style repetition quality signals per document:
     most-frequent-word fraction, most-frequent-2-gram fraction, fraction
@@ -2752,6 +2817,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # block 4 = long-green r2 gallery.
     return {
         # -- block 1: no driver row yet ---------------------------------
+        "domain_mix": q_domain_mix,
+        "pack_sequences": q_pack_sequences,
         "asof_join": q_asof_join,
         "sessionize_events": q_sessionize_events,
         "contamination": q_contamination,
@@ -2885,6 +2952,8 @@ def oracle_sql() -> dict[str, str]:
         "token_vocab": _oracle_token_vocab(),
         "corpus_stats": _ORACLE_CORPUS_STATS,
         "sample_split": _ORACLE_SAMPLE_SPLIT,
+        "domain_mix": _ORACLE_DOMAIN_MIX,
+        "pack_sequences": _ORACLE_PACK_SEQUENCES,
         "repetition_stats": _ORACLE_REPETITION,
         "contamination": _ORACLE_CONTAMINATION,
         "lm_score": _ORACLE_LM_SCORE,

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "hash_bucket", "hash_sample", "stratified_hash_sample",
-    "train_test_split",
+    "train_test_split", "domain_mixture", "sequence_packing",
 ]
 
 _SCALE = float(1 << 32)
@@ -90,4 +90,89 @@ def train_test_split(
             hash_bucket(F.col(key_col), salt) < F.lit(float(test_fraction)),
             F.lit("test"),
         ).otherwise(F.lit("train")),
+    )
+
+
+def domain_mixture(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    alpha: float = 0.7,
+) -> DataFrame:
+    """Per-domain mixture weights for pretraining data balancing:
+    token share per source plus the temperature-scaled sampling weight
+    ``share^alpha / sum(share^alpha)`` (alpha < 1 upweights rare
+    domains, the standard multilingual/multi-source rebalancing rule).
+
+    Scale shape: ONE groupBy over the corpus; the normalization windows
+    run on the aggregated frame, whose row count is the number of
+    domains — trivially small at any corpus size."""
+    from pincette_json_streams_spark.functions.text import ws_token_count
+
+    per = (
+        df.withColumn("__t", ws_token_count(F.col(text_col)))
+        .groupBy(F.col(source_col).alias("source"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__t").cast("long").alias("n_tokens"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    whole = Window.partitionBy()
+    share = F.col("n_tokens") / F.sum("n_tokens").over(whole)
+    powered = F.pow(share, F.lit(float(alpha)))
+    return per.select(
+        "source", "n_docs", "n_tokens",
+        F.round(share, 6).alias("token_share"),
+        F.round(powered / F.sum(powered).over(whole), 6).alias("weight"),
+    )
+
+
+def sequence_packing(
+    df: DataFrame,
+    budget: int = 2048,
+    by_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing accounting (the GPT-style
+    pretraining step: concatenate documents, slice into fixed
+    token-budget sequences).  Documents are laid out deterministically
+    (ordered by ``id_col`` within each ``by_col`` shard); each document
+    joins the sequence its first token lands in, giving per-sequence
+    document counts / token sums / fill ratios without materializing
+    token arrays.
+
+    Scale shape: the running-sum window partitions by the shard key, so
+    packing parallelizes across shards (one shuffle); the global-order
+    variant (a single unpartitioned window) is the known scale hazard
+    this layout avoids."""
+    from pyspark.sql.window import Window
+
+    from pincette_json_streams_spark.functions.text import ws_token_count
+
+    w = (
+        Window.partitionBy(by_col).orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    toks = df.withColumn("__t", ws_token_count(F.col(text_col)))
+    placed = toks.withColumn(
+        "__start", F.coalesce(F.sum("__t").over(w), F.lit(0))
+    ).withColumn("__seq", F.floor(F.col("__start") / F.lit(int(budget))))
+    return (
+        placed.groupBy(
+            F.col(by_col).alias("source"),
+            F.col("__seq").cast("long").alias("seq_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__t").cast("long").alias("n_tokens"),
+            F.min(id_col).cast("long").alias("first_doc"),
+            F.max(id_col).cast("long").alias("last_doc"),
+        )
+        .withColumn(
+            "fill",
+            F.round(F.col("n_tokens") / F.lit(float(budget)), 4),
+        )
     )

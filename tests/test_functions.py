@@ -803,3 +803,51 @@ class TestMultimodal:
         frames = out[0]["frames"]
         assert [f["idx"] for f in frames] == [0, 1, 2, 3]
         assert all(f["frame"] for f in frames)
+
+
+class TestMixPack:
+    def test_domain_mixture_weights(self, spark):
+        from pincette_json_streams_spark.functions.sampling import (
+            domain_mixture,
+        )
+        docs = spark.createDataFrame(
+            [(1, "web", "a b c d"), (2, "web", "e f g h"),
+             (3, "books", "x y"), (4, "code", "p q")],
+            "doc_id long, source string, text string",
+        )
+        got = {r["source"]: r for r in domain_mixture(docs).collect()}
+        assert got["web"]["n_tokens"] == 8
+        assert abs(got["web"]["token_share"] - 8 / 12) < 1e-6
+        assert abs(sum(r["weight"] for r in got.values()) - 1.0) < 1e-4
+        # alpha < 1 upweights rare domains relative to raw share
+        assert got["books"]["weight"] > got["books"]["token_share"]
+        assert got["web"]["weight"] < got["web"]["token_share"]
+        # alpha = 1 degenerates to the raw share
+        flat = {r["source"]: r
+                for r in domain_mixture(docs, alpha=1.0).collect()}
+        for s in flat:
+            assert abs(flat[s]["weight"] - flat[s]["token_share"]) < 1e-5
+
+    def test_sequence_packing_bins(self, spark):
+        from pincette_json_streams_spark.functions.sampling import (
+            sequence_packing,
+        )
+        # tokens: d1=3, d2=3, d3=2, d4=4 in one shard; budget 4
+        docs = spark.createDataFrame(
+            [(1, "s", "a a a"), (2, "s", "b b b"),
+             (3, "s", "c c"), (4, "s", "d d d d"),
+             (10, "t", "x")],
+            "doc_id long, source string, text string",
+        )
+        got = {(r["source"], r["seq_id"]): r
+               for r in sequence_packing(docs, budget=4).collect()}
+        # starts: d1=0 -> seq0, d2=3 -> seq0, d3=6 -> seq1, d4=8 -> seq2
+        assert got[("s", 0)]["n_docs"] == 2
+        assert got[("s", 0)]["n_tokens"] == 6
+        assert (got[("s", 0)]["first_doc"],
+                got[("s", 0)]["last_doc"]) == (1, 2)
+        assert got[("s", 1)]["n_docs"] == 1
+        assert got[("s", 2)]["n_tokens"] == 4
+        assert got[("s", 2)]["fill"] == 1.0
+        # shards pack independently
+        assert got[("t", 0)]["n_docs"] == 1
