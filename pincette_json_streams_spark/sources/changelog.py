@@ -161,6 +161,22 @@ class ChangeLogCollection:
             )
         )
 
+    def streaming_sink(self, df: DataFrame, checkpoint: str):
+        """``toCollection`` streaming sink: each micro-batch upserts
+        into the log (foreachBatch — the standard Spark pattern for
+        transactional table sinks).  Downstream ``change_stream``
+        readers then see the writes as replace/insert events — the full
+        collection round-trip the reference gets from Mongo."""
+
+        def write_batch(batch_df, _epoch):
+            if not batch_df.isEmpty():
+                self.upsert(batch_df)
+
+        return (
+            df.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint)
+        )
+
     def compact(self, spark: SparkSession) -> None:
         """Log compaction: rewrite the log as one snapshot commit.  The
         change feed's file checkpoint must be fresh after a compaction

@@ -351,6 +351,48 @@ class TestStreamingEdges:
         coll.upsert(spark.createDataFrame([("b", 9)], "_id string, v int"))
         assert ("insert", "b", 9) in drain()
 
+    def test_changelog_round_trip_as_sink(self, spark, tmp_path):
+        """toCollection round-trip: a stream part's output upserts into
+        a ChangeLogCollection via streaming_sink; a change_stream reader
+        over the same collection sees insert then replace."""
+        from pincette_json_streams_spark.sources.changelog import (
+            ChangeLogCollection,
+        )
+
+        src_dir = str(tmp_path / "topic")
+        spark.createDataFrame([("a", 1)], "_id string, v int") \
+            .write.parquet(src_dir)
+        coll = ChangeLogCollection(str(tmp_path / "coll"),
+                                   "_id string, vv int")
+
+        def drain_into_coll():
+            src = spark.readStream.schema("_id string, v int") \
+                .format("parquet").load(src_dir)
+            out = src.selectExpr("_id", "v * 10 AS vv")
+            q = coll.streaming_sink(
+                out, str(tmp_path / "ck-sink")
+            ).trigger(availableNow=True).start()
+            q.awaitTermination(120)
+
+        drain_into_coll()
+        assert [(r["_id"], r["vv"]) for r in
+                coll.snapshot(spark).collect()] == [("a", 10)]
+
+        # append an updated doc to the source; redrain; feed sees replace
+        spark.createDataFrame([("a", 2)], "_id string, v int") \
+            .write.mode("append").parquet(src_dir)
+        drain_into_coll()
+        ev_dir, ck = str(tmp_path / "ev"), str(tmp_path / "ck-feed")
+        q = (coll.change_stream(spark).writeStream.format("parquet")
+             .option("path", ev_dir).option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = sorted((r["operationType"], r["vv"])
+                     for r in spark.read.parquet(ev_dir).collect())
+        assert got == [("insert", 10), ("replace", 20)]
+        assert [(r["_id"], r["vv"]) for r in
+                coll.snapshot(spark).collect()] == [("a", 20)]
+
     def test_changelog_compaction(self, spark, tmp_path):
         from pincette_json_streams_spark.sources.changelog import (
             ChangeLogCollection,
