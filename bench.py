@@ -45,6 +45,8 @@ BENCH_QUERIES = [
     "asof_join",
     "sessionize_events",
     "chunk_docs",
+    "domain_mix",
+    "pack_sequences",
 ]
 
 

@@ -131,3 +131,38 @@ class TestPlanShapes:
             and "BroadcastExchange" not in line
         ]
         assert len(exchanges) <= 2, exchanges
+
+    def _simple_plan(self, spark, name):
+        import __spark_entry__ as entry
+
+        df = entry.queries()[name](spark, SF_DIR)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_pack_sequences_single_shuffle(self, spark):
+        """Packing's window and its downstream agg share the source-key
+        partitioning: exactly one hash exchange, scan pruned to the
+        three referenced columns."""
+        plan = self._simple_plan(spark, "pack_sequences")
+        hash_exchanges = [ln for ln in plan.splitlines()
+                          if "Exchange hashpartitioning" in ln]
+        assert len(hash_exchanges) == 1, hash_exchanges
+        assert "Exchange SinglePartition" not in plan
+        scan = [ln for ln in plan.splitlines() if "FileScan" in ln][0]
+        assert "text" in scan and "doc_id" in scan and "lang" not in scan
+
+    def test_domain_mix_window_after_aggregate(self, spark):
+        """The whole-frame normalization window must sit ABOVE the
+        aggregate (it runs on the #domains-row frame, never on the raw
+        corpus): in the printed tree (parents first) the SinglePartition
+        exchange precedes every HashAggregate, and the scan reads only
+        text+source."""
+        plan = self._simple_plan(spark, "domain_mix")
+        lines = plan.splitlines()
+        scan = [ln for ln in lines if "FileScan" in ln][0]
+        assert "text" in scan and "source" in scan
+        assert "doc_id" not in scan and "n_chars" not in scan
+        agg_i = min(i for i, ln in enumerate(lines)
+                    if "HashAggregate" in ln)
+        sp_i = min(i for i, ln in enumerate(lines)
+                   if "Exchange SinglePartition" in ln)
+        assert sp_i < agg_i
