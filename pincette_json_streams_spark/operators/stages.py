@@ -73,6 +73,10 @@ class PipelineContext:
     # enable jes href resolution in aggregate parts (streaming/hrefs.py);
     # parts can also opt in per-part via `resolveHrefs: true`
     resolve_hrefs: bool = False
+    # $probe per-minute counter producer (record dict -> None),
+    # executor-side; production = Kafka producer to the probe topic,
+    # default = the $log structured-emission path
+    probe_producer: Optional[Callable[[dict], None]] = None
 
     def collection(self, name: str) -> DataFrame:
         if name not in self.catalog:
@@ -749,11 +753,12 @@ def _stage_noop(df, spec, pctx):
 
 
 def _stage_probe(df, spec, pctx):
-    # $probe (docs:413-466): per-minute throughput counters.  In Spark this
-    # is an observe() metric; a StreamingQueryListener forwards counts to
-    # the `topic` in the streaming runtime.
-    name = spec.get("name", "probe") if isinstance(spec, dict) else "probe"
-    return df.observe(str(name), F.count(F.lit(1)).alias("count"))
+    # $probe (docs:413-466): per-minute throughput counters produced to
+    # a topic (streaming/effects.py stage_probe); the topic-less form
+    # stays an observe() metric
+    from pincette_json_streams_spark.streaming import effects
+
+    return effects.stage_probe(df, spec, pctx)
 
 
 # --------------------------------------------------------------------------

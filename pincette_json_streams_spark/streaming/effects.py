@@ -42,7 +42,8 @@ __all__ = [
     "HttpResponse", "urllib_transport", "LocalObjectStore",
     "stage_http", "stage_sign_jwt", "stage_send", "stage_delay",
     "stage_delete", "stage_s3_csv", "stage_s3_out", "stage_s3_transfer",
-    "stage_s3_attachments", "stage_log", "default_log_emitter",
+    "stage_s3_attachments", "stage_log", "stage_probe",
+    "default_log_emitter",
 ]
 
 
@@ -392,6 +393,61 @@ def stage_log(df: DataFrame, spec: dict, pctx) -> DataFrame:
             yield pdf[in_cols]
 
     return prepared.mapInPandas(run, schema=out_schema)
+
+
+# --------------------------------------------------------------------------
+# $probe  (docs/aggregation_stages.md:413-466)
+# --------------------------------------------------------------------------
+
+def stage_probe(df: DataFrame, spec: dict, pctx) -> DataFrame:
+    """$probe: per-minute throughput counters {name, minute, count}
+    produced to ``topic``; the message flow passes through unchanged.
+
+    The reference counts per pipeline instance and tells consumers to
+    re-aggregate by (name, minute) because each instance only sees its
+    partitions — so per-TASK counting is exactly the documented
+    contract, not an approximation.  Executor-side mapInPandas counts
+    each Arrow batch into a minute bucket and flushes the records at
+    task end through the injectable ``pctx.probe_producer(record)``
+    (production: a Kafka producer to `topic`; default: the $log
+    structured emitter path)."""
+    if not isinstance(spec, dict) or "topic" not in spec:
+        # observe-only form: a named count metric on the stream
+        name = spec.get("name", "probe") if isinstance(spec, dict) \
+            else "probe"
+        return df.observe(str(name), F.count(F.lit(1)).alias("count"))
+
+    name = str(spec.get("name", "probe"))
+    topic = str(spec["topic"])
+    producer = getattr(pctx, "probe_producer", None)
+    if producer is None:
+        app = getattr(pctx, "app_name", None) or \
+            "pincette-json-streams-spark"
+        emitter = getattr(pctx, "log_emitter", None) or \
+            default_log_emitter
+
+        def producer(rec):  # default: ride the structured-log path
+            emitter({
+                "logger": app, "level": "INFO",
+                "message": json.dumps(rec), "attributes": {"topic": topic},
+                "trace_id": None, "span_id": None,
+            })
+
+    schema_str = _schema_ddl(df)
+
+    def count_batches(batches: Iterator) -> Iterator:
+        import time as _time
+
+        counts: dict[int, int] = {}
+        for pdf in batches:
+            minute = int(_time.time()) // 60 * 60
+            counts[minute] = counts.get(minute, 0) + len(pdf)
+            yield pdf
+        for minute, n in sorted(counts.items()):
+            producer({"name": name, "minute": minute, "count": n,
+                      "topic": topic})
+
+    return df.mapInPandas(count_batches, schema=schema_str)
 
 
 # --------------------------------------------------------------------------

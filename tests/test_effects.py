@@ -244,6 +244,24 @@ class TestLog:
         assert json.loads(rec["message"]) == {"doc": "d1", "n": 7}
         assert rec["level"] == "INFO"  # default
 
+    def test_probe_counts_to_topic(self, spark, tmp_path):
+        """$probe with a topic: per-minute {name, minute, count} records
+        reach the producer; counts sum to the row count (per-task
+        counting is the reference's documented contract); flow passes
+        through unchanged."""
+        spool = str(tmp_path / "probe.jsonl")
+        pctx = PipelineContext(probe_producer=_make_spool_emitter(spool))
+        df = spark.range(0, 100).selectExpr("CAST(id AS STRING) AS _id")
+        out = compile_pipeline(df, [
+            {"$probe": {"name": "filtering", "topic": "probe-part"}},
+        ], pctx)
+        assert out.count() == 100  # pass-through
+        recs = self._records(spool)
+        assert all(r["name"] == "filtering" and r["topic"] == "probe-part"
+                   for r in recs)
+        assert sum(r["count"] for r in recs) == 100
+        assert all(r["minute"] % 60 == 0 for r in recs)
+
     def test_log_without_message_logs_spec_once(self, spark, tmp_path):
         spool = str(tmp_path / "log.jsonl")
         pctx = PipelineContext(log_emitter=_make_spool_emitter(spool))
