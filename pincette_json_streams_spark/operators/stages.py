@@ -77,6 +77,10 @@ class PipelineContext:
     # executor-side; production = Kafka producer to the probe topic,
     # default = the $log structured-emission path
     probe_producer: Optional[Callable[[dict], None]] = None
+    # STREAMING jes href resolution: executor-side point read
+    # (href path -> state dict or None), e.g. a ChangeLogCollection
+    # snapshot reader; providing it opts the streaming aggregate in
+    href_lookup: Optional[Callable[[str], Optional[dict]]] = None
 
     def collection(self, name: str) -> DataFrame:
         if name not in self.catalog:

@@ -269,6 +269,50 @@ def reduce_commands(
     return out
 
 
+def attach_resolved_maps(
+    ordered: DataFrame, states: DataFrame, full_type: str
+) -> DataFrame:
+    """Join-based href resolution plumbing for the BATCH fold: extract
+    hrefs of ``full_type`` from each key's command JSON, equi-join them
+    against ``states`` (``__rid``/``__state`` columns: aggregate _id ->
+    state JSON), and attach a per-key ``__resolved`` JSON map column.
+    ``ordered`` needs ``__key``/``__json`` columns; everything stays a
+    join — no driver reads at any size.
+
+    Batch-only by necessity: in streaming this chain (stateful
+    per-key aggregation + join back into the stream ahead of the
+    stateful fold) is an illegal multi-stateful-operator plan; the
+    streaming aggregate takes an injectable ``href_lookup`` point-read
+    instead — the reference's own shape (async Mongo reads per
+    command)."""
+    seg = F.split(F.col("__href"), "/")
+    hrefs = (
+        ordered.select(
+            "__key",
+            F.explode(F.array_distinct(F.regexp_extract_all(
+                "__json", F.lit(r'"href"\s*:\s*"([^"]+)"'), 1
+            ))).alias("__href"),
+        )
+        # only links to THIS aggregate type resolve from the state side
+        .filter(
+            (F.size(seg) == 4)
+            & (F.concat_ws(
+                "-", F.element_at(seg, 2), F.element_at(seg, 3)
+            ) == full_type)
+        )
+        .withColumn("__rid", F.element_at(seg, 4))
+        .distinct()
+    )
+    resolved = (
+        hrefs.join(states, "__rid")
+        .groupBy("__key")
+        .agg(F.to_json(F.map_from_entries(F.collect_list(
+            F.struct("__href", "__state")
+        ))).alias("__resolved"))
+    )
+    return ordered.join(resolved, "__key", "left")
+
+
 def compile_aggregate_batch(part: dict, app) -> dict[str, DataFrame]:
     """Batch-mode aggregate: fold the `<app>-<type>-command` source per key.
 
@@ -421,32 +465,7 @@ def compile_aggregate_batch(part: dict, app) -> dict[str, DataFrame]:
             .select(F.col("_id").alias("__rid"),
                     F.col("value").alias("__state"))
         )
-        seg = F.split(F.col("__href"), "/")
-        hrefs = (
-            ordered.select(
-                "__key",
-                F.explode(F.array_distinct(F.regexp_extract_all(
-                    "__json", F.lit(r'"href"\s*:\s*"([^"]+)"'), 1
-                ))).alias("__href"),
-            )
-            # only links to THIS aggregate type resolve from phase 1
-            .filter(
-                (F.size(seg) == 4)
-                & (F.concat_ws(
-                    "-", F.element_at(seg, 2), F.element_at(seg, 3)
-                ) == full)
-            )
-            .withColumn("__rid", F.element_at(seg, 4))
-            .distinct()
-        )
-        resolved = (
-            hrefs.join(finals, "__rid")
-            .groupBy("__key")
-            .agg(F.to_json(F.map_from_entries(F.collect_list(
-                F.struct("__href", "__state")
-            ))).alias("__resolved"))
-        )
-        ordered = ordered.join(resolved, "__key", "left")
+        ordered = attach_resolved_maps(ordered, finals, full)
 
     folded = ordered.groupBy("__key").applyInPandas(
         make_fold(resolve_hrefs, False), schema=out_schema

@@ -298,6 +298,7 @@ def streaming_aggregate(
     script_imports: Optional[dict] = None,
     unique_expression=None,
     part_preprocessor: Optional[list] = None,
+    href_lookup: Optional[Callable[[str], Optional[dict]]] = None,
 ) -> DataFrame:
     """Event-sourcing aggregate over a streaming command source.
 
@@ -305,7 +306,14 @@ def streaming_aggregate(
     aggregate JSON.  Emits one row per output message with a ``purpose``
     discriminator (aggregate/command/event/event-full/reply) — fan out to
     per-purpose sinks by filtering, exactly like the reference's five
-    output streams (docs/state.md:97-127)."""
+    output streams (docs/state.md:97-127).
+
+    ``href_lookup`` (href path -> state dict or None) enables jes href
+    resolution around the validator+reducer (streaming/hrefs.py) — an
+    executor-side point read, the same shape as the reference's async
+    Mongo reads per command (the batch fold's join-based resolution
+    can't chain ahead of a stateful operator in streaming).  Back it
+    with a ChangeLogCollection snapshot reader or any KV accessor."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from pincette_json_streams_spark.streaming.aggregate import (
@@ -361,6 +369,7 @@ def streaming_aggregate(
                 cur, cmds, reducer, agg_type,
                 validators=validators, preprocessors=preprocessors,
                 part_preprocessor=part_preprocessor,
+                resolver=href_lookup,
             )
             for r in recs:
                 out_rows.append(
@@ -423,6 +432,9 @@ class StreamingApp:
                 source, full, part.get("commands"),
                 order_col=part.get("orderBy"),
                 script_imports=part.get("scriptImports"),
+                # providing a lookup IS the streaming opt-in for jes
+                # href resolution (batch uses resolveHrefs + join)
+                href_lookup=getattr(self.pctx, "href_lookup", None),
             )
             for purpose in ("aggregate", "command", "event", "event-full",
                             "reply"):

@@ -497,6 +497,60 @@ class TestStreamingAggregate:
             f"SELECT * FROM mem_{sink.run_id}_shop_cart_event").collect()
         assert all("_ops" in json.loads(r["value"]) for r in events)
 
+    def test_streaming_aggregate_href_lookup(self, spark, tmp_path):
+        """Streaming jes href resolution: an injectable point-read
+        lookup (the reference's async-Mongo shape) expands linked state
+        for the reducer; stored aggregates keep the bare href."""
+        from pincette_json_streams_spark.operators.stages import (
+            PipelineContext,
+        )
+
+        d = str(tmp_path / "cmds-href")
+        spark.createDataFrame(
+            [("b2", "put", 1, None, 1, {"sub": "system"}),
+             ("b2", "add", None, None, 2, {"sub": "system"})],
+            "_id string, _command string, v int, link struct<href:string>,"
+            " seq_in int, _jwt map<string,string>",
+        ).withColumn(
+            "link",
+            F.when(F.col("_command") == "put",
+                   F.named_struct(F.lit("href"),
+                                  F.lit("/shop/acct/a1"))),
+        ).write.parquet(d)
+
+        schema = ("_id string, _command string, v int, "
+                  "link struct<href:string>, seq_in int, "
+                  "_jwt map<string,string>")
+        catalog = file_stream_catalog(
+            spark, {"shop-acct-command": d}, {"shop-acct-command": schema})
+
+        def lookup(href):
+            return {"_id": "a1", "value": 41} \
+                if href == "/shop/acct/a1" else None
+
+        app = StreamingApp(spark, {
+            "application": "shop", "parts": [
+                {"type": "aggregate", "aggregateType": "acct",
+                 "orderBy": "seq_in",
+                 "commands": {
+                     "put": {},
+                     "add": {"reducer": [
+                         {"$replaceWith": "$state"},
+                         {"$set": {"v": {"$add": [
+                             "$v", "$link.value"]}}},
+                     ]},
+                 }},
+            ],
+        }, catalog, pctx=PipelineContext(href_lookup=lookup))
+        sink = memory_sink(tmp_path)
+        app.run_until_drained(sink)
+        aggs = [json.loads(r["value"]) for r in spark.sql(
+            f"SELECT * FROM mem_{sink.run_id}_shop_acct_aggregate")
+            .collect()]
+        final = max(aggs, key=lambda a: a["_seq"])
+        assert final["v"] == 42  # 1 + linked value 41
+        assert final["link"] == {"href": "/shop/acct/a1"}  # unresolved
+
     def test_state_survives_batches(self, spark, tmp_path):
         """Second availableNow run resumes from checkpointed state: _seq
         continues, no replay of already-processed commands."""
