@@ -2001,6 +2001,71 @@ def q_dedup_minhash(spark, sf_dir):
     return minhash_lsh_pairs(docs, threshold=0.5)
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental (CDC) dedup — the corpus-growth path: the day's
+    batch (doc_id % 5 != 0) joins against the persisted signature index
+    of the existing corpus (doc_id % 5 == 0) and against its own
+    earlier ids; never re-pairs the whole corpus.  A batch doc is dup
+    iff a banded-LSH candidate verifies at Jaccard >= 0.5; dup_of =
+    smallest colliding id (functions/dedup.py incremental_dedup)."""
+    from pincette_json_streams_spark.functions.dedup import (
+        incremental_dedup, minhash_index,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") % 5 == 0)
+    batch = docs.filter(F.col("doc_id") % 5 != 0)
+    index = minhash_index(existing)
+    return incremental_dedup(batch, index, threshold=0.5)
+
+
+def _oracle_dedup_incremental(num_hashes=32, bands=8, k=9, threshold=0.5):
+    from pincette_json_streams_spark.functions.dedup import _P, _coeffs
+    rows = num_hashes // bands
+    coeffs = _coeffs(num_hashes)
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(h, v -> ({a} * v + {b}) % {_P}))"
+        for a, b in coeffs
+    )
+    return f"""
+WITH norm AS (
+  SELECT doc_id AS id, {_sql_norm()} AS n FROM documents
+), sh AS (
+  SELECT id, list_distinct(
+    [substr(n, i, {k}) for i in range(1, greatest(len(n) - {k - 1}, 1) + 1)]
+  ) AS s FROM norm
+), hashed AS (
+  SELECT id, list_transform(
+    s, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT % {_P}) AS h
+  FROM sh
+), sig AS (
+  SELECT id, list_distinct(h) AS s, [{sig_exprs}] AS sg FROM hashed
+), banded AS (
+  SELECT id, s, band,
+         md5(array_to_string(sg[band * {rows} + 1 : band * {rows} + {rows}],
+                             ',')) AS bandkey
+  FROM sig, range({bands}) t(band)
+), cand AS (
+  SELECT DISTINCT b.id AS id, r.id AS rid, b.s AS sa, r.s AS sb
+  FROM banded b JOIN banded r
+    ON b.band = r.band AND b.bandkey = r.bandkey
+   AND b.id % 5 != 0
+   AND (r.id % 5 = 0 OR r.id < b.id)
+), verified AS (
+  SELECT id, rid,
+         round(len(list_intersect(sa, sb))::DOUBLE /
+               (len(sa) + len(sb) - len(list_intersect(sa, sb))), 6)
+           AS j
+  FROM cand
+), best AS (
+  SELECT id, min(rid) AS dup_of, arg_min(j, rid) AS jaccard
+  FROM verified WHERE j >= {threshold} GROUP BY id
+)
+SELECT d.doc_id, b.dup_of IS NOT NULL AS is_dup, b.dup_of, b.jaccard
+FROM documents d LEFT JOIN best b ON d.doc_id = b.id
+WHERE d.doc_id % 5 != 0
+"""
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup cluster resolution (functions/dedup.py:
     connected_components): MinHash-LSH pairs -> min-label-propagation
@@ -2819,6 +2884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- block 1: no driver row yet ---------------------------------
         "domain_mix": q_domain_mix,
         "pack_sequences": q_pack_sequences,
+        "dedup_incremental": q_dedup_incremental,
         "asof_join": q_asof_join,
         "sessionize_events": q_sessionize_events,
         "contamination": q_contamination,
@@ -2954,6 +3020,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_split": _ORACLE_SAMPLE_SPLIT,
         "domain_mix": _ORACLE_DOMAIN_MIX,
         "pack_sequences": _ORACLE_PACK_SEQUENCES,
+        "dedup_incremental": _oracle_dedup_incremental(),
         "repetition_stats": _ORACLE_REPETITION,
         "contamination": _ORACLE_CONTAMINATION,
         "lm_score": _ORACLE_LM_SCORE,

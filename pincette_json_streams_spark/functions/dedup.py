@@ -39,7 +39,8 @@ __all__ = [
     "connected_components", "connected_components_star", "exact_dedup",
     "minhash_signature", "minhash_lsh_pairs", "simhash", "simhash_pairs",
     "ngram_jaccard_pairs", "embedding_cosine", "cosine_vec",
-    "embedding_pairs", "hyperplane_bucket",
+    "embedding_pairs", "hyperplane_bucket", "minhash_index",
+    "incremental_dedup",
 ]
 
 # Universal-hash family h_i(x) = (a_i * x + b_i) mod p over the Mersenne
@@ -344,6 +345,115 @@ def minhash_lsh_pairs(
                 F.lit(1.0).alias("jaccard"))
     )
     return cross.unionByName(within)
+
+
+def minhash_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 9,
+) -> DataFrame:
+    """(id, sh, bks) signature rows — the PERSISTED dedup index a
+    growing corpus carries between ingest runs (one fused Arrow pass;
+    ``sh`` = hashed shingle set for exact verify, ``bks`` =
+    position-salted banded LSH keys).  Parquet-persist this per corpus
+    snapshot; `incremental_dedup` joins new batches against it."""
+    return (
+        _spread(df)
+        .select(
+            F.col(id_col).alias("id"),
+            _shingle_band_vec(num_hashes, k, bands)(
+                F.col(text_col)).alias("ss"),
+        )
+        .select("id", F.col("ss.sh").alias("sh"),
+                F.col("ss.bks").alias("bks"))
+    )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 9,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Dedup a NEW ingest batch against a persisted corpus index plus
+    itself — the corpus-growth path: at 100 TB you never re-pair the
+    whole corpus, you join the day's batch against the signature index.
+
+    ``index`` is either a (id, sh, bks) signature table from
+    :func:`minhash_index` or raw documents (signatures computed).
+    A batch document is a duplicate iff a banded-LSH candidate with
+    exact Jaccard >= ``threshold`` exists in the index or earlier in
+    the batch (smaller id — deterministic keeper rule, no transitivity).
+    Returns one row per batch document: (doc_id, is_dup, dup_of,
+    jaccard) with dup_of = the smallest colliding id.  Survivors'
+    signatures (``minhash_index`` of the survivors) are what the caller
+    appends to the index for the next run.
+
+    Plan shape: band keys carry only ids (the shingle arrays join back
+    after candidate-pair dedup, when the row count is smallest —
+    same discipline as ``minhash_lsh_pairs``); everything is equi-joins
+    on short keys, nothing quadratic, no driver reads."""
+    new_sig = minhash_index(new_docs, text_col, id_col,
+                            num_hashes, bands, k)
+    if {"sh", "bks"}.issubset(set(index.columns)):
+        idx_sig = index.select(
+            F.col("id") if "id" in index.columns
+            else F.col(id_col).alias("id"), "sh", "bks")
+    else:
+        idx_sig = minhash_index(index, text_col, id_col,
+                                num_hashes, bands, k)
+    new_sig = new_sig.persist()
+
+    nb = new_sig.select("id", F.explode("bks").alias("bk"))
+    rb = (
+        idx_sig.select(F.col("id").alias("rid"),
+                       F.explode("bks").alias("bk"))
+        .withColumn("__idx", F.lit(True))
+        .unionByName(
+            new_sig.select(F.col("id").alias("rid"),
+                           F.explode("bks").alias("bk"))
+            .withColumn("__idx", F.lit(False))
+        )
+    )
+    cand_ids = (
+        nb.join(rb, "bk")
+        .filter(F.col("__idx") | (F.col("rid") < F.col("id")))
+        .select("id", "rid")
+        .dropDuplicates(["id", "rid"])
+    )
+    all_sh = idx_sig.select(F.col("id").alias("rid"),
+                            F.col("sh").alias("rsh")) \
+        .unionByName(new_sig.select(F.col("id").alias("rid"),
+                                    F.col("sh").alias("rsh")))
+    cand = cand_ids.join(new_sig.select("id", "sh"), "id") \
+        .join(all_sh, "rid")
+    inter = F.size(F.array_intersect("sh", "rsh"))
+    union = F.size("sh") + F.size("rsh") - inter
+    best = (
+        cand.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .groupBy("id")
+        .agg(
+            F.min("rid").alias("dup_of"),
+            F.min_by("jaccard", "rid").alias("jaccard"),
+        )
+    )
+    return (
+        new_docs.select(F.col(id_col).alias("doc_id"))
+        .join(best.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("dup_of").isNotNull().alias("is_dup"),
+            "dup_of", "jaccard",
+        )
+    )
 
 
 # --------------------------------------------------------------------------

@@ -851,3 +851,51 @@ class TestMixPack:
         assert got[("s", 2)]["fill"] == 1.0
         # shards pack independently
         assert got[("t", 0)]["n_docs"] == 1
+
+
+class TestIncrementalDedup:
+    def test_batch_vs_index_and_within_batch(self, spark):
+        from pincette_json_streams_spark.functions.dedup import (
+            incremental_dedup, minhash_index,
+        )
+        base = ("the quick brown fox jumps over the lazy dog and then "
+                "runs far away into the deep green forest tonight")
+        existing = spark.createDataFrame(
+            [(10, base), (20, "completely unrelated text about spark "
+                              "engines and distributed processing")],
+            "doc_id long, text string",
+        )
+        batch = spark.createDataFrame(
+            [(101, base),                      # dup of index doc 10
+             (102, "fresh unique content about cooking pasta with "
+                   "tomatoes basil garlic and olive oil at home"),
+             (103, "fresh unique content about cooking pasta with "
+                   "tomatoes basil garlic and olive oil at home"),
+             (104, "nothing like anything else entirely novel words "
+                   "quantum zebra xylophone paradox")],
+            "doc_id long, text string",
+        )
+        index = minhash_index(existing)
+        got = {r["doc_id"]: r for r in
+               incremental_dedup(batch, index, threshold=0.5).collect()}
+        assert got[101]["is_dup"] and got[101]["dup_of"] == 10
+        assert got[101]["jaccard"] == 1.0
+        # within-batch: 103 dups 102 (smaller id wins); 102 survives
+        assert not got[102]["is_dup"] and got[102]["dup_of"] is None
+        assert got[103]["is_dup"] and got[103]["dup_of"] == 102
+        assert not got[104]["is_dup"]
+
+    def test_raw_documents_as_index(self, spark):
+        """Passing raw docs instead of a signature table computes the
+        index signatures on the fly — same result."""
+        from pincette_json_streams_spark.functions.dedup import (
+            incremental_dedup,
+        )
+        text = ("some long enough shared text that will generate "
+                "plenty of shingles for the minhash signature pass")
+        existing = spark.createDataFrame(
+            [(1, text)], "doc_id long, text string")
+        batch = spark.createDataFrame(
+            [(5, text)], "doc_id long, text string")
+        (row,) = incremental_dedup(batch, existing).collect()
+        assert row["is_dup"] and row["dup_of"] == 1
