@@ -1403,6 +1403,57 @@ FROM placed GROUP BY source, start // 2048
 """
 
 
+def q_token_drift(spark, sf_dir):
+    """Token-distribution drift between two corpus snapshots (doc_id
+    parity split): top-20 Jensen-Shannon contribution movers with
+    Laplace smoothing over the joint vocabulary — the pre-retrain
+    data-quality check (functions/text.py token_drift)."""
+    from pincette_json_streams_spark.functions.text import token_drift
+    docs = _t(spark, sf_dir, "documents")
+    return token_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        top_k=20,
+    )
+
+
+def _oracle_token_drift():
+    from pincette_json_streams_spark.functions.text import BPE_TOKEN_RE
+    return f"""
+WITH toks AS (
+  SELECT doc_id % 2 AS side,
+         unnest(regexp_extract_all(lower(text), '{BPE_TOKEN_RE}'))
+           AS token
+  FROM documents
+), ca AS (
+  SELECT token, count(*) AS n_a FROM toks WHERE side = 0 GROUP BY token
+), cb AS (
+  SELECT token, count(*) AS n_b FROM toks WHERE side = 1 GROUP BY token
+), j AS (
+  SELECT coalesce(ca.token, cb.token) AS token,
+         coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+  FROM ca FULL JOIN cb ON ca.token = cb.token
+), t AS (
+  SELECT sum(n_a) AS ta, sum(n_b) AS tb, count(*) AS v FROM j
+), scored AS (
+  SELECT token, n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
+         round(
+           0.5 * ((n_a + 0.5) / (ta + 0.5 * v))
+               * log2(((n_a + 0.5) / (ta + 0.5 * v)) /
+                      ((((n_a + 0.5) / (ta + 0.5 * v)) +
+                        ((n_b + 0.5) / (tb + 0.5 * v))) / 2))
+         + 0.5 * ((n_b + 0.5) / (tb + 0.5 * v))
+               * log2(((n_b + 0.5) / (tb + 0.5 * v)) /
+                      ((((n_a + 0.5) / (ta + 0.5 * v)) +
+                        ((n_b + 0.5) / (tb + 0.5 * v))) / 2)),
+           9) AS js_contrib
+  FROM j, t
+)
+SELECT token, n_a, n_b, js_contrib FROM scored
+ORDER BY js_contrib DESC, token ASC LIMIT 20
+"""
+
+
 def q_repetition_stats(spark, sf_dir):
     """Gopher/MassiveText-style repetition quality signals per document:
     most-frequent-word fraction, most-frequent-2-gram fraction, fraction
@@ -2885,6 +2936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mix": q_domain_mix,
         "pack_sequences": q_pack_sequences,
         "dedup_incremental": q_dedup_incremental,
+        "token_drift": q_token_drift,
         "asof_join": q_asof_join,
         "sessionize_events": q_sessionize_events,
         "contamination": q_contamination,
@@ -3021,6 +3073,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_mix": _ORACLE_DOMAIN_MIX,
         "pack_sequences": _ORACLE_PACK_SEQUENCES,
         "dedup_incremental": _oracle_dedup_incremental(),
+        "token_drift": _oracle_token_drift(),
         "repetition_stats": _ORACLE_REPETITION,
         "contamination": _ORACLE_CONTAMINATION,
         "lm_score": _ORACLE_LM_SCORE,

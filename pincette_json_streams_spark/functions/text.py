@@ -22,7 +22,8 @@ __all__ = [
     "quality_score", "lang_id", "fingerprint", "shingles", "word_ngrams",
     "with_text_features", "quality_score_from", "scrub_pii", "pii_counts",
     "token_vocabulary", "with_repetition_features", "benchmark_overlap",
-    "unigram_logprob", "chunk_documents", "tfidf_top_terms", "STOPWORDS",
+    "unigram_logprob", "chunk_documents", "tfidf_top_terms",
+    "token_drift", "STOPWORDS",
     "LANG_MARKERS", "BPE_TOKEN_RE", "PII_PATTERNS",
 ]
 
@@ -581,3 +582,59 @@ def word_ngrams(text: Column, n: int = 3) -> Column:
             ),
         )
     )
+
+
+def token_drift(
+    df_a,
+    df_b,
+    text_col: str = "text",
+    top_k: int = 20,
+    alpha: float = 0.5,
+):
+    """Token-distribution drift between two corpus snapshots: per-token
+    Jensen-Shannon divergence contributions, top-k movers — the
+    data-quality check a corpus refresh runs before retraining
+    (vocabulary shift, contamination by a new source, filter drift).
+
+    Laplace-smoothed probabilities over the JOINT vocabulary (so a
+    token absent on one side contributes finitely); contribution =
+    0.5·p·log2(p/m) + 0.5·q·log2(q/m) with m = (p+q)/2.  Summing the
+    column over the full join gives total JS divergence; the top-k cut
+    orders on the ROUNDED contribution (+ token tiebreak) so the
+    boundary is engine-stable.
+
+    Plan shape at 100 TB: two token-count aggregations (map-side
+    combine), one full-outer equi-join on token, a broadcast of the
+    1-row totals, and a TakeOrdered top-k — no quadratic step, no
+    driver reads."""
+    def counts(df, name):
+        return (
+            df.select(F.explode(F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(BPE_TOKEN_RE), F.lit(0)
+            )).alias("token"))
+            .groupBy("token").agg(F.count(F.lit(1)).alias(name))
+        )
+
+    j = (
+        counts(df_a, "n_a").join(counts(df_b, "n_b"), "token", "full")
+        .fillna(0, ["n_a", "n_b"])
+    )
+    totals = j.agg(
+        F.sum("n_a").alias("__ta"), F.sum("n_b").alias("__tb"),
+        F.count(F.lit(1)).alias("__v"),
+    )
+    a = float(alpha)
+    joined = j.crossJoin(F.broadcast(totals))
+    p = (F.col("n_a") + a) / (F.col("__ta") + a * F.col("__v"))
+    q = (F.col("n_b") + a) / (F.col("__tb") + a * F.col("__v"))
+    m = (p + q) / 2
+    contrib = 0.5 * p * F.log2(p / m) + 0.5 * q * F.log2(q / m)
+    scored = joined.select(
+        "token",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(contrib, 9).alias("js_contrib"),
+    )
+    return scored.orderBy(
+        F.col("js_contrib").desc(), F.col("token").asc()
+    ).limit(top_k)

@@ -899,3 +899,25 @@ class TestIncrementalDedup:
             [(5, text)], "doc_id long, text string")
         (row,) = incremental_dedup(batch, existing).collect()
         assert row["is_dup"] and row["dup_of"] == 1
+
+
+class TestTokenDrift:
+    def test_top_movers_and_finiteness(self, spark):
+        from pincette_json_streams_spark.functions.text import token_drift
+        a = spark.createDataFrame(
+            [(1, "common words common words alpha alpha alpha")],
+            "doc_id long, text string")
+        b = spark.createDataFrame(
+            [(2, "common words common words beta beta beta")],
+            "doc_id long, text string")
+        rows = token_drift(a, b, top_k=10).collect()
+        by_tok = {r["token"]: r for r in rows}
+        # the two one-sided tokens are the top movers, ahead of shared
+        top2 = {rows[0]["token"], rows[1]["token"]}
+        assert top2 == {"alpha", "beta"}
+        # one-sided tokens still get finite contributions (smoothing)
+        assert by_tok["alpha"]["n_b"] == 0
+        assert by_tok["alpha"]["js_contrib"] > 0
+        # identical distributions drift ~0
+        same = token_drift(a, a, top_k=5).collect()
+        assert all(abs(r["js_contrib"]) < 1e-6 for r in same)
