@@ -496,9 +496,57 @@ class StreamingApp:
         )
         return queries
 
-    def run_until_drained(self, sink_factory, timeout: int = 120) -> None:
+    def run_until_drained(
+        self, sink_factory, timeout: int = 120,
+        collect_metrics: bool = False,
+    ):
         """availableNow run: process everything currently in the sources,
         then stop — the golden-test execution mode (mirrors the reference's
-        `test` command draining behavior, Test.java:429-512)."""
-        for q in self.start(sink_factory, available_now=True):
+        `test` command draining behavior, Test.java:429-512).
+
+        With ``collect_metrics=True`` returns per-sink counters drawn
+        from the queries' progress events — rows in, batches, and any
+        ``observe()`` metrics ($probe's topic-less form) — the
+        reference's per-part message counters (App.java:948-974)."""
+        queries = self.start(sink_factory, available_now=True)
+        for q in queries:
             q.awaitTermination(timeout)
+        if not collect_metrics:
+            return None
+        out: dict[str, dict] = {}
+        for name, q in zip(self.sinks, queries):
+            rows = 0
+            batches = 0
+            observed: dict = {}
+            for p in q.recentProgress:
+                rows += int(p.get("numInputRows", 0) or 0)
+                batches += 1
+                for k, v in (p.get("observedMetrics") or {}).items():
+                    observed[k] = v
+            out[name] = {"numInputRows": rows, "numBatches": batches,
+                         "observedMetrics": observed}
+        return out
+
+    def run_supervised(
+        self,
+        sink_factory,
+        max_restarts: int = 3,
+        timeout: int = 120,
+    ):
+        """availableNow run with restart-on-error: a failed query is
+        restarted from its checkpoint up to ``max_restarts`` times —
+        the reference's Run loop keeps apps alive the same way
+        (restart-on-error with the resume token); Spark's checkpoint
+        makes the retry exactly-once-per-source-offset.  Raises the
+        last error when a query keeps failing."""
+        from pyspark.errors import StreamingQueryException
+
+        attempts = 0
+        while True:
+            try:
+                self.run_until_drained(sink_factory, timeout=timeout)
+                return attempts
+            except StreamingQueryException:
+                attempts += 1
+                if attempts > max_restarts:
+                    raise

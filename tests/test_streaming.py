@@ -302,6 +302,60 @@ class TestStreamingEdges:
             for q in queries:
                 q.stop()
 
+    def test_metrics_and_supervised_restart(self, spark, tmp_path):
+        """Per-part counters from query progress (the reference's
+        per-part message counts) and restart-on-error: a sink that
+        fails its first batch succeeds after one supervised restart
+        from the checkpoint."""
+        d = str(tmp_path / "topic-m")
+        spark.createDataFrame(
+            [("m1", 1), ("m2", 2), ("m3", 3)], "_id string, v int"
+        ).write.parquet(d)
+
+        def build():
+            catalog = file_stream_catalog(
+                spark, {"t": d}, {"t": "_id string, v int"})
+            return StreamingApp(spark, {
+                "application": "met", "parts": [
+                    {"type": "stream", "name": "s", "fromTopic": "t",
+                     "toTopic": "out",
+                     "pipeline": [{"$match": {"v": {"$gte": 2}}}]},
+                ],
+            }, catalog)
+
+        out1 = str(tmp_path / "out1")
+
+        def ok_sink(name, df):
+            return (df.writeStream.format("parquet")
+                    .option("path", out1)
+                    .option("checkpointLocation",
+                            str(tmp_path / "ck-m" / name)))
+
+        metrics = build().run_until_drained(ok_sink, collect_metrics=True)
+        # 2, not 3: the $match predicate is pushed into the parquet
+        # scan, so the source itself only emits the matching rows
+        assert metrics["out"]["numInputRows"] == 2
+        assert metrics["out"]["numBatches"] >= 1
+
+        # supervised restart: first foreachBatch call dies, retry wins
+        flag = tmp_path / "failed-once"
+        out2 = str(tmp_path / "out2")
+
+        def flaky_sink(name, df):
+            def write(batch_df, _epoch):
+                if not flag.exists():
+                    flag.write_text("x")
+                    raise RuntimeError("transient sink failure")
+                batch_df.write.mode("append").parquet(out2)
+            return (df.writeStream.foreachBatch(write)
+                    .option("checkpointLocation",
+                            str(tmp_path / "ck-f" / name)))
+
+        attempts = build().run_supervised(flaky_sink, max_restarts=2)
+        assert attempts == 1
+        assert sorted(r["_id"] for r in spark.read.parquet(out2)
+                      .collect()) == ["m2", "m3"]
+
     def test_changelog_kinds_and_resume(self, spark, tmp_path):
         """The real fromCollection contract (App.java:650-683): a
         change-log collection emits insert/replace/delete kinds, and the
