@@ -47,6 +47,8 @@ BENCH_QUERIES = [
     "chunk_docs",
     "domain_mix",
     "pack_sequences",
+    "dedup_incremental",
+    "token_drift",
 ]
 
 
