@@ -921,3 +921,33 @@ class TestTokenDrift:
         # identical distributions drift ~0
         same = token_drift(a, a, top_k=5).collect()
         assert all(abs(r["js_contrib"]) < 1e-6 for r in same)
+
+    def test_incremental_consistent_with_full_pairing(self, spark):
+        """Consistency: a batch doc is flagged dup by incremental_dedup
+        exactly when the FULL minhash_lsh_pairs run over index+batch
+        contains a qualifying pair (partner in the index, or an earlier
+        batch id) — the incremental path loses nothing vs the one-shot."""
+        from pincette_json_streams_spark.functions.dedup import (
+            incremental_dedup, minhash_lsh_pairs,
+        )
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select("doc_id", "text").limit(200)
+        existing = docs.filter(F.col("doc_id") % 5 == 0)
+        batch = docs.filter(F.col("doc_id") % 5 != 0)
+
+        inc = {r["doc_id"]: r for r in
+               incremental_dedup(batch, existing, threshold=0.5).collect()}
+        pairs = minhash_lsh_pairs(docs, threshold=0.5).collect()
+
+        expected_dup: dict[int, int] = {}
+        for p in pairs:
+            for doc, other in ((p["id_a"], p["id_b"]),
+                               (p["id_b"], p["id_a"])):
+                if doc % 5 == 0 or doc not in inc:
+                    continue  # doc must be a batch member
+                if other % 5 == 0 or other < doc:
+                    expected_dup[doc] = min(
+                        expected_dup.get(doc, other), other)
+        got_dup = {d: r["dup_of"] for d, r in inc.items() if r["is_dup"]}
+        assert got_dup == expected_dup
