@@ -166,3 +166,40 @@ class TestPlanShapes:
         sp_i = min(i for i, ln in enumerate(lines)
                    if "Exchange SinglePartition" in ln)
         assert sp_i < agg_i
+
+
+class TestBucketing:
+    def test_bucketed_join_is_exchange_free(self, spark, tmp_path):
+        """Both sides bucketed on the join key -> the join plans with
+        ZERO exchanges (the 100 TB fact-fact join layout); an unbucketed
+        twin of the same join needs exchanges."""
+        from pincette_json_streams_spark.sources.bucketing import (
+            bucketed_join_plan_ok, write_bucketed,
+        )
+
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        write_bucketed(orders.withColumnRenamed("o_orderkey", "k"),
+                       "b_orders", "k", buckets=4)
+        write_bucketed(lineitem.withColumnRenamed("l_orderkey", "k"),
+                       "b_lineitem", "k", buckets=4)
+        try:
+            assert bucketed_join_plan_ok(spark, "b_orders",
+                                         "b_lineitem", "k")
+            # sanity: the same join without bucketing shuffles
+            plain = (
+                orders.withColumnRenamed("o_orderkey", "k")
+                .join(lineitem.withColumnRenamed("l_orderkey", "k"), "k")
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+            assert "Exchange" in plain or "Broadcast" in plain
+            # and the bucketed join returns the same row count
+            n_b = spark.table("b_orders").join(
+                spark.table("b_lineitem"), "k").count()
+            n_p = orders.join(
+                lineitem, orders.o_orderkey == lineitem.l_orderkey
+            ).count()
+            assert n_b == n_p
+        finally:
+            spark.sql("DROP TABLE IF EXISTS b_orders")
+            spark.sql("DROP TABLE IF EXISTS b_lineitem")
