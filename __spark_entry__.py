@@ -1454,6 +1454,85 @@ ORDER BY js_contrib DESC, token ASC LIMIT 20
 """
 
 
+def q_salted_revenue(spark, sf_dir):
+    """Skew-safe two-level aggregation (functions/skew.py salted_agg):
+    per-order-priority revenue where each key's rows first aggregate
+    over 16 deterministic salt buckets, then partials combine — no
+    reducer ever sees more than ~1/16 of a hot key.  Equality with the
+    plain one-level oracle IS the correctness proof of the rewrite."""
+    from pincette_json_streams_spark.functions.skew import salted_agg
+    orders = _t(spark, sf_dir, "orders")
+    out = salted_agg(
+        orders, "o_orderpriority",
+        {"revenue": ("sum", "o_totalprice"),
+         "n_orders": ("count", "o_orderkey"),
+         "max_price": ("max", "o_totalprice"),
+         "avg_price": ("avg", "o_totalprice")},
+        salt_buckets=16,
+    )
+    return out.select(
+        "o_orderpriority",
+        F.round("revenue", 2).alias("revenue"),
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.round("max_price", 2).alias("max_price"),
+        F.round("avg_price", 4).alias("avg_price"),
+    )
+
+
+_ORACLE_SALTED_REVENUE = """
+SELECT o_orderpriority,
+       round(sum(o_totalprice), 2) AS revenue,
+       count(o_orderkey)::BIGINT AS n_orders,
+       round(max(o_totalprice), 2) AS max_price,
+       round(avg(o_totalprice), 4) AS avg_price
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_kmv_distinct(spark, sf_dir):
+    """Deterministic KMV distinct-count sketch (functions/profiling.py
+    kmv_distinct): per-language estimated distinct token count from the
+    64 minimum md5 hashes — the oracle-checkable cardinality estimator
+    (HLL register layouts are engine-specific; KMV is exactly
+    reproducible in DuckDB)."""
+    from pincette_json_streams_spark.functions.profiling import (
+        kmv_distinct,
+    )
+    from pincette_json_streams_spark.functions.text import BPE_TOKEN_RE
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(F.regexp_extract_all(
+            F.lower("text"), F.lit(BPE_TOKEN_RE), F.lit(0)
+        )).alias("token"),
+    )
+    return kmv_distinct(toks, "lang", "token", k=64)
+
+
+def _oracle_kmv_distinct(k=64):
+    from pincette_json_streams_spark.functions.text import BPE_TOKEN_RE
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT lang,
+         unnest(regexp_extract_all(lower(text), '{BPE_TOKEN_RE}'))
+           AS token
+  FROM documents
+), hashed AS (
+  SELECT lang,
+         ('0x' || substr(md5(token), 1, 8))::BIGINT / 4294967296.0 AS h,
+         row_number() OVER (PARTITION BY lang ORDER BY
+           ('0x' || substr(md5(token), 1, 8))::BIGINT / 4294967296.0 ASC)
+           AS rn
+  FROM toks
+)
+SELECT lang,
+       CASE WHEN count(*) < {k} THEN count(*)::BIGINT
+            ELSE round(({k} - 1) / max(h), 0)::BIGINT END AS est_distinct,
+       {k} AS sketch_k
+FROM hashed WHERE rn <= {k} GROUP BY lang
+"""
+
+
 def q_repetition_stats(spark, sf_dir):
     """Gopher/MassiveText-style repetition quality signals per document:
     most-frequent-word fraction, most-frequent-2-gram fraction, fraction
@@ -2937,6 +3016,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "dedup_incremental": q_dedup_incremental,
         "token_drift": q_token_drift,
+        "salted_revenue": q_salted_revenue,
+        "kmv_distinct": q_kmv_distinct,
         "asof_join": q_asof_join,
         "sessionize_events": q_sessionize_events,
         "contamination": q_contamination,
@@ -3074,6 +3155,8 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _ORACLE_PACK_SEQUENCES,
         "dedup_incremental": _oracle_dedup_incremental(),
         "token_drift": _oracle_token_drift(),
+        "salted_revenue": _ORACLE_SALTED_REVENUE,
+        "kmv_distinct": _oracle_kmv_distinct(),
         "repetition_stats": _ORACLE_REPETITION,
         "contamination": _ORACLE_CONTAMINATION,
         "lm_score": _ORACLE_LM_SCORE,

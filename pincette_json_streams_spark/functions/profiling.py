@@ -24,7 +24,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-__all__ = ["profile_table"]
+__all__ = ["profile_table", "kmv_distinct"]
 
 
 def _epoch_seconds(col):
@@ -91,3 +91,49 @@ def profile_table(
     return one.select(
         F.explode(F.array(*parts)).alias("p")
     ).select("p.*")
+
+
+def kmv_distinct(
+    df,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+):
+    """Deterministic k-minimum-values distinct-count sketch per group.
+
+    The 100 TB cardinality estimator you can actually ORACLE-CHECK:
+    unlike HLL (engine-specific register layouts), KMV over an md5-
+    derived uniform hash is exactly reproducible on any engine — the
+    estimate is (k-1) / h_(k) where h_(k) is the k-th smallest
+    normalized hash of the group's distinct values, and groups with
+    fewer than k distinct values report the exact count.
+
+    Plan shape: one distinct on (group, value) — map-side combine
+    collapses repeats before the shuffle — then a per-group top-k
+    window on the hash.  Sketch state is O(k) per group; merging
+    sketches across partitions/snapshots = union the hash sets and
+    re-take the k smallest (associative, the reason KMV composes with
+    incremental corpus growth)."""
+    from pyspark.sql.window import Window
+
+    distinct = df.select(
+        F.col(group_col).alias("group"), F.col(value_col).alias("v")
+    ).distinct().withColumn(
+        "__h",
+        F.conv(F.substring(F.md5(F.col("v").cast("string")), 1, 8),
+               16, 10).cast("double") / F.lit(float(1 << 32)),
+    )
+    w = Window.partitionBy("group").orderBy(F.col("__h").asc())
+    topk = distinct.withColumn("__rn", F.row_number().over(w)) \
+        .filter(F.col("__rn") <= k)
+    return (
+        topk.groupBy("group")
+        .agg(F.count(F.lit(1)).alias("__n"), F.max("__h").alias("__kth"))
+        .select(
+            F.col("group").alias(group_col),
+            F.when(F.col("__n") < k, F.col("__n").cast("long"))
+            .otherwise(F.round((k - 1) / F.col("__kth"), 0).cast("long"))
+            .alias("est_distinct"),
+            F.lit(int(k)).alias("sketch_k"),
+        )
+    )

@@ -951,3 +951,53 @@ class TestTokenDrift:
                         expected_dup.get(doc, other), other)
         got_dup = {d: r["dup_of"] for d, r in inc.items() if r["is_dup"]}
         assert got_dup == expected_dup
+
+
+class TestSkewAndSketch:
+    def test_salted_agg_equals_plain(self, spark):
+        from pincette_json_streams_spark.functions.skew import salted_agg
+        orders = spark.read.parquet(
+            "/root/testdata/sf0.001/orders.parquet")
+        got = {r["o_orderstatus"]: r for r in salted_agg(
+            orders, "o_orderstatus",
+            {"rev": ("sum", "o_totalprice"),
+             "n": ("count", "o_orderkey"),
+             "mx": ("max", "o_totalprice"),
+             "avg_p": ("avg", "o_totalprice")},
+            salt_buckets=8,
+        ).collect()}
+        want = {r["o_orderstatus"]: r for r in orders.groupBy(
+            "o_orderstatus").agg(
+            F.sum("o_totalprice").alias("rev"),
+            F.count("o_orderkey").alias("n"),
+            F.max("o_totalprice").alias("mx"),
+            F.avg("o_totalprice").alias("avg_p"),
+        ).collect()}
+        assert set(got) == set(want)
+        for k in got:
+            assert abs(got[k]["rev"] - want[k]["rev"]) < 1e-6
+            assert got[k]["n"] == want[k]["n"]
+            assert got[k]["mx"] == want[k]["mx"]
+            assert abs(got[k]["avg_p"] - want[k]["avg_p"]) < 1e-9
+
+    def test_salted_agg_rejects_holistic(self, spark):
+        import pytest as _pt
+
+        from pincette_json_streams_spark.functions.skew import salted_agg
+        df = spark.range(5).selectExpr("id AS k", "id AS v")
+        with _pt.raises(ValueError, match="not algebraic"):
+            salted_agg(df, "k", {"m": ("median", "v")})
+
+    def test_kmv_accuracy(self, spark):
+        from pincette_json_streams_spark.functions.profiling import (
+            kmv_distinct,
+        )
+        rows = ([("big", f"tok{i}") for i in range(3000)]
+                + [("small", f"s{i}") for i in range(20)])
+        df = spark.createDataFrame(rows, "lang string, token string")
+        got = {r["lang"]: r["est_distinct"] for r in
+               kmv_distinct(df, "lang", "token", k=64).collect()}
+        # below k: exact
+        assert got["small"] == 20
+        # above k: within the ~1/sqrt(k) relative-error envelope (x2)
+        assert abs(got["big"] - 3000) / 3000 < 0.25
