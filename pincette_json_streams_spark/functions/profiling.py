@@ -116,9 +116,12 @@ def kmv_distinct(
     incremental corpus growth)."""
     from pyspark.sql.window import Window
 
+    # drop null values BEFORE ranking: Spark windows order NULLS FIRST,
+    # DuckDB NULLS LAST — a null hash would silently skew the k-set on
+    # one engine only
     distinct = df.select(
         F.col(group_col).alias("group"), F.col(value_col).alias("v")
-    ).distinct().withColumn(
+    ).filter(F.col("v").isNotNull()).distinct().withColumn(
         "__h",
         F.conv(F.substring(F.md5(F.col("v").cast("string")), 1, 8),
                16, 10).cast("double") / F.lit(float(1 << 32)),
