@@ -49,6 +49,8 @@ BENCH_QUERIES = [
     "pack_sequences",
     "dedup_incremental",
     "token_drift",
+    "kmv_distinct",
+    "salted_revenue",
 ]
 
 
