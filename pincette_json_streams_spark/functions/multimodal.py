@@ -4,16 +4,19 @@ columns with typed metadata.
 Three tiers of honesty about what runs in this codec-free runtime:
 - `attach_media_metadata` (byte length, content hash), `probe_media`
   (container-header parsing: PNG/JPEG/GIF/BMP dimensions, WAV sample
-  rate/channels/duration — pure stdlib ``struct``, no codec libraries)
-  and `decode_audio` (REAL PCM WAV decode via stdlib ``wave`` + numpy:
+  rate/channels/duration — pure stdlib ``struct``, no codec libraries),
+  `decode_audio` (REAL PCM WAV decode via stdlib ``wave`` + numpy:
   8/16/24/32-bit PCM -> mono float samples, RMS/peak energy, fixed-bin
-  downsampled waveform) are REAL.
-- image pixel *decoding* (`decode_features`) and video frame extraction
-  (`sample_frames`) are stubbed with deterministic fakes clearly
-  marked (JPEG/PNG entropy decode genuinely needs codec libraries);
-  swap `_decode_stub` for a real decoder (PIL/pyav) without touching
-  the plumbing — schema, Arrow batch shape, ``mapInPandas`` signatures
-  and partition sizing are production-real.
+  downsampled waveform) and `decode_image` (REAL pixel decode for PNG —
+  zlib IDAT inflate + scanline unfiltering from the format spec — and
+  uncompressed BMP; per-channel means + luma histogram) are REAL.
+- JPEG pixel decoding (`decode_features` fake-feature fallback) and
+  video frame extraction (`sample_frames`) are stubbed with
+  deterministic fakes clearly marked (JPEG needs a DCT entropy decoder;
+  video needs real codecs); swap `_decode_stub` for a real decoder
+  (PIL/pyav) without touching the plumbing — schema, Arrow batch
+  shape, ``mapInPandas`` signatures and partition sizing are
+  production-real.
 
 Scale design: media bytes stay in the executor (never collect), batches
 flow through Arrow; per-file work parallelizes by repartitioning on a
@@ -29,7 +32,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "MEDIA_SCHEMA", "attach_media_metadata", "decode_audio",
-    "decode_features", "probe_media", "sample_frames",
+    "decode_features", "decode_image", "probe_media", "sample_frames",
 ]
 
 # canonical media column group
@@ -208,6 +211,158 @@ def decode_audio(
             pdf[out_col] = pdf[media_col].map(
                 lambda b: _decode_wav(
                     bytes(b) if b is not None else None, waveform_bins)
+            )
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def _png_unfilter(raw: bytes, w: int, h: int, bpp: int):
+    """Reverse PNG scanline filters (types 0-4) -> HxW*bpp bytes.
+    Pure numpy; spec: https://www.w3.org/TR/png-3/#9Filters."""
+    import numpy as np
+
+    stride = w * bpp
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        line = np.frombuffer(raw[pos + 1:pos + 1 + stride], np.uint8)
+        pos += 1 + stride
+        cur = line.astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(
+            stride, np.int32)
+        if ftype == 0:
+            rec = cur
+        elif ftype == 2:  # Up
+            rec = (cur + prev) % 256
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth need a scan
+            rec = np.zeros(stride, np.int32)
+            for i in range(stride):
+                a = rec[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else \
+                        (b if pb <= pc else c)
+                rec[i] = (cur[i] + pred) % 256
+        else:
+            raise ValueError(f"png: unknown filter {ftype}")
+        out[y] = rec.astype(np.uint8)
+    return out.reshape(h, w, bpp)
+
+
+_IMG_FIELDS = ("format", "width", "height", "channels",
+               "mean_rgb", "luma_hist")
+
+
+def _decode_image(b: bytes | None, hist_bins: int) -> dict:
+    """REAL pixel decode, stdlib + numpy only:
+
+    - PNG: 8-bit greyscale/RGB/(+alpha), non-interlaced — zlib IDAT
+      inflate + scanline unfiltering (the actual format spec, not a
+      codec binding).
+    - BMP: uncompressed (BI_RGB) 24/32-bit bottom-up.
+
+    Other formats (JPEG needs a DCT entropy decoder) yield NULL fields;
+    `probe_media` still reports their header metadata.  Features:
+    per-channel mean and a fixed-bin luma histogram (normalized)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    out = dict.fromkeys(_IMG_FIELDS)
+    if not b:
+        return out
+    try:
+        px = None
+        if b[:8] == b"\x89PNG\r\n\x1a\n":
+            w = h = bitd = ctype = None
+            idat = b""
+            i = 8
+            while i + 8 <= len(b):
+                ln, typ = struct.unpack(">I4s", b[i:i + 8])
+                data = b[i + 8:i + 8 + ln]
+                if typ == b"IHDR":
+                    w, h, bitd, ctype, _comp, _filt, inter = \
+                        struct.unpack(">IIBBBBB", data[:13])
+                    if bitd != 8 or inter != 0 or ctype not in (0, 2, 4, 6):
+                        return out  # outside the supported PNG subset
+                elif typ == b"IDAT":
+                    idat += data
+                elif typ == b"IEND":
+                    break
+                i += 12 + ln
+            bpp = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+            px = _png_unfilter(zlib.decompress(idat), w, h, bpp)
+            if ctype == 4:       # grey+alpha -> grey
+                px = px[:, :, :1]
+            if ctype in (0,):    # grey -> 3-channel view for mean_rgb
+                pass
+            out["format"] = "png"
+        elif b[:2] == b"BM" and len(b) >= 54:
+            off, = struct.unpack("<I", b[10:14])
+            hsz, w, h = struct.unpack("<Iii", b[14:26])
+            planes, bits = struct.unpack("<HH", b[26:30])
+            comp, = struct.unpack("<I", b[30:34])
+            if comp != 0 or bits not in (24, 32):
+                return out
+            bpp = bits // 8
+            stride = (w * bpp + 3) & ~3
+            rows = []
+            for y in range(abs(h)):
+                start = off + y * stride
+                rows.append(np.frombuffer(
+                    b[start:start + w * bpp], np.uint8
+                ).reshape(w, bpp)[:, :3][:, ::-1])  # BGR -> RGB
+            px = np.stack(rows[::-1] if h > 0 else rows)  # bottom-up
+            out["format"] = "bmp"
+        if px is None:
+            return out
+        h_, w_ = px.shape[:2]
+        ch = px.shape[2]
+        rgb = px[:, :, :3] if ch >= 3 else np.repeat(px[:, :, :1], 3, 2)
+        out.update(width=int(w_), height=int(h_), channels=int(ch))
+        out["mean_rgb"] = [round(float(rgb[:, :, c].mean()), 4)
+                           for c in range(3)]
+        luma = (0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1]
+                + 0.114 * rgb[:, :, 2])
+        hist, _ = np.histogram(luma, bins=hist_bins, range=(0, 256))
+        total = max(int(hist.sum()), 1)
+        out["luma_hist"] = [round(float(x) / total, 6) for x in hist]
+        return out
+    except Exception:
+        return dict.fromkeys(_IMG_FIELDS)
+
+
+def decode_image(
+    df: DataFrame,
+    media_col: str = "media",
+    out_col: str = "image",
+    hist_bins: int = 16,
+) -> DataFrame:
+    """REAL image decode for PNG (8-bit, non-interlaced) and
+    uncompressed BMP: struct(format, width, height, channels,
+    mean_rgb array<double>, luma_hist array<double>).  Arrow-batched
+    ``mapInPandas``; unsupported formats yield NULL fields instead of
+    failing the batch."""
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + (f", {out_col} struct<format:string,width:int,height:int,"
+         "channels:int,mean_rgb:array<double>,luma_hist:array<double>>")
+
+    def run(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            pdf[out_col] = pdf[media_col].map(
+                lambda b: _decode_image(
+                    bytes(b) if b is not None else None, hist_bins)
             )
             yield pdf
 

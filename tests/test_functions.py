@@ -1001,3 +1001,100 @@ class TestSkewAndSketch:
         assert got["small"] == 20
         # above k: within the ~1/sqrt(k) relative-error envelope (x2)
         assert abs(got["big"] - 3000) / 3000 < 0.25
+
+
+class TestImageDecode:
+    @staticmethod
+    def _png(raw_scanlines: bytes, w: int, h: int, ctype: int = 2):
+        """Minimal PNG writer (test fixture only): IHDR + one IDAT of
+        the given raw (filter-byte-prefixed) scanline stream + IEND."""
+        import struct
+        import zlib
+
+        def chunk(typ, data):
+            c = struct.pack(">I", len(data)) + typ + data
+            return c + struct.pack(
+                ">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(raw_scanlines))
+                + chunk(b"IEND", b""))
+
+    def test_png_rgb_with_filters(self, spark):
+        from pincette_json_streams_spark.functions.multimodal import (
+            decode_image,
+        )
+        # 2x2 RGB: row1 = red, green (filter 0); row2 = blue, white
+        # written with the Up filter (cur - prev mod 256)
+        row1 = bytes([255, 0, 0, 0, 255, 0])
+        row2 = bytes([0, 0, 255, 255, 255, 255])
+        up = bytes((c - p) % 256 for c, p in zip(row2, row1))
+        raw = b"\x00" + row1 + b"\x02" + up
+        png = self._png(raw, 2, 2)
+
+        df = spark.createDataFrame(
+            [("p", bytearray(png)), ("junk", bytearray(b"\xff\xd8\xffx"))],
+            "asset_id string, media binary",
+        )
+        got = {r["asset_id"]: r["image"].asDict()
+               for r in decode_image(df, hist_bins=4).collect()}
+        img = got["p"]
+        assert img["format"] == "png"
+        assert (img["width"], img["height"], img["channels"]) == (2, 2, 3)
+        # pixel means: R=(255+0+0+255)/4, G=(0+255+0+255)/4,
+        #              B=(0+0+255+255)/4
+        assert img["mean_rgb"] == [127.5, 127.5, 127.5]
+        assert abs(sum(img["luma_hist"]) - 1.0) < 1e-6
+        # JPEG: honestly undecodable without a DCT codec -> NULLs
+        assert got["junk"]["format"] is None
+
+    def test_png_sub_and_paeth_filters_roundtrip(self, spark):
+        """Filters 1 (Sub) and 4 (Paeth) must reconstruct exactly."""
+        from pincette_json_streams_spark.functions.multimodal import (
+            _decode_image,
+        )
+        row1 = bytes([10, 20, 30, 40, 50, 60])
+        # Sub filter: cur - left(bpp=3)
+        sub = bytes([10, 20, 30]) + bytes(
+            (c - a) % 256 for c, a in zip(row1[3:], row1[:3]))
+        row2 = bytes([15, 25, 35, 45, 55, 65])
+        # Paeth with full left/up context — encode per spec
+        paeth = bytearray()
+        for i, c in enumerate(row2):
+            a = row2[i - 3] if i >= 3 else 0
+            b = row1[i]
+            cc = row1[i - 3] if i >= 3 else 0
+            p = a + b - cc
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+            pred = a if pa <= pb and pa <= pc else (b if pb <= pc else cc)
+            paeth.append((c - pred) % 256)
+        raw = b"\x01" + sub + b"\x04" + bytes(paeth)
+        img = _decode_image(self._png(raw, 2, 2), 4)
+        import numpy as np
+        want = np.array([list(row1), list(row2)], dtype=np.uint8)
+        r = img["mean_rgb"]
+        rgb = want.reshape(2, 2, 3)
+        assert r == [round(float(rgb[:, :, c].mean()), 4)
+                     for c in range(3)]
+
+    def test_bmp_24bit(self, spark):
+        import struct
+
+        from pincette_json_streams_spark.functions.multimodal import (
+            _decode_image,
+        )
+        # 2x1 BMP, 24-bit BI_RGB: pixels (bottom-up) BGR
+        w, h = 2, 1
+        stride = (w * 3 + 3) & ~3
+        pixels = bytes([255, 0, 0,  0, 0, 255]) + b"\x00" * (stride - 6)
+        header = (b"BM" + struct.pack("<IHHI", 54 + len(pixels), 0, 0, 54)
+                  + struct.pack("<Iii", 40, w, h)
+                  + struct.pack("<HH", 1, 24)
+                  + struct.pack("<IIiiII", 0, len(pixels), 2835, 2835,
+                                0, 0))
+        img = _decode_image(header + pixels, 4)
+        assert img["format"] == "bmp"
+        assert (img["width"], img["height"]) == (2, 1)
+        # BGR [255,0,0] = blue pixel; BGR [0,0,255] = red pixel
+        assert img["mean_rgb"] == [127.5, 0.0, 127.5]
