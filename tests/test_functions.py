@@ -1098,3 +1098,91 @@ class TestImageDecode:
         assert (img["width"], img["height"]) == (2, 1)
         # BGR [255,0,0] = blue pixel; BGR [0,0,255] = red pixel
         assert img["mean_rgb"] == [127.5, 0.0, 127.5]
+
+
+class TestPropertyRoundTrips:
+    def test_png_decode_roundtrip_random(self):
+        """Property: decode(encode(pixels, random per-row filters)) ==
+        pixels exactly — the unfiltering math is bit-correct for every
+        filter type on arbitrary content (driver-side, no Spark)."""
+        import zlib
+
+        import numpy as np
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from pincette_json_streams_spark.functions.multimodal import (
+            _png_unfilter,
+        )
+
+        @settings(max_examples=20, deadline=None,
+                  suppress_health_check=list(HealthCheck))
+        @given(st.integers(1, 5), st.integers(1, 5),
+               st.integers(0, 2 ** 31 - 1))
+        def check(w, h, seed):
+            rng = np.random.RandomState(seed)
+            img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+            bpp, stride = 3, w * 3
+            raw = bytearray()
+            for y in range(h):
+                ftype = int(rng.randint(0, 5))
+                cur = img[y].reshape(-1).astype(np.int32)
+                prev = img[y - 1].reshape(-1).astype(np.int32) if y \
+                    else np.zeros(stride, np.int32)
+                filt = np.zeros(stride, np.int32)
+                for i in range(stride):
+                    a = int(cur[i - bpp]) if i >= bpp else 0
+                    b = int(prev[i])
+                    c = int(prev[i - bpp]) if i >= bpp else 0
+                    pred = {0: 0, 1: a, 2: b, 3: (a + b) // 2}.get(ftype)
+                    if pred is None:  # Paeth
+                        p = a + b - c
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        pred = a if pa <= pb and pa <= pc else \
+                            (b if pb <= pc else c)
+                    filt[i] = (int(cur[i]) - pred) % 256
+                raw.append(ftype)
+                raw.extend(filt.astype(np.uint8).tobytes())
+            decoded = _png_unfilter(bytes(raw), w, h, bpp)
+            assert np.array_equal(decoded, img)
+
+        check()
+
+    def test_sequence_packing_matches_naive(self, spark):
+        """Property: per-shard packing equals the pure-Python
+        concat-and-chunk reference on random documents."""
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from pincette_json_streams_spark.functions.sampling import (
+            sequence_packing,
+        )
+
+        doc = st.tuples(st.integers(0, 1), st.integers(1, 12))
+
+        @settings(max_examples=5, deadline=None,
+                  suppress_health_check=list(HealthCheck))
+        @given(st.lists(doc, min_size=1, max_size=12, unique=True))
+        def check(docs):
+            rows = [(i, f"s{s}", "w " * n) for i, (s, n) in
+                    enumerate(docs)]
+            df = spark.createDataFrame(
+                rows, "doc_id long, source string, text string")
+            got = {(r["source"], r["seq_id"]):
+                   (r["n_docs"], r["n_tokens"])
+                   for r in sequence_packing(df, budget=8).collect()}
+
+            want: dict = {}
+            for src in sorted({f"s{s}" for s, _ in docs}):
+                offset = 0
+                members = sorted(
+                    (i, n) for i, (s, n) in enumerate(docs)
+                    if f"s{s}" == src)
+                for _i, n in members:
+                    seq = offset // 8
+                    d, t = want.get((src, seq), (0, 0))
+                    want[(src, seq)] = (d + 1, t + n)
+                    offset += n
+            assert got == want
+
+        check()
