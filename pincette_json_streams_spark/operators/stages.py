@@ -947,6 +947,40 @@ def _stage_scrub_pii_ext(df, spec, pctx):
     return df.withColumn(out, scrub_pii(F.col(field)))
 
 
+def _stage_probe_media_ext(df, spec, pctx):
+    # {"field": binary col, "as": out} — REAL container-header probe
+    # (functions/multimodal.py probe_media)
+    from pincette_json_streams_spark.functions.multimodal import probe_media
+
+    spec = spec if isinstance(spec, dict) else {}
+    return probe_media(df, media_col=spec.get("field", "media"),
+                       out_col=spec.get("as", "probe"))
+
+
+def _stage_decode_audio_ext(df, spec, pctx):
+    # {"field": binary col, "as": out, "bins": n} — REAL PCM WAV decode
+    from pincette_json_streams_spark.functions.multimodal import (
+        decode_audio,
+    )
+
+    spec = spec if isinstance(spec, dict) else {}
+    return decode_audio(df, media_col=spec.get("field", "media"),
+                        out_col=spec.get("as", "audio"),
+                        waveform_bins=int(spec.get("bins", 64)))
+
+
+def _stage_decode_image_ext(df, spec, pctx):
+    # {"field": binary col, "as": out, "bins": n} — REAL PNG/BMP decode
+    from pincette_json_streams_spark.functions.multimodal import (
+        decode_image,
+    )
+
+    spec = spec if isinstance(spec, dict) else {}
+    return decode_image(df, media_col=spec.get("field", "media"),
+                        out_col=spec.get("as", "image"),
+                        hist_bins=int(spec.get("bins", 16)))
+
+
 def _effect(name: str):
     # lazy import: effects pull in transports/crypto only when used
     def h(df, spec, pctx):
@@ -1003,4 +1037,7 @@ STAGES: dict[str, Callable[[DataFrame, Any, PipelineContext], DataFrame]] = {
     "$sessionize": _stage_sessionize_ext,
     "$asofLookup": _stage_asof_lookup_ext,
     "$scrubPii": _stage_scrub_pii_ext,
+    "$probeMedia": _stage_probe_media_ext,
+    "$decodeAudio": _stage_decode_audio_ext,
+    "$decodeImage": _stage_decode_image_ext,
 }

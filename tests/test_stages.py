@@ -399,3 +399,35 @@ class TestBatchExtensions:
         out = rows(df, [{"$scrubPii": {"field": "text"}}])
         assert "<EMAIL>" in out[0]["text"]
         assert "bob@" not in out[0]["text"]
+
+
+class TestMultimodalStages:
+    def test_media_stages_in_pipeline(self, spark):
+        """$probeMedia / $decodeImage / $decodeAudio compose in a plain
+        pipeline over a binary column (YAML-app-usable multimodal)."""
+        import io
+        import struct
+        import wave
+
+        png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+               + struct.pack(">IIBBBBB", 3, 2, 8, 6, 0, 0, 0))
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(b"\x00\x10" * 800)
+        df = spark.createDataFrame(
+            [("img", bytearray(png)), ("snd", bytearray(buf.getvalue()))],
+            "_id string, media binary",
+        )
+        out = rows(df, [
+            {"$probeMedia": {"field": "media", "as": "p"}},
+            {"$decodeAudio": {"field": "media", "as": "a", "bins": 8}},
+            {"$match": {"p.format": {"$exists": True}}},
+            {"$project": {"_id": 1, "fmt": "$p.format",
+                          "dur": "$a.duration_ms"}},
+        ])
+        got = {r["_id"]: r for r in out}
+        assert got["img"]["fmt"] == "png" and got["img"]["dur"] is None
+        assert got["snd"]["fmt"] == "wav" and got["snd"]["dur"] == 100
