@@ -24,7 +24,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-__all__ = ["profile_table", "kmv_distinct"]
+__all__ = ["profile_table", "kmv_distinct", "kmv_sketch", "kmv_merge", "kmv_estimate"]
 
 
 def _epoch_seconds(col):
@@ -139,4 +139,69 @@ def kmv_distinct(
             .alias("est_distinct"),
             F.lit(int(k)).alias("sketch_k"),
         )
+    )
+
+
+def kmv_sketch(df, group_col: str, value_col: str, k: int = 64):
+    """Mergeable form of :func:`kmv_distinct`: per group, the k
+    SMALLEST normalized hashes as a sorted array — the sketch STATE a
+    snapshot persists.  Sketches from different snapshots/partitions
+    merge with :func:`kmv_merge` (union the sets, re-take the k
+    smallest: associative and idempotent), which is how the estimate
+    composes with incremental corpus growth without rescanning old
+    snapshots."""
+    from pyspark.sql.window import Window
+
+    distinct = df.select(
+        F.col(group_col).alias("group"), F.col(value_col).alias("v")
+    ).filter(F.col("v").isNotNull()).distinct().withColumn(
+        "__h",
+        F.conv(F.substring(F.md5(F.col("v").cast("string")), 1, 8),
+               16, 10).cast("double") / F.lit(float(1 << 32)),
+    )
+    w = Window.partitionBy("group").orderBy(F.col("__h").asc())
+    return (
+        distinct.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .groupBy("group")
+        .agg(F.sort_array(F.collect_list("__h")).alias("hashes"))
+        .select(F.col("group").alias(group_col), "hashes",
+                F.lit(int(k)).alias("sketch_k"))
+    )
+
+
+def kmv_merge(*sketches, group_col: str = "lang", k: int = 64):
+    """Union sketches from several snapshots and re-take the k
+    smallest hashes per group; -> same schema as :func:`kmv_sketch`.
+    Estimate from a merged sketch with :func:`kmv_estimate`."""
+    from functools import reduce
+
+    from pyspark.sql.window import Window
+
+    unioned = reduce(
+        lambda a, b: a.unionByName(b),
+        [s.select(F.col(group_col).alias("group"),
+                  F.explode("hashes").alias("__h")) for s in sketches],
+    ).dropDuplicates(["group", "__h"])
+    w = Window.partitionBy("group").orderBy(F.col("__h").asc())
+    return (
+        unioned.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .groupBy("group")
+        .agg(F.sort_array(F.collect_list("__h")).alias("hashes"))
+        .select(F.col("group").alias(group_col), "hashes",
+                F.lit(int(k)).alias("sketch_k"))
+    )
+
+
+def kmv_estimate(sketch, group_col: str = "lang", k: int = 64):
+    """(group, est_distinct, sketch_k) from a (merged) sketch: exact
+    count below k, (k-1)/h_(k) at k."""
+    n = F.size("hashes")
+    return sketch.select(
+        group_col,
+        F.when(n < k, n.cast("long"))
+        .otherwise(F.round((k - 1) / F.element_at("hashes", k), 0)
+                   .cast("long")).alias("est_distinct"),
+        F.lit(int(k)).alias("sketch_k"),
     )

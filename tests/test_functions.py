@@ -1186,3 +1186,25 @@ class TestPropertyRoundTrips:
             assert got == want
 
         check()
+
+    def test_kmv_sketch_merge_associative(self, spark):
+        """Merging per-snapshot sketches equals sketching the union —
+        the property that lets a growing corpus update cardinality
+        without rescanning old snapshots."""
+        from pincette_json_streams_spark.functions.profiling import (
+            kmv_estimate, kmv_merge, kmv_sketch,
+        )
+        rows_a = [("en", f"tok{i}") for i in range(500)]
+        rows_b = [("en", f"tok{i}") for i in range(300, 900)]  # overlap
+        a = spark.createDataFrame(rows_a, "lang string, token string")
+        b = spark.createDataFrame(rows_b, "lang string, token string")
+        k = 32
+        merged = kmv_merge(kmv_sketch(a, "lang", "token", k),
+                           kmv_sketch(b, "lang", "token", k),
+                           group_col="lang", k=k)
+        direct = kmv_sketch(a.unionByName(b), "lang", "token", k)
+        mh = merged.collect()[0]["hashes"]
+        dh = direct.collect()[0]["hashes"]
+        assert mh == dh  # identical k-minimum sets, not just estimates
+        est = kmv_estimate(merged, "lang", k).collect()[0]
+        assert abs(est["est_distinct"] - 900) / 900 < 0.35
