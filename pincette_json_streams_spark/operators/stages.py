@@ -280,7 +280,14 @@ def _stage_group(df, spec, pctx):
     for out_name, acc in spec.items():
         if out_name == "_id":
             continue
-        if out_name == "_collection":  # state collection name: no-op here
+        if out_name == "_collection":
+            # the reference keeps group state in this collection
+            # (docs:31).  Streaming: the checkpointed state store plays
+            # that role.  Batch: the grouped result registers in the
+            # catalog under the name, so later parts/$lookup can read
+            # the group state exactly like the reference's probe
+            # aggregator app does (docs:440-466) — handled after the
+            # aggregation below.
             continue
         (acc_name, acc_arg), = acc.items()
         aggs.append(_accumulator(acc_name, acc_arg, ctx, out_name))
@@ -293,6 +300,8 @@ def _stage_group(df, spec, pctx):
         ).alias("_id")
         keep = [c for c in grouped.columns if not c.startswith("__gk_")]
         grouped = grouped.select(id_struct, *keep)
+    if isinstance(spec.get("_collection"), str):
+        pctx.catalog[spec["_collection"]] = grouped
     return grouped
 
 

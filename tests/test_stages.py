@@ -431,3 +431,24 @@ class TestMultimodalStages:
         got = {r["_id"]: r for r in out}
         assert got["img"]["fmt"] == "png" and got["img"]["dur"] is None
         assert got["snd"]["fmt"] == "wav" and got["snd"]["dur"] == 100
+
+
+class TestGroupCollection:
+    def test_group_state_collection_is_queryable(self, spark, people):
+        """$group with _collection registers the group state in the
+        catalog (the reference keeps it in a Mongo collection, docs:31);
+        a later pipeline can $lookup it like the probe aggregator app."""
+        pctx = PipelineContext()
+        compile_pipeline(people, [
+            {"$group": {"_id": "$age", "_collection": "age-state",
+                        "n": {"$count": {}}}},
+        ], pctx)
+        assert "age-state" in pctx.catalog
+        enriched = compile_pipeline(people, [
+            {"$lookup": {"from": "age-state", "localField": "age",
+                         "foreignField": "_id", "as": "st",
+                         "unwind": True}},
+            {"$project": {"_id": 1, "peers": "$st.n"}},
+        ], pctx).collect()
+        got = {r["_id"]: r["peers"] for r in enriched}
+        assert got == {"p1": 1, "p2": 2, "p3": 1, "p4": 2}
