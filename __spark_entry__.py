@@ -1454,6 +1454,39 @@ ORDER BY js_contrib DESC, token ASC LIMIT 20
 """
 
 
+def q_retention_cohorts(spark, sf_dir):
+    """Cohort retention matrix over the events table (functions/
+    timeseries.py retention_cohorts): users cohort by first-activity
+    day; cells count users active N days later + retention rate.  One
+    distinct + reused user shuffle + final cell agg — nothing windowed
+    over the raw stream."""
+    from pincette_json_streams_spark.functions.timeseries import (
+        retention_cohorts,
+    )
+    events = _t(spark, sf_dir, "events")
+    return retention_cohorts(events)
+
+
+_ORACLE_RETENTION = """
+WITH active AS (
+  SELECT DISTINCT user_id AS u,
+         floor(epoch(ts) / 86400)::BIGINT AS p
+  FROM events
+), first AS (
+  SELECT u, min(p) AS cohort FROM active GROUP BY u
+), cells AS (
+  SELECT cohort, (p - cohort)::BIGINT AS "offset",
+         count(DISTINCT a.u)::BIGINT AS n_users
+  FROM active a JOIN first f ON a.u = f.u
+  GROUP BY cohort, p - cohort
+)
+SELECT c.cohort, c."offset", c.n_users,
+       round(c.n_users / s.n_users::DOUBLE, 4) AS retention
+FROM cells c JOIN (SELECT cohort, n_users FROM cells
+                   WHERE "offset" = 0) s ON c.cohort = s.cohort
+"""
+
+
 def q_salted_revenue(spark, sf_dir):
     """Skew-safe two-level aggregation (functions/skew.py salted_agg):
     per-order-priority revenue where each key's rows first aggregate
@@ -3018,6 +3051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_drift": q_token_drift,
         "salted_revenue": q_salted_revenue,
         "kmv_distinct": q_kmv_distinct,
+        "retention_cohorts": q_retention_cohorts,
         "asof_join": q_asof_join,
         "sessionize_events": q_sessionize_events,
         "contamination": q_contamination,
@@ -3157,6 +3191,7 @@ def oracle_sql() -> dict[str, str]:
         "token_drift": _oracle_token_drift(),
         "salted_revenue": _ORACLE_SALTED_REVENUE,
         "kmv_distinct": _oracle_kmv_distinct(),
+        "retention_cohorts": _ORACLE_RETENTION,
         "repetition_stats": _ORACLE_REPETITION,
         "contamination": _ORACLE_CONTAMINATION,
         "lm_score": _ORACLE_LM_SCORE,

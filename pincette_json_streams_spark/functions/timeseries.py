@@ -19,8 +19,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
-    "asof_join", "forward_fill", "sessionize", "sessionize_stream",
-    "time_bucket_gapfill",
+    "asof_join", "forward_fill", "retention_cohorts", "sessionize",
+    "sessionize_stream", "time_bucket_gapfill",
 ]
 
 
@@ -329,5 +329,44 @@ def sessionize_stream(
             F.col("session_window.start").alias("session_start"),
             F.col("session_window.end").alias("session_end"),
             *aggs.keys(),
+        )
+    )
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_nanos_col: str = "ts_nanos",
+    period_ns: int = 86_400_000_000_000,
+) -> DataFrame:
+    """Cohort retention matrix — the product-analytics staple: users
+    cohort by their first-activity period; each (cohort, offset) cell
+    counts the cohort's users active `offset` periods later, plus the
+    retention rate against the cohort size.
+
+    Plan shape at scale: one distinct over (user, period) — map-side
+    combine kills repeat events per user-period before the shuffle —
+    a per-user min for the cohort (same shuffled key, reused), one
+    equi-join on user, one final (cohort, offset) aggregation.  No
+    window over the raw event stream, nothing quadratic."""
+    per = (F.col(ts_nanos_col) / F.lit(int(period_ns))).cast("long")
+    active = (
+        df.select(F.col(user_col).alias("u"), per.alias("p"))
+        .distinct()
+    )
+    first = active.groupBy("u").agg(F.min("p").alias("cohort"))
+    cells = (
+        active.join(first, "u")
+        .groupBy("cohort", (F.col("p") - F.col("cohort")).alias("offset"))
+        .agg(F.count_distinct("u").cast("long").alias("n_users"))
+    )
+    sizes = cells.filter(F.col("offset") == 0).select(
+        "cohort", F.col("n_users").alias("__size"))
+    return (
+        cells.join(sizes, "cohort")
+        .select(
+            "cohort", "offset", "n_users",
+            F.round(F.col("n_users") / F.col("__size"), 4)
+            .alias("retention"),
         )
     )

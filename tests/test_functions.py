@@ -1208,3 +1208,23 @@ class TestPropertyRoundTrips:
         assert mh == dh  # identical k-minimum sets, not just estimates
         est = kmv_estimate(merged, "lang", k).collect()[0]
         assert abs(est["est_distinct"] - 900) / 900 < 0.35
+
+
+class TestRetention:
+    def test_cohort_matrix(self, spark):
+        from pincette_json_streams_spark.functions.timeseries import (
+            retention_cohorts,
+        )
+        D = 86_400_000_000_000
+        # u1 first day0, active day0+day1; u2 first day0 only;
+        # u3 first day1, active day1+day2 (two events same day dedup)
+        rows = [(1, 0), (1, D + 5), (2, 10), (3, D), (3, D + 1),
+                (3, 2 * D)]
+        df = spark.createDataFrame(rows, "user_id long, ts_nanos long")
+        got = {(r["cohort"], r["offset"]): (r["n_users"], r["retention"])
+               for r in retention_cohorts(df).collect()}
+        assert got[(0, 0)] == (2, 1.0)
+        assert got[(0, 1)] == (1, 0.5)
+        assert got[(1, 0)] == (1, 1.0)
+        assert got[(1, 1)] == (1, 1.0)
+        assert (0, 2) not in got
