@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "token_drift",
     "kmv_distinct",
     "salted_revenue",
+    "retention_cohorts",
 ]
 
 
