@@ -321,7 +321,11 @@ def _stage_bucket(df, spec, pctx):
     for out_name, acc in output.items():
         (acc_name, acc_arg), = acc.items()
         aggs.append(_accumulator(acc_name, acc_arg, ctx, out_name))
-    return df.groupBy(bucket.alias("_id")).agg(*aggs)
+    out = df.groupBy(bucket.alias("_id")).agg(*aggs)
+    if isinstance(spec.get("_collection"), str):
+        # grouping state collection (docs:31) — queryable like $group's
+        pctx.catalog[spec["_collection"]] = out
+    return out
 
 
 def _stage_count(df, spec, pctx):
