@@ -27,9 +27,15 @@ __version__ = "0.1.0"
 from pincette_json_streams_spark import plugins
 from pincette_json_streams_spark.operators.expressions import compile_expr
 from pincette_json_streams_spark.operators.match import compile_query
-from pincette_json_streams_spark.operators.stages import compile_pipeline
+from pincette_json_streams_spark.operators.stages import (
+    PipelineContext,
+    compile_pipeline,
+)
 from pincette_json_streams_spark.plans.spec import load_application
 from pincette_json_streams_spark.plans.planner import Application
+from pincette_json_streams_spark.sources.changelog import (
+    ChangeLogCollection,
+)
 
 __all__ = [
     "compile_expr",
@@ -37,5 +43,7 @@ __all__ = [
     "compile_pipeline",
     "load_application",
     "Application",
+    "PipelineContext",
+    "ChangeLogCollection",
     "plugins",
 ]
