@@ -3028,6 +3028,134 @@ FROM orders WHERE o_orderkey <= 2000
 """
 
 
+def q_dup_spans(spark, sf_dir):
+    """Exact-substring duplicate detection (functions/text.py
+    duplicate_spans — the Lee et al. 2022 dedup shape): hash every
+    overlapping 8-token window, find windows shared across >=2 docs,
+    merge each doc's duplicated starts into maximal spans.  Per-doc
+    coverage stats.  Map-side window hashing (8-byte shuffle payload),
+    one hash agg + one equi-join; span merge partitions by doc."""
+    from pincette_json_streams_spark.functions.text import duplicate_spans
+    docs = _t(spark, sf_dir, "documents")
+    return duplicate_spans(docs, width=8, min_docs=2)
+
+
+_ORACLE_DUP_SPANS = f"""
+WITH norm AS (
+  SELECT doc_id, string_split({_sql_norm()}, ' ') AS ws FROM documents
+), wins AS (
+  -- 0-based start positions; the final window truncates at the doc end
+  -- exactly like Spark's slice(words, i, 8) + concat_ws
+  SELECT doc_id, len(ws) AS n, i - 1 AS pos,
+         array_to_string(ws[i:i+7], ' ') AS w
+  FROM norm, unnest(generate_series(1, greatest(len(ws) - 7, 1))) AS t(i)
+), dup AS (
+  SELECT w FROM wins GROUP BY w HAVING count(DISTINCT doc_id) >= 2
+), marked AS (
+  SELECT wi.doc_id, wi.n, wi.pos FROM wins wi JOIN dup USING (w)
+), flagged AS (
+  SELECT doc_id, n, pos,
+         CASE WHEN pos > coalesce(max(pos + 8) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  -1) THEN 1 ELSE 0 END AS new_island
+  FROM marked
+), islands AS (
+  SELECT doc_id, n, pos,
+         sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM flagged
+), spans AS (
+  SELECT doc_id, island, min(pos) AS s,
+         least(max(pos) + 8, any_value(n)) AS e
+  FROM islands GROUP BY doc_id, island
+), per_doc_spans AS (
+  SELECT doc_id, count(*) AS n_spans, sum(e - s) AS dup_tokens
+  FROM spans GROUP BY doc_id
+), per_doc_wins AS (
+  SELECT doc_id, count(*) AS dup_windows FROM marked GROUP BY doc_id
+), totals AS (
+  SELECT doc_id, any_value(n) AS n_tokens, count(*) AS n_windows
+  FROM wins GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_tokens::BIGINT AS n_tokens,
+       t.n_windows::BIGINT AS n_windows,
+       coalesce(w.dup_windows, 0)::BIGINT AS dup_windows,
+       coalesce(s.n_spans, 0)::BIGINT AS n_spans,
+       coalesce(s.dup_tokens, 0)::BIGINT AS dup_tokens,
+       round(coalesce(s.dup_tokens, 0) / t.n_tokens, 6) AS dup_ratio
+FROM totals t
+LEFT JOIN per_doc_wins w USING (doc_id)
+LEFT JOIN per_doc_spans s USING (doc_id)
+"""
+
+
+def q_strip_spans(spark, sf_dir):
+    """The exact-substring dedup ACTION (functions/text.py
+    strip_duplicate_spans): the lowest doc_id containing a shared
+    8-token window keeps it verbatim; every other doc has the merged
+    duplicated spans stripped and its text rebuilt from the surviving
+    tokens.  Covered positions explode into (doc, pos) pairs so the
+    removal is a hash anti-join, never a range join."""
+    from pincette_json_streams_spark.functions.text import (
+        strip_duplicate_spans,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    return strip_duplicate_spans(docs, width=8)
+
+
+_ORACLE_STRIP_SPANS = f"""
+WITH norm AS (
+  SELECT doc_id, string_split({_sql_norm()}, ' ') AS ws FROM documents
+), wins AS (
+  SELECT doc_id, len(ws) AS n, i - 1 AS pos,
+         array_to_string(ws[i:i+7], ' ') AS w
+  FROM norm, unnest(generate_series(1, greatest(len(ws) - 7, 1))) AS t(i)
+), dup AS (
+  SELECT w, min(doc_id) AS keeper FROM wins
+  GROUP BY w HAVING count(DISTINCT doc_id) >= 2
+), marked AS (
+  SELECT wi.doc_id, wi.n, wi.pos
+  FROM wins wi JOIN dup USING (w) WHERE wi.doc_id != dup.keeper
+), flagged AS (
+  SELECT doc_id, n, pos,
+         CASE WHEN pos > coalesce(max(pos + 8) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  -1) THEN 1 ELSE 0 END AS new_island
+  FROM marked
+), islands AS (
+  SELECT doc_id, n, pos,
+         sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM flagged
+), spans AS (
+  SELECT doc_id, island, min(pos) AS s,
+         least(max(pos) + 8, any_value(n)) AS e
+  FROM islands GROUP BY doc_id, island
+), covered AS (
+  SELECT doc_id, unnest(generate_series(s, e - 1)) AS pos FROM spans
+), tokens AS (
+  SELECT doc_id, i - 1 AS pos, ws[i] AS t
+  FROM norm, unnest(generate_series(1, len(ws))) AS u(i)
+), kept AS (
+  SELECT tk.doc_id, tk.pos, tk.t FROM tokens tk
+  ANTI JOIN covered c ON tk.doc_id = c.doc_id AND tk.pos = c.pos
+), survived AS (
+  SELECT doc_id, string_agg(t, ' ' ORDER BY pos) AS text_clean,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT tt.doc_id, tt.n_tokens::BIGINT AS n_tokens,
+       coalesce(sv.n_kept, 0)::BIGINT AS n_kept,
+       coalesce(sv.text_clean, '') AS text_clean
+FROM (SELECT doc_id, count(*) AS n_tokens FROM tokens GROUP BY doc_id) tt
+LEFT JOIN survived sv USING (doc_id)
+"""
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -3044,6 +3172,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # hash-fixed this round, block 3 = green in r1 but absent from r2,
     # block 4 = long-green r2 gallery.
     return {
+        # -- block 0: round-3 additions ---------------------------------
+        "dup_spans": q_dup_spans,
+        "strip_spans": q_strip_spans,
         # -- block 1: no driver row yet ---------------------------------
         "domain_mix": q_domain_mix,
         "pack_sequences": q_pack_sequences,
@@ -3135,6 +3266,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "dup_spans": _ORACLE_DUP_SPANS,
+        "strip_spans": _ORACLE_STRIP_SPANS,
         "pricing_summary": _ORACLE_PRICING,
         "segment_revenue": _ORACLE_SEGMENT,
         "match_query_ops": _ORACLE_MATCH_OPS,

@@ -638,3 +638,206 @@ def token_drift(
     return scored.orderBy(
         F.col("js_contrib").desc(), F.col("token").asc()
     ).limit(top_k)
+
+
+def _dup_windows(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    width: int,
+) -> DataFrame:
+    """Shared front half of the exact-substring dedup family: one row per
+    overlapping ``width``-token window (stride 1) with a 60-bit content
+    hash.  Returns (id, __n tokens, pos 0-based start, __h window hash).
+
+    The window TEXT never leaves the map side — only the 8-byte hash is
+    shuffled, so at 100 TB the window aggregation moves
+    ``n_tokens * 8 bytes``, not ``n_tokens * width * avg_word`` bytes."""
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    base = df.select(F.col(id_col), words.alias("__ws")).withColumn(
+        "__n", F.size("__ws")
+    )
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.col("__n") - F.lit(width - 1), F.lit(1))
+    )
+    wins = base.select(
+        id_col,
+        "__n",
+        F.posexplode(
+            F.transform(
+                starts,
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("__ws"), i.cast("int"), width)
+                ),
+            )
+        ).alias("pos", "__w"),
+    )
+    return wins.withColumn(
+        "__h",
+        F.conv(F.substring(F.md5("__w"), 1, 15), 16, 10).cast("bigint"),
+    ).drop("__w")
+
+
+def _merge_spans(marked: DataFrame, id_col: str, width: int) -> DataFrame:
+    """Interval-merge duplicated window starts into maximal spans.
+
+    A window at ``pos`` covers tokens ``[pos, pos+width)`` (truncated at
+    the document end).  Overlapping or adjacent windows merge: a new span
+    starts exactly when ``pos`` clears the running maximum end of every
+    earlier window (classic gaps-and-islands with a cumulative max, so
+    out-of-order overlaps like starts {0, 5, 6} with width 8 still fuse
+    into one span).  Per-doc window work — partitions by document id,
+    never by corpus size."""
+    from pyspark.sql.window import Window
+
+    w_ord = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + width).over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    island = F.sum(
+        (F.col("pos") > F.coalesce(prev_end, F.lit(-1))).cast("int")
+    ).over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        marked.withColumn("__island", island)
+        .groupBy(id_col, "__island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            F.least(F.max("pos") + width, F.first("__n")).alias("span_end"),
+        )
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact-substring duplicate detection, the suffix-array-free shape of
+    "Deduplicating Training Data Makes Language Models Better" (Lee et
+    al. 2022): hash every overlapping ``width``-token window, find hashes
+    appearing in ≥ ``min_docs`` distinct documents, and merge each doc's
+    duplicated window starts into maximal spans.
+
+    Returns one row per document: ``n_tokens``, ``n_windows``,
+    ``dup_windows`` (windows shared with another doc), ``n_spans``
+    (maximal merged duplicated regions), ``dup_tokens`` (tokens covered
+    by those regions) and ``dup_ratio`` (coverage fraction, 6 dp).
+
+    Plan at 100 TB: windows explode map-side into 8-byte hashes; one hash
+    aggregation (map-side combine) finds cross-doc hashes; one equi-join
+    back on the hash marks the duplicated starts; span merging and the
+    final rollup partition by document id.  No quadratic step — the
+    duplicated-hash side is a small fraction of the corpus and AQE can
+    broadcast it when it fits."""
+    wins = _dup_windows(df, text_col, id_col, width)
+    dup_keys = (
+        wins.groupBy("__h")
+        .agg(F.count_distinct(id_col).alias("__d"))
+        .filter(F.col("__d") >= min_docs)
+        .select("__h")
+    )
+    marked = wins.join(dup_keys, "__h")
+    spans = _merge_spans(marked, id_col, width)
+    per_doc_spans = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start")).alias("dup_tokens"),
+    )
+    per_doc_wins = marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("dup_windows")
+    )
+    # every doc yields >= 1 window, so this rollup keeps all docs
+    totals = wins.groupBy(id_col).agg(
+        F.first("__n").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_windows"),
+    )
+    return (
+        totals.join(per_doc_wins, id_col, "left")
+        .join(per_doc_spans, id_col, "left")
+        .fillna(0, ["dup_windows", "n_spans", "dup_tokens"])
+        .select(
+            F.col(id_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_windows").cast("long").alias("n_windows"),
+            F.col("dup_windows").cast("long").alias("dup_windows"),
+            F.col("n_spans").cast("long").alias("n_spans"),
+            F.col("dup_tokens").cast("long").alias("dup_tokens"),
+            F.round(
+                F.col("dup_tokens") / F.col("n_tokens"), 6
+            ).alias("dup_ratio"),
+        )
+    )
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 8,
+) -> DataFrame:
+    """The dedup ACTION for exact-substring duplicates: keep each shared
+    window's canonical occurrence (the lowest document id containing it)
+    and strip the duplicated spans from every other document.
+
+    Span construction matches :func:`duplicate_spans` but marks a window
+    only in docs that are NOT the keeper, so the canonical copy survives
+    verbatim.  Covered token positions come from exploding each span into
+    its positions — a plain equi-anti-join on ``(id, pos)``, not a range
+    join, so it stays a hash join at any scale.
+
+    Returns (id, n_tokens, n_kept, text_clean) with the surviving tokens
+    re-joined in order."""
+    wins = _dup_windows(df, text_col, id_col, width)
+    dup_keys = (
+        wins.groupBy("__h")
+        .agg(
+            F.count_distinct(id_col).alias("__d"),
+            F.min(id_col).alias("__keeper"),
+        )
+        .filter(F.col("__d") >= 2)
+        .select("__h", "__keeper")
+    )
+    marked = wins.join(dup_keys, "__h").filter(
+        F.col(id_col) != F.col("__keeper")
+    )
+    spans = _merge_spans(marked, id_col, width)
+    covered = spans.select(
+        id_col,
+        F.explode(
+            F.sequence(F.col("span_start"), F.col("span_end") - 1)
+        ).alias("pos"),
+    )
+    tokens = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(
+                F.split(normalize_text(F.col(text_col)), " ")
+            ).alias("pos", "__t"),
+        )
+    )
+    kept = tokens.join(covered, [id_col, "pos"], "left_anti")
+    survived = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "__t"))),
+                lambda s: s["__t"],
+            ),
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("__nk"),
+    )
+    # left join from the token totals so a fully-stripped doc still
+    # appears (empty text_clean), instead of silently vanishing
+    return (
+        tokens.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__nt"))
+        .join(survived, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("__nt").cast("long").alias("n_tokens"),
+            F.coalesce(F.col("__nk"), F.lit(0)).cast("long")
+            .alias("n_kept"),
+            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+        )
+    )

@@ -1228,3 +1228,90 @@ class TestRetention:
         assert got[(1, 0)] == (1, 1.0)
         assert got[(1, 1)] == (1, 1.0)
         assert (0, 2) not in got
+
+
+class TestDuplicateSpans:
+    """Exact-substring (window) dedup — functions/text.py
+    duplicate_spans / strip_duplicate_spans."""
+
+    @pytest.fixture(scope="class")
+    def span_docs(self, spark):
+        # shared 6-token run "a b c d e f" sits inside docs 10 and 11 at
+        # different offsets; doc 12 shares nothing; doc 13 is an exact
+        # copy of doc 10 (fully duplicated)
+        shared = "a b c d e f"
+        return spark.createDataFrame(
+            [
+                (10, f"x1 x2 {shared} y1 y2"),
+                (11, f"z1 z2 z3 {shared} w1"),
+                (12, "p q r s t u v w"),
+                (13, f"x1 x2 {shared} y1 y2"),
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_detects_shared_spans(self, span_docs):
+        from pincette_json_streams_spark.functions.text import (
+            duplicate_spans,
+        )
+        out = {
+            r["doc_id"]: r.asDict()
+            for r in duplicate_spans(
+                span_docs, width=4, min_docs=2
+            ).collect()
+        }
+        # doc 12 shares no 4-token window
+        assert out[12]["dup_windows"] == 0
+        assert out[12]["dup_ratio"] == 0.0
+        # docs 10 and 13 are identical -> every window duplicated,
+        # one maximal span covering the whole doc
+        assert out[10]["dup_windows"] == out[10]["n_windows"]
+        assert out[10]["n_spans"] == 1
+        assert out[10]["dup_tokens"] == out[10]["n_tokens"]
+        assert out[10]["dup_ratio"] == 1.0
+        # doc 11 shares exactly the 6-token run with 10/13: its three
+        # 4-token windows inside the run merge into one span of 6 tokens
+        assert out[11]["dup_windows"] == 3
+        assert out[11]["n_spans"] == 1
+        assert out[11]["dup_tokens"] == 6
+
+    def test_strip_keeps_canonical_copy(self, span_docs):
+        from pincette_json_streams_spark.functions.text import (
+            strip_duplicate_spans,
+        )
+        out = {
+            r["doc_id"]: r.asDict()
+            for r in strip_duplicate_spans(span_docs, width=4).collect()
+        }
+        # doc 10 is the lowest id containing the shared windows: verbatim
+        assert out[10]["text_clean"] == "x1 x2 a b c d e f y1 y2"
+        assert out[10]["n_kept"] == out[10]["n_tokens"]
+        # doc 13 (exact copy) is fully stripped but still present
+        assert out[13]["n_kept"] == 0
+        assert out[13]["text_clean"] == ""
+        # doc 11 loses exactly the shared 6-token run
+        assert out[11]["text_clean"] == "z1 z2 z3 w1"
+        # doc 12 untouched
+        assert out[12]["n_kept"] == out[12]["n_tokens"]
+
+    def test_overlapping_islands_merge(self, spark):
+        from pincette_json_streams_spark.functions.text import (
+            duplicate_spans,
+        )
+        # two duplicated 3-windows at starts 0 and 2 overlap ([0,3) and
+        # [2,5)) without being consecutive -> must merge into ONE span
+        df = spark.createDataFrame(
+            [
+                (0, "a b c d e q1 q2 q3"),
+                (1, "a b c r1 r2 r3 r4"),
+                (2, "s1 c d e s2 s3 s4"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r.asDict()
+            for r in duplicate_spans(df, width=3, min_docs=2).collect()
+        }
+        assert out[0]["dup_windows"] == 2
+        assert out[0]["n_spans"] == 1
+        assert out[0]["dup_tokens"] == 5
