@@ -3156,6 +3156,57 @@ LEFT JOIN survived sv USING (doc_id)
 """
 
 
+def q_window_fields(spark, sf_dir):
+    """$windowFields batch extension (operators/stages.py
+    _stage_window_fields_ext — MongoDB $setWindowFields shape compiled
+    to native Spark window functions): rank / rowNumber / shift /
+    cumulative sum / moving average / whole-partition total, all over
+    ONE shared window family (single exchange on the partition key)."""
+    return _pipe(spark, sf_dir, "orders", [
+        {"$match": {"o_orderkey": {"$lte": 5000}}},
+        {"$windowFields": {
+            "partitionBy": "$o_orderpriority",
+            "sortBy": {"o_totalprice": -1, "o_orderkey": 1},
+            "output": {
+                "rnk": {"$rank": {}},
+                "rn": {"$rowNumber": {}},
+                "prev_price": {"$shift": {
+                    "output": "$o_totalprice", "by": -1, "default": 0}},
+                "cum_spend": {"$sum": "$o_totalprice",
+                              "window": {"documents":
+                                         ["unbounded", "current"]}},
+                "ma3": {"$avg": "$o_totalprice",
+                        "window": {"documents": [-2, 0]}},
+                "part_total": {"$sum": "$o_totalprice"},
+            }}},
+        {"$project": {
+            "_id": 0, "o_orderkey": 1, "o_orderpriority": 1,
+            "rnk": 1, "rn": 1,
+            "prev_price": {"$round": ["$prev_price", 2]},
+            "cum_spend": {"$round": ["$cum_spend", 2]},
+            "ma3": {"$round": ["$ma3", 4]},
+            "part_total": {"$round": ["$part_total", 2]}}},
+    ])
+
+
+_ORACLE_WINDOW_FIELDS = """
+SELECT o_orderkey, o_orderpriority,
+       rank() OVER w AS rnk,
+       row_number() OVER w AS rn,
+       round(coalesce(lag(o_totalprice, 1) OVER w, 0), 2) AS prev_price,
+       round(sum(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW), 2) AS cum_spend,
+       round(avg(o_totalprice) OVER (w ROWS BETWEEN 2 PRECEDING
+             AND CURRENT ROW), 4) AS ma3,
+       round(sum(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+             AND UNBOUNDED FOLLOWING), 2) AS part_total
+FROM orders
+WHERE o_orderkey <= 5000
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice DESC, o_orderkey ASC)
+"""
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -3175,6 +3226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- block 0: round-3 additions ---------------------------------
         "dup_spans": q_dup_spans,
         "strip_spans": q_strip_spans,
+        "window_fields": q_window_fields,
         # -- block 1: no driver row yet ---------------------------------
         "domain_mix": q_domain_mix,
         "pack_sequences": q_pack_sequences,
@@ -3268,6 +3320,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "dup_spans": _ORACLE_DUP_SPANS,
         "strip_spans": _ORACLE_STRIP_SPANS,
+        "window_fields": _ORACLE_WINDOW_FIELDS,
         "pricing_summary": _ORACLE_PRICING,
         "segment_revenue": _ORACLE_SEGMENT,
         "match_query_ops": _ORACLE_MATCH_OPS,

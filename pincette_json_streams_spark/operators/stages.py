@@ -994,6 +994,114 @@ def _stage_decode_image_ext(df, spec, pctx):
                         hist_bins=int(spec.get("bins", 16)))
 
 
+def _window_frame(win, sort_cols, bounds):
+    # documents: [a, b] with "unbounded"/"current"/int offsets
+    from pyspark.sql.window import Window as W
+
+    def edge(v, default):
+        if v == "unbounded":
+            return default
+        if v == "current":
+            return W.currentRow
+        return int(v)
+
+    lo = edge(bounds[0], W.unboundedPreceding)
+    hi = edge(bounds[1], W.unboundedFollowing)
+    return win.rowsBetween(lo, hi)
+
+
+def _stage_window_fields_ext(df, spec, pctx):
+    """$windowFields batch extension — MongoDB 5.0's $setWindowFields
+    shape re-expressed as Spark window functions (the reference's
+    aggregation subset predates it; batch-only like $sort_ext because
+    Structured Streaming has no ordered frames).
+
+    {"partitionBy": expr?, "sortBy": {field: 1|-1, ...}?, "output":
+     {name: {"$rank": {}} | {"$denseRank": {}} | {"$rowNumber": {}}
+          | {"$shift": {"output": expr, "by": n, "default": expr?}}
+          | {"$sum"/"$avg"/"$min"/"$max"/"$count"/"$stdDevPop"
+             /"$first"/"$last": expr,
+             "window": {"documents": [a, b]}?}}}
+
+    Every output compiles to a native window Column over ONE shared
+    WindowSpec family — a single hash-partition exchange on the
+    partitionBy key plus an in-partition sort, exactly what Catalyst
+    plans for analytic SQL; no UDF, no second shuffle per field."""
+    from pyspark.sql.window import Window as W
+
+    ctx = ctx_for(df)
+    spec = spec if isinstance(spec, dict) else {}
+    part = spec.get("partitionBy")
+    base = (
+        W.partitionBy(compile_expr(part, ctx))
+        if part is not None
+        else W.partitionBy()
+    )
+    sort_by = spec.get("sortBy") or {}
+    sort_cols = [
+        F.col(k).asc() if d >= 0 else F.col(k).desc()
+        for k, d in sort_by.items()
+    ]
+    ordered = base.orderBy(*sort_cols) if sort_cols else base
+    rankers = {
+        "$rank": F.rank,
+        "$denseRank": F.dense_rank,
+        "$rowNumber": F.row_number,
+    }
+    aggs = {
+        "$sum": F.sum, "$avg": F.avg, "$min": F.min, "$max": F.max,
+        "$stdDevPop": F.stddev_pop, "$first": F.first, "$last": F.last,
+        "$count": lambda c: F.count(F.lit(1)),
+    }
+    out_cols = []
+    for name, ospec in (spec.get("output") or {}).items():
+        if not (isinstance(ospec, dict) and len(ospec) >= 1):
+            raise UnsupportedExpression(f"$windowFields output {name!r}")
+        op = next(k for k in ospec if k.startswith("$"))
+        args = ospec[op]
+        if op in rankers:
+            if not sort_cols:
+                raise UnsupportedExpression(f"{op} requires sortBy")
+            col = rankers[op]().over(ordered)
+        elif op == "$shift":
+            if not sort_cols:
+                raise UnsupportedExpression("$shift requires sortBy")
+            by = int(args.get("by", 1))
+            val = compile_expr(args.get("output"), ctx)
+            default = args.get("default")
+            dcol = (
+                compile_expr(default, ctx)
+                if default is not None else F.lit(None)
+            )
+            col = (
+                F.lead(val, by).over(ordered)
+                if by >= 0 else F.lag(val, -by).over(ordered)
+            )
+            col = F.coalesce(col, dcol)
+        elif op in aggs:
+            win = ordered if sort_cols else base
+            bounds = (ospec.get("window") or {}).get("documents")
+            if bounds is not None:
+                if not sort_cols:
+                    raise UnsupportedExpression(
+                        "documents window requires sortBy"
+                    )
+                win = _window_frame(ordered, sort_cols, bounds)
+            elif sort_cols:
+                # Mongo: sortBy without an explicit window means the
+                # whole partition, not a cumulative frame
+                win = ordered.rowsBetween(
+                    W.unboundedPreceding, W.unboundedFollowing
+                )
+            col = aggs[op](compile_expr(args, ctx)).over(win)
+        else:
+            raise UnsupportedExpression(
+                f"unknown $windowFields operator {op}"
+            )
+        out_cols.append(col.alias(name))
+    return df.select("*", *out_cols)
+
+
 def _effect(name: str):
     # lazy import: effects pull in transports/crypto only when used
     def h(df, spec, pctx):
@@ -1053,4 +1161,5 @@ STAGES: dict[str, Callable[[DataFrame, Any, PipelineContext], DataFrame]] = {
     "$probeMedia": _stage_probe_media_ext,
     "$decodeAudio": _stage_decode_audio_ext,
     "$decodeImage": _stage_decode_image_ext,
+    "$windowFields": _stage_window_fields_ext,
 }

@@ -452,3 +452,68 @@ class TestGroupCollection:
         ], pctx).collect()
         got = {r["_id"]: r["peers"] for r in enriched}
         assert got == {"p1": 1, "p2": 2, "p3": 1, "p4": 2}
+
+
+class TestWindowFields:
+    """$windowFields batch extension (MongoDB $setWindowFields shape,
+    compiled to native Spark window functions)."""
+
+    SPEC = {"$windowFields": {
+        "partitionBy": "$address.city",
+        "sortBy": {"age": 1, "_id": 1},
+        "output": {
+            "rnk": {"$rank": {}},
+            "rn": {"$rowNumber": {}},
+            "prev_bal": {"$shift": {"output": "$balance", "by": -1,
+                                    "default": 0}},
+            "cum_bal": {"$sum": "$balance",
+                        "window": {"documents": ["unbounded", "current"]}},
+            "city_total": {"$sum": "$balance"},
+        }}}
+
+    def test_outputs(self, people):
+        out = {r["_id"]: r for r in rows(people, [self.SPEC])}
+        # Ghent partition: Alice (34) then Carol (41)
+        assert out["p1"]["rn"] == 1 and out["p3"]["rn"] == 2
+        assert out["p1"]["prev_bal"] == 0           # default fills first row
+        assert out["p3"]["prev_bal"] == 1200.5
+        assert out["p3"]["cum_bal"] == 1200.5       # 1200.5 + 0.0
+        assert out["p1"]["city_total"] == out["p3"]["city_total"] == 1200.5
+        # Dave's null address forms its own partition
+        assert out["p4"]["rn"] == 1
+
+    def test_rank_ties(self, people):
+        spec = {"$windowFields": {
+            "sortBy": {"age": 1},
+            "output": {"rnk": {"$rank": {}},
+                       "dr": {"$denseRank": {}}}}}
+        out = sorted(rows(people, [spec]), key=lambda r: r["_id"])
+        by_id = {r["_id"]: r for r in out}
+        # Bob and Dave tie at 28 -> both rank 1; next rank skips to 3
+        assert by_id["p2"]["rnk"] == by_id["p4"]["rnk"] == 1
+        assert by_id["p1"]["rnk"] == 3
+        assert by_id["p1"]["dr"] == 2
+
+    def test_moving_window(self, people):
+        spec = {"$windowFields": {
+            "sortBy": {"age": 1, "_id": 1},
+            "output": {"ma2": {"$avg": "$balance",
+                               "window": {"documents": [-1, 0]}}}}}
+        by_id = {r["_id"]: r for r in rows(people, [spec])}
+        # order: p2(-50.25), p4(999.99), p1(1200.5), p3(0.0)
+        assert by_id["p2"]["ma2"] == -50.25
+        assert round(by_id["p4"]["ma2"], 2) == round((999.99 - 50.25) / 2, 2)
+
+    def test_rank_requires_sort(self, people):
+        from pincette_json_streams_spark.operators.expressions import (
+            UnsupportedExpression,
+        )
+        with pytest.raises(UnsupportedExpression):
+            rows(people, [{"$windowFields": {
+                "output": {"r": {"$rank": {}}}}}])
+
+    def test_single_exchange(self, people):
+        df = run(people, [self.SPEC])
+        explained = df._jdf.queryExecution().executedPlan().toString()
+        # all six outputs share one window family: exactly one exchange
+        assert explained.count("Exchange hashpartitioning") <= 1
