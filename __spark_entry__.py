@@ -3207,6 +3207,99 @@ WINDOW w AS (PARTITION BY o_orderpriority
 """
 
 
+def q_url_dedup(spark, sf_dir):
+    """URL canonicalization + URL-keyed dedup (functions/web.py): messy
+    crawl URLs (mixed-case scheme/host, default port, trailing slash,
+    utm/tracking params, unsorted query, fragments) synthesized
+    deterministically from the documents table, canonicalized with
+    native regexp+array expressions, deduped per canonical key (lowest
+    doc_id kept), rolled up per source.  One hash agg on the canonical
+    key — the Common-Crawl first-pass shape."""
+    from pincette_json_streams_spark.functions.web import (
+        host_of, url_dedup,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    messy = docs.withColumn(
+        "url",
+        F.concat(
+            F.lit("HTTPS://News."), F.col("source"),
+            F.lit(".Example.com:443/art//"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.lit("?utm_source=feed&id="),
+            (F.col("doc_id") % 40).cast("string"),
+            F.lit("&b=2&a=1"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("#sec"))
+            .otherwise(F.lit("")),
+        ),
+    )
+    kept = url_dedup(messy, url_col="url", id_col="doc_id")
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("n_dups").cast("long").alias("n_raw"),
+        F.count_distinct(host_of(F.col("canonical_url")))
+        .cast("long").alias("n_hosts"),
+    )
+
+
+_ORACLE_URL_DEDUP = """
+WITH messy AS (
+  SELECT doc_id, source,
+         'HTTPS://News.' || source || '.Example.com:443/art//' ||
+         (doc_id % 7)::VARCHAR ||
+         CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+         '?utm_source=feed&id=' || (doc_id % 40)::VARCHAR || '&b=2&a=1' ||
+         CASE WHEN doc_id % 3 = 0 THEN '#sec' ELSE '' END AS url
+  FROM documents
+), parsed AS (
+  SELECT doc_id, source,
+         lower(regexp_extract(trim(url),
+           '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\\?([^#]*))?(?:#.*)?$',
+           1)) AS scheme,
+         lower(regexp_extract(trim(url),
+           '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\\?([^#]*))?(?:#.*)?$',
+           2)) AS host0,
+         regexp_extract(trim(url),
+           '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\\?([^#]*))?(?:#.*)?$',
+           3) AS path0,
+         regexp_extract(trim(url),
+           '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\\?([^#]*))?(?:#.*)?$',
+           4) AS query0
+  FROM messy
+), canon AS (
+  SELECT doc_id, source,
+         scheme || '://' ||
+         CASE WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
+              WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+              ELSE host0 END ||
+         regexp_replace(path0, '/+$', '') ||
+         CASE WHEN cq != '' THEN '?' || cq ELSE '' END AS canonical_url
+  FROM (
+    SELECT *, array_to_string(list_sort(list_filter(
+             string_split(query0, '&'),
+             p -> p != '' AND NOT (
+               starts_with(split_part(p, '=', 1), 'utm_') OR
+               split_part(p, '=', 1) IN
+                 ('gclid','fbclid','msclkid','ref','mc_cid','mc_eid')))),
+           '&') AS cq
+    FROM parsed
+  )
+), keepers AS (
+  SELECT canonical_url, min(doc_id) AS keep, count(*) AS n_dups
+  FROM canon GROUP BY canonical_url
+)
+SELECT c.source, count(*)::BIGINT AS n_kept,
+       sum(k.n_dups)::BIGINT AS n_raw,
+       count(DISTINCT regexp_replace(
+         lower(regexp_extract(c.canonical_url,
+           '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\\?([^#]*))?(?:#.*)?$',
+           2)), ':[0-9]+$', ''))::BIGINT AS n_hosts
+FROM canon c JOIN keepers k
+  ON c.canonical_url = k.canonical_url AND c.doc_id = k.keep
+GROUP BY c.source
+"""
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -3227,6 +3320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "strip_spans": q_strip_spans,
         "window_fields": q_window_fields,
+        "url_dedup": q_url_dedup,
         # -- block 1: no driver row yet ---------------------------------
         "domain_mix": q_domain_mix,
         "pack_sequences": q_pack_sequences,
@@ -3321,6 +3415,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans": _ORACLE_DUP_SPANS,
         "strip_spans": _ORACLE_STRIP_SPANS,
         "window_fields": _ORACLE_WINDOW_FIELDS,
+        "url_dedup": _ORACLE_URL_DEDUP,
         "pricing_summary": _ORACLE_PRICING,
         "segment_revenue": _ORACLE_SEGMENT,
         "match_query_ops": _ORACLE_MATCH_OPS,

@@ -1315,3 +1315,69 @@ class TestDuplicateSpans:
         assert out[0]["dup_windows"] == 2
         assert out[0]["n_spans"] == 1
         assert out[0]["dup_tokens"] == 5
+
+
+class TestWeb:
+    """URL canonicalization — functions/web.py."""
+
+    def test_normalize_url(self, spark):
+        from pincette_json_streams_spark.functions.web import normalize_url
+        cases = [
+            # scheme/host case, default port, fragment
+            ("HTTPS://WWW.Example.COM:443/a#frag", "https://www.example.com/a"),
+            ("http://host.io:80/x", "http://host.io/x"),
+            # non-default port survives
+            ("http://host.io:8080/x", "http://host.io:8080/x"),
+            # trailing slash, tracking params dropped, params sorted
+            ("https://e.com/p/?utm_source=x&b=2&a=1", "https://e.com/p?a=1&b=2"),
+            ("https://e.com/p?gclid=123&fbclid=9", "https://e.com/p"),
+            # empty params dropped; only-tracking query vanishes entirely
+            ("https://e.com/?utm_a=1&utm_b=2", "https://e.com"),
+            # not a URL -> NULL
+            ("not a url", None),
+            ("", None),
+        ]
+        df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+        got = [r["n"] for r in df.select(
+            normalize_url(F.col("url")).alias("n")).collect()]
+        assert got == [want for _, want in cases]
+
+    def test_normalize_idempotent(self, spark):
+        from pincette_json_streams_spark.functions.web import normalize_url
+        raw = ["HTTPS://A.B:443/x/?b=2&a=1&utm_x=1#f",
+               "http://q.io:80//deep/path/?z=1"]
+        df = spark.createDataFrame([(u,) for u in raw], "url string")
+        once = df.select(normalize_url(F.col("url")).alias("u"))
+        twice = once.select(normalize_url(F.col("u")).alias("u"))
+        assert [r["u"] for r in once.collect()] == \
+               [r["u"] for r in twice.collect()]
+
+    def test_strip_www_and_host(self, spark):
+        from pincette_json_streams_spark.functions.web import (
+            host_of, normalize_url,
+        )
+        df = spark.createDataFrame(
+            [("https://www.site.org:9999/d",)], "url string")
+        r = df.select(
+            normalize_url(F.col("url"), strip_www=True).alias("n"),
+            host_of(F.col("url")).alias("h"),
+        ).collect()[0]
+        assert r["n"] == "https://site.org:9999/d"
+        assert r["h"] == "www.site.org"
+
+    def test_url_dedup_keeps_lowest_and_unparsed(self, spark):
+        from pincette_json_streams_spark.functions.web import url_dedup
+        df = spark.createDataFrame(
+            [
+                (1, "https://e.com/a?b=2&a=1"),
+                (2, "HTTPS://E.COM:443/a/?a=1&b=2&utm_k=v"),  # same canon
+                (3, "https://e.com/other"),
+                (4, "garbage"),
+            ],
+            "doc_id long, url string",
+        )
+        out = {r["doc_id"]: r for r in url_dedup(df).collect()}
+        assert sorted(out) == [1, 3, 4]          # 2 collapsed into 1
+        assert out[1]["n_dups"] == 2
+        assert out[3]["n_dups"] == 1
+        assert out[4]["canonical_url"] is None   # unparsed kept as-is
