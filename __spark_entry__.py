@@ -3300,6 +3300,49 @@ GROUP BY c.source
 """
 
 
+def q_zorder_key(spark, sf_dir):
+    """Z-order (Morton) write-layout key (functions/layout.py): min-max
+    scale two columns to 8 bits each and interleave — the Delta
+    OPTIMIZE ZORDER BY / Iceberg sort-order technique that makes
+    parquet min/max pruning work for filters on EITHER column.  Stats
+    row broadcast into the plan; the interleave is pure codegen."""
+    from pincette_json_streams_spark.functions.layout import zorder_key
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") <= 2000
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+    return zorder_key(
+        orders, ["o_custkey", "o_totalprice"], bits=8
+    ).select("o_orderkey", "zkey")
+
+
+def _oracle_zorder():
+    bits, k = 8, 2
+    top = (1 << bits) - 1
+    terms = " + ".join(
+        f"(((s{i} >> {b}) & 1) << {b * k + i})"
+        for b in range(bits) for i in range(k)
+    )
+    return f"""
+WITH f AS (
+  SELECT o_orderkey, o_custkey::DOUBLE AS c0, o_totalprice::DOUBLE AS c1
+  FROM orders WHERE o_orderkey <= 2000
+), st AS (
+  SELECT min(c0) AS m0, max(c0) AS x0, min(c1) AS m1, max(c1) AS x1
+  FROM f
+), sc AS (
+  SELECT o_orderkey,
+         (CASE WHEN (x0 - m0) > 0
+               THEN floor(((c0 - m0) / (x0 - m0)) * {top})
+               ELSE 0 END)::BIGINT AS s0,
+         (CASE WHEN (x1 - m1) > 0
+               THEN floor(((c1 - m1) / (x1 - m1)) * {top})
+               ELSE 0 END)::BIGINT AS s1
+  FROM f, st
+)
+SELECT o_orderkey, ({terms})::BIGINT AS zkey FROM sc
+"""
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -3321,6 +3364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_spans": q_strip_spans,
         "window_fields": q_window_fields,
         "url_dedup": q_url_dedup,
+        "zorder_key": q_zorder_key,
         # -- block 1: no driver row yet ---------------------------------
         "domain_mix": q_domain_mix,
         "pack_sequences": q_pack_sequences,
@@ -3416,6 +3460,7 @@ def oracle_sql() -> dict[str, str]:
         "strip_spans": _ORACLE_STRIP_SPANS,
         "window_fields": _ORACLE_WINDOW_FIELDS,
         "url_dedup": _ORACLE_URL_DEDUP,
+        "zorder_key": _oracle_zorder(),
         "pricing_summary": _ORACLE_PRICING,
         "segment_revenue": _ORACLE_SEGMENT,
         "match_query_ops": _ORACLE_MATCH_OPS,

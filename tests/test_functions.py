@@ -1381,3 +1381,59 @@ class TestWeb:
         assert out[1]["n_dups"] == 2
         assert out[3]["n_dups"] == 1
         assert out[4]["canonical_url"] is None   # unparsed kept as-is
+
+
+class TestLayout:
+    """Z-order write layout — functions/layout.py."""
+
+    def test_key_interleaves(self, spark):
+        from pincette_json_streams_spark.functions.layout import zorder_key
+        # 4x4 grid, bits=2: hand-checkable Morton codes
+        rows = [(x, y) for x in range(4) for y in range(4)]
+        df = spark.createDataFrame(rows, "x int, y int")
+        out = {(r["x"], r["y"]): r["zkey"] for r in
+               zorder_key(df, ["x", "y"], bits=2).collect()}
+        # scaled value == raw value here (min 0, max 3 -> *3/3)
+        def morton(x, y):
+            z = 0
+            for b in range(2):
+                z |= ((x >> b) & 1) << (2 * b)
+                z |= ((y >> b) & 1) << (2 * b + 1)
+            return z
+        assert out == {(x, y): morton(x, y) for x, y in rows}
+
+    def test_constant_column_collapses(self, spark):
+        from pincette_json_streams_spark.functions.layout import zorder_key
+        df = spark.createDataFrame([(7, i) for i in range(8)], "c int, v int")
+        ks = [r["zkey"] for r in zorder_key(df, ["c", "v"], bits=3).collect()]
+        # constant dim contributes 0 bits; key strictly follows v
+        assert sorted(ks) == ks or sorted(set(ks)) == sorted(ks)
+        assert len(set(ks)) == 8
+
+    def test_bits_bound(self, spark):
+        from pincette_json_streams_spark.functions.layout import zorder_key
+        df = spark.createDataFrame([(1, 2)], "a int, b int")
+        with pytest.raises(ValueError):
+            zorder_key(df, ["a", "b"], bits=32)
+
+    def test_clustering_tightens_bounds(self, spark):
+        from pincette_json_streams_spark.functions.layout import (
+            cluster_by_zorder, partition_bounds,
+        )
+        import random
+        rng = random.Random(7)
+        pts = [(rng.randrange(1024), rng.randrange(1024))
+               for _ in range(4000)]
+        df = spark.createDataFrame(pts, "x int, y int")
+
+        def avg_area(frame):
+            b = partition_bounds(frame, ["x", "y"]).collect()
+            areas = [max(r["max_x"] - r["min_x"], 1) *
+                     max(r["max_y"] - r["min_y"], 1) for r in b]
+            return sum(areas) / len(areas)
+
+        clustered = cluster_by_zorder(df, ["x", "y"], 16, bits=10)
+        baseline = df.repartition(16)
+        # z-order partitions cover compact rectangles: both dims tighten,
+        # hash partitions cover ~the full domain each
+        assert avg_area(clustered) < 0.35 * avg_area(baseline)
