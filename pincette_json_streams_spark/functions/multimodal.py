@@ -258,6 +258,58 @@ def _png_unfilter(raw: bytes, w: int, h: int, bpp: int):
     return out.reshape(h, w, bpp)
 
 
+def _gif_lzw(data: bytes, min_code_size: int, npix: int) -> bytes:
+    """GIF LZW decompression (spec GIF89a appendix F): variable-width
+    codes packed LSB-first, clear/end control codes, dictionary grows
+    one entry per emitted code, code width bumps at 2^width up to 12
+    bits.  Pure python — no codec library."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(clear)}
+    next_code = end + 1
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos = 0
+    total = len(data) * 8
+    while bitpos + code_size <= total and len(out) < npix:
+        byte_i = bitpos >> 3
+        chunk = int.from_bytes(data[byte_i:byte_i + 3], "little")
+        code = (chunk >> (bitpos & 7)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            code_size = min_code_size + 1
+            table = {i: bytes([i]) for i in range(clear)}
+            next_code = end + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        else:
+            if code in table:
+                entry = table[code]
+                table[next_code] = prev + entry[:1]
+            elif code == next_code:          # KwKwK
+                entry = prev + prev[:1]
+                table[next_code] = entry
+            else:
+                raise ValueError("gif: corrupt LZW stream")
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        out += entry
+        prev = entry
+    return bytes(out[:npix])
+
+
+# interlaced GIFs store rows in four passes (spec 89a §20)
+def _gif_deinterlace_rows(h: int) -> list[int]:
+    return (list(range(0, h, 8)) + list(range(4, h, 8))
+            + list(range(2, h, 4)) + list(range(1, h, 2)))
+
+
 _IMG_FIELDS = ("format", "width", "height", "channels",
                "mean_rgb", "luma_hist")
 
@@ -269,6 +321,8 @@ def _decode_image(b: bytes | None, hist_bins: int) -> dict:
       inflate + scanline unfiltering (the actual format spec, not a
       codec binding).
     - BMP: uncompressed (BI_RGB) 24/32-bit bottom-up.
+    - GIF: 87a/89a first frame — real LZW decompression, global/local
+      color tables, interlace deinterleave.
 
     Other formats (JPEG needs a DCT entropy decoder) yield NULL fields;
     `probe_media` still reports their header metadata.  Features:
@@ -324,6 +378,57 @@ def _decode_image(b: bytes | None, hist_bins: int) -> dict:
                 ).reshape(w, bpp)[:, :3][:, ::-1])  # BGR -> RGB
             px = np.stack(rows[::-1] if h > 0 else rows)  # bottom-up
             out["format"] = "bmp"
+        elif b[:6] in (b"GIF87a", b"GIF89a"):
+            # REAL GIF decode: global/local color table, extensions
+            # skipped, first image frame, LZW (incl. interlace)
+            _sw, _sh, packed, _bg, _ar = struct.unpack("<HHBBB", b[6:13])
+            i = 13
+            gct = None
+            if packed & 0x80:
+                ncol = 2 << (packed & 7)
+                gct = np.frombuffer(
+                    b[i:i + 3 * ncol], np.uint8).reshape(ncol, 3)
+                i += 3 * ncol
+            while i < len(b):
+                blk = b[i]
+                if blk == 0x21:              # extension block
+                    i += 2
+                    while b[i] != 0:
+                        i += 1 + b[i]
+                    i += 1
+                elif blk == 0x2C:            # image descriptor
+                    _x, _y, w, h, ip = struct.unpack(
+                        "<HHHHB", b[i + 1:i + 10])
+                    i += 10
+                    ctable = gct
+                    if ip & 0x80:            # local color table wins
+                        ncol = 2 << (ip & 7)
+                        ctable = np.frombuffer(
+                            b[i:i + 3 * ncol], np.uint8).reshape(ncol, 3)
+                        i += 3 * ncol
+                    mcs = b[i]
+                    i += 1
+                    data = bytearray()
+                    while b[i] != 0:         # data sub-blocks
+                        ln = b[i]
+                        data += b[i + 1:i + 1 + ln]
+                        i += 1 + ln
+                    idx = np.frombuffer(
+                        _gif_lzw(bytes(data), mcs, w * h), np.uint8)
+                    if ctable is None or len(idx) < w * h:
+                        return out
+                    img = idx.reshape(h, w)
+                    if ip & 0x40:            # interlaced
+                        deinter = np.zeros_like(img)
+                        deinter[np.array(_gif_deinterlace_rows(h))] = img
+                        img = deinter
+                    px = ctable[np.minimum(img, len(ctable) - 1)]
+                    out["format"] = "gif"
+                    break
+                elif blk == 0x3B:            # trailer
+                    break
+                else:
+                    return out
         if px is None:
             return out
         h_, w_ = px.shape[:2]
@@ -348,8 +453,8 @@ def decode_image(
     out_col: str = "image",
     hist_bins: int = 16,
 ) -> DataFrame:
-    """REAL image decode for PNG (8-bit, non-interlaced) and
-    uncompressed BMP: struct(format, width, height, channels,
+    """REAL image decode for PNG (8-bit, non-interlaced), uncompressed
+    BMP and GIF: struct(format, width, height, channels,
     mean_rgb array<double>, luma_hist array<double>).  Arrow-batched
     ``mapInPandas``; unsupported formats yield NULL fields instead of
     failing the batch."""

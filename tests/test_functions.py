@@ -1437,3 +1437,133 @@ class TestLayout:
         # z-order partitions cover compact rectangles: both dims tighten,
         # hash partitions cover ~the full domain each
         assert avg_area(clustered) < 0.35 * avg_area(baseline)
+
+
+class TestGifDecode:
+    """Real GIF LZW decode — functions/multimodal.py."""
+
+    @staticmethod
+    def _pack_codes(codes):
+        """LSB-first variable-width code packer (GIF89a appendix F)."""
+        bits = 0
+        acc = 0
+        out = bytearray()
+        for code, size in codes:
+            acc |= code << bits
+            bits += size
+            while bits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                bits -= 8
+        if bits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    @classmethod
+    def _encode_gif(cls, w, h, palette, pixels, interlaced=False):
+        """Minimal GIF89a encoder (test fixture only): emits literal
+        pixel codes with the standard dictionary-growth accounting, so
+        the decoder's table/width logic is exercised for real."""
+        import struct
+        ncol = len(palette)
+        depth = max((ncol - 1).bit_length(), 1)
+        mcs = max(depth, 2)
+        clear, end = 1 << mcs, (1 << mcs) + 1
+        codes = [(clear, mcs + 1)]
+        size = mcs + 1
+        next_code = end + 1
+        prev = False
+        for p in pixels:
+            codes.append((p, size))
+            if prev:
+                next_code += 1
+                if next_code == (1 << size) and size < 12:
+                    size += 1
+            prev = True
+        codes.append((end, size))
+        data = cls._pack_codes(codes)
+        gct = b"".join(bytes(c) for c in palette)
+        gct += b"\x00\x00\x00" * ((1 << depth) - ncol)
+        ip = 0x40 if interlaced else 0
+        return (b"GIF89a"
+                + struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+                + gct
+                + b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h, ip)
+                + bytes([mcs])
+                + bytes([len(data)]) + data + b"\x00"
+                + b"\x3B")
+
+    def _decode(self, blob):
+        from pincette_json_streams_spark.functions.multimodal import (
+            _decode_image,
+        )
+        return _decode_image(blob, 16)
+
+    def test_hand_packed_2x2(self):
+        """Byte-level fixture: codes hand-derived from the spec (clear,
+        0, 1, 1, 0, end with the width bump after the 4th code)."""
+        import struct
+        data = self._pack_codes(
+            [(4, 3), (0, 3), (1, 3), (1, 3), (0, 4), (5, 4)])
+        gif = (b"GIF89a" + struct.pack("<HHBBB", 2, 2, 0x81, 0, 0)
+               + b"\x00\x00\x00\xff\xff\xff"          # black, white
+               + b"\x00\x00\x00" * 2                  # pad table to 4
+               + b"\x2C" + struct.pack("<HHHHB", 0, 0, 2, 2, 0)
+               + b"\x02" + bytes([len(data)]) + data + b"\x00\x3B")
+        out = self._decode(gif)
+        assert out["format"] == "gif"
+        assert (out["width"], out["height"]) == (2, 2)
+        # pixels 0,1,1,0 over black/white -> mean 127.5 each channel
+        assert out["mean_rgb"] == [127.5, 127.5, 127.5]
+
+    def test_roundtrip_with_dict_growth(self):
+        import numpy as np
+        rng = np.random.RandomState(3)
+        w, h = 13, 9
+        palette = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+        pixels = rng.randint(0, 4, size=w * h).tolist()
+        out = self._decode(self._encode_gif(w, h, palette, pixels))
+        assert out["format"] == "gif"
+        assert (out["width"], out["height"]) == (w, h)
+        px = np.array(palette)[np.array(pixels).reshape(h, w)]
+        want = [round(float(px[:, :, c].mean()), 4) for c in range(3)]
+        assert out["mean_rgb"] == want
+
+    def test_interlaced(self):
+        import numpy as np
+        w, h = 4, 8
+        palette = [(i * 16, i * 16, i * 16) for i in range(16)]
+        # display image: row r is constant value r
+        display = [[r] * w for r in range(h)]
+        from pincette_json_streams_spark.functions.multimodal import (
+            _gif_deinterlace_rows,
+        )
+        order = _gif_deinterlace_rows(h)
+        stored = []
+        for r in order:
+            stored += display[r]
+        out = self._decode(
+            self._encode_gif(w, h, palette, stored, interlaced=True))
+        assert out["format"] == "gif"
+        # deinterlaced luma rises monotonically row by row: overall mean
+        # equals the plain-row mean
+        px = np.array(palette)[np.array(display)]
+        want = [round(float(px[:, :, c].mean()), 4) for c in range(3)]
+        assert out["mean_rgb"] == want
+
+    def test_extension_blocks_skipped(self):
+        import struct
+        base = self._encode_gif(2, 1, [(9, 9, 9), (200, 10, 10)], [0, 1])
+        # splice a graphics-control extension between header and image
+        gce = b"\x21\xF9\x04\x00\x00\x00\x00\x00"
+        idx = base.index(b"\x2C")
+        gif = base[:idx] + gce + base[idx:]
+        out = self._decode(gif)
+        assert out["format"] == "gif"
+        assert out["width"] == 2
+
+    def test_truncated_returns_nulls(self):
+        blob = self._encode_gif(4, 4, [(0, 0, 0), (1, 1, 1)],
+                                [0, 1] * 8)[:20]
+        out = self._decode(blob)
+        assert out["format"] is None
