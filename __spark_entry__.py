@@ -3343,6 +3343,67 @@ SELECT o_orderkey, ({terms})::BIGINT AS zkey FROM sc
 """
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-shaped semantic dedup (functions/similarity.py
+    semantic_dedup): nearest-centroid assignment (broadcast centroids,
+    shuffle-free map) bounds the quadratic cosine check to within each
+    cluster; min-id keeper at rounded-cosine >= 0.35.  Centroids are a
+    deterministic selection (every 100th vector) so the oracle can
+    replay the exact clustering; the production path feeds
+    train_kmeans_centroids output instead.  Per-cluster rollup."""
+    from pincette_json_streams_spark.functions.similarity import (
+        semantic_dedup,
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") % 100 == 0).select(
+        (F.col("vec_id") / 100).cast("long").alias("cluster_id"),
+        F.col("embedding").cast("array<double>").alias("centroid"),
+    )
+    out = semantic_dedup(emb, cent, threshold=0.35)
+    return out.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum(F.when(~F.col("keep"), 1).otherwise(0)).cast("long")
+        .alias("n_dropped"),
+        F.round(F.avg("centroid_cos"), 6).alias("avg_centroid_cos"),
+    )
+
+
+_ORACLE_SEMANTIC_DEDUP = """
+WITH cent AS (
+  SELECT (vec_id // 100)::BIGINT AS cid, embedding::DOUBLE[] AS ce
+  FROM embeddings WHERE vec_id % 100 = 0
+), v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), scored AS (
+  SELECT v.vec_id, cent.cid,
+         round(list_dot_product(e, ce) /
+               (sqrt(list_dot_product(e, e)) *
+                sqrt(list_dot_product(ce, ce))), 6) AS cos
+  FROM v, cent
+), assigned AS (
+  SELECT vec_id, cid, cos FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+    FROM scored) WHERE rn = 1
+), dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.cid = b.cid AND a.vec_id < b.vec_id
+  JOIN v av ON av.vec_id = a.vec_id
+  JOIN v bv ON bv.vec_id = b.vec_id
+  WHERE round(list_dot_product(av.e, bv.e) /
+              (sqrt(list_dot_product(av.e, av.e)) *
+               sqrt(list_dot_product(bv.e, bv.e))), 6) >= 0.35
+)
+SELECT asg.cid AS cluster_id, count(*)::BIGINT AS n_members,
+       sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_dropped,
+       round(avg(asg.cos), 6) AS avg_centroid_cos
+FROM assigned asg LEFT JOIN dropped d ON asg.vec_id = d.vec_id
+GROUP BY asg.cid
+"""
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -3365,6 +3426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_fields": q_window_fields,
         "url_dedup": q_url_dedup,
         "zorder_key": q_zorder_key,
+        "semantic_dedup": q_semantic_dedup,
         # -- block 1: no driver row yet ---------------------------------
         "domain_mix": q_domain_mix,
         "pack_sequences": q_pack_sequences,
@@ -3461,6 +3523,7 @@ def oracle_sql() -> dict[str, str]:
         "window_fields": _ORACLE_WINDOW_FIELDS,
         "url_dedup": _ORACLE_URL_DEDUP,
         "zorder_key": _oracle_zorder(),
+        "semantic_dedup": _ORACLE_SEMANTIC_DEDUP,
         "pricing_summary": _ORACLE_PRICING,
         "segment_revenue": _ORACLE_SEGMENT,
         "match_query_ops": _ORACLE_MATCH_OPS,

@@ -24,7 +24,7 @@ from pincette_json_streams_spark.functions.dedup import (
 
 __all__ = [
     "brute_force_topk", "ivf_topk", "lsh_topk", "quantize_embeddings",
-    "train_kmeans_centroids",
+    "semantic_dedup", "train_kmeans_centroids",
 ]
 
 
@@ -258,4 +258,81 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication ("SemDeDup: Data-efficient
+    learning at web-scale through semantic deduplication", Abbas et al.
+    2023): assign every vector to its nearest centroid, then do the
+    quadratic near-duplicate check ONLY inside each cluster — the
+    cluster structure is what bounds the pair count at 100 TB, exactly
+    like LSH bands bound MinHash.
+
+    ``centroids`` is a small DataFrame (cluster_id, centroid
+    array<double>) — from train_kmeans_centroids or any deterministic
+    selection; it is broadcast, so assignment is a shuffle-free map.
+    Within a cluster a vector is dropped when its cosine (rounded to
+    6 dp, the engine-stable comparison convention) to a LOWER-id member
+    reaches ``threshold`` — min-id keeper, the same convention as every
+    other dedup family here.
+
+    Returns (id, cluster_id, centroid_cos, keep boolean).  The
+    intra-cluster self-join is the deliberate quadratic step: cluster
+    granularity (k) is the knob that bounds it, and skewed clusters are
+    split by AQE like any other skewed join key."""
+    cent = centroids.select(
+        F.col("cluster_id").alias("__cid"),
+        F.col("centroid").cast("array<double>").alias("__cv"),
+    )
+    vecs = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    scored = vecs.crossJoin(F.broadcast(cent)).select(
+        "__id", "__v", "__cid",
+        F.round(cosine_vec(F.col("__v"), F.col("__cv")), 6).alias("__cos"),
+    )
+    w = Window.partitionBy("__id").orderBy(
+        F.col("__cos").desc(), F.col("__cid").asc()
+    )
+    assigned = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("__id", "__v", "__cid", "__cos")
+    )
+    a = assigned.select(
+        F.col("__cid"), F.col("__id").alias("__ida"),
+        F.col("__v").alias("__va"),
+    )
+    b = assigned.select(
+        F.col("__cid"), F.col("__id").alias("__idb"),
+        F.col("__v").alias("__vb"),
+    )
+    dropped = (
+        a.join(b, "__cid")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .filter(
+            F.round(cosine_vec(F.col("__va"), F.col("__vb")), 6)
+            >= threshold
+        )
+        .select(F.col("__idb").alias("__id"))
+        .distinct()
+    )
+    return (
+        assigned.join(
+            dropped.withColumn("__dropped", F.lit(True)), "__id", "left"
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__cid").alias("cluster_id"),
+            F.col("__cos").alias("centroid_cos"),
+            F.coalesce(~F.col("__dropped"), F.lit(True)).alias("keep"),
+        )
     )

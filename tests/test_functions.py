@@ -1567,3 +1567,59 @@ class TestGifDecode:
                                 [0, 1] * 8)[:20]
         out = self._decode(blob)
         assert out["format"] is None
+
+
+class TestSemanticDedup:
+    """SemDeDup-shaped cluster-bounded dedup — functions/similarity.py."""
+
+    def test_drops_within_cluster_only(self, spark):
+        from pincette_json_streams_spark.functions.similarity import (
+            semantic_dedup,
+        )
+        # two well-separated clusters along axes 0 and 1; ids 1/2 are
+        # near-identical in cluster A, id 20 is a near-copy of 21 in B,
+        # id 22 points the other way (kept)
+        vecs = [
+            (1,  [1.0, 0.02, 0.0]),
+            (2,  [1.0, 0.03, 0.0]),   # dup of 1 (same cluster)
+            (3,  [0.9, -0.4, 0.1]),   # same cluster, dissimilar enough
+            (20, [0.0, 1.0, 0.05]),
+            (21, [0.0, 1.0, 0.06]),   # dup of 20
+            (22, [0.3, 0.7, -0.6]),
+        ]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in vecs], "vec_id long, embedding array<double>")
+        cent = spark.createDataFrame(
+            [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+            "cluster_id long, centroid array<double>")
+        out = {r["vec_id"]: r for r in
+               semantic_dedup(df, cent, threshold=0.95).collect()}
+        assert out[1]["keep"] and not out[2]["keep"]
+        assert out[3]["keep"]
+        assert out[20]["keep"] and not out[21]["keep"]
+        assert out[22]["keep"]
+        assert out[1]["cluster_id"] == out[2]["cluster_id"] == 0
+        assert out[20]["cluster_id"] == 1
+
+    def test_cross_cluster_dups_survive(self, spark):
+        from pincette_json_streams_spark.functions.similarity import (
+            semantic_dedup,
+        )
+        # identical vectors forced into different clusters by
+        # tie-breaking? No -- assignment is deterministic, so place two
+        # identical vectors and two centroids so each vector is
+        # equidistant; the min-cluster_id tie-break puts BOTH in cluster
+        # 0 and the dup IS caught.  The cluster-boundary miss case needs
+        # genuinely different nearest centroids:
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.09]), (2, [0.09, 1.0])],
+            "vec_id long, embedding array<double>")
+        cent = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+            "cluster_id long, centroid array<double>")
+        out = {r["vec_id"]: r for r in
+               semantic_dedup(df, cent, threshold=0.1).collect()}
+        # cosine(v1,v2) ~ 0.178 >= 0.1, but they live in different
+        # clusters -> both kept (the documented SemDeDup trade-off)
+        assert out[1]["keep"] and out[2]["keep"]
+        assert out[1]["cluster_id"] != out[2]["cluster_id"]
