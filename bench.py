@@ -52,6 +52,13 @@ BENCH_QUERIES = [
     "kmv_distinct",
     "salted_revenue",
     "retention_cohorts",
+    # round-3 additions
+    "dup_spans",
+    "strip_spans",
+    "window_fields",
+    "url_dedup",
+    "zorder_key",
+    "semantic_dedup",
 ]
 
 

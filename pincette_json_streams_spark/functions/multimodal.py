@@ -7,14 +7,16 @@ Three tiers of honesty about what runs in this codec-free runtime:
   rate/channels/duration — pure stdlib ``struct``, no codec libraries),
   `decode_audio` (REAL PCM WAV decode via stdlib ``wave`` + numpy:
   8/16/24/32-bit PCM -> mono float samples, RMS/peak energy, fixed-bin
-  downsampled waveform) and `decode_image` (REAL pixel decode for PNG —
-  zlib IDAT inflate + scanline unfiltering from the format spec — and
-  uncompressed BMP; per-channel means + luma histogram) are REAL.
-- JPEG pixel decoding (`decode_features` fake-feature fallback) and
-  video frame extraction (`sample_frames`) are stubbed with
-  deterministic fakes clearly marked (JPEG needs a DCT entropy decoder;
-  video needs real codecs); swap `_decode_stub` for a real decoder
-  (PIL/pyav) without touching the plumbing — schema, Arrow batch
+  downsampled waveform) and `decode_image` (REAL pixel decode: PNG via
+  zlib IDAT inflate + scanline unfiltering, uncompressed BMP, GIF via
+  real LZW incl. interlace, and baseline JPEG via a from-the-spec
+  ITU-T.81 sequential decoder — canonical Huffman, DC prediction, AC
+  RLE, dequant, matrix IDCT, 4:2:0/4:2:2 upsampling, JFIF YCbCr->RGB;
+  per-channel means + luma histogram) are REAL.
+- Progressive/arithmetic JPEG and video frame extraction
+  (`sample_frames`) remain stubbed with deterministic fakes clearly
+  marked (video needs real codecs); swap `_decode_stub` for a real
+  decoder (pyav) without touching the plumbing — schema, Arrow batch
   shape, ``mapInPandas`` signatures and partition sizing are
   production-real.
 
@@ -258,6 +260,264 @@ def _png_unfilter(raw: bytes, w: int, h: int, bpp: int):
     return out.reshape(h, w, bpp)
 
 
+def _jpeg_huff_table(counts: bytes, symbols: bytes) -> dict:
+    """Canonical JPEG Huffman table: (length, code) -> symbol
+    (spec ITU-T.81 Annex C code assignment)."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _JpegBits:
+    """MSB-first bit reader over an entropy-coded segment (already
+    unstuffed)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0       # bit position
+
+    def bit(self) -> int:
+        byte_i = self.pos >> 3
+        if byte_i >= len(self.data):
+            raise ValueError("jpeg: bit stream exhausted")
+        b = (self.data[byte_i] >> (7 - (self.pos & 7))) & 1
+        self.pos += 1
+        return b
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def decode(self, table: dict) -> int:
+        length = 0
+        code = 0
+        while length < 16:
+            code = (code << 1) | self.bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("jpeg: invalid Huffman code")
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """Sign-extend a t-bit magnitude (spec F.2.2.1 EXTEND)."""
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _jpeg_idct_matrix():
+    import numpy as np
+
+    x, u = np.meshgrid(np.arange(8), np.arange(8))
+    M = np.cos((2 * x + 1) * u * np.pi / 16) / 2.0
+    M[0, :] /= np.sqrt(2.0)
+    return M  # spatial = M.T @ coef @ M
+
+
+def _jpeg_split_scan(b: bytes, start: int):
+    """Entropy segments (FF00 unstuffed), split at RST markers; returns
+    (segments, index just past the scan)."""
+    segs = []
+    cur = bytearray()
+    i = start
+    n = len(b)
+    while i < n:
+        byte = b[i]
+        if byte != 0xFF:
+            cur.append(byte)
+            i += 1
+            continue
+        nxt = b[i + 1] if i + 1 < n else 0xD9
+        if nxt == 0x00:
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= nxt <= 0xD7:      # restart marker
+            segs.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:                          # EOI or next real marker
+            break
+    segs.append(bytes(cur))
+    return segs, i
+
+
+def _jpeg_decode(b: bytes):
+    """REAL baseline JPEG decode (ITU-T.81 sequential DCT, Huffman):
+    segment parse (DQT/SOF0/SOF1/DHT/DRI/SOS), canonical Huffman
+    decoding with DC prediction and AC run-length, dequantization,
+     8x8 IDCT via one matrix product per block, sampling-factor
+    upsampling (4:4:4 / 4:2:2 / 4:2:0 / grayscale), JFIF YCbCr->RGB.
+    Pure numpy + stdlib.  Progressive (SOF2) and arithmetic coding are
+    rejected (raise) — the caller surfaces NULL fields."""
+    import struct
+
+    import numpy as np
+
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("jpeg: no SOI")
+    qt: dict[int, "np.ndarray"] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    comps = None
+    w = h = 0
+    restart = 0
+    i = 2
+    M = _jpeg_idct_matrix()
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            raise ValueError("jpeg: bad marker")
+        marker = b[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        ln, = struct.unpack(">H", b[i + 2:i + 4])
+        seg = b[i + 4:i + 2 + ln]
+        i += 2 + ln
+        if marker == 0xDB:             # DQT
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 15
+                j += 1
+                if pq:
+                    vals = np.frombuffer(
+                        seg[j:j + 128], ">u2").astype(np.int32)
+                    j += 128
+                else:
+                    vals = np.frombuffer(
+                        seg[j:j + 64], np.uint8).astype(np.int32)
+                    j += 64
+                tbl = np.zeros(64, np.int32)
+                tbl[_JPEG_ZIGZAG] = vals
+                qt[tq] = tbl.reshape(8, 8)
+        elif marker in (0xC0, 0xC1):   # SOF0/SOF1 baseline/ext sequential
+            _prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
+                              "tq": tq})
+        elif marker == 0xC4:           # DHT
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 15
+                counts = seg[j + 1:j + 17]
+                nsym = sum(counts)
+                symbols = seg[j + 17:j + 17 + nsym]
+                huff[(tc, th)] = _jpeg_huff_table(counts, symbols)
+                j += 17 + nsym
+        elif marker == 0xDD:           # DRI
+            restart, = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:           # SOS
+            if comps is None:
+                raise ValueError("jpeg: SOS before SOF")
+            ns = seg[0]
+            sel = {}
+            for c in range(ns):
+                cid, tda = seg[1 + 2 * c:3 + 2 * c]
+                sel[cid] = (tda >> 4, tda & 15)
+            segs, i = _jpeg_split_scan(b, i)
+            return _jpeg_scan(
+                b, segs, comps, sel, qt, huff, w, h, restart, M)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("jpeg: non-baseline SOF unsupported")
+        elif marker == 0xD9:           # EOI
+            break
+    raise ValueError("jpeg: no scan data")
+
+
+def _jpeg_scan(b, segs, comps, sel, qt, huff, w, h, restart, M):
+    import numpy as np
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = {
+        c["id"]: np.zeros(
+            (mcuy * 8 * c["v"], mcux * 8 * c["h"]), np.float64)
+        for c in comps
+    }
+    pred = {c["id"]: 0 for c in comps}
+    seg_idx = 0
+    bits = _JpegBits(segs[0])
+    mcu_in_seg = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcu_in_seg == restart:
+                seg_idx += 1
+                bits = _JpegBits(segs[seg_idx])
+                pred = {c["id"]: 0 for c in comps}
+                mcu_in_seg = 0
+            for c in comps:
+                dc_tbl = huff[(0, sel[c["id"]][0])]
+                ac_tbl = huff[(1, sel[c["id"]][1])]
+                q = qt[c["tq"]]
+                for vy in range(c["v"]):
+                    for vx in range(c["h"]):
+                        coef = np.zeros(64, np.int32)
+                        t = bits.decode(dc_tbl)
+                        diff = _jpeg_extend(bits.bits(t), t) if t else 0
+                        pred[c["id"]] += diff
+                        coef[0] = pred[c["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = bits.decode(ac_tbl)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:    # ZRL
+                                    k += 16
+                                    continue
+                                break          # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("jpeg: AC overflow")
+                            coef[_JPEG_ZIGZAG[k]] = _jpeg_extend(
+                                bits.bits(s), s)
+                            k += 1
+                        # coef is already in natural order (AC stored at
+                        # _JPEG_ZIGZAG[k]); q likewise
+                        block = coef.reshape(8, 8).astype(np.float64) * q
+                        spatial = M.T @ block @ M + 128.0
+                        py = (my * c["v"] + vy) * 8
+                        px = (mx * c["h"] + vx) * 8
+                        planes[c["id"]][py:py + 8, px:px + 8] = spatial
+            mcu_in_seg += 1
+    # upsample to full MCU-padded resolution, then crop
+    full = []
+    for c in comps:
+        p = planes[c["id"]]
+        p = np.repeat(p, hmax // c["h"], axis=1)
+        p = np.repeat(p, vmax // c["v"], axis=0)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        y = np.clip(full[0], 0, 255)
+        return np.dstack([y, y, y]).astype(np.uint8)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    bl = y + 1.772 * cb
+    return np.clip(
+        np.dstack([r, g, bl]), 0, 255
+    ).round().astype(np.uint8)
+
+
 def _gif_lzw(data: bytes, min_code_size: int, npix: int) -> bytes:
     """GIF LZW decompression (spec GIF89a appendix F): variable-width
     codes packed LSB-first, clear/end control codes, dictionary grows
@@ -323,9 +583,11 @@ def _decode_image(b: bytes | None, hist_bins: int) -> dict:
     - BMP: uncompressed (BI_RGB) 24/32-bit bottom-up.
     - GIF: 87a/89a first frame — real LZW decompression, global/local
       color tables, interlace deinterleave.
+    - JPEG: baseline sequential (SOF0/SOF1) — real Huffman entropy
+      decode, dequant, IDCT, chroma upsampling, YCbCr->RGB.
 
-    Other formats (JPEG needs a DCT entropy decoder) yield NULL fields;
-    `probe_media` still reports their header metadata.  Features:
+    Progressive/arithmetic JPEG yields NULL fields; `probe_media`
+    still reports header metadata for everything.  Features:
     per-channel mean and a fixed-bin luma histogram (normalized)."""
     import struct
     import zlib
@@ -429,6 +691,10 @@ def _decode_image(b: bytes | None, hist_bins: int) -> dict:
                     break
                 else:
                     return out
+        elif b[:2] == b"\xff\xd8":
+            # REAL baseline JPEG decode (ITU-T.81): Huffman + IDCT
+            px = _jpeg_decode(b)
+            out["format"] = "jpeg"
         if px is None:
             return out
         h_, w_ = px.shape[:2]
@@ -475,13 +741,17 @@ def decode_image(
 
 
 def _decode_stub(payload: bytes) -> list[float]:
-    """STUB decode: deterministic fake features from the byte content.
-    A real implementation would decode with PIL/pyav and run a feature
-    extractor.  Raising path kept for strict mode."""
+    """STUB feature extractor: deterministic fake embedding from byte
+    content.  Pixel DECODE is real for PNG/BMP/GIF/baseline-JPEG
+    (_decode_image); what is stubbed here is the learned feature
+    extractor (and video-frame decode), which needs model weights /
+    video codecs absent from this runtime.  Raising path kept for
+    strict mode."""
     if payload is None:
         raise NotImplementedError(
-            "media decode requires codec libraries not present in this "
-            "runtime; plug a real decoder in place of _decode_stub"
+            "feature extraction / video decode requires model+codec "
+            "libraries not present in this runtime; plug a real "
+            "extractor in place of _decode_stub"
         )
     # deterministic 8-dim fake embedding from byte statistics
     n = len(payload) or 1

@@ -1623,3 +1623,306 @@ class TestSemanticDedup:
         # clusters -> both kept (the documented SemDeDup trade-off)
         assert out[1]["keep"] and out[2]["keep"]
         assert out[1]["cluster_id"] != out[2]["cluster_id"]
+
+
+class _JpegTestEncoder:
+    """Minimal baseline JPEG encoder (test fixture only, ITU-T.81):
+    forward DCT + uniform quant, canonical Huffman tables BUILT FROM
+    the emitted symbol set (written to DHT, so the decoder's table
+    construction is exercised for real), byte stuffing, 4:4:4 / 4:2:0 /
+    grayscale, optional restart intervals."""
+
+    def __init__(self, quant=1):
+        import numpy as np
+        self.q = int(quant)
+        x, u = np.meshgrid(np.arange(8), np.arange(8))
+        M = np.cos((2 * x + 1) * u * np.pi / 16) / 2.0
+        M[0, :] /= np.sqrt(2.0)
+        self.M = M
+        from pincette_json_streams_spark.functions.multimodal import (
+            _JPEG_ZIGZAG,
+        )
+        self.zz = _JPEG_ZIGZAG
+
+    # ---- plane / block helpers -------------------------------------
+    def _planes(self, img, subsample):
+        import numpy as np
+        img = np.asarray(img, dtype=np.float64)
+        if img.ndim == 2:
+            return [img], [(1, 1)]
+        r, g, b = img[:, :, 0], img[:, :, 1], img[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample == "420":
+            def half(p):
+                hh = (p.shape[0] + 1) // 2 * 2
+                ww = (p.shape[1] + 1) // 2 * 2
+                pp = np.pad(p, ((0, hh - p.shape[0]), (0, ww - p.shape[1])),
+                            mode="edge")
+                return (pp[0::2, 0::2] + pp[1::2, 0::2]
+                        + pp[0::2, 1::2] + pp[1::2, 1::2]) / 4.0
+            return [y, half(cb), half(cr)], [(2, 2), (1, 1), (1, 1)]
+        return [y, cb, cr], [(1, 1), (1, 1), (1, 1)]
+
+    def _blocks(self, planes, samps, w, h):
+        """Yield (comp_index, block 8x8) in interleaved MCU order."""
+        import numpy as np
+        hmax = max(s[0] for s in samps)
+        vmax = max(s[1] for s in samps)
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+        padded = []
+        for p, (sh, sv) in zip(planes, samps):
+            ph, pw = mcuy * 8 * sv, mcux * 8 * sh
+            padded.append(np.pad(
+                p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])),
+                mode="edge"))
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (p, (sh, sv)) in enumerate(zip(padded, samps)):
+                    for vy in range(sv):
+                        for vx in range(sh):
+                            py, px = (my * sv + vy) * 8, (mx * sh + vx) * 8
+                            yield ci, p[py:py + 8, px:px + 8]
+        self._mcu_count = mcux * mcuy
+
+    def _symbols(self, blocks, ncomp, blocks_per_mcu=None, restart=0):
+        """Quantized coefficients -> (dc_syms, ac_syms, per-block code
+        stream [(kind, sym, extra_bits, nbits)]).  DC predictors reset
+        at restart-interval boundaries (spec F.1.2.1.3)."""
+        import numpy as np
+        pred = [0] * ncomp
+        stream = []
+        dc_used, ac_used = set(), set()
+        for bi, (ci, blk) in enumerate(blocks):
+            if (restart and blocks_per_mcu and bi
+                    and bi % blocks_per_mcu == 0
+                    and (bi // blocks_per_mcu) % restart == 0):
+                pred = [0] * ncomp
+            coef = self.M @ (blk - 128.0) @ self.M.T
+            qc = np.round(coef / self.q).astype(np.int64)
+            seq = qc.reshape(64)[self.zz]
+            diff = int(seq[0]) - pred[ci]
+            pred[ci] = int(seq[0])
+            t = int(abs(diff)).bit_length()
+            dc_used.add(t)
+            stream.append(("dc", ci, t, diff))
+            run = 0
+            last_nz = max(
+                [k for k in range(1, 64) if seq[k]] or [0])
+            for k in range(1, 64):
+                v = int(seq[k])
+                if k > last_nz:
+                    ac_used.add(0x00)
+                    stream.append(("ac", ci, 0x00, 0))
+                    break
+                if v == 0:
+                    run += 1
+                    if run == 16:
+                        ac_used.add(0xF0)
+                        stream.append(("ac", ci, 0xF0, 0))
+                        run = 0
+                    continue
+                s = int(abs(v)).bit_length()
+                sym = (run << 4) | s
+                ac_used.add(sym)
+                stream.append(("ac", ci, sym, v))
+                run = 0
+            else:
+                if int(seq[63]) != 0:
+                    pass  # block ended on a nonzero coef: no EOB needed
+        return sorted(dc_used), sorted(ac_used), stream
+
+    @staticmethod
+    def _canon_table(symbols):
+        """All codes at one length L with n <= 2^L - 1 (keeps the
+        all-ones code unused, as the spec requires for padding)."""
+        n = len(symbols)
+        L = max((n + 1 - 1).bit_length(), 1)
+        while (1 << L) - 1 < n:
+            L += 1
+        counts = [0] * 16
+        counts[L - 1] = n
+        codes = {sym: (L, i) for i, sym in enumerate(symbols)}
+        return counts, list(symbols), codes
+
+    def encode(self, img, subsample="444", restart=0):
+        import struct
+        import numpy as np
+        img = np.asarray(img)
+        h, w = img.shape[:2]
+        planes, samps = self._planes(img, subsample)
+        ncomp = len(planes)
+        blocks = list(self._blocks(planes, samps, w, h))
+        bpm = sum(sh * sv for sh, sv in samps)
+        dc_syms, ac_syms, stream = self._symbols(
+            blocks, ncomp, blocks_per_mcu=bpm, restart=restart)
+        dc_counts, dc_list, dc_codes = self._canon_table(dc_syms)
+        ac_counts, ac_list, ac_codes = self._canon_table(ac_syms)
+
+        # --- bit writer with stuffing and restart support ----------
+        out = bytearray()
+        acc, nb = 0, 0
+
+        def put(code, size):
+            nonlocal acc, nb
+            acc = (acc << size) | (code & ((1 << size) - 1))
+            nb += size
+            while nb >= 8:
+                byte = (acc >> (nb - 8)) & 0xFF
+                out.append(byte)
+                if byte == 0xFF:
+                    out.append(0x00)
+                nb -= 8
+
+        def flush():
+            nonlocal acc, nb
+            if nb:
+                put((1 << (8 - nb)) - 1, 8 - nb)
+
+        def put_val(v, t):
+            if t:
+                put(v if v >= 0 else v + (1 << t) - 1, t)
+
+        # group stream into per-MCU runs for restart markers,
+        # splitting on DC-symbol counts (one DC per block)
+        blocks_per_mcu = bpm
+        mcu_streams = [[]]
+        dc_seen = 0
+        for item in stream:
+            if item[0] == "dc":
+                if dc_seen and dc_seen % blocks_per_mcu == 0 \
+                        and restart and \
+                        (dc_seen // blocks_per_mcu) % restart == 0:
+                    mcu_streams.append([])
+                dc_seen += 1
+            mcu_streams[-1].append(item)
+
+        payload = bytearray()
+        for si, seg in enumerate(mcu_streams):
+            out = bytearray()
+            acc, nb = 0, 0
+            for kind, ci, sym, v in seg:
+                codes = dc_codes if kind == "dc" else ac_codes
+                L, c = codes[sym]
+                put(c, L)
+                if kind == "dc":
+                    put_val(v, sym)
+                elif sym not in (0x00, 0xF0):
+                    put_val(v, sym & 15)
+            flush()
+            payload += out
+            if si < len(mcu_streams) - 1:
+                payload += bytes([0xFF, 0xD0 + (si % 8)])
+
+        # --- segments ----------------------------------------------
+        def seg(marker, body):
+            return bytes([0xFF, marker]) + struct.pack(
+                ">H", len(body) + 2) + body
+
+        qt = np.zeros(64, np.int64)
+        qt[self.zz] = self.q  # uniform: zigzag order == same values
+        dqt = seg(0xDB, bytes([0x00]) + bytes(
+            int(x) for x in np.full(64, self.q)))
+        sof_comps = b"".join(
+            bytes([i + 1, (sh << 4) | sv, 0])
+            for i, (sh, sv) in enumerate(samps))
+        sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, ncomp) + sof_comps)
+        dht = seg(0xC4, bytes([0x00]) + bytes(dc_counts) + bytes(dc_list))
+        dht += seg(0xC4, bytes([0x10]) + bytes(ac_counts) + bytes(ac_list))
+        sos_comps = b"".join(bytes([i + 1, 0x00])
+                             for i in range(ncomp))
+        sos = seg(0xDA, bytes([ncomp]) + sos_comps + b"\x00\x3f\x00")
+        dri = seg(0xDD, struct.pack(">H", restart)) if restart else b""
+        return (b"\xff\xd8" + dqt + sof + dht + dri + sos
+                + bytes(payload) + b"\xff\xd9")
+
+
+class TestJpegDecode:
+    """Real baseline JPEG decode — functions/multimodal.py."""
+
+    def _decode(self, blob):
+        from pincette_json_streams_spark.functions.multimodal import (
+            _decode_image,
+        )
+        return _decode_image(blob, 16)
+
+    def _decode_px(self, blob):
+        from pincette_json_streams_spark.functions.multimodal import (
+            _jpeg_decode,
+        )
+        return _jpeg_decode(blob)
+
+    def test_flat_gray_block_exact(self):
+        import numpy as np
+        img = np.full((8, 8), 128, np.uint8)
+        out = self._decode(_JpegTestEncoder().encode(img))
+        assert out["format"] == "jpeg"
+        assert (out["width"], out["height"]) == (8, 8)
+        # flat 128: every DCT coefficient is 0 -> exact reconstruction
+        assert out["mean_rgb"] == [128.0, 128.0, 128.0]
+
+    def test_gray_gradient_roundtrip(self):
+        import numpy as np
+        img = np.linspace(0, 255, 24 * 16).reshape(24, 16)\
+            .round().astype(np.uint8)
+        px = self._decode_px(_JpegTestEncoder().encode(img))
+        assert px.shape == (24, 16, 3)
+        # uniform quant=1: reconstruction within DCT rounding error
+        assert np.abs(px[:, :, 0].astype(int) - img.astype(int)).max() <= 2
+
+    def test_color_444_roundtrip(self):
+        import numpy as np
+        rng = np.random.RandomState(11)
+        img = rng.randint(0, 256, (16, 24, 3)).astype(np.uint8)
+        # smooth it so chroma subsampling error doesn't dominate
+        img = (img // 4 + 96).astype(np.uint8)
+        px = self._decode_px(_JpegTestEncoder().encode(img, "444"))
+        assert np.abs(px.astype(int) - img.astype(int)).max() <= 4
+
+    def test_color_420_roundtrip(self):
+        import numpy as np
+        # smooth gradient: 4:2:0 chroma loss stays small
+        yy, xx = np.mgrid[0:32, 0:48]
+        img = np.dstack([
+            (xx * 5) % 256, (yy * 3) % 256, ((xx + yy) * 2) % 256,
+        ]).astype(np.uint8)
+        img = (img // 2 + 64).astype(np.uint8)
+        px = self._decode_px(_JpegTestEncoder().encode(img, "420"))
+        assert px.shape == (32, 48, 3)
+        err = np.abs(px.astype(int) - img.astype(int)).mean()
+        assert err < 8.0
+
+    def test_odd_dimensions(self):
+        import numpy as np
+        img = np.full((19, 13, 3), 200, np.uint8)
+        out = self._decode(_JpegTestEncoder().encode(img, "420"))
+        assert (out["width"], out["height"]) == (13, 19)
+        assert abs(out["mean_rgb"][0] - 200.0) <= 1.0
+
+    def test_restart_markers(self):
+        import numpy as np
+        img = np.linspace(0, 255, 32 * 32).reshape(32, 32)\
+            .round().astype(np.uint8)
+        blob = _JpegTestEncoder().encode(img, restart=2)
+        assert b"\xff\xd0" in blob       # RST0 actually present
+        px = self._decode_px(blob)
+        assert np.abs(px[:, :, 0].astype(int) - img.astype(int)).max() <= 2
+
+    def test_quantized_compression(self):
+        import numpy as np
+        yy, xx = np.mgrid[0:16, 0:16]
+        img = ((xx + yy) * 8 % 256).astype(np.uint8)
+        px = self._decode_px(_JpegTestEncoder(quant=16).encode(img))
+        # coarse quant: lossy but recognizably close
+        assert np.abs(px[:, :, 0].astype(int) - img.astype(int)).mean() < 16
+
+    def test_progressive_rejected(self):
+        import numpy as np
+        blob = bytearray(_JpegTestEncoder().encode(
+            np.full((8, 8), 99, np.uint8)))
+        idx = blob.index(b"\xff\xc0")
+        blob[idx + 1] = 0xC2             # flip SOF0 -> SOF2
+        out = self._decode(bytes(blob))
+        assert out["format"] is None     # honest NULLs, no crash
