@@ -3404,6 +3404,55 @@ GROUP BY asg.cid
 """
 
 
+def q_densify_fill(spark, sf_dir):
+    """$densify + $fill batch extensions (operators/stages.py — the
+    MongoDB 5.x stage shapes): daily per-user averages densified to a
+    gapless day grid (sequence-exploded holes, anti-join against
+    existing rows) then LOCF-filled over one keyed window.  The day
+    bucket uses the mod-subtract-round form so the long->double cast
+    can never flip a floor at a bucket boundary."""
+    day_ns = 86400 * 1_000_000_000
+    return _pipe(spark, sf_dir, "events", [
+        {"$match": {"user_id": {"$lt": 15}}},
+        {"$group": {
+            "_id": {"uid": "$user_id",
+                    "day": {"$toLong": {"$round": [{"$divide": [
+                        {"$subtract": ["$ts_nanos",
+                                       {"$mod": ["$ts_nanos", day_ns]}]},
+                        day_ns]}, 0]}}},
+            "avg_v": {"$avg": "$value"},
+        }},
+        {"$project": {"_id": 0, "uid": "$_id.uid", "day": "$_id.day",
+                      "avg_v": {"$round": ["$avg_v", 4]}}},
+        {"$densify": {"field": "day", "partitionByFields": ["uid"],
+                      "range": {"step": 1, "bounds": "partition"}}},
+        {"$fill": {"partitionByFields": ["uid"], "sortBy": {"day": 1},
+                   "output": {"avg_v": {"method": "locf"}}}},
+    ])
+
+
+_ORACLE_DENSIFY_FILL = """
+WITH rolled AS (
+  SELECT user_id AS uid,
+         epoch_ns(ts) // (86400 * 1000000000::BIGINT) AS day,
+         round(avg(value), 4) AS avg_v
+  FROM events WHERE user_id < 15 GROUP BY 1, 2
+), bounds AS (
+  SELECT uid, min(day) AS lo, max(day) AS hi FROM rolled GROUP BY uid
+), grid AS (
+  SELECT uid, unnest(generate_series(lo, hi)) AS day FROM bounds
+), dense AS (
+  SELECT g.uid, g.day, r.avg_v
+  FROM grid g LEFT JOIN rolled r ON g.uid = r.uid AND g.day = r.day
+)
+SELECT uid, day,
+       last_value(avg_v IGNORE NULLS) OVER (
+         PARTITION BY uid ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_v
+FROM dense
+"""
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -3427,6 +3476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "zorder_key": q_zorder_key,
         "semantic_dedup": q_semantic_dedup,
+        "densify_fill": q_densify_fill,
         # -- block 1: no driver row yet ---------------------------------
         "domain_mix": q_domain_mix,
         "pack_sequences": q_pack_sequences,
@@ -3524,6 +3574,7 @@ def oracle_sql() -> dict[str, str]:
         "url_dedup": _ORACLE_URL_DEDUP,
         "zorder_key": _oracle_zorder(),
         "semantic_dedup": _ORACLE_SEMANTIC_DEDUP,
+        "densify_fill": _ORACLE_DENSIFY_FILL,
         "pricing_summary": _ORACLE_PRICING,
         "segment_revenue": _ORACLE_SEGMENT,
         "match_query_ops": _ORACLE_MATCH_OPS,

@@ -1102,6 +1102,110 @@ def _stage_window_fields_ext(df, spec, pctx):
     return df.select("*", *out_cols)
 
 
+def _stage_densify_ext(df, spec, pctx):
+    """$densify batch extension (MongoDB 5.1 shape): insert rows at
+    ``step`` intervals of a numeric field where none exist.
+
+    {"field": name, "partitionByFields": [..]?, "range": {"step": n,
+     "bounds": "partition" | "full" | [lo, hi]}}
+
+    Plan: per-partition (or global) min/max from one map-side-combining
+    aggregate, the grid generated by ``sequence`` + ``explode`` (rows
+    proportional to the number of HOLES, not the data), one anti-join
+    against existing values, union-by-name with NULL non-key columns —
+    the raw rows are never rescanned."""
+    field = spec["field"]
+    parts = list(spec.get("partitionByFields") or [])
+    rng = spec.get("range") or {}
+    step = int(rng.get("step", 1))
+    bounds = rng.get("bounds", "partition")
+    if bounds == "partition":
+        if not parts:
+            raise UnsupportedExpression(
+                "$densify bounds=partition needs partitionByFields"
+            )
+        grid_src = df.groupBy(*parts).agg(
+            F.min(field).alias("__lo"), F.max(field).alias("__hi")
+        )
+    elif bounds == "full":
+        stats = df.agg(
+            F.min(field).alias("__lo"), F.max(field).alias("__hi")
+        )
+        grid_src = (
+            df.select(*parts).distinct().crossJoin(F.broadcast(stats))
+            if parts else stats
+        )
+    elif isinstance(bounds, (list, tuple)) and len(bounds) == 2:
+        lo, hi = bounds
+        grid_src = (
+            df.select(*parts).distinct() if parts
+            else df.sparkSession.range(1).select()
+        ).withColumn("__lo", F.lit(lo)).withColumn("__hi", F.lit(hi))
+    else:
+        raise UnsupportedExpression(f"$densify bounds {bounds!r}")
+    grid = grid_src.select(
+        *parts,
+        F.explode(
+            F.sequence(
+                F.col("__lo").cast("long"), F.col("__hi").cast("long"),
+                F.lit(step),
+            )
+        ).alias(field),
+    )
+    missing = grid.join(
+        df.select(*parts, field).distinct(), [*parts, field], "left_anti"
+    )
+    return df.unionByName(missing, allowMissingColumns=True)
+
+
+def _stage_fill_ext(df, spec, pctx):
+    """$fill batch extension (MongoDB 5.3 shape): repair NULLs with
+    last-observation-carried-forward or a constant/expression.
+
+    {"partitionByFields": [..]?, "sortBy": {field: 1|-1}?, "output":
+     {col: {"method": "locf"} | {"value": expr}}}
+
+    locf compiles to ``last(ignorenulls)`` over one shared keyed
+    window — a single hash-partition exchange covers every filled
+    column; value fills are plain coalesce in codegen."""
+    from pyspark.sql.window import Window as W
+
+    ctx = ctx_for(df)
+    parts = list(
+        spec.get("partitionByFields") or spec.get("partitionBy") or []
+    )
+    sort_by = spec.get("sortBy") or {}
+    sort_cols = [
+        F.col(k).asc() if d >= 0 else F.col(k).desc()
+        for k, d in sort_by.items()
+    ]
+    w = None
+    if sort_cols:
+        w = (
+            W.partitionBy(*[F.col(p) for p in parts])
+            .orderBy(*sort_cols)
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+    out = df
+    for col, ospec in (spec.get("output") or {}).items():
+        if "value" in ospec:
+            out = out.withColumn(
+                col,
+                F.coalesce(F.col(col), compile_expr(ospec["value"], ctx)),
+            )
+        elif ospec.get("method") == "locf":
+            if w is None:
+                raise UnsupportedExpression("$fill locf requires sortBy")
+            out = out.withColumn(
+                col, F.last(col, ignorenulls=True).over(w)
+            )
+        else:
+            raise UnsupportedExpression(
+                f"$fill method {ospec.get('method')!r} (locf/value only)"
+            )
+    return out
+
+
 def _effect(name: str):
     # lazy import: effects pull in transports/crypto only when used
     def h(df, spec, pctx):
@@ -1162,4 +1266,6 @@ STAGES: dict[str, Callable[[DataFrame, Any, PipelineContext], DataFrame]] = {
     "$decodeAudio": _stage_decode_audio_ext,
     "$decodeImage": _stage_decode_image_ext,
     "$windowFields": _stage_window_fields_ext,
+    "$densify": _stage_densify_ext,
+    "$fill": _stage_fill_ext,
 }

@@ -517,3 +517,71 @@ class TestWindowFields:
         explained = df._jdf.queryExecution().executedPlan().toString()
         # all six outputs share one window family: exactly one exchange
         assert explained.count("Exchange hashpartitioning") <= 1
+
+
+class TestDensifyFill:
+    """$densify / $fill batch extensions (MongoDB 5.x shapes)."""
+
+    @pytest.fixture(scope="class")
+    def series(self, spark):
+        return spark.createDataFrame(
+            [("a", 1, 10.0), ("a", 2, None), ("a", 5, 50.0),
+             ("b", 3, 30.0), ("b", 4, None)],
+            "k string, t long, v double",
+        )
+
+    def test_densify_partition(self, series):
+        out = rows(series, [{"$densify": {
+            "field": "t", "partitionByFields": ["k"],
+            "range": {"step": 1, "bounds": "partition"}}}])
+        a = sorted(r["t"] for r in out if r["k"] == "a")
+        assert a == [1, 2, 3, 4, 5]          # holes 3,4 inserted
+        inserted = [r for r in out if r["k"] == "a" and r["t"] == 3][0]
+        assert inserted["v"] is None
+        b = sorted(r["t"] for r in out if r["k"] == "b")
+        assert b == [3, 4]                   # partition bounds per key
+
+    def test_densify_full_and_explicit(self, series):
+        out = rows(series, [{"$densify": {
+            "field": "t", "partitionByFields": ["k"],
+            "range": {"step": 1, "bounds": "full"}}}])
+        for k in ("a", "b"):
+            assert sorted(r["t"] for r in out if r["k"] == k) == \
+                [1, 2, 3, 4, 5]
+        out2 = rows(series, [{"$densify": {
+            "field": "t", "partitionByFields": ["k"],
+            "range": {"step": 2, "bounds": [0, 6]}}}])
+        a = sorted(r["t"] for r in out2 if r["k"] == "a")
+        # grid 0,2,4,6 unioned with existing 1,2,5
+        assert a == [0, 1, 2, 4, 5, 6]
+
+    def test_fill_locf_and_value(self, series):
+        out = rows(series, [{"$fill": {
+            "partitionByFields": ["k"], "sortBy": {"t": 1},
+            "output": {"v": {"method": "locf"}}}}])
+        av = {r["t"]: r["v"] for r in out if r["k"] == "a"}
+        assert av[2] == 10.0                 # carried forward
+        assert av[5] == 50.0
+        out2 = rows(series, [{"$fill": {
+            "output": {"v": {"value": -1}}}}])
+        assert all(r["v"] is not None for r in out2)
+        assert [r["v"] for r in out2 if r["k"] == "b" and r["t"] == 4] \
+            == [-1.0]
+
+    def test_densify_then_fill(self, series):
+        out = rows(series, [
+            {"$densify": {"field": "t", "partitionByFields": ["k"],
+                          "range": {"step": 1, "bounds": "partition"}}},
+            {"$fill": {"partitionByFields": ["k"], "sortBy": {"t": 1},
+                       "output": {"v": {"method": "locf"}}}},
+        ])
+        av = {r["t"]: r["v"] for r in out if r["k"] == "a"}
+        assert av == {1: 10.0, 2: 10.0, 3: 10.0, 4: 10.0, 5: 50.0}
+
+    def test_fill_requires_sort_for_locf(self, series):
+        from pincette_json_streams_spark.operators.expressions import (
+            UnsupportedExpression,
+        )
+        with pytest.raises(UnsupportedExpression):
+            rows(series, [{"$fill": {
+                "output": {"v": {"method": "locf"}}}}])
