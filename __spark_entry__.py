@@ -3453,6 +3453,53 @@ FROM dense
 """
 
 
+def q_facet(spark, sf_dir):
+    """$facet batch extension (operators/stages.py _stage_facet_ext):
+    three sub-pipelines over one orders scan collapse into a single row
+    of sorted arrays — the multi-perspective summary page query.  Each
+    facet is a one-column projection so the value-hash comparison stays
+    engine-neutral (arrays of scalars, no nested-row repr drift)."""
+    return _pipe(spark, sf_dir, "orders", [
+        {"$facet": {
+            "priorities": [
+                {"$group": {"_id": "$o_orderpriority",
+                            "n": {"$count": {}}}},
+                {"$project": {"_id": 0, "s": {"$concat": [
+                    "$_id", ":", {"$toString": "$n"}]}}},
+            ],
+            "statuses": [
+                {"$group": {"_id": "$o_orderstatus",
+                            "n": {"$count": {}}}},
+                {"$project": {"_id": 0, "s": {"$concat": [
+                    "$_id", ":", {"$toString": "$n"}]}}},
+            ],
+            "top_keys": [
+                {"$sort": {"o_totalprice": -1, "o_orderkey": 1}},
+                {"$limit": 3},
+                {"$project": {"_id": 0, "k": "$o_orderkey"}},
+            ],
+        }},
+    ])
+
+
+_ORACLE_FACET = """
+WITH f1 AS (
+  SELECT list(s ORDER BY s) AS priorities FROM (
+    SELECT o_orderpriority || ':' || count(*)::VARCHAR AS s
+    FROM orders GROUP BY o_orderpriority)
+), f2 AS (
+  SELECT list(s ORDER BY s) AS statuses FROM (
+    SELECT o_orderstatus || ':' || count(*)::VARCHAR AS s
+    FROM orders GROUP BY o_orderstatus)
+), f3 AS (
+  SELECT list(k ORDER BY k) AS top_keys FROM (
+    SELECT o_orderkey AS k FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 3)
+)
+SELECT * FROM f1, f2, f3
+"""
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -3477,6 +3524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key": q_zorder_key,
         "semantic_dedup": q_semantic_dedup,
         "densify_fill": q_densify_fill,
+        "facet_summary": q_facet,
         # -- block 1: no driver row yet ---------------------------------
         "domain_mix": q_domain_mix,
         "pack_sequences": q_pack_sequences,
@@ -3575,6 +3623,7 @@ def oracle_sql() -> dict[str, str]:
         "zorder_key": _oracle_zorder(),
         "semantic_dedup": _ORACLE_SEMANTIC_DEDUP,
         "densify_fill": _ORACLE_DENSIFY_FILL,
+        "facet_summary": _ORACLE_FACET,
         "pricing_summary": _ORACLE_PRICING,
         "segment_revenue": _ORACLE_SEGMENT,
         "match_query_ops": _ORACLE_MATCH_OPS,

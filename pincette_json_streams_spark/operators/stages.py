@@ -1102,6 +1102,39 @@ def _stage_window_fields_ext(df, spec, pctx):
     return df.select("*", *out_cols)
 
 
+def _stage_facet_ext(df, spec, pctx):
+    """$facet batch extension (MongoDB shape): run several sub-pipelines
+    over the SAME input and emit ONE row with an array column per facet.
+
+    {"facetName": [stage, ...], ...}
+
+    Each sub-pipeline compiles against the shared input DataFrame (the
+    scan is reused; Spark caches nothing extra — Catalyst dedups the
+    common subtree when AQE reuses exchanges), its result collapses via
+    ``collect_list`` of a struct (or the bare column when the result
+    has exactly one column), and the single-row facets cross-join
+    together.  Facet arrays are ``array_sort``-ed: Mongo's document-
+    order contract cannot survive distributed collection, so the
+    engine-stable order is sorted.  Each facet must fit one row — the
+    same practical bound as Mongo's 16 MB facet document."""
+    if not isinstance(spec, dict) or not spec:
+        raise UnsupportedExpression("$facet needs {name: [stages]}")
+    outs = []
+    for name, stages in spec.items():
+        sub = compile_pipeline(df, stages, pctx)
+        if len(sub.columns) == 1:
+            col = F.col(sub.columns[0])
+        else:
+            col = F.struct(*[F.col(c) for c in sub.columns])
+        outs.append(
+            sub.agg(F.array_sort(F.collect_list(col)).alias(name))
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.crossJoin(o)
+    return res
+
+
 def _stage_densify_ext(df, spec, pctx):
     """$densify batch extension (MongoDB 5.1 shape): insert rows at
     ``step`` intervals of a numeric field where none exist.
@@ -1268,4 +1301,5 @@ STAGES: dict[str, Callable[[DataFrame, Any, PipelineContext], DataFrame]] = {
     "$windowFields": _stage_window_fields_ext,
     "$densify": _stage_densify_ext,
     "$fill": _stage_fill_ext,
+    "$facet": _stage_facet_ext,
 }

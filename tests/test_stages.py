@@ -585,3 +585,44 @@ class TestDensifyFill:
         with pytest.raises(UnsupportedExpression):
             rows(series, [{"$fill": {
                 "output": {"v": {"method": "locf"}}}}])
+
+
+class TestFacet:
+    """$facet batch extension."""
+
+    def test_multi_facet_single_row(self, people):
+        out = rows(people, [{"$facet": {
+            "by_age": [
+                {"$group": {"_id": "$age", "n": {"$count": {}}}},
+                {"$project": {"_id": 0,
+                              "s": {"$concat": [
+                                  {"$toString": "$_id"}, ":",
+                                  {"$toString": "$n"}]}}},
+            ],
+            "rich": [
+                {"$match": {"balance": {"$gt": 500}}},
+                {"$project": {"_id": 1, "balance": 1}},
+            ],
+            "names": [{"$project": {"_id": 0, "name": 1}}],
+        }}])
+        assert len(out) == 1
+        row = out[0]
+        assert sorted(row) == ["by_age", "names", "rich"]
+        assert row["by_age"] == ["28:2", "34:1", "41:1"]
+        assert row["names"] == ["Alice", "Bob", "Carol", "Dave"]
+        # multi-column facet -> array of structs (sorted)
+        assert [r["_id"] for r in row["rich"]] == ["p1", "p4"]
+
+    def test_empty_facet_is_empty_array(self, people):
+        out = rows(people, [{"$facet": {
+            "none": [{"$match": {"age": {"$gt": 1000}}},
+                     {"$project": {"_id": 1}}],
+        }}])
+        assert out == [{"none": []}]
+
+    def test_facet_rejects_bad_spec(self, people):
+        from pincette_json_streams_spark.operators.expressions import (
+            UnsupportedExpression,
+        )
+        with pytest.raises(UnsupportedExpression):
+            rows(people, [{"$facet": {}}])
