@@ -1926,3 +1926,156 @@ class TestJpegDecode:
         blob[idx + 1] = 0xC2             # flip SOF0 -> SOF2
         out = self._decode(bytes(blob))
         assert out["format"] is None     # honest NULLs, no crash
+
+
+class TestRound3Properties:
+    """Property tests for the round-3 operators."""
+
+    def test_jpeg_roundtrip_random(self):
+        """Property: decode(encode(img)) stays within DCT rounding error
+        at quant=1 for arbitrary gray content (driver-side, no Spark)."""
+        import numpy as np
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from pincette_json_streams_spark.functions.multimodal import (
+            _jpeg_decode,
+        )
+
+        @settings(max_examples=10, deadline=None,
+                  suppress_health_check=list(HealthCheck))
+        @given(st.integers(1, 3), st.integers(1, 3),
+               st.integers(0, 2 ** 31 - 1))
+        def check(bw, bh, seed):
+            rng = np.random.RandomState(seed)
+            img = rng.randint(0, 256, (bh * 8, bw * 8), dtype=np.uint8)
+            px = _jpeg_decode(_JpegTestEncoder().encode(img))
+            assert np.abs(
+                px[:, :, 0].astype(int) - img.astype(int)).max() <= 2
+
+        check()
+
+    def test_gif_roundtrip_random(self):
+        """Property: GIF LZW decode inverts the literal-code encoder for
+        arbitrary palettes/dimensions, exact pixel equality."""
+        import numpy as np
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from pincette_json_streams_spark.functions.multimodal import (
+            _decode_image,
+        )
+
+        @settings(max_examples=10, deadline=None,
+                  suppress_health_check=list(HealthCheck))
+        @given(st.integers(1, 12), st.integers(1, 12),
+               st.integers(2, 8), st.integers(0, 2 ** 31 - 1))
+        def check(w, h, ncol, seed):
+            rng = np.random.RandomState(seed)
+            palette = [tuple(int(x) for x in rng.randint(0, 256, 3))
+                       for _ in range(ncol)]
+            pixels = rng.randint(0, ncol, w * h).tolist()
+            out = _decode_image(
+                TestGifDecode._encode_gif(w, h, palette, pixels), 16)
+            assert out["format"] == "gif"
+            px = np.array(palette)[np.array(pixels).reshape(h, w)]
+            want = [round(float(px[:, :, c].mean()), 4) for c in range(3)]
+            assert out["mean_rgb"] == want
+
+        check()
+
+    def test_duplicate_spans_matches_reference(self, spark):
+        """Property: duplicate_spans equals a brute-force pure-Python
+        reference (window sets + interval merge) on random corpora."""
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from pincette_json_streams_spark.functions.text import (
+            duplicate_spans,
+        )
+
+        word = st.sampled_from(list("abcdefg"))
+        doc = st.lists(word, min_size=1, max_size=20)
+
+        @settings(max_examples=5, deadline=None,
+                  suppress_health_check=list(HealthCheck))
+        @given(st.lists(doc, min_size=2, max_size=6), st.integers(2, 4))
+        def check(docs, width):
+            texts = [" ".join(d) for d in docs]
+            # pure-python reference
+            wins = {}
+            per_doc = []
+            for i, d in enumerate(docs):
+                n = len(d)
+                starts = list(range(max(n - width + 1, 1)))
+                ws = [" ".join(d[s:s + width]) for s in starts]
+                per_doc.append((n, ws))
+                for wd in set(ws):
+                    wins.setdefault(wd, set()).add(i)
+            expect = {}
+            for i, (n, ws) in enumerate(per_doc):
+                dup_starts = [s for s, wd in enumerate(ws)
+                              if len(wins[wd]) >= 2]
+                spans = []
+                for s in dup_starts:
+                    e = min(s + width, n)
+                    if spans and s <= spans[-1][1]:
+                        spans[-1] = (spans[-1][0], max(spans[-1][1], e))
+                    else:
+                        spans.append((s, e))
+                cov = sum(e - s for s, e in spans)
+                expect[i] = (n, len(ws), len(dup_starts), len(spans), cov)
+            df = spark.createDataFrame(
+                list(enumerate(texts)), "doc_id long, text string")
+            got = {r["doc_id"]: (r["n_tokens"], r["n_windows"],
+                                 r["dup_windows"], r["n_spans"],
+                                 r["dup_tokens"])
+                   for r in duplicate_spans(df, width=width).collect()}
+            assert got == expect
+
+        check()
+
+    def test_zorder_axis_monotonic(self, spark):
+        """Property: with one coordinate fixed, the Morton key is
+        monotonic in the other coordinate (per-axis order preserved)."""
+        from pincette_json_streams_spark.functions.layout import zorder_key
+        n = 16
+        rows = [(x, 7) for x in range(n)] + [(3, y) for y in range(n)]
+        df = spark.createDataFrame(rows, "x int, y int")
+        out = zorder_key(df, ["x", "y"], bits=4).collect()
+        along_x = sorted(
+            ((r["x"], r["zkey"]) for r in out if r["y"] == 7))
+        assert [z for _, z in along_x] == sorted(
+            z for _, z in along_x)
+        along_y = sorted(
+            ((r["y"], r["zkey"]) for r in out if r["x"] == 3))
+        assert [z for _, z in along_y] == sorted(
+            z for _, z in along_y)
+
+    def test_normalize_url_idempotent_random(self, spark):
+        """Property: normalize_url is idempotent over randomized URL
+        shapes (case, ports, params, fragments)."""
+        import random
+        from pincette_json_streams_spark.functions.web import normalize_url
+        rng = random.Random(42)
+        urls = []
+        for _ in range(60):
+            scheme = rng.choice(["http", "HTTPS", "https", "HTTP"])
+            host = rng.choice(["A.b.C", "www.X.io", "h-1.example.COM"])
+            port = rng.choice(["", ":80", ":443", ":8080"])
+            path = rng.choice(["", "/", "/a/B", "/a//b/", "/x" * 3])
+            params = "&".join(rng.sample(
+                ["a=1", "B=2", "utm_source=x", "gclid=9", "z", ""],
+                rng.randint(0, 5)))
+            frag = rng.choice(["", "#f", "#sec-2"])
+            urls.append(
+                f"{scheme}://{host}{port}{path}"
+                + (f"?{params}" if params else "") + frag)
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        once = [r["u"] for r in
+                df.select(normalize_url(F.col("url")).alias("u")).collect()]
+        df2 = spark.createDataFrame([(u,) for u in once], "url string")
+        twice = [r["u"] for r in
+                 df2.select(normalize_url(F.col("url")).alias("u"))
+                 .collect()]
+        assert once == twice
