@@ -3500,6 +3500,89 @@ SELECT * FROM f1, f2, f3
 """
 
 
+def q_cms_heavy(spark, sf_dir):
+    """Count-min sketch heavy-hitter estimation (functions/profiling.py
+    cms_sketch/cms_estimate): deterministic md5-bucketed CMS over the
+    token stream (O(depth*width) state, cell-wise mergeable across
+    shards/days), probed for every token with exact count >= 50.
+    est >= exact always; the sketch is the bounded-memory path a 100 TB
+    token census uses where exact per-token counts won't fit."""
+    from pincette_json_streams_spark.functions.profiling import (
+        cms_estimate, cms_sketch,
+    )
+    from pincette_json_streams_spark.functions.text import BPE_TOKEN_RE
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit(BPE_TOKEN_RE), F.lit(0)
+        )).alias("token")
+    )
+    sketch = cms_sketch(toks, "token", depth=4, width=512)
+    heavy = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("exact")
+    ).filter(F.col("exact") >= 50)
+    est = cms_estimate(sketch, heavy.select("token"), "token",
+                       depth=4, width=512)
+    return heavy.join(est, "token").select("token", "exact", "est")
+
+
+def _oracle_cms_heavy():
+    from pincette_json_streams_spark.functions.text import BPE_TOKEN_RE
+    return f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '{BPE_TOKEN_RE}'))
+    AS token
+  FROM documents
+), cells AS (
+  SELECT t.d,
+         ('0x' || substr(md5('cms' || t.d || ':' || token), 1, 15))
+           ::BIGINT % 512 AS b,
+         count(*) AS cnt
+  FROM toks, unnest([0, 1, 2, 3]) AS t(d)
+  GROUP BY 1, 2
+), probe AS (
+  SELECT token, count(*)::BIGINT AS exact FROM toks
+  GROUP BY token HAVING count(*) >= 50
+)
+SELECT p.token, p.exact, min(c.cnt)::BIGINT AS est
+FROM probe p, unnest([0, 1, 2, 3]) AS t(d)
+JOIN cells c
+  ON c.d = t.d
+ AND c.b = ('0x' || substr(md5('cms' || t.d || ':' || p.token), 1, 15))
+             ::BIGINT % 512
+GROUP BY 1, 2
+"""
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement
+    (functions/sampling.py weighted_sample, Efraimidis-Spirakis A-ES):
+    top-5 docs per language by the u^(1/n_chars) key with md5-derived
+    u — rerun-stable across repartitions, one WindowGroupLimit-pruned
+    window per group."""
+    from pincette_json_streams_spark.functions.sampling import (
+        weighted_sample,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    out = weighted_sample(docs, "n_chars", k=5, group_col="lang")
+    return out.select("lang", "doc_id", "sample_key")
+
+
+_ORACLE_WEIGHTED_SAMPLE = """
+WITH keyed AS (
+  SELECT lang, doc_id,
+         round(pow(greatest(
+           ('0x' || substr(md5('ws' || doc_id::VARCHAR), 1, 8))::BIGINT
+             / 4294967296.0, 1e-12), 1.0 / n_chars), 12) AS sample_key
+  FROM documents WHERE n_chars > 0
+)
+SELECT lang, doc_id, sample_key FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY lang ORDER BY sample_key DESC, doc_id ASC) AS rn
+  FROM keyed) WHERE rn <= 5
+"""
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -3525,6 +3608,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "densify_fill": q_densify_fill,
         "facet_summary": q_facet,
+        "cms_heavy": q_cms_heavy,
+        "weighted_sample": q_weighted_sample,
         # -- block 1: no driver row yet ---------------------------------
         "domain_mix": q_domain_mix,
         "pack_sequences": q_pack_sequences,
@@ -3624,6 +3709,8 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": _ORACLE_SEMANTIC_DEDUP,
         "densify_fill": _ORACLE_DENSIFY_FILL,
         "facet_summary": _ORACLE_FACET,
+        "cms_heavy": _oracle_cms_heavy(),
+        "weighted_sample": _ORACLE_WEIGHTED_SAMPLE,
         "pricing_summary": _ORACLE_PRICING,
         "segment_revenue": _ORACLE_SEGMENT,
         "match_query_ops": _ORACLE_MATCH_OPS,

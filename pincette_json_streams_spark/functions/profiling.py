@@ -24,7 +24,10 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-__all__ = ["profile_table", "kmv_distinct", "kmv_sketch", "kmv_merge", "kmv_estimate"]
+__all__ = [
+    "profile_table", "kmv_distinct", "kmv_sketch", "kmv_merge",
+    "kmv_estimate", "cms_sketch", "cms_merge", "cms_estimate",
+]
 
 
 def _epoch_seconds(col):
@@ -204,4 +207,92 @@ def kmv_estimate(sketch, group_col: str = "lang", k: int = 64):
         .otherwise(F.round((k - 1) / F.element_at("hashes", k), 0)
                    .cast("long")).alias("est_distinct"),
         F.lit(int(k)).alias("sketch_k"),
+    )
+
+
+def _cms_bucket(value, d: int, width: int):
+    """Deterministic CMS row-``d`` bucket of a value: md5-derived, so
+    any engine (and the DuckDB oracle) reproduces it exactly."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"cms{d}:"), value.cast("string"))),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("bigint")
+    return F.pmod(h, F.lit(width))
+
+
+def cms_sketch(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) of a column:
+    ``depth`` hash rows x ``width`` buckets, each cell the count of
+    values hashing there.  Returns (d, b, cnt) — O(depth*width) rows
+    no matter the input size.
+
+    The sketch is MERGEABLE (cms_merge is cell-wise addition), which is
+    the 100 TB property: per-shard/per-day sketches aggregate without
+    touching raw data again.  Deterministic md5 bucket hashing keeps it
+    oracle-checkable, unlike engine-native approximate aggregates.
+    One map-side-combining aggregation over a ``depth``-way explode."""
+    rows = F.explode(
+        F.array(*[F.lit(d) for d in range(depth)])
+    ).alias("d")
+    v = F.col(value_col)
+    exploded = df.select(v.alias("__v"), rows)
+    # per-row bucket expression dispatched on d (static fan, no UDF)
+    b = F.lit(None).cast("bigint")
+    for d in range(depth - 1, -1, -1):
+        b = F.when(
+            F.col("d") == d, _cms_bucket(F.col("__v"), d, width)
+        ).otherwise(b)
+    return (
+        exploded.select("d", b.alias("b"))
+        .groupBy("d", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Cell-wise union of count-min sketches (same depth/width)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("d", "b").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    values: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Point-frequency estimates: min over the ``depth`` cells each
+    value hashes to.  Guarantees est >= true and, with probability
+    1 - (1/2)^depth, est <= true + 2N/width.  The sketch side is tiny
+    (broadcast); the probe is ``depth`` equi-joins worth of work
+    expressed as one exploded join."""
+    probes = values.select(
+        F.col(value_col).alias("__v"),
+        F.explode(
+            F.array(*[F.lit(d) for d in range(depth)])
+        ).alias("d"),
+    )
+    b = F.lit(None).cast("bigint")
+    for d in range(depth - 1, -1, -1):
+        b = F.when(
+            F.col("d") == d, _cms_bucket(F.col("__v"), d, width)
+        ).otherwise(b)
+    probed = probes.withColumn("b", b).join(
+        F.broadcast(sketch), ["d", "b"], "left"
+    ).fillna(0, ["cnt"])
+    return (
+        probed.groupBy("__v")
+        .agg(F.min("cnt").cast("long").alias("est"))
+        .select(F.col("__v").alias(value_col), "est")
     )

@@ -176,3 +176,44 @@ def sequence_packing(
             F.round(F.col("n_tokens") / F.lit(float(budget)), 4),
         )
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    group_col: str | None = None,
+    id_col: str = "doc_id",
+    salt: str = "ws",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis & Spirakis 2006 A-ES): each row gets the key
+    ``u^(1/w)`` with ``u`` an md5-derived uniform in (0,1); the top-k
+    keys per group are an exact weighted sample.  Rerun-stable (the
+    randomness is a pure hash of id+salt), so a 100 TB corpus rebuild
+    reproduces the same sample — the property Spark's ``sample()``
+    cannot give across cluster re-partitions.
+
+    One window top-k per group (WindowGroupLimit prunes below the
+    shuffle); rows with non-positive weight are excluded, matching the
+    A-ES domain.  Returns the sampled rows plus ``sample_key``."""
+    from pyspark.sql.window import Window
+
+    u = hash_bucket(F.col(id_col), salt=salt)
+    # clamp u away from 0 so u^(1/w) is well-defined for tiny weights
+    u = F.greatest(u, F.lit(1e-12))
+    key = F.round(
+        F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double")), 12
+    )
+    keyed = df.filter(F.col(weight_col) > 0).withColumn(
+        "sample_key", key
+    )
+    parts = [F.col(group_col)] if group_col else []
+    w = Window.partitionBy(*parts).orderBy(
+        F.col("sample_key").desc(), F.col(id_col).asc()
+    )
+    return (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

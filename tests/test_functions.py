@@ -2079,3 +2079,71 @@ class TestRound3Properties:
                  df2.select(normalize_url(F.col("url")).alias("u"))
                  .collect()]
         assert once == twice
+
+
+class TestCmsAndWeightedSample:
+    """Count-min sketch + A-ES weighted sampling."""
+
+    def test_cms_never_underestimates(self, spark):
+        from pincette_json_streams_spark.functions.profiling import (
+            cms_estimate, cms_sketch,
+        )
+        import random
+        rng = random.Random(5)
+        vals = [f"tok{rng.randint(0, 40)}" for _ in range(2000)]
+        df = spark.createDataFrame([(v,) for v in vals], "v string")
+        sketch = cms_sketch(df, "v", depth=4, width=64)
+        # sketch size is bounded by depth*width regardless of input
+        assert sketch.count() <= 4 * 64
+        exact = {}
+        for v in vals:
+            exact[v] = exact.get(v, 0) + 1
+        probe = spark.createDataFrame(
+            [(v,) for v in exact], "v string")
+        est = {r["v"]: r["est"] for r in
+               cms_estimate(sketch, probe, "v", depth=4, width=64)
+               .collect()}
+        n = len(vals)
+        for v, c in exact.items():
+            assert est[v] >= c                      # CMS guarantee
+            assert est[v] <= c + 2 * n / 64 * 4     # loose error bound
+
+    def test_cms_merge_equals_whole(self, spark):
+        from pincette_json_streams_spark.functions.profiling import (
+            cms_merge, cms_sketch,
+        )
+        df = spark.createDataFrame(
+            [(f"t{i % 7}",) for i in range(300)], "v string")
+        a = df.limit(120)
+        b = df.offset(120)
+        merged = {(r["d"], r["b"]): r["cnt"] for r in cms_merge(
+            cms_sketch(a, "v", 3, 32), cms_sketch(b, "v", 3, 32)
+        ).collect()}
+        whole = {(r["d"], r["b"]): r["cnt"] for r in
+                 cms_sketch(df, "v", 3, 32).collect()}
+        assert merged == whole                      # mergeability
+
+    def test_weighted_sample_deterministic_and_biased(self, spark):
+        from pincette_json_streams_spark.functions.sampling import (
+            weighted_sample,
+        )
+        rows = [(i, "g", 1000.0 if i < 10 else 0.001)
+                for i in range(200)]
+        df = spark.createDataFrame(rows, "doc_id long, g string, w double")
+        got1 = sorted(r["doc_id"] for r in
+                      weighted_sample(df, "w", 8, group_col="g").collect())
+        got2 = sorted(r["doc_id"] for r in
+                      weighted_sample(df, "w", 8, group_col="g").collect())
+        assert got1 == got2                         # rerun-stable
+        # weight 1000 vs 0.001: the heavy ids dominate the sample
+        assert sum(1 for i in got1 if i < 10) >= 7
+
+    def test_weighted_sample_excludes_nonpositive(self, spark):
+        from pincette_json_streams_spark.functions.sampling import (
+            weighted_sample,
+        )
+        df = spark.createDataFrame(
+            [(1, 0.0), (2, -3.0), (3, 2.0)], "doc_id long, w double")
+        got = [r["doc_id"] for r in
+               weighted_sample(df, "w", 10).collect()]
+        assert got == [3]
