@@ -203,3 +203,57 @@ class TestBucketing:
         finally:
             spark.sql("DROP TABLE IF EXISTS b_orders")
             spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+class TestRound3PlanShapes:
+    """Plan locks for the round-3 operators."""
+
+    def test_dup_spans_no_cartesian(self, spark):
+        plan = _plan(spark, "dup_spans")
+        assert "CartesianProduct" not in plan
+        # the dup-key join is an equi-join on the window hash
+        assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan \
+            or "ShuffledHashJoin" in plan
+
+    def test_strip_spans_no_range_join(self, spark):
+        plan = _plan(spark, "strip_spans")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_url_dedup_scan_side(self, spark):
+        plan = _plan(spark, "url_dedup")
+        # canonicalization must not introduce a UDF eval node
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_zorder_key_pure_codegen(self, spark):
+        plan = _plan(spark, "zorder_key")
+        # stats row broadcast back, interleave in codegen, no UDF
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "BroadcastNestedLoopJoin" in plan \
+            or "BroadcastExchange" in plan
+
+    def test_window_fields_single_exchange(self, spark):
+        plan = _plan(spark, "window_fields")
+        exchanges = [
+            line for line in plan.splitlines()
+            if line.strip().startswith("(") and "Exchange" in line
+            and "BroadcastExchange" not in line
+        ]
+        assert len(exchanges) <= 1
+
+    def test_semantic_dedup_broadcast_centroids(self, spark):
+        plan = _plan(spark, "semantic_dedup")
+        # centroid assignment is a broadcast nested loop over the tiny
+        # centroid side; the pair check must be an equi-join on the
+        # cluster id, not a cartesian product
+        assert "CartesianProduct" not in plan
+        assert "BroadcastExchange" in plan
+
+    def test_weighted_sample_window_pruned(self, spark):
+        plan = _plan(spark, "weighted_sample")
+        # the per-group top-k must prune below the shuffle
+        assert "WindowGroupLimit" in plan
+        assert "BatchEvalPython" not in plan
