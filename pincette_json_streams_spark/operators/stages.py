@@ -1102,6 +1102,104 @@ def _stage_window_fields_ext(df, spec, pctx):
     return df.select("*", *out_cols)
 
 
+def _stage_dedup_spans_ext(df, spec, pctx):
+    # {"text": col, "id": col, "width": n, "action": "mark"|"strip"} —
+    # exact-substring dedup (functions/text.py duplicate_spans /
+    # strip_duplicate_spans)
+    from pincette_json_streams_spark.functions.text import (
+        duplicate_spans, strip_duplicate_spans,
+    )
+
+    spec = spec if isinstance(spec, dict) else {}
+    text = spec.get("text", "text")
+    id_col = spec.get("id", "doc_id")
+    width = int(spec.get("width", 8))
+    if spec.get("action", "mark") == "strip":
+        return strip_duplicate_spans(
+            df, text_col=text, id_col=id_col, width=width
+        )
+    return duplicate_spans(
+        df, text_col=text, id_col=id_col, width=width,
+        min_docs=int(spec.get("minDocs", 2)),
+    )
+
+
+def _stage_normalize_url_ext(df, spec, pctx):
+    # {"field": col, "as": out, "stripWww": bool, "dedup": bool,
+    #  "id": col} — URL canonicalization (+ optional keyed dedup)
+    from pincette_json_streams_spark.functions.web import (
+        normalize_url, url_dedup,
+    )
+
+    spec = spec if isinstance(spec, dict) else {"field": spec}
+    field = spec.get("field", "url")
+    if spec.get("dedup"):
+        return url_dedup(
+            df, url_col=field, id_col=spec.get("id", "doc_id"),
+            strip_www=bool(spec.get("stripWww", False)),
+        )
+    out = spec.get("as", "canonical_url")
+    return df.withColumn(
+        out,
+        normalize_url(
+            F.col(field), strip_www=bool(spec.get("stripWww", False))
+        ),
+    )
+
+
+def _stage_zorder_ext(df, spec, pctx):
+    # {"columns": [..], "bits": n, "partitions": n?} — Morton layout
+    # key (functions/layout.py); with "partitions" the stream is also
+    # range-clustered for the write
+    from pincette_json_streams_spark.functions.layout import (
+        cluster_by_zorder, zorder_key,
+    )
+
+    cols = spec["columns"]
+    bits = int(spec.get("bits", 16))
+    if spec.get("partitions"):
+        return cluster_by_zorder(
+            df, cols, int(spec["partitions"]), bits=bits, keep_key=True
+        )
+    return zorder_key(df, cols, bits=bits)
+
+
+def _stage_weighted_sample_ext(df, spec, pctx):
+    # {"weight": col, "k": n, "by": col?, "id": col} — deterministic
+    # A-ES weighted sampling (functions/sampling.py)
+    from pincette_json_streams_spark.functions.sampling import (
+        weighted_sample,
+    )
+
+    return weighted_sample(
+        df,
+        spec.get("weight", "weight"),
+        int(spec.get("k", 10)),
+        group_col=spec.get("by"),
+        id_col=spec.get("id", "doc_id"),
+        salt=spec.get("salt", "ws"),
+    )
+
+
+def _stage_cms_sketch_ext(df, spec, pctx):
+    # {"field": col, "depth": n, "width": n, "_collection": name?} —
+    # count-min sketch build; with _collection the sketch registers in
+    # the catalog (mergeable state, same pattern as $group state)
+    from pincette_json_streams_spark.functions.profiling import (
+        cms_sketch,
+    )
+
+    sketch = cms_sketch(
+        df,
+        spec.get("field", "token"),
+        depth=int(spec.get("depth", 4)),
+        width=int(spec.get("width", 512)),
+    )
+    if isinstance(spec.get("_collection"), str):
+        pctx.catalog[spec["_collection"]] = sketch
+    return sketch
+
+
 def _stage_facet_ext(df, spec, pctx):
     """$facet batch extension (MongoDB shape): run several sub-pipelines
     over the SAME input and emit ONE row with an array column per facet.
@@ -1302,4 +1400,9 @@ STAGES: dict[str, Callable[[DataFrame, Any, PipelineContext], DataFrame]] = {
     "$densify": _stage_densify_ext,
     "$fill": _stage_fill_ext,
     "$facet": _stage_facet_ext,
+    "$dedupSpans": _stage_dedup_spans_ext,
+    "$normalizeUrl": _stage_normalize_url_ext,
+    "$zorder": _stage_zorder_ext,
+    "$weightedSample": _stage_weighted_sample_ext,
+    "$cmsSketch": _stage_cms_sketch_ext,
 }

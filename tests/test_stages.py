@@ -626,3 +626,60 @@ class TestFacet:
         )
         with pytest.raises(UnsupportedExpression):
             rows(people, [{"$facet": {}}])
+
+
+class TestRound3ExtStages:
+    """Round-3 function families exposed as pipeline stages."""
+
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        return spark.createDataFrame(
+            [(1, "a b c d e f x y", "https://E.com/p/?b=2&a=1&utm_s=1",
+              8.0),
+             (2, "z a b c d e f w", "HTTPS://e.COM:443/p?a=1&b=2", 1.0),
+             (3, "totally different words here now", "http://o.io/q",
+              1.0)],
+            "doc_id long, text string, url string, w double",
+        )
+
+    def test_dedup_spans_stage(self, docs):
+        out = rows(docs, [{"$dedupSpans": {"width": 4}}])
+        by_id = {r["doc_id"]: r for r in out}
+        assert by_id[1]["dup_windows"] > 0
+        assert by_id[3]["dup_windows"] == 0
+        stripped = rows(docs, [{"$dedupSpans": {"width": 4,
+                                                "action": "strip"}}])
+        s = {r["doc_id"]: r for r in stripped}
+        assert s[1]["n_kept"] == s[1]["n_tokens"]   # keeper verbatim
+        assert s[2]["n_kept"] < s[2]["n_tokens"]    # dup span stripped
+
+    def test_normalize_url_stage(self, docs):
+        out = rows(docs, [{"$normalizeUrl": {"field": "url"}}])
+        by_id = {r["doc_id"]: r["canonical_url"] for r in out}
+        assert by_id[1] == by_id[2] == "https://e.com/p?a=1&b=2"
+        deduped = rows(docs, [{"$normalizeUrl": {
+            "field": "url", "dedup": True}}])
+        assert sorted(r["doc_id"] for r in deduped) == [1, 3]
+
+    def test_zorder_stage(self, docs):
+        out = rows(docs, [{"$zorder": {"columns": ["doc_id", "w"],
+                                       "bits": 4}}])
+        assert all("zkey" in r for r in out)
+        clustered = run(docs, [{"$zorder": {
+            "columns": ["doc_id", "w"], "bits": 4, "partitions": 2}}])
+        assert clustered.rdd.getNumPartitions() == 2
+
+    def test_weighted_sample_stage(self, docs):
+        out = rows(docs, [{"$weightedSample": {"weight": "w", "k": 2}}])
+        assert len(out) == 2
+        assert 1 in {r["doc_id"] for r in out}      # weight 8 dominates
+
+    def test_cms_sketch_stage_registers_collection(self, docs):
+        pctx = PipelineContext()
+        df = compile_pipeline(docs, [
+            {"$project": {"doc_id": 1, "text": 1}},
+            {"$cmsSketch": {"field": "text", "depth": 2, "width": 16,
+                            "_collection": "tok_sketch"}},
+        ], pctx)
+        assert df.count() <= 2 * 16
+        assert "tok_sketch" in pctx.catalog
