@@ -1080,13 +1080,31 @@ def _stage_window_fields_ext(df, spec, pctx):
             col = F.coalesce(col, dcol)
         elif op in aggs:
             win = ordered if sort_cols else base
-            bounds = (ospec.get("window") or {}).get("documents")
+            wspec = ospec.get("window") or {}
+            bounds = wspec.get("documents")
+            range_bounds = wspec.get("range")
             if bounds is not None:
                 if not sort_cols:
                     raise UnsupportedExpression(
                         "documents window requires sortBy"
                     )
                 win = _window_frame(ordered, sort_cols, bounds)
+            elif range_bounds is not None:
+                # value-based frame over ONE numeric sort key (Mongo
+                # range windows) -> Spark rangeBetween
+                if len(sort_by) != 1:
+                    raise UnsupportedExpression(
+                        "range window requires exactly one sortBy key"
+                    )
+                lo = (W.unboundedPreceding
+                      if range_bounds[0] == "unbounded"
+                      else W.currentRow if range_bounds[0] == "current"
+                      else int(range_bounds[0]))
+                hi = (W.unboundedFollowing
+                      if range_bounds[1] == "unbounded"
+                      else W.currentRow if range_bounds[1] == "current"
+                      else int(range_bounds[1]))
+                win = ordered.rangeBetween(lo, hi)
             elif sort_cols:
                 # Mongo: sortBy without an explicit window means the
                 # whole partition, not a cumulative frame

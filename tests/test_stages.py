@@ -683,3 +683,33 @@ class TestRound3ExtStages:
         ], pctx)
         assert df.count() <= 2 * 16
         assert "tok_sketch" in pctx.catalog
+
+
+class TestWindowFieldsRange:
+    """Value-based (range) frames in $windowFields."""
+
+    def test_range_window(self, spark):
+        df = spark.createDataFrame(
+            [(1, 10.0), (2, 20.0), (4, 40.0), (9, 90.0)],
+            "t long, v double")
+        out = rows(df, [{"$windowFields": {
+            "sortBy": {"t": 1},
+            "output": {"near_sum": {
+                "$sum": "$v", "window": {"range": [-2, 0]}}}}}])
+        by_t = {r["t"]: r["near_sum"] for r in out}
+        # t=4 sees t in [2,4] -> 20+40; t=9 sees only itself
+        assert by_t[1] == 10.0
+        assert by_t[2] == 30.0
+        assert by_t[4] == 60.0
+        assert by_t[9] == 90.0
+
+    def test_range_requires_single_sort_key(self, spark):
+        from pincette_json_streams_spark.operators.expressions import (
+            UnsupportedExpression,
+        )
+        df = spark.createDataFrame([(1, 2, 3.0)], "a long, b long, v double")
+        with pytest.raises(UnsupportedExpression):
+            rows(df, [{"$windowFields": {
+                "sortBy": {"a": 1, "b": 1},
+                "output": {"s": {"$sum": "$v",
+                                 "window": {"range": [-1, 0]}}}}}])
