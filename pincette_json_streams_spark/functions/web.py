@@ -107,22 +107,26 @@ def url_dedup(
 
     Returns the input rows that survive, plus ``canonical_url`` and
     ``n_dups`` (how many raw rows collapsed into the keeper)."""
+    from pyspark.sql.window import Window
+
     canon = df.withColumn(
         "canonical_url", normalize_url(F.col(url_col), **normalize_kwargs)
     )
-    keepers = (
-        canon.filter(F.col("canonical_url").isNotNull())
-        .groupBy("canonical_url")
-        .agg(
-            F.min(id_col).alias("__keep"),
-            F.count(F.lit(1)).alias("n_dups"),
+    parsed = canon.filter(F.col("canonical_url").isNotNull())
+    # ONE shuffle on the canonical key: keeper selection (row_number)
+    # and the collapse count share the same window partition
+    w = Window.partitionBy("canonical_url")
+    survived = (
+        parsed.withColumn(
+            "n_dups", F.count(F.lit(1)).over(w).cast("long")
         )
+        .withColumn(
+            "__rn",
+            F.row_number().over(w.orderBy(F.col(id_col).asc())),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
     )
-    survived = canon.join(
-        keepers,
-        (canon["canonical_url"] == keepers["canonical_url"])
-        & (canon[id_col] == keepers["__keep"]),
-    ).select(canon["*"], keepers["n_dups"])
     unparsed = canon.filter(F.col("canonical_url").isNull()).withColumn(
         "n_dups", F.lit(1).cast("long")
     )
