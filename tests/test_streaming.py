@@ -656,3 +656,67 @@ class TestStreamingAggregate:
         # resumed, not replayed: exactly one new state, _seq continues
         assert sorted(a["_seq"] for a in second) == [0, 1]
         assert {a["v"] for a in second} == {1, 2}
+
+
+class TestStreamingRound3:
+    """Round-3 stages in streaming mode: stateless canonicalization
+    composes with streaming state ($deduplicate), and the count-min
+    sketch maintains itself as a streaming aggregation."""
+
+    DOCS_SCHEMA = "doc_id long, url string, tok string"
+
+    @pytest.fixture()
+    def docs_dir(self, spark, tmp_path):
+        d = str(tmp_path / "docs")
+        spark.createDataFrame(
+            [(1, "https://E.com/p/?b=2&a=1&utm_s=x", "alpha"),
+             (2, "HTTPS://e.COM:443/p?a=1&b=2", "alpha"),
+             (3, "http://o.io/q", "beta"),
+             (4, "http://o.io/q#frag", "alpha")],
+            self.DOCS_SCHEMA,
+        ).write.parquet(d)
+        return d
+
+    def test_streaming_url_dedup(self, spark, tmp_path, docs_dir):
+        catalog = file_stream_catalog(
+            spark, {"docs": docs_dir}, {"docs": self.DOCS_SCHEMA})
+        app = StreamingApp(spark, {
+            "application": "r3s1", "parts": [
+                {"type": "stream", "name": "u", "fromTopic": "docs",
+                 "toTopic": "uniq", "pipeline": [
+                     {"$normalizeUrl": {"field": "url"}},
+                     {"$deduplicate": {"expression": "$canonical_url"}},
+                     {"$project": {"canonical_url": 1}},
+                 ]},
+            ],
+        }, catalog)
+        sink = memory_sink(tmp_path)
+        app.run_until_drained(sink)
+        got = sorted(r["canonical_url"] for r in spark.sql(
+            f"SELECT * FROM mem_{sink.run_id}_uniq").collect())
+        # 1+2 collapse; 3+4 collapse (fragment dropped)
+        assert got == ["http://o.io/q", "https://e.com/p?a=1&b=2"]
+
+    def test_streaming_cms_sketch(self, spark, tmp_path, docs_dir):
+        catalog = file_stream_catalog(
+            spark, {"docs": docs_dir}, {"docs": self.DOCS_SCHEMA})
+        app = StreamingApp(spark, {
+            "application": "r3s2", "parts": [
+                {"type": "stream", "name": "s", "fromTopic": "docs",
+                 "toTopic": "sketch", "pipeline": [
+                     {"$cmsSketch": {"field": "tok", "depth": 2,
+                                     "width": 16}},
+                 ]},
+            ],
+        }, catalog)
+        sink = memory_sink(tmp_path)
+        app.run_until_drained(sink)
+        cells = spark.sql(
+            f"SELECT * FROM mem_{sink.run_id}_sketch").collect()
+        assert 0 < len(cells) <= 2 * 16
+        # the sketch holds exactly the token multiset: per depth-row
+        # counts sum to the number of input rows
+        per_d = {}
+        for r in cells:
+            per_d[r["d"]] = per_d.get(r["d"], 0) + r["cnt"]
+        assert per_d == {0: 4, 1: 4}
