@@ -59,6 +59,10 @@ BENCH_QUERIES = [
     "url_dedup",
     "zorder_key",
     "semantic_dedup",
+    "densify_fill",
+    "facet_summary",
+    "cms_heavy",
+    "weighted_sample",
 ]
 
 
