@@ -2147,3 +2147,85 @@ class TestCmsAndWeightedSample:
         got = [r["doc_id"] for r in
                weighted_sample(df, "w", 10).collect()]
         assert got == [3]
+
+
+class TestLake:
+    """Write-side lake layout — sources/lake.py."""
+
+    @pytest.fixture(scope="class")
+    def lineitem(self, spark):
+        return spark.read.parquet(
+            "/root/testdata/sf0.001/lineitem.parquet")
+
+    def test_partitioned_write_and_manifest(self, spark, lineitem,
+                                            tmp_path_factory):
+        from pincette_json_streams_spark.sources.lake import (
+            dataset_manifest, write_dataset,
+        )
+        out = str(tmp_path_factory.mktemp("lake") / "ds")
+        man = write_dataset(
+            lineitem, out, partition_by=["l_returnflag"],
+            zorder=["l_orderkey", "l_partkey"], files_per_partition=6,
+        )
+        # hive dirs per flag value
+        import os
+        flags = sorted(d.split("=")[1] for d in os.listdir(out)
+                       if d.startswith("l_returnflag="))
+        assert flags == ["A", "N", "R"]
+        assert man["rows"] == lineitem.count()
+        assert man["n_files"] >= 3
+        # stored manifest round-trips
+        man2 = dataset_manifest(out)
+        assert man2["rows"] == man["rows"]
+        # partition pruning reaches the plan
+        df = spark.read.parquet(out).filter(F.col("l_returnflag") == "A")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+
+    def test_zorder_improves_prune_fraction(self, spark, lineitem,
+                                            tmp_path_factory):
+        from pincette_json_streams_spark.sources.lake import (
+            prune_report, write_dataset,
+        )
+        base = tmp_path_factory.mktemp("lake2")
+        clustered = write_dataset(
+            lineitem, str(base / "clustered"),
+            zorder=["l_orderkey", "l_partkey"], files_per_partition=8,
+        )
+        shuffled = write_dataset(
+            lineitem.repartition(8), str(base / "shuffled"),
+        )
+        # narrow range on ONE of the clustered columns
+        keys = [r["l_orderkey"] for r in
+                lineitem.select("l_orderkey").collect()]
+        lo = sorted(keys)[0]
+        hi = sorted(keys)[len(keys) // 20]          # ~5% of the domain
+        pred = {"l_orderkey": (lo, hi)}
+        c = prune_report(clustered, pred)
+        s = prune_report(shuffled, pred)
+        assert c["files_total"] >= 4
+        assert c["files_skipped"] >= 1
+        assert c["skip_fraction"] > s["skip_fraction"]
+        # pruning is SAFE: surviving files hold every matching row
+        import pyarrow.parquet as pq
+        from pathlib import Path
+        matches = 0
+        for f in c["kept"]:
+            t = pq.read_table(Path(str(base / "clustered")) / f,
+                              columns=["l_orderkey"])
+            matches += sum(1 for v in t.column(0).to_pylist()
+                           if lo <= v <= hi)
+        want = sum(1 for v in keys if lo <= v <= hi)
+        assert matches == want
+
+    def test_prune_report_partition_column(self, spark, lineitem,
+                                           tmp_path_factory):
+        from pincette_json_streams_spark.sources.lake import (
+            prune_report, write_dataset,
+        )
+        out = str(tmp_path_factory.mktemp("lake3") / "ds")
+        man = write_dataset(lineitem, out,
+                            partition_by=["l_returnflag"])
+        rep = prune_report(man, {"l_returnflag": ("A", "A")})
+        assert rep["files_skipped"] >= 1
+        assert all("l_returnflag=A" in f for f in rep["kept"])
