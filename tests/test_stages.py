@@ -713,3 +713,36 @@ class TestWindowFieldsRange:
                 "sortBy": {"a": 1, "b": 1},
                 "output": {"s": {"$sum": "$v",
                                  "window": {"range": [-1, 0]}}}}}])
+
+
+class TestTraceAndOut:
+    """Direct coverage for $trace (hook + passthrough) and $out
+    (catalog sink capture) — closing the coverage_audit gaps."""
+
+    def test_trace_stage_calls_hook_and_passes_through(self, people):
+        seen = []
+        out = rows(people, [
+            {"$trace": {"label": "here"}},
+            {"$project": {"_id": 1}},
+        ], trace=lambda stage, spec: seen.append((stage, spec)))
+        assert len(out) == 4
+        assert seen == [("$trace", {"label": "here"})]
+
+    def test_trace_stage_without_hook_is_noop(self, people):
+        assert len(rows(people, [{"$trace": {}}])) == 4
+
+    def test_out_stage_captures_sink(self, people):
+        pctx = PipelineContext()
+        df = compile_pipeline(people, [
+            {"$match": {"age": {"$gte": 30}}},
+            {"$out": "grownups"},
+        ], pctx)
+        assert "grownups" in pctx.outputs
+        assert pctx.outputs["grownups"].count() == 2
+        assert df.count() == 2            # $out passes the stream on
+
+    def test_trace_expression_passthrough(self, people):
+        out = rows(people.filter("_id='p1'"), [
+            {"$project": {"_id": 0,
+                          "v": {"$trace": {"$add": ["$age", 1]}}}}])
+        assert out == [{"v": 35}]
