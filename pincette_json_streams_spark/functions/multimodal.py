@@ -358,14 +358,243 @@ def _jpeg_split_scan(b: bytes, start: int):
     return segs, i
 
 
+def _jpeg_grid(comps, w, h):
+    """(hmax, vmax, per-comp padded block grid, per-comp used blocks)."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    dims = {}
+    for c in comps:
+        cw = -(-w * c["h"] // hmax)
+        ch = -(-h * c["v"] // vmax)
+        dims[c["id"]] = {
+            "pad_bx": mcux * c["h"], "pad_by": mcuy * c["v"],
+            "used_bx": -(-cw // 8), "used_by": -(-ch // 8),
+        }
+    return hmax, vmax, mcux, mcuy, dims
+
+
+def _jpeg_store(comps, w, h):
+    """Per-component coefficient store for progressive decoding:
+    int32 (padded_by, padded_bx, 64) in ZIGZAG index order."""
+    import numpy as np
+
+    _, _, _, _, dims = _jpeg_grid(comps, w, h)
+    return {
+        c["id"]: np.zeros(
+            (dims[c["id"]]["pad_by"], dims[c["id"]]["pad_bx"], 64),
+            np.int32,
+        )
+        for c in comps
+    }
+
+
+def _jpeg_progressive_scan(
+    segs, comps, order, sel, huff, store, restart,
+    ss, se, ah, al, w, h,
+):
+    """One progressive scan (ITU-T.81 G.2): DC first/refine
+    (interleaved or single-component), AC first/refine
+    (single-component, EOB runs, successive approximation)."""
+    hmax, vmax, mcux, mcuy, dims = _jpeg_grid(comps, w, h)
+    by_id = {c["id"]: c for c in comps}
+    scomp = [by_id[cid] for cid in order]
+
+    if ss == 0:                        # ---- DC scan ----
+        if se != 0:
+            raise ValueError("jpeg: DC scan with Se != 0")
+        # block visit order: interleaved MCU order (ns>1) or the
+        # component's own padded grid (ns == 1)
+        def dc_blocks():
+            if len(scomp) > 1:
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        for c in scomp:
+                            for vy in range(c["v"]):
+                                for vx in range(c["h"]):
+                                    yield (c["id"],
+                                           my * c["v"] + vy,
+                                           mx * c["h"] + vx)
+            else:
+                c = scomp[0]
+                d = dims[c["id"]]
+                for by in range(d["pad_by"]):
+                    for bx in range(d["pad_bx"]):
+                        yield c["id"], by, bx
+        blocks = list(dc_blocks())
+        per_rst = None
+        if restart:
+            per_mcu = (sum(c["h"] * c["v"] for c in scomp)
+                       if len(scomp) > 1 else 1)
+            per_rst = restart * per_mcu
+        seg_idx = 0
+        bits = _JpegBits(segs[0])
+        pred = {c["id"]: 0 for c in scomp}
+        done = 0
+        for cid, by, bx in blocks:
+            if per_rst and done and done % per_rst == 0:
+                seg_idx += 1
+                bits = _JpegBits(segs[seg_idx])
+                pred = {c["id"]: 0 for c in scomp}
+            blk = store[cid][by, bx]
+            if ah == 0:                # DC first
+                t = bits.decode(huff[(0, sel[cid][0])])
+                diff = _jpeg_extend(bits.bits(t), t) if t else 0
+                pred[cid] += diff
+                blk[0] = pred[cid] << al
+            else:                      # DC refinement: one bit
+                if bits.bit():
+                    blk[0] = int(blk[0]) | (1 << al)
+            done += 1
+        return
+
+    # ---- AC scan: always single-component ----
+    if len(scomp) != 1:
+        raise ValueError("jpeg: interleaved AC scan")
+    c = scomp[0]
+    d = dims[c["id"]]
+    ac_tbl = huff[(1, sel[c["id"]][1])]
+    seg_idx = 0
+    bits = _JpegBits(segs[0])
+    eobrun = 0
+    done = 0
+    for by in range(d["used_by"]):
+        for bx in range(d["used_bx"]):
+            if restart and done and done % restart == 0:
+                seg_idx += 1
+                bits = _JpegBits(segs[seg_idx])
+                eobrun = 0
+            blk = store[c["id"]][by, bx]
+            if ah == 0:
+                eobrun = _jpeg_ac_first(
+                    blk, bits, ac_tbl, ss, se, al, eobrun)
+            else:
+                eobrun = _jpeg_ac_refine(
+                    blk, bits, ac_tbl, ss, se, al, eobrun)
+            done += 1
+    return
+
+
+def _jpeg_ac_first(blk, bits, ac_tbl, ss, se, al, eobrun):
+    """AC coefficients, first pass at this precision (G.2.2)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = bits.decode(ac_tbl)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r < 15:                 # EOBn
+                run = (1 << r) - 1
+                if r:
+                    run += bits.bits(r)
+                return run
+            k += 16                    # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("jpeg: AC first overflow")
+        blk[k] = _jpeg_extend(bits.bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _jpeg_ac_refine(blk, bits, ac_tbl, ss, se, al, eobrun):
+    """AC successive-approximation refinement (G.2.3; the libjpeg
+    decode_mcu_AC_refine control flow): corrections for already-
+    nonzero coefficients, insertion of newly-significant +-1<<Al."""
+    p1 = 1 << al
+    m1 = -1 << al
+
+    def correct(k):
+        if bits.bit():
+            v = int(blk[k])
+            if (v & p1) == 0:
+                blk[k] = v + (p1 if v >= 0 else m1)
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = bits.decode(ac_tbl)
+            r, s = rs >> 4, rs & 15
+            newval = 0
+            if s == 0:
+                if r < 15:             # EOBn: covers this block too
+                    eobrun = (1 << r)
+                    if r:
+                        eobrun += bits.bits(r)
+                    break
+                # ZRL: advance over 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("jpeg: refine s != 1")
+                newval = p1 if bits.bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        if newval:
+                            blk[k] = newval
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+    if eobrun > 0:
+        while k <= se:
+            if blk[k] != 0:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _jpeg_reconstruct(store, comps, qt, w, h, M):
+    """Dequantize + IDCT the accumulated progressive coefficients and
+    finish exactly like the sequential path (upsample, YCbCr->RGB)."""
+    import numpy as np
+
+    hmax, vmax, mcux, mcuy, dims = _jpeg_grid(comps, w, h)
+    full = []
+    for c in comps:
+        coefs = store[c["id"]]
+        by, bx = coefs.shape[:2]
+        q = qt[c["tq"]]
+        plane = np.zeros((by * 8, bx * 8), np.float64)
+        nat = np.zeros(64, np.int32)
+        for y in range(by):
+            for x in range(bx):
+                nat[:] = 0
+                nat[_JPEG_ZIGZAG] = coefs[y, x]
+                block = nat.reshape(8, 8).astype(np.float64) * q
+                plane[y * 8:y * 8 + 8, x * 8:x * 8 + 8] = \
+                    M.T @ block @ M + 128.0
+        plane = np.repeat(plane, hmax // c["h"], axis=1)
+        plane = np.repeat(plane, vmax // c["v"], axis=0)
+        full.append(plane[:h, :w])
+    if len(full) == 1:
+        y = np.clip(full[0], 0, 255)
+        return np.dstack([y, y, y]).round().astype(np.uint8)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    bl = y + 1.772 * cb
+    return np.clip(
+        np.dstack([r, g, bl]), 0, 255
+    ).round().astype(np.uint8)
+
+
 def _jpeg_decode(b: bytes):
-    """REAL baseline JPEG decode (ITU-T.81 sequential DCT, Huffman):
-    segment parse (DQT/SOF0/SOF1/DHT/DRI/SOS), canonical Huffman
-    decoding with DC prediction and AC run-length, dequantization,
-     8x8 IDCT via one matrix product per block, sampling-factor
-    upsampling (4:4:4 / 4:2:2 / 4:2:0 / grayscale), JFIF YCbCr->RGB.
-    Pure numpy + stdlib.  Progressive (SOF2) and arithmetic coding are
-    rejected (raise) — the caller surfaces NULL fields."""
+    """REAL JPEG decode (ITU-T.81, Huffman): baseline/extended
+    sequential (SOF0/SOF1) AND progressive (SOF2) — segment parse
+    (DQT/SOF/DHT/DRI/multi-SOS), canonical Huffman decoding with DC
+    prediction, AC run-length with EOB runs, spectral selection and
+    successive approximation (DC/AC first + refinement scans),
+    dequantization, 8x8 IDCT via one matrix product per block,
+    sampling-factor upsampling (4:4:4 / 4:2:2 / 4:2:0 / grayscale),
+    JFIF YCbCr->RGB.  Pure numpy + stdlib.  Lossless/arithmetic
+    coding rejected (raise) — the caller surfaces NULL fields."""
     import struct
 
     import numpy as np
@@ -377,6 +606,8 @@ def _jpeg_decode(b: bytes):
     comps = None
     w = h = 0
     restart = 0
+    progressive = False
+    store = None
     i = 2
     M = _jpeg_idct_matrix()
     while i + 4 <= len(b):
@@ -428,17 +659,37 @@ def _jpeg_decode(b: bytes):
                 raise ValueError("jpeg: SOS before SOF")
             ns = seg[0]
             sel = {}
+            order = []
             for c in range(ns):
                 cid, tda = seg[1 + 2 * c:3 + 2 * c]
                 sel[cid] = (tda >> 4, tda & 15)
+                order.append(cid)
+            if not progressive:
+                segs, i = _jpeg_split_scan(b, i)
+                return _jpeg_scan(
+                    b, segs, comps, sel, qt, huff, w, h, restart, M)
+            ss, se, ahal = seg[1 + 2 * ns:4 + 2 * ns]
             segs, i = _jpeg_split_scan(b, i)
-            return _jpeg_scan(
-                b, segs, comps, sel, qt, huff, w, h, restart, M)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            if store is None:
+                store = _jpeg_store(comps, w, h)
+            _jpeg_progressive_scan(
+                segs, comps, order, sel, huff, store, restart,
+                ss, se, ahal >> 4, ahal & 15, w, h)
+        elif marker == 0xC2:           # SOF2 progressive, Huffman
+            _prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
+                              "tq": tq})
+            progressive = True
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("jpeg: non-baseline SOF unsupported")
+            raise ValueError("jpeg: unsupported SOF (lossless/arith)")
         elif marker == 0xD9:           # EOI
             break
+    if progressive and store is not None:
+        return _jpeg_reconstruct(store, comps, qt, w, h, M)
     raise ValueError("jpeg: no scan data")
 
 
@@ -508,7 +759,7 @@ def _jpeg_scan(b, segs, comps, sel, qt, huff, w, h, restart, M):
         full.append(p[:h, :w])
     if len(full) == 1:
         y = np.clip(full[0], 0, 255)
-        return np.dstack([y, y, y]).astype(np.uint8)
+        return np.dstack([y, y, y]).round().astype(np.uint8)
     y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
@@ -583,10 +834,11 @@ def _decode_image(b: bytes | None, hist_bins: int) -> dict:
     - BMP: uncompressed (BI_RGB) 24/32-bit bottom-up.
     - GIF: 87a/89a first frame — real LZW decompression, global/local
       color tables, interlace deinterleave.
-    - JPEG: baseline sequential (SOF0/SOF1) — real Huffman entropy
-      decode, dequant, IDCT, chroma upsampling, YCbCr->RGB.
+    - JPEG: baseline sequential (SOF0/SOF1) AND progressive (SOF2,
+      spectral selection + successive approximation) — real Huffman
+      entropy decode, dequant, IDCT, chroma upsampling, YCbCr->RGB.
 
-    Progressive/arithmetic JPEG yields NULL fields; `probe_media`
+    Lossless/arithmetic JPEG yields NULL fields; `probe_media`
     still reports header metadata for everything.  Features:
     per-channel mean and a fixed-bin luma histogram (normalized)."""
     import struct

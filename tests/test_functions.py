@@ -1918,7 +1918,10 @@ class TestJpegDecode:
         # coarse quant: lossy but recognizably close
         assert np.abs(px[:, :, 0].astype(int) - img.astype(int)).mean() < 16
 
-    def test_progressive_rejected(self):
+    def test_malformed_progressive_rejected(self):
+        # flipping SOF0 -> SOF2 leaves a baseline SOS header
+        # (Ss=0, Se=63) that is invalid as a progressive DC scan:
+        # the decoder must reject it to NULL fields, not crash
         import numpy as np
         blob = bytearray(_JpegTestEncoder().encode(
             np.full((8, 8), 99, np.uint8)))
@@ -1926,6 +1929,15 @@ class TestJpegDecode:
         blob[idx + 1] = 0xC2             # flip SOF0 -> SOF2
         out = self._decode(bytes(blob))
         assert out["format"] is None     # honest NULLs, no crash
+
+    def test_lossless_sof_rejected(self):
+        import numpy as np
+        blob = bytearray(_JpegTestEncoder().encode(
+            np.full((8, 8), 99, np.uint8)))
+        idx = blob.index(b"\xff\xc0")
+        blob[idx + 1] = 0xC3             # SOF3 lossless: unsupported
+        out = self._decode(bytes(blob))
+        assert out["format"] is None
 
 
 class TestRound3Properties:
@@ -2229,3 +2241,327 @@ class TestLake:
         rep = prune_report(man, {"l_returnflag": ("A", "A")})
         assert rep["files_skipped"] >= 1
         assert all("l_returnflag=A" in f for f in rep["kept"])
+
+
+class _JpegProgressiveTestEncoder(_JpegTestEncoder):
+    """Progressive (SOF2) test encoder: DC first/refine + per-component
+    AC first/refine with EOB-run accumulation and Al=1->0 successive
+    approximation — enough scan-script variety to exercise every
+    branch of the progressive decoder."""
+
+    def _coef_blocks(self, planes, samps, w, h):
+        """Per-comp dict: padded block grid of zigzag quantized coefs."""
+        import numpy as np
+        hmax = max(s[0] for s in samps)
+        vmax = max(s[1] for s in samps)
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+        out = []
+        for p, (sh, sv) in zip(planes, samps):
+            ph, pw = mcuy * 8 * sv, mcux * 8 * sh
+            pp = np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])),
+                        mode="edge")
+            grid = np.zeros((ph // 8, pw // 8, 64), np.int64)
+            for by in range(ph // 8):
+                for bx in range(pw // 8):
+                    blk = pp[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                    coef = self.M @ (blk - 128.0) @ self.M.T
+                    qc = np.round(coef / self.q).astype(np.int64)
+                    grid[by, bx] = qc.reshape(64)[self.zz]
+            out.append(grid)
+        return out, mcux, mcuy
+
+    def encode_progressive(self, img, subsample="444"):
+        import struct
+        import numpy as np
+        img = np.asarray(img)
+        h, w = img.shape[:2]
+        planes, samps = self._planes(img, subsample)
+        ncomp = len(planes)
+        grids, mcux, mcuy = self._coef_blocks(planes, samps, w, h)
+        hmax = max(s[0] for s in samps)
+        vmax = max(s[1] for s in samps)
+
+        def used_blocks(ci):
+            sh, sv = samps[ci]
+            cw = -(-w * sh // hmax)
+            ch = -(-h * sv // vmax)
+            return -(-ch // 8), -(-cw // 8)
+
+        # ---- emission core: run once collecting, once writing -------
+        class Sink:
+            def __init__(self, dc_codes=None, ac_codes=None):
+                self.dc_syms, self.ac_syms = set(), set()
+                self.dc_codes, self.ac_codes = dc_codes, ac_codes
+                self.out = bytearray()
+                self.acc = 0
+                self.nb = 0
+
+            def bit(self, v):
+                self.put_raw(v & 1, 1)
+
+            def put_raw(self, code, size):
+                if self.dc_codes is None:
+                    return
+                self.acc = (self.acc << size) | (code & ((1 << size) - 1))
+                self.nb += size
+                while self.nb >= 8:
+                    byte = (self.acc >> (self.nb - 8)) & 0xFF
+                    self.out.append(byte)
+                    if byte == 0xFF:
+                        self.out.append(0x00)
+                    self.nb -= 8
+
+            def huff(self, table, sym):
+                (self.dc_syms if table == "dc" else self.ac_syms).add(sym)
+                if self.dc_codes is not None:
+                    codes = (self.dc_codes if table == "dc"
+                             else self.ac_codes)
+                    L, c = codes[sym]
+                    self.put_raw(c, L)
+
+            def val(self, v, t):
+                if t:
+                    self.put_raw(
+                        v if v >= 0 else v + (1 << t) - 1, t)
+
+            def flush(self):
+                if self.dc_codes is not None and self.nb:
+                    self.put_raw((1 << (8 - self.nb)) - 1, 8 - self.nb)
+
+        def dc_first(s):
+            pred = [0] * ncomp
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for ci in range(ncomp):
+                        sh, sv = samps[ci]
+                        for vy in range(sv):
+                            for vx in range(sh):
+                                dc = int(grids[ci][my * sv + vy,
+                                                   mx * sh + vx, 0]) >> 1
+                                diff = dc - pred[ci]
+                                pred[ci] = dc
+                                t = abs(diff).bit_length()
+                                s.huff("dc", t)
+                                s.val(diff, t)
+            s.flush()
+
+        def dc_refine(s):
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for ci in range(ncomp):
+                        sh, sv = samps[ci]
+                        for vy in range(sv):
+                            for vx in range(sh):
+                                s.bit(int(grids[ci][my * sv + vy,
+                                                    mx * sh + vx, 0]))
+            s.flush()
+
+        def ac_first(s, ci):
+            bh, bw = used_blocks(ci)
+            eobrun = 0
+
+            def flush_eob():
+                nonlocal eobrun
+                while eobrun:
+                    r = min(eobrun.bit_length() - 1, 14)
+                    s.huff("ac", r << 4)
+                    if r:
+                        s.put_raw(eobrun - (1 << r), r)
+                    eobrun = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    seq = grids[ci][by, bx]
+                    red = [
+                        (1 if v > 0 else -1) * (abs(int(v)) >> 1)
+                        for v in seq
+                    ]
+                    nz = [k for k in range(1, 64) if red[k]]
+                    if not nz:
+                        eobrun += 1
+                        if eobrun == (1 << 14):
+                            flush_eob()
+                        continue
+                    flush_eob()
+                    run = 0
+                    for k in range(1, 64):
+                        v = red[k]
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            s.huff("ac", 0xF0)
+                            run -= 16
+                        t = abs(v).bit_length()
+                        s.huff("ac", (run << 4) | t)
+                        s.val(v, t)
+                        run = 0
+                    if run:
+                        eobrun += 1
+            flush_eob()
+            s.flush()
+
+        def ac_refine_block(seq, s):
+            # Mirrors the decoder traversal exactly: correction bits
+            # are emitted in the positions the decoder consumes them —
+            # per ZRL 16-zero span, per coded-symbol span, and in the
+            # EOB tail.  (A previously-significant coefficient has
+            # |v| >= 2; a newly-significant one |v| == 1.)
+            k = 1
+            while True:
+                n = next((j for j in range(k, 64)
+                          if abs(int(seq[j])) == 1), None)
+                if n is None:
+                    rem_corr = [j for j in range(k, 64)
+                                if abs(int(seq[j])) >= 2]
+                    rem_zero = any(int(seq[j]) == 0
+                                   for j in range(k, 64))
+                    if rem_corr or rem_zero:
+                        s.huff("ac", 0x00)       # EOB (run 1)
+                        for j in rem_corr:
+                            s.bit(abs(int(seq[j])) & 1)
+                    return
+                r = sum(1 for j in range(k, n) if int(seq[j]) == 0)
+                while r > 15:
+                    s.huff("ac", 0xF0)           # ZRL: 16-zero span
+                    zeros = 0
+                    while zeros < 16:
+                        if int(seq[k]) != 0:
+                            s.bit(abs(int(seq[k])) & 1)
+                        else:
+                            zeros += 1
+                        k += 1
+                    r -= 16
+                s.huff("ac", (r << 4) | 1)
+                s.bit(1 if int(seq[n]) > 0 else 0)
+                for j in range(k, n):
+                    if int(seq[j]) != 0:
+                        s.bit(abs(int(seq[j])) & 1)
+                k = n + 1
+                if k > 63:
+                    return
+
+        def ac_refine(s, ci):
+            bh, bw = used_blocks(ci)
+            for by in range(bh):
+                for bx in range(bw):
+                    ac_refine_block(grids[ci][by, bx], s)
+            s.flush()
+
+        scans = [("dc_first", None, 0, 0, 0, 1),
+                 ("dc_refine", None, 0, 0, 1, 0)]
+        for ci in range(ncomp):
+            scans.append(("ac_first", ci, 1, 63, 0, 1))
+        for ci in range(ncomp):
+            scans.append(("ac_refine", ci, 1, 63, 1, 0))
+
+        def run_scan(kind, ci, s):
+            if kind == "dc_first":
+                dc_first(s)
+            elif kind == "dc_refine":
+                dc_refine(s)
+            elif kind == "ac_first":
+                ac_first(s, ci)
+            else:
+                ac_refine(s, ci)
+
+        def seg(marker, body):
+            return bytes([0xFF, marker]) + struct.pack(
+                ">H", len(body) + 2) + body
+
+        out = b"\xff\xd8"
+        import numpy as np
+        out += seg(0xDB, bytes([0x00]) + bytes(
+            int(x) for x in np.full(64, self.q)))
+        sof_comps = b"".join(
+            bytes([i + 1, (sh << 4) | sv, 0])
+            for i, (sh, sv) in enumerate(samps))
+        out += seg(0xC2, struct.pack(">BHHB", 8, h, w, ncomp)
+                   + sof_comps)
+        for kind, ci, ss_, se_, ah_, al_ in scans:
+            probe = Sink()
+            run_scan(kind, ci, probe)
+            dc_counts, dc_list, dc_codes = self._canon_table(
+                sorted(probe.dc_syms) or [0])
+            ac_counts, ac_list, ac_codes = self._canon_table(
+                sorted(probe.ac_syms) or [0])
+            writer = Sink(dc_codes, ac_codes)
+            run_scan(kind, ci, writer)
+            out += seg(0xC4, bytes([0x00]) + bytes(dc_counts)
+                       + bytes(dc_list))
+            out += seg(0xC4, bytes([0x10]) + bytes(ac_counts)
+                       + bytes(ac_list))
+            comps_in_scan = (range(ncomp) if kind.startswith("dc")
+                             else [ci])
+            sos_comps = b"".join(
+                bytes([i + 1, 0x00]) for i in comps_in_scan)
+            out += seg(0xDA, bytes([len(list(comps_in_scan))])
+                       + sos_comps
+                       + bytes([ss_, se_, (ah_ << 4) | al_]))
+            out += bytes(writer.out)
+        return out + b"\xff\xd9"
+
+
+class TestJpegProgressive:
+    """Progressive JPEG decode (SOF2, multi-scan)."""
+
+    def _decode_px(self, blob):
+        from pincette_json_streams_spark.functions.multimodal import (
+            _jpeg_decode,
+        )
+        return _jpeg_decode(blob)
+
+    def test_flat_gray(self):
+        import numpy as np
+        img = np.full((8, 8), 128, np.uint8)
+        px = self._decode_px(
+            _JpegProgressiveTestEncoder().encode_progressive(img))
+        assert np.array_equal(px[:, :, 0], img)
+
+    def test_gray_gradient(self):
+        import numpy as np
+        img = np.linspace(0, 255, 24 * 16).reshape(24, 16)\
+            .round().astype(np.uint8)
+        px = self._decode_px(
+            _JpegProgressiveTestEncoder().encode_progressive(img))
+        assert np.abs(px[:, :, 0].astype(int) - img.astype(int)).max() <= 2
+
+    def test_color_444(self):
+        import numpy as np
+        rng = np.random.RandomState(23)
+        img = (rng.randint(0, 256, (16, 24, 3)) // 4 + 96)\
+            .astype(np.uint8)
+        px = self._decode_px(
+            _JpegProgressiveTestEncoder().encode_progressive(img, "444"))
+        assert np.abs(px.astype(int) - img.astype(int)).max() <= 4
+
+    def test_color_420_odd_dims(self):
+        import numpy as np
+        yy, xx = np.mgrid[0:19, 0:29]
+        img = np.dstack([(xx * 5) % 256, (yy * 7) % 256,
+                         ((xx + yy) * 3) % 256]).astype(np.uint8)
+        img = (img // 2 + 64).astype(np.uint8)
+        px = self._decode_px(
+            _JpegProgressiveTestEncoder().encode_progressive(img, "420"))
+        assert px.shape == (19, 29, 3)
+        assert np.abs(px.astype(int) - img.astype(int)).mean() < 8.0
+
+    def test_eob_runs_exercised(self):
+        import numpy as np
+        # mostly-flat image -> many all-zero-AC blocks -> EOBn > 1
+        img = np.full((40, 40), 100, np.uint8)
+        img[0, 0] = 255
+        blob = _JpegProgressiveTestEncoder().encode_progressive(img)
+        px = self._decode_px(blob)
+        assert abs(int(px[20, 20, 0]) - 100) <= 2
+        assert px[0, 0, 0] > 180
+
+    def test_progressive_equals_baseline(self):
+        import numpy as np
+        rng = np.random.RandomState(77)
+        img = (rng.randint(0, 256, (16, 16)) // 2 + 60).astype(np.uint8)
+        base = self._decode_px(_JpegTestEncoder().encode(img))
+        prog = self._decode_px(
+            _JpegProgressiveTestEncoder().encode_progressive(img))
+        # identical quantized coefficients -> identical reconstruction
+        assert np.array_equal(base, prog)
