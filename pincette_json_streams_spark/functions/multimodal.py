@@ -61,8 +61,10 @@ _PROBE_FIELDS = ("format", "width", "height", "sample_rate", "channels",
 
 def _probe_bytes(b: bytes | None) -> dict:
     """REAL container-header probe, stdlib only.  Recognizes PNG (IHDR),
-    JPEG (SOF0/1/2 walk), GIF, BMP (BITMAPINFOHEADER) and RIFF/WAV
-    (fmt + data chunks -> sample rate, channels, duration).  Unknown or
+    JPEG (SOF0/1/2 walk), GIF, BMP (BITMAPINFOHEADER), RIFF/WAV
+    (fmt + data chunks -> sample rate, channels, duration), ISO-BMFF
+    MP4 (box walk: mvhd duration, tkhd 16.16 dimensions) and WebP
+    (VP8X canvas / VP8L packed / VP8 frame header dims).  Unknown or
     truncated payloads yield all-NULL fields, never an exception."""
     import struct
 
@@ -92,6 +94,66 @@ def _probe_bytes(b: bytes | None) -> dict:
         elif b[:2] == b"BM" and len(b) >= 26:
             w, h = struct.unpack("<ii", b[18:26])
             out.update(format="bmp", width=w, height=abs(h))
+        elif len(b) >= 8 and b[4:8] == b"ftyp":
+            # ISO BMFF / MP4: box walk to moov/mvhd (timescale +
+            # duration) and trak/tkhd (presentation width/height,
+            # 16.16 fixed point) — spec ISO/IEC 14496-12
+            def walk(lo, hi, depth=0):
+                i = lo
+                while i + 8 <= hi and depth < 8:
+                    size, = struct.unpack(">I", b[i:i + 4])
+                    typ = b[i + 4:i + 8]
+                    body = i + 8
+                    if size == 1 and i + 16 <= hi:      # 64-bit size
+                        size, = struct.unpack(">Q", b[i + 8:i + 16])
+                        body = i + 16
+                    if size < 8:
+                        break
+                    end = min(i + size, hi)
+                    if typ == b"mvhd" and body + 20 <= end:
+                        ver = b[body]
+                        if ver == 1:
+                            ts, dur = struct.unpack(
+                                ">IQ", b[body + 20:body + 32])
+                        else:
+                            ts, dur = struct.unpack(
+                                ">II", b[body + 12:body + 20])
+                        if ts:
+                            out["duration_ms"] = int(dur * 1000 // ts)
+                    elif typ == b"tkhd" and body + 84 <= end:
+                        ver = b[body]
+                        off = body + (92 if ver == 1 else 80)
+                        if off + 8 <= end:
+                            wfix, hfix = struct.unpack(
+                                ">II", b[off:off + 8])
+                            if wfix and hfix:
+                                out["width"] = wfix >> 16
+                                out["height"] = hfix >> 16
+                    elif typ in (b"moov", b"trak", b"mdia"):
+                        walk(body, end, depth + 1)
+                    i += size
+            out["format"] = "mp4"
+            walk(0, len(b))
+        elif b[:4] == b"RIFF" and b[8:12] == b"WEBP" and len(b) >= 16:
+            # WebP: VP8X extended header carries the canvas size;
+            # VP8L lossless packs w-1/h-1 in 14-bit fields
+            chunk = b[12:16]
+            if chunk == b"VP8X" and len(b) >= 30:
+                wm1 = int.from_bytes(b[24:27], "little")
+                hm1 = int.from_bytes(b[27:30], "little")
+                out.update(format="webp", width=wm1 + 1, height=hm1 + 1)
+            elif chunk == b"VP8L" and len(b) >= 25 and b[20] == 0x2F:
+                bits = int.from_bytes(b[21:25], "little")
+                out.update(format="webp",
+                           width=(bits & 0x3FFF) + 1,
+                           height=((bits >> 14) & 0x3FFF) + 1)
+            elif chunk == b"VP8 " and len(b) >= 30 \
+                    and b[23:26] == b"\x9d\x01\x2a":
+                w, h = struct.unpack("<HH", b[26:30])
+                out.update(format="webp", width=w & 0x3FFF,
+                           height=h & 0x3FFF)
+            else:
+                out["format"] = "webp"
         elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
             i, sr, ch, bits, data_len = 12, None, None, None, None
             while i + 8 <= len(b):

@@ -2565,3 +2565,63 @@ class TestJpegProgressive:
             _JpegProgressiveTestEncoder().encode_progressive(img))
         # identical quantized coefficients -> identical reconstruction
         assert np.array_equal(base, prog)
+
+
+class TestContainerProbe:
+    """MP4 / WebP container probing — functions/multimodal.py."""
+
+    @staticmethod
+    def _box(typ, body):
+        import struct
+        return struct.pack(">I", len(body) + 8) + typ + body
+
+    def _probe(self, blob):
+        from pincette_json_streams_spark.functions.multimodal import (
+            _probe_bytes,
+        )
+        return _probe_bytes(blob)
+
+    def test_mp4_mvhd_tkhd(self):
+        import struct
+        B = self._box
+        # mvhd v0: timescale 1000, duration 5000 ms
+        mvhd = B(b"mvhd", bytes(12) + struct.pack(">II", 1000, 5000)
+                 + bytes(80))
+        # tkhd v0: width/height at offset 80 inside the body, 16.16
+        tkhd = B(b"tkhd", bytes(80)
+                 + struct.pack(">II", 640 << 16, 360 << 16))
+        trak = B(b"trak", tkhd)
+        moov = B(b"moov", mvhd + trak)
+        ftyp = B(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+        out = self._probe(ftyp + moov)
+        assert out["format"] == "mp4"
+        assert out["duration_ms"] == 5000
+        assert (out["width"], out["height"]) == (640, 360)
+
+    def test_mp4_v1_boxes(self):
+        import struct
+        B = self._box
+        mvhd = B(b"mvhd", b"\x01" + bytes(19)
+                 + struct.pack(">IQ", 90000, 90000 * 7) + bytes(80))
+        moov = B(b"moov", mvhd)
+        out = self._probe(B(b"ftyp", b"mp42mp42") + moov)
+        assert out["format"] == "mp4"
+        assert out["duration_ms"] == 7000
+
+    def test_webp_vp8x_and_vp8l(self):
+        hdr = b"RIFF" + b"\x00\x00\x00\x00" + b"WEBP"
+        vp8x = (b"VP8X" + b"\x0a\x00\x00\x00" + b"\x00" * 4
+                + (799).to_bytes(3, "little")
+                + (449).to_bytes(3, "little"))
+        out = self._probe(hdr + vp8x)
+        assert out["format"] == "webp"
+        assert (out["width"], out["height"]) == (800, 450)
+        bits = (63) | (127 << 14)          # w-1=63, h-1=127
+        vp8l = (b"VP8L" + b"\x05\x00\x00\x00" + b"\x2f"
+                + bits.to_bytes(4, "little"))
+        out2 = self._probe(hdr + vp8l)
+        assert (out2["width"], out2["height"]) == (64, 128)
+
+    def test_truncated_mp4_safe(self):
+        out = self._probe(b"\x00\x00\x00\x08ftyp")
+        assert out["format"] == "mp4" and out["width"] is None
