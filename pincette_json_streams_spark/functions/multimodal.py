@@ -9,16 +9,17 @@ Three tiers of honesty about what runs in this codec-free runtime:
   8/16/24/32-bit PCM -> mono float samples, RMS/peak energy, fixed-bin
   downsampled waveform) and `decode_image` (REAL pixel decode: PNG via
   zlib IDAT inflate + scanline unfiltering, uncompressed BMP, GIF via
-  real LZW incl. interlace, and baseline JPEG via a from-the-spec
-  ITU-T.81 sequential decoder — canonical Huffman, DC prediction, AC
-  RLE, dequant, matrix IDCT, 4:2:0/4:2:2 upsampling, JFIF YCbCr->RGB;
+  real LZW incl. interlace, and JPEG — baseline AND progressive — via
+  a from-the-spec ITU-T.81 decoder: canonical Huffman, DC prediction,
+  AC RLE with EOB runs, spectral selection + successive approximation,
+  dequant, matrix IDCT, 4:2:0/4:2:2 upsampling, JFIF YCbCr->RGB;
   per-channel means + luma histogram) are REAL.
-- Progressive/arithmetic JPEG and video frame extraction
-  (`sample_frames`) remain stubbed with deterministic fakes clearly
-  marked (video needs real codecs); swap `_decode_stub` for a real
-  decoder (pyav) without touching the plumbing — schema, Arrow batch
-  shape, ``mapInPandas`` signatures and partition sizing are
-  production-real.
+- The learned feature extractor (`decode_features`) and video frame
+  extraction (`sample_frames`) remain stubbed with deterministic fakes
+  clearly marked (they need model weights / video codecs); swap
+  `_decode_stub` for a real extractor (pyav) without touching the
+  plumbing — schema, Arrow batch shape, ``mapInPandas`` signatures and
+  partition sizing are production-real.
 
 Scale design: media bytes stay in the executor (never collect), batches
 flow through Arrow; per-file work parallelizes by repartitioning on a
