@@ -14,12 +14,14 @@ Three tiers of honesty about what runs in this codec-free runtime:
   AC RLE with EOB runs, spectral selection + successive approximation,
   dequant, matrix IDCT, 4:2:0/4:2:2 upsampling, JFIF YCbCr->RGB;
   per-channel means + luma histogram) are REAL.
-- The learned feature extractor (`decode_features`) and video frame
-  extraction (`sample_frames`) remain stubbed with deterministic fakes
-  clearly marked (they need model weights / video codecs); swap
-  `_decode_stub` for a real extractor (pyav) without touching the
-  plumbing — schema, Arrow batch shape, ``mapInPandas`` signatures and
-  partition sizing are production-real.
+- `sample_frames` is REAL for MJPEG-in-AVI (RIFF walk; every sampled
+  frame is a standalone JPEG the decoder above fully decodes); codec
+  containers (H.264/VP9/...) fall back to a clearly-fake byte-slice
+  stub.  The learned feature extractor (`decode_features`) remains a
+  deterministic fake (it needs model weights); swap `_decode_stub`
+  for a real extractor without touching the plumbing — schema, Arrow
+  batch shape, ``mapInPandas`` signatures and partition sizing are
+  production-real.
 
 Scale design: media bytes stay in the executor (never collect), batches
 flow through Arrow; per-file work parallelizes by repartitioning on a
@@ -1100,31 +1102,82 @@ def decode_features(
     return df.mapInPandas(run, schema=out_schema)
 
 
+def _avi_mjpeg_frames(b: bytes) -> list[bytes] | None:
+    """REAL frame extraction for MJPEG-in-AVI: RIFF 'AVI ' chunk walk
+    to the ``movi`` list, collecting ``..dc``/``..db`` video chunks
+    whose payload starts with a JPEG SOI.  Pure struct parsing —
+    each returned frame is a standalone JPEG our own decoder reads.
+    Returns None when the payload is not an AVI."""
+    import struct
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return None
+    frames: list[bytes] = []
+
+    def walk(lo: int, hi: int, depth: int = 0) -> None:
+        i = lo
+        while i + 8 <= hi and depth < 6:
+            cid = b[i:i + 4]
+            clen, = struct.unpack("<I", b[i + 4:i + 8])
+            body = i + 8
+            end = min(body + clen, hi)
+            if cid == b"LIST":
+                walk(body + 4, end, depth + 1)
+            elif cid[2:4] in (b"dc", b"db") and \
+                    b[body:body + 2] == b"\xff\xd8":
+                frames.append(b[body:end])
+            i = body + clen + (clen & 1)
+
+    walk(12, len(b))
+    return frames
+
+
 def sample_frames(
     df: DataFrame,
     media_col: str = "media",
-    every_ms: int = 1000,
+    n_frames: int = 4,
     out_col: str = "frames",
 ) -> DataFrame:
-    """Frame sampling plumbing: emits (frame_index, frame binary) structs.
-    STUB: fake frames are byte slices; a real impl uses pyav keyframe
-    iteration.  Shape and partition behavior are production-real."""
+    """Frame sampling: emits (frame_index, frame binary) structs of up
+    to ``n_frames`` evenly spaced frames.
+
+    REAL for MJPEG-in-AVI containers (RIFF walk; each sampled frame is
+    a standalone JPEG that `decode_image`/`_jpeg_decode` fully
+    decodes).  Other containers (H.264/VP9/AV1...) need real codecs
+    absent from this runtime and fall back to the clearly-fake
+    byte-slice stub — the schema, Arrow batching and partition
+    behavior are identical either way."""
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     ) + f", {out_col} array<struct<idx:int,frame:binary>>"
 
     def run(batches: Iterator) -> Iterator:
         for pdf in batches:
-            def fake_frames(b):
+            def frames_of(b):
                 if b is None:
                     return None
                 data = bytes(b)
-                step = max(len(data) // 4, 1)
+                real = _avi_mjpeg_frames(data)
+                if real is not None:
+                    if not real:
+                        return []
+                    step = max(len(real) / float(n_frames), 1.0)
+                    picked = []
+                    seen = set()
+                    for j in range(min(n_frames, len(real))):
+                        k = min(int(j * step), len(real) - 1)
+                        if k not in seen:
+                            seen.add(k)
+                            picked.append(
+                                {"idx": k, "frame": real[k]})
+                    return picked
+                # STUB fallback for codec formats: byte slices
+                step = max(len(data) // n_frames, 1)
                 return [
                     {"idx": i, "frame": data[o:o + step]}
                     for i, o in enumerate(range(0, len(data), step))
-                ][:4]
-            pdf[out_col] = pdf[media_col].map(fake_frames)
+                ][:n_frames]
+            pdf[out_col] = pdf[media_col].map(frames_of)
             yield pdf
 
     return df.mapInPandas(run, schema=out_schema)

@@ -2625,3 +2625,52 @@ class TestContainerProbe:
     def test_truncated_mp4_safe(self):
         out = self._probe(b"\x00\x00\x00\x08ftyp")
         assert out["format"] == "mp4" and out["width"] is None
+
+
+class TestAviFrames:
+    """REAL MJPEG-in-AVI frame sampling — functions/multimodal.py."""
+
+    @staticmethod
+    def _avi(frames):
+        import struct
+
+        def chunk(cid, body):
+            pad = b"\x00" if len(body) % 2 else b""
+            return cid + struct.pack("<I", len(body)) + body + pad
+
+        movi = b"movi" + b"".join(chunk(b"00dc", f) for f in frames)
+        lst = chunk(b"LIST", movi)
+        body = b"AVI " + lst
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def test_samples_decode_as_jpeg(self, spark):
+        import numpy as np
+        from pincette_json_streams_spark.functions.multimodal import (
+            _decode_image, sample_frames,
+        )
+        enc = _JpegTestEncoder()
+        shades = [60, 120, 180, 240, 30, 90]
+        frames = [enc.encode(np.full((8, 8), s, np.uint8))
+                  for s in shades]
+        df = spark.createDataFrame(
+            [(1, bytearray(self._avi(frames)))],
+            "vid long, media binary")
+        out = sample_frames(df, n_frames=3).collect()[0]["frames"]
+        assert len(out) == 3
+        idxs = [f["idx"] for f in out]
+        assert idxs == sorted(set(idxs))          # evenly spaced, ordered
+        for f in out:
+            dec = _decode_image(bytes(f["frame"]), 16)
+            assert dec["format"] == "jpeg"
+            # each frame is flat: its mean equals the encoded shade
+            assert abs(dec["mean_rgb"][0] - shades[f["idx"]]) <= 1.0
+
+    def test_non_avi_falls_back_to_stub(self, spark):
+        from pincette_json_streams_spark.functions.multimodal import (
+            sample_frames,
+        )
+        df = spark.createDataFrame(
+            [(1, bytearray(b"\x00\x01\x02\x03" * 100))],
+            "vid long, media binary")
+        out = sample_frames(df).collect()[0]["frames"]
+        assert len(out) == 4                      # stub slices
