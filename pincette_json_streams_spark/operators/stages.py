@@ -1120,6 +1120,19 @@ def _stage_window_fields_ext(df, spec, pctx):
     return df.select("*", *out_cols)
 
 
+def _stage_sample_frames_ext(df, spec, pctx):
+    # {"field": binary col, "as": out, "n": frames} — REAL for
+    # MJPEG-in-AVI (functions/multimodal.py sample_frames)
+    from pincette_json_streams_spark.functions.multimodal import (
+        sample_frames,
+    )
+
+    spec = spec if isinstance(spec, dict) else {}
+    return sample_frames(df, media_col=spec.get("field", "media"),
+                         out_col=spec.get("as", "frames"),
+                         n_frames=int(spec.get("n", 4)))
+
+
 def _stage_dedup_spans_ext(df, spec, pctx):
     # {"text": col, "id": col, "width": n, "action": "mark"|"strip"} —
     # exact-substring dedup (functions/text.py duplicate_spans /
@@ -1423,4 +1436,5 @@ STAGES: dict[str, Callable[[DataFrame, Any, PipelineContext], DataFrame]] = {
     "$zorder": _stage_zorder_ext,
     "$weightedSample": _stage_weighted_sample_ext,
     "$cmsSketch": _stage_cms_sketch_ext,
+    "$sampleFrames": _stage_sample_frames_ext,
 }

@@ -746,3 +746,26 @@ class TestTraceAndOut:
             {"$project": {"_id": 0,
                           "v": {"$trace": {"$add": ["$age", 1]}}}}])
         assert out == [{"v": 35}]
+
+
+class TestSampleFramesStage:
+    def test_avi_frames_stage(self, spark):
+        import numpy as np
+        import struct
+        from tests.test_functions import _JpegTestEncoder  # noqa
+        enc = _JpegTestEncoder()
+
+        def chunk(cid, body):
+            pad = b"\x00" if len(body) % 2 else b""
+            return cid + struct.pack("<I", len(body)) + body + pad
+
+        frames = [enc.encode(np.full((8, 8), s, np.uint8))
+                  for s in (50, 150, 250)]
+        movi = b"movi" + b"".join(chunk(b"00dc", f) for f in frames)
+        body = b"AVI " + chunk(b"LIST", movi)
+        avi = b"RIFF" + struct.pack("<I", len(body)) + body
+        df = spark.createDataFrame(
+            [(1, bytearray(avi))], "vid long, media binary")
+        out = rows(df, [{"$sampleFrames": {"n": 2}}])
+        assert len(out[0]["frames"]) == 2
+        assert bytes(out[0]["frames"][0]["frame"])[:2] == b"\xff\xd8"
