@@ -2674,3 +2674,41 @@ class TestAviFrames:
             "vid long, media binary")
         out = sample_frames(df).collect()[0]["frames"]
         assert len(out) == 4                      # stub slices
+
+
+class TestDecoderFuzz:
+    """Decoders must never crash on hostile bytes — NULL fields only
+    (the executor-side contract: one bad asset can't fail a batch)."""
+
+    def test_random_bytes_safe(self):
+        import random
+        from pincette_json_streams_spark.functions.multimodal import (
+            _decode_image, _probe_bytes,
+        )
+        rng = random.Random(99)
+        magics = [b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff", b"GIF89a",
+                  b"BM", b"RIFF", b"\x00\x00\x00\x18ftyp", b""]
+        for trial in range(300):
+            head = magics[trial % len(magics)]
+            blob = head + bytes(rng.getrandbits(8)
+                                for _ in range(rng.randint(0, 200)))
+            out = _decode_image(blob, 16)
+            assert set(out) == {"format", "width", "height",
+                                "channels", "mean_rgb", "luma_hist"}
+            _probe_bytes(blob)      # must not raise either
+
+    def test_truncated_real_files_safe(self):
+        import numpy as np
+        from pincette_json_streams_spark.functions.multimodal import (
+            _decode_image,
+        )
+        img = np.linspace(0, 255, 256).reshape(16, 16)\
+            .round().astype(np.uint8)
+        whole = _JpegTestEncoder().encode(img)
+        prog = _JpegProgressiveTestEncoder().encode_progressive(img)
+        gif = TestGifDecode._encode_gif(
+            4, 4, [(0, 0, 0), (9, 9, 9)], [0, 1] * 8)
+        for blob in (whole, prog, gif):
+            for cut in range(0, len(blob), 7):
+                out = _decode_image(blob[:cut], 16)
+                assert "format" in out   # no exception escapes
