@@ -3583,6 +3583,73 @@ SELECT lang, doc_id, sample_key FROM (
 """
 
 
+def q_decontaminate(spark, sf_dir):
+    """Span-level benchmark DECONTAMINATION (functions/text.py
+    decontaminate_spans — the removal action to `contamination`'s
+    detection): every 6-token window of a training doc that also
+    appears in the held-out set (doc_id % 50 == 0) marks a span;
+    spans interval-merge and strip, text rebuilt.  Benchmark window
+    hashes broadcast; the training side never shuffles its windows."""
+    from pincette_json_streams_spark.functions.text import (
+        decontaminate_spans,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    return decontaminate_spans(train, bench, width=6)
+
+
+_ORACLE_DECONTAMINATE = f"""
+WITH norm AS (
+  SELECT doc_id, string_split({_sql_norm()}, ' ') AS ws FROM documents
+), wins AS (
+  SELECT doc_id, len(ws) AS n, i - 1 AS pos,
+         array_to_string(ws[i:i+5], ' ') AS w
+  FROM norm, unnest(generate_series(1, greatest(len(ws) - 5, 1))) AS t(i)
+), bench AS (
+  SELECT DISTINCT w FROM wins WHERE doc_id % 50 = 0
+), marked AS (
+  SELECT wi.doc_id, wi.n, wi.pos
+  FROM wins wi JOIN bench USING (w) WHERE wi.doc_id % 50 != 0
+), flagged AS (
+  SELECT doc_id, n, pos,
+         CASE WHEN pos > coalesce(max(pos + 6) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  -1) THEN 1 ELSE 0 END AS new_island
+  FROM marked
+), islands AS (
+  SELECT doc_id, n, pos,
+         sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM flagged
+), spans AS (
+  SELECT doc_id, island, min(pos) AS s,
+         least(max(pos) + 6, any_value(n)) AS e
+  FROM islands GROUP BY doc_id, island
+), covered AS (
+  SELECT doc_id, unnest(generate_series(s, e - 1)) AS pos FROM spans
+), tokens AS (
+  SELECT doc_id, i - 1 AS pos, ws[i] AS t
+  FROM norm, unnest(generate_series(1, len(ws))) AS u(i)
+  WHERE doc_id % 50 != 0
+), kept AS (
+  SELECT tk.doc_id, tk.pos, tk.t FROM tokens tk
+  ANTI JOIN covered c ON tk.doc_id = c.doc_id AND tk.pos = c.pos
+), survived AS (
+  SELECT doc_id, string_agg(t, ' ' ORDER BY pos) AS text_clean,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT tt.doc_id, tt.n_tokens::BIGINT AS n_tokens,
+       coalesce(sv.n_kept, 0)::BIGINT AS n_kept,
+       coalesce(sv.text_clean, '') AS text_clean
+FROM (SELECT doc_id, count(*) AS n_tokens FROM tokens GROUP BY doc_id) tt
+LEFT JOIN survived sv USING (doc_id)
+"""
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -3610,6 +3677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_summary": q_facet,
         "cms_heavy": q_cms_heavy,
         "weighted_sample": q_weighted_sample,
+        "decontaminate": q_decontaminate,
         # -- block 1: no driver row yet ---------------------------------
         "domain_mix": q_domain_mix,
         "pack_sequences": q_pack_sequences,
@@ -3711,6 +3779,7 @@ def oracle_sql() -> dict[str, str]:
         "facet_summary": _ORACLE_FACET,
         "cms_heavy": _oracle_cms_heavy(),
         "weighted_sample": _ORACLE_WEIGHTED_SAMPLE,
+        "decontaminate": _ORACLE_DECONTAMINATE,
         "pricing_summary": _ORACLE_PRICING,
         "segment_revenue": _ORACLE_SEGMENT,
         "match_query_ops": _ORACLE_MATCH_OPS,

@@ -23,6 +23,7 @@ __all__ = [
     "with_text_features", "quality_score_from", "scrub_pii", "pii_counts",
     "token_vocabulary", "with_repetition_features", "benchmark_overlap",
     "unigram_logprob", "chunk_documents", "tfidf_top_terms",
+    "duplicate_spans", "strip_duplicate_spans", "decontaminate_spans",
     "token_drift", "STOPWORDS",
     "LANG_MARKERS", "BPE_TOKEN_RE", "PII_PATTERNS",
 ]
@@ -802,6 +803,16 @@ def strip_duplicate_spans(
         F.col(id_col) != F.col("__keeper")
     )
     spans = _merge_spans(marked, id_col, width)
+    return _strip_covered(df, spans, text_col, id_col)
+
+
+def _strip_covered(
+    df: DataFrame, spans: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Rebuild each doc's text without the tokens covered by
+    ``spans`` (id, span_start, span_end).  Covered positions explode
+    into (id, pos) pairs so removal is a plain hash anti-join; docs
+    stripped to nothing still appear with empty text."""
     covered = spans.select(
         id_col,
         F.explode(
@@ -841,3 +852,32 @@ def strip_duplicate_spans(
             F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
         )
     )
+
+
+def decontaminate_spans(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 8,
+) -> DataFrame:
+    """Span-level benchmark DECONTAMINATION — the removal action to
+    benchmark_overlap's detection: any ``width``-token window of a
+    training doc that also appears in the benchmark set marks a span;
+    marked spans interval-merge and are stripped, rebuilding the text.
+
+    100 TB asymmetry (same as benchmark_overlap): the benchmark window
+    hash set is tiny and broadcast; the training side hashes its
+    windows map-side and NEVER shuffles them — the only shuffles are
+    per-doc (span merge + rebuild), proportional to contaminated docs.
+
+    Returns (id, n_tokens, n_kept, text_clean) for every training
+    doc."""
+    bench_wins = (
+        _dup_windows(bench, text_col, id_col, width)
+        .select("__h").distinct()
+    )
+    train_wins = _dup_windows(train, text_col, id_col, width)
+    marked = train_wins.join(F.broadcast(bench_wins), "__h")
+    spans = _merge_spans(marked, id_col, width)
+    return _strip_covered(train, spans, text_col, id_col)

@@ -2712,3 +2712,41 @@ class TestDecoderFuzz:
             for cut in range(0, len(blob), 7):
                 out = _decode_image(blob[:cut], 16)
                 assert "format" in out   # no exception escapes
+
+
+class TestDecontaminateSpans:
+    """Span-level benchmark decontamination — functions/text.py."""
+
+    def test_strips_bench_spans_only(self, spark):
+        from pincette_json_streams_spark.functions.text import (
+            decontaminate_spans,
+        )
+        bench = spark.createDataFrame(
+            [(100, "the secret benchmark answer is forty two")],
+            "doc_id long, text string")
+        train = spark.createDataFrame(
+            [(1, "intro words the secret benchmark answer is forty two "
+                 "outro words"),
+             (2, "completely unrelated training content here today"),
+             (3, "the secret benchmark answer is forty two")],
+            "doc_id long, text string")
+        out = {r["doc_id"]: r for r in
+               decontaminate_spans(train, bench, width=4).collect()}
+        # doc 1: the 8-token contaminated run is stripped, context kept
+        assert out[1]["text_clean"] == "intro words outro words"
+        # doc 2 untouched
+        assert out[2]["n_kept"] == out[2]["n_tokens"]
+        # doc 3 is pure contamination -> fully stripped but present
+        assert out[3]["n_kept"] == 0 and out[3]["text_clean"] == ""
+
+    def test_benchmark_docs_not_in_output(self, spark):
+        from pincette_json_streams_spark.functions.text import (
+            decontaminate_spans,
+        )
+        bench = spark.createDataFrame(
+            [(9, "a b c d")], "doc_id long, text string")
+        train = spark.createDataFrame(
+            [(1, "x y z w")], "doc_id long, text string")
+        got = [r["doc_id"] for r in
+               decontaminate_spans(train, bench, width=4).collect()]
+        assert got == [1]
