@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "facet_summary",
     "cms_heavy",
     "weighted_sample",
+    "decontaminate",
 ]
 
 
