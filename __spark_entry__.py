@@ -3650,6 +3650,65 @@ LEFT JOIN survived sv USING (doc_id)
 """
 
 
+def q_date_arith(spark, sf_dir):
+    """MongoDB 5.0 date arithmetic extensions ($dateTrunc with binSize,
+    $dateAdd/$dateSubtract, boundary-crossing $dateDiff incl. ISO
+    weeks) — all native Column trees over the events stream; the base
+    instant is second-truncated so the ISO wire format stays
+    whole-second on both engines."""
+    epoch = "2024-01-01T00:00:00Z"
+    return _pipe(spark, sf_dir, "events", [
+        {"$match": {"user_id": {"$lt": 40}}},
+        {"$project": {
+            "_id": 0, "event_id": 1,
+            "base": {"$dateTrunc": {
+                "date": {"$fromEpochNanos": "$ts_nanos"},
+                "unit": "second"}}}},
+        {"$project": {
+            "event_id": 1, "base": 1,
+            "day": {"$dateTrunc": {"date": "$base", "unit": "day"}},
+            "bin15m": {"$dateTrunc": {"date": "$base",
+                                      "unit": "minute", "binSize": 15}},
+            "plus2h": {"$dateAdd": {"startDate": "$base",
+                                    "unit": "hour", "amount": 2}},
+            "minus1d": {"$dateSubtract": {"startDate": "$base",
+                                          "unit": "day", "amount": 1}},
+            "dd": {"$dateDiff": {"startDate": epoch,
+                                 "endDate": "$base", "unit": "day"}},
+            "dh": {"$dateDiff": {"startDate": epoch,
+                                 "endDate": "$base", "unit": "hour"}},
+            "dm": {"$dateDiff": {"startDate": epoch,
+                                 "endDate": "$base", "unit": "month"}},
+            "dw": {"$dateDiff": {"startDate": epoch,
+                                 "endDate": "$base", "unit": "week"}},
+        }},
+    ])
+
+
+_ORACLE_DATE_ARITH = """
+WITH base AS (
+  SELECT event_id, date_trunc('second', ts) AS b
+  FROM events WHERE user_id < 40
+)
+SELECT event_id,
+       strftime(b, '%Y-%m-%dT%H:%M:%SZ') AS base,
+       strftime(date_trunc('day', b), '%Y-%m-%dT%H:%M:%SZ') AS day,
+       strftime(to_timestamp((epoch_ms(b) // 900000) * 900000 / 1000.0),
+                '%Y-%m-%dT%H:%M:%SZ') AS bin15m,
+       strftime(b + INTERVAL 2 HOUR, '%Y-%m-%dT%H:%M:%SZ') AS plus2h,
+       strftime(b - INTERVAL 1 DAY, '%Y-%m-%dT%H:%M:%SZ') AS minus1d,
+       date_diff('day', TIMESTAMP '2024-01-01 00:00:00', b)::BIGINT
+         AS dd,
+       date_diff('hour', TIMESTAMP '2024-01-01 00:00:00', b)::BIGINT
+         AS dh,
+       date_diff('month', TIMESTAMP '2024-01-01 00:00:00', b)::BIGINT
+         AS dm,
+       date_diff('week', TIMESTAMP '2024-01-01 00:00:00', b)::BIGINT
+         AS dw
+FROM base
+"""
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -3678,6 +3737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy": q_cms_heavy,
         "weighted_sample": q_weighted_sample,
         "decontaminate": q_decontaminate,
+        "date_arith": q_date_arith,
         # -- block 1: no driver row yet ---------------------------------
         "domain_mix": q_domain_mix,
         "pack_sequences": q_pack_sequences,
@@ -3780,6 +3840,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_heavy": _oracle_cms_heavy(),
         "weighted_sample": _ORACLE_WEIGHTED_SAMPLE,
         "decontaminate": _ORACLE_DECONTAMINATE,
+        "date_arith": _ORACLE_DATE_ARITH,
         "pricing_summary": _ORACLE_PRICING,
         "segment_revenue": _ORACLE_SEGMENT,
         "match_query_ops": _ORACLE_MATCH_OPS,

@@ -444,6 +444,92 @@ def _from_epoch_nanos(args, ctx):
     )
 
 
+# MongoDB 5.0 date arithmetic (extensions beyond the reference's
+# ISO/epoch set; same ISO-string wire format).  Units per Mongo,
+# weeks ISO (Monday start).
+_DATE_UNIT_MS = {
+    "millisecond": 1, "second": 1000, "minute": 60_000,
+    "hour": 3_600_000, "day": 86_400_000, "week": 604_800_000,
+}
+_TS_ADD_UNITS = {
+    "year": "YEAR", "quarter": "QUARTER", "month": "MONTH",
+    "week": "WEEK", "day": "DAY", "hour": "HOUR", "minute": "MINUTE",
+    "second": "SECOND", "millisecond": "MILLISECOND",
+}
+
+
+def _date_trunc_op(args, ctx):
+    # {date, unit, binSize?}: binSize 1 -> native date_trunc (all
+    # units); binSize > 1 -> fixed-width units only, epoch-anchored
+    # bins (floor(ms / width) * width)
+    d = _as_ts(compile_expr(args["date"], ctx))
+    unit = args.get("unit", "day")
+    bin_size = int(args.get("binSize", 1))
+    if bin_size == 1:
+        if unit == "millisecond":
+            return _iso_instant(d)
+        if unit not in _TS_ADD_UNITS:
+            raise UnsupportedExpression(f"$dateTrunc unit {unit!r}")
+        return _iso_instant(F.date_trunc(unit, d))
+    if unit not in _DATE_UNIT_MS:
+        raise UnsupportedExpression(
+            f"$dateTrunc binSize needs a fixed-width unit, got {unit!r}"
+        )
+    w = _DATE_UNIT_MS[unit] * bin_size
+    ms = F.unix_millis(d)
+    return _iso_instant(
+        F.timestamp_millis((F.floor(ms / w) * w).cast("long"))
+    )
+
+
+def _date_add_op(sign: int):
+    def h(args, ctx):
+        d = _as_ts(compile_expr(args["startDate"], ctx))
+        unit = args["unit"]
+        if unit not in _TS_ADD_UNITS:
+            raise UnsupportedExpression(f"$dateAdd unit {unit!r}")
+        amount = (
+            compile_expr(args["amount"], ctx).cast("int") * sign
+        )
+        return _iso_instant(
+            F.timestamp_add(_TS_ADD_UNITS[unit], amount, d)
+        )
+    return h
+
+
+def _date_diff_op(args, ctx):
+    # Mongo semantics: BOUNDARY crossings between startDate and
+    # endDate, not elapsed full units (23:59 -> 00:01 is 1 day)
+    s = _as_ts(compile_expr(args["startDate"], ctx))
+    e = _as_ts(compile_expr(args["endDate"], ctx))
+    unit = args["unit"]
+    if unit == "year":
+        return (F.year(e) - F.year(s)).cast("long")
+    if unit == "quarter":
+        return (
+            (F.year(e) * 4 + F.quarter(e))
+            - (F.year(s) * 4 + F.quarter(s))
+        ).cast("long")
+    if unit == "month":
+        return (
+            (F.year(e) * 12 + F.month(e))
+            - (F.year(s) * 12 + F.month(s))
+        ).cast("long")
+    if unit == "week":
+        # ISO weeks: epoch day 0 was a Thursday, +3 aligns Mondays
+        def wk(t):
+            return F.floor(
+                (F.floor(F.unix_millis(t) / 86_400_000) + 3) / 7
+            )
+        return (wk(e) - wk(s)).cast("long")
+    if unit in _DATE_UNIT_MS:
+        w = _DATE_UNIT_MS[unit]
+        return (
+            F.floor(F.unix_millis(e) / w) - F.floor(F.unix_millis(s) / w)
+        ).cast("long")
+    raise UnsupportedExpression(f"$dateDiff unit {unit!r}")
+
+
 # --------------------------------------------------------------------------
 # strings  (docs/aggregation_operators.md:726-949)
 # --------------------------------------------------------------------------
@@ -888,6 +974,11 @@ OPERATORS: dict[str, Callable[[Any, Ctx], Column]] = {
     "$toEpochSeconds": _simple(lambda x: F.unix_seconds(_as_ts(x))),
     "$toMonth": _simple(lambda x: F.month(_as_ts(x))),
     "$toYear": _simple(lambda x: F.year(_as_ts(x))),
+    # MongoDB 5.0 date arithmetic (extensions)
+    "$dateTrunc": _date_trunc_op,
+    "$dateAdd": _date_add_op(1),
+    "$dateSubtract": _date_add_op(-1),
+    "$dateDiff": _date_diff_op,
     # literal
     "$literal": _literal,
     # object

@@ -302,3 +302,70 @@ class TestJesOps:
         assert ev(df, {"$jes-added": "/b"}) is False
         assert ev(df, {"$jes-removed": "/b"}) is True
         assert ev(df, {"$jes-changed": "/a"}) is True
+
+
+class TestDateArithmetic:
+    """MongoDB 5.0 date arithmetic extensions ($dateTrunc/$dateAdd/
+    $dateSubtract/$dateDiff, boundary-crossing semantics)."""
+
+    def _eval(self, spark, expr):
+        from pincette_json_streams_spark.operators.context import ctx_for
+        from pincette_json_streams_spark.operators.expressions import (
+            compile_expr,
+        )
+        df = spark.range(1)
+        return df.select(
+            compile_expr(expr, ctx_for(df)).alias("v")).collect()[0]["v"]
+
+    def test_trunc_units_and_bins(self, spark):
+        t = "2024-03-15T13:47:29Z"
+        assert self._eval(spark, {"$dateTrunc": {
+            "date": t, "unit": "day"}}) == "2024-03-15T00:00:00Z"
+        assert self._eval(spark, {"$dateTrunc": {
+            "date": t, "unit": "month"}}) == "2024-03-01T00:00:00Z"
+        assert self._eval(spark, {"$dateTrunc": {
+            "date": t, "unit": "minute",
+            "binSize": 15}}) == "2024-03-15T13:45:00Z"
+        assert self._eval(spark, {"$dateTrunc": {
+            "date": t, "unit": "hour",
+            "binSize": 6}}) == "2024-03-15T12:00:00Z"
+
+    def test_add_subtract(self, spark):
+        t = "2024-01-31T10:00:00Z"
+        assert self._eval(spark, {"$dateAdd": {
+            "startDate": t, "unit": "month",
+            "amount": 1}}) == "2024-02-29T10:00:00Z"   # month clamp
+        assert self._eval(spark, {"$dateSubtract": {
+            "startDate": t, "unit": "day",
+            "amount": 31}}) == "2023-12-31T10:00:00Z"
+
+    def test_diff_counts_boundaries(self, spark):
+        # 23:59 -> 00:01 crosses one day boundary (Mongo semantics)
+        assert self._eval(spark, {"$dateDiff": {
+            "startDate": "2024-01-01T23:59:00Z",
+            "endDate": "2024-01-02T00:01:00Z", "unit": "day"}}) == 1
+        # under one full day elapsed, still 1
+        assert self._eval(spark, {"$dateDiff": {
+            "startDate": "2024-01-01T00:00:00Z",
+            "endDate": "2024-03-01T00:00:00Z", "unit": "month"}}) == 2
+        # ISO weeks: Sun 2024-01-07 -> Mon 2024-01-08 crosses a week
+        assert self._eval(spark, {"$dateDiff": {
+            "startDate": "2024-01-07T12:00:00Z",
+            "endDate": "2024-01-08T12:00:00Z", "unit": "week"}}) == 1
+        assert self._eval(spark, {"$dateDiff": {
+            "startDate": "2024-01-01T12:00:00Z",
+            "endDate": "2024-01-07T12:00:00Z", "unit": "week"}}) == 0
+
+    def test_bad_units_raise(self, spark):
+        import pytest
+        from pincette_json_streams_spark.operators.expressions import (
+            UnsupportedExpression,
+        )
+        with pytest.raises(UnsupportedExpression):
+            self._eval(spark, {"$dateTrunc": {
+                "date": "2024-01-01T00:00:00Z", "unit": "month",
+                "binSize": 2}})
+        with pytest.raises(UnsupportedExpression):
+            self._eval(spark, {"$dateDiff": {
+                "startDate": "2024-01-01T00:00:00Z",
+                "endDate": "2024-01-02T00:00:00Z", "unit": "fortnight"}})
