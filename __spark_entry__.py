@@ -3709,6 +3709,44 @@ FROM base
 """
 
 
+def q_topn_accumulators(spark, sf_dir):
+    """MongoDB 5.2 N-accumulators ($topN/$bottomN/$minN/$maxN) in
+    $group — one aggregation buffer per group (collect_list ->
+    array_sort -> slice), no window, no second shuffle.  Unique
+    o_orderkey in the sortBy makes the order total, so the arrays are
+    engine-stable."""
+    return _pipe(spark, sf_dir, "orders", [
+        {"$group": {
+            "_id": "$o_orderpriority",
+            "top3_keys": {"$topN": {
+                "n": 3,
+                "sortBy": {"o_totalprice": -1, "o_orderkey": -1},
+                "output": "$o_orderkey"}},
+            "bottom2_keys": {"$bottomN": {
+                "n": 2,
+                "sortBy": {"o_totalprice": -1, "o_orderkey": -1},
+                "output": "$o_orderkey"}},
+            "min3_price": {"$minN": {"input": "$o_totalprice", "n": 3}},
+            "max3_price": {"$maxN": {"input": "$o_totalprice", "n": 3}},
+        }},
+        {"$project": {"_id": 0, "priority": "$_id", "top3_keys": 1,
+                      "bottom2_keys": 1, "min3_price": 1,
+                      "max3_price": 1}},
+    ])
+
+
+_ORACLE_TOPN_ACCUM = """
+SELECT o_orderpriority AS priority,
+       (list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey DESC))
+         [1:3] AS top3_keys,
+       (list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey DESC))
+         [-2:] AS bottom2_keys,
+       list_sort(list(o_totalprice))[1:3] AS min3_price,
+       list_reverse_sort(list(o_totalprice))[1:3] AS max3_price
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -3738,6 +3776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "decontaminate": q_decontaminate,
         "date_arith": q_date_arith,
+        "topn_accumulators": q_topn_accumulators,
         # -- block 1: no driver row yet ---------------------------------
         "domain_mix": q_domain_mix,
         "pack_sequences": q_pack_sequences,
@@ -3841,6 +3880,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": _ORACLE_WEIGHTED_SAMPLE,
         "decontaminate": _ORACLE_DECONTAMINATE,
         "date_arith": _ORACLE_DATE_ARITH,
+        "topn_accumulators": _ORACLE_TOPN_ACCUM,
         "pricing_summary": _ORACLE_PRICING,
         "segment_revenue": _ORACLE_SEGMENT,
         "match_query_ops": _ORACLE_MATCH_OPS,

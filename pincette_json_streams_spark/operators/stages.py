@@ -251,6 +251,9 @@ def _accumulator(name: str, arg: Any, ctx: Ctx, alias: str) -> Column:
                 for f in dtype.fields
             ]).alias(alias)
         return F.last(col, ignorenulls=True).alias(alias)
+    if name in ("$minN", "$maxN", "$firstN", "$lastN",
+                "$topN", "$bottomN"):
+        return _n_accumulator(name, arg, ctx).alias(alias)
     fn = _ACCUMULATORS.get(name)
     if fn is None:
         raise UnsupportedExpression(f"unknown accumulator {name}")
@@ -258,6 +261,69 @@ def _accumulator(name: str, arg: Any, ctx: Ctx, alias: str) -> Column:
             isinstance(arg, bool) and arg == 1:
         return F.count(F.lit(1)).alias(alias)
     return fn(compile_expr(arg, ctx)).alias(alias)
+
+
+def _n_accumulator(name: str, arg: Any, ctx: Ctx) -> Column:
+    """MongoDB 5.2 N-accumulators (extensions beyond the reference's
+    §2.4 set): $minN/$maxN (n smallest/largest input values),
+    $topN/$bottomN (outputs of the n first/last elements under sortBy),
+    $firstN/$lastN (n values in encounter order — which a distributed
+    group cannot honor, so this engine REQUIRES an explicit sortBy and
+    treats them as $topN/$bottomN; an unsorted form would be
+    partition-order nondeterminism dressed as a result).
+
+    Compiled as collect_list -> array_sort -> slice -> project: the
+    whole thing is ONE aggregation buffer per group, no window, no
+    second shuffle.  State is O(group size) during the aggregation (the
+    engine-level truncation to n happens at slice time); for bounded-n
+    over huge groups prefer the window top-k path ($windowFields +
+    $match)."""
+    n = int(arg["n"])
+    if name in ("$minN", "$maxN"):
+        vals = F.array_sort(F.collect_list(compile_expr(arg["input"], ctx)))
+        if name == "$maxN":
+            vals = F.reverse(vals)
+        return F.slice(vals, 1, n)
+    sort_by = arg.get("sortBy")
+    if not sort_by:
+        raise UnsupportedExpression(
+            f"{name} requires sortBy (distributed groups have no "
+            "encounter order)"
+        )
+    out_expr = arg.get("output")
+    if out_expr is None:
+        raise UnsupportedExpression(f"{name} requires output")
+    # struct(sort keys..., output); array_sort orders by the leading
+    # struct fields.  Descending keys negate when numeric is unknowable
+    # statically, so build orderable keys per direction via a generic
+    # trick: sort ascending on the raw key, then reverse for a single
+    # all-descending spec; mixed directions fall back to a window.
+    dirs = list(sort_by.values())
+    if all(d >= 0 for d in dirs):
+        descending = False
+    elif all(d < 0 for d in dirs):
+        descending = True
+    else:
+        raise UnsupportedExpression(
+            f"{name}: mixed sortBy directions not supported in the "
+            "single-buffer form; use $windowFields"
+        )
+    keys = [compile_expr(f"${k}", ctx) for k in sort_by]
+    entry = F.struct(
+        *[k.alias(f"__k{i}") for i, k in enumerate(keys)],
+        compile_expr(out_expr, ctx).alias("__out"),
+    )
+    # arr ends up in sortBy ORDER; top/first take the head, bottom/last
+    # take the TAIL while preserving the order (Mongo semantics)
+    arr = F.array_sort(F.collect_list(entry))
+    if descending:
+        arr = F.reverse(arr)
+    if name in ("$topN", "$firstN"):
+        sliced = F.slice(arr, 1, n)
+    else:
+        start = F.greatest(F.size(arr) - n + 1, F.lit(1))
+        sliced = F.slice(arr, start.cast("int"), n)
+    return F.transform(sliced, lambda s: s["__out"])
 
 
 def _group_key(spec_id: Any, ctx: Ctx) -> tuple[list[Column], bool]:

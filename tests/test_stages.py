@@ -769,3 +769,54 @@ class TestSampleFramesStage:
         out = rows(df, [{"$sampleFrames": {"n": 2}}])
         assert len(out[0]["frames"]) == 2
         assert bytes(out[0]["frames"][0]["frame"])[:2] == b"\xff\xd8"
+
+
+class TestNAccumulators:
+    """MongoDB 5.2 N-accumulators in $group ($minN/$maxN/$topN/
+    $bottomN/$firstN/$lastN with mandatory sortBy)."""
+
+    def test_min_max_n(self, people):
+        out = rows(people, [{"$group": {
+            "_id": None,
+            "youngest2": {"$minN": {"input": "$age", "n": 2}},
+            "oldest2": {"$maxN": {"input": "$age", "n": 2}},
+        }}])[0]
+        assert out["youngest2"] == [28, 28]
+        assert out["oldest2"] == [41, 34]
+
+    def test_top_bottom_n(self, people):
+        out = rows(people, [{"$group": {
+            "_id": None,
+            "richest": {"$topN": {"n": 2, "sortBy": {"balance": -1},
+                                  "output": "$name"}},
+            "poorest": {"$bottomN": {"n": 2, "sortBy": {"balance": -1},
+                                     "output": "$name"}},
+        }}])[0]
+        assert out["richest"] == ["Alice", "Dave"]
+        assert out["poorest"] == ["Carol", "Bob"]
+
+    def test_first_last_n_require_sort(self, people):
+        from pincette_json_streams_spark.operators.expressions import (
+            UnsupportedExpression,
+        )
+        with pytest.raises(UnsupportedExpression):
+            rows(people, [{"$group": {
+                "_id": None,
+                "f": {"$firstN": {"input": "$name", "n": 2}}}}])
+        out = rows(people, [{"$group": {
+            "_id": "$age",
+            "f2": {"$firstN": {"n": 1, "sortBy": {"_id": 1},
+                               "output": "$name"}},
+        }}])
+        by_age = {r["_id"]: r["f2"] for r in out}
+        assert by_age[28] == ["Bob"]
+
+    def test_per_group(self, people):
+        out = rows(people, [{"$group": {
+            "_id": "$age",
+            "names": {"$topN": {"n": 5, "sortBy": {"name": 1},
+                                "output": "$name"}},
+        }}])
+        got = {r["_id"]: r["names"] for r in out}
+        assert got[28] == ["Bob", "Dave"]
+        assert got[34] == ["Alice"]
