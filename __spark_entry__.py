@@ -3747,6 +3747,36 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def q_percentile_accum(spark, sf_dir):
+    """MongoDB 7.0 $percentile/$median accumulators in $group — exact
+    linear-interpolation percentiles per group (F.percentile == DuckDB
+    quantile_cont), aggregated without a global sort."""
+    return _pipe(spark, sf_dir, "orders", [
+        {"$group": {
+            "_id": "$o_orderpriority",
+            "price_pcts": {"$percentile": {
+                "input": "$o_totalprice", "p": [0.25, 0.5, 0.9]}},
+            "med": {"$median": {"input": "$o_totalprice"}},
+        }},
+        {"$project": {
+            "_id": 0, "priority": "$_id",
+            "p25": {"$round": [{"$arrayElemAt": ["$price_pcts", 0]}, 4]},
+            "p50": {"$round": [{"$arrayElemAt": ["$price_pcts", 1]}, 4]},
+            "p90": {"$round": [{"$arrayElemAt": ["$price_pcts", 2]}, 4]},
+            "med": {"$round": ["$med", 4]}}},
+    ])
+
+
+_ORACLE_PERCENTILE_ACCUM = """
+SELECT o_orderpriority AS priority,
+       round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS med
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -3777,6 +3807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "date_arith": q_date_arith,
         "topn_accumulators": q_topn_accumulators,
+        "percentile_accum": q_percentile_accum,
         # -- block 1: no driver row yet ---------------------------------
         "domain_mix": q_domain_mix,
         "pack_sequences": q_pack_sequences,
@@ -3881,6 +3912,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _ORACLE_DECONTAMINATE,
         "date_arith": _ORACLE_DATE_ARITH,
         "topn_accumulators": _ORACLE_TOPN_ACCUM,
+        "percentile_accum": _ORACLE_PERCENTILE_ACCUM,
         "pricing_summary": _ORACLE_PRICING,
         "segment_revenue": _ORACLE_SEGMENT,
         "match_query_ops": _ORACLE_MATCH_OPS,

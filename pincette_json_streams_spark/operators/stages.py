@@ -254,6 +254,22 @@ def _accumulator(name: str, arg: Any, ctx: Ctx, alias: str) -> Column:
     if name in ("$minN", "$maxN", "$firstN", "$lastN",
                 "$topN", "$bottomN"):
         return _n_accumulator(name, arg, ctx).alias(alias)
+    if name == "$percentile":
+        # MongoDB 7.0 shape {input, p: [..], method}: exact linear-
+        # interpolation percentiles (F.percentile == DuckDB
+        # quantile_cont); "approximate" maps to the same exact path —
+        # Spark's exact percentile aggregates per group without a
+        # global sort, so there is no cheaper approximate tier to buy
+        ps = [float(p) for p in arg["p"]]
+        return F.percentile(
+            compile_expr(arg["input"], ctx),
+            F.array(*[F.lit(p) for p in ps]),
+        ).alias(alias)
+    if name == "$median":
+        inp = arg["input"] if isinstance(arg, dict) else arg
+        return F.percentile(
+            compile_expr(inp, ctx), F.lit(0.5)
+        ).alias(alias)
     fn = _ACCUMULATORS.get(name)
     if fn is None:
         raise UnsupportedExpression(f"unknown accumulator {name}")

@@ -820,3 +820,25 @@ class TestNAccumulators:
         got = {r["_id"]: r["names"] for r in out}
         assert got[28] == ["Bob", "Dave"]
         assert got[34] == ["Alice"]
+
+
+class TestPercentileAccumulators:
+    """MongoDB 7.0 $percentile / $median accumulators."""
+
+    def test_percentile_and_median(self, people):
+        out = rows(people, [{"$group": {
+            "_id": None,
+            "ps": {"$percentile": {"input": "$age",
+                                   "p": [0.0, 0.5, 1.0]}},
+            "med": {"$median": {"input": "$balance"}},
+        }}])[0]
+        # ages 28,28,34,41 -> p0=28, p50=31 (interpolated), p100=41
+        assert out["ps"] == [28.0, 31.0, 41.0]
+        # balances -50.25, 0.0, 999.99, 1200.5 -> median 499.995
+        assert out["med"] == 499.995
+
+    def test_per_group(self, people):
+        out = rows(people, [{"$group": {
+            "_id": "$age", "m": {"$median": "$balance"}}}])
+        got = {r["_id"]: r["m"] for r in out}
+        assert got[28] == pytest.approx((999.99 - 50.25) / 2)
