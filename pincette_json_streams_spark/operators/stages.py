@@ -1076,6 +1076,13 @@ def _stage_decode_image_ext(df, spec, pctx):
                         hist_bins=int(spec.get("bins", 16)))
 
 
+def _batch_only(df, stage: str, why: str) -> None:
+    # A clear spec-level error beats the AnalysisException Spark would
+    # throw at sink start for an unstreamable plan.
+    if df.isStreaming:
+        raise UnsupportedExpression(f"{stage} is batch-only ({why})")
+
+
 def _window_frame(win, sort_cols, bounds):
     # documents: [a, b] with "unbounded"/"current"/int offsets
     from pyspark.sql.window import Window as W
@@ -1109,6 +1116,7 @@ def _stage_window_fields_ext(df, spec, pctx):
     WindowSpec family — a single hash-partition exchange on the
     partitionBy key plus an in-partition sort, exactly what Catalyst
     plans for analytic SQL; no UDF, no second shuffle per field."""
+    _batch_only(df, "$windowFields", "no ordered frames over unbounded streams")
     from pyspark.sql.window import Window as W
 
     ctx = ctx_for(df)
@@ -1219,6 +1227,7 @@ def _stage_dedup_spans_ext(df, spec, pctx):
     # {"text": col, "id": col, "width": n, "action": "mark"|"strip"} —
     # exact-substring dedup (functions/text.py duplicate_spans /
     # strip_duplicate_spans)
+    _batch_only(df, "$dedupSpans", "corpus-wide window counts")
     from pincette_json_streams_spark.functions.text import (
         duplicate_spans, strip_duplicate_spans,
     )
@@ -1264,6 +1273,7 @@ def _stage_zorder_ext(df, spec, pctx):
     # {"columns": [..], "bits": n, "partitions": n?} — Morton layout
     # key (functions/layout.py); with "partitions" the stream is also
     # range-clustered for the write
+    _batch_only(df, "$zorder", "write layout needs global stats")
     from pincette_json_streams_spark.functions.layout import (
         cluster_by_zorder, zorder_key,
     )
@@ -1280,6 +1290,7 @@ def _stage_zorder_ext(df, spec, pctx):
 def _stage_weighted_sample_ext(df, spec, pctx):
     # {"weight": col, "k": n, "by": col?, "id": col} — deterministic
     # A-ES weighted sampling (functions/sampling.py)
+    _batch_only(df, "$weightedSample", "global top-k by sample key")
     from pincette_json_streams_spark.functions.sampling import (
         weighted_sample,
     )
@@ -1328,6 +1339,7 @@ def _stage_facet_ext(df, spec, pctx):
     order contract cannot survive distributed collection, so the
     engine-stable order is sorted.  Each facet must fit one row — the
     same practical bound as Mongo's 16 MB facet document."""
+    _batch_only(df, "$facet", "facets collapse the whole input to one row")
     if not isinstance(spec, dict) or not spec:
         raise UnsupportedExpression("$facet needs {name: [stages]}")
     outs = []
@@ -1358,6 +1370,7 @@ def _stage_densify_ext(df, spec, pctx):
     proportional to the number of HOLES, not the data), one anti-join
     against existing values, union-by-name with NULL non-key columns —
     the raw rows are never rescanned."""
+    _batch_only(df, "$densify", "grid bounds need the whole series")
     field = spec["field"]
     parts = list(spec.get("partitionByFields") or [])
     rng = spec.get("range") or {}
@@ -1412,6 +1425,7 @@ def _stage_fill_ext(df, spec, pctx):
     locf compiles to ``last(ignorenulls)`` over one shared keyed
     window — a single hash-partition exchange covers every filled
     column; value fills are plain coalesce in codegen."""
+    _batch_only(df, "$fill", "locf needs ordered frames")
     from pyspark.sql.window import Window as W
 
     ctx = ctx_for(df)

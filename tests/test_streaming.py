@@ -720,3 +720,35 @@ class TestStreamingRound3:
         for r in cells:
             per_d[r["d"]] = per_d.get(r["d"], 0) + r["cnt"]
         assert per_d == {0: 4, 1: 4}
+
+
+class TestBatchOnlyStageGuards:
+    """Batch-only stages reject streaming input with a clear spec-level
+    error instead of a late AnalysisException."""
+
+    def test_guards(self, spark, tmp_path, people_dir):
+        from pincette_json_streams_spark.operators.expressions import (
+            UnsupportedExpression,
+        )
+        from pincette_json_streams_spark.operators.stages import (
+            PipelineContext, compile_pipeline,
+        )
+        catalog = file_stream_catalog(
+            spark, {"people": people_dir}, {"people": PEOPLE_SCHEMA})
+        sdf = catalog["people"]
+        cases = [
+            {"$windowFields": {"sortBy": {"age": 1},
+                               "output": {"r": {"$rank": {}}}}},
+            {"$densify": {"field": "age", "partitionByFields": ["_id"],
+                          "range": {"step": 1, "bounds": "partition"}}},
+            {"$fill": {"sortBy": {"age": 1},
+                       "output": {"balance": {"method": "locf"}}}},
+            {"$facet": {"a": [{"$count": "n"}]}},
+            {"$dedupSpans": {"text": "name", "id": "_id"}},
+            {"$zorder": {"columns": ["age", "balance"]}},
+            {"$weightedSample": {"weight": "balance", "k": 1,
+                                 "id": "_id"}},
+        ]
+        for stage in cases:
+            with pytest.raises(UnsupportedExpression, match="batch-only"):
+                compile_pipeline(sdf, [stage], PipelineContext())
