@@ -3777,6 +3777,49 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def q_modern_ops(spark, sf_dir):
+    """MongoDB 5.x expression extensions gallery: $sortArray, array
+    $minN/$firstN, $dateToString/$dateFromString with Mongo format
+    specifiers — all native Column trees."""
+    return _pipe(spark, sf_dir, "orders", [
+        {"$match": {"o_orderkey": {"$lte": 3000}}},
+        {"$project": {
+            "_id": 0, "o_orderkey": 1,
+            "sorted_desc": {"$sortArray": {
+                "input": {"$split": ["$o_orderpriority", "-"]},
+                "sortBy": -1}},
+            "first1": {"$firstN": {
+                "input": {"$split": ["$o_orderpriority", "-"]},
+                "n": 1}},
+            "min2": {"$minN": {
+                "input": [{"$mod": ["$o_orderkey", 7]},
+                          {"$mod": ["$o_orderkey", 5]},
+                          {"$mod": ["$o_orderkey", 3]}],
+                "n": 2}},
+            "date_str": {"$dateToString": {
+                "date": "$o_orderdate", "format": "%d/%m/%Y"}},
+            "parsed": {"$dateFromString": {
+                "dateString": {"$dateToString": {
+                    "date": "$o_orderdate", "format": "%d/%m/%Y"}},
+                "format": "%d/%m/%Y"}},
+        }},
+    ])
+
+
+_ORACLE_MODERN_OPS = """
+SELECT o_orderkey,
+       list_reverse_sort(string_split(o_orderpriority, '-'))
+         AS sorted_desc,
+       string_split(o_orderpriority, '-')[1:1] AS first1,
+       list_sort([o_orderkey % 7, o_orderkey % 5, o_orderkey % 3])[1:2]
+         AS min2,
+       strftime(o_orderdate, '%d/%m/%Y') AS date_str,
+       strftime(strptime(strftime(o_orderdate, '%d/%m/%Y'),
+                         '%d/%m/%Y'), '%Y-%m-%dT%H:%M:%SZ') AS parsed
+FROM orders WHERE o_orderkey <= 3000
+"""
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -3808,6 +3851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_arith": q_date_arith,
         "topn_accumulators": q_topn_accumulators,
         "percentile_accum": q_percentile_accum,
+        "modern_ops": q_modern_ops,
         # -- block 1: no driver row yet ---------------------------------
         "domain_mix": q_domain_mix,
         "pack_sequences": q_pack_sequences,
@@ -3913,6 +3957,7 @@ def oracle_sql() -> dict[str, str]:
         "date_arith": _ORACLE_DATE_ARITH,
         "topn_accumulators": _ORACLE_TOPN_ACCUM,
         "percentile_accum": _ORACLE_PERCENTILE_ACCUM,
+        "modern_ops": _ORACLE_MODERN_OPS,
         "pricing_summary": _ORACLE_PRICING,
         "segment_revenue": _ORACLE_SEGMENT,
         "match_query_ops": _ORACLE_MATCH_OPS,

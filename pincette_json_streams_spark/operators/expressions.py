@@ -458,6 +458,120 @@ _TS_ADD_UNITS = {
 }
 
 
+def _sort_array_op(args, ctx):
+    # MongoDB 5.2 $sortArray {input, sortBy: 1|-1} (scalar sort; the
+    # object-field sortBy form needs per-field comparators -> the
+    # $windowFields/top-N paths cover those shapes)
+    arr = compile_expr(args["input"], ctx)
+    direction = args.get("sortBy", 1)
+    if not isinstance(direction, int):
+        raise UnsupportedExpression(
+            "$sortArray: only scalar sortBy 1|-1 supported"
+        )
+    out = F.array_sort(arr)
+    return F.reverse(out) if direction < 0 else out
+
+
+def _array_n_op(name: str):
+    # MongoDB 5.2 array expressions: n smallest/largest/leading/
+    # trailing elements
+    def h(args, ctx):
+        arr = compile_expr(args["input"], ctx)
+        n = compile_expr(args["n"], ctx).cast("int")
+        if name == "$minN":
+            return F.slice(F.array_sort(arr), F.lit(1), n)
+        if name == "$maxN":
+            return F.slice(F.reverse(F.array_sort(arr)), F.lit(1), n)
+        if name == "$firstN":
+            return F.slice(arr, F.lit(1), n)
+        # $lastN keeps order: slice from max(size-n+1, 1)
+        start = F.greatest(F.size(arr) - n + 1, F.lit(1)).cast("int")
+        return F.slice(arr, start, n)
+    return h
+
+
+def _get_field_op(args, ctx):
+    # MongoDB 5.0 $getField: static field name over a struct input
+    if isinstance(args, str):
+        field, inp = args, "$$CURRENT"
+        return ctx.field(field)
+    field = args["field"]
+    if not isinstance(field, str):
+        raise UnsupportedExpression("$getField: field must be static")
+    return compile_expr(args["input"], ctx).getField(field)
+
+
+def _set_field_op(args, ctx):
+    field = args["field"]
+    if not isinstance(field, str):
+        raise UnsupportedExpression("$setField: field must be static")
+    inp = compile_expr(args["input"], ctx)
+    val = args["value"]
+    if isinstance(val, str) and val == "$$REMOVE":
+        return inp.dropFields(f"`{field}`")
+    return inp.withField(f"`{field}`", compile_expr(val, ctx))
+
+
+def _unset_field_op(args, ctx):
+    field = args["field"]
+    if not isinstance(field, str):
+        raise UnsupportedExpression("$unsetField: field must be static")
+    return compile_expr(args["input"], ctx).dropFields(f"`{field}`")
+
+
+# Mongo format specifiers -> Spark/Java datetime pattern letters
+_MONGO_DATE_FMT = {
+    "%Y": "yyyy", "%m": "MM", "%d": "dd", "%H": "HH", "%M": "mm",
+    "%S": "ss", "%L": "SSS", "%j": "DDD", "%u": "e", "%G": "YYYY",
+    "%V": "ww", "%z": "xx", "%%": "%",
+}
+
+
+def _mongo_fmt_to_java(fmt: str) -> str:
+    out = []
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            spec = fmt[i:i + 2]
+            if spec not in _MONGO_DATE_FMT:
+                raise UnsupportedExpression(
+                    f"$dateToString: unsupported specifier {spec}"
+                )
+            out.append(_MONGO_DATE_FMT[spec])
+            i += 2
+        elif fmt[i].isalpha():
+            out.append(f"'{fmt[i]}'")   # literal letters need quoting
+            i += 1
+        else:
+            out.append(fmt[i])
+            i += 1
+    return "".join(out)
+
+
+def _date_to_string_op(args, ctx):
+    d = _as_ts(compile_expr(args["date"], ctx))
+    fmt = args.get("format", "%Y-%m-%dT%H:%M:%S.%LZ")
+    formatted = F.date_format(d, _mongo_fmt_to_java(fmt))
+    if "onNull" in args:
+        return F.coalesce(formatted, compile_expr(args["onNull"], ctx))
+    return formatted
+
+
+def _date_from_string_op(args, ctx):
+    s = compile_expr(args["dateString"], ctx)
+    fmt = args.get("format")
+    ts = (
+        F.to_timestamp(s, _mongo_fmt_to_java(fmt))
+        if fmt else F.to_timestamp(s)
+    )
+    if "onNull" in args or "onError" in args:
+        fallback = compile_expr(
+            args.get("onError", args.get("onNull")), ctx
+        )
+        return F.coalesce(_iso_instant(ts), fallback)
+    return _iso_instant(ts)
+
+
 def _date_trunc_op(args, ctx):
     # {date, unit, binSize?}: binSize 1 -> native date_trunc (all
     # units); binSize > 1 -> fixed-width units only, epoch-anchored
@@ -979,6 +1093,17 @@ OPERATORS: dict[str, Callable[[Any, Ctx], Column]] = {
     "$dateAdd": _date_add_op(1),
     "$dateSubtract": _date_add_op(-1),
     "$dateDiff": _date_diff_op,
+    "$dateToString": _date_to_string_op,
+    "$dateFromString": _date_from_string_op,
+    # MongoDB 5.x array/field expressions (extensions)
+    "$sortArray": _sort_array_op,
+    "$minN": _array_n_op("$minN"),
+    "$maxN": _array_n_op("$maxN"),
+    "$firstN": _array_n_op("$firstN"),
+    "$lastN": _array_n_op("$lastN"),
+    "$getField": _get_field_op,
+    "$setField": _set_field_op,
+    "$unsetField": _unset_field_op,
     # literal
     "$literal": _literal,
     # object

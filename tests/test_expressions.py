@@ -369,3 +369,77 @@ class TestDateArithmetic:
             self._eval(spark, {"$dateDiff": {
                 "startDate": "2024-01-01T00:00:00Z",
                 "endDate": "2024-01-02T00:00:00Z", "unit": "fortnight"}})
+
+
+class TestModernExpressionOps:
+    """MongoDB 5.x expression extensions: $sortArray, N-array ops,
+    $getField/$setField/$unsetField, $dateToString/$dateFromString."""
+
+    def _eval(self, spark, expr):
+        from pincette_json_streams_spark.operators.context import ctx_for
+        from pincette_json_streams_spark.operators.expressions import (
+            compile_expr,
+        )
+        df = spark.range(1)
+        r = df.select(
+            compile_expr(expr, ctx_for(df)).alias("v")).collect()[0]["v"]
+        return r
+
+    def test_sort_array(self, spark):
+        assert self._eval(spark, {"$sortArray": {
+            "input": [3, 1, 2], "sortBy": 1}}) == [1, 2, 3]
+        assert self._eval(spark, {"$sortArray": {
+            "input": [3, 1, 2], "sortBy": -1}}) == [3, 2, 1]
+
+    def test_array_n_ops(self, spark):
+        arr = [5, 1, 4, 2, 3]
+        assert self._eval(spark, {"$minN": {"input": arr, "n": 2}}) \
+            == [1, 2]
+        assert self._eval(spark, {"$maxN": {"input": arr, "n": 2}}) \
+            == [5, 4]
+        assert self._eval(spark, {"$firstN": {"input": arr, "n": 3}}) \
+            == [5, 1, 4]
+        assert self._eval(spark, {"$lastN": {"input": arr, "n": 3}}) \
+            == [4, 2, 3]
+        # n beyond the array length: whole array, order preserved
+        assert self._eval(spark, {"$lastN": {"input": arr, "n": 9}}) \
+            == arr
+
+    def test_field_ops(self, spark):
+        doc = {"a": 1, "b": "x"}
+        assert self._eval(spark, {"$getField": {
+            "field": "b", "input": {"$literal": doc}}}) == "x"
+        got = self._eval(spark, {"$setField": {
+            "field": "c", "input": {"$literal": doc}, "value": 9}})
+        assert got.asDict() == {"a": 1, "b": "x", "c": 9}
+        got2 = self._eval(spark, {"$unsetField": {
+            "field": "a", "input": {"$literal": doc}}})
+        assert got2.asDict() == {"b": "x"}
+        got3 = self._eval(spark, {"$setField": {
+            "field": "b", "input": {"$literal": doc},
+            "value": "$$REMOVE"}})
+        assert got3.asDict() == {"a": 1}
+
+    def test_date_to_from_string(self, spark):
+        assert self._eval(spark, {"$dateToString": {
+            "date": "2024-03-05T07:08:09Z",
+            "format": "%Y/%m/%d %H:%M"}}) == "2024/03/05 07:08"
+        assert self._eval(spark, {"$dateFromString": {
+            "dateString": "05-03-2024 07:08:09",
+            "format": "%d-%m-%Y %H:%M:%S"}}) == "2024-03-05T07:08:09Z"
+        # roundtrip without explicit format (ISO)
+        assert self._eval(spark, {"$dateFromString": {
+            "dateString": "2024-03-05T07:08:09Z"}}) \
+            == "2024-03-05T07:08:09Z"
+        # onNull fallback
+        assert self._eval(spark, {"$dateToString": {
+            "date": None, "format": "%Y", "onNull": "none"}}) == "none"
+
+    def test_unsupported_specifier(self, spark):
+        import pytest
+        from pincette_json_streams_spark.operators.expressions import (
+            UnsupportedExpression,
+        )
+        with pytest.raises(UnsupportedExpression):
+            self._eval(spark, {"$dateToString": {
+                "date": "2024-01-01T00:00:00Z", "format": "%Q"}})
