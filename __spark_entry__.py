@@ -3831,10 +3831,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: if the driver samples a prefix of this dict, the
-    # least-recently-driver-checked queries must come first.  Block 1 =
-    # never checked in any CORRECTNESS round (r2 additions), block 2 =
-    # hash-fixed this round, block 3 = green in r1 but absent from r2,
-    # block 4 = long-green r2 gallery.
+    # least-recently-driver-checked queries must come first.  Block 0 =
+    # round-3 additions (never driver-checked), block 1 = r2 additions
+    # never checked in any CORRECTNESS round, block 2 = hash-fixed in
+    # round 3, block 3 = green in r1 but absent from r2, block 4 =
+    # long-green r2 gallery.  Blocks 0+1 (38 queries) fit inside a
+    # 50-query driver prefix.
     return {
         # -- block 0: round-3 additions ---------------------------------
         "dup_spans": q_dup_spans,
