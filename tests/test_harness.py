@@ -227,3 +227,23 @@ class TestFieldEscaping:
         back = unescape_columns(spark.read.parquet(p))
         assert back.columns == ["a.b", "$c"]
         assert back.collect()[0][0] == 1
+
+
+class TestBenchContract:
+    def test_bench_queries_all_registered(self):
+        """Every BENCH_QUERIES name must resolve to a queries() entry —
+        a rename can't silently shrink the bench suite."""
+        import bench
+        import __spark_entry__ as entry
+        qs = entry.queries()
+        missing = [n for n in bench.BENCH_QUERIES if n not in qs]
+        assert not missing, missing
+
+    def test_oracles_cover_queries(self):
+        """Exactly two rows-only queries by design; every other entry
+        has a DuckDB oracle twin."""
+        import __spark_entry__ as entry
+        qs, os_ = entry.queries(), entry.oracle_sql()
+        rows_only = sorted(set(qs) - set(os_))
+        assert rows_only == ["aggregate_fold", "per_batching"]
+        assert not set(os_) - set(qs)       # no orphan oracles
