@@ -3820,6 +3820,38 @@ FROM orders WHERE o_orderkey <= 3000
 """
 
 
+def q_union_buckets(spark, sf_dir):
+    """$unionWith + $bucketAuto: concatenate a transformed second
+    collection onto the stream, then equal-population buckets via
+    ntile (unique keys make the order total, so bucket boundaries are
+    engine-stable)."""
+    return _pipe(spark, sf_dir, "orders", [
+        {"$match": {"o_orderkey": {"$lte": 5000}}},
+        {"$project": {"_id": 0, "o_orderkey": 1}},
+        {"$unionWith": {"coll": "customer", "pipeline": [
+            {"$project": {"_id": 0, "o_orderkey": {
+                "$add": ["$c_custkey", 10000000]}}}]}},
+        {"$bucketAuto": {"groupBy": "$o_orderkey", "buckets": 4,
+                         "output": {"n": {"$sum": 1}}}},
+        {"$project": {"_id": 0, "lo": "$_id.min", "hi": "$_id.max",
+                      "n": 1}},
+    ], catalog_tables=("customer",))
+
+
+_ORACLE_UNION_BUCKETS = """
+WITH u AS (
+  SELECT o_orderkey FROM orders WHERE o_orderkey <= 5000
+  UNION ALL
+  SELECT c_custkey + 10000000 FROM customer
+), b AS (
+  SELECT o_orderkey, ntile(4) OVER (ORDER BY o_orderkey) AS bk FROM u
+)
+SELECT min(o_orderkey)::BIGINT AS lo, max(o_orderkey)::BIGINT AS hi,
+       count(*)::BIGINT AS n
+FROM b GROUP BY bk
+"""
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -3854,6 +3886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topn_accumulators": q_topn_accumulators,
         "percentile_accum": q_percentile_accum,
         "modern_ops": q_modern_ops,
+        "union_buckets": q_union_buckets,
         # -- block 1: no driver row yet ---------------------------------
         "domain_mix": q_domain_mix,
         "pack_sequences": q_pack_sequences,
@@ -3960,6 +3993,7 @@ def oracle_sql() -> dict[str, str]:
         "topn_accumulators": _ORACLE_TOPN_ACCUM,
         "percentile_accum": _ORACLE_PERCENTILE_ACCUM,
         "modern_ops": _ORACLE_MODERN_OPS,
+        "union_buckets": _ORACLE_UNION_BUCKETS,
         "pricing_summary": _ORACLE_PRICING,
         "segment_revenue": _ORACLE_SEGMENT,
         "match_query_ops": _ORACLE_MATCH_OPS,

@@ -415,6 +415,67 @@ def _stage_count(df, spec, pctx):
     return df.groupBy().agg(F.count(F.lit(1)).alias(name))
 
 
+def _stage_bucket_auto(df, spec, pctx):
+    """$bucketAuto (MongoDB shape, batch extension): ~equal-population
+    buckets via ntile over the groupBy expression; _id = {min, max} of
+    each bucket like Mongo.  One sort-shuffle for the ntile window plus
+    the bucket aggregation — granularity ("R5"-style preferred numbers)
+    is not supported, plain equal-population only."""
+    _batch_only(df, "$bucketAuto", "ntile needs a total order")
+    from pyspark.sql.window import Window as W
+
+    ctx = ctx_for(df)
+    group_by = compile_expr(spec["groupBy"], ctx)
+    n = int(spec["buckets"])
+    w = W.orderBy(group_by.asc())
+    bucketed = df.withColumn("__b", F.ntile(n).over(w)).withColumn(
+        "__gb", group_by
+    )
+    output = spec.get("output", {"count": {"$sum": 1}})
+    bctx = ctx_for(bucketed)
+    aggs = [
+        F.min("__gb").alias("__min"), F.max("__gb").alias("__max"),
+    ]
+    for out_name, acc in output.items():
+        (acc_name, acc_arg), = acc.items()
+        aggs.append(_accumulator(acc_name, acc_arg, bctx, out_name))
+    out = bucketed.groupBy("__b").agg(*aggs)
+    return out.select(
+        F.struct(
+            F.col("__min").alias("min"), F.col("__max").alias("max")
+        ).alias("_id"),
+        *[c for c in out.columns if c not in ("__b", "__min", "__max")],
+    )
+
+
+def _stage_union_with(df, spec, pctx):
+    """$unionWith (MongoDB 4.4): concatenate another collection
+    (optionally pre-transformed by a pipeline) onto the stream —
+    unionByName with missing columns allowed, exactly the `merge` part
+    semantics at stage granularity."""
+    if isinstance(spec, str):
+        coll, pipeline = spec, []
+    else:
+        coll, pipeline = spec["coll"], spec.get("pipeline", [])
+    other = pctx.collection(coll)
+    if pipeline:
+        other = compile_pipeline(other, pipeline, pctx)
+    return df.unionByName(other, allowMissingColumns=True)
+
+
+def _stage_documents(df, spec, pctx):
+    """$documents (MongoDB 5.1): replace the input with literal
+    documents — the inline test/seed source."""
+    if not isinstance(spec, list):
+        raise UnsupportedExpression("$documents needs a list")
+    spark = df.sparkSession
+    return spark.createDataFrame([json.dumps(d) for d in spec],
+                                 "string").selectExpr(
+        "from_json(value, schema_of_json('" +
+        json.dumps(spec[0]).replace("'", "\\'") + "')) AS __doc"
+    ).select("__doc.*")
+
+
 def _stage_deduplicate(df, spec, pctx):
     # docs:93-116 — drop duplicates by expression.  Batch: exact global
     # dedup.  Streaming: dropDuplicatesWithinWatermark over an ingest-time
@@ -1533,4 +1594,7 @@ STAGES: dict[str, Callable[[DataFrame, Any, PipelineContext], DataFrame]] = {
     "$weightedSample": _stage_weighted_sample_ext,
     "$cmsSketch": _stage_cms_sketch_ext,
     "$sampleFrames": _stage_sample_frames_ext,
+    "$bucketAuto": _stage_bucket_auto,
+    "$unionWith": _stage_union_with,
+    "$documents": _stage_documents,
 }

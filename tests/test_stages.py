@@ -842,3 +842,52 @@ class TestPercentileAccumulators:
             "_id": "$age", "m": {"$median": "$balance"}}}])
         got = {r["_id"]: r["m"] for r in out}
         assert got[28] == pytest.approx((999.99 - 50.25) / 2)
+
+
+class TestUnionBucketAutoDocuments:
+    """$unionWith / $bucketAuto / $documents stages."""
+
+    def test_union_with(self, spark, people):
+        extra = spark.createDataFrame(
+            [("p9", "Zoe", 55)], "_id string, name string, age int")
+        out = rows(people, [
+            {"$unionWith": {"coll": "extra"}},
+            {"$project": {"_id": 1}},
+        ], catalog={"extra": extra})
+        assert len(out) == 5
+        out2 = rows(people, [
+            {"$unionWith": {"coll": "extra", "pipeline": [
+                {"$match": {"age": {"$gte": 50}}}]}},
+        ], catalog={"extra": extra})
+        assert len(out2) == 5
+        # missing columns arrive as NULL
+        zoe = [r for r in out2 if r["_id"] == "p9"][0]
+        assert zoe["balance"] is None
+
+    def test_bucket_auto(self, people):
+        out = rows(people, [{"$bucketAuto": {
+            "groupBy": "$age", "buckets": 2,
+            "output": {"n": {"$sum": 1},
+                       "names": {"$push": "$name"}}}}])
+        assert len(out) == 2
+        by_min = sorted(out, key=lambda r: r["_id"]["min"])
+        # ages sorted: 28,28,34,41 -> buckets [28,28] and [34,41]
+        assert by_min[0]["_id"] == {"min": 28, "max": 28}
+        assert by_min[0]["n"] == 2
+        assert by_min[1]["_id"] == {"min": 34, "max": 41}
+
+    def test_documents(self, people):
+        out = rows(people, [
+            {"$documents": [{"k": 1, "s": "a"}, {"k": 2, "s": "b"}]},
+            {"$match": {"k": {"$gte": 2}}},
+        ])
+        assert out == [{"k": 2, "s": "b"}]
+
+    def test_bucket_auto_streaming_rejected(self, spark, people):
+        from pincette_json_streams_spark.operators.expressions import (
+            UnsupportedExpression,
+        )
+        sdf = spark.readStream.format("rate").load()
+        with pytest.raises(UnsupportedExpression):
+            run(sdf, [{"$bucketAuto": {"groupBy": "$value",
+                                       "buckets": 2}}])
