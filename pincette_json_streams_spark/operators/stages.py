@@ -460,6 +460,14 @@ def _stage_union_with(df, spec, pctx):
     other = pctx.collection(coll)
     if pipeline:
         other = compile_pipeline(other, pipeline, pctx)
+    if df.isStreaming != other.isStreaming:
+        # Spark rejects stream-static unions at sink start; fail at
+        # compile with the workable alternatives instead
+        raise UnsupportedExpression(
+            "$unionWith cannot mix a streaming input with a static "
+            "collection (Spark limitation); use a static catalog in "
+            "batch mode, two streams, or a $lookup/merge part"
+        )
     return df.unionByName(other, allowMissingColumns=True)
 
 

@@ -752,3 +752,23 @@ class TestBatchOnlyStageGuards:
         for stage in cases:
             with pytest.raises(UnsupportedExpression, match="batch-only"):
                 compile_pipeline(sdf, [stage], PipelineContext())
+
+
+class TestUnionWithStreamGuard:
+    def test_mixed_union_rejected(self, spark, tmp_path, people_dir):
+        from pincette_json_streams_spark.operators.expressions import (
+            UnsupportedExpression,
+        )
+        from pincette_json_streams_spark.operators.stages import (
+            PipelineContext, compile_pipeline,
+        )
+        catalog = file_stream_catalog(
+            spark, {"people": people_dir}, {"people": PEOPLE_SCHEMA})
+        static = spark.createDataFrame(
+            [("x", "Y", 1, 0.0)], PEOPLE_SCHEMA)
+        with pytest.raises(UnsupportedExpression, match="cannot mix"):
+            compile_pipeline(
+                catalog["people"],
+                [{"$unionWith": {"coll": "extra"}}],
+                PipelineContext(catalog={"extra": static}),
+            )
