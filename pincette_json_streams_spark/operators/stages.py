@@ -473,14 +473,22 @@ def _stage_union_with(df, spec, pctx):
 
 def _stage_documents(df, spec, pctx):
     """$documents (MongoDB 5.1): replace the input with literal
-    documents — the inline test/seed source."""
-    if not isinstance(spec, list):
-        raise UnsupportedExpression("$documents needs a list")
+    documents — the inline test/seed source.  Heterogeneous docs are
+    fine: the schema is inferred from the union of all keys (first
+    occurrence wins the type), absent fields arrive as NULL."""
+    if not isinstance(spec, list) or not spec:
+        raise UnsupportedExpression("$documents needs a non-empty list")
+    merged: dict = {}
+    for d in spec:
+        if not isinstance(d, dict):
+            raise UnsupportedExpression("$documents items must be docs")
+        for k, v in d.items():
+            merged.setdefault(k, v)
     spark = df.sparkSession
     return spark.createDataFrame([json.dumps(d) for d in spec],
                                  "string").selectExpr(
         "from_json(value, schema_of_json('" +
-        json.dumps(spec[0]).replace("'", "\\'") + "')) AS __doc"
+        json.dumps(merged).replace("'", "\\'") + "')) AS __doc"
     ).select("__doc.*")
 
 

@@ -891,3 +891,13 @@ class TestUnionBucketAutoDocuments:
         with pytest.raises(UnsupportedExpression):
             run(sdf, [{"$bucketAuto": {"groupBy": "$value",
                                        "buckets": 2}}])
+
+
+class TestDocumentsHeterogeneous:
+    def test_union_of_keys(self, people):
+        out = rows(people, [{"$documents": [
+            {"a": 1}, {"b": "x"}, {"a": 2, "c": 1.5}]}])
+        assert len(out) == 3
+        assert out[0] == {"a": 1, "b": None, "c": None}
+        assert out[1] == {"a": None, "b": "x", "c": None}
+        assert out[2] == {"a": 2, "b": None, "c": 1.5}
