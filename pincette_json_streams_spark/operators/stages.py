@@ -418,9 +418,16 @@ def _stage_count(df, spec, pctx):
 def _stage_bucket_auto(df, spec, pctx):
     """$bucketAuto (MongoDB shape, batch extension): ~equal-population
     buckets via ntile over the groupBy expression; _id = {min, max} of
-    each bucket like Mongo.  One sort-shuffle for the ntile window plus
-    the bucket aggregation — granularity ("R5"-style preferred numbers)
-    is not supported, plain equal-population only."""
+    each bucket like Mongo.  Granularity ("R5"-style preferred
+    numbers) is not supported, plain equal-population only.
+
+    SCALE NOTE: exact ntile needs a GLOBAL total order — Spark plans
+    an unpartitioned window, i.e. all rows through one task.  That is
+    Mongo's own semantics and fine up to tens of millions of rows; at
+    corpus scale use the approximate equivalents instead: percentile
+    boundaries from `$percentile` fed into `$bucket`, or
+    `functions/layout.py` range partitioning (sampled, balanced,
+    fully parallel)."""
     _batch_only(df, "$bucketAuto", "ntile needs a total order")
     from pyspark.sql.window import Window as W
 
