@@ -1541,9 +1541,43 @@ def _stage_fill_ext(df, spec, pctx):
             out = out.withColumn(
                 col, F.last(col, ignorenulls=True).over(w)
             )
+        elif ospec.get("method") == "linear":
+            # Mongo linear interpolation: a NULL between two known
+            # points takes prev + (next-prev)*(t-t_prev)/(t_next-t_prev)
+            # over the single numeric sortBy key; leading/trailing
+            # NULLs stay NULL (no extrapolation).  Two frames over the
+            # SAME keyed window family — still one exchange.
+            if w is None or len(sort_by) != 1:
+                raise UnsupportedExpression(
+                    "$fill linear requires exactly one numeric sortBy"
+                )
+            from pyspark.sql.window import Window as W2
+            tcol = F.col(next(iter(sort_by))).cast("double")
+            base = (
+                W2.partitionBy(*[F.col(p) for p in parts])
+                .orderBy(*sort_cols)
+            )
+            wprev = base.rowsBetween(W2.unboundedPreceding, -1)
+            wnext = base.rowsBetween(1, W2.unboundedFollowing)
+            v = F.col(col).cast("double")
+            t_known = F.when(v.isNotNull(), tcol)
+            pv = F.last(v, ignorenulls=True).over(wprev)
+            pt = F.last(t_known, ignorenulls=True).over(wprev)
+            nv = F.first(v, ignorenulls=True).over(wnext)
+            nt = F.first(t_known, ignorenulls=True).over(wnext)
+            interp = pv + (nv - pv) * (tcol - pt) / (nt - pt)
+            out = out.withColumn(
+                col,
+                F.when(v.isNotNull(), v).otherwise(
+                    F.when(
+                        pv.isNotNull() & nv.isNotNull(), interp
+                    ).otherwise(F.lit(None))
+                ),
+            )
         else:
             raise UnsupportedExpression(
-                f"$fill method {ospec.get('method')!r} (locf/value only)"
+                f"$fill method {ospec.get('method')!r} "
+                "(locf/linear/value only)"
             )
     return out
 

@@ -901,3 +901,41 @@ class TestDocumentsHeterogeneous:
         assert out[0] == {"a": 1, "b": None, "c": None}
         assert out[1] == {"a": None, "b": "x", "c": None}
         assert out[2] == {"a": 2, "b": None, "c": 1.5}
+
+
+class TestFillLinear:
+    """$fill method: linear (Mongo interpolation semantics)."""
+
+    def test_interpolates_between_known_points(self, spark):
+        df = spark.createDataFrame(
+            [("a", 0, 10.0), ("a", 1, None), ("a", 3, None),
+             ("a", 4, 50.0), ("a", 6, None)],
+            "k string, t long, v double")
+        out = {r["t"]: r["v"] for r in rows(df, [{"$fill": {
+            "partitionByFields": ["k"], "sortBy": {"t": 1},
+            "output": {"v": {"method": "linear"}}}}])}
+        # linear between (0,10) and (4,50): slope 10/unit
+        assert out[1] == 20.0
+        assert out[3] == 40.0
+        # trailing NULL: no extrapolation
+        assert out[6] is None
+
+    def test_leading_null_stays(self, spark):
+        df = spark.createDataFrame(
+            [("a", 0, None), ("a", 2, 8.0), ("a", 4, 12.0)],
+            "k string, t long, v double")
+        out = {r["t"]: r["v"] for r in rows(df, [{"$fill": {
+            "partitionByFields": ["k"], "sortBy": {"t": 1},
+            "output": {"v": {"method": "linear"}}}}])}
+        assert out[0] is None
+        assert out[2] == 8.0
+
+    def test_requires_single_sort(self, spark):
+        from pincette_json_streams_spark.operators.expressions import (
+            UnsupportedExpression,
+        )
+        df = spark.createDataFrame([(1, 2, None)],
+                                   "a long, b long, v double")
+        with pytest.raises(UnsupportedExpression):
+            rows(df, [{"$fill": {"sortBy": {"a": 1, "b": 1},
+                                 "output": {"v": {"method": "linear"}}}}])
