@@ -3852,6 +3852,72 @@ FROM b GROUP BY bk
 """
 
 
+def q_linear_fill(spark, sf_dir):
+    """$fill method:linear (Mongo interpolation): daily per-user
+    averages densified then linearly interpolated across the holes —
+    prev + slope*dt over the day key, no extrapolation at the ends."""
+    day_ns = 86400 * 1_000_000_000
+    return _pipe(spark, sf_dir, "events", [
+        {"$match": {"user_id": {"$lt": 12}}},
+        {"$group": {
+            "_id": {"uid": "$user_id",
+                    "day": {"$toLong": {"$round": [{"$divide": [
+                        {"$subtract": ["$ts_nanos",
+                                       {"$mod": ["$ts_nanos", day_ns]}]},
+                        day_ns]}, 0]}}},
+            "avg_v": {"$avg": "$value"},
+        }},
+        {"$project": {"_id": 0, "uid": "$_id.uid", "day": "$_id.day",
+                      "avg_v": {"$round": ["$avg_v", 4]}}},
+        {"$densify": {"field": "day", "partitionByFields": ["uid"],
+                      "range": {"step": 1, "bounds": "partition"}}},
+        {"$fill": {"partitionByFields": ["uid"], "sortBy": {"day": 1},
+                   "output": {"avg_v": {"method": "linear"}}}},
+        {"$project": {"uid": 1, "day": 1,
+                      "avg_v": {"$round": ["$avg_v", 6]}}},
+    ])
+
+
+_ORACLE_LINEAR_FILL = """
+WITH rolled AS (
+  SELECT user_id AS uid,
+         epoch_ns(ts) // (86400 * 1000000000::BIGINT) AS day,
+         round(avg(value), 4) AS avg_v
+  FROM events WHERE user_id < 12 GROUP BY 1, 2
+), bounds AS (
+  SELECT uid, min(day) AS lo, max(day) AS hi FROM rolled GROUP BY uid
+), grid AS (
+  SELECT uid, unnest(generate_series(lo, hi)) AS day FROM bounds
+), dense AS (
+  SELECT g.uid, g.day, r.avg_v
+  FROM grid g LEFT JOIN rolled r ON g.uid = r.uid AND g.day = r.day
+), w AS (
+  SELECT uid, day, avg_v,
+         last_value(avg_v IGNORE NULLS) OVER (
+           PARTITION BY uid ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+         last_value(CASE WHEN avg_v IS NOT NULL THEN day END
+                    IGNORE NULLS) OVER (
+           PARTITION BY uid ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt,
+         first_value(avg_v IGNORE NULLS) OVER (
+           PARTITION BY uid ORDER BY day
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(CASE WHEN avg_v IS NOT NULL THEN day END
+                     IGNORE NULLS) OVER (
+           PARTITION BY uid ORDER BY day
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt
+  FROM dense
+)
+SELECT uid, day,
+       round(CASE WHEN avg_v IS NOT NULL THEN avg_v
+                  WHEN pv IS NOT NULL AND nv IS NOT NULL
+                  THEN pv + (nv - pv) * (day - pt) / (nt - pt)
+                  ELSE NULL END, 6) AS avg_v
+FROM w
+"""
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -3887,6 +3953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile_accum": q_percentile_accum,
         "modern_ops": q_modern_ops,
         "union_buckets": q_union_buckets,
+        "linear_fill": q_linear_fill,
         # -- block 1: no driver row yet ---------------------------------
         "domain_mix": q_domain_mix,
         "pack_sequences": q_pack_sequences,
@@ -3994,6 +4061,7 @@ def oracle_sql() -> dict[str, str]:
         "percentile_accum": _ORACLE_PERCENTILE_ACCUM,
         "modern_ops": _ORACLE_MODERN_OPS,
         "union_buckets": _ORACLE_UNION_BUCKETS,
+        "linear_fill": _ORACLE_LINEAR_FILL,
         "pricing_summary": _ORACLE_PRICING,
         "segment_revenue": _ORACLE_SEGMENT,
         "match_query_ops": _ORACLE_MATCH_OPS,
