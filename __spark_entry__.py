@@ -3918,6 +3918,51 @@ FROM w
 """
 
 
+def q_cms_merge(spark, sf_dir):
+    """Count-min sketch MERGEABILITY under the oracle: sketch the even
+    and odd document shards separately, cell-wise merge, and the result
+    must equal the whole-corpus cells the oracle computes directly —
+    the per-shard/per-day aggregation property a 100 TB token census
+    depends on, hash-verified."""
+    from pincette_json_streams_spark.functions.profiling import (
+        cms_merge, cms_sketch,
+    )
+    from pincette_json_streams_spark.functions.text import BPE_TOKEN_RE
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit(BPE_TOKEN_RE), F.lit(0)
+        )).alias("token"),
+    )
+    even = cms_sketch(
+        toks.filter(F.col("doc_id") % 2 == 0), "token", 4, 256)
+    odd = cms_sketch(
+        toks.filter(F.col("doc_id") % 2 == 1), "token", 4, 256)
+    return cms_merge(even, odd).select(
+        F.col("d").cast("long").alias("d"),
+        F.col("b").cast("long").alias("b"),
+        F.col("cnt").cast("long").alias("cnt"),
+    )
+
+
+def _oracle_cms_merge():
+    from pincette_json_streams_spark.functions.text import BPE_TOKEN_RE
+    return f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '{BPE_TOKEN_RE}'))
+    AS token
+  FROM documents
+)
+SELECT t.d::BIGINT AS d,
+       (('0x' || substr(md5('cms' || t.d || ':' || token), 1, 15))
+          ::BIGINT % 256)::BIGINT AS b,
+       count(*)::BIGINT AS cnt
+FROM toks, unnest([0, 1, 2, 3]) AS t(d)
+GROUP BY 1, 2
+"""
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -3954,6 +3999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modern_ops": q_modern_ops,
         "union_buckets": q_union_buckets,
         "linear_fill": q_linear_fill,
+        "cms_merge": q_cms_merge,
         # -- block 1: no driver row yet ---------------------------------
         "domain_mix": q_domain_mix,
         "pack_sequences": q_pack_sequences,
@@ -4062,6 +4108,7 @@ def oracle_sql() -> dict[str, str]:
         "modern_ops": _ORACLE_MODERN_OPS,
         "union_buckets": _ORACLE_UNION_BUCKETS,
         "linear_fill": _ORACLE_LINEAR_FILL,
+        "cms_merge": _oracle_cms_merge(),
         "pricing_summary": _ORACLE_PRICING,
         "segment_revenue": _ORACLE_SEGMENT,
         "match_query_ops": _ORACLE_MATCH_OPS,
