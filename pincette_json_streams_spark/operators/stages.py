@@ -1642,6 +1642,8 @@ STAGES: dict[str, Callable[[DataFrame, Any, PipelineContext], DataFrame]] = {
     "$decodeAudio": _stage_decode_audio_ext,
     "$decodeImage": _stage_decode_image_ext,
     "$windowFields": _stage_window_fields_ext,
+    # MongoDB's canonical name — real Mongo pipelines run unchanged
+    "$setWindowFields": _stage_window_fields_ext,
     "$densify": _stage_densify_ext,
     "$fill": _stage_fill_ext,
     "$facet": _stage_facet_ext,

@@ -939,3 +939,12 @@ class TestFillLinear:
         with pytest.raises(UnsupportedExpression):
             rows(df, [{"$fill": {"sortBy": {"a": 1, "b": 1},
                                  "output": {"v": {"method": "linear"}}}}])
+
+
+class TestSetWindowFieldsAlias:
+    def test_canonical_mongo_name(self, people):
+        out = rows(people, [{"$setWindowFields": {
+            "partitionBy": "$address.city",
+            "sortBy": {"age": 1},
+            "output": {"rn": {"$rowNumber": {}}}}}])
+        assert {r["_id"]: r["rn"] for r in out}["p1"] == 1
