@@ -948,3 +948,36 @@ class TestSetWindowFieldsAlias:
             "sortBy": {"age": 1},
             "output": {"rn": {"$rowNumber": {}}}}}])
         assert {r["_id"]: r["rn"] for r in out}["p1"] == 1
+
+
+class TestFillLinearProperty:
+    def test_matches_numpy_interp(self, spark):
+        """Property: $fill linear equals numpy.interp on the interior
+        of random sparse series (no extrapolation at the ends)."""
+        import numpy as np
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=5, deadline=None,
+                  suppress_health_check=list(HealthCheck))
+        @given(st.integers(0, 2 ** 31 - 1), st.integers(3, 10))
+        def check(seed, nk):
+            rng = np.random.RandomState(seed)
+            known_t = np.sort(rng.choice(np.arange(0, 40), nk,
+                                         replace=False))
+            known_v = rng.uniform(-50, 50, nk)
+            all_t = np.arange(known_t[0], known_t[-1] + 1)
+            rows_in = [("g", int(t),
+                        float(known_v[list(known_t).index(t)])
+                        if t in known_t else None)
+                       for t in all_t]
+            df = spark.createDataFrame(
+                rows_in, "k string, t long, v double")
+            got = {r["t"]: r["v"] for r in rows(df, [{"$fill": {
+                "partitionByFields": ["k"], "sortBy": {"t": 1},
+                "output": {"v": {"method": "linear"}}}}])}
+            want = np.interp(all_t, known_t, known_v)
+            for t, w in zip(all_t, want):
+                assert got[int(t)] == pytest.approx(w, abs=1e-9)
+
+        check()
