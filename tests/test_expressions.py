@@ -443,3 +443,59 @@ class TestModernExpressionOps:
         with pytest.raises(UnsupportedExpression):
             self._eval(spark, {"$dateToString": {
                 "date": "2024-01-01T00:00:00Z", "format": "%Q"}})
+
+
+class TestDateDiffProperty:
+    def test_matches_python_boundary_count(self, spark):
+        """Property: $dateDiff equals a pure-python boundary-crossing
+        reference for random UTC instant pairs across all units."""
+        import datetime as dt
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from pincette_json_streams_spark.operators.context import ctx_for
+        from pincette_json_streams_spark.operators.expressions import (
+            compile_expr,
+        )
+
+        epoch = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
+
+        def ref(s, e, unit):
+            if unit == "year":
+                return e.year - s.year
+            if unit == "quarter":
+                return (e.year * 4 + (e.month - 1) // 3) \
+                    - (s.year * 4 + (s.month - 1) // 3)
+            if unit == "month":
+                return (e.year * 12 + e.month) - (s.year * 12 + s.month)
+            if unit == "week":      # ISO weeks (Monday boundaries)
+                def wk(t):
+                    days = (t - epoch).days
+                    return (days + 3) // 7
+                return wk(e) - wk(s)
+            width = {"day": 86_400_000, "hour": 3_600_000,
+                     "minute": 60_000, "second": 1000}[unit]
+            def ms(t):
+                return int((t - epoch).total_seconds() * 1000)
+            return ms(e) // width - ms(s) // width
+
+        df = spark.range(1)
+        ctx = ctx_for(df)
+
+        @settings(max_examples=15, deadline=None,
+                  suppress_health_check=list(HealthCheck))
+        @given(st.integers(0, 2_000_000_000),
+               st.integers(0, 2_000_000_000),
+               st.sampled_from(["year", "quarter", "month", "week",
+                                "day", "hour", "minute", "second"]))
+        def check(s_sec, e_sec, unit):
+            s = epoch + dt.timedelta(seconds=s_sec)
+            e = epoch + dt.timedelta(seconds=e_sec)
+            iso = "%Y-%m-%dT%H:%M:%SZ"
+            got = df.select(compile_expr({"$dateDiff": {
+                "startDate": s.strftime(iso),
+                "endDate": e.strftime(iso), "unit": unit,
+            }}, ctx).alias("v")).collect()[0]["v"]
+            assert got == ref(s, e, unit), (s, e, unit)
+
+        check()
