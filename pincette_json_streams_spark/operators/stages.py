@@ -1226,6 +1226,9 @@ def _stage_window_fields_ext(df, spec, pctx):
         "$sum": F.sum, "$avg": F.avg, "$min": F.min, "$max": F.max,
         "$stdDevPop": F.stddev_pop, "$first": F.first, "$last": F.last,
         "$count": lambda c: F.count(F.lit(1)),
+        # frame-order list / sorted set over the window
+        "$push": F.collect_list,
+        "$addToSet": lambda c: F.array_sort(F.collect_set(c)),
     }
     out_cols = []
     for name, ospec in (spec.get("output") or {}).items():

@@ -981,3 +981,21 @@ class TestFillLinearProperty:
                 assert got[int(t)] == pytest.approx(w, abs=1e-9)
 
         check()
+
+
+class TestWindowFieldsPush:
+    def test_push_and_add_to_set_frames(self, people):
+        out = rows(people, [{"$windowFields": {
+            "sortBy": {"age": 1, "_id": 1},
+            "output": {
+                "trail": {"$push": "$name",
+                          "window": {"documents": ["unbounded",
+                                                   "current"]}},
+                "ages_seen": {"$addToSet": "$age",
+                              "window": {"documents": ["unbounded",
+                                                       "current"]}},
+            }}}])
+        by_id = {r["_id"]: r for r in out}
+        # order: p2(28), p4(28), p1(34), p3(41)
+        assert by_id["p1"]["trail"] == ["Bob", "Dave", "Alice"]
+        assert by_id["p3"]["ages_seen"] == [28, 34, 41]
