@@ -1226,9 +1226,10 @@ def _stage_window_fields_ext(df, spec, pctx):
         "$sum": F.sum, "$avg": F.avg, "$min": F.min, "$max": F.max,
         "$stdDevPop": F.stddev_pop, "$first": F.first, "$last": F.last,
         "$count": lambda c: F.count(F.lit(1)),
-        # frame-order list / sorted set over the window
+        # frame-order list / sorted set over the window ($addToSet's
+        # array_sort wraps AFTER .over() — it is not a window function)
         "$push": F.collect_list,
-        "$addToSet": lambda c: F.array_sort(F.collect_set(c)),
+        "$addToSet": F.collect_set,
     }
     out_cols = []
     for name, ospec in (spec.get("output") or {}).items():
@@ -1289,6 +1290,8 @@ def _stage_window_fields_ext(df, spec, pctx):
                     W.unboundedPreceding, W.unboundedFollowing
                 )
             col = aggs[op](compile_expr(args, ctx)).over(win)
+            if op == "$addToSet":
+                col = F.array_sort(col)
         else:
             raise UnsupportedExpression(
                 f"unknown $windowFields operator {op}"
