@@ -3963,6 +3963,74 @@ GROUP BY 1, 2
 """
 
 
+def q_graph_lookup(spark, sf_dir):
+    """$graphLookup (operators/stages.py _stage_graph_lookup — MongoDB's
+    recursive-traversal stage, completing the lookup family): ancestor
+    chains over a synthetic reports-to tree derived from customer
+    (parent = custkey // 10).  BFS runs per DISTINCT seed value — one
+    equi-join + one visited anti-join per hop, frontier localCheckpoint
+    keeping lineage flat — so traversal cost at 100 TB scales with the
+    graph, not the input rows (scalar seeds join back by value; the
+    input is never tagged or materialized)."""
+    cust = _t(spark, sf_dir, "customer")
+    graph = cust.select(
+        F.col("c_custkey").cast("long").alias("id"),
+        F.floor(F.col("c_custkey") / 10).cast("long").alias("parent"),
+    )
+    seed = graph.filter(F.col("id") <= 50)
+    out = compile_pipeline(seed, [
+        {"$graphLookup": {
+            "from": "g", "startWith": "$parent",
+            "connectFromField": "parent", "connectToField": "id",
+            "as": "chain", "depthField": "lvl"}},
+    ], PipelineContext(catalog={"g": graph}))
+    return out.select(
+        F.col("id").alias("c_custkey"),
+        F.size("chain").cast("long").alias("n_ancestors"),
+        F.array_sort(F.transform("chain", lambda d: d["id"]))
+         .alias("ancestor_ids"),
+        F.coalesce(
+            F.array_max(F.transform("chain", lambda d: d["lvl"])),
+            F.lit(-1),
+        ).cast("long").alias("max_lvl"),
+    )
+
+
+_ORACLE_GRAPH_LOOKUP = """
+WITH RECURSIVE g AS (
+  SELECT c_custkey::BIGINT AS id, (c_custkey // 10)::BIGINT AS parent
+  FROM customer
+), anc AS (
+  SELECT s.id AS start_id, p.id AS anc_id, p.parent AS next_parent,
+         0 AS lvl
+  FROM g s JOIN g p ON p.id = s.parent
+  WHERE s.id <= 50
+  UNION
+  -- custkey 0 is its own parent: the lvl column would keep such a
+  -- self-loop "new" forever, so bound the recursion depth explicitly
+  -- (the tree is <= 5 levels) and dedup to the MINIMAL lvl below —
+  -- exactly the engine's visited-anti-join BFS semantics
+  SELECT a.start_id, p.id, p.parent, a.lvl + 1
+  FROM anc a JOIN g p ON p.id = a.next_parent
+  WHERE a.lvl < 9
+), dedup AS (
+  SELECT start_id, anc_id, min(lvl) AS lvl
+  FROM anc GROUP BY start_id, anc_id
+), agg AS (
+  SELECT start_id, count(*)::BIGINT AS n_ancestors,
+         list_sort(list(anc_id)) AS ancestor_ids,
+         max(lvl)::BIGINT AS max_lvl
+  FROM dedup GROUP BY start_id
+)
+SELECT s.id AS c_custkey,
+       coalesce(a.n_ancestors, 0)::BIGINT AS n_ancestors,
+       coalesce(a.ancestor_ids, []::BIGINT[]) AS ancestor_ids,
+       coalesce(a.max_lvl, -1)::BIGINT AS max_lvl
+FROM g s LEFT JOIN agg a ON a.start_id = s.id
+WHERE s.id <= 50
+"""
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -3982,6 +4050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 50-query driver prefix.
     return {
         # -- block 0: round-3 additions ---------------------------------
+        "graph_lookup": q_graph_lookup,
         "dup_spans": q_dup_spans,
         "strip_spans": q_strip_spans,
         "window_fields": q_window_fields,
@@ -4091,6 +4160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "graph_lookup": _ORACLE_GRAPH_LOOKUP,
         "dup_spans": _ORACLE_DUP_SPANS,
         "strip_spans": _ORACLE_STRIP_SPANS,
         "window_fields": _ORACLE_WINDOW_FIELDS,

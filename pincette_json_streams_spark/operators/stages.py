@@ -780,6 +780,155 @@ def _decorrelate_pairs(expr: Any, bound: dict[str, str], rctx: Ctx):
 
 
 # --------------------------------------------------------------------------
+# $graphLookup  (MongoDB stage extension; the reference covers $lookup only,
+# docs/aggregation_stages.md:346-372 — this completes the Mongo lookup
+# family so real Mongo pipelines run unchanged)
+# --------------------------------------------------------------------------
+
+def _arrayify(df: DataFrame, col: Column) -> Column:
+    """Coerce a column to array type (Mongo connect fields match scalars
+    and array members alike)."""
+    from pyspark.sql.types import ArrayType
+
+    t = df.select(col.alias("__t")).schema[0].dataType
+    return col if isinstance(t, ArrayType) else F.array(col)
+
+
+def _graph_reach(edges: DataFrame, useeds: DataFrame, max_depth) -> DataFrame:
+    """BFS over (seed value, document) pairs.
+
+    ``edges``: one row per (document, connectTo value) with the doc's
+    connectFrom value array; ``useeds``: DISTINCT seed values.  Returns
+    every (``__sv`` seed, ``__did`` doc id, ``__doc``, ``__depth``) reached,
+    at its MINIMAL depth (a doc enters ``visited`` on its first hop and the
+    anti-join keeps later hops out).
+
+    Scale shape: each hop is one equi-join frontier->edges plus one
+    anti-join against visited — never a cross product; the frontier is
+    ``localCheckpoint``-ed per hop so iteration lineage stays flat, and
+    traversal cost is shared across input rows because it runs per
+    DISTINCT seed value, not per row.  Cycles terminate via the visited
+    anti-join; ``maxDepth`` bounds hops like Mongo's option."""
+    cols = ["__sv", "__did", "__doc", "__from", "__depth"]
+    frontier = (
+        useeds.join(edges, useeds["__sv"] == edges["__to"])
+        .select("__sv", "__did", "__doc", "__from",
+                F.lit(0).alias("__depth"))
+        .dropDuplicates(["__sv", "__did"])
+        .localCheckpoint(eager=True)
+    )
+    visited = frontier
+    depth = 0
+    while not frontier.isEmpty():
+        if max_depth is not None and depth >= int(max_depth):
+            break
+        hop_vals = frontier.select(
+            "__sv", F.explode("__from").alias("__v")
+        ).where(F.col("__v").isNotNull()).distinct()
+        nxt = (
+            hop_vals.join(edges, hop_vals["__v"] == edges["__to"])
+            .select("__sv", "__did", "__doc", "__from",
+                    F.lit(depth + 1).alias("__depth"))
+            .dropDuplicates(["__sv", "__did"])
+            .join(visited.select("__sv", "__did"),
+                  ["__sv", "__did"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.select(cols).unionByName(nxt.select(cols))
+        frontier = nxt
+        depth += 1
+    return visited
+
+
+def _stage_graph_lookup(df, spec, pctx):
+    """$graphLookup (MongoDB shape): recursive traversal of ``from``,
+    seeded by ``startWith``, following connectFromField -> connectToField
+    edges up to ``maxDepth``; matches land in the array ``as`` (each doc
+    optionally carrying its minimal ``depthField``).
+
+    Spark-first decomposition: (1) the collection explodes once into
+    (doc, connectTo value) edge rows, (2) BFS runs over DISTINCT seed
+    values (_graph_reach), (3) per-seed doc arrays join back to the
+    input.  Scalar seeds join back by value — the input is never tagged
+    or materialized; array seeds (startWith yielding an array) tag rows
+    with a checkpointed id so multi-seed results union + dedup per row.
+    Match arrays are ``array_sort``-ed: Mongo guarantees no order, the
+    engine guarantees a stable one."""
+    _batch_only(df, "$graphLookup",
+                "iterative traversal re-joins the frontier")
+    coll = pctx.collection(spec["from"])
+    as_field = spec["as"]
+    max_depth = spec.get("maxDepth")
+    depth_field = spec.get("depthField")
+    restrict = spec.get("restrictSearchWithMatch")
+    if restrict:
+        coll = coll.filter(compile_query(restrict, ctx_for(coll)))
+
+    cctx = ctx_for(coll)
+    doc = F.struct(*[F.col(c) for c in coll.columns])
+    edges = coll.select(
+        doc.alias("__doc"),
+        F.xxhash64(F.to_json(doc)).alias("__did"),
+        F.explode(_arrayify(coll, cctx.field(spec["connectToField"])))
+         .alias("__to"),
+        _arrayify(coll, cctx.field(spec["connectFromField"]))
+         .alias("__from"),
+    ).where(F.col("__to").isNotNull())
+
+    start = compile_expr(spec["startWith"], ctx_for(df))
+    from pyspark.sql.types import ArrayType
+    start_is_array = isinstance(
+        df.select(start.alias("__t")).schema[0].dataType, ArrayType
+    )
+
+    if not start_is_array:
+        useeds = (df.select(start.alias("__sv"))
+                  .where(F.col("__sv").isNotNull()).distinct())
+        visited = _graph_reach(edges, useeds, max_depth)
+        out_doc = (F.col("__doc").withField(depth_field, F.col("__depth"))
+                   if depth_field else F.col("__doc"))
+        per_seed = visited.groupBy("__sv").agg(
+            F.array_sort(F.collect_list(out_doc)).alias(as_field)
+        )
+        joined = df.join(per_seed, start.eqNullSafe(per_seed["__sv"]),
+                         "left")
+        empty = F.array().cast(dict(per_seed.dtypes)[as_field])
+        return joined.select(
+            *[df[c] for c in df.columns],
+            F.coalesce(F.col(as_field), empty).alias(as_field),
+        )
+
+    # array-seed path: per-row union over seeds, dedup by doc at min depth
+    tagged = df.withColumn(
+        "__rowid", F.monotonically_increasing_id()
+    ).localCheckpoint(eager=True)
+    seeds = tagged.select(
+        "__rowid",
+        F.explode(compile_expr(spec["startWith"], ctx_for(tagged)))
+         .alias("__seed"),
+    ).where(F.col("__seed").isNotNull())
+    useeds = seeds.select(F.col("__seed").alias("__sv")).distinct()
+    visited = _graph_reach(edges, useeds, max_depth)
+    hits = (
+        seeds.join(visited, seeds["__seed"] == visited["__sv"])
+        .groupBy("__rowid", "__did")
+        .agg(F.min("__depth").alias("__depth"),
+             F.first("__doc").alias("__doc"))
+    )
+    out_doc = (F.col("__doc").withField(depth_field, F.col("__depth"))
+               if depth_field else F.col("__doc"))
+    per_row = hits.groupBy("__rowid").agg(
+        F.array_sort(F.collect_list(out_doc)).alias(as_field)
+    )
+    joined = tagged.join(per_row, "__rowid", "left")
+    empty = F.array().cast(dict(per_row.dtypes)[as_field])
+    return joined.select(
+        *[F.col(c) for c in df.columns if c != "__rowid"],
+        F.coalesce(F.col(as_field), empty).alias(as_field),
+    )
+
+
+# --------------------------------------------------------------------------
 # $redact  (docs/aggregation_stages.md:491-513)
 # --------------------------------------------------------------------------
 
@@ -1613,6 +1762,7 @@ STAGES: dict[str, Callable[[DataFrame, Any, PipelineContext], DataFrame]] = {
     "$deduplicate": _stage_deduplicate,
     "$per": _stage_per,
     "$lookup": _stage_lookup,
+    "$graphLookup": _stage_graph_lookup,
     "$redact": _stage_redact,
     "$jq": _stage_jq,
     "$jslt": _stage_jslt,

@@ -999,3 +999,83 @@ class TestWindowFieldsPush:
         # order: p2(28), p4(28), p1(34), p3(41)
         assert by_id["p1"]["trail"] == ["Bob", "Dave", "Alice"]
         assert by_id["p3"]["ages_seen"] == [28, 34, 41]
+
+
+class TestGraphLookup:
+    """$graphLookup (MongoDB shape; completes the reference's lookup
+    family, docs/aggregation_stages.md:346-372 covers $lookup only)."""
+
+    @pytest.fixture(scope="class")
+    def org(self, spark):
+        # reports-to tree with a cycle on the side:
+        #   ceo <- vp1 <- dev1, dev2 ; ceo <- vp2
+        #   cyc1 <-> cyc2 (cycle)
+        return spark.createDataFrame(
+            [("ceo", None, "exec"), ("vp1", "ceo", "eng"),
+             ("vp2", "ceo", "sales"), ("dev1", "vp1", "eng"),
+             ("dev2", "vp1", "eng"), ("cyc1", "cyc2", "loop"),
+             ("cyc2", "cyc1", "loop")],
+            "name string, boss string, dept string")
+
+    def g(self, df, org, spec):
+        base = {"from": "org", "startWith": "$boss",
+                "connectFromField": "boss", "connectToField": "name",
+                "as": "chain"}
+        base.update(spec)
+        return rows(df, [{"$graphLookup": base}], catalog={"org": org})
+
+    def test_ancestor_chain(self, org):
+        out = {r["name"]: [d["name"] for d in r["chain"]]
+               for r in self.g(org, org, {})}
+        assert sorted(out["dev1"]) == ["ceo", "vp1"]
+        assert out["vp1"] == ["ceo"]
+        assert out["ceo"] == []
+
+    def test_cycle_terminates_and_self_reached(self, org):
+        out = {r["name"]: sorted(d["name"] for d in r["chain"])
+               for r in self.g(org, org, {})}
+        # cyc1's chain: cyc2 (depth 0) then cyc1 itself (depth 1); the
+        # visited anti-join stops the infinite loop
+        assert out["cyc1"] == ["cyc1", "cyc2"]
+
+    def test_max_depth_and_depth_field(self, org):
+        out = {r["name"]: {d["name"]: d["lvl"] for d in r["chain"]}
+               for r in self.g(org, org,
+                               {"maxDepth": 0, "depthField": "lvl"})}
+        assert out["dev1"] == {"vp1": 0}
+        full = {r["name"]: {d["name"]: d["lvl"] for d in r["chain"]}
+                for r in self.g(org, org, {"depthField": "lvl"})}
+        assert full["dev1"] == {"vp1": 0, "ceo": 1}
+
+    def test_restrict_search_with_match(self, org):
+        out = {r["name"]: [d["name"] for d in r["chain"]]
+               for r in self.g(org, org, {"restrictSearchWithMatch":
+                                          {"dept": "eng"}})}
+        # ceo filtered out of the searchable set: chain stops at vp1
+        assert out["dev1"] == ["vp1"]
+
+    def test_array_seed_union_dedup(self, spark, org):
+        teams = spark.createDataFrame(
+            [("t1", ["dev1", "dev2"]), ("t2", ["vp2"]), ("t3", [])],
+            "team string, members array<string>")
+        out = {r["team"]: sorted(d["name"] for d in r["chain"])
+               for r in rows(teams, [{"$graphLookup": {
+                   "from": "org", "startWith": "$members",
+                   "connectFromField": "boss", "connectToField": "name",
+                   "as": "chain"}}], catalog={"org": org})}
+        # dev1+dev2 reach {dev1, dev2, vp1, ceo} — union deduplicated
+        assert out["t1"] == ["ceo", "dev1", "dev2", "vp1"]
+        assert out["t2"] == ["ceo", "vp2"]
+        assert out["t3"] == []
+
+    def test_streaming_rejected(self, spark, org, tmp_path):
+        stream = (spark.readStream.format("rate")
+                  .option("rowsPerSecond", 1).load())
+        from pincette_json_streams_spark.operators.expressions import (
+            UnsupportedExpression,
+        )
+        with pytest.raises(UnsupportedExpression):
+            run(stream, [{"$graphLookup": {
+                "from": "org", "startWith": "$value",
+                "connectFromField": "boss", "connectToField": "name",
+                "as": "chain"}}], catalog={"org": org})
