@@ -4031,6 +4031,83 @@ WHERE s.id <= 50
 """
 
 
+def q_sort_by_count(spark, sf_dir):
+    """$sortByCount (operators/stages.py _stage_sort_by_count — MongoDB
+    shape): one map-side-combining hash aggregate + a sort of the GROUP
+    rows only; _id asc tie-break makes distributed order stable."""
+    return _pipe(spark, sf_dir, "orders", [
+        {"$sortByCount": "$o_orderpriority"},
+    ]).select("_id", F.col("count").cast("long").alias("count"))
+
+
+_ORACLE_SORT_BY_COUNT = """
+SELECT o_orderpriority AS _id, count(*)::BIGINT AS count
+FROM orders GROUP BY 1
+"""
+
+
+def q_bpe_pairs(spark, sf_dir):
+    """BPE vocabulary induction, first-iteration statistics
+    (functions/bpe.py): corpus word frequencies (ONE map-side-combining
+    hash agg — the only pass that touches every byte at 100 TB), then
+    frequency-weighted adjacent-symbol pair counts with the end-of-word
+    marker, top 100 by (count desc, pair asc).  All native Columns, so
+    the DuckDB oracle replays it exactly; train_bpe's first merge pick
+    equals row 1 (property-tested in test_functions)."""
+    from pincette_json_streams_spark.functions.bpe import (
+        adjacent_pair_counts, word_frequencies,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        adjacent_pair_counts(word_frequencies(docs))
+        .orderBy(F.desc("count"), "left", "right")
+        .limit(100)
+    )
+
+
+def _oracle_bpe_pairs():
+    from pincette_json_streams_spark.functions.text import BPE_TOKEN_RE
+    return f"""
+WITH words AS (
+  SELECT unnest(regexp_extract_all(lower(text), '{BPE_TOKEN_RE}'))
+    AS word
+  FROM documents
+), wf AS (
+  SELECT word, count(*)::BIGINT AS freq FROM words GROUP BY word
+), syms AS (
+  SELECT freq, list_append(string_split(word, ''), '</w>') AS s
+  FROM wf
+), idx AS (
+  SELECT freq, s, unnest(range(1, len(s))) AS i FROM syms
+)
+SELECT s[i] AS "left", s[i + 1] AS "right", sum(freq)::BIGINT AS count
+FROM idx GROUP BY 1, 2
+ORDER BY count DESC, "left", "right" LIMIT 100
+"""
+
+
+def q_bpe_encode(spark, sf_dir):
+    """Distributed BPE encode (functions/bpe.py bpe_encode): merges
+    trained driver-side on the capped word-frequency table (the one
+    bounded collect), ranks broadcast in the Arrow UDF closure, greedy
+    lowest-rank merging with a per-batch word cache.  Rows-only driver
+    check: the merge loop is not SQL-expressible — the encoder itself
+    is locked by unit tests (Sennrich example, round-trip property)."""
+    from pincette_json_streams_spark.functions.bpe import (
+        bpe_encode, train_bpe, word_frequencies,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_bpe(word_frequencies(docs), n_merges=64)
+    return (
+        bpe_encode(docs, merges)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.size("tokens").cast("long").alias("n_tokens"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+    )
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -4051,6 +4128,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- block 0: round-3 additions ---------------------------------
         "graph_lookup": q_graph_lookup,
+        "bpe_pairs": q_bpe_pairs,
+        "bpe_encode": q_bpe_encode,
+        "sort_by_count": q_sort_by_count,
         "dup_spans": q_dup_spans,
         "strip_spans": q_strip_spans,
         "window_fields": q_window_fields,
@@ -4161,6 +4241,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "graph_lookup": _ORACLE_GRAPH_LOOKUP,
+        "bpe_pairs": _oracle_bpe_pairs(),
+        "sort_by_count": _ORACLE_SORT_BY_COUNT,
         "dup_spans": _ORACLE_DUP_SPANS,
         "strip_spans": _ORACLE_STRIP_SPANS,
         "window_fields": _ORACLE_WINDOW_FIELDS,

@@ -1126,6 +1126,22 @@ def _stage_limit_ext(df, spec, pctx):
     return df.limit(int(spec))
 
 
+def _stage_sort_by_count(df, spec, pctx):
+    """$sortByCount (MongoDB shape, batch extension): group by the
+    expression into ``_id``, count, sort count-descending.  Compiles to
+    one map-side-combining hash aggregate + a global sort of the GROUP
+    rows (cardinality of the expression, not the input).  Mongo leaves
+    equal-count order undefined; the engine tie-breaks on ``_id`` so
+    distributed runs are reproducible."""
+    _batch_only(df, "$sortByCount", "global count ordering")
+    col = compile_expr(spec, ctx_for(df))
+    return (
+        df.groupBy(col.alias("_id"))
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(F.desc("count"), F.asc("_id"))
+    )
+
+
 def _stage_sample_ext(df, spec, pctx):
     frac = spec.get("fraction") if isinstance(spec, dict) else None
     if frac is not None:
@@ -1790,6 +1806,7 @@ STAGES: dict[str, Callable[[DataFrame, Any, PipelineContext], DataFrame]] = {
     "$limit": _stage_limit_ext,
     "$skip": lambda df, spec, pctx: df.offset(int(spec)),
     "$sample": _stage_sample_ext,
+    "$sortByCount": _stage_sort_by_count,
     "$chunk": _stage_chunk_ext,
     "$sessionize": _stage_sessionize_ext,
     "$asofLookup": _stage_asof_lookup_ext,

@@ -2750,3 +2750,84 @@ class TestDecontaminateSpans:
         got = [r["doc_id"] for r in
                decontaminate_spans(train, bench, width=4).collect()]
         assert got == [1]
+
+
+class TestBpe:
+    """Distributed BPE tokenizer (functions/bpe.py): driver-side merge
+    loop over the Spark word-frequency table, Arrow-batched encoding."""
+
+    FREQS = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+
+    def test_train_classic_example(self):
+        from pincette_json_streams_spark.functions.bpe import train_bpe
+        merges = train_bpe(self.FREQS, n_merges=5)
+        # Sennrich et al. running example: es(9) -> est(9) -> est</w>(9)
+        # -> lo(7) -> low(7); ties break (count desc, pair asc)
+        assert merges == [("e", "s"), ("es", "t"), ("est", "</w>"),
+                          ("l", "o"), ("lo", "w")]
+
+    def test_train_deterministic(self):
+        from pincette_json_streams_spark.functions.bpe import train_bpe
+        assert train_bpe(self.FREQS, 8) == train_bpe(self.FREQS, 8)
+
+    def test_encode_word_roundtrip_property(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+        from pincette_json_streams_spark.functions.bpe import (
+            EOW, _encode_word, train_bpe,
+        )
+        merges = train_bpe(self.FREQS, 6)
+        ranks = {tuple(p): i for i, p in enumerate(merges)}
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.text(alphabet="lowernwidest", min_size=1, max_size=12))
+        def check(word):
+            toks = _encode_word(word, ranks)
+            assert "".join(toks) == word + EOW
+            assert len(toks) <= len(word) + 1
+
+        check()
+
+    def test_zero_merges_is_chars(self):
+        from pincette_json_streams_spark.functions.bpe import _encode_word
+        assert _encode_word("abc", {}) == ["a", "b", "c", "</w>"]
+
+    def test_pair_counts_match_first_merge(self, spark):
+        from pincette_json_streams_spark.functions.bpe import (
+            adjacent_pair_counts, train_bpe, word_frequencies,
+        )
+        docs = spark.createDataFrame(
+            [("low low low low low lower lower newest newest newest "
+              "newest newest newest widest widest widest",)],
+            "text string")
+        wf = word_frequencies(docs)
+        assert dict((r["word"], r["freq"]) for r in wf.collect()) == dict(
+            self.FREQS)
+        top = (adjacent_pair_counts(wf)
+               .orderBy(F.desc("count"), "left", "right").first())
+        merges = train_bpe(wf, 1)
+        assert (top["left"], top["right"]) == merges[0]
+        assert top["count"] == 9
+
+    def test_encode_dataframe(self, spark):
+        from pincette_json_streams_spark.functions.bpe import (
+            bpe_encode, train_bpe,
+        )
+        merges = train_bpe(self.FREQS, 5)
+        df = spark.createDataFrame(
+            [(1, "newest lowest"), (2, None)], "id long, text string")
+        out = {r["id"]: r["tokens"]
+               for r in bpe_encode(df, merges).collect()}
+        # newest -> n ew est</w> pieces via greedy lowest-rank merging
+        assert "".join(out[1]) == "newest</w>lowest</w>"
+        assert "est</w>" in out[1]
+        assert out[2] == []
+
+    def test_vocab(self):
+        from pincette_json_streams_spark.functions.bpe import (
+            bpe_vocab, train_bpe,
+        )
+        merges = train_bpe(self.FREQS, 3)
+        v = bpe_vocab(merges, alphabet=list("abc"))
+        assert v[:4] == ["a", "b", "c", "</w>"]
+        assert v[4:] == ["es", "est", "est</w>"]

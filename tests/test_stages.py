@@ -1079,3 +1079,26 @@ class TestGraphLookup:
                 "from": "org", "startWith": "$value",
                 "connectFromField": "boss", "connectToField": "name",
                 "as": "chain"}}], catalog={"org": org})
+
+
+class TestSortByCount:
+    def test_sort_by_count(self, people):
+        out = rows(people, [{"$sortByCount": "$age"}])
+        # ages: 28 x2, 34, 41 — count desc, _id asc tie-break
+        assert out[0] == {"_id": 28, "count": 2}
+        assert [r["_id"] for r in out[1:]] == [34, 41]
+
+    def test_sort_by_count_expression(self, people):
+        out = rows(people, [
+            {"$sortByCount": {"$gte": ["$age", 30]}}])
+        assert {r["_id"]: r["count"] for r in out} == {True: 2, False: 2}
+        assert out[0]["_id"] is False  # tie on count -> _id asc
+
+    def test_streaming_rejected(self, spark):
+        stream = (spark.readStream.format("rate")
+                  .option("rowsPerSecond", 1).load())
+        from pincette_json_streams_spark.operators.expressions import (
+            UnsupportedExpression,
+        )
+        with pytest.raises(UnsupportedExpression):
+            run(stream, [{"$sortByCount": "$value"}])
