@@ -1132,6 +1132,61 @@ def _avi_mjpeg_frames(b: bytes) -> list[bytes] | None:
     return frames
 
 
+def _gif_frames(b: bytes) -> list[bytes] | None:
+    """REAL frame extraction for animated GIF: block walk collecting
+    every image descriptor; each frame is re-wrapped as a standalone
+    single-frame GIF (original header flags + global color table + the
+    frame's own descriptor/local table/LZW data, offsets normalized to
+    the origin) that `_decode_image`'s real LZW path decodes.
+
+    No canvas compositing: a partial-update frame decodes as its own
+    region, not layered over prior frames (documented simplification —
+    compositing is presentation state, the pixel data per frame is
+    complete and real).  Returns None when the payload is not a GIF."""
+    import struct
+
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    _sw, _sh, packed, bg, ar = struct.unpack("<HHBBB", b[6:13])
+    i = 13
+    gct = b""
+    if packed & 0x80:
+        ncol = 2 << (packed & 7)
+        gct = b[i:i + 3 * ncol]
+        i += 3 * ncol
+    frames: list[bytes] = []
+    try:
+        while i < len(b):
+            blk = b[i]
+            if blk == 0x21:                  # extension: skip sub-blocks
+                i += 2
+                while i < len(b) and b[i] != 0:
+                    i += 1 + b[i]
+                i += 1
+            elif blk == 0x2C:                # image descriptor
+                start = i
+                _x, _y, w, h, ip = struct.unpack("<HHHHB", b[i + 1:i + 10])
+                i += 10
+                if ip & 0x80:                # local color table
+                    i += 3 * (2 << (ip & 7))
+                i += 1                       # LZW min code size
+                while i < len(b) and b[i] != 0:
+                    i += 1 + b[i]
+                i += 1
+                desc = bytearray(b[start:i])
+                # normalize the frame offset so it decodes standalone
+                struct.pack_into("<HHHH", desc, 1, 0, 0, w, h)
+                sd = struct.pack("<HHBBB", w, h, packed, bg, ar)
+                frames.append(b[:6] + sd + gct + bytes(desc) + b"\x3B")
+            elif blk == 0x3B:                # trailer
+                break
+            else:
+                break
+    except (IndexError, struct.error):
+        return frames or None
+    return frames
+
+
 def sample_frames(
     df: DataFrame,
     media_col: str = "media",
@@ -1143,10 +1198,11 @@ def sample_frames(
 
     REAL for MJPEG-in-AVI containers (RIFF walk; each sampled frame is
     a standalone JPEG that `decode_image`/`_jpeg_decode` fully
-    decodes).  Other containers (H.264/VP9/AV1...) need real codecs
-    absent from this runtime and fall back to the clearly-fake
-    byte-slice stub — the schema, Arrow batching and partition
-    behavior are identical either way."""
+    decodes) and for animated GIF (block walk; each frame re-wrapped
+    as a standalone GIF the real LZW path decodes).  Other containers
+    (H.264/VP9/AV1...) need real codecs absent from this runtime and
+    fall back to the clearly-fake byte-slice stub — the schema, Arrow
+    batching and partition behavior are identical either way."""
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     ) + f", {out_col} array<struct<idx:int,frame:binary>>"
@@ -1158,6 +1214,8 @@ def sample_frames(
                     return None
                 data = bytes(b)
                 real = _avi_mjpeg_frames(data)
+                if real is None:
+                    real = _gif_frames(data)
                 if real is not None:
                     if not real:
                         return []

@@ -2831,3 +2831,53 @@ class TestBpe:
         v = bpe_vocab(merges, alphabet=list("abc"))
         assert v[:4] == ["a", "b", "c", "</w>"]
         assert v[4:] == ["es", "est", "est</w>"]
+
+
+class TestGifFrames:
+    """Animated-GIF frame sampling (functions/multimodal.py
+    _gif_frames): every extracted frame is a standalone GIF the real
+    LZW decoder reads back pixel-exact."""
+
+    def _animated(self):
+        # splice two single-frame fixtures into one animated GIF:
+        # header+GCT from frame A, both image blocks, one trailer
+        f1 = TestGifDecode._encode_gif(
+            2, 2, [(255, 0, 0), (0, 255, 0)], [0, 1, 1, 0])
+        f2 = TestGifDecode._encode_gif(
+            2, 2, [(255, 0, 0), (0, 255, 0)], [1, 0, 0, 1])
+        # image block starts at the 0x2C byte (header 13 + GCT)
+        blk1 = f1[f1.index(0x2C):-1]
+        blk2 = f2[f2.index(0x2C):-1]
+        # a graphic-control extension between frames, like real files
+        gce = b"\x21\xf9\x04\x00\x0a\x00\x00\x00"
+        return f1[:f1.index(0x2C)] + blk1 + gce + blk2 + b"\x3B"
+
+    def test_frames_decode_pixel_exact(self, spark):
+        from pincette_json_streams_spark.functions.multimodal import (
+            _decode_image, _gif_frames,
+        )
+        gif = self._animated()
+        frames = _gif_frames(gif)
+        assert len(frames) == 2
+        d0 = _decode_image(frames[0], 16)
+        d1 = _decode_image(frames[1], 16)
+        assert (d0["width"], d0["height"]) == (2, 2)
+        # frame 0 = RG/GR, frame 1 = GR/RG: identical means, swapped px
+        assert d0["mean_rgb"] == d1["mean_rgb"] == [127.5, 127.5, 0.0]
+
+    def test_sample_frames_dataframe(self, spark):
+        from pincette_json_streams_spark.functions.multimodal import (
+            sample_frames,
+        )
+        gif = self._animated()
+        df = spark.createDataFrame([(1, bytearray(gif))],
+                                   "id long, media binary")
+        out = sample_frames(df, n_frames=4).collect()[0]["frames"]
+        assert [f["idx"] for f in out] == [0, 1]
+        assert bytes(out[0]["frame"])[:6] == b"GIF89a"
+
+    def test_non_gif_falls_through(self):
+        from pincette_json_streams_spark.functions.multimodal import (
+            _gif_frames,
+        )
+        assert _gif_frames(b"\x89PNG\r\n\x1a\nxxxx") is None
