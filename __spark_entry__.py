@@ -4108,6 +4108,95 @@ def q_bpe_encode(spark, sf_dir):
     )
 
 
+def q_bigram_lm(spark, sf_dir):
+    """Interpolated bigram LM scoring (functions/text.py
+    bigram_logprob): unigram vocab + pruned bigram table, positional
+    token stream joining both, one doc-id shuffle for the mean.  The
+    perplexity-proxy upgrade over lm_score that catches scrambled-word
+    soup."""
+    from pincette_json_streams_spark.functions.text import bigram_logprob
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_logprob(docs, lam=0.75, min_count=2)
+
+
+_ORACLE_BIGRAM_LM = f"""
+WITH ws AS (
+  SELECT doc_id, string_split({_sql_norm()}, ' ') AS s FROM documents
+), pos AS (
+  SELECT doc_id, s, unnest(range(1, len(s) + 1)) AS i FROM ws
+), tok AS (
+  SELECT doc_id, s[i] AS w,
+         CASE WHEN i > 1 THEN s[i - 1] END AS p
+  FROM pos
+), uni AS (
+  SELECT w, count(*) AS c FROM tok GROUP BY w
+), tot AS (
+  SELECT sum(c) AS t FROM uni
+), bi AS (
+  SELECT p, w, count(*) AS c_pw FROM tok WHERE p IS NOT NULL
+  GROUP BY p, w HAVING count(*) >= 2
+)
+SELECT t.doc_id,
+       round(avg(CASE WHEN t.p IS NULL
+                 THEN ln(u.c::DOUBLE / (SELECT tt.t FROM tot tt))
+                 ELSE ln(0.75 * coalesce(b.c_pw::DOUBLE / pu.c, 0)
+                         + 0.25 * (u.c::DOUBLE
+                                   / (SELECT tt.t FROM tot tt)))
+                 END), 6) AS mean_logprob,
+       count(*)::BIGINT AS n_tokens
+FROM tok t
+JOIN uni u ON u.w = t.w
+LEFT JOIN uni pu ON pu.w = t.p
+LEFT JOIN bi b ON b.p = t.p AND b.w = t.w
+GROUP BY t.doc_id
+"""
+
+
+def q_geo_near(spark, sf_dir):
+    """$geoNear (operators/stages.py _stage_geo_near): haversine-meters
+    proximity search over synthesized [lon, lat] points, maxDistance
+    scan-side filter, nearest-first sort of the filtered neighborhood
+    only.  Pure codegen trig — the DuckDB oracle replays the exact
+    formula; distances rounded to 10 m so libm ulp noise can't flip the
+    hash."""
+    cust = _t(spark, sf_dir, "customer")
+    pts = cust.select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        F.array(
+            (F.col("c_custkey") % 360 - 180 + 0.5).cast("double"),
+            (F.col("c_custkey") % 170 - 85 + 0.5).cast("double"),
+        ).alias("location"),
+    )
+    out = compile_pipeline(pts, [
+        {"$geoNear": {
+            "near": [4.3517, 50.8466], "distanceField": "d",
+            "key": "location", "maxDistance": 5_000_000}},
+    ], PipelineContext())
+    return out.select(
+        "c_custkey",
+        F.round(F.col("d") / 1000.0, 2).alias("km"),
+    )
+
+
+_ORACLE_GEO_NEAR = """
+WITH pts AS (
+  SELECT c_custkey::BIGINT AS c_custkey,
+         (c_custkey % 360 - 180 + 0.5)::DOUBLE AS lon,
+         (c_custkey % 170 - 85 + 0.5)::DOUBLE AS lat
+  FROM customer
+), d AS (
+  SELECT c_custkey,
+         2 * 6378137.0 * asin(sqrt(
+             pow(sin(radians(lat - 50.8466) / 2), 2)
+             + cos(radians(50.8466)) * cos(radians(lat))
+               * pow(sin(radians(lon - 4.3517) / 2), 2))) AS m
+  FROM pts
+)
+SELECT c_custkey, round(m / 1000.0, 2) AS km
+FROM d WHERE m <= 5000000
+"""
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -4131,6 +4220,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pairs": q_bpe_pairs,
         "bpe_encode": q_bpe_encode,
         "sort_by_count": q_sort_by_count,
+        "bigram_lm": q_bigram_lm,
+        "geo_near": q_geo_near,
         "dup_spans": q_dup_spans,
         "strip_spans": q_strip_spans,
         "window_fields": q_window_fields,
@@ -4243,6 +4334,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_lookup": _ORACLE_GRAPH_LOOKUP,
         "bpe_pairs": _oracle_bpe_pairs(),
         "sort_by_count": _ORACLE_SORT_BY_COUNT,
+        "bigram_lm": _ORACLE_BIGRAM_LM,
+        "geo_near": _ORACLE_GEO_NEAR,
         "dup_spans": _ORACLE_DUP_SPANS,
         "strip_spans": _ORACLE_STRIP_SPANS,
         "window_fields": _ORACLE_WINDOW_FIELDS,

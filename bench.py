@@ -64,6 +64,9 @@ BENCH_QUERIES = [
     "cms_heavy",
     "weighted_sample",
     "decontaminate",
+    "graph_lookup",
+    "bpe_pairs",
+    "bpe_encode",
 ]
 
 

@@ -22,7 +22,8 @@ __all__ = [
     "quality_score", "lang_id", "fingerprint", "shingles", "word_ngrams",
     "with_text_features", "quality_score_from", "scrub_pii", "pii_counts",
     "token_vocabulary", "with_repetition_features", "benchmark_overlap",
-    "unigram_logprob", "chunk_documents", "tfidf_top_terms",
+    "unigram_logprob", "bigram_logprob", "chunk_documents",
+    "tfidf_top_terms",
     "duplicate_spans", "strip_duplicate_spans", "decontaminate_spans",
     "token_drift", "STOPWORDS",
     "LANG_MARKERS", "BPE_TOKEN_RE", "PII_PATTERNS",
@@ -441,6 +442,76 @@ def unigram_logprob(
             F.round(F.avg("logp"), 6).alias("mean_logprob"),
             F.count(F.lit(1)).alias("n_tokens"),
         )
+    )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.75,
+    min_count: int = 2,
+) -> DataFrame:
+    """Interpolated bigram language-model score: per-document mean of
+    ``log(lam * P(w|prev) + (1-lam) * P(w))`` under the corpus's own
+    counts — the next step up from `unigram_logprob` as a perplexity
+    proxy (catches scrambled-word soup a unigram model scores as fine).
+
+    P(w|prev) = c(prev,w)/c(prev) with c(prev) the unigram count (the
+    standard approximation); bigrams below ``min_count`` are pruned and
+    back off to the unigram term alone, which is also what bounds the
+    bigram table at corpus scale.  A document's first token has no
+    history and scores on the unigram term.
+
+    Plan shape: two hash aggregations (unigram vocab, pruned bigram
+    table) + the positional token stream joining the broadcast unigram
+    table twice (as word and as history) and LEFT-joining the bigram
+    table — the bigram join is left to AQE (its size is data-dependent;
+    at web scale it exceeds any broadcast ceiling), then one doc-id
+    shuffle for the mean."""
+    ws = F.split(normalize_text(F.col(text_col)), " ")
+    pos = df.select(
+        F.col(id_col), ws.alias("ws")
+    ).select(
+        F.col(id_col),
+        F.col("ws"),
+        F.posexplode("ws").alias("i", "w"),
+    ).select(
+        F.col(id_col), "i", "w",
+        F.when(F.col("i") > 0, F.element_at("ws", F.col("i"))).alias("p"),
+    )
+    uni = pos.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = uni.agg(F.sum("c").alias("tot"))
+    uni = uni.crossJoin(F.broadcast(total))
+    bi = (
+        pos.where(F.col("p").isNotNull())
+        .groupBy("p", "w")
+        .agg(F.count(F.lit(1)).alias("c_pw"))
+        .where(F.col("c_pw") >= int(min_count))
+    )
+    pc = uni.select(F.col("w").alias("p"), F.col("c").alias("c_p"))
+    scored = (
+        pos.join(F.broadcast(uni), "w")
+        .join(F.broadcast(pc), "p", "left")
+        .join(bi, ["p", "w"], "left")
+        .select(
+            F.col(id_col),
+            F.when(
+                F.col("p").isNull(),
+                F.log(F.col("c") / F.col("tot")),
+            ).otherwise(
+                F.log(
+                    F.lit(float(lam))
+                    * F.coalesce(F.col("c_pw") / F.col("c_p"), F.lit(0.0))
+                    + F.lit(1.0 - float(lam))
+                    * (F.col("c") / F.col("tot"))
+                )
+            ).alias("logp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.round(F.avg("logp"), 6).alias("mean_logprob"),
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
     )
 
 

@@ -1126,6 +1126,53 @@ def _stage_limit_ext(df, spec, pctx):
     return df.limit(int(spec))
 
 
+def _stage_geo_near(df, spec, pctx):
+    """$geoNear (MongoDB shape, batch extension): haversine distance in
+    meters from ``near`` ([lon, lat] or GeoJSON point) to the [lon, lat]
+    array field ``key``, filtered by ``query`` / ``minDistance`` /
+    ``maxDistance`` (raw meters, like Mongo), distance stored in
+    ``distanceField`` (scaled by ``distanceMultiplier``), nearest-first.
+
+    Pure native-Column trig (runs in whole-stage codegen; a SQL oracle
+    replays it exactly) using Mongo's WGS84 equatorial radius 6378137 m.
+    The only non-pushdown cost is the final global sort — which is the
+    stage's contract; at scale, prefer ``maxDistance`` so the sort ranks
+    a neighborhood, not the planet."""
+    _batch_only(df, "$geoNear", "global nearest-first ordering")
+    near = spec["near"]
+    if isinstance(near, dict):
+        near = near["coordinates"]
+    lon0, lat0 = float(near[0]), float(near[1])
+    dist_field = spec.get("distanceField", "distance")
+    mult = float(spec.get("distanceMultiplier", 1.0))
+    if spec.get("query"):
+        df = df.filter(compile_query(spec["query"], ctx_for(df)))
+    loc = ctx_for(df).field(spec.get("key", "location"))
+    lon = F.element_at(loc, 1).cast("double")
+    lat = F.element_at(loc, 2).cast("double")
+    radius = 6378137.0
+    dlat = F.radians(lat - F.lit(lat0))
+    dlon = F.radians(lon - F.lit(lon0))
+    a = (
+        F.pow(F.sin(dlat / 2), 2)
+        + F.cos(F.radians(F.lit(lat0))) * F.cos(F.radians(lat))
+        * F.pow(F.sin(dlon / 2), 2)
+    )
+    dist = F.lit(2.0 * radius) * F.asin(F.sqrt(a))
+    out = df.withColumn("__geo_dist", dist)
+    if "maxDistance" in spec:
+        out = out.filter(
+            F.col("__geo_dist") <= float(spec["maxDistance"]))
+    if "minDistance" in spec:
+        out = out.filter(
+            F.col("__geo_dist") >= float(spec["minDistance"]))
+    return (
+        out.withColumn(dist_field, F.col("__geo_dist") * mult)
+        .drop("__geo_dist")
+        .orderBy(F.asc(dist_field))
+    )
+
+
 def _stage_sort_by_count(df, spec, pctx):
     """$sortByCount (MongoDB shape, batch extension): group by the
     expression into ``_id``, count, sort count-descending.  Compiles to
@@ -1807,6 +1854,7 @@ STAGES: dict[str, Callable[[DataFrame, Any, PipelineContext], DataFrame]] = {
     "$skip": lambda df, spec, pctx: df.offset(int(spec)),
     "$sample": _stage_sample_ext,
     "$sortByCount": _stage_sort_by_count,
+    "$geoNear": _stage_geo_near,
     "$chunk": _stage_chunk_ext,
     "$sessionize": _stage_sessionize_ext,
     "$asofLookup": _stage_asof_lookup_ext,

@@ -1102,3 +1102,54 @@ class TestSortByCount:
         )
         with pytest.raises(UnsupportedExpression):
             run(stream, [{"$sortByCount": "$value"}])
+
+
+class TestGeoNear:
+    """$geoNear (MongoDB shape): haversine meters, min/max filters,
+    query pre-filter, nearest-first order, distanceMultiplier."""
+
+    @pytest.fixture(scope="class")
+    def places(self, spark):
+        return spark.createDataFrame(
+            [("brussels", [4.3517, 50.8466], "BE"),
+             ("ghent", [3.7174, 51.0543], "BE"),
+             ("paris", [2.3522, 48.8566], "FR"),
+             ("tokyo", [139.6917, 35.6895], "JP")],
+            "name string, location array<double>, country string")
+
+    def g(self, places, spec):
+        base = {"near": [4.3517, 50.8466], "distanceField": "d"}
+        base.update(spec)
+        return rows(places, [{"$geoNear": base}])
+
+    def test_nearest_first_and_haversine(self, places):
+        import math
+        out = self.g(places, {})
+        assert [r["name"] for r in out] == \
+            ["brussels", "ghent", "paris", "tokyo"]
+        # reference haversine (Mongo's 6378137 m radius)
+        def hav(lon1, lat1, lon2, lat2):
+            p = math.pi / 180
+            a = (math.sin((lat2 - lat1) * p / 2) ** 2
+                 + math.cos(lat1 * p) * math.cos(lat2 * p)
+                 * math.sin((lon2 - lon1) * p / 2) ** 2)
+            return 2 * 6378137.0 * math.asin(math.sqrt(a))
+        want = hav(4.3517, 50.8466, 3.7174, 51.0543)
+        assert out[1]["d"] == pytest.approx(want, rel=1e-12)
+        assert out[0]["d"] == pytest.approx(0.0, abs=1e-6)
+
+    def test_max_min_distance_and_query(self, places):
+        out = self.g(places, {"maxDistance": 300_000})
+        assert [r["name"] for r in out] == \
+            ["brussels", "ghent", "paris"]
+        out = self.g(places, {"minDistance": 1,
+                              "maxDistance": 300_000,
+                              "query": {"country": "BE"}})
+        assert [r["name"] for r in out] == ["ghent"]
+
+    def test_distance_multiplier_and_geojson_near(self, places):
+        out = self.g(places, {
+            "near": {"type": "Point", "coordinates": [4.3517, 50.8466]},
+            "distanceMultiplier": 0.001})   # meters -> km
+        km = out[1]["d"]
+        assert 50 < km < 60  # Brussels -> Ghent ~55 km
