@@ -4197,6 +4197,71 @@ FROM d WHERE m <= 5000000
 """
 
 
+def q_date_parts(spark, sf_dir):
+    """Canonical MongoDB date-part operator gallery ($year..$isoWeek,
+    Sunday-based $week, ISO triple, $dateFromParts round-trip) over
+    synthesized instants — all native Column date functions in one
+    codegen pass."""
+    return _pipe(spark, sf_dir, "orders", [
+        {"$match": {"o_orderkey": {"$lte": 20000}}},
+        {"$addFields": {"t": {"$dateAdd": {
+            "startDate": "$o_orderdate", "unit": "second",
+            "amount": {"$mod": ["$o_orderkey", 90061]}}}}},
+        {"$project": {
+            "_id": 0, "o_orderkey": 1,
+            "y": {"$toLong": {"$year": "$t"}},
+            "mo": {"$toLong": {"$month": "$t"}},
+            "dm": {"$toLong": {"$dayOfMonth": "$t"}},
+            "h": {"$toLong": {"$hour": "$t"}},
+            "mi": {"$toLong": {"$minute": "$t"}},
+            "s": {"$toLong": {"$second": "$t"}},
+            "ms": {"$toLong": {"$millisecond": "$t"}},
+            "dw": {"$toLong": {"$dayOfWeek": "$t"}},
+            "dy": {"$toLong": {"$dayOfYear": "$t"}},
+            "wk": {"$toLong": {"$week": "$t"}},
+            "iw": {"$toLong": {"$isoWeek": "$t"}},
+            "iwy": {"$toLong": {"$isoWeekYear": "$t"}},
+            "idw": {"$toLong": {"$isoDayOfWeek": "$t"}},
+            "rt": {"$dateFromParts": {
+                "year": {"$year": "$t"}, "month": {"$month": "$t"},
+                "day": {"$dayOfMonth": "$t"}, "hour": {"$hour": "$t"},
+                "minute": {"$minute": "$t"},
+                "second": {"$second": "$t"}}},
+        }},
+    ])
+
+
+_ORACLE_DATE_PARTS = """
+WITH t AS (
+  SELECT o_orderkey,
+         o_orderdate::TIMESTAMP
+           + (o_orderkey % 90061) * INTERVAL 1 SECOND AS ts
+  FROM orders WHERE o_orderkey <= 20000
+), w AS (
+  SELECT *,
+         dayofyear(ts) - 1 AS doy0,
+         (8 - (dayofweek(date_trunc('year', ts)) + 1)) % 7 AS off
+  FROM t
+)
+SELECT o_orderkey,
+       year(ts)::BIGINT AS y, month(ts)::BIGINT AS mo,
+       day(ts)::BIGINT AS dm, hour(ts)::BIGINT AS h,
+       minute(ts)::BIGINT AS mi,
+       extract(second FROM ts)::BIGINT AS s,
+       (epoch_ms(ts) % 1000)::BIGINT AS ms,
+       (dayofweek(ts) + 1)::BIGINT AS dw,
+       dayofyear(ts)::BIGINT AS dy,
+       (CASE WHEN doy0 < off THEN 0
+             ELSE (doy0 - off) // 7 + 1 END)::BIGINT AS wk,
+       weekofyear(ts)::BIGINT AS iw,
+       isoyear(ts)::BIGINT AS iwy,
+       isodow(ts)::BIGINT AS idw,
+       strftime(date_trunc('second', ts),
+                '%Y-%m-%dT%H:%M:%S') || 'Z' AS rt
+FROM w
+"""
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -4222,6 +4287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_by_count": q_sort_by_count,
         "bigram_lm": q_bigram_lm,
         "geo_near": q_geo_near,
+        "date_parts": q_date_parts,
         "dup_spans": q_dup_spans,
         "strip_spans": q_strip_spans,
         "window_fields": q_window_fields,
@@ -4336,6 +4402,7 @@ def oracle_sql() -> dict[str, str]:
         "sort_by_count": _ORACLE_SORT_BY_COUNT,
         "bigram_lm": _ORACLE_BIGRAM_LM,
         "geo_near": _ORACLE_GEO_NEAR,
+        "date_parts": _ORACLE_DATE_PARTS,
         "dup_spans": _ORACLE_DUP_SPANS,
         "strip_spans": _ORACLE_STRIP_SPANS,
         "window_fields": _ORACLE_WINDOW_FIELDS,

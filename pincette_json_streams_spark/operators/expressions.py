@@ -572,6 +572,125 @@ def _date_from_string_op(args, ctx):
     return _iso_instant(ts)
 
 
+def _date_part_arg(args, ctx) -> Column:
+    """MongoDB date-part operand: a date expression directly or
+    {date, timezone?}.  UTC only (the reference's ISO-string data model
+    is UTC throughout; a non-UTC timezone raises rather than silently
+    shifting)."""
+    if isinstance(args, dict) and "date" in args:
+        tz = args.get("timezone")
+        if tz not in (None, "UTC", "Z", "+00:00", "+00"):
+            raise UnsupportedExpression(
+                f"date parts support UTC only, got timezone {tz!r}")
+        return _as_ts(compile_expr(args["date"], ctx))
+    return _as_ts(compile_expr(args, ctx))
+
+
+def _iso_dow(d: Column) -> Column:
+    # Spark dayofweek: 1=Sunday..7=Saturday -> ISO 1=Monday..7=Sunday
+    return ((F.dayofweek(d) + 5) % 7) + 1
+
+
+def _week_sunday(d: Column) -> Column:
+    # Mongo $week: 0-53, week 1 begins with the first Sunday of the
+    # year, earlier days are week 0 (docs.mongodb.com $week)
+    jan1 = F.date_trunc("year", d)
+    off = (F.lit(8) - F.dayofweek(jan1)) % 7
+    doy0 = F.dayofyear(d) - 1
+    return F.when(doy0 < off, F.lit(0)).otherwise(
+        F.floor((doy0 - off) / 7).cast("int") + 1
+    )
+
+
+def _iso_week_year(d: Column) -> Column:
+    # ISO week-year = calendar year of that week's Thursday (Spark
+    # rejects week-based 'Y' patterns, so compute it structurally)
+    return F.year(F.date_add(F.to_date(d), F.lit(4) - _iso_dow(d)))
+
+
+_DATE_PARTS: dict[str, Callable[[Column], Column]] = {
+    "$year": F.year,
+    "$month": F.month,
+    "$dayOfMonth": F.dayofmonth,
+    "$hour": F.hour,
+    "$minute": F.minute,
+    "$second": F.second,
+    "$millisecond": lambda d: (F.unix_millis(d) % 1000).cast("int"),
+    "$dayOfWeek": F.dayofweek,          # 1=Sunday, same as Mongo
+    "$dayOfYear": F.dayofyear,
+    "$week": _week_sunday,
+    "$isoWeek": F.weekofyear,           # Spark weekofyear is ISO
+    "$isoWeekYear": _iso_week_year,
+    "$isoDayOfWeek": _iso_dow,
+}
+
+
+def _date_part_op(name: str):
+    fn = _DATE_PARTS[name]
+
+    def h(args, ctx):
+        return fn(_date_part_arg(args, ctx))
+    return h
+
+
+def _date_to_parts_op(args, ctx):
+    d = _date_part_arg(args, ctx)
+    if isinstance(args, dict) and args.get("iso8601"):
+        return F.struct(
+            _iso_week_year(d).alias("isoWeekYear"),
+            F.weekofyear(d).alias("isoWeek"),
+            _iso_dow(d).alias("isoDayOfWeek"),
+            F.hour(d).alias("hour"),
+            F.minute(d).alias("minute"),
+            F.second(d).alias("second"),
+            (F.unix_millis(d) % 1000).cast("int").alias("millisecond"),
+        )
+    return F.struct(
+        F.year(d).alias("year"),
+        F.month(d).alias("month"),
+        F.dayofmonth(d).alias("day"),
+        F.hour(d).alias("hour"),
+        F.minute(d).alias("minute"),
+        F.second(d).alias("second"),
+        (F.unix_millis(d) % 1000).cast("int").alias("millisecond"),
+    )
+
+
+def _date_from_parts_op(args, ctx):
+    if not isinstance(args, dict):
+        raise UnsupportedExpression("$dateFromParts needs an object")
+    tz = args.get("timezone")
+    if tz not in (None, "UTC", "Z", "+00:00", "+00"):
+        raise UnsupportedExpression(
+            f"$dateFromParts supports UTC only, got timezone {tz!r}")
+
+    def part(key, default):
+        if key in args:
+            return compile_expr(args[key], ctx).cast("int")
+        return F.lit(default)
+
+    if "isoWeekYear" in args:
+        y = part("isoWeekYear", 1970)
+        wk = part("isoWeek", 1)
+        dw = part("isoDayOfWeek", 1)
+        # ISO week 1 contains Jan 4; its Monday anchors the grid
+        jan4 = F.make_date(y, F.lit(1), F.lit(4))
+        monday1 = F.date_sub(jan4, _iso_dow(jan4) - 1)
+        day = F.date_add(monday1, (wk - 1) * 7 + (dw - 1))
+    else:
+        day = F.make_date(part("year", 1970), part("month", 1),
+                          part("day", 1))
+    secs = (
+        part("hour", 0).cast("long") * 3600
+        + part("minute", 0).cast("long") * 60
+        + part("second", 0).cast("long")
+    )
+    ms = part("millisecond", 0).cast("long")
+    return _iso_instant(F.timestamp_millis(
+        F.unix_millis(day.cast("timestamp")) + secs * 1000 + ms
+    ))
+
+
 def _date_trunc_op(args, ctx):
     # {date, unit, binSize?}: binSize 1 -> native date_trunc (all
     # units); binSize > 1 -> fixed-width units only, epoch-anchored
@@ -1090,6 +1209,9 @@ OPERATORS: dict[str, Callable[[Any, Ctx], Column]] = {
     "$toYear": _simple(lambda x: F.year(_as_ts(x))),
     # MongoDB 5.0 date arithmetic (extensions)
     "$dateTrunc": _date_trunc_op,
+    **{name: _date_part_op(name) for name in _DATE_PARTS},
+    "$dateToParts": _date_to_parts_op,
+    "$dateFromParts": _date_from_parts_op,
     "$dateAdd": _date_add_op(1),
     "$dateSubtract": _date_add_op(-1),
     "$dateDiff": _date_diff_op,

@@ -499,3 +499,71 @@ class TestDateDiffProperty:
             assert got == ref(s, e, unit), (s, e, unit)
 
         check()
+
+
+class TestDateParts:
+    """Canonical MongoDB date-part operators ($year..$isoDayOfWeek,
+    $dateToParts/$dateFromParts) — UTC, over the engine's ISO strings."""
+
+    def test_parts_of_instant(self, spark):
+        df = one(spark, t="2024-03-05T14:07:09.250Z")  # a Tuesday
+        assert ev(df, {"$year": "$t"}) == 2024
+        assert ev(df, {"$month": "$t"}) == 3
+        assert ev(df, {"$dayOfMonth": "$t"}) == 5
+        assert ev(df, {"$hour": "$t"}) == 14
+        assert ev(df, {"$minute": "$t"}) == 7
+        assert ev(df, {"$second": "$t"}) == 9
+        assert ev(df, {"$millisecond": "$t"}) == 250
+        assert ev(df, {"$dayOfWeek": "$t"}) == 3      # Sun=1 -> Tue=3
+        assert ev(df, {"$isoDayOfWeek": "$t"}) == 2   # Mon=1 -> Tue=2
+        assert ev(df, {"$dayOfYear": "$t"}) == 65
+
+    def test_week_variants(self, spark):
+        # 2024-01-01 is a Monday: before the first Sunday -> $week 0,
+        # but ISO week 1 of 2024
+        df = one(spark, t="2024-01-01T00:00:00Z")
+        assert ev(df, {"$week": "$t"}) == 0
+        assert ev(df, {"$isoWeek": "$t"}) == 1
+        assert ev(df, {"$isoWeekYear": "$t"}) == 2024
+        # 2021-01-01 is a Friday: ISO week 53 of ISO year 2020
+        df = one(spark, t="2021-01-01T00:00:00Z")
+        assert ev(df, {"$isoWeek": "$t"}) == 53
+        assert ev(df, {"$isoWeekYear": "$t"}) == 2020
+        # 2023-01-01 is a Sunday: $week 1 immediately
+        df = one(spark, t="2023-01-01T00:00:00Z")
+        assert ev(df, {"$week": "$t"}) == 1
+        assert ev(df, {"$dayOfWeek": "$t"}) == 1
+
+    def test_date_object_form_and_tz_guard(self, spark):
+        from pincette_json_streams_spark.operators.expressions import (
+            UnsupportedExpression,
+        )
+        df = one(spark, t="2024-03-05T00:00:00Z")
+        assert ev(df, {"$year": {"date": "$t", "timezone": "UTC"}}) == 2024
+        with pytest.raises(UnsupportedExpression):
+            ev(df, {"$year": {"date": "$t",
+                              "timezone": "America/New_York"}})
+
+    def test_date_to_parts(self, spark):
+        df = one(spark, t="2024-03-05T14:07:09.250Z")
+        p = ev(df, {"$dateToParts": {"date": "$t"}}).asDict()
+        assert p == {"year": 2024, "month": 3, "day": 5, "hour": 14,
+                     "minute": 7, "second": 9, "millisecond": 250}
+        iso = ev(df, {"$dateToParts": {"date": "$t",
+                                       "iso8601": True}}).asDict()
+        assert iso["isoWeekYear"] == 2024 and iso["isoWeek"] == 10
+        assert iso["isoDayOfWeek"] == 2
+
+    def test_date_from_parts_roundtrip(self, spark):
+        df = one(spark, y=2024, mo=3, d=5)
+        out = ev(df, {"$dateFromParts": {
+            "year": "$y", "month": "$mo", "day": "$d",
+            "hour": 14, "minute": 7, "second": 9, "millisecond": 250}})
+        assert out == "2024-03-05T14:07:09.250Z"
+        # iso8601 variant: ISO year 2024, week 10, Tuesday
+        out = ev(df, {"$dateFromParts": {
+            "isoWeekYear": 2024, "isoWeek": 10, "isoDayOfWeek": 2}})
+        assert out == "2024-03-05T00:00:00Z"
+        # defaults: month/day default to 1
+        assert ev(df, {"$dateFromParts": {"year": 2024}}) == \
+            "2024-01-01T00:00:00Z"
