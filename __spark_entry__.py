@@ -4262,6 +4262,112 @@ FROM w
 """
 
 
+def q_window_modern(spark, sf_dir):
+    """Mongo 5.x window-only operators in $windowFields
+    (operators/stages.py _window_special): exact median/percentile,
+    covariance pop/samp, $derivative over a 2-doc frame, trapezoidal
+    $integral, recursive $expMovingAvg (codegen fold over the
+    cumulative frame list — no UDF), $locf and no-extrapolation
+    $linearFill.  One shared window family = a single hash-partition
+    exchange; partitions are order dates (small, bounding the
+    O(history) EMA fold)."""
+    orders = _t(spark, sf_dir, "orders").where("o_orderkey <= 20000")
+    df = orders.select(
+        F.col("o_orderdate").alias("pd"),
+        F.col("o_orderkey").cast("long").alias("k"),
+        F.col("o_totalprice").alias("v"),
+        F.when(F.col("o_orderkey") % 3 == 2, None)
+         .otherwise(F.col("o_totalprice")).alias("g"),
+    )
+    out = compile_pipeline(df, [
+        {"$windowFields": {
+            "partitionBy": "$pd", "sortBy": {"k": 1},
+            "output": {
+                "med": {"$median": {"input": "$v"}},
+                "pct": {"$percentile": {"input": "$v",
+                                        "p": [0.25, 0.75]}},
+                "cov": {"$covariancePop": ["$k", "$v"]},
+                "covs": {"$covarianceSamp": ["$k", "$v"]},
+                "slope": {"$derivative": {"input": "$v"},
+                          "window": {"documents": [-1, 0]}},
+                "area": {"$integral": {"input": "$v"}},
+                "ema": {"$expMovingAvg": {"input": "$v",
+                                          "alpha": 0.5}},
+                "f": {"$locf": "$g"},
+                "lin": {"$linearFill": "$g"},
+            }}},
+    ], PipelineContext())
+    # floor-based rounding: Spark's round() is exact BigDecimal while
+    # DuckDB's scales in doubles — at half-way boundaries (e.g. an EMA
+    # of ...41874999998 whose *1e4 lands exactly on .5) they disagree.
+    # floor(x*1e4 + 0.5)/1e4 runs the SAME double ops in both engines.
+    def r(c, s=10000.0):
+        col = c if isinstance(c, F.Column) else F.col(c)
+        return F.floor(col * s + 0.5) / s
+    # covariance/integral magnitudes are ~1e8-1e9 and the two engines'
+    # accumulation algorithms agree only to ~1e-12 relative — decimals
+    # there are noise; report them floored to thousands (grid far above
+    # the cross-engine noise floor)
+    return out.select(
+        F.col("k").alias("o_orderkey"),
+        r("med").alias("med"),
+        F.transform("pct", lambda x: r(x)).alias("pct"),
+        F.floor(F.col("cov") / 1000 + 0.5).cast("long").alias("cov_k"),
+        F.floor(F.col("covs") / 1000 + 0.5).cast("long").alias("covs_k"),
+        r("slope", 1e6).alias("slope"),
+        F.floor(F.col("area") / 1000 + 0.5).cast("long").alias("area_k"),
+        r("ema").alias("ema"),
+        r("f").alias("f"), r("lin").alias("lin"),
+    )
+
+
+_ORACLE_WINDOW_MODERN = """
+WITH d AS (
+  SELECT o_orderdate AS pd, o_orderkey AS k, o_totalprice AS v,
+         CASE WHEN o_orderkey % 3 = 2 THEN NULL
+              ELSE o_totalprice END AS g
+  FROM orders WHERE o_orderkey <= 20000
+), l1 AS (
+  SELECT pd, k, v, g,
+    (v - lag(v) OVER o) / nullif(k - lag(k) OVER o, 0) AS slope,
+    (k - lag(k) OVER o) * (v + lag(v) OVER o) / 2 AS trap,
+    list_reduce(list(v) OVER (o ROWS UNBOUNDED PRECEDING),
+                (acc, x) -> 0.5 * x + 0.5 * acc) AS ema,
+    last_value(g IGNORE NULLS) OVER (o ROWS UNBOUNDED PRECEDING) AS pv,
+    last_value(CASE WHEN g IS NOT NULL THEN k END IGNORE NULLS)
+      OVER (o ROWS UNBOUNDED PRECEDING) AS pk,
+    first_value(g IGNORE NULLS)
+      OVER (o ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    first_value(CASE WHEN g IS NOT NULL THEN k END IGNORE NULLS)
+      OVER (o ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nk
+  FROM d WINDOW o AS (PARTITION BY pd ORDER BY k)
+), l2 AS (
+  SELECT pd, k, slope, ema, pv AS f,
+    quantile_cont(v, 0.5) OVER p AS med,
+    quantile_cont(v, [0.25, 0.75]) OVER p AS pct,
+    covar_pop(k, v) OVER p AS cov,
+    covar_samp(k, v) OVER p AS covs,
+    coalesce(sum(trap) OVER p, 0) AS area,
+    CASE WHEN g IS NOT NULL THEN g
+         WHEN pv IS NOT NULL AND nv IS NOT NULL AND nk <> pk
+         THEN pv + (nv - pv) * (k - pk) / (nk - pk)
+         WHEN pv IS NOT NULL AND nv IS NOT NULL THEN pv END AS lin
+  FROM l1 WINDOW p AS (PARTITION BY pd)
+)
+SELECT k AS o_orderkey,
+       floor(med * 10000 + 0.5) / 10000 AS med,
+       [floor(x * 10000 + 0.5) / 10000 for x in pct] AS pct,
+       floor(cov / 1000 + 0.5)::BIGINT AS cov_k,
+       floor(covs / 1000 + 0.5)::BIGINT AS covs_k,
+       floor(slope * 1000000 + 0.5) / 1000000 AS slope,
+       floor(area / 1000 + 0.5)::BIGINT AS area_k,
+       floor(ema * 10000 + 0.5) / 10000 AS ema,
+       floor(f * 10000 + 0.5) / 10000 AS f,
+       floor(lin * 10000 + 0.5) / 10000 AS lin
+FROM l2
+"""
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -4288,6 +4394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm": q_bigram_lm,
         "geo_near": q_geo_near,
         "date_parts": q_date_parts,
+        "window_modern": q_window_modern,
         "dup_spans": q_dup_spans,
         "strip_spans": q_strip_spans,
         "window_fields": q_window_fields,
@@ -4403,6 +4510,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_lm": _ORACLE_BIGRAM_LM,
         "geo_near": _ORACLE_GEO_NEAR,
         "date_parts": _ORACLE_DATE_PARTS,
+        "window_modern": _ORACLE_WINDOW_MODERN,
         "dup_spans": _ORACLE_DUP_SPANS,
         "strip_spans": _ORACLE_STRIP_SPANS,
         "window_fields": _ORACLE_WINDOW_FIELDS,

@@ -1395,6 +1395,125 @@ def _window_frame(win, sort_cols, bounds):
     return win.rowsBetween(lo, hi)
 
 
+# $derivative/$expMovingAvg unit -> milliseconds (Mongo fixed units)
+_WF_UNIT_MS = {
+    "millisecond": 1, "second": 1000, "minute": 60_000,
+    "hour": 3_600_000, "day": 86_400_000, "week": 604_800_000,
+}
+
+
+def _window_special(op, args, ospec, ctx, win, ordered,
+                    single_sort_key, sort_cols):
+    """Mongo 5.x window-only operators for $windowFields.  All native
+    Columns: covariances are Spark covar_pop/covar_samp; $median and
+    $percentile are exact F.percentile over the frame (same contract as
+    the group accumulators); $derivative is (Δvalue / Δsort-key) over
+    the frame ends; $integral is a per-row trapezoid fold over the
+    frame's (key, value) list via F.aggregate (no UDF — the fold runs
+    in codegen, O(frame) per row); $expMovingAvg is the Mongo recursive
+    EMA as a fold over the cumulative history list (exact, O(history)
+    per row — the documented cost of an order-recursive definition);
+    $locf / $linearFill repair NULLs with last-carried-forward /
+    key-proportional interpolation between surrounding non-nulls (no
+    extrapolation), matching the $fill stage's semantics."""
+    from pyspark.sql.window import Window as W
+
+    if op in ("$covariancePop", "$covarianceSamp"):
+        a = compile_expr(args[0], ctx).cast("double")
+        b = compile_expr(args[1], ctx).cast("double")
+        fn = F.covar_pop if op == "$covariancePop" else F.covar_samp
+        return fn(a, b).over(win)
+
+    if op == "$median":
+        inp = compile_expr(args["input"], ctx).cast("double")
+        return F.percentile(inp, F.lit(0.5)).over(win)
+
+    if op == "$percentile":
+        inp = compile_expr(args["input"], ctx).cast("double")
+        ps = args["p"]
+        return F.percentile(
+            inp, F.array(*[F.lit(float(p)) for p in ps])
+        ).over(win)
+
+    if op == "$derivative":
+        key = single_sort_key().cast("double")
+        val = compile_expr(args["input"], ctx).cast("double")
+        dv = F.last(val, True).over(win) - F.first(val, True).over(win)
+        dk = F.last(key, True).over(win) - F.first(key, True).over(win)
+        unit = args.get("unit")
+        if unit is not None:
+            if unit not in _WF_UNIT_MS:
+                raise UnsupportedExpression(f"$derivative unit {unit!r}")
+            dk = dk / F.lit(float(_WF_UNIT_MS[unit]))
+        return F.when(dk != 0, dv / dk)
+
+    if op == "$integral":
+        key = single_sort_key().cast("double")
+        val = compile_expr(args["input"], ctx).cast("double")
+        unit_div = 1.0
+        unit = args.get("unit")
+        if unit is not None:
+            if unit not in _WF_UNIT_MS:
+                raise UnsupportedExpression(f"$integral unit {unit!r}")
+            unit_div = float(_WF_UNIT_MS[unit])
+        pts = F.collect_list(F.struct(key.alias("k"), val.alias("v"))) \
+            .over(win)
+        # trapezoid over consecutive points; the frame list arrives in
+        # frame order (ascending sort key is enforced)
+        idx = F.sequence(F.lit(1), F.greatest(F.size(pts) - 1, F.lit(0)))
+        return F.when(F.size(pts) >= 2, F.aggregate(
+            idx, F.lit(0.0),
+            lambda acc, i: acc
+            + (F.element_at(pts, i + 1)["k"] - F.element_at(pts, i)["k"])
+            * (F.element_at(pts, i + 1)["v"] + F.element_at(pts, i)["v"])
+            / 2.0,
+        ) / F.lit(unit_div)).otherwise(F.lit(0.0))
+
+    if op == "$expMovingAvg":
+        if not sort_cols:
+            raise UnsupportedExpression("$expMovingAvg requires sortBy")
+        if "window" in ospec:
+            raise UnsupportedExpression(
+                "$expMovingAvg does not accept a window (Mongo contract)")
+        val = compile_expr(args["input"], ctx).cast("double")
+        if "alpha" in args:
+            alpha = float(args["alpha"])
+        elif "N" in args:
+            alpha = 2.0 / (float(args["N"]) + 1.0)
+        else:
+            raise UnsupportedExpression("$expMovingAvg needs N or alpha")
+        hist = F.collect_list(val).over(
+            ordered.rowsBetween(W.unboundedPreceding, W.currentRow))
+        # Mongo: ema_0 = x_0; ema_i = alpha*x_i + (1-alpha)*ema_{i-1}
+        return F.when(F.size(hist) > 0, F.aggregate(
+            F.slice(hist, 2, F.greatest(F.size(hist) - 1, F.lit(0))),
+            F.element_at(hist, 1),
+            lambda acc, x: F.lit(alpha) * x
+            + F.lit(1.0 - alpha) * acc,
+        ))
+
+    if op == "$locf":
+        val = compile_expr(args, ctx)
+        return F.last(val, True).over(
+            ordered.rowsBetween(W.unboundedPreceding, W.currentRow))
+
+    if op == "$linearFill":
+        key = single_sort_key().cast("double")
+        val = compile_expr(args, ctx).cast("double")
+        back = ordered.rowsBetween(W.unboundedPreceding, W.currentRow)
+        fwd = ordered.rowsBetween(W.currentRow, W.unboundedFollowing)
+        pv = F.last(val, True).over(back)
+        pk = F.last(F.when(val.isNotNull(), key), True).over(back)
+        nv = F.first(val, True).over(fwd)
+        nk = F.first(F.when(val.isNotNull(), key), True).over(fwd)
+        return F.when(val.isNotNull(), val).when(
+            pv.isNotNull() & nv.isNotNull() & (nk != pk),
+            pv + (nv - pv) * (key - pk) / (nk - pk),
+        ).when(pv.isNotNull() & nv.isNotNull(), pv)
+
+    raise UnsupportedExpression(f"unknown window operator {op}")
+
+
 def _stage_window_fields_ext(df, spec, pctx):
     """$windowFields batch extension — MongoDB 5.0's $setWindowFields
     shape re-expressed as Spark window functions (the reference's
@@ -1405,8 +1524,13 @@ def _stage_window_fields_ext(df, spec, pctx):
      {name: {"$rank": {}} | {"$denseRank": {}} | {"$rowNumber": {}}
           | {"$shift": {"output": expr, "by": n, "default": expr?}}
           | {"$sum"/"$avg"/"$min"/"$max"/"$count"/"$stdDevPop"
-             /"$first"/"$last": expr,
-             "window": {"documents": [a, b]}?}}}
+             /"$stdDevSamp"/"$first"/"$last"/"$push"/"$addToSet": expr,
+             "window": {"documents": [a, b]} | {"range": [a, b]}?}
+          | {"$covariancePop"/"$covarianceSamp": [e1, e2], ...}
+          | {"$median": {"input": e}} | {"$percentile": {"input", "p"}}
+          | {"$derivative"/"$integral": {"input": e, "unit"?}, ...}
+          | {"$expMovingAvg": {"input": e, "N" | "alpha"}}
+          | {"$locf"/"$linearFill": expr}}}
 
     Every output compiles to a native window Column over ONE shared
     WindowSpec family — a single hash-partition exchange on the
@@ -1436,13 +1560,29 @@ def _stage_window_fields_ext(df, spec, pctx):
     }
     aggs = {
         "$sum": F.sum, "$avg": F.avg, "$min": F.min, "$max": F.max,
-        "$stdDevPop": F.stddev_pop, "$first": F.first, "$last": F.last,
+        "$stdDevPop": F.stddev_pop, "$stdDevSamp": F.stddev_samp,
+        "$first": F.first, "$last": F.last,
         "$count": lambda c: F.count(F.lit(1)),
         # frame-order list / sorted set over the window ($addToSet's
         # array_sort wraps AFTER .over() — it is not a window function)
         "$push": F.collect_list,
         "$addToSet": F.collect_set,
     }
+    # Mongo 5.x window-only operators beyond plain aggregates; each
+    # compiles against (args, frame window, single sort key) below
+    special = {"$covariancePop", "$covarianceSamp", "$median",
+               "$percentile", "$derivative", "$integral",
+               "$expMovingAvg", "$locf", "$linearFill"}
+
+    def single_sort_key():
+        if len(sort_by) != 1:
+            raise UnsupportedExpression(
+                "this window operator requires exactly one sortBy key")
+        k, d = next(iter(sort_by.items()))
+        if d < 0:
+            raise UnsupportedExpression(
+                "this window operator requires an ascending sortBy")
+        return F.col(k)
     out_cols = []
     for name, ospec in (spec.get("output") or {}).items():
         if not (isinstance(ospec, dict) and len(ospec) >= 1):
@@ -1468,42 +1608,54 @@ def _stage_window_fields_ext(df, spec, pctx):
                 if by >= 0 else F.lag(val, -by).over(ordered)
             )
             col = F.coalesce(col, dcol)
-        elif op in aggs:
-            win = ordered if sort_cols else base
-            wspec = ospec.get("window") or {}
-            bounds = wspec.get("documents")
-            range_bounds = wspec.get("range")
-            if bounds is not None:
-                if not sort_cols:
-                    raise UnsupportedExpression(
-                        "documents window requires sortBy"
+        elif op in aggs or op in special:
+            def frame_of(ospec):
+                win = ordered if sort_cols else base
+                wspec = ospec.get("window") or {}
+                bounds = wspec.get("documents")
+                range_bounds = wspec.get("range")
+                if bounds is not None:
+                    if not sort_cols:
+                        raise UnsupportedExpression(
+                            "documents window requires sortBy"
+                        )
+                    return _window_frame(ordered, sort_cols, bounds)
+                if range_bounds is not None:
+                    # value-based frame over ONE numeric sort key (Mongo
+                    # range windows) -> Spark rangeBetween
+                    if len(sort_by) != 1:
+                        raise UnsupportedExpression(
+                            "range window requires exactly one sortBy key"
+                        )
+                    lo = (W.unboundedPreceding
+                          if range_bounds[0] == "unbounded"
+                          else W.currentRow
+                          if range_bounds[0] == "current"
+                          else int(range_bounds[0]))
+                    hi = (W.unboundedFollowing
+                          if range_bounds[1] == "unbounded"
+                          else W.currentRow
+                          if range_bounds[1] == "current"
+                          else int(range_bounds[1]))
+                    return ordered.rangeBetween(lo, hi)
+                if sort_cols:
+                    # Mongo: sortBy without an explicit window means the
+                    # whole partition, not a cumulative frame
+                    return ordered.rowsBetween(
+                        W.unboundedPreceding, W.unboundedFollowing
                     )
-                win = _window_frame(ordered, sort_cols, bounds)
-            elif range_bounds is not None:
-                # value-based frame over ONE numeric sort key (Mongo
-                # range windows) -> Spark rangeBetween
-                if len(sort_by) != 1:
-                    raise UnsupportedExpression(
-                        "range window requires exactly one sortBy key"
-                    )
-                lo = (W.unboundedPreceding
-                      if range_bounds[0] == "unbounded"
-                      else W.currentRow if range_bounds[0] == "current"
-                      else int(range_bounds[0]))
-                hi = (W.unboundedFollowing
-                      if range_bounds[1] == "unbounded"
-                      else W.currentRow if range_bounds[1] == "current"
-                      else int(range_bounds[1]))
-                win = ordered.rangeBetween(lo, hi)
-            elif sort_cols:
-                # Mongo: sortBy without an explicit window means the
-                # whole partition, not a cumulative frame
-                win = ordered.rowsBetween(
-                    W.unboundedPreceding, W.unboundedFollowing
+                return win
+
+            if op in aggs:
+                col = aggs[op](compile_expr(args, ctx)).over(
+                    frame_of(ospec))
+                if op == "$addToSet":
+                    col = F.array_sort(col)
+            else:
+                col = _window_special(
+                    op, args, ospec, ctx, frame_of(ospec), ordered,
+                    single_sort_key, sort_cols,
                 )
-            col = aggs[op](compile_expr(args, ctx)).over(win)
-            if op == "$addToSet":
-                col = F.array_sort(col)
         else:
             raise UnsupportedExpression(
                 f"unknown $windowFields operator {op}"

@@ -1153,3 +1153,91 @@ class TestGeoNear:
             "distanceMultiplier": 0.001})   # meters -> km
         km = out[1]["d"]
         assert 50 < km < 60  # Brussels -> Ghent ~55 km
+
+
+class TestWindowFieldsModernOps:
+    """Mongo 5.x window-only operators in $windowFields: covariance,
+    exact median/percentile, derivative/integral, expMovingAvg,
+    locf/linearFill."""
+
+    @pytest.fixture(scope="class")
+    def series(self, spark):
+        return spark.createDataFrame(
+            [("a", 0, 10.0), ("a", 10, 14.0), ("a", 20, None),
+             ("a", 30, 26.0), ("a", 40, None), ("b", 0, 1.0),
+             ("b", 10, 3.0)],
+            "k string, t long, v double")
+
+    def wf(self, df, output):
+        return {r["k"] + str(r["t"]): r for r in rows(df, [
+            {"$windowFields": {"partitionBy": "$k",
+                               "sortBy": {"t": 1}, "output": output}}])}
+
+    def test_covariance_median_percentile(self, series):
+        import numpy as np
+        out = self.wf(series.filter("v is not null"), {
+            "cov": {"$covariancePop": ["$t", "$v"]},
+            "covs": {"$covarianceSamp": ["$t", "$v"]},
+            "med": {"$median": {"input": "$v"}},
+            "pct": {"$percentile": {"input": "$v", "p": [0.0, 1.0]}},
+        })
+        t = np.array([0, 10, 30]); v = np.array([10.0, 14.0, 26.0])
+        assert out["a0"]["cov"] == pytest.approx(
+            np.cov(t, v, bias=True)[0][1])
+        assert out["a0"]["covs"] == pytest.approx(np.cov(t, v)[0][1])
+        assert out["a0"]["med"] == 14.0
+        assert out["a0"]["pct"] == [10.0, 26.0]
+        assert out["b0"]["med"] == 2.0  # exact interpolation
+
+    def test_derivative_and_integral(self, series):
+        clean = series.filter("v is not null")
+        out = self.wf(clean, {
+            "slope": {"$derivative": {"input": "$v"},
+                      "window": {"documents": [-1, 0]}},
+            "area": {"$integral": {"input": "$v"}},
+        })
+        # a: points (0,10) (10,14) (30,26)
+        assert out["a10"]["slope"] == pytest.approx(0.4)
+        assert out["a30"]["slope"] == pytest.approx(0.6)
+        assert out["a0"]["slope"] is None  # one-point frame
+        # trapezoid: (10-0)*(10+14)/2 + (30-10)*(14+26)/2 = 120+400
+        assert out["a0"]["area"] == pytest.approx(520.0)
+        assert out["b0"]["area"] == pytest.approx(20.0)
+
+    def test_derivative_unit(self, series):
+        out = self.wf(series.filter("v is not null"), {
+            # t treated as millis; per-second slope = ms slope * 1000
+            "sps": {"$derivative": {"input": "$v", "unit": "second"},
+                    "window": {"documents": [-1, 0]}},
+        })
+        assert out["a10"]["sps"] == pytest.approx(400.0)
+
+    def test_exp_moving_avg(self, series):
+        clean = series.filter("v is not null")
+        out = self.wf(clean, {
+            "ema": {"$expMovingAvg": {"input": "$v", "N": 3}}})
+        # alpha = 2/(3+1) = 0.5; ema: 10, 12, 19
+        assert out["a0"]["ema"] == 10.0
+        assert out["a10"]["ema"] == pytest.approx(12.0)
+        assert out["a30"]["ema"] == pytest.approx(19.0)
+
+    def test_locf_linear_fill(self, series):
+        out = self.wf(series, {
+            "f": {"$locf": "$v"},
+            "lin": {"$linearFill": "$v"},
+        })
+        assert out["a20"]["f"] == 14.0
+        assert out["a40"]["f"] == 26.0
+        # linear: t=20 between (10,14) and (30,26) -> 20
+        assert out["a20"]["lin"] == pytest.approx(20.0)
+        # trailing null: no next non-null -> stays null (no extrapolation)
+        assert out["a40"]["lin"] is None
+
+    def test_ema_rejects_window(self, series):
+        from pincette_json_streams_spark.operators.expressions import (
+            UnsupportedExpression,
+        )
+        with pytest.raises(UnsupportedExpression):
+            self.wf(series, {"e": {
+                "$expMovingAvg": {"input": "$v", "N": 2},
+                "window": {"documents": [-1, 0]}}})
