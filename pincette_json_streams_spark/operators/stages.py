@@ -1104,8 +1104,80 @@ def _stage_out(df, spec, pctx):
 
 
 def _stage_merge(df, spec, pctx):
-    name = spec if isinstance(spec, str) else spec["into"]
-    pctx.outputs[name] = df
+    """$merge (MongoDB shape, docs/aggregation_stages.md:378-380): merge
+    the stream into a catalog collection keyed by ``on`` (default
+    ``_id``), honoring ``whenMatched`` (replace | keepExisting | merge |
+    fail) and ``whenNotMatched`` (insert | discard | fail).
+
+    Batch semantics of Delta's MERGE INTO: one full-outer equi-join on
+    the merge keys; ``merge`` is the engine's field-wise overwrite
+    (source fields that are present — non-null under the parquet data
+    model — win).  The merged table replaces the catalog entry and is
+    captured in ``pctx.outputs`` so later parts and the runner see the
+    post-merge state.  The ``fail`` modes need a match-existence check,
+    which is one bounded action (limit(1).count()) — the documented
+    cost of a fail-fast contract.  With no existing target the stage
+    degrades to plain capture (everything is unmatched)."""
+    if isinstance(spec, str):
+        spec = {"into": spec}
+    name = spec["into"]
+    wm = spec.get("whenMatched", "merge")
+    wnm = spec.get("whenNotMatched", "insert")
+    on = spec.get("on", "_id")
+    keys = [on] if isinstance(on, str) else list(on)
+    target = pctx.catalog.get(name)
+
+    if target is None or not set(keys) <= set(df.columns):
+        out = df
+    else:
+        # literal presence markers, not key-null checks: null merge
+        # keys are legitimate rows under eqNullSafe
+        src = df.select(F.lit(True).alias("__s_present"),
+                        *[F.col(c).alias(f"__s_{c}") for c in df.columns])
+        tgt = target.select(
+            F.lit(True).alias("__t_present"),
+            *[F.col(c).alias(f"__t_{c}") for c in target.columns])
+        cond = None
+        for k in keys:
+            c = F.col(f"__s_{k}").eqNullSafe(F.col(f"__t_{k}"))
+            cond = c if cond is None else cond & c
+        joined = src.join(tgt, cond, "full_outer")
+        s_hit = F.col("__s_present").isNotNull()
+        t_hit = F.col("__t_present").isNotNull()
+        if wm == "fail" and not joined.filter(
+                s_hit & t_hit).limit(1).isEmpty():
+            raise ValueError(f"$merge whenMatched=fail: matches in {name!r}")
+        if wnm == "fail" and not joined.filter(
+                s_hit & ~t_hit).limit(1).isEmpty():
+            raise ValueError(
+                f"$merge whenNotMatched=fail: unmatched docs for {name!r}")
+        if wnm == "discard":
+            joined = joined.filter(t_hit)
+        cols = list(dict.fromkeys([*target.columns, *df.columns]))
+
+        def pick(c):
+            s = (F.col(f"__s_{c}") if c in df.columns
+                 else F.lit(None))
+            t = (F.col(f"__t_{c}") if c in target.columns
+                 else F.lit(None))
+            matched = {
+                "replace": s,
+                "keepExisting": t,
+                "merge": F.when(s.isNotNull(), s).otherwise(t),
+                "fail": t,
+            }.get(wm)
+            if matched is None:
+                raise UnsupportedExpression(f"$merge whenMatched {wm!r}")
+            return (
+                F.when(s_hit & t_hit, matched)
+                .when(t_hit, t)
+                .otherwise(s)
+                .alias(c)
+            )
+
+        out = joined.select([pick(c) for c in cols])
+    pctx.outputs[name] = out
+    pctx.catalog[name] = out
     return df
 
 

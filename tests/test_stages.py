@@ -1241,3 +1241,68 @@ class TestWindowFieldsModernOps:
             self.wf(series, {"e": {
                 "$expMovingAvg": {"input": "$v", "N": 2},
                 "window": {"documents": [-1, 0]}}})
+
+
+class TestMergeStage:
+    """$merge whenMatched/whenNotMatched semantics (MongoDB shape) —
+    the batch equivalent of Delta MERGE INTO."""
+
+    @pytest.fixture()
+    def world(self, spark):
+        src = spark.createDataFrame(
+            [("a", 10, None), ("b", 20, "src-b"), ("d", 40, "src-d")],
+            "_id string, v int, note string")
+        tgt = spark.createDataFrame(
+            [("a", 1, "tgt-a"), ("b", 2, "tgt-b"), ("c", 3, "tgt-c")],
+            "_id string, v int, note string")
+        return src, tgt
+
+    def merged(self, src, tgt, **opts):
+        pctx = PipelineContext(catalog={"t": tgt})
+        spec = {"into": "t", **opts}
+        compile_pipeline(src, [{"$merge": spec}], pctx)
+        return {r["_id"]: r.asDict() for r in pctx.outputs["t"].collect()}
+
+    def test_default_merge_insert(self, world):
+        out = self.merged(*world)
+        assert set(out) == {"a", "b", "c", "d"}
+        # field-wise merge: null source field keeps the target's
+        assert out["a"] == {"_id": "a", "v": 10, "note": "tgt-a"}
+        assert out["b"] == {"_id": "b", "v": 20, "note": "src-b"}
+        assert out["c"] == {"_id": "c", "v": 3, "note": "tgt-c"}
+        assert out["d"] == {"_id": "d", "v": 40, "note": "src-d"}
+
+    def test_replace_and_keep_existing(self, world):
+        out = self.merged(*world, whenMatched="replace")
+        assert out["a"] == {"_id": "a", "v": 10, "note": None}
+        out = self.merged(*world, whenMatched="keepExisting")
+        assert out["a"] == {"_id": "a", "v": 1, "note": "tgt-a"}
+        assert out["d"]["v"] == 40  # still inserted
+
+    def test_discard_unmatched(self, world):
+        out = self.merged(*world, whenNotMatched="discard")
+        assert set(out) == {"a", "b", "c"}
+
+    def test_fail_modes(self, world):
+        src, tgt = world
+        with pytest.raises(ValueError, match="whenMatched=fail"):
+            self.merged(src, tgt, whenMatched="fail")
+        with pytest.raises(ValueError, match="whenNotMatched=fail"):
+            self.merged(src, tgt, whenNotMatched="fail")
+        # fail modes pass when the condition never fires
+        only_new = src.filter("_id = 'd'")
+        out = self.merged(only_new, tgt, whenMatched="fail")
+        assert set(out) == {"a", "b", "c", "d"}
+
+    def test_no_target_is_plain_capture(self, spark, world):
+        src, _ = world
+        pctx = PipelineContext()
+        compile_pipeline(src, [{"$merge": {"into": "fresh"}}], pctx)
+        assert pctx.outputs["fresh"].count() == 3
+
+    def test_null_keys_match_nullsafe(self, spark):
+        src = spark.createDataFrame([(None, 9)], "_id string, v int")
+        tgt = spark.createDataFrame([(None, 1), ("x", 2)],
+                                    "_id string, v int")
+        out = self.merged(src, tgt)
+        assert out[None]["v"] == 9 and out["x"]["v"] == 2
