@@ -1306,3 +1306,53 @@ class TestMergeStage:
                                     "_id string, v int")
         out = self.merged(src, tgt)
         assert out[None]["v"] == 9 and out["x"]["v"] == 2
+
+
+class TestGraphLookupProperty:
+    def test_matches_python_bfs_on_random_graphs(self, spark):
+        """$graphLookup == a pure-python BFS (reachable set + minimal
+        depth) on random directed graphs with cycles and self-loops."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=12, deadline=None)
+        @given(st.lists(
+            st.tuples(st.integers(0, 9), st.integers(0, 9)),
+            min_size=1, max_size=25, unique=True))
+        def check(edges):
+            nodes = sorted({n for e in edges for n in e})
+            adj = {}
+            for child, parent in edges:
+                adj.setdefault(child, set()).add(parent)
+
+            def bfs(seed):
+                # seed matches nodes by id; hop follows child->parent
+                cur = {n: 0 for n in ({seed} & set(nodes))}
+                out = dict(cur)
+                while cur:
+                    nxt = {}
+                    for n in cur:
+                        for p in adj.get(n, ()):
+                            if p in nodes and p not in out:
+                                nxt[p] = out[n] + 1
+                    out.update(nxt)
+                    cur = nxt
+                return out
+
+            coll = spark.createDataFrame(
+                [(n, sorted(adj.get(n, ()))) for n in nodes],
+                "nid long, parents array<long>")
+            seeds = spark.createDataFrame(
+                [(s,) for s in range(10)], "start long")
+            got = {r["start"]: {(d["nid"], d["lvl"]) for d in r["chain"]}
+                   for r in rows(seeds, [{"$graphLookup": {
+                       "from": "g", "startWith": "$start",
+                       "connectFromField": "parents",
+                       "connectToField": "nid",
+                       "as": "chain", "depthField": "lvl"}}],
+                       catalog={"g": coll})}
+            for s in range(10):
+                want = bfs(s)
+                assert got[s] == set(want.items()), (s, got[s], want)
+
+        check()
