@@ -1358,6 +1358,51 @@ def _stage_chunk_ext(df, spec, pctx):
     )
 
 
+def _stage_bpe_train_ext(df, spec, pctx):
+    """{"text": col, "merges": n, "maxWords": n, "_collection": name} —
+    BPE vocabulary induction (functions/bpe.py train_bpe).  The merge
+    table registers in the catalog as (rank, left, right) so later
+    parts ($bpeEncode or $lookup) can consume it; the stage passes the
+    input through unchanged, like $merge."""
+    _batch_only(df, "$bpeTrain", "global vocabulary induction")
+    from pincette_json_streams_spark.functions.bpe import (
+        train_bpe, word_frequencies,
+    )
+
+    spec = spec if isinstance(spec, dict) else {}
+    merges = train_bpe(
+        word_frequencies(df, text_col=spec.get("text", "text")),
+        n_merges=int(spec.get("merges", 256)),
+        max_words=int(spec.get("maxWords", 65536)),
+    )
+    table = df.sparkSession.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank long, left string, right string",
+    )
+    name = spec.get("_collection", "bpe_merges")
+    pctx.catalog[name] = table
+    pctx.outputs[name] = table
+    return df
+
+
+def _stage_bpe_encode_ext(df, spec, pctx):
+    """{"text": col, "as": out, "from": merge-collection} — apply a
+    trained merge table (functions/bpe.py bpe_encode).  The merge
+    table is read from the catalog ($bpeTrain's output or any
+    (rank, left, right) collection) with a bounded collect — merge
+    tables are vocabulary-sized by construction."""
+    from pincette_json_streams_spark.functions.bpe import bpe_encode
+
+    spec = spec if isinstance(spec, dict) else {}
+    src = pctx.collection(spec.get("from", "bpe_merges"))
+    merges = [
+        (r["left"], r["right"])
+        for r in src.orderBy("rank").collect()
+    ]
+    return bpe_encode(df, merges, text_col=spec.get("text", "text"),
+                      out_col=spec.get("as", "tokens"))
+
+
 def _stage_sessionize_ext(df, spec, pctx):
     # {"by": col, "ts": col, "gap": n, "tiebreak": [cols], "as": name}
     from pincette_json_streams_spark.functions.timeseries import sessionize
@@ -2080,6 +2125,8 @@ STAGES: dict[str, Callable[[DataFrame, Any, PipelineContext], DataFrame]] = {
     "$sortByCount": _stage_sort_by_count,
     "$geoNear": _stage_geo_near,
     "$chunk": _stage_chunk_ext,
+    "$bpeTrain": _stage_bpe_train_ext,
+    "$bpeEncode": _stage_bpe_encode_ext,
     "$sessionize": _stage_sessionize_ext,
     "$asofLookup": _stage_asof_lookup_ext,
     "$scrubPii": _stage_scrub_pii_ext,

@@ -1356,3 +1356,37 @@ class TestGraphLookupProperty:
                 assert got[s] == set(want.items()), (s, got[s], want)
 
         check()
+
+
+class TestBpeStages:
+    def test_train_then_encode_pipeline(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "low low low low low lower lower newest newest newest "
+                 "newest newest newest widest widest widest")],
+            "id long, text string")
+        pctx = PipelineContext()
+        out = compile_pipeline(docs, [
+            {"$bpeTrain": {"text": "text", "merges": 5,
+                           "_collection": "m"}},
+            {"$bpeEncode": {"text": "text", "from": "m",
+                            "as": "toks"}},
+        ], pctx)
+        merges = [(r["left"], r["right"])
+                  for r in pctx.outputs["m"].orderBy("rank").collect()]
+        assert merges == [("e", "s"), ("es", "t"), ("est", "</w>"),
+                          ("l", "o"), ("lo", "w")]
+        toks = out.collect()[0]["toks"]
+        # 5 merges stop before ("low","</w>"): low -> [low, </w>],
+        # and "lower" also yields a leading "low" (5 + 2 = 7);
+        # est</w> (rank 2) covers newest(6) + widest(3)
+        assert toks.count("low") == 7
+        assert toks.count("est</w>") == 9
+
+    def test_train_streaming_rejected(self, spark):
+        from pincette_json_streams_spark.operators.expressions import (
+            UnsupportedExpression,
+        )
+        stream = (spark.readStream.format("rate")
+                  .option("rowsPerSecond", 1).load())
+        with pytest.raises(UnsupportedExpression):
+            run(stream, [{"$bpeTrain": {"text": "value"}}])
