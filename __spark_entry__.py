@@ -4368,6 +4368,49 @@ FROM l2
 """
 
 
+def q_json_schema(spark, sf_dir):
+    """$jsonSchema query operator (operators/match.py — MongoDB's
+    draft-4 subset): type keywords resolve statically from the Spark
+    schema, value keywords compile to plain codegen predicates the
+    oracle replays as a WHERE clause."""
+    return _pipe(spark, sf_dir, "part", [
+        {"$match": {"$jsonSchema": {
+            "required": ["p_name", "p_retailprice"],
+            "properties": {
+                "p_retailprice": {"type": "number", "minimum": 950,
+                                  "maximum": 1500,
+                                  "exclusiveMaximum": True},
+                "p_size": {"bsonType": "int", "multipleOf": 5},
+                "p_name": {"type": "string", "minLength": 10,
+                           "pattern": "^[a-n]"},
+            },
+            "anyOf": [
+                {"properties": {"p_type": {"enum": ["ECONOMY",
+                                                    "PROMO"]}},
+                 "required": ["p_type"]},
+                {"properties": {"p_brand": {"pattern": "#1[0-9]$"}},
+                 "required": ["p_brand"]},
+            ]}}},
+        {"$project": {"_id": 0, "p_partkey": 1, "p_name": 1,
+                      "p_size": 1, "p_type": 1, "p_brand": 1}},
+    ])
+
+
+_ORACLE_JSON_SCHEMA = """
+SELECT p_partkey, p_name, p_size, p_type, p_brand
+FROM part
+WHERE p_name IS NOT NULL AND p_retailprice IS NOT NULL
+  AND (p_retailprice IS NULL
+       OR (p_retailprice >= 950 AND p_retailprice < 1500))
+  AND (p_size IS NULL OR p_size % 5 = 0)
+  AND (p_name IS NULL
+       OR (len(p_name) >= 10 AND regexp_matches(p_name, '^[a-n]')))
+  AND ((p_type IS NOT NULL AND p_type IN ('ECONOMY', 'PROMO'))
+       OR (p_brand IS NOT NULL
+           AND regexp_matches(p_brand, '#1[0-9]$')))
+"""
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -4395,6 +4438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_near": q_geo_near,
         "date_parts": q_date_parts,
         "window_modern": q_window_modern,
+        "json_schema": q_json_schema,
         "dup_spans": q_dup_spans,
         "strip_spans": q_strip_spans,
         "window_fields": q_window_fields,
@@ -4511,6 +4555,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_near": _ORACLE_GEO_NEAR,
         "date_parts": _ORACLE_DATE_PARTS,
         "window_modern": _ORACLE_WINDOW_MODERN,
+        "json_schema": _ORACLE_JSON_SCHEMA,
         "dup_spans": _ORACLE_DUP_SPANS,
         "strip_spans": _ORACLE_STRIP_SPANS,
         "window_fields": _ORACLE_WINDOW_FIELDS,

@@ -46,6 +46,8 @@ def compile_query(query: dict, ctx: Ctx) -> Column:
             conds.append(compile_expr(value, ctx).cast("boolean"))
         elif key == "$comment":
             continue
+        elif key == "$jsonSchema":
+            conds.append(_json_schema_root(value, ctx))
         elif key.startswith("$"):
             raise UnsupportedExpression(f"unknown top-level query op {key}")
         else:
@@ -211,3 +213,204 @@ def _fold_or(conds: list[Column]) -> Column:
     for c in conds[1:]:
         out = out | c
     return out
+
+
+# --------------------------------------------------------------------------
+# $jsonSchema (MongoDB's draft-4 subset; docs.mongodb.com $jsonSchema) —
+# compiled structurally against the DataFrame schema: type keywords
+# resolve STATICALLY from Spark dtypes (a mismatched type is a constant
+# predicate Catalyst folds away), everything else is native Columns.
+# Under the parquet data model absent == NULL, so `properties` validate
+# only non-null fields and `required` means IS NOT NULL — the same
+# presence convention as $exists and the validator subsystem.
+# --------------------------------------------------------------------------
+
+_JS_SCALARS = {
+    "string": ("string",),
+    "bool": ("boolean",), "boolean": ("boolean",),
+    "int": ("byte", "short", "integer", "long"),
+    "integer": ("byte", "short", "integer", "long"),
+    "long": ("byte", "short", "integer", "long"),
+    "double": ("float", "double", "decimal"),
+    "number": ("byte", "short", "integer", "long", "float", "double",
+               "decimal"),
+    "date": ("date", "timestamp", "timestamp_ntz"),
+}
+
+
+def _js_dtype(ctx: Ctx, path: str):
+    """Resolve a dotted path's Spark dtype; 'missing' when statically
+    absent; None when no schema is known (rebased contexts)."""
+    from pyspark.sql.types import StructType
+
+    if ctx.df is None:
+        return None
+    cur = ctx.df.schema
+    for seg in path.split("."):
+        if not isinstance(cur, StructType):
+            return "missing"
+        m = {f.name: f.dataType for f in cur.fields}
+        if seg not in m:
+            return "missing"
+        cur = m[seg]
+    return cur
+
+
+def _js_type_pred(col: Column, dtype, types) -> Column:
+    from pyspark.sql.types import (
+        ArrayType, DecimalType, MapType, StructType,
+    )
+
+    wanted = types if isinstance(types, list) else [types]
+    for t in wanted:
+        if t == "null":
+            continue
+        if dtype is None:
+            raise UnsupportedExpression(
+                "$jsonSchema type checks need a schema-bearing context")
+        ok = False
+        if t in ("object",):
+            ok = isinstance(dtype, (StructType, MapType))
+        elif t == "array":
+            ok = isinstance(dtype, ArrayType)
+        elif t in _JS_SCALARS:
+            name = ("decimal" if isinstance(dtype, DecimalType)
+                    else dtype.typeName())
+            ok = name in _JS_SCALARS[t]
+        else:
+            raise UnsupportedExpression(f"$jsonSchema type {t!r}")
+        if ok:
+            return col.isNotNull()
+    if "null" in wanted:
+        return col.isNull()
+    return F.lit(False)
+
+
+def _js_pred(col: Column, dtype, schema: dict, ctx: Ctx) -> Column:
+    """Schema predicate over a PRESENT value (callers gate nullability)."""
+    from pyspark.sql.types import ArrayType, StructType
+
+    conds: list[Column] = []
+    for kw, arg in schema.items():
+        if kw in ("type", "bsonType"):
+            conds.append(_js_type_pred(col, dtype, arg))
+        elif kw == "enum":
+            scalars = [v for v in arg if not isinstance(v, (list, dict))]
+            if len(scalars) != len(arg):
+                raise UnsupportedExpression(
+                    "$jsonSchema enum supports scalars only")
+            conds.append(col.isin(scalars))
+        elif kw == "minimum":
+            if schema.get("exclusiveMinimum") is True:
+                conds.append(col > F.lit(arg))
+            else:
+                conds.append(col >= F.lit(arg))
+        elif kw == "maximum":
+            if schema.get("exclusiveMaximum") is True:
+                conds.append(col < F.lit(arg))
+            else:
+                conds.append(col <= F.lit(arg))
+        elif kw in ("exclusiveMinimum", "exclusiveMaximum"):
+            continue  # draft-4 boolean modifiers, handled above
+        elif kw == "multipleOf":
+            conds.append(col % F.lit(arg) == 0)
+        elif kw == "minLength":
+            conds.append(F.length(col) >= int(arg))
+        elif kw == "maxLength":
+            conds.append(F.length(col) <= int(arg))
+        elif kw == "pattern":
+            conds.append(col.rlike(arg))
+        elif kw == "minItems":
+            conds.append(F.size(col) >= int(arg))
+        elif kw == "maxItems":
+            conds.append(F.size(col) <= int(arg))
+        elif kw == "uniqueItems":
+            if arg:
+                conds.append(
+                    F.size(F.array_distinct(col)) == F.size(col))
+        elif kw == "items":
+            if not isinstance(arg, dict):
+                raise UnsupportedExpression(
+                    "$jsonSchema items supports a single schema")
+            elem_dt = (dtype.elementType
+                       if isinstance(dtype, ArrayType) else None)
+            conds.append(F.forall(
+                col, lambda x: _js_pred(x, elem_dt, arg, ctx)))
+        elif kw == "properties":
+            if not isinstance(dtype, StructType):
+                raise UnsupportedExpression(
+                    "$jsonSchema properties on a non-object field")
+            m = {f.name: f.dataType for f in dtype.fields}
+            for name, sub in arg.items():
+                if name not in m:
+                    continue  # statically absent: vacuously valid
+                sc = col.getField(name)
+                conds.append(
+                    sc.isNull() | _js_pred(sc, m[name], sub, ctx))
+        elif kw == "required":
+            if not isinstance(dtype, StructType):
+                raise UnsupportedExpression(
+                    "$jsonSchema required on a non-object field")
+            m = {f.name for f in dtype.fields}
+            for name in arg:
+                conds.append(col.getField(name).isNotNull()
+                             if name in m else F.lit(False))
+        elif kw == "allOf":
+            conds.extend(_js_pred(col, dtype, s, ctx) for s in arg)
+        elif kw == "anyOf":
+            conds.append(_fold_or(
+                [_js_pred(col, dtype, s, ctx) for s in arg]))
+        elif kw == "oneOf":
+            total = None
+            for s in arg:
+                c = _js_pred(col, dtype, s, ctx).cast("int")
+                total = c if total is None else total + c
+            conds.append(total == 1)
+        elif kw == "not":
+            conds.append(~_js_pred(col, dtype, arg, ctx))
+        elif kw in ("title", "description"):
+            continue
+        else:
+            raise UnsupportedExpression(f"$jsonSchema keyword {kw!r}")
+    return _fold_and(conds) if conds else F.lit(True)
+
+
+def _json_schema_root(schema: dict, ctx: Ctx) -> Column:
+    """$jsonSchema applied to the document root."""
+    conds: list[Column] = []
+    for kw, arg in schema.items():
+        if kw in ("type", "bsonType"):
+            types = arg if isinstance(arg, list) else [arg]
+            if "object" not in types:
+                conds.append(F.lit(False))
+        elif kw == "properties":
+            for name, sub in arg.items():
+                dt = _js_dtype(ctx, name)
+                if dt == "missing":
+                    continue
+                col = ctx.field(name)
+                conds.append(col.isNull() | _js_pred(col, dt, sub, ctx))
+        elif kw == "required":
+            for name in arg:
+                dt = _js_dtype(ctx, name)
+                conds.append(F.lit(False) if dt == "missing"
+                             else ctx.field(name).isNotNull())
+        elif kw == "allOf":
+            conds.extend(_json_schema_root(s, ctx) for s in arg)
+        elif kw == "anyOf":
+            conds.append(_fold_or(
+                [_json_schema_root(s, ctx) for s in arg]))
+        elif kw == "oneOf":
+            total = None
+            for s in arg:
+                c = _json_schema_root(s, ctx).cast("int")
+                total = c if total is None else total + c
+            conds.append(total == 1)
+        elif kw == "not":
+            conds.append(~_json_schema_root(arg, ctx))
+        elif kw in ("title", "description"):
+            continue
+        else:
+            raise UnsupportedExpression(
+                f"$jsonSchema root keyword {kw!r}")
+    return _fold_and(conds) if conds else F.lit(True)

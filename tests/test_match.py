@@ -116,3 +116,77 @@ class TestMisc:
     def test_type(self, people):
         assert ids(people, {"name": {"$type": "string"}}) == \
             ["p1", "p2", "p3", "p4"]
+
+
+class TestJsonSchema:
+    """$jsonSchema (MongoDB draft-4 subset) compiled structurally
+    against the DataFrame schema."""
+
+    def test_types_and_required(self, people):
+        assert ids(people, {"$jsonSchema": {
+            "required": ["name", "age"],
+            "properties": {"name": {"type": "string"},
+                           "age": {"bsonType": "int"}}}}) == \
+            ["p1", "p2", "p3", "p4"]
+        # required on a present-but-null field fails (p4.address null)
+        assert ids(people, {"$jsonSchema": {
+            "required": ["address"]}}) == ["p1", "p2", "p3"]
+        # statically absent required field matches nothing
+        assert ids(people, {"$jsonSchema": {"required": ["ghost"]}}) == []
+
+    def test_numeric_string_bounds(self, people):
+        assert ids(people, {"$jsonSchema": {"properties": {
+            "age": {"minimum": 28, "maximum": 40,
+                    "exclusiveMaximum": False},
+            "name": {"minLength": 3, "maxLength": 5,
+                     "pattern": "^[A-Z]"}}}}) == ["p1", "p2", "p4"]
+        assert ids(people, {"$jsonSchema": {"properties": {
+            "age": {"minimum": 28, "exclusiveMinimum": True}}}}) == \
+            ["p1", "p3"]
+        assert ids(people, {"$jsonSchema": {"properties": {
+            "age": {"multipleOf": 7}}}}) == ["p2", "p4"]
+
+    def test_enum_arrays_nested(self, people):
+        assert ids(people, {"$jsonSchema": {"properties": {
+            "name": {"enum": ["Alice", "Dave"]}}}}) == ["p1", "p4"]
+        assert ids(people, {"$jsonSchema": {"properties": {
+            "tags": {"type": "array", "minItems": 1,
+                     "uniqueItems": True,
+                     "items": {"type": "string",
+                               "pattern": "^(red|blue|green)$"}}}}}) == \
+            ["p1", "p2"]  # p3 [] fails minItems; p4 duplicates fail
+        # nested object properties + required, validated only when the
+        # object is present (p4.address is null -> passes vacuously)
+        assert ids(people, {"$jsonSchema": {"properties": {
+            "address": {"type": "object", "required": ["zip"],
+                        "properties": {
+                            "zip": {"pattern": "^9"}}}}}}) == \
+            ["p1", "p2", "p3", "p4"]
+
+    def test_combinators(self, people):
+        assert ids(people, {"$jsonSchema": {"anyOf": [
+            {"properties": {"age": {"minimum": 40}}, "required": ["age"]},
+            {"properties": {"balance": {"maximum": 0}},
+             "required": ["balance"]}]}}) == ["p2", "p3"]
+        assert ids(people, {"$jsonSchema": {"not": {
+            "properties": {"age": {"minimum": 30}},
+            "required": ["age"]}}}) == ["p2", "p4"]
+        assert ids(people, {"$jsonSchema": {"oneOf": [
+            {"properties": {"age": {"minimum": 30}}, "required": ["age"]},
+            {"properties": {"name": {"pattern": "^C"}},
+             "required": ["name"]}]}}) == ["p1"]  # Carol matches BOTH
+
+    def test_mixed_with_plain_query(self, people):
+        assert ids(people, {
+            "age": {"$gte": 28},
+            "$jsonSchema": {"properties": {"balance": {"minimum": 0}},
+                            "required": ["balance"]}}) == \
+            ["p1", "p3", "p4"]
+
+    def test_unsupported_keyword_raises(self, people):
+        import pytest
+        from pincette_json_streams_spark.operators.expressions import (
+            UnsupportedExpression,
+        )
+        with pytest.raises(UnsupportedExpression):
+            ids(people, {"$jsonSchema": {"patternProperties": {}}})
