@@ -1947,6 +1947,8 @@ def _stage_densify_ext(df, spec, pctx):
     rng = spec.get("range") or {}
     step = int(rng.get("step", 1))
     bounds = rng.get("bounds", "partition")
+    if rng.get("unit") is not None:
+        return _densify_dates(df, field, parts, rng, pctx)
     if bounds == "partition":
         if not parts:
             raise UnsupportedExpression(
@@ -1980,6 +1982,70 @@ def _stage_densify_ext(df, spec, pctx):
             )
         ).alias(field),
     )
+    missing = grid.join(
+        df.select(*parts, field).distinct(), [*parts, field], "left_anti"
+    )
+    return df.unionByName(missing, allowMissingColumns=True)
+
+
+def _densify_dates(df, field, parts, rng, pctx):
+    """$densify with a date ``unit`` (MongoDB 5.1 date ranges): the grid
+    runs over epoch millis at unit*step width and converts back to the
+    field's own type (date, timestamp, or the engine's ISO strings).
+    Fixed-width units only — month/quarter/year vary in length, the
+    same restriction as $dateTrunc binSize."""
+    from pyspark.sql.types import DateType, TimestampType
+
+    unit = rng["unit"]
+    step = int(rng.get("step", 1))
+    bounds = rng.get("bounds", "partition")
+    if unit not in _WF_UNIT_MS:
+        raise UnsupportedExpression(
+            f"$densify unit {unit!r} (fixed-width units only)")
+    width = _WF_UNIT_MS[unit] * step
+
+    dtype = dict(df.dtypes).get(field)
+    fts = F.col(field).cast("timestamp")
+    ms = F.unix_millis(fts)
+
+    def back(ms_col):
+        ts = F.timestamp_millis(ms_col)
+        if dtype == "date":
+            return ts.cast("date")
+        if dtype and dtype.startswith("timestamp"):
+            return ts.cast(dtype)
+        # engine ISO-string date model
+        from pincette_json_streams_spark.operators.expressions import (
+            _iso_instant,
+        )
+        return _iso_instant(ts)
+
+    if bounds == "partition":
+        if not parts:
+            raise UnsupportedExpression(
+                "$densify bounds=partition needs partitionByFields")
+        grid_src = df.groupBy(*parts).agg(
+            F.min(ms).alias("__lo"), F.max(ms).alias("__hi"))
+    elif bounds == "full":
+        stats = df.agg(F.min(ms).alias("__lo"), F.max(ms).alias("__hi"))
+        grid_src = (
+            df.select(*parts).distinct().crossJoin(F.broadcast(stats))
+            if parts else stats
+        )
+    elif isinstance(bounds, (list, tuple)) and len(bounds) == 2:
+        lo = F.unix_millis(F.lit(bounds[0]).cast("timestamp"))
+        hi = F.unix_millis(F.lit(bounds[1]).cast("timestamp"))
+        grid_src = (
+            df.select(*parts).distinct() if parts
+            else df.sparkSession.range(1).select()
+        ).withColumn("__lo", lo).withColumn("__hi", hi)
+    else:
+        raise UnsupportedExpression(f"$densify bounds {bounds!r}")
+    grid = grid_src.select(
+        *parts,
+        F.explode(F.sequence(F.col("__lo"), F.col("__hi"),
+                             F.lit(width))).alias("__ms"),
+    ).select(*parts, back(F.col("__ms")).alias(field))
     missing = grid.join(
         df.select(*parts, field).distinct(), [*parts, field], "left_anti"
     )

@@ -1390,3 +1390,49 @@ class TestBpeStages:
                   .option("rowsPerSecond", 1).load())
         with pytest.raises(UnsupportedExpression):
             run(stream, [{"$bpeTrain": {"text": "value"}}])
+
+
+class TestDensifyDates:
+    """$densify with date units (MongoDB 5.1 date ranges)."""
+
+    def test_date_column_day_grid(self, spark):
+        import datetime as dt
+        df = spark.createDataFrame(
+            [("a", dt.date(2024, 1, 1), 1.0),
+             ("a", dt.date(2024, 1, 4), 4.0),
+             ("b", dt.date(2024, 1, 1), 9.0)],
+            "k string, d date, v double")
+        out = rows(df, [{"$densify": {
+            "field": "d", "partitionByFields": ["k"],
+            "range": {"step": 1, "unit": "day",
+                      "bounds": "partition"}}}])
+        a = sorted((r["d"].isoformat(), r["v"])
+                   for r in out if r["k"] == "a")
+        assert [x[0] for x in a] == ["2024-01-01", "2024-01-02",
+                                     "2024-01-03", "2024-01-04"]
+        assert [x[1] for x in a] == [1.0, None, None, 4.0]
+        assert len([r for r in out if r["k"] == "b"]) == 1
+
+    def test_iso_string_hour_grid_explicit_bounds(self, spark):
+        df = spark.createDataFrame(
+            [("2024-03-05T01:00:00Z",), ("2024-03-05T04:00:00Z",)],
+            "t string")
+        out = rows(df, [{"$densify": {
+            "field": "t",
+            "range": {"step": 2, "unit": "hour",
+                      "bounds": ["2024-03-05T00:00:00Z",
+                                 "2024-03-05T06:00:00Z"]}}}])
+        ts = sorted(r["t"] for r in out)
+        assert ts == ["2024-03-05T00:00:00Z", "2024-03-05T01:00:00Z",
+                      "2024-03-05T02:00:00Z", "2024-03-05T04:00:00Z",
+                      "2024-03-05T06:00:00Z"]
+
+    def test_month_unit_rejected(self, spark):
+        from pincette_json_streams_spark.operators.expressions import (
+            UnsupportedExpression,
+        )
+        df = spark.createDataFrame([("2024-01-01",)], "t string")
+        with pytest.raises(UnsupportedExpression):
+            run(df, [{"$densify": {"field": "t",
+                                   "range": {"step": 1, "unit": "month",
+                                             "bounds": "full"}}}])
