@@ -190,3 +190,83 @@ class TestJsonSchema:
         )
         with pytest.raises(UnsupportedExpression):
             ids(people, {"$jsonSchema": {"patternProperties": {}}})
+
+
+class TestJsonSchemaProperty:
+    def test_matches_reference_validator(self, spark):
+        """Compiled $jsonSchema == python-jsonschema Draft4 on random
+        documents and random schemas from the supported subset (absent
+        fields modeled as omitted keys, the engine's null==absent
+        convention)."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+        from jsonschema import Draft4Validator
+
+        from pincette_json_streams_spark.operators.context import ctx_for
+
+        vals = st.one_of(st.none(), st.integers(-5, 5))
+        strs = st.one_of(st.none(), st.sampled_from(
+            ["", "abc", "axe", "zb", "b", "aaaa"]))
+        arrs = st.one_of(st.none(), st.lists(
+            st.sampled_from(["x", "y", "z"]), max_size=3))
+
+        str_schema = st.fixed_dictionaries({}, optional={
+            "type": st.just("string"),
+            "minLength": st.integers(0, 4),
+            "maxLength": st.integers(0, 5),
+            "pattern": st.sampled_from(["^a", "b$", "[0-9]"]),
+            "enum": st.lists(st.sampled_from(["abc", "axe", "b"]),
+                             min_size=1, max_size=3, unique=True),
+        })
+        int_schema = st.fixed_dictionaries({}, optional={
+            "type": st.just("integer"),
+            "minimum": st.integers(-4, 4),
+            "maximum": st.integers(-4, 4),
+            "exclusiveMinimum": st.booleans(),
+            "multipleOf": st.integers(1, 3),
+        })
+        arr_schema = st.fixed_dictionaries({}, optional={
+            "type": st.just("array"),
+            "minItems": st.integers(0, 3),
+            "maxItems": st.integers(0, 3),
+            "uniqueItems": st.booleans(),
+            "items": st.fixed_dictionaries(
+                {}, optional={"enum": st.lists(
+                    st.sampled_from(["x", "y"]), min_size=1,
+                    max_size=2, unique=True)}),
+        })
+        schema_st = st.fixed_dictionaries({}, optional={
+            "properties": st.fixed_dictionaries({}, optional={
+                "s": str_schema, "i": int_schema, "arr": arr_schema}),
+            "required": st.lists(st.sampled_from(["s", "i", "arr"]),
+                                 max_size=3, unique=True),
+        })
+
+        @settings(max_examples=15, deadline=None)
+        @given(st.lists(st.tuples(strs, vals, arrs), min_size=1,
+                        max_size=6),
+               schema_st)
+        def check(rows_in, schema):
+            # exclusiveMinimum without minimum is invalid draft-4 usage
+            p = schema.get("properties", {}).get("i", {})
+            if "exclusiveMinimum" in p and "minimum" not in p:
+                del p["exclusiveMinimum"]
+            df = spark.createDataFrame(
+                [(j, s, i, a) for j, (s, i, a) in enumerate(rows_in)],
+                "rid long, s string, i long, arr array<string>")
+            from pincette_json_streams_spark.operators.match import (
+                compile_query,
+            )
+            pred = compile_query({"$jsonSchema": schema}, ctx_for(df))
+            mine = sorted(r["rid"] for r in df.filter(pred).collect())
+            v = Draft4Validator(schema)
+            ref = []
+            for j, (s, i, a) in enumerate(rows_in):
+                doc = {k: x for k, x in
+                       (("rid", j), ("s", s), ("i", i), ("arr", a))
+                       if x is not None}
+                if v.is_valid(doc):
+                    ref.append(j)
+            assert mine == ref, (schema, rows_in, mine, ref)
+
+        check()
