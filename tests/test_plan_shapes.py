@@ -257,3 +257,61 @@ class TestRound3PlanShapes:
         # the per-group top-k must prune below the shuffle
         assert "WindowGroupLimit" in plan
         assert "BatchEvalPython" not in plan
+
+
+class TestContinuationPlanShapes:
+    """Plan locks for the round-3 continuation operators."""
+
+    def test_graph_lookup_no_cartesian_equi_hops(self, spark):
+        plan = _plan(spark, "graph_lookup")
+        assert "CartesianProduct" not in plan
+        # scalar seeds: the per-seed arrays join back BY VALUE —
+        # no row tagging, no monotonically_increasing_id
+        assert "monotonically_increasing_id" not in plan
+
+    def test_geo_near_filters_before_sort(self, spark):
+        plan = _plan(spark, "geo_near")
+        # haversine stays in codegen (no UDF) and the maxDistance
+        # filter bounds the neighborhood BEFORE the global sort
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        lines = plan.splitlines()
+        fidx = [i for i, l in enumerate(lines)
+                if "Filter" in l and "Sort" not in l]
+        sidx = [i for i, l in enumerate(lines)
+                if l.strip().startswith("(") and "Sort" in l]
+        # formatted explain lists operators leaf-first: the filter node
+        # must appear before (below) the global sort
+        assert fidx and sidx and min(fidx) < max(sidx)
+
+    def test_bpe_pairs_two_aggregates_no_udf(self, spark):
+        plan = _plan(spark, "bpe_pairs")
+        # word freq + pair counts: hash aggregates, native columns only
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert plan.count("HashAggregate") >= 2
+        assert "CartesianProduct" not in plan
+
+    def test_bigram_lm_broadcasts_unigrams(self, spark):
+        plan = _plan(spark, "bigram_lm")
+        assert "BroadcastExchange" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_window_modern_single_sort_exchange_family(self, spark):
+        plan = _plan(spark, "window_modern")
+        # one hash-partition exchange feeds every window output
+        exchanges = [
+            line for line in plan.splitlines()
+            if line.strip().startswith("(") and "Exchange" in line
+            and "BroadcastExchange" not in line
+        ]
+        assert len(exchanges) <= 1
+        assert "BatchEvalPython" not in plan
+
+    def test_json_schema_folds_to_scan_filter(self, spark):
+        plan = _plan(spark, "json_schema")
+        # the compiled schema is a plain pushable predicate: filters
+        # reach the scan, no UDF, no join
+        assert "PushedFilters: [" in plan
+        assert "BatchEvalPython" not in plan
+        assert "Join" not in plan
