@@ -4411,6 +4411,56 @@ WHERE p_name IS NOT NULL AND p_retailprice IS NOT NULL
 """
 
 
+def q_emb_moments(spark, sf_dir):
+    """Embedding first/second moments (functions/similarity.py
+    embedding_moments — the treeAggregate shape: one Arrow partial per
+    partition, bounded driver reduce, no shuffle).  Output: per-dim
+    mean (round 6) + count; the oracle replays it with unnest +
+    avg.  The covariance half of the same pass is locked against
+    numpy.cov in tests (eigendecomposition is not SQL)."""
+    from pincette_json_streams_spark.functions.similarity import (
+        embedding_moments,
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    n, mean, _cov = embedding_moments(emb)
+    return spark.createDataFrame(
+        [(i + 1, int(n), round(float(m), 6))
+         for i, m in enumerate(mean)],
+        "dim long, n long, mean_r double",
+    )
+
+
+_ORACLE_EMB_MOMENTS = """
+WITH u AS (
+  SELECT unnest(range(1, len(embedding) + 1)) AS dim,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings WHERE embedding IS NOT NULL
+)
+SELECT dim::BIGINT AS dim, count(*)::BIGINT AS n,
+       round(avg(x), 6) AS mean_r
+FROM u GROUP BY dim
+"""
+
+
+def q_emb_pca(spark, sf_dir):
+    """Whitened top-8 PCA projection (functions/similarity.py
+    pca_project): moments -> driver eigh on the d x d covariance
+    (model-bounded) -> broadcast projection in an Arrow map.  Rows-only
+    driver check: eigenvectors are not SQL-expressible — the numerical
+    contract (numpy parity, identity covariance after whitening,
+    deterministic signs) is locked in test_functions TestPca."""
+    from pincette_json_streams_spark.functions.similarity import (
+        pca_project,
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    out = pca_project(emb, 8, whiten=True)
+    return out.select(
+        "vec_id",
+        F.round(F.element_at("pca", 1), 4).alias("c1"),
+        F.round(F.element_at("pca", 2), 4).alias("c2"),
+    )
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -4439,6 +4489,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_parts": q_date_parts,
         "window_modern": q_window_modern,
         "json_schema": q_json_schema,
+        "emb_moments": q_emb_moments,
+        "emb_pca": q_emb_pca,
         "dup_spans": q_dup_spans,
         "strip_spans": q_strip_spans,
         "window_fields": q_window_fields,
@@ -4556,6 +4608,7 @@ def oracle_sql() -> dict[str, str]:
         "date_parts": _ORACLE_DATE_PARTS,
         "window_modern": _ORACLE_WINDOW_MODERN,
         "json_schema": _ORACLE_JSON_SCHEMA,
+        "emb_moments": _ORACLE_EMB_MOMENTS,
         "dup_spans": _ORACLE_DUP_SPANS,
         "strip_spans": _ORACLE_STRIP_SPANS,
         "window_fields": _ORACLE_WINDOW_FIELDS,

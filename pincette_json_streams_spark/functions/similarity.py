@@ -23,7 +23,8 @@ from pincette_json_streams_spark.functions.dedup import (
 )
 
 __all__ = [
-    "brute_force_topk", "ivf_topk", "lsh_topk", "quantize_embeddings",
+    "brute_force_topk", "embedding_moments", "ivf_topk", "lsh_topk",
+    "pca_components", "pca_project", "quantize_embeddings",
     "semantic_dedup", "train_kmeans_centroids",
 ]
 
@@ -336,3 +337,122 @@ def semantic_dedup(
             F.coalesce(~F.col("__dropped"), F.lit(True)).alias("keep"),
         )
     )
+
+
+def embedding_moments(df: DataFrame, vec_col: str = "embedding"):
+    """(n, mean[d], cov[d, d]) of an embedding column.
+
+    The classic treeAggregate shape without MLlib: each partition folds
+    its Arrow batches into ONE partial (count, sum vector, Gram matrix
+    — numpy BLAS, O(d^2) floats per partition), and the driver reduces
+    #partitions partial rows.  Nothing proportional to the corpus ever
+    reaches the driver, no shuffle at all; at 100 TB the cost is the
+    scan plus d^2 * partitions bytes of partials.  Covariance uses the
+    computational form E[xx^T] - mean mean^T (numpy float64; verified
+    against two-pass numpy.cov in tests)."""
+    import numpy as np
+
+    def partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        n = 0
+        s = None
+        g = None
+        for pdf in batches:
+            vs = [v for v in pdf["v"] if v is not None]
+            if not vs:
+                continue
+            V = np.array([list(v) for v in vs], dtype=np.float64)
+            n += V.shape[0]
+            s = V.sum(0) if s is None else s + V.sum(0)
+            gg = V.T @ V
+            g = gg if g is None else g + gg
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]}
+            )
+
+    rows = (
+        df.select(F.col(vec_col).alias("v"))
+        .where(F.col("v").isNotNull())
+        .mapInPandas(partials, "n long, s array<double>, g array<double>")
+        .collect()
+    )
+    if not rows:
+        raise ValueError("embedding_moments: empty input")
+    n = sum(r["n"] for r in rows)
+    s = np.sum([np.array(r["s"]) for r in rows], axis=0)
+    d = s.shape[0]
+    g = np.sum([np.array(r["g"]).reshape(d, d) for r in rows], axis=0)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    return n, mean, cov
+
+
+def pca_components(df: DataFrame, k: int, vec_col: str = "embedding"):
+    """Top-k principal components of the embedding column.
+
+    -> (mean[d], components[d, k], explained_variance[k],
+    explained_variance_ratio[k]).  Eigendecomposition runs driver-side
+    on the d x d covariance (d is the embedding width — model-bounded,
+    never corpus-bounded); component signs are fixed so the
+    largest-magnitude loading is positive, making retraining
+    deterministic."""
+    import numpy as np
+
+    _, mean, cov = embedding_moments(df, vec_col)
+    w, V = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:int(k)]
+    comps = V[:, order].copy()
+    for j in range(comps.shape[1]):
+        i = np.argmax(np.abs(comps[:, j]))
+        if comps[i, j] < 0:
+            comps[:, j] = -comps[:, j]
+    ev = w[order]
+    total = float(w.sum())
+    evr = ev / total if total > 0 else ev * 0.0
+    return mean, comps, ev, evr
+
+
+def pca_project(
+    df: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+    whiten: bool = False,
+    components=None,
+) -> DataFrame:
+    """Append ``out_col``: the centered top-k PCA projection of
+    ``vec_col`` (whitened to unit variance per component when asked —
+    the standard ANN/semantic-dedup preprocessing).  The (mean,
+    projection) pair ships in the Arrow UDF closure — projection is a
+    pure map, no shuffle.  Pass ``components`` (a `pca_components`
+    result) to reuse a trained basis; otherwise one is trained on
+    ``df`` itself."""
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    mean, comps, ev, _ = (components if components is not None
+                          else pca_components(df, k, vec_col))
+    P = comps[:, :int(k)]
+    if whiten:
+        P = P / np.sqrt(np.maximum(ev[:int(k)], 1e-12))
+    mean = np.asarray(mean, dtype=np.float64)
+    P = np.asarray(P, dtype=np.float64)
+
+    def proj(v):
+        import numpy as np
+        import pandas as pd
+
+        out = []
+        for x in v:
+            if x is None:
+                out.append(None)
+            else:
+                y = (np.asarray(list(x), dtype=np.float64) - mean) @ P
+                out.append(np.round(y, 8).tolist())
+        return pd.Series(out)
+
+    proj_udf = pandas_udf(proj, "array<double>", PandasUDFType.SCALAR)
+    return df.withColumn(out_col, proj_udf(F.col(vec_col)))

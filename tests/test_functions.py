@@ -2881,3 +2881,80 @@ class TestGifFrames:
             _gif_frames,
         )
         assert _gif_frames(b"\x89PNG\r\n\x1a\nxxxx") is None
+
+
+class TestPca:
+    """Distributed PCA (functions/similarity.py): tree-aggregated
+    moments + driver eigendecomposition, verified against numpy."""
+
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        import numpy as np
+        rng = np.random.default_rng(7)
+        # anisotropic 8-dim data so components are well-separated
+        base = rng.normal(size=(200, 8)) * np.array(
+            [8, 4, 2, 1, 0.5, 0.25, 0.1, 0.05])
+        R, _ = np.linalg.qr(rng.normal(size=(8, 8)))
+        X = (base @ R) + rng.normal(size=8)
+        df = spark.createDataFrame(
+            [(i, x.tolist()) for i, x in enumerate(X)],
+            "vec_id long, embedding array<double>").repartition(4)
+        return df, X
+
+    def test_moments_match_numpy(self, emb):
+        import numpy as np
+        from pincette_json_streams_spark.functions.similarity import (
+            embedding_moments,
+        )
+        df, X = emb
+        n, mean, cov = embedding_moments(df)
+        assert n == 200
+        assert np.allclose(mean, X.mean(0), atol=1e-9)
+        assert np.allclose(cov, np.cov(X.T, bias=True), atol=1e-8)
+
+    def test_components_match_numpy_eigh(self, emb):
+        import numpy as np
+        from pincette_json_streams_spark.functions.similarity import (
+            pca_components,
+        )
+        df, X = emb
+        mean, comps, ev, evr = pca_components(df, 3)
+        w, V = np.linalg.eigh(np.cov(X.T, bias=True))
+        order = np.argsort(w)[::-1][:3]
+        assert np.allclose(ev, w[order], atol=1e-7)
+        assert evr[0] > 0.7 and abs(evr.sum() - 1) > 0  # dominated dim
+        # components equal up to the deterministic sign fix
+        for j, o in enumerate(order):
+            ref = V[:, o]
+            i = np.argmax(np.abs(comps[:, j]))
+            if ref[i] < 0:
+                ref = -ref
+            assert np.allclose(comps[:, j], ref, atol=1e-7)
+
+    def test_project_and_whiten(self, emb):
+        import numpy as np
+        from pincette_json_streams_spark.functions.similarity import (
+            pca_project,
+        )
+        df, X = emb
+        out = pca_project(df, 3, whiten=True)
+        P = np.array([r["pca"] for r in
+                      out.orderBy("vec_id").collect()])
+        assert P.shape == (200, 3)
+        # whitened projection: identity covariance, zero mean
+        assert np.allclose(P.mean(0), 0, atol=1e-6)
+        assert np.allclose(np.cov(P.T, bias=True), np.eye(3), atol=1e-4)
+
+    def test_reuse_trained_basis(self, emb):
+        import numpy as np
+        from pincette_json_streams_spark.functions.similarity import (
+            pca_components, pca_project,
+        )
+        df, X = emb
+        basis = pca_components(df, 2)
+        a = pca_project(df, 2, components=basis)
+        b = pca_project(df, 2)
+        pa = {r["vec_id"]: r["pca"] for r in a.collect()}
+        pb = {r["vec_id"]: r["pca"] for r in b.collect()}
+        for k in pa:
+            assert np.allclose(pa[k], pb[k], atol=1e-9)

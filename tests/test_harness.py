@@ -248,5 +248,5 @@ class TestBenchContract:
         qs, os_ = entry.queries(), entry.oracle_sql()
         rows_only = sorted(set(qs) - set(os_))
         assert rows_only == ["aggregate_fold", "bpe_encode",
-                             "per_batching"]
+                             "emb_pca", "per_batching"]
         assert not set(os_) - set(qs)       # no orphan oracles
