@@ -4461,6 +4461,102 @@ def q_emb_pca(spark, sf_dir):
     )
 
 
+def q_dedup_quality(spark, sf_dir):
+    """Dedup index-quality measurement (the ann_recall analog for the
+    MinHash family): exact hashed-shingle Jaccard pairs at >= 0.5 via a
+    posting-list join vs the banded-LSH candidate pairs — one row of
+    (n_exact, n_approx, n_common, precision, recall).  Verify-on-
+    candidates makes precision 1.0 by construction; recall measures
+    pure banding misses, the knob (bands x rows) every MinHash
+    deployment tunes.  Both sides are deterministic md5 pipelines, so
+    the oracle replays the whole measurement.  Ground truth is
+    SAMPLED (doc_id < 1000): the exact side is an all-sharing-pairs
+    posting join, quadratic in hot-shingle document frequency — the
+    standard recall-measurement bound (measure on a sample, trust the
+    estimator corpus-wide)."""
+    from pincette_json_streams_spark.functions.dedup import (
+        _hash_str, minhash_lsh_pairs,
+    )
+    from pincette_json_streams_spark.functions.text import shingles
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 1000)
+    sh = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(F.array_distinct(
+            F.transform(shingles(F.col("text")), _hash_str)
+        )).alias("s"),
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("id").alias("id_a"), "s")
+    b = sh.select(F.col("id").alias("id_b"), "s")
+    inter = (
+        a.join(b, "s").where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("i"))
+    )
+    exact = (
+        inter.join(sizes.select(F.col("id").alias("id_a"),
+                                F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"),
+                           F.col("n").alias("nb")), "id_b")
+        .where(
+            F.round(F.col("i") / (F.col("na") + F.col("nb")
+                                  - F.col("i")), 6) >= 0.5)
+        .select("id_a", "id_b")
+    )
+    approx = minhash_lsh_pairs(docs, threshold=0.5) \
+        .select("id_a", "id_b")
+    common = exact.join(approx, ["id_a", "id_b"])
+    ne, na_, nc = exact.count(), approx.count(), common.count()
+    return spark.createDataFrame(
+        [(int(ne), int(na_), int(nc),
+          round(nc / na_, 4) if na_ else None,
+          round(nc / ne, 4) if ne else None)],
+        "n_exact long, n_approx long, n_common long, "
+        "precision double, recall double",
+    )
+
+
+def _oracle_dedup_quality():
+    from pincette_json_streams_spark.functions.dedup import _P
+    k = 9
+    return f"""
+WITH norm AS (
+  SELECT doc_id AS id, {_sql_norm()} AS nm FROM documents
+  WHERE doc_id < 1000
+), sh AS (
+  SELECT id, unnest(list_distinct(
+    [('0x' || substr(md5(x), 1, 8))::BIGINT % {_P}
+     for x in list_distinct(
+       [substr(nm, i, {k})
+        for i in range(1, greatest(len(nm) - {k - 1}, 1) + 1)])]
+  )) AS s FROM norm
+), sizes AS (
+  SELECT id, count(*) AS n FROM sh GROUP BY id
+), inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+  GROUP BY 1, 2
+), exact AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+  WHERE round(i::DOUBLE / (sa.n + sb.n - i), 6) >= 0.5
+), approx AS (
+  SELECT id_a, id_b FROM ({{minhash}})
+  WHERE id_a < 1000 AND id_b < 1000
+), common AS (
+  SELECT id_a, id_b FROM exact INTERSECT SELECT id_a, id_b FROM approx
+)
+SELECT (SELECT count(*) FROM exact)::BIGINT AS n_exact,
+       (SELECT count(*) FROM approx)::BIGINT AS n_approx,
+       (SELECT count(*) FROM common)::BIGINT AS n_common,
+       CASE WHEN (SELECT count(*) FROM approx) > 0 THEN
+         round((SELECT count(*) FROM common)::DOUBLE
+               / (SELECT count(*) FROM approx), 4) END AS precision,
+       CASE WHEN (SELECT count(*) FROM exact) > 0 THEN
+         round((SELECT count(*) FROM common)::DOUBLE
+               / (SELECT count(*) FROM exact), 4) END AS recall
+""".replace("{minhash}", _oracle_minhash())
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -4491,6 +4587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_schema": q_json_schema,
         "emb_moments": q_emb_moments,
         "emb_pca": q_emb_pca,
+        "dedup_quality": q_dedup_quality,
         "dup_spans": q_dup_spans,
         "strip_spans": q_strip_spans,
         "window_fields": q_window_fields,
@@ -4609,6 +4706,7 @@ def oracle_sql() -> dict[str, str]:
         "window_modern": _ORACLE_WINDOW_MODERN,
         "json_schema": _ORACLE_JSON_SCHEMA,
         "emb_moments": _ORACLE_EMB_MOMENTS,
+        "dedup_quality": _oracle_dedup_quality(),
         "dup_spans": _ORACLE_DUP_SPANS,
         "strip_spans": _ORACLE_STRIP_SPANS,
         "window_fields": _ORACLE_WINDOW_FIELDS,
