@@ -4557,6 +4557,55 @@ SELECT (SELECT count(*) FROM exact)::BIGINT AS n_exact,
 """.replace("{minhash}", _oracle_minhash())
 
 
+def q_counter_rate(spark, sf_dir):
+    """PromQL-style counter increase/rate with reset handling
+    (functions/timeseries.py counter_increase): per-user lag steps
+    (reset -> the full restarted value counts as growth), one window +
+    one hash agg sharing a single exchange."""
+    from pincette_json_streams_spark.functions.timeseries import (
+        counter_increase,
+    )
+    ev = _t(spark, sf_dir, "events")
+    out = counter_increase(ev, "user_id", "ts_nanos", "value",
+                           tiebreak=("event_id",))
+    return out.select(
+        "user_id", "n_samples", "n_resets",
+        F.round("increase", 4).alias("increase"),
+        (F.col("span") / 1_000_000_000).cast("long").alias("span_s"),
+        F.round(F.col("rate") * 1_000_000_000, 6).alias("rate_per_s"),
+    )
+
+
+_ORACLE_COUNTER_RATE = """
+WITH s AS (
+  SELECT user_id, epoch_ns(ts) AS tns, value,
+         lag(value) OVER w AS prev
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), stepped AS (
+  SELECT user_id, tns,
+         CASE WHEN prev IS NULL THEN NULL
+              WHEN value >= prev THEN value - prev
+              ELSE value END AS step,
+         CASE WHEN prev IS NOT NULL AND value < prev
+              THEN 1 ELSE 0 END AS reset
+  FROM s
+), agg AS (
+  SELECT user_id, count(*)::BIGINT AS n_samples,
+         sum(reset)::BIGINT AS n_resets,
+         sum(step) AS increase,
+         max(tns) - min(tns) AS span
+  FROM stepped GROUP BY user_id
+)
+SELECT user_id, n_samples, n_resets,
+       round(increase, 4) AS increase,
+       (span // 1000000000)::BIGINT AS span_s,
+       CASE WHEN span > 0 THEN
+         round(increase / span * 1000000000, 6) END AS rate_per_s
+FROM agg
+"""
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -4588,6 +4637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_moments": q_emb_moments,
         "emb_pca": q_emb_pca,
         "dedup_quality": q_dedup_quality,
+        "counter_rate": q_counter_rate,
         "dup_spans": q_dup_spans,
         "strip_spans": q_strip_spans,
         "window_fields": q_window_fields,
@@ -4707,6 +4757,7 @@ def oracle_sql() -> dict[str, str]:
         "json_schema": _ORACLE_JSON_SCHEMA,
         "emb_moments": _ORACLE_EMB_MOMENTS,
         "dedup_quality": _oracle_dedup_quality(),
+        "counter_rate": _ORACLE_COUNTER_RATE,
         "dup_spans": _ORACLE_DUP_SPANS,
         "strip_spans": _ORACLE_STRIP_SPANS,
         "window_fields": _ORACLE_WINDOW_FIELDS,

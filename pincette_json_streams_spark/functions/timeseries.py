@@ -19,8 +19,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
-    "asof_join", "forward_fill", "retention_cohorts", "sessionize",
-    "sessionize_stream", "time_bucket_gapfill",
+    "asof_join", "counter_increase", "forward_fill", "retention_cohorts",
+    "sessionize", "sessionize_stream", "time_bucket_gapfill",
 ]
 
 
@@ -369,4 +369,46 @@ def retention_cohorts(
             F.round(F.col("n_users") / F.col("__size"), 4)
             .alias("retention"),
         )
+    )
+
+
+def counter_increase(
+    df: DataFrame,
+    by: str,
+    ts: str,
+    value: str,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """PromQL-style ``increase``/``rate`` over monotonic counters with
+    resets: per key ordered by ``ts``, each step contributes
+    ``v - prev`` when the counter grew and ``v`` after a reset (the
+    counter restarted from ~0, so its whole current value is new
+    growth) — exactly Prometheus's extrapolation-free reset rule.
+
+    -> one row per key: ``n_samples, n_resets, increase, span,
+    rate`` (increase / span of the ``ts`` column's units; NULL for a
+    single sample).  One keyed window + one hash aggregate; at scale
+    the window and the aggregate share the same hash partitioning, so
+    Catalyst plans a single exchange."""
+    w = Window.partitionBy(by).orderBy(
+        F.col(ts), *[F.col(c) for c in tiebreak])
+    prev = F.lag(value).over(w)
+    step = F.when(prev.isNull(), F.lit(None)).when(
+        F.col(value) >= prev, F.col(value) - prev
+    ).otherwise(F.col(value))
+    reset = F.when(prev.isNotNull() & (F.col(value) < prev), 1) \
+        .otherwise(0)
+    stepped = df.select(
+        F.col(by), F.col(ts).alias("__ts"), step.alias("__step"),
+        reset.alias("__reset"),
+    )
+    agg = stepped.groupBy(by).agg(
+        F.count(F.lit(1)).cast("long").alias("n_samples"),
+        F.sum("__reset").cast("long").alias("n_resets"),
+        F.sum("__step").alias("increase"),
+        (F.max("__ts") - F.min("__ts")).alias("span"),
+    )
+    return agg.withColumn(
+        "rate",
+        F.when(F.col("span") > 0, F.col("increase") / F.col("span")),
     )

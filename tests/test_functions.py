@@ -2958,3 +2958,44 @@ class TestPca:
         pb = {r["vec_id"]: r["pca"] for r in b.collect()}
         for k in pa:
             assert np.allclose(pa[k], pb[k], atol=1e-9)
+
+
+class TestCounterIncrease:
+    def test_resets_and_rate(self, spark):
+        from pincette_json_streams_spark.functions.timeseries import (
+            counter_increase,
+        )
+        df = spark.createDataFrame(
+            [("a", 0, 10.0), ("a", 10, 15.0), ("a", 20, 3.0),
+             ("a", 30, 8.0), ("b", 0, 5.0)],
+            "k string, t long, v double")
+        out = {r["k"]: r.asDict()
+               for r in counter_increase(df, "k", "t", "v").collect()}
+        # a: +5, reset(+3), +5 -> increase 13 over span 30
+        assert out["a"]["n_samples"] == 4
+        assert out["a"]["n_resets"] == 1
+        assert out["a"]["increase"] == pytest.approx(13.0)
+        assert out["a"]["rate"] == pytest.approx(13.0 / 30)
+        # single sample: no steps, no rate
+        assert out["b"]["increase"] is None
+        assert out["b"]["rate"] is None
+
+    def test_monotonic_equals_last_minus_first(self, spark):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+        from pincette_json_streams_spark.functions.timeseries import (
+            counter_increase,
+        )
+
+        @settings(max_examples=10, deadline=None)
+        @given(st.lists(st.integers(0, 100), min_size=2, max_size=8))
+        def check(vals):
+            vals = sorted(vals)
+            df = spark.createDataFrame(
+                [("k", i, float(v)) for i, v in enumerate(vals)],
+                "k string, t long, v double")
+            r = counter_increase(df, "k", "t", "v").collect()[0]
+            assert r["n_resets"] == 0
+            assert r["increase"] == pytest.approx(vals[-1] - vals[0])
+
+        check()
