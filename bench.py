@@ -67,6 +67,12 @@ BENCH_QUERIES = [
     "graph_lookup",
     "bpe_pairs",
     "bpe_encode",
+    "window_modern",
+    "date_parts",
+    "json_schema",
+    "bigram_lm",
+    "counter_rate",
+    "emb_pca",
 ]
 
 
