@@ -36,8 +36,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
-    "MEDIA_SCHEMA", "attach_media_metadata", "decode_audio",
-    "decode_features", "decode_image", "probe_media", "sample_frames",
+    "MEDIA_SCHEMA", "attach_media_metadata", "cdc_chunks",
+    "decode_audio", "decode_features", "decode_image", "probe_media",
+    "sample_frames",
 ]
 
 # canonical media column group
@@ -1239,3 +1240,99 @@ def sample_frames(
             yield pdf
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+# Deterministic 256-entry gear table for content-defined chunking:
+# md5-derived (engine-portable, no RNG state), one 64-bit value per
+# possible byte.
+def _gear_table():
+    import hashlib
+
+    return [
+        int.from_bytes(hashlib.md5(b"gear%d" % i).digest()[:8], "big")
+        for i in range(256)
+    ]
+
+
+def _cdc_boundaries(data: bytes, min_size: int, avg_size: int,
+                    max_size: int, table) -> list[int]:
+    """FastCDC-style boundary scan: gear rolling hash, cut when
+    ``h & mask == 0`` (mask = avg_size rounded to a power of two),
+    with min/max chunk-size clamps.  Pure python over one buffer —
+    runs executor-side per document."""
+    mask = (1 << max(1, (avg_size).bit_length() - 1)) - 1
+    bounds = []
+    h = 0
+    i = 0
+    last = 0
+    n = len(data)
+    while i < n:
+        h = ((h << 1) + table[data[i]]) & 0xFFFFFFFFFFFFFFFF
+        i += 1
+        ln = i - last
+        if (ln >= min_size and (h & mask) == 0) or ln >= max_size:
+            bounds.append(i)
+            last = i
+            h = 0
+    if last < n:
+        bounds.append(n)
+    return bounds
+
+
+def cdc_chunks(
+    df: DataFrame,
+    data_col: str = "media",
+    id_col: str = "media_id",
+    min_size: int = 256,
+    avg_size: int = 1024,
+    max_size: int = 4096,
+) -> DataFrame:
+    """Content-defined chunking (FastCDC shape) of a binary column —
+    the dedup primitive for blobs: chunk boundaries follow CONTENT, so
+    inserting bytes early in a file only re-chunks the neighborhood
+    (shift invariance, property-tested) and identical regions of
+    different files hash to identical chunks.
+
+    -> one row per chunk: (id, chunk_idx, offset, length, chunk_hash
+    = md5 hex).  Arrow-batched mapInPandas: bytes never leave the
+    executor, only offsets + digests come out — at 100 TB the output
+    is the dedup index, ~32 bytes per ~1 KiB chunk, and downstream
+    exact dedup is a hash groupBy like `fingerprint`."""
+    import hashlib  # noqa: F401 (executor-side import in the closure)
+
+    table = _gear_table()
+    out_schema = (
+        f"{id_col} long, chunk_idx int, offset long, length long, "
+        "chunk_hash string"
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, offs, lens, hashes = [], [], [], [], []
+            for rid, b in zip(pdf[id_col], pdf[data_col]):
+                if b is None:
+                    continue
+                data = bytes(b)
+                last = 0
+                for j, end in enumerate(_cdc_boundaries(
+                        data, min_size, avg_size, max_size, table)):
+                    ids.append(rid)
+                    idxs.append(j)
+                    offs.append(last)
+                    lens.append(end - last)
+                    hashes.append(
+                        hashlib.md5(data[last:end]).hexdigest())
+                    last = end
+            yield pd.DataFrame({
+                id_col: pd.Series(ids, dtype="int64"),
+                "chunk_idx": pd.Series(idxs, dtype="int32"),
+                "offset": pd.Series(offs, dtype="int64"),
+                "length": pd.Series(lens, dtype="int64"),
+                "chunk_hash": pd.Series(hashes, dtype="object"),
+            })
+
+    return df.select(id_col, data_col).mapInPandas(run, out_schema)

@@ -1781,6 +1781,24 @@ def _stage_window_fields_ext(df, spec, pctx):
     return df.select("*", *out_cols)
 
 
+def _stage_cdc_chunks_ext(df, spec, pctx):
+    # {"field": binary col, "id": col, "min": n, "avg": n, "max": n} —
+    # content-defined chunking (functions/multimodal.py cdc_chunks)
+    from pincette_json_streams_spark.functions.multimodal import (
+        cdc_chunks,
+    )
+
+    spec = spec if isinstance(spec, dict) else {}
+    return cdc_chunks(
+        df,
+        data_col=spec.get("field", "media"),
+        id_col=spec.get("id", "media_id"),
+        min_size=int(spec.get("min", 256)),
+        avg_size=int(spec.get("avg", 1024)),
+        max_size=int(spec.get("max", 4096)),
+    )
+
+
 def _stage_sample_frames_ext(df, spec, pctx):
     # {"field": binary col, "as": out, "n": frames} — REAL for
     # MJPEG-in-AVI (functions/multimodal.py sample_frames)
@@ -2211,6 +2229,7 @@ STAGES: dict[str, Callable[[DataFrame, Any, PipelineContext], DataFrame]] = {
     "$weightedSample": _stage_weighted_sample_ext,
     "$cmsSketch": _stage_cms_sketch_ext,
     "$sampleFrames": _stage_sample_frames_ext,
+    "$cdcChunks": _stage_cdc_chunks_ext,
     "$bucketAuto": _stage_bucket_auto,
     "$unionWith": _stage_union_with,
     "$documents": _stage_documents,

@@ -2999,3 +2999,54 @@ class TestCounterIncrease:
             assert r["increase"] == pytest.approx(vals[-1] - vals[0])
 
         check()
+
+
+class TestCdcChunks:
+    """Content-defined chunking (FastCDC shape): deterministic gear
+    boundaries, coverage, and the shift-invariance property that
+    motivates CDC over fixed-size chunking."""
+
+    def _chunks(self, spark, blobs, **kw):
+        from pincette_json_streams_spark.functions.multimodal import (
+            cdc_chunks,
+        )
+        df = spark.createDataFrame(
+            [(i, bytearray(b)) for i, b in enumerate(blobs)],
+            "media_id long, media binary")
+        return cdc_chunks(df, **kw).collect()
+
+    def test_coverage_and_determinism(self, spark):
+        import hashlib
+        data = hashlib.sha256(b"seed").digest() * 400   # 12.8 KB
+        rows = self._chunks(spark, [data, data])
+        by_id = {}
+        for r in rows:
+            by_id.setdefault(r["media_id"], []).append(r)
+        for rid, ch in by_id.items():
+            ch.sort(key=lambda r: r["chunk_idx"])
+            assert ch[0]["offset"] == 0
+            assert sum(c["length"] for c in ch) == len(data)
+            for a, b in zip(ch, ch[1:]):
+                assert b["offset"] == a["offset"] + a["length"]
+            assert all(256 <= c["length"] <= 4096 for c in ch[:-1])
+        # identical blobs chunk identically
+        assert [(c["offset"], c["chunk_hash"]) for c in by_id[0]] == \
+            [(c["offset"], c["chunk_hash"]) for c in by_id[1]]
+
+    def test_shift_invariance(self, spark):
+        import hashlib
+        base = b"".join(hashlib.sha256(b"%d" % i).digest()
+                        for i in range(600))  # ~19 KB
+        shifted = b"XYZ" + base               # 3 bytes inserted at front
+        rows = self._chunks(spark, [base, shifted])
+        h0 = {r["chunk_hash"] for r in rows if r["media_id"] == 0}
+        h1 = {r["chunk_hash"] for r in rows if r["media_id"] == 1}
+        # content-defined boundaries resynchronize: almost all chunks
+        # are shared despite the shift (fixed-size chunking shares 0)
+        shared = len(h0 & h1)
+        assert shared >= 0.8 * len(h0), (shared, len(h0), len(h1))
+
+    def test_null_and_tiny_blobs(self, spark):
+        rows = self._chunks(spark, [b"abc"])
+        assert len(rows) == 1
+        assert rows[0]["length"] == 3 and rows[0]["offset"] == 0

@@ -1436,3 +1436,14 @@ class TestDensifyDates:
             run(df, [{"$densify": {"field": "t",
                                    "range": {"step": 1, "unit": "month",
                                              "bounds": "full"}}}])
+
+
+class TestCdcChunksStage:
+    def test_stage(self, spark):
+        import hashlib
+        data = hashlib.sha256(b"s").digest() * 200
+        df = spark.createDataFrame([(1, bytearray(data))],
+                                   "media_id long, media binary")
+        out = rows(df, [{"$cdcChunks": {"avg": 512}}])
+        assert sum(r["length"] for r in out) == len(data)
+        assert out[0]["chunk_hash"]
