@@ -1301,8 +1301,11 @@ def cdc_chunks(
     import hashlib  # noqa: F401 (executor-side import in the closure)
 
     table = _gear_table()
+    # the id column keeps ITS OWN type (string URIs are as common as
+    # integer ids for blob keys)
+    id_type = dict(df.dtypes)[id_col]
     out_schema = (
-        f"{id_col} long, chunk_idx int, offset long, length long, "
+        f"{id_col} {id_type}, chunk_idx int, offset long, length long, "
         "chunk_hash string"
     )
 
@@ -1328,7 +1331,7 @@ def cdc_chunks(
                         hashlib.md5(data[last:end]).hexdigest())
                     last = end
             yield pd.DataFrame({
-                id_col: pd.Series(ids, dtype="int64"),
+                id_col: pd.Series(ids, dtype="object"),
                 "chunk_idx": pd.Series(idxs, dtype="int32"),
                 "offset": pd.Series(offs, dtype="int64"),
                 "length": pd.Series(lens, dtype="int64"),

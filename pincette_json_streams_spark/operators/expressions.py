@@ -615,7 +615,7 @@ _DATE_PARTS: dict[str, Callable[[Column], Column]] = {
     "$hour": F.hour,
     "$minute": F.minute,
     "$second": F.second,
-    "$millisecond": lambda d: (F.unix_millis(d) % 1000).cast("int"),
+    "$millisecond": lambda d: F.pmod(F.unix_millis(d), F.lit(1000)).cast("int"),
     "$dayOfWeek": F.dayofweek,          # 1=Sunday, same as Mongo
     "$dayOfYear": F.dayofyear,
     "$week": _week_sunday,
@@ -643,7 +643,7 @@ def _date_to_parts_op(args, ctx):
             F.hour(d).alias("hour"),
             F.minute(d).alias("minute"),
             F.second(d).alias("second"),
-            (F.unix_millis(d) % 1000).cast("int").alias("millisecond"),
+            F.pmod(F.unix_millis(d), F.lit(1000)).cast("int").alias("millisecond"),
         )
     return F.struct(
         F.year(d).alias("year"),
@@ -652,7 +652,7 @@ def _date_to_parts_op(args, ctx):
         F.hour(d).alias("hour"),
         F.minute(d).alias("minute"),
         F.second(d).alias("second"),
-        (F.unix_millis(d) % 1000).cast("int").alias("millisecond"),
+        F.pmod(F.unix_millis(d), F.lit(1000)).cast("int").alias("millisecond"),
     )
 
 
@@ -686,9 +686,14 @@ def _date_from_parts_op(args, ctx):
         + part("second", 0).cast("long")
     )
     ms = part("millisecond", 0).cast("long")
-    return _iso_instant(F.timestamp_millis(
-        F.unix_millis(day.cast("timestamp")) + secs * 1000 + ms
-    ))
+    # days-since-epoch arithmetic, NOT a date->timestamp cast: the cast
+    # goes through the session timezone (local midnight + DST holes
+    # shift the instant); datediff is pure calendar math
+    day_ms = (
+        F.datediff(day, F.to_date(F.lit("1970-01-01"))).cast("long")
+        * 86400000
+    )
+    return _iso_instant(F.timestamp_millis(day_ms + secs * 1000 + ms))
 
 
 def _date_trunc_op(args, ctx):

@@ -291,6 +291,13 @@ def _js_pred(col: Column, dtype, schema: dict, ctx: Ctx) -> Column:
     from pyspark.sql.types import ArrayType, StructType
 
     conds: list[Column] = []
+
+    def tc(cond: Column) -> Column:
+        # draft-4 type-constrained keywords apply only to instances of
+        # their type: a NULL value (e.g. a null array element) is
+        # vacuously valid, never a NULL predicate that kills the row
+        return col.isNull() | F.coalesce(cond, F.lit(False))
+
     for kw, arg in schema.items():
         if kw in ("type", "bsonType"):
             conds.append(_js_type_pred(col, dtype, arg))
@@ -299,43 +306,43 @@ def _js_pred(col: Column, dtype, schema: dict, ctx: Ctx) -> Column:
             if len(scalars) != len(arg):
                 raise UnsupportedExpression(
                     "$jsonSchema enum supports scalars only")
-            conds.append(col.isin(scalars))
+            conds.append(tc(col.isin(scalars)))
         elif kw == "minimum":
             if schema.get("exclusiveMinimum") is True:
-                conds.append(col > F.lit(arg))
+                conds.append(tc(col > F.lit(arg)))
             else:
-                conds.append(col >= F.lit(arg))
+                conds.append(tc(col >= F.lit(arg)))
         elif kw == "maximum":
             if schema.get("exclusiveMaximum") is True:
-                conds.append(col < F.lit(arg))
+                conds.append(tc(col < F.lit(arg)))
             else:
-                conds.append(col <= F.lit(arg))
+                conds.append(tc(col <= F.lit(arg)))
         elif kw in ("exclusiveMinimum", "exclusiveMaximum"):
             continue  # draft-4 boolean modifiers, handled above
         elif kw == "multipleOf":
-            conds.append(col % F.lit(arg) == 0)
+            conds.append(tc(col % F.lit(arg) == 0))
         elif kw == "minLength":
-            conds.append(F.length(col) >= int(arg))
+            conds.append(tc(F.length(col) >= int(arg)))
         elif kw == "maxLength":
-            conds.append(F.length(col) <= int(arg))
+            conds.append(tc(F.length(col) <= int(arg)))
         elif kw == "pattern":
-            conds.append(col.rlike(arg))
+            conds.append(tc(col.rlike(arg)))
         elif kw == "minItems":
-            conds.append(F.size(col) >= int(arg))
+            conds.append(tc(F.size(col) >= int(arg)))
         elif kw == "maxItems":
-            conds.append(F.size(col) <= int(arg))
+            conds.append(tc(F.size(col) <= int(arg)))
         elif kw == "uniqueItems":
             if arg:
                 conds.append(
-                    F.size(F.array_distinct(col)) == F.size(col))
+                    tc(F.size(F.array_distinct(col)) == F.size(col)))
         elif kw == "items":
             if not isinstance(arg, dict):
                 raise UnsupportedExpression(
                     "$jsonSchema items supports a single schema")
             elem_dt = (dtype.elementType
                        if isinstance(dtype, ArrayType) else None)
-            conds.append(F.forall(
-                col, lambda x: _js_pred(x, elem_dt, arg, ctx)))
+            conds.append(tc(F.forall(
+                col, lambda x: _js_pred(x, elem_dt, arg, ctx))))
         elif kw == "properties":
             if not isinstance(dtype, StructType):
                 raise UnsupportedExpression(

@@ -123,6 +123,13 @@ def _set_path(df: DataFrame, path: str, value: Column) -> DataFrame:
     if len(parts) == 1:
         return df.withColumn(path, value)
     head, rest = parts[0], ".".join(parts[1:])
+    if head not in df.columns:
+        # Mongo creates the intermediate documents when the head is
+        # absent ({$set: {"a.b": v}} on a doc without `a`)
+        col = value
+        for seg in reversed(parts[1:]):
+            col = F.struct(col.alias(seg))
+        return df.withColumn(head, col)
     return df.withColumn(head, F.col(head).withField(rest, value))
 
 
@@ -890,11 +897,18 @@ def _stage_graph_lookup(df, spec, pctx):
         per_seed = visited.groupBy("__sv").agg(
             F.array_sort(F.collect_list(out_doc)).alias(as_field)
         )
-        joined = df.join(per_seed, start.eqNullSafe(per_seed["__sv"]),
-                         "left")
+        # Mongo overwrites an existing `as` field: bind the seed value
+        # BEFORE dropping it (startWith may reference the old column)
+        base = df.withColumn("__gl_start", start)
+        if as_field in df.columns:
+            base = base.drop(as_field)
+        joined = base.join(
+            per_seed,
+            base["__gl_start"].eqNullSafe(per_seed["__sv"]), "left")
         empty = F.array().cast(dict(per_seed.dtypes)[as_field])
+        keep = [c for c in df.columns if c != as_field]
         return joined.select(
-            *[df[c] for c in df.columns],
+            *[base[c] for c in keep],
             F.coalesce(F.col(as_field), empty).alias(as_field),
         )
 
@@ -920,10 +934,14 @@ def _stage_graph_lookup(df, spec, pctx):
     per_row = hits.groupBy("__rowid").agg(
         F.array_sort(F.collect_list(out_doc)).alias(as_field)
     )
-    joined = tagged.join(per_row, "__rowid", "left")
+    # Mongo overwrites an existing `as` field (seeds were already
+    # computed from the pre-drop frame above)
+    base = tagged.drop(as_field) if as_field in df.columns else tagged
+    joined = base.join(per_row, "__rowid", "left")
     empty = F.array().cast(dict(per_row.dtypes)[as_field])
+    keep = [c for c in df.columns if c != as_field]
     return joined.select(
-        *[F.col(c) for c in df.columns if c != "__rowid"],
+        *[F.col(c) for c in keep],
         F.coalesce(F.col(as_field), empty).alias(as_field),
     )
 
@@ -1127,7 +1145,23 @@ def _stage_merge(df, spec, pctx):
     keys = [on] if isinstance(on, str) else list(on)
     target = pctx.catalog.get(name)
 
-    if target is None or not set(keys) <= set(df.columns):
+    if df.isStreaming or (target is not None and target.isStreaming):
+        # streaming: capture only — upsert-by-key is the sink layer's
+        # contract (toCollection / Delta MERGE in foreachBatch); the
+        # batch full-outer join below is an illegal streaming plan
+        pctx.outputs[name] = df
+        return df
+    if target is not None:
+        # Mongo contract: every `on` field must exist on both sides —
+        # silently replacing the target (or crashing in the join)
+        # would lose data
+        missing = [k for k in keys
+                   if k not in df.columns or k not in target.columns]
+        if missing:
+            raise UnsupportedExpression(
+                f"$merge on-field(s) {missing} missing from "
+                f"source or target {name!r}")
+    if target is None:
         out = df
     else:
         # literal presence markers, not key-null checks: null merge
@@ -1238,11 +1272,12 @@ def _stage_geo_near(df, spec, pctx):
     if "minDistance" in spec:
         out = out.filter(
             F.col("__geo_dist") >= float(spec["minDistance"]))
-    return (
-        out.withColumn(dist_field, F.col("__geo_dist") * mult)
+    # dotted distanceField ("dist.calculated", Mongo's canonical usage)
+    # lands as a nested field via the engine's path writer
+    scaled = _set_path(out, dist_field, F.col("__geo_dist") * mult) \
         .drop("__geo_dist")
-        .orderBy(F.asc(dist_field))
-    )
+    return scaled.orderBy(F.asc_nulls_last(ctx_for(scaled)
+                                           .field(dist_field)))
 
 
 def _stage_sort_by_count(df, spec, pctx):
@@ -1512,11 +1547,11 @@ def _window_frame(win, sort_cols, bounds):
     return win.rowsBetween(lo, hi)
 
 
-# $derivative/$expMovingAvg unit -> milliseconds (Mongo fixed units)
-_WF_UNIT_MS = {
-    "millisecond": 1, "second": 1000, "minute": 60_000,
-    "hour": 3_600_000, "day": 86_400_000, "week": 604_800_000,
-}
+# $derivative/$integral/$densify unit -> milliseconds: the SAME table
+# $dateAdd/$dateDiff use (one source of truth for fixed-width units)
+from pincette_json_streams_spark.operators.expressions import (  # noqa: E402
+    _DATE_UNIT_MS as _WF_UNIT_MS,
+)
 
 
 def _window_special(op, args, ospec, ctx, win, ordered,
@@ -1699,6 +1734,21 @@ def _stage_window_fields_ext(df, spec, pctx):
         if d < 0:
             raise UnsupportedExpression(
                 "this window operator requires an ascending sortBy")
+        # date-ish sort keys (the engine's ISO strings, timestamps,
+        # dates) become epoch MILLIS so $derivative/$integral `unit`
+        # scaling is correct; a bare cast('double') would NULL the ISO
+        # strings and leave typed timestamps in seconds (1000x off)
+        dt = dict(ctx.df.dtypes).get(k) if ctx.df is not None else None
+        if dt == "date" or (dt or "").startswith("timestamp"):
+            return F.unix_millis(F.col(k).cast("timestamp")) \
+                .cast("double")
+        if dt == "string":
+            # numeric strings stay numeric; ISO strings -> epoch millis
+            # (try_cast: ANSI mode would otherwise throw on non-numeric)
+            return F.coalesce(
+                F.col(k).try_cast("double"),
+                F.unix_millis(F.col(k).cast("timestamp")).cast("double"),
+            )
         return F.col(k)
     out_cols = []
     for name, ospec in (spec.get("output") or {}).items():
@@ -2023,13 +2073,20 @@ def _densify_dates(df, field, parts, rng, pctx):
     width = _WF_UNIT_MS[unit] * step
 
     dtype = dict(df.dtypes).get(field)
-    fts = F.col(field).cast("timestamp")
-    ms = F.unix_millis(fts)
+    if dtype == "date":
+        # pure calendar arithmetic: a date->timestamp cast goes through
+        # the session timezone (DST days are 23/25 h and would skew the
+        # fixed-width grid); datediff/date_add never touch instants
+        epoch = F.to_date(F.lit("1970-01-01"))
+        ms = F.datediff(F.col(field), epoch).cast("long") * 86400000
+    else:
+        ms = F.unix_millis(F.col(field).cast("timestamp"))
 
     def back(ms_col):
-        ts = F.timestamp_millis(ms_col)
         if dtype == "date":
-            return ts.cast("date")
+            return F.date_add(F.to_date(F.lit("1970-01-01")),
+                              (ms_col / 86400000).cast("int"))
+        ts = F.timestamp_millis(ms_col)
         if dtype and dtype.startswith("timestamp"):
             return ts.cast(dtype)
         # engine ISO-string date model

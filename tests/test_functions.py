@@ -3050,3 +3050,15 @@ class TestCdcChunks:
         rows = self._chunks(spark, [b"abc"])
         assert len(rows) == 1
         assert rows[0]["length"] == 3 and rows[0]["offset"] == 0
+
+
+class TestCdcChunksStringIds:
+    def test_string_id_column(self, spark):
+        from pincette_json_streams_spark.functions.multimodal import (
+            cdc_chunks,
+        )
+        df = spark.createDataFrame(
+            [("s3://bucket/a", bytearray(b"x" * 600))],
+            "uri string, media binary")
+        rows = cdc_chunks(df, data_col="media", id_col="uri").collect()
+        assert rows and rows[0]["uri"] == "s3://bucket/a"

@@ -270,3 +270,26 @@ class TestJsonSchemaProperty:
             assert mine == ref, (schema, rows_in, mine, ref)
 
         check()
+
+
+class TestJsonSchemaNullElements:
+    def test_null_array_elements_vacuous_for_value_keywords(self, spark):
+        """Draft-4: type-constrained keywords ignore null elements;
+        `type` still rejects them."""
+        from pincette_json_streams_spark.operators.context import ctx_for
+        from pincette_json_streams_spark.operators.match import (
+            compile_query,
+        )
+        df = spark.createDataFrame(
+            [("r1", [None, 5]), ("r2", [0, 5]), ("r3", [5, 6])],
+            "_id string, arr array<int>")
+
+        def match(schema):
+            return sorted(r["_id"] for r in df.filter(
+                compile_query({"$jsonSchema": {"properties": {
+                    "arr": schema}}}, ctx_for(df))).collect())
+
+        # minimum ignores the null element (r1 valid), rejects 0 (r2)
+        assert match({"items": {"minimum": 1}}) == ["r1", "r3"]
+        # type: integer rejects the null element
+        assert match({"items": {"type": "integer"}}) == ["r2", "r3"]

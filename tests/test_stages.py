@@ -1447,3 +1447,75 @@ class TestCdcChunksStage:
         out = rows(df, [{"$cdcChunks": {"avg": 512}}])
         assert sum(r["length"] for r in out) == len(data)
         assert out[0]["chunk_hash"]
+
+
+class TestReviewRegressions:
+    """Locks for the round-3 continuation review findings."""
+
+    def test_merge_missing_on_field_raises(self, spark):
+        from pincette_json_streams_spark.operators.expressions import (
+            UnsupportedExpression,
+        )
+        src = spark.createDataFrame([(1,)], "v int")  # no _id
+        tgt = spark.createDataFrame([("a", 1)], "_id string, v int")
+        with pytest.raises(UnsupportedExpression, match="on-field"):
+            run(src, [{"$merge": {"into": "t"}}], catalog={"t": tgt})
+        # and the reverse: key absent from the TARGET
+        src2 = spark.createDataFrame([("a", 1)], "_id string, v int")
+        tgt2 = spark.createDataFrame([(1,)], "v int")
+        with pytest.raises(UnsupportedExpression, match="on-field"):
+            run(src2, [{"$merge": {"into": "t"}}], catalog={"t": tgt2})
+
+    def test_merge_streaming_is_capture(self, spark):
+        stream = (spark.readStream.format("rate")
+                  .option("rowsPerSecond", 1).load())
+        tgt = spark.createDataFrame([(1,)], "value long")
+        pctx = PipelineContext(catalog={"t": tgt})
+        out = compile_pipeline(stream, [{"$merge": {"into": "t"}}], pctx)
+        assert out.isStreaming and pctx.outputs["t"] is stream
+
+    def test_graph_lookup_overwrites_existing_as(self, spark):
+        org = spark.createDataFrame(
+            [("ceo", None), ("vp", "ceo")], "name string, boss string")
+        df = spark.createDataFrame(
+            [("vp", "ceo", "stale")], "name string, boss string, "
+            "chain string")
+        out = rows(df, [{"$graphLookup": {
+            "from": "org", "startWith": "$boss",
+            "connectFromField": "boss", "connectToField": "name",
+            "as": "chain"}}], catalog={"org": org})
+        assert [d["name"] for d in out[0]["chain"]] == ["ceo"]
+
+    def test_geo_near_dotted_distance_field(self, spark):
+        places = spark.createDataFrame(
+            [("a", [4.35, 50.85]), ("b", [3.72, 51.05])],
+            "name string, location array<double>")
+        out = rows(places, [{"$geoNear": {
+            "near": [4.35, 50.85],
+            "distanceField": "dist.calculated"}}])
+        assert out[0]["name"] == "a"
+        assert out[0]["dist"]["calculated"] < 1
+        assert out[1]["dist"]["calculated"] > 10_000
+
+    def test_derivative_iso_string_sort_key_with_unit(self, spark):
+        df = spark.createDataFrame(
+            [("k", "2024-01-01T00:00:00Z", 10.0),
+             ("k", "2024-01-01T00:00:10Z", 40.0)],
+            "k string, t string, v double")
+        out = rows(df, [{"$windowFields": {
+            "partitionBy": "$k", "sortBy": {"t": 1},
+            "output": {"slope": {
+                "$derivative": {"input": "$v", "unit": "second"},
+                "window": {"documents": [-1, 0]}}}}}])
+        got = {r["t"]: r["slope"] for r in out}
+        assert got["2024-01-01T00:00:10Z"] == pytest.approx(3.0)
+
+    def test_millisecond_pre_epoch(self, spark):
+        from pincette_json_streams_spark.operators.context import ctx_for
+        from pincette_json_streams_spark.operators.expressions import (
+            compile_expr,
+        )
+        df = spark.createDataFrame([("1969-12-31T23:59:59.900Z",)],
+                                   "t string")
+        col = compile_expr({"$millisecond": "$t"}, ctx_for(df))
+        assert df.select(col.alias("v")).first()["v"] == 900
