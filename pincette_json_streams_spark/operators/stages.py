@@ -1827,8 +1827,18 @@ def _stage_window_fields_ext(df, spec, pctx):
             raise UnsupportedExpression(
                 f"unknown $windowFields operator {op}"
             )
-        out_cols.append(col.alias(name))
-    return df.select("*", *out_cols)
+        out_cols.append((name, col))
+    flat = [c.alias(n) for n, c in out_cols if "." not in n]
+    out = df.select("*", *flat)
+    # dotted output names nest (Mongo's "stats.rank" idiom); window
+    # expressions must be materialized as plain columns first —
+    # withField cannot host a window function
+    for n, c in out_cols:
+        if "." in n:
+            tmp = f"__wf_{n.replace('.', '_')}"
+            out = _set_path(out.withColumn(tmp, c), n,
+                            F.col(tmp)).drop(tmp)
+    return out
 
 
 def _stage_cdc_chunks_ext(df, spec, pctx):

@@ -1519,3 +1519,15 @@ class TestReviewRegressions:
                                    "t string")
         col = compile_expr({"$millisecond": "$t"}, ctx_for(df))
         assert df.select(col.alias("v")).first()["v"] == 900
+
+
+class TestWindowFieldsDottedOutput:
+    def test_nested_output_name(self, people):
+        out = rows(people, [{"$windowFields": {
+            "sortBy": {"age": 1, "_id": 1},
+            "output": {"stats.rank": {"$rank": {}},
+                       "plain": {"$sum": "$age"}}}}])
+        by_id = {r["_id"]: r for r in out}
+        assert by_id["p2"]["stats"]["rank"] == 1
+        assert by_id["p3"]["stats"]["rank"] == 4
+        assert by_id["p1"]["plain"] == 131
