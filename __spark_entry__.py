@@ -4606,6 +4606,57 @@ FROM agg
 """
 
 
+def q_lookup_topn(spark, sf_dir):
+    """Mongo 5.0 concise \\$lookup (localField/foreignField + pipeline:
+    leading \\$match + \\$sort + \\$limit): top-2 open orders per
+    customer — decomposed to ONE window over the foreign side
+    (WindowGroupLimit prunes below the shuffle), never a per-left-row
+    regroup."""
+    out = _pipe(spark, sf_dir, "customer", [
+        {"$match": {"c_custkey": {"$lte": 300}}},
+        {"$lookup": {
+            "from": "orders", "localField": "c_custkey",
+            "foreignField": "o_custkey", "as": "top",
+            "pipeline": [
+                {"$match": {"o_orderstatus": "O"}},
+                {"$sort": {"o_totalprice": -1, "o_orderkey": 1}},
+                {"$limit": 2}]}},
+    ], catalog_tables=("orders",))
+    return out.select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        F.size("top").cast("long").alias("n_top"),
+        F.transform("top", lambda d: d["o_orderkey"].cast("long"))
+         .alias("top_keys"),
+        F.round(
+            F.coalesce(
+                F.aggregate("top", F.lit(0.0),
+                            lambda a, d: a + d["o_totalprice"]),
+                F.lit(0.0)), 2).alias("top_total"),
+    )
+
+
+_ORACLE_LOOKUP_TOPN = """
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders WHERE o_orderstatus = 'O'
+), top2 AS (
+  SELECT o_custkey,
+         count(*)::BIGINT AS n_top,
+         list(o_orderkey ORDER BY rn) AS top_keys,
+         round(sum(o_totalprice), 2) AS top_total
+  FROM ranked WHERE rn <= 2 GROUP BY o_custkey
+)
+SELECT c.c_custkey::BIGINT AS c_custkey,
+       coalesce(t.n_top, 0)::BIGINT AS n_top,
+       coalesce(t.top_keys, []::BIGINT[]) AS top_keys,
+       coalesce(t.top_total, 0) AS top_total
+FROM customer c LEFT JOIN top2 t ON t.o_custkey = c.c_custkey
+WHERE c.c_custkey <= 300
+"""
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -4638,6 +4689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pca": q_emb_pca,
         "dedup_quality": q_dedup_quality,
         "counter_rate": q_counter_rate,
+        "lookup_topn": q_lookup_topn,
         "dup_spans": q_dup_spans,
         "strip_spans": q_strip_spans,
         "window_fields": q_window_fields,
@@ -4758,6 +4810,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_moments": _ORACLE_EMB_MOMENTS,
         "dedup_quality": _oracle_dedup_quality(),
         "counter_rate": _ORACLE_COUNTER_RATE,
+        "lookup_topn": _ORACLE_LOOKUP_TOPN,
         "dup_spans": _ORACLE_DUP_SPANS,
         "strip_spans": _ORACLE_STRIP_SPANS,
         "window_fields": _ORACLE_WINDOW_FIELDS,

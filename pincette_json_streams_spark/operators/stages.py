@@ -582,6 +582,8 @@ def _stage_lookup(df, spec, pctx):
     inner = bool(spec.get("inner", False))
     unwind = bool(spec.get("unwind", False))
 
+    if "pipeline" in spec and "localField" in spec:
+        return _lookup_concise(df, other, spec, pctx)
     if "pipeline" in spec:
         let_vars = spec.get("let", {})
         if let_vars:
@@ -626,6 +628,87 @@ def _stage_lookup(df, spec, pctx):
     grouped = right.groupBy("__fk").agg(
         F.collect_list("__doc").alias(as_field)
     )
+    how = "inner" if inner else "left"
+    out = df.join(grouped, lcol == F.col("__fk"), how).drop("__fk")
+    if not inner:
+        out = out.withColumn(
+            as_field,
+            F.coalesce(F.col(as_field),
+                       F.array().cast(dict(grouped.dtypes)[as_field])),
+        )
+    return out
+
+
+def _lookup_concise(df, other, spec, pctx):
+    """Mongo 5.0 concise correlated form: localField/foreignField AND a
+    pipeline.  Semantics: equality match first, then the pipeline runs
+    over each local doc's matched set.
+
+    Spark-first decomposition of the shapes that cover real usage:
+    leading ``$match`` stages commute with the equality join (they
+    never alter fields) and pre-filter the foreign side at the scan;
+    a trailing ``$sort`` [+ ``$limit``] is a per-join-key top-N — one
+    window over the foreign side (WindowGroupLimit prunes below the
+    shuffle), never a per-left-row regroup.  Doc-transforming stages
+    in concise position would need per-set application — the fully
+    supported ``let``+pipeline form covers those; raise instead of
+    guessing."""
+    from pyspark.sql.window import Window as W
+
+    as_field = spec["as"]
+    inner = bool(spec.get("inner", False))
+    unwind = bool(spec.get("unwind", False))
+    local, foreign = spec["localField"], spec["foreignField"]
+
+    stages = list(spec["pipeline"])
+    while stages and isinstance(stages[0], dict) \
+            and set(stages[0]) == {"$match"}:
+        other = compile_pipeline(other, [stages.pop(0)], pctx)
+    sort_spec = None
+    limit_n = None
+    if stages and set(stages[0]) == {"$sort"}:
+        sort_spec = stages.pop(0)["$sort"]
+    if stages and set(stages[0]) == {"$limit"}:
+        limit_n = int(stages.pop(0)["$limit"])
+    if stages:
+        raise UnsupportedExpression(
+            "concise $lookup pipeline supports leading $match and "
+            f"trailing $sort/$limit; use let+pipeline for {stages[0]}")
+
+    right = other.select(
+        F.col(foreign).alias("__fk"), F.struct("*").alias("__doc")
+    )
+    ordered_docs = sort_spec is not None or limit_n is not None
+    if ordered_docs:
+        order = [
+            F.col("__doc").getField(k).asc() if d >= 0
+            else F.col("__doc").getField(k).desc()
+            for k, d in (sort_spec or {}).items()
+        ] or [F.col("__doc").asc()]   # limit without sort: stable order
+        w = W.partitionBy("__fk").orderBy(*order)
+        right = right.withColumn("__rn", F.row_number().over(w))
+        if limit_n is not None:
+            right = right.where(F.col("__rn") <= limit_n)
+
+    lcol = ctx_for(df).field(local)
+    if unwind:
+        joined = df.join(right, lcol == F.col("__fk"), "inner")
+        if ordered_docs:
+            joined = joined.drop("__rn")
+        return joined.withColumn(as_field, F.col("__doc")) \
+                     .drop("__fk", "__doc")
+    if ordered_docs:
+        grouped = right.groupBy("__fk").agg(
+            F.transform(
+                F.sort_array(F.collect_list(
+                    F.struct(F.col("__rn"), F.col("__doc")))),
+                lambda x: x["__doc"],
+            ).alias(as_field)
+        )
+    else:
+        grouped = right.groupBy("__fk").agg(
+            F.collect_list("__doc").alias(as_field)
+        )
     how = "inner" if inner else "left"
     out = df.join(grouped, lcol == F.col("__fk"), how).drop("__fk")
     if not inner:

@@ -1531,3 +1531,52 @@ class TestWindowFieldsDottedOutput:
         assert by_id["p2"]["stats"]["rank"] == 1
         assert by_id["p3"]["stats"]["rank"] == 4
         assert by_id["p1"]["plain"] == 131
+
+
+class TestLookupConcise:
+    """Mongo 5.0 concise $lookup: localField/foreignField + pipeline."""
+
+    @pytest.fixture(scope="class")
+    def orders(self, spark):
+        return spark.createDataFrame(
+            [("o1", "p1", 10.0), ("o2", "p1", 5.0), ("o3", "p1", 7.0),
+             ("o4", "p2", 1.0), ("o5", "p2", 99.0)],
+            "oid string, pid string, amt double")
+
+    def test_match_then_topn(self, people, orders):
+        out = rows(people, [
+            {"$lookup": {
+                "from": "orders", "localField": "_id",
+                "foreignField": "pid", "as": "top",
+                "pipeline": [
+                    {"$match": {"amt": {"$gte": 2}}},
+                    {"$sort": {"amt": -1}},
+                    {"$limit": 2}]}},
+        ], catalog={"orders": orders})
+        by_id = {r["_id"]: [d["oid"] for d in r["top"]] for r in out}
+        # p1: amts 10, 7 (5 cut by limit); order = sort order
+        assert by_id["p1"] == ["o1", "o3"]
+        assert by_id["p2"] == ["o5"]   # o4 survives $match but rank 2
+        assert by_id["p3"] == []
+
+    def test_unwind_form(self, people, orders):
+        out = rows(people, [
+            {"$lookup": {
+                "from": "orders", "localField": "_id",
+                "foreignField": "pid", "as": "best", "unwind": True,
+                "pipeline": [{"$sort": {"amt": -1}}, {"$limit": 1}]}},
+            {"$project": {"_id": 1, "amt": "$best.amt"}},
+        ], catalog={"orders": orders})
+        assert sorted((r["_id"], r["amt"]) for r in out) == \
+            [("p1", 10.0), ("p2", 99.0)]
+
+    def test_transform_stage_raises(self, people, orders):
+        from pincette_json_streams_spark.operators.expressions import (
+            UnsupportedExpression,
+        )
+        with pytest.raises(UnsupportedExpression, match="let"):
+            run(people, [{"$lookup": {
+                "from": "orders", "localField": "_id",
+                "foreignField": "pid", "as": "x",
+                "pipeline": [{"$project": {"amt": 1}}]}}],
+                catalog={"orders": orders})
