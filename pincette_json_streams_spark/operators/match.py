@@ -306,7 +306,13 @@ def _js_pred(col: Column, dtype, schema: dict, ctx: Ctx) -> Column:
             if len(scalars) != len(arg):
                 raise UnsupportedExpression(
                     "$jsonSchema enum supports scalars only")
-            conds.append(tc(col.isin(scalars)))
+            # enum applies to EVERY instance type including null
+            # (draft-4): a null value passes only when null is a member
+            vals = [v for v in scalars if v is not None]
+            cond = col.isin(vals) if vals else F.lit(False)
+            if None in scalars:
+                cond = cond | col.isNull()
+            conds.append(F.coalesce(cond, F.lit(False)))
         elif kw == "minimum":
             if schema.get("exclusiveMinimum") is True:
                 conds.append(tc(col > F.lit(arg)))
@@ -360,8 +366,9 @@ def _js_pred(col: Column, dtype, schema: dict, ctx: Ctx) -> Column:
                     "$jsonSchema required on a non-object field")
             m = {f.name for f in dtype.fields}
             for name in arg:
-                conds.append(col.getField(name).isNotNull()
-                             if name in m else F.lit(False))
+                # object-constrained keyword: vacuous on null values
+                conds.append(tc(col.getField(name).isNotNull())
+                             if name in m else tc(F.lit(False)))
         elif kw == "allOf":
             conds.extend(_js_pred(col, dtype, s, ctx) for s in arg)
         elif kw == "anyOf":

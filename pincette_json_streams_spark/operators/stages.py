@@ -617,19 +617,43 @@ def _stage_lookup(df, spec, pctx):
         return out
 
     local, foreign = spec["localField"], spec["foreignField"]
-    lcol = ctx_for(df).field(local)
     right = other.select(
         F.col(foreign).alias("__fk"), F.struct("*").alias("__doc")
     )
+    return _equi_lookup_join(df, right, local, as_field, inner, unwind)
+
+
+def _equi_lookup_join(df, right, local, as_field, inner, unwind,
+                      ordered=False):
+    """Shared tail of the localField/foreignField lookup forms: equi-join
+    ``right`` ((__fk, __doc) [+ __rn rank when ``ordered``]) onto df and
+    land the result in ``as_field`` — overwriting an existing column
+    like Mongo (seed column dropped BEFORE the join so the name can't
+    go ambiguous).  Array form groups the right side per key first (one
+    shuffle of the smaller side); ``ordered`` keeps the window rank's
+    order in the collected array."""
+    lcol = ctx_for(df).field(local)
+    base = df.drop(as_field) if as_field in df.columns else df
     if unwind:
-        joined = df.join(right, lcol == F.col("__fk"), "inner")
+        joined = base.join(right, lcol == F.col("__fk"), "inner")
+        if ordered:
+            joined = joined.drop("__rn")
         return joined.withColumn(as_field, F.col("__doc")) \
                      .drop("__fk", "__doc")
-    grouped = right.groupBy("__fk").agg(
-        F.collect_list("__doc").alias(as_field)
-    )
+    if ordered:
+        grouped = right.groupBy("__fk").agg(
+            F.transform(
+                F.sort_array(F.collect_list(
+                    F.struct(F.col("__rn"), F.col("__doc")))),
+                lambda x: x["__doc"],
+            ).alias(as_field)
+        )
+    else:
+        grouped = right.groupBy("__fk").agg(
+            F.collect_list("__doc").alias(as_field)
+        )
     how = "inner" if inner else "left"
-    out = df.join(grouped, lcol == F.col("__fk"), how).drop("__fk")
+    out = base.join(grouped, lcol == F.col("__fk"), how).drop("__fk")
     if not inner:
         out = out.withColumn(
             as_field,
@@ -680,44 +704,21 @@ def _lookup_concise(df, other, spec, pctx):
     )
     ordered_docs = sort_spec is not None or limit_n is not None
     if ordered_docs:
+        def doc_field(k):
+            col = F.col("__doc")
+            for seg in k.split("."):   # dotted sort keys descend
+                col = col.getField(seg)
+            return col
         order = [
-            F.col("__doc").getField(k).asc() if d >= 0
-            else F.col("__doc").getField(k).desc()
+            doc_field(k).asc() if d >= 0 else doc_field(k).desc()
             for k, d in (sort_spec or {}).items()
         ] or [F.col("__doc").asc()]   # limit without sort: stable order
         w = W.partitionBy("__fk").orderBy(*order)
         right = right.withColumn("__rn", F.row_number().over(w))
         if limit_n is not None:
             right = right.where(F.col("__rn") <= limit_n)
-
-    lcol = ctx_for(df).field(local)
-    if unwind:
-        joined = df.join(right, lcol == F.col("__fk"), "inner")
-        if ordered_docs:
-            joined = joined.drop("__rn")
-        return joined.withColumn(as_field, F.col("__doc")) \
-                     .drop("__fk", "__doc")
-    if ordered_docs:
-        grouped = right.groupBy("__fk").agg(
-            F.transform(
-                F.sort_array(F.collect_list(
-                    F.struct(F.col("__rn"), F.col("__doc")))),
-                lambda x: x["__doc"],
-            ).alias(as_field)
-        )
-    else:
-        grouped = right.groupBy("__fk").agg(
-            F.collect_list("__doc").alias(as_field)
-        )
-    how = "inner" if inner else "left"
-    out = df.join(grouped, lcol == F.col("__fk"), how).drop("__fk")
-    if not inner:
-        out = out.withColumn(
-            as_field,
-            F.coalesce(F.col(as_field),
-                       F.array().cast(dict(grouped.dtypes)[as_field])),
-        )
-    return out
+    return _equi_lookup_join(df, right, local, as_field, inner, unwind,
+                             ordered=ordered_docs)
 
 
 def _lookup_correlated(df, other, spec, let_vars, as_field, inner, unwind,
@@ -1231,8 +1232,13 @@ def _stage_merge(df, spec, pctx):
     if df.isStreaming or (target is not None and target.isStreaming):
         # streaming: capture only — upsert-by-key is the sink layer's
         # contract (toCollection / Delta MERGE in foreachBatch); the
-        # batch full-outer join below is an illegal streaming plan
+        # batch full-outer join below is an illegal streaming plan.
+        # Register in the catalog too (like the batch path) so later
+        # parts can reference the collection — without clobbering an
+        # existing static target.
         pctx.outputs[name] = df
+        if name not in pctx.catalog:
+            pctx.catalog[name] = df
         return df
     if target is not None:
         # Mongo contract: every `on` field must exist on both sides —
@@ -1822,7 +1828,13 @@ def _stage_window_fields_ext(df, spec, pctx):
         # scaling is correct; a bare cast('double') would NULL the ISO
         # strings and leave typed timestamps in seconds (1000x off)
         dt = dict(ctx.df.dtypes).get(k) if ctx.df is not None else None
-        if dt == "date" or (dt or "").startswith("timestamp"):
+        if dt == "date":
+            # calendar millis (datediff), not a timestamp cast: DST
+            # days are 23/25 h through the session timezone
+            return (F.datediff(
+                F.col(k), F.to_date(F.lit("1970-01-01")))
+                .cast("double") * 86400000.0)
+        if (dt or "").startswith("timestamp"):
             return F.unix_millis(F.col(k).cast("timestamp")) \
                 .cast("double")
         if dt == "string":
@@ -2201,8 +2213,17 @@ def _densify_dates(df, field, parts, rng, pctx):
             if parts else stats
         )
     elif isinstance(bounds, (list, tuple)) and len(bounds) == 2:
-        lo = F.unix_millis(F.lit(bounds[0]).cast("timestamp"))
-        hi = F.unix_millis(F.lit(bounds[1]).cast("timestamp"))
+        if dtype == "date":
+            # calendar millis like the data side — a timestamp cast
+            # would shift the grid by the session-timezone offset
+            epoch = F.to_date(F.lit("1970-01-01"))
+            lo = (F.datediff(F.to_date(F.lit(bounds[0])), epoch)
+                  .cast("long") * 86400000)
+            hi = (F.datediff(F.to_date(F.lit(bounds[1])), epoch)
+                  .cast("long") * 86400000)
+        else:
+            lo = F.unix_millis(F.lit(bounds[0]).cast("timestamp"))
+            hi = F.unix_millis(F.lit(bounds[1]).cast("timestamp"))
         grid_src = (
             df.select(*parts).distinct() if parts
             else df.sparkSession.range(1).select()

@@ -1580,3 +1580,70 @@ class TestLookupConcise:
                 "foreignField": "pid", "as": "x",
                 "pipeline": [{"$project": {"amt": 1}}]}}],
                 catalog={"orders": orders})
+
+
+class TestReviewRegressions2:
+    """Second review batch locks."""
+
+    def test_concise_lookup_overwrites_as(self, spark, people):
+        orders = spark.createDataFrame(
+            [("o1", "p1", 10.0)], "oid string, pid string, amt double")
+        df = people.withColumn("top", people["_id"])  # pre-existing col
+        out = rows(df, [{"$lookup": {
+            "from": "orders", "localField": "_id",
+            "foreignField": "pid", "as": "top",
+            "pipeline": [{"$sort": {"amt": -1}}]}}],
+            catalog={"orders": orders})
+        by_id = {r["_id"]: r["top"] for r in out}
+        assert [d["oid"] for d in by_id["p1"]] == ["o1"]
+        assert by_id["p2"] == []
+
+    def test_plain_lookup_overwrites_as(self, spark, people):
+        orders = spark.createDataFrame(
+            [("o1", "p1", 10.0)], "oid string, pid string, amt double")
+        df = people.withColumn("ords", people["_id"])
+        out = rows(df, [{"$lookup": {
+            "from": "orders", "localField": "_id",
+            "foreignField": "pid", "as": "ords"}}],
+            catalog={"orders": orders})
+        by_id = {r["_id"]: r["ords"] for r in out}
+        assert [d["oid"] for d in by_id["p1"]] == ["o1"]
+
+    def test_concise_dotted_sort_key(self, spark, people):
+        orders = spark.createDataFrame(
+            [("o1", "p1", (1,)), ("o2", "p1", (9,))],
+            "oid string, pid string, meta struct<score:int>")
+        out = rows(people.filter("_id = 'p1'"), [{"$lookup": {
+            "from": "orders", "localField": "_id",
+            "foreignField": "pid", "as": "best",
+            "pipeline": [{"$sort": {"meta.score": -1}},
+                         {"$limit": 1}]}}], catalog={"orders": orders})
+        assert [d["oid"] for d in out[0]["best"]] == ["o2"]
+
+    def test_json_schema_enum_rejects_null_elements(self, spark):
+        from pincette_json_streams_spark.operators.context import ctx_for
+        from pincette_json_streams_spark.operators.match import (
+            compile_query,
+        )
+        df = spark.createDataFrame(
+            [("r1", ["a", None]), ("r2", ["a", "b"])],
+            "_id string, arr array<string>")
+        pred = compile_query({"$jsonSchema": {"properties": {
+            "arr": {"items": {"enum": ["a", "b"]}}}}}, ctx_for(df))
+        assert [r["_id"] for r in df.filter(pred).collect()] == ["r2"]
+        # null IS valid when the enum lists it
+        pred2 = compile_query({"$jsonSchema": {"properties": {
+            "arr": {"items": {"enum": ["a", "b", None]}}}}}, ctx_for(df))
+        assert sorted(r["_id"] for r in df.filter(pred2).collect()) == \
+            ["r1", "r2"]
+
+    def test_densify_date_explicit_bounds_exact_grid(self, spark):
+        import datetime as dt
+        df = spark.createDataFrame([("a", dt.date(2024, 1, 2))],
+                                   "k string, d date")
+        out = rows(df, [{"$densify": {
+            "field": "d",
+            "range": {"step": 1, "unit": "day",
+                      "bounds": ["2024-01-01", "2024-01-04"]}}}])
+        assert sorted(r["d"].isoformat() for r in out) == \
+            ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"]
