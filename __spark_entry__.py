@@ -4657,6 +4657,79 @@ WHERE c.c_custkey <= 300
 """
 
 
+def q_rollup_revenue(spark, sf_dir):
+    """$rollup ext (operators/stages.py — native Spark grouping sets
+    exposed to the pipeline language): hierarchical subtotals over
+    (priority, status) in ONE pass; `_grouping` discriminates levels."""
+    out = _pipe(spark, sf_dir, "orders", [
+        {"$rollup": {
+            "_id": {"prio": "$o_orderpriority", "st": "$o_orderstatus"},
+            "n": {"$count": {}},
+            "rev": {"$sum": "$o_totalprice"}}},
+    ])
+    return out.select(
+        F.col("_id.prio").alias("prio"), F.col("_id.st").alias("st"),
+        "_grouping", F.col("n").cast("long").alias("n"),
+        F.round("rev", 2).alias("rev"),
+    )
+
+
+_ORACLE_ROLLUP = """
+SELECT o_orderpriority AS prio, o_orderstatus AS st,
+       (2 * grouping(o_orderpriority)
+        + grouping(o_orderstatus))::BIGINT AS _grouping,
+       count(*)::BIGINT AS n,
+       round(sum(o_totalprice), 2) AS rev
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+
+def q_interval_join(spark, sf_dir):
+    """Bucketed point-in-interval join (functions/timeseries.py
+    interval_join): per-user maintenance windows (derived from
+    customer) joined to events — interval side explodes to coarse
+    buckets, events map to ONE bucket, equi-join + exact filter; no
+    cartesian anywhere.  Oracle: DuckDB's native BETWEEN range join."""
+    from pincette_json_streams_spark.functions.timeseries import (
+        interval_join,
+    )
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        (F.col("ts_nanos") % 1_000_000).cast("long").alias("t"),
+    )
+    cust = _t(spark, sf_dir, "customer")
+    iv = cust.where("c_custkey < 600").select(
+        F.col("c_custkey").cast("long").alias("iid"),
+        (F.col("c_custkey") % 150).cast("long").alias("user_id"),
+        ((F.col("c_custkey") * 7919) % 900_000).cast("long").alias("s"),
+    ).withColumn("e", F.col("s") + 120_000)
+    out = interval_join(ev, iv, "t", "s", "e", by="user_id",
+                        bucket=100_000)
+    return out.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits"),
+        F.countDistinct("iid").cast("long").alias("n_windows"),
+        F.countDistinct("event_id").cast("long").alias("n_events"),
+    )
+
+
+_ORACLE_INTERVAL_JOIN = """
+WITH ev AS (
+  SELECT event_id, user_id, epoch_ns(ts) % 1000000 AS t FROM events
+), iv AS (
+  SELECT c_custkey AS iid, c_custkey % 150 AS user_id,
+         (c_custkey * 7919) % 900000 AS s,
+         (c_custkey * 7919) % 900000 + 120000 AS e
+  FROM customer WHERE c_custkey < 600
+)
+SELECT ev.user_id, count(*)::BIGINT AS n_hits,
+       count(DISTINCT iid)::BIGINT AS n_windows,
+       count(DISTINCT event_id)::BIGINT AS n_events
+FROM ev JOIN iv ON ev.user_id = iv.user_id AND ev.t BETWEEN s AND e
+GROUP BY ev.user_id
+"""
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -4690,6 +4763,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_quality": q_dedup_quality,
         "counter_rate": q_counter_rate,
         "lookup_topn": q_lookup_topn,
+        "rollup_revenue": q_rollup_revenue,
+        "interval_hits": q_interval_join,
         "dup_spans": q_dup_spans,
         "strip_spans": q_strip_spans,
         "window_fields": q_window_fields,
@@ -4811,6 +4886,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_quality": _oracle_dedup_quality(),
         "counter_rate": _ORACLE_COUNTER_RATE,
         "lookup_topn": _ORACLE_LOOKUP_TOPN,
+        "rollup_revenue": _ORACLE_ROLLUP,
+        "interval_hits": _ORACLE_INTERVAL_JOIN,
         "dup_spans": _ORACLE_DUP_SPANS,
         "strip_spans": _ORACLE_STRIP_SPANS,
         "window_fields": _ORACLE_WINDOW_FIELDS,

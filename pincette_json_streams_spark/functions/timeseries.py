@@ -19,8 +19,9 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
-    "asof_join", "counter_increase", "forward_fill", "retention_cohorts",
-    "sessionize", "sessionize_stream", "time_bucket_gapfill",
+    "asof_join", "counter_increase", "forward_fill", "interval_join",
+    "retention_cohorts", "sessionize", "sessionize_stream",
+    "time_bucket_gapfill",
 ]
 
 
@@ -412,3 +413,58 @@ def counter_increase(
         "rate",
         F.when(F.col("span") > 0, F.col("increase") / F.col("span")),
     )
+
+
+def interval_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    ts: str,
+    start: str,
+    end: str,
+    by: "str | None" = None,
+    bucket: "int | None" = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join (event ts within [start, end], inclusive)
+    — the range join Spark would otherwise plan as a cartesian product
+    with a post-filter.
+
+    Bucketed decomposition: each event maps to ONE coarse bucket
+    (floor(ts / bucket)); each interval EXPLODES to the buckets it
+    covers (rows proportional to interval length / bucket, the knob).
+    The join is then a pure equi-join on ([by,] bucket) + an exact
+    range filter on the candidates — no cross product anywhere, skew
+    bounded by events-per-bucket.  ``bucket`` defaults to the median
+    interval length estimated from a bounded sample (the classic
+    range-join bin sizing); pass it explicitly in production.
+    ``how='left_outer'`` keeps unmatched events with NULL interval
+    columns (one row per event via a matched anti-join union)."""
+    if bucket is None:
+        sample = intervals.select(
+            (F.col(end) - F.col(start)).alias("len")
+        ).limit(10_000)
+        med = sample.agg(
+            F.percentile_approx("len", 0.5).alias("m")).first()["m"]
+        bucket = max(int(med or 1), 1)
+    b = int(bucket)
+    ev = events.withColumn("__b", F.floor(F.col(ts) / b).cast("long"))
+    iv = intervals.withColumn(
+        "__b",
+        F.explode(F.sequence(
+            F.floor(F.col(start) / b).cast("long"),
+            F.floor(F.col(end) / b).cast("long"),
+        )),
+    )
+    on = ["__b"] if by is None else [by, "__b"]
+    cand = ev.join(iv, on, "inner").where(
+        (F.col(ts) >= F.col(start)) & (F.col(ts) <= F.col(end))
+    ).drop("__b")
+    if how == "inner":
+        return cand
+    if how != "left_outer":
+        raise ValueError(f"interval_join how={how!r}")
+    matched_keys = cand.select(*events.columns).dropDuplicates(
+        events.columns)
+    unmatched = events.join(
+        matched_keys, events.columns, "left_anti")
+    return cand.unionByName(unmatched, allowMissingColumns=True)

@@ -394,6 +394,45 @@ def _stage_group(df, spec, pctx):
     return grouped
 
 
+def _stage_rollup_cube(kind: str):
+    def h(df, spec, pctx):
+        """$rollup / $cube batch extensions (no Mongo analog — this is
+        native Spark analytics exposed to the pipeline language):
+        hierarchical / full grouping-set aggregation over named key
+        expressions.
+
+        {"_id": {name: expr, ...}, out: {accumulator}, ...}
+
+        Output rows carry the _id struct with NULLs on rolled-up
+        levels plus `_grouping` (Spark's grouping_id — 0 for the
+        finest level), so consumers can tell subtotal rows apart.
+        One pass: Catalyst expands grouping sets without rescanning."""
+        _batch_only(df, kind, "grouping sets are a batch aggregation")
+        ctx = ctx_for(df)
+        ids = spec.get("_id")
+        if not isinstance(ids, dict) or not ids:
+            raise UnsupportedExpression(f"{kind} needs _id: {{name: expr}}")
+        names = list(ids.keys())
+        base = df.select(
+            "*", *[compile_expr(e, ctx).alias(f"__gk_{n}")
+                   for n, e in ids.items()]
+        )
+        aggs = [
+            _accumulator(*next(iter(acc.items())), ctx_for(df), out)
+            for out, acc in spec.items() if out != "_id"
+        ]
+        kcols = [F.col(f"__gk_{n}") for n in names]
+        gb = (base.rollup(*kcols) if kind == "$rollup"
+              else base.cube(*kcols))
+        grouped = gb.agg(
+            F.grouping_id(*kcols).cast("long").alias("_grouping"), *aggs)
+        id_struct = F.struct(
+            *[F.col(f"__gk_{n}").alias(n) for n in names]).alias("_id")
+        keep = [c for c in grouped.columns if not c.startswith("__gk_")]
+        return grouped.select(id_struct, *keep)
+    return h
+
+
 def _stage_bucket(df, spec, pctx):
     ctx = ctx_for(df)
     group_by = compile_expr(spec["groupBy"], ctx)
@@ -2378,6 +2417,8 @@ STAGES: dict[str, Callable[[DataFrame, Any, PipelineContext], DataFrame]] = {
     "$skip": lambda df, spec, pctx: df.offset(int(spec)),
     "$sample": _stage_sample_ext,
     "$sortByCount": _stage_sort_by_count,
+    "$rollup": _stage_rollup_cube("$rollup"),
+    "$cube": _stage_rollup_cube("$cube"),
     "$geoNear": _stage_geo_near,
     "$chunk": _stage_chunk_ext,
     "$bpeTrain": _stage_bpe_train_ext,

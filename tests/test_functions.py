@@ -3062,3 +3062,54 @@ class TestCdcChunksStringIds:
             "uri string, media binary")
         rows = cdc_chunks(df, data_col="media", id_col="uri").collect()
         assert rows and rows[0]["uri"] == "s3://bucket/a"
+
+
+class TestIntervalJoin:
+    def test_inner_and_left_outer(self, spark):
+        from pincette_json_streams_spark.functions.timeseries import (
+            interval_join,
+        )
+        ev = spark.createDataFrame(
+            [("e1", "u", 5), ("e2", "u", 15), ("e3", "u", 50),
+             ("e4", "v", 5)],
+            "eid string, k string, t long")
+        iv = spark.createDataFrame(
+            [("i1", "u", 0, 10), ("i2", "u", 5, 20), ("i3", "v", 90, 99)],
+            "iid string, k string, s long, e long")
+        got = sorted((r["eid"], r["iid"]) for r in interval_join(
+            ev, iv, "t", "s", "e", by="k", bucket=8).collect())
+        assert got == [("e1", "i1"), ("e1", "i2"), ("e2", "i2")]
+        lo = interval_join(ev, iv, "t", "s", "e", by="k", bucket=8,
+                           how="left_outer").collect()
+        pairs = sorted((r["eid"], r["iid"]) for r in lo)
+        assert pairs == [("e1", "i1"), ("e1", "i2"), ("e2", "i2"),
+                         ("e3", None), ("e4", None)]
+
+    def test_matches_naive_range_join_property(self, spark):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+        from pincette_json_streams_spark.functions.timeseries import (
+            interval_join,
+        )
+
+        @settings(max_examples=10, deadline=None)
+        @given(
+            st.lists(st.integers(0, 60), min_size=1, max_size=10),
+            st.lists(st.tuples(st.integers(0, 50), st.integers(0, 20)),
+                     min_size=1, max_size=6),
+            st.integers(1, 30),
+        )
+        def check(points, spans, bucket):
+            ev = spark.createDataFrame(
+                [(i, t) for i, t in enumerate(points)], "eid long, t long")
+            iv = spark.createDataFrame(
+                [(j, s, s + ln) for j, (s, ln) in enumerate(spans)],
+                "iid long, s long, e long")
+            got = sorted((r["eid"], r["iid"]) for r in interval_join(
+                ev, iv, "t", "s", "e", bucket=bucket).collect())
+            want = sorted(
+                (i, j) for i, t in enumerate(points)
+                for j, (s, ln) in enumerate(spans) if s <= t <= s + ln)
+            assert got == want, (bucket, got, want)
+
+        check()

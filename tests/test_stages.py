@@ -1647,3 +1647,43 @@ class TestReviewRegressions2:
                       "bounds": ["2024-01-01", "2024-01-04"]}}}])
         assert sorted(r["d"].isoformat() for r in out) == \
             ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"]
+
+
+class TestRollupCube:
+    def test_rollup_levels(self, people):
+        out = rows(people, [{"$rollup": {
+            "_id": {"age": "$age", "city": "$address.city"},
+            "n": {"$count": {}},
+            "bal": {"$sum": "$balance"}}}])
+        by = {(r["_id"]["age"], r["_id"]["city"], r["_grouping"]): r
+              for r in out}
+        # finest level (grouping 0)
+        assert by[(28, "Aalst", 0)]["n"] == 1
+        # per-age subtotal (city rolled up -> grouping 1)
+        assert by[(28, None, 1)]["n"] == 2
+        # grand total
+        assert by[(None, None, 3)]["n"] == 4
+        assert by[(None, None, 3)]["bal"] == pytest.approx(2150.24)
+        # rollup has NO city-only level
+        assert not any(k[0] is None and k[1] is not None and k[2] == 2
+                       for k in by)
+
+    def test_cube_has_all_levels(self, people):
+        out = rows(people, [{"$cube": {
+            "_id": {"age": "$age", "city": "$address.city"},
+            "n": {"$count": {}}}}])
+        gs = {r["_grouping"] for r in out}
+        assert gs == {0, 1, 2, 3}
+        by = {(r["_id"]["age"], r["_id"]["city"], r["_grouping"]): r["n"]
+              for r in out}
+        assert by[(None, "Ghent", 2)] == 2  # city-only level exists
+
+    def test_streaming_rejected(self, spark):
+        from pincette_json_streams_spark.operators.expressions import (
+            UnsupportedExpression,
+        )
+        stream = (spark.readStream.format("rate")
+                  .option("rowsPerSecond", 1).load())
+        with pytest.raises(UnsupportedExpression):
+            run(stream, [{"$rollup": {"_id": {"v": "$value"},
+                                      "n": {"$count": {}}}}])
