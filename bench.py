@@ -73,6 +73,9 @@ BENCH_QUERIES = [
     "bigram_lm",
     "counter_rate",
     "emb_pca",
+    "lookup_topn",
+    "rollup_revenue",
+    "interval_hits",
 ]
 
 
