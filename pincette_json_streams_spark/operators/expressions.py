@@ -1216,6 +1216,9 @@ OPERATORS: dict[str, Callable[[Any, Ctx], Column]] = {
     "$dateTrunc": _date_trunc_op,
     **{name: _date_part_op(name) for name in _DATE_PARTS},
     "$dateToParts": _date_to_parts_op,
+    # $rand (Mongo 4.4): uniform [0, 1) per document — nondeterministic
+    # by contract, so no oracle query claims it
+    "$rand": lambda args, ctx: F.rand(),
     "$dateFromParts": _date_from_parts_op,
     "$dateAdd": _date_add_op(1),
     "$dateSubtract": _date_add_op(-1),

@@ -48,6 +48,11 @@ def compile_query(query: dict, ctx: Ctx) -> Column:
             continue
         elif key == "$jsonSchema":
             conds.append(_json_schema_root(value, ctx))
+        elif key == "$sampleRate":
+            # Mongo 4.4.2: keep each document with probability `value`
+            # (nondeterministic by contract; $sample has the
+            # deterministic seeded variant)
+            conds.append(F.rand() < float(value))
         elif key.startswith("$"):
             raise UnsupportedExpression(f"unknown top-level query op {key}")
         else:

@@ -567,3 +567,22 @@ class TestDateParts:
         # defaults: month/day default to 1
         assert ev(df, {"$dateFromParts": {"year": 2024}}) == \
             "2024-01-01T00:00:00Z"
+
+
+class TestRand:
+    def test_rand_uniform_and_sample_rate(self, spark):
+        from pincette_json_streams_spark.operators.context import ctx_for
+        from pincette_json_streams_spark.operators.expressions import (
+            compile_expr,
+        )
+        from pincette_json_streams_spark.operators.match import (
+            compile_query,
+        )
+        df = spark.range(2000).toDF("i")
+        vals = [r["v"] for r in df.select(
+            compile_expr({"$rand": {}}, ctx_for(df)).alias("v")).collect()]
+        assert all(0 <= v < 1 for v in vals)
+        assert len(set(vals)) > 1900  # actually random per row
+        n = df.filter(compile_query({"$sampleRate": 0.25},
+                                    ctx_for(df))).count()
+        assert 300 < n < 700  # ~500 expected
