@@ -1239,8 +1239,11 @@ def _stage_probe(df, spec, pctx):
 # --------------------------------------------------------------------------
 
 def _stage_out(df, spec, pctx):
+    # $out REPLACES the target collection (docs:382-391): later parts
+    # and $lookup see the new contents, matching $merge's contract
     name = spec if isinstance(spec, str) else spec["coll"]
     pctx.outputs[name] = df
+    pctx.catalog[name] = df
     return df
 
 

@@ -1687,3 +1687,13 @@ class TestRollupCube:
         with pytest.raises(UnsupportedExpression):
             run(stream, [{"$rollup": {"_id": {"v": "$value"},
                                       "n": {"$count": {}}}}])
+
+
+class TestOutReplacesCatalog:
+    def test_out_replaces_collection(self, spark, people):
+        old = spark.createDataFrame([("x", 1)], "_id string, v int")
+        pctx = PipelineContext(catalog={"t": old})
+        compile_pipeline(people, [{"$out": "t"}], pctx)
+        # $out REPLACES: later $lookup against 't' sees the new rows
+        assert pctx.catalog["t"].count() == 4
+        assert pctx.outputs["t"].count() == 4
