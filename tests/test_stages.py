@@ -1697,3 +1697,79 @@ class TestOutReplacesCatalog:
         # $out REPLACES: later $lookup against 't' sees the new rows
         assert pctx.catalog["t"].count() == 4
         assert pctx.outputs["t"].count() == 4
+
+
+class TestStageProperties:
+    def test_rollup_levels_consistent_on_random_data(self, spark):
+        """Every rollup level's counts sum to the grand total; finest
+        level equals a plain groupBy."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=8, deadline=None)
+        @given(st.lists(
+            st.tuples(st.sampled_from("abc"), st.sampled_from("xy"),
+                      st.integers(0, 9)),
+            min_size=1, max_size=20))
+        def check(rows_in):
+            df = spark.createDataFrame(rows_in, "a string, b string, v int")
+            out = rows(df, [{"$rollup": {
+                "_id": {"a": "$a", "b": "$b"},
+                "n": {"$count": {}}, "s": {"$sum": "$v"}}}])
+            total = sum(v for _, _, v in rows_in)
+            by_g = {}
+            for r in out:
+                by_g.setdefault(r["_grouping"], []).append(r)
+            assert set(by_g) <= {0, 1, 3}
+            for g, rs in by_g.items():
+                assert sum(r["n"] for r in rs) == len(rows_in), g
+                assert sum(r["s"] for r in rs) == total, g
+            finest = {(r["_id"]["a"], r["_id"]["b"]): r["n"]
+                      for r in by_g[0]}
+            import collections
+            want = collections.Counter((a, b) for a, b, _ in rows_in)
+            assert finest == dict(want)
+
+        check()
+
+    def test_merge_matches_dict_reference(self, spark):
+        """$merge whenMatched modes == a python dict-merge reference on
+        random source/target frames."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        row = st.tuples(st.sampled_from("abcde"),
+                        st.one_of(st.none(), st.integers(0, 9)))
+
+        @settings(max_examples=8, deadline=None)
+        @given(st.lists(row, max_size=5, unique_by=lambda r: r[0]),
+               st.lists(row, max_size=5, unique_by=lambda r: r[0]),
+               st.sampled_from(["replace", "keepExisting", "merge"]),
+               st.sampled_from(["insert", "discard"]))
+        def check(src_rows, tgt_rows, wm, wnm):
+            src = spark.createDataFrame(src_rows or [("zz", None)],
+                                        "_id string, v int")
+            if not src_rows:
+                src = src.limit(0)
+            tgt = spark.createDataFrame(tgt_rows or [("zz", None)],
+                                        "_id string, v int")
+            if not tgt_rows:
+                tgt = tgt.limit(0)
+            pctx = PipelineContext(catalog={"t": tgt})
+            compile_pipeline(src, [{"$merge": {
+                "into": "t", "whenMatched": wm,
+                "whenNotMatched": wnm}}], pctx)
+            got = {r["_id"]: r["v"]
+                   for r in pctx.outputs["t"].collect()}
+            ref = {k: v for k, v in tgt_rows}
+            for k, v in src_rows:
+                if k in ref:
+                    if wm == "replace":
+                        ref[k] = v
+                    elif wm == "merge":
+                        ref[k] = v if v is not None else ref[k]
+                elif wnm == "insert":
+                    ref[k] = v
+            assert got == ref, (src_rows, tgt_rows, wm, wnm, got, ref)
+
+        check()
