@@ -4742,11 +4742,11 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: if the driver samples a prefix of this dict, the
     # least-recently-driver-checked queries must come first.  Block 0 =
-    # round-3 additions (never driver-checked), block 1 = r2 additions
+    # round-3 additions (never driver-checked; the continuation batch —
+    # graph_lookup..interval_hits — leads it), block 1 = r2 additions
     # never checked in any CORRECTNESS round, block 2 = hash-fixed in
     # round 3, block 3 = green in r1 but absent from r2, block 4 =
-    # long-green r2 gallery.  Blocks 0+1 (38 queries) fit inside a
-    # 50-query driver prefix.
+    # long-green r2 gallery.
     return {
         # -- block 0: round-3 additions ---------------------------------
         "graph_lookup": q_graph_lookup,
