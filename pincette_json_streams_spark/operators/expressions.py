@@ -218,6 +218,17 @@ def _is_array(args, ctx):
     return F.typeof(col).startswith("array")
 
 
+def _is_number(args, ctx):
+    # Mongo 4.4 $isNumber: true for any numeric BSON type, false for
+    # everything else INCLUDING missing/null
+    col = _nary(args, ctx, 1)[0]
+    t = F.typeof(col)
+    return col.isNotNull() & (
+        t.isin("tinyint", "smallint", "int", "bigint", "float",
+               "double") | t.startswith("decimal")
+    )
+
+
 def _object_to_array(args, ctx):
     arg = args[0] if isinstance(args, list) and len(args) == 1 else args
     if isinstance(arg, dict) and not any(k.startswith("$") for k in arg):
@@ -1219,6 +1230,7 @@ OPERATORS: dict[str, Callable[[Any, Ctx], Column]] = {
     # $rand (Mongo 4.4): uniform [0, 1) per document — nondeterministic
     # by contract, so no oracle query claims it
     "$rand": lambda args, ctx: F.rand(),
+    "$isNumber": _is_number,
     "$dateFromParts": _date_from_parts_op,
     "$dateAdd": _date_add_op(1),
     "$dateSubtract": _date_add_op(-1),

@@ -586,3 +586,15 @@ class TestRand:
         n = df.filter(compile_query({"$sampleRate": 0.25},
                                     ctx_for(df))).count()
         assert 300 < n < 700  # ~500 expected
+
+
+class TestIsNumber:
+    def test_is_number(self, spark):
+        df = spark.createDataFrame(
+            [(3, 2.5, "7", None)],
+            "i int, d double, s string, n string")
+        assert ev(df, {"$isNumber": "$i"}) is True
+        assert ev(df, {"$isNumber": "$d"}) is True
+        assert ev(df, {"$isNumber": "$s"}) is False
+        assert ev(df, {"$isNumber": "$n"}) is False
+        assert ev(df, {"$isNumber": [["$i"]]}) is False  # array arg
