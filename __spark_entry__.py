@@ -3479,20 +3479,28 @@ def q_facet(spark, sf_dir):
                 {"$project": {"_id": 0, "k": "$o_orderkey"}},
             ],
         }},
-    ])
+    ]).select(
+        # driver contract: no array output columns — each sorted facet
+        # array flattens to one pipe-joined string on BOTH sides
+        F.array_join("priorities", "|").alias("priorities"),
+        F.array_join("statuses", "|").alias("statuses"),
+        F.array_join(
+            F.transform("top_keys", lambda x: x.cast("string")), "|",
+        ).alias("top_keys"),
+    )
 
 
 _ORACLE_FACET = """
 WITH f1 AS (
-  SELECT list(s ORDER BY s) AS priorities FROM (
+  SELECT string_agg(s, '|' ORDER BY s) AS priorities FROM (
     SELECT o_orderpriority || ':' || count(*)::VARCHAR AS s
     FROM orders GROUP BY o_orderpriority)
 ), f2 AS (
-  SELECT list(s ORDER BY s) AS statuses FROM (
+  SELECT string_agg(s, '|' ORDER BY s) AS statuses FROM (
     SELECT o_orderstatus || ':' || count(*)::VARCHAR AS s
     FROM orders GROUP BY o_orderstatus)
 ), f3 AS (
-  SELECT list(k ORDER BY k) AS top_keys FROM (
+  SELECT string_agg(k::VARCHAR, '|' ORDER BY k) AS top_keys FROM (
     SELECT o_orderkey AS k FROM orders
     ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 3)
 )
@@ -3732,18 +3740,41 @@ def q_topn_accumulators(spark, sf_dir):
         {"$project": {"_id": 0, "priority": "$_id", "top3_keys": 1,
                       "bottom2_keys": 1, "min3_price": 1,
                       "max3_price": 1}},
-    ])
+    ]).select(
+        # driver contract: no array output columns — every group is far
+        # larger than N, so positional element_at splits the accumulator
+        # arrays into scalars losslessly on BOTH sides
+        "priority",
+        F.element_at("top3_keys", 1).cast("long").alias("top1"),
+        F.element_at("top3_keys", 2).cast("long").alias("top2"),
+        F.element_at("top3_keys", 3).cast("long").alias("top3"),
+        F.element_at("bottom2_keys", 1).cast("long").alias("bot1"),
+        F.element_at("bottom2_keys", 2).cast("long").alias("bot2"),
+        F.element_at("min3_price", 1).alias("min1"),
+        F.element_at("min3_price", 2).alias("min2"),
+        F.element_at("min3_price", 3).alias("min3"),
+        F.element_at("max3_price", 1).alias("max1"),
+        F.element_at("max3_price", 2).alias("max2"),
+        F.element_at("max3_price", 3).alias("max3"),
+    )
 
 
 _ORACLE_TOPN_ACCUM = """
-SELECT o_orderpriority AS priority,
-       (list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey DESC))
-         [1:3] AS top3_keys,
-       (list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey DESC))
-         [-2:] AS bottom2_keys,
-       list_sort(list(o_totalprice))[1:3] AS min3_price,
-       list_reverse_sort(list(o_totalprice))[1:3] AS max3_price
-FROM orders GROUP BY o_orderpriority
+WITH l AS (
+  SELECT o_orderpriority AS priority,
+         list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey DESC)
+           AS keys,
+         list_sort(list(o_totalprice)) AS asc_p,
+         list_reverse_sort(list(o_totalprice)) AS desc_p
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT priority,
+       keys[1]::BIGINT AS top1, keys[2]::BIGINT AS top2,
+       keys[3]::BIGINT AS top3,
+       keys[-2]::BIGINT AS bot1, keys[-1]::BIGINT AS bot2,
+       asc_p[1] AS min1, asc_p[2] AS min2, asc_p[3] AS min3,
+       desc_p[1] AS max1, desc_p[2] AS max2, desc_p[3] AS max3
+FROM l
 """
 
 
@@ -3803,16 +3834,28 @@ def q_modern_ops(spark, sf_dir):
                     "date": "$o_orderdate", "format": "%d/%m/%Y"}},
                 "format": "%d/%m/%Y"}},
         }},
-    ])
+    ]).select(
+        # driver contract: no array output columns — the operator arrays
+        # flatten to joined strings / positional scalars on BOTH sides
+        "o_orderkey",
+        F.array_join("sorted_desc", ",").alias("sorted_desc"),
+        F.element_at("first1", 1).alias("first1"),
+        F.element_at("min2", 1).cast("long").alias("min2a"),
+        F.element_at("min2", 2).cast("long").alias("min2b"),
+        "date_str", "parsed",
+    )
 
 
 _ORACLE_MODERN_OPS = """
 SELECT o_orderkey,
-       list_reverse_sort(string_split(o_orderpriority, '-'))
+       array_to_string(
+         list_reverse_sort(string_split(o_orderpriority, '-')), ',')
          AS sorted_desc,
-       string_split(o_orderpriority, '-')[1:1] AS first1,
-       list_sort([o_orderkey % 7, o_orderkey % 5, o_orderkey % 3])[1:2]
-         AS min2,
+       string_split(o_orderpriority, '-')[1] AS first1,
+       list_sort([o_orderkey % 7, o_orderkey % 5, o_orderkey % 3])[1]
+         ::BIGINT AS min2a,
+       list_sort([o_orderkey % 7, o_orderkey % 5, o_orderkey % 3])[2]
+         ::BIGINT AS min2b,
        strftime(o_orderdate, '%d/%m/%Y') AS date_str,
        strftime(strptime(strftime(o_orderdate, '%d/%m/%Y'),
                          '%d/%m/%Y'), '%Y-%m-%dT%H:%M:%SZ') AS parsed
@@ -3984,11 +4027,18 @@ def q_graph_lookup(spark, sf_dir):
             "connectFromField": "parent", "connectToField": "id",
             "as": "chain", "depthField": "lvl"}},
     ], PipelineContext(catalog={"g": graph}))
+    # driver contract: no array-typed output columns (the external
+    # canonicalizer hashes cells — lists are unhashable), so the sorted
+    # ancestor chain flattens to one comma-joined string on BOTH sides
     return out.select(
         F.col("id").alias("c_custkey"),
         F.size("chain").cast("long").alias("n_ancestors"),
-        F.array_sort(F.transform("chain", lambda d: d["id"]))
-         .alias("ancestor_ids"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.transform("chain", lambda d: d["id"])),
+                lambda x: x.cast("string"),
+            ), ",",
+        ).alias("ancestor_ids"),
         F.coalesce(
             F.array_max(F.transform("chain", lambda d: d["lvl"])),
             F.lit(-1),
@@ -4024,7 +4074,8 @@ WITH RECURSIVE g AS (
 )
 SELECT s.id AS c_custkey,
        coalesce(a.n_ancestors, 0)::BIGINT AS n_ancestors,
-       coalesce(a.ancestor_ids, []::BIGINT[]) AS ancestor_ids,
+       coalesce(array_to_string(a.ancestor_ids, ','), '')
+         AS ancestor_ids,
        coalesce(a.max_lvl, -1)::BIGINT AS max_lvl
 FROM g s LEFT JOIN agg a ON a.start_id = s.id
 WHERE s.id <= 50
@@ -4308,10 +4359,13 @@ def q_window_modern(spark, sf_dir):
     # accumulation algorithms agree only to ~1e-12 relative — decimals
     # there are noise; report them floored to thousands (grid far above
     # the cross-engine noise floor)
+    # driver contract: no array output columns — the $percentile pair
+    # splits into p25/p75 scalars (same values, hashable cells)
     return out.select(
         F.col("k").alias("o_orderkey"),
         r("med").alias("med"),
-        F.transform("pct", lambda x: r(x)).alias("pct"),
+        r(F.element_at("pct", 1)).alias("p25"),
+        r(F.element_at("pct", 2)).alias("p75"),
         F.floor(F.col("cov") / 1000 + 0.5).cast("long").alias("cov_k"),
         F.floor(F.col("covs") / 1000 + 0.5).cast("long").alias("covs_k"),
         r("slope", 1e6).alias("slope"),
@@ -4356,7 +4410,8 @@ WITH d AS (
 )
 SELECT k AS o_orderkey,
        floor(med * 10000 + 0.5) / 10000 AS med,
-       [floor(x * 10000 + 0.5) / 10000 for x in pct] AS pct,
+       floor(pct[1] * 10000 + 0.5) / 10000 AS p25,
+       floor(pct[2] * 10000 + 0.5) / 10000 AS p75,
        floor(cov / 1000 + 0.5)::BIGINT AS cov_k,
        floor(covs / 1000 + 0.5)::BIGINT AS covs_k,
        floor(slope * 1000000 + 0.5) / 1000000 AS slope,
@@ -4622,11 +4677,15 @@ def q_lookup_topn(spark, sf_dir):
                 {"$sort": {"o_totalprice": -1, "o_orderkey": 1}},
                 {"$limit": 2}]}},
     ], catalog_tables=("orders",))
+    # driver contract: no array output columns — the ranked key list
+    # flattens to one comma-joined string on BOTH sides
     return out.select(
         F.col("c_custkey").cast("long").alias("c_custkey"),
         F.size("top").cast("long").alias("n_top"),
-        F.transform("top", lambda d: d["o_orderkey"].cast("long"))
-         .alias("top_keys"),
+        F.array_join(
+            F.transform("top", lambda d: d["o_orderkey"].cast("string")),
+            ",",
+        ).alias("top_keys"),
         F.round(
             F.coalesce(
                 F.aggregate("top", F.lit(0.0),
@@ -4650,7 +4709,7 @@ WITH ranked AS (
 )
 SELECT c.c_custkey::BIGINT AS c_custkey,
        coalesce(t.n_top, 0)::BIGINT AS n_top,
-       coalesce(t.top_keys, []::BIGINT[]) AS top_keys,
+       coalesce(array_to_string(t.top_keys, ','), '') AS top_keys,
        coalesce(t.top_total, 0) AS top_total
 FROM customer c LEFT JOIN top2 t ON t.o_custkey = c.c_custkey
 WHERE c.c_custkey <= 300
