@@ -903,8 +903,11 @@ ORDER BY spend DESC, o_custkey LIMIT 10
 
 def q_aggregate_fold(spark, sf_dir):
     """Event-sourcing aggregate part (docs/state.md, SURVEY §2.8): fold
-    put commands per customer; emits the aggregate stream.  Stateful and
-    order-dependent -> rows-only driver check (no SQL oracle)."""
+    put commands per customer; emits the aggregate stream.  The fold is
+    order-dependent, but the VERSION COUNT is not: every put carries a
+    distinct okey, so each one changes state and emits exactly one new
+    aggregate version — n_versions == commands-per-_id regardless of
+    fold order, which the SQL oracle replays as a plain GROUP BY."""
     from pincette_json_streams_spark import Application
 
     orders = _t(spark, sf_dir, "orders")
@@ -925,6 +928,12 @@ def q_aggregate_fold(spark, sf_dir):
     return agg.groupBy("_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_versions")
     )
+
+
+_ORACLE_AGG_FOLD = """
+SELECT o_custkey::VARCHAR AS _id, count(*)::BIGINT AS n_versions
+FROM orders GROUP BY o_custkey
+"""
 
 
 def q_aggregate_unique(spark, sf_dir):
@@ -2468,9 +2477,10 @@ WHERE round(list_dot_product(a.e, b.e) /
 
 def q_per_batching(spark, sf_dir):
     """$per stage (docs/aggregation_stages.md:393-411): batch N messages
-    into one array message.  Partition-order dependent -> rows-only
-    driver check; the deterministic projection is the batch-size
-    histogram."""
+    into one array message.  Which rows land in which batch is
+    partition-order dependent, but the batch-size HISTOGRAM over a
+    single coalesced partition is fully determined by the row count
+    (full batches of `amount` plus one remainder) — SQL-replayable."""
     df = _pipe(spark, sf_dir, "orders", [
         {"$match": {"o_orderkey": {"$lte": 4000}}},
     ]).coalesce(1)
@@ -2478,8 +2488,19 @@ def q_per_batching(spark, sf_dir):
         df, [{"$per": {"amount": 100, "as": "msgs"}}], PipelineContext()
     )
     return batched.groupBy(
-        F.size("msgs").alias("batch_size")
+        F.size("msgs").cast("long").alias("batch_size")
     ).agg(F.count(F.lit(1)).cast("long").alias("n_batches"))
+
+
+_ORACLE_PER_BATCHING = """
+WITH n AS (
+  SELECT count(*)::BIGINT AS c FROM orders WHERE o_orderkey <= 4000
+)
+SELECT 100::BIGINT AS batch_size, (c // 100)::BIGINT AS n_batches
+FROM n WHERE c >= 100
+UNION ALL
+SELECT (c % 100)::BIGINT, 1::BIGINT FROM n WHERE c % 100 <> 0
+"""
 
 
 def q_quality_filter(spark, sf_dir):
@@ -4137,26 +4158,88 @@ ORDER BY count DESC, "left", "right" LIMIT 100
 """
 
 
+# Fixed merge table for the driver-facing encode query: trained once
+# with train_bpe (n_merges=24) and frozen so the DuckDB oracle can
+# replay the exact greedy encode.  Training itself stays covered by
+# bpe_pairs (first-iteration statistics) and the unit tests (Sennrich
+# example, round-trip property).
+_BPE_FIXED_MERGES: list = [
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("o", "r"), ("t", "</w>"),
+    ("er", "</w>"), ("o", "w"), ("ow", "</w>"), ("l", "u"), ("i", "n"),
+    ("y", "</w>"), ("a", "r"), ("p", "ar"), ("g", "</w>"), ("a", "s"),
+    ("h", "</w>"), ("a", "</w>"), ("s", "t"), ("a", "t"), ("a", "n</w>"),
+    ("c", "an</w>"), ("s", "can</w>"), ("c", "o"), ("co", "lu"),
+]
+
+
 def q_bpe_encode(spark, sf_dir):
-    """Distributed BPE encode (functions/bpe.py bpe_encode): merges
-    trained driver-side on the capped word-frequency table (the one
-    bounded collect), ranks broadcast in the Arrow UDF closure, greedy
-    lowest-rank merging with a per-batch word cache.  Rows-only driver
-    check: the merge loop is not SQL-expressible — the encoder itself
-    is locked by unit tests (Sennrich example, round-trip property)."""
-    from pincette_json_streams_spark.functions.bpe import (
-        bpe_encode, train_bpe, word_frequencies,
-    )
+    """Distributed BPE encode (functions/bpe.py bpe_encode): merge
+    ranks broadcast in the Arrow UDF closure, greedy lowest-rank
+    (leftmost on ties) merging with a per-batch word cache.  The merge
+    table is FIXED (_BPE_FIXED_MERGES) so the oracle can replay the
+    encode exactly: DuckDB runs the same greedy loop as a recursive CTE
+    over the DISTINCT words (vocabulary-bounded, like the engine's word
+    cache) and joins token counts back to (doc, word) multiplicities."""
+    from pincette_json_streams_spark.functions.bpe import bpe_encode
     docs = _t(spark, sf_dir, "documents")
-    merges = train_bpe(word_frequencies(docs), n_merges=64)
     return (
-        bpe_encode(docs, merges)
+        bpe_encode(docs, _BPE_FIXED_MERGES)
         .select(
             F.col("doc_id").cast("long").alias("doc_id"),
             F.size("tokens").cast("long").alias("n_tokens"),
             F.col("n_chars").cast("long").alias("n_chars"),
         )
     )
+
+
+def _oracle_bpe_encode():
+    from pincette_json_streams_spark.functions.text import BPE_TOKEN_RE
+    sep = chr(31)
+    keys = ", ".join(
+        "'" + (l + sep + r).replace("'", "''") + "'"
+        for l, r in _BPE_FIXED_MERGES
+    )
+    ranks = ", ".join(str(i) for i in range(len(_BPE_FIXED_MERGES)))
+    # greedy encode as a recursive CTE: every step merges the leftmost
+    # occurrence of the lowest-rank adjacent pair (exactly
+    # bpe._encode_word); each step shortens the symbol list by one, so
+    # the terminal segmentation per word is the min-length state
+    return f"""
+WITH RECURSIVE dw AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{BPE_TOKEN_RE}')) AS w
+  FROM documents
+), wc AS (
+  SELECT doc_id, w, count(*) AS cnt FROM dw GROUP BY doc_id, w
+), vocab AS (
+  SELECT DISTINCT w FROM wc
+), enc AS (
+  SELECT w, list_append(string_split(w, ''), '</w>') AS s FROM vocab
+  UNION ALL
+  SELECT w, s[1:bi - 1] || [s[bi] || s[bi + 1]] || s[bi + 2:]
+  FROM (
+    SELECT w, s, list_position(rk, list_min(rk)) AS bi,
+           list_min(rk) AS bmin
+    FROM (
+      SELECT w, s,
+             [coalesce(map_extract(
+                MAP([{keys}], [{ranks}]),
+                s[i] || chr(31) || s[i + 1])[1], 999999)
+              for i in range(1, len(s))] AS rk
+      FROM enc WHERE len(s) > 1
+    )
+  ) WHERE bmin < 999999
+), toks AS (
+  SELECT w, min(len(s))::BIGINT AS n_toks FROM enc GROUP BY w
+)
+SELECT d.doc_id::BIGINT AS doc_id,
+       coalesce(sum(t.n_toks * c.cnt), 0)::BIGINT AS n_tokens,
+       d.n_chars::BIGINT AS n_chars
+FROM documents d
+LEFT JOIN wc c ON c.doc_id = d.doc_id
+LEFT JOIN toks t ON t.w = c.w
+GROUP BY d.doc_id, d.n_chars
+"""
 
 
 def q_bigram_lm(spark, sf_dir):
@@ -4498,22 +4581,50 @@ FROM u GROUP BY dim
 
 
 def q_emb_pca(spark, sf_dir):
-    """Whitened top-8 PCA projection (functions/similarity.py
-    pca_project): moments -> driver eigh on the d x d covariance
-    (model-bounded) -> broadcast projection in an Arrow map.  Rows-only
-    driver check: eigenvectors are not SQL-expressible — the numerical
-    contract (numpy parity, identity covariance after whitening,
-    deterministic signs) is locked in test_functions TestPca."""
+    """PCA projection correctness via rotation invariance
+    (functions/similarity.py pca_project): moments -> driver eigh on
+    the d x d covariance (model-bounded) -> broadcast projection in an
+    Arrow map.  Eigenvectors themselves are not SQL-expressible, but
+    the FULL-basis projection is an orthonormal change of basis around
+    the mean, so per-vector ||proj(x)||^2 must equal
+    ||x - mean||^2 — which DuckDB computes directly from the raw
+    embeddings.  A wrong mean, a non-orthonormal eigh result, or a
+    projection bug all break the identity per row.  The whitened /
+    top-k numerical contract (numpy parity, identity covariance after
+    whitening, deterministic signs) stays locked in test_functions
+    TestPca."""
     from pincette_json_streams_spark.functions.similarity import (
         pca_project,
     )
     emb = _t(spark, sf_dir, "embeddings")
-    out = pca_project(emb, 8, whiten=True)
-    return out.select(
-        "vec_id",
-        F.round(F.element_at("pca", 1), 4).alias("c1"),
-        F.round(F.element_at("pca", 2), 4).alias("c2"),
+    # k >= d clips to the full basis; full precision so the norm
+    # identity holds to ~1e-13 (floor-grid 1e-4 is far above the noise)
+    out = pca_project(emb, 4096, whiten=False, round_decimals=None)
+    return out.where(F.col("pca").isNotNull()).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.size("pca").cast("long").alias("n_dims"),
+        F.floor(
+            F.aggregate("pca", F.lit(0.0), lambda a, y: a + y * y)
+            * 10000 + 0.5
+        ).cast("long").alias("ss4"),
     )
+
+
+_ORACLE_EMB_PCA = """
+WITH u AS (
+  SELECT vec_id,
+         unnest(range(1, len(embedding) + 1)) AS dim,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings WHERE embedding IS NOT NULL
+), m AS (
+  SELECT dim, avg(x) AS mu FROM u GROUP BY dim
+)
+SELECT u.vec_id::BIGINT AS vec_id,
+       count(*)::BIGINT AS n_dims,
+       floor(sum((x - mu) * (x - mu)) * 10000 + 0.5)::BIGINT AS ss4
+FROM u JOIN m USING (dim)
+GROUP BY u.vec_id
+"""
 
 
 def q_dedup_quality(spark, sf_dir):
@@ -4744,6 +4855,85 @@ GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 """
 
 
+def q_merge_modes(spark, sf_dir):
+    """$merge whenMatched x whenNotMatched matrix (operators/stages.py
+    _stage_merge — the Delta-MERGE-shaped batch path): one full-outer
+    equi-join on the merge key per mode.  Target = customers 1..200
+    (balance, seg); source = per-customer order totals for 101..300
+    (balance, n) — so the matrix exercises matched overwrite
+    (`replace`), matched keep (`keepExisting`), field-wise overlay
+    (`merge`: source null/absent fields lose, e.g. seg survives, n
+    lands), unmatched insert and unmatched discard.  All three
+    post-merge tables union with a mode tag; the oracle replays each
+    mode as CASE arms over the same FULL OUTER JOIN."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    tgt = cust.where(F.col("c_custkey") <= 200).select(
+        F.col("c_custkey").cast("long").alias("_id"),
+        F.col("c_acctbal").alias("balance"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    src = (
+        orders.where(F.col("o_custkey").between(101, 300))
+        .groupBy(F.col("o_custkey").cast("long").alias("_id"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("balance"),
+             F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    outs = []
+    for wm, wnm in (("replace", "insert"), ("keepExisting", "insert"),
+                    ("merge", "discard")):
+        pctx = PipelineContext(catalog={"tgt": tgt})
+        compile_pipeline(src, [
+            {"$merge": {"into": "tgt", "on": "_id",
+                        "whenMatched": wm, "whenNotMatched": wnm}},
+        ], pctx)
+        outs.append(
+            pctx.outputs["tgt"].withColumn("mode", F.lit(f"{wm}/{wnm}"))
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.select("mode", "_id", "balance", "seg",
+                      F.col("n").cast("long").alias("n"))
+
+
+_ORACLE_MERGE_MODES = """
+WITH tgt AS (
+  SELECT c_custkey::BIGINT AS _id, c_acctbal AS balance,
+         c_mktsegment AS seg
+  FROM customer WHERE c_custkey <= 200
+), src AS (
+  SELECT o_custkey::BIGINT AS _id,
+         round(sum(o_totalprice), 2) AS balance, count(*)::BIGINT AS n
+  FROM orders WHERE o_custkey BETWEEN 101 AND 300 GROUP BY o_custkey
+), j AS (
+  SELECT coalesce(s._id, t._id) AS _id,
+         s._id IS NOT NULL AS sh, t._id IS NOT NULL AS th,
+         s.balance AS sb, s.n AS sn, t.balance AS tb, t.seg AS tseg
+  FROM src s FULL OUTER JOIN tgt t ON s._id = t._id
+)
+SELECT 'replace/insert' AS mode, _id,
+       CASE WHEN sh AND th THEN sb WHEN th THEN tb ELSE sb END
+         AS balance,
+       CASE WHEN sh AND th THEN NULL WHEN th THEN tseg END AS seg,
+       CASE WHEN th AND NOT sh THEN NULL ELSE sn END AS n
+FROM j
+UNION ALL
+SELECT 'keepExisting/insert', _id,
+       CASE WHEN th THEN tb ELSE sb END,
+       CASE WHEN th THEN tseg END,
+       CASE WHEN th THEN NULL ELSE sn END
+FROM j
+UNION ALL
+SELECT 'merge/discard', _id,
+       CASE WHEN sh AND th THEN coalesce(sb, tb)
+            WHEN th THEN tb ELSE sb END,
+       tseg,
+       CASE WHEN sh THEN sn END
+FROM j WHERE th
+"""
+
+
 def q_interval_join(spark, sf_dir):
     """Bucketed point-in-interval join (functions/timeseries.py
     interval_join): per-user maintenance windows (derived from
@@ -4800,77 +4990,41 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: if the driver samples a prefix of this dict, the
-    # least-recently-driver-checked queries must come first.  Block 0 =
-    # round-3 additions (never driver-checked; the continuation batch —
-    # graph_lookup..interval_hits — leads it), block 1 = r2 additions
-    # never checked in any CORRECTNESS round, block 2 = hash-fixed in
-    # round 3, block 3 = green in r1 but absent from r2, block 4 =
-    # long-green r2 gallery.
+    # least-recently-driver-checked queries must come first.  Re-derived
+    # after CORRECTNESS_r03: block 0 = the 8 r3 reds fixed this round
+    # (array columns flattened / oracles added) plus the standing
+    # no_oracle pair (aggregate_fold r1, per_batching r1) now
+    # oracle-checked, plus brand-new merge_modes; block 1 = hash-fixed
+    # in r3 but never re-sampled; block 2 = never driver-sampled in any
+    # round; block 3 = green in r1 only (stalest green signal); block 4
+    # = green in r2; block 5 = green in r3 (freshest signal, back of
+    # the line).
     return {
-        # -- block 0: round-3 additions ---------------------------------
+        # -- block 0: fixed this round — must re-sample -----------------
         "graph_lookup": q_graph_lookup,
-        "bpe_pairs": q_bpe_pairs,
-        "bpe_encode": q_bpe_encode,
-        "sort_by_count": q_sort_by_count,
-        "bigram_lm": q_bigram_lm,
-        "geo_near": q_geo_near,
-        "date_parts": q_date_parts,
         "window_modern": q_window_modern,
-        "json_schema": q_json_schema,
-        "emb_moments": q_emb_moments,
-        "emb_pca": q_emb_pca,
-        "dedup_quality": q_dedup_quality,
-        "counter_rate": q_counter_rate,
         "lookup_topn": q_lookup_topn,
-        "rollup_revenue": q_rollup_revenue,
-        "interval_hits": q_interval_join,
-        "dup_spans": q_dup_spans,
-        "strip_spans": q_strip_spans,
-        "window_fields": q_window_fields,
-        "url_dedup": q_url_dedup,
-        "zorder_key": q_zorder_key,
-        "semantic_dedup": q_semantic_dedup,
-        "densify_fill": q_densify_fill,
         "facet_summary": q_facet,
-        "cms_heavy": q_cms_heavy,
-        "weighted_sample": q_weighted_sample,
-        "decontaminate": q_decontaminate,
-        "date_arith": q_date_arith,
         "topn_accumulators": q_topn_accumulators,
-        "percentile_accum": q_percentile_accum,
         "modern_ops": q_modern_ops,
-        "union_buckets": q_union_buckets,
-        "linear_fill": q_linear_fill,
-        "cms_merge": q_cms_merge,
-        # -- block 1: no driver row yet ---------------------------------
-        "domain_mix": q_domain_mix,
-        "pack_sequences": q_pack_sequences,
-        "dedup_incremental": q_dedup_incremental,
-        "token_drift": q_token_drift,
-        "salted_revenue": q_salted_revenue,
-        "kmv_distinct": q_kmv_distinct,
-        "retention_cohorts": q_retention_cohorts,
-        "asof_join": q_asof_join,
-        "sessionize_events": q_sessionize_events,
-        "contamination": q_contamination,
-        "lm_score": q_lm_score,
-        "ann_ivf": q_ann_ivf,
-        "ann_recall": q_ann_recall,
-        "events_gapfill": q_events_gapfill,
-        "profile_table": q_profile_table,
-        "tfidf_terms": q_tfidf_terms,
+        "bpe_encode": q_bpe_encode,
+        "emb_pca": q_emb_pca,
+        "aggregate_fold": q_aggregate_fold,
+        "per_batching": q_per_batching,
+        "merge_modes": q_merge_modes,
+        # -- block 1: hash-fixed in r3, never re-sampled ----------------
+        "corpus_stats": q_corpus_stats,
+        "sample_split": q_sample_split,
+        # -- block 2: never driver-sampled in any round -----------------
         "chunk_docs": q_chunk_docs,
         "passage_dedup": q_passage_dedup,
         "quantize_embeddings": q_quantize_embeddings,
         "quality_trim": q_quality_trim,
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_star": q_dedup_clusters_star,
-        "per_batching": q_per_batching,
-        # -- block 2: hash-robustness fixed this round ------------------
-        "corpus_stats": q_corpus_stats,
-        "sample_split": q_sample_split,
-        # -- block 3: green in r1, absent from r2 -----------------------
         "repetition_stats": q_repetition_stats,
+        "aggregate_acl": q_aggregate_acl,
+        # -- block 3: green in r1 only (stalest) ------------------------
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_ngram": q_dedup_ngram,
@@ -4879,7 +5033,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_topk": q_ann_topk,
         "quality_filter": q_quality_filter,
-        # -- block 4: long-green gallery (r2) ---------------------------
+        "aggregate_unique": q_aggregate_unique,
+        "aggregate_jslt_reducer": q_aggregate_jslt_reducer,
+        "aggregate_validate": q_aggregate_validate,
+        # -- block 4: green in r2 ---------------------------------------
         "pricing_summary": q_pricing_summary,
         "segment_revenue": q_segment_revenue,
         "match_query_ops": q_match_query_ops,
@@ -4890,7 +5047,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_accumulators": q_group_accumulators,
         "bucket_prices": q_bucket_prices,
         "count_stage": q_count_stage,
-        "dedup_stage": q_dedup_stage,
         "lookup_array": q_lookup_array,
         "lookup_pipeline": q_lookup_pipeline,
         "join_part": q_join_part,
@@ -4920,14 +5076,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setkey_stage": q_setkey_stage,
         "region_revenue": q_region_revenue,
         "top_customers": q_top_customers,
-        "aggregate_fold": q_aggregate_fold,
-        "aggregate_unique": q_aggregate_unique,
-        "aggregate_jslt_reducer": q_aggregate_jslt_reducer,
-        "aggregate_validate": q_aggregate_validate,
-        "aggregate_acl": q_aggregate_acl,
         "text_stats": q_text_stats,
         "pii_scrub": q_pii_scrub,
         "token_vocab": q_token_vocab,
+        # -- block 5: green in r3 (freshest) ----------------------------
+        "bpe_pairs": q_bpe_pairs,
+        "sort_by_count": q_sort_by_count,
+        "bigram_lm": q_bigram_lm,
+        "geo_near": q_geo_near,
+        "date_parts": q_date_parts,
+        "json_schema": q_json_schema,
+        "emb_moments": q_emb_moments,
+        "dedup_quality": q_dedup_quality,
+        "counter_rate": q_counter_rate,
+        "rollup_revenue": q_rollup_revenue,
+        "interval_hits": q_interval_join,
+        "dup_spans": q_dup_spans,
+        "strip_spans": q_strip_spans,
+        "window_fields": q_window_fields,
+        "url_dedup": q_url_dedup,
+        "zorder_key": q_zorder_key,
+        "semantic_dedup": q_semantic_dedup,
+        "densify_fill": q_densify_fill,
+        "cms_heavy": q_cms_heavy,
+        "weighted_sample": q_weighted_sample,
+        "decontaminate": q_decontaminate,
+        "date_arith": q_date_arith,
+        "percentile_accum": q_percentile_accum,
+        "union_buckets": q_union_buckets,
+        "linear_fill": q_linear_fill,
+        "cms_merge": q_cms_merge,
+        "dedup_stage": q_dedup_stage,
+        "domain_mix": q_domain_mix,
+        "pack_sequences": q_pack_sequences,
+        "dedup_incremental": q_dedup_incremental,
+        "token_drift": q_token_drift,
+        "salted_revenue": q_salted_revenue,
+        "kmv_distinct": q_kmv_distinct,
+        "retention_cohorts": q_retention_cohorts,
+        "asof_join": q_asof_join,
+        "sessionize_events": q_sessionize_events,
+        "contamination": q_contamination,
+        "lm_score": q_lm_score,
+        "ann_ivf": q_ann_ivf,
+        "ann_recall": q_ann_recall,
+        "events_gapfill": q_events_gapfill,
+        "profile_table": q_profile_table,
+        "tfidf_terms": q_tfidf_terms,
     }
 
 
@@ -4935,6 +5130,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "graph_lookup": _ORACLE_GRAPH_LOOKUP,
         "bpe_pairs": _oracle_bpe_pairs(),
+        "bpe_encode": _oracle_bpe_encode(),
         "sort_by_count": _ORACLE_SORT_BY_COUNT,
         "bigram_lm": _ORACLE_BIGRAM_LM,
         "geo_near": _ORACLE_GEO_NEAR,
@@ -4942,10 +5138,12 @@ def oracle_sql() -> dict[str, str]:
         "window_modern": _ORACLE_WINDOW_MODERN,
         "json_schema": _ORACLE_JSON_SCHEMA,
         "emb_moments": _ORACLE_EMB_MOMENTS,
+        "emb_pca": _ORACLE_EMB_PCA,
         "dedup_quality": _oracle_dedup_quality(),
         "counter_rate": _ORACLE_COUNTER_RATE,
         "lookup_topn": _ORACLE_LOOKUP_TOPN,
         "rollup_revenue": _ORACLE_ROLLUP,
+        "merge_modes": _ORACLE_MERGE_MODES,
         "interval_hits": _ORACLE_INTERVAL_JOIN,
         "dup_spans": _ORACLE_DUP_SPANS,
         "strip_spans": _ORACLE_STRIP_SPANS,
@@ -5005,7 +5203,7 @@ def oracle_sql() -> dict[str, str]:
         "setkey_stage": _ORACLE_SETKEY,
         "region_revenue": _ORACLE_REGION_REVENUE,
         "top_customers": _ORACLE_TOP_CUSTOMERS,
-        # aggregate_fold: stateful, order-dependent fold — rows-only check
+        "aggregate_fold": _ORACLE_AGG_FOLD,
         "aggregate_acl": _ORACLE_AGG_ACL,
         "aggregate_unique": _ORACLE_AGG_UNIQUE,
         "aggregate_jslt_reducer": _ORACLE_AGG_JSLT,
@@ -5044,7 +5242,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": _oracle_ann_lsh(),
         "ann_ivf": _ORACLE_ANN_IVF,
         "ann_recall": _oracle_ann_recall(),
-        # per_batching: partition-order dependent — rows-only check
+        "per_batching": _ORACLE_PER_BATCHING,
         "ann_topk": _ORACLE_ANN,
         "quality_filter": _oracle_quality_filter(),
     }

@@ -76,6 +76,8 @@ BENCH_QUERIES = [
     "lookup_topn",
     "rollup_revenue",
     "interval_hits",
+    # round-4 additions
+    "merge_modes",
 ]
 
 
@@ -157,6 +159,27 @@ def main():
 
     total = round(sum(times.values()), 3)
 
+    # second scale factor, one pass per query: per-query (sf_small,
+    # sf_main) pairs separate Spark's fixed task-launch floor from the
+    # data-scaling term, making the 100x extrapolation quantitative
+    # (a query whose time barely moves 10x the data is constant-bound;
+    # one that scales ~linearly is the number that matters at 100 TB)
+    small_dir = os.environ.get("SPARK_GRAFT_SF_SMALL",
+                               "/root/testdata/sf0.01")
+    small_times: dict = {}
+    if (os.path.isdir(small_dir)
+            and os.path.abspath(small_dir) != os.path.abspath(sf_dir)):
+        for name in BENCH_QUERIES:
+            fn = qs.get(name)
+            if fn is None:
+                continue
+            t0 = time.time()
+            try:
+                fn(spark, small_dir).count()
+                small_times[name] = round(time.time() - t0, 3)
+            except Exception:
+                small_times[name] = None
+
     # streaming throughput row (BASELINE.md's second anchor: the
     # reference's 50 msg/s/instance design capacity) — best-effort so a
     # streaming hiccup can't take down the batch numbers
@@ -171,7 +194,7 @@ def main():
         load1, load5, _ = os.getloadavg()
     except OSError:
         load1 = load5 = -1.0
-    print(json.dumps({
+    payload = json.dumps({
         "metric": "suite_seconds",
         "value": total,
         "unit": "sec",
@@ -183,9 +206,25 @@ def main():
         "passes": 3,
         "agg": "min",
         "pass_detail": all_passes,
+        "sf_small": os.path.basename(small_dir).replace("sf", ""),
+        "queries_small": small_times,
         "streaming": streaming,
         "loadavg_after": [round(load1, 2), round(load5, 2)],
-    }))
+    })
+    # file copy FIRST: Spark progress bars share stdout with the JSON
+    # line and have truncated it before (BENCH_r03 lost its tail) — the
+    # file is the parse-safe record, stdout stays the driver contract
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "bench_out.json"))
+    try:
+        with open(out_path, "w") as fh:
+            fh.write(payload + "\n")
+    except OSError:
+        pass
+    sys.stdout.flush()
+    print(payload, flush=True)
 
 
 if __name__ == "__main__":

@@ -1068,8 +1068,8 @@ def _decode_stub(payload: bytes) -> list[float]:
     if payload is None:
         raise NotImplementedError(
             "feature extraction / video decode requires model+codec "
-            "libraries not present in this runtime; plug a real "
-            "extractor in place of _decode_stub"
+            "libraries not present in this runtime; plug a real one "
+            "via decode_features(extractor=...) or register_codec()"
         )
     # deterministic 8-dim fake embedding from byte statistics
     n = len(payload) or 1
@@ -1086,21 +1086,52 @@ def _decode_stub(payload: bytes) -> list[float]:
 
 
 def decode_features(
-    df: DataFrame, media_col: str = "media", out_col: str = "features"
+    df: DataFrame, media_col: str = "media", out_col: str = "features",
+    extractor=None,
 ) -> DataFrame:
-    """mapInPandas decode: Arrow-batched, zero driver involvement."""
+    """mapInPandas decode: Arrow-batched, zero driver involvement.
+
+    ``extractor(data: bytes) -> list[float]`` is the plug point for a
+    production learned feature extractor (model weights live executor-
+    side in the closure); the default is the deterministic byte-
+    statistics stub `_decode_stub`."""
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     ) + f", {out_col} array<float>"
+    fx = extractor if extractor is not None else _decode_stub
 
     def run(batches: Iterator) -> Iterator:
         for pdf in batches:
             pdf[out_col] = pdf[media_col].map(
-                lambda b: _decode_stub(bytes(b)) if b is not None else None
+                lambda b: fx(bytes(b)) if b is not None else None
             )
             yield pdf
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+# --------------------------------------------------------------------------
+# external-codec plug point: production deployments register real
+# H.264/VP9/AV1/... decoders here; the sandbox ships none, so only the
+# self-contained MJPEG-AVI/GIF parsers below are built in.
+# --------------------------------------------------------------------------
+
+_CODEC_REGISTRY: dict = {}
+
+
+def register_codec(name: str, probe, frames) -> None:
+    """Register an external video codec for `sample_frames`:
+    ``probe(data: bytes) -> bool`` (container sniff) and
+    ``frames(data: bytes) -> list[bytes]`` (decoded/demuxed frame
+    payloads).  Consulted after the built-in MJPEG-AVI/GIF parsers and
+    before the clearly-fake byte-slice stub.  The callables ship to
+    executors inside the Arrow UDF closure, so they must be
+    self-contained (cloudpickle-serializable, no driver-only state)."""
+    _CODEC_REGISTRY[name] = (probe, frames)
+
+
+def unregister_codec(name: str) -> None:
+    _CODEC_REGISTRY.pop(name, None)
 
 
 def _avi_mjpeg_frames(b: bytes) -> list[bytes] | None:
@@ -1201,12 +1232,18 @@ def sample_frames(
     a standalone JPEG that `decode_image`/`_jpeg_decode` fully
     decodes) and for animated GIF (block walk; each frame re-wrapped
     as a standalone GIF the real LZW path decodes).  Other containers
-    (H.264/VP9/AV1...) need real codecs absent from this runtime and
-    fall back to the clearly-fake byte-slice stub — the schema, Arrow
-    batching and partition behavior are identical either way."""
+    (H.264/VP9/AV1...) need real codecs absent from this runtime:
+    plug one in with `register_codec` (probe + frames callables,
+    snapshot into the UDF closure at plan time); without a matching
+    codec the payload falls back to the clearly-fake byte-slice stub —
+    the schema, Arrow batching and partition behavior are identical
+    either way."""
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     ) + f", {out_col} array<struct<idx:int,frame:binary>>"
+    # snapshot: module globals re-import EMPTY on executors, so the
+    # registered callables must ride the closure by value
+    codecs = list(_CODEC_REGISTRY.values())
 
     def run(batches: Iterator) -> Iterator:
         for pdf in batches:
@@ -1217,6 +1254,11 @@ def sample_frames(
                 real = _avi_mjpeg_frames(data)
                 if real is None:
                     real = _gif_frames(data)
+                if real is None:
+                    for probe, fr in codecs:
+                        if probe(data):
+                            real = fr(data)
+                            break
                 if real is not None:
                     if not real:
                         return []

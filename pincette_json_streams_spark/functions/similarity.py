@@ -422,6 +422,7 @@ def pca_project(
     out_col: str = "pca",
     whiten: bool = False,
     components=None,
+    round_decimals: int | None = 8,
 ) -> DataFrame:
     """Append ``out_col``: the centered top-k PCA projection of
     ``vec_col`` (whitened to unit variance per component when asked —
@@ -429,7 +430,10 @@ def pca_project(
     projection) pair ships in the Arrow UDF closure — projection is a
     pure map, no shuffle.  Pass ``components`` (a `pca_components`
     result) to reuse a trained basis; otherwise one is trained on
-    ``df`` itself."""
+    ``df`` itself.  ``round_decimals=None`` keeps full float64
+    precision (needed when downstream identities — e.g. norm
+    preservation under the orthonormal basis — are checked against an
+    external engine)."""
     import numpy as np
     from pyspark.sql.functions import PandasUDFType, pandas_udf
 
@@ -451,7 +455,9 @@ def pca_project(
                 out.append(None)
             else:
                 y = (np.asarray(list(x), dtype=np.float64) - mean) @ P
-                out.append(np.round(y, 8).tolist())
+                if round_decimals is not None:
+                    y = np.round(y, round_decimals)
+                out.append(y.tolist())
         return pd.Series(out)
 
     proj_udf = pandas_udf(proj, "array<double>", PandasUDFType.SCALAR)

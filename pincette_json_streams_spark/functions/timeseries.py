@@ -447,7 +447,16 @@ def interval_join(
             F.percentile_approx("len", 0.5).alias("m")).first()["m"]
         bucket = max(int(med or 1), 1)
     b = int(bucket)
-    ev = events.withColumn("__b", F.floor(F.col(ts) / b).cast("long"))
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"interval_join how={how!r}")
+    # left_outer needs a surrogate event key: anti-joining on the full
+    # event column list is null-UNSAFE (a matched event carrying a NULL
+    # in any non-join column fails the anti-join equality and would be
+    # emitted twice — once matched, once as unmatched)
+    tagged = (events if how == "inner"
+              else events.withColumn(
+                  "__eid", F.monotonically_increasing_id()))
+    ev = tagged.withColumn("__b", F.floor(F.col(ts) / b).cast("long"))
     iv = intervals.withColumn(
         "__b",
         F.explode(F.sequence(
@@ -461,10 +470,8 @@ def interval_join(
     ).drop("__b")
     if how == "inner":
         return cand
-    if how != "left_outer":
-        raise ValueError(f"interval_join how={how!r}")
-    matched_keys = cand.select(*events.columns).dropDuplicates(
-        events.columns)
-    unmatched = events.join(
-        matched_keys, events.columns, "left_anti")
-    return cand.unionByName(unmatched, allowMissingColumns=True)
+    unmatched = tagged.join(
+        cand.select("__eid").dropDuplicates(["__eid"]),
+        "__eid", "left_anti")
+    return cand.drop("__eid").unionByName(
+        unmatched.drop("__eid"), allowMissingColumns=True)

@@ -689,8 +689,17 @@ def _date_from_parts_op(args, ctx):
         monday1 = F.date_sub(jan4, _iso_dow(jan4) - 1)
         day = F.date_add(monday1, (wk - 1) * 7 + (dw - 1))
     else:
-        day = F.make_date(part("year", 1970), part("month", 1),
-                          part("day", 1))
+        # Mongo CARRIES out-of-range parts (month 13 -> January of the
+        # next year, day 0 -> last day of the previous month, day 32 ->
+        # into the next month); make_date would return NULL for them,
+        # so build arithmetically: anchor at Jan 1 of the year, add
+        # (month-1) months then (day-1) days.  Hour/minute/second/ms
+        # overflow already carries through the epoch-ms addition below.
+        day = F.date_add(
+            F.add_months(
+                F.make_date(part("year", 1970), F.lit(1), F.lit(1)),
+                part("month", 1) - 1),
+            part("day", 1) - 1)
     secs = (
         part("hour", 0).cast("long") * 3600
         + part("minute", 0).cast("long") * 60

@@ -285,7 +285,11 @@ def _js_type_pred(col: Column, dtype, types) -> Column:
         else:
             raise UnsupportedExpression(f"$jsonSchema type {t!r}")
         if ok:
-            return col.isNotNull()
+            # a type list mixing a concrete type with "null" (draft-4
+            # ["string", "null"]) accepts null values too — a bare
+            # isNotNull() here would reject them
+            return (F.lit(True) if "null" in wanted
+                    else col.isNotNull())
     if "null" in wanted:
         return col.isNull()
     return F.lit(False)

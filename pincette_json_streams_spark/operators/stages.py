@@ -1240,10 +1240,14 @@ def _stage_probe(df, spec, pctx):
 
 def _stage_out(df, spec, pctx):
     # $out REPLACES the target collection (docs:382-391): later parts
-    # and $lookup see the new contents, matching $merge's contract
+    # and $lookup see the new contents, matching $merge's contract.
+    # Streaming frames only capture (same guard as $merge): replacing a
+    # static catalog entry with a stream would make later parts'
+    # $lookup/$graphLookup an illegal stream-as-batch join source.
     name = spec if isinstance(spec, str) else spec["coll"]
     pctx.outputs[name] = df
-    pctx.catalog[name] = df
+    if not df.isStreaming or name not in pctx.catalog:
+        pctx.catalog[name] = df
     return df
 
 

@@ -27,6 +27,13 @@ TABLES = (
 ).split()
 
 
+class NonScalarCell(Exception):
+    """Raised for list/dict/Row cells: the external driver's pandas
+    canonicalizer cannot sort or hash them, so the local gate must be
+    exactly as strict — flatten arrays (array_join / to_json) in the
+    driver-facing projection instead."""
+
+
 def _norm_cell(v):
     if v is None:
         return "<null>"
@@ -38,12 +45,9 @@ def _norm_cell(v):
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
         return f"{v:.10g}"
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
-    if isinstance(v, dict):
-        return "{" + ",".join(
-            f"{k}:{_norm_cell(v[k])}" for k in sorted(v)
-        ) + "}"
+    if isinstance(v, (list, tuple, dict)) or hasattr(v, "asDict"):
+        raise NonScalarCell(
+            f"non-scalar cell {type(v).__name__}: {str(v)[:80]}")
     return str(v)
 
 
@@ -125,8 +129,13 @@ def main():
         if sorted(scols) != sorted(ocols):
             problems.append(f"cols {sorted(scols)} vs {sorted(ocols)}")
         if not problems:
-            hs, ho = _hash_rows(scols, srows), _hash_rows(ocols, orows)
-            if hs != ho:
+            try:
+                hs = _hash_rows(scols, srows)
+                ho = _hash_rows(ocols, orows)
+            except NonScalarCell as ex:
+                problems.append(f"driver-contract violation: {ex}")
+                hs = ho = None
+            if hs is not None and hs != ho:
                 problems.append(f"hash {hs} vs {ho}")
                 order_s = sorted(range(len(scols)),
                                  key=lambda i: scols[i])

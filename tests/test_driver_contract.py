@@ -1,0 +1,100 @@
+"""Driver-contract locks for ``__spark_entry__``.
+
+The external correctness driver canonicalizes results with pandas
+(sort rows by every column, hash cells): list/struct/map cells are
+unhashable there, so NO ``queries()`` entry may expose an
+array/struct/map-typed output column — CORRECTNESS_r03 lost six rows
+to exactly this.  These tests build every query's DataFrame (plan
+only, no execution for most) and lock the output schemas to scalars,
+plus the queries()/oracle_sql() key alignment and the
+column-name/ordering contract the value hash depends on.
+"""
+
+import os
+
+import pytest
+
+import __spark_entry__ as entry
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+def _scalar_violations(df):
+    from pyspark.sql import types as T
+
+    return [
+        f"{f.name}: {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.StructType, T.MapType))
+    ]
+
+
+class TestDriverContract:
+    def test_oracle_keys_match_query_keys(self):
+        qs, osql = entry.queries(), entry.oracle_sql()
+        assert set(osql) <= set(qs), sorted(set(osql) - set(qs))
+        # every entry is oracle-checked: rows-only queries are permanent
+        # reds under the driver's gate
+        assert set(qs) == set(osql), sorted(set(qs) - set(osql))
+
+    def test_no_query_returns_nested_columns(self, spark):
+        """Every queries() entry must emit scalar-only columns.
+
+        Building the DataFrame is enough to read the schema; a handful
+        of queries execute during build (moment collects, counts) —
+        at sf0.001 that stays cheap.
+        """
+        bad = {}
+        for name, fn in entry.queries().items():
+            df = fn(spark, SF_DIR)
+            v = _scalar_violations(df)
+            if v:
+                bad[name] = v
+        assert not bad, f"non-scalar driver-facing columns: {bad}"
+
+    def test_entry_returns_rows(self, spark):
+        df = entry.entry(spark)
+        assert not _scalar_violations(df)
+        assert len(df.columns) > 0
+
+    def test_first_block_covers_unverified_queries(self):
+        """The driver samples a prefix: everything red or never-sampled
+        in CORRECTNESS_r03 must sit inside the first 50 keys."""
+        must = {
+            # r3 reds fixed in round 4
+            "graph_lookup", "window_modern", "lookup_topn",
+            "facet_summary", "topn_accumulators", "modern_ops",
+            "bpe_encode", "emb_pca", "aggregate_fold", "per_batching",
+            # new in round 4
+            "merge_modes",
+            # hash-fixed in r3, never re-sampled
+            "corpus_stats", "sample_split",
+            # never driver-sampled
+            "chunk_docs", "passage_dedup", "quantize_embeddings",
+            "quality_trim", "dedup_clusters", "dedup_clusters_star",
+            "repetition_stats", "aggregate_acl",
+        }
+        prefix = set(list(entry.queries())[:50])
+        assert must <= prefix, sorted(must - prefix)
+
+
+class TestLocalGateStrictness:
+    def test_checker_rejects_list_cells(self):
+        """scripts/check_correctness.py must be at least as strict as
+        the driver: list/dict cells raise instead of normalizing."""
+        import sys
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__),
+                                        "..", "scripts"))
+        import check_correctness as cc
+
+        with pytest.raises(cc.NonScalarCell):
+            cc._norm_cell([1, 2])
+        with pytest.raises(cc.NonScalarCell):
+            cc._norm_cell({"a": 1})
+        with pytest.raises(cc.NonScalarCell):
+            cc._hash_rows(["a"], [([1, 2],)])
+        # scalars still normalize
+        assert cc._norm_cell(1.0) == "1"
+        assert cc._norm_cell(None) == "<null>"
+        assert cc._norm_cell("x") == "x"

@@ -3113,3 +3113,68 @@ class TestIntervalJoin:
             assert got == want, (bucket, got, want)
 
         check()
+
+
+class TestCodecPlugPoint:
+    """The external-codec injection seam (functions/multimodal.py
+    register_codec / decode_features(extractor=)) — a registered fake
+    codec must flow through sample_frames' Arrow plumbing end-to-end,
+    proving a production H.264/VP9 decoder plugs in without touching
+    engine code."""
+
+    def test_registered_codec_drives_sample_frames(self, spark):
+        from pincette_json_streams_spark.functions.multimodal import (
+            register_codec, sample_frames, unregister_codec,
+        )
+
+        register_codec(
+            "fake264",
+            lambda b: b.startswith(b"FAKE264"),
+            lambda b: [b"frame-%d:" % i + b[7:] for i in range(6)],
+        )
+        try:
+            df = spark.createDataFrame(
+                [("v1", bytearray(b"FAKE264payload")),
+                 ("v2", bytearray(b"not-a-video"))],
+                "vid string, media binary")
+            out = {r["vid"]: r["frames"]
+                   for r in sample_frames(df, n_frames=3).collect()}
+        finally:
+            unregister_codec("fake264")
+        # codec-matched payload: evenly spaced REAL codec frames
+        got = [(f["idx"], bytes(f["frame"])) for f in out["v1"]]
+        assert got == [(0, b"frame-0:payload"), (2, b"frame-2:payload"),
+                       (4, b"frame-4:payload")]
+        # unmatched payload still falls back to the byte-slice stub
+        assert len(out["v2"]) == 3
+
+    def test_codec_registry_is_plan_time_snapshot(self, spark):
+        from pincette_json_streams_spark.functions.multimodal import (
+            register_codec, sample_frames, unregister_codec,
+        )
+
+        df = spark.createDataFrame(
+            [("v1", bytearray(b"FAKE264x"))], "vid string, media binary")
+        register_codec("fake264", lambda b: b.startswith(b"FAKE264"),
+                       lambda b: [b"only"])
+        try:
+            planned = sample_frames(df, n_frames=2)
+        finally:
+            unregister_codec("fake264")
+        # the codec rode the closure: executing after unregister still
+        # uses it (module globals re-import empty on executors)
+        frames = planned.collect()[0]["frames"]
+        assert [bytes(f["frame"]) for f in frames] == [b"only"]
+
+    def test_decode_features_extractor_injection(self, spark):
+        from pincette_json_streams_spark.functions.multimodal import (
+            decode_features,
+        )
+
+        df = spark.createDataFrame(
+            [("m1", bytearray(b"\x01\x02\x03"))],
+            "mid string, media binary")
+        out = decode_features(
+            df, extractor=lambda b: [float(len(b)), float(b[0])],
+        ).collect()
+        assert out[0]["features"] == [3.0, 1.0]

@@ -240,13 +240,11 @@ class TestBenchContract:
         assert not missing, missing
 
     def test_oracles_cover_queries(self):
-        """Exactly three rows-only queries by design (stateful /
-        partition-order dependent, or — bpe_encode — a non-SQL
-        merge loop locked by unit tests); every other entry has a
-        DuckDB oracle twin."""
+        """ZERO rows-only queries: round 4 gave the last four
+        (aggregate_fold, per_batching, bpe_encode, emb_pca)
+        deterministic SQL-replayable reformulations — every entry has
+        a DuckDB oracle twin."""
         import __spark_entry__ as entry
         qs, os_ = entry.queries(), entry.oracle_sql()
-        rows_only = sorted(set(qs) - set(os_))
-        assert rows_only == ["aggregate_fold", "bpe_encode",
-                             "emb_pca", "per_batching"]
+        assert sorted(set(qs) - set(os_)) == []
         assert not set(os_) - set(qs)       # no orphan oracles

@@ -1773,3 +1773,90 @@ class TestStageProperties:
             assert got == ref, (src_rows, tgt_rows, wm, wnm, got, ref)
 
         check()
+
+
+class TestReviewRegressions3:
+    """Round-4 advisory locks."""
+
+    def test_json_schema_type_list_with_null_accepts_null(self, spark):
+        # draft-4: {type: ["string", "null"]} accepts null VALUES; the
+        # static-dtype shortcut must not collapse to isNotNull()
+        from pincette_json_streams_spark.operators.context import ctx_for
+        from pincette_json_streams_spark.operators.match import (
+            compile_query,
+        )
+        df = spark.createDataFrame(
+            [("r1", None), ("r2", "x"), ("r3", "y")],
+            "_id string, v string")
+        pred = compile_query({"$jsonSchema": {"properties": {
+            "v": {"type": ["string", "null"]}}}}, ctx_for(df))
+        assert sorted(r["_id"] for r in df.filter(pred).collect()) == \
+            ["r1", "r2", "r3"]
+        # null array ELEMENTS under items must pass too
+        dfa = spark.createDataFrame(
+            [("a1", ["x", None]), ("a2", ["x"])],
+            "_id string, arr array<string>")
+        preda = compile_query({"$jsonSchema": {"properties": {
+            "arr": {"items": {"type": ["string", "null"]}}}}},
+            ctx_for(dfa))
+        assert sorted(r["_id"] for r in dfa.filter(preda).collect()) == \
+            ["a1", "a2"]
+        # without "null" in the list the null value still fails
+        pred2 = compile_query({"$jsonSchema": {"properties": {
+            "v": {"type": "string"}}, "required": ["v"]}}, ctx_for(df))
+        assert sorted(r["_id"] for r in df.filter(pred2).collect()) == \
+            ["r2", "r3"]
+
+    def test_interval_join_left_outer_null_safe(self, spark):
+        # a matched event with a NULL payload column must appear exactly
+        # once (the old anti-join on all columns emitted it twice)
+        from pincette_json_streams_spark.functions.timeseries import (
+            interval_join,
+        )
+        ev = spark.createDataFrame(
+            [(1, 5, None), (2, 50, "p"), (2, 500, None)],
+            "k int, t long, payload string")
+        iv = spark.createDataFrame(
+            [(1, 0, 10, "i1"), (2, 40, 60, "i2")],
+            "k int, s long, e long, iv string")
+        out = interval_join(ev, iv, "t", "s", "e", by="k", bucket=10,
+                            how="left_outer").collect()
+        rows_ = sorted((r["k"], r["t"], r["iv"]) for r in out)
+        assert rows_ == [(1, 5, "i1"), (2, 50, "i2"), (2, 500, None)]
+
+    def test_out_streaming_does_not_clobber_static_catalog(self, spark):
+        static = spark.createDataFrame([(1,)], "a int")
+        stream = (spark.readStream.format("rate")
+                  .option("rowsPerSecond", 1).load())
+        pctx = PipelineContext(catalog={"c": static})
+        compile_pipeline(stream, [{"$out": "c"}], pctx)
+        assert pctx.catalog["c"] is static          # lookup source kept
+        assert pctx.outputs["c"] is not static      # sink captured
+        # a fresh name still registers the stream
+        pctx2 = PipelineContext(catalog={})
+        compile_pipeline(stream, [{"$out": "d"}], pctx2)
+        assert pctx2.catalog["d"].isStreaming
+
+    def test_date_from_parts_carries_overflow(self, spark):
+        from pincette_json_streams_spark.operators.context import ctx_for
+        from pincette_json_streams_spark.operators.expressions import (
+            compile_expr,
+        )
+        df = spark.createDataFrame([(1,)], "x int")
+        cases = [
+            ({"year": 2023, "month": 13, "day": 1},
+             "2024-01-01T00:00:00Z"),      # month carries into next year
+            ({"year": 2024, "month": 3, "day": 0},
+             "2024-02-29T00:00:00Z"),      # day 0 = last of prev month
+            ({"year": 2024, "month": 1, "day": 32},
+             "2024-02-01T00:00:00Z"),      # day carries into next month
+            ({"year": 2024, "month": 0, "day": 1},
+             "2023-12-01T00:00:00Z"),      # month 0 = December prev year
+            ({"year": 2024, "month": 1, "day": 1, "hour": 25},
+             "2024-01-02T01:00:00Z"),      # hour carries into next day
+        ]
+        for spec, want in cases:
+            got = df.select(
+                compile_expr({"$dateFromParts": spec},
+                             ctx_for(df)).alias("d")).first()["d"]
+            assert got == want, (spec, got, want)
