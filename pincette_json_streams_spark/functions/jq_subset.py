@@ -24,7 +24,13 @@ corpus and docs exercise, from the public jq language manual:
     floor, ceil, sqrt, fabs, tostring, tonumber, type, not, empty, error,
     ascii_downcase, ascii_upcase, split, join, ltrimstr, rtrimstr,
     startswith, endswith, contains, test, reverse, sort, sort_by, unique,
-    min, max, first, last, to_entries, from_entries
+    min, max, first, last, to_entries, from_entries, with_entries,
+    tojson, fromjson, group_by, unique_by, min_by, max_by, flatten, abs,
+    round, pow, log, log2, log10, exp, exp2, exp10, isnan, isinfinite,
+    infinite, nan, trim, ltrim, rtrim, sub, gsub, splits, ascii,
+    explode, implode, todate, fromdate, objects/arrays/booleans/numbers/
+    strings/nulls/values/scalars/iterables, recurse (0/1/2-arg), limit,
+    until, while, getpath, setpath, delpaths, paths, leaf_paths
 
 Evaluation is generator-based like jq itself: every expression yields a
 *stream* of values.
@@ -902,6 +908,187 @@ def _call(name, args, inp, env: _Env):
     elif name == "from_entries":
         yield {e.get("key", e.get("k")): e.get("value", e.get("v"))
                for e in inp}
+    elif name == "with_entries":
+        out = {}
+        for k, v in inp.items():
+            for e in _eval(args[0], {"key": k, "value": v}, env):
+                out[e.get("key", e.get("k"))] = e.get(
+                    "value", e.get("v"))
+        yield out
+    elif name == "tojson":
+        yield json.dumps(inp, separators=(",", ":"))
+    elif name == "fromjson":
+        yield json.loads(inp)
+    elif name in ("group_by", "unique_by", "min_by", "max_by"):
+        def key_of(x):
+            return _sort_key(next(_eval(args[0], x, env)))
+        if name in ("min_by", "max_by"):
+            yield ((min if name == "min_by" else max)(inp, key=key_of)
+                   if inp else None)
+        else:
+            srt = sorted(inp, key=key_of)
+            groups: list = []
+            for x in srt:
+                if groups and key_of(groups[-1][0]) == key_of(x):
+                    groups[-1].append(x)
+                else:
+                    groups.append([x])
+            yield (groups if name == "group_by"
+                   else [g[0] for g in groups])
+    elif name == "flatten":
+        depth = int(one()) if args else 1 << 30
+
+        def flat(v, d):
+            out = []
+            for x in v:
+                if isinstance(x, list) and d > 0:
+                    out.extend(flat(x, d - 1))
+                else:
+                    out.append(x)
+            return out
+        yield flat(inp, depth)
+    elif name == "abs":
+        yield abs(inp)
+    elif name == "round":
+        # jq rounds half away from zero (C round), not banker's
+        yield (math.floor(inp + 0.5) if inp >= 0
+               else math.ceil(inp - 0.5))
+    elif name == "pow":
+        yield math.pow(one(0), one(1))
+    elif name in ("log", "log2", "log10", "exp", "exp2", "exp10"):
+        fns = {"log": math.log, "log2": math.log2, "log10": math.log10,
+               "exp": math.exp, "exp2": lambda x: 2.0 ** x,
+               "exp10": lambda x: 10.0 ** x}
+        yield fns[name](inp)
+    elif name == "isnan":
+        yield isinstance(inp, float) and math.isnan(inp)
+    elif name == "isinfinite":
+        yield isinstance(inp, float) and math.isinf(inp)
+    elif name == "infinite":
+        yield math.inf
+    elif name == "nan":
+        yield math.nan
+    elif name in ("trim", "ltrim", "rtrim"):
+        if not isinstance(inp, str):
+            raise JqError(f"jq: {name} input must be a string")
+        yield {"trim": inp.strip, "ltrim": inp.lstrip,
+               "rtrim": inp.rstrip}[name]()
+    elif name in ("sub", "gsub"):
+        pat = one(0)
+        repl = next(_eval(args[1], inp, env))
+        flags = one(2) if len(args) > 2 else ""
+        f = re.IGNORECASE if "i" in flags else 0
+        n = 0 if (name == "gsub" or "g" in flags) else 1
+        yield re.sub(pat, repl.replace("\\", "\\\\"), inp,
+                     count=n, flags=f)
+    elif name == "splits":
+        yield from re.split(one(), inp)
+    elif name == "ascii":
+        yield chr(int(inp))
+    elif name == "explode":
+        yield [ord(c) for c in inp]
+    elif name == "implode":
+        yield "".join(chr(c) for c in inp)
+    elif name == "todate":
+        import datetime as _dt
+        yield _dt.datetime.fromtimestamp(
+            int(inp), _dt.timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
+    elif name == "fromdate":
+        import datetime as _dt
+        yield int(_dt.datetime.strptime(
+            inp, "%Y-%m-%dT%H:%M:%SZ")
+            .replace(tzinfo=_dt.timezone.utc).timestamp())
+    elif name in ("objects", "arrays", "booleans", "numbers",
+                  "strings", "nulls", "values", "scalars",
+                  "iterables"):
+        ok = {
+            "objects": isinstance(inp, dict),
+            "arrays": isinstance(inp, list),
+            "booleans": isinstance(inp, bool),
+            "numbers": isinstance(inp, (int, float))
+            and not isinstance(inp, bool),
+            "strings": isinstance(inp, str),
+            "nulls": inp is None,
+            "values": inp is not None,
+            "scalars": not isinstance(inp, (dict, list)),
+            "iterables": isinstance(inp, (dict, list)),
+        }[name]
+        if ok:
+            yield inp
+    elif name == "recurse":
+        if not args:
+            def walk(v):
+                yield v
+                if isinstance(v, dict):
+                    for x in v.values():
+                        yield from walk(x)
+                elif isinstance(v, list):
+                    for x in v:
+                        yield from walk(x)
+            yield from walk(inp)
+        else:
+            def rec(v):
+                yield v
+                for nxt in _eval(args[0], v, env):
+                    if len(args) > 1 and not any(
+                            _truthy(c)
+                            for c in _eval(args[1], nxt, env)):
+                        continue
+                    yield from rec(nxt)
+            yield from rec(inp)
+    elif name == "limit":
+        k = int(one(0))
+        if k > 0:
+            for i, v in enumerate(_eval(args[1], inp, env)):
+                yield v
+                if i + 1 >= k:
+                    break
+    elif name == "until":
+        v = inp
+        while not any(_truthy(c) for c in _eval(args[0], v, env)):
+            v = next(_eval(args[1], v, env))
+        yield v
+    elif name == "while":
+        v = inp
+        while any(_truthy(c) for c in _eval(args[0], v, env)):
+            yield v
+            v = next(_eval(args[1], v, env))
+    elif name == "getpath":
+        p = next(_eval(args[0], inp, env))
+        v = inp
+        for seg in p:
+            if isinstance(v, dict):
+                v = v.get(seg)
+            elif isinstance(v, list) and isinstance(seg, int):
+                v = v[seg] if -len(v) <= seg < len(v) else None
+            else:
+                v = None
+        yield v
+    elif name == "setpath":
+        p = next(_eval(args[0], inp, env))
+        v = next(_eval(args[1], inp, env))
+        yield _set_in(inp, p, v)
+    elif name == "delpaths":
+        ps = next(_eval(args[0], inp, env))
+        doc = inp
+        # longest-first so earlier deletions can't shift later paths
+        for p in sorted(ps, key=lambda q: (len(q), q), reverse=True):
+            doc = _del_in(doc, p)
+        yield doc
+    elif name in ("paths", "leaf_paths"):
+        def pwalk(v, pre):
+            if isinstance(v, dict):
+                items = v.items()
+            elif isinstance(v, list):
+                items = enumerate(v)
+            else:
+                return
+            for k, x in items:
+                p = pre + [k]
+                if name == "paths" or not isinstance(x, (dict, list)):
+                    yield p
+                yield from pwalk(x, p)
+        yield from pwalk(inp, [])
     else:
         raise JqError(f"jq: unknown function {name}")
 

@@ -25,7 +25,7 @@ language reference:
     is-* incl. is-integral/is-decimal, get-key, error, min, max
     (binary + array extension), sum, mod, flatten, all, any, zip,
     zip-with-index, index-of, array, from-json, to-json, sha256-hex,
-    hash-int, now, parse-time, format-time)
+    hash-int, now, parse-time, format-time, parse-url, random)
   - the platform's custom functions (docs/custom_jslt.md): base64-decode,
     base64-encode, get-pointer, pointer, set-pointer, substr, trace,
     uri-decode, uri-encode, uuid, parse-iso-instant
@@ -845,6 +845,39 @@ def _call(name, args, ctx, env):
         s = a()
         return int(datetime.fromisoformat(
             s.replace("Z", "+00:00")).timestamp())
+    if name == "parse-url":
+        # JSLT spec shape: scheme/userinfo/host/port/path/query/
+        # parameters (name -> [values]) / fragment; absent parts omitted
+        s = a()
+        if s is None:
+            return None
+        u = urllib.parse.urlsplit(s)
+        out: dict = {}
+        if u.scheme:
+            out["scheme"] = u.scheme
+        if u.username:
+            out["userinfo"] = (
+                u.username + (":" + u.password if u.password else ""))
+        if u.hostname:
+            out["host"] = u.hostname
+        if u.port is not None:
+            out["port"] = u.port
+        if u.path:
+            out["path"] = u.path
+        if u.query:
+            out["query"] = u.query
+            params: dict = {}
+            for k, v in urllib.parse.parse_qsl(
+                    u.query, keep_blank_values=True):
+                params.setdefault(k, []).append(v)
+            out["parameters"] = params
+        if u.fragment:
+            out["fragment"] = u.fragment
+        return out
+    if name == "random":
+        import random as _random
+
+        return _random.random()
     ext = env.get("ext") or {}
     if name in ext:
         return ext[name](*[a(i) for i in range(n)])

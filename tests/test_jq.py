@@ -203,3 +203,90 @@ class TestSparkIntegration:
         assert [a["value"] for a in sorted(aggs,
                                            key=lambda a: a["_seq"])] == \
             [1, 2, 1]
+
+
+class TestBuiltins17:
+    """jq 1.6/1.7 builtin batch added in round 4 (public jq manual) —
+    the long tail a production jq script port actually hits."""
+
+    def test_json_roundtrip(self):
+        assert jq('tojson', {"a": [1, "x"]}) == ['{"a":[1,"x"]}']
+        assert jq('fromjson', '{"a":1}') == [{"a": 1}]
+        assert jq('.a | tojson | fromjson', {"a": [1]}) == [[1]]
+
+    def test_group_unique_min_max_by(self):
+        data = [{"k": "a", "v": 1}, {"k": "b", "v": 2},
+                {"k": "a", "v": 3}]
+        assert jq('group_by(.k) | map(length)', data) == [[2, 1]]
+        assert jq('unique_by(.k) | map(.v)', data) == [[1, 2]]
+        assert jq('min_by(.v).v', data) == [1]
+        assert jq('max_by(.v).v', data) == [3]
+        assert jq('min_by(.v)', []) == [None]
+
+    def test_flatten(self):
+        assert jq('flatten', [1, [2, [3]]]) == [[1, 2, 3]]
+        assert jq('flatten(1)', [1, [2, [3]]]) == [[1, 2, [3]]]
+
+    def test_math(self):
+        assert jq('abs', -3) == [3]
+        assert jq('round', 2.5) == [3]
+        assert jq('round', -2.5) == [-3]          # away from zero
+        assert jq('pow(2; 10)', None) == [1024.0]
+        assert jq('log10', 1000.0) == [3.0]
+        assert jq('exp2', 3.0) == [8.0]
+        assert jq('isnan', float("nan")) == [True]
+        assert jq('isinfinite', float("inf")) == [True]
+        assert jq('infinite > 1e308', None) == [True]
+
+    def test_strings(self):
+        assert jq('trim', "  x ") == ["x"]
+        assert jq('ltrim', " x ") == ["x "]
+        assert jq('rtrim', " x ") == [" x"]
+        assert jq('sub("a"; "b")', "banana") == ["bbnana"]
+        assert jq('gsub("a"; "b")', "banana") == ["bbnbnb"]
+        assert jq('gsub("[0-9]+"; "#")', "a1b22c") == ["a#b#c"]
+        assert jq('[splits(", *")]', "a, b,c") == [["a", "b", "c"]]
+        assert jq('explode', "ab") == [[97, 98]]
+        assert jq('implode', [97, 98]) == ["ab"]
+        assert jq('ascii', 65) == ["A"]
+
+    def test_dates(self):
+        assert jq('todate', 0) == ["1970-01-01T00:00:00Z"]
+        assert jq('fromdate', "2001-09-09T01:46:40Z") == [1000000000]
+        assert jq('todate | fromdate', 1000000000) == [1000000000]
+
+    def test_type_filters(self):
+        vals = [1, "a", None, [2], {"b": 3}, True]
+        assert jq('[.[] | numbers]', vals) == [[1]]
+        assert jq('[.[] | strings]', vals) == [["a"]]
+        assert jq('[.[] | nulls]', vals) == [[None]]
+        assert jq('[.[] | booleans]', vals) == [[True]]
+        assert jq('[.[] | arrays]', vals) == [[[2]]]
+        assert jq('[.[] | objects]', vals) == [[{"b": 3}]]
+        assert jq('[.[] | scalars]', vals) == [[1, "a", None, True]]
+
+    def test_recurse(self):
+        doc = {"a": {"b": 1}, "c": [2]}
+        assert jq('[recurse | numbers]', doc) == [[1, 2]]
+        assert jq('[recurse(if . < 8 then . * 2 else empty end)]',
+                  1) == [[1, 2, 4, 8]]
+
+    def test_limit_until_while(self):
+        assert jq('[limit(3; range(100))]', None) == [[0, 1, 2]]
+        assert jq('[limit(0; range(5))]', None) == [[]]
+        assert jq('until(. > 10; . * 2)', 1) == [16]
+        assert jq('[while(. < 10; . * 3)]', 1) == [[1, 3, 9]]
+
+    def test_paths(self):
+        doc = {"a": {"b": 1}, "c": [9]}
+        assert jq('[paths]', doc) == \
+            [[["a"], ["a", "b"], ["c"], ["c", 0]]]
+        assert jq('[leaf_paths]', doc) == [[["a", "b"], ["c", 0]]]
+        assert jq('getpath(["a", "b"])', doc) == [1]
+        assert jq('getpath(["a", "z"])', doc) == [None]
+        assert jq('setpath(["a", "b"]; 7) | .a.b', doc) == [7]
+        assert jq('delpaths([["a", "b"], ["c"]])', doc) == [{"a": {}}]
+
+    def test_with_entries(self):
+        assert jq('with_entries(.value += 1)', {"a": 1, "b": 2}) == \
+            [{"a": 2, "b": 3}]

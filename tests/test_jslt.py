@@ -237,3 +237,29 @@ class TestSpecCompletion:
         assert jslt("is-integral(.)", 4.0) is True
         assert jslt("is-decimal(.)", 4.5) is True
         assert jslt("is-integral(.)", "4") is False
+
+
+class TestRound4Builtins:
+    """parse-url + random (JSLT language reference) — the last two
+    builtins from the published function list."""
+
+    def test_parse_url_full(self):
+        out = jslt(
+            'parse-url(.)',
+            "https://u:pw@example.com:8443/a/b?x=1&x=2&y=#frag")
+        assert out == {
+            "scheme": "https", "userinfo": "u:pw",
+            "host": "example.com", "port": 8443, "path": "/a/b",
+            "query": "x=1&x=2&y=",
+            "parameters": {"x": ["1", "2"], "y": [""]},
+            "fragment": "frag",
+        }
+
+    def test_parse_url_minimal(self):
+        assert jslt('parse-url(.)', "http://example.com") == {
+            "scheme": "http", "host": "example.com"}
+        assert jslt('parse-url(.)', None) is None
+
+    def test_random_in_unit_interval(self):
+        v = jslt('random()', None)
+        assert isinstance(v, float) and 0.0 <= v < 1.0
