@@ -37,7 +37,8 @@ from pincette_json_streams_spark.operators.stages import (
 )
 
 __all__ = [
-    "kafka_source", "kafka_sink", "file_stream_catalog",
+    "kafka_source", "kafka_sink", "kafka_client_options",
+    "file_stream_catalog",
     "collection_change_stream", "StreamingApp", "streaming_aggregate",
     "delay_spool_sink", "delay_release_stream", "redelivery_sink",
 ]
@@ -47,6 +48,38 @@ __all__ = [
 # sources / sinks
 # --------------------------------------------------------------------------
 
+# Spark's own Kafka-connector options — everything else in a client
+# config is a kafka-client property and must be ``kafka.``-prefixed for
+# the connector to forward it (SSL/SASL, fetch tuning, group id)
+_SPARK_KAFKA_OPTS = {
+    "subscribe", "subscribePattern", "assign", "topic",
+    "startingOffsets", "endingOffsets", "startingTimestamp",
+    "maxOffsetsPerTrigger", "minOffsetsPerTrigger", "failOnDataLoss",
+    "minPartitions", "groupIdPrefix", "includeHeaders",
+    "checkpointLocation", "maxTriggerDelay", "fetchOffset.numRetries",
+    "fetchOffset.retryIntervalMs", "kafkaConsumer.pollTimeoutMs",
+}
+
+
+def kafka_client_options(
+    bootstrap: str, config: Optional[dict] = None
+) -> dict:
+    """Build the Spark option map for the Kafka connector from a plain
+    client config — the reference's KafkaProvider does the same from
+    its config file (KafkaProvider.java:168-189): every kafka-client
+    property (``security.protocol``, ``ssl.truststore.location``,
+    ``sasl.jaas.config``, ``group.id``, fetch tuning...) gets the
+    ``kafka.`` prefix Spark's connector requires, while Spark's own
+    connector options pass through unprefixed.  Pure function so the
+    SSL/consumer-group wiring is unit-testable without a broker."""
+    out = {"kafka.bootstrap.servers": bootstrap}
+    for k, v in (config or {}).items():
+        if k.startswith("kafka.") or k in _SPARK_KAFKA_OPTS:
+            out[k] = str(v)
+        else:
+            out[f"kafka.{k}"] = str(v)
+    return out
+
 def kafka_source(
     spark: SparkSession,
     topic: str,
@@ -54,6 +87,7 @@ def kafka_source(
     schema: Optional[str] = None,
     max_offsets_per_trigger: Optional[int] = None,
     wire_format: str = "cbor",
+    config: Optional[dict] = None,
 ) -> DataFrame:
     """Kafka topic -> streaming DataFrame.  With a schema, the JSON value
     is parsed into typed columns plus the Kafka key as ``_key``; without
@@ -67,7 +101,7 @@ def kafka_source(
     string fallback; ``"string"`` casts the raw bytes."""
     reader = (
         spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap)
+        .options(**kafka_client_options(bootstrap, config))
         .option("subscribe", topic)
         .option("startingOffsets", "earliest")
     )
@@ -102,6 +136,7 @@ def kafka_sink(
     key_col: str = "_id",
     output_mode: str = "append",
     to_string: bool = False,
+    config: Optional[dict] = None,
 ):
     """Streaming DataFrame -> Kafka.  Messages serialize as gzip-CBOR of
     the row document (the reference's wire format); ``to_string=True``
@@ -126,7 +161,7 @@ def kafka_sink(
     )
     writer = (
         out.writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap)
+        .options(**kafka_client_options(bootstrap, config))
         .option("checkpointLocation", checkpoint)
         .outputMode(output_mode)
     )

@@ -859,3 +859,57 @@ sys.exit(4)
             "transformWithStateInPandas NOW WORKS in this runtime — "
             "revisit SCALE.md: migrate $per/$deduplicate/$delay "
             "stateful backends from applyInPandasWithState")
+
+
+class TestKafkaClientOptions:
+    """Structural lock for the Kafka client-config wiring: no broker in
+    this sandbox, so the SSL/SASL/consumer wiring (reference
+    KafkaProvider.java:168-189) is verified at the option-map level —
+    kafka-client properties must reach Spark's connector with the
+    ``kafka.`` prefix, Spark's own connector options unprefixed."""
+
+    def test_client_props_get_prefixed(self):
+        from pincette_json_streams_spark.streaming.runtime import (
+            kafka_client_options,
+        )
+        opts = kafka_client_options("b1:9092,b2:9092", {
+            "security.protocol": "SASL_SSL",
+            "ssl.truststore.location": "/etc/ssl/trust.jks",
+            "ssl.truststore.password": "pw",
+            "sasl.mechanism": "SCRAM-SHA-512",
+            "sasl.jaas.config": "org.apache.kafka...;",
+            "group.id": "my-app",
+            "fetch.max.bytes": 1048576,
+        })
+        assert opts["kafka.bootstrap.servers"] == "b1:9092,b2:9092"
+        assert opts["kafka.security.protocol"] == "SASL_SSL"
+        assert opts["kafka.ssl.truststore.location"] == \
+            "/etc/ssl/trust.jks"
+        assert opts["kafka.sasl.mechanism"] == "SCRAM-SHA-512"
+        assert opts["kafka.group.id"] == "my-app"
+        assert opts["kafka.fetch.max.bytes"] == "1048576"  # stringified
+
+    def test_spark_connector_options_stay_unprefixed(self):
+        from pincette_json_streams_spark.streaming.runtime import (
+            kafka_client_options,
+        )
+        opts = kafka_client_options("b:9092", {
+            "maxOffsetsPerTrigger": 50000,
+            "failOnDataLoss": "false",
+            "groupIdPrefix": "jes",
+            "minPartitions": 64,
+            "kafka.linger.ms": 5,      # already prefixed: untouched
+        })
+        assert opts["maxOffsetsPerTrigger"] == "50000"
+        assert opts["failOnDataLoss"] == "false"
+        assert opts["groupIdPrefix"] == "jes"
+        assert opts["minPartitions"] == "64"
+        assert opts["kafka.linger.ms"] == "5"
+        assert "kafka.maxOffsetsPerTrigger" not in opts
+
+    def test_empty_config(self):
+        from pincette_json_streams_spark.streaming.runtime import (
+            kafka_client_options,
+        )
+        assert kafka_client_options("b:9092") == {
+            "kafka.bootstrap.servers": "b:9092"}
