@@ -583,17 +583,30 @@ def _date_from_string_op(args, ctx):
     return _iso_instant(ts)
 
 
+_UTC_TZ = (None, "UTC", "Z", "+00:00", "+00", "GMT")
+
+
+def _tz_arg(tz):
+    """Timezone operand: a constant Olson id ("Europe/Brussels") or
+    fixed offset ("+02:30").  Mongo allows expressions; a constant
+    covers the documented reference usage — anything else raises."""
+    if not isinstance(tz, str):
+        raise UnsupportedExpression(
+            f"timezone must be a constant string, got {tz!r}")
+    return tz
+
+
 def _date_part_arg(args, ctx) -> Column:
     """MongoDB date-part operand: a date expression directly or
-    {date, timezone?}.  UTC only (the reference's ISO-string data model
-    is UTC throughout; a non-UTC timezone raises rather than silently
-    shifting)."""
+    {date, timezone?}.  With a timezone, parts are computed on the
+    instant's wall clock IN that zone (from_utc_timestamp — Java zone
+    rules, DST included), matching Mongo's per-operator timezone."""
     if isinstance(args, dict) and "date" in args:
         tz = args.get("timezone")
-        if tz not in (None, "UTC", "Z", "+00:00", "+00"):
-            raise UnsupportedExpression(
-                f"date parts support UTC only, got timezone {tz!r}")
-        return _as_ts(compile_expr(args["date"], ctx))
+        ts = _as_ts(compile_expr(args["date"], ctx))
+        if tz in _UTC_TZ:
+            return ts
+        return F.from_utc_timestamp(ts, _tz_arg(tz))
     return _as_ts(compile_expr(args, ctx))
 
 
@@ -671,9 +684,10 @@ def _date_from_parts_op(args, ctx):
     if not isinstance(args, dict):
         raise UnsupportedExpression("$dateFromParts needs an object")
     tz = args.get("timezone")
-    if tz not in (None, "UTC", "Z", "+00:00", "+00"):
-        raise UnsupportedExpression(
-            f"$dateFromParts supports UTC only, got timezone {tz!r}")
+    if tz not in _UTC_TZ:
+        tz = _tz_arg(tz)
+    else:
+        tz = None
 
     def part(key, default):
         if key in args:
@@ -713,7 +727,12 @@ def _date_from_parts_op(args, ctx):
         F.datediff(day, F.to_date(F.lit("1970-01-01"))).cast("long")
         * 86400000
     )
-    return _iso_instant(F.timestamp_millis(day_ms + secs * 1000 + ms))
+    naive = F.timestamp_millis(day_ms + secs * 1000 + ms)
+    if tz is not None:
+        # the parts are wall clock IN tz: re-anchor the naive instant
+        # from that zone to UTC (Java zone rules, DST included)
+        naive = F.to_utc_timestamp(naive, tz)
+    return _iso_instant(naive)
 
 
 def _date_trunc_op(args, ctx):

@@ -534,15 +534,13 @@ class TestDateParts:
         assert ev(df, {"$week": "$t"}) == 1
         assert ev(df, {"$dayOfWeek": "$t"}) == 1
 
-    def test_date_object_form_and_tz_guard(self, spark):
-        from pincette_json_streams_spark.operators.expressions import (
-            UnsupportedExpression,
-        )
+    def test_date_object_form_and_tz(self, spark):
         df = one(spark, t="2024-03-05T00:00:00Z")
         assert ev(df, {"$year": {"date": "$t", "timezone": "UTC"}}) == 2024
-        with pytest.raises(UnsupportedExpression):
-            ev(df, {"$year": {"date": "$t",
-                              "timezone": "America/New_York"}})
+        # round 4: named zones extract in local wall clock (NY is UTC-5
+        # on March 5 -> still March 4 locally)
+        assert ev(df, {"$dayOfMonth": {
+            "date": "$t", "timezone": "America/New_York"}}) == 4
 
     def test_date_to_parts(self, spark):
         df = one(spark, t="2024-03-05T14:07:09.250Z")
@@ -598,3 +596,50 @@ class TestIsNumber:
         assert ev(df, {"$isNumber": "$s"}) is False
         assert ev(df, {"$isNumber": "$n"}) is False
         assert ev(df, {"$isNumber": [["$i"]]}) is False  # array arg
+
+
+class TestTimezones:
+    """Per-operator timezone support (MongoDB shape, round 4): date
+    parts extract in the given zone's wall clock; $dateFromParts
+    re-anchors wall-clock parts from the zone to UTC.  Java zone
+    rules drive DST."""
+
+    def test_date_parts_in_zone(self, spark):
+        df = one(spark, t="2024-06-30T23:30:00Z")
+        # Brussels is UTC+2 in summer: 23:30Z = 01:30 next day local
+        assert ev(df, {"$hour": {"date": {"$toDate": "$t"},
+                                 "timezone": "Europe/Brussels"}}) == 1
+        assert ev(df, {"$dayOfMonth": {"date": {"$toDate": "$t"},
+                                       "timezone": "Europe/Brussels"}}) == 1
+        assert ev(df, {"$month": {"date": {"$toDate": "$t"},
+                                  "timezone": "Europe/Brussels"}}) == 7
+        # fixed offsets work too
+        assert ev(df, {"$hour": {"date": {"$toDate": "$t"},
+                                 "timezone": "+05:30"}}) == 5
+        # UTC spellings unchanged
+        assert ev(df, {"$hour": {"date": {"$toDate": "$t"},
+                                 "timezone": "UTC"}}) == 23
+
+    def test_date_from_parts_in_zone(self, spark):
+        df = one(spark, x=1)
+        # 01:30 Brussels summer local == 23:30Z the previous day
+        assert ev(df, {"$dateFromParts": {
+            "year": 2024, "month": 7, "day": 1, "hour": 1, "minute": 30,
+            "timezone": "Europe/Brussels"}}) == "2024-06-30T23:30:00Z"
+        # winter: UTC+1
+        assert ev(df, {"$dateFromParts": {
+            "year": 2024, "month": 1, "day": 1, "hour": 1,
+            "timezone": "Europe/Brussels"}}) == "2024-01-01T00:00:00Z"
+        # overflow carry still composes with the zone shift
+        assert ev(df, {"$dateFromParts": {
+            "year": 2023, "month": 13, "day": 1, "hour": 1,
+            "timezone": "Europe/Brussels"}}) == "2024-01-01T00:00:00Z"
+
+    def test_non_constant_timezone_raises(self, spark):
+        import pytest
+        from pincette_json_streams_spark.operators.expressions import (
+            UnsupportedExpression,
+        )
+        df = one(spark, x=1)
+        with pytest.raises(UnsupportedExpression):
+            ev(df, {"$hour": {"date": "$$NOW", "timezone": 5}})
