@@ -874,7 +874,43 @@ def _call(name, args, inp, env: _Env):
         c = one()
         yield c in inp if isinstance(inp, (str, list)) else False
     elif name == "test":
-        yield re.search(one(), inp) is not None
+        flags = one(1) if len(args) > 1 else ""
+        yield re.search(one(), inp,
+                        re.IGNORECASE if "i" in (flags or "") else 0) \
+            is not None
+    elif name in ("match", "capture", "scan"):
+        # jq's Oniguruma named groups are (?<n>...); Python wants
+        # (?P<n>...) — leave lookbehinds (?<= / (?<! alone
+        pat = re.sub(r"\(\?<(?![=!])", "(?P<", one(0))
+        flags = one(1) if len(args) > 1 else ""
+        f = re.IGNORECASE if "i" in (flags or "") else 0
+        glob = name == "scan" or "g" in (flags or "")
+
+        def mobj(m):
+            names = {v: k for k, v in
+                     ((k, v) for k, v in m.re.groupindex.items())}
+            return {
+                "offset": m.start(), "length": m.end() - m.start(),
+                "string": m.group(0),
+                "captures": [
+                    {"offset": -1 if m.group(i) is None else m.start(i),
+                     "length": 0 if m.group(i) is None
+                     else m.end(i) - m.start(i),
+                     "string": m.group(i),
+                     "name": names.get(i)}
+                    for i in range(1, (m.re.groups or 0) + 1)
+                ],
+            }
+        matches = (re.finditer(pat, inp, f) if glob else
+                   filter(None, [re.search(pat, inp, f)]))
+        for m in matches:
+            if name == "match":
+                yield mobj(m)
+            elif name == "capture":
+                yield {k: v for k, v in m.groupdict().items()}
+            else:  # scan: captures array when groups exist, else text
+                yield (list(m.groups()) if m.re.groups
+                       else m.group(0))
     elif name == "reverse":
         yield list(reversed(inp))
     elif name == "sort":

@@ -753,7 +753,10 @@ def _call(name, args, ctx, env):
         s = a(0)
         if s is None:
             return None
-        m = re.search(a(1), s)
+        # JSLT regexes are Java-flavored: named groups are (?<n>...) —
+        # translate to Python's (?P<n>...), leaving lookbehinds alone
+        pat = re.sub(r"\(\?<(?![=!])", "(?P<", a(1))
+        m = re.search(pat, s)
         return {k: v for k, v in (m.groupdict() if m else {}).items()
                 if v is not None}
     if name == "replace":

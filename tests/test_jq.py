@@ -290,3 +290,29 @@ class TestBuiltins17:
     def test_with_entries(self):
         assert jq('with_entries(.value += 1)', {"a": 1, "b": 2}) == \
             [{"a": 2, "b": 3}]
+
+
+class TestRegexFamily:
+    """jq regex builtins: match/capture/scan and test flags."""
+
+    def test_test_flags(self):
+        assert jq('test("ABC"; "i")', "xabcx") == [True]
+        assert jq('test("ABC")', "xabcx") == [False]
+
+    def test_match(self):
+        m = jq('match("a(?<mid>[0-9]+)b")', "xa42bx")[0]
+        assert m["offset"] == 1 and m["length"] == 4
+        assert m["string"] == "a42b"
+        assert m["captures"][0] == {"offset": 2, "length": 2,
+                                    "string": "42", "name": "mid"}
+        assert jq('[match("[0-9]"; "g") | .string]', "a1b2") == \
+            [["1", "2"]]
+
+    def test_capture(self):
+        assert jq('capture("(?<u>[a-z]+)@(?<d>[a-z.]+)")',
+                  "mail me@ex.io now") == [{"u": "me", "d": "ex.io"}]
+
+    def test_scan(self):
+        assert jq('[scan("[0-9]+")]', "a12b345") == [["12", "345"]]
+        assert jq('[scan("([a-z])([0-9])")]', "a1 b2") == \
+            [[["a", "1"], ["b", "2"]]]

@@ -263,3 +263,12 @@ class TestRound4Builtins:
     def test_random_in_unit_interval(self):
         v = jslt('random()', None)
         assert isinstance(v, float) and 0.0 <= v < 1.0
+
+
+class TestJavaNamedGroups:
+    def test_capture_java_syntax(self):
+        # JSLT is Java-regex flavored: (?<name>...) must work
+        assert jslt('capture(., "(?<u>[a-z]+)@(?<d>[a-z.]+)")',
+                    "me@ex.io") == {"u": "me", "d": "ex.io"}
+        # Python spelling keeps working too
+        assert jslt('capture(., "(?P<x>[0-9]+)")', "a42") == {"x": "42"}
