@@ -736,27 +736,40 @@ def _date_from_parts_op(args, ctx):
 
 
 def _date_trunc_op(args, ctx):
-    # {date, unit, binSize?}: binSize 1 -> native date_trunc (all
-    # units); binSize > 1 -> fixed-width units only, epoch-anchored
-    # bins (floor(ms / width) * width)
-    d = _as_ts(compile_expr(args["date"], ctx))
+    # {date, unit, binSize?, timezone?}: binSize 1 -> native date_trunc
+    # (all units); binSize > 1 -> fixed-width units only, epoch-anchored
+    # bins (floor(ms / width) * width).  A timezone truncates on that
+    # zone's wall clock (midnight-in-Brussels, not midnight-UTC).
+    tz = args.get("timezone")
+    d = _in_zone(_as_ts(compile_expr(args["date"], ctx)), tz)
     unit = args.get("unit", "day")
     bin_size = int(args.get("binSize", 1))
     if bin_size == 1:
         if unit == "millisecond":
-            return _iso_instant(d)
+            return _iso_instant(_from_zone(d, tz))
         if unit not in _TS_ADD_UNITS:
             raise UnsupportedExpression(f"$dateTrunc unit {unit!r}")
-        return _iso_instant(F.date_trunc(unit, d))
+        return _iso_instant(_from_zone(F.date_trunc(unit, d), tz))
     if unit not in _DATE_UNIT_MS:
         raise UnsupportedExpression(
             f"$dateTrunc binSize needs a fixed-width unit, got {unit!r}"
         )
     w = _DATE_UNIT_MS[unit] * bin_size
     ms = F.unix_millis(d)
-    return _iso_instant(
-        F.timestamp_millis((F.floor(ms / w) * w).cast("long"))
-    )
+    return _iso_instant(_from_zone(
+        F.timestamp_millis((F.floor(ms / w) * w).cast("long")), tz,
+    ))
+
+
+def _in_zone(col: Column, tz) -> Column:
+    """Shift an instant to the zone's wall clock for calendar math."""
+    return col if tz in _UTC_TZ else F.from_utc_timestamp(col,
+                                                          _tz_arg(tz))
+
+
+def _from_zone(col: Column, tz) -> Column:
+    return col if tz in _UTC_TZ else F.to_utc_timestamp(col,
+                                                        _tz_arg(tz))
 
 
 def _date_add_op(sign: int):
@@ -768,17 +781,24 @@ def _date_add_op(sign: int):
         amount = (
             compile_expr(args["amount"], ctx).cast("int") * sign
         )
-        return _iso_instant(
-            F.timestamp_add(_TS_ADD_UNITS[unit], amount, d)
-        )
+        # Mongo: calendar units are a function of the calendar IN the
+        # given timezone (a day across a DST change is 23/25 h of real
+        # time) — shift to the zone's wall clock, add, shift back
+        tz = args.get("timezone")
+        return _iso_instant(_from_zone(
+            F.timestamp_add(_TS_ADD_UNITS[unit], amount,
+                            _in_zone(d, tz)), tz,
+        ))
     return h
 
 
 def _date_diff_op(args, ctx):
     # Mongo semantics: BOUNDARY crossings between startDate and
-    # endDate, not elapsed full units (23:59 -> 00:01 is 1 day)
-    s = _as_ts(compile_expr(args["startDate"], ctx))
-    e = _as_ts(compile_expr(args["endDate"], ctx))
+    # endDate, not elapsed full units (23:59 -> 00:01 is 1 day);
+    # boundaries are evaluated on the given timezone's wall clock
+    tz = args.get("timezone")
+    s = _in_zone(_as_ts(compile_expr(args["startDate"], ctx)), tz)
+    e = _in_zone(_as_ts(compile_expr(args["endDate"], ctx)), tz)
     unit = args["unit"]
     if unit == "year":
         return (F.year(e) - F.year(s)).cast("long")

@@ -643,3 +643,46 @@ class TestTimezones:
         df = one(spark, x=1)
         with pytest.raises(UnsupportedExpression):
             ev(df, {"$hour": {"date": "$$NOW", "timezone": 5}})
+
+
+class TestTimezonesCalendarMath:
+    """$dateAdd/$dateDiff/$dateTrunc with a timezone: calendar math on
+    the zone's wall clock (DST-aware, Mongo shape)."""
+
+    def test_date_add_day_across_dst(self, spark):
+        df = one(spark, x=1)
+        # Brussels 2024-03-31 (spring forward): "one day later" at the
+        # same local wall clock is only 23 real hours
+        assert ev(df, {"$dateAdd": {
+            "startDate": {"$toDate": "2024-03-30T12:00:00Z"},
+            "unit": "day", "amount": 1,
+            "timezone": "Europe/Brussels"}}) == "2024-03-31T11:00:00Z"
+        # UTC path unchanged: exactly 24 h
+        assert ev(df, {"$dateAdd": {
+            "startDate": {"$toDate": "2024-03-30T12:00:00Z"},
+            "unit": "day", "amount": 1}}) == "2024-03-31T12:00:00Z"
+
+    def test_date_diff_boundaries_in_zone(self, spark):
+        df = one(spark, x=1)
+        # 21:00Z = 23:00 June 1 Brussels; 23:00Z = 01:00 June 2 local:
+        # one local-midnight boundary crossed, zero UTC boundaries
+        args = {"startDate": {"$toDate": "2024-06-01T21:00:00Z"},
+                "endDate": {"$toDate": "2024-06-01T23:00:00Z"},
+                "unit": "day"}
+        assert ev(df, {"$dateDiff": dict(args)}) == 0
+        assert ev(df, {"$dateDiff": dict(args,
+                                         timezone="Europe/Brussels")}) == 1
+
+    def test_date_trunc_in_zone(self, spark):
+        df = one(spark, x=1)
+        # local midnight in Brussels (summer, UTC+2) is 22:00Z
+        assert ev(df, {"$dateTrunc": {
+            "date": {"$toDate": "2024-06-15T13:45:00Z"}, "unit": "day",
+            "timezone": "Europe/Brussels"}}) == "2024-06-14T22:00:00Z"
+        assert ev(df, {"$dateTrunc": {
+            "date": {"$toDate": "2024-06-15T13:45:00Z"},
+            "unit": "day"}}) == "2024-06-15T00:00:00Z"
+        # binSize path honors the zone too (2-hour bins on local clock)
+        assert ev(df, {"$dateTrunc": {
+            "date": {"$toDate": "2024-06-15T13:45:00Z"}, "unit": "hour",
+            "binSize": 2, "timezone": "+05:30"}}) == "2024-06-15T12:30:00Z"
