@@ -560,7 +560,9 @@ def _mongo_fmt_to_java(fmt: str) -> str:
 
 
 def _date_to_string_op(args, ctx):
-    d = _as_ts(compile_expr(args["date"], ctx))
+    # timezone: format the zone's wall clock (Mongo shape)
+    d = _in_zone(_as_ts(compile_expr(args["date"], ctx)),
+                 args.get("timezone"))
     fmt = args.get("format", "%Y-%m-%dT%H:%M:%S.%LZ")
     formatted = F.date_format(d, _mongo_fmt_to_java(fmt))
     if "onNull" in args:
@@ -575,6 +577,9 @@ def _date_from_string_op(args, ctx):
         F.to_timestamp(s, _mongo_fmt_to_java(fmt))
         if fmt else F.to_timestamp(s)
     )
+    # timezone: the string is wall clock IN that zone (Mongo shape);
+    # strings carrying their own offset should not also pass timezone
+    ts = _from_zone(ts, args.get("timezone"))
     if "onNull" in args or "onError" in args:
         fallback = compile_expr(
             args.get("onError", args.get("onNull")), ctx

@@ -686,3 +686,21 @@ class TestTimezonesCalendarMath:
         assert ev(df, {"$dateTrunc": {
             "date": {"$toDate": "2024-06-15T13:45:00Z"}, "unit": "hour",
             "binSize": 2, "timezone": "+05:30"}}) == "2024-06-15T12:30:00Z"
+
+    def test_date_to_from_string_in_zone(self, spark):
+        df = one(spark, x=1)
+        assert ev(df, {"$dateToString": {
+            "date": {"$toDate": "2024-06-15T22:30:00Z"},
+            "format": "%Y-%m-%d %H:%M",
+            "timezone": "Europe/Brussels"}}) == "2024-06-16 00:30"
+        assert ev(df, {"$dateFromString": {
+            "dateString": "2024-06-16 00:30", "format": "%Y-%m-%d %H:%M",
+            "timezone": "Europe/Brussels"}}) == "2024-06-15T22:30:00Z"
+        # round trip through the zone is identity
+        assert ev(df, {"$dateFromString": {
+            "dateString": {"$dateToString": {
+                "date": {"$toDate": "2024-03-31T05:15:00Z"},
+                "format": "%d/%m/%Y %H:%M:%S",
+                "timezone": "Asia/Kolkata"}},
+            "format": "%d/%m/%Y %H:%M:%S",
+            "timezone": "Asia/Kolkata"}}) == "2024-03-31T05:15:00Z"
