@@ -4855,6 +4855,78 @@ GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 """
 
 
+def q_tz_gallery(spark, sf_dir):
+    """Timezone-aware date operators (round 4): parts/format/add/trunc/
+    diff computed on a zone's wall clock (operators/expressions.py
+    _in_zone/_from_zone — Java zone rules) replayed by DuckDB's ICU
+    timezone().  Instants pin to midday so no row lands in a DST gap or
+    ambiguous hour, where engines may disambiguate differently; the
+    zones transition at night."""
+    return _pipe(spark, sf_dir, "orders", [
+        {"$match": {"o_orderkey": {"$lte": 20000}}},
+        {"$addFields": {"t": {"$dateAdd": {
+            "startDate": {"$dateAdd": {
+                "startDate": "$o_orderdate", "unit": "hour",
+                "amount": 12}},
+            "unit": "second",
+            "amount": {"$mod": ["$o_orderkey", 3600]}}}}},
+        {"$project": {
+            "_id": 0, "o_orderkey": 1,
+            "h_br": {"$toLong": {"$hour": {
+                "date": "$t", "timezone": "Europe/Brussels"}}},
+            "d_ny": {"$toLong": {"$dayOfMonth": {
+                "date": "$t", "timezone": "America/New_York"}}},
+            "s_kol": {"$dateToString": {
+                "date": "$t", "format": "%Y-%m-%d %H:%M",
+                "timezone": "Asia/Kolkata"}},
+            "add1d": {"$dateAdd": {
+                "startDate": "$t", "unit": "day", "amount": 1,
+                "timezone": "Europe/Brussels"}},
+            "trunc_ny": {"$dateTrunc": {
+                "date": "$t", "unit": "day",
+                "timezone": "America/New_York"}},
+            "dd_br": {"$toLong": {"$dateDiff": {
+                "startDate": "$t",
+                "endDate": {"$dateFromString": {
+                    "dateString": "1998-12-01T00:00:00Z"}},
+                "unit": "day", "timezone": "Europe/Brussels"}}},
+        }},
+    ])
+
+
+_ORACLE_TZ_GALLERY = """
+WITH t AS (
+  SELECT o_orderkey,
+         timezone('UTC',
+                  o_orderdate::TIMESTAMP + INTERVAL 12 HOUR
+                  + (o_orderkey % 3600) * INTERVAL 1 SECOND) AS inst
+  FROM orders WHERE o_orderkey <= 20000
+), loc AS (
+  SELECT o_orderkey, inst,
+         timezone('Europe/Brussels', inst) AS br,
+         timezone('America/New_York', inst) AS ny,
+         timezone('Asia/Kolkata', inst) AS kol
+  FROM t
+)
+SELECT o_orderkey,
+       hour(br)::BIGINT AS h_br,
+       day(ny)::BIGINT AS d_ny,
+       strftime(kol, '%Y-%m-%d %H:%M') AS s_kol,
+       strftime(timezone('UTC', timezone('Europe/Brussels',
+                br + INTERVAL 1 DAY)),
+                '%Y-%m-%dT%H:%M:%S') || 'Z' AS add1d,
+       strftime(timezone('UTC', timezone('America/New_York',
+                date_trunc('day', ny))),
+                '%Y-%m-%dT%H:%M:%S') || 'Z' AS trunc_ny,
+       date_diff('day', br,
+                 timezone('Europe/Brussels',
+                          timezone('UTC',
+                                   TIMESTAMP '1998-12-01 00:00:00')))
+         ::BIGINT AS dd_br
+FROM loc
+"""
+
+
 def q_merge_modes(spark, sf_dir):
     """$merge whenMatched x whenNotMatched matrix (operators/stages.py
     _stage_merge — the Delta-MERGE-shaped batch path): one full-outer
@@ -5012,6 +5084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aggregate_fold": q_aggregate_fold,
         "per_batching": q_per_batching,
         "merge_modes": q_merge_modes,
+        "tz_gallery": q_tz_gallery,
         # -- block 1: hash-fixed in r3, never re-sampled ----------------
         "corpus_stats": q_corpus_stats,
         "sample_split": q_sample_split,
@@ -5144,6 +5217,7 @@ def oracle_sql() -> dict[str, str]:
         "lookup_topn": _ORACLE_LOOKUP_TOPN,
         "rollup_revenue": _ORACLE_ROLLUP,
         "merge_modes": _ORACLE_MERGE_MODES,
+        "tz_gallery": _ORACLE_TZ_GALLERY,
         "interval_hits": _ORACLE_INTERVAL_JOIN,
         "dup_spans": _ORACLE_DUP_SPANS,
         "strip_spans": _ORACLE_STRIP_SPANS,
