@@ -2279,6 +2279,72 @@ FROM comp
 """
 
 
+def q_dedup_canonical(spark, sf_dir):
+    """End-to-end dedup DECISION (the production composition): MinHash-
+    LSH candidate pairs -> connected components -> per-cluster
+    representative by the keep-longest heuristic (n_chars desc, doc_id
+    asc tie-break) -> every doc labeled with its cluster, the chosen
+    canonical doc, and the keep verdict.  One WindowGroupLimit over the
+    cluster key on top of the component labels — the exact shape a
+    100 TB pipeline runs to decide which near-duplicates survive."""
+    from pincette_json_streams_spark.functions.dedup import (
+        connected_components, minhash_lsh_pairs,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    comp = connected_components(pairs, nodes=docs.select("doc_id"))
+    labeled = comp.select(F.col("id").alias("doc_id"), "cluster_id") \
+        .join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id"))
+    ranked = labeled.withColumn("rk", F.row_number().over(w))
+    rep = ranked.where(F.col("rk") == 1).select(
+        "cluster_id", F.col("doc_id").alias("rep_id"))
+    return (
+        labeled.join(rep, "cluster_id")
+        .select(
+            "doc_id", "cluster_id",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
+             .cast("long").alias("cluster_size"),
+            "rep_id",
+            (F.col("doc_id") == F.col("rep_id")).alias("keep"),
+        )
+    )
+
+
+def _oracle_dedup_canonical():
+    return f"""
+WITH RECURSIVE pairs AS ({_oracle_minhash()}),
+nodes AS (SELECT doc_id AS id FROM documents),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+walk(id, reach) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT w.id, e.b FROM walk w JOIN edges e ON e.a = w.reach
+),
+comp AS (
+  SELECT id AS doc_id, min(reach) AS cluster_id FROM walk GROUP BY id
+),
+labeled AS (
+  SELECT c.doc_id, c.cluster_id, d.n_chars
+  FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+),
+rep AS (
+  SELECT cluster_id, doc_id AS rep_id FROM (
+    SELECT cluster_id, doc_id,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY n_chars DESC, doc_id) AS rk
+    FROM labeled) WHERE rk = 1
+)
+SELECT l.doc_id, l.cluster_id,
+       count(*) OVER (PARTITION BY l.cluster_id)::BIGINT
+         AS cluster_size,
+       r.rep_id, l.doc_id = r.rep_id AS keep
+FROM labeled l JOIN rep r ON r.cluster_id = l.cluster_id
+"""
+
+
 def q_dedup_clusters_star(spark, sf_dir):
     """Same clusters via the O(log n) large-star/small-star alternation
     (functions/dedup.py:connected_components_star) — identical output
@@ -5095,6 +5161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_trim": q_quality_trim,
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_star": q_dedup_clusters_star,
+        "dedup_canonical": q_dedup_canonical,
         "repetition_stats": q_repetition_stats,
         "aggregate_acl": q_aggregate_acl,
         # -- block 3: green in r1 only (stalest) ------------------------
@@ -5310,6 +5377,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": _oracle_minhash(),
         "dedup_clusters": _oracle_dedup_clusters(),
         "dedup_clusters_star": _oracle_dedup_clusters(),
+        "dedup_canonical": _oracle_dedup_canonical(),
         "dedup_ngram": _ORACLE_NGRAM,
         "dedup_simhash": _oracle_simhash(),
         "dedup_embedding": _ORACLE_DEDUP_EMBEDDING,

@@ -66,7 +66,7 @@ class TestDriverContract:
             "facet_summary", "topn_accumulators", "modern_ops",
             "bpe_encode", "emb_pca", "aggregate_fold", "per_batching",
             # new in round 4
-            "merge_modes", "tz_gallery",
+            "merge_modes", "tz_gallery", "dedup_canonical",
             # hash-fixed in r3, never re-sampled
             "corpus_stats", "sample_split",
             # never driver-sampled
