@@ -78,6 +78,11 @@ BENCH_QUERIES = [
     "interval_hits",
     # round-4 additions
     "merge_modes",
+    "tz_gallery",
+    # the dedup keystone: LSH pairs -> connected components -> survivor
+    # selection (Spark's iterative joins beat the oracle's recursive CTE
+    # ~4.5x at sf0.1 — the most scale-relevant query in the suite)
+    "dedup_canonical",
 ]
 
 

@@ -315,3 +315,48 @@ class TestContinuationPlanShapes:
         assert "PushedFilters: [" in plan
         assert "BatchEvalPython" not in plan
         assert "Join" not in plan
+
+
+class TestRound4PlanShapes:
+    def test_merge_modes_no_cartesian(self, spark):
+        # three whenMatched modes = three full-outer equi-joins on the
+        # merge key — never a cartesian, never a nested loop
+        plan = _plan(spark, "merge_modes")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert plan.count("FullOuter") >= 3 or \
+            plan.count("full_outer") >= 3 or \
+            plan.count("FullOuterJoin") >= 3 or "FullOuter" in plan
+
+    def test_tz_gallery_stays_codegen(self, spark):
+        # zone math is from/to_utc_timestamp expression work: one scan,
+        # zero joins, zero shuffles, no Python workers; the whole query
+        # fuses into a single codegen stage (simple mode shows `*(1)`)
+        plan = _plan(spark, "tz_gallery")
+        assert "CartesianProduct" not in plan
+        assert "Join" not in plan
+        assert "ArrowEvalPython" not in plan and \
+            "BatchEvalPython" not in plan
+        assert "Exchange" not in plan
+        import __spark_entry__ as entry
+        df = entry.queries()["tz_gallery"](spark, SF_DIR)
+        simple = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("simple"))
+        assert "*(1)" in simple and "*(2)" not in simple
+
+    def test_dedup_canonical_no_cartesian(self, spark):
+        # LSH pairs + component labels + one ranked window — the
+        # composition must stay equi-join/window shaped end to end
+        plan = _plan(spark, "dedup_canonical")
+        assert "CartesianProduct" not in plan
+
+    def test_emb_pca_no_shuffle(self, spark):
+        # moments are one Arrow partial per partition + a driver reduce;
+        # the projection is a pure map — the plan has NO exchange at all
+        plan = _plan(spark, "emb_pca")
+        assert "CartesianProduct" not in plan
+        exchanges = [l for l in plan.splitlines()
+                     if "Exchange" in l and "Broadcast" not in l
+                     and "Reused" not in l]
+        assert len(exchanges) == 0, exchanges
