@@ -704,3 +704,57 @@ class TestTimezonesCalendarMath:
                 "timezone": "Asia/Kolkata"}},
             "format": "%d/%m/%Y %H:%M:%S",
             "timezone": "Asia/Kolkata"}}) == "2024-03-31T05:15:00Z"
+
+
+class TestTimezonePropertyVsZoneinfo:
+    """Property lock: zone-aware operators agree with Python zoneinfo
+    over instants straddling both 2024 DST transitions in three zones
+    (one batched Spark job per operator, not per instant)."""
+
+    ZONES = ["Europe/Brussels", "America/New_York", "Asia/Kolkata"]
+
+    def _instants(self):
+        from datetime import datetime, timedelta, timezone
+        bases = [datetime(2024, 3, 30, 0, 17, tzinfo=timezone.utc),
+                 datetime(2024, 10, 26, 0, 17, tzinfo=timezone.utc),
+                 datetime(2024, 11, 2, 0, 17, tzinfo=timezone.utc)]
+        return [b + timedelta(hours=h) for b in bases
+                for h in range(0, 48, 5)]
+
+    def test_parts_and_trunc_match_zoneinfo(self, spark):
+        from datetime import timezone as _tz
+        from zoneinfo import ZoneInfo
+        insts = self._instants()
+        df = spark.createDataFrame(
+            [(d.strftime("%Y-%m-%dT%H:%M:%SZ"),) for d in insts],
+            "t string")
+        for tz in self.ZONES:
+            zi = ZoneInfo(tz)
+            exprs = {
+                "h": {"$hour": {"date": {"$toDate": "$t"},
+                                "timezone": tz}},
+                "dom": {"$dayOfMonth": {"date": {"$toDate": "$t"},
+                                        "timezone": tz}},
+                "tr": {"$dateTrunc": {"date": {"$toDate": "$t"},
+                                      "unit": "day", "timezone": tz}},
+            }
+            from pincette_json_streams_spark.operators.context import (
+                ctx_for,
+            )
+            from pincette_json_streams_spark.operators.expressions import (
+                compile_expr,
+            )
+            got = df.select(*[
+                compile_expr(e, ctx_for(df)).alias(k)
+                for k, e in exprs.items()
+            ]).collect()
+            for d, row in zip(insts, got):
+                loc = d.astimezone(zi)
+                assert row["h"] == loc.hour, (tz, d)
+                assert row["dom"] == loc.day, (tz, d)
+                mid = loc.replace(hour=0, minute=0, second=0,
+                                  microsecond=0,
+                                  tzinfo=None).replace(tzinfo=zi)
+                want = mid.astimezone(_tz.utc).strftime(
+                    "%Y-%m-%dT%H:%M:%SZ")
+                assert row["tr"] == want, (tz, d, row["tr"], want)
