@@ -99,12 +99,50 @@ def measure(spark, sf_dir: str) -> dict:
             app.run_until_drained(sink, timeout=300)
             dt = time.time() - t0
             results[name] = round(n_events / dt, 1)
+
+        # stateful event-sourcing aggregate (BASELINE anchor 3: the
+        # reference's 50 commands/s/instance design capacity): every
+        # event becomes a put command keyed by user, folded through
+        # applyInPandasWithState — versions/_seq/event emission included
+        cmd_dir = os.path.join(tmp, "agg-cmds")
+        (spark.read.parquet(events_path)
+         .selectExpr("CAST(user_id AS STRING) AS _id",
+                     "'put' AS _command",
+                     "map('sub', 'bench') AS _jwt",
+                     "event_id", "value")
+         .write.parquet(cmd_dir))
+        cmd_schema = ("_id string, _command string, "
+                      "_jwt map<string,string>, event_id long, "
+                      "value double")
+        catalog = file_stream_catalog(
+            spark, {"bench-acct-command": cmd_dir},
+            {"bench-acct-command": cmd_schema})
+        app = StreamingApp(spark, {
+            "application": "bench", "parts": [
+                {"type": "aggregate", "aggregateType": "acct"},
+            ],
+        }, catalog)
+
+        def agg_sink(sink_name, df):
+            # the aggregate fold runs applyInPandasWithState in APPEND
+            return (df.writeStream.format("noop").outputMode("append")
+                    .option("checkpointLocation",
+                            os.path.join(tmp, "agg", sink_name)))
+
+        t0 = time.time()
+        app.run_until_drained(agg_sink, timeout=600)
+        dt = time.time() - t0
+        results["aggregate_commands"] = round(n_events / dt, 1)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return {
         "queries": results,
         "n_events": n_events,
-        "msgs_per_sec": max(results.values()),
+        # headline = the best plain-pipeline drain; the stateful
+        # aggregate rate is reported separately (different work unit)
+        "msgs_per_sec": max(v for k, v in results.items()
+                            if k != "aggregate_commands"),
+        "aggregate_commands_per_sec": results["aggregate_commands"],
         "reference_design_capacity_per_instance": 50,
     }
 
