@@ -4921,6 +4921,48 @@ GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 """
 
 
+def q_window_timerange(spark, sf_dir):
+    """Mongo time-range windows ({"range": [-1, "current"], "unit":
+    "hour"} in $setWindowFields — operators/stages.py frame_of): the
+    trailing-hour count/sum per user, framed by wall-clock distance on
+    the epoch-millis sort key (Spark rangeBetween).  The oracle frames
+    on the SAME truncated millis (epoch_ns // 1e6) so a sub-millisecond
+    nanosecond residue can never flip a boundary row between engines."""
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 40)
+    df = ev.select("event_id", "user_id", "ts", "value")
+    out = compile_pipeline(df, [
+        {"$windowFields": {
+            "partitionBy": "$user_id", "sortBy": {"ts": 1},
+            "output": {
+                "n_1h": {"$count": {}, "window": {
+                    "range": [-1, "current"], "unit": "hour"}},
+                "sum_1h": {"$sum": "$value", "window": {
+                    "range": [-1, "current"], "unit": "hour"}},
+            }}},
+    ], PipelineContext())
+    return out.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("n_1h").cast("long").alias("n_1h"),
+        (F.floor(F.col("sum_1h") * 10000 + 0.5) / 10000)
+        .alias("sum_1h"),
+    )
+
+
+_ORACLE_WINDOW_TIMERANGE = """
+WITH e AS (
+  SELECT event_id, user_id, epoch_ns(ts) // 1000000 AS tms, value
+  FROM events WHERE user_id < 40
+)
+SELECT event_id::BIGINT AS event_id, user_id::BIGINT AS user_id,
+       (count(*) OVER w)::BIGINT AS n_1h,
+       floor(sum(value) OVER w * 10000 + 0.5) / 10000 AS sum_1h
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY tms
+             RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_tz_gallery(spark, sf_dir):
     """Timezone-aware date operators (round 4): parts/format/add/trunc/
     diff computed on a zone's wall clock (operators/expressions.py
@@ -5151,6 +5193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "per_batching": q_per_batching,
         "merge_modes": q_merge_modes,
         "tz_gallery": q_tz_gallery,
+        "window_timerange": q_window_timerange,
         # -- block 1: hash-fixed in r3, never re-sampled ----------------
         "corpus_stats": q_corpus_stats,
         "sample_split": q_sample_split,
@@ -5285,6 +5328,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_revenue": _ORACLE_ROLLUP,
         "merge_modes": _ORACLE_MERGE_MODES,
         "tz_gallery": _ORACLE_TZ_GALLERY,
+        "window_timerange": _ORACLE_WINDOW_TIMERANGE,
         "interval_hits": _ORACLE_INTERVAL_JOIN,
         "dup_spans": _ORACLE_DUP_SPANS,
         "strip_spans": _ORACLE_STRIP_SPANS,

@@ -1930,22 +1930,39 @@ def _stage_window_fields_ext(df, spec, pctx):
                     return _window_frame(ordered, sort_cols, bounds)
                 if range_bounds is not None:
                     # value-based frame over ONE numeric sort key (Mongo
-                    # range windows) -> Spark rangeBetween
+                    # range windows) -> Spark rangeBetween.  With `unit`
+                    # (Mongo time-range windows) the sort key is re-
+                    # expressed as epoch MILLIS (single_sort_key handles
+                    # dates / timestamps / the engine's ISO strings) and
+                    # the bounds scale by the fixed-width unit.
                     if len(sort_by) != 1:
                         raise UnsupportedExpression(
                             "range window requires exactly one sortBy key"
                         )
+                    unit = wspec.get("unit")
+                    scale = 1
+                    frame_win = ordered
+                    if unit is not None:
+                        if unit not in _WF_UNIT_MS:
+                            raise UnsupportedExpression(
+                                f"range window unit {unit!r} (fixed-"
+                                "width units only)")
+                        scale = _WF_UNIT_MS[unit]
+                        frame_win = (
+                            W.partitionBy(compile_expr(part, ctx))
+                            if part is not None else W.partitionBy()
+                        ).orderBy(single_sort_key().cast("long").asc())
                     lo = (W.unboundedPreceding
                           if range_bounds[0] == "unbounded"
                           else W.currentRow
                           if range_bounds[0] == "current"
-                          else int(range_bounds[0]))
+                          else int(range_bounds[0]) * scale)
                     hi = (W.unboundedFollowing
                           if range_bounds[1] == "unbounded"
                           else W.currentRow
                           if range_bounds[1] == "current"
-                          else int(range_bounds[1]))
-                    return ordered.rangeBetween(lo, hi)
+                          else int(range_bounds[1]) * scale)
+                    return frame_win.rangeBetween(lo, hi)
                 if sort_cols:
                     # Mongo: sortBy without an explicit window means the
                     # whole partition, not a cumulative frame

@@ -1860,3 +1860,47 @@ class TestReviewRegressions3:
                 compile_expr({"$dateFromParts": spec},
                              ctx_for(df)).alias("d")).first()["d"]
             assert got == want, (spec, got, want)
+
+
+class TestTimeRangeWindows:
+    """$setWindowFields time-range windows: {"range": [a, b],
+    "unit": "hour"} frames by the sort key's wall-clock distance."""
+
+    def test_hourly_rolling_sum(self, spark):
+        rows = [("u1", "2024-01-01T00:00:00Z", 1.0),
+                ("u1", "2024-01-01T00:30:00Z", 2.0),
+                ("u1", "2024-01-01T01:15:00Z", 4.0),
+                ("u1", "2024-01-01T05:00:00Z", 8.0),
+                ("u2", "2024-01-01T00:10:00Z", 16.0)]
+        df = spark.createDataFrame(rows, "u string, ts string, v double")
+        out = rows_by_key(spark, df)
+        # trailing 1 hour inclusive: [-1, 0] hours
+        assert out == {
+            ("u1", "2024-01-01T00:00:00Z"): 1.0,
+            ("u1", "2024-01-01T00:30:00Z"): 3.0,
+            ("u1", "2024-01-01T01:15:00Z"): 6.0,   # 00:30 + 01:15
+            ("u1", "2024-01-01T05:00:00Z"): 8.0,   # nothing within 1 h
+            ("u2", "2024-01-01T00:10:00Z"): 16.0,
+        }
+
+    def test_unit_requires_fixed_width(self, spark):
+        from pincette_json_streams_spark.operators.expressions import (
+            UnsupportedExpression,
+        )
+        df = spark.createDataFrame(
+            [("u1", "2024-01-01T00:00:00Z", 1.0)],
+            "u string, ts string, v double")
+        with pytest.raises(UnsupportedExpression):
+            rows(df, [{"$windowFields": {
+                "partitionBy": "$u", "sortBy": {"ts": 1},
+                "output": {"s": {"$sum": "$v", "window": {
+                    "range": [-1, 0], "unit": "month"}}}}}])
+
+
+def rows_by_key(spark, df):
+    out = rows(df, [{"$windowFields": {
+        "partitionBy": "$u", "sortBy": {"ts": 1},
+        "output": {"s": {"$sum": "$v",
+                         "window": {"range": [-1, 0],
+                                    "unit": "hour"}}}}}])
+    return {(r["u"], r["ts"]): r["s"] for r in out}
