@@ -2345,6 +2345,51 @@ FROM labeled l JOIN rep r ON r.cluster_id = l.cluster_id
 """
 
 
+def q_split_leakfree(spark, sf_dir):
+    """Leakage-free train/test split (the eval-contamination guard a
+    training pipeline needs): split membership hashes the near-dup
+    CLUSTER id, not the document id, so no near-duplicate pair can
+    straddle train and test (functions/sampling.py train_test_split
+    with key_col=cluster_id over the connected components).  Membership
+    depends only on the cluster key — growing the corpus never moves an
+    existing cluster across the boundary."""
+    from pincette_json_streams_spark.functions.dedup import (
+        connected_components, minhash_lsh_pairs,
+    )
+    from pincette_json_streams_spark.functions.sampling import (
+        train_test_split,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    comp = connected_components(pairs, nodes=docs.select("doc_id"))
+    labeled = comp.select(F.col("id").alias("doc_id"), "cluster_id")
+    return train_test_split(
+        labeled, test_fraction=0.2, key_col="cluster_id",
+    ).select("doc_id", "cluster_id", "split")
+
+
+def _oracle_split_leakfree():
+    return f"""
+WITH RECURSIVE pairs AS ({_oracle_minhash()}),
+nodes AS (SELECT doc_id AS id FROM documents),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+walk(id, reach) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT w.id, e.b FROM walk w JOIN edges e ON e.a = w.reach
+),
+comp AS (
+  SELECT id AS doc_id, min(reach) AS cluster_id FROM walk GROUP BY id
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN ('0x' || substr(md5('split' || cluster_id::VARCHAR),
+                                 1, 8))::BIGINT / 4294967296.0 < 0.2
+            THEN 'test' ELSE 'train' END AS split
+FROM comp
+"""
+
+
 def q_dedup_clusters_star(spark, sf_dir):
     """Same clusters via the O(log n) large-star/small-star alternation
     (functions/dedup.py:connected_components_star) — identical output
@@ -5205,6 +5250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_star": q_dedup_clusters_star,
         "dedup_canonical": q_dedup_canonical,
+        "split_leakfree": q_split_leakfree,
         "repetition_stats": q_repetition_stats,
         "aggregate_acl": q_aggregate_acl,
         # -- block 3: green in r1 only (stalest) ------------------------
@@ -5422,6 +5468,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _oracle_dedup_clusters(),
         "dedup_clusters_star": _oracle_dedup_clusters(),
         "dedup_canonical": _oracle_dedup_canonical(),
+        "split_leakfree": _oracle_split_leakfree(),
         "dedup_ngram": _ORACLE_NGRAM,
         "dedup_simhash": _oracle_simhash(),
         "dedup_embedding": _ORACLE_DEDUP_EMBEDDING,

@@ -67,7 +67,7 @@ class TestDriverContract:
             "bpe_encode", "emb_pca", "aggregate_fold", "per_batching",
             # new in round 4
             "merge_modes", "tz_gallery", "dedup_canonical",
-            "window_timerange",
+            "window_timerange", "split_leakfree",
             # hash-fixed in r3, never re-sampled
             "corpus_stats", "sample_split",
             # never driver-sampled

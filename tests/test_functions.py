@@ -3178,3 +3178,17 @@ class TestCodecPlugPoint:
             df, extractor=lambda b: [float(len(b)), float(b[0])],
         ).collect()
         assert out[0]["features"] == [3.0, 1.0]
+
+
+class TestLeakageFreeSplit:
+    def test_no_cluster_straddles_splits(self, spark, sf_dir):
+        """The guard property itself: every near-dup cluster lands
+        entirely in ONE split."""
+        import __spark_entry__ as entry
+        out = entry.queries()["split_leakfree"](spark, sf_dir).collect()
+        by_cluster = {}
+        for r in out:
+            by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+        assert all(len(v) == 1 for v in by_cluster.values())
+        splits = {r["split"] for r in out}
+        assert splits <= {"train", "test"}
