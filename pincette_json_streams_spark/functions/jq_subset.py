@@ -767,6 +767,12 @@ def _assign(node, inp, env):
         raise JqError(f"jq: bad assignment {op}")
 
 
+def _jq_re(pat: str) -> str:
+    """jq's Oniguruma named groups are (?<n>...); Python wants
+    (?P<n>...) — leave lookbehinds (?<= / (?<! alone."""
+    return re.sub(r"\(\?<(?![=!])", "(?P<", pat)
+
+
 def _call(name, args, inp, env: _Env):
     if name in env.funcs:
         params, body, closure_funcs = env.funcs[name]
@@ -875,20 +881,17 @@ def _call(name, args, inp, env: _Env):
         yield c in inp if isinstance(inp, (str, list)) else False
     elif name == "test":
         flags = one(1) if len(args) > 1 else ""
-        yield re.search(one(), inp,
+        yield re.search(_jq_re(one()), inp,
                         re.IGNORECASE if "i" in (flags or "") else 0) \
             is not None
     elif name in ("match", "capture", "scan"):
-        # jq's Oniguruma named groups are (?<n>...); Python wants
-        # (?P<n>...) — leave lookbehinds (?<= / (?<! alone
-        pat = re.sub(r"\(\?<(?![=!])", "(?P<", one(0))
+        pat = _jq_re(one(0))
         flags = one(1) if len(args) > 1 else ""
         f = re.IGNORECASE if "i" in (flags or "") else 0
         glob = name == "scan" or "g" in (flags or "")
 
         def mobj(m):
-            names = {v: k for k, v in
-                     ((k, v) for k, v in m.re.groupindex.items())}
+            names = {v: k for k, v in m.re.groupindex.items()}
             return {
                 "offset": m.start(), "length": m.end() - m.start(),
                 "string": m.group(0),
@@ -962,13 +965,18 @@ def _call(name, args, inp, env: _Env):
             yield ((min if name == "min_by" else max)(inp, key=key_of)
                    if inp else None)
         else:
-            srt = sorted(inp, key=key_of)
+            # decorate-sort-undecorate: the key expression (a full jq
+            # sub-evaluation) runs exactly once per element
+            decorated = sorted(((key_of(x), x) for x in inp),
+                               key=lambda kv: kv[0])
             groups: list = []
-            for x in srt:
-                if groups and key_of(groups[-1][0]) == key_of(x):
+            last_key = object()
+            for k, x in decorated:
+                if groups and k == last_key:
                     groups[-1].append(x)
                 else:
                     groups.append([x])
+                    last_key = k
             yield (groups if name == "group_by"
                    else [g[0] for g in groups])
     elif name == "flatten":
@@ -1010,15 +1018,22 @@ def _call(name, args, inp, env: _Env):
         yield {"trim": inp.strip, "ltrim": inp.lstrip,
                "rtrim": inp.rstrip}[name]()
     elif name in ("sub", "gsub"):
-        pat = one(0)
+        pat = _jq_re(one(0))
         repl = next(_eval(args[1], inp, env))
         flags = one(2) if len(args) > 2 else ""
-        f = re.IGNORECASE if "i" in flags else 0
-        n = 0 if (name == "gsub" or "g" in flags) else 1
+        f = re.IGNORECASE if "i" in (flags or "") else 0
+        n = 0 if (name == "gsub" or "g" in (flags or "")) else 1
         yield re.sub(pat, repl.replace("\\", "\\\\"), inp,
                      count=n, flags=f)
     elif name == "splits":
-        yield from re.split(one(), inp)
+        # manual scan, not re.split: Python's split EMITS capture
+        # groups into the result, jq never does
+        pat = _jq_re(one())
+        last = 0
+        for m in re.finditer(pat, inp):
+            yield inp[last:m.start()]
+            last = m.end()
+        yield inp[last:]
     elif name == "ascii":
         yield chr(int(inp))
     elif name == "explode":
@@ -1107,8 +1122,12 @@ def _call(name, args, inp, env: _Env):
     elif name == "delpaths":
         ps = next(_eval(args[0], inp, env))
         doc = inp
-        # longest-first so earlier deletions can't shift later paths
-        for p in sorted(ps, key=lambda q: (len(q), q), reverse=True):
+        # longest-first so earlier deletions can't shift later paths;
+        # segments order type-aware (numbers before strings, jq's
+        # total order) so mixed paths never raise TypeError
+        def seg_key(q):
+            return (len(q), [(isinstance(x, str), x) for x in q])
+        for p in sorted(ps, key=seg_key, reverse=True):
             doc = _del_in(doc, p)
         yield doc
     elif name in ("paths", "leaf_paths"):

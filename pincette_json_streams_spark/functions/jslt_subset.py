@@ -863,8 +863,13 @@ def _call(name, args, ctx, env):
                 u.username + (":" + u.password if u.password else ""))
         if u.hostname:
             out["host"] = u.hostname
-        if u.port is not None:
-            out["port"] = u.port
+        try:
+            if u.port is not None:
+                out["port"] = u.port
+        except ValueError:
+            # out-of-range / non-numeric port: omit the part instead of
+            # failing the executor task for one malformed URL
+            pass
         if u.path:
             out["path"] = u.path
         if u.query:

@@ -452,10 +452,15 @@ def interval_join(
     # left_outer needs a surrogate event key: anti-joining on the full
     # event column list is null-UNSAFE (a matched event carrying a NULL
     # in any non-join column fails the anti-join equality and would be
-    # emitted twice — once matched, once as unmatched)
+    # emitted twice — once matched, once as unmatched).  The tagged
+    # frame is localCheckpoint-ed (lazy): monotonically_increasing_id
+    # depends on partition layout and the subtree is evaluated TWICE
+    # (candidates + anti-join) — without materialization a recompute
+    # under a different layout could re-key rows between the sides.
     tagged = (events if how == "inner"
               else events.withColumn(
-                  "__eid", F.monotonically_increasing_id()))
+                  "__eid", F.monotonically_increasing_id())
+              .localCheckpoint(eager=False))
     ev = tagged.withColumn("__b", F.floor(F.col(ts) / b).cast("long"))
     iv = intervals.withColumn(
         "__b",

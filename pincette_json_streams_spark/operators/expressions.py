@@ -561,9 +561,16 @@ def _mongo_fmt_to_java(fmt: str) -> str:
 
 def _date_to_string_op(args, ctx):
     # timezone: format the zone's wall clock (Mongo shape)
-    d = _in_zone(_as_ts(compile_expr(args["date"], ctx)),
-                 args.get("timezone"))
+    tz = args.get("timezone")
     fmt = args.get("format", "%Y-%m-%dT%H:%M:%S.%LZ")
+    if tz not in _UTC_TZ and ("%z" in fmt or "%Z" in fmt):
+        # the zone shift yields a NAIVE timestamp, so %z would render
+        # the session's +0000 against local wall-clock digits — an
+        # inconsistent string; refuse rather than silently mislabel
+        raise UnsupportedExpression(
+            "$dateToString: %z/%Z with a non-UTC timezone is not "
+            "supported (offset would not match the shifted wall clock)")
+    d = _in_zone(_as_ts(compile_expr(args["date"], ctx)), tz)
     formatted = F.date_format(d, _mongo_fmt_to_java(fmt))
     if "onNull" in args:
         return F.coalesce(formatted, compile_expr(args["onNull"], ctx))
@@ -786,10 +793,14 @@ def _date_add_op(sign: int):
         amount = (
             compile_expr(args["amount"], ctx).cast("int") * sign
         )
-        # Mongo: calendar units are a function of the calendar IN the
-        # given timezone (a day across a DST change is 23/25 h of real
-        # time) — shift to the zone's wall clock, add, shift back
+        # Mongo: CALENDAR units (day and larger) are a function of the
+        # calendar IN the given timezone (a day across a DST change is
+        # 23/25 h of real time) — shift to the zone's wall clock, add,
+        # shift back.  Sub-day units are exact durations: the timezone
+        # argument must NOT affect them (docs.mongodb.com $dateAdd).
         tz = args.get("timezone")
+        if unit in ("hour", "minute", "second", "millisecond"):
+            tz = None
         return _iso_instant(_from_zone(
             F.timestamp_add(_TS_ADD_UNITS[unit], amount,
                             _in_zone(d, tz)), tz,

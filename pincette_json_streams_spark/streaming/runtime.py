@@ -99,15 +99,17 @@ def kafka_source(
     ``wire_format="cbor"`` (the reference's wire format,
     docs/serialisation.md) decodes gzip-CBOR message values with the
     string fallback; ``"string"`` casts the raw bytes."""
-    reader = (
-        spark.readStream.format("kafka")
-        .options(**kafka_client_options(bootstrap, config))
-        .option("subscribe", topic)
-        .option("startingOffsets", "earliest")
-    )
+    # defaults first, config LAST: a caller-provided startingOffsets /
+    # assign / subscribePattern must win over the built-in defaults
+    opts = {"subscribe": topic, "startingOffsets": "earliest"}
     if max_offsets_per_trigger:
-        reader = reader.option("maxOffsetsPerTrigger",
-                               str(max_offsets_per_trigger))
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    opts.update(kafka_client_options(bootstrap, config))
+    if config and ("assign" in config or "subscribePattern" in config):
+        # Spark rejects multiple subscription modes — an explicit mode
+        # in the config replaces the default subscribe
+        opts.pop("subscribe", None)
+    reader = spark.readStream.format("kafka").options(**opts)
     loaded = reader.load()
     if wire_format == "cbor":
         from pincette_json_streams_spark.sources.serialisation import (
@@ -159,10 +161,13 @@ def kafka_sink(
          else F.lit(None).cast("string")).alias("key"),
         value.alias("value"),
     )
+    # defaults first, config LAST (an explicit checkpointLocation in
+    # the client config wins over the positional argument)
+    wopts = {"checkpointLocation": checkpoint}
+    wopts.update(kafka_client_options(bootstrap, config))
     writer = (
         out.writeStream.format("kafka")
-        .options(**kafka_client_options(bootstrap, config))
-        .option("checkpointLocation", checkpoint)
+        .options(**wopts)
         .outputMode(output_mode)
     )
     if topic is not None and "topic" not in df.columns:

@@ -758,3 +758,31 @@ class TestTimezonePropertyVsZoneinfo:
                 want = mid.astimezone(_tz.utc).strftime(
                     "%Y-%m-%dT%H:%M:%SZ")
                 assert row["tr"] == want, (tz, d, row["tr"], want)
+
+    def test_date_add_subday_units_ignore_timezone(self, spark):
+        # Mongo: timezone affects CALENDAR units only; adding 2 hours is
+        # exactly 2 real hours even across a DST change in the zone
+        df = one(spark, x=1)
+        assert ev(df, {"$dateAdd": {
+            "startDate": {"$toDate": "2024-03-31T00:30:00Z"},
+            "unit": "hour", "amount": 2,
+            "timezone": "Europe/Brussels"}}) == "2024-03-31T02:30:00Z"
+        assert ev(df, {"$dateAdd": {
+            "startDate": {"$toDate": "2024-03-31T00:30:00Z"},
+            "unit": "minute", "amount": 90,
+            "timezone": "Europe/Brussels"}}) == "2024-03-31T02:00:00Z"
+
+    def test_date_to_string_offset_specifier_with_zone_raises(self, spark):
+        import pytest
+        from pincette_json_streams_spark.operators.expressions import (
+            UnsupportedExpression,
+        )
+        df = one(spark, x=1)
+        with pytest.raises(UnsupportedExpression):
+            ev(df, {"$dateToString": {
+                "date": {"$toDate": "2024-06-15T12:00:00Z"},
+                "format": "%H:%M %z", "timezone": "Europe/Brussels"}})
+        # %z stays fine in UTC
+        assert ev(df, {"$dateToString": {
+            "date": {"$toDate": "2024-06-15T12:00:00Z"},
+            "format": "%z"}}) == "+0000"

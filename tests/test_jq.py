@@ -316,3 +316,25 @@ class TestRegexFamily:
         assert jq('[scan("[0-9]+")]', "a12b345") == [["12", "345"]]
         assert jq('[scan("([a-z])([0-9])")]', "a1 b2") == \
             [[["a", "1"], ["b", "2"]]]
+
+
+class TestReviewRegressionsR4:
+    """Round-4 adversarial-review locks."""
+
+    def test_named_groups_in_sub_gsub_test_splits(self):
+        # Oniguruma (?<n>...) must translate in EVERY regex builtin
+        assert jq('sub("(?<a>b)"; "X")', "abc") == ["aXc"]
+        assert jq('gsub("(?<d>[0-9])"; "#")', "a1b2") == ["a#b#"]
+        assert jq('test("(?<a>b)")', "abc") == [True]
+        # capture groups are NOT emitted into the pieces (unlike
+        # Python's re.split)
+        assert jq('[splits("(?<s>,)")]', "a,b") == [["a", "b"]]
+
+    def test_gsub_null_flags(self):
+        assert jq('gsub("b"; "X"; null)', "abcb") == ["aXcX"]
+        assert jq('sub("b"; "X"; null)', "abcb") == ["aXcb"]
+
+    def test_delpaths_mixed_segment_types(self):
+        assert jq('delpaths([["a"], [0]])', {"a": 1}) == [{}]
+        assert jq('delpaths([["a", 0], ["b"]])',
+                  {"a": [9, 8], "b": 2}) == [{"a": [8]}]

@@ -272,3 +272,9 @@ class TestJavaNamedGroups:
                     "me@ex.io") == {"u": "me", "d": "ex.io"}
         # Python spelling keeps working too
         assert jslt('capture(., "(?P<x>[0-9]+)")', "a42") == {"x": "42"}
+
+
+class TestParseUrlEdge:
+    def test_out_of_range_port_is_omitted(self):
+        out = jslt('parse-url(.)', "http://host:99999/x")
+        assert out["host"] == "host" and "port" not in out

@@ -913,3 +913,29 @@ class TestKafkaClientOptions:
         )
         assert kafka_client_options("b:9092") == {
             "kafka.bootstrap.servers": "b:9092"}
+
+
+class TestKafkaOptionPrecedence:
+    def test_config_overrides_source_defaults(self):
+        # pure-dict check of the merge order used by kafka_source
+        from pincette_json_streams_spark.streaming.runtime import (
+            kafka_client_options,
+        )
+        opts = {"subscribe": "t", "startingOffsets": "earliest"}
+        opts.update(kafka_client_options(
+            "b:9092", {"startingOffsets": "latest"}))
+        assert opts["startingOffsets"] == "latest"
+        assert opts["subscribe"] == "t"
+
+    def test_assign_mode_drops_default_subscribe(self, spark):
+        from pincette_json_streams_spark.streaming.runtime import (
+            kafka_source,
+        )
+        # building the reader must not raise on conflicting modes; the
+        # load() itself needs the connector jar, so stop before it
+        try:
+            kafka_source(spark, "t", "b:9092",
+                         config={"assign": '{"t":[0]}'})
+        except Exception as ex:
+            # acceptable only if it's the missing-connector load error
+            assert "kafka" in str(ex).lower(), ex
