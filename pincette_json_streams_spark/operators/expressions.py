@@ -563,15 +563,36 @@ def _date_to_string_op(args, ctx):
     # timezone: format the zone's wall clock (Mongo shape)
     tz = args.get("timezone")
     fmt = args.get("format", "%Y-%m-%dT%H:%M:%S.%LZ")
-    if tz not in _UTC_TZ and ("%z" in fmt or "%Z" in fmt):
-        # the zone shift yields a NAIVE timestamp, so %z would render
-        # the session's +0000 against local wall-clock digits — an
-        # inconsistent string; refuse rather than silently mislabel
+    raw = _as_ts(compile_expr(args["date"], ctx))
+    d = _in_zone(raw, tz)
+    if tz not in _UTC_TZ and "%z" in fmt:
+        # the zone shift yields a NAIVE timestamp, so date_format's own
+        # %z would render the session's +0000 against local wall-clock
+        # digits.  Compute the zone's UTC offset at THIS instant (DST-
+        # correct: shifted minus raw epoch millis) and splice it in as
+        # Mongo's +HHMM between the %z-free format segments.
+        off_min = ((F.unix_millis(d) - F.unix_millis(raw)) / 60000) \
+            .cast("long")
+        off_str = F.concat(
+            F.when(off_min < 0, F.lit("-")).otherwise(F.lit("+")),
+            F.lpad((F.abs(off_min) / 60).cast("long").cast("string"),
+                   2, "0"),
+            F.lpad(F.pmod(F.abs(off_min), F.lit(60)).cast("string"),
+                   2, "0"),
+        )
+        parts = []
+        for i, seg in enumerate(fmt.split("%z")):
+            if i:
+                parts.append(off_str)
+            if seg:
+                parts.append(F.date_format(d, _mongo_fmt_to_java(seg)))
+        formatted = F.concat(*parts) if parts else F.lit("")
+    elif tz not in _UTC_TZ and "%Z" in fmt:
         raise UnsupportedExpression(
-            "$dateToString: %z/%Z with a non-UTC timezone is not "
-            "supported (offset would not match the shifted wall clock)")
-    d = _in_zone(_as_ts(compile_expr(args["date"], ctx)), tz)
-    formatted = F.date_format(d, _mongo_fmt_to_java(fmt))
+            "$dateToString: %Z (zone name) with a non-UTC timezone is "
+            "not supported — use %z for the numeric offset")
+    else:
+        formatted = F.date_format(d, _mongo_fmt_to_java(fmt))
     if "onNull" in args:
         return F.coalesce(formatted, compile_expr(args["onNull"], ctx))
     return formatted

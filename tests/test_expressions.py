@@ -772,16 +772,24 @@ class TestTimezonePropertyVsZoneinfo:
             "unit": "minute", "amount": 90,
             "timezone": "Europe/Brussels"}}) == "2024-03-31T02:00:00Z"
 
-    def test_date_to_string_offset_specifier_with_zone_raises(self, spark):
-        import pytest
-        from pincette_json_streams_spark.operators.expressions import (
-            UnsupportedExpression,
-        )
+    def test_date_to_string_offset_specifier_in_zone(self, spark):
         df = one(spark, x=1)
-        with pytest.raises(UnsupportedExpression):
-            ev(df, {"$dateToString": {
-                "date": {"$toDate": "2024-06-15T12:00:00Z"},
-                "format": "%H:%M %z", "timezone": "Europe/Brussels"}})
+        # %z renders the ZONE's offset at that instant, DST-correct
+        assert ev(df, {"$dateToString": {
+            "date": {"$toDate": "2024-06-15T12:00:00Z"},
+            "format": "%H:%M %z",
+            "timezone": "Europe/Brussels"}}) == "14:00 +0200"
+        assert ev(df, {"$dateToString": {
+            "date": {"$toDate": "2024-01-15T12:00:00Z"},
+            "format": "%H:%M %z",
+            "timezone": "Europe/Brussels"}}) == "13:00 +0100"
+        assert ev(df, {"$dateToString": {
+            "date": {"$toDate": "2024-06-15T12:00:00Z"},
+            "format": "%z",
+            "timezone": "America/New_York"}}) == "-0400"
+        assert ev(df, {"$dateToString": {
+            "date": {"$toDate": "2024-06-15T12:00:00Z"},
+            "format": "%z", "timezone": "+05:30"}}) == "+0530"
         # %z stays fine in UTC
         assert ev(df, {"$dateToString": {
             "date": {"$toDate": "2024-06-15T12:00:00Z"},
