@@ -773,6 +773,33 @@ def _jq_re(pat: str) -> str:
     return re.sub(r"\(\?<(?![=!])", "(?P<", pat)
 
 
+def _re_flags(flags, fn: str):
+    """jq (Oniguruma) regex flag letters → (python_flags, global,
+    ignore_empty).  Unsupported letters raise instead of silently
+    changing the match semantics (jq manual `test/match/.. FLAGS`):
+    g global, i case-insensitive, x extended, s single-line
+    (Python's default), m dot-matches-newline, n skip empty
+    matches, p = s+m."""
+    f = 0
+    glob = ignore_empty = False
+    for c in (flags or ""):
+        if c == "i":
+            f |= re.IGNORECASE
+        elif c == "x":
+            f |= re.VERBOSE
+        elif c in ("m", "p"):
+            f |= re.DOTALL
+        elif c == "s":
+            pass  # ^ -> \A, $ -> \Z is Python's default mode
+        elif c == "g":
+            glob = True
+        elif c == "n":
+            ignore_empty = True
+        else:
+            raise JqError(f"jq: {fn}: unsupported regex flag {c!r}")
+    return f, glob, ignore_empty
+
+
 def _call(name, args, inp, env: _Env):
     if name in env.funcs:
         params, body, closure_funcs = env.funcs[name]
@@ -881,14 +908,13 @@ def _call(name, args, inp, env: _Env):
         yield c in inp if isinstance(inp, (str, list)) else False
     elif name == "test":
         flags = one(1) if len(args) > 1 else ""
-        yield re.search(_jq_re(one()), inp,
-                        re.IGNORECASE if "i" in (flags or "") else 0) \
-            is not None
+        f, _g, _n = _re_flags(flags, name)
+        yield re.search(_jq_re(one()), inp, f) is not None
     elif name in ("match", "capture", "scan"):
         pat = _jq_re(one(0))
         flags = one(1) if len(args) > 1 else ""
-        f = re.IGNORECASE if "i" in (flags or "") else 0
-        glob = name == "scan" or "g" in (flags or "")
+        f, glob, ignore_empty = _re_flags(flags, name)
+        glob = name == "scan" or glob
 
         def mobj(m):
             names = {v: k for k, v in m.re.groupindex.items()}
@@ -906,6 +932,8 @@ def _call(name, args, inp, env: _Env):
             }
         matches = (re.finditer(pat, inp, f) if glob else
                    filter(None, [re.search(pat, inp, f)]))
+        if ignore_empty:
+            matches = (m for m in matches if m.group(0) != "")
         for m in matches:
             if name == "match":
                 yield mobj(m)
@@ -1019,18 +1047,42 @@ def _call(name, args, inp, env: _Env):
                "rtrim": inp.rstrip}[name]()
     elif name in ("sub", "gsub"):
         pat = _jq_re(one(0))
-        repl = next(_eval(args[1], inp, env))
         flags = one(2) if len(args) > 2 else ""
-        f = re.IGNORECASE if "i" in (flags or "") else 0
-        n = 0 if (name == "gsub" or "g" in (flags or "")) else 1
-        yield re.sub(pat, repl.replace("\\", "\\\\"), inp,
-                     count=n, flags=f)
+        f, glob, ignore_empty = _re_flags(flags, name)
+        matches = list(re.finditer(pat, inp, f))
+        if ignore_empty:
+            matches = [m for m in matches if m.group(0) != ""]
+        if not (name == "gsub" or glob):
+            matches = matches[:1]
+
+        # jq evaluates the replacement PER MATCH with the named
+        # captures as the input ({name: captured}); a replacement
+        # emitting k values fans out into the cartesian product of
+        # results, exactly like real jq.
+        def splice(i, last):
+            if i == len(matches):
+                yield inp[last:]
+                return
+            m = matches[i]
+            cap = dict(m.groupdict())
+            for r in _eval(args[1], cap, env):
+                if not isinstance(r, str):
+                    raise JqError(
+                        f"jq: {name} replacement must be a string")
+                head = inp[last:m.start()] + r
+                for rest in splice(i + 1, m.end()):
+                    yield head + rest
+        yield from splice(0, 0)
     elif name == "splits":
         # manual scan, not re.split: Python's split EMITS capture
         # groups into the result, jq never does
-        pat = _jq_re(one())
+        pat = _jq_re(one(0))
+        flags = one(1) if len(args) > 1 else ""
+        f, _g, ignore_empty = _re_flags(flags, name)
         last = 0
-        for m in re.finditer(pat, inp):
+        for m in re.finditer(pat, inp, f):
+            if ignore_empty and m.group(0) == "":
+                continue
             yield inp[last:m.start()]
             last = m.end()
         yield inp[last:]

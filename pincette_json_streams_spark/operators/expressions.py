@@ -605,9 +605,22 @@ def _date_from_string_op(args, ctx):
         F.to_timestamp(s, _mongo_fmt_to_java(fmt))
         if fmt else F.to_timestamp(s)
     )
-    # timezone: the string is wall clock IN that zone (Mongo shape);
-    # strings carrying their own offset should not also pass timezone
-    ts = _from_zone(ts, args.get("timezone"))
+    # timezone: the string is wall clock IN that zone (Mongo shape).
+    # Mongo REJECTS timezone when the string carries its own offset;
+    # we keep the parsed instant for those rows instead of shifting a
+    # second time (to_timestamp already normalised it to UTC).  Bare
+    # "+05" hour-only offsets are not detected (4-digit / Z only) to
+    # avoid false-positives on plain dates like "2020-01-05".
+    tz = args.get("timezone")
+    if tz in _UTC_TZ:
+        pass
+    elif fmt and "%z" in fmt:
+        raise UnsupportedExpression(
+            "$dateFromString: timezone together with an offset-bearing "
+            "format (%z) is ambiguous — MongoDB rejects it")
+    else:
+        has_offset = s.rlike(r"[0-9](Z|[+-][0-9]{2}:?[0-9]{2})$")
+        ts = F.when(has_offset, ts).otherwise(_from_zone(ts, tz))
     if "onNull" in args or "onError" in args:
         fallback = compile_expr(
             args.get("onError", args.get("onNull")), ctx

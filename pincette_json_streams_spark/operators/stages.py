@@ -85,7 +85,16 @@ class PipelineContext:
     def collection(self, name: str) -> DataFrame:
         if name not in self.catalog:
             raise KeyError(f"unknown collection {name!r}")
-        return self.catalog[name]
+        df = self.catalog[name]
+        if df.isStreaming:
+            # defense-in-depth: $out/$merge never register streaming
+            # frames, but a caller-supplied streaming catalog entry
+            # must not silently become a batch join source
+            raise KeyError(
+                f"collection {name!r} is a streaming frame — batch "
+                "lookups of a stream are illegal; materialise it "
+                "through a sink first")
+        return df
 
 
 def compile_pipeline(
@@ -1246,7 +1255,7 @@ def _stage_out(df, spec, pctx):
     # $lookup/$graphLookup an illegal stream-as-batch join source.
     name = spec if isinstance(spec, str) else spec["coll"]
     pctx.outputs[name] = df
-    if not df.isStreaming or name not in pctx.catalog:
+    if not df.isStreaming:
         pctx.catalog[name] = df
     return df
 
@@ -1279,12 +1288,10 @@ def _stage_merge(df, spec, pctx):
         # streaming: capture only — upsert-by-key is the sink layer's
         # contract (toCollection / Delta MERGE in foreachBatch); the
         # batch full-outer join below is an illegal streaming plan.
-        # Register in the catalog too (like the batch path) so later
-        # parts can reference the collection — without clobbering an
-        # existing static target.
+        # Streaming frames are NEVER registered in the catalog: a
+        # later part's $lookup/$graphLookup of the entry would be a
+        # stream-as-batch join (collection() rejects those).
         pctx.outputs[name] = df
-        if name not in pctx.catalog:
-            pctx.catalog[name] = df
         return df
     if target is not None:
         # Mongo contract: every `on` field must exist on both sides —

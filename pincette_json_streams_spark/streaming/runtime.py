@@ -54,6 +54,8 @@ __all__ = [
 _SPARK_KAFKA_OPTS = {
     "subscribe", "subscribePattern", "assign", "topic",
     "startingOffsets", "endingOffsets", "startingTimestamp",
+    "endingTimestamp", "startingOffsetsByTimestamp",
+    "endingOffsetsByTimestamp", "startingOffsetsByTimestampStrategy",
     "maxOffsetsPerTrigger", "minOffsetsPerTrigger", "failOnDataLoss",
     "minPartitions", "groupIdPrefix", "includeHeaders",
     "checkpointLocation", "maxTriggerDelay", "fetchOffset.numRetries",

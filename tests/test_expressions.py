@@ -705,6 +705,28 @@ class TestTimezonesCalendarMath:
             "format": "%d/%m/%Y %H:%M:%S",
             "timezone": "Asia/Kolkata"}}) == "2024-03-31T05:15:00Z"
 
+    def test_date_from_string_own_offset_not_double_shifted(self, spark):
+        # R5 ADVICE lock: a dateString carrying its own offset keeps
+        # the parsed instant — the timezone argument must not shift it
+        # a second time (Mongo outright rejects the combination)
+        df = one(spark, x=1)
+        for s in ("2024-06-15T12:00:00+05:00",
+                  "2024-06-15T12:00:00+0500"):
+            assert ev(df, {"$dateFromString": {
+                "dateString": s,
+                "timezone": "Europe/Brussels"}}) == "2024-06-15T07:00:00Z"
+        assert ev(df, {"$dateFromString": {
+            "dateString": "2024-06-15T12:00:00Z",
+            "timezone": "Asia/Kolkata"}}) == "2024-06-15T12:00:00Z"
+        # offset-free strings still get the wall-clock interpretation
+        assert ev(df, {"$dateFromString": {
+            "dateString": "2024-06-15T12:00:00",
+            "timezone": "+05:00"}}) == "2024-06-15T07:00:00Z"
+        # plain dates must NOT false-positive as offset-bearing
+        assert ev(df, {"$dateFromString": {
+            "dateString": "2020-01-05", "format": "%Y-%m-%d",
+            "timezone": "+05:00"}}) == "2020-01-04T19:00:00Z"
+
 
 class TestTimezonePropertyVsZoneinfo:
     """Property lock: zone-aware operators agree with Python zoneinfo

@@ -338,3 +338,40 @@ class TestReviewRegressionsR4:
         assert jq('delpaths([["a"], [0]])', {"a": 1}) == [{}]
         assert jq('delpaths([["a", 0], ["b"]])',
                   {"a": [9, 8], "b": 2}) == [{"a": [8]}]
+
+
+class TestReviewRegressionsR5:
+    """Round-5 ADVICE locks: per-match replacement + regex flags."""
+
+    def test_sub_replacement_sees_captures(self):
+        # jq's standard idiom: the replacement is evaluated PER MATCH
+        # with {name: captured} as the input
+        assert jq('sub("(?<x>b)"; "[" + .x + "]")', "abc") == ["a[b]c"]
+        assert jq('gsub("(?<v>[aeiou])"; "<" + .v + ">")',
+                  "hello") == ["h<e>ll<o>"]
+
+    def test_sub_replacement_fanout(self):
+        # a replacement emitting k values fans out (real jq behavior)
+        assert jq('sub("b"; "x", "y")', "ab") == ["ax", "ay"]
+
+    def test_sub_replacement_backslash_literal(self):
+        # backslashes in the replacement are literal, never \1 refs
+        assert jq(r'sub("b"; "\\d")', "ab") == ["a\\d"]
+
+    def test_splits_honours_flags(self):
+        assert jq('[splits("a"; "i")]', "bAc") == [["b", "c"]]
+        assert jq('[splits("A")]', "bAc") == [["b", "c"]]
+
+    def test_flags_extended_and_dotall(self):
+        # x: extended (whitespace ignored); m: dot matches newline
+        assert jq('test("b c"; "x")', "abc") == [True]
+        assert jq('test("a.c"; "m")', "a\nc") == [True]
+        assert jq('test("a.c")', "a\nc") == [False]
+
+    def test_unsupported_flag_raises(self):
+        with pytest.raises(JqError):
+            jq('test("a"; "q")', "abc")
+        with pytest.raises(JqError):
+            jq('[splits("a"; "q")]', "bac")
+        with pytest.raises(JqError):
+            jq('gsub("a"; "x"; "q")', "bac")

@@ -1832,10 +1832,17 @@ class TestReviewRegressions3:
         compile_pipeline(stream, [{"$out": "c"}], pctx)
         assert pctx.catalog["c"] is static          # lookup source kept
         assert pctx.outputs["c"] is not static      # sink captured
-        # a fresh name still registers the stream
+        # a fresh name is captured as an output but NEVER enters the
+        # catalog: a later $lookup of it would be a stream-as-batch join
         pctx2 = PipelineContext(catalog={})
         compile_pipeline(stream, [{"$out": "d"}], pctx2)
-        assert pctx2.catalog["d"].isStreaming
+        assert "d" not in pctx2.catalog
+        assert pctx2.outputs["d"].isStreaming
+        # and collection() refuses a streaming entry outright
+        import pytest as _pytest
+        pctx3 = PipelineContext(catalog={"s": stream})
+        with _pytest.raises(KeyError, match="streaming"):
+            pctx3.collection("s")
 
     def test_date_from_parts_carries_overflow(self, spark):
         from pincette_json_streams_spark.operators.context import ctx_for

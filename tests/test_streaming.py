@@ -907,6 +907,24 @@ class TestKafkaClientOptions:
         assert opts["kafka.linger.ms"] == "5"
         assert "kafka.maxOffsetsPerTrigger" not in opts
 
+    def test_timestamp_offset_options_stay_unprefixed(self):
+        # R5 ADVICE lock: the timestamp-based connector options must
+        # not be kafka.-prefixed (the connector would drop them)
+        from pincette_json_streams_spark.streaming.runtime import (
+            kafka_client_options,
+        )
+        opts = kafka_client_options("b:9092", {
+            "startingOffsetsByTimestamp": '{"t": {"0": 1718000000000}}',
+            "endingOffsetsByTimestamp": '{"t": {"0": 1718100000000}}',
+            "startingTimestamp": "1718000000000",
+            "endingTimestamp": "1718100000000",
+            "startingOffsetsByTimestampStrategy": "latest",
+        })
+        for k in ("startingOffsetsByTimestamp", "endingOffsetsByTimestamp",
+                  "startingTimestamp", "endingTimestamp",
+                  "startingOffsetsByTimestampStrategy"):
+            assert k in opts and f"kafka.{k}" not in opts
+
     def test_empty_config(self):
         from pincette_json_streams_spark.streaming.runtime import (
             kafka_client_options,
