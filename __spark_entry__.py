@@ -2248,7 +2248,7 @@ def q_dedup_clusters(spark, sf_dir):
         connected_components, minhash_lsh_pairs,
     )
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    pairs = minhash_lsh_pairs(docs, threshold=0.5, edges="star")
     comp = connected_components(pairs, nodes=docs.select("doc_id"))
     w = Window.partitionBy("cluster_id")
     return comp.select(
@@ -2291,7 +2291,7 @@ def q_dedup_canonical(spark, sf_dir):
         connected_components, minhash_lsh_pairs,
     )
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    pairs = minhash_lsh_pairs(docs, threshold=0.5, edges="star")
     comp = connected_components(pairs, nodes=docs.select("doc_id"))
     labeled = comp.select(F.col("id").alias("doc_id"), "cluster_id") \
         .join(docs.select("doc_id", "n_chars"), "doc_id")
@@ -2360,7 +2360,7 @@ def q_split_leakfree(spark, sf_dir):
         train_test_split,
     )
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    pairs = minhash_lsh_pairs(docs, threshold=0.5, edges="star")
     comp = connected_components(pairs, nodes=docs.select("doc_id"))
     labeled = comp.select(F.col("id").alias("doc_id"), "cluster_id")
     return train_test_split(
@@ -2399,7 +2399,7 @@ def q_dedup_clusters_star(spark, sf_dir):
         connected_components_star, minhash_lsh_pairs,
     )
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    pairs = minhash_lsh_pairs(docs, threshold=0.5, edges="star")
     comp = connected_components_star(pairs, nodes=docs.select("doc_id"))
     w = Window.partitionBy("cluster_id")
     return comp.select(
@@ -5214,72 +5214,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering contract: if the driver samples a prefix of this dict, the
+    # Ordering contract: the driver samples a prefix of this dict, so the
     # least-recently-driver-checked queries must come first.  Re-derived
-    # after CORRECTNESS_r03: block 0 = the 8 r3 reds fixed this round
-    # (array columns flattened / oracles added) plus the standing
-    # no_oracle pair (aggregate_fold r1, per_batching r1) now
-    # oracle-checked, plus brand-new merge_modes; block 1 = hash-fixed
-    # in r3 but never re-sampled; block 2 = never driver-sampled in any
-    # round; block 3 = green in r1 only (stalest green signal); block 4
-    # = green in r2; block 5 = green in r3 (freshest signal, back of
-    # the line).
+    # after CORRECTNESS_r04 (50/50 green): block 0 = the 29 queries whose
+    # latest driver check is r2, block 1 = the 42 last checked in r3,
+    # block 2 = the 50 sampled (green) in r4.  A 50-query prefix covers
+    # all of block 0 plus half of block 1 — no query goes 3 rounds
+    # unsampled.
     return {
-        # -- block 0: fixed this round — must re-sample -----------------
-        "graph_lookup": q_graph_lookup,
-        "window_modern": q_window_modern,
-        "lookup_topn": q_lookup_topn,
-        "facet_summary": q_facet,
-        "topn_accumulators": q_topn_accumulators,
-        "modern_ops": q_modern_ops,
-        "bpe_encode": q_bpe_encode,
-        "emb_pca": q_emb_pca,
-        "aggregate_fold": q_aggregate_fold,
-        "per_batching": q_per_batching,
-        "merge_modes": q_merge_modes,
-        "tz_gallery": q_tz_gallery,
-        "window_timerange": q_window_timerange,
-        # -- block 1: hash-fixed in r3, never re-sampled ----------------
-        "corpus_stats": q_corpus_stats,
-        "sample_split": q_sample_split,
-        # -- block 2: never driver-sampled in any round -----------------
-        "chunk_docs": q_chunk_docs,
-        "passage_dedup": q_passage_dedup,
-        "quantize_embeddings": q_quantize_embeddings,
-        "quality_trim": q_quality_trim,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_clusters_star": q_dedup_clusters_star,
-        "dedup_canonical": q_dedup_canonical,
-        "split_leakfree": q_split_leakfree,
-        "repetition_stats": q_repetition_stats,
-        "aggregate_acl": q_aggregate_acl,
-        # -- block 3: green in r1 only (stalest) ------------------------
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_ngram": q_dedup_ngram,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_embedding": q_dedup_embedding,
-        "ann_lsh": q_ann_lsh,
-        "ann_topk": q_ann_topk,
-        "quality_filter": q_quality_filter,
-        "aggregate_unique": q_aggregate_unique,
-        "aggregate_jslt_reducer": q_aggregate_jslt_reducer,
-        "aggregate_validate": q_aggregate_validate,
-        # -- block 4: green in r2 ---------------------------------------
-        "pricing_summary": q_pricing_summary,
-        "segment_revenue": q_segment_revenue,
-        "match_query_ops": q_match_query_ops,
-        "project_compute": q_project_compute,
-        "switch_let": q_switch_let,
-        "group_mergeobjects": q_group_mergeobjects,
-        "unwind_words": q_unwind_words,
-        "group_accumulators": q_group_accumulators,
-        "bucket_prices": q_bucket_prices,
-        "count_stage": q_count_stage,
-        "lookup_array": q_lookup_array,
-        "lookup_pipeline": q_lookup_pipeline,
-        "join_part": q_join_part,
-        "merge_part": q_merge_part,
+        # -- block 0: last driver-sampled in r2 (stalest signal) --------
         "string_ops": q_string_ops,
         "datetime_ops": q_datetime_ops,
         "arith_ops": q_arith_ops,
@@ -5308,7 +5251,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "pii_scrub": q_pii_scrub,
         "token_vocab": q_token_vocab,
-        # -- block 5: green in r3 (freshest) ----------------------------
+        "dedup_stage": q_dedup_stage,
+        # -- block 1: last driver-sampled in r3 -------------------------
         "bpe_pairs": q_bpe_pairs,
         "sort_by_count": q_sort_by_count,
         "bigram_lm": q_bigram_lm,
@@ -5335,7 +5279,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_buckets": q_union_buckets,
         "linear_fill": q_linear_fill,
         "cms_merge": q_cms_merge,
-        "dedup_stage": q_dedup_stage,
         "domain_mix": q_domain_mix,
         "pack_sequences": q_pack_sequences,
         "dedup_incremental": q_dedup_incremental,
@@ -5352,6 +5295,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gapfill": q_events_gapfill,
         "profile_table": q_profile_table,
         "tfidf_terms": q_tfidf_terms,
+        # -- block 2: green in the r4 sample (freshest, back of line) ---
+        "graph_lookup": q_graph_lookup,
+        "window_modern": q_window_modern,
+        "lookup_topn": q_lookup_topn,
+        "facet_summary": q_facet,
+        "topn_accumulators": q_topn_accumulators,
+        "modern_ops": q_modern_ops,
+        "bpe_encode": q_bpe_encode,
+        "emb_pca": q_emb_pca,
+        "aggregate_fold": q_aggregate_fold,
+        "per_batching": q_per_batching,
+        "merge_modes": q_merge_modes,
+        "tz_gallery": q_tz_gallery,
+        "window_timerange": q_window_timerange,
+        "corpus_stats": q_corpus_stats,
+        "sample_split": q_sample_split,
+        "chunk_docs": q_chunk_docs,
+        "passage_dedup": q_passage_dedup,
+        "quantize_embeddings": q_quantize_embeddings,
+        "quality_trim": q_quality_trim,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_clusters_star": q_dedup_clusters_star,
+        "dedup_canonical": q_dedup_canonical,
+        "split_leakfree": q_split_leakfree,
+        "repetition_stats": q_repetition_stats,
+        "aggregate_acl": q_aggregate_acl,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_ngram": q_dedup_ngram,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
+        "ann_lsh": q_ann_lsh,
+        "ann_topk": q_ann_topk,
+        "quality_filter": q_quality_filter,
+        "aggregate_unique": q_aggregate_unique,
+        "aggregate_jslt_reducer": q_aggregate_jslt_reducer,
+        "aggregate_validate": q_aggregate_validate,
+        "pricing_summary": q_pricing_summary,
+        "segment_revenue": q_segment_revenue,
+        "match_query_ops": q_match_query_ops,
+        "project_compute": q_project_compute,
+        "switch_let": q_switch_let,
+        "group_mergeobjects": q_group_mergeobjects,
+        "unwind_words": q_unwind_words,
+        "group_accumulators": q_group_accumulators,
+        "bucket_prices": q_bucket_prices,
+        "count_stage": q_count_stage,
+        "lookup_array": q_lookup_array,
+        "lookup_pipeline": q_lookup_pipeline,
+        "join_part": q_join_part,
+        "merge_part": q_merge_part,
     }
 
 

@@ -257,13 +257,28 @@ def minhash_lsh_pairs(
     bands: int = 8,
     k: int = 9,
     threshold: float = 0.5,
+    edges: str = "pairs",
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash-LSH + exact-Jaccard verify.
 
     Plan shape at scale: one scan computing (id, signature, shingles) ->
     explode to `bands` rows -> shuffle on (band, bandkey) -> per-bucket
     self-join (skew-bounded by bucket size) -> exact verify on candidates.
+
+    ``edges`` selects the output contract:
+
+    - ``"pairs"`` (default): every qualifying document pair.  Correct
+      for pair-level consumers (recall measurement, pair audits) but
+      QUADRATIC in exact-duplicate cluster size — a 10^6-doc
+      boilerplate cluster emits ~5*10^11 rows.
+    - ``"star"``: a spanning set with the SAME connected components —
+      one hub edge per exact-dup group member (min-id hub) and one
+      representative edge per qualifying group pair.  O(n + p) rows,
+      linear in group size; this is what the component/canonical/split
+      consumers should feed to ``connected_components``.
     """
+    if edges not in ("pairs", "star"):
+        raise ValueError(f"edges must be 'pairs' or 'star', got {edges!r}")
     base = (
         _spread(df)
         .select(
@@ -328,9 +343,29 @@ def minhash_lsh_pairs(
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
-    cross = (
+    verified = (
         cand.withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= threshold)
+    )
+    if edges == "star":
+        # one representative edge per qualifying group pair (ids are
+        # sorted, so ids[0] is the group min) + a min-id hub star per
+        # exact-dup group: identical components, O(n) edges
+        cross = verified.select(
+            F.least(F.col("ids_a")[0], F.col("ids_b")[0]).alias("id_a"),
+            F.greatest(F.col("ids_a")[0], F.col("ids_b")[0]).alias("id_b"),
+            "jaccard",
+        )
+        within = (
+            groups.filter(F.size("ids") > 1)
+            .select(F.col("ids")[0].alias("id_a"),
+                    F.explode("ids").alias("id_b"))
+            .filter(F.col("id_b") != F.col("id_a"))
+            .withColumn("jaccard", F.lit(1.0))
+        )
+        return cross.unionByName(within)
+    cross = (
+        verified
         .select(F.explode("ids_a").alias("ia"), "ids_b", "jaccard")
         .select("ia", F.explode("ids_b").alias("ib"), "jaccard")
         .select(F.least("ia", "ib").alias("id_a"),
@@ -901,24 +936,33 @@ def connected_components(
         labels = labels.unionByName(ids).distinct()
     labels = labels.withColumn("comp", F.col("id"))
 
+    from pyspark.sql import Observation
+
     for _ in range(max_iters):
         msgs = (
             sym.join(labels, sym["a"] == labels["id"])
             .select(F.col("b").alias("id"), "comp")
         )
+        # the convergence probe rides the SAME job as the label round:
+        # the old label travels through the min-aggregation (unique
+        # non-null per id, so max() recovers it) and observe() counts
+        # the changes during the eager checkpoint action — one Spark
+        # job per iteration, not two
+        obs = Observation()
         new = (
-            labels.select("id", "comp").unionByName(msgs)
-            .groupBy("id").agg(F.min("comp").alias("comp"))
+            labels.select("id", "comp", F.col("comp").alias("old"))
+            .unionByName(msgs.withColumn(
+                "old", F.lit(None).cast(msgs.schema["comp"].dataType)))
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"), F.max("old").alias("old"))
+            .observe(obs, F.sum(
+                (F.col("comp") != F.col("old")).cast("long")
+            ).alias("changed"))
+            .select("id", "comp")
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1).count()
-        )
         labels = new
-        if changed == 0:
+        if not obs.get.get("changed"):
             break
     return labels.select("id", F.col("comp").alias("cluster_id"))
 
@@ -964,7 +1008,7 @@ def connected_components_star(
         return _sym(es).groupBy("a").agg(F.min("b").alias("p"))
 
     prev = parents(edges)
-    for _ in range(max_iters):
+    for it in range(max_iters):
         # large-star: every strictly-larger neighbor of u links to
         # min(N(u) + u) — long chains collapse geometrically.  The edge
         # set is undirected, so each round works on the symmetric view.
@@ -988,18 +1032,23 @@ def connected_components_star(
             .filter(F.col("a") != F.col("b")).distinct()
             .localCheckpoint(eager=True)
         )
-        cur = parents(edges)
-        moved = (
-            cur.alias("c").join(prev.alias("p"), "a", "full")
-            .filter(
-                F.col("c.p").isNull() | F.col("p.p").isNull()
-                | (F.col("c.p") != F.col("p.p"))
+        # the parent-map probe is its own join job, so amortise it:
+        # probe every 2nd round (rounds shrink the graph geometrically,
+        # and the fixpoint is stable, so a 2-round stale comparison
+        # converges identically — one extra cheap round at worst)
+        if it % 2 == 1 or it == max_iters - 1:
+            cur = parents(edges)
+            moved = (
+                cur.alias("c").join(prev.alias("p"), "a", "full")
+                .filter(
+                    F.col("c.p").isNull() | F.col("p.p").isNull()
+                    | (F.col("c.p") != F.col("p.p"))
+                )
+                .limit(1).count()
             )
-            .limit(1).count()
-        )
-        prev = cur
-        if moved == 0:
-            break
+            prev = cur
+            if moved == 0:
+                break
     # at the star fixpoint every member points at the component min, and
     # the min's own parent is the second-smallest member — least(id, p)
     # is therefore the root for both

@@ -57,26 +57,31 @@ class TestDriverContract:
         assert not _scalar_violations(df)
         assert len(df.columns) > 0
 
-    def test_first_block_covers_unverified_queries(self):
-        """The driver samples a prefix: everything red or never-sampled
-        in CORRECTNESS_r03 must sit inside the first 50 keys."""
-        must = {
-            # r3 reds fixed in round 4
-            "graph_lookup", "window_modern", "lookup_topn",
-            "facet_summary", "topn_accumulators", "modern_ops",
-            "bpe_encode", "emb_pca", "aggregate_fold", "per_batching",
-            # new in round 4
-            "merge_modes", "tz_gallery", "dedup_canonical",
-            "window_timerange", "split_leakfree",
-            # hash-fixed in r3, never re-sampled
-            "corpus_stats", "sample_split",
-            # never driver-sampled
-            "chunk_docs", "passage_dedup", "quantize_embeddings",
-            "quality_trim", "dedup_clusters", "dedup_clusters_star",
-            "repetition_stats", "aggregate_acl",
-        }
-        prefix = set(list(entry.queries())[:50])
-        assert must <= prefix, sorted(must - prefix)
+    def test_first_block_covers_stalest_queries(self):
+        """The driver samples a prefix: the staleness rotation derived
+        from CORRECTNESS_r01..r04 must hold — every query whose LATEST
+        driver check is r2 (the stalest cohort) sits inside the first
+        50 keys, and everything checked green in r4 sits BEHIND every
+        r2/r3-stale query."""
+        import json
+
+        here = os.path.join(os.path.dirname(__file__), "..")
+        rounds: dict[str, int] = {}
+        for r in (1, 2, 3, 4):
+            p = os.path.join(here, f"CORRECTNESS_r0{r}.json")
+            if not os.path.exists(p):
+                continue
+            for k in json.load(open(p)):
+                rounds[k] = r
+        keys = list(entry.queries())
+        stale2 = {k for k in keys if rounds.get(k, 0) == 2}
+        fresh4 = {k for k in keys if rounds.get(k, 0) == 4}
+        prefix = set(keys[:50])
+        assert stale2 <= prefix, sorted(stale2 - prefix)
+        first_fresh = min((keys.index(k) for k in fresh4), default=len(keys))
+        last_stale = max((keys.index(k) for k in keys
+                          if rounds.get(k, 0) in (2, 3)), default=-1)
+        assert first_fresh > last_stale
 
 
 class TestLocalGateStrictness:

@@ -450,6 +450,41 @@ class TestDedup:
         assert (0, 1) in pairs  # case-only difference
         assert all(3 not in p for p in pairs)
 
+    def test_star_edges_same_components_linear_count(self, spark):
+        # R5 scale fix: edges="star" must yield the SAME connected
+        # components as the full pairs contract while emitting O(n)
+        # edges per exact-dup group instead of n(n-1)/2
+        from pincette_json_streams_spark.functions.dedup import (
+            connected_components, minhash_lsh_pairs,
+        )
+        base = "the quick brown fox jumps over the lazy dog %d end"
+        rows = []
+        # group A: 6 EXACT duplicates (normalised), group B: 2, plus
+        # a near-dup bridge and an unrelated doc
+        for i in range(6):
+            rows.append((i, base % 1))
+        rows += [(10, base % 2), (11, base % 2),
+                 (12, (base % 1) + " extra"),
+                 (20, "totally different content about spark engines "
+                      "and distributed processing")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = minhash_lsh_pairs(df, threshold=0.5)
+        star = minhash_lsh_pairs(df, threshold=0.5, edges="star")
+        n_pairs, n_star = pairs.count(), star.count()
+        # group A alone contributes 15 pair rows but only 5 star rows
+        assert n_star < n_pairs
+        within_a_star = star.filter(
+            (F.col("id_a") < 6) & (F.col("id_b") < 6)).count()
+        assert within_a_star == 5  # hub star: linear in group size
+        nodes = df.select("doc_id")
+        cp = {(r["id"], r["cluster_id"]) for r in
+              connected_components(pairs, nodes=nodes).collect()}
+        cs = {(r["id"], r["cluster_id"]) for r in
+              connected_components(star, nodes=nodes).collect()}
+        assert cp == cs
+        with pytest.raises(ValueError):
+            minhash_lsh_pairs(df, edges="chain")
+
     def test_ngram_jaccard(self, docs):
         from pincette_json_streams_spark.functions.dedup import (
             ngram_jaccard_pairs,
