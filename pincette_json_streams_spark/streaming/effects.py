@@ -39,7 +39,8 @@ from pincette_json_streams_spark.operators.context import ctx_for
 from pincette_json_streams_spark.operators.expressions import compile_expr
 
 __all__ = [
-    "HttpResponse", "urllib_transport", "LocalObjectStore",
+    "HttpResponse", "urllib_transport", "build_ssl_context",
+    "LocalObjectStore",
     "stage_http", "stage_sign_jwt", "stage_send", "stage_delay",
     "stage_delete", "stage_s3_csv", "stage_s3_out", "stage_s3_transfer",
     "stage_s3_attachments", "stage_log", "stage_probe",
@@ -58,10 +59,13 @@ class HttpResponse:
 
 
 def urllib_transport(method: str, url: str, headers: dict,
-                     body: str | bytes | None) -> HttpResponse:
+                     body: str | bytes | None,
+                     ssl_context=None) -> HttpResponse:
     """Default HTTP transport (stdlib only).  Accepts bytes so binary
     multipart payloads ($s3Attachments) round-trip byte-exactly — a UTF-8
-    re-encode would expand every byte >= 0x80 and corrupt the body."""
+    re-encode would expand every byte >= 0x80 and corrupt the body.
+    ``ssl_context`` carries the client identity for mTLS endpoints
+    ($http/$s3Transfer/$s3Attachments ``sslContext`` option)."""
     import urllib.error
     import urllib.request
 
@@ -72,10 +76,90 @@ def urllib_transport(method: str, url: str, headers: dict,
         headers={k: str(v) for k, v in (headers or {}).items()},
     )
     try:
-        with urllib.request.urlopen(req, timeout=30) as resp:
+        with urllib.request.urlopen(
+                req, timeout=30, context=ssl_context) as resp:
             return HttpResponse(resp.status, resp.read().decode())
     except urllib.error.HTTPError as e:
         return HttpResponse(e.code, e.read().decode(errors="replace"))
+
+
+_ssl_ctx_cache: dict = {}
+
+
+def build_ssl_context(key_store: str, password: str | None = None):
+    """``ssl.SSLContext`` carrying the client identity from a PKCS#12
+    key store — the ``sslContext: {keyStore, password}`` option of
+    $http / $s3Transfer / $s3Attachments (reference
+    docs/aggregation_stages.md:217,649,756).  PKCS#12 is not
+    stdlib-loadable, so the bundle is parsed with ``cryptography`` and
+    re-serialised to a transient PEM for ``load_cert_chain``; contexts
+    are cached per (path, password) per process (an SSLContext is not
+    picklable, so stages build it lazily executor-side)."""
+    import ssl
+    import tempfile
+
+    cache_key = (key_store, password)
+    hit = _ssl_ctx_cache.get(cache_key)
+    if hit is not None:
+        return hit
+
+    from cryptography.hazmat.primitives import serialization
+    from cryptography.hazmat.primitives.serialization import pkcs12
+
+    with open(key_store, "rb") as f:
+        data = f.read()
+    priv, cert, chain = pkcs12.load_key_and_certificates(
+        data, password.encode() if password else None)
+    if priv is None or cert is None:
+        raise ValueError(
+            f"sslContext: {key_store!r} holds no private key + certificate")
+    pem = (
+        priv.private_bytes(
+            serialization.Encoding.PEM,
+            serialization.PrivateFormat.PKCS8,
+            serialization.NoEncryption(),
+        )
+        + cert.public_bytes(serialization.Encoding.PEM)
+        + b"".join(c.public_bytes(serialization.Encoding.PEM)
+                   for c in (chain or []))
+    )
+    ctx = ssl.create_default_context()
+    fd, path = tempfile.mkstemp(suffix=".pem")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(pem)
+        ctx.load_cert_chain(path)
+    finally:
+        os.unlink(path)
+    _ssl_ctx_cache[cache_key] = ctx
+    return ctx
+
+
+def _transport_with_ssl(transport, ssl_spec: dict | None):
+    """Bind a stage's ``sslContext`` spec onto the (injectable)
+    transport.  Validated driver-side: a custom transport must accept
+    an ``ssl_context`` keyword (or **kwargs) to be used with mTLS.
+    The context itself is built lazily on the executor (not picklable)
+    and cached per process."""
+    if not ssl_spec:
+        return transport
+    import inspect
+
+    params = inspect.signature(transport).parameters
+    if "ssl_context" not in params and not any(
+            p.kind == inspect.Parameter.VAR_KEYWORD
+            for p in params.values()):
+        raise ValueError(
+            "sslContext given but the injected http transport does not "
+            "accept an ssl_context argument")
+    key_store, password = ssl_spec["keyStore"], ssl_spec.get("password")
+
+    def call(method, url, headers, body):
+        return transport(
+            method, url, headers, body,
+            ssl_context=build_ssl_context(key_store, password))
+
+    return call
 
 
 @dataclass
@@ -131,6 +215,7 @@ def _unwrap(js: str | None) -> Any:
 
 def stage_http(df: DataFrame, spec: dict, pctx) -> DataFrame:
     transport = getattr(pctx, "http_transport", None) or urllib_transport
+    transport = _transport_with_ssl(transport, spec.get("sslContext"))
     as_field = spec.get("as")
     unwind = bool(spec.get("unwind", False))
     in_cols = list(df.columns)
@@ -656,6 +741,7 @@ def stage_s3_transfer(df: DataFrame, spec: dict, pctx) -> DataFrame:
     ``as``; httpError on failure (docs:748-785)."""
     store = getattr(pctx, "object_store", None)
     transport = getattr(pctx, "http_transport", None) or urllib_transport
+    transport = _transport_with_ssl(transport, spec.get("sslContext"))
     if store is None:
         raise ValueError("$s3Transfer needs pctx.object_store")
     as_field = spec["as"]
@@ -706,6 +792,7 @@ def stage_s3_attachments(df: DataFrame, spec: dict, pctx) -> DataFrame:
     captured per message."""
     store = getattr(pctx, "object_store", None)
     transport = getattr(pctx, "http_transport", None) or urllib_transport
+    transport = _transport_with_ssl(transport, spec.get("sslContext"))
     if store is None:
         raise ValueError("$s3Attachments needs pctx.object_store")
     ctx = ctx_for(df)

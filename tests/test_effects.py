@@ -368,3 +368,156 @@ class TestS3:
             }},
         ], pctx).collect()
         assert out[0]["httpError"] is None
+
+
+def _make_pkcs12(tmp_path, password=b"secret", name="client"):
+    """Self-signed key+cert bundled as PKCS#12 (the sslContext keyStore
+    shape, reference docs/aggregation_stages.md:217)."""
+    import datetime
+
+    from cryptography import x509
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+    from cryptography.hazmat.primitives.serialization import pkcs12
+    from cryptography.x509.oid import NameOID
+
+    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    subject = x509.Name(
+        [x509.NameAttribute(NameOID.COMMON_NAME, name)])
+    now = datetime.datetime.now(datetime.timezone.utc)
+    cert = (
+        x509.CertificateBuilder()
+        .subject_name(subject).issuer_name(subject)
+        .public_key(key.public_key())
+        .serial_number(x509.random_serial_number())
+        .not_valid_before(now - datetime.timedelta(minutes=5))
+        .not_valid_after(now + datetime.timedelta(days=1))
+        .add_extension(x509.SubjectAlternativeName(
+            [x509.DNSName("localhost")]), critical=False)
+        .sign(key, hashes.SHA256())
+    )
+    p12 = pkcs12.serialize_key_and_certificates(
+        name.encode(), key, cert, None,
+        serialization.BestAvailableEncryption(password)
+        if password else serialization.NoEncryption())
+    path = tmp_path / f"{name}.p12"
+    path.write_bytes(p12)
+    pem_cert = tmp_path / f"{name}-cert.pem"
+    pem_cert.write_bytes(cert.public_bytes(serialization.Encoding.PEM))
+    pem_key = tmp_path / f"{name}-key.pem"
+    pem_key.write_bytes(key.private_bytes(
+        serialization.Encoding.PEM,
+        serialization.PrivateFormat.PKCS8,
+        serialization.NoEncryption()))
+    return str(path), str(pem_cert), str(pem_key)
+
+
+class TestSslContext:
+    def test_stage_passes_built_context_to_transport(
+            self, spark, people, tmp_path):
+        # the wiring contract: sslContext {keyStore, password} reaches
+        # the transport as a real ssl.SSLContext built from the PKCS#12
+        p12, _, _ = _make_pkcs12(tmp_path)
+
+        def recording(method, url, headers, body, ssl_context=None):
+            import ssl as _ssl
+            ok = isinstance(ssl_context, _ssl.SSLContext)
+            return HttpResponse(200 if ok else 500, '"x"')
+
+        pctx = PipelineContext(http_transport=recording)
+        out = compile_pipeline(people.filter("_id='p1'"), [
+            {"$http": {"url": "https://svc/x", "method": "GET", "as": "r",
+                       "sslContext": {"keyStore": p12,
+                                      "password": "secret"}}},
+        ], pctx).collect()
+        assert out[0]["httpError"] is None
+
+    def test_transport_without_ssl_support_rejected_at_compile(
+            self, spark, people, tmp_path):
+        p12, _, _ = _make_pkcs12(tmp_path)
+
+        def no_ssl(method, url, headers, body):
+            return HttpResponse(200, '"x"')
+
+        pctx = PipelineContext(http_transport=no_ssl)
+        with pytest.raises(ValueError, match="ssl_context"):
+            compile_pipeline(people, [
+                {"$http": {"url": "https://svc/x", "method": "GET",
+                           "sslContext": {"keyStore": p12,
+                                          "password": "secret"}}},
+            ], pctx)
+
+    def test_bad_keystore_becomes_http_error(self, spark, people):
+        # executor-side failure (missing file) -> httpError, not a crash
+        pctx = PipelineContext()
+        out = compile_pipeline(people.filter("_id='p1'"), [
+            {"$http": {"url": "https://svc/x", "method": "GET", "as": "r",
+                       "sslContext": {"keyStore": "/nonexistent.p12",
+                                      "password": "x"}}},
+        ], pctx).collect()
+        assert out[0]["httpError"]["statusCode"] == -1
+
+    def test_real_mtls_handshake_loopback(self, tmp_path):
+        # END-TO-END: an https server REQUIRING a client certificate;
+        # build_ssl_context(keyStore, password) + urllib_transport must
+        # complete the handshake, and a contextless call must fail
+        import http.server
+        import ssl
+        import threading
+
+        from pincette_json_streams_spark.streaming.effects import (
+            build_ssl_context, urllib_transport,
+        )
+
+        p12, client_cert, _ = _make_pkcs12(tmp_path, name="client")
+        _, server_cert, server_key = _make_pkcs12(
+            tmp_path, password=b"srv", name="server")
+
+        class H(http.server.BaseHTTPRequestHandler):
+            def do_GET(self):
+                self.send_response(200)
+                self.send_header("Content-Length", "4")
+                self.end_headers()
+                self.wfile.write(b'"ok"')
+
+            def log_message(self, *a):
+                pass
+
+        srv_ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+        srv_ctx.load_cert_chain(server_cert, server_key)
+        srv_ctx.load_verify_locations(client_cert)
+        srv_ctx.verify_mode = ssl.CERT_REQUIRED
+        httpd = http.server.HTTPServer(("127.0.0.1", 0), H)
+        httpd.socket = srv_ctx.wrap_socket(httpd.socket, server_side=True)
+        port = httpd.server_address[1]
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            ctx = build_ssl_context(p12, "secret")
+            # trust the self-signed server cert (test-only; production
+            # servers chain to the default trust store)
+            ctx.load_verify_locations(server_cert)
+            ctx.check_hostname = False
+            resp = urllib_transport(
+                "GET", f"https://127.0.0.1:{port}/", {}, None,
+                ssl_context=ctx)
+            assert (resp.status, resp.body) == (200, '"ok"')
+            # same endpoint without a client identity: handshake fails
+            anon = ssl.create_default_context()
+            anon.load_verify_locations(server_cert)
+            anon.check_hostname = False
+            with pytest.raises(Exception):
+                urllib_transport(
+                    "GET", f"https://127.0.0.1:{port}/", {}, None,
+                    ssl_context=anon)
+        finally:
+            httpd.shutdown()
+
+    def test_context_cached_per_keystore(self, tmp_path):
+        from pincette_json_streams_spark.streaming.effects import (
+            build_ssl_context,
+        )
+        p12, _, _ = _make_pkcs12(tmp_path, name="cacheme")
+        a = build_ssl_context(p12, "secret")
+        b = build_ssl_context(p12, "secret")
+        assert a is b

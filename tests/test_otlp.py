@@ -1,0 +1,178 @@
+"""OTLP/HTTP telemetry export (reference docs/telemetry.md:3,68,
+docs/configuration.md:28-29).  Fully offline: the poster is injected
+and the OTLP JSON envelopes are asserted structurally."""
+
+import json
+
+import pytest
+
+from pincette_json_streams_spark.streaming.otlp import (
+    OtlpHttpExporter,
+    event_trace_record,
+    event_traces_to_spans,
+    exporter_from_config,
+)
+
+
+class _Recorder:
+    def __init__(self):
+        self.posts = []
+
+    def __call__(self, url, body, headers):
+        self.posts.append((url, json.loads(body), headers))
+        return 200
+
+
+def _exporter(**kw):
+    rec = _Recorder()
+    exp = OtlpHttpExporter("http://collector:4318/", poster=rec,
+                           service_name="my-app", namespace="ns",
+                           **kw)
+    return exp, rec
+
+
+class TestLogsEnvelope:
+    def test_log_record_shape(self):
+        exp, rec = _exporter()
+        exp.log_emitter({
+            "logger": "my-app", "level": "SEVERE", "message": "boom",
+            "attributes": {"part": "s1", "n": 3},
+            "trace_id": "a" * 32, "span_id": "a" * 16,
+        })
+        exp.flush()
+        url, body, headers = rec.posts[0]
+        assert url == "http://collector:4318/v1/logs"
+        assert headers["Content-Type"] == "application/json"
+        res = body["resourceLogs"][0]
+        rattrs = {a["key"]: a["value"] for a in
+                  res["resource"]["attributes"]}
+        assert rattrs["service.name"] == {"stringValue": "my-app"}
+        assert rattrs["service.namespace"] == {"stringValue": "ns"}
+        lr = res["scopeLogs"][0]["logRecords"][0]
+        assert lr["severityNumber"] == 17 and lr["severityText"] == "SEVERE"
+        assert lr["body"] == {"stringValue": "boom"}
+        assert lr["traceId"] == "a" * 32 and lr["spanId"] == "a" * 16
+        attrs = {a["key"]: a["value"] for a in lr["attributes"]}
+        assert attrs["part"] == {"stringValue": "s1"}
+        assert attrs["n"] == {"intValue": "3"}
+        assert int(lr["timeUnixNano"]) > 0
+
+    def test_batching_autoflush(self):
+        exp, rec = _exporter(batch_size=2)
+        exp.log_emitter({"logger": "a", "level": "INFO", "message": "1"})
+        assert rec.posts == []
+        exp.log_emitter({"logger": "a", "level": "INFO", "message": "2"})
+        assert len(rec.posts) == 1  # hit batch_size -> shipped
+        records = rec.posts[0][1]["resourceLogs"][0]["scopeLogs"][0][
+            "logRecords"]
+        assert [r["body"]["stringValue"] for r in records] == ["1", "2"]
+        exp.flush()
+        assert len(rec.posts) == 1  # nothing buffered -> no empty POST
+
+
+class TestMetricsEnvelope:
+    def test_counter_and_probe(self):
+        exp, rec = _exporter()
+        exp.probe_producer({"name": "s1", "minute": 1718000040,
+                            "count": 42, "topic": "probes"})
+        exp.flush()
+        url, body, _ = rec.posts[0]
+        assert url == "http://collector:4318/v1/metrics"
+        m = body["resourceMetrics"][0]["scopeMetrics"][0]["metrics"][0]
+        assert m["name"] == "json_streams.messages"
+        assert m["sum"]["isMonotonic"] is True
+        dp = m["sum"]["dataPoints"][0]
+        assert dp["asInt"] == "42"
+        assert dp["timeUnixNano"] == str(1718000040 * 10**9)
+        attrs = {a["key"]: a["value"] for a in dp["attributes"]}
+        assert attrs["part"] == {"stringValue": "s1"}
+
+
+class TestEventTraces:
+    CORR = "0f0f0f0f-1111-2222-3333-444455556666"
+
+    def test_record_shape(self):
+        rec = event_trace_record(
+            {"_corr": self.CORR, "_jwt": {"sub": "alice"}},
+            application="my-app", part="s1", name="s1.out",
+            version="1.2", payload={"k": 1}, timestamp_nanos=123,
+        )
+        assert rec["traceId"] == self.CORR
+        assert rec["attributes"]["application"] == "my-app"
+        assert rec["attributes"]["profile.frame.type"] == "json-streams"
+        assert rec["serviceName"] == "my-app"
+        assert rec["serviceNamespace"] == "json-streams"
+        assert rec["serviceVersion"] == "1.2"
+        assert rec["timestampNanos"] == 123
+        assert rec["username"] == "alice"
+        assert rec["payload"] == {"k": 1}
+
+    def test_no_corr_no_trace(self):
+        assert event_trace_record({}, "a", "p", "n") is None
+        assert event_trace_record({"_corr": "not-a-uuid"},
+                                  "a", "p", "n") is None
+
+    def test_root_then_children(self):
+        tid = self.CORR.replace("-", "")
+        events = [
+            {"traceId": self.CORR, "timestampNanos": 100, "name": "a.in"},
+            {"traceId": self.CORR, "timestampNanos": 200, "name": "a.out"},
+            {"traceId": self.CORR, "timestampNanos": 300, "name": "b.in"},
+        ]
+        spans = event_traces_to_spans(events)
+        root, c1, c2 = spans
+        assert root["traceId"] == tid
+        assert root["spanId"] == tid[:16]
+        assert "parentSpanId" not in root
+        for c in (c1, c2):
+            assert c["parentSpanId"] == tid[:16]
+            assert c["spanId"] != tid[:16]
+        assert c1["spanId"] != c2["spanId"]
+        # one-microsecond spans (docs/telemetry.md:68)
+        for s in spans:
+            assert int(s["endTimeUnixNano"]) - \
+                int(s["startTimeUnixNano"]) == 1000
+
+    def test_seen_state_crosses_batches(self):
+        seen = set()
+        b1 = event_traces_to_spans(
+            [{"traceId": self.CORR, "timestampNanos": 1, "name": "x"}],
+            seen)
+        b2 = event_traces_to_spans(
+            [{"traceId": self.CORR, "timestampNanos": 2, "name": "y"}],
+            seen)
+        assert "parentSpanId" not in b1[0]
+        assert b2[0]["parentSpanId"] == b1[0]["spanId"]
+
+    def test_exporter_ships_spans(self):
+        exp, rec = _exporter()
+        exp.emit_event_trace(
+            {"traceId": self.CORR, "timestampNanos": 5, "name": "p.out",
+             "attributes": {"application": "my-app"},
+             "username": "bob"})
+        exp.flush()
+        url, body, _ = rec.posts[0]
+        assert url == "http://collector:4318/v1/traces"
+        span = body["resourceSpans"][0]["scopeSpans"][0]["spans"][0]
+        attrs = {a["key"]: a["value"] for a in span["attributes"]}
+        assert attrs["username"] == {"stringValue": "bob"}
+        assert span["kind"] == 1
+
+
+class TestActivation:
+    def test_off_when_unset(self):
+        assert exporter_from_config({}) is None
+        assert exporter_from_config(None) is None
+
+    def test_http_nested_and_flat(self):
+        e1 = exporter_from_config({"otlp": {"http": "http://c:4318"}},
+                                  application="app1")
+        assert e1.endpoint == "http://c:4318"
+        assert e1.service_name == "app1"
+        e2 = exporter_from_config({"otlp.http": "http://c:4318",
+                                   "namespace": "prod"})
+        assert e2.namespace == "prod"
+
+    def test_grpc_only_raises(self):
+        with pytest.raises(ValueError, match="otlp.http"):
+            exporter_from_config({"otlp": {"grpc": "http://c:4317"}})
