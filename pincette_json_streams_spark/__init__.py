@@ -36,6 +36,11 @@ from pincette_json_streams_spark.plans.planner import Application
 from pincette_json_streams_spark.sources.changelog import (
     ChangeLogCollection,
 )
+from pincette_json_streams_spark.sources.collections import (
+    CollectionStore,
+    DeltaCollection,
+    open_collection,
+)
 
 __all__ = [
     "compile_expr",
@@ -45,5 +50,8 @@ __all__ = [
     "Application",
     "PipelineContext",
     "ChangeLogCollection",
+    "CollectionStore",
+    "DeltaCollection",
+    "open_collection",
     "plugins",
 ]
