@@ -2240,7 +2240,9 @@ WHERE d.doc_id % 5 != 0
 
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup cluster resolution (functions/dedup.py:
-    connected_components): MinHash-LSH pairs -> min-label-propagation
+    connected_components): MinHash-LSH star edges (edges="star" — a
+    spanning set with identical components, O(n) per exact-dup group
+    instead of the quadratic pair explosion) -> min-label-propagation
     connected components -> one deterministic canonical doc per cluster
     (keep = doc_id == cluster_id) + cluster size.  This is the step a
     100 TB dedup pipeline runs after candidate pairing."""
@@ -2281,7 +2283,7 @@ FROM comp
 
 def q_dedup_canonical(spark, sf_dir):
     """End-to-end dedup DECISION (the production composition): MinHash-
-    LSH candidate pairs -> connected components -> per-cluster
+    LSH candidate star edges -> connected components -> per-cluster
     representative by the keep-longest heuristic (n_chars desc, doc_id
     asc tie-break) -> every doc labeled with its cluster, the chosen
     canonical doc, and the keep verdict.  One WindowGroupLimit over the

@@ -195,6 +195,25 @@ def main():
     except Exception as e:  # pragma: no cover
         streaming = {"error": str(e)[:200]}
 
+    # per-query regression budget: compare against the committed record
+    # (bench_record.json, min-of-3 on a quiet host).  >2x the record is
+    # flagged — host-load variance explains up to ~1.5x (see the CPU
+    # steal note above); 2x means a plan regression worth investigating.
+    # Reported, not fatal: the driver must still get its JSON line.
+    record_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_record.json")
+    regressions: dict[str, list[float]] = {}
+    try:
+        with open(record_path) as fh:
+            record = json.load(fh)
+        if str(record.get("sf")) == str(sf):
+            for name, t in times.items():
+                ref = record.get("queries", {}).get(name)
+                if ref and t > 2.0 * ref:
+                    regressions[name] = [t, ref]
+    except (OSError, ValueError):
+        pass
+
     try:
         load1, load5, _ = os.getloadavg()
     except OSError:
@@ -214,6 +233,7 @@ def main():
         "sf_small": os.path.basename(small_dir).replace("sf", ""),
         "queries_small": small_times,
         "streaming": streaming,
+        "regressions_vs_record": regressions,
         "loadavg_after": [round(load1, 2), round(load5, 2)],
     })
     # file copy FIRST: Spark progress bars share stdout with the JSON

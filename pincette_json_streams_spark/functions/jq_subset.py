@@ -58,6 +58,7 @@ _TOKEN_RE = re.compile(r"""
     (?P<ws>\s+|\#[^\n]*)
   | (?P<num>\d+(\.\d+)?([eE][+-]?\d+)?)
   | (?P<str>"(?:[^"\\]|\\.)*")
+  | (?P<loc>\$__loc__)
   | (?P<op>\.\.|\|=|\+=|-=|==|!=|<=|>=|//|::|\||\.|\[|\]|\{|\}|\(|\)|,|:|;|\+|-|\*|/|%|<|>|=|\?|\$|@)
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
 """, re.VERBOSE)
@@ -78,7 +79,10 @@ def _lex(src: str) -> list[tuple[str, str]]:
         if kind == "ws":
             continue
         text = m.group()
-        if kind == "ident" and text in _KEYWORDS:
+        if kind == "loc":
+            # $__loc__ carries its source line (jq manual: {file, line})
+            out.append(("loc", str(src[:m.start()].count("\n") + 1)))
+        elif kind == "ident" and text in _KEYWORDS:
             out.append(("kw", text))
         else:
             out.append((kind, text))
@@ -302,6 +306,19 @@ class _Parser:
             return ("call", "not", [])
         if k == "kw" and v == "reduce":
             return self._reduce()
+        if k == "loc":
+            self.next()
+            return ("lit", {"file": "<stdin>", "line": int(v)})
+        if k == "op" and v == "@":
+            # @format — bare filter, or prefixing an interpolated string
+            # where ONLY the \(...) segments are escaped (jq manual)
+            self.next()
+            name = self.expect("ident")
+            k2, v2 = self.peek()
+            if k2 == "str":
+                self.next()
+                return self._string(v2, fmt=name)
+            return ("format", name)
         if k == "op" and v == "$":
             self.next()
             return ("var", self.expect("ident"))
@@ -337,8 +354,10 @@ class _Parser:
             self.expect("op", ")")
         return ("call", name, args)
 
-    def _string(self, raw):
-        # handle \(...) interpolation
+    def _string(self, raw, fmt=None):
+        # handle \(...) interpolation; with fmt (@format "...") the
+        # interpolated values are escaped through the format instead of
+        # plain tostring
         body = raw[1:-1]
         parts: list = []
         buf = ""
@@ -357,7 +376,8 @@ class _Parser:
                     parts.append(("lit", json.loads(f'"{buf}"')))
                     buf = ""
                 inner = _Parser(_lex(body[i+2:j-1])).pipe()
-                parts.append(("call", "tostring_i", [inner]))
+                parts.append(("format_apply", fmt, inner) if fmt
+                             else ("call", "tostring_i", [inner]))
                 i = j
             else:
                 if body[i] == "\\":
@@ -481,12 +501,86 @@ class _Env:
         return e
 
 
+def _format_value(name: str, v) -> str:
+    """jq @format conversions (jq manual 'Format strings and escaping').
+    Non-string scalars/containers are first rendered with tostring
+    (JSON text for containers), except the row formats @csv/@tsv/@sh
+    which have their own per-cell rules."""
+    import base64 as _b64
+    import urllib.parse as _up
+
+    def base(x):
+        return x if isinstance(x, str) else _tostr(x)
+
+    if name == "text":
+        return base(v)
+    if name == "json":
+        return json.dumps(v, separators=(",", ":"), default=str)
+    if name == "base64":
+        return _b64.b64encode(base(v).encode()).decode()
+    if name == "base64d":
+        s = base(v)
+        return _b64.b64decode(s + "=" * (-len(s) % 4)).decode(
+            errors="replace")
+    if name == "uri":
+        return _up.quote(base(v), safe="-_.~")
+    if name == "html":
+        return (base(v).replace("&", "&amp;").replace("<", "&lt;")
+                .replace(">", "&gt;").replace("'", "&#39;")
+                .replace('"', "&quot;"))
+    if name == "csv":
+        if not isinstance(v, list):
+            raise JqError("jq: @csv input must be an array")
+        cells = []
+        for x in v:
+            if x is None:
+                cells.append("")
+            elif isinstance(x, bool):
+                cells.append("true" if x else "false")
+            elif isinstance(x, (int, float)):
+                cells.append(_tostr(x))
+            elif isinstance(x, str):
+                cells.append('"' + x.replace('"', '""') + '"')
+            else:
+                raise JqError("jq: @csv cells must be scalars")
+        return ",".join(cells)
+    if name == "tsv":
+        if not isinstance(v, list):
+            raise JqError("jq: @tsv input must be an array")
+        cells = []
+        for x in v:
+            if x is None:
+                cells.append("")
+            elif isinstance(x, bool):
+                cells.append("true" if x else "false")
+            elif isinstance(x, (int, float)):
+                cells.append(_tostr(x))
+            elif isinstance(x, str):
+                cells.append(x.replace("\\", "\\\\").replace("\t", "\\t")
+                             .replace("\n", "\\n").replace("\r", "\\r"))
+            else:
+                raise JqError("jq: @tsv cells must be scalars")
+        return "\t".join(cells)
+    if name == "sh":
+        def q(x):
+            if isinstance(x, (dict, list)):
+                raise JqError("jq: @sh cells must be scalars")
+            return "'" + base(x).replace("'", "'\\''") + "'"
+        return " ".join(q(x) for x in v) if isinstance(v, list) else q(v)
+    raise JqError(f"jq: unknown format @{name}")
+
+
 def _eval(node, inp, env: _Env) -> Iterator[Any]:
     tag = node[0]
     if tag == "identity":
         yield inp
     elif tag == "lit":
         yield node[1]
+    elif tag == "format":
+        yield _format_value(node[1], inp)
+    elif tag == "format_apply":
+        for v in _eval(node[2], inp, env):
+            yield _format_value(node[1], v)
     elif tag == "pipe":
         for v in _eval(node[1], inp, env):
             yield from _eval(node[2], v, env)

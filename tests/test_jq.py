@@ -375,3 +375,41 @@ class TestReviewRegressionsR5:
             jq('[splits("a"; "q")]', "bac")
         with pytest.raises(JqError):
             jq('gsub("a"; "x"; "q")', "bac")
+
+
+class TestFormatStrings:
+    """jq @format strings + $__loc__ (jq manual 'Format strings and
+    escaping')."""
+
+    def test_formats_as_filters(self):
+        assert jq('@base64', "hello") == ["aGVsbG8="]
+        assert jq('@base64d', "aGVsbG8=") == ["hello"]
+        assert jq('@uri', "a b&c") == ["a%20b%26c"]
+        assert jq('@html', "<b>&") == ["&lt;b&gt;&amp;"]
+        assert jq('@text', 42) == ["42"]
+        assert jq('@json', {"a": [1, "x"]}) == ['{"a":[1,"x"]}']
+        assert jq('@sh', "it's") == ["'it'\\''s'"]
+
+    def test_csv_tsv_rows(self):
+        assert jq('@csv', [1, 'a,"b"', None, True]) == \
+            ['1,"a,""b""",,true']
+        assert jq('@tsv', ["a\tb", 2, None]) == ["a\\tb\t2\t"]
+        with pytest.raises(JqError):
+            jq('@csv', "not an array")
+        with pytest.raises(JqError):
+            jq('@csv', [[1]])
+
+    def test_format_prefixed_strings_escape_only_interpolations(self):
+        # literal segments stay raw; \(...) goes through the format
+        assert jq('@uri "https://x?q=\\(.q)&n=\\(.n)"',
+                  {"q": "a b", "n": 2}) == ["https://x?q=a%20b&n=2"]
+        assert jq('@base64 "tok \\(.u)"', {"u": "x"}) == ["tok eA=="]
+
+    def test_loc(self):
+        assert jq('$__loc__', None) == [{"file": "<stdin>", "line": 1}]
+        assert jq('.a\n| $__loc__', {"a": 1}) == \
+            [{"file": "<stdin>", "line": 2}]
+
+    def test_unknown_format_raises(self):
+        with pytest.raises(JqError):
+            jq('@nope', "x")
