@@ -565,32 +565,35 @@ def _date_to_string_op(args, ctx):
     fmt = args.get("format", "%Y-%m-%dT%H:%M:%S.%LZ")
     raw = _as_ts(compile_expr(args["date"], ctx))
     d = _in_zone(raw, tz)
-    if tz not in _UTC_TZ and "%z" in fmt:
+    if "%z" in fmt or "%Z" in fmt:
         # the zone shift yields a NAIVE timestamp, so date_format's own
         # %z would render the session's +0000 against local wall-clock
         # digits.  Compute the zone's UTC offset at THIS instant (DST-
-        # correct: shifted minus raw epoch millis) and splice it in as
-        # Mongo's +HHMM between the %z-free format segments.
+        # correct: shifted minus raw epoch millis) and splice it in
+        # between the offset-free format segments.  Mongo shapes
+        # (docs.mongodb.com $dateToString): %z = +HHMM, %Z = the SIGNED
+        # MINUTES offset as a number (e.g. +285) — not a zone name.
         off_min = ((F.unix_millis(d) - F.unix_millis(raw)) / 60000) \
             .cast("long")
-        off_str = F.concat(
-            F.when(off_min < 0, F.lit("-")).otherwise(F.lit("+")),
+        sign = F.when(off_min < 0, F.lit("-")).otherwise(F.lit("+"))
+        off_hhmm = F.concat(
+            sign,
             F.lpad((F.abs(off_min) / 60).cast("long").cast("string"),
                    2, "0"),
             F.lpad(F.pmod(F.abs(off_min), F.lit(60)).cast("string"),
                    2, "0"),
         )
+        off_minutes = F.concat(sign, F.abs(off_min).cast("string"))
         parts = []
-        for i, seg in enumerate(fmt.split("%z")):
-            if i:
-                parts.append(off_str)
-            if seg:
+        import re as _re
+        for seg in _re.split("(%z|%Z)", fmt):
+            if seg == "%z":
+                parts.append(off_hhmm)
+            elif seg == "%Z":
+                parts.append(off_minutes)
+            elif seg:
                 parts.append(F.date_format(d, _mongo_fmt_to_java(seg)))
         formatted = F.concat(*parts) if parts else F.lit("")
-    elif tz not in _UTC_TZ and "%Z" in fmt:
-        raise UnsupportedExpression(
-            "$dateToString: %Z (zone name) with a non-UTC timezone is "
-            "not supported — use %z for the numeric offset")
     else:
         formatted = F.date_format(d, _mongo_fmt_to_java(fmt))
     if "onNull" in args:

@@ -705,6 +705,23 @@ class TestTimezonesCalendarMath:
             "format": "%d/%m/%Y %H:%M:%S",
             "timezone": "Asia/Kolkata"}}) == "2024-03-31T05:15:00Z"
 
+    def test_date_to_string_offset_specifiers(self, spark):
+        # Mongo %z = +HHMM, %Z = SIGNED MINUTES offset as a number
+        # (docs.mongodb.com $dateToString) — NOT a zone name
+        df = one(spark, x=1)
+        base = {"date": {"$toDate": "2024-06-15T12:00:00Z"}}
+        assert ev(df, {"$dateToString": {
+            **base, "format": "%H:%M %z",
+            "timezone": "Asia/Kolkata"}}) == "17:30 +0530"
+        assert ev(df, {"$dateToString": {
+            **base, "format": "%H:%M %Z",
+            "timezone": "Asia/Kolkata"}}) == "17:30 +330"
+        assert ev(df, {"$dateToString": {
+            **base, "format": "%Z",
+            "timezone": "America/New_York"}}) == "-240"
+        assert ev(df, {"$dateToString": {
+            **base, "format": "%z%Z"}}) == "+0000+0"
+
     def test_date_from_string_own_offset_not_double_shifted(self, spark):
         # R5 ADVICE lock: a dateString carrying its own offset keeps
         # the parsed instant — the timezone argument must not shift it
