@@ -519,9 +519,18 @@ def _format_value(name: str, v) -> str:
     if name == "base64":
         return _b64.b64encode(base(v).encode()).decode()
     if name == "base64d":
+        import binascii as _ba
+
         s = base(v)
-        return _b64.b64decode(s + "=" * (-len(s) % 4)).decode(
-            errors="replace")
+        try:
+            # padding restored (jq inverts @base64's padded output but
+            # tolerates unpadded); validate=True so corrupt input
+            # RAISES like real jq instead of decoding to garbage
+            return _b64.b64decode(
+                s + "=" * (-len(s) % 4), validate=True
+            ).decode(errors="replace")
+        except (_ba.Error, ValueError):
+            raise JqError(f"jq: {s!r} is not valid base64 data")
     if name == "uri":
         return _up.quote(base(v), safe="-_.~")
     if name == "html":
@@ -1152,21 +1161,36 @@ def _call(name, args, inp, env: _Env):
         # jq evaluates the replacement PER MATCH with the named
         # captures as the input ({name: captured}); a replacement
         # emitting k values fans out into the cartesian product of
-        # results, exactly like real jq.
-        def splice(i, last):
-            if i == len(matches):
-                yield inp[last:]
-                return
-            m = matches[i]
+        # results, exactly like real jq.  Iterative (a corpus doc can
+        # carry 10^5+ matches — recursion would blow the stack), with
+        # a join fast path for the ubiquitous single-value replacement.
+        rep_lists = []
+        for m in matches:
             cap = dict(m.groupdict())
+            vals = []
             for r in _eval(args[1], cap, env):
                 if not isinstance(r, str):
                     raise JqError(
                         f"jq: {name} replacement must be a string")
-                head = inp[last:m.start()] + r
-                for rest in splice(i + 1, m.end()):
-                    yield head + rest
-        yield from splice(0, 0)
+                vals.append(r)
+            rep_lists.append(vals)
+        if all(len(v) == 1 for v in rep_lists):
+            parts, last = [], 0
+            for m, vals in zip(matches, rep_lists):
+                parts.append(inp[last:m.start()])
+                parts.append(vals[0])
+                last = m.end()
+            parts.append(inp[last:])
+            yield "".join(parts)
+        else:
+            acc, last = [""], 0
+            for m, vals in zip(matches, rep_lists):
+                seg = inp[last:m.start()]
+                acc = [p + seg + v for p in acc for v in vals]
+                last = m.end()
+            tail = inp[last:]
+            for p in acc:
+                yield p + tail
     elif name == "splits":
         # manual scan, not re.split: Python's split EMITS capture
         # groups into the result, jq never does

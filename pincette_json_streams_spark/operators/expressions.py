@@ -584,15 +584,29 @@ def _date_to_string_op(args, ctx):
                    2, "0"),
         )
         off_minutes = F.concat(sign, F.abs(off_min).cast("string"))
-        parts = []
-        import re as _re
-        for seg in _re.split("(%z|%Z)", fmt):
-            if seg == "%z":
-                parts.append(off_hhmm)
-            elif seg == "%Z":
-                parts.append(off_minutes)
-            elif seg:
-                parts.append(F.date_format(d, _mongo_fmt_to_java(seg)))
+        # specifier-aware scan (a raw regex split would see the z in
+        # the escaped literal "%%z" as an offset specifier)
+        segs: list = []
+        buf = ""
+        i = 0
+        while i < len(fmt):
+            if fmt[i] == "%" and i + 1 < len(fmt):
+                spec = fmt[i:i + 2]
+                if spec in ("%z", "%Z"):
+                    if buf:
+                        segs.append(buf)
+                        buf = ""
+                    segs.append(off_hhmm if spec == "%z" else off_minutes)
+                else:
+                    buf += spec
+                i += 2
+            else:
+                buf += fmt[i]
+                i += 1
+        if buf:
+            segs.append(buf)
+        parts = [F.date_format(d, _mongo_fmt_to_java(s))
+                 if isinstance(s, str) else s for s in segs]
         formatted = F.concat(*parts) if parts else F.lit("")
     else:
         formatted = F.date_format(d, _mongo_fmt_to_java(fmt))

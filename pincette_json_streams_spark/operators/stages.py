@@ -82,14 +82,17 @@ class PipelineContext:
     # snapshot reader; providing it opts the streaming aggregate in
     href_lookup: Optional[Callable[[str], Optional[dict]]] = None
 
-    def collection(self, name: str) -> DataFrame:
+    def collection(self, name: str,
+                   allow_streaming: bool = False) -> DataFrame:
         if name not in self.catalog:
             raise KeyError(f"unknown collection {name!r}")
         df = self.catalog[name]
-        if df.isStreaming:
+        if df.isStreaming and not allow_streaming:
             # defense-in-depth: $out/$merge never register streaming
             # frames, but a caller-supplied streaming catalog entry
-            # must not silently become a batch join source
+            # must not silently become a batch join source.  Stages
+            # with legal streaming semantics ($unionWith stream-stream)
+            # opt in via allow_streaming.
             raise KeyError(
                 f"collection {name!r} is a streaming frame — batch "
                 "lookups of a stream are illegal; materialise it "
@@ -519,7 +522,7 @@ def _stage_union_with(df, spec, pctx):
         coll, pipeline = spec, []
     else:
         coll, pipeline = spec["coll"], spec.get("pipeline", [])
-    other = pctx.collection(coll)
+    other = pctx.collection(coll, allow_streaming=True)
     if pipeline:
         other = compile_pipeline(other, pipeline, pctx)
     if df.isStreaming != other.isStreaming:

@@ -39,7 +39,7 @@ from pincette_json_streams_spark.sources.changelog import (
 )
 
 __all__ = ["CollectionStore", "DeltaCollection", "open_collection",
-           "delta_available"]
+           "delta_available", "delta_session_ok"]
 
 
 @runtime_checkable
@@ -72,6 +72,23 @@ def delta_available() -> bool:
         return False
 
 
+def delta_session_ok(spark: SparkSession) -> bool:
+    """True only when the SESSION can actually execute Delta plans:
+    the package imports AND the Delta SQL extension is registered
+    (a pip-installed delta with a plain session still fails with an
+    obscure 'Failed to find data source: delta' at first use)."""
+    if not delta_available():
+        return False
+    try:
+        ext = spark.conf.get("spark.sql.extensions", "") or ""
+        cat = spark.conf.get(
+            "spark.sql.catalog.spark_catalog", "") or ""
+    except Exception:
+        return False
+    return ("DeltaSparkSessionExtension" in ext
+            or "DeltaCatalog" in cat)
+
+
 class DeltaCollection:
     """Delta-backed collection: MERGE-INTO upserts, Change-Data-Feed
     change stream (SURVEY.md §1.3).  Requires ``delta-spark`` on the
@@ -92,6 +109,12 @@ class DeltaCollection:
                 "session built with configure_spark_with_delta_pip); "
                 "use ChangeLogCollection / open_collection(backend="
                 "'changelog') in environments without Delta jars")
+        if not delta_session_ok(spark):
+            raise ImportError(
+                "delta-spark imports but this SparkSession lacks the "
+                "Delta SQL extension/catalog configs — build it with "
+                "configure_spark_with_delta_pip(builder) or set "
+                "spark.sql.extensions/spark.sql.catalog.spark_catalog")
         self.spark = spark
         self.path = path
         self.schema = schema
@@ -180,7 +203,10 @@ def open_collection(
     ``"auto"`` (Delta when importable and a session is given, else
     changelog)."""
     if backend == "auto":
-        backend = "delta" if (delta_available() and spark is not None) \
+        # auto requires the session to be Delta-CAPABLE, not merely the
+        # package importable — otherwise fall back to the log backend
+        backend = "delta" if (spark is not None
+                              and delta_session_ok(spark)) \
             else "changelog"
     if backend == "changelog":
         return ChangeLogCollection(root, schema)

@@ -29,9 +29,14 @@ shipping leg as plain stdlib code:
   configuration shape (``otlp.http`` entry).
 
 Executor-side usage: hand ``exporter.log_emitter`` to
-``PipelineContext.log_emitter`` — the exporter buffers per process and
-flushes on batch boundaries (and on drop, via ``__del__``-safe
-``flush``).
+``PipelineContext.log_emitter`` — the exporter buffers per process,
+flushes at ``batch_size`` and on ``close()``/garbage collection.
+Telemetry is BEST-EFFORT by contract: a collector outage never raises
+into the data pipeline — failed batches are counted in
+``exporter.dropped`` and discarded (bounded memory, no retry queue).
+Root-span state is bounded (``SeenTraces(maxsize)``, LRU eviction): an
+event arriving after its trace id was evicted starts a fresh root span
+— the standard trade-off of the reference's traces app pattern.
 """
 
 from __future__ import annotations
@@ -44,6 +49,7 @@ from typing import Callable, Iterable, Optional
 __all__ = [
     "OtlpHttpExporter", "event_trace_record", "event_traces_to_spans",
     "exporter_from_config", "FRAME_TYPE", "FRAME_VERSION",
+    "SeenTraces",
 ]
 
 FRAME_TYPE = "json-streams"
@@ -86,6 +92,36 @@ def _urllib_post(url: str, body: bytes, headers: dict) -> int:
             return resp.status
     except urllib.error.HTTPError as e:
         return e.code
+    except Exception:
+        # connection-level failure (collector down, DNS, timeout):
+        # telemetry must never raise into the data pipeline
+        return -1
+
+
+class SeenTraces:
+    """Bounded root-span state: trace id -> children seen so far.
+    LRU-evicted at ``maxsize`` so a long-running traces consumer can't
+    leak; an evicted trace's late event becomes a fresh root."""
+
+    def __init__(self, maxsize: int = 100_000):
+        from collections import OrderedDict
+
+        self.maxsize = maxsize
+        self._d: "OrderedDict[str, int]" = OrderedDict()
+
+    def __contains__(self, tid: str) -> bool:
+        return tid in self._d
+
+    def root(self, tid: str) -> None:
+        self._d[tid] = 0
+        self._d.move_to_end(tid)
+        while len(self._d) > self.maxsize:
+            self._d.popitem(last=False)
+
+    def next_child(self, tid: str) -> int:
+        self._d[tid] += 1
+        self._d.move_to_end(tid)
+        return self._d[tid]
 
 
 class OtlpHttpExporter:
@@ -119,7 +155,8 @@ class OtlpHttpExporter:
         self._logs: list = []
         self._metrics: list = []
         self._spans: list = []
-        self._seen_traces: set = set()
+        self._seen_traces = SeenTraces()
+        self.dropped = 0  # records lost to failed POSTs (best-effort)
 
     # -- resource -----------------------------------------------------------
     def _resource(self) -> dict:
@@ -201,9 +238,16 @@ class OtlpHttpExporter:
                 self.flush()
 
     # -- shipping -----------------------------------------------------------
-    def _post(self, path: str, payload: dict) -> int:
-        return self.poster(self.endpoint + path,
-                           json.dumps(payload).encode(), self.headers)
+    def _post(self, path: str, payload: dict, n_records: int) -> int:
+        try:
+            status = self.poster(self.endpoint + path,
+                                 json.dumps(payload).encode(),
+                                 self.headers)
+        except Exception:
+            status = -1  # injected poster misbehaving: still no raise
+        if not 200 <= status < 300:
+            self.dropped += n_records
+        return status
 
     def flush(self) -> None:
         if self._logs:
@@ -212,21 +256,30 @@ class OtlpHttpExporter:
                 "resource": self._resource(),
                 "scopeLogs": [{"scope": {"name": FRAME_TYPE},
                                "logRecords": logs}],
-            }]})
+            }]}, len(logs))
         if self._metrics:
             metrics, self._metrics = self._metrics, []
             self._post("/v1/metrics", {"resourceMetrics": [{
                 "resource": self._resource(),
                 "scopeMetrics": [{"scope": {"name": FRAME_TYPE},
                                   "metrics": metrics}],
-            }]})
+            }]}, len(metrics))
         if self._spans:
             spans, self._spans = self._spans, []
             self._post("/v1/traces", {"resourceSpans": [{
                 "resource": self._resource(),
                 "scopeSpans": [{"scope": {"name": FRAME_TYPE},
                                 "spans": spans}],
-            }]})
+            }]}, len(spans))
+
+    def close(self) -> None:
+        self.flush()
+
+    def __del__(self):  # pragma: no cover - GC timing
+        try:
+            self.flush()
+        except Exception:
+            pass
 
 
 def event_trace_record(
@@ -270,12 +323,13 @@ def event_trace_record(
     return rec
 
 
-def _span_from_event(record: dict, seen: set) -> Optional[dict]:
+def _span_from_event(record: dict, seen: SeenTraces) -> Optional[dict]:
     """One event trace -> one OTLP span (docs/telemetry.md:68): trace id
     = the UUID with dashes removed; the FIRST event of a trace becomes
     the root span with span id = the first half of the trace id; later
-    events become its children with deterministic derived span ids.
-    Every span lasts exactly one microsecond."""
+    events become its children.  Child span ids hash the trace's child
+    ORDINAL (not timestamp+name, which collide for batch-stamped events
+    of one part).  Every span lasts exactly one microsecond."""
     tid = str(record.get("traceId", "")).replace("-", "").lower()
     if len(tid) != 32:
         return None
@@ -295,25 +349,26 @@ def _span_from_event(record: dict, seen: set) -> Optional[dict]:
         "attributes": _attrs(attributes),
     }
     if tid not in seen:
-        seen.add(tid)
+        seen.root(tid)
         span["spanId"] = root_span
     else:
         import hashlib
 
         span["spanId"] = hashlib.md5(
-            f"{tid}:{ts}:{record.get('name')}".encode()
+            f"{tid}:{seen.next_child(tid)}".encode()
         ).hexdigest()[:16]
         span["parentSpanId"] = root_span
     return span
 
 
 def event_traces_to_spans(
-    records: Iterable[dict], seen: Optional[set] = None
+    records: Iterable[dict], seen: Optional[SeenTraces] = None
 ) -> list[dict]:
     """Batch form of the traces-application conversion — feed it the
     decoded rows of a ``tracesTopic`` micro-batch inside
-    ``foreachBatch``; ``seen`` carries root-span state across batches."""
-    seen = seen if seen is not None else set()
+    ``foreachBatch``; pass one ``SeenTraces`` across batches so root
+    spans stay stable (bounded, LRU-evicted)."""
+    seen = seen if seen is not None else SeenTraces()
     out = []
     for r in records:
         s = _span_from_event(r, seen)

@@ -722,6 +722,17 @@ class TestTimezonesCalendarMath:
         assert ev(df, {"$dateToString": {
             **base, "format": "%z%Z"}}) == "+0000+0"
 
+    def test_date_to_string_escaped_percent_z(self, spark):
+        # R5 review lock: %%z is the LITERAL "%z", never the offset
+        df = one(spark, x=1)
+        base = {"date": {"$toDate": "2024-06-15T12:00:00Z"}}
+        assert ev(df, {"$dateToString": {
+            **base, "format": "%%z",
+            "timezone": "Asia/Kolkata"}}) == "%z"
+        assert ev(df, {"$dateToString": {
+            **base, "format": "%%Z %z",
+            "timezone": "Asia/Kolkata"}}) == "%Z +0530"
+
     def test_date_from_string_own_offset_not_double_shifted(self, spark):
         # R5 ADVICE lock: a dateString carrying its own offset keeps
         # the parsed instant — the timezone argument must not shift it

@@ -413,3 +413,25 @@ class TestFormatStrings:
     def test_unknown_format_raises(self):
         with pytest.raises(JqError):
             jq('@nope', "x")
+
+
+class TestReviewRegressionsR5b:
+    """Second round-5 review batch."""
+
+    def test_gsub_many_matches_no_recursion_limit(self):
+        # 100k matches must not blow the stack (corpus docs do this)
+        s = "a" * 100_000
+        assert jq('gsub("a"; "b")', s) == ["b" * 100_000]
+        assert jq('gsub("(?<x>a)"; .x + "!")', "aaa") == ["a!a!a!"]
+
+    def test_gsub_fanout_order_preserved(self):
+        assert jq('gsub("b"; "x", "y")', "bb") == \
+            ["xx", "xy", "yx", "yy"]
+        # replacement emitting nothing -> no results (jq empty rules)
+        assert jq('sub("b"; empty)', "ab") == []
+
+    def test_base64d_invalid_raises(self):
+        with pytest.raises(JqError):
+            jq('@base64d', "!!!")
+        # unpadded input still decodes (inverse of @base64's padding)
+        assert jq('@base64d', "aGVsbG8") == ["hello"]

@@ -134,7 +134,9 @@ class TestEventTraces:
                 int(s["startTimeUnixNano"]) == 1000
 
     def test_seen_state_crosses_batches(self):
-        seen = set()
+        from pincette_json_streams_spark.streaming.otlp import SeenTraces
+
+        seen = SeenTraces()
         b1 = event_traces_to_spans(
             [{"traceId": self.CORR, "timestampNanos": 1, "name": "x"}],
             seen)
@@ -143,6 +145,25 @@ class TestEventTraces:
             seen)
         assert "parentSpanId" not in b1[0]
         assert b2[0]["parentSpanId"] == b1[0]["spanId"]
+
+    def test_child_span_ids_unique_even_when_batch_stamped(self):
+        # R5 review lock: same trace + same name + same timestamp must
+        # still yield distinct child span ids (ordinal-hashed)
+        spans = event_traces_to_spans([
+            {"traceId": self.CORR, "timestampNanos": 7, "name": "p"},
+            {"traceId": self.CORR, "timestampNanos": 7, "name": "p"},
+            {"traceId": self.CORR, "timestampNanos": 7, "name": "p"},
+        ])
+        ids = [s["spanId"] for s in spans]
+        assert len(set(ids)) == 3
+
+    def test_seen_traces_bounded(self):
+        from pincette_json_streams_spark.streaming.otlp import SeenTraces
+
+        seen = SeenTraces(maxsize=10)
+        for i in range(50):
+            seen.root(f"{i:032x}")
+        assert len(seen._d) == 10  # LRU-evicted, no unbounded growth
 
     def test_exporter_ships_spans(self):
         exp, rec = _exporter()
@@ -157,6 +178,43 @@ class TestEventTraces:
         attrs = {a["key"]: a["value"] for a in span["attributes"]}
         assert attrs["username"] == {"stringValue": "bob"}
         assert span["kind"] == 1
+
+
+class TestBestEffortShipping:
+    """R5 review locks: telemetry must never raise into the pipeline."""
+
+    def test_connection_failure_does_not_raise(self):
+        def exploding(url, body, headers):
+            raise OSError("collector down")
+
+        exp = OtlpHttpExporter("http://c:4318", poster=exploding,
+                               batch_size=1)
+        exp.log_emitter({"logger": "a", "level": "INFO", "message": "x"})
+        assert exp.dropped == 1  # counted, not raised
+
+    def test_http_error_counts_dropped(self):
+        exp = OtlpHttpExporter("http://c:4318",
+                               poster=lambda *a: 503, batch_size=2)
+        exp.log_emitter({"logger": "a", "level": "INFO", "message": "1"})
+        exp.log_emitter({"logger": "a", "level": "INFO", "message": "2"})
+        assert exp.dropped == 2
+
+    def test_default_poster_refuses_to_raise(self):
+        from pincette_json_streams_spark.streaming.otlp import (
+            _urllib_post,
+        )
+        # unreachable port: URLError path must return -1, not raise
+        assert _urllib_post("http://127.0.0.1:9/v1/logs", b"{}",
+                            {"Content-Type": "application/json"}) == -1
+
+    def test_close_flushes_tail(self):
+        rec = _Recorder()
+        exp = OtlpHttpExporter("http://c:4318", poster=rec,
+                               batch_size=100)
+        exp.log_emitter({"logger": "a", "level": "INFO", "message": "t"})
+        assert rec.posts == []
+        exp.close()
+        assert len(rec.posts) == 1
 
 
 class TestActivation:

@@ -1844,6 +1844,18 @@ class TestReviewRegressions3:
         with _pytest.raises(KeyError, match="streaming"):
             pctx3.collection("s")
 
+    def test_union_with_stream_stream_still_legal(self, spark):
+        # R5 review lock: the streaming-catalog guard must NOT break
+        # $unionWith of two streams (its own error message recommends
+        # exactly that shape)
+        s1 = (spark.readStream.format("rate")
+              .option("rowsPerSecond", 1).load())
+        s2 = (spark.readStream.format("rate")
+              .option("rowsPerSecond", 1).load())
+        pctx = PipelineContext(catalog={"other": s2})
+        out = compile_pipeline(s1, [{"$unionWith": "other"}], pctx)
+        assert out.isStreaming
+
     def test_date_from_parts_carries_overflow(self, spark):
         from pincette_json_streams_spark.operators.context import ctx_for
         from pincette_json_streams_spark.operators.expressions import (
