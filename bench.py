@@ -86,6 +86,33 @@ BENCH_QUERIES = [
 ]
 
 
+def check_regressions(times: dict, sf, record_path: str | None = None,
+                      factor: float = 2.0) -> dict:
+    """Per-query regression budget: compare against the committed
+    record (bench_record.json, min-of-3 on a quiet host).  >``factor``x
+    the record is flagged — host-load variance explains up to ~1.5x
+    (see the CPU-steal note in main); 2x means a plan regression worth
+    investigating.  Reported in the payload, not fatal: the driver must
+    still get its JSON line.  Returns {query: [measured, record]}."""
+    if record_path is None:
+        record_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "bench_record.json")
+    regressions: dict = {}
+    try:
+        with open(record_path) as fh:
+            record = json.load(fh)
+    except (OSError, ValueError):
+        return regressions
+    if str(record.get("sf")) != str(sf):
+        return regressions
+    for name, t in times.items():
+        ref = record.get("queries", {}).get(name)
+        if ref and t > factor * ref:
+            regressions[name] = [t, ref]
+    return regressions
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -195,24 +222,7 @@ def main():
     except Exception as e:  # pragma: no cover
         streaming = {"error": str(e)[:200]}
 
-    # per-query regression budget: compare against the committed record
-    # (bench_record.json, min-of-3 on a quiet host).  >2x the record is
-    # flagged — host-load variance explains up to ~1.5x (see the CPU
-    # steal note above); 2x means a plan regression worth investigating.
-    # Reported, not fatal: the driver must still get its JSON line.
-    record_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_record.json")
-    regressions: dict[str, list[float]] = {}
-    try:
-        with open(record_path) as fh:
-            record = json.load(fh)
-        if str(record.get("sf")) == str(sf):
-            for name, t in times.items():
-                ref = record.get("queries", {}).get(name)
-                if ref and t > 2.0 * ref:
-                    regressions[name] = [t, ref]
-    except (OSError, ValueError):
-        pass
+    regressions = check_regressions(times, sf)
 
     try:
         load1, load5, _ = os.getloadavg()

@@ -104,3 +104,23 @@ class TestLocalGateStrictness:
         assert cc._norm_cell(1.0) == "1"
         assert cc._norm_cell(None) == "<null>"
         assert cc._norm_cell("x") == "x"
+
+
+class TestBenchRegressionBudget:
+    def test_check_regressions(self, tmp_path):
+        import json as _json
+
+        import bench
+
+        rec = tmp_path / "bench_record.json"
+        rec.write_text(_json.dumps(
+            {"sf": 0.1, "queries": {"q1": 1.0, "q2": 0.5}}))
+        # over budget flagged with [measured, record]
+        out = bench.check_regressions(
+            {"q1": 2.5, "q2": 0.6, "q3": 9.9}, 0.1, str(rec))
+        assert out == {"q1": [2.5, 1.0]}
+        # different sf: budget doesn't apply
+        assert bench.check_regressions({"q1": 9}, 0.01, str(rec)) == {}
+        # missing record: silent no-op (fresh clones)
+        assert bench.check_regressions(
+            {"q1": 9}, 0.1, str(tmp_path / "nope.json")) == {}
