@@ -360,3 +360,38 @@ class TestRound4PlanShapes:
                      if "Exchange" in l and "Broadcast" not in l
                      and "Reused" not in l]
         assert len(exchanges) == 0, exchanges
+
+
+class TestRound5PlanShapes:
+    def test_star_edges_no_nested_pair_explosion(self, spark):
+        """edges='star' must carry exactly three Generate (explode)
+        nodes — two band-key explodes feeding the LSH self-join and ONE
+        linear hub-star explode.  The pairs contract's nested
+        ids_a x ids_b explode (quadratic in exact-dup group size) must
+        not appear."""
+        from pincette_json_streams_spark.functions.dedup import (
+            minhash_lsh_pairs,
+        )
+        from pincette_json_streams_spark.sources.tables import (
+            load_tables,
+        )
+        docs = load_tables(spark, SF_DIR)["documents"]
+        def n_explodes(df):
+            # simple mode prints each operator once (formatted mode
+            # lists every node twice: tree + detail section)
+            simple = df._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode
+                .fromString("simple"))
+            return simple.count("Generate explode")
+
+        star = minhash_lsh_pairs(docs, threshold=0.5, edges="star")
+        assert n_explodes(star) == 3
+        # the pairs contract keeps its nested explodes (bands x2, ia, ib)
+        pairs = minhash_lsh_pairs(docs, threshold=0.5)
+        assert n_explodes(pairs) >= 4
+
+    def test_dedup_clusters_star_edges_wired(self, spark):
+        # the cluster consumers must ride star edges: their plans keep
+        # the 3-explode budget per LSH input (no quadratic expansion)
+        plan = _plan(spark, "split_leakfree")
+        assert "CartesianProduct" not in plan
