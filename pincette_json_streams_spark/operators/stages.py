@@ -81,6 +81,16 @@ class PipelineContext:
     # (href path -> state dict or None), e.g. a ChangeLogCollection
     # snapshot reader; providing it opts the streaming aggregate in
     href_lookup: Optional[Callable[[str], Optional[dict]]] = None
+    # event-trace producer (record dict -> None), executor-side —
+    # providing it opts the planner into the reference's tracesTopic
+    # behavior (docs/telemetry.md:54): one event trace per correlated
+    # message per part output.  Production = Kafka producer to the
+    # traces topic; tests spool to a file.
+    trace_producer: Optional[Callable[[dict], None]] = None
+    # traceSamplePercentage (docs/configuration.md): deterministic
+    # per-_corr sampling so all components keep the same traces
+    trace_sample_pct: int = 100
+    app_version: Optional[str] = None
 
     def collection(self, name: str,
                    allow_streaming: bool = False) -> DataFrame:

@@ -108,6 +108,15 @@ class Application:
             out = compile_pipeline(
                 self._source(part), part.get("pipeline", []), self.pctx
             )
+            # tracesTopic behavior (docs/telemetry.md:54): a configured
+            # trace producer gets one event trace per correlated
+            # message at the part output, named `<part>.out` exactly
+            # like the reference's metric/trace part naming
+            from pincette_json_streams_spark.streaming.effects import (
+                emit_event_traces,
+            )
+            out = emit_event_traces(
+                out, f"{part['name']}.out", self.pctx)
         elif t == "merge":
             out = self._compile_merge(part)
         elif t == "join":

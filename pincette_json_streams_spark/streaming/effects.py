@@ -44,6 +44,7 @@ __all__ = [
     "stage_http", "stage_sign_jwt", "stage_send", "stage_delay",
     "stage_delete", "stage_s3_csv", "stage_s3_out", "stage_s3_transfer",
     "stage_s3_attachments", "stage_log", "stage_probe",
+    "emit_event_traces",
     "default_log_emitter",
 ]
 
@@ -533,6 +534,71 @@ def stage_probe(df: DataFrame, spec: dict, pctx) -> DataFrame:
                       "topic": topic})
 
     return df.mapInPandas(count_batches, schema=schema_str)
+
+
+# --------------------------------------------------------------------------
+# event traces  (docs/telemetry.md:54-66)
+# --------------------------------------------------------------------------
+
+def emit_event_traces(df: DataFrame, part_name: str, pctx) -> DataFrame:
+    """Automatic event-trace emission — the reference's ``tracesTopic``
+    behavior (docs/telemetry.md:54): when a trace producer is
+    configured, every message carrying a ``_corr`` UUID yields one
+    event-trace record at each part output; messages without ``_corr``
+    are never traced.  ``traceSamplePercentage`` samples
+    DETERMINISTICALLY on the _corr value (md5 % 100), so every
+    component of a distributed trace keeps or drops the same traces
+    (docs/configuration.md traceSamplePercentage note).
+
+    Spark-first: a pass-through ``mapInPandas`` over the part output —
+    the record build + produce runs executor-side in Arrow batches,
+    exactly like $log/$probe; zero effect on the plan when no producer
+    is configured."""
+    producer = getattr(pctx, "trace_producer", None)
+    if producer is None or "_corr" not in df.columns:
+        return df
+    app = getattr(pctx, "app_name", None) or "pincette-json-streams-spark"
+    version = getattr(pctx, "app_version", None)
+    pct = int(getattr(pctx, "trace_sample_pct", 100) or 100)
+    in_cols = list(df.columns)
+    jwt_sub = F.col("_jwt.sub").cast("string") \
+        if "_jwt" in df.columns and \
+        "sub" in [f.name for f in df.schema["_jwt"].dataType.fields] \
+        else F.lit(None).cast("string")
+    prepared = df.withColumns({
+        "__tr_corr": F.col("_corr").cast("string"),
+        "__tr_sub": jwt_sub,
+    })
+    schema_str = _schema_ddl(df)
+
+    def run(batches: Iterator) -> Iterator:
+        import time as _time
+
+        from pincette_json_streams_spark.streaming.otlp import (
+            event_trace_record,
+        )
+
+        for pdf in batches:
+            for corr, sub in zip(pdf["__tr_corr"], pdf["__tr_sub"]):
+                if not isinstance(corr, str):
+                    continue  # null/NaN: uncorrelated message
+                sub = sub if isinstance(sub, str) else None
+                if pct < 100 and int(hashlib.md5(
+                        str(corr).encode()).hexdigest()[:8],
+                        16) % 100 >= pct:
+                    continue
+                rec = event_trace_record(
+                    {"_corr": corr,
+                     "_jwt": {"sub": sub} if sub else None},
+                    application=app, part=part_name,
+                    name=part_name, version=version,
+                    timestamp_nanos=_time.time_ns(),
+                )
+                if rec is not None:
+                    producer(rec)
+            yield pdf[in_cols]
+
+    return prepared.mapInPandas(run, schema=schema_str)
 
 
 # --------------------------------------------------------------------------

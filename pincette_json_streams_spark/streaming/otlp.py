@@ -48,7 +48,8 @@ from typing import Callable, Iterable, Optional
 
 __all__ = [
     "OtlpHttpExporter", "event_trace_record", "event_traces_to_spans",
-    "exporter_from_config", "FRAME_TYPE", "FRAME_VERSION",
+    "exporter_from_config", "configure_telemetry",
+    "FRAME_TYPE", "FRAME_VERSION",
     "SeenTraces",
 ]
 
@@ -403,3 +404,25 @@ def exporter_from_config(
         namespace=(config or {}).get("namespace", FRAME_TYPE),
         poster=poster,
     )
+
+
+def configure_telemetry(pctx, config: Optional[dict],
+                        application: Optional[str] = None):
+    """Reference-shaped activation in one call: ``otlp.http`` wires the
+    exporter into ``pctx.log_emitter`` / ``pctx.probe_producer``
+    (without clobbering explicitly injected ones) and
+    ``traceSamplePercentage`` (docs/configuration.md, default 10) sets
+    the deterministic trace sampling.  Returns the exporter or None.
+    ``tracesTopic`` PRODUCTION needs a Kafka producer — inject
+    ``pctx.trace_producer`` separately (the planner emits one event
+    trace per correlated message at each part output once it is set)."""
+    exp = exporter_from_config(config, application=application)
+    if exp is not None:
+        if getattr(pctx, "log_emitter", None) is None:
+            pctx.log_emitter = exp.log_emitter
+        if getattr(pctx, "probe_producer", None) is None:
+            pctx.probe_producer = exp.probe_producer
+    pct = (config or {}).get("traceSamplePercentage")
+    if pct is not None:
+        pctx.trace_sample_pct = int(pct)
+    return exp

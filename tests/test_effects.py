@@ -521,3 +521,78 @@ class TestSslContext:
         a = build_ssl_context(p12, "secret")
         b = build_ssl_context(p12, "secret")
         assert a is b
+
+
+class TestEventTraces:
+    """Automatic event-trace emission — the tracesTopic behavior
+    (reference docs/telemetry.md:54-66)."""
+
+    def _records(self, path):
+        import os as _os
+        if not _os.path.exists(path):
+            return []
+        with open(path) as fh:
+            return [json.loads(l) for l in fh if l.strip()]
+
+    def test_correlated_messages_traced_at_part_output(
+            self, spark, tmp_path):
+        from pincette_json_streams_spark import Application
+        from pincette_json_streams_spark.plans.planner import SpecError  # noqa
+
+        spool = str(tmp_path / "traces.jsonl")
+        corr = "0f0f0f0f-1111-2222-3333-444455556666"
+        src = spark.createDataFrame(
+            [("m1", corr, "alice"), ("m2", None, None)],
+            "_id string, _corr string, user string",
+        ).withColumn("_jwt", F.when(
+            F.col("user").isNotNull(),
+            F.struct(F.col("user").alias("sub")))).drop("user")
+        pctx = PipelineContext(
+            catalog={"in": src},
+            trace_producer=_make_spool_emitter(spool),
+        )
+        app = Application({"application": "traced-app", "parts": [
+            {"type": "stream", "name": "s1", "fromTopic": "in",
+             "pipeline": [{"$addFields": {"x": 1}}]},
+        ]}, {"in": src}, pctx=pctx)
+        assert app.streams["s1"].count() == 2  # pass-through
+        recs = self._records(spool)
+        assert len(recs) == 1  # only the correlated message
+        (r,) = recs
+        assert r["traceId"] == corr
+        assert r["name"] == "s1.out"
+        assert r["attributes"]["part"] == "s1.out"
+        assert r["serviceName"] == "traced-app"
+        assert r["username"] == "alice"
+        assert r["timestampNanos"] > 0
+
+    def test_no_producer_means_no_plan_change(self, spark):
+        from pincette_json_streams_spark.streaming.effects import (
+            emit_event_traces,
+        )
+        df = spark.createDataFrame([("a", "c1")], "_id string, _corr string")
+        pctx = PipelineContext()
+        assert emit_event_traces(df, "p.out", pctx) is df
+
+    def test_sampling_is_deterministic_on_corr(self, spark, tmp_path):
+        import uuid as _uuid
+
+        from pincette_json_streams_spark.streaming.effects import (
+            emit_event_traces,
+        )
+        spool1 = str(tmp_path / "t1.jsonl")
+        spool2 = str(tmp_path / "t2.jsonl")
+        corrs = [str(_uuid.uuid5(_uuid.NAMESPACE_DNS, str(i)))
+                 for i in range(200)]
+        df = spark.createDataFrame(
+            [(f"m{i}", c) for i, c in enumerate(corrs)],
+            "_id string, _corr string")
+        for spool in (spool1, spool2):
+            pctx = PipelineContext(
+                trace_producer=_make_spool_emitter(spool),
+                trace_sample_pct=10, app_name="a")
+            emit_event_traces(df, "p.out", pctx).count()
+        ids1 = sorted(r["traceId"] for r in self._records(spool1))
+        ids2 = sorted(r["traceId"] for r in self._records(spool2))
+        assert ids1 == ids2          # same traces kept on every run
+        assert 0 < len(ids1) < 200   # genuinely sampled

@@ -234,3 +234,37 @@ class TestActivation:
     def test_grpc_only_raises(self):
         with pytest.raises(ValueError, match="otlp.http"):
             exporter_from_config({"otlp": {"grpc": "http://c:4317"}})
+
+
+class TestConfigureTelemetry:
+    def test_wires_emitters_without_clobbering(self):
+        from pincette_json_streams_spark.operators.stages import (
+            PipelineContext,
+        )
+        from pincette_json_streams_spark.streaming.otlp import (
+            configure_telemetry,
+        )
+        pctx = PipelineContext()
+        exp = configure_telemetry(
+            pctx, {"otlp": {"http": "http://c:4318"},
+                   "traceSamplePercentage": 25},
+            application="app1")
+        assert pctx.log_emitter == exp.log_emitter
+        assert pctx.probe_producer == exp.probe_producer
+        assert pctx.trace_sample_pct == 25
+        # explicitly injected emitters win
+        marker = lambda r: None  # noqa: E731
+        pctx2 = PipelineContext(log_emitter=marker)
+        configure_telemetry(pctx2, {"otlp.http": "http://c:4318"})
+        assert pctx2.log_emitter is marker
+
+    def test_telemetry_off_is_noop(self):
+        from pincette_json_streams_spark.operators.stages import (
+            PipelineContext,
+        )
+        from pincette_json_streams_spark.streaming.otlp import (
+            configure_telemetry,
+        )
+        pctx = PipelineContext()
+        assert configure_telemetry(pctx, {}) is None
+        assert pctx.log_emitter is None
