@@ -30,7 +30,13 @@ corpus and docs exercise, from the public jq language manual:
     infinite, nan, trim, ltrim, rtrim, sub, gsub, splits, ascii,
     explode, implode, todate, fromdate, objects/arrays/booleans/numbers/
     strings/nulls/values/scalars/iterables, recurse (0/1/2-arg), limit,
-    until, while, getpath, setpath, delpaths, paths, leaf_paths
+    until, while, getpath, setpath, delpaths, paths, leaf_paths,
+    match/capture/scan (Oniguruma-flag aware), nth, in, inside, env,
+    $ENV, $__loc__, walk, transpose, combinations, indices, index,
+    rindex, repeat, debug, stderr, toarray, pick, path (generator
+    paths: .a[], comma, pipes, select), halt, halt_error,
+    tostream/fromstream/truncate_stream, and the @format strings
+    (@text @json @base64 @base64d @uri @html @csv @tsv @sh)
 
 Evaluation is generator-based like jq itself: every expression yields a
 *stream* of values.
@@ -703,6 +709,11 @@ def _eval(node, inp, env: _Env) -> Iterator[Any]:
         yield from build(0, [])
     elif tag == "var":
         if node[1] not in env.vars:
+            if node[1] == "ENV":  # jq: environment snapshot
+                import os as _os
+
+                yield dict(_os.environ)
+                return
             raise JqError(f"jq: undefined variable ${node[1]}")
         yield env.vars[node[1]]
     elif tag == "bind":
@@ -803,6 +814,61 @@ def _path_of(node, inp, env) -> list:
         key = next(_eval(node[2], inp, env))
         return base + [key]
     raise JqError("jq: unsupported assignment target")
+
+
+def _paths_of(node, inp, env) -> Iterator[list]:
+    """Generator form of :func:`_path_of` — yields EVERY concrete path
+    a path expression denotes (``.a[]``, ``.a, .b``, pipes, select),
+    powering jq's ``path()``, multi-path ``del()`` and ``pick()``."""
+    tag = node[0]
+    if tag == "identity":
+        yield []
+    elif tag == "index":
+        for base in _paths_of(node[1], inp, env):
+            for k in _eval(node[2], inp, env):
+                yield base + [k]
+    elif tag == "iterate":
+        for base in _paths_of(node[1], inp, env):
+            cur = _get_in(inp, base)
+            if isinstance(cur, list):
+                yield from (base + [i] for i in range(len(cur)))
+            elif isinstance(cur, dict):
+                yield from (base + [k] for k in cur.keys())
+            elif cur is not None:
+                raise JqError(
+                    f"jq: cannot iterate {type(cur).__name__} in path")
+    elif tag == "comma":
+        yield from _paths_of(node[1], inp, env)
+        yield from _paths_of(node[2], inp, env)
+    elif tag == "pipe":
+        for base in _paths_of(node[1], inp, env):
+            sub = _get_in(inp, base)
+            for rest in _paths_of(node[2], sub, env):
+                yield base + rest
+    elif tag == "try":
+        try:
+            yield from list(_paths_of(node[1], inp, env))
+        except JqError:
+            pass
+    elif tag == "call" and node[1] == "select":
+        for c in _eval(node[2][0], inp, env):
+            if _truthy(c):
+                yield []
+    elif tag == "call" and node[1] == "getpath":
+        for p in _eval(node[2][0], inp, env):
+            yield list(p)
+    else:
+        raise JqError("jq: invalid path expression")
+
+
+def _delpaths(doc, ps):
+    """Delete a set of concrete paths, longest-first so earlier
+    deletions can't shift later paths (shared by delpaths/del)."""
+    def seg_key(q):
+        return (len(q), [(isinstance(x, str), x) for x in q])
+    for p in sorted(ps, key=seg_key, reverse=True):
+        doc = _del_in(doc, p)
+    return doc
 
 
 def _get_in(doc, path):
@@ -918,6 +984,8 @@ def _call(name, args, inp, env: _Env):
         return
 
     def one(i=0):
+        if i >= len(args):
+            raise JqError(f"jq: {name} expects {i + 1} argument(s)")
         return next(_eval(args[i], inp, env))
 
     if name == "length":
@@ -931,8 +999,17 @@ def _call(name, args, inp, env: _Env):
         yield (k in inp) if isinstance(inp, dict) else (
             isinstance(k, int) and 0 <= k < len(inp))
     elif name == "del":
-        path = _path_of(args[0], inp, env)
-        yield _del_in(inp, path)
+        # full path-expression form: del(.a[], .b) deletes every
+        # denoted path (delpaths semantics)
+        yield _delpaths(inp, list(_paths_of(args[0], inp, env)))
+    elif name == "path":
+        yield from _paths_of(args[0], inp, env)
+    elif name == "pick":
+        # jq 1.7: keep ONLY the denoted paths, null elsewhere
+        out = None
+        for p in _paths_of(args[0], inp, env):
+            out = _set_in(out, p, _get_in(inp, p))
+        yield out
     elif name == "map":
         out = []
         for x in inp:
@@ -951,9 +1028,19 @@ def _call(name, args, inp, env: _Env):
                 acc = _arith("+", acc, x)
             yield acc
     elif name in ("any", "all"):
-        f = (lambda x: _truthy(x)) if not args else (
-            lambda x: any(_truthy(v) for v in _eval(args[0], x, env)))
-        yield (any if name == "any" else all)(f(x) for x in inp)
+        # jq reduce semantics: any ORs / all ANDs over EVERY output of
+        # the condition (any(gen; f) 2-arity included)
+        agg = any if name == "any" else all
+        if len(args) == 2:
+            yield agg(_truthy(c)
+                      for v in _eval(args[0], inp, env)
+                      for c in _eval(args[1], v, env))
+        elif len(args) == 1:
+            yield agg(_truthy(c)
+                      for x in inp
+                      for c in _eval(args[0], x, env))
+        else:
+            yield agg(_truthy(x) for x in inp)
     elif name == "range":
         if len(args) == 1:
             yield from range(int(one()))
@@ -1007,8 +1094,20 @@ def _call(name, args, inp, env: _Env):
     elif name == "endswith":
         yield inp.endswith(one())
     elif name == "contains":
-        c = one()
-        yield c in inp if isinstance(inp, (str, list)) else False
+        # jq's DEEP containment: substring for strings, every element
+        # of b contained in some element of a for arrays, per-key
+        # recursive for objects, equality for scalars
+        def deep_contains(a, b):
+            if isinstance(a, str) and isinstance(b, str):
+                return b in a
+            if isinstance(a, list) and isinstance(b, list):
+                return all(any(deep_contains(x, y) for x in a)
+                           for y in b)
+            if isinstance(a, dict) and isinstance(b, dict):
+                return all(k in a and deep_contains(a[k], v)
+                           for k, v in b.items())
+            return a == b
+        yield deep_contains(inp, one())
     elif name == "test":
         flags = one(1) if len(args) > 1 else ""
         f, _g, _n = _re_flags(flags, name)
@@ -1290,16 +1389,7 @@ def _call(name, args, inp, env: _Env):
         v = next(_eval(args[1], inp, env))
         yield _set_in(inp, p, v)
     elif name == "delpaths":
-        ps = next(_eval(args[0], inp, env))
-        doc = inp
-        # longest-first so earlier deletions can't shift later paths;
-        # segments order type-aware (numbers before strings, jq's
-        # total order) so mixed paths never raise TypeError
-        def seg_key(q):
-            return (len(q), [(isinstance(x, str), x) for x in q])
-        for p in sorted(ps, key=seg_key, reverse=True):
-            doc = _del_in(doc, p)
-        yield doc
+        yield _delpaths(inp, next(_eval(args[0], inp, env)))
     elif name in ("paths", "leaf_paths"):
         def pwalk(v, pre):
             if isinstance(v, dict):
@@ -1314,6 +1404,144 @@ def _call(name, args, inp, env: _Env):
                     yield p
                 yield from pwalk(x, p)
         yield from pwalk(inp, [])
+    elif name == "nth":
+        if len(args) == 1:
+            n = int(one())
+            yield (inp[n] if isinstance(inp, list)
+                   and 0 <= n < len(inp) else None)
+        else:
+            n = int(one(0))
+            if n < 0:
+                raise JqError("jq: nth doesn't support negative indices")
+            for i, v in enumerate(_eval(args[1], inp, env)):
+                if i == n:
+                    yield v
+                    break
+    elif name == "in":
+        container = one()
+        yield (inp in container) if isinstance(container, dict) else (
+            isinstance(inp, int) and 0 <= inp < len(container))
+    elif name == "inside":
+        big = one()
+        yield from _eval(("call", "contains", [("lit", inp)]), big, env)
+    elif name == "env":
+        import os as _os
+
+        yield dict(_os.environ)
+    elif name == "transpose":
+        if not inp:
+            yield []
+        else:
+            n = max(len(r) for r in inp)
+            yield [[r[i] if i < len(r) else None for r in inp]
+                   for i in range(n)]
+    elif name == "combinations":
+        import itertools as _it
+
+        gens = ([list(_eval(a, inp, env)) for a in args] if args
+                else [x if isinstance(x, list) else [x] for x in inp])
+        for combo in _it.product(*gens):
+            yield list(combo)
+    elif name == "walk":
+        def wapply(v):
+            if isinstance(v, dict):
+                v = {k: wapply(x) for k, x in v.items()}
+            elif isinstance(v, list):
+                v = [wapply(x) for x in v]
+            return next(_eval(args[0], v, env))
+        yield wapply(inp)
+    elif name in ("indices", "index", "rindex"):
+        needle = one()
+        hits: list = []
+        if isinstance(inp, str):
+            if not isinstance(needle, str) or not needle:
+                hits = []
+            else:
+                start = 0
+                while True:
+                    i = inp.find(needle, start)
+                    if i < 0:
+                        break
+                    hits.append(i)
+                    start = i + 1
+        elif isinstance(inp, list):
+            if isinstance(needle, list):
+                if needle:
+                    n = len(needle)
+                    hits = [i for i in range(len(inp) - n + 1)
+                            if inp[i:i + n] == needle]
+            else:
+                hits = [i for i, x in enumerate(inp) if x == needle]
+        elif inp is None:
+            yield None
+            return
+        else:
+            raise JqError(f"jq: {name} input must be string or array")
+        if name == "indices":
+            yield hits
+        elif name == "index":
+            yield hits[0] if hits else None
+        else:
+            yield hits[-1] if hits else None
+    elif name == "repeat":
+        # infinite generator; callers bound it with limit/first/until
+        v = inp
+        while True:
+            for v in _eval(args[0], v, env):
+                yield v
+                break
+            else:
+                return
+    elif name in ("debug", "stderr"):
+        import sys as _sys
+
+        if name == "debug":
+            msg = next(_eval(args[0], inp, env)) if args else inp
+            _sys.stderr.write(
+                json.dumps(["DEBUG:", msg], default=str) + "\n")
+        else:
+            _sys.stderr.write(json.dumps(inp, default=str))
+        yield inp
+    elif name == "toarray":
+        yield inp if isinstance(inp, list) else [inp]
+    elif name in ("halt_error", "halt"):
+        if name == "halt":
+            raise JqError("jq: halt")
+        raise JqError(inp if isinstance(inp, str)
+                      else json.dumps(inp, default=str))
+    elif name == "tostream":
+        def tstream(v, pre):
+            if isinstance(v, (dict, list)) and len(v) > 0:
+                items = (list(v.items()) if isinstance(v, dict)
+                         else list(enumerate(v)))
+                for k, x in items:
+                    yield from tstream(x, pre + [k])
+                yield [pre + [items[-1][0]]]
+            else:
+                yield [pre, v]
+        yield from tstream(inp, [])
+    elif name == "fromstream":
+        acc: list = [None, False]
+        for ev in _eval(args[0], inp, env):
+            if not isinstance(ev, list) or not ev:
+                raise JqError("jq: fromstream event must be a list")
+            if len(ev) >= 2:
+                p, leaf = ev[0], ev[1]
+                if len(p) == 0:
+                    yield leaf
+                else:
+                    acc[0] = _set_in(acc[0], p, leaf)
+                    acc[1] = True
+            elif len(ev[0]) <= 1 and acc[1]:
+                yield acc[0]
+                acc[0], acc[1] = None, False
+    elif name == "truncate_stream":
+        depth = inp
+        if not isinstance(depth, int):
+            raise JqError("jq: truncate_stream input must be a number")
+        for ev in _eval(args[0], None, env):
+            if isinstance(ev, list) and ev and len(ev[0]) > depth:
+                yield [ev[0][depth:]] + ev[1:]
     else:
         raise JqError(f"jq: unknown function {name}")
 

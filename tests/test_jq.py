@@ -435,3 +435,74 @@ class TestReviewRegressionsR5b:
             jq('@base64d', "!!!")
         # unpadded input still decodes (inverse of @base64's padding)
         assert jq('@base64d', "aGVsbG8") == ["hello"]
+
+
+class TestRound5Builtins:
+    """Round-5 builtin batch: paths-as-generators, stream functions,
+    deep containment, env — checked against the jq manual examples."""
+
+    def test_nth_in_inside(self):
+        assert jq('nth(1; .[])', [1, 2, 3]) == [2]
+        assert jq('nth(1)', [1, 2, 3]) == [2]
+        assert jq('in({"a":1})', "a") == [True]
+        assert jq('in([9,8])', 1) == [True]
+        assert jq('inside([1,2,3])', [1, 2]) == [True]
+        assert jq('inside("abc")', "bc") == [True]
+
+    def test_deep_contains(self):
+        assert jq('contains([1])', [1, 2]) == [True]
+        assert jq('contains({"a":{"b":1}})',
+                  {"a": {"b": 1}, "c": 2}) == [True]
+        # jq manual: element containment is recursive, substrings count
+        assert jq('contains(["baz", "bar"])',
+                  ["foobar", "foobaz", "blarp"]) == [True]
+
+    def test_paths_as_generators(self):
+        assert jq('path(.a.b)', {"a": {"b": 1}}) == [["a", "b"]]
+        assert jq('[path(.a[])]', {"a": [9, 8]}) == [[["a", 0], ["a", 1]]]
+        assert jq('del(.a, .c)', {"a": 1, "b": 2, "c": 3}) == [{"b": 2}]
+        assert jq('del(.[] | select(. == 2))', [1, 2, 3, 2]) == [[1, 3]]
+        assert jq('pick(.a, .c)', {"a": 1, "b": 2, "c": 3}) == \
+            [{"a": 1, "c": 3}]
+
+    def test_walk_transpose_combinations(self):
+        assert jq('walk(if type == "number" then . + 1 else . end)',
+                  {"a": [1, {"b": 2}]}) == [{"a": [2, {"b": 3}]}]
+        assert jq('transpose', [[1], [2, 3]]) == [[[1, 2], [None, 3]]]
+        assert jq('[combinations]', [[1, 2], [3, 4]]) == \
+            [[[1, 3], [1, 4], [2, 3], [2, 4]]]
+
+    def test_indices_index_rindex(self):
+        assert jq('indices(",")', "a,b,c") == [[1, 3]]
+        assert jq('indices([1,2])', [0, 1, 2, 1, 2]) == [[1, 3]]
+        assert jq('index(",")', "a,b") == [1]
+        assert jq('rindex(",")', "a,b,c") == [3]
+
+    def test_repeat_bounded_by_limit(self):
+        assert jq('[limit(3; repeat(. * 2))]', 1) == [[2, 4, 8]]
+
+    def test_any_all_multi_output_conditions(self):
+        assert jq('any(.[]; . > 2)', [1, 2, 3]) == [True]
+        assert jq('all(.[]; . > 0)', [1, 2, 3]) == [True]
+        # all() must AND over EVERY output of the condition
+        assert jq('all((true,false))', [1]) == [False]
+
+    def test_stream_functions(self):
+        assert jq('[tostream]', {"a": [1, 2]}) == \
+            [[[["a", 0], 1], [["a", 1], 2], [["a", 1]], [["a"]]]]
+        v = {"a": [1, 2], "b": {"c": 3}}
+        assert jq('fromstream(tostream)', v) == [v]
+        assert jq('fromstream(tostream)', 42) == [42]
+        # the jq-manual truncate_stream example, literally
+        assert jq('[1|truncate_stream([[0],1],[[1,0],2],[[1,0]],[[1]])]',
+                  None) == [[[[0], 2], [[0]]]]
+
+    def test_env_and_halt(self):
+        assert jq('$ENV | type', None) == ["object"]
+        assert jq('env | type', None) == ["object"]
+        with pytest.raises(JqError, match="boom"):
+            jq('halt_error', "boom")
+
+    def test_arity_errors_are_jq_errors(self):
+        with pytest.raises(JqError):
+            jq('ltrimstr()', "x")
