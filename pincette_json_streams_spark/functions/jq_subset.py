@@ -70,7 +70,8 @@ _TOKEN_RE = re.compile(r"""
 """, re.VERBOSE)
 
 _KEYWORDS = {"if", "then", "elif", "else", "end", "and", "or", "not",
-             "def", "as", "import", "reduce", "true", "false", "null"}
+             "def", "as", "import", "reduce", "true", "false", "null",
+             "try", "catch"}
 
 
 def _lex(src: str) -> list[tuple[str, str]]:
@@ -310,6 +311,14 @@ class _Parser:
         if k == "kw" and v == "not":
             self.next()
             return ("call", "not", [])
+        if k == "kw" and v == "try":
+            # jq: `try f catch g` — tight binding (postfix terms); the
+            # catch handler receives the error MESSAGE as its input
+            self.next()
+            body = self.postfix()
+            handler = self.postfix() if self.accept("kw", "catch") \
+                else None
+            return ("trycatch", body, handler)
         if k == "kw" and v == "reduce":
             return self._reduce()
         if k == "loc":
@@ -637,6 +646,12 @@ def _eval(node, inp, env: _Env) -> Iterator[Any]:
             yield from list(_eval(node[1], inp, env))
         except JqError:
             pass
+    elif tag == "trycatch":
+        try:
+            yield from list(_eval(node[1], inp, env))
+        except JqError as e:
+            if node[2] is not None:
+                yield from _eval(node[2], str(e), env)
     elif tag == "neg":
         for v in _eval(node[1], inp, env):
             yield -v
@@ -889,6 +904,13 @@ def _set_in(doc, path, value):
     head, rest = path[0], path[1:]
     if isinstance(head, int):
         out = list(doc) if isinstance(doc, list) else []
+        if head < 0:
+            # jq setpath normalises negative indices against the
+            # CURRENT length; out of range is a jq error, not a crash
+            head = len(out) + head
+            if head < 0:
+                raise JqError(
+                    "jq: out of bounds negative array index")
         while len(out) <= head:
             out.append(None)
         out[head] = _set_in(out[head], rest, value)
@@ -901,18 +923,26 @@ def _set_in(doc, path, value):
 def _del_in(doc, path):
     if not path:
         return None
+    head = path[0]
+    if isinstance(doc, list) and isinstance(head, int) and head < 0:
+        head = len(doc) + head  # jq: negative indices delete from end
     if len(path) == 1:
         if isinstance(doc, dict):
             out = dict(doc)
-            out.pop(path[0], None)
+            out.pop(head, None)
             return out
-        if isinstance(doc, list) and isinstance(path[0], int):
-            return [x for i, x in enumerate(doc) if i != path[0]]
+        if isinstance(doc, list) and isinstance(head, int):
+            return [x for i, x in enumerate(doc) if i != head]
         return doc
     if isinstance(doc, dict):
         out = dict(doc)
-        if path[0] in out:
-            out[path[0]] = _del_in(out[path[0]], path[1:])
+        if head in out:
+            out[head] = _del_in(out[head], path[1:])
+        return out
+    if isinstance(doc, list) and isinstance(head, int) \
+            and 0 <= head < len(doc):
+        out = list(doc)
+        out[head] = _del_in(out[head], path[1:])
         return out
     return doc
 
@@ -1031,16 +1061,17 @@ def _call(name, args, inp, env: _Env):
         # jq reduce semantics: any ORs / all ANDs over EVERY output of
         # the condition (any(gen; f) 2-arity included)
         agg = any if name == "any" else all
+        vals = inp.values() if isinstance(inp, dict) else inp
         if len(args) == 2:
             yield agg(_truthy(c)
                       for v in _eval(args[0], inp, env)
                       for c in _eval(args[1], v, env))
         elif len(args) == 1:
             yield agg(_truthy(c)
-                      for x in inp
+                      for x in vals
                       for c in _eval(args[0], x, env))
         else:
-            yield agg(_truthy(x) for x in inp)
+            yield agg(_truthy(x) for x in vals)
     elif name == "range":
         if len(args) == 1:
             yield from range(int(one()))
@@ -1406,9 +1437,13 @@ def _call(name, args, inp, env: _Env):
         yield from pwalk(inp, [])
     elif name == "nth":
         if len(args) == 1:
+            # jq: def nth($n): .[$n] — negative indices count from
+            # the end, out-of-range is null
             n = int(one())
-            yield (inp[n] if isinstance(inp, list)
-                   and 0 <= n < len(inp) else None)
+            if not isinstance(inp, list):
+                raise JqError("jq: nth input must be an array")
+            i = n if n >= 0 else len(inp) + n
+            yield inp[i] if 0 <= i < len(inp) else None
         else:
             n = int(one(0))
             if n < 0:
@@ -1429,6 +1464,9 @@ def _call(name, args, inp, env: _Env):
 
         yield dict(_os.environ)
     elif name == "transpose":
+        if not isinstance(inp, list) or not all(
+                isinstance(r, list) for r in inp):
+            raise JqError("jq: transpose input must be a list of lists")
         if not inp:
             yield []
         else:
@@ -1436,10 +1474,21 @@ def _call(name, args, inp, env: _Env):
             yield [[r[i] if i < len(r) else None for r in inp]
                    for i in range(n)]
     elif name == "combinations":
+        # jq: 0-arity = cartesian product over an array of iterables;
+        # combinations(n) = combinations of n COPIES OF THE INPUT
+        # (manual: . as $dot | [range(n) | $dot] | combinations)
         import itertools as _it
 
-        gens = ([list(_eval(a, inp, env)) for a in args] if args
-                else [x if isinstance(x, list) else [x] for x in inp])
+        rows = [inp] * int(one()) if args else inp
+        gens = []
+        for x in rows:
+            if isinstance(x, list):
+                gens.append(x)
+            elif isinstance(x, dict):
+                gens.append(list(x.values()))
+            else:
+                raise JqError(
+                    f"jq: cannot iterate over {type(x).__name__}")
         for combo in _it.product(*gens):
             yield list(combo)
     elif name == "walk":

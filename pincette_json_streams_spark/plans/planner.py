@@ -108,15 +108,6 @@ class Application:
             out = compile_pipeline(
                 self._source(part), part.get("pipeline", []), self.pctx
             )
-            # tracesTopic behavior (docs/telemetry.md:54): a configured
-            # trace producer gets one event trace per correlated
-            # message at the part output, named `<part>.out` exactly
-            # like the reference's metric/trace part naming
-            from pincette_json_streams_spark.streaming.effects import (
-                emit_event_traces,
-            )
-            out = emit_event_traces(
-                out, f"{part['name']}.out", self.pctx)
         elif t == "merge":
             out = self._compile_merge(part)
         elif t == "join":
@@ -132,6 +123,19 @@ class Application:
         else:
             raise SpecError(f"unknown part type {t}")
         name = part["name"]
+        # tracesTopic behavior (docs/telemetry.md:54): a configured
+        # trace producer gets one event trace per correlated message
+        # at the part output, with the reference's subpart naming
+        # (`<part>.out` for streams, `<part>.merged` for merges;
+        # join inputs are traced inside _compile_join as
+        # `<part>.left.in`/`<part>.right.in`).  Aggregate parts emit
+        # their own event stream and are not wrapped here.
+        from pincette_json_streams_spark.streaming.effects import (
+            emit_event_traces,
+        )
+        if t in ("stream", "merge"):
+            suffix = ".out" if t == "stream" else ".merged"
+            out = emit_event_traces(out, f"{name}{suffix}", self.pctx)
         self.streams[name] = out
         if "toTopic" in part:
             df = out
@@ -171,6 +175,14 @@ class Application:
         left_spec, right_spec = part["left"], part["right"]
         left = self._source(left_spec)
         right = self._source(right_spec)
+        # reference trace subparts <part>.left.in / <part>.right.in
+        # (docs/telemetry.md metrics-attribute table)
+        from pincette_json_streams_spark.streaming.effects import (
+            emit_event_traces,
+        )
+        pname = part.get("name", "join")
+        left = emit_event_traces(left, f"{pname}.left.in", self.pctx)
+        right = emit_event_traces(right, f"{pname}.right.in", self.pctx)
         lkey = compile_expr(left_spec["on"], ctx_for(left))
         rkey = compile_expr(right_spec["on"], ctx_for(right))
         window_ms = part.get("window")

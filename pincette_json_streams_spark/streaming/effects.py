@@ -557,13 +557,19 @@ def emit_event_traces(df: DataFrame, part_name: str, pctx) -> DataFrame:
     producer = getattr(pctx, "trace_producer", None)
     if producer is None or "_corr" not in df.columns:
         return df
+    raw_pct = getattr(pctx, "trace_sample_pct", 100)
+    pct = 100 if raw_pct is None else int(raw_pct)
+    if pct <= 0:
+        return df  # traceSamplePercentage 0 = tracing off
     app = getattr(pctx, "app_name", None) or "pincette-json-streams-spark"
     version = getattr(pctx, "app_version", None)
-    pct = int(getattr(pctx, "trace_sample_pct", 100) or 100)
     in_cols = list(df.columns)
+    from pyspark.sql.types import StructType
+
+    jwt_t = df.schema["_jwt"].dataType if "_jwt" in df.columns else None
     jwt_sub = F.col("_jwt.sub").cast("string") \
-        if "_jwt" in df.columns and \
-        "sub" in [f.name for f in df.schema["_jwt"].dataType.fields] \
+        if isinstance(jwt_t, StructType) and \
+        "sub" in [f.name for f in jwt_t.fields] \
         else F.lit(None).cast("string")
     prepared = df.withColumns({
         "__tr_corr": F.col("_corr").cast("string"),

@@ -422,7 +422,9 @@ def configure_telemetry(pctx, config: Optional[dict],
             pctx.log_emitter = exp.log_emitter
         if getattr(pctx, "probe_producer", None) is None:
             pctx.probe_producer = exp.probe_producer
+    # reference default is 10 (docs/configuration.md:32) — applying it
+    # here keeps mixed deployments sampling the SAME traces; 0 turns
+    # tracing off entirely
     pct = (config or {}).get("traceSamplePercentage")
-    if pct is not None:
-        pctx.trace_sample_pct = int(pct)
+    pctx.trace_sample_pct = int(pct) if pct is not None else 10
     return exp

@@ -596,3 +596,56 @@ class TestEventTraces:
         ids2 = sorted(r["traceId"] for r in self._records(spool2))
         assert ids1 == ids2          # same traces kept on every run
         assert 0 < len(ids1) < 200   # genuinely sampled
+
+
+class TestEventTracesReviewLocks:
+    def test_pct_zero_disables_tracing(self, spark, tmp_path):
+        from pincette_json_streams_spark.streaming.effects import (
+            emit_event_traces,
+        )
+        df = spark.createDataFrame(
+            [("m", "0f0f0f0f-1111-2222-3333-444455556666")],
+            "_id string, _corr string")
+        pctx = PipelineContext(trace_producer=lambda r: None,
+                               trace_sample_pct=0)
+        assert emit_event_traces(df, "p.out", pctx) is df  # plan unchanged
+
+    def test_non_struct_jwt_column_tolerated(self, spark, tmp_path):
+        from pincette_json_streams_spark.streaming.effects import (
+            emit_event_traces,
+        )
+        spool = str(tmp_path / "t.jsonl")
+        df = spark.createDataFrame(
+            [("m", "0f0f0f0f-1111-2222-3333-444455556666", "raw.jwt")],
+            "_id string, _corr string, _jwt string")
+        pctx = PipelineContext(trace_producer=_make_spool_emitter(spool),
+                               app_name="a")
+        out = emit_event_traces(df, "p.out", pctx)
+        assert out.count() == 1  # no AttributeError at compile
+        with open(spool) as fh:
+            recs = [json.loads(l) for l in fh]
+        assert len(recs) == 1 and "username" not in recs[0]
+
+    def test_merge_and_join_parts_traced(self, spark, tmp_path):
+        from pincette_json_streams_spark import Application
+        spool = str(tmp_path / "traces.jsonl")
+        corr = "0f0f0f0f-1111-2222-3333-444455556666"
+        a = spark.createDataFrame([("m1", corr)],
+                                  "_id string, _corr string")
+        b = spark.createDataFrame([("m2", corr)],
+                                  "_id string, _corr string")
+        pctx = PipelineContext(
+            catalog={"a": a, "b": b},
+            trace_producer=_make_spool_emitter(spool))
+        app = Application({"application": "t", "parts": [
+            {"type": "merge", "name": "m", "fromTopics": ["a", "b"]},
+            {"type": "join", "name": "j", "window": 1000,
+             "left": {"fromTopic": "a", "on": "$_id"},
+             "right": {"fromTopic": "b", "on": "$_id"}},
+        ]}, {"a": a, "b": b}, pctx=pctx)
+        app.streams["m"].count()
+        app.streams["j"].count()
+        with open(spool) as fh:
+            names = sorted({json.loads(l)["name"] for l in fh})
+        assert "m.merged" in names
+        assert "j.left.in" in names and "j.right.in" in names

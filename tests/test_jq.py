@@ -506,3 +506,40 @@ class TestRound5Builtins:
     def test_arity_errors_are_jq_errors(self):
         with pytest.raises(JqError):
             jq('ltrimstr()', "x")
+
+
+class TestReviewRegressionsR5c:
+    """Third round-5 review batch — negative indices, object
+    iteration, combinations(n), try/catch."""
+
+    def test_combinations_n_copies_of_input(self):
+        # jq manual: combinations(n) = n copies of the input
+        assert jq('[combinations(2)]', [0, 1]) == \
+            [[[0, 0], [0, 1], [1, 0], [1, 1]]]
+        with pytest.raises(JqError):
+            jq('combinations', [1, 2])  # scalar rows cannot iterate
+
+    def test_any_all_iterate_object_values(self):
+        assert jq('any', {"a": False}) == [False]
+        assert jq('all', {"a": False}) == [False]
+        assert jq('all', {"a": 0}) == [True]  # 0 is truthy in jq
+
+    def test_negative_indices_in_paths(self):
+        assert jq('del(.[-1])', [1, 2, 3]) == [[1, 2]]
+        assert jq('del(.a[0].b)', {"a": [{"b": 1, "c": 2}]}) == \
+            [{"a": [{"c": 2}]}]
+        assert jq('nth(-1)', [1, 2, 3]) == [3]
+        assert jq('setpath([-1]; 9)', [1, 2, 3]) == [[1, 2, 9]]
+        # pick on null with a negative index is a CATCHABLE jq error
+        assert jq('[try pick(.[-1])]', [1, 2, 3]) == [[]]
+
+    def test_try_catch(self):
+        assert jq('try transpose catch "bad"', [[1], 2]) == ["bad"]
+        assert jq('try error("x") catch .', None) == ["x"]
+        assert jq('try .a', {"a": 1}) == [1]
+        # keyword fields need the quoted form, exactly like real jq
+        assert jq('."try"', {"try": 5}) == [5]
+
+    def test_transpose_rejects_non_arrays(self):
+        with pytest.raises(JqError):
+            jq('transpose', [[1], 2])

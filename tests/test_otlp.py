@@ -268,3 +268,20 @@ class TestConfigureTelemetry:
         pctx = PipelineContext()
         assert configure_telemetry(pctx, {}) is None
         assert pctx.log_emitter is None
+
+
+class TestReviewRegressionsR5c:
+    def test_trace_sample_default_is_ten(self):
+        from pincette_json_streams_spark.operators.stages import (
+            PipelineContext,
+        )
+        from pincette_json_streams_spark.streaming.otlp import (
+            configure_telemetry,
+        )
+        pctx = PipelineContext()
+        configure_telemetry(pctx, {"otlp.http": "http://c:4318"})
+        assert pctx.trace_sample_pct == 10  # reference default
+        pctx2 = PipelineContext()
+        configure_telemetry(pctx2, {"otlp.http": "http://c:4318",
+                                    "traceSamplePercentage": 0})
+        assert pctx2.trace_sample_pct == 0
