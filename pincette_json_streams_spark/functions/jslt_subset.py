@@ -766,6 +766,19 @@ def _call(name, args, ctx, env):
         import hashlib as _hl
 
         return _hl.sha256(_to_string(a()).encode()).hexdigest()
+    if name == "sha512-hex":
+        import hashlib as _hl
+
+        return _hl.sha512(_to_string(a()).encode()).hexdigest()
+    if name == "print":
+        # JSLT: writes the value (with an optional prefix) to stdout
+        # and returns it — the debugging passthrough
+        import sys as _sys
+
+        v = a(0)
+        prefix = _to_string(a(1)) if len(args) > 1 else ""
+        _sys.stderr.write(prefix + json.dumps(v, default=str) + "\n")
+        return v
     if name == "hash-int":
         import hashlib as _hl
 

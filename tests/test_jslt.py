@@ -278,3 +278,14 @@ class TestParseUrlEdge:
     def test_out_of_range_port_is_omitted(self):
         out = jslt('parse-url(.)', "http://host:99999/x")
         assert out["host"] == "host" and "port" not in out
+
+
+class TestRound5Additions:
+    def test_sha512_hex(self):
+        import hashlib
+        assert jslt('sha512-hex("x")', {}) == \
+            hashlib.sha512(b"x").hexdigest()
+
+    def test_print_passthrough(self):
+        assert jslt('print(.a)', {"a": 7}) == 7
+        assert jslt('print(.a, "v: ")', {"a": 7}) == 7
