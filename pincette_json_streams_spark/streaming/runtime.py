@@ -38,7 +38,7 @@ from pincette_json_streams_spark.operators.stages import (
 
 __all__ = [
     "kafka_source", "kafka_sink", "kafka_client_options",
-    "file_stream_catalog",
+    "file_stream_catalog", "attach_metrics_listener",
     "collection_change_stream", "StreamingApp", "streaming_aggregate",
     "delay_spool_sink", "delay_release_stream", "redelivery_sink",
 ]
@@ -592,3 +592,50 @@ class StreamingApp:
                 attempts += 1
                 if attempts > max_restarts:
                     raise
+
+def attach_metrics_listener(spark: SparkSession, counter, application: str):
+    """Forward per-query streaming throughput to a counter emitter —
+    the reference's automatic OpenTelemetry ``json_streams.messages``
+    observable counters per part in/out (docs/telemetry.md:35-47,
+    attributes application/part/profile.frame.*).
+
+    ``counter(name, value, attributes)`` matches
+    ``OtlpHttpExporter.emit_counter``; the listener runs driver-side on
+    every micro-batch progress event and emits ``<query>.in`` with the
+    batch's ``numInputRows`` and ``<query>.out`` with the sink's
+    ``numOutputRows`` (skipped when the sink doesn't report).  Returns
+    the listener so callers can ``spark.streams.removeListener`` it."""
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    frame_attrs = {
+        "application": application,
+        "profile.frame.type": "json-streams",
+    }
+
+    class _Listener(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            p = event.progress
+            part = p.name or str(p.id)
+            try:
+                n_in = int(p.numInputRows)
+                counter("json_streams.messages", n_in,
+                        {**frame_attrs, "part": f"{part}.in"})
+                n_out = int(p.sink.numOutputRows)
+                if n_out >= 0:  # -1 = sink doesn't report
+                    counter("json_streams.messages", n_out,
+                            {**frame_attrs, "part": f"{part}.out"})
+            except Exception:
+                pass  # telemetry must never break the stream
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            pass
+
+    listener = _Listener()
+    spark.streams.addListener(listener)
+    return listener

@@ -1031,3 +1031,54 @@ class TestCollectionBackends:
         coll.delete(spark.createDataFrame([("b",)], "_id string"))
         snap2 = {r["_id"]: r["v"] for r in coll.snapshot(spark).collect()}
         assert snap2 == {"a": 10}
+
+
+class TestMetricsListener:
+    def test_streaming_progress_forwards_counters(
+            self, spark, tmp_path, people_dir):
+        """attach_metrics_listener: a drained streaming app emits
+        json_streams.messages counters with <query>.in/.out parts —
+        the reference's automatic per-part observable counters
+        (docs/telemetry.md:35-47)."""
+        import time
+
+        from pincette_json_streams_spark.streaming.runtime import (
+            attach_metrics_listener,
+        )
+        got = []  # listener callbacks run driver-side: a list works
+
+        def counter(name, value, attributes):
+            got.append((name, value, dict(attributes)))
+
+        listener = attach_metrics_listener(spark, counter, "my-app")
+        try:
+            catalog = file_stream_catalog(
+                spark, {"people": people_dir}, {"people": PEOPLE_SCHEMA})
+            app = StreamingApp(spark, {
+                "application": "my-app", "parts": [
+                    {"type": "stream", "name": "adults",
+                     "fromTopic": "people", "toTopic": "out",
+                     "pipeline": [{"$match": {"age": {"$gte": 30}}}]},
+                ],
+            }, catalog)
+            sink = memory_sink(tmp_path)
+            app.run_until_drained(sink)
+            # listener events are async: give the bus a moment
+            deadline = time.time() + 30
+            while time.time() < deadline and not any(
+                    a["part"].endswith(".in") and v > 0
+                    for _, v, a in got):
+                time.sleep(0.5)
+        finally:
+            spark.streams.removeListener(listener)
+        msgs = [(v, a) for n, v, a in got
+                if n == "json_streams.messages"]
+        ins = [(v, a) for v, a in msgs if a["part"].endswith(".in")]
+        outs = [(v, a) for v, a in msgs if a["part"].endswith(".out")]
+        # the $match pushes into the file source, so .in counts the
+        # post-pushdown scan (2 adults) — same as the sink's .out
+        assert any(v == 2 for v, _ in ins)
+        assert any(v == 2 for v, _ in outs)
+        assert all(a["application"] == "my-app" for _, a in msgs)
+        assert all(a["profile.frame.type"] == "json-streams"
+                   for _, a in msgs)
