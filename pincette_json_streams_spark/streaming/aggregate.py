@@ -353,6 +353,20 @@ def compile_aggregate_batch(part: dict, app) -> dict[str, DataFrame]:
     # arrival order is assigned BEFORE the preprocessor: its stages (e.g.
     # app8's $deduplicate) shuffle, and the fold must still replay
     # commands in command-topic order
+    # reference trace subparts `<part>.command.<command>`
+    # (docs/telemetry.md metrics-attribute table): correlated commands
+    # trace with their command name before entering the fold
+    if "_command" in source.columns:
+        from pincette_json_streams_spark.streaming.effects import (
+            emit_event_traces,
+        )
+        pname = part.get("name", agg_type)
+        source = emit_event_traces(
+            source, f"{pname}.command", app.pctx,
+            name_expr=F.concat(
+                F.lit(f"{pname}.command."),
+                F.coalesce(F.col("_command").cast("string"),
+                           F.lit("unknown"))))
     source = source.withColumn(
         "__order", F.monotonically_increasing_id()
     )

@@ -540,7 +540,8 @@ def stage_probe(df: DataFrame, spec: dict, pctx) -> DataFrame:
 # event traces  (docs/telemetry.md:54-66)
 # --------------------------------------------------------------------------
 
-def emit_event_traces(df: DataFrame, part_name: str, pctx) -> DataFrame:
+def emit_event_traces(df: DataFrame, part_name: str, pctx,
+                      name_expr: Optional[Column] = None) -> DataFrame:
     """Automatic event-trace emission — the reference's ``tracesTopic``
     behavior (docs/telemetry.md:54): when a trace producer is
     configured, every message carrying a ``_corr`` UUID yields one
@@ -553,7 +554,9 @@ def emit_event_traces(df: DataFrame, part_name: str, pctx) -> DataFrame:
     Spark-first: a pass-through ``mapInPandas`` over the part output —
     the record build + produce runs executor-side in Arrow batches,
     exactly like $log/$probe; zero effect on the plan when no producer
-    is configured."""
+    is configured.  ``name_expr`` optionally computes the subpart name
+    PER ROW (aggregate parts trace as ``<part>.command.<command>``,
+    docs/telemetry.md metrics-attribute table)."""
     producer = getattr(pctx, "trace_producer", None)
     if producer is None or "_corr" not in df.columns:
         return df
@@ -574,6 +577,8 @@ def emit_event_traces(df: DataFrame, part_name: str, pctx) -> DataFrame:
     prepared = df.withColumns({
         "__tr_corr": F.col("_corr").cast("string"),
         "__tr_sub": jwt_sub,
+        "__tr_name": (name_expr if name_expr is not None
+                      else F.lit(part_name)).cast("string"),
     })
     schema_str = _schema_ddl(df)
 
@@ -585,10 +590,12 @@ def emit_event_traces(df: DataFrame, part_name: str, pctx) -> DataFrame:
         )
 
         for pdf in batches:
-            for corr, sub in zip(pdf["__tr_corr"], pdf["__tr_sub"]):
+            for corr, sub, nm in zip(pdf["__tr_corr"], pdf["__tr_sub"],
+                                     pdf["__tr_name"]):
                 if not isinstance(corr, str):
                     continue  # null/NaN: uncorrelated message
                 sub = sub if isinstance(sub, str) else None
+                nm = nm if isinstance(nm, str) else part_name
                 if pct < 100 and int(hashlib.md5(
                         str(corr).encode()).hexdigest()[:8],
                         16) % 100 >= pct:
@@ -596,8 +603,8 @@ def emit_event_traces(df: DataFrame, part_name: str, pctx) -> DataFrame:
                 rec = event_trace_record(
                     {"_corr": corr,
                      "_jwt": {"sub": sub} if sub else None},
-                    application=app, part=part_name,
-                    name=part_name, version=version,
+                    application=app, part=nm,
+                    name=nm, version=version,
                     timestamp_nanos=_time.time_ns(),
                 )
                 if rec is not None:

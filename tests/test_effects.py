@@ -649,3 +649,31 @@ class TestEventTracesReviewLocks:
             names = sorted({json.loads(l)["name"] for l in fh})
         assert "m.merged" in names
         assert "j.left.in" in names and "j.right.in" in names
+
+
+class TestAggregateCommandTraces:
+    def test_commands_traced_with_command_name(self, spark, tmp_path):
+        from pincette_json_streams_spark import Application
+        spool = str(tmp_path / "traces.jsonl")
+        corr = "0f0f0f0f-1111-2222-3333-444455556666"
+        cmds = spark.createDataFrame(
+            [("a1", "put", corr, '{"_id":"a1","_command":"put","v":1}'),
+             ("a2", "delete", None, '{"_id":"a2","_command":"delete"}')],
+            "_id string, _command string, _corr string, __json string")
+        pctx = PipelineContext(
+            catalog={"app-agg-command": cmds},
+            trace_producer=_make_spool_emitter(spool))
+        app = Application({"application": "app", "parts": [
+            {"type": "aggregate", "name": "agg",
+             "aggregateType": "agg"},
+        ]}, {"app-agg-command": cmds}, pctx=pctx)
+        # ONE action: every purpose stream shares the traced source
+        # lineage, so each action replays the emission (at-least-once,
+        # same contract as $log in batch mode)
+        next(iter(app.streams.values())).count()
+        with open(spool) as fh:
+            recs = [json.loads(l) for l in fh if l.strip()]
+        names = {r["name"] for r in recs}
+        assert names == {"agg.command.put"}  # correlated only, named
+        assert all(r["attributes"]["part"] == "agg.command.put"
+                   for r in recs)
