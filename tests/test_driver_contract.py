@@ -114,11 +114,15 @@ class TestBenchRegressionBudget:
 
         rec = tmp_path / "bench_record.json"
         rec.write_text(_json.dumps(
-            {"sf": 0.1, "queries": {"q1": 1.0, "q2": 0.5}}))
-        # over budget flagged with [measured, record]
+            {"sf": 0.1, "queries": {"q1": 1.0, "q2": 0.5},
+             "budget_queries": {"q2": 2.0}}))
+        # over budget (2x base + 1s) flagged with [measured, base];
+        # budget_queries (median) overrides queries (min) as the base
         out = bench.check_regressions(
-            {"q1": 2.5, "q2": 0.6, "q3": 9.9}, 0.1, str(rec))
-        assert out == {"q1": [2.5, 1.0]}
+            {"q1": 3.5, "q2": 4.9, "q3": 9.9}, 0.1, str(rec))
+        assert out == {"q1": [3.5, 1.0]}
+        assert bench.check_regressions(
+            {"q2": 5.1}, 0.1, str(rec)) == {"q2": [5.1, 2.0]}
         # different sf: budget doesn't apply
         assert bench.check_regressions({"q1": 9}, 0.01, str(rec)) == {}
         # missing record: silent no-op (fresh clones)
