@@ -842,6 +842,42 @@ FROM orders WHERE o_orderkey <= 2000
 """
 
 
+def q_jq_formats(spark, sf_dir):
+    """jq @format strings (@base64/@base64d roundtrip, @html escape,
+    @csv row building) over document text — the round-5 jq surface,
+    value-checked against DuckDB's base64/replace equivalents."""
+    return _pipe(spark, sf_dir, "documents", [
+        {"$match": {"doc_id": {"$lt": 800}}},
+        {"$jq": {
+            "script": "(.text[0:24]) as $s | "
+                      "{doc_id: .doc_id, "
+                      "b64: ($s | @base64), "
+                      "rt: (($s | @base64 | @base64d) == $s), "
+                      "html: ($s | @html), "
+                      "csvrow: ([.doc_id, $s] | @csv)}",
+            "schema": "doc_id bigint, b64 string, rt boolean, "
+                      "html string, csvrow string"}},
+    ])
+
+
+_ORACLE_JQ_FORMATS = """
+WITH s AS (
+  SELECT doc_id, substr(text, 1, 24) AS t FROM documents
+  WHERE doc_id < 800
+)
+SELECT doc_id,
+       base64(encode(t)) AS b64,
+       decode(from_base64(base64(encode(t)))) = t AS rt,
+       replace(replace(replace(replace(replace(t,
+           chr(38), chr(38) || 'amp;'), '<', chr(38) || 'lt;'),
+           '>', chr(38) || 'gt;'), chr(39), chr(38) || '#39;'),
+           chr(34), chr(38) || 'quot;') AS html,
+       doc_id || ',' || chr(34) ||
+           replace(t, chr(34), chr(34) || chr(34)) || chr(34) AS csvrow
+FROM s
+"""
+
+
 def q_region_revenue(spark, sf_dir):
     """Star-join chain via chained $lookup(unwind): lineitem -> orders ->
     customer -> nation -> region, revenue per region (the broadcast-join
@@ -5224,6 +5260,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # all of block 0 plus half of block 1 — no query goes 3 rounds
     # unsampled.
     return {
+        # -- NEW in round 5 (never driver-sampled -> very front) --------
+        "jq_formats": q_jq_formats,
         # -- block 0: last driver-sampled in r2 (stalest signal) --------
         "string_ops": q_string_ops,
         "datetime_ops": q_datetime_ops,
@@ -5353,6 +5391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "jq_formats": _ORACLE_JQ_FORMATS,
         "graph_lookup": _ORACLE_GRAPH_LOOKUP,
         "bpe_pairs": _oracle_bpe_pairs(),
         "bpe_encode": _oracle_bpe_encode(),
