@@ -543,3 +543,93 @@ class TestReviewRegressionsR5c:
     def test_transpose_rejects_non_arrays(self):
         with pytest.raises(JqError):
             jq('transpose', [[1], 2])
+
+
+class TestPathProperties:
+    """Hypothesis locks for the generator-path machinery: random docs
+    and paths through setpath/getpath/delpaths/pick."""
+
+    @staticmethod
+    def _json_values():
+        from hypothesis import strategies as st
+        scalars = st.one_of(
+            st.none(), st.booleans(),
+            st.integers(min_value=-1000, max_value=1000),
+            st.text(max_size=6))
+        return st.recursive(
+            scalars,
+            lambda c: st.one_of(
+                st.lists(c, max_size=4),
+                st.dictionaries(st.text(min_size=1, max_size=4), c,
+                                max_size=4)),
+            max_leaves=12)
+
+    @staticmethod
+    def _paths():
+        from hypothesis import strategies as st
+        return st.lists(
+            st.one_of(st.text(min_size=1, max_size=4),
+                      st.integers(min_value=0, max_value=3)),
+            min_size=1, max_size=4)
+
+    def test_setpath_getpath_roundtrip(self):
+        from hypothesis import given, settings
+
+        @settings(max_examples=150, deadline=None)
+        @given(self._json_values(), self._paths(), self._json_values())
+        def prop(doc, path, value):
+            from pincette_json_streams_spark.functions.jq_subset import (
+                _get_in, _set_in,
+            )
+            try:
+                updated = _set_in(doc, path, value)
+            except JqError:
+                return  # structurally impossible path: jq-level error
+            assert _get_in(updated, path) == value
+        prop()
+
+    def test_delpaths_removes(self):
+        from hypothesis import given, settings
+
+        @settings(max_examples=150, deadline=None)
+        @given(self._json_values(), self._paths())
+        def prop(doc, path):
+            from pincette_json_streams_spark.functions.jq_subset import (
+                _del_in, _get_in,
+            )
+            before = _get_in(doc, path)
+            after = _del_in(doc, path)
+            if before is not None and isinstance(doc, (dict, list)):
+                got = _get_in(after, path)
+                # deleting a list element shifts later siblings into
+                # the slot, so only assert the CONTAINER shrank or the
+                # dict key vanished
+                if isinstance(doc, dict) and isinstance(path[0], str):
+                    if len(path) == 1:
+                        assert path[0] not in after
+                    else:
+                        assert got != before or \
+                            _get_in(doc, path[:-1]) != \
+                            _get_in(after, path[:-1])
+        prop()
+
+    def test_pick_preserves_picked_values(self):
+        from hypothesis import given, settings
+
+        @settings(max_examples=100, deadline=None)
+        @given(self._json_values())
+        def prop(doc):
+            from pincette_json_streams_spark.functions.jq_subset import (
+                compile_jq,
+            )
+            if not isinstance(doc, dict) or not doc:
+                return
+            key = sorted(doc.keys())[0]
+            # JSON-escape the key (control characters etc.) — the
+            # program text must be valid jq source
+            picked = compile_jq(f'pick(.{json.dumps(key)})')(doc)
+            assert picked == [{key: doc[key]}] or (
+                # jq pick returns null-shaped containers for nested
+                # misses; top-level single key is exact
+                picked[0][key] == doc[key])
+        prop()
