@@ -848,8 +848,11 @@ def q_jq_formats(spark, sf_dir):
     value-checked against DuckDB's base64/replace equivalents."""
     return _pipe(spark, sf_dir, "documents", [
         {"$match": {"doc_id": {"$lt": 800}}},
+        # the corpus text carries no escapable characters, so decorate
+        # EVERY row with them — otherwise the @html/@csv checks reduce
+        # to the identity transform and verify nothing
         {"$jq": {
-            "script": "(.text[0:24]) as $s | "
+            "script": "(.text[0:24] + \" x&<>'\" + \"\\\"\") as $s | "
                       "{doc_id: .doc_id, "
                       "b64: ($s | @base64), "
                       "rt: (($s | @base64 | @base64d) == $s), "
@@ -862,7 +865,10 @@ def q_jq_formats(spark, sf_dir):
 
 _ORACLE_JQ_FORMATS = """
 WITH s AS (
-  SELECT doc_id, substr(text, 1, 24) AS t FROM documents
+  SELECT doc_id,
+         substr(text, 1, 24) || ' x' || chr(38) || '<>' || chr(39)
+             || chr(34) AS t
+  FROM documents
   WHERE doc_id < 800
 )
 SELECT doc_id,

@@ -903,6 +903,10 @@ def _set_in(doc, path, value):
         return value
     head, rest = path[0], path[1:]
     if isinstance(head, int):
+        if isinstance(doc, dict):
+            # jq: setpath([0]; v) on an object is an ERROR, never a
+            # silent clobber into a list
+            raise JqError("jq: cannot index object with number")
         out = list(doc) if isinstance(doc, list) else []
         if head < 0:
             # jq setpath normalises negative indices against the
@@ -915,6 +919,8 @@ def _set_in(doc, path, value):
             out.append(None)
         out[head] = _set_in(out[head], rest, value)
         return out
+    if isinstance(doc, list):
+        raise JqError("jq: cannot index array with string")
     out = dict(doc) if isinstance(doc, dict) else {}
     out[head] = _set_in(out.get(head), rest, value)
     return out

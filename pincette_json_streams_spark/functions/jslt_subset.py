@@ -771,13 +771,15 @@ def _call(name, args, ctx, env):
 
         return _hl.sha512(_to_string(a()).encode()).hexdigest()
     if name == "print":
-        # JSLT: writes the value (with an optional prefix) to stdout
-        # and returns it — the debugging passthrough
+        # JSLT debugging passthrough: emit the stringified value (with
+        # an optional prefix) and return it unchanged.  DELIBERATELY
+        # stderr, not stdout — the driver contract prints its one JSON
+        # line on stdout and debug output must not corrupt it.
         import sys as _sys
 
         v = a(0)
         prefix = _to_string(a(1)) if len(args) > 1 else ""
-        _sys.stderr.write(prefix + json.dumps(v, default=str) + "\n")
+        _sys.stderr.write(prefix + _to_string(v) + "\n")
         return v
     if name == "hash-int":
         import hashlib as _hl

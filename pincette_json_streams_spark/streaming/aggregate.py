@@ -322,8 +322,6 @@ def compile_aggregate_batch(part: dict, app) -> dict[str, DataFrame]:
     message payload); downstream pipelines parse what they need.
     """
     app_name = part.get("application") or app.spec["application"]
-    agg_type = part["aggregateType"] if "aggregateType" in part else \
-        part["type"]
     agg_type = part.get("aggregateType", part.get("name"))
     full = f"{app_name}-{agg_type}" if "-" not in agg_type else agg_type
     cmd_topic = f"{full}-command"

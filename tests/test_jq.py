@@ -633,3 +633,22 @@ class TestPathProperties:
                 # misses; top-level single key is exact
                 picked[0][key] == doc[key])
         prop()
+
+
+class TestSetpathTypeMismatch:
+    """R5 final review lock: jq ERRORS on container/segment type
+    mismatch in set paths — never a silent clobber."""
+
+    def test_int_into_object_raises(self):
+        with pytest.raises(JqError):
+            jq('setpath([0]; "v")', {"x": 1})
+        with pytest.raises(JqError):
+            jq('.[0] = 5', {"x": 1})
+
+    def test_string_into_array_raises(self):
+        with pytest.raises(JqError):
+            jq('setpath(["a"]; 1)', [1, 2])
+
+    def test_null_still_creates_containers(self):
+        assert jq('setpath([0]; "v")', None) == [["v"]]
+        assert jq('setpath(["a"]; 1)', None) == [{"a": 1}]
