@@ -5248,6 +5248,300 @@ GROUP BY ev.user_id
 """
 
 
+def q_winnow_pairs(spark, sf_dir):
+    """Winnowing-fingerprint near-dup candidate pairs (Schleimer et al.
+    SIGMOD 2003 / MOSS): char-8-gram hashes -> window-4 minima ->
+    distinct fingerprint sets -> df-capped posting-list self-join.
+    The fingerprint pass is map-only native Columns; only the
+    doc-frequency agg and the fp equi-join shuffle."""
+    from pincette_json_streams_spark.functions.text import winnow_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_pairs(
+        docs, k=8, window=4, max_df=8, min_shared=3
+    ).orderBy("doc_a", "doc_b")
+
+
+_ORACLE_WINNOW_PAIRS = f"""
+WITH d AS (
+  SELECT doc_id, {_sql_norm()} AS norm FROM documents
+), g AS (
+  SELECT doc_id, norm, greatest(length(norm) - 7, 1) AS ng FROM d
+), h AS (
+  SELECT doc_id, ng, unnest(generate_series(1, ng)) AS i, norm FROM g
+), hh AS (
+  SELECT doc_id, ng, i,
+         ('0x' || substr(md5(substr(norm, CAST(i AS INT), 8)), 1, 15))::BIGINT AS h
+  FROM h
+), w AS (
+  SELECT doc_id, i, ng,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM hh
+), sel AS (
+  SELECT DISTINCT doc_id, fp FROM w WHERE i <= greatest(ng - 3, 1)
+), keep AS (
+  SELECT fp FROM sel GROUP BY fp HAVING count(*) <= 8
+), p AS (
+  SELECT s.doc_id, s.fp FROM sel s JOIN keep k USING (fp)
+)
+SELECT a.doc_id::BIGINT AS doc_a, b.doc_id::BIGINT AS doc_b,
+       count(*)::BIGINT AS shared
+FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 3
+ORDER BY doc_a, doc_b
+"""
+
+
+_BM25_TERMS = ("spark", "table", "hash", "window", "merge")
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 ranking (Robertson probabilistic relevance, Lucene idf
+    variant) of the documents table against a fixed query-term bag.
+    Per-(doc,term) partials land on an integer 1e4 grid BEFORE the
+    per-doc sum, so the float total is engine-order-independent; the
+    corpus stats and term df frames are broadcast."""
+    from pincette_json_streams_spark.functions.text import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = bm25_scores(docs, list(_BM25_TERMS))
+    return (
+        scored.orderBy(F.col("score_e4").desc(), "doc_id")
+        .limit(30)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "dl", "score_e4", "score",
+        )
+    )
+
+
+def _oracle_bm25():
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+WITH d AS (
+  SELECT doc_id, string_split({_sql_norm()}, ' ') AS ws FROM documents
+), dl AS (
+  SELECT doc_id, len(ws) AS dl FROM d
+), corpus AS (
+  SELECT count(*)::DOUBLE AS n_docs,
+         sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl
+  FROM dl
+), tok AS (
+  SELECT doc_id, unnest(ws) AS w FROM d
+), tf AS (
+  SELECT doc_id, w, count(*) AS tf FROM tok
+  WHERE w IN ({terms}) GROUP BY doc_id, w
+), dfreq AS (
+  SELECT w, count(DISTINCT doc_id)::DOUBLE AS df FROM tf GROUP BY w
+), parts AS (
+  SELECT tf.doc_id,
+         CAST(floor(
+           ln(1.0 + (c.n_docs - f.df + 0.5) / (f.df + 0.5))
+           * (tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / c.avgdl)))
+           * 1e4 + 0.5) AS BIGINT) AS part_e4,
+         dl.dl
+  FROM tf JOIN dfreq f USING (w) JOIN dl USING (doc_id), corpus c
+)
+SELECT doc_id::BIGINT AS doc_id, CAST(min(dl) AS BIGINT) AS dl,
+       sum(part_e4)::BIGINT AS score_e4,
+       sum(part_e4)::BIGINT / 1e4 AS score
+FROM parts GROUP BY doc_id
+ORDER BY score_e4 DESC, doc_id LIMIT 30
+"""
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): hashed-unigram
+    distribution of the src0 slice vs the whole pool, per-doc
+    importance log-ratio on an integer 1e4 grid (order-independent
+    sum).  The 64-row bucket table is broadcast; top 40 docs by
+    weight with doc_id tie-break."""
+    from pincette_json_streams_spark.functions.sampling import (
+        importance_weights,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    w = importance_weights(docs, F.col("source") == "src0", buckets=64)
+    return (
+        w.orderBy(F.col("weight_e4").desc(), "doc_id")
+        .limit(40)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "n_tokens", "weight_e4", "weight",
+        )
+    )
+
+
+_ORACLE_DSIR = f"""
+WITH d AS (
+  SELECT doc_id, source = 'src0' AS t,
+         string_split({_sql_norm()}, ' ') AS ws
+  FROM documents
+), tok AS (
+  SELECT doc_id, t,
+         ('0x' || substr(md5(w), 1, 8))::BIGINT % 64 AS b
+  FROM (SELECT doc_id, t, unnest(ws) AS w FROM d)
+), dist AS (
+  SELECT b, sum(CASE WHEN t THEN 1 ELSE 0 END) AS ct, count(*) AS cr
+  FROM tok GROUP BY b
+), tot AS (
+  SELECT sum(ct)::DOUBLE AS tt, sum(cr)::DOUBLE AS tr FROM dist
+), lr AS (
+  SELECT b,
+         CAST(floor((ln((ct + 1.0) / (tt + 64.0))
+                     - ln((cr + 1.0) / (tr + 64.0))) * 1e4 + 0.5)
+              AS BIGINT) AS lr_e4
+  FROM dist, tot
+)
+SELECT doc_id::BIGINT AS doc_id, count(*)::BIGINT AS n_tokens,
+       sum(lr_e4)::BIGINT AS weight_e4, sum(lr_e4)::BIGINT / 1e4 AS weight
+FROM tok JOIN lr USING (b)
+GROUP BY doc_id
+ORDER BY weight_e4 DESC, doc_id LIMIT 40
+"""
+
+
+def q_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct-count sketch (Flajolet et al. 2007) per
+    return flag, over two value columns at once: l_partkey lands in
+    the raw alpha*m^2/Z estimator, l_suppkey (cardinality << 2.5m) in
+    the linear-counting branch — both register layouts md5-derived so
+    the DuckDB oracle reproduces every register.  Completes the
+    mergeable-sketch family next to CMS and KMV."""
+    from pincette_json_streams_spark.functions.profiling import (
+        hll_distinct,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    parts = hll_distinct(li, "l_returnflag", "l_partkey", p=9).select(
+        F.lit("partkey").alias("metric"), "l_returnflag",
+        "est_distinct", "sketch_m",
+    )
+    supps = hll_distinct(li, "l_returnflag", "l_suppkey", p=9).select(
+        F.lit("suppkey").alias("metric"), "l_returnflag",
+        "est_distinct", "sketch_m",
+    )
+    return parts.unionByName(supps).orderBy("metric", "l_returnflag")
+
+
+def _oracle_hll(col: str, metric: str) -> str:
+    est = "(0.7213/(1.0+1.079/512))*512*512/(zp+(512-used))"
+    return f"""
+  SELECT '{metric}' AS metric, g AS l_returnflag,
+         CAST(floor(
+           CASE WHEN {est} <= 2.5*512 AND used < 512
+                THEN 512.0 * ln(512.0/(512-used))
+                ELSE {est} END + 0.5) AS BIGINT) AS est_distinct,
+         512 AS sketch_m
+  FROM (
+    SELECT g, sum(1.0/(1::BIGINT << m)) AS zp, count(*) AS used
+    FROM (
+      SELECT g, idx,
+             max(CASE WHEN low = 0 THEN 40
+                 ELSE least(51 - length(bin(low)) + 1, 40) END) AS m
+      FROM (
+        SELECT g, hv >> 51 AS idx, hv & ((1::BIGINT << 51) - 1) AS low
+        FROM (
+          SELECT l_returnflag AS g,
+                 ('0x'||substr(md5(CAST({col} AS VARCHAR)),1,15))::BIGINT
+                 AS hv
+          FROM lineitem WHERE {col} IS NOT NULL)) GROUP BY g, idx)
+    GROUP BY g)
+"""
+
+
+_ORACLE_HLL_DISTINCT = (
+    _oracle_hll("l_partkey", "partkey")
+    + " UNION ALL "
+    + _oracle_hll("l_suppkey", "suppkey")
+    + " ORDER BY metric, l_returnflag"
+)
+
+
+_PQ_SQL_BASE = """
+WITH e AS (
+  SELECT vec_id, i // 16 AS j, i % 16 AS t,
+         CAST(floor(embedding[i+1]::DOUBLE * 1000 + 0.5) AS BIGINT) AS xe
+  FROM embeddings, range(64) r(i)
+), ids AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS code
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)
+), cb AS (
+  SELECT ids.code, e.j, e.t, e.xe AS ce FROM e JOIN ids USING (vec_id)
+), d AS (
+  SELECT e.vec_id, e.j, cb.code,
+         sum((e.xe - cb.ce) * (e.xe - cb.ce)) AS dist
+  FROM e JOIN cb ON e.j = cb.j AND e.t = cb.t
+  GROUP BY 1, 2, 3
+), best AS (
+  SELECT vec_id, j, code, dist,
+         row_number() OVER (PARTITION BY vec_id, j
+                            ORDER BY dist, code) AS rn
+  FROM d
+)
+"""
+
+
+def q_pq_cells(spark, sf_dir):
+    """Product-quantization encode (Jegou/Douze/Schmid PAMI 2011):
+    m=4 subspaces x k=16 codewords over the 64-d embeddings,
+    deterministic init-from-data codebooks, every vector assigned its
+    nearest codeword per subspace on an integer 1e-3 grid (engine-
+    exact distances).  Output = codebook-cell occupancy (count +
+    id-sum), a compact full-assignment check."""
+    from pincette_json_streams_spark.functions.similarity import (
+        pq_codebooks, pq_encode,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = pq_codebooks(emb, m=4, k=16, dim=64)
+    codes = pq_encode(emb, cb, m=4, dim=64)
+    return (
+        codes.groupBy("j", "code")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.sum("id").cast("long").alias("sum_ids"))
+        .orderBy("j", "code")
+        .select(F.col("j").cast("long").alias("j"),
+                F.col("code").cast("long").alias("code"), "n", "sum_ids")
+    )
+
+
+_ORACLE_PQ_CELLS = _PQ_SQL_BASE + """
+SELECT j::BIGINT AS j, code::BIGINT AS code, count(*)::BIGINT AS n,
+       sum(vec_id)::BIGINT AS sum_ids
+FROM best WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_pq_adc(spark, sf_dir):
+    """PQ asymmetric-distance top-20 around vec 0: corpus side touches
+    only the code table, the m*k query-to-codeword distance table is
+    broadcast, per-vector distance is an integer sum — the
+    memory-bound ANN scan shape (codes are 4 bytes/vector here vs 256
+    for raw float32)."""
+    from pincette_json_streams_spark.functions.similarity import (
+        pq_adc_topk, pq_codebooks,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = pq_codebooks(emb, m=4, k=16, dim=64)
+    return pq_adc_topk(emb, cb, query_id=0, n=20, m=4, dim=64)
+
+
+_ORACLE_PQ_ADC = _PQ_SQL_BASE + """
+, qt AS (
+  SELECT cb.j, cb.code, sum((q.xe - cb.ce) * (q.xe - cb.ce)) AS qd
+  FROM e q JOIN cb ON q.j = cb.j AND q.t = cb.t
+  WHERE q.vec_id = 0 GROUP BY 1, 2
+)
+SELECT b.vec_id::BIGINT AS vec_id, sum(qt.qd)::BIGINT AS adc
+FROM best b JOIN qt ON b.j = qt.j AND b.code = qt.code
+WHERE b.rn = 1
+GROUP BY 1 ORDER BY adc, vec_id LIMIT 20
+"""
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -5267,6 +5561,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # unsampled.
     return {
         # -- NEW in round 5 (never driver-sampled -> very front) --------
+        "hll_distinct": q_hll_distinct,
+        "pq_cells": q_pq_cells,
+        "pq_adc": q_pq_adc,
+        "winnow_pairs": q_winnow_pairs,
+        "bm25_topk": q_bm25_topk,
+        "dsir_weights": q_dsir_weights,
         "jq_formats": q_jq_formats,
         # -- block 0: last driver-sampled in r2 (stalest signal) --------
         "string_ops": q_string_ops,
@@ -5397,6 +5697,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "hll_distinct": _ORACLE_HLL_DISTINCT,
+        "pq_cells": _ORACLE_PQ_CELLS,
+        "pq_adc": _ORACLE_PQ_ADC,
+        "winnow_pairs": _ORACLE_WINNOW_PAIRS,
+        "bm25_topk": _oracle_bm25(),
+        "dsir_weights": _ORACLE_DSIR,
         "jq_formats": _ORACLE_JQ_FORMATS,
         "graph_lookup": _ORACLE_GRAPH_LOOKUP,
         "bpe_pairs": _oracle_bpe_pairs(),

@@ -27,6 +27,7 @@ from pyspark.sql.types import (
 __all__ = [
     "profile_table", "kmv_distinct", "kmv_sketch", "kmv_merge",
     "kmv_estimate", "cms_sketch", "cms_merge", "cms_estimate",
+    "hll_sketch", "hll_merge", "hll_estimate", "hll_distinct",
 ]
 
 
@@ -295,4 +296,123 @@ def cms_estimate(
         probed.groupBy("__v")
         .agg(F.min("cnt").cast("long").alias("est"))
         .select(F.col("__v").alias(value_col), "est")
+    )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet et al. 2007) — deterministic, oracle-checkable
+# ---------------------------------------------------------------------------
+
+_HLL_RHO_CAP = 40  # keeps every 2^-rho term >= 2^-40 so the register
+#                    sum is EXACT in doubles regardless of add order
+#                    (span <= 40 + log2(m) < 52 mantissa bits); the
+#                    truncated tail contributes < m * 2^-40 to Z.
+
+
+def _hll_parts(value, p: int):
+    """(register index, rho) of a value under a 60-bit md5 hash: the
+    top ``p`` bits pick the register, rho = leading zeros of the
+    remaining ``60 - p`` bits + 1 (capped).  ``bin()`` drops leading
+    zeros identically in Spark and DuckDB, which makes the
+    leading-zero count pure integer/string arithmetic — no log2
+    float boundary risk."""
+    w = 60 - p
+    h = F.conv(F.substring(F.md5(value.cast("string")), 1, 15), 16, 10) \
+        .cast("bigint")
+    idx = F.shiftright(h, w)
+    low = h - F.shiftleft(idx, w)
+    rho = F.when(low == 0, F.lit(_HLL_RHO_CAP)).otherwise(
+        F.least(F.lit(w) - F.length(F.bin(low)) + F.lit(1),
+                F.lit(_HLL_RHO_CAP))
+    )
+    return idx, rho
+
+
+def hll_sketch(df, group_col: str, value_col: str, p: int = 9):
+    """Per-group HyperLogLog register table — the mergeable sketch
+    STATE: one row per (group, register) with the max rho seen.  Empty
+    registers are implicit (the estimator fills them as zeros), so the
+    state is at most ``2^p`` rows per group no matter how many values
+    stream through — the property that makes HLL the 100 TB
+    cardinality sketch: registers from any partitioning/snapshot merge
+    by max (associative, idempotent, commutative).
+
+    Deterministic md5 hashing (same convention as ``kmv_*``/``cms_*``)
+    means a DuckDB oracle reproduces every register exactly — unlike
+    engine-native approx_count_distinct layouts.
+
+    Plan shape: one hash-agg on (group, idx) with map-side combine —
+    repeats of a value collapse to the same (idx, rho) before the
+    shuffle; no distinct pass needed at all (max absorbs duplicates).
+    """
+    idx, rho = _hll_parts(F.col("v"), p)
+    return (
+        df.select(F.col(group_col).alias("group"),
+                  F.col(value_col).alias("v"))
+        .filter(F.col("v").isNotNull())
+        .select("group", idx.alias("idx"), rho.alias("rho"))
+        .groupBy("group", "idx")
+        .agg(F.max("rho").alias("m"))
+        .select(F.col("group").alias(group_col), "idx", "m",
+                F.lit(int(p)).alias("sketch_p"))
+    )
+
+
+def hll_merge(*sketches, group_col: str = "lang"):
+    """Union register tables from several snapshots and re-max per
+    (group, register) — the HLL merge.  Output schema = hll_sketch."""
+    from functools import reduce
+
+    unioned = reduce(
+        lambda a, b: a.unionByName(b),
+        [s.select(F.col(group_col).alias("group"), "idx", "m",
+                  "sketch_p") for s in sketches],
+    )
+    return (
+        unioned.groupBy("group", "idx")
+        .agg(F.max("m").alias("m"), F.first("sketch_p").alias("sketch_p"))
+        .select(F.col("group").alias(group_col), "idx", "m", "sketch_p")
+    )
+
+
+def hll_estimate(sketch, group_col: str = "lang", p: int = 9):
+    """(group, est_distinct) from a (merged) register table: the
+    standard estimator alpha_m * m^2 / Z with linear counting below
+    2.5m (Flajolet et al. 2007 fig. 3).
+
+    Float contract: every 2^-rho term is an exact power of two and
+    rho <= 40, so Z is bit-identical on any engine in any order; the
+    one ln() in the linear-counting branch is rounded onto the integer
+    grid (flip probability ~1 ulp at a .5 boundary — the same accepted
+    risk as kmv's final division)."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    per = sketch.groupBy(group_col).agg(
+        F.sum(F.lit(1.0)
+              / F.expr("shiftleft(1L, m)").cast("double")).alias("__zp"),
+        F.count(F.lit(1)).alias("__used"),
+    )
+    z = F.col("__zp") + (F.lit(m) - F.col("__used")).cast("double")
+    v = F.lit(m) - F.col("__used")  # registers still zero
+    raw = F.lit(alpha * m * m) / z
+    lc = F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double"))
+    est = F.when((raw <= F.lit(2.5 * m)) & (v > 0), lc).otherwise(raw)
+    return per.select(
+        group_col,
+        F.floor(est + F.lit(0.5)).cast("long").alias("est_distinct"),
+        F.lit(int(m)).alias("sketch_m"),
+    )
+
+
+def hll_distinct(df, group_col: str, value_col: str, p: int = 9):
+    """One-shot per-group HLL distinct-count estimate: sketch +
+    estimate fused.  Standard error ~= 1.04/sqrt(2^p) (~4.6 % at
+    p=9).  Complements ``kmv_distinct``: KMV keeps k hashes and is
+    exact below k; HLL keeps 2^p 6-bit registers and merges by max —
+    at 100 TB the register table per group is bounded at 2^p rows
+    independent of cardinality."""
+    return hll_estimate(
+        hll_sketch(df, group_col, value_col, p), group_col, p
+    ).select(
+        F.col(group_col), "est_distinct", "sketch_m",
     )

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "hash_bucket", "hash_sample", "stratified_hash_sample",
     "train_test_split", "domain_mixture", "sequence_packing",
+    "importance_weights",
 ]
 
 _SCALE = float(1 << 32)
@@ -216,4 +217,78 @@ def weighted_sample(
         keyed.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .drop("__rn")
+    )
+
+
+def importance_weights(
+    df: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 64,
+) -> DataFrame:
+    """DSIR-style data-selection importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    estimate hashed-unigram bag-of-words distributions for the target
+    slice (rows where ``target`` is true) and the full raw pool, then
+    score every document with its importance log-ratio
+    ``sum_tokens log(p_target(bucket)/p_raw(bucket))`` under add-one
+    smoothing.  High-weight raw documents are the ones that "look
+    like" the target domain and get resampled into the training mix.
+
+    Float contract: the per-BUCKET log-ratio is rounded onto an
+    integer 1e4 grid first; a document's weight is then an integer sum
+    over its tokens — associative and engine-identical (SCALE.md float
+    rules).
+
+    Scale shape: the bucket distribution table has exactly ``buckets``
+    rows — computed with one hash-agg over the token stream, then
+    BROADCAST into the per-token scoring join; the only other shuffle
+    is the per-doc weight agg.  Hashing is md5→bigint mod ``buckets``
+    so a SQL oracle replays it exactly.
+
+    Returns (doc_id, n_tokens, weight_e4, weight) per document."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " "))
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        target.alias("__t"),
+        F.explode(F.split(norm, " ")).alias("w"),
+    ).withColumn(
+        "b",
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10)
+            .cast("bigint"),
+            F.lit(buckets),
+        ),
+    )
+    dist = toks.groupBy("b").agg(
+        F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("ct"),
+        F.count(F.lit(1)).alias("cr"),
+    )
+    tot = dist.agg(
+        F.sum("ct").cast("double").alias("tt"),
+        F.sum("cr").cast("double").alias("tr"),
+    )
+    lr = (
+        dist.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "lr_e4",
+            F.floor(
+                (F.log((F.col("ct") + F.lit(1.0))
+                       / (F.col("tt") + F.lit(float(buckets))))
+                 - F.log((F.col("cr") + F.lit(1.0))
+                         / (F.col("tr") + F.lit(float(buckets)))))
+                * F.lit(1e4) + F.lit(0.5)
+            ).cast("bigint"),
+        )
+        .select("b", "lr_e4")
+    )
+    return (
+        toks.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("lr_e4").alias("weight_e4"),
+        )
+        .withColumn("weight", F.col("weight_e4") / F.lit(1e4))
     )

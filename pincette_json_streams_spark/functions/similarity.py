@@ -24,7 +24,8 @@ from pincette_json_streams_spark.functions.dedup import (
 
 __all__ = [
     "brute_force_topk", "embedding_moments", "ivf_topk", "lsh_topk",
-    "pca_components", "pca_project", "quantize_embeddings",
+    "pca_components", "pca_project", "pq_adc_topk", "pq_codebooks",
+    "pq_encode", "quantize_embeddings",
     "semantic_dedup", "train_kmeans_centroids",
 ]
 
@@ -462,3 +463,149 @@ def pca_project(
 
     proj_udf = pandas_udf(proj, "array<double>", PandasUDFType.SCALAR)
     return df.withColumn(out_col, proj_udf(F.col(vec_col)))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jegou, Douze & Schmid, PAMI 2011)
+# ---------------------------------------------------------------------------
+
+def _e3(vec):
+    """Embedding on a 1e-3 integer grid (bigint).  PQ of the quantized
+    vector makes every distance an INTEGER sum — order-independent,
+    engine-identical (SCALE.md float rules) — at a quantization error
+    (5e-4 per dim) far below the codebook cell size."""
+    return F.transform(
+        vec,
+        lambda x: F.floor(x.cast("double") * F.lit(1000.0) + F.lit(0.5))
+        .cast("bigint"),
+    )
+
+
+def _subvectors(vec_e3, m: int, sub: int):
+    """array of m subvectors (each array<bigint> of length ``sub``)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.slice(vec_e3, j * F.lit(sub) + F.lit(1), sub),
+    )
+
+
+def _idist(a, b):
+    """Integer squared L2 between two e3-grid subvectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, t: acc + t,
+    )
+
+
+def pq_codebooks(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic PQ codebooks: subspace ``j``'s codeword ``c`` is
+    the j-th subvector of the vector with the (c+1)-th smallest id —
+    the standard "init from data points" step of PQ training, kept
+    un-refined so a SQL oracle can replay the whole index build.  For
+    production recall, refine per-subspace with k-means
+    (:func:`train_kmeans_centroids` on exploded subvectors) — the
+    encode/search path below is codebook-agnostic.
+
+    Returns (j, code, center:array<bigint>) — m*k rows, broadcast-
+    sized by construction (reference: this plays the role of the
+    "model" table, like IVF centroids)."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    w = Window.orderBy(id_col)
+    seed = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(k)
+        .withColumn("code", F.row_number().over(w) - 1)
+    )
+    return seed.select(
+        F.posexplode(_subvectors(_e3(F.col(vec_col)), m, sub))
+        .alias("j", "center"),
+        "code",
+    ).select("j", "code", "center")
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: DataFrame,
+    m: int = 4,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign every vector its nearest codeword per subspace →
+    (id, j, code, dist) — the PQ code in long form (m rows per
+    vector; 8*log2(k) bits of storage per vector once pivoted).
+
+    Scale shape: the corpus explodes to m subvector rows, the m*k
+    codebook is BROADCAST into the join, and the argmin is a
+    lexicographic struct-min groupBy (map-side combinable) — one
+    shuffle on (id, j), no window, no UDF.  Ties break to the lowest
+    code on both engines."""
+    sub = dim // m
+    rows = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(_subvectors(_e3(F.col(vec_col)), m, sub))
+        .alias("j", "sv"),
+    )
+    scored = rows.join(F.broadcast(codebooks), "j").withColumn(
+        "__d", _idist(F.col("sv"), F.col("center"))
+    )
+    best = (
+        scored.groupBy("id", "j")
+        .agg(F.min(F.struct("__d", "code")).alias("b"))
+        .select(
+            "id", "j",
+            F.col("b.code").alias("code"),
+            F.col("b.__d").alias("dist"),
+        )
+    )
+    return best
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    codebooks: DataFrame,
+    query_id,
+    n: int = 20,
+    m: int = 4,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-n: the query stays exact, the
+    corpus is its PQ codes, distance = sum_j table[j, code_j] where
+    the table holds query-subvector→codeword squared distances.
+
+    This is THE memory-bound ANN scan shape at 100 TB: the corpus side
+    touches only the (id, j, code) code table (never the raw vectors),
+    the m*k distance table is broadcast, and the per-vector distance
+    is an integer sum groupBy.  Returns (vec_id, adc) ascending with
+    id tie-break."""
+    sub = dim // m
+    qsub = (
+        df.filter(F.col(id_col) == query_id)
+        .select(
+            F.posexplode(_subvectors(_e3(F.col(vec_col)), m, sub))
+            .alias("j", "qs"))
+    )
+    table = qsub.join(F.broadcast(codebooks), "j").select(
+        "j", "code", _idist(F.col("qs"), F.col("center")).alias("qd")
+    )
+    codes = pq_encode(df, codebooks, m, dim, vec_col, id_col)
+    return (
+        codes.join(F.broadcast(table), ["j", "code"])
+        .groupBy("id")
+        .agg(F.sum("qd").alias("adc"))
+        .orderBy(F.col("adc").asc(), F.col("id").asc())
+        .limit(n)
+        .select(F.col("id").cast("long").alias(id_col),
+                F.col("adc").cast("long").alias("adc"))
+    )

@@ -25,7 +25,8 @@ __all__ = [
     "unigram_logprob", "bigram_logprob", "chunk_documents",
     "tfidf_top_terms",
     "duplicate_spans", "strip_duplicate_spans", "decontaminate_spans",
-    "token_drift", "STOPWORDS",
+    "token_drift", "winnow_fingerprints", "winnow_pairs", "bm25_scores",
+    "STOPWORDS",
     "LANG_MARKERS", "BPE_TOKEN_RE", "PII_PATTERNS",
 ]
 
@@ -952,3 +953,185 @@ def decontaminate_spans(
     marked = train_wins.join(F.broadcast(bench_wins), "__h")
     spans = _merge_spans(marked, id_col, width)
     return _strip_covered(train, spans, text_col, id_col)
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS local-fingerprinting algorithm): hash every
+    character ``k``-gram of the normalized text, slide a ``window`` over
+    the hash sequence and select each window's minimum, then keep the
+    distinct selected hashes.  Guarantees every match of length
+    ``k + window - 1`` shares at least one fingerprint while retaining
+    only ~2/(window+1) of the gram hashes.
+
+    Entirely native Columns inside one row (sequence/transform/slice/
+    array_min) — NO shuffle, no UDF: at 100 TB the fingerprint pass is
+    a map-only stage fused into the scan.  Hashes use md5→bigint so a
+    SQL oracle replays them exactly.
+
+    Returns one row per (id, fp) — a document's distinct fingerprint
+    set, exploded."""
+    # Every intermediate is BOUND AS A LAMBDA VARIABLE via a
+    # single-element array wrapper: an expression referenced inside a
+    # higher-order-function lambda is re-evaluated PER ELEMENT (the
+    # CollapseProject/HOF trap — the naive nesting here re-ran the
+    # normalization regex and the whole md5 gram array for every
+    # window position, O(len^2) per document and unrunnable at sf0.01).
+    # With the wrapper, norm and the hash array are computed once per
+    # row and the sliding-window min is O(len * window).
+    def _windows(hs):
+        nw = F.greatest(F.size(hs) - F.lit(window - 1), F.lit(1))
+        return F.transform(
+            F.sequence(F.lit(1), nw),
+            lambda j: F.array_min(F.slice(hs, j, window)),
+        )
+
+    def _hashes(nm):
+        ng = F.greatest(F.length(nm) - F.lit(k - 1), F.lit(1))
+        return F.transform(
+            F.sequence(F.lit(1), ng),
+            lambda i: F.conv(
+                F.md5(nm.substr(i.cast("int"), F.lit(k).cast("int")))
+                .substr(1, 15),
+                16, 10,
+            ).cast("bigint"),
+        )
+
+    fps = F.array_distinct(
+        F.flatten(F.transform(
+            F.array(normalize_text(F.col(text_col))),
+            lambda nm: F.flatten(F.transform(
+                F.array(_hashes(nm)), _windows
+            )),
+        ))
+    )
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(fps).alias("fp")
+    )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+    max_df: int = 50,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Near-duplicate candidate pairs by shared winnowing fingerprints
+    (the MOSS comparison step): posting-list equi-self-join over the
+    fingerprint sets of ``winnow_fingerprints``.
+
+    Scale shape (same family as ngram_jaccard_pairs): fingerprints
+    seen in more than ``max_df`` documents are dropped before the join
+    — a boilerplate gram shared by 10^6 docs would otherwise emit a
+    quadratic posting-list join; the cap bounds each posting list, so
+    the join output is at most ``max_df``² per fingerprint.  The only
+    shuffles are the doc-frequency hash-agg and the fp equi-join.
+
+    Returns (doc_a, doc_b, shared) for pairs sharing at least
+    ``min_shared`` surviving fingerprints."""
+    posting = winnow_fingerprints(df, text_col, id_col, k, window)
+    keep = (
+        posting.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("fp")
+    )
+    p = posting.join(keep, "fp")
+    a, b = p.alias("a"), p.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp"))
+               & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").cast("long").alias("doc_a"),
+            F.col("b.id").cast("long").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance of every document against a bag of query
+    ``terms`` (Robertson/Sparck-Jones probabilistic ranking, the
+    Lucene ``log(1 + (N - df + .5)/(df + .5))`` idf variant).
+
+    Float contract: each (doc, term) partial score is rounded to an
+    integer 1e4 grid BEFORE the per-doc sum, so the aggregation is
+    integer addition — associative, engine-order-independent, and
+    bit-identical to a SQL oracle (see SCALE.md float rules).
+
+    Scale shape: the term filter prunes the exploded token stream
+    map-side (only query-term tokens shuffle); corpus stats (N, avgdl)
+    and per-term document frequencies are 1-row / |terms|-row frames,
+    broadcast into the scoring join.  No window functions, no UDFs.
+
+    Returns (doc_id, dl, score_e4, score) for every doc containing at
+    least one query term."""
+    norm = normalize_text(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(norm, " ").alias("__ws"),
+    ).select(
+        "doc_id", F.size("__ws").alias("dl"), F.explode("__ws").alias("w")
+    )
+    hits = base.filter(F.col("w").isin(list(terms)))
+    tf = hits.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
+    corpus = df.select(
+        F.size(F.split(normalize_text(F.col(text_col)), " ")).alias("dl")
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        # explicit sum/count (NOT avg()): both engines then divide the
+        # same exact integer sum — engine-internal mean accumulators
+        # are not bit-identical
+        (F.sum("dl").cast("double")
+         / F.count(F.lit(1)).cast("double")).alias("avgdl"),
+    )
+    dfreq = tf.groupBy("w").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tf_part = (
+        F.col("tf") * F.lit(k1 + 1.0)
+        / (F.col("tf")
+           + F.lit(k1) * (F.lit(1.0 - b)
+                          + F.lit(b) * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "w")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "part_e4",
+            F.floor(idf * tf_part * F.lit(1e4) + F.lit(0.5))
+            .cast("bigint"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.first("dl").cast("long").alias("dl"),
+            F.sum("part_e4").alias("score_e4"),
+        )
+        .withColumn("score", F.col("score_e4") / F.lit(1e4))
+    )

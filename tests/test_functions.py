@@ -3227,3 +3227,302 @@ class TestLeakageFreeSplit:
         assert all(len(v) == 1 for v in by_cluster.values())
         splits = {r["split"] for r in out}
         assert splits <= {"train", "test"}
+
+
+class TestWinnowing:
+    """Winnowing fingerprints (Schleimer et al. SIGMOD 2003 — MOSS)."""
+
+    def test_identical_docs_share_all_fingerprints(self, spark):
+        from pincette_json_streams_spark.functions.text import (
+            winnow_fingerprints,
+        )
+        df = spark.createDataFrame(
+            [(0, "the quick brown fox jumps over the lazy dog"),
+             (1, "THE quick  brown fox jumps over the lazy dog"),
+             (2, "an entirely different sentence about nothing")],
+            "doc_id long, text string",
+        )
+        fps = winnow_fingerprints(df).collect()
+        sets = {}
+        for r in fps:
+            sets.setdefault(r["id"], set()).add(r["fp"])
+        # case/whitespace-normalized twins -> identical fingerprint sets
+        assert sets[0] == sets[1]
+        assert sets[0] != sets[2]
+
+    def test_match_guarantee(self, spark):
+        """Any shared substring of length k+window-1 yields at least one
+        shared fingerprint (the winnowing guarantee)."""
+        from pincette_json_streams_spark.functions.text import (
+            winnow_fingerprints,
+        )
+        k, w = 8, 4
+        shared = "abcdefghijk"          # len 11 = k + w - 1
+        assert len(shared) == k + w - 1
+        df = spark.createDataFrame(
+            [(0, "xxxx " + shared + " yyyy zz qq"),
+             (1, "totally other words " + shared + " trailing bits")],
+            "doc_id long, text string",
+        )
+        fps = winnow_fingerprints(df, k=k, window=w).collect()
+        sets = {}
+        for r in fps:
+            sets.setdefault(r["id"], set()).add(r["fp"])
+        assert sets[0] & sets[1]
+
+    def test_density_bound(self, spark):
+        """Winnowing keeps far fewer hashes than the full gram set —
+        expected density 2/(w+1); allow generous slack."""
+        from pincette_json_streams_spark.functions.text import (
+            winnow_fingerprints,
+        )
+        text = " ".join(f"tok{i} filler word number {i}" for i in range(40))
+        df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+        n_fp = winnow_fingerprints(df, k=8, window=4).count()
+        n_grams = len(text) - 7
+        assert n_fp < 0.6 * n_grams
+
+    def test_pairs_find_near_dups_and_cap_df(self, spark):
+        from pincette_json_streams_spark.functions.text import winnow_pairs
+        df = spark.createDataFrame(
+            [(0, "the quick brown fox jumps over the lazy dog tonight"),
+             (1, "the quick brown fox jumps over the lazy dog today"),
+             (2, "spark engines shuffle partitions across the cluster"),
+             (3, "unrelated musings on cooking pasta at home")],
+            "doc_id long, text string",
+        )
+        out = {(r["doc_a"], r["doc_b"]): r["shared"]
+               for r in winnow_pairs(df, min_shared=2).collect()}
+        assert (0, 1) in out
+        assert all(a == 0 and b == 1 for (a, b) in out)
+        # max_df=1 drops every fingerprint that appears in 2 docs
+        assert winnow_pairs(df, max_df=1, min_shared=1).count() == 0
+
+    def test_plan_is_map_only_until_join(self, spark):
+        """Fingerprinting itself must not shuffle — no Exchange in the
+        winnow_fingerprints plan."""
+        from pincette_json_streams_spark.functions.text import (
+            winnow_fingerprints,
+        )
+        df = spark.createDataFrame(
+            [(0, "abc def ghi")], "doc_id long, text string")
+        plan = winnow_fingerprints(df)._jdf.queryExecution().executedPlan() \
+            .toString()
+        assert "Exchange" not in plan
+
+    def test_long_doc_linear_time_canary(self, spark):
+        """Regression lock for the HOF-inlining trap: a 30k-char doc
+        fingerprints in seconds when norm/hash arrays are bound as
+        lambda variables (computed once per row); the naive nested
+        form re-evaluates them per window position — O(len^2), hours.
+        Generous bound so host load can't flake it."""
+        import time
+
+        from pincette_json_streams_spark.functions.text import (
+            winnow_fingerprints,
+        )
+        text = " ".join(f"w{i % 97} t{i % 31}" for i in range(5000))
+        assert len(text) > 30000
+        df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+        t0 = time.time()
+        assert winnow_fingerprints(df).count() > 1000
+        assert time.time() - t0 < 60
+
+
+class TestBm25:
+    def test_ranking_properties(self, spark):
+        from pincette_json_streams_spark.functions.text import bm25_scores
+        df = spark.createDataFrame(
+            [(0, "spark spark spark is fast", "x"),
+             (1, "spark once among many many other plain words here", "x"),
+             (2, "no relevant terms at all in this one", "x"),
+             (3, "table table spark", "x")],
+            "doc_id long, text string, source string",
+        )
+        out = {r["doc_id"]: r for r in
+               bm25_scores(df, ["spark", "table"]).collect()}
+        # doc 2 has no query terms -> absent
+        assert 2 not in out
+        # higher tf of 'spark' (similar dl) -> higher score
+        assert out[0]["score_e4"] > out[1]["score_e4"]
+        # two matched terms beat one at comparable length
+        assert out[3]["score_e4"] > out[1]["score_e4"]
+        # score is the e4 grid scaled back
+        for r in out.values():
+            assert abs(r["score"] - r["score_e4"] / 1e4) < 1e-9
+
+    def test_idf_penalizes_common_terms(self, spark):
+        from pincette_json_streams_spark.functions.text import bm25_scores
+        rows = [(i, "common filler text", "x") for i in range(8)]
+        rows.append((100, "rareword common", "x"))
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, source string")
+        out = {r["doc_id"]: r["score_e4"] for r in
+               bm25_scores(df, ["rareword", "common"]).collect()}
+        # within doc 100 the rare term contributes more than the common
+        only_common = out[0]
+        both = out[100]
+        assert both > 2 * only_common  # rare idf dominates
+
+
+class TestImportanceWeights:
+    def test_target_lookalikes_rank_first(self, spark):
+        from pincette_json_streams_spark.functions.sampling import (
+            importance_weights,
+        )
+        rows = []
+        for i in range(6):
+            rows.append((i, "alpha beta gamma delta epsilon zeta", "tgt"))
+        for i in range(6, 12):
+            rows.append((i, "one two three four five six", "raw"))
+        # a raw doc written in target vocabulary
+        rows.append((100, "alpha beta gamma delta", "raw"))
+        # a raw doc in raw vocabulary
+        rows.append((101, "one two three four", "raw"))
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, source string")
+        out = {r["doc_id"]: r for r in
+               importance_weights(df, F.col("source") == "tgt").collect()}
+        assert out[100]["weight_e4"] > out[101]["weight_e4"]
+        assert out[100]["n_tokens"] == 4
+        for r in out.values():
+            assert abs(r["weight"] - r["weight_e4"] / 1e4) < 1e-9
+
+    def test_weights_deterministic(self, spark):
+        from pincette_json_streams_spark.functions.sampling import (
+            importance_weights,
+        )
+        df = spark.createDataFrame(
+            [(i, f"word{i % 3} word{i % 5} tail", "s" + str(i % 2))
+             for i in range(20)],
+            "doc_id long, text string, source string",
+        )
+        a = sorted(map(tuple, importance_weights(
+            df, F.col("source") == "s0").collect()))
+        b = sorted(map(tuple, importance_weights(
+            df, F.col("source") == "s0").collect()))
+        assert a == b
+
+
+class TestHll:
+    """HyperLogLog register sketch (Flajolet et al. 2007)."""
+
+    def test_estimate_within_error(self, spark):
+        from pincette_json_streams_spark.functions.profiling import (
+            hll_distinct,
+        )
+        df = spark.range(0, 5000).select(
+            (F.col("id") % 2).alias("g"), (F.col("id") % 1700).alias("v"))
+        out = {r["g"]: r["est_distinct"]
+               for r in hll_distinct(df, "g", "v", p=9).collect()}
+        # p=9 -> ~4.6% std error; allow 4 sigma
+        for g, true in ((0, 850), (1, 850)):
+            assert abs(out[g] - true) / true < 0.2
+
+    def test_linear_counting_small_groups(self, spark):
+        from pincette_json_streams_spark.functions.profiling import (
+            hll_distinct,
+        )
+        df = spark.range(0, 400).select(
+            F.lit("a").alias("g"), (F.col("id") % 37).alias("v"))
+        out = hll_distinct(df, "g", "v", p=9).collect()[0]
+        # tiny cardinality lands in the linear-counting branch and is
+        # near-exact
+        assert abs(out["est_distinct"] - 37) <= 2
+
+    def test_merge_equals_whole(self, spark):
+        """Registers merged from disjoint halves == registers of the
+        union (max is associative/commutative/idempotent)."""
+        from pincette_json_streams_spark.functions.profiling import (
+            hll_distinct, hll_estimate, hll_merge, hll_sketch,
+        )
+        df = spark.range(0, 3000).select(
+            F.lit("g").alias("g"), (F.col("id") % 900).alias("v"),
+            (F.col("id") % 3).alias("part"))
+        whole = hll_distinct(df, "g", "v").collect()[0]["est_distinct"]
+        sks = [hll_sketch(df.filter(F.col("part") == i), "g", "v")
+               for i in range(3)]
+        merged = hll_estimate(
+            hll_merge(*sks, group_col="g"), "g"
+        ).collect()[0]["est_distinct"]
+        assert merged == whole
+
+    def test_duplicates_do_not_move_estimate(self, spark):
+        from pincette_json_streams_spark.functions.profiling import (
+            hll_distinct,
+        )
+        base = spark.range(0, 500).select(
+            F.lit("g").alias("g"), F.col("id").alias("v"))
+        dup = base.unionAll(base).unionAll(base)
+        a = hll_distinct(base, "g", "v").collect()[0]["est_distinct"]
+        b = hll_distinct(dup, "g", "v").collect()[0]["est_distinct"]
+        assert a == b
+
+    def test_single_shuffle_plan(self, spark):
+        """The sketch is ONE hash-agg: exactly one Exchange in the
+        register-table plan (map-side combine collapses repeats)."""
+        from pincette_json_streams_spark.functions.profiling import (
+            hll_sketch,
+        )
+        df = spark.range(0, 100).select(
+            F.lit("g").alias("g"), F.col("id").alias("v"))
+        plan = hll_sketch(df, "g", "v")._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert plan.count("Exchange") == 1
+
+
+class TestProductQuantization:
+    """PQ encode + ADC search (Jegou, Douze & Schmid, PAMI 2011)."""
+
+    @pytest.fixture(scope="class")
+    def emb(self, spark, sf_dir):
+        return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def test_every_vector_gets_m_codes(self, spark, emb):
+        from pincette_json_streams_spark.functions.similarity import (
+            pq_codebooks, pq_encode,
+        )
+        cb = pq_codebooks(emb, m=4, k=16, dim=64)
+        assert cb.count() == 4 * 16
+        codes = pq_encode(emb, cb, m=4, dim=64)
+        n = emb.count()
+        assert codes.count() == 4 * n
+        per = codes.groupBy("id").count().filter("count != 4").count()
+        assert per == 0
+        rng = codes.agg(F.min("code"), F.max("code")).collect()[0]
+        assert rng[0] >= 0 and rng[1] <= 15
+
+    def test_codeword_vectors_selfcode_at_zero(self, spark, emb):
+        """The 16 seed vectors must encode to their own codeword with
+        distance 0 in every subspace (the codebook IS their data)."""
+        from pincette_json_streams_spark.functions.similarity import (
+            pq_codebooks, pq_encode,
+        )
+        cb = pq_codebooks(emb, m=4, k=16, dim=64)
+        codes = pq_encode(emb, cb, m=4, dim=64)
+        seeds = codes.filter(F.col("id") < 16)
+        bad = seeds.filter(
+            (F.col("dist") != 0) | (F.col("code") != F.col("id"))
+        ).count()
+        assert bad == 0
+
+    def test_adc_query_ranks_itself_first(self, spark, emb):
+        from pincette_json_streams_spark.functions.similarity import (
+            pq_adc_topk, pq_codebooks,
+        )
+        cb = pq_codebooks(emb, m=4, k=16, dim=64)
+        top = pq_adc_topk(emb, cb, query_id=0, n=5, m=4, dim=64).collect()
+        assert top[0]["vec_id"] == 0 and top[0]["adc"] == 0
+        assert all(top[i]["adc"] <= top[i + 1]["adc"]
+                   for i in range(len(top) - 1))
+
+    def test_codebook_is_broadcast(self, spark, emb):
+        from pincette_json_streams_spark.functions.similarity import (
+            pq_codebooks, pq_encode,
+        )
+        cb = pq_codebooks(emb, m=4, k=16, dim=64)
+        plan = pq_encode(emb, cb, m=4, dim=64)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
