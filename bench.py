@@ -83,6 +83,12 @@ BENCH_QUERIES = [
     # selection (Spark's iterative joins beat the oracle's recursive CTE
     # ~4.5x at sf0.1 — the most scale-relevant query in the suite)
     "dedup_canonical",
+    # round-5 additions: sketch + fingerprint + ranking + PQ families
+    "hll_distinct",
+    "winnow_pairs",
+    "bm25_topk",
+    "dsir_weights",
+    "pq_adc",
 ]
 
 

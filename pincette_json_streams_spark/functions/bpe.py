@@ -78,15 +78,19 @@ def adjacent_pair_counts(
     the word's final symbol pair, matching the training alphabet."""
     # split between chars only ((?!$) keeps Spark's limit=-1 split from
     # emitting a trailing empty symbol at the end-of-string position)
+    from pincette_json_streams_spark.functions.text import bind_once
+
     chars = F.split(F.col("word"), "(?!^)(?=.)")
-    syms = (
-        F.concat(chars, F.array(F.lit(EOW))) if with_marker else chars
-    )
-    pairs = F.transform(
-        F.sequence(F.lit(0), F.size(syms) - 2),
-        lambda i: F.struct(
-            F.element_at(syms, i + 1).alias("left"),
-            F.element_at(syms, i + 2).alias("right"),
+    # bind the symbol array once per row: inlined in the lambda, the
+    # regex split re-ran per pair position (O(len^2) per word)
+    pairs = bind_once(
+        F.concat(chars, F.array(F.lit(EOW))) if with_marker else chars,
+        lambda syms: F.transform(
+            F.sequence(F.lit(0), F.size(syms) - 2),
+            lambda i: F.struct(
+                F.element_at(syms, i + 1).alias("left"),
+                F.element_at(syms, i + 2).alias("right"),
+            ),
         ),
     )
     return (

@@ -482,10 +482,17 @@ def _e3(vec):
 
 
 def _subvectors(vec_e3, m: int, sub: int):
-    """array of m subvectors (each array<bigint> of length ``sub``)."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda j: F.slice(vec_e3, j * F.lit(sub) + F.lit(1), sub),
+    """array of m subvectors (each array<bigint> of length ``sub``).
+    The quantized vector is bound once per row (bind_once) so the e3
+    transform doesn't re-run per subspace."""
+    from pincette_json_streams_spark.functions.text import bind_once
+
+    return bind_once(
+        vec_e3,
+        lambda v: F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda j: F.slice(v, j * F.lit(sub) + F.lit(1), sub),
+        ),
     )
 
 

@@ -26,7 +26,7 @@ __all__ = [
     "tfidf_top_terms",
     "duplicate_spans", "strip_duplicate_spans", "decontaminate_spans",
     "token_drift", "winnow_fingerprints", "winnow_pairs", "bm25_scores",
-    "STOPWORDS",
+    "bind_once", "STOPWORDS",
     "LANG_MARKERS", "BPE_TOKEN_RE", "PII_PATTERNS",
 ]
 
@@ -623,6 +623,22 @@ def normalize_text(text: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(text), "\\s+", " "))
 
 
+def bind_once(expr: Column, fn) -> Column:
+    """Evaluate ``expr`` ONCE per row and hand it to ``fn`` as a bound
+    lambda variable.
+
+    Any expression embedded in a higher-order-function lambda body is
+    re-evaluated PER ELEMENT at runtime (Catalyst keeps one symbolic
+    copy but HigherOrderFunction.eval re-executes the whole subtree
+    each iteration).  A normalization regex or a built array embedded
+    in an O(len) transform therefore turns O(len^2) per row — the trap
+    that made the first winnowing implementation unrunnable.  Wrapping
+    the expression in a single-element array and transforming over it
+    binds the value to a lambda variable, which IS evaluated once and
+    then referenced cheaply."""
+    return F.element_at(F.transform(F.array(expr), fn), 1)
+
+
 def fingerprint(text: Column) -> Column:
     """64-bit-ish content fingerprint: md5 of normalized text, first 15 hex
     digits as bigint (reproducible in any engine with md5)."""
@@ -632,29 +648,41 @@ def fingerprint(text: Column) -> Column:
 
 
 def shingles(text: Column, k: int = 9) -> Column:
-    """Character k-shingles of the normalized text (distinct)."""
-    norm = normalize_text(text)
-    n = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), n),
-            lambda i: F.substring(norm, i.cast("int"), F.lit(k).cast("int")),
+    """Character k-shingles of the normalized text (distinct).
+
+    The normalized string is bound once per row (``bind_once``) — with
+    it inlined in the lambda, the normalization regex re-ran per
+    shingle position, O(len^2) per document."""
+    def _grams(norm):
+        n = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n),
+                lambda i: norm.substr(i.cast("int"),
+                                      F.lit(k).cast("int")),
+            )
         )
-    )
+
+    return bind_once(normalize_text(text), _grams)
 
 
 def word_ngrams(text: Column, n: int = 3) -> Column:
-    """Distinct word n-grams of the normalized text."""
-    words = F.split(normalize_text(text), " ")
-    cnt = F.greatest(F.size(words) - F.lit(n - 1), F.lit(1))
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), cnt),
-            lambda i: F.concat_ws(
-                " ", F.slice(words, i.cast("int"), F.lit(n).cast("int"))
-            ),
+    """Distinct word n-grams of the normalized text.  The split word
+    array is bound once per row (``bind_once``) — inlined, the
+    normalize+split re-ran per n-gram position, O(len^2)."""
+    def _grams(words):
+        cnt = F.greatest(F.size(words) - F.lit(n - 1), F.lit(1))
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), cnt),
+                lambda i: F.concat_ws(
+                    " ", F.slice(words, i.cast("int"),
+                                 F.lit(n).cast("int"))
+                ),
+            )
         )
-    )
+
+    return bind_once(F.split(normalize_text(text), " "), _grams)
 
 
 def token_drift(
@@ -977,14 +1005,11 @@ def winnow_fingerprints(
 
     Returns one row per (id, fp) — a document's distinct fingerprint
     set, exploded."""
-    # Every intermediate is BOUND AS A LAMBDA VARIABLE via a
-    # single-element array wrapper: an expression referenced inside a
-    # higher-order-function lambda is re-evaluated PER ELEMENT (the
-    # CollapseProject/HOF trap — the naive nesting here re-ran the
-    # normalization regex and the whole md5 gram array for every
-    # window position, O(len^2) per document and unrunnable at sf0.01).
-    # With the wrapper, norm and the hash array are computed once per
-    # row and the sliding-window min is O(len * window).
+    # Every intermediate is BOUND AS A LAMBDA VARIABLE (bind_once): the
+    # naive nesting re-ran the normalization regex and the whole md5
+    # gram array for every window position — O(len^2) per document and
+    # unrunnable at sf0.01.  Bound, the sliding-window min is
+    # O(len * window).
     def _windows(hs):
         nw = F.greatest(F.size(hs) - F.lit(window - 1), F.lit(1))
         return F.transform(
@@ -1004,12 +1029,10 @@ def winnow_fingerprints(
         )
 
     fps = F.array_distinct(
-        F.flatten(F.transform(
-            F.array(normalize_text(F.col(text_col))),
-            lambda nm: F.flatten(F.transform(
-                F.array(_hashes(nm)), _windows
-            )),
-        ))
+        bind_once(
+            normalize_text(F.col(text_col)),
+            lambda nm: bind_once(_hashes(nm), _windows),
+        )
     )
     return df.select(
         F.col(id_col).alias("id"), F.explode(fps).alias("fp")
