@@ -983,6 +983,64 @@ def decontaminate_spans(
     return _strip_covered(train, spans, text_col, id_col)
 
 
+def _winnow_fp_vec(k: int, window: int):
+    """Winnowing fingerprint pass as ONE Arrow-batched pandas UDF:
+    text -> array<bigint> of distinct selected hashes.
+
+    Catalyst evaluates higher-order-function lambdas interpreted, per
+    element: the Column pipeline (md5 per gram position + an
+    ``array_min(slice(...))`` allocation per window position) measured
+    ~11 s for the sf0.1 documents table — 6x the DuckDB oracle.  The
+    same computation — hashlib over distinct grams, one numpy
+    sliding-window min — is ~an order of magnitude faster, and each
+    Arrow batch is independent so it stays a map-only stage fused into
+    the scan at 100 TB.  Hash math is bit-identical to the Column form
+    (md5 -> first 15 hex digits -> base-16 bigint), verified in
+    ``tests/test_functions.py::TestWinnowing``."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    def f(texts):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        from .dedup import _normalize_py
+
+        out = []
+        for s in texts:
+            if s is None:
+                # the Column form degenerates to a single null hash for
+                # null text (greatest(null,1)=1 gram of a null substr);
+                # replicate so explode emits the same (id, null) row
+                out.append([None])
+                continue
+            norm = _normalize_py(s)
+            n = max(len(norm) - (k - 1), 1)
+            cache: dict[str, int] = {}
+            hs = np.empty(n, dtype=np.int64)
+            for i in range(n):
+                g = norm[i:i + k]
+                h = cache.get(g)
+                if h is None:
+                    h = cache[g] = int(
+                        hashlib.md5(g.encode("utf-8")).hexdigest()[:15],
+                        16,
+                    )
+                hs[i] = h
+            if n >= window:
+                mins = sliding_window_view(hs, window).min(axis=1)
+            else:
+                mins = hs.min(keepdims=True)
+            out.append(list(dict.fromkeys(mins.tolist())))
+        return pd.Series(out)
+
+    # explicit functionType: `from __future__ import annotations` turns
+    # hints into strings pandas_udf's inference can't resolve
+    return pandas_udf(f, "array<bigint>", PandasUDFType.SCALAR)
+
+
 def winnow_fingerprints(
     df: DataFrame,
     text_col: str = "text",
@@ -998,13 +1056,35 @@ def winnow_fingerprints(
     ``k + window - 1`` shares at least one fingerprint while retaining
     only ~2/(window+1) of the gram hashes.
 
-    Entirely native Columns inside one row (sequence/transform/slice/
-    array_min) — NO shuffle, no UDF: at 100 TB the fingerprint pass is
-    a map-only stage fused into the scan.  Hashes use md5→bigint so a
-    SQL oracle replays them exactly.
+    One Arrow-vectorized pass per row (``_winnow_fp_vec``) — NO
+    shuffle: at 100 TB the fingerprint pass is a map-only stage fused
+    into the scan.  Hashes use md5 -> 15 hex digits -> bigint so a SQL
+    oracle replays them exactly (the pure-Column equivalent is kept as
+    ``_winnow_fingerprints_columns`` and locked bit-identical in
+    tests).
 
     Returns one row per (id, fp) — a document's distinct fingerprint
     set, exploded."""
+    from .dedup import _spread
+
+    fp = _winnow_fp_vec(k, window)
+    return _spread(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(fp(F.col(text_col))).alias("fp"),
+    )
+
+
+def _winnow_fingerprints_columns(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Pure native-Column winnowing (sequence/transform/slice/array_min)
+    — the reference semantics the Arrow kernel must match bit-for-bit.
+    Kept for the equivalence test; the hot path is the Arrow kernel
+    (HOF lambdas evaluate interpreted per element, ~6x slower)."""
     # Every intermediate is BOUND AS A LAMBDA VARIABLE (bind_once): the
     # naive nesting re-ran the normalization regex and the whole md5
     # gram array for every window position — O(len^2) per document and
@@ -1053,29 +1133,42 @@ def winnow_pairs(
     fingerprint sets of ``winnow_fingerprints``.
 
     Scale shape (same family as ngram_jaccard_pairs): fingerprints
-    seen in more than ``max_df`` documents are dropped before the join
-    — a boilerplate gram shared by 10^6 docs would otherwise emit a
-    quadratic posting-list join; the cap bounds each posting list, so
-    the join output is at most ``max_df``² per fingerprint.  The only
-    shuffles are the doc-frequency hash-agg and the fp equi-join.
+    seen in more than ``max_df`` documents are dropped — a boilerplate
+    gram shared by 10^6 docs would otherwise emit a quadratic blow-up;
+    the cap bounds each posting list, so pair expansion is at most
+    ``max_df``² per fingerprint.  ONE shuffle total: instead of the
+    df-agg + fp-equi-self-join (which evaluates the fingerprint pass
+    three times and shuffles twice), group once on fp, collect the
+    (≤ ``max_df``-long) sorted posting list and expand the i<j pairs
+    as a nested in-array transform — the expensive Arrow fingerprint
+    kernel runs exactly once, and the second shuffle is the final
+    (doc_a, doc_b) count agg over the already-tiny pair stream.
 
     Returns (doc_a, doc_b, shared) for pairs sharing at least
     ``min_shared`` surviving fingerprints."""
     posting = winnow_fingerprints(df, text_col, id_col, k, window)
-    keep = (
+    lists = (
         posting.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= max_df)
-        .select("fp")
+        .agg(F.sort_array(F.collect_list(F.col("id").cast("long")))
+             .alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_df))
     )
-    p = posting.join(keep, "fp")
-    a, b = p.alias("a"), p.alias("b")
+    # ids is sorted + distinct per fp, so (ids[i], ids[j]) with i<j is
+    # exactly the a.id < b.id join output
+    pairs = F.flatten(F.transform(
+        F.sequence(F.lit(1), F.size("ids") - 1),
+        lambda i: F.transform(
+            F.slice(F.col("ids"), i + 1, F.size("ids")),
+            lambda j: F.struct(
+                F.element_at(F.col("ids"), i.cast("int")).alias("a"),
+                j.alias("b"),
+            ),
+        ),
+    ))
     return (
-        a.join(b, (F.col("a.fp") == F.col("b.fp"))
-               & (F.col("a.id") < F.col("b.id")))
+        lists.select(F.explode(pairs).alias("p"))
         .groupBy(
-            F.col("a.id").cast("long").alias("doc_a"),
-            F.col("b.id").cast("long").alias("doc_b"),
+            F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b")
         )
         .agg(F.count(F.lit(1)).cast("long").alias("shared"))
         .filter(F.col("shared") >= min_shared)

@@ -3299,8 +3299,10 @@ class TestWinnowing:
         assert winnow_pairs(df, max_df=1, min_shared=1).count() == 0
 
     def test_plan_is_map_only_until_join(self, spark):
-        """Fingerprinting itself must not shuffle — no Exchange in the
-        winnow_fingerprints plan."""
+        """Fingerprinting itself must not hash-shuffle — the only
+        Exchange allowed is the deliberate round-robin fan-out before
+        the CPU-bound Arrow kernel (`_spread`, same pattern as the
+        minhash family)."""
         from pincette_json_streams_spark.functions.text import (
             winnow_fingerprints,
         )
@@ -3308,7 +3310,36 @@ class TestWinnowing:
             [(0, "abc def ghi")], "doc_id long, text string")
         plan = winnow_fingerprints(df)._jdf.queryExecution().executedPlan() \
             .toString()
-        assert "Exchange" not in plan
+        assert plan.count("Exchange") == 1
+        assert "RoundRobinPartitioning" in plan
+        assert "hashpartitioning" not in plan
+
+    def test_arrow_kernel_bit_identical_to_columns(self, spark):
+        """The Arrow fingerprint kernel must replay the pure-Column
+        md5->15-hex->bigint math exactly — the SQL oracle depends on
+        it."""
+        from pincette_json_streams_spark.functions.text import (
+            _winnow_fingerprints_columns,
+            winnow_fingerprints,
+        )
+        rows = [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "THE quick  brown fox jumps over the lazy dog"),
+            (2, "short"),
+            (3, ""),
+            (4, None),
+            (5, "ab"),
+            (6, " ".join(f"w{i % 13} tok{i % 7}" for i in range(300))),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        for kk, ww in ((8, 4), (5, 3), (8, 1)):
+            got = {(r["id"], r["fp"])
+                   for r in winnow_fingerprints(df, k=kk, window=ww)
+                   .collect()}
+            want = {(r["id"], r["fp"])
+                    for r in _winnow_fingerprints_columns(
+                        df, k=kk, window=ww).collect()}
+            assert got == want
 
     def test_long_doc_linear_time_canary(self, spark):
         """Regression lock for the HOF-inlining trap: a 30k-char doc
