@@ -530,7 +530,13 @@ def _format_value(name: str, v) -> str:
     if name == "text":
         return base(v)
     if name == "json":
-        return json.dumps(v, separators=(",", ":"), default=str)
+        try:
+            return json.dumps(v, separators=(",", ":"))
+        except (TypeError, ValueError):
+            # strict like real jq: a non-JSON value is an error, not a
+            # silently stringified repr
+            raise JqError(
+                f"jq: @json: {type(v).__name__} is not JSON-serializable")
     if name == "base64":
         return _b64.b64encode(base(v).encode()).decode()
     if name == "base64d":
@@ -541,11 +547,15 @@ def _format_value(name: str, v) -> str:
             # padding restored (jq inverts @base64's padded output but
             # tolerates unpadded); validate=True so corrupt input
             # RAISES like real jq instead of decoding to garbage
-            return _b64.b64decode(
-                s + "=" * (-len(s) % 4), validate=True
-            ).decode(errors="replace")
+            raw = _b64.b64decode(s + "=" * (-len(s) % 4), validate=True)
         except (_ba.Error, ValueError):
             raise JqError(f"jq: {s!r} is not valid base64 data")
+        try:
+            # strict: real jq errors on non-UTF-8 payloads; replacement
+            # chars would silently mangle binary data
+            return raw.decode("utf-8")
+        except UnicodeDecodeError:
+            raise JqError(f"jq: @base64d: {s!r} decodes to non-UTF-8 data")
     if name == "uri":
         return _up.quote(base(v), safe="-_.~")
     if name == "html":
@@ -641,17 +651,21 @@ def _eval(node, inp, env: _Env) -> Iterator[Any]:
             else:
                 raise JqError(
                     f"jq: cannot iterate {type(base).__name__}")
-    elif tag == "try":
-        try:
-            yield from list(_eval(node[1], inp, env))
-        except JqError:
-            pass
-    elif tag == "trycatch":
-        try:
-            yield from list(_eval(node[1], inp, env))
-        except JqError as e:
-            if node[2] is not None:
-                yield from _eval(node[2], str(e), env)
+    elif tag in ("try", "trycatch"):
+        # lazy: outputs produced BEFORE the error are kept (real jq:
+        # 'try (1, error("x"))' yields 1) — materializing with list()
+        # discarded them
+        it = _eval(node[1], inp, env)
+        while True:
+            try:
+                v = next(it)
+            except StopIteration:
+                break
+            except JqError as e:
+                if tag == "trycatch" and node[2] is not None:
+                    yield from _eval(node[2], str(e), env)
+                break
+            yield v
     elif tag == "neg":
         for v in _eval(node[1], inp, env):
             yield -v
@@ -1539,14 +1553,20 @@ def _call(name, args, inp, env: _Env):
         else:
             yield hits[-1] if hits else None
     elif name == "repeat":
-        # infinite generator; callers bound it with limit/first/until
-        v = inp
-        while True:
-            for v in _eval(args[0], v, env):
-                yield v
+        # jq: def repeat(f): def _r: f | (., _r); _r; — recurses into
+        # EVERY output of a multi-output f, depth-first.  Infinite;
+        # callers bound it with limit/first/until.  Iterative stack of
+        # generators (recursion blows Python's limit around 1k steps).
+        stack = [_eval(args[0], inp, env)]
+        while stack:
+            advanced = False
+            for w in stack[-1]:
+                yield w
+                stack.append(_eval(args[0], w, env))
+                advanced = True
                 break
-            else:
-                return
+            if not advanced:
+                stack.pop()
     elif name in ("debug", "stderr"):
         import sys as _sys
 

@@ -135,7 +135,8 @@ class Application:
         )
         if t in ("stream", "merge"):
             suffix = ".out" if t == "stream" else ".merged"
-            out = emit_event_traces(out, f"{name}{suffix}", self.pctx)
+            out = emit_event_traces(out, f"{name}{suffix}", self.pctx,
+                                    part=name)
         self.streams[name] = out
         if "toTopic" in part:
             df = out
@@ -181,8 +182,10 @@ class Application:
             emit_event_traces,
         )
         pname = part.get("name", "join")
-        left = emit_event_traces(left, f"{pname}.left.in", self.pctx)
-        right = emit_event_traces(right, f"{pname}.right.in", self.pctx)
+        left = emit_event_traces(left, f"{pname}.left.in", self.pctx,
+                                 part=pname)
+        right = emit_event_traces(right, f"{pname}.right.in", self.pctx,
+                                  part=pname)
         lkey = compile_expr(left_spec["on"], ctx_for(left))
         rkey = compile_expr(right_spec["on"], ctx_for(right))
         window_ms = part.get("window")

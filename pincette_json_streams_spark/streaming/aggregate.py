@@ -360,7 +360,7 @@ def compile_aggregate_batch(part: dict, app) -> dict[str, DataFrame]:
         )
         pname = part.get("name", agg_type)
         source = emit_event_traces(
-            source, f"{pname}.command", app.pctx,
+            source, f"{pname}.command", app.pctx, part=pname,
             name_expr=F.concat(
                 F.lit(f"{pname}.command."),
                 F.coalesce(F.col("_command").cast("string"),

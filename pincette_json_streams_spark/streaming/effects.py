@@ -94,12 +94,14 @@ def build_ssl_context(key_store: str, password: str | None = None):
     docs/aggregation_stages.md:217,649,756).  PKCS#12 is not
     stdlib-loadable, so the bundle is parsed with ``cryptography`` and
     re-serialised to a transient PEM for ``load_cert_chain``; contexts
-    are cached per (path, password) per process (an SSLContext is not
-    picklable, so stages build it lazily executor-side)."""
+    are cached per (path, mtime, password) per process (an SSLContext
+    is not picklable, so stages build it lazily executor-side).  The
+    mtime in the key means a ROTATED keystore at the same path is
+    picked up by long-lived executors on their next build."""
     import ssl
     import tempfile
 
-    cache_key = (key_store, password)
+    cache_key = (key_store, os.stat(key_store).st_mtime_ns, password)
     hit = _ssl_ctx_cache.get(cache_key)
     if hit is not None:
         return hit
@@ -541,7 +543,8 @@ def stage_probe(df: DataFrame, spec: dict, pctx) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def emit_event_traces(df: DataFrame, part_name: str, pctx,
-                      name_expr: Optional[Column] = None) -> DataFrame:
+                      name_expr: Optional[Column] = None,
+                      part: Optional[str] = None) -> DataFrame:
     """Automatic event-trace emission — the reference's ``tracesTopic``
     behavior (docs/telemetry.md:54): when a trace producer is
     configured, every message carrying a ``_corr`` UUID yields one
@@ -556,7 +559,10 @@ def emit_event_traces(df: DataFrame, part_name: str, pctx,
     exactly like $log/$probe; zero effect on the plan when no producer
     is configured.  ``name_expr`` optionally computes the subpart name
     PER ROW (aggregate parts trace as ``<part>.command.<command>``,
-    docs/telemetry.md metrics-attribute table)."""
+    docs/telemetry.md metrics-attribute table).  ``part`` is the BARE
+    part name for ``attributes.part`` (the reference's field table
+    keeps the suffixed subpart only in ``name``); it defaults to
+    ``part_name`` up to the first dot."""
     producer = getattr(pctx, "trace_producer", None)
     if producer is None or "_corr" not in df.columns:
         return df
@@ -566,6 +572,7 @@ def emit_event_traces(df: DataFrame, part_name: str, pctx,
         return df  # traceSamplePercentage 0 = tracing off
     app = getattr(pctx, "app_name", None) or "pincette-json-streams-spark"
     version = getattr(pctx, "app_version", None)
+    bare_part = part if part is not None else part_name.split(".", 1)[0]
     in_cols = list(df.columns)
     from pyspark.sql.types import StructType
 
@@ -603,7 +610,7 @@ def emit_event_traces(df: DataFrame, part_name: str, pctx,
                 rec = event_trace_record(
                     {"_corr": corr,
                      "_jwt": {"sub": sub} if sub else None},
-                    application=app, part=nm,
+                    application=app, part=bare_part,
                     name=nm, version=version,
                     timestamp_nanos=_time.time_ns(),
                 )

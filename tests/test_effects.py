@@ -522,6 +522,25 @@ class TestSslContext:
         b = build_ssl_context(p12, "secret")
         assert a is b
 
+    def test_rotated_keystore_rebuilds_context(self, tmp_path):
+        """Cache key includes the file mtime: a rotated PKCS#12 at the
+        same path must yield a FRESH SSLContext on a long-lived
+        executor, not the stale cached identity."""
+        import os as _os
+
+        from pincette_json_streams_spark.streaming.effects import (
+            build_ssl_context,
+        )
+        p12, _, _ = _make_pkcs12(tmp_path, name="rotate-a")
+        a = build_ssl_context(p12, "secret")
+        (tmp_path / "v2").mkdir()
+        p12b, _, _ = _make_pkcs12(tmp_path / "v2", name="rotate-b")
+        _os.replace(p12b, p12)  # rotate in place (new mtime)
+        _os.utime(p12, ns=(_os.stat(p12).st_atime_ns,
+                           _os.stat(p12).st_mtime_ns + 1))
+        b = build_ssl_context(p12, "secret")
+        assert a is not b
+
 
 class TestEventTraces:
     """Automatic event-trace emission — the tracesTopic behavior
@@ -561,7 +580,9 @@ class TestEventTraces:
         (r,) = recs
         assert r["traceId"] == corr
         assert r["name"] == "s1.out"
-        assert r["attributes"]["part"] == "s1.out"
+        # reference field table (docs/telemetry.md): attributes.part is
+        # the BARE part name; only `name` carries the subpart suffix
+        assert r["attributes"]["part"] == "s1"
         assert r["serviceName"] == "traced-app"
         assert r["username"] == "alice"
         assert r["timestampNanos"] > 0
@@ -675,5 +696,6 @@ class TestAggregateCommandTraces:
             recs = [json.loads(l) for l in fh if l.strip()]
         names = {r["name"] for r in recs}
         assert names == {"agg.command.put"}  # correlated only, named
-        assert all(r["attributes"]["part"] == "agg.command.put"
-                   for r in recs)
+        # attributes.part carries the BARE part name (reference field
+        # table); the per-command subpart lives only in `name`
+        assert all(r["attributes"]["part"] == "agg" for r in recs)

@@ -430,6 +430,17 @@ class TestReviewRegressionsR5b:
         # replacement emitting nothing -> no results (jq empty rules)
         assert jq('sub("b"; empty)', "ab") == []
 
+    def test_base64d_non_utf8_raises(self):
+        # base64 of bytes 0xff 0xfe — valid base64, not valid UTF-8;
+        # real jq errors instead of emitting replacement chars
+        with pytest.raises(JqError):
+            jq('@base64d', "//4=")
+
+    def test_at_json_non_serializable_raises(self):
+        from pincette_json_streams_spark.functions.jq_subset import _eval  # noqa
+        with pytest.raises(JqError):
+            jq('@json', {1, 2} if False else object())
+
     def test_base64d_invalid_raises(self):
         with pytest.raises(JqError):
             jq('@base64d', "!!!")
@@ -480,6 +491,17 @@ class TestRound5Builtins:
 
     def test_repeat_bounded_by_limit(self):
         assert jq('[limit(3; repeat(. * 2))]', 1) == [[2, 4, 8]]
+
+    def test_repeat_recurses_into_every_output(self):
+        # jq: def repeat(f): def _r: f | (., _r); _r; — depth-first
+        # over ALL outputs of a multi-output f (real-jq verified order)
+        assert jq('[limit(5; repeat(. * 2, . + 1))]', 1) == \
+            [[2, 4, 8, 16, 32]]
+        assert jq('[limit(4; repeat(if . < 2 then .+1, 10 else empty '
+                  'end))]', 0) == [[1, 2, 10, 10]]
+
+    def test_repeat_deep_chain_no_recursion_limit(self):
+        assert jq('[limit(5000; repeat(. + 1))] | length', 0) == [5000]
 
     def test_any_all_multi_output_conditions(self):
         assert jq('any(.[]; . > 2)', [1, 2, 3]) == [True]
@@ -535,6 +557,11 @@ class TestReviewRegressionsR5c:
 
     def test_try_catch(self):
         assert jq('try transpose catch "bad"', [[1], 2]) == ["bad"]
+        # lazy: outputs before the error survive (real jq behavior)
+        assert jq('[try (1, error("x"))]', None) == [[1]]
+        assert jq('[try (1, 2, error("x")) catch "c"]', None) == \
+            [[1, 2, "c"]]
+        assert jq('[(1, error("x"), 3)?]', None) == [[1]]
         assert jq('try error("x") catch .', None) == ["x"]
         assert jq('try .a', {"a": 1}) == [1]
         # keyword fields need the quoted form, exactly like real jq
