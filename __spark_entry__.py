@@ -5542,6 +5542,76 @@ GROUP BY 1 ORDER BY adc, vec_id LIMIT 20
 """
 
 
+def q_dedup_verify(spark, sf_dir):
+    """Edit-distance verification of MinHash-LSH candidate pairs — the
+    precision stage after the sketch recall stage (reference: near-dup
+    pipelines verify candidates before acting on them).  Pairs are
+    broadcast against the document scan; levenshtein runs JVM-side on
+    cap-bounded normalized text (functions/dedup.py
+    verify_pairs_editdist)."""
+    from pincette_json_streams_spark.functions.dedup import (
+        minhash_lsh_pairs, verify_pairs_editdist,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    return verify_pairs_editdist(
+        pairs, docs, cap=400, min_sim=0.3
+    ).orderBy("id_a", "id_b")
+
+
+def _oracle_dedup_verify():
+    return f"""
+WITH pairs AS ({_oracle_minhash()}),
+n AS (
+  SELECT doc_id AS id, substr({_sql_norm()}, 1, 400) AS t FROM documents
+), scored AS (
+  SELECT p.id_a, p.id_b,
+         floor((CASE WHEN greatest(len(a.t), len(b.t)) = 0 THEN 1.0
+                ELSE 1.0 - levenshtein(a.t, b.t)::DOUBLE /
+                     greatest(len(a.t), len(b.t)) END) * 1e6 + 0.5) / 1e6
+           AS sim
+  FROM pairs p JOIN n a ON a.id = p.id_a JOIN n b ON b.id = p.id_b
+)
+SELECT id_a, id_b, sim FROM scored WHERE sim >= 0.3
+ORDER BY id_a, id_b
+"""
+
+
+def q_embedding_outliers(spark, sf_dir):
+    """Centroid-distance outlier scan over the embedding corpus:
+    cosine distance to the global mean vector, z-scored; z >= 1.5 rows
+    survive (functions/similarity.py embedding_outliers — moments via
+    per-partition numpy partials, no shuffle)."""
+    from pincette_json_streams_spark.functions.similarity import (
+        embedding_outliers,
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_outliers(emb, z_min=1.5).orderBy("id")
+
+
+_ORACLE_EMBEDDING_OUTLIERS = """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), m AS (
+  SELECT list(a ORDER BY i) AS mv FROM (
+    SELECT i, avg(e[i]) AS a FROM v, range(1, 65) t(i) GROUP BY i)
+), d AS (
+  SELECT vec_id AS id,
+         1.0 - list_dot_product(e, mv) /
+           (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(mv, mv)))
+           AS dd
+  FROM v, m
+), s AS (
+  SELECT avg(dd) AS mu, stddev_pop(dd) AS sd FROM d
+)
+SELECT id, floor(dd * 1e6 + 0.5) / 1e6 AS dist,
+       floor((dd - mu) / sd * 1e3 + 0.5) / 1e3 AS z
+FROM d, s
+WHERE floor((dd - mu) / sd * 1e3 + 0.5) / 1e3 >= 1.5
+ORDER BY id
+"""
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -5554,65 +5624,15 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver samples a prefix of this dict, so the
     # least-recently-driver-checked queries must come first.  Re-derived
-    # after CORRECTNESS_r04 (50/50 green): block 0 = the 29 queries whose
-    # latest driver check is r2, block 1 = the 42 last checked in r3,
-    # block 2 = the 50 sampled (green) in r4.  A 50-query prefix covers
-    # all of block 0 plus half of block 1 — no query goes 3 rounds
-    # unsampled.
+    # after CORRECTNESS_r05 (50/50 green): block 0 = the 28 queries whose
+    # latest driver check is r3, block 1 = the 50 last checked in r4,
+    # block 2 = the 50 sampled (green) in r5.  A 50-query prefix covers
+    # the 2 new queries plus all of block 0 plus 20 of block 1.
     return {
-        # -- NEW in round 5 (never driver-sampled -> very front) --------
-        "hll_distinct": q_hll_distinct,
-        "pq_cells": q_pq_cells,
-        "pq_adc": q_pq_adc,
-        "winnow_pairs": q_winnow_pairs,
-        "bm25_topk": q_bm25_topk,
-        "dsir_weights": q_dsir_weights,
-        "jq_formats": q_jq_formats,
-        # -- block 0: last driver-sampled in r2 (stalest signal) --------
-        "string_ops": q_string_ops,
-        "datetime_ops": q_datetime_ops,
-        "arith_ops": q_arith_ops,
-        "array_ops": q_array_ops,
-        "type_convert": q_type_convert,
-        "validate": q_validate,
-        "events_funnel": q_events_funnel,
-        "redact": q_redact,
-        "redact_nested": q_redact_nested,
-        "replace_root": q_replace_root,
-        "array_setops": q_array_setops,
-        "match_arrays": q_match_arrays,
-        "jq_stage": q_jq_stage,
-        "jslt_stage": q_jslt_stage,
-        "epoch_ops": q_epoch_ops,
-        "misc_ops": q_misc_ops,
-        "trig_ops": q_trig_ops,
-        "bitwise_match": q_bitwise_match,
-        "encode_ops": q_encode_ops,
-        "array_ops2": q_array_ops2,
-        "jes_ops": q_jes_ops,
-        "sort_limit": q_sort_limit,
-        "setkey_stage": q_setkey_stage,
-        "region_revenue": q_region_revenue,
-        "top_customers": q_top_customers,
-        "text_stats": q_text_stats,
-        "pii_scrub": q_pii_scrub,
-        "token_vocab": q_token_vocab,
-        "dedup_stage": q_dedup_stage,
-        # -- block 1: last driver-sampled in r3 -------------------------
-        "bpe_pairs": q_bpe_pairs,
-        "sort_by_count": q_sort_by_count,
-        "bigram_lm": q_bigram_lm,
-        "geo_near": q_geo_near,
-        "date_parts": q_date_parts,
-        "json_schema": q_json_schema,
-        "emb_moments": q_emb_moments,
-        "dedup_quality": q_dedup_quality,
-        "counter_rate": q_counter_rate,
-        "rollup_revenue": q_rollup_revenue,
-        "interval_hits": q_interval_join,
-        "dup_spans": q_dup_spans,
-        "strip_spans": q_strip_spans,
-        "window_fields": q_window_fields,
+        # -- NEW in round 6 (never driver-sampled -> very front) --
+        "dedup_verify": q_dedup_verify,
+        "embedding_outliers": q_embedding_outliers,
+        # -- block 0: last driver-sampled in r3 (stalest signal) --
         "url_dedup": q_url_dedup,
         "zorder_key": q_zorder_key,
         "semantic_dedup": q_semantic_dedup,
@@ -5641,7 +5661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gapfill": q_events_gapfill,
         "profile_table": q_profile_table,
         "tfidf_terms": q_tfidf_terms,
-        # -- block 2: green in the r4 sample (freshest, back of line) ---
+        # -- block 1: last driver-sampled in r4 --
         "graph_lookup": q_graph_lookup,
         "window_modern": q_window_modern,
         "lookup_topn": q_lookup_topn,
@@ -5692,6 +5712,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lookup_pipeline": q_lookup_pipeline,
         "join_part": q_join_part,
         "merge_part": q_merge_part,
+        # -- block 2: sampled green in r5 (freshest) --
+        "hll_distinct": q_hll_distinct,
+        "pq_cells": q_pq_cells,
+        "pq_adc": q_pq_adc,
+        "winnow_pairs": q_winnow_pairs,
+        "bm25_topk": q_bm25_topk,
+        "dsir_weights": q_dsir_weights,
+        "jq_formats": q_jq_formats,
+        "string_ops": q_string_ops,
+        "datetime_ops": q_datetime_ops,
+        "arith_ops": q_arith_ops,
+        "array_ops": q_array_ops,
+        "type_convert": q_type_convert,
+        "validate": q_validate,
+        "events_funnel": q_events_funnel,
+        "redact": q_redact,
+        "redact_nested": q_redact_nested,
+        "replace_root": q_replace_root,
+        "array_setops": q_array_setops,
+        "match_arrays": q_match_arrays,
+        "jq_stage": q_jq_stage,
+        "jslt_stage": q_jslt_stage,
+        "epoch_ops": q_epoch_ops,
+        "misc_ops": q_misc_ops,
+        "trig_ops": q_trig_ops,
+        "bitwise_match": q_bitwise_match,
+        "encode_ops": q_encode_ops,
+        "array_ops2": q_array_ops2,
+        "jes_ops": q_jes_ops,
+        "sort_limit": q_sort_limit,
+        "setkey_stage": q_setkey_stage,
+        "region_revenue": q_region_revenue,
+        "top_customers": q_top_customers,
+        "text_stats": q_text_stats,
+        "pii_scrub": q_pii_scrub,
+        "token_vocab": q_token_vocab,
+        "dedup_stage": q_dedup_stage,
+        "bpe_pairs": q_bpe_pairs,
+        "sort_by_count": q_sort_by_count,
+        "bigram_lm": q_bigram_lm,
+        "geo_near": q_geo_near,
+        "date_parts": q_date_parts,
+        "json_schema": q_json_schema,
+        "emb_moments": q_emb_moments,
+        "dedup_quality": q_dedup_quality,
+        "counter_rate": q_counter_rate,
+        "rollup_revenue": q_rollup_revenue,
+        "interval_hits": q_interval_join,
+        "dup_spans": q_dup_spans,
+        "strip_spans": q_strip_spans,
+        "window_fields": q_window_fields,
     }
 
 
@@ -5701,6 +5772,8 @@ def oracle_sql() -> dict[str, str]:
         "pq_cells": _ORACLE_PQ_CELLS,
         "pq_adc": _ORACLE_PQ_ADC,
         "winnow_pairs": _ORACLE_WINNOW_PAIRS,
+        "dedup_verify": _oracle_dedup_verify(),
+        "embedding_outliers": _ORACLE_EMBEDDING_OUTLIERS,
         "bm25_topk": _oracle_bm25(),
         "dsir_weights": _ORACLE_DSIR,
         "jq_formats": _ORACLE_JQ_FORMATS,

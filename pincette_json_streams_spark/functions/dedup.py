@@ -40,7 +40,7 @@ __all__ = [
     "minhash_signature", "minhash_lsh_pairs", "simhash", "simhash_pairs",
     "ngram_jaccard_pairs", "embedding_cosine", "cosine_vec",
     "embedding_pairs", "hyperplane_bucket", "minhash_index",
-    "incremental_dedup",
+    "incremental_dedup", "verify_pairs_editdist",
 ]
 
 # Universal-hash family h_i(x) = (a_i * x + b_i) mod p over the Mersenne
@@ -1060,4 +1060,55 @@ def connected_components_star(
         universe.join(comp, "id", "left")
         .select("id",
                 F.coalesce(F.col("comp"), F.col("id")).alias("cluster_id"))
+    )
+
+
+def verify_pairs_editdist(
+    pairs: DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    cap: int = 400,
+    min_sim: float = 0.0,
+) -> DataFrame:
+    """Exact edit-distance verification of near-dup CANDIDATE pairs —
+    the precision stage after any LSH/posting recall stage (MinHash,
+    SimHash, winnowing): candidates are cheap to over-generate, but a
+    dedup decision wants a true string-similarity score, not a sketch
+    estimate.  Similarity = 1 - levenshtein(a, b) / max(len(a), len(b))
+    over whitespace/case-normalized text truncated to ``cap`` chars.
+
+    Scale shape: the pair stream is orders of magnitude smaller than
+    the corpus, so it is BROADCAST twice against the document scan —
+    the big table is never shuffled, and only pair-count rows (with
+    ``cap``-bounded text) move.  The Levenshtein DP itself is
+    JVM-side (`F.levenshtein`, whole-stage codegen) and the cap bounds
+    it at cap^2 cells per pair regardless of document length.
+
+    Returns (id_a, id_b, sim) for pairs with sim >= ``min_sim``; sim is
+    reported on a 1e-6 floor-grid so a SQL oracle reproduces it
+    bit-for-bit (cross-engine float contract)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " "))
+    n = docs.select(
+        F.col(id_col).alias("__vid"),
+        F.substring(norm, 1, cap).alias("__vtxt"),
+    )
+    p = pairs.select(
+        F.col(id_a).cast("long").alias(id_a),
+        F.col(id_b).cast("long").alias(id_b),
+    )
+    left = n.join(F.broadcast(p), F.col("__vid") == F.col(id_a)).select(
+        id_a, id_b, F.col("__vtxt").alias("__ta"))
+    both = n.join(F.broadcast(left), F.col("__vid") == F.col(id_b)).select(
+        id_a, id_b, "__ta", F.col("__vtxt").alias("__tb"))
+    maxlen = F.greatest(F.length("__ta"), F.length("__tb"))
+    sim = F.when(maxlen == 0, F.lit(1.0)).otherwise(
+        1.0 - F.levenshtein("__ta", "__tb") / maxlen)
+    return (
+        both.withColumn(
+            "sim", F.floor(sim * 1e6 + F.lit(0.5)) / 1e6)
+        .filter(F.col("sim") >= min_sim)
+        .select(id_a, id_b, "sim")
     )

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "hash_bucket", "hash_sample", "stratified_hash_sample",
     "train_test_split", "domain_mixture", "sequence_packing",
-    "importance_weights",
+    "importance_weights", "weighted_sample",
 ]
 
 _SCALE = float(1 << 32)
@@ -292,3 +292,4 @@ def importance_weights(
         )
         .withColumn("weight", F.col("weight_e4") / F.lit(1e4))
     )
+

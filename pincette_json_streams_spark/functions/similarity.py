@@ -23,7 +23,8 @@ from pincette_json_streams_spark.functions.dedup import (
 )
 
 __all__ = [
-    "brute_force_topk", "embedding_moments", "ivf_topk", "lsh_topk",
+    "brute_force_topk", "embedding_moments", "embedding_outliers",
+    "ivf_topk", "lsh_topk",
     "pca_components", "pca_project", "pq_adc_topk", "pq_codebooks",
     "pq_encode", "quantize_embeddings",
     "semantic_dedup", "train_kmeans_centroids",
@@ -615,4 +616,47 @@ def pq_adc_topk(
         .limit(n)
         .select(F.col("id").cast("long").alias(id_col),
                 F.col("adc").cast("long").alias("adc"))
+    )
+
+
+def embedding_outliers(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    z_min: float = 2.0,
+) -> DataFrame:
+    """Embedding-space outlier detection for corpus quality control:
+    cosine distance of every vector to the corpus centroid, z-scored
+    against the distance distribution — the cheap first-pass filter for
+    mis-embedded / off-distribution documents before training.
+
+    Scale shape: the centroid comes from :func:`embedding_moments`
+    (per-partition numpy partials, d^2 * partitions bytes to the
+    driver, NO shuffle) and is broadcast back as a literal array; the
+    distance pass is one Arrow kernel over the scan; the z-stats are a
+    1-row aggregate crossJoin-broadcast.  Two passes over the data,
+    zero data shuffles.
+
+    Returns (id, dist, z) for rows with z >= ``z_min``; dist/z are on
+    1e-6 / 1e-3 floor-grids (cross-engine float contract)."""
+    from .dedup import cosine_vec
+
+    _, mean, _ = embedding_moments(df, vec_col)
+    mv = F.array(*[F.lit(float(x)) for x in mean.tolist()])
+    scored = df.select(
+        F.col(id_col).alias("id"),
+        (1.0 - cosine_vec(
+            F.col(vec_col).cast("array<double>"), mv)).alias("__d"),
+    )
+    stats = scored.agg(F.avg("__d").alias("__mu"),
+                       F.stddev_pop("__d").alias("__sd"))
+    return (
+        scored.crossJoin(F.broadcast(stats))
+        .select(
+            "id",
+            (F.floor(F.col("__d") * 1e6 + F.lit(0.5)) / 1e6).alias("dist"),
+            (F.floor((F.col("__d") - F.col("__mu")) / F.col("__sd")
+                     * 1e3 + F.lit(0.5)) / 1e3).alias("z"),
+        )
+        .filter(F.col("z") >= z_min)
     )

@@ -59,28 +59,29 @@ class TestDriverContract:
 
     def test_first_block_covers_stalest_queries(self):
         """The driver samples a prefix: the staleness rotation derived
-        from CORRECTNESS_r01..r04 must hold — every query whose LATEST
-        driver check is r2 (the stalest cohort) sits inside the first
-        50 keys, and everything checked green in r4 sits BEHIND every
-        r2/r3-stale query."""
+        from CORRECTNESS_r01..r05 must hold — never-sampled queries
+        lead, every query whose LATEST driver check is r3 (the stalest
+        cohort) sits inside the first 50 keys, and everything checked
+        green in r5 sits BEHIND every r3/r4-stale query."""
         import json
 
         here = os.path.join(os.path.dirname(__file__), "..")
         rounds: dict[str, int] = {}
-        for r in (1, 2, 3, 4):
+        for r in (1, 2, 3, 4, 5):
             p = os.path.join(here, f"CORRECTNESS_r0{r}.json")
             if not os.path.exists(p):
                 continue
             for k in json.load(open(p)):
                 rounds[k] = r
         keys = list(entry.queries())
-        stale2 = {k for k in keys if rounds.get(k, 0) == 2}
-        fresh4 = {k for k in keys if rounds.get(k, 0) == 4}
+        never = {k for k in keys if rounds.get(k, 0) == 0}
+        stale3 = {k for k in keys if rounds.get(k, 0) == 3}
+        fresh5 = {k for k in keys if rounds.get(k, 0) == 5}
         prefix = set(keys[:50])
-        assert stale2 <= prefix, sorted(stale2 - prefix)
-        first_fresh = min((keys.index(k) for k in fresh4), default=len(keys))
+        assert never | stale3 <= prefix, sorted((never | stale3) - prefix)
+        first_fresh = min((keys.index(k) for k in fresh5), default=len(keys))
         last_stale = max((keys.index(k) for k in keys
-                          if rounds.get(k, 0) in (2, 3)), default=-1)
+                          if rounds.get(k, 0) in (3, 4)), default=-1)
         assert first_fresh > last_stale
 
 

@@ -3557,3 +3557,91 @@ class TestProductQuantization:
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
 
+
+
+class TestVerifyPairsEditdist:
+    """Edit-distance verification of candidate pairs (precision stage
+    after LSH recall)."""
+
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog"),
+             (2, "THE quick  brown fox jumps over the lazy dog"),
+             (3, "the quick brown fox jumped over a lazy dog"),
+             (4, "completely different text about spark shuffles")],
+            "doc_id long, text string")
+
+    def test_scores_and_threshold(self, spark):
+        from pincette_json_streams_spark.functions.dedup import (
+            verify_pairs_editdist,
+        )
+        docs = self._docs(spark)
+        pairs = spark.createDataFrame(
+            [(1, 2), (1, 3), (1, 4)], "id_a long, id_b long")
+        out = {(r["id_a"], r["id_b"]): r["sim"]
+               for r in verify_pairs_editdist(pairs, docs).collect()}
+        assert out[(1, 2)] == 1.0          # normalization-identical
+        assert 0.8 < out[(1, 3)] < 1.0     # near-dup
+        assert out[(1, 4)] < 0.5           # unrelated
+        # threshold filters
+        from pincette_json_streams_spark.functions.dedup import (
+            verify_pairs_editdist as v,
+        )
+        kept = v(pairs, docs, min_sim=0.8).count()
+        assert kept == 2
+
+    def test_cap_bounds_comparison(self, spark):
+        from pincette_json_streams_spark.functions.dedup import (
+            verify_pairs_editdist,
+        )
+        docs = spark.createDataFrame(
+            [(1, "abc " * 500 + "TAIL-A"), (2, "abc " * 500 + "TAIL-B")],
+            "doc_id long, text string")
+        pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        # identical within the cap -> sim 1.0 even though tails differ
+        (r,) = verify_pairs_editdist(pairs, docs, cap=100).collect()
+        assert r["sim"] == 1.0
+
+    def test_pairs_broadcast_not_doc_shuffle(self, spark):
+        from pincette_json_streams_spark.functions.dedup import (
+            verify_pairs_editdist,
+        )
+        docs = self._docs(spark)
+        pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        plan = verify_pairs_editdist(pairs, docs)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+
+class TestEmbeddingOutliers:
+    def test_planted_outlier_found(self, spark):
+        import numpy as np
+
+        from pincette_json_streams_spark.functions.similarity import (
+            embedding_outliers,
+        )
+        rng = np.random.RandomState(7)
+        base = rng.normal(0, 0.01, (60, 8)) + np.array(
+            [1.0] + [0.0] * 7)          # tight cluster near e1
+        out = -np.array([1.0] + [0.0] * 7) + rng.normal(0, 0.01, (3, 8))
+        rows = [(i, v.tolist()) for i, v in enumerate(np.vstack([base, out]))]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        found = {r["id"] for r in embedding_outliers(df, z_min=2.0).collect()}
+        assert {60, 61, 62} <= found
+        assert not (found & set(range(40)))
+
+    def test_no_data_shuffle_in_plan(self, spark):
+        import numpy as np
+
+        from pincette_json_streams_spark.functions.similarity import (
+            embedding_outliers,
+        )
+        rng = np.random.RandomState(3)
+        rows = [(i, rng.normal(size=4).tolist()) for i in range(50)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        plan = embedding_outliers(df, z_min=-10.0)._jdf.queryExecution() \
+            .executedPlan().toString()
+        # the only join is the broadcast of the 1-row stats frame
+        assert "SortMergeJoin" not in plan
+        assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" not in plan
