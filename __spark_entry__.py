@@ -5577,6 +5577,54 @@ ORDER BY id_a, id_b
 """
 
 
+def q_hdr_quantiles(spark, sf_dir):
+    """HDR-histogram mergeable quantile sketch (HdrHistogram bucketing:
+    log-scaled buckets keyed by bit-length + top mantissa bits, bounded
+    ~2^-sig_bits relative error): p50/p90/p99 of l_extendedprice per
+    return flag from the sketch, all bucket math integer-exact on both
+    engines (functions/profiling.py hdr_sketch/hdr_quantiles).
+    Completes the mergeable sketch family: CMS = frequency, KMV/HLL =
+    distinct, HDR = quantiles."""
+    from pincette_json_streams_spark.functions.profiling import (
+        hdr_quantiles, hdr_sketch,
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    sk = hdr_sketch(li, "l_extendedprice", group_col="l_returnflag",
+                    sig_bits=6)
+    return hdr_quantiles(sk, [0.5, 0.9, 0.99],
+                         group_col="l_returnflag") \
+        .orderBy("l_returnflag", "q")
+
+
+_ORACLE_HDR_QUANTILES = """
+WITH x AS (
+  SELECT l_returnflag AS g,
+         greatest(floor(l_extendedprice)::BIGINT, 0) AS iv
+  FROM lineitem
+), e AS (
+  SELECT g, iv,
+         CASE WHEN iv >= 1 THEN length(bin(iv)) ELSE 0 END AS e
+  FROM x
+), b AS (
+  SELECT g, iv, pow(2.0, greatest(e - 1 - 6, 0))::BIGINT AS pw FROM e
+), sk AS (
+  SELECT g, (iv // pw) * pw AS lo, (iv // pw) * pw + pw AS hi,
+         count(*)::BIGINT AS n
+  FROM b GROUP BY 1, 2, 3
+), c AS (
+  SELECT g, lo, hi, n,
+         sum(n) OVER (PARTITION BY g ORDER BY lo) AS cum,
+         sum(n) OVER (PARTITION BY g) AS tot
+  FROM sk
+)
+SELECT g AS l_returnflag, q, lo, hi
+FROM c, (VALUES (0.5::DOUBLE), (0.9::DOUBLE), (0.99::DOUBLE)) t(q)
+WHERE cum >= greatest(ceil(q * tot), 1)
+  AND cum - n < greatest(ceil(q * tot), 1)
+ORDER BY l_returnflag, q
+"""
+
+
 def q_embedding_outliers(spark, sf_dir):
     """Centroid-distance outlier scan over the embedding corpus:
     cosine distance to the global mean vector, z-scored; z >= 1.5 rows
@@ -5632,6 +5680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- NEW in round 6 (never driver-sampled -> very front) --
         "dedup_verify": q_dedup_verify,
         "embedding_outliers": q_embedding_outliers,
+        "hdr_quantiles": q_hdr_quantiles,
         # -- block 0: last driver-sampled in r3 (stalest signal) --
         "url_dedup": q_url_dedup,
         "zorder_key": q_zorder_key,
@@ -5774,6 +5823,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_pairs": _ORACLE_WINNOW_PAIRS,
         "dedup_verify": _oracle_dedup_verify(),
         "embedding_outliers": _ORACLE_EMBEDDING_OUTLIERS,
+        "hdr_quantiles": _ORACLE_HDR_QUANTILES,
         "bm25_topk": _oracle_bm25(),
         "dsir_weights": _ORACLE_DSIR,
         "jq_formats": _ORACLE_JQ_FORMATS,

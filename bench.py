@@ -89,6 +89,12 @@ BENCH_QUERIES = [
     "bm25_topk",
     "dsir_weights",
     "pq_adc",
+    # round-6 addition: LSH pair verification (real join+DP work; the
+    # embedding_outliers query is correctness-gated but NOT benched —
+    # at sf0.1's 2k vectors it is pure fixed job overhead vs an
+    # in-process engine, i.e. it would measure Spark startup, the same
+    # policy that excludes the per-row galleries)
+    "dedup_verify",
 ]
 
 

@@ -1081,28 +1081,52 @@ def verify_pairs_editdist(
     over whitespace/case-normalized text truncated to ``cap`` chars.
 
     Scale shape: the pair stream is orders of magnitude smaller than
-    the corpus, so it is BROADCAST twice against the document scan —
-    the big table is never shuffled, and only pair-count rows (with
-    ``cap``-bounded text) move.  The Levenshtein DP itself is
-    JVM-side (`F.levenshtein`, whole-stage codegen) and the cap bounds
-    it at cap^2 cells per pair regardless of document length.
+    the corpus, so it is melted to one (pair, side, doc-id) row per
+    endpoint and BROADCAST once against the document scan — the big
+    table is never shuffled AND the (possibly expensive) pair-generation
+    plan is evaluated exactly once; the only shuffle is the pair-count
+    re-pivot agg, moving ``cap``-bounded text.  The Levenshtein DP
+    itself is JVM-side (`F.levenshtein`, whole-stage codegen) and the
+    cap bounds it at cap^2 cells per pair regardless of document
+    length.
 
     Returns (id_a, id_b, sim) for pairs with sim >= ``min_sim``; sim is
     reported on a 1e-6 floor-grid so a SQL oracle reproduces it
-    bit-for-bit (cross-engine float contract)."""
+    bit-for-bit (cross-engine float contract).  Pairs whose endpoints
+    are missing from ``docs`` are dropped."""
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " "))
     n = docs.select(
         F.col(id_col).alias("__vid"),
         F.substring(norm, 1, cap).alias("__vtxt"),
     )
-    p = pairs.select(
-        F.col(id_a).cast("long").alias(id_a),
-        F.col(id_b).cast("long").alias(id_b),
+    melted = (
+        pairs.select(
+            F.col(id_a).cast("long").alias(id_a),
+            F.col(id_b).cast("long").alias(id_b),
+        )
+        .select(
+            id_a, id_b,
+            F.explode(F.array(
+                F.struct(F.lit("a").alias("s"),
+                         F.col(id_a).alias("__vid")),
+                F.struct(F.lit("b").alias("s"),
+                         F.col(id_b).alias("__vid")),
+            )).alias("__e"),
+        )
+        .select(id_a, id_b, F.col("__e.s").alias("__s"),
+                F.col("__e.__vid").alias("__vid"))
     )
-    left = n.join(F.broadcast(p), F.col("__vid") == F.col(id_a)).select(
-        id_a, id_b, F.col("__vtxt").alias("__ta"))
-    both = n.join(F.broadcast(left), F.col("__vid") == F.col(id_b)).select(
-        id_a, id_b, "__ta", F.col("__vtxt").alias("__tb"))
+    both = (
+        n.join(F.broadcast(melted), "__vid")
+        .groupBy(id_a, id_b)
+        .agg(
+            F.max(F.when(F.col("__s") == "a", F.col("__vtxt")))
+            .alias("__ta"),
+            F.max(F.when(F.col("__s") == "b", F.col("__vtxt")))
+            .alias("__tb"),
+        )
+        .filter(F.col("__ta").isNotNull() & F.col("__tb").isNotNull())
+    )
     maxlen = F.greatest(F.length("__ta"), F.length("__tb"))
     sim = F.when(maxlen == 0, F.lit(1.0)).otherwise(
         1.0 - F.levenshtein("__ta", "__tb") / maxlen)

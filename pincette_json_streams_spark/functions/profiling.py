@@ -28,6 +28,7 @@ __all__ = [
     "profile_table", "kmv_distinct", "kmv_sketch", "kmv_merge",
     "kmv_estimate", "cms_sketch", "cms_merge", "cms_estimate",
     "hll_sketch", "hll_merge", "hll_estimate", "hll_distinct",
+    "hdr_sketch", "hdr_merge", "hdr_quantiles",
 ]
 
 
@@ -415,4 +416,107 @@ def hll_distinct(df, group_col: str, value_col: str, p: int = 9):
         hll_sketch(df, group_col, value_col, p), group_col, p
     ).select(
         F.col(group_col), "est_distinct", "sketch_m",
+    )
+
+
+def hdr_sketch(
+    df,
+    value_col: str,
+    group_col: str | None = None,
+    sig_bits: int = 5,
+) -> DataFrame:
+    """HDR-histogram-style mergeable quantile sketch (Gil Tene's
+    HdrHistogram bucketing, public domain): each non-negative value
+    lands in a log-scaled bucket keyed by (bit-length of floor(v),
+    top ``1 + sig_bits`` bits) — relative bucket width 2^-sig_bits,
+    so quantile estimates carry a bounded ~1/2^sig_bits relative
+    error at any magnitude.  Completes the mergeable-sketch family
+    (CMS = frequency, KMV/HLL = distinct, HDR = quantiles): counts
+    merge by plain addition (:func:`hdr_merge`), which is what a
+    snapshot/incremental corpus profile needs.
+
+    INTEGER-exact bucket math on BOTH engines: the exponent is the
+    length of the base-2 string (`conv(iv, 10, 2)` / DuckDB `bin`),
+    the power of two goes through pow(2.0, shift) — exact in IEEE
+    doubles for any shift < 62 — and mantissa/bounds are long
+    arithmetic, so a SQL oracle reproduces the sketch hash-exactly.
+    Values < 1 (including negatives) fall into the [0, 1) bucket.
+
+    One hash-agg, pre-aggregated map-side; the sketch is at most
+    ~64 * 2^sig_bits rows per group regardless of input size."""
+    gcols = [group_col] if group_col else []
+    iv = F.greatest(F.floor(F.col(value_col)).cast("long"), F.lit(0))
+    keyed = df.select(
+        *gcols,
+        iv.alias("__iv"),
+    ).withColumn(
+        "__e",
+        F.when(F.col("__iv") >= 1,
+               F.length(F.conv(F.col("__iv"), 10, 2))).otherwise(F.lit(0)),
+    ).withColumn(
+        "__pw",
+        F.pow(F.lit(2.0),
+              F.greatest(F.col("__e") - 1 - F.lit(sig_bits), F.lit(0)))
+        .cast("long"),
+    ).withColumn(
+        "__m", F.expr("__iv div __pw"),
+    )
+    return (
+        keyed.groupBy(
+            *gcols,
+            (F.col("__m") * F.col("__pw")).alias("bucket_lo"),
+            (F.col("__m") * F.col("__pw") + F.col("__pw"))
+            .alias("bucket_hi"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def hdr_merge(*sketches: DataFrame, group_col: str | None = None
+              ) -> DataFrame:
+    """Merge HDR sketches from several snapshots/partitions: counts
+    add per bucket — associative and commutative, the property that
+    lets a 100 TB profile build incrementally."""
+    gcols = [group_col] if group_col else []
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged = merged.unionByName(s)
+    return (
+        merged.groupBy(*gcols, "bucket_lo", "bucket_hi")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+
+
+def hdr_quantiles(
+    sketch: DataFrame,
+    qs: list[float],
+    group_col: str | None = None,
+) -> DataFrame:
+    """Quantile estimates from an HDR sketch: per group, the bucket
+    containing rank ceil(q * n_total) — reported as (q, lo, hi), the
+    guaranteed enclosing range (width = 2^-sig_bits relative).  All
+    rank math is integer, so the oracle matches exactly.
+
+    The window cum-sum runs on the SKETCH (bounded rows per group),
+    not the data."""
+    from pyspark.sql.window import Window
+
+    gcols = [group_col] if group_col else []
+    w = Window.partitionBy(*gcols).orderBy("bucket_lo")
+    tot = Window.partitionBy(*gcols)
+    cum = (
+        sketch.withColumn("__cum", F.sum("n").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("__tot", F.sum("n").over(tot))
+    )
+    qdf = cum.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double")
+    rank = F.greatest(F.ceil(F.col("q") * F.col("__tot")), F.lit(1))
+    return (
+        cum.crossJoin(F.broadcast(qdf))
+        .filter((F.col("__cum") >= rank)
+                & (F.col("__cum") - F.col("n") < rank))
+        .select(*gcols, "q",
+                F.col("bucket_lo").alias("lo"),
+                F.col("bucket_hi").alias("hi"))
     )

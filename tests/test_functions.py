@@ -3645,3 +3645,87 @@ class TestEmbeddingOutliers:
         # the only join is the broadcast of the 1-row stats frame
         assert "SortMergeJoin" not in plan
         assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" not in plan
+
+
+class TestHdrSketch:
+    """HDR-histogram mergeable quantile sketch."""
+
+    def _vals(self, spark, vals, g=None):
+        if g is None:
+            return spark.createDataFrame([(float(v),) for v in vals],
+                                         "v double")
+        return spark.createDataFrame(
+            [(gg, float(v)) for gg, v in zip(g, vals)],
+            "g string, v double")
+
+    def test_bucket_bounds_contain_values(self, spark):
+        from pincette_json_streams_spark.functions.profiling import (
+            hdr_sketch,
+        )
+        vals = [0.0, 0.7, 1, 2, 3, 63, 64, 65, 1000, 123456.78]
+        sk = hdr_sketch(self._vals(spark, vals), "v", sig_bits=5).collect()
+        assert sum(r["n"] for r in sk) == len(vals)
+        for r in sk:
+            assert r["bucket_lo"] < r["bucket_hi"]
+        # every value falls inside its bucket
+        buckets = [(r["bucket_lo"], r["bucket_hi"]) for r in sk]
+        for v in vals:
+            assert any(lo <= int(v) < hi for lo, hi in buckets)
+
+    def test_relative_width_bound(self, spark):
+        from pincette_json_streams_spark.functions.profiling import (
+            hdr_sketch,
+        )
+        import random
+        rnd = random.Random(5)
+        vals = [rnd.uniform(1, 1e9) for _ in range(500)]
+        for r in hdr_sketch(self._vals(spark, vals), "v",
+                            sig_bits=6).collect():
+            lo, hi = r["bucket_lo"], r["bucket_hi"]
+            if lo >= (1 << 6):      # full-mantissa buckets
+                assert (hi - lo) / lo <= 1 / (1 << 6) + 1e-12
+
+    def test_merge_equals_whole(self, spark):
+        from pincette_json_streams_spark.functions.profiling import (
+            hdr_merge, hdr_sketch,
+        )
+        import random
+        rnd = random.Random(9)
+        vals = [rnd.uniform(0, 1e6) for _ in range(400)]
+        whole = {(r["bucket_lo"], r["bucket_hi"]): r["n"]
+                 for r in hdr_sketch(self._vals(spark, vals), "v")
+                 .collect()}
+        a = hdr_sketch(self._vals(spark, vals[:150]), "v")
+        b = hdr_sketch(self._vals(spark, vals[150:]), "v")
+        merged = {(r["bucket_lo"], r["bucket_hi"]): r["n"]
+                  for r in hdr_merge(a, b).collect()}
+        assert merged == whole
+
+    def test_quantiles_bracket_exact(self, spark):
+        from pincette_json_streams_spark.functions.profiling import (
+            hdr_quantiles, hdr_sketch,
+        )
+        import random
+        rnd = random.Random(3)
+        vals = sorted(rnd.uniform(1, 1e5) for _ in range(1000))
+        sk = hdr_sketch(self._vals(spark, vals), "v", sig_bits=6)
+        out = {r["q"]: (r["lo"], r["hi"])
+               for r in hdr_quantiles(sk, [0.5, 0.9, 0.99]).collect()}
+        import math
+        for q, (lo, hi) in out.items():
+            exact = vals[max(math.ceil(q * len(vals)), 1) - 1]
+            assert lo <= exact < hi + 1   # enclosing bucket (int floor)
+
+    def test_grouped_and_plan_shape(self, spark):
+        from pincette_json_streams_spark.functions.profiling import (
+            hdr_quantiles, hdr_sketch,
+        )
+        df = self._vals(spark, [1, 2, 4, 8, 100, 200, 400, 800],
+                        g=["a"] * 4 + ["b"] * 4)
+        sk = hdr_sketch(df, "v", group_col="g")
+        out = hdr_quantiles(sk, [0.5], group_col="g").collect()
+        assert {r["g"] for r in out} == {"a", "b"}
+        # the quantile join is a broadcast of the tiny q table
+        plan = hdr_quantiles(sk, [0.5], group_col="g") \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan
