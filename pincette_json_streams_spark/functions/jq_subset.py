@@ -18,8 +18,13 @@ corpus and docs exercise, from the public jq language manual:
   - assignment ``.path = v``, update ``.path |= f``, arithmetic update
     ``.path += v``
   - variables ``EXPR as $x | body``
-  - ``def name: body;`` / ``def name(params): body;``, file ``import``s
-    with namespaces (``import "x.jq" as ns;`` then ``ns::name``)
+  - ``def name: body;`` / ``def name(params): body;`` with real jq
+    parameter semantics: ``$x`` value params bind each OUTPUT of the
+    argument, bare params are call-by-name filter closures capturing
+    the caller's environment; defs may appear anywhere an expression
+    starts (local defs scope over the rest of the pipe); file
+    ``import``s with namespaces (``import "x.jq" as ns;`` then
+    ``ns::name``)
   - builtins: length, keys, has, del, map, select, add, any, all, range,
     floor, ceil, sqrt, fabs, tostring, tonumber, type, not, empty, error,
     ascii_downcase, ascii_upcase, split, join, ltrimstr, rtrimstr,
@@ -151,8 +156,13 @@ class _Parser:
         params = []
         if self.accept("op", "("):
             while True:
-                self.expect("op", "$")
-                params.append(self.expect("ident"))
+                # $x = value param (binds each OUTPUT of the argument);
+                # bare x = filter param (call-by-name closure, real-jq
+                # `def f(g): ...` semantics)
+                if self.accept("op", "$"):
+                    params.append("$" + self.expect("ident"))
+                else:
+                    params.append(self.expect("ident"))
                 if not self.accept("op", ";"):
                     break
             self.expect("op", ")")
@@ -162,6 +172,11 @@ class _Parser:
         return (name, params, body)
 
     def pipe(self):
+        # real jq allows `def name: body; rest` wherever an expression
+        # starts — the def scopes over the rest of the pipe
+        if self.peek() == ("kw", "def"):
+            d = self._def()
+            return ("localdef", d, self.pipe())
         left = self.comma()
         if self.accept("op", "|"):
             return ("pipe", left, self.pipe())
@@ -651,6 +666,11 @@ def _eval(node, inp, env: _Env) -> Iterator[Any]:
             else:
                 raise JqError(
                     f"jq: cannot iterate {type(base).__name__}")
+    elif tag == "localdef":
+        dname, dparams, dbody = node[1]
+        nf = dict(env.funcs)
+        nf[dname] = (dparams, dbody, nf)
+        yield from _eval(node[2], inp, _Env(nf, env.vars))
     elif tag in ("try", "trycatch"):
         # lazy: outputs produced BEFORE the error are kept (real jq:
         # 'try (1, error("x"))' yields 1) — materializing with list()
@@ -1021,16 +1041,39 @@ def _re_flags(flags, fn: str):
 
 def _call(name, args, inp, env: _Env):
     if name in env.funcs:
-        params, body, closure_funcs = env.funcs[name]
+        entry = env.funcs[name]
+        params, body, closure_funcs = entry[0], entry[1], entry[2]
+        # a filter-param closure carries the variables of its capture
+        # site (4th slot); plain defs fall back to the caller's vars
+        closure_vars = entry[3] if len(entry) > 3 else None
         if len(params) != len(args):
             raise JqError(f"jq: {name} expects {len(params)} args")
-        bound = {}
-        for p, a in zip(params, args):
-            vals = list(_eval(a, inp, env))
-            bound[p] = vals[0] if vals else None
-        call_env = _Env(closure_funcs, dict(env.vars))
-        call_env.vars.update(bound)
-        yield from _eval(body, inp, call_env)
+
+        def invoke(i, bound_vars, bound_funcs):
+            if i == len(params):
+                call_env = _Env(
+                    bound_funcs,
+                    dict(env.vars if closure_vars is None
+                         else closure_vars))
+                call_env.vars.update(bound_vars)
+                yield from _eval(body, inp, call_env)
+                return
+            pname, a = params[i], args[i]
+            if pname.startswith("$"):
+                # value param: bind each OUTPUT of the argument (real
+                # jq: f(1,2) with def f($a) runs the body per output)
+                for v in _eval(a, inp, env):
+                    yield from invoke(
+                        i + 1, {**bound_vars, pname[1:]: v}, bound_funcs)
+            else:
+                # filter param: call-by-name — register the argument
+                # AST as a zero-arg function closed over the CALLER's
+                # funcs and vars, re-evaluated at every reference
+                nf = dict(bound_funcs)
+                nf[pname] = ([], a, env.funcs, dict(env.vars))
+                yield from invoke(i + 1, bound_vars, nf)
+
+        yield from invoke(0, {}, dict(closure_funcs))
         return
 
     def one(i=0):

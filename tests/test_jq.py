@@ -679,3 +679,32 @@ class TestSetpathTypeMismatch:
     def test_null_still_creates_containers(self):
         assert jq('setpath([0]; "v")', None) == [["v"]]
         assert jq('setpath(["a"]; 1)', None) == [{"a": 1}]
+
+
+class TestFunctionClosures:
+    """jq function-parameter semantics: $x value params bind each
+    output of the argument; bare params are call-by-name closures;
+    defs may appear anywhere an expression starts."""
+
+    def test_filter_param_call_by_name(self):
+        assert jq('def f(g): [g, g]; f(1,2)', None) == [[1, 2, 1, 2]]
+        assert jq('def twice(f): f | f; twice(. * 2)', 5) == [20]
+
+    def test_value_param_binds_each_output(self):
+        assert jq('def f($a): $a + 1; [f(1,2)]', None) == [[2, 3]]
+
+    def test_closure_captures_caller_vars(self):
+        assert jq('def apply(f): 0 | f; 5 as $v | apply($v + 1)',
+                  None) == [6]
+
+    def test_local_def_and_recursion_through_param(self):
+        assert jq('def rpt(f): def _r: ., (f | _r); _r; '
+                  '[limit(4; 1 | rpt(. * 2))]', None) == [[1, 2, 4, 8]]
+
+    def test_local_def_scoping(self):
+        assert jq('def f: 1; [f, (def f: 2; f), f]', None) == [[1, 2, 1]]
+
+    def test_mixed_params(self):
+        assert jq('def pick2(f; $d): (f // $d); '
+                  '{"a":1} | [pick2(.a; 9), pick2(.b; 9)]',
+                  None) == [[1, 9]]
