@@ -14,7 +14,10 @@ corpus and docs exercise, from the public jq language manual:
     array ``[...]`` and object ``{a: v, "b": v, c, (expr): v}`` construction
   - arithmetic ``+ - * / %`` (jq semantics: + merges objects, concatenates
     arrays/strings), comparisons, ``and/or/not``, alternative ``//``
-  - ``if .. then .. elif .. else .. end``, ``reduce EXPR as $v (init; f)``
+  - ``if .. then .. elif .. else .. end``, ``reduce EXPR as $v (init; f)``,
+    ``foreach EXPR as $v (init; update[; extract])``, ``label $x | ..``
+    with ``break $x``, destructuring patterns in every ``as``
+    (``. as [$a, {b: $c}] | ..``)
   - assignment ``.path = v``, update ``.path |= f``, arithmetic update
     ``.path += v``
   - variables ``EXPR as $x | body``
@@ -75,8 +78,8 @@ _TOKEN_RE = re.compile(r"""
 """, re.VERBOSE)
 
 _KEYWORDS = {"if", "then", "elif", "else", "end", "and", "or", "not",
-             "def", "as", "import", "reduce", "true", "false", "null",
-             "try", "catch"}
+             "def", "as", "import", "reduce", "foreach", "label",
+             "true", "false", "null", "try", "catch"}
 
 
 def _lex(src: str) -> list[tuple[str, str]]:
@@ -197,11 +200,10 @@ class _Parser:
             return ("assign", v, left, right)
         if self.peek() == ("kw", "as"):
             self.next()
-            self.expect("op", "$")
-            var = self.expect("ident")
+            pat = self._pattern()
             self.expect("op", "|")
             body = self.pipe()
-            return ("bind", left, var, body)
+            return ("bind", left, pat, body)
         return left
 
     def alt(self):
@@ -336,6 +338,15 @@ class _Parser:
             return ("trycatch", body, handler)
         if k == "kw" and v == "reduce":
             return self._reduce()
+        if k == "kw" and v == "foreach":
+            return self._reduce("foreach")
+        if k == "kw" and v == "label":
+            # label $name | pipe — scope for break $name
+            self.next()
+            self.expect("op", "$")
+            nm = self.expect("ident")
+            self.expect("op", "|")
+            return ("label", nm, self.pipe())
         if k == "loc":
             self.next()
             return ("lit", {"file": "<stdin>", "line": int(v)})
@@ -368,6 +379,8 @@ class _Parser:
             return self._object()
         if k == "ident":
             self.next()
+            if v == "break" and self.accept("op", "$"):
+                return ("break", self.expect("ident"))
             if self.accept("op", "::"):
                 name = self.expect("ident")
                 return self._call(f"{v}::{name}")
@@ -449,18 +462,57 @@ class _Parser:
             else:
                 raise JqError(f"jq: bad if, got {self.peek()!r}")
 
-    def _reduce(self):
-        self.expect("kw", "reduce")
+    def _pattern(self):
+        # destructuring pattern (jq manual "Destructuring Alternative
+        # Operator" minus ?//): $x | [p, ...] | {key: p, $x, "s": p,
+        # (expr): p}
+        if self.accept("op", "$"):
+            return ("pvar", self.expect("ident"))
+        if self.accept("op", "["):
+            subs = [self._pattern()]
+            while self.accept("op", ","):
+                subs.append(self._pattern())
+            self.expect("op", "]")
+            return ("parr", subs)
+        if self.accept("op", "{"):
+            entries = []
+            while True:
+                if self.accept("op", "$"):
+                    nm = self.expect("ident")
+                    entries.append((("lit", nm), ("pvar", nm)))
+                else:
+                    if self.accept("op", "("):
+                        kexpr = self.pipe()
+                        self.expect("op", ")")
+                    else:
+                        k, v = self.peek()
+                        if k == "str":
+                            self.next()
+                            kexpr = ("lit", json.loads(v))
+                        else:
+                            kexpr = ("lit", self.expect("ident"))
+                    self.expect("op", ":")
+                    entries.append((kexpr, self._pattern()))
+                if not self.accept("op", ","):
+                    break
+            self.expect("op", "}")
+            return ("pobj", entries)
+        raise JqError(f"jq: bad destructuring pattern at {self.peek()!r}")
+
+    def _reduce(self, kw="reduce"):
+        self.expect("kw", kw)
         src = self.postfix()
         self.expect("kw", "as")
-        self.expect("op", "$")
-        var = self.expect("ident")
+        pat = self._pattern()
         self.expect("op", "(")
         init = self.pipe()
         self.expect("op", ";")
         upd = self.pipe()
+        extract = None
+        if kw == "foreach" and self.accept("op", ";"):
+            extract = self.pipe()
         self.expect("op", ")")
-        return ("reduce", src, var, init, upd)
+        return (kw, src, pat, init, upd, extract)
 
     def _objval(self):
         # object values allow pipes but not commas: {a: .x | f, b: 2}
@@ -619,6 +671,31 @@ def _format_value(name: str, v) -> str:
     raise JqError(f"jq: unknown format @{name}")
 
 
+class _Break(Exception):
+    """Raised by `break $label`, caught by the matching `label $x |`."""
+
+    def __init__(self, name):
+        self.name = name
+
+
+def _destructure(pat, val, env, out):
+    """Bind a destructuring pattern against a value (jq manual:
+    missing/mismatched parts bind null, never error)."""
+    tag = pat[0]
+    if tag == "pvar":
+        out[pat[1]] = val
+    elif tag == "parr":
+        for i, sub in enumerate(pat[1]):
+            v = val[i] if isinstance(val, list) and i < len(val) else None
+            _destructure(sub, v, env, out)
+    elif tag == "pobj":
+        for kexpr, sub in pat[1]:
+            key = next(_eval(kexpr, val, env))
+            v = val.get(key) if isinstance(val, dict) else None
+            _destructure(sub, v, env, out)
+    return out
+
+
 def _eval(node, inp, env: _Env) -> Iterator[Any]:
     tag = node[0]
     if tag == "identity":
@@ -767,15 +844,43 @@ def _eval(node, inp, env: _Env) -> Iterator[Any]:
         yield env.vars[node[1]]
     elif tag == "bind":
         for v in _eval(node[1], inp, env):
-            yield from _eval(node[3], inp, env.child_vars({node[2]: v}))
+            yield from _eval(
+                node[3], inp,
+                env.child_vars(_destructure(node[2], v, env, {})))
     elif tag == "reduce":
         for init in _eval(node[3], inp, env):
             acc = init
             for v in _eval(node[1], inp, env):
-                e2 = env.child_vars({node[2]: v})
+                e2 = env.child_vars(_destructure(node[2], v, env, {}))
                 results = list(_eval(node[4], acc, e2))
                 acc = results[-1] if results else None
             yield acc
+    elif tag == "foreach":
+        # jq: foreach EXPR as $v (init; update[; extract]) — every
+        # output of update is emitted (through extract when given); the
+        # state for the next element is update's LAST output
+        for init in _eval(node[3], inp, env):
+            acc = init
+            for v in _eval(node[1], inp, env):
+                e2 = env.child_vars(_destructure(node[2], v, env, {}))
+                emitted = False
+                for acc in _eval(node[4], acc, e2):
+                    emitted = True
+                    if node[5] is not None:
+                        yield from _eval(node[5], acc, e2)
+                    else:
+                        yield acc
+                if not emitted:
+                    acc = None
+    elif tag == "label":
+        # break $name unwinds lazily to the nearest matching label
+        try:
+            yield from _eval(node[2], inp, env)
+        except _Break as b:
+            if b.name != node[1]:
+                raise
+    elif tag == "break":
+        raise _Break(node[1])
     elif tag == "assign":
         yield from _assign(node, inp, env)
     elif tag == "call":
@@ -1265,7 +1370,14 @@ def _call(name, args, inp, env: _Env):
         else:
             yield inp[0] if inp else None
     elif name == "last":
-        yield inp[-1] if inp else None
+        if args:
+            # jq: def last(f): reduce f as $x (null; $x);
+            lastv = None
+            for lastv in _eval(args[0], inp, env):
+                pass
+            yield lastv
+        else:
+            yield inp[-1] if inp else None
     elif name == "to_entries":
         yield [{"key": k, "value": v} for k, v in inp.items()]
     elif name == "from_entries":
@@ -1495,9 +1607,16 @@ def _call(name, args, inp, env: _Env):
             for k, x in items:
                 p = pre + [k]
                 if name == "paths" or not isinstance(x, (dict, list)):
-                    yield p
+                    yield p, x
                 yield from pwalk(x, p)
-        yield from pwalk(inp, [])
+        if name == "paths" and args:
+            # jq: paths(f) selects paths whose VALUE satisfies f
+            for p, x in pwalk(inp, []):
+                if any(_truthy(r) for r in _eval(args[0], x, env)):
+                    yield p
+        else:
+            for p, _x in pwalk(inp, []):
+                yield p
     elif name == "nth":
         if len(args) == 1:
             # jq: def nth($n): .[$n] — negative indices count from

@@ -708,3 +708,36 @@ class TestFunctionClosures:
         assert jq('def pick2(f; $d): (f // $d); '
                   '{"a":1} | [pick2(.a; 9), pick2(.b; 9)]',
                   None) == [[1, 9]]
+
+
+class TestForeachLabelDestructure:
+    """jq control structures: foreach, label/break, destructuring
+    patterns (jq manual)."""
+
+    def test_foreach_running_state(self):
+        assert jq('[foreach .[] as $i (0; . + $i)]',
+                  [1, 2, 3]) == [[1, 3, 6]]
+
+    def test_foreach_extract(self):
+        assert jq('[foreach .[] as $i (0; . + $i; [$i, .])]',
+                  [1, 2]) == [[[1, 1], [2, 3]]]
+
+    def test_label_break(self):
+        assert jq('[label $out | 1, 2, break $out, 3]', None) == [[1, 2]]
+        assert jq('[label $out | foreach .[] as $i '
+                  '(0; . + $i; if . > 3 then ., break $out '
+                  'else empty end)]', [1, 2, 3, 4]) == [[6]]
+
+    def test_destructuring_patterns(self):
+        assert jq('. as [$a, $b] | $a + $b', [1, 2]) == [3]
+        assert jq('. as {a: $x} | $x', {"a": 5}) == [5]
+        assert jq('. as {$a} | $a', {"a": 7}) == [7]
+        # missing parts bind null, never error
+        assert jq('. as [$a, $b] | [$a, $b]', [1]) == [[1, None]]
+        assert jq('reduce .[] as [$k, $v] ({}; .[$k] = $v)',
+                  [["a", 1], ["b", 2]]) == [{"a": 1, "b": 2}]
+
+    def test_last_of_filter_and_paths_filter(self):
+        assert jq('last(1,2,3)', None) == [3]
+        assert jq('[paths(type == "number")]',
+                  {"a": 1, "b": {"c": 2}}) == [[["a"], ["b", "c"]]]
