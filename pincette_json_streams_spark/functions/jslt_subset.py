@@ -462,6 +462,13 @@ def _eval(node, ctx, env):
             return a + b
         if a is None or b is None:
             return None
+        # JSLT: - * / are number-only; without this guard Python
+        # semantics leak through (5 * "x" -> "xxxxx", true - 1 -> 0)
+        for x in (a, b):
+            if isinstance(x, bool) or not isinstance(x, (int, float)):
+                raise JsltError(
+                    f"jslt: {op} requires numbers, got "
+                    f"{type(a).__name__} {op} {type(b).__name__}")
         if op == "-":
             return a - b
         if op == "*":
@@ -505,8 +512,12 @@ def _eval(node, ctx, env):
         return [_eval(e, ctx, env) for e in node[1]]
     if tag == "for_array":
         src = _eval(node[1], ctx, env)
-        items = src if isinstance(src, list) else \
-            list((src or {}).values())
+        # JSLT reference: an object input is converted to an array of
+        # {"key", "value"} objects (same as the object-for), not its
+        # bare values
+        items = src if isinstance(src, list) else [
+            {"key": k, "value": v} for k, v in (src or {}).items()
+        ]
         out = []
         for x in items:
             if node[3] is not None and not _truthy(

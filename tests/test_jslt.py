@@ -289,3 +289,34 @@ class TestRound5Additions:
     def test_print_passthrough(self):
         assert jslt('print(.a)', {"a": 7}) == 7
         assert jslt('print(.a, "v: ")', {"a": 7}) == 7
+
+
+class TestForArrayObjectInput:
+    def test_object_input_converts_to_kv_pairs(self):
+        """JSLT reference: array-for over an object iterates
+        {"key", "value"} objects, exactly like the object-for."""
+        from pincette_json_streams_spark.functions.jslt_subset import (
+            compile_jslt,
+        )
+        assert compile_jslt('[for (.) .key]')({"a": 1, "b": 2}) == \
+            ["a", "b"]
+        assert compile_jslt('[for (.) .value]')({"a": 1, "b": 2}) == \
+            [1, 2]
+        # arrays unchanged
+        assert compile_jslt('[for (.) . * 2]')([1, 2]) == [2, 4]
+
+
+class TestArithmeticStrictness:
+    def test_non_numeric_mul_sub_div_error(self):
+        import pytest
+
+        from pincette_json_streams_spark.functions.jslt_subset import (
+            JsltError, compile_jslt,
+        )
+        for src in ('5 * "x"', '"x" - 1', 'true * 2', '[1] / 2'):
+            with pytest.raises(JsltError):
+                compile_jslt(src)(None)
+        # null propagation and numeric paths unchanged
+        assert compile_jslt('null * 2')(None) is None
+        assert compile_jslt('3 * 2')(None) == 6
+        assert compile_jslt('7 / 2')(None) == 3.5
