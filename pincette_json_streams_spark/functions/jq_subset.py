@@ -947,6 +947,11 @@ def _arith(op, a, b):
                 else:
                     out[k] = v
             return out
+        # jq: string * n repeats, but n <= 0 yields null (not "")
+        if isinstance(a, str) and isinstance(b, (int, float)):
+            return a * int(b) if b > 0 else None
+        if isinstance(b, str) and isinstance(a, (int, float)):
+            return b * int(a) if a > 0 else None
         return a * b
     if op == "/":
         if isinstance(a, str) and isinstance(b, str):
@@ -955,7 +960,12 @@ def _arith(op, a, b):
             raise JqError("jq: division by zero")
         return a / b
     if op == "%":
-        return int(a) % int(b)
+        # jq modulo is C-style TRUNCATED remainder: -10 % 3 == -1,
+        # where Python's floored % gives 2
+        ia, ib = int(a), int(b)
+        if ib == 0:
+            raise JqError("jq: division by zero")
+        return int(math.fmod(ia, ib))
     raise JqError(f"jq: bad arith {op}")
 
 

@@ -741,3 +741,15 @@ class TestForeachLabelDestructure:
         assert jq('last(1,2,3)', None) == [3]
         assert jq('[paths(type == "number")]',
                   {"a": 1, "b": {"c": 2}}) == [[["a"], ["b", "c"]]]
+
+
+class TestArithEdges:
+    def test_string_times_nonpositive_is_null(self):
+        assert jq('"x" * 0', None) == [None]
+        assert jq('"x" * -1', None) == [None]
+        assert jq('3 * "x"', None) == ["xxx"]
+
+    def test_truncated_modulo(self):
+        # jq % is C-style truncated remainder, not Python floored
+        assert jq('-10 % 3', None) == [-1]
+        assert jq('10 % -3', None) == [1]
