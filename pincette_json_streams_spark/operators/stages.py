@@ -2132,6 +2132,27 @@ def _stage_weighted_sample_ext(df, spec, pctx):
     )
 
 
+def _stage_hdr_quantiles_ext(df, spec, pctx):
+    # {"value": col, "by": col?, "sigBits": n, "q": [..],
+    #  "_collection": name?} — HDR-histogram quantile sketch (the
+    # mergeable-quantile member of the sketch family; with _collection
+    # the SKETCH registers in the catalog for later hdr_merge)
+    _batch_only(df, "$hdrQuantiles", "window cum-sum over the sketch")
+    from pincette_json_streams_spark.functions.profiling import (
+        hdr_quantiles, hdr_sketch,
+    )
+
+    group = spec.get("by")
+    sketch = hdr_sketch(
+        df, spec.get("value", "value"), group_col=group,
+        sig_bits=int(spec.get("sigBits", 5)),
+    )
+    if isinstance(spec.get("_collection"), str):
+        pctx.catalog[spec["_collection"]] = sketch
+    qs = [float(x) for x in spec.get("q", [0.5, 0.9, 0.99])]
+    return hdr_quantiles(sketch, qs, group_col=group)
+
+
 def _stage_cms_sketch_ext(df, spec, pctx):
     # {"field": col, "depth": n, "width": n, "_collection": name?} —
     # count-min sketch build; with _collection the sketch registers in
@@ -2484,6 +2505,7 @@ STAGES: dict[str, Callable[[DataFrame, Any, PipelineContext], DataFrame]] = {
     "$zorder": _stage_zorder_ext,
     "$weightedSample": _stage_weighted_sample_ext,
     "$cmsSketch": _stage_cms_sketch_ext,
+    "$hdrQuantiles": _stage_hdr_quantiles_ext,
     "$sampleFrames": _stage_sample_frames_ext,
     "$cdcChunks": _stage_cdc_chunks_ext,
     "$bucketAuto": _stage_bucket_auto,

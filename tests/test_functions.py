@@ -3729,3 +3729,23 @@ class TestHdrSketch:
         plan = hdr_quantiles(sk, [0.5], group_col="g") \
             ._jdf.queryExecution().executedPlan().toString()
         assert "SortMergeJoin" not in plan
+
+
+class TestHdrQuantilesStage:
+    def test_pipeline_stage(self, spark):
+        from pincette_json_streams_spark.operators.stages import (
+            PipelineContext, compile_pipeline,
+        )
+        df = spark.createDataFrame(
+            [("a", float(v)) for v in range(1, 101)], "g string, v double")
+        pctx = PipelineContext()
+        out = compile_pipeline(df, [
+            {"$hdrQuantiles": {"value": "v", "by": "g", "sigBits": 6,
+                               "q": [0.5], "_collection": "sk"}},
+        ], pctx)
+        (r,) = out.collect()
+        assert r["g"] == "a" and r["lo"] <= 50 <= r["hi"]
+        # the sketch state registered for later merging
+        assert "sk" in pctx.catalog
+        assert pctx.catalog["sk"].columns == ["g", "bucket_lo",
+                                              "bucket_hi", "n"]
