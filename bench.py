@@ -95,6 +95,8 @@ BENCH_QUERIES = [
     # in-process engine, i.e. it would measure Spark startup, the same
     # policy that excludes the per-row galleries)
     "dedup_verify",
+    # HDR quantile sketch: one hash-agg over the biggest table
+    "hdr_quantiles",
 ]
 
 
