@@ -2132,6 +2132,38 @@ def _stage_weighted_sample_ext(df, spec, pctx):
     )
 
 
+def _stage_near_dups_ext(df, spec, pctx):
+    # {"text": col, "id": col, "threshold": x, "numHashes": n,
+    #  "bands": n, "k": n, "verify": {"cap": n, "minSim": x}?} —
+    # MinHash-LSH near-dup pairs over the stream's documents, with an
+    # optional exact edit-distance precision stage (functions/dedup.py
+    # minhash_lsh_pairs + verify_pairs_editdist).  Returns (id_a, id_b,
+    # jaccard[, sim]).
+    _batch_only(df, "$nearDups", "corpus-wide LSH self-join")
+    from pincette_json_streams_spark.functions.dedup import (
+        minhash_lsh_pairs, verify_pairs_editdist,
+    )
+
+    text = spec.get("text", "text")
+    doc_id = spec.get("id", "doc_id")
+    pairs = minhash_lsh_pairs(
+        df, text_col=text, id_col=doc_id,
+        num_hashes=int(spec.get("numHashes", 32)),
+        bands=int(spec.get("bands", 8)),
+        k=int(spec.get("k", 9)),
+        threshold=float(spec.get("threshold", 0.5)),
+    )
+    v = spec.get("verify")
+    if not v:
+        return pairs
+    verified = verify_pairs_editdist(
+        pairs, df, text_col=text, id_col=doc_id,
+        cap=int(v.get("cap", 400)),
+        min_sim=float(v.get("minSim", 0.0)),
+    )
+    return pairs.join(verified, ["id_a", "id_b"])
+
+
 def _stage_hdr_quantiles_ext(df, spec, pctx):
     # {"value": col, "by": col?, "sigBits": n, "q": [..],
     #  "_collection": name?} — HDR-histogram quantile sketch (the
@@ -2506,6 +2538,7 @@ STAGES: dict[str, Callable[[DataFrame, Any, PipelineContext], DataFrame]] = {
     "$weightedSample": _stage_weighted_sample_ext,
     "$cmsSketch": _stage_cms_sketch_ext,
     "$hdrQuantiles": _stage_hdr_quantiles_ext,
+    "$nearDups": _stage_near_dups_ext,
     "$sampleFrames": _stage_sample_frames_ext,
     "$cdcChunks": _stage_cdc_chunks_ext,
     "$bucketAuto": _stage_bucket_auto,

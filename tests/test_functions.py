@@ -3749,3 +3749,22 @@ class TestHdrQuantilesStage:
         assert "sk" in pctx.catalog
         assert pctx.catalog["sk"].columns == ["g", "bucket_lo",
                                               "bucket_hi", "n"]
+
+
+class TestNearDupsStage:
+    def test_pairs_and_verify(self, spark):
+        from pincette_json_streams_spark.operators.stages import (
+            PipelineContext, compile_pipeline,
+        )
+        df = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog tonight"),
+             (2, "the quick brown fox jumps over the lazy dog today"),
+             (3, "spark engines shuffle partitions across the cluster")],
+            "doc_id long, text string")
+        out = compile_pipeline(df, [
+            {"$nearDups": {"threshold": 0.4,
+                           "verify": {"cap": 200, "minSim": 0.5}}},
+        ], PipelineContext()).collect()
+        assert [(r["id_a"], r["id_b"]) for r in out] == [(1, 2)]
+        (r,) = out
+        assert r["jaccard"] >= 0.4 and r["sim"] >= 0.5
