@@ -445,7 +445,17 @@ def hdr_sketch(
     One hash-agg, pre-aggregated map-side; the sketch is at most
     ~64 * 2^sig_bits rows per group regardless of input size."""
     gcols = [group_col] if group_col else []
-    iv = F.greatest(F.floor(F.col(value_col)).cast("long"), F.lit(0))
+    # domain clamp: null/NaN/negatives/-inf -> the [0, 1) bucket,
+    # +inf/values above 2^62 -> the top bucket.  Without it ANSI mode
+    # kills the job on the long cast/bucket arithmetic (2^62 keeps
+    # bucket_hi = lo + pw under 2^63 for any sig_bits).
+    v = F.col(value_col).cast("double")
+    clamped = (
+        F.when(v.isNull() | F.isnan(v), F.lit(0.0))
+        .otherwise(F.least(F.greatest(v, F.lit(0.0)),
+                           F.lit(float(1 << 62))))
+    )
+    iv = F.floor(clamped).cast("long")
     keyed = df.select(
         *gcols,
         iv.alias("__iv"),

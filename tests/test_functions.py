@@ -3768,3 +3768,22 @@ class TestNearDupsStage:
         assert [(r["id_a"], r["id_b"]) for r in out] == [(1, 2)]
         (r,) = out
         assert r["jaccard"] >= 0.4 and r["sim"] >= 0.5
+
+
+class TestHdrDomainClamp:
+    def test_nan_inf_negative_huge_never_crash_ansi(self, spark):
+        """ANSI mode kills long casts on inf/overflow; the sketch must
+        clamp: null/NaN/negatives -> [0,1), +inf/huge -> top bucket."""
+        from pincette_json_streams_spark.functions.profiling import (
+            hdr_sketch,
+        )
+        df = spark.createDataFrame(
+            [(float("nan"),), (float("inf"),), (float("-inf"),),
+             (-5.0,), (1e18,), (None,), (7.0,)], "v double")
+        rows = {(r["bucket_lo"], r["bucket_hi"]): r["n"]
+                for r in hdr_sketch(df, "v").collect()}
+        assert rows[(0, 1)] == 4          # nan, -inf, -5, null
+        assert sum(rows.values()) == 7
+        assert all(lo < hi for lo, hi in rows)
+        top = max(rows)[0]
+        assert top == 1 << 62             # +inf clamped to 2^62
