@@ -206,7 +206,11 @@ def weighted_sample(
     key = F.round(
         F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double")), 12
     )
-    keyed = df.filter(F.col(weight_col) > 0).withColumn(
+    # NOT isnan: Spark orders NaN above every double, so an unguarded
+    # NaN weight would both pass `> 0` and win the top-k sort
+    keyed = df.filter(
+        (F.col(weight_col) > 0) & ~F.isnan(F.col(weight_col).cast("double"))
+    ).withColumn(
         "sample_key", key
     )
     parts = [F.col(group_col)] if group_col else []

@@ -41,8 +41,17 @@ def quantize_embeddings(
 
     Pure higher-order Columns inside whole-stage codegen: one pass, no
     UDF, no shuffle.  Math runs in double on BOTH engines (the float32
-    source is upcast first) so a SQL oracle reproduces it bit-for-bit."""
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    source is upcast first) so a SQL oracle reproduces it bit-for-bit.
+
+    Non-finite elements (NaN/±inf) quantize to 0 and are excluded from
+    the scale: under ANSI mode an unguarded NaN -> tinyint cast would
+    kill the whole job on one bad row."""
+    def fin(x):
+        x = x.cast("double")
+        return F.when(F.isnan(x) | (F.abs(x) == float("inf")),
+                      F.lit(0.0)).otherwise(x)
+
+    v = F.transform(F.col(vec_col), fin)
     amax = F.array_max(F.transform(v, F.abs))
     # scale materializes as a real column BEFORE the per-element lambda:
     # an inline expression would re-embed the array_max subtree per
@@ -54,7 +63,7 @@ def quantize_embeddings(
     return scaled.withColumn(
         out,
         F.transform(
-            F.transform(F.col(vec_col), lambda x: x.cast("double")),
+            F.transform(F.col(vec_col), fin),
             lambda x: F.round(x / F.col(out + "_scale")).cast("tinyint"),
         ),
     )

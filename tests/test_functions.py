@@ -3787,3 +3787,32 @@ class TestHdrDomainClamp:
         assert all(lo < hi for lo, hi in rows)
         top = max(rows)[0]
         assert top == 1 << 62             # +inf clamped to 2^62
+
+
+class TestAnsiHostileValues:
+    """A single NaN/inf row must never kill a 100 TB job under Spark's
+    default ANSI mode."""
+
+    def test_quantize_nonfinite_elements(self, spark):
+        from pincette_json_streams_spark.functions.similarity import (
+            quantize_embeddings,
+        )
+        df = spark.createDataFrame(
+            [(1, [float("inf"), 1.0]), (2, [0.5, float("nan")])],
+            "vec_id long, embedding array<double>")
+        rows = {r["vec_id"]: (list(r["q"]), r["q_scale"])
+                for r in quantize_embeddings(df).collect()}
+        # non-finite -> 0; scale from the finite elements only
+        assert rows[1][0] == [0, 127]
+        assert rows[2][0] == [127, 0]
+
+    def test_weighted_sample_nan_weight_excluded(self, spark):
+        from pincette_json_streams_spark.functions.sampling import (
+            weighted_sample,
+        )
+        df = spark.createDataFrame(
+            [(1, float("inf")), (2, 1.0), (3, float("nan"))],
+            "doc_id long, w double")
+        got = sorted(r["doc_id"]
+                     for r in weighted_sample(df, "w", 5).collect())
+        assert got == [1, 2]      # NaN excluded; +inf weight legal
