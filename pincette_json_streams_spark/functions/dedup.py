@@ -761,11 +761,22 @@ def _cosine_kernel(va, vb):
 
     if len(va) == 0:
         return pd.Series([], dtype="float64")
-    A = np.array(va.tolist(), dtype=np.float64)
-    B = np.array(vb.tolist(), dtype=np.float64)
+
+    def mat(vs):
+        # null rows / null elements (NaN round-tripped through Arrow)
+        # become all-NaN rows -> NaN scores the caller can filter,
+        # instead of a ragged-array crash that kills the job
+        width = next((len(v) for v in vs if v is not None), 1)
+        return np.array(
+            [[np.nan] * width if v is None else
+             [np.nan if x is None else x for x in v] for v in vs],
+            dtype=np.float64)
+
+    A, B = mat(va.tolist()), mat(vb.tolist())
     dot = (A * B).sum(axis=1)
-    n = np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))
-    return pd.Series(dot / n)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        n = np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))
+        return pd.Series(dot / n)
 
 
 def cosine_vec(a: Column, b: Column) -> Column:

@@ -374,7 +374,15 @@ def embedding_moments(df: DataFrame, vec_col: str = "embedding"):
             vs = [v for v in pdf["v"] if v is not None]
             if not vs:
                 continue
-            V = np.array([list(v) for v in vs], dtype=np.float64)
+            # None elements are NaN round-tripped through Arrow; a
+            # single non-finite vector would otherwise poison the whole
+            # corpus mean, so those rows are excluded from the moments
+            V = np.array(
+                [[np.nan if x is None else x for x in v] for v in vs],
+                dtype=np.float64)
+            V = V[np.isfinite(V).all(axis=1)]
+            if not V.shape[0]:
+                continue
             n += V.shape[0]
             s = V.sum(0) if s is None else s + V.sum(0)
             gg = V.T @ V
@@ -656,7 +664,10 @@ def embedding_outliers(
         F.col(id_col).alias("id"),
         (1.0 - cosine_vec(
             F.col(vec_col).cast("array<double>"), mv)).alias("__d"),
-    )
+    ).filter(~F.isnan("__d") & (F.abs("__d") != float("inf")))
+    # ^ rows with non-finite embeddings (or zero vectors, whose cosine
+    # is 0/0) are excluded from the stats AND the output — and under
+    # ANSI mode floor(NaN) would kill the job outright
     stats = scored.agg(F.avg("__d").alias("__mu"),
                        F.stddev_pop("__d").alias("__sd"))
     return (

@@ -3816,3 +3816,24 @@ class TestAnsiHostileValues:
         got = sorted(r["doc_id"]
                      for r in weighted_sample(df, "w", 5).collect())
         assert got == [1, 2]      # NaN excluded; +inf weight legal
+
+
+class TestOutliersHostileVectors:
+    def test_nan_zero_null_vectors_excluded_not_fatal(self, spark):
+        """A NaN element, a zero vector (cosine 0/0) or a null row must
+        be excluded from the centroid, the stats AND the output — not
+        poison the mean or kill the job (ANSI floor(NaN))."""
+        import numpy as np
+
+        from pincette_json_streams_spark.functions.similarity import (
+            embedding_outliers,
+        )
+        rows = [(i, np.random.RandomState(i).normal(size=4).tolist())
+                for i in range(20)]
+        rows += [(99, [float("nan"), 1.0, 1.0, 1.0]),
+                 (98, [0.0] * 4), (97, None)]
+        df = spark.createDataFrame(rows,
+                                   "vec_id long, embedding array<double>")
+        out = embedding_outliers(df, z_min=-100).collect()
+        assert len(out) == 20
+        assert not ({97, 98, 99} & {r["id"] for r in out})
