@@ -3837,3 +3837,25 @@ class TestOutliersHostileVectors:
         out = embedding_outliers(df, z_min=-100).collect()
         assert len(out) == 20
         assert not ({97, 98, 99} & {r["id"] for r in out})
+
+
+class TestAnnHostileCorpusRows:
+    def test_nan_null_embeddings_never_rank(self, spark):
+        """NaN cosine scores come back as SQL NULL (Arrow NaN -> null)
+        and NULL sorts last under desc — a hostile corpus row must
+        never enter any query's top-k."""
+        import numpy as np
+
+        from pincette_json_streams_spark.functions.similarity import (
+            brute_force_topk,
+        )
+        rows = [(i, np.random.RandomState(i).normal(size=4).tolist())
+                for i in range(10)]
+        rows += [(99, [float("nan")] * 4), (98, None)]
+        corpus = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+        qs = spark.createDataFrame([(0, rows[0][1])],
+                                   "query_id long, embedding array<double>")
+        got = {r["vec_id"] for r in brute_force_topk(corpus, qs, k=5)
+               .collect()}
+        assert not ({98, 99} & got) and len(got) == 5
