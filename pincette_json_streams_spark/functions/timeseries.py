@@ -274,6 +274,7 @@ def time_bucket_gapfill(
     bucket: int,
     aggs: dict[str, Column],
     fill_zero: Sequence[str] = (),
+    max_buckets: int = 10_000_000,
 ) -> DataFrame:
     """Time-bucketed rollup WITH gap rows (TimescaleDB's
     ``time_bucket_gapfill``): aggregate per (key, floor(ts / bucket)),
@@ -282,7 +283,10 @@ def time_bucket_gapfill(
 
     Two hash aggs (rollup + per-key bounds, both map-side combining) and
     one join back; the grid explode generates only (key, bucket) pairs,
-    never touches the raw rows again."""
+    never touches the raw rows again.  A key spanning more than
+    ``max_buckets`` (one corrupt epoch — e.g. millis where seconds were
+    expected — would otherwise explode a multi-hundred-million-row grid
+    and OOM the executor) fails fast with an actionable error."""
     b = F.floor(F.col(ts) / F.lit(int(bucket)))
     rolled = df.groupBy(F.col(by), b.alias("bucket")).agg(
         *[c.alias(n) for n, c in aggs.items()]
@@ -290,9 +294,22 @@ def time_bucket_gapfill(
     bounds = rolled.groupBy(by).agg(
         F.min("bucket").alias("__lo"), F.max("bucket").alias("__hi")
     )
+    # the guard lives INSIDE the sequence bound: a when/otherwise
+    # evaluates its condition before either branch, so the error fires
+    # before sequence() can allocate (a detached assert column has no
+    # evaluation-order guarantee against the explode)
+    hi_checked = F.when(
+        F.col("__hi") - F.col("__lo") < F.lit(int(max_buckets)),
+        F.col("__hi"),
+    ).otherwise(F.raise_error(F.concat(
+        F.lit("time_bucket_gapfill: key "),
+        F.col(by).cast("string"),
+        F.lit(f" spans over {int(max_buckets)} buckets — "
+              "corrupt timestamp or wrong bucket width"),
+    )).cast("long"))
     grid = bounds.select(
         F.col(by),
-        F.explode(F.sequence("__lo", "__hi")).alias("bucket"),
+        F.explode(F.sequence(F.col("__lo"), hi_checked)).alias("bucket"),
     )
     out = grid.join(rolled, [by, "bucket"], "left")
     for c in fill_zero:
@@ -462,11 +479,24 @@ def interval_join(
                   "__eid", F.monotonically_increasing_id())
               .localCheckpoint(eager=False))
     ev = tagged.withColumn("__b", F.floor(F.col(ts) / b).cast("long"))
+    # guard inside the sequence bound (see time_bucket_gapfill): an
+    # interval spanning an absurd bucket count fails fast instead of
+    # exploding the bucket join
+    __end_checked = F.when(
+        F.floor(F.col(end) / b) - F.floor(F.col(start) / b)
+        < F.lit(10_000_000),
+        F.floor(F.col(end) / b).cast("long"),
+    ).otherwise(F.raise_error(F.concat(
+        F.lit("interval spans over 10000000 join buckets — corrupt "
+              "bound or wrong bucket width: "),
+        F.col(start).cast("string"), F.lit(".."),
+        F.col(end).cast("string"),
+    )).cast("long"))
     iv = intervals.withColumn(
         "__b",
         F.explode(F.sequence(
             F.floor(F.col(start) / b).cast("long"),
-            F.floor(F.col(end) / b).cast("long"),
+            __end_checked,
         )),
     )
     on = ["__b"] if by is None else [by, "__b"]

@@ -3859,3 +3859,29 @@ class TestAnnHostileCorpusRows:
         got = {r["vec_id"] for r in brute_force_topk(corpus, qs, k=5)
                .collect()}
         assert not ({98, 99} & got) and len(got) == 5
+
+
+class TestSequenceExplosionGuards:
+    def test_gapfill_corrupt_epoch_fails_fast(self, spark):
+        """A millis-where-seconds epoch must raise an actionable error,
+        not OOM the executor building a 10^8-row grid."""
+        import pytest
+
+        from pincette_json_streams_spark.functions.timeseries import (
+            time_bucket_gapfill,
+        )
+        from pyspark.sql import functions as F
+        df = spark.createDataFrame(
+            [("a", 1_600_000_000, 1.0),
+             ("a", 1_600_000_000_000, 2.0)],     # corrupt: millis
+            "k string, ts long, v double")
+        with pytest.raises(Exception, match="spans over"):
+            time_bucket_gapfill(
+                df, by="k", ts="ts", bucket=60,
+                aggs={"s": F.sum("v")}).collect()
+        # sane spans still fill
+        ok = spark.createDataFrame(
+            [("a", 0, 1.0), ("a", 180, 2.0)], "k string, ts long, v double")
+        assert time_bucket_gapfill(
+            ok, by="k", ts="ts", bucket=60,
+            aggs={"s": F.sum("v")}).count() == 4
