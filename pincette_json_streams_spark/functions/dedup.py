@@ -763,14 +763,19 @@ def _cosine_kernel(va, vb):
         return pd.Series([], dtype="float64")
 
     def mat(vs):
-        # null rows / null elements (NaN round-tripped through Arrow)
+        # fast path: clean batches convert in one C call; only a batch
+        # carrying null rows / null elements (NaN round-tripped through
+        # Arrow) falls back to the tolerant per-row loop, where they
         # become all-NaN rows -> NaN scores the caller can filter,
         # instead of a ragged-array crash that kills the job
-        width = next((len(v) for v in vs if v is not None), 1)
-        return np.array(
-            [[np.nan] * width if v is None else
-             [np.nan if x is None else x for x in v] for v in vs],
-            dtype=np.float64)
+        try:
+            return np.array(vs, dtype=np.float64)
+        except (TypeError, ValueError):
+            width = next((len(v) for v in vs if v is not None), 1)
+            return np.array(
+                [[np.nan] * width if v is None else
+                 [np.nan if x is None else x for x in v] for v in vs],
+                dtype=np.float64)
 
     A, B = mat(va.tolist()), mat(vb.tolist())
     dot = (A * B).sum(axis=1)
