@@ -38,6 +38,8 @@ corpus and docs exercise, from the public jq language manual:
     infinite, nan, trim, ltrim, rtrim, sub, gsub, splits, ascii,
     explode, implode, todate, fromdate, objects/arrays/booleans/numbers/
     strings/nulls/values/scalars/iterables, recurse (0/1/2-arg), limit,
+    now, gmtime, localtime, mktime, strftime, strflocaltime, strptime,
+    todateiso8601, fromdateiso8601,
     until, while, getpath, setpath, delpaths, paths, leaf_paths,
     match/capture/scan (Oniguruma-flag aware), nth, in, inside, env,
     $ENV, $__loc__, walk, transpose, combinations, indices, index,
@@ -1534,6 +1536,59 @@ def _call(name, args, inp, env: _Env):
         yield int(_dt.datetime.strptime(
             inp, "%Y-%m-%dT%H:%M:%SZ")
             .replace(tzinfo=_dt.timezone.utc).timestamp())
+    elif name == "todateiso8601":
+        yield from _call("todate", args, inp, env)
+    elif name == "fromdateiso8601":
+        yield from _call("fromdate", args, inp, env)
+    elif name in ("gmtime", "localtime"):
+        # jq broken-down time: [year, month(0-11), day, hour, min,
+        # sec (may be fractional), wday, yday(0-based)]
+        import time as _time
+
+        t = float(inp)
+        st = (_time.gmtime(int(t)) if name == "gmtime"
+              else _time.localtime(int(t)))
+        # tm_wday is Monday=0; jq uses Sunday=0
+        yield [st.tm_year, st.tm_mon - 1, st.tm_mday, st.tm_hour,
+               st.tm_min, st.tm_sec + (t - int(t)),
+               (st.tm_wday + 1) % 7, st.tm_yday - 1]
+    elif name == "mktime":
+        import calendar as _cal
+
+        if not isinstance(inp, list) or len(inp) < 6:
+            raise JqError("jq: mktime requires a broken-down time array")
+        y, mo, d, h, mi, sec = inp[:6]
+        yield _cal.timegm((int(y), int(mo) + 1, int(d), int(h),
+                           int(mi), int(sec), 0, 0, 0))
+    elif name in ("strftime", "strflocaltime"):
+        import time as _time
+
+        fmt = one()
+        if isinstance(inp, (int, float)):
+            st = (_time.gmtime(int(inp)) if name == "strftime"
+                  else _time.localtime(int(inp)))
+        elif isinstance(inp, list) and len(inp) >= 8:
+            y, mo, d, h, mi, sec, wd, yd = inp[:8]
+            st = _time.struct_time((
+                int(y), int(mo) + 1, int(d), int(h), int(mi),
+                int(sec), (int(wd) - 1) % 7, int(yd) + 1, 0))
+        else:
+            raise JqError(
+                f"jq: {name} requires a number or broken-down time")
+        yield _time.strftime(fmt, st)
+    elif name == "strptime":
+        import time as _time
+
+        if not isinstance(inp, str):
+            raise JqError("jq: strptime requires a string input")
+        st = _time.strptime(inp, one())
+        yield [st.tm_year, st.tm_mon - 1, st.tm_mday, st.tm_hour,
+               st.tm_min, st.tm_sec, (st.tm_wday + 1) % 7,
+               st.tm_yday - 1]
+    elif name == "now":
+        import time as _time
+
+        yield _time.time()
     elif name in ("objects", "arrays", "booleans", "numbers",
                   "strings", "nulls", "values", "scalars",
                   "iterables"):

@@ -753,3 +753,32 @@ class TestArithEdges:
         # jq % is C-style truncated remainder, not Python floored
         assert jq('-10 % 3', None) == [-1]
         assert jq('10 % -3', None) == [1]
+
+
+class TestTimeBuiltins:
+    """jq time family — examples straight from the jq manual."""
+
+    def test_gmtime_mktime_roundtrip(self):
+        assert jq('gmtime', 1500000000) == \
+            [[2017, 6, 14, 2, 40, 0, 5, 194]]
+        assert jq('gmtime | mktime', 1500000000) == [1500000000]
+
+    def test_strftime_number_and_broken_down(self):
+        assert jq('strftime("%Y-%m-%dT%H:%M:%SZ")',
+                  1500000000) == ["2017-07-14T02:40:00Z"]
+        assert jq('gmtime | strftime("%Y-%m-%d")',
+                  1500000000) == ["2017-07-14"]
+
+    def test_strptime(self):
+        assert jq('strptime("%Y-%m-%dT%H:%M:%SZ")',
+                  "2015-03-05T23:51:47Z") == \
+            [[2015, 2, 5, 23, 51, 47, 4, 63]]
+        assert jq('strptime("%Y-%m-%dT%H:%M:%SZ") | mktime',
+                  "2015-03-05T23:51:47Z") == [1425599507]
+
+    def test_iso8601_aliases_and_now(self):
+        assert jq('todateiso8601', 1500000000) == \
+            ["2017-07-14T02:40:00Z"]
+        assert jq('fromdateiso8601', "2017-07-14T02:40:00Z") == \
+            [1500000000]
+        assert jq('now | type', None) == ["number"]
