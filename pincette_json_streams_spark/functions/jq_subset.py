@@ -39,7 +39,8 @@ corpus and docs exercise, from the public jq language manual:
     explode, implode, todate, fromdate, objects/arrays/booleans/numbers/
     strings/nulls/values/scalars/iterables, recurse (0/1/2-arg), limit,
     now, gmtime, localtime, mktime, strftime, strflocaltime, strptime,
-    todateiso8601, fromdateiso8601,
+    todateiso8601, fromdateiso8601, SQL-style INDEX/IN/GROUP_BY/
+    UNIQUE_BY/ANY/ALL,
     until, while, getpath, setpath, delpaths, paths, leaf_paths,
     match/capture/scan (Oniguruma-flag aware), nth, in, inside, env,
     $ENV, $__loc__, walk, transpose, combinations, indices, index,
@@ -1589,6 +1590,34 @@ def _call(name, args, inp, env: _Env):
         import time as _time
 
         yield _time.time()
+    # --- SQL-style builtins (jq manual: INDEX/IN + deprecated
+    # GROUP_BY/UNIQUE_BY/ANY/ALL aliases) ---
+    elif name == "IN":
+        if len(args) == 1:
+            yield any(v == inp for v in _eval(args[0], inp, env))
+        else:
+            # def IN(src; s): any(src == s; .) — cartesian equality
+            vals = list(_eval(args[1], inp, env))
+            yield any(a == b for a in _eval(args[0], inp, env)
+                      for b in vals)
+    elif name == "INDEX":
+        if len(args) == 1:
+            stream, idx = ("iterate", ("identity",)), args[0]
+        else:
+            stream, idx = args[0], args[1]
+        out = {}
+        for row in _eval(stream, inp, env):
+            for k in _eval(idx, row, env):
+                out[k if isinstance(k, str) else _tostr(k)] = row
+        yield out
+    elif name == "GROUP_BY":
+        yield from _call("group_by", args, inp, env)
+    elif name == "UNIQUE_BY":
+        yield from _call("unique_by", args, inp, env)
+    elif name == "ANY":
+        yield from _call("any", args, inp, env)
+    elif name == "ALL":
+        yield from _call("all", args, inp, env)
     elif name in ("objects", "arrays", "booleans", "numbers",
                   "strings", "nulls", "values", "scalars",
                   "iterables"):

@@ -782,3 +782,22 @@ class TestTimeBuiltins:
         assert jq('fromdateiso8601', "2017-07-14T02:40:00Z") == \
             [1500000000]
         assert jq('now | type', None) == ["number"]
+
+
+class TestSqlStyleBuiltins:
+    def test_in(self):
+        assert jq('IN(1,2)', 1) == [True]
+        assert jq('IN(1,2)', 3) == [False]
+        assert jq('IN(.[]; 2, 9)', [1, 2, 3]) == [True]
+
+    def test_index(self):
+        assert jq('INDEX(.id)',
+                  [{"id": "a", "v": 1}, {"id": "b", "v": 2}]) == \
+            [{"a": {"id": "a", "v": 1}, "b": {"id": "b", "v": 2}}]
+
+    def test_deprecated_aliases(self):
+        assert jq('GROUP_BY(.a) | length',
+                  [{"a": 1}, {"a": 2}, {"a": 1}]) == [2]
+        assert jq('UNIQUE_BY(.a) | length', [{"a": 1}, {"a": 1}]) == [1]
+        assert jq('ANY', [True, False]) == [True]
+        assert jq('ALL', [True, False]) == [False]
