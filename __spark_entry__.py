@@ -5625,6 +5625,45 @@ ORDER BY l_returnflag, q
 """
 
 
+def q_hdr_merge(spark, sf_dir):
+    """HDR sketch MERGE law as a driver-checked fact: sketch the even
+    and odd order halves separately, hdr_merge them, and compare
+    against the oracle's single whole-table sketch — counts add per
+    bucket, so merged == whole (the property an incremental 100 TB
+    profile builds on; same gate pattern as cms_merge/kmv sketches)."""
+    from pincette_json_streams_spark.functions.profiling import (
+        hdr_merge, hdr_sketch,
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    a = hdr_sketch(li.filter(F.col("l_orderkey") % 2 == 0),
+                   "l_extendedprice", group_col="l_returnflag",
+                   sig_bits=6)
+    b = hdr_sketch(li.filter(F.col("l_orderkey") % 2 == 1),
+                   "l_extendedprice", group_col="l_returnflag",
+                   sig_bits=6)
+    return hdr_merge(a, b, group_col="l_returnflag") \
+        .orderBy("l_returnflag", "bucket_lo")
+
+
+_ORACLE_HDR_MERGE = """
+WITH x AS (
+  SELECT l_returnflag AS g,
+         greatest(floor(l_extendedprice)::BIGINT, 0) AS iv
+  FROM lineitem
+), e AS (
+  SELECT g, iv,
+         CASE WHEN iv >= 1 THEN length(bin(iv)) ELSE 0 END AS e
+  FROM x
+), b AS (
+  SELECT g, iv, pow(2.0, greatest(e - 1 - 6, 0))::BIGINT AS pw FROM e
+)
+SELECT g AS l_returnflag, (iv // pw) * pw AS bucket_lo,
+       (iv // pw) * pw + pw AS bucket_hi, count(*)::BIGINT AS n
+FROM b GROUP BY 1, 2, 3
+ORDER BY l_returnflag, bucket_lo
+"""
+
+
 def q_embedding_outliers(spark, sf_dir):
     """Centroid-distance outlier scan over the embedding corpus:
     cosine distance to the global mean vector, z-scored; z >= 1.5 rows
@@ -5681,6 +5720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_verify": q_dedup_verify,
         "embedding_outliers": q_embedding_outliers,
         "hdr_quantiles": q_hdr_quantiles,
+        "hdr_merge": q_hdr_merge,
         # -- block 0: last driver-sampled in r3 (stalest signal) --
         "url_dedup": q_url_dedup,
         "zorder_key": q_zorder_key,
@@ -5824,6 +5864,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_verify": _oracle_dedup_verify(),
         "embedding_outliers": _ORACLE_EMBEDDING_OUTLIERS,
         "hdr_quantiles": _ORACLE_HDR_QUANTILES,
+        "hdr_merge": _ORACLE_HDR_MERGE,
         "bm25_topk": _oracle_bm25(),
         "dsir_weights": _ORACLE_DSIR,
         "jq_formats": _ORACLE_JQ_FORMATS,
