@@ -5542,6 +5542,101 @@ GROUP BY 1 ORDER BY adc, vec_id LIMIT 20
 """
 
 
+def q_pq_refined(spark, sf_dir):
+    """PQ codebook Lloyd refinement (2 fixed iterations) on top of the
+    init-from-data seed, then a full re-encode: assignment is a
+    broadcast map per iteration, the new codeword is the half-up
+    integer mean of its members (order-independent bigint sums — the
+    whole k-means loop is engine-exact), empty cells keep their old
+    center.  Output = occupancy + id-sum + refined-center checksum per
+    cell."""
+    from pincette_json_streams_spark.functions.similarity import (
+        pq_codebooks, pq_encode, pq_refine_codebooks,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb0 = pq_codebooks(emb, m=4, k=16, dim=64)
+    cb = pq_refine_codebooks(emb, cb0, iters=2, m=4, dim=64)
+    codes = pq_encode(emb, cb, m=4, dim=64)
+    cks = cb.select(
+        "j", "code",
+        F.aggregate("center", F.lit(0).cast("bigint"),
+                    lambda a, x: a + x).alias("sum_ce"),
+    )
+    return (
+        codes.groupBy("j", "code")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.sum("id").cast("long").alias("sum_ids"))
+        .join(cks, ["j", "code"])
+        .orderBy("j", "code")
+        .select(F.col("j").cast("long").alias("j"),
+                F.col("code").cast("long").alias("code"),
+                "n", "sum_ids", F.col("sum_ce").cast("long").alias("sum_ce"))
+    )
+
+
+def _pq_lloyd_iter_sql(i: int) -> str:
+    """One unrolled Lloyd iteration: assign against cb{i-1}, mean the
+    members half-up on the integer grid, keep old centers for empty
+    cells."""
+    p, n = i - 1, i
+    return f"""
+, d{n} AS (
+  SELECT e.vec_id, e.j, c.code,
+         sum((e.xe - c.ce) * (e.xe - c.ce)) AS dist
+  FROM e JOIN cb{p} c ON e.j = c.j AND e.t = c.t
+  GROUP BY 1, 2, 3
+), a{n} AS (
+  SELECT vec_id, j, code FROM (
+    SELECT vec_id, j, code,
+           row_number() OVER (PARTITION BY vec_id, j
+                              ORDER BY dist, code) AS rn
+    FROM d{n}) WHERE rn = 1
+), m{n} AS (
+  SELECT e.j, a.code, e.t,
+         CAST(floor(sum(e.xe) * 1.0 / count(*) + 0.5) AS BIGINT) AS ce
+  FROM e JOIN a{n} a ON e.vec_id = a.vec_id AND e.j = a.j
+  GROUP BY 1, 2, 3
+), cb{n} AS (
+  SELECT c.j, c.code, c.t, coalesce(m.ce, c.ce) AS ce
+  FROM cb{p} c LEFT JOIN m{n} m
+    ON c.j = m.j AND c.code = m.code AND c.t = m.t
+)"""
+
+
+_ORACLE_PQ_REFINED = """
+WITH e AS (
+  SELECT vec_id, i // 16 AS j, i % 16 AS t,
+         CAST(floor(embedding[i+1]::DOUBLE * 1000 + 0.5) AS BIGINT) AS xe
+  FROM embeddings, range(64) r(i)
+), ids AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS code
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)
+), cb0 AS (
+  SELECT ids.code, e.j, e.t, e.xe AS ce FROM e JOIN ids USING (vec_id)
+)""" + _pq_lloyd_iter_sql(1) + _pq_lloyd_iter_sql(2) + """
+, denc AS (
+  SELECT e.vec_id, e.j, c.code,
+         sum((e.xe - c.ce) * (e.xe - c.ce)) AS dist
+  FROM e JOIN cb2 c ON e.j = c.j AND e.t = c.t
+  GROUP BY 1, 2, 3
+), enc AS (
+  SELECT vec_id, j, code FROM (
+    SELECT vec_id, j, code,
+           row_number() OVER (PARTITION BY vec_id, j
+                              ORDER BY dist, code) AS rn
+    FROM denc) WHERE rn = 1
+), cks AS (
+  SELECT j, code, sum(ce) AS sum_ce FROM cb2 GROUP BY 1, 2
+)
+SELECT enc.j::BIGINT AS j, enc.code::BIGINT AS code,
+       count(*)::BIGINT AS n, sum(enc.vec_id)::BIGINT AS sum_ids,
+       any_value(cks.sum_ce)::BIGINT AS sum_ce
+FROM enc JOIN cks ON enc.j = cks.j AND enc.code = cks.code
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_dedup_verify(spark, sf_dir):
     """Edit-distance verification of MinHash-LSH candidate pairs — the
     precision stage after the sketch recall stage (reference: near-dup
@@ -5717,6 +5812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 2 new queries plus all of block 0 plus 20 of block 1.
     return {
         # -- NEW in round 6 (never driver-sampled -> very front) --
+        "pq_refined": q_pq_refined,
         "dedup_verify": q_dedup_verify,
         "embedding_outliers": q_embedding_outliers,
         "hdr_quantiles": q_hdr_quantiles,
@@ -5860,6 +5956,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct": _ORACLE_HLL_DISTINCT,
         "pq_cells": _ORACLE_PQ_CELLS,
         "pq_adc": _ORACLE_PQ_ADC,
+        "pq_refined": _ORACLE_PQ_REFINED,
         "winnow_pairs": _ORACLE_WINNOW_PAIRS,
         "dedup_verify": _oracle_dedup_verify(),
         "embedding_outliers": _ORACLE_EMBEDDING_OUTLIERS,

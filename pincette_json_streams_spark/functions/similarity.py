@@ -557,6 +557,76 @@ def pq_codebooks(
     ).select("j", "code", "center")
 
 
+def pq_refine_codebooks(
+    df: DataFrame,
+    codebooks: DataFrame,
+    iters: int = 2,
+    m: int = 4,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Fixed-iteration Lloyd refinement of PQ codebooks — the
+    production-recall step on top of :func:`pq_codebooks`'s
+    init-from-data seed, kept fully deterministic and INTEGER-exact so
+    a SQL oracle can replay every iteration:
+
+      * assignment uses the same e3-grid squared distance as
+        :func:`pq_encode` (ties to the lowest code);
+      * the new codeword is the elementwise half-up-rounded mean of its
+        members back ON the integer grid (``floor(sum/count + 0.5)``) —
+        summation of bigints is order-independent, and the single
+        IEEE-754 division is bit-identical across engines;
+      * codewords that attract no members keep their previous center
+        (standard Lloyd empty-cluster policy).
+
+    Scale shape per iteration: the m*k codebook is broadcast into the
+    assignment map (no shuffle), the member mean is ONE map-side-
+    combinable groupBy on (j, code, t) — cost is iters * the encode
+    pass, no driver round-trips, no collect.  Returns the same
+    (j, code, center:array<bigint>) shape as :func:`pq_codebooks`, so
+    :func:`pq_encode` / :func:`pq_adc_topk` consume it unchanged."""
+    sub = dim // m
+    rows = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(_subvectors(_e3(F.col(vec_col)), m, sub))
+        .alias("j", "sv"),
+    )
+    cb = codebooks
+    for _ in range(iters):
+        scored = rows.join(F.broadcast(cb), "j").withColumn(
+            "__d", _idist(F.col("sv"), F.col("center"))
+        )
+        # (__d, code) is unique per (id, j) group — codes are distinct —
+        # so the struct-min never compares the trailing sv payload; it
+        # just rides along, saving a re-join against `rows`.
+        best = (
+            scored.groupBy("id", "j")
+            .agg(F.min(F.struct("__d", "code", "sv")).alias("b"))
+            .select("j", F.col("b.code").alias("code"),
+                    F.col("b.sv").alias("sv"))
+        )
+        means = (
+            best.select("j", "code", F.posexplode("sv").alias("t", "xe"))
+            .groupBy("j", "code", "t")
+            .agg(F.floor(F.sum("xe") / F.count(F.lit(1)) + F.lit(0.5))
+                 .cast("bigint").alias("ce"))
+        )
+        newc = (
+            means.groupBy("j", "code")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("t", "ce"))),
+                lambda s: s["ce"]).alias("center"))
+        )
+        cb = (
+            cb.select("j", "code", F.col("center").alias("__old"))
+            .join(newc, ["j", "code"], "left")
+            .select("j", "code",
+                    F.coalesce("center", "__old").alias("center"))
+        )
+    return cb
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: DataFrame,
