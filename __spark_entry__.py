@@ -5637,6 +5637,67 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_bloom_prefilter(spark, sf_dir):
+    """Bloom-filter join pruning (runtime-filter / sideways information
+    passing — the classic 100 TB shuffle-avoidance move): build an
+    m=2^18 / k=5 bloom over the keys of high-value orders, prefilter
+    lineitem with k chained BROADCAST semi-joins (zero probe-side
+    shuffle), then audit the filter — per returnflag: surviving rows,
+    their quantity sum, and the exact false-positive row count.  The
+    md5 hash family makes every false positive reproducible in SQL."""
+    from pincette_json_streams_spark.functions.profiling import (
+        bloom_bits, bloom_prefilter,
+    )
+
+    mbits, k = 1 << 18, 5
+    li = _t(spark, sf_dir, "lineitem")
+    hot = _t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 400000)
+    bits = bloom_bits(hot, "o_orderkey", mbits=mbits, k=k)
+    surv = bloom_prefilter(li, bits, "l_orderkey", mbits=mbits, k=k)
+    truth = hot.select(F.col("o_orderkey").alias("l_orderkey"),
+                       F.lit(1).alias("__member"))
+    return (
+        surv.join(F.broadcast(truth), "l_orderkey", "left")
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+             F.sum(F.col("l_quantity").cast("long")).cast("long")
+             .alias("sum_qty"),
+             F.sum(F.when(F.col("__member").isNull(), 1).otherwise(0))
+             .cast("long").alias("n_false_pos"))
+        .orderBy("l_returnflag")
+    )
+
+
+_ORACLE_BLOOM_PREFILTER = """
+WITH sel AS (
+  SELECT o_orderkey FROM orders WHERE o_totalprice > 400000
+), bits AS (
+  SELECT DISTINCT
+         ('0x' || substr(md5(i::VARCHAR || ':' || o_orderkey::VARCHAR),
+                         1, 15))::BIGINT % 262144 AS pos
+  FROM sel, range(5) r(i)
+), keys AS (
+  SELECT DISTINCT l_orderkey FROM lineitem
+), kp AS (
+  SELECT l_orderkey,
+         ('0x' || substr(md5(i::VARCHAR || ':' || l_orderkey::VARCHAR),
+                         1, 15))::BIGINT % 262144 AS pos
+  FROM keys, range(5) r(i)
+), pass AS (
+  SELECT l_orderkey FROM kp JOIN bits USING (pos)
+  GROUP BY l_orderkey HAVING count(*) = 5
+)
+SELECT l.l_returnflag,
+       count(*)::BIGINT AS n_rows,
+       sum(l.l_quantity::BIGINT)::BIGINT AS sum_qty,
+       sum(CASE WHEN l.l_orderkey IN (SELECT o_orderkey FROM sel)
+                THEN 0 ELSE 1 END)::BIGINT AS n_false_pos
+FROM lineitem l JOIN pass USING (l_orderkey)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_dedup_verify(spark, sf_dir):
     """Edit-distance verification of MinHash-LSH candidate pairs — the
     precision stage after the sketch recall stage (reference: near-dup
@@ -5813,6 +5874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- NEW in round 6 (never driver-sampled -> very front) --
         "pq_refined": q_pq_refined,
+        "bloom_prefilter": q_bloom_prefilter,
         "dedup_verify": q_dedup_verify,
         "embedding_outliers": q_embedding_outliers,
         "hdr_quantiles": q_hdr_quantiles,
@@ -5957,6 +6019,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_cells": _ORACLE_PQ_CELLS,
         "pq_adc": _ORACLE_PQ_ADC,
         "pq_refined": _ORACLE_PQ_REFINED,
+        "bloom_prefilter": _ORACLE_BLOOM_PREFILTER,
         "winnow_pairs": _ORACLE_WINNOW_PAIRS,
         "dedup_verify": _oracle_dedup_verify(),
         "embedding_outliers": _ORACLE_EMBEDDING_OUTLIERS,

@@ -530,3 +530,67 @@ def hdr_quantiles(
                 F.col("bucket_lo").alias("lo"),
                 F.col("bucket_hi").alias("hi"))
     )
+
+
+def bloom_bits(
+    df: DataFrame,
+    key,
+    mbits: int = 1 << 17,
+    k: int = 5,
+) -> DataFrame:
+    """Bloom filter BUILD: the set-bit positions of an m-bit / k-hash
+    bloom filter over ``key`` — as a (pos bigint) table, bounded at
+    ``mbits`` rows by construction, i.e. always broadcast-sized no
+    matter how big the build side is.
+
+    Hash family is the repo's engine-portable convention (same as
+    kmv/cms/hll): position_i = md5(i ":" key) first-15-hex as bigint,
+    mod mbits — replayable in any SQL engine with md5.  One hash-agg
+    (distinct) is the only shuffle, map-side combinable.
+
+    This is the classic 100 TB join-pruning move (runtime filter /
+    sideways information passing): build on the small/filtered side,
+    broadcast the bits, drop non-matching probe rows BEFORE the real
+    join's shuffle."""
+    i = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__i")
+    kc = key if not isinstance(key, str) else F.col(key)
+    pos = (
+        F.conv(F.substring(F.md5(F.concat_ws(
+            ":", F.col("__i").cast("string"), F.col("__k"))), 1, 15),
+            16, 10).cast("bigint") % mbits
+    )
+    return (
+        df.select(kc.cast("string").alias("__k")).select(F.col("__k"), i)
+        .select(pos.alias("pos")).distinct()
+    )
+
+
+def bloom_prefilter(
+    probe: DataFrame,
+    bits: DataFrame,
+    key,
+    mbits: int = 1 << 17,
+    k: int = 5,
+) -> DataFrame:
+    """Bloom filter PROBE: keep the rows of ``probe`` whose ``key``
+    might be in the set behind ``bits`` (from :func:`bloom_bits` with
+    the SAME mbits/k) — all true members survive, plus the bloom's
+    false positives (~(1-e^{-kn/m})^k).
+
+    Plan shape: k chained BROADCAST left-semi joins, one per hash
+    position — no shuffle of the probe side at all; each join only
+    narrows the stream.  The false-positive rows are exactly
+    reproducible from the hash math, so an exact-SQL oracle can verify
+    the filter bit-for-bit."""
+    kc = key if not isinstance(key, str) else F.col(key)
+    out = probe
+    for i in range(k):
+        pos = (
+            F.conv(F.substring(F.md5(F.concat_ws(
+                ":", F.lit(str(i)), kc.cast("string"))), 1, 15),
+                16, 10).cast("bigint") % mbits
+        )
+        out = out.withColumn("__pos", pos).join(
+            F.broadcast(bits), F.col("__pos") == bits["pos"], "left_semi"
+        ).drop("__pos")
+    return out

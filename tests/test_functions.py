@@ -3502,6 +3502,69 @@ class TestHll:
         assert plan.count("Exchange") == 1
 
 
+class TestBloomFilter:
+    """Bloom-filter build + probe (join pruning / runtime filter)."""
+
+    def test_no_false_negatives(self, spark):
+        from pincette_json_streams_spark.functions.profiling import (
+            bloom_bits, bloom_prefilter,
+        )
+        members = spark.range(0, 200).select(F.col("id").alias("k"))
+        probe = spark.range(0, 1000).select(F.col("id").alias("k"))
+        bits = bloom_bits(members, "k", mbits=1 << 12, k=3)
+        surv = {r["k"] for r in
+                bloom_prefilter(probe, bits, "k", mbits=1 << 12, k=3)
+                .collect()}
+        assert set(range(200)) <= surv  # every true member survives
+
+    def test_false_positives_are_deterministic(self, spark):
+        """The md5 hash family makes the FP set a pure function of
+        (members, mbits, k): two independent builds agree exactly."""
+        from pincette_json_streams_spark.functions.profiling import (
+            bloom_bits, bloom_prefilter,
+        )
+        members = spark.range(0, 300).select(F.col("id").alias("k"))
+        probe = spark.range(300, 4000).select(F.col("id").alias("k"))
+
+        def run():
+            bits = bloom_bits(members, "k", mbits=1 << 10, k=2)
+            return sorted(r["k"] for r in bloom_prefilter(
+                probe, bits, "k", mbits=1 << 10, k=2).collect())
+
+        a, b = run(), run()
+        assert a == b
+        assert len(a) > 0  # 2^10 bits / 300 keys: FPs must exist
+
+    def test_bits_bounded_by_mbits(self, spark):
+        from pincette_json_streams_spark.functions.profiling import (
+            bloom_bits,
+        )
+        df = spark.range(0, 5000).select(F.col("id").alias("k"))
+        bits = bloom_bits(df, "k", mbits=256, k=4)
+        got = bits.agg(F.count(F.lit(1)), F.min("pos"), F.max("pos")) \
+            .collect()[0]
+        assert got[0] <= 256 and got[1] >= 0 and got[2] < 256
+
+    def test_probe_plan_is_broadcast_semi_no_shuffle(self, spark):
+        """The probe side must see k broadcast LEFT-SEMI joins and NO
+        exchange: that's the whole point of the runtime filter — prune
+        before any shuffle."""
+        from pincette_json_streams_spark.functions.profiling import (
+            bloom_bits, bloom_prefilter,
+        )
+        members = spark.range(0, 100).select(F.col("id").alias("k"))
+        probe = spark.range(0, 1000).select(F.col("id").alias("k"))
+        bits = bloom_bits(members, "k", mbits=1 << 12, k=3)
+        plan = bloom_prefilter(probe, bits, "k", mbits=1 << 12, k=3) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("BroadcastHashJoin") == 3
+        assert "LeftSemi" in plan
+        # the only exchanges allowed are the broadcast of the bits side
+        # (+ its build agg); the probe Range scan joins with none above it
+        head = plan.split("BroadcastHashJoin")[0]
+        assert "Exchange hashpartitioning" not in head
+
+
 class TestProductQuantization:
     """PQ encode + ADC search (Jegou, Douze & Schmid, PAMI 2011)."""
 
