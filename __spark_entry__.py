@@ -5698,6 +5698,52 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_pagerank(spark, sf_dir):
+    """All-integer fixed-point PageRank (3 iterations, d=0.85) over the
+    supplier<->customer bipartite multigraph induced by lineitem x
+    orders — web-graph-style quality signal, the ranking sibling of the
+    connected-components family.  Rank mass rides integer units of
+    1e-12, damping is (85*x) div 100, dangling mass is a lazy 1-row
+    broadcast — zero IEEE ops, zero per-iteration driver actions.
+    Output: top-20 nodes (customers offset by 1e6)."""
+    from pincette_json_streams_spark.functions.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.col("l_suppkey").alias("s"),
+        (F.col("o_custkey") + 1000000).alias("c"))
+    edges = pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")) \
+        .unionAll(pairs.select(F.col("c").alias("src"),
+                               F.col("s").alias("dst")))
+    pr = pagerank(edges, iters=3)
+    return (
+        pr.orderBy(F.col("rank").desc(), F.col("node").asc()).limit(20)
+        .select(F.col("node").cast("long").alias("node"),
+                F.col("rank").cast("long").alias("rank"))
+    )
+
+
+_PAGERANK_EDGES_SQL = """
+SELECT l_suppkey AS src, o_custkey + 1000000 AS dst
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+UNION ALL
+SELECT o_custkey + 1000000 AS src, l_suppkey AS dst
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+"""
+
+
+def _oracle_pagerank() -> str:
+    from pincette_json_streams_spark.functions.graph import (
+        pagerank_oracle_sql,
+    )
+
+    return (
+        pagerank_oracle_sql(_PAGERANK_EDGES_SQL, iters=3)
+        + " ORDER BY rank DESC, node LIMIT 20"
+    )
+
+
 def q_dedup_verify(spark, sf_dir):
     """Edit-distance verification of MinHash-LSH candidate pairs — the
     precision stage after the sketch recall stage (reference: near-dup
@@ -5875,6 +5921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- NEW in round 6 (never driver-sampled -> very front) --
         "pq_refined": q_pq_refined,
         "bloom_prefilter": q_bloom_prefilter,
+        "pagerank_top": q_pagerank,
         "dedup_verify": q_dedup_verify,
         "embedding_outliers": q_embedding_outliers,
         "hdr_quantiles": q_hdr_quantiles,
@@ -6020,6 +6067,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_adc": _ORACLE_PQ_ADC,
         "pq_refined": _ORACLE_PQ_REFINED,
         "bloom_prefilter": _ORACLE_BLOOM_PREFILTER,
+        "pagerank_top": _oracle_pagerank(),
         "winnow_pairs": _ORACLE_WINNOW_PAIRS,
         "dedup_verify": _oracle_dedup_verify(),
         "embedding_outliers": _ORACLE_EMBEDDING_OUTLIERS,

@@ -3502,6 +3502,73 @@ class TestHll:
         assert plan.count("Exchange") == 1
 
 
+class TestPageRank:
+    """All-integer fixed-iteration PageRank (functions/graph.py)."""
+
+    EDGES = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (4, 3)]
+    # node 5 appears only as a dangling sink via 3->5? no — add one:
+    EDGES += [(3, 5)]  # 5 has no out-edges: exercises dangling mass
+
+    @staticmethod
+    def _mirror(edges, iters=3, total=10 ** 12, d=85):
+        """Pure-Python replay of the documented integer recurrence."""
+        nodes = sorted({u for e in edges for u in e})
+        n = len(nodes)
+        deg = {}
+        for u, _ in edges:
+            deg[u] = deg.get(u, 0) + 1
+        r = {v: total // n for v in nodes}
+        base = ((100 - d) * total) // (100 * n)
+        for _ in range(iters):
+            dang = sum(r[v] for v in nodes if v not in deg)
+            inm = {v: 0 for v in nodes}
+            for u, v in edges:
+                inm[v] += r[u] // deg[u]
+            r = {v: base + (d * (inm[v] + dang // n)) // 100
+                 for v in nodes}
+        return r
+
+    def test_matches_python_mirror(self, spark):
+        from pincette_json_streams_spark.functions.graph import pagerank
+        df = spark.createDataFrame(self.EDGES, "src long, dst long")
+        got = {r["node"]: r["rank"]
+               for r in pagerank(df, iters=3).collect()}
+        assert got == self._mirror(self.EDGES, iters=3)
+
+    def test_mass_approximately_conserved(self, spark):
+        """Integer floors lose < ~2N units per iteration; total mass
+        must stay within that envelope of 1e12."""
+        from pincette_json_streams_spark.functions.graph import pagerank
+        df = spark.createDataFrame(self.EDGES, "src long, dst long")
+        total = sum(r["rank"] for r in pagerank(df, iters=3).collect())
+        n, iters = 5, 3
+        assert abs(10 ** 12 - total) < 100 * n * (iters + 1)
+
+    def test_hub_outranks_leaf(self, spark):
+        """Node 3 receives edges from everyone: it must rank first."""
+        from pincette_json_streams_spark.functions.graph import pagerank
+        df = spark.createDataFrame(self.EDGES, "src long, dst long")
+        rows = sorted(pagerank(df, iters=3).collect(),
+                      key=lambda r: -r["rank"])
+        assert rows[0]["node"] == 3
+
+    def test_no_per_iteration_driver_actions(self, spark):
+        """A driver-side collect inside the loop would fire at
+        CONSTRUCTION time (the Python loop runs while building the
+        DAG).  Guard: building a 6-iteration plan must cost exactly as
+        many jobs as a 3-iteration one (just the single N count)."""
+        from pincette_json_streams_spark.functions.graph import pagerank
+        df = spark.createDataFrame(self.EDGES, "src long, dst long")
+        tracker = spark.sparkContext.statusTracker()
+
+        def jobs_during(iters):
+            before = len(tracker.getJobIdsForGroup(None) or [])
+            pagerank(df, iters=iters)
+            return len(tracker.getJobIdsForGroup(None) or []) - before
+
+        assert jobs_during(6) == jobs_during(3)
+
+
 class TestBloomFilter:
     """Bloom-filter build + probe (join pruning / runtime filter)."""
 
