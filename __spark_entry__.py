@@ -5316,7 +5316,8 @@ def q_bm25_topk(spark, sf_dir):
     )
 
 
-def _oracle_bm25():
+def _bm25_sql_cte():
+    """The WITH-body shared by the bm25_topk and hybrid_rrf oracles."""
     terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
     return f"""
 WITH d AS (
@@ -5342,12 +5343,84 @@ WITH d AS (
            * 1e4 + 0.5) AS BIGINT) AS part_e4,
          dl.dl
   FROM tf JOIN dfreq f USING (w) JOIN dl USING (doc_id), corpus c
-)
+)"""
+
+
+def _oracle_bm25():
+    return _bm25_sql_cte() + """
 SELECT doc_id::BIGINT AS doc_id, CAST(min(dl) AS BIGINT) AS dl,
        sum(part_e4)::BIGINT AS score_e4,
        sum(part_e4)::BIGINT / 1e4 AS score
 FROM parts GROUP BY doc_id
 ORDER BY score_e4 DESC, doc_id LIMIT 30
+"""
+
+
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval with reciprocal-rank fusion (Cormack/Clarke/
+    Buettcher SIGIR'09): the BM25 lexical top-50 for the fixed term bag
+    and the exact-cosine vector top-50 around vec 7 fuse via
+    rrf = sum(1e9 div (60 + rank)) — integer division, so the fusion is
+    engine-exact.  Both rank lists are LIMIT-bounded BEFORE the window
+    assigns ranks (the window only ever sees 50 rows — no global-sort
+    scale hazard).  Output: top-10 fused docs + how many lists each hit."""
+    from pincette_json_streams_spark.functions.similarity import (
+        brute_force_topk, rrf_fuse,
+    )
+    from pincette_json_streams_spark.functions.text import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>"))
+    lex50 = (
+        bm25_scores(docs, list(_BM25_TERMS))
+        .orderBy(F.col("score_e4").desc(), "doc_id").limit(50)
+    )
+    lex = lex50.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("score_e4").desc(), "doc_id")),
+    ).select(F.col("doc_id").alias("id"), "rank")
+    qs = emb.filter(F.col("vec_id") == 7).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    vec = brute_force_topk(emb, qs, k=50).select(
+        F.col("vec_id").alias("id"), "rank")
+    return (
+        rrf_fuse([lex, vec])
+        .orderBy(F.col("rrf").desc(), "id").limit(10)
+        .select(F.col("id").cast("long").alias("id"),
+                F.col("rrf").cast("long").alias("rrf"),
+                F.col("n_lists").cast("long").alias("n_lists"))
+    )
+
+
+def _oracle_hybrid_rrf():
+    return _bm25_sql_cte() + """
+, scores AS (
+  SELECT doc_id, sum(part_e4) AS score_e4 FROM parts GROUP BY doc_id
+), lex AS (
+  SELECT doc_id AS id,
+         row_number() OVER (ORDER BY score_e4 DESC, doc_id) AS rank
+  FROM (SELECT * FROM scores ORDER BY score_e4 DESC, doc_id LIMIT 50)
+), q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7
+), vs AS (
+  SELECT e.vec_id AS id,
+         list_dot_product(q.qv, e.embedding::DOUBLE[]) /
+         (sqrt(list_dot_product(q.qv, q.qv)) *
+          sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                e.embedding::DOUBLE[]))) AS cosine
+  FROM embeddings e, q
+), vec AS (
+  SELECT id, row_number() OVER (ORDER BY cosine DESC, id) AS rank
+  FROM (SELECT * FROM vs ORDER BY cosine DESC, id LIMIT 50)
+), fused AS (
+  SELECT id, sum(1000000000 // (60 + rank)) AS rrf,
+         count(*) AS n_lists
+  FROM (SELECT * FROM lex UNION ALL SELECT * FROM vec) GROUP BY id
+)
+SELECT id::BIGINT AS id, rrf::BIGINT AS rrf, n_lists::BIGINT AS n_lists
+FROM fused ORDER BY rrf DESC, id LIMIT 10
 """
 
 
@@ -5922,6 +5995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_refined": q_pq_refined,
         "bloom_prefilter": q_bloom_prefilter,
         "pagerank_top": q_pagerank,
+        "hybrid_rrf": q_hybrid_rrf,
         "dedup_verify": q_dedup_verify,
         "embedding_outliers": q_embedding_outliers,
         "hdr_quantiles": q_hdr_quantiles,
@@ -6068,6 +6142,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_refined": _ORACLE_PQ_REFINED,
         "bloom_prefilter": _ORACLE_BLOOM_PREFILTER,
         "pagerank_top": _oracle_pagerank(),
+        "hybrid_rrf": _oracle_hybrid_rrf(),
         "winnow_pairs": _ORACLE_WINNOW_PAIRS,
         "dedup_verify": _oracle_dedup_verify(),
         "embedding_outliers": _ORACLE_EMBEDDING_OUTLIERS,

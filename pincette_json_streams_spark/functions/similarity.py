@@ -26,8 +26,8 @@ __all__ = [
     "brute_force_topk", "embedding_moments", "embedding_outliers",
     "ivf_topk", "lsh_topk",
     "pca_components", "pca_project", "pq_adc_topk", "pq_codebooks",
-    "pq_encode", "quantize_embeddings",
-    "semantic_dedup", "train_kmeans_centroids",
+    "pq_encode", "pq_refine_codebooks", "quantize_embeddings",
+    "rrf_fuse", "semantic_dedup", "train_kmeans_centroids",
 ]
 
 
@@ -749,4 +749,38 @@ def embedding_outliers(
                      * 1e3 + F.lit(0.5)) / 1e3).alias("z"),
         )
         .filter(F.col("z") >= z_min)
+    )
+
+
+def rrf_fuse(
+    rankings: "list[DataFrame]",
+    k_const: int = 60,
+    id_col: str = "id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009)
+    of N rank lists: rrf(id) = sum over lists of 1/(k + rank), carried
+    as ``1e9 div (k + rank)`` INTEGER units so the fused score is
+    associative and engine-exact (same convention as the bm25 e4 grid).
+
+    Each input is a (id, rank) frame — in a hybrid-retrieval pipeline,
+    one list per retriever (BM25, dense ANN, ...), each already
+    top-R-bounded, so this union + hash-agg touches O(N * R) rows no
+    matter the corpus size.  Returns (id, rrf, n_lists)."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    parts = [
+        df.select(
+            F.col(id_col).alias("id"),
+            F.expr(f"1000000000 div ({k_const} + {rank_col})")
+            .cast("long").alias("__p"),
+        )
+        for df in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionAll(p)
+    return u.groupBy("id").agg(
+        F.sum("__p").cast("long").alias("rrf"),
+        F.count(F.lit(1)).cast("long").alias("n_lists"),
     )

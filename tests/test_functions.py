@@ -3502,6 +3502,41 @@ class TestHll:
         assert plan.count("Exchange") == 1
 
 
+class TestRrfFuse:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR 2009)."""
+
+    def test_fusion_math_and_list_count(self, spark):
+        from pincette_json_streams_spark.functions.similarity import (
+            rrf_fuse,
+        )
+        a = spark.createDataFrame([(1, 1), (2, 2)], "id long, rank long")
+        b = spark.createDataFrame([(2, 1), (3, 2)], "id long, rank long")
+        got = {r["id"]: (r["rrf"], r["n_lists"])
+               for r in rrf_fuse([a, b]).collect()}
+        u = 10 ** 9
+        assert got[1] == (u // 61, 1)
+        assert got[2] == (u // 62 + u // 61, 2)
+        assert got[3] == (u // 62, 1)
+
+    def test_doc_in_both_lists_beats_single_list_winner(self, spark):
+        """A mid-rank doc present in BOTH lists outranks a doc that is
+        rank 1 in only one list — the property RRF exists for."""
+        from pincette_json_streams_spark.functions.similarity import (
+            rrf_fuse,
+        )
+        a = spark.createDataFrame([(1, 1), (9, 5)], "id long, rank long")
+        b = spark.createDataFrame([(2, 1), (9, 5)], "id long, rank long")
+        rows = sorted(rrf_fuse([a, b]).collect(), key=lambda r: -r["rrf"])
+        assert rows[0]["id"] == 9
+
+    def test_empty_list_rejected(self, spark):
+        from pincette_json_streams_spark.functions.similarity import (
+            rrf_fuse,
+        )
+        with pytest.raises(ValueError):
+            rrf_fuse([])
+
+
 class TestPageRank:
     """All-integer fixed-iteration PageRank (functions/graph.py)."""
 
