@@ -97,6 +97,13 @@ BENCH_QUERIES = [
     "dedup_verify",
     # HDR quantile sketch: one hash-agg over the biggest table
     "hdr_quantiles",
+    # round-6 additions: join pruning, graph ranking, hybrid retrieval
+    # (pq_refined is correctness-gated but not benched — same
+    # fixed-overhead policy as embedding_outliers: the embeddings table
+    # is 2k rows at sf0.1)
+    "bloom_prefilter",
+    "pagerank_top",
+    "hybrid_rrf",
 ]
 
 
