@@ -5817,6 +5817,64 @@ def _oracle_pagerank() -> str:
     )
 
 
+def q_ewma_drift(spark, sf_dir):
+    """Per-user EWMA (half-life decay, trailing-8 frame) of the event
+    value stream, reporting each user's final smoothed level — the
+    engagement/metric-drift smoothing primitive.  Engine-exact: value
+    on a 1e6 integer grid, powers-of-two weights, bigint sums; the one
+    float op is the final division (functions/timeseries.py
+    ewma_halflife)."""
+    from pincette_json_streams_spark.functions.timeseries import (
+        ewma_halflife,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    sm = ewma_halflife(ev, order_by=["ts_nanos", "event_id"],
+                       value_col="value", group_col="user_id", window=8)
+    last = (
+        sm.groupBy("user_id")
+        .agg(F.max(F.struct("ts_nanos", "event_id", "n_in_frame",
+                            "ewma_num", "ewma_den", "ewma")).alias("b"))
+        .select(F.col("user_id").cast("long").alias("user_id"),
+                F.col("b.n_in_frame").cast("long").alias("n_in_frame"),
+                F.col("b.ewma_num").cast("long").alias("ewma_num"),
+                F.col("b.ewma_den").cast("long").alias("ewma_den"),
+                F.col("b.ewma").cast("long").alias("ewma"))
+    )
+    return last.orderBy("user_id").limit(50)
+
+
+_ORACLE_EWMA = """
+WITH e AS (
+  SELECT user_id, epoch_ns(ts) AS tns, event_id,
+         CAST(floor(value::DOUBLE * 1000000 + 0.5) AS BIGINT) AS v
+  FROM events
+  WHERE NOT isnan(value::DOUBLE) AND abs(value::DOUBLE) != 'infinity'
+), rn AS (
+  SELECT user_id, tns, event_id, v,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY tns, event_id) AS r
+  FROM e
+), terms AS (
+  SELECT a.user_id, a.r,
+         sum(b.v * (1::BIGINT << (b.r - greatest(1, a.r - 7))))
+           AS ewma_num,
+         (1::BIGINT << count(*)) - 1 AS ewma_den,
+         count(*) AS n_in_frame
+  FROM rn a JOIN rn b
+    ON a.user_id = b.user_id AND b.r BETWEEN a.r - 7 AND a.r
+  GROUP BY 1, 2
+), last AS (
+  SELECT user_id, max(r) AS r FROM rn GROUP BY 1
+)
+SELECT t.user_id::BIGINT AS user_id, t.n_in_frame::BIGINT AS n_in_frame,
+       t.ewma_num::BIGINT AS ewma_num, t.ewma_den::BIGINT AS ewma_den,
+       CAST(floor(t.ewma_num / t.ewma_den + 0.5) AS BIGINT) AS ewma
+FROM terms t JOIN last USING (user_id, r)
+ORDER BY user_id LIMIT 50
+"""
+
+
 def q_dedup_verify(spark, sf_dir):
     """Edit-distance verification of MinHash-LSH candidate pairs — the
     precision stage after the sketch recall stage (reference: near-dup
@@ -5996,6 +6054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_prefilter": q_bloom_prefilter,
         "pagerank_top": q_pagerank,
         "hybrid_rrf": q_hybrid_rrf,
+        "ewma_drift": q_ewma_drift,
         "dedup_verify": q_dedup_verify,
         "embedding_outliers": q_embedding_outliers,
         "hdr_quantiles": q_hdr_quantiles,
@@ -6143,6 +6202,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_prefilter": _ORACLE_BLOOM_PREFILTER,
         "pagerank_top": _oracle_pagerank(),
         "hybrid_rrf": _oracle_hybrid_rrf(),
+        "ewma_drift": _ORACLE_EWMA,
         "winnow_pairs": _ORACLE_WINNOW_PAIRS,
         "dedup_verify": _oracle_dedup_verify(),
         "embedding_outliers": _ORACLE_EMBEDDING_OUTLIERS,

@@ -19,9 +19,9 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
-    "asof_join", "counter_increase", "forward_fill", "interval_join",
-    "retention_cohorts", "sessionize", "sessionize_stream",
-    "time_bucket_gapfill",
+    "asof_join", "counter_increase", "ewma_halflife", "forward_fill",
+    "interval_join", "retention_cohorts", "sessionize",
+    "sessionize_stream", "time_bucket_gapfill",
 ]
 
 
@@ -510,3 +510,63 @@ def interval_join(
         "__eid", "left_anti")
     return cand.drop("__eid").unionByName(
         unmatched.drop("__eid"), allowMissingColumns=True)
+
+
+def ewma_halflife(
+    df: DataFrame,
+    order_by: "Sequence[str]",
+    value_col: str = "value",
+    group_col: str = "user_id",
+    window: int = 8,
+    scale: int = 10 ** 6,
+) -> DataFrame:
+    """Exponentially-weighted moving average with decay 1/2 per step
+    over a bounded trailing window — the smoothing primitive of metric
+    drift detectors and per-entity engagement scores.
+
+    Engine-exact by construction: the input lands on an integer
+    ``scale`` grid, the weights are powers of two (element j of the
+    trailing frame weighs 2^j, so the newest point weighs 2^(L-1)),
+    and both the weighted numerator and the denominator (2^L - 1 for a
+    full frame) are bigint sums — the ONLY float op is the final
+    division, one IEEE op both engines perform on identical integers.
+    Non-finite values are dropped up front (ANSI-mode audit: one NaN
+    row must never poison a window).
+
+    Scale shape: one shuffle on ``group_col``, a per-partition sort,
+    and a ``collect_list`` over a frame of at most ``window`` rows —
+    the same cost envelope as any keyed window function; the frame
+    bound keeps state O(window) per row at any data size.
+
+    Returns (group, ordering cols, n_in_frame, ewma_num, ewma_den,
+    ewma) per input row."""
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(*[F.col(c).asc() for c in order_by])
+        .rowsBetween(-(window - 1), 0)
+    )
+    v = F.floor(F.col(value_col).cast("double") * scale + F.lit(0.5)) \
+        .cast("bigint")
+    fin = df.filter(
+        ~F.isnan(F.col(value_col).cast("double"))
+        & (F.abs(F.col(value_col).cast("double")) != float("inf"))
+    ).withColumn("__v", v)
+    framed = fin.withColumn("__frame", F.collect_list("__v").over(w))
+    # SQL expr: the PySpark shiftleft wrapper only takes literal ints,
+    # but the SQL function accepts the per-element index column
+    num = F.expr(
+        "aggregate(zip_with(__frame, sequence(0, size(__frame) - 1),"
+        " (x, j) -> x * shiftleft(1L, j)), 0L, (acc, t) -> acc + t)"
+    )
+    den = F.expr("shiftleft(1L, size(__frame)) - 1")
+    out = framed.select(
+        group_col, *order_by,
+        F.size("__frame").alias("n_in_frame"),
+        num.alias("ewma_num"),
+        den.alias("ewma_den"),
+    )
+    return out.withColumn(
+        "ewma",
+        F.floor(F.col("ewma_num") / F.col("ewma_den") + F.lit(0.5))
+        .cast("bigint"),
+    )

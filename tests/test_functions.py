@@ -3502,6 +3502,71 @@ class TestHll:
         assert plan.count("Exchange") == 1
 
 
+class TestEwmaHalflife:
+    """Integer-exact EWMA with half-life decay (timeseries.py)."""
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "user_id long, t long, eid long, value double")
+
+    def test_hand_computed_series(self, spark):
+        from pincette_json_streams_spark.functions.timeseries import (
+            ewma_halflife,
+        )
+        df = self._df(spark, [(1, 1, 1, 1.0), (1, 2, 2, 2.0),
+                              (1, 3, 3, 4.0)])
+        got = {r["t"]: r for r in ewma_halflife(
+            df, order_by=["t", "eid"], group_col="user_id",
+            window=8).collect()}
+        # t=1: frame [1e6],       num = 1e6*1,        den = 1
+        assert (got[1]["ewma_num"], got[1]["ewma_den"]) == (10**6, 1)
+        # t=2: frame [1e6, 2e6],  num = 1e6*1 + 2e6*2, den = 3
+        assert (got[2]["ewma_num"], got[2]["ewma_den"]) == (5 * 10**6, 3)
+        # t=3: frame [1,2,4]e6,   num = 1e6 + 2e6*2 + 4e6*4, den = 7
+        assert (got[3]["ewma_num"], got[3]["ewma_den"]) == (21 * 10**6, 7)
+        assert got[3]["ewma"] == 3 * 10**6  # 21e6/7 exactly
+
+    def test_frame_truncates_to_window(self, spark):
+        from pincette_json_streams_spark.functions.timeseries import (
+            ewma_halflife,
+        )
+        rows = [(1, t, t, 1.0) for t in range(1, 13)]
+        got = ewma_halflife(self._df(spark, rows),
+                            order_by=["t", "eid"], group_col="user_id",
+                            window=4).collect()
+        by_t = {r["t"]: r for r in got}
+        assert by_t[12]["n_in_frame"] == 4
+        assert by_t[12]["ewma_den"] == 15  # 2^4 - 1
+        # constant series: ewma == the constant on the grid
+        assert by_t[12]["ewma"] == 10**6
+
+    def test_nan_rows_dropped(self, spark):
+        from pincette_json_streams_spark.functions.timeseries import (
+            ewma_halflife,
+        )
+        df = self._df(spark, [(1, 1, 1, 1.0),
+                              (1, 2, 2, float("nan")),
+                              (1, 3, 3, float("inf")),
+                              (1, 4, 4, 3.0)])
+        got = ewma_halflife(df, order_by=["t", "eid"],
+                            group_col="user_id", window=8).collect()
+        assert sorted(r["t"] for r in got) == [1, 4]
+        by_t = {r["t"]: r for r in got}
+        # the NaN/inf rows are absent from the frame, not zero-filled
+        assert by_t[4]["n_in_frame"] == 2
+        assert by_t[4]["ewma_num"] == 10**6 + 2 * 3 * 10**6
+
+    def test_single_shuffle_plan(self, spark):
+        from pincette_json_streams_spark.functions.timeseries import (
+            ewma_halflife,
+        )
+        df = self._df(spark, [(1, 1, 1, 1.0)])
+        plan = ewma_halflife(df, order_by=["t", "eid"],
+                             group_col="user_id", window=8) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1
+
+
 class TestRrfFuse:
     """Reciprocal-rank fusion (Cormack et al., SIGIR 2009)."""
 
