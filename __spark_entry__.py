@@ -5875,6 +5875,73 @@ ORDER BY user_id LIMIT 50
 """
 
 
+def q_prefix_jaccard(spark, sf_dir):
+    """Exact Jaccard similarity join with prefix filtering (PPJoin
+    family, Xiao et al. WWW'08) over word-token sets: only the rarest
+    |T| - ceil(t|T|) + 1 tokens of each doc are posted, so the exact
+    join's candidate volume is pruned by the threshold itself — the
+    zero-false-negative counterpart of MinHash-LSH.  Sets are word
+    3-gram shingles (unigram Jaccard is uniformly high on a shared
+    vocabulary); all threshold math is integer cross-multiplication
+    (functions/dedup.py prefix_filter_pairs)."""
+    from pincette_json_streams_spark.functions.dedup import (
+        prefix_filter_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        prefix_filter_pairs(docs, threshold_pct=60, n=3)
+        .orderBy("id_a", "id_b")
+        .select(F.col("id_a").cast("long").alias("id_a"),
+                F.col("id_b").cast("long").alias("id_b"),
+                "inter", "uni", "jacc_e6")
+    )
+
+
+def _oracle_prefix_jaccard():
+    return f"""
+WITH w AS (
+  SELECT doc_id AS id,
+         list_filter(string_split({_sql_norm()}, ' '), x -> x != '')
+           AS ws
+  FROM documents
+), toks AS (
+  SELECT id,
+         list_distinct(list_transform(
+           range(greatest(len(ws) - 2, 0)),
+           i -> array_to_string(ws[i + 1 : i + 3], ' '))) AS tok
+  FROM w
+  WHERE len(ws) >= 3
+), ex AS (
+  SELECT id, unnest(tok) AS w FROM toks
+), freq AS (
+  SELECT w, count(*) AS c FROM ex GROUP BY 1
+), ordered AS (
+  SELECT id, list(w ORDER BY c, w) AS arr, count(*) AS sz
+  FROM ex JOIN freq USING (w) GROUP BY id
+), pref AS (
+  SELECT id, unnest(arr[1 : sz - ((60 * sz + 99) // 100) + 1]) AS w
+  FROM ordered
+), cand AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM pref a JOIN pref b ON a.w = b.w AND a.id < b.id
+  GROUP BY 1, 2
+), verified AS (
+  SELECT c.id_a, c.id_b,
+         len(list_intersect(oa.arr, ob.arr))::BIGINT AS inter,
+         (oa.sz + ob.sz - len(list_intersect(oa.arr, ob.arr)))::BIGINT
+           AS uni
+  FROM cand c
+  JOIN ordered oa ON c.id_a = oa.id
+  JOIN ordered ob ON c.id_b = ob.id
+)
+SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, inter, uni,
+       (inter * 1000000) // uni AS jacc_e6
+FROM verified WHERE inter * 100 >= 60 * uni
+ORDER BY id_a, id_b
+"""
+
+
 def q_dedup_verify(spark, sf_dir):
     """Edit-distance verification of MinHash-LSH candidate pairs — the
     precision stage after the sketch recall stage (reference: near-dup
@@ -6055,6 +6122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_top": q_pagerank,
         "hybrid_rrf": q_hybrid_rrf,
         "ewma_drift": q_ewma_drift,
+        "prefix_jaccard": q_prefix_jaccard,
         "dedup_verify": q_dedup_verify,
         "embedding_outliers": q_embedding_outliers,
         "hdr_quantiles": q_hdr_quantiles,
@@ -6203,6 +6271,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_top": _oracle_pagerank(),
         "hybrid_rrf": _oracle_hybrid_rrf(),
         "ewma_drift": _ORACLE_EWMA,
+        "prefix_jaccard": _oracle_prefix_jaccard(),
         "winnow_pairs": _ORACLE_WINNOW_PAIRS,
         "dedup_verify": _oracle_dedup_verify(),
         "embedding_outliers": _ORACLE_EMBEDDING_OUTLIERS,

@@ -1152,3 +1152,94 @@ def verify_pairs_editdist(
         .filter(F.col("sim") >= min_sim)
         .select(id_a, id_b, "sim")
     )
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold_pct: int = 60,
+    n: int = 3,
+) -> DataFrame:
+    """EXACT Jaccard similarity join with prefix filtering (the PPJoin
+    family — Xiao, Wang, Lin & Yu, WWW 2008): a pair of word-token SETS
+    with Jaccard >= t MUST share at least one of the first
+    ``|T| - ceil(t*|T|) + 1`` tokens when every set is ordered by global
+    token rarity — so only that short, rare-first PREFIX is posted to
+    the inverted index.  This is the exact counterpart of MinHash-LSH:
+    zero false negatives, zero probabilistic recall, candidate volume
+    pruned by the threshold itself (higher t => shorter prefixes).
+
+    All comparisons are integer: the threshold is a percentage,
+    ``ceil(t*sz)`` is ``(pct*sz + 99) div 100``, and the verify keeps a
+    pair when ``inter * 100 >= pct * union`` — cross-multiplication, no
+    float anywhere, so a SQL oracle replays the join bit-for-bit.
+
+    Scale shape: one token-frequency hash-agg, one re-group to
+    rare-first arrays, a posting join on PREFIX tokens only (the rarest
+    tokens of each doc — posting lists are short by construction), and
+    an array_intersect verify on the candidate pairs.  Returns
+    (id_a, id_b, inter, uni, jacc_e6) with jacc_e6 on the integer 1e-6
+    grid.
+
+    The set elements are word ``n``-grams (shingles), not unigrams:
+    on natural corpora a shared vocabulary makes unigram Jaccard
+    uniformly high (measured ~0.5-0.8 across ALL pairs of the test
+    corpus), which would defeat both the threshold and the prefix
+    pruning; shingles keep only genuinely overlapping text similar."""
+    from pincette_json_streams_spark.functions.text import normalize_text
+
+    words = F.filter(F.split(normalize_text(F.col(text_col)), " "),
+                     lambda x: x != "")
+    toks = _spread(df).select(
+        F.col(id_col).alias("id"), words.alias("__w"),
+    ).select(
+        "id",
+        F.array_distinct(F.expr(
+            f"transform(sequence(1, greatest(size(__w) - {n - 1}, 0)),"
+            f" i -> concat_ws(' ', slice(__w, i, {n})))"
+        )).alias("tok"),
+    ).filter(F.size("tok") > 0)
+    ex = toks.select("id", F.explode("tok").alias("w"))
+    freq = ex.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    ordered = (
+        ex.join(freq, "w")
+        .groupBy("id")
+        .agg(F.transform(
+            F.array_sort(F.collect_list(F.struct("c", "w"))),
+            lambda s: s["w"]).alias("arr"))
+        .withColumn("sz", F.size("arr"))
+    )
+    # ceil(pct*sz/100) via (pct*sz + 99) div 100: integer-exact
+    pref = ordered.withColumn(
+        "p", F.expr(f"sz - (({threshold_pct} * sz + 99) div 100) + 1")
+    ).select(
+        "id", F.explode(F.expr("slice(arr, 1, int(p))")).alias("w"))
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(b, (F.col("a.w") == F.col("b.w"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sets = ordered.select("id", "arr", "sz")
+    verified = (
+        cand.join(sets.select(F.col("id").alias("id_a"),
+                              F.col("arr").alias("arr_a"),
+                              F.col("sz").alias("sz_a")), "id_a")
+        .join(sets.select(F.col("id").alias("id_b"),
+                          F.col("arr").alias("arr_b"),
+                          F.col("sz").alias("sz_b")), "id_b")
+        .withColumn("inter",
+                    F.size(F.array_intersect("arr_a", "arr_b"))
+                    .cast("bigint"))
+        .withColumn("uni",
+                    (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+                    .cast("bigint"))
+        .filter(F.col("inter") * 100 >= F.lit(threshold_pct)
+                * F.col("uni"))
+    )
+    return verified.select(
+        "id_a", "id_b", "inter", "uni",
+        F.expr("(inter * 1000000) div uni").alias("jacc_e6"),
+    )

@@ -3502,6 +3502,91 @@ class TestHll:
         assert plan.count("Exchange") == 1
 
 
+class TestPrefixFilterPairs:
+    """Exact Jaccard join with prefix filtering (PPJoin family)."""
+
+    def _docs(self, spark):
+        base = "the quick brown fox jumps over the lazy dog tonight"
+        rows = [
+            (1, base),
+            (2, base + " again"),                      # near-dup of 1
+            (3, base.replace("quick", "sly")),         # partial overlap
+            (4, "completely different words about spark adaptive "
+                "query execution engines"),
+            (5, base),                                 # exact dup of 1
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    @staticmethod
+    def _brute(rows, n=3, pct=60):
+        import re
+        out = []
+        toks = {}
+        for i, t in rows:
+            ws = [w for w in re.sub(r"\s+", " ", t.lower()).strip()
+                  .split(" ") if w]
+            toks[i] = {" ".join(ws[j:j + n])
+                       for j in range(len(ws) - n + 1)}
+        ids = sorted(toks)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                a, b = toks[ids[x]], toks[ids[y]]
+                if not a or not b:
+                    continue
+                inter = len(a & b)
+                uni = len(a | b)
+                if inter * 100 >= pct * uni:
+                    out.append((ids[x], ids[y], inter, uni))
+        return sorted(out)
+
+    def test_no_false_negatives_vs_brute_force(self, spark):
+        from pincette_json_streams_spark.functions.dedup import (
+            prefix_filter_pairs,
+        )
+        df = self._docs(spark)
+        got = sorted((r["id_a"], r["id_b"], r["inter"], r["uni"])
+                     for r in prefix_filter_pairs(
+                         df, threshold_pct=60, n=3).collect())
+        want = self._brute([(r["doc_id"], r["text"])
+                            for r in df.collect()])
+        assert got == want
+        assert (1, 5) in {(a, b) for a, b, *_ in got}  # the exact dup
+
+    def test_exact_dup_scores_full_jaccard(self, spark):
+        from pincette_json_streams_spark.functions.dedup import (
+            prefix_filter_pairs,
+        )
+        pairs = {(r["id_a"], r["id_b"]): r["jacc_e6"]
+                 for r in prefix_filter_pairs(
+                     self._docs(spark), threshold_pct=60).collect()}
+        assert pairs[(1, 5)] == 1_000_000
+
+    def test_prefix_posts_fewer_tokens_than_full_index(self, spark):
+        """The point of the algorithm: the posting join input must be
+        the short rare-first prefix, not the full gram set.  At t=60%
+        the prefix is |T| - ceil(0.6|T|) + 1 ≈ 0.4|T| tokens."""
+        from pincette_json_streams_spark.functions.dedup import (
+            prefix_filter_pairs,
+        )
+        from pincette_json_streams_spark.functions.text import (
+            normalize_text,
+        )
+        df = self._docs(spark)
+        full = df.select(F.explode(F.array_distinct(F.expr(
+            "transform(sequence(1, greatest(size(split(text, ' ')) - 2,"
+            " 0)), i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+        )))).count()
+        # run the operator and count rows fed into the posting join via
+        # the plan: cheap proxy — recompute the prefix length law
+        toks = df.select(F.size(F.array_distinct(F.expr(
+            "transform(sequence(1, greatest(size(split(text, ' ')) - 2,"
+            " 0)), i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+        ))).alias("sz")).collect()
+        posted = sum(r["sz"] - (60 * r["sz"] + 99) // 100 + 1
+                     for r in toks)
+        assert posted < full * 0.6
+
+
 class TestEwmaHalflife:
     """Integer-exact EWMA with half-life decay (timeseries.py)."""
 
