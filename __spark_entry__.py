@@ -5942,6 +5942,83 @@ ORDER BY id_a, id_b
 """
 
 
+def q_hll_windowed(spark, sf_dir):
+    """Time-windowed HLL rollup — the streaming distinct-count
+    pattern: sketch distinct users per (event_type, day), then roll
+    daily register tables up to the per-type total by register-max
+    merge, WITHOUT rescanning the data.  sum(daily estimates) >=
+    merged estimate (cross-day repeat visitors collapse in the merge)
+    — the rollup law is in the gate because the oracle recomputes both
+    levels from the same md5 registers."""
+    from pincette_json_streams_spark.functions.profiling import (
+        hll_estimate, hll_sketch,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    day = F.expr("ts_nanos div 86400000000000")
+    keyed = ev.select(
+        F.concat_ws("#", "event_type", day.cast("string")).alias("g"),
+        F.col("user_id").alias("u"))
+    daily = hll_sketch(keyed, "g", "u", p=9)
+    daily_est = hll_estimate(daily, "g", p=9).select(
+        F.split("g", "#").getItem(0).alias("event_type"),
+        F.col("est_distinct").alias("d_est"))
+    merged = (
+        daily.select(F.split("g", "#").getItem(0).alias("event_type"),
+                     "idx", "m", "sketch_p")
+        .groupBy("event_type", "idx")
+        .agg(F.max("m").alias("m"), F.first("sketch_p").alias("sketch_p"))
+    )
+    merged_est = hll_estimate(merged, "event_type", p=9).select(
+        "event_type", F.col("est_distinct").alias("merged_est"))
+    return (
+        daily_est.groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_days"),
+             F.sum("d_est").cast("long").alias("sum_daily_est"))
+        .join(merged_est, "event_type")
+        .orderBy("event_type")
+        .select("event_type", "n_days", "sum_daily_est",
+                F.col("merged_est").cast("long").alias("merged_est"))
+    )
+
+
+def _oracle_hll_windowed() -> str:
+    est = ("CAST(floor(CASE WHEN "
+           "(0.7213/(1.0+1.079/512))*512*512/(zp+(512-used)) <= 2.5*512 "
+           "AND used < 512 THEN 512.0 * ln(512.0/(512-used)) "
+           "ELSE (0.7213/(1.0+1.079/512))*512*512/(zp+(512-used)) END "
+           "+ 0.5) AS BIGINT)")
+    return f"""
+WITH h AS (
+  SELECT event_type AS et,
+         epoch_ns(ts) // 86400000000000 AS day,
+         ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT AS hv
+  FROM events WHERE user_id IS NOT NULL
+), reg AS (
+  SELECT et, day, hv >> 51 AS idx,
+         max(CASE WHEN (hv & ((1::BIGINT << 51) - 1)) = 0 THEN 40
+             ELSE least(51 - length(bin(hv & ((1::BIGINT << 51) - 1)))
+                        + 1, 40) END) AS m
+  FROM h GROUP BY 1, 2, 3
+), daily AS (
+  SELECT et, day, {est} AS d_est
+  FROM (SELECT et, day, sum(1.0/(1::BIGINT << m)) AS zp,
+               count(*) AS used
+        FROM reg GROUP BY 1, 2)
+), tot AS (
+  SELECT et, {est} AS merged_est
+  FROM (SELECT et, sum(1.0/(1::BIGINT << m)) AS zp, count(*) AS used
+        FROM (SELECT et, idx, max(m) AS m FROM reg GROUP BY 1, 2)
+        GROUP BY 1)
+)
+SELECT d.et AS event_type, count(*)::BIGINT AS n_days,
+       sum(d.d_est)::BIGINT AS sum_daily_est,
+       any_value(t.merged_est)::BIGINT AS merged_est
+FROM daily d JOIN tot t USING (et)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_dedup_verify(spark, sf_dir):
     """Edit-distance verification of MinHash-LSH candidate pairs — the
     precision stage after the sketch recall stage (reference: near-dup
@@ -6123,6 +6200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf": q_hybrid_rrf,
         "ewma_drift": q_ewma_drift,
         "prefix_jaccard": q_prefix_jaccard,
+        "hll_windowed": q_hll_windowed,
         "dedup_verify": q_dedup_verify,
         "embedding_outliers": q_embedding_outliers,
         "hdr_quantiles": q_hdr_quantiles,
@@ -6272,6 +6350,7 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_rrf": _oracle_hybrid_rrf(),
         "ewma_drift": _ORACLE_EWMA,
         "prefix_jaccard": _oracle_prefix_jaccard(),
+        "hll_windowed": _oracle_hll_windowed(),
         "winnow_pairs": _ORACLE_WINNOW_PAIRS,
         "dedup_verify": _oracle_dedup_verify(),
         "embedding_outliers": _ORACLE_EMBEDDING_OUTLIERS,

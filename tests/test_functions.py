@@ -3501,6 +3501,37 @@ class TestHll:
             .executedPlan().toString()
         assert plan.count("Exchange") == 1
 
+    def test_windowed_rollup_law(self, spark):
+        """Daily sketches merged by register-max must estimate <= the
+        sum of daily estimates (repeat visitors collapse), and equal
+        the direct whole-range sketch exactly (merge = rescan)."""
+        from pincette_json_streams_spark.functions.profiling import (
+            hll_estimate, hll_sketch,
+        )
+        # 3 days, users repeat across days: 0..199 each day + day*50
+        rows = [(d, u) for d in range(3)
+                for u in list(range(200)) + [1000 + d * 50 + i
+                                             for i in range(50)]]
+        df = spark.createDataFrame(rows, "day long, u long")
+        keyed = df.select(
+            F.concat_ws("#", F.lit("all"), F.col("day").cast("string"))
+            .alias("g"), "u")
+        daily = hll_sketch(keyed, "g", "u", p=9)
+        d_est = hll_estimate(daily, "g", p=9).agg(
+            F.sum("est_distinct")).collect()[0][0]
+        merged = (
+            daily.select(F.lit("all").alias("k"), "idx", "m", "sketch_p")
+            .groupBy("k", "idx")
+            .agg(F.max("m").alias("m"),
+                 F.first("sketch_p").alias("sketch_p"))
+        )
+        m_est = hll_estimate(merged, "k", p=9).collect()[0]["est_distinct"]
+        direct = hll_estimate(
+            hll_sketch(df.select(F.lit("all").alias("k"), "u"), "k", "u",
+                       p=9), "k", p=9).collect()[0]["est_distinct"]
+        assert m_est <= d_est
+        assert m_est == direct
+
 
 class TestPrefixFilterPairs:
     """Exact Jaccard join with prefix filtering (PPJoin family)."""
