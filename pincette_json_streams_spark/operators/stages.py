@@ -2164,6 +2164,44 @@ def _stage_near_dups_ext(df, spec, pctx):
     return pairs.join(verified, ["id_a", "id_b"])
 
 
+def _stage_ewma_ext(df, spec, pctx):
+    # {"value": col, "by": col, "orderBy": [cols], "window": n,
+    #  "scale": n?} — integer-exact EWMA with half-life decay over a
+    # bounded trailing frame (functions/timeseries.py ewma_halflife)
+    _batch_only(df, "$ewma", "keyed window over an ordered frame")
+    from pincette_json_streams_spark.functions.timeseries import (
+        ewma_halflife,
+    )
+
+    return ewma_halflife(
+        df,
+        order_by=list(spec.get("orderBy", ["ts_nanos"])),
+        value_col=spec.get("value", "value"),
+        group_col=spec.get("by", "user_id"),
+        window=int(spec.get("window", 8)),
+        scale=int(spec.get("scale", 10 ** 6)),
+    )
+
+
+def _stage_prefix_jaccard_ext(df, spec, pctx):
+    # {"text": col, "id": col, "thresholdPct": n, "n": n} — EXACT
+    # Jaccard similarity join with prefix filtering (PPJoin family;
+    # functions/dedup.py prefix_filter_pairs).  The exact,
+    # zero-false-negative sibling of $nearDups.
+    _batch_only(df, "$prefixJaccard", "corpus-wide posting self-join")
+    from pincette_json_streams_spark.functions.dedup import (
+        prefix_filter_pairs,
+    )
+
+    return prefix_filter_pairs(
+        df,
+        text_col=spec.get("text", "text"),
+        id_col=spec.get("id", "doc_id"),
+        threshold_pct=int(spec.get("thresholdPct", 60)),
+        n=int(spec.get("n", 3)),
+    )
+
+
 def _stage_hdr_quantiles_ext(df, spec, pctx):
     # {"value": col, "by": col?, "sigBits": n, "q": [..],
     #  "_collection": name?} — HDR-histogram quantile sketch (the
@@ -2537,8 +2575,10 @@ STAGES: dict[str, Callable[[DataFrame, Any, PipelineContext], DataFrame]] = {
     "$zorder": _stage_zorder_ext,
     "$weightedSample": _stage_weighted_sample_ext,
     "$cmsSketch": _stage_cms_sketch_ext,
+    "$ewma": _stage_ewma_ext,
     "$hdrQuantiles": _stage_hdr_quantiles_ext,
     "$nearDups": _stage_near_dups_ext,
+    "$prefixJaccard": _stage_prefix_jaccard_ext,
     "$sampleFrames": _stage_sample_frames_ext,
     "$cdcChunks": _stage_cdc_chunks_ext,
     "$bucketAuto": _stage_bucket_auto,

@@ -4195,6 +4195,39 @@ class TestNearDupsStage:
         assert r["jaccard"] >= 0.4 and r["sim"] >= 0.5
 
 
+class TestEwmaStage:
+    def test_pipeline_stage(self, spark):
+        from pincette_json_streams_spark.operators.stages import (
+            PipelineContext, compile_pipeline,
+        )
+        df = spark.createDataFrame(
+            [(1, 1, 1.0), (1, 2, 2.0), (1, 3, 4.0)],
+            "user_id long, t long, value double")
+        out = compile_pipeline(df, [
+            {"$ewma": {"value": "value", "by": "user_id",
+                       "orderBy": ["t"], "window": 8}},
+        ], PipelineContext()).collect()
+        by_t = {r["t"]: r for r in out}
+        assert by_t[3]["ewma"] == 3 * 10 ** 6  # 21e6 / 7 exactly
+
+
+class TestPrefixJaccardStage:
+    def test_pipeline_stage(self, spark):
+        from pincette_json_streams_spark.operators.stages import (
+            PipelineContext, compile_pipeline,
+        )
+        base = "the quick brown fox jumps over the lazy dog tonight"
+        df = spark.createDataFrame(
+            [(1, base), (2, base + " again"),
+             (3, "spark engines shuffle partitions across the cluster")],
+            "doc_id long, text string")
+        out = compile_pipeline(df, [
+            {"$prefixJaccard": {"thresholdPct": 60, "n": 3}},
+        ], PipelineContext()).collect()
+        assert [(r["id_a"], r["id_b"]) for r in out] == [(1, 2)]
+        assert out[0]["jacc_e6"] >= 600000
+
+
 class TestHdrDomainClamp:
     def test_nan_inf_negative_huge_never_crash_ansi(self, spark):
         """ANSI mode kills long casts on inf/overflow; the sketch must
