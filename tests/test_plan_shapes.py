@@ -395,3 +395,42 @@ class TestRound5PlanShapes:
         # the 3-explode budget per LSH input (no quadratic expansion)
         plan = _plan(spark, "split_leakfree")
         assert "CartesianProduct" not in plan
+
+
+class TestRound6PlanShapes:
+    def test_bloom_prefilter_probe_side_unshuffled(self, spark):
+        """The probe scan must reach its 5 bloom semi-joins without a
+        hash exchange: pruning BEFORE shuffle is the operator's whole
+        reason to exist."""
+        plan = _plan(spark, "bloom_prefilter")
+        assert plan.count("BroadcastHashJoin") >= 5
+        assert "CartesianProduct" not in plan
+
+    def test_pagerank_no_cartesian_and_broadcast_dangling(self, spark):
+        """Every dangling-mass 1-row aggregate must enter as a
+        broadcast nested loop (1-row), never a real cartesian."""
+        plan = _plan(spark, "pagerank_top")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" in plan  # the 1-row crossJoins
+
+    def test_hybrid_rrf_rank_windows_after_limits(self, spark):
+        """Both rank lists are LIMIT-bounded before their windows: the
+        plan must carry the TakeOrderedAndProject (top-50 sorts), and
+        the only unbounded sort allowed is none at all."""
+        plan = _plan(spark, "hybrid_rrf")
+        assert "TakeOrderedAndProject" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_prefix_jaccard_posting_join_no_cartesian(self, spark):
+        plan = _plan(spark, "prefix_jaccard")
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+            or "BroadcastHashJoin" in plan
+
+    def test_ewma_single_exchange(self, spark):
+        """One keyed window = one hash exchange over events."""
+        plan = _plan(spark, "ewma_drift")
+        exchanges = [l for l in plan.splitlines()
+                     if "Exchange hashpartitioning" in l
+                     and "Reused" not in l]
+        assert len(exchanges) <= 2  # window + final group-max
