@@ -5745,17 +5745,20 @@ def q_bloom_prefilter(spark, sf_dir):
 _ORACLE_BLOOM_PREFILTER = """
 WITH sel AS (
   SELECT o_orderkey FROM orders WHERE o_totalprice > 400000
+), selh AS (
+  SELECT ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 15))::BIGINT AS h
+  FROM sel
 ), bits AS (
-  SELECT DISTINCT
-         ('0x' || substr(md5(i::VARCHAR || ':' || o_orderkey::VARCHAR),
-                         1, 15))::BIGINT % 262144 AS pos
-  FROM sel, range(5) r(i)
+  SELECT DISTINCT ((h >> 30) + i * ((h % (1::BIGINT << 30)) | 1))
+                  % 262144 AS pos
+  FROM selh, range(5) r(i)
 ), keys AS (
-  SELECT DISTINCT l_orderkey FROM lineitem
+  SELECT l_orderkey,
+         ('0x' || substr(md5(l_orderkey::VARCHAR), 1, 15))::BIGINT AS h
+  FROM (SELECT DISTINCT l_orderkey FROM lineitem)
 ), kp AS (
   SELECT l_orderkey,
-         ('0x' || substr(md5(i::VARCHAR || ':' || l_orderkey::VARCHAR),
-                         1, 15))::BIGINT % 262144 AS pos
+         ((h >> 30) + i * ((h % (1::BIGINT << 30)) | 1)) % 262144 AS pos
   FROM keys, range(5) r(i)
 ), pass AS (
   SELECT l_orderkey FROM kp JOIN bits USING (pos)
@@ -6188,10 +6191,11 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver samples a prefix of this dict, so the
     # least-recently-driver-checked queries must come first.  Re-derived
-    # after CORRECTNESS_r05 (50/50 green): block 0 = the 28 queries whose
-    # latest driver check is r3, block 1 = the 50 last checked in r4,
-    # block 2 = the 50 sampled (green) in r5.  A 50-query prefix covers
-    # the 2 new queries plus all of block 0 plus 20 of block 1.
+    # after CORRECTNESS_r05 (50/50 green): the 11 round-6 queries have
+    # never been driver-sampled and lead; then block 0 = the 28 queries
+    # whose latest driver check is r3, block 1 = the 50 last checked in
+    # r4, block 2 = the 50 sampled (green) in r5.  A 50-query prefix
+    # covers all never-sampled + all of block 0 + 11 of block 1.
     return {
         # -- NEW in round 6 (never driver-sampled -> very front) --
         "pq_refined": q_pq_refined,

@@ -104,6 +104,9 @@ BENCH_QUERIES = [
     "bloom_prefilter",
     "pagerank_top",
     "hybrid_rrf",
+    "ewma_drift",
+    "prefix_jaccard",
+    "hll_windowed",
 ]
 
 

@@ -53,6 +53,13 @@ def pagerank(
 
     Returns (node, rank) with rank in integer units of total.
     """
+    # NOTE on caching: persisting edges/nodes here was tried and
+    # REVERTED — materializing the cache blocks AQE's broadcast-join
+    # conversion for every downstream reference (measured 2x slower at
+    # bench scale, 9 s vs 4 s).  The lazy re-derivation lets Catalyst
+    # broadcast the small sides of the upstream joins per iteration;
+    # at cluster scale, checkpoint the edge list ONCE upstream if its
+    # derivation is expensive, then hand the materialized table in.
     e = edges.select(F.col(src).cast("long").alias("src"),
                      F.col(dst).cast("long").alias("dst"))
     nodes = (

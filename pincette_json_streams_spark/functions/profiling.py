@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -540,29 +541,44 @@ def bloom_bits(
 ) -> DataFrame:
     """Bloom filter BUILD: the set-bit positions of an m-bit / k-hash
     bloom filter over ``key`` — as a (pos bigint) table, bounded at
-    ``mbits`` rows by construction, i.e. always broadcast-sized no
-    matter how big the build side is.
+    ``mbits`` rows by construction, i.e. always tiny no matter how big
+    the build side is.
 
-    Hash family is the repo's engine-portable convention (same as
-    kmv/cms/hll): position_i = md5(i ":" key) first-15-hex as bigint,
-    mod mbits — replayable in any SQL engine with md5.  One hash-agg
-    (distinct) is the only shuffle, map-side combinable.
+    Hash family: ONE md5 per key (first-15-hex = 60 bits), split into
+    Kirsch-Mitzenmacher double hashes h1 = h >> 30 and
+    h2 = (h & (2^30-1)) | 1 (odd), position_i = (h1 + i*h2) mod mbits
+    — the standard way to get k independent-enough probes from one
+    hash ("Less hashing, same performance", Kirsch & Mitzenmacher,
+    ESA 2006).  One md5 per KEY instead of k keeps the scan cost flat
+    in k; everything after the digest is integer math, replayable in
+    any SQL engine with md5.  One hash-agg (distinct) is the only
+    shuffle, map-side combinable.
 
     This is the classic 100 TB join-pruning move (runtime filter /
     sideways information passing): build on the small/filtered side,
-    broadcast the bits, drop non-matching probe rows BEFORE the real
+    ship the bits, drop non-matching probe rows BEFORE the real
     join's shuffle."""
-    i = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__i")
     kc = key if not isinstance(key, str) else F.col(key)
-    pos = (
-        F.conv(F.substring(F.md5(F.concat_ws(
-            ":", F.col("__i").cast("string"), F.col("__k"))), 1, 15),
-            16, 10).cast("bigint") % mbits
-    )
+    i = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__i")
     return (
-        df.select(kc.cast("string").alias("__k")).select(F.col("__k"), i)
-        .select(pos.alias("pos")).distinct()
+        df.select(_bloom_h1(kc).alias("__h1"), _bloom_h2(kc).alias("__h2"))
+        .select("__h1", "__h2", i)
+        .select(((F.col("__h1") + F.col("__i") * F.col("__h2")) % mbits)
+                .alias("pos"))
+        .distinct()
     )
+
+
+def _bloom_h1(kc):
+    h = F.conv(F.substring(F.md5(kc.cast("string")), 1, 15), 16, 10) \
+        .cast("bigint")
+    return F.shiftright(h, 30)
+
+
+def _bloom_h2(kc):
+    h = F.conv(F.substring(F.md5(kc.cast("string")), 1, 15), 16, 10) \
+        .cast("bigint")
+    return (h % F.lit(1 << 30)).bitwiseOR(F.lit(1))
 
 
 def bloom_prefilter(
@@ -577,20 +593,63 @@ def bloom_prefilter(
     the SAME mbits/k) — all true members survive, plus the bloom's
     false positives (~(1-e^{-kn/m})^k).
 
-    Plan shape: k chained BROADCAST left-semi joins, one per hash
-    position — no shuffle of the probe side at all; each join only
-    narrows the stream.  The false-positive rows are exactly
-    reproducible from the hash math, so an exact-SQL oracle can verify
-    the filter bit-for-bit."""
+    Plan shape: the position table is folded into a REAL bitmap
+    (mbits/64 uint64 words) that rides to every executor in the Arrow
+    kernel's closure (the broadcast-variable pattern of _assign_udf /
+    _shingle_sig_vec) — the probe is then a PURE MAP: one md5 per row,
+    k integer double-hash probes against the in-memory bitmap, zero
+    joins, zero shuffles, zero re-evaluations of the build side.  This
+    mirrors what Spark's own runtime bloom filters
+    (InjectRuntimeFilter) materialize; the bounded driver collect
+    (<= mbits rows) is the same class as the IVF seed or moments
+    collects.  A Column-expression probe was tried first and rejected:
+    CollapseProject inlines h1/h2 into every one of the k conjuncts,
+    so the plan evaluates 4k md5 calls per row (measured 9 s vs the
+    kernel's sub-second at sf0.1).  The false-positive rows are
+    exactly reproducible from the hash math, so an exact-SQL oracle
+    verifies the filter bit-for-bit."""
+    if mbits > (1 << 26):
+        raise ValueError(
+            f"mbits {mbits} > 2^26: the closure bitmap would exceed "
+            "8 MB — shard the filter or raise the threshold")
+    import numpy as np
+
     kc = key if not isinstance(key, str) else F.col(key)
-    out = probe
-    for i in range(k):
-        pos = (
-            F.conv(F.substring(F.md5(F.concat_ws(
-                ":", F.lit(str(i)), kc.cast("string"))), 1, 15),
-                16, 10).cast("bigint") % mbits
-        )
-        out = out.withColumn("__pos", pos).join(
-            F.broadcast(bits), F.col("__pos") == bits["pos"], "left_semi"
-        ).drop("__pos")
-    return out
+    # fold positions into 64-bit words JVM-SIDE (bit_or agg): the
+    # driver then pulls <= mbits/64 rows instead of every set bit —
+    # collecting the raw position table through py4j dominated the
+    # build cost before this
+    word_rows = (
+        bits.select(F.expr("pos div 64").alias("w"),
+                    F.expr("shiftleft(1L, int(pos % 64))").alias("b"))
+        .groupBy("w").agg(F.expr("bit_or(b)").alias("bits"))
+        .collect()
+    )
+    words = np.zeros(mbits // 64, dtype=np.uint64)
+    for r in word_rows:
+        words[int(r["w"])] = np.uint64(int(r["bits"]) & ((1 << 64) - 1))
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def might_contain(keys: pd.Series) -> pd.Series:
+        import hashlib
+
+        import numpy as np
+
+        vals = keys.astype(str).to_numpy()
+        h = np.fromiter(
+            (int(hashlib.md5(v.encode()).hexdigest()[:15], 16)
+             for v in vals),
+            dtype=np.uint64, count=len(vals))
+        h1 = h >> np.uint64(30)
+        h2 = (h & np.uint64((1 << 30) - 1)) | np.uint64(1)
+        ok = np.ones(len(vals), dtype=bool)
+        for i in range(k):
+            p = (h1 + np.uint64(i) * h2) % np.uint64(mbits)
+            bit = (words[(p >> np.uint64(6)).astype(np.int64)]
+                   >> (p & np.uint64(63))) & np.uint64(1)
+            ok &= bit.astype(bool)
+        return pd.Series(ok)
+
+    return probe.filter(might_contain(kc.cast("string")))

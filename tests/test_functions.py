@@ -3828,10 +3828,11 @@ class TestBloomFilter:
             .collect()[0]
         assert got[0] <= 256 and got[1] >= 0 and got[2] < 256
 
-    def test_probe_plan_is_broadcast_semi_no_shuffle(self, spark):
-        """The probe side must see k broadcast LEFT-SEMI joins and NO
-        exchange: that's the whole point of the runtime filter — prune
-        before any shuffle."""
+    def test_probe_plan_is_pure_map(self, spark):
+        """The probe must be a single map over the scan — the bitmap
+        rides as an array literal, so there is NO join and NO exchange
+        anywhere in the probe plan: prune before any shuffle, without
+        re-evaluating the build side k times."""
         from pincette_json_streams_spark.functions.profiling import (
             bloom_bits, bloom_prefilter,
         )
@@ -3840,12 +3841,30 @@ class TestBloomFilter:
         bits = bloom_bits(members, "k", mbits=1 << 12, k=3)
         plan = bloom_prefilter(probe, bits, "k", mbits=1 << 12, k=3) \
             ._jdf.queryExecution().executedPlan().toString()
-        assert plan.count("BroadcastHashJoin") == 3
-        assert "LeftSemi" in plan
-        # the only exchanges allowed are the broadcast of the bits side
-        # (+ its build agg); the probe Range scan joins with none above it
-        head = plan.split("BroadcastHashJoin")[0]
-        assert "Exchange hashpartitioning" not in head
+        assert "Join" not in plan
+        assert "Exchange" not in plan
+
+    def test_one_md5_per_row(self, spark):
+        """Kirsch-Mitzenmacher double hashing: the probe plan must
+        carry exactly one md5 call per row no matter k."""
+        from pincette_json_streams_spark.functions.profiling import (
+            bloom_bits, bloom_prefilter,
+        )
+        members = spark.range(0, 50).select(F.col("id").alias("k"))
+        probe = spark.range(0, 100).select(F.col("id").alias("k"))
+        bits = bloom_bits(members, "k", mbits=1 << 10, k=5)
+        opt = bloom_prefilter(probe, bits, "k", mbits=1 << 10, k=5) \
+            ._jdf.queryExecution().optimizedPlan().toString()
+        assert opt.count("md5(") <= 2  # h1 + h2 share one digest subtree
+
+    def test_mbits_literal_guard(self, spark):
+        from pincette_json_streams_spark.functions.profiling import (
+            bloom_bits, bloom_prefilter,
+        )
+        members = spark.range(0, 10).select(F.col("id").alias("k"))
+        bits = bloom_bits(members, "k", mbits=1 << 10, k=2)
+        with pytest.raises(ValueError):
+            bloom_prefilter(members, bits, "k", mbits=1 << 27, k=2)
 
 
 class TestProductQuantization:
