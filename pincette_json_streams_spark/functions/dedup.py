@@ -1202,6 +1202,11 @@ def prefix_filter_pairs(
     ).filter(F.size("tok") > 0)
     ex = toks.select("id", F.explode("tok").alias("w"))
     freq = ex.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    # ordered is consumed three times (prefix posting + both sides of
+    # the verify join).  Checkpointing it was tried and REVERTED:
+    # materializing the wide gram arrays costs more than recomputing
+    # them AND blocks AQE's join planning downstream (14 s vs 8.4 s at
+    # sf0.1) — the same lesson as pagerank's un-cached edge list.
     ordered = (
         ex.join(freq, "w")
         .groupBy("id")
