@@ -6022,6 +6022,77 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_graph_triangles(spark, sf_dir):
+    """Exact triangle counting + local clustering coefficients over
+    the co-ordered-parts graph (parts are adjacent when some order
+    contains both): the degree-ordered 'forward' algorithm (Schank &
+    Wagner 2005) enumerates each triangle once at its lowest-degree
+    vertex, bounding the wedge self-join by arboricity — the shape
+    that survives a power-law web graph.  All integer; coefficients on
+    the 1e-6 grid (functions/graph.py).  The graph is thresholded to
+    high-quantity line items (the usual co-purchase practice: the
+    unthresholded graph is near-complete — avg degree 120, 41M wedges
+    — and carries no signal)."""
+    from pincette_json_streams_spark.functions.graph import (
+        clustering_coefficients,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") >= 35).select("l_orderkey", "l_partkey")
+    a, b = li.alias("ga"), li.alias("gb")
+    edges = a.join(
+        b, (F.col("ga.l_orderkey") == F.col("gb.l_orderkey"))
+        & (F.col("ga.l_partkey") < F.col("gb.l_partkey"))
+    ).select(F.col("ga.l_partkey").alias("src"),
+             F.col("gb.l_partkey").alias("dst"))
+    cc = clustering_coefficients(edges)
+    return (
+        cc.orderBy(F.col("triangles").desc(), "node").limit(20)
+        .select(F.col("node").cast("long").alias("node"),
+                F.col("deg").cast("long").alias("deg"),
+                "triangles",
+                F.col("coeff_e6").cast("long").alias("coeff_e6"))
+    )
+
+
+_ORACLE_TRIANGLES = """
+WITH li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 35
+), pe AS (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT a AS node FROM pe UNION ALL SELECT b FROM pe) GROUP BY 1
+), o AS (
+  SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND pe.a < pe.b)
+              THEN pe.a ELSE pe.b END AS u,
+         CASE WHEN (da.d < db.d) OR (da.d = db.d AND pe.a < pe.b)
+              THEN pe.b ELSE pe.a END AS v
+  FROM pe JOIN deg da ON pe.a = da.node JOIN deg db ON pe.b = db.node
+), w AS (
+  SELECT o1.u, o1.v AS x, o2.v AS y
+  FROM o o1 JOIN o o2 ON o1.u = o2.u AND o1.v < o2.v
+), closing AS (
+  SELECT u AS x, v AS y FROM o UNION ALL SELECT v AS x, u AS y FROM o
+), tri AS (
+  SELECT w.u AS n1, w.x AS n2, w.y AS n3
+  FROM w JOIN closing ON w.x = closing.x AND w.y = closing.y
+), tcnt AS (
+  SELECT node, count(*) AS triangles FROM (
+    SELECT n1 AS node FROM tri UNION ALL SELECT n2 FROM tri
+    UNION ALL SELECT n3 FROM tri) GROUP BY 1
+)
+SELECT deg.node::BIGINT AS node, deg.d::BIGINT AS deg,
+       coalesce(t.triangles, 0)::BIGINT AS triangles,
+       ((2000000 * coalesce(t.triangles, 0))
+        // (deg.d * (deg.d - 1)))::BIGINT AS coeff_e6
+FROM deg LEFT JOIN tcnt t USING (node) WHERE deg.d >= 2
+ORDER BY triangles DESC, node LIMIT 20
+"""
+
+
 def q_dedup_verify(spark, sf_dir):
     """Edit-distance verification of MinHash-LSH candidate pairs — the
     precision stage after the sketch recall stage (reference: near-dup
@@ -6205,6 +6276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_drift": q_ewma_drift,
         "prefix_jaccard": q_prefix_jaccard,
         "hll_windowed": q_hll_windowed,
+        "graph_triangles": q_graph_triangles,
         "dedup_verify": q_dedup_verify,
         "embedding_outliers": q_embedding_outliers,
         "hdr_quantiles": q_hdr_quantiles,
@@ -6355,6 +6427,7 @@ def oracle_sql() -> dict[str, str]:
         "ewma_drift": _ORACLE_EWMA,
         "prefix_jaccard": _oracle_prefix_jaccard(),
         "hll_windowed": _oracle_hll_windowed(),
+        "graph_triangles": _ORACLE_TRIANGLES,
         "winnow_pairs": _ORACLE_WINNOW_PAIRS,
         "dedup_verify": _oracle_dedup_verify(),
         "embedding_outliers": _ORACLE_EMBEDDING_OUTLIERS,

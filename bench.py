@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "ewma_drift",
     "prefix_jaccard",
     "hll_windowed",
+    "graph_triangles",
 ]
 
 

@@ -3785,6 +3785,65 @@ class TestPageRank:
         assert jobs_during(6) == jobs_during(3)
 
 
+class TestTriangleCounts:
+    """Degree-ordered exact triangle counting (functions/graph.py)."""
+
+    @staticmethod
+    def _brute(edges):
+        from itertools import combinations
+        adj = {}
+        es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+        for a, b in es:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        counts = {}
+        for tri in combinations(sorted(adj), 3):
+            a, b, c = tri
+            if b in adj[a] and c in adj[a] and c in adj[b]:
+                for n in tri:
+                    counts[n] = counts.get(n, 0) + 1
+        return counts
+
+    def test_k4_every_node_in_three_triangles(self, spark):
+        from pincette_json_streams_spark.functions.graph import (
+            clustering_coefficients, triangle_counts,
+        )
+        edges = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["node"]: r["triangles"]
+               for r in triangle_counts(df).collect()}
+        assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+        cc = {r["node"]: r["coeff_e6"]
+              for r in clustering_coefficients(df).collect()}
+        assert cc == {1: 1_000_000, 2: 1_000_000,
+                      3: 1_000_000, 4: 1_000_000}
+
+    def test_path_graph_has_no_triangles(self, spark):
+        from pincette_json_streams_spark.functions.graph import (
+            clustering_coefficients, triangle_counts,
+        )
+        df = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4)], "src long, dst long")
+        assert triangle_counts(df).count() == 0
+        cc = {r["node"]: (r["triangles"], r["coeff_e6"])
+              for r in clustering_coefficients(df).collect()}
+        assert cc == {2: (0, 0), 3: (0, 0)}  # deg-1 endpoints excluded
+
+    def test_matches_brute_force_with_dupes_and_loops(self, spark):
+        """Duplicate edges, reversed duplicates and self-loops must
+        not change the simple-graph triangle counts."""
+        from pincette_json_streams_spark.functions.graph import (
+            triangle_counts,
+        )
+        edges = [(1, 2), (2, 1), (2, 3), (1, 3), (3, 3), (3, 4),
+                 (4, 5), (3, 5), (5, 3), (1, 4), (2, 5), (4, 2),
+                 (6, 7), (7, 8), (6, 8), (1, 2)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["node"]: r["triangles"]
+               for r in triangle_counts(df).collect()}
+        assert got == self._brute(edges)
+
+
 class TestBloomFilter:
     """Bloom-filter build + probe (join pruning / runtime filter)."""
 
