@@ -2242,6 +2242,28 @@ def _stage_cms_sketch_ext(df, spec, pctx):
     return sketch
 
 
+def _stage_hll_sketch_ext(df, spec, pctx):
+    # {"value": col, "by": col?, "p": n, "_collection": name?} — HLL
+    # register table: the distinct-count sibling of $cmsSketch.  Max
+    # per (group, register) is a streaming-legal update-mode
+    # aggregation; registers merge later with hll_merge/hll_estimate
+    # (mergeable state, same pattern as the cms cells).
+    from pincette_json_streams_spark.functions.profiling import (
+        hll_sketch,
+    )
+
+    group = spec.get("by")
+    src = df
+    if group is None:
+        group = "__all"
+        src = df.withColumn("__all", F.lit("all"))
+    sketch = hll_sketch(src, group, spec.get("value", "value"),
+                        p=int(spec.get("p", 9)))
+    if isinstance(spec.get("_collection"), str):
+        pctx.catalog[spec["_collection"]] = sketch
+    return sketch
+
+
 def _stage_facet_ext(df, spec, pctx):
     """$facet batch extension (MongoDB shape): run several sub-pipelines
     over the SAME input and emit ONE row with an array column per facet.
@@ -2575,6 +2597,7 @@ STAGES: dict[str, Callable[[DataFrame, Any, PipelineContext], DataFrame]] = {
     "$zorder": _stage_zorder_ext,
     "$weightedSample": _stage_weighted_sample_ext,
     "$cmsSketch": _stage_cms_sketch_ext,
+    "$hllSketch": _stage_hll_sketch_ext,
     "$ewma": _stage_ewma_ext,
     "$hdrQuantiles": _stage_hdr_quantiles_ext,
     "$nearDups": _stage_near_dups_ext,

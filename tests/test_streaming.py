@@ -721,6 +721,27 @@ class TestStreamingRound3:
             per_d[r["d"]] = per_d.get(r["d"], 0) + r["cnt"]
         assert per_d == {0: 4, 1: 4}
 
+    def test_streaming_hll_sketch(self, spark, tmp_path, docs_dir):
+        """$hllSketch drains as an update-mode register-max aggregation
+        — the streaming distinct-count sibling of $cmsSketch."""
+        catalog = file_stream_catalog(
+            spark, {"docs": docs_dir}, {"docs": self.DOCS_SCHEMA})
+        app = StreamingApp(spark, {
+            "application": "r6hll", "parts": [
+                {"type": "stream", "name": "s", "fromTopic": "docs",
+                 "toTopic": "sketch", "pipeline": [
+                     {"$hllSketch": {"value": "tok", "p": 4}},
+                 ]},
+            ],
+        }, catalog)
+        sink = memory_sink(tmp_path)
+        app.run_until_drained(sink)
+        regs = spark.sql(
+            f"SELECT * FROM mem_{sink.run_id}_sketch").collect()
+        assert 0 < len(regs) <= 1 << 4
+        assert all(r["sketch_p"] == 4 and 1 <= r["m"] <= 40
+                   for r in regs)
+
 
 class TestBatchOnlyStageGuards:
     """Batch-only stages reject streaming input with a clear spec-level
