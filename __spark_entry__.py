@@ -6093,6 +6093,59 @@ ORDER BY triangles DESC, node LIMIT 20
 """
 
 
+def q_robust_outliers(spark, sf_dir):
+    """Median/MAD robust z-scores over the event value stream per
+    event type — the outlier gauge a corrupt spike cannot drag
+    (mean/stddev have a 0% breakdown point).  Rank-based lower
+    medians, sign-split integer division (Spark div truncates, DuckDB
+    // floors — they disagree on negatives), everything on the 1e6
+    grid (functions/profiling.py robust_zscores).  Top 20 by |z|."""
+    from pincette_json_streams_spark.functions.profiling import (
+        robust_zscores,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    z = robust_zscores(ev, "value", "event_type", "event_id")
+    return (
+        z.orderBy(F.abs(F.col("z_e6")).desc(), "event_id").limit(20)
+        .select("event_type",
+                F.col("event_id").cast("long").alias("event_id"),
+                "v", "z_e6")
+    )
+
+
+_ORACLE_ROBUST = """
+WITH e AS (
+  SELECT event_type AS g, event_id AS id,
+         CAST(floor(value::DOUBLE * 1000000 + 0.5) AS BIGINT) AS v
+  FROM events
+  WHERE NOT isnan(value::DOUBLE) AND abs(value::DOUBLE) != 'infinity'
+), rk AS (
+  SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS r,
+         count(*) OVER (PARTITION BY g) AS n
+  FROM e
+), med AS (
+  SELECT g, v AS med FROM rk WHERE r = (n + 1) // 2
+), dev AS (
+  SELECT e.g, e.id, e.v, e.v - m.med AS sd, abs(e.v - m.med) AS d
+  FROM e JOIN med m ON e.g = m.g
+), rk2 AS (
+  SELECT g, d, row_number() OVER (PARTITION BY g ORDER BY d) AS r,
+         count(*) OVER (PARTITION BY g) AS n
+  FROM dev
+), mad AS (
+  SELECT g, d AS mad FROM rk2 WHERE r = (n + 1) // 2
+)
+SELECT dev.g AS event_type, dev.id::BIGINT AS event_id,
+       dev.v::BIGINT AS v,
+       ((CASE WHEN sd > 0 THEN 1 WHEN sd < 0 THEN -1 ELSE 0 END)
+        * floor(abs(sd) * 1000000.0 / mad.mad))::BIGINT AS z_e6
+FROM dev JOIN mad ON dev.g = mad.g
+WHERE mad.mad > 0
+ORDER BY abs(z_e6) DESC, event_id LIMIT 20
+"""
+
+
 def q_dedup_verify(spark, sf_dir):
     """Edit-distance verification of MinHash-LSH candidate pairs — the
     precision stage after the sketch recall stage (reference: near-dup
@@ -6277,6 +6330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_jaccard": q_prefix_jaccard,
         "hll_windowed": q_hll_windowed,
         "graph_triangles": q_graph_triangles,
+        "robust_outliers": q_robust_outliers,
         "dedup_verify": q_dedup_verify,
         "embedding_outliers": q_embedding_outliers,
         "hdr_quantiles": q_hdr_quantiles,
@@ -6428,6 +6482,7 @@ def oracle_sql() -> dict[str, str]:
         "prefix_jaccard": _oracle_prefix_jaccard(),
         "hll_windowed": _oracle_hll_windowed(),
         "graph_triangles": _ORACLE_TRIANGLES,
+        "robust_outliers": _ORACLE_ROBUST,
         "winnow_pairs": _ORACLE_WINNOW_PAIRS,
         "dedup_verify": _oracle_dedup_verify(),
         "embedding_outliers": _ORACLE_EMBEDDING_OUTLIERS,

@@ -30,6 +30,7 @@ __all__ = [
     "kmv_estimate", "cms_sketch", "cms_merge", "cms_estimate",
     "hll_sketch", "hll_merge", "hll_estimate", "hll_distinct",
     "hdr_sketch", "hdr_merge", "hdr_quantiles",
+    "bloom_bits", "bloom_prefilter", "robust_zscores",
 ]
 
 
@@ -653,3 +654,68 @@ def bloom_prefilter(
         return pd.Series(ok)
 
     return probe.filter(might_contain(kc.cast("string")))
+
+
+def robust_zscores(
+    df: DataFrame,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    id_col: str = "event_id",
+    scale: int = 10 ** 6,
+) -> DataFrame:
+    """Median/MAD robust z-score per group — the outlier gauge that one
+    corrupt spike cannot drag (unlike mean/stddev, whose breakdown
+    point is 0%): z = (x - median) / MAD with MAD = median(|x - med|).
+
+    Rank-based and engine-exact: values land on the ``scale`` grid,
+    both medians are LOWER medians (the element at rank
+    ``(n+1) div 2`` of the sorted sequence — no interpolation), and
+    the z is ``sign * floor(|x - med| * 1e6 / mad)`` computed in
+    DOUBLE with the same operation order on both engines — integer
+    ``div`` would ANSI-overflow on a hostile spike (|d| * 1e6 > 2^63
+    kills the whole job), while the double path stays engine-identical
+    at any magnitude (beyond 2^53 grid units it loses exactness to the
+    SAME IEEE rounding on both sides).  Sign-split because Spark's
+    ``div``/DuckDB's ``//`` disagree on negatives anyway.
+
+    Non-finite values are dropped up front (ANSI audit).  Scale shape:
+    two keyed windows (rank within group) + two 1-row-per-group
+    aggregates broadcast back by join — the same envelope as any
+    grouped quantile; no driver action.
+
+    Returns (group, id, v, z_e6) for rows with MAD > 0."""
+    from pyspark.sql.window import Window
+
+    vd = F.col(value_col).cast("double")
+    v = F.floor(vd * scale + F.lit(0.5)).cast("bigint")
+    fin = df.filter(~F.isnan(vd) & (F.abs(vd) != float("inf"))).select(
+        F.col(group_col).alias("g"), F.col(id_col).alias("id"),
+        v.alias("v"),
+    )
+    w = Window.partitionBy("g").orderBy("v")
+    ranked = fin.withColumn("__r", F.row_number().over(w)).withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy("g")))
+    med = (
+        ranked.filter(F.col("__r") == F.expr("(__n + 1) div 2"))
+        .select("g", F.col("v").alias("__med"))
+    )
+    dev = fin.join(med, "g").withColumn(
+        "__d", F.abs(F.col("v") - F.col("__med")))
+    wd = Window.partitionBy("g").orderBy("__d")
+    mad = (
+        dev.withColumn("__r", F.row_number().over(wd))
+        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy("g")))
+        .filter(F.col("__r") == F.expr("(__n + 1) div 2"))
+        .select("g", F.col("__d").alias("__mad"))
+    )
+    return (
+        dev.join(mad, "g")
+        .filter(F.col("__mad") > 0)
+        .select(
+            F.col("g").alias(group_col), F.col("id").alias(id_col),
+            "v",
+            (F.signum(F.col("v") - F.col("__med")).cast("bigint")
+             * F.expr("floor(abs(v - __med) * 1000000.0 / __mad)"))
+            .cast("bigint").alias("z_e6"),
+        )
+    )

@@ -3785,6 +3785,57 @@ class TestPageRank:
         assert jobs_during(6) == jobs_during(3)
 
 
+class TestRobustZscores:
+    """Median/MAD robust z-scores (functions/profiling.py)."""
+
+    def test_hand_computed(self, spark):
+        from pincette_json_streams_spark.functions.profiling import (
+            robust_zscores,
+        )
+        # values 1..5: med=3e6; |d|={2,1,0,1,2}e6 sorted {0,1,1,2,2},
+        # lower median (rank 3) = 1e6 -> z = (v-3e6)*1e6 div 1e6
+        df = spark.createDataFrame(
+            [("a", i, float(i)) for i in range(1, 6)],
+            "g string, id long, value double")
+        got = {r["id"]: r["z_e6"] for r in robust_zscores(
+            df, "value", "g", "id").collect()}
+        assert got == {1: -2_000_000, 2: -1_000_000, 3: 0,
+                       4: 1_000_000, 5: 2_000_000}
+
+    def test_one_spike_cannot_drag_the_gauge(self, spark):
+        """The reason MAD exists: replacing one value with a 1e9 spike
+        must leave every other score unchanged (median and MAD are
+        insensitive to a single outlier), while the spike itself z's
+        off the chart."""
+        from pincette_json_streams_spark.functions.profiling import (
+            robust_zscores,
+        )
+        base = [("a", i, float(i)) for i in range(1, 6)]
+        spiked = base[:4] + [("a", 5, 1e9)]
+        z0 = {r["id"]: r["z_e6"] for r in robust_zscores(
+            spark.createDataFrame(base, "g string, id long, value double"),
+            "value", "g", "id").collect()}
+        z1 = {r["id"]: r["z_e6"] for r in robust_zscores(
+            spark.createDataFrame(spiked, "g string, id long, value double"),
+            "value", "g", "id").collect()}
+        for i in (1, 2, 4):
+            assert z1[i] == z0[i]
+        assert z1[5] > 10_000 * 1_000_000  # the spike screams
+
+    def test_nan_and_zero_mad_groups_dropped(self, spark):
+        from pincette_json_streams_spark.functions.profiling import (
+            robust_zscores,
+        )
+        df = spark.createDataFrame(
+            [("const", 1, 7.0), ("const", 2, 7.0), ("const", 3, 7.0),
+             ("n", 4, float("nan")), ("n", 5, 1.0)],
+            "g string, id long, value double")
+        rows = robust_zscores(df, "value", "g", "id").collect()
+        # constant group: MAD 0 -> excluded; NaN row dropped leaves a
+        # single-point group whose MAD is also 0 -> excluded
+        assert rows == []
+
+
 class TestTriangleCounts:
     """Degree-ordered exact triangle counting (functions/graph.py)."""
 
