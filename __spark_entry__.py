@@ -6146,6 +6146,55 @@ ORDER BY abs(z_e6) DESC, event_id LIMIT 20
 """
 
 
+def q_collocations(spark, sf_dir):
+    """NPMI collocation mining (the word2vec phrase-detection pass):
+    bigram + unigram hash-aggs, min_count pruning BEFORE the unigram
+    joins, identically-ordered double ln on the 1e4 grid
+    (functions/text.py collocations).  Top 30 phrases."""
+    from pincette_json_streams_spark.functions.text import collocations
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        collocations(docs, min_count=5)
+        .orderBy(F.col("npmi_e4").desc(), "w1", "w2").limit(30)
+    )
+
+
+_ORACLE_COLLOCATIONS = f"""
+WITH ws AS (
+  SELECT list_filter(string_split({_sql_norm()}, ' '), x -> x != '')
+           AS w
+  FROM documents
+), pairs AS (
+  SELECT p.w1 AS w1, p.w2 AS w2 FROM (
+    SELECT unnest(list_transform(
+      range(1, greatest(len(w), 1)),
+      i -> struct_pack(w1 := w[i], w2 := w[i + 1]))) AS p
+    FROM ws)
+), uni AS (
+  SELECT t.w AS w, count(*) AS c
+  FROM (SELECT unnest(w) AS w FROM ws) t GROUP BY 1
+), totals AS (
+  SELECT (SELECT sum(c) FROM uni)::BIGINT AS n,
+         (SELECT count(*) FROM pairs)::BIGINT AS b
+), big AS (
+  SELECT w1, w2, count(*)::BIGINT AS cxy FROM pairs
+  GROUP BY 1, 2 HAVING count(*) >= 5
+)
+SELECT big.w1, big.w2, big.cxy,
+       CAST(floor(ln((big.cxy::DOUBLE * t.n * t.n)
+                     / (t.b::DOUBLE * ux.c * uy.c)) * 1e4 + 0.5)
+            AS BIGINT) AS pmi_e4,
+       CAST(floor(ln((big.cxy::DOUBLE * t.n * t.n)
+                     / (t.b::DOUBLE * ux.c * uy.c))
+                  / ln(t.b::DOUBLE / big.cxy) * 1e4 + 0.5)
+            AS BIGINT) AS npmi_e4
+FROM big JOIN uni ux ON big.w1 = ux.w JOIN uni uy ON big.w2 = uy.w,
+     totals t
+ORDER BY npmi_e4 DESC, w1, w2 LIMIT 30
+"""
+
+
 def q_dedup_verify(spark, sf_dir):
     """Edit-distance verification of MinHash-LSH candidate pairs — the
     precision stage after the sketch recall stage (reference: near-dup
@@ -6331,6 +6380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_windowed": q_hll_windowed,
         "graph_triangles": q_graph_triangles,
         "robust_outliers": q_robust_outliers,
+        "collocations_npmi": q_collocations,
         "dedup_verify": q_dedup_verify,
         "embedding_outliers": q_embedding_outliers,
         "hdr_quantiles": q_hdr_quantiles,
@@ -6483,6 +6533,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_windowed": _oracle_hll_windowed(),
         "graph_triangles": _ORACLE_TRIANGLES,
         "robust_outliers": _ORACLE_ROBUST,
+        "collocations_npmi": _ORACLE_COLLOCATIONS,
         "winnow_pairs": _ORACLE_WINNOW_PAIRS,
         "dedup_verify": _oracle_dedup_verify(),
         "embedding_outliers": _ORACLE_EMBEDDING_OUTLIERS,

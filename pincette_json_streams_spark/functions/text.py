@@ -1251,3 +1251,63 @@ def bm25_scores(
         )
         .withColumn("score", F.col("score_e4") / F.lit(1e4))
     )
+
+
+def collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+) -> DataFrame:
+    """Collocation (phrase) mining by normalized pointwise mutual
+    information — the word2vec-style phrase-detection pass a corpus
+    runs before tokenizer training: npmi = ln(p(xy)/(p(x)p(y))) /
+    ln(1/p(xy)), +1 = always together, 0 = independent.
+
+    Float contract: every count is an exact integer; the two ln calls
+    take identically-ordered double expressions on both engines and
+    land on the 1e4 grid (the bm25 convention).  ``min_count`` prunes
+    the bigram table BEFORE the unigram joins — the df-cap move that
+    bounds the join input at scale.
+
+    Plan shape: one bigram hash-agg + one unigram hash-agg over the
+    token stream, two equi-joins against the (pruned) bigram table,
+    1-row totals broadcast.  Returns (w1, w2, cxy, pmi_e4, npmi_e4).
+    """
+    words = F.filter(F.split(normalize_text(F.col(text_col)), " "),
+                     lambda x: x != "")
+    toks = df.select(words.alias("__w"))
+    pairs = toks.select(F.explode(F.expr(
+        "CASE WHEN size(__w) >= 2 THEN transform("
+        "sequence(1, size(__w) - 1),"
+        " i -> struct(__w[i - 1] AS w1, __w[i] AS w2))"
+        " ELSE array() END")).alias("p")).select("p.w1", "p.w2")
+    uni = (
+        toks.select(F.explode("__w").alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = uni.agg(
+        F.sum("c").cast("bigint").alias("__n")).crossJoin(
+        pairs.agg(F.count(F.lit(1)).cast("bigint").alias("__b")))
+    big = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cxy"))
+        .filter(F.col("cxy") >= min_count)
+    )
+    joined = (
+        big.join(uni.select(F.col("w").alias("w1"),
+                            F.col("c").alias("__cx")), "w1")
+        .join(uni.select(F.col("w").alias("w2"),
+                         F.col("c").alias("__cy")), "w2")
+        .crossJoin(F.broadcast(totals))
+    )
+    pmi = F.expr(
+        "ln((cast(cxy AS DOUBLE) * __n * __n)"
+        " / (cast(__b AS DOUBLE) * __cx * __cy))")
+    denom = F.expr("ln(cast(__b AS DOUBLE) / cxy)")
+    return joined.select(
+        "w1", "w2", "cxy",
+        F.floor(pmi * 1e4 + F.lit(0.5)).cast("bigint").alias("pmi_e4"),
+        F.floor(pmi / denom * 1e4 + F.lit(0.5)).cast("bigint")
+        .alias("npmi_e4"),
+    )

@@ -3785,6 +3785,56 @@ class TestPageRank:
         assert jobs_during(6) == jobs_during(3)
 
 
+class TestCollocations:
+    """NPMI collocation mining (functions/text.py)."""
+
+    def test_matches_python_mirror_and_ranks_phrase_first(self, spark):
+        import math
+        import re
+        from pincette_json_streams_spark.functions.text import (
+            collocations,
+        )
+        docs = [
+            (i, "the new york office sent the report to new york today")
+            for i in range(3)
+        ] + [(10 + i, "some filler words appear here and there") for i in
+             range(3)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {(r["w1"], r["w2"]): (r["cxy"], r["pmi_e4"], r["npmi_e4"])
+               for r in collocations(df, min_count=3).collect()}
+
+        # python mirror
+        uni, big, b = {}, {}, 0
+        for _, t in docs:
+            ws = [w for w in re.sub(r"\s+", " ", t.lower()).strip()
+                  .split(" ") if w]
+            for w in ws:
+                uni[w] = uni.get(w, 0) + 1
+            for x, y in zip(ws, ws[1:]):
+                big[(x, y)] = big.get((x, y), 0) + 1
+                b += 1
+        n = sum(uni.values())
+        for (x, y), cxy in big.items():
+            if cxy < 3:
+                continue
+            pmi = math.log((cxy * n * n) / (b * uni[x] * uni[y]))
+            npmi = pmi / math.log(b / cxy)
+            assert got[(x, y)] == (
+                cxy, math.floor(pmi * 1e4 + 0.5),
+                math.floor(npmi * 1e4 + 0.5)), (x, y)
+        # "new york" is a perfect collocation: highest npmi
+        top = max(got, key=lambda k: got[k][2])
+        assert top == ("new", "york")
+
+    def test_min_count_prunes(self, spark):
+        from pincette_json_streams_spark.functions.text import (
+            collocations,
+        )
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma")], "doc_id long, text string")
+        assert collocations(df, min_count=2).count() == 0
+
+
 class TestRobustZscores:
     """Median/MAD robust z-scores (functions/profiling.py)."""
 
