@@ -6195,6 +6195,54 @@ ORDER BY npmi_e4 DESC, w1, w2 LIMIT 30
 """
 
 
+def q_attribution(spark, sf_dir):
+    """Last-touch marketing attribution: every purchase credits the
+    user's most recent preceding click/view — the as-of join reused as
+    a composition (one union-trick shuffle, no per-purchase range
+    scan).  Touches pre-aggregated to one row per (user, instant) so
+    the match is deterministic; purchase values on the cent grid."""
+    from pincette_json_streams_spark.functions.timeseries import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts_nanos", "event_id",
+        F.floor(F.col("value").cast("double") * 100 + F.lit(0.5))
+        .cast("bigint").alias("v"))
+    touch = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .groupBy("user_id", "ts_nanos")
+        .agg(F.expr("max_by(event_type, event_id)").alias("channel"))
+    )
+    j = asof_join(purch, touch, on="ts_nanos", by="user_id",
+                  as_field="touch")
+    return (
+        j.select(F.coalesce(F.col("touch.channel"),
+                            F.lit("unattributed")).alias("channel"), "v")
+        .groupBy("channel")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_purchases"),
+             F.sum("v").cast("long").alias("sum_value_e2"))
+        .orderBy("channel")
+    )
+
+
+_ORACLE_ATTRIBUTION = """
+WITH t AS (
+  SELECT user_id, epoch_ns(ts) AS tns,
+         arg_max(event_type, event_id) AS channel
+  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1, 2
+), p AS (
+  SELECT user_id, epoch_ns(ts) AS tns,
+         CAST(floor(value::DOUBLE * 100 + 0.5) AS BIGINT) AS v
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT coalesce(t.channel, 'unattributed') AS channel,
+       count(*)::BIGINT AS n_purchases,
+       sum(p.v)::BIGINT AS sum_value_e2
+FROM p ASOF LEFT JOIN t ON p.user_id = t.user_id AND p.tns >= t.tns
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_dedup_verify(spark, sf_dir):
     """Edit-distance verification of MinHash-LSH candidate pairs — the
     precision stage after the sketch recall stage (reference: near-dup
@@ -6381,6 +6429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": q_graph_triangles,
         "robust_outliers": q_robust_outliers,
         "collocations_npmi": q_collocations,
+        "attribution_lasttouch": q_attribution,
         "dedup_verify": q_dedup_verify,
         "embedding_outliers": q_embedding_outliers,
         "hdr_quantiles": q_hdr_quantiles,
@@ -6534,6 +6583,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_triangles": _ORACLE_TRIANGLES,
         "robust_outliers": _ORACLE_ROBUST,
         "collocations_npmi": _ORACLE_COLLOCATIONS,
+        "attribution_lasttouch": _ORACLE_ATTRIBUTION,
         "winnow_pairs": _ORACLE_WINNOW_PAIRS,
         "dedup_verify": _oracle_dedup_verify(),
         "embedding_outliers": _ORACLE_EMBEDDING_OUTLIERS,

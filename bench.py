@@ -108,6 +108,8 @@ BENCH_QUERIES = [
     "prefix_jaccard",
     "hll_windowed",
     "graph_triangles",
+    "robust_outliers",
+    "collocations_npmi",
 ]
 
 
