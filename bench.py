@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "graph_triangles",
     "robust_outliers",
     "collocations_npmi",
+    "attribution_lasttouch",
 ]
 
 
