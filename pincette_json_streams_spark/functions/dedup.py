@@ -1195,9 +1195,14 @@ def prefix_filter_pairs(
         F.col(id_col).alias("id"), words.alias("__w"),
     ).select(
         "id",
+        # CASE guard, not greatest(.., 0): sequence(1, 0) DESCENDS to
+        # [1, 0] and slice(…, 0, n) throws — a sub-n-word doc would
+        # kill the job (found by the Hypothesis property suite)
         F.array_distinct(F.expr(
-            f"transform(sequence(1, greatest(size(__w) - {n - 1}, 0)),"
+            f"CASE WHEN size(__w) >= {n} THEN "
+            f"transform(sequence(1, size(__w) - {n - 1}),"
             f" i -> concat_ws(' ', slice(__w, i, {n})))"
+            f" ELSE array() END"
         )).alias("tok"),
     ).filter(F.size("tok") > 0)
     ex = toks.select("id", F.explode("tok").alias("w"))

@@ -1,0 +1,160 @@
+"""Property-based locks for the round-6 analytics operators: each runs
+a handful of Hypothesis-generated inputs through the Spark operator and
+an independent pure-Python mirror.  max_examples is small because every
+example is a real Spark job — the point is randomized structural
+coverage (dangling nodes, duplicate edges, tie-heavy value streams),
+not fuzz volume."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SPARKY = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    derandomize=True,  # stable CI: same examples every run
+)
+
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)),
+    min_size=1, max_size=40,
+)
+
+
+class TestPageRankProperty:
+    @staticmethod
+    def _mirror(edges, iters, total=10 ** 12, d=85):
+        nodes = sorted({u for e in edges for u in e})
+        n = len(nodes)
+        deg: dict = {}
+        for u, _ in edges:
+            deg[u] = deg.get(u, 0) + 1
+        r = {v: total // n for v in nodes}
+        base = ((100 - d) * total) // (100 * n)
+        for _ in range(iters):
+            dang = sum(r[v] for v in nodes if v not in deg)
+            inm = {v: 0 for v in nodes}
+            for u, v in edges:
+                inm[v] += r[u] // deg[u]
+            r = {v: base + (d * (inm[v] + dang // n)) // 100
+                 for v in nodes}
+        return r
+
+    @SPARKY
+    @given(edges_strategy, st.integers(1, 3))
+    def test_matches_mirror(self, spark, edges, iters):
+        from pincette_json_streams_spark.functions.graph import pagerank
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["node"]: r["rank"]
+               for r in pagerank(df, iters=iters).collect()}
+        assert got == self._mirror(edges, iters)
+
+
+class TestTrianglesProperty:
+    @staticmethod
+    def _mirror(edges):
+        from itertools import combinations
+        es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+        adj: dict = {}
+        for a, b in es:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        counts: dict = {}
+        for tri in combinations(sorted(adj), 3):
+            a, b, c = tri
+            if b in adj[a] and c in adj[a] and c in adj[b]:
+                for x in tri:
+                    counts[x] = counts.get(x, 0) + 1
+        return counts
+
+    @SPARKY
+    @given(edges_strategy)
+    def test_matches_mirror(self, spark, edges):
+        from pincette_json_streams_spark.functions.graph import (
+            triangle_counts,
+        )
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["node"]: r["triangles"]
+               for r in triangle_counts(df).collect()}
+        assert got == self._mirror(edges)
+
+
+class TestPrefixJaccardProperty:
+    WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+
+    @staticmethod
+    def _brute(rows, n, pct):
+        toks = {}
+        for i, ws in rows:
+            toks[i] = {" ".join(ws[j:j + n])
+                       for j in range(len(ws) - n + 1)}
+        out = set()
+        ids = sorted(toks)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                a, b = toks[ids[x]], toks[ids[y]]
+                if not a or not b:
+                    continue
+                inter = len(a & b)
+                if inter * 100 >= pct * len(a | b):
+                    out.add((ids[x], ids[y]))
+        return out
+
+    @SPARKY
+    @given(
+        st.lists(st.lists(st.sampled_from(WORDS), min_size=0,
+                          max_size=10), min_size=2, max_size=8),
+        st.sampled_from([40, 60, 80]),
+    )
+    def test_no_false_negatives(self, spark, docs, pct):
+        """The prefix filter must find EXACTLY the brute-force pair set
+        — zero false negatives is the algorithm's contract."""
+        from pincette_json_streams_spark.functions.dedup import (
+            prefix_filter_pairs,
+        )
+        rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {(r["id_a"], r["id_b"]) for r in prefix_filter_pairs(
+            df, threshold_pct=pct, n=3).collect()}
+        want = self._brute(list(enumerate(docs)), 3, pct)
+        assert got == want
+
+
+class TestEwmaProperty:
+    @staticmethod
+    def _mirror(vals, window, scale=10 ** 6):
+        import math
+        out = []
+        grid = [math.floor(v * scale + 0.5) for v in vals]
+        for t in range(len(grid)):
+            frame = grid[max(0, t - window + 1):t + 1]
+            num = sum(x * (1 << j) for j, x in enumerate(frame))
+            den = (1 << len(frame)) - 1
+            out.append((num, den, math.floor(num / den + 0.5)))
+        return out
+
+    @SPARKY
+    @given(st.lists(
+        st.floats(min_value=-100, max_value=100,
+                  allow_nan=False, allow_infinity=False,
+                  width=32),
+        min_size=1, max_size=12))
+    def test_matches_mirror(self, spark, vals):
+        from pincette_json_streams_spark.functions.timeseries import (
+            ewma_halflife,
+        )
+        rows = [(1, t, t, float(v)) for t, v in enumerate(vals)]
+        df = spark.createDataFrame(
+            rows, "user_id long, t long, eid long, value double")
+        got = sorted(
+            ((r["t"], r["ewma_num"], r["ewma_den"], r["ewma"])
+             for r in ewma_halflife(df, order_by=["t", "eid"],
+                                    group_col="user_id",
+                                    window=4).collect()))
+        want = [(t, *m) for t, m in
+                enumerate(self._mirror([float(v) for v in vals], 4))]
+        assert got == want
