@@ -562,7 +562,10 @@ def bloom_bits(
     kc = key if not isinstance(key, str) else F.col(key)
     i = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__i")
     return (
-        df.select(_bloom_h1(kc).alias("__h1"), _bloom_h2(kc).alias("__h2"))
+        # SQL membership semantics: NULL is never a member (a null key
+        # would also produce a null position and crash the bitmap fold)
+        df.filter(kc.isNotNull())
+        .select(_bloom_h1(kc).alias("__h1"), _bloom_h2(kc).alias("__h2"))
         .select("__h1", "__h2", i)
         .select(((F.col("__h1") + F.col("__i") * F.col("__h2")) % mbits)
                 .alias("pos"))
@@ -638,7 +641,11 @@ def bloom_prefilter(
 
         import numpy as np
 
-        vals = keys.astype(str).to_numpy()
+        # NULL keys are never contained (pandas would otherwise render
+        # None as the literal string 'None' and hash it — an engine
+        # divergence the SQL twin cannot reproduce)
+        null_mask = keys.isna().to_numpy()
+        vals = keys.fillna("").astype(str).to_numpy()
         h = np.fromiter(
             (int(hashlib.md5(v.encode()).hexdigest()[:15], 16)
              for v in vals),
@@ -651,6 +658,7 @@ def bloom_prefilter(
             bit = (words[(p >> np.uint64(6)).astype(np.int64)]
                    >> (p & np.uint64(63))) & np.uint64(1)
             ok &= bit.astype(bool)
+        ok &= ~null_mask
         return pd.Series(ok)
 
     return probe.filter(might_contain(kc.cast("string")))

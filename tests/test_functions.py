@@ -4017,6 +4017,22 @@ class TestBloomFilter:
             ._jdf.queryExecution().optimizedPlan().toString()
         assert opt.count("md5(") <= 2  # h1 + h2 share one digest subtree
 
+    def test_null_keys_never_member_never_crash(self, spark):
+        """SQL membership semantics: a NULL build key is never a
+        member (and must not crash the bitmap fold); a NULL probe key
+        never passes (pandas would otherwise hash the literal string
+        'None' — an engine divergence)."""
+        from pincette_json_streams_spark.functions.profiling import (
+            bloom_bits, bloom_prefilter,
+        )
+        members = spark.createDataFrame([(1,), (2,), (None,)], "k long")
+        probe = spark.createDataFrame([(1,), (None,), (5,)], "k long")
+        bits = bloom_bits(members, "k", mbits=1 << 10, k=3)
+        got = sorted(r["k"] for r in bloom_prefilter(
+            probe, bits, "k", mbits=1 << 10, k=3).collect())
+        assert None not in got
+        assert 1 in got
+
     def test_mbits_literal_guard(self, spark):
         from pincette_json_streams_spark.functions.profiling import (
             bloom_bits, bloom_prefilter,
