@@ -6243,6 +6243,63 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_theil_sen(spark, sf_dir):
+    """Theil-Sen robust trend per user: the median of all pairwise
+    slopes over the (capped) value series — up to ~29% corrupt points
+    cannot flip the trend, the regression sibling of the MAD z-score.
+    Pair step bounded at max_points^2/2 per group; the median pair is
+    selected by a total order, so both engines pick the identical pair
+    (functions/timeseries.py theil_sen_slopes).  Top 25 rising users."""
+    from pincette_json_streams_spark.functions.timeseries import (
+        theil_sen_slopes,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    s = theil_sen_slopes(ev, ts_col="ts_nanos", value_col="value",
+                         group_col="user_id", id_col="event_id",
+                         max_points=64)
+    return (
+        s.orderBy(F.col("slope_e6").desc(), "user_id").limit(25)
+        .select(F.col("user_id").cast("long").alias("user_id"),
+                "n_points", "n_pairs", "slope_e6")
+    )
+
+
+_ORACLE_THEIL_SEN = """
+WITH e AS (
+  SELECT user_id AS g, epoch_ns(ts) // 1000000000 AS t,
+         CAST(floor(value::DOUBLE * 1000000 + 0.5) AS BIGINT) AS v,
+         event_id AS id
+  FROM events
+  WHERE NOT isnan(value::DOUBLE) AND abs(value::DOUBLE) != 'infinity'
+), pts AS (
+  SELECT g, t, v,
+         row_number() OVER (PARTITION BY g ORDER BY t, id) AS r
+  FROM e QUALIFY r <= 64
+), pairs AS (
+  SELECT a.g, a.r AS r1, b.r AS r2,
+         (b.v - a.v)::DOUBLE / (b.t - a.t) AS slope
+  FROM pts a JOIN pts b
+    ON a.g = b.g AND a.r < b.r AND a.t != b.t
+), ranked AS (
+  SELECT g, slope,
+         row_number() OVER (PARTITION BY g ORDER BY slope, r1, r2)
+           AS pr,
+         count(*) OVER (PARTITION BY g) AS pn
+  FROM pairs
+), med AS (
+  SELECT g, slope, pn FROM ranked WHERE pr = (pn + 1) // 2
+), np AS (
+  SELECT g, count(*) AS n_points FROM pts GROUP BY 1
+)
+SELECT med.g::BIGINT AS user_id, np.n_points::BIGINT AS n_points,
+       med.pn::BIGINT AS n_pairs,
+       CAST(floor(med.slope + 0.5) AS BIGINT) AS slope_e6
+FROM med JOIN np ON med.g = np.g
+ORDER BY slope_e6 DESC, user_id LIMIT 25
+"""
+
+
 def q_dedup_verify(spark, sf_dir):
     """Edit-distance verification of MinHash-LSH candidate pairs — the
     precision stage after the sketch recall stage (reference: near-dup
@@ -6430,6 +6487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_outliers": q_robust_outliers,
         "collocations_npmi": q_collocations,
         "attribution_lasttouch": q_attribution,
+        "theil_sen_trend": q_theil_sen,
         "dedup_verify": q_dedup_verify,
         "embedding_outliers": q_embedding_outliers,
         "hdr_quantiles": q_hdr_quantiles,
@@ -6584,6 +6642,7 @@ def oracle_sql() -> dict[str, str]:
         "robust_outliers": _ORACLE_ROBUST,
         "collocations_npmi": _ORACLE_COLLOCATIONS,
         "attribution_lasttouch": _ORACLE_ATTRIBUTION,
+        "theil_sen_trend": _ORACLE_THEIL_SEN,
         "winnow_pairs": _ORACLE_WINNOW_PAIRS,
         "dedup_verify": _oracle_dedup_verify(),
         "embedding_outliers": _ORACLE_EMBEDDING_OUTLIERS,

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "asof_join", "counter_increase", "ewma_halflife", "forward_fill",
     "interval_join", "retention_cohorts", "sessionize",
-    "sessionize_stream", "time_bucket_gapfill",
+    "sessionize_stream", "theil_sen_slopes", "time_bucket_gapfill",
 ]
 
 
@@ -569,4 +569,71 @@ def ewma_halflife(
         "ewma",
         F.floor(F.col("ewma_num") / F.col("ewma_den") + F.lit(0.5))
         .cast("bigint"),
+    )
+
+
+def theil_sen_slopes(
+    df: DataFrame,
+    ts_col: str = "ts_nanos",
+    value_col: str = "value",
+    group_col: str = "user_id",
+    id_col: str = "event_id",
+    max_points: int = 64,
+    scale: int = 10 ** 6,
+) -> DataFrame:
+    """Theil-Sen robust trend per group: the MEDIAN of all pairwise
+    slopes — up to ~29% corrupt points cannot flip the trend estimate
+    (the regression sibling of the median/MAD z-score).
+
+    Determinism/scale contract:
+      * each group keeps its ``max_points`` earliest rows by (ts, id)
+        — the cap bounds the quadratic pair step at
+        max_points^2/2 pairs per group no matter the data size;
+      * timestamps collapse to integer SECONDS and values to the
+        ``scale`` grid, so every slope is the SAME IEEE division on
+        both engines; equal-time pairs are excluded (vertical slope);
+      * the median is the LOWER median selected by rank over
+        (slope, i, j) — a total order, so the chosen pair (not just
+        the value) is engine-identical; the slope is computed over
+        grid values, so it is ALREADY in 1e-6 value-units per second —
+        the output just rounds it half-up to an integer.
+
+    Returns (group, n_points, n_pairs, slope_e6)."""
+    from pyspark.sql.window import Window
+
+    vd = F.col(value_col).cast("double")
+    base = df.filter(~F.isnan(vd) & (F.abs(vd) != float("inf"))).select(
+        F.col(group_col).alias("g"),
+        F.expr(f"{ts_col} div 1000000000").alias("t"),
+        F.floor(vd * scale + F.lit(0.5)).cast("bigint").alias("v"),
+        F.col(id_col).alias("id"),
+    )
+    w = Window.partitionBy("g").orderBy("t", "id")
+    pts = base.withColumn("r", F.row_number().over(w)) \
+        .filter(F.col("r") <= max_points)
+    a = pts.select(F.col("g"), F.col("t").alias("t1"),
+                   F.col("v").alias("v1"), F.col("r").alias("r1"))
+    b = pts.select(F.col("g").alias("g2"), F.col("t").alias("t2"),
+                   F.col("v").alias("v2"), F.col("r").alias("r2"))
+    pairs = (
+        a.join(b, (F.col("g") == F.col("g2"))
+               & (F.col("r1") < F.col("r2")))
+        .filter(F.col("t1") != F.col("t2"))
+        .select("g", "r1", "r2",
+                (F.col("v2") - F.col("v1")).cast("double")
+                .__truediv__((F.col("t2") - F.col("t1")).cast("double"))
+                .alias("slope"))
+    )
+    wm = Window.partitionBy("g").orderBy("slope", "r1", "r2")
+    ranked = pairs.withColumn("pr", F.row_number().over(wm)).withColumn(
+        "pn", F.count(F.lit(1)).over(Window.partitionBy("g")))
+    med = ranked.filter(F.col("pr") == F.expr("(pn + 1) div 2"))
+    npts = pts.groupBy("g").agg(F.count(F.lit(1)).alias("n_points"))
+    return (
+        med.join(npts, "g")
+        .select(F.col("g").alias(group_col),
+                F.col("n_points").cast("long").alias("n_points"),
+                F.col("pn").cast("long").alias("n_pairs"),
+                F.floor(F.col("slope") + F.lit(0.5)).cast("bigint")
+                .alias("slope_e6"))
     )

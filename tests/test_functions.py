@@ -3785,6 +3785,52 @@ class TestPageRank:
         assert jobs_during(6) == jobs_during(3)
 
 
+class TestTheilSen:
+    """Theil-Sen robust trend (functions/timeseries.py)."""
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "user_id long, ts_nanos long, event_id long, "
+                  "value double")
+
+    def test_perfect_line_recovers_slope(self, spark):
+        from pincette_json_streams_spark.functions.timeseries import (
+            theil_sen_slopes,
+        )
+        # value = 2*t (t in seconds): every pairwise slope is exactly
+        # 2 value-units/s = 2e6 grid-units/s
+        rows = [(1, t * 10 ** 9, t, 2.0 * t) for t in range(1, 8)]
+        (r,) = theil_sen_slopes(self._df(spark, rows)).collect()
+        assert r["slope_e6"] == 2_000_000
+        assert r["n_points"] == 7 and r["n_pairs"] == 21
+
+    def test_minority_corruption_cannot_flip_trend(self, spark):
+        from pincette_json_streams_spark.functions.timeseries import (
+            theil_sen_slopes,
+        )
+        # 8 clean rising points + 2 wild outliers: OLS would swing
+        # negative; the median slope stays at the clean trend
+        rows = [(1, t * 10 ** 9, t, float(t)) for t in range(1, 9)]
+        rows += [(1, 9 * 10 ** 9, 9, -1000.0), (1, 10 ** 10, 10, 500.0)]
+        (r,) = theil_sen_slopes(self._df(spark, rows)).collect()
+        assert 900_000 <= r["slope_e6"] <= 1_100_000
+
+    def test_equal_time_pairs_excluded_and_cap(self, spark):
+        from pincette_json_streams_spark.functions.timeseries import (
+            theil_sen_slopes,
+        )
+        # two points in the SAME second (vertical pair dropped) plus one
+        # later point; cap at 2 points keeps the earliest two by (t, id)
+        rows = [(1, 5 * 10 ** 8, 1, 1.0), (1, 6 * 10 ** 8, 2, 9.0),
+                (1, 2 * 10 ** 9, 3, 3.0)]
+        (r,) = theil_sen_slopes(self._df(spark, rows)).collect()
+        assert r["n_pairs"] == 2  # (p1,p3), (p2,p3); (p1,p2) vertical
+        capped = theil_sen_slopes(self._df(spark, rows),
+                                  max_points=2).collect()
+        assert capped == []  # both kept points share the second -> no
+        # valid pair -> no median row for the group
+
+
 class TestCollocations:
     """NPMI collocation mining (functions/text.py)."""
 
