@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "robust_outliers",
     "collocations_npmi",
     "attribution_lasttouch",
+    "theil_sen_trend",
 ]
 
 

@@ -2202,6 +2202,24 @@ def _stage_prefix_jaccard_ext(df, spec, pctx):
     )
 
 
+def _stage_robust_z_ext(df, spec, pctx):
+    # {"value": col, "by": col, "id": col, "scale": n?} — median/MAD
+    # robust z-scores (functions/profiling.py robust_zscores): the
+    # outlier gauge one corrupt spike cannot drag
+    _batch_only(df, "$robustZ", "group-wide rank medians")
+    from pincette_json_streams_spark.functions.profiling import (
+        robust_zscores,
+    )
+
+    return robust_zscores(
+        df,
+        value_col=spec.get("value", "value"),
+        group_col=spec.get("by", "event_type"),
+        id_col=spec.get("id", "event_id"),
+        scale=int(spec.get("scale", 10 ** 6)),
+    )
+
+
 def _stage_hdr_quantiles_ext(df, spec, pctx):
     # {"value": col, "by": col?, "sigBits": n, "q": [..],
     #  "_collection": name?} — HDR-histogram quantile sketch (the
@@ -2602,6 +2620,7 @@ STAGES: dict[str, Callable[[DataFrame, Any, PipelineContext], DataFrame]] = {
     "$hdrQuantiles": _stage_hdr_quantiles_ext,
     "$nearDups": _stage_near_dups_ext,
     "$prefixJaccard": _stage_prefix_jaccard_ext,
+    "$robustZ": _stage_robust_z_ext,
     "$sampleFrames": _stage_sample_frames_ext,
     "$cdcChunks": _stage_cdc_chunks_ext,
     "$bucketAuto": _stage_bucket_auto,

@@ -4469,6 +4469,21 @@ class TestPrefixJaccardStage:
         assert out[0]["jacc_e6"] >= 600000
 
 
+class TestRobustZStage:
+    def test_pipeline_stage(self, spark):
+        from pincette_json_streams_spark.operators.stages import (
+            PipelineContext, compile_pipeline,
+        )
+        df = spark.createDataFrame(
+            [("a", i, float(i)) for i in range(1, 6)],
+            "g string, id long, value double")
+        out = compile_pipeline(df, [
+            {"$robustZ": {"value": "value", "by": "g", "id": "id"}},
+        ], PipelineContext()).collect()
+        got = {r["id"]: r["z_e6"] for r in out}
+        assert got[3] == 0 and got[5] == 2_000_000
+
+
 class TestHdrDomainClamp:
     def test_nan_inf_negative_huge_never_crash_ansi(self, spark):
         """ANSI mode kills long casts on inf/overflow; the sketch must
