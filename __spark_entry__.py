@@ -6300,6 +6300,61 @@ ORDER BY slope_e6 DESC, user_id LIMIT 25
 """
 
 
+def q_seasonal_profile(spark, sf_dir):
+    """Seasonal baseline profile: expected event value per
+    (event_type, hour-of-day) and the extreme deviations against it —
+    the load/anomaly pattern behind ops dashboards and seasonal-naive
+    forecasts.  All integer: values on the 1e6 grid, the baseline is
+    ``sum div count`` (integer floor-mean, exact), deviations are
+    plain subtractions."""
+    ev = _t(spark, sf_dir, "events")
+    vd = F.col("value").cast("double")
+    base = ev.filter(~F.isnan(vd) & (F.abs(vd) != float("inf"))).select(
+        "event_type",
+        F.expr("(ts_nanos div 3600000000000) % 24").alias("hod"),
+        F.floor(vd * 1e6 + F.lit(0.5)).cast("bigint").alias("v"),
+    )
+    # sum(v) is non-negative here (values >= 0 by table contract), so
+    # Spark's truncating div == DuckDB's flooring // ; a signed-value
+    # variant would need the sign-split trick (see robust_zscores)
+    prof = base.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("sum(v) div count(1)").cast("bigint").alias("baseline"))
+    dev = base.join(prof, ["event_type", "hod"]).select(
+        "event_type", "hod", "n", "baseline",
+        (F.col("v") - F.col("baseline")).alias("__d"))
+    return (
+        dev.groupBy("event_type", "hod")
+        .agg(F.first("n").alias("n"), F.first("baseline").alias("baseline"),
+             F.max("__d").cast("long").alias("max_pos_dev"),
+             F.min("__d").cast("long").alias("max_neg_dev"))
+        .orderBy("event_type", "hod")
+        .select("event_type", F.col("hod").cast("long").alias("hod"),
+                "n", "baseline", "max_pos_dev", "max_neg_dev")
+    )
+
+
+_ORACLE_SEASONAL = """
+WITH base AS (
+  SELECT event_type,
+         (epoch_ns(ts) // 3600000000000) % 24 AS hod,
+         CAST(floor(value::DOUBLE * 1000000 + 0.5) AS BIGINT) AS v
+  FROM events
+  WHERE NOT isnan(value::DOUBLE) AND abs(value::DOUBLE) != 'infinity'
+), prof AS (
+  SELECT event_type, hod, count(*)::BIGINT AS n,
+         (sum(v) // count(*))::BIGINT AS baseline
+  FROM base GROUP BY 1, 2
+)
+SELECT b.event_type, b.hod::BIGINT AS hod,
+       any_value(p.n) AS n, any_value(p.baseline) AS baseline,
+       max(b.v - p.baseline)::BIGINT AS max_pos_dev,
+       min(b.v - p.baseline)::BIGINT AS max_neg_dev
+FROM base b JOIN prof p USING (event_type, hod)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_dedup_verify(spark, sf_dir):
     """Edit-distance verification of MinHash-LSH candidate pairs — the
     precision stage after the sketch recall stage (reference: near-dup
@@ -6488,6 +6543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations_npmi": q_collocations,
         "attribution_lasttouch": q_attribution,
         "theil_sen_trend": q_theil_sen,
+        "seasonal_profile": q_seasonal_profile,
         "dedup_verify": q_dedup_verify,
         "embedding_outliers": q_embedding_outliers,
         "hdr_quantiles": q_hdr_quantiles,
@@ -6643,6 +6699,7 @@ def oracle_sql() -> dict[str, str]:
         "collocations_npmi": _ORACLE_COLLOCATIONS,
         "attribution_lasttouch": _ORACLE_ATTRIBUTION,
         "theil_sen_trend": _ORACLE_THEIL_SEN,
+        "seasonal_profile": _ORACLE_SEASONAL,
         "winnow_pairs": _ORACLE_WINNOW_PAIRS,
         "dedup_verify": _oracle_dedup_verify(),
         "embedding_outliers": _ORACLE_EMBEDDING_OUTLIERS,
