@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "collocations_npmi",
     "attribution_lasttouch",
     "theil_sen_trend",
+    "seasonal_profile",
 ]
 
 
