@@ -5405,11 +5405,15 @@ def _oracle_hybrid_rrf():
 ), q AS (
   SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7
 ), vs AS (
+  -- round to 6 dp like the Spark side (brute_force_topk) so near-tie
+  -- cosines rank identically across engines — the standard brute-force
+  -- oracle convention
   SELECT e.vec_id AS id,
-         list_dot_product(q.qv, e.embedding::DOUBLE[]) /
-         (sqrt(list_dot_product(q.qv, q.qv)) *
-          sqrt(list_dot_product(e.embedding::DOUBLE[],
-                                e.embedding::DOUBLE[]))) AS cosine
+         round(list_dot_product(q.qv, e.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(q.qv, q.qv)) *
+                sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                      e.embedding::DOUBLE[]))), 6)
+           AS cosine
   FROM embeddings e, q
 ), vec AS (
   SELECT id, row_number() OVER (ORDER BY cosine DESC, id) AS rank

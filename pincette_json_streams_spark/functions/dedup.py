@@ -1088,6 +1088,7 @@ def verify_pairs_editdist(
     id_b: str = "id_b",
     cap: int = 400,
     min_sim: float = 0.0,
+    carry_cols: "list[str] | None" = None,
 ) -> DataFrame:
     """Exact edit-distance verification of near-dup CANDIDATE pairs —
     the precision stage after any LSH/posting recall stage (MinHash,
@@ -1106,10 +1107,16 @@ def verify_pairs_editdist(
     cap bounds it at cap^2 cells per pair regardless of document
     length.
 
-    Returns (id_a, id_b, sim) for pairs with sim >= ``min_sim``; sim is
-    reported on a 1e-6 floor-grid so a SQL oracle reproduces it
-    bit-for-bit (cross-engine float contract).  Pairs whose endpoints
-    are missing from ``docs`` are dropped."""
+    Returns (id_a, id_b, *carry_cols, sim) for pairs with
+    sim >= ``min_sim``; sim is reported on a 1e-6 floor-grid so a SQL
+    oracle reproduces it bit-for-bit (cross-engine float contract).
+    Pairs whose endpoints are missing from ``docs`` are dropped.
+
+    ``carry_cols`` names extra ``pairs`` columns (functionally
+    dependent on the pair key, e.g. the LSH jaccard estimate) to thread
+    through the melt/regroup — so a caller that wants both scores never
+    has to join the expensive pair plan a second time."""
+    carry = list(carry_cols or [])
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " "))
     n = docs.select(
         F.col(id_col).alias("__vid"),
@@ -1119,9 +1126,10 @@ def verify_pairs_editdist(
         pairs.select(
             F.col(id_a).cast("long").alias(id_a),
             F.col(id_b).cast("long").alias(id_b),
+            *[F.col(c) for c in carry],
         )
         .select(
-            id_a, id_b,
+            id_a, id_b, *carry,
             F.explode(F.array(
                 F.struct(F.lit("a").alias("s"),
                          F.col(id_a).alias("__vid")),
@@ -1129,7 +1137,7 @@ def verify_pairs_editdist(
                          F.col(id_b).alias("__vid")),
             )).alias("__e"),
         )
-        .select(id_a, id_b, F.col("__e.s").alias("__s"),
+        .select(id_a, id_b, *carry, F.col("__e.s").alias("__s"),
                 F.col("__e.__vid").alias("__vid"))
     )
     both = (
@@ -1140,6 +1148,9 @@ def verify_pairs_editdist(
             .alias("__ta"),
             F.max(F.when(F.col("__s") == "b", F.col("__vtxt")))
             .alias("__tb"),
+            # carry columns are constant per pair key, so max is an
+            # exact (and deterministic) passthrough
+            *[F.max(c).alias(c) for c in carry],
         )
         .filter(F.col("__ta").isNotNull() & F.col("__tb").isNotNull())
     )
@@ -1150,7 +1161,7 @@ def verify_pairs_editdist(
         both.withColumn(
             "sim", F.floor(sim * 1e6 + F.lit(0.5)) / 1e6)
         .filter(F.col("sim") >= min_sim)
-        .select(id_a, id_b, "sim")
+        .select(id_a, id_b, *carry, "sim")
     )
 
 

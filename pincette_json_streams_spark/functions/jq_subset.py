@@ -681,6 +681,9 @@ class _Break(Exception):
         self.name = name
 
 
+_NO_KEY = object()
+
+
 def _destructure(pat, val, env, out):
     """Bind a destructuring pattern against a value (jq manual:
     missing/mismatched parts bind null, never error)."""
@@ -693,7 +696,14 @@ def _destructure(pat, val, env, out):
             _destructure(sub, v, env, out)
     elif tag == "pobj":
         for kexpr, sub in pat[1]:
-            key = next(_eval(kexpr, val, env))
+            # next() without a default would turn an empty key stream
+            # (e.g. `. as {(empty): $v}`) into a PEP-479 RuntimeError
+            # that try/catch cannot intercept; raise a catchable JqError.
+            key = next(_eval(kexpr, val, env), _NO_KEY)
+            if key is _NO_KEY:
+                raise JqError(
+                    "jq: object pattern key expression produced no output"
+                )
             v = val.get(key) if isinstance(val, dict) else None
             _destructure(sub, v, env, out)
     return out

@@ -171,6 +171,38 @@ def _assign_udf(C, cids, nprobe: int):
     return assign
 
 
+def _assign_cos_udf(C, cids):
+    """Pandas UDF: vec -> struct(cid, cos) of the nearest centroid.
+
+    Same broadcast-argmax shape as :func:`_assign_udf` (centroid matrix
+    ships in the closure, assignment is a pure Arrow map — NO shuffle),
+    but also returns the rounded cosine to the winning centroid for
+    callers that report it.  ``C``/``cids`` must be sorted by centroid
+    id ascending: np.argmax picks the FIRST maximum, so rounded-cosine
+    ties break to the lowest centroid id — the same total order as
+    ``ORDER BY cos DESC, cid ASC``."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<cid: long, cos: double>")
+    def assign(v: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        if len(v) == 0:
+            return pd.DataFrame({
+                "cid": pd.Series([], dtype="int64"),
+                "cos": pd.Series([], dtype="float64"),
+            })
+        S = _rounded_cosines(np.array(v.tolist(), dtype=np.float64), C)
+        best = S.argmax(axis=1)
+        return pd.DataFrame({
+            "cid": cids[best],
+            "cos": S[np.arange(len(best)), best],
+        })
+
+    return assign
+
+
 def train_kmeans_centroids(
     corpus: DataFrame,
     nlist: int,
@@ -289,35 +321,40 @@ def semantic_dedup(
 
     ``centroids`` is a small DataFrame (cluster_id, centroid
     array<double>) — from train_kmeans_centroids or any deterministic
-    selection; it is broadcast, so assignment is a shuffle-free map.
-    Within a cluster a vector is dropped when its cosine (rounded to
-    6 dp, the engine-stable comparison convention) to a LOWER-id member
-    reaches ``threshold`` — min-id keeper, the same convention as every
-    other dedup family here.
+    selection; it is collected once (bounded by k) and ships in the
+    Arrow-UDF closure, so assignment is literally one shuffle-free map
+    over the scan (the :func:`_assign_cos_udf` argmax — NOT an n×k row
+    expansion: SemDeDup uses k≈10⁴ clusters, so materializing n×k rows
+    through a window exchange would be a 10,000× blow-up before any
+    dedup work).  Within a cluster a vector is dropped when its cosine
+    (rounded to 6 dp, the engine-stable comparison convention) to a
+    LOWER-id member reaches ``threshold`` — min-id keeper, the same
+    convention as every other dedup family here; the assignment argmax
+    breaks rounded-cosine ties to the lowest cluster_id, matching
+    ``ORDER BY cos DESC, cid ASC``.
 
     Returns (id, cluster_id, centroid_cos, keep boolean).  The
     intra-cluster self-join is the deliberate quadratic step: cluster
     granularity (k) is the knob that bounds it, and skewed clusters are
     split by AQE like any other skewed join key."""
-    cent = centroids.select(
-        F.col("cluster_id").alias("__cid"),
+    import numpy as np
+
+    crows = centroids.select(
+        F.col("cluster_id").cast("long").alias("__cid"),
         F.col("centroid").cast("array<double>").alias("__cv"),
-    )
+    ).orderBy("__cid").collect()
+    cids = np.array([r["__cid"] for r in crows], dtype=np.int64)
+    C = np.array([r["__cv"] for r in crows], dtype=np.float64)
     vecs = df.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).cast("array<double>").alias("__v"),
     )
-    scored = vecs.crossJoin(F.broadcast(cent)).select(
-        "__id", "__v", "__cid",
-        F.round(cosine_vec(F.col("__v"), F.col("__cv")), 6).alias("__cos"),
-    )
-    w = Window.partitionBy("__id").orderBy(
-        F.col("__cos").desc(), F.col("__cid").asc()
-    )
-    assigned = (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("__id", "__v", "__cid", "__cos")
+    assigned = vecs.withColumn(
+        "__a", _assign_cos_udf(C, cids)(F.col("__v"))
+    ).select(
+        "__id", "__v",
+        F.col("__a.cid").alias("__cid"),
+        F.col("__a.cos").alias("__cos"),
     )
     a = assigned.select(
         F.col("__cid"), F.col("__id").alias("__ida"),
@@ -742,6 +779,11 @@ def embedding_outliers(
                        F.stddev_pop("__d").alias("__sd"))
     return (
         scored.crossJoin(F.broadcast(stats))
+        # a constant distance distribution (sd = 0, e.g. a degenerate
+        # 1-row or all-identical corpus) makes (d - mu) / sd = 0/0 = NaN,
+        # and floor(NaN) under ANSI mode kills the job — such a corpus
+        # has no outliers by definition, so emit nothing
+        .filter(F.col("__sd") > 0)
         .select(
             "id",
             (F.floor(F.col("__d") * 1e6 + F.lit(0.5)) / 1e6).alias("dist"),

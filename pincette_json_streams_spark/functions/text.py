@@ -1148,7 +1148,12 @@ def winnow_pairs(
     ``min_shared`` surviving fingerprints."""
     posting = winnow_fingerprints(df, text_col, id_col, k, window)
     lists = (
-        posting.groupBy("fp")
+        # null-text docs emit a (id, NULL) fingerprint row; an equi-join
+        # would drop them, but groupBy(fp) would collect them into one
+        # posting list and pair them with each other — keep join (and
+        # oracle) NULL semantics
+        posting.filter(F.col("fp").isNotNull())
+        .groupBy("fp")
         .agg(F.sort_array(F.collect_list(F.col("id").cast("long")))
              .alias("ids"))
         .filter((F.size("ids") >= 2) & (F.size("ids") <= max_df))

@@ -624,10 +624,24 @@ def theil_sen_slopes(
                 .__truediv__((F.col("t2") - F.col("t1")).cast("double"))
                 .alias("slope"))
     )
-    wm = Window.partitionBy("g").orderBy("slope", "r1", "r2")
-    ranked = pairs.withColumn("pr", F.row_number().over(wm)).withColumn(
-        "pn", F.count(F.lit(1)).over(Window.partitionBy("g")))
-    med = ranked.filter(F.col("pr") == F.expr("(pn + 1) div 2"))
+    # ONE hash-agg pass over the pair stream instead of two stacked
+    # window exchanges (row_number + count were each a full sort/shuffle
+    # of max_points^2/2 rows per group): collect the (cap-bounded) pair
+    # structs, array_sort gives the same (slope, r1, r2) total order the
+    # rank window used, and element (n+1) div 2 is the lower median.
+    med = (
+        pairs.groupBy("g")
+        .agg(F.array_sort(F.collect_list(
+            F.struct(F.col("slope"), F.col("r1"), F.col("r2"))))
+            .alias("__ps"))
+        .select(
+            "g",
+            F.size("__ps").alias("pn"),
+            F.expr(
+                "element_at(__ps, int((size(__ps) + 1) div 2)).slope"
+            ).alias("slope"),
+        )
+    )
     npts = pts.groupBy("g").agg(F.count(F.lit(1)).alias("n_points"))
     return (
         med.join(npts, "g")

@@ -2156,12 +2156,14 @@ def _stage_near_dups_ext(df, spec, pctx):
     v = spec.get("verify")
     if not v:
         return pairs
-    verified = verify_pairs_editdist(
+    # jaccard rides through the verify melt/regroup so the expensive
+    # LSH self-join plan is evaluated exactly once (no re-join of pairs)
+    return verify_pairs_editdist(
         pairs, df, text_col=text, id_col=doc_id,
         cap=int(v.get("cap", 400)),
         min_sim=float(v.get("minSim", 0.0)),
+        carry_cols=["jaccard"],
     )
-    return pairs.join(verified, ["id_a", "id_b"])
 
 
 def _stage_ewma_ext(df, spec, pctx):

@@ -3298,6 +3298,22 @@ class TestWinnowing:
         # max_df=1 drops every fingerprint that appears in 2 docs
         assert winnow_pairs(df, max_df=1, min_shared=1).count() == 0
 
+    def test_null_text_docs_never_pair(self, spark):
+        """Null-text docs emit (id, NULL) fingerprint rows; the groupBy
+        posting pass must drop them (equi-join NULL semantics, what the
+        oracle does) — with min_shared=1 they must NOT pair with each
+        other through a shared NULL fp."""
+        from pincette_json_streams_spark.functions.text import winnow_pairs
+        df = spark.createDataFrame(
+            [(0, "the quick brown fox jumps over the lazy dog tonight"),
+             (1, "the quick brown fox jumps over the lazy dog today"),
+             (2, None), (3, None), (4, None)],
+            "doc_id long, text string",
+        )
+        out = {(r["doc_a"], r["doc_b"])
+               for r in winnow_pairs(df, min_shared=1).collect()}
+        assert out == {(0, 1)}
+
     def test_plan_is_map_only_until_join(self, spark):
         """Fingerprinting itself must not hash-shuffle — the only
         Exchange allowed is the deliberate round-robin fan-out before
@@ -4296,6 +4312,17 @@ class TestEmbeddingOutliers:
         found = {r["id"] for r in embedding_outliers(df, z_min=2.0).collect()}
         assert {60, 61, 62} <= found
         assert not (found & set(range(40)))
+
+    def test_constant_distance_corpus_is_empty_not_nan(self, spark):
+        """All-identical embeddings => stddev 0 => (d - mu)/sd would be
+        0/0 = NaN, and floor(NaN) under ANSI mode kills the job.  A
+        constant distribution has no outliers: must return empty."""
+        from pincette_json_streams_spark.functions.similarity import (
+            embedding_outliers,
+        )
+        rows = [(i, [1.0, 0.0, 0.0]) for i in range(20)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        assert embedding_outliers(df, z_min=-10.0).count() == 0
 
     def test_no_data_shuffle_in_plan(self, spark):
         import numpy as np

@@ -737,6 +737,15 @@ class TestForeachLabelDestructure:
         assert jq('reduce .[] as [$k, $v] ({}; .[$k] = $v)',
                   [["a", 1], ["b", 2]]) == [{"a": 1, "b": 2}]
 
+    def test_empty_key_pattern_is_catchable(self):
+        # a key expression producing NO outputs must raise a JqError
+        # (catchable), not a PEP-479 RuntimeError escaping try/catch
+        from pincette_json_streams_spark.functions.jq_subset import JqError
+        with pytest.raises(JqError):
+            jq('. as {(empty): $v} | $v', {"a": 1})
+        assert jq('try (. as {(empty): $v} | $v) catch "caught"',
+                  {"a": 1}) == ["caught"]
+
     def test_last_of_filter_and_paths_filter(self):
         assert jq('last(1,2,3)', None) == [3]
         assert jq('[paths(type == "number")]',

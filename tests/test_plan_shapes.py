@@ -437,3 +437,54 @@ class TestRound6PlanShapes:
                      if "Exchange hashpartitioning" in l
                      and "Reused" not in l]
         assert len(exchanges) <= 2  # window + final group-max
+
+
+class TestRound7PlanShapes:
+    def test_semantic_dedup_assignment_is_pure_map(self, spark):
+        """Centroid assignment must be the closure-broadcast Arrow
+        argmax map — NOT the n×k crossJoin + per-id window that
+        round 6 flagged as the one remaining scale-killer (SemDeDup's
+        k≈10⁴ would make the expansion fatal).  No Window, no
+        nested-loop join, no cartesian anywhere before the
+        intra-cluster self-join."""
+        plan = _plan(spark, "semantic_dedup")
+        assert "Window" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_theil_sen_single_pair_pass(self, spark):
+        """The pair table is folded by ONE hash aggregate
+        (array_sort(collect_list) median), not the round-6 double
+        window (row_number + count = two full sort exchanges of
+        max_points^2/2 rows per group).  The only windows left are the
+        per-group max_points cap, replicated per subtree."""
+        plan = _plan(spark, "theil_sen_trend")
+        assert plan.count("Window (") <= 3  # cap window only (3 uses)
+        assert "CartesianProduct" not in plan
+
+    def test_near_dups_verify_evaluates_pairs_once(self, spark):
+        """$nearDups with verify must NOT join the raw LSH pair plan
+        back against the verified output — jaccard rides through
+        verify_pairs_editdist's melt/regroup (carry_cols), so the
+        expensive self-join subtree appears exactly once."""
+        from pincette_json_streams_spark.operators.stages import (
+            PipelineContext, compile_pipeline,
+        )
+        docs = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog tonight"),
+             (2, "the quick brown fox jumps over the lazy dog today"),
+             (3, "spark engines shuffle partitions across the cluster")],
+            "doc_id long, text string")
+        out = compile_pipeline(docs, [
+            {"$nearDups": {"threshold": 0.4,
+                           "verify": {"cap": 200, "minSim": 0.5}}},
+        ], PipelineContext())
+        assert out.columns == ["id_a", "id_b", "jaccard", "sim"]
+        qe = out._jdf.queryExecution()
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
+            .fromString("formatted")
+        plan = qe.explainString(mode)
+        # single evaluation: the band/melt explodes appear once (7
+        # Generate nodes); a re-join of the pair plan would double the
+        # LSH subtree (~12+)
+        assert plan.count("Generate (") <= 8
