@@ -1,12 +1,30 @@
 """Autoscaling advisor: desired-instance calculus from Kafka message lag.
 
-Reference behavior: /root/reference/docs/autoscaling.md — the leader
-combines per-application excess message lag (lag beyond the declared
-``maximumMessageLag``) with instance capacity derived from
-``work.averageMessageTimeEstimate`` (capacity = 1000/avgMs msg/s over the
-60 s work interval, docs/configuration.md:10,35), bounded by each app's
-parallelism ceiling (the highest partition count of any consumed topic)
-and the ``maximumAppsPerInstance`` packing limit.
+Reference behavior: /root/reference/docs/autoscaling.md and
+``Work.java`` (`simulate`, `desiredApplicationInstances`,
+`desiredInstances` — Work.java:131-199,361-388).  The reference
+validates this calculus against 16 golden lag-snapshot fixtures
+(src/test/resources/work1.json..work16.json, runner TestWork.java:13-18
+asserting ``expected`` vs ``Work.simulate``); ``tests/test_autoscale.py``
+replays every fixture through :func:`simulate`.
+
+The calculus (Work.java semantics, replayed exactly):
+
+* capacity = ``1000 div averageMessageTimeEstimate`` messages/second
+  per application instance (INTEGER division — Work.java:131-133);
+* per application, per topic: the lag summed over the topic's
+  partitions beyond the topic's declared ``maximumMessageLag`` needs
+  ``ceil(excess / capacity)`` EXTRA instances (Work.java:202-227);
+* an application with any outstanding lag needs one base instance; a
+  fully drained application scales to zero (``work.scaleToZero``
+  defaults true — Work.java:165-190);
+* the per-application need is the MAX over its topics, capped by the
+  application's parallelism ceiling: the highest partition count of
+  any topic it consumes (replicas beyond that would idle in the
+  consumer group — Status.maximumAllowedApplicationInstances);
+* the fleet needs ``max(largest per-app need, ceil(total app
+  instances / maximumAppsPerInstance))`` instances, and at least 1
+  (Work.java:153-164).
 
 On Spark this calculus is *advisory*: executors replace the instance
 fleet and `spark.dynamicAllocation` handles scale-out, but the same
@@ -14,21 +32,32 @@ function drives `maxOffsetsPerTrigger` sizing and KEDA-style external
 scalers for the streaming runtime (the reference publishes
 {desired, running} messages for exactly that purpose).
 
-Pure function — no I/O; operates on the same document shape the reference
-uses for its lag snapshots.
+Pure functions — no I/O; operate on the same document shape the
+reference uses for its lag snapshots.
 """
 
 from __future__ import annotations
 
-import math
 from typing import Any, Mapping
 
-__all__ = ["desired_instances", "excess_lag"]
+__all__ = [
+    "capacity_per_second",
+    "desired_application_instances",
+    "desired_instances",
+    "excess_lag",
+    "simulate",
+]
 
-# design-capacity defaults (docs/configuration.md:10,35,39)
+# design-capacity defaults (docs/configuration.md:10,35,39; Work.java:88,93)
 DEFAULT_AVERAGE_MESSAGE_TIME_MS = 20
 DEFAULT_MAX_APPS_PER_INSTANCE = 50
-DEFAULT_WORK_INTERVAL_MS = 60_000
+
+
+def capacity_per_second(average_message_time_ms: int) -> int:
+    """Messages one application instance digests per second —
+    ``1000 div avgMs``, integer division like the reference
+    (Work.java:131-133)."""
+    return 1000 // max(int(average_message_time_ms), 1)
 
 
 def excess_lag(
@@ -46,67 +75,93 @@ def excess_lag(
     return total
 
 
+def _extra_capacity(excess: int, capacity: int) -> int:
+    # Work.java:223-227 — ceil(excess / capacity) in integer arithmetic
+    return excess // capacity + (1 if excess > 0 and excess % capacity else 0)
+
+
+def desired_application_instances(
+    message_lag_per_application: Mapping[str, Mapping[str, Mapping[Any, int]]],
+    maximum_message_lag: Mapping[str, Mapping[str, int]] | None,
+    average_message_time_estimate: int = DEFAULT_AVERAGE_MESSAGE_TIME_MS,
+) -> dict[str, int]:
+    """Per-application desired instance count
+    (Work.desiredApplicationInstances, Work.java:142-190).
+
+    For every application in the lag snapshot:
+    ``min(parallelism ceiling, max over topics of (extra capacity for
+    the topic's excess lag + base instance))`` — where the base
+    instance is 0 when the application has no outstanding lag at all
+    (scale-to-zero) and the parallelism ceiling is the highest
+    partition count of any consumed topic."""
+    maximum_message_lag = maximum_message_lag or {}
+    capacity = capacity_per_second(average_message_time_estimate)
+    desired: dict[str, int] = {}
+    for app, topics in message_lag_per_application.items():
+        # parallelism ceiling: most partitions on any one topic
+        # (Status.maximumAllowedApplicationInstances; an empty lag map
+        # yields 0 — nothing to consume)
+        max_allowed = max((len(parts) for parts in topics.values()),
+                          default=0)
+        total_lag = sum(
+            v for parts in topics.values() for v in parts.values()
+        )
+        allowed = maximum_message_lag.get(app) or {}
+        terms = []
+        for topic, parts in topics.items():
+            lag = sum(parts.values())
+            limit = allowed.get(topic)
+            excess = lag - limit if isinstance(limit, int) else 0
+            extra = _extra_capacity(excess, capacity) if excess > 0 else 0
+            terms.append(extra + (0 if total_lag == 0 else 1))
+        desired[app] = min(max_allowed, max(terms) if terms else 1)
+    return desired
+
+
 def desired_instances(
     message_lag_per_application: Mapping[str, Mapping[str, Mapping[Any, int]]],
     maximum_message_lag: Mapping[str, Mapping[str, int]] | None,
-    running_instances_with_applications: Mapping[str, list] | None,
-    average_message_time_estimate: float = DEFAULT_AVERAGE_MESSAGE_TIME_MS,
+    running_instances_with_applications: Mapping[str, list] | None = None,
+    average_message_time_estimate: int = DEFAULT_AVERAGE_MESSAGE_TIME_MS,
     maximum_apps_per_instance: int = DEFAULT_MAX_APPS_PER_INSTANCE,
-    work_interval_ms: int = DEFAULT_WORK_INTERVAL_MS,
 ) -> int:
-    """Desired number of runtime instances.
+    """Desired number of runtime instances (Work.desiredInstances,
+    Work.java:153-164): at least the largest single-application need
+    (one app's replicas live on distinct instances) and at least
+    ``ceil(total app instances / maximumAppsPerInstance)`` (packing),
+    and never below 1.
 
-    The calculus, mirroring the documented behavior:
-
-    1. Each application needs ``r`` *replicas* (instances running it):
-       one by default; a lagging app adds the instances required to
-       digest its excess within one work interval at 1000/avgMs msg/s
-       each, on top of the replicas already serving it.
-    2. *Parallelism ceiling*: replicas beyond the app's highest
-       topic-partition count would idle in the consumer group, so
-       ``r ≤ max partitions``.
-    3. *Packing*: instances hold at most ``maximum_apps_per_instance``
-       app slots, so the fleet must provide ``ceil(Σ r / maxApps)``
-       instances — and at least ``max r``, since one app's replicas
-       live on distinct instances.
-
-    The result is a *target*, not a delta: fewer running instances than
-    desired means scale up, more means scale down (the reference
-    publishes {desired, running} for exactly this comparison).
-    """
-    maximum_message_lag = maximum_message_lag or {}
-    running = dict(running_instances_with_applications or {})
-    apps = set(message_lag_per_application)
-    for insts in running.values():
-        apps.update(insts)
-    if not apps:
-        return 1
-
-    capacity_per_interval = (
-        (1000.0 / max(average_message_time_estimate, 1e-9))
-        * (work_interval_ms / 1000.0)
+    ``running_instances_with_applications`` is accepted for interface
+    parity with the reference's lag snapshot: the *target* does not
+    depend on it (it only drives work placement / giveWork), and the
+    result is a target, not a delta — fewer running instances than
+    desired means scale up, more means scale down."""
+    del running_instances_with_applications  # placement-only input
+    per_app = desired_application_instances(
+        message_lag_per_application,
+        maximum_message_lag,
+        average_message_time_estimate,
     )
+    minimal = max(1, max(per_app.values(), default=1))
+    total = sum(per_app.values())
+    max_apps = max(int(maximum_apps_per_instance), 1)
+    packing = total // max_apps + (1 if total % max_apps else 0)
+    return max(minimal, packing)
 
-    total_slots = 0
-    max_replicas = 1
-    for app in apps:
-        topics = message_lag_per_application.get(app, {})
-        allowed = maximum_message_lag.get(app)
-        need = 0
-        if allowed:
-            excess = excess_lag(topics, allowed)
-            if excess > 0:
-                need = math.ceil(excess / capacity_per_interval)
-        max_partitions = max(
-            (len(parts) for parts in topics.values()), default=1
-        )
-        running_this_app = sum(
-            1 for insts in running.values() if app in insts
-        )
-        replicas = min(max(running_this_app + need, 1), max_partitions) \
-            if need else 1
-        total_slots += replicas
-        max_replicas = max(max_replicas, replicas)
 
-    packing = math.ceil(total_slots / max(maximum_apps_per_instance, 1))
-    return max(packing, max_replicas)
+def simulate(doc: Mapping[str, Any]) -> int:
+    """Replay one reference lag-snapshot fixture
+    (src/test/resources/work*.json, Work.simulate contract
+    Work.java:372-388): the document carries
+    ``messageLagPerApplication``, ``maximumMessageLag``,
+    ``runningInstancesWithApplications``,
+    ``averageMessageTimeEstimate`` and ``maximumAppsPerInstance``;
+    returns the desired instance count the fixture's ``expected``
+    field asserts."""
+    return desired_instances(
+        doc["messageLagPerApplication"],
+        doc.get("maximumMessageLag"),
+        doc.get("runningInstancesWithApplications"),
+        doc["averageMessageTimeEstimate"],
+        doc["maximumAppsPerInstance"],
+    )

@@ -1,11 +1,44 @@
-"""Autoscaling advisor tests (reference behavior docs/autoscaling.md;
-the reference validates the same calculus with lag-snapshot fixtures,
-TestWork.java — these vectors cover the same behavioral space)."""
+"""Autoscaling advisor tests.
+
+Two layers: the reference's own 16 golden lag-snapshot fixtures
+(src/test/resources/work1.json..work16.json, consumed in place like the
+app corpus — runner contract TestWork.java:13-18 asserts ``expected``
+vs ``Work.simulate``), plus hand-written vectors for the individual
+calculus properties (docs/autoscaling.md)."""
+
+import glob
+import json
+import os
+
+import pytest
 
 from pincette_json_streams_spark.plans.autoscale import (
     desired_instances,
     excess_lag,
+    simulate,
 )
+
+FIXTURE_DIR = "/root/reference/src/test/resources"
+FIXTURES = sorted(
+    glob.glob(os.path.join(FIXTURE_DIR, "work*.json")),
+    key=lambda p: int("".join(ch for ch in os.path.basename(p)
+                              if ch.isdigit())),
+)
+
+
+class TestReferenceFixtures:
+    """Replay every reference work*.json fixture — the same golden
+    corpus TestWork.java runs against Work.simulate."""
+
+    def test_corpus_is_complete(self):
+        assert len(FIXTURES) == 16
+
+    @pytest.mark.parametrize(
+        "path", FIXTURES, ids=[os.path.basename(p) for p in FIXTURES])
+    def test_fixture(self, path):
+        with open(path) as f:
+            doc = json.load(f)
+        assert simulate(doc) == doc["expected"], os.path.basename(path)
 
 
 def calc(lags, max_lag=None, running=None, avg=50, max_apps=10):
@@ -30,9 +63,9 @@ class TestDesiredInstances:
         assert calc(lags, max_apps=1) == 3
 
     def test_lag_pressure_adds_replicas(self):
-        # capacity = 1000/50 * 60 = 1200 msgs/interval
-        lags = {"a": {"t": {"0": 700, "1": 650}}}  # excess 1250
-        # one running replica + ceil(1250/1200)=2 -> but 2 partitions cap
+        # capacity = 1000 div 50 = 20 msg/s; excess 1250 -> 63 extra,
+        # capped by the 2-partition parallelism ceiling
+        lags = {"a": {"t": {"0": 700, "1": 650}}}
         assert calc(lags, {"a": {"t": 100}},
                     {"i1": ["a"]}) == 2
 
@@ -61,10 +94,29 @@ class TestDesiredInstances:
 
     def test_max_of_needs_not_sum(self):
         # two lagging apps share the extra instances (work is spread)
-        lags = {"a": {"t1": {"0": 600, "1": 550}},     # needs 2 replicas
-                "b": {"t2": {"0": 700, "1": 500, "2": 406}}}  # needs 3
+        lags = {"a": {"t1": {"0": 600, "1": 550}},
+                "b": {"t2": {"0": 700, "1": 500, "2": 406}}}
         assert calc(lags, {"a": {"t1": 100}, "b": {"t2": 100}},
                     {"i1": ["a", "b"]}, max_apps=2) == 3
 
     def test_empty_everything(self):
         assert desired_instances({}, None, None) == 1
+
+    def test_scale_to_zero_when_fully_drained(self):
+        # zero outstanding lag => no base instance for the app
+        # (work.scaleToZero defaults true; Work.java:182-188); the
+        # fleet floor stays 1
+        lags = {"a": {"t": {"0": 0, "1": 0}}}
+        assert calc(lags, {"a": {"t": 100}}) == 1
+        # a drained app contributes 0 slots next to a busy one
+        lags = {"a": {"t": {"0": 0}}, "b": {"u": {"0": 5}}}
+        assert calc(lags, None, max_apps=1) == 1
+
+    def test_per_topic_max_not_sum_within_app(self):
+        # two lagging topics on one app: the need is the max over
+        # topics (the same replicas drain both), not the sum
+        lags = {"a": {"t1": {"0": 600, "1": 10, "2": 10, "3": 10},
+                      "t2": {"0": 600, "1": 10, "2": 10, "3": 10}}}
+        # each topic: excess 530 -> ceil(530/20)=27 extra + 1 base = 28,
+        # capped at 4 partitions
+        assert calc(lags, {"a": {"t1": 100, "t2": 100}}) == 4
