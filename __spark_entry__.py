@@ -6526,67 +6526,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering contract: the driver samples a prefix of this dict, so the
-    # least-recently-driver-checked queries must come first.  Re-derived
-    # after CORRECTNESS_r05 (50/50 green): the 11 round-6 queries have
-    # never been driver-sampled and lead; then block 0 = the 28 queries
-    # whose latest driver check is r3, block 1 = the 50 last checked in
-    # r4, block 2 = the 50 sampled (green) in r5.  A 50-query prefix
-    # covers all never-sampled + all of block 0 + 11 of block 1.
+    # Ordering contract: the driver samples a 50-query prefix of this
+    # dict, so the least-recently-driver-checked queries must come
+    # first.  Re-derived after CORRECTNESS_r06 (50/50 green; union of
+    # r1-r6 = all 145 latest-green): 45 queries' latest driver check is
+    # r4 and they lead; then the 6 queries round 7 changed (semantic
+    # dedup assignment rewrite, Theil-Sen single-pass median, winnow
+    # NULL fps, hybrid_rrf oracle rounding, nearDups verify carry,
+    # outlier sd guard); then the r5 block (50); then the r6 block.
+    # The 50-prefix covers every r4-stale query + 5 of the 6 changed.
     return {
-        # -- NEW in round 6 (never driver-sampled -> very front) --
-        "pq_refined": q_pq_refined,
-        "bloom_prefilter": q_bloom_prefilter,
-        "pagerank_top": q_pagerank,
-        "hybrid_rrf": q_hybrid_rrf,
-        "ewma_drift": q_ewma_drift,
-        "prefix_jaccard": q_prefix_jaccard,
-        "hll_windowed": q_hll_windowed,
-        "graph_triangles": q_graph_triangles,
-        "robust_outliers": q_robust_outliers,
-        "collocations_npmi": q_collocations,
-        "attribution_lasttouch": q_attribution,
-        "theil_sen_trend": q_theil_sen,
-        "seasonal_profile": q_seasonal_profile,
-        "dedup_verify": q_dedup_verify,
-        "embedding_outliers": q_embedding_outliers,
-        "hdr_quantiles": q_hdr_quantiles,
-        "hdr_merge": q_hdr_merge,
-        # -- block 0: last driver-sampled in r3 (stalest signal) --
-        "url_dedup": q_url_dedup,
-        "zorder_key": q_zorder_key,
-        "semantic_dedup": q_semantic_dedup,
-        "densify_fill": q_densify_fill,
-        "cms_heavy": q_cms_heavy,
-        "weighted_sample": q_weighted_sample,
-        "decontaminate": q_decontaminate,
-        "date_arith": q_date_arith,
-        "percentile_accum": q_percentile_accum,
-        "union_buckets": q_union_buckets,
-        "linear_fill": q_linear_fill,
-        "cms_merge": q_cms_merge,
-        "domain_mix": q_domain_mix,
-        "pack_sequences": q_pack_sequences,
-        "dedup_incremental": q_dedup_incremental,
-        "token_drift": q_token_drift,
-        "salted_revenue": q_salted_revenue,
-        "kmv_distinct": q_kmv_distinct,
-        "retention_cohorts": q_retention_cohorts,
-        "asof_join": q_asof_join,
-        "sessionize_events": q_sessionize_events,
-        "contamination": q_contamination,
-        "lm_score": q_lm_score,
-        "ann_ivf": q_ann_ivf,
-        "ann_recall": q_ann_recall,
-        "events_gapfill": q_events_gapfill,
-        "profile_table": q_profile_table,
-        "tfidf_terms": q_tfidf_terms,
-        # -- block 1: last driver-sampled in r4 --
-        "graph_lookup": q_graph_lookup,
-        "window_modern": q_window_modern,
-        "lookup_topn": q_lookup_topn,
-        "facet_summary": q_facet,
-        "topn_accumulators": q_topn_accumulators,
+        # -- stalest first: latest driver check r4 --
         "modern_ops": q_modern_ops,
         "bpe_encode": q_bpe_encode,
         "emb_pca": q_emb_pca,
@@ -6632,11 +6582,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lookup_pipeline": q_lookup_pipeline,
         "join_part": q_join_part,
         "merge_part": q_merge_part,
-        # -- block 2: sampled green in r5 (freshest) --
+        # -- changed in round 7 (re-sample: plan rewrites / oracle fix) --
+        "semantic_dedup": q_semantic_dedup,
+        "theil_sen_trend": q_theil_sen,
+        "winnow_pairs": q_winnow_pairs,
+        "hybrid_rrf": q_hybrid_rrf,
+        "dedup_verify": q_dedup_verify,
+        "embedding_outliers": q_embedding_outliers,
+        # -- latest driver check r5 --
         "hll_distinct": q_hll_distinct,
         "pq_cells": q_pq_cells,
         "pq_adc": q_pq_adc,
-        "winnow_pairs": q_winnow_pairs,
         "bm25_topk": q_bm25_topk,
         "dsir_weights": q_dsir_weights,
         "jq_formats": q_jq_formats,
@@ -6683,6 +6639,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "strip_spans": q_strip_spans,
         "window_fields": q_window_fields,
+        # -- latest driver check r6 (freshest) --
+        "pq_refined": q_pq_refined,
+        "bloom_prefilter": q_bloom_prefilter,
+        "pagerank_top": q_pagerank,
+        "ewma_drift": q_ewma_drift,
+        "prefix_jaccard": q_prefix_jaccard,
+        "hll_windowed": q_hll_windowed,
+        "graph_triangles": q_graph_triangles,
+        "robust_outliers": q_robust_outliers,
+        "collocations_npmi": q_collocations,
+        "attribution_lasttouch": q_attribution,
+        "seasonal_profile": q_seasonal_profile,
+        "hdr_quantiles": q_hdr_quantiles,
+        "hdr_merge": q_hdr_merge,
+        "url_dedup": q_url_dedup,
+        "zorder_key": q_zorder_key,
+        "densify_fill": q_densify_fill,
+        "cms_heavy": q_cms_heavy,
+        "weighted_sample": q_weighted_sample,
+        "decontaminate": q_decontaminate,
+        "date_arith": q_date_arith,
+        "percentile_accum": q_percentile_accum,
+        "union_buckets": q_union_buckets,
+        "linear_fill": q_linear_fill,
+        "cms_merge": q_cms_merge,
+        "domain_mix": q_domain_mix,
+        "pack_sequences": q_pack_sequences,
+        "dedup_incremental": q_dedup_incremental,
+        "token_drift": q_token_drift,
+        "salted_revenue": q_salted_revenue,
+        "kmv_distinct": q_kmv_distinct,
+        "retention_cohorts": q_retention_cohorts,
+        "asof_join": q_asof_join,
+        "sessionize_events": q_sessionize_events,
+        "contamination": q_contamination,
+        "lm_score": q_lm_score,
+        "ann_ivf": q_ann_ivf,
+        "ann_recall": q_ann_recall,
+        "events_gapfill": q_events_gapfill,
+        "profile_table": q_profile_table,
+        "tfidf_terms": q_tfidf_terms,
+        "graph_lookup": q_graph_lookup,
+        "window_modern": q_window_modern,
+        "lookup_topn": q_lookup_topn,
+        "facet_summary": q_facet,
+        "topn_accumulators": q_topn_accumulators,
     }
 
 

@@ -59,15 +59,19 @@ class TestDriverContract:
 
     def test_first_block_covers_stalest_queries(self):
         """The driver samples a prefix: the staleness rotation derived
-        from CORRECTNESS_r01..r05 must hold — never-sampled queries
-        lead, every query whose LATEST driver check is r3 (the stalest
-        cohort) sits inside the first 50 keys, and everything checked
-        green in r5 sits BEHIND every r3/r4-stale query."""
+        from CORRECTNESS_r01..r06 must hold — never-sampled queries
+        lead, every query whose LATEST driver check is r4 (the stalest
+        cohort) sits inside the first 50 keys, and apart from the six
+        queries round 7 changed (pulled forward for re-sampling), the
+        r5-checked block sits entirely behind the r4-stale block and
+        the r6-checked block sits entirely behind the r5 block."""
         import json
 
+        changed_r7 = {"semantic_dedup", "theil_sen_trend", "winnow_pairs",
+                      "hybrid_rrf", "dedup_verify", "embedding_outliers"}
         here = os.path.join(os.path.dirname(__file__), "..")
         rounds: dict[str, int] = {}
-        for r in (1, 2, 3, 4, 5):
+        for r in (1, 2, 3, 4, 5, 6):
             p = os.path.join(here, f"CORRECTNESS_r0{r}.json")
             if not os.path.exists(p):
                 continue
@@ -75,14 +79,17 @@ class TestDriverContract:
                 rounds[k] = r
         keys = list(entry.queries())
         never = {k for k in keys if rounds.get(k, 0) == 0}
-        stale3 = {k for k in keys if rounds.get(k, 0) == 3}
-        fresh5 = {k for k in keys if rounds.get(k, 0) == 5}
+        stale4 = {k for k in keys if rounds.get(k, 0) == 4}
         prefix = set(keys[:50])
-        assert never | stale3 <= prefix, sorted((never | stale3) - prefix)
-        first_fresh = min((keys.index(k) for k in fresh5), default=len(keys))
-        last_stale = max((keys.index(k) for k in keys
-                          if rounds.get(k, 0) in (3, 4)), default=-1)
-        assert first_fresh > last_stale
+        assert never | stale4 <= prefix, sorted((never | stale4) - prefix)
+        idx = {k: i for i, k in enumerate(keys)}
+
+        def block(r):
+            return [idx[k] for k in keys
+                    if rounds.get(k, 0) == r and k not in changed_r7]
+
+        assert max(block(4), default=-1) < min(block(5), default=len(keys))
+        assert max(block(5), default=-1) < min(block(6), default=len(keys))
 
 
 class TestLocalGateStrictness:
