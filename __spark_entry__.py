@@ -5723,14 +5723,15 @@ def q_bloom_prefilter(spark, sf_dir):
     their quantity sum, and the exact false-positive row count.  The
     md5 hash family makes every false positive reproducible in SQL."""
     from pincette_json_streams_spark.functions.profiling import (
-        bloom_bits, bloom_prefilter,
+        bloom_prefilter, bloom_words,
     )
 
     mbits, k = 1 << 18, 5
     li = _t(spark, sf_dir, "lineitem")
     hot = _t(spark, sf_dir, "orders").filter(
         F.col("o_totalprice") > 400000)
-    bits = bloom_bits(hot, "o_orderkey", mbits=mbits, k=k)
+    # word-folded build: one shuffle (bit_or needs no distinct pass)
+    bits = bloom_words(hot, "o_orderkey", mbits=mbits, k=k)
     surv = bloom_prefilter(li, bits, "l_orderkey", mbits=mbits, k=k)
     truth = hot.select(F.col("o_orderkey").alias("l_orderkey"),
                        F.lit(1).alias("__member"))

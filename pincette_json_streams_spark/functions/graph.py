@@ -44,49 +44,83 @@ def pagerank(
     convention).
 
     Scale shape: ONE count() action up front for N (a bounded scalar);
-    each iteration is one shuffle (groupBy dst) plus broadcast-sized
-    1-row joins for the dangling mass — the dangling sum rides a lazy
-    1-row aggregate crossJoin, NOT a per-iteration collect (the lesson
-    of connected_components' observe() fix, VERDICT r4).  The loop
-    unrolls into a single DAG; ``iters`` is small and fixed, which is
-    also what makes the SQL-oracle replay possible.
+    each iteration is one shuffle (groupBy dst) plus a broadcast-sized
+    1-row join for the dangling mass — the dangling sum rides a lazy
+    1-row filter of the SAME per-iteration aggregate, NOT a
+    per-iteration collect (the lesson of connected_components'
+    observe() fix, VERDICT r4).  The loop unrolls into a single DAG;
+    ``iters`` is small and fixed, which is also what makes the
+    SQL-oracle replay possible.
+
+    The dangling mass is folded INTO the contribution aggregate via a
+    static sentinel out-edge (dangling node -> node -1 with out-degree
+    1, so the sentinel bucket collects the full dangling rank): the
+    previous shape referenced the rank state TWICE per iteration (once
+    for the dangling scalar, once for the contribution join), doubling
+    the unrolled DAG every iteration — 8 copies of the edge derivation
+    at iters=3, measured ~28 AQE stage-jobs per run.  With the
+    sentinel, rank state is referenced exactly once per iteration and
+    both consumers (per-node in-mass, dangling scalar) are filters over
+    one aggregate, which exchange reuse dedupes.  Node ids must
+    therefore be non-negative (the usual id contract here).
 
     Returns (node, rank) with rank in integer units of total.
     """
-    # NOTE on caching: persisting edges/nodes here was tried and
-    # REVERTED — materializing the cache blocks AQE's broadcast-join
+    # NOTE on materialization: .persist() here was tried and REVERTED
+    # twice — an InMemoryRelation blocks AQE's broadcast-join
     # conversion for every downstream reference (measured 2x slower at
-    # bench scale, 9 s vs 4 s).  The lazy re-derivation lets Catalyst
-    # broadcast the small sides of the upstream joins per iteration;
-    # at cluster scale, checkpoint the edge list ONCE upstream if its
-    # derivation is expensive, then hand the materialized table in.
+    # bench scale, 9-11 s vs ~5 s).  LAZY localCheckpoint (eager=False)
+    # is different: it cuts the lineage so the multiply-referenced
+    # frames (the augmented edge list, 3x; the per-iteration rank
+    # state, 2x each) evaluate ONCE instead of exponentially, while
+    # the explicit F.broadcast hints keep the join strategy independent
+    # of AQE statistics.  Measured at sf0.1: 5.9 s lazy-recompute ->
+    # 2.9 s with lazy checkpoints (the unrolled plan had 240 duplicate
+    # file scans before).  At cluster scale the same shape holds —
+    # checkpoint the edge derivation once, iterate over it.
     e = edges.select(F.col(src).cast("long").alias("src"),
                      F.col(dst).cast("long").alias("dst"))
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionAll(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0).cast("long"))
     base = ((100 - damping_pct) * total) // (100 * n)
+    # static augmented edge list: real edges carry their src degree;
+    # every dangling node gets ONE sentinel edge (deg 1) to node -1
+    ea = e.join(deg, "src").unionByName(
+        nodes.join(deg, nodes["node"] == deg["src"], "left_anti")
+        .select(F.col("node").alias("src"),
+                F.lit(-1).cast("long").alias("dst"),
+                F.lit(1).cast("long").alias("__deg"))
+    ).localCheckpoint(eager=False)
     r = nodes.withColumn("rank", F.lit(total // n).cast("long"))
+    # n is already a known scalar: broadcast the rank state only when
+    # the vertex set is genuinely broadcast-sized; at web scale (|V| in
+    # the billions) the edge-rank join must stay a shuffle join on src
+    small_v = n <= 4_000_000
     for _ in range(iters):
-        rd = r.join(deg, r["node"] == deg["src"], "left")
-        dang = rd.filter(F.col("__deg").isNull()).agg(
-            F.coalesce(F.sum("rank"), F.lit(0)).cast("long").alias("__dang"))
-        contrib = (
-            e.join(rd.select("node", "rank", "__deg"),
-                   e["src"] == F.col("node"))
-            .select(F.col("dst").alias("node"),
-                    F.expr("rank div __deg").alias("__c"))
-            .groupBy("node")
+        rj = F.broadcast(r) if small_v else r
+        agg = (
+            ea.join(rj, ea["src"] == rj["node"])
+            .select("dst", F.expr("rank div __deg").alias("__c"))
+            .groupBy("dst")
             .agg(F.sum("__c").cast("long").alias("__in"))
         )
+        dang = agg.filter(F.col("dst") == -1).select(
+            F.coalesce(F.sum("__in"), F.lit(0)).cast("long")
+            .alias("__dang"))
+        contrib = agg.filter(F.col("dst") != -1) \
+            .withColumnRenamed("dst", "node")
+        # r carries every node, so the left join onto r (a checkpoint
+        # leaf) replaces a per-iteration recompute of `nodes`
         r = (
-            nodes.join(contrib, "node", "left")
+            r.select("node").join(contrib, "node", "left")
             .crossJoin(F.broadcast(dang))
             .select(
                 "node",
@@ -95,6 +129,7 @@ def pagerank(
                     f" + (__dang div {n}))) div 100"
                 )).cast("long").alias("rank"),
             )
+            .localCheckpoint(eager=False)
         )
     return r
 

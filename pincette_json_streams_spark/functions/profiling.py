@@ -573,6 +573,34 @@ def bloom_bits(
     )
 
 
+def bloom_words(
+    df: DataFrame,
+    key,
+    mbits: int = 1 << 17,
+    k: int = 5,
+) -> DataFrame:
+    """Bloom filter BUILD, word-folded: the (w, bits) 64-bit-word table
+    of the same m-bit / k-hash filter :func:`bloom_bits` describes —
+    but in ONE shuffle instead of two.  ``bit_or`` is idempotent, so
+    the positions need no distinct pass first: the n*k raw position
+    rows map-side-combine straight into <= mbits/64 words.  Use this
+    as the build side of :func:`bloom_prefilter`; keep
+    :func:`bloom_bits` when the individual set-bit positions are the
+    product (e.g. the SQL-oracle replay)."""
+    kc = key if not isinstance(key, str) else F.col(key)
+    i = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__i")
+    return (
+        df.filter(kc.isNotNull())
+        .select(_bloom_h1(kc).alias("__h1"), _bloom_h2(kc).alias("__h2"))
+        .select("__h1", "__h2", i)
+        .select(((F.col("__h1") + F.col("__i") * F.col("__h2")) % mbits)
+                .alias("pos"))
+        .select(F.expr("pos div 64").alias("w"),
+                F.expr("shiftleft(1L, int(pos % 64))").alias("b"))
+        .groupBy("w").agg(F.expr("bit_or(b)").alias("bits"))
+    )
+
+
 def _bloom_h1(kc):
     h = F.conv(F.substring(F.md5(kc.cast("string")), 1, 15), 16, 10) \
         .cast("bigint")
@@ -622,13 +650,17 @@ def bloom_prefilter(
     # fold positions into 64-bit words JVM-SIDE (bit_or agg): the
     # driver then pulls <= mbits/64 rows instead of every set bit —
     # collecting the raw position table through py4j dominated the
-    # build cost before this
-    word_rows = (
-        bits.select(F.expr("pos div 64").alias("w"),
-                    F.expr("shiftleft(1L, int(pos % 64))").alias("b"))
-        .groupBy("w").agg(F.expr("bit_or(b)").alias("bits"))
-        .collect()
-    )
+    # build cost before this.  A (w, bits) frame from bloom_words is
+    # accepted directly (one build shuffle instead of distinct + fold).
+    if set(bits.columns) == {"w", "bits"}:
+        word_rows = bits.collect()
+    else:
+        word_rows = (
+            bits.select(F.expr("pos div 64").alias("w"),
+                        F.expr("shiftleft(1L, int(pos % 64))").alias("b"))
+            .groupBy("w").agg(F.expr("bit_or(b)").alias("bits"))
+            .collect()
+        )
     words = np.zeros(mbits // 64, dtype=np.uint64)
     for r in word_rows:
         words[int(r["w"])] = np.uint64(int(r["bits"]) & ((1 << 64) - 1))

@@ -410,11 +410,15 @@ class TestRound6PlanShapes:
         assert plan.count("BroadcastHashJoin (") <= 2
 
     def test_pagerank_no_cartesian_and_broadcast_dangling(self, spark):
-        """Every dangling-mass 1-row aggregate must enter as a
-        broadcast nested loop (1-row), never a real cartesian."""
+        """No cartesian anywhere.  Since the round-7 lineage-cut the
+        iterations materialize at construction behind lazy local
+        checkpoints, so the RETURNED plan is the top-k over the final
+        checkpointed rank state (Scan ExistingRDD) — the per-iteration
+        shape (1-row broadcast dangling mass, bounded jobs) is guarded
+        by TestPageRank.test_no_per_iteration_driver_data_collects."""
         plan = _plan(spark, "pagerank_top")
         assert "CartesianProduct" not in plan
-        assert "BroadcastNestedLoopJoin" in plan  # the 1-row crossJoins
+        assert "ExistingRDD" in plan  # the checkpointed rank state
 
     def test_hybrid_rrf_rank_windows_after_limits(self, spark):
         """Both rank lists are LIMIT-bounded before their windows: the
