@@ -1617,6 +1617,66 @@ FROM hashed WHERE rn <= {k} GROUP BY lang
 """
 
 
+def q_kmv_overlap(spark, sf_dir):
+    """KMV set-operation estimates (functions/profiling.py kmv_overlap;
+    Beyer et al. SIGMOD 2007): pairwise audience overlap between event
+    types — estimated distinct-user union, intersection and Jaccard
+    for every type pair, from O(k)-state sketches instead of a
+    distinct-join over the raw events.  The all-pairs join runs on the
+    one-row-per-group sketch table (broadcast-sized at any corpus
+    scale); every estimate is integer/dyadic math both engines replay
+    bit-for-bit."""
+    from pincette_json_streams_spark.functions.profiling import (
+        kmv_overlap, kmv_sketch,
+    )
+    ev = _t(spark, sf_dir, "events")
+    sk = kmv_sketch(ev, "event_type", "user_id", k=64)
+    return kmv_overlap(sk, "event_type", k=64) \
+        .orderBy("group_a", "group_b")
+
+
+def _oracle_kmv_overlap(k=64):
+    return f"""
+WITH d AS (
+  SELECT DISTINCT event_type AS g, user_id AS v
+  FROM events WHERE user_id IS NOT NULL
+), hashed AS (
+  SELECT g,
+         ('0x' || substr(md5(v::VARCHAR), 1, 8))::BIGINT
+           / 4294967296.0 AS h,
+         row_number() OVER (PARTITION BY g ORDER BY
+           ('0x' || substr(md5(v::VARCHAR), 1, 8))::BIGINT
+             / 4294967296.0 ASC) AS rn
+  FROM d
+), sk AS (
+  SELECT g, list_sort(list(h)) AS hs FROM hashed
+  WHERE rn <= {k} GROUP BY g
+), pairs AS (
+  SELECT a.g AS group_a, b.g AS group_b,
+         list_sort(list_distinct(list_concat(a.hs, b.hs)))[1:{k}] AS ks,
+         list_intersect(a.hs, b.hs) AS bth
+  FROM sk a JOIN sk b ON a.g < b.g
+), est AS (
+  SELECT group_a, group_b, len(ks) AS n, ks[len(ks)] AS hk,
+         len(list_intersect(ks, bth)) AS c, len(bth) AS nboth
+  FROM pairs
+), o AS (
+  SELECT group_a, group_b,
+         CASE WHEN n < {k} THEN n::BIGINT
+              ELSE round(({k} - 1) / hk, 0)::BIGINT END AS est_union,
+         CASE WHEN n < {k} THEN nboth::BIGINT
+              ELSE floor(c * {k - 1} / ({k} * hk) + 0.5)::BIGINT
+              END AS est_intersection
+  FROM est
+)
+SELECT group_a, group_b, est_union, est_intersection,
+       (CASE WHEN est_union > 0
+             THEN (est_intersection * 1000000) // est_union
+             ELSE 0 END)::BIGINT AS jaccard_e6
+FROM o ORDER BY group_a, group_b
+"""
+
+
 def q_repetition_stats(spark, sf_dir):
     """Gopher/MassiveText-style repetition quality signals per document:
     most-frequent-word fraction, most-frequent-2-gram fraction, fraction
@@ -6537,6 +6597,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # outlier sd guard); then the r5 block (50); then the r6 block.
     # The 50-prefix covers every r4-stale query + 5 of the 6 changed.
     return {
+        # -- NEW in round 7 (never driver-sampled -> very front) --
+        "kmv_overlap": q_kmv_overlap,
         # -- stalest first: latest driver check r4 --
         "modern_ops": q_modern_ops,
         "bpe_encode": q_bpe_encode,
@@ -6808,6 +6870,7 @@ def oracle_sql() -> dict[str, str]:
         "token_drift": _oracle_token_drift(),
         "salted_revenue": _ORACLE_SALTED_REVENUE,
         "kmv_distinct": _oracle_kmv_distinct(),
+        "kmv_overlap": _oracle_kmv_overlap(),
         "retention_cohorts": _ORACLE_RETENTION,
         "repetition_stats": _ORACLE_REPETITION,
         "contamination": _ORACLE_CONTAMINATION,

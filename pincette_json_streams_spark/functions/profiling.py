@@ -27,10 +27,11 @@ from pyspark.sql.types import (
 
 __all__ = [
     "profile_table", "kmv_distinct", "kmv_sketch", "kmv_merge",
-    "kmv_estimate", "cms_sketch", "cms_merge", "cms_estimate",
+    "kmv_estimate", "kmv_overlap", "cms_sketch", "cms_merge",
+    "cms_estimate",
     "hll_sketch", "hll_merge", "hll_estimate", "hll_distinct",
     "hdr_sketch", "hdr_merge", "hdr_quantiles",
-    "bloom_bits", "bloom_prefilter", "robust_zscores",
+    "bloom_bits", "bloom_words", "bloom_prefilter", "robust_zscores",
 ]
 
 
@@ -198,6 +199,65 @@ def kmv_merge(*sketches, group_col: str = "lang", k: int = 64):
         .agg(F.sort_array(F.collect_list("__h")).alias("hashes"))
         .select(F.col("group").alias(group_col), "hashes",
                 F.lit(int(k)).alias("sketch_k"))
+    )
+
+
+def kmv_overlap(sketch, group_col: str, k: int = 64):
+    """Pairwise set-operation estimates between every two groups'
+    KMV sketches ("On synopses for distinct-value estimation under
+    multiset operations", Beyer et al., SIGMOD 2007) — the corpus
+    question every multi-source training pipeline asks: how much does
+    slice A overlap slice B, WITHOUT a distinct-join over the raw data.
+
+    From the two k-min hash sets K_A, K_B: the combined k-min set
+    K = smallest k of K_A ∪ K_B estimates the union as (k-1)/max(K);
+    the fraction ρ = |K ∩ K_A ∩ K_B| / |K| is an unbiased Jaccard
+    estimate, and ρ * union estimates the intersection.  When the
+    combined set has fewer than k hashes both slices were seen WHOLE,
+    so the counts are exact.
+
+    Determinism: hashes are exact dyadic doubles (i / 2^32), set ops
+    are integer counts, and the two rounded estimates divide on the
+    same grid — the SQL oracle replays everything bit-for-bit.  Plan
+    shape: the sketch table is one row per group (O(k) each), so the
+    all-pairs self-join is over a frame that fits in one broadcast no
+    matter the corpus size.
+
+    Returns (group_a, group_b, est_union, est_intersection,
+    jaccard_e6) for group_a < group_b; jaccard_e6 =
+    est_intersection * 1e6 div est_union (0 when the union is 0)."""
+    a = sketch.select(F.col(group_col).alias("group_a"),
+                      F.col("hashes").alias("__ha"))
+    b = sketch.select(F.col(group_col).alias("group_b"),
+                      F.col("hashes").alias("__hb"))
+    pairs = a.join(F.broadcast(b), F.col("group_a") < F.col("group_b"))
+    comb = F.slice(F.array_sort(F.array_union("__ha", "__hb")), 1, k)
+    both = F.array_intersect("__ha", "__hb")
+    est = (
+        pairs
+        .withColumn("__k", comb)
+        .withColumn("__n", F.size("__k"))
+        .withColumn("__hk", F.element_at(F.col("__k"), F.col("__n")))
+        .withColumn("__c", F.size(F.array_intersect(F.col("__k"), both)))
+        .withColumn(
+            "est_union",
+            F.when(F.col("__n") < k, F.col("__n").cast("long"))
+            .otherwise(F.round((k - 1) / F.col("__hk"), 0).cast("long")),
+        )
+        .withColumn(
+            "est_intersection",
+            F.when(F.col("__n") < k, F.size(both).cast("long"))
+            .otherwise(
+                F.floor(F.col("__c") * (k - 1)
+                        / (k * F.col("__hk")) + F.lit(0.5))
+                .cast("long")),
+        )
+    )
+    return est.select(
+        "group_a", "group_b", "est_union", "est_intersection",
+        F.when(F.col("est_union") > 0,
+               F.expr("(est_intersection * 1000000) div est_union"))
+        .otherwise(F.lit(0)).cast("long").alias("jaccard_e6"),
     )
 
 

@@ -1244,6 +1244,61 @@ class TestPropertyRoundTrips:
         est = kmv_estimate(merged, "lang", k).collect()[0]
         assert abs(est["est_distinct"] - 900) / 900 < 0.35
 
+    def test_kmv_overlap_exact_below_k(self, spark):
+        """Groups whose combined hash set stays below k were seen WHOLE:
+        union/intersection/Jaccard must be exact counts."""
+        from pincette_json_streams_spark.functions.profiling import (
+            kmv_overlap, kmv_sketch,
+        )
+        rows = [("a", f"v{i}") for i in range(10)] + \
+               [("b", f"v{i}") for i in range(5, 20)]
+        df = spark.createDataFrame(rows, "g string, v string")
+        sk = kmv_sketch(df, "g", "v", k=64)
+        (r,) = kmv_overlap(sk, "g", k=64).collect()
+        assert (r["group_a"], r["group_b"]) == ("a", "b")
+        assert r["est_union"] == 20          # |v0..v19|
+        assert r["est_intersection"] == 5    # v5..v9
+        assert r["jaccard_e6"] == 5 * 1_000_000 // 20
+
+    def test_kmv_overlap_estimates_track_truth(self, spark):
+        """Estimation path (n >= k): union/intersection estimates land
+        within KMV's ~1/sqrt(k) band, identical slices give jaccard 1e6,
+        and disjoint slices give intersection 0."""
+        from pincette_json_streams_spark.functions.profiling import (
+            kmv_overlap, kmv_sketch,
+        )
+        rows = (
+            [("a", f"v{i}") for i in range(1000)]
+            + [("b", f"v{i}") for i in range(500, 1500)]   # 50% overlap
+            + [("c", f"v{i}") for i in range(1000)]        # == a
+            + [("d", f"w{i}") for i in range(1000)]        # disjoint
+        )
+        df = spark.createDataFrame(rows, "g string, v string")
+        k = 128
+        out = {(r["group_a"], r["group_b"]): r
+               for r in kmv_overlap(kmv_sketch(df, "g", "v", k), "g",
+                                    k).collect()}
+        ab = out[("a", "b")]
+        assert abs(ab["est_union"] - 1500) / 1500 < 0.3
+        assert abs(ab["est_intersection"] - 500) / 500 < 0.5
+        ac = out[("a", "c")]
+        assert ac["jaccard_e6"] == 1_000_000
+        ad = out[("a", "d")]
+        assert ad["est_intersection"] == 0 and ad["jaccard_e6"] == 0
+
+    def test_kmv_overlap_allpairs_broadcast(self, spark):
+        """The all-pairs join runs over the one-row-per-group sketch
+        frame: no sort-merge join, no cartesian over data rows."""
+        from pincette_json_streams_spark.functions.profiling import (
+            kmv_overlap, kmv_sketch,
+        )
+        rows = [(f"g{j}", f"v{i+j}") for j in range(4) for i in range(50)]
+        df = spark.createDataFrame(rows, "g string, v string")
+        out = kmv_overlap(kmv_sketch(df, "g", "v", 16), "g", 16)
+        assert out.count() == 6  # 4 choose 2
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan
+
 
 class TestRetention:
     def test_cohort_matrix(self, spark):
