@@ -245,11 +245,15 @@ def importance_weights(
     over its tokens — associative and engine-identical (SCALE.md float
     rules).
 
-    Scale shape: the bucket distribution table has exactly ``buckets``
-    rows — computed with one hash-agg over the token stream, then
-    BROADCAST into the per-token scoring join; the only other shuffle
-    is the per-doc weight agg.  Hashing is md5→bigint mod ``buckets``
-    so a SQL oracle replays it exactly.
+    Scale shape: the md5-per-token pass runs ONCE — it folds straight
+    into a per-(doc, bucket) histogram (at most ``buckets`` rows per
+    document), which is lineage-cut and then serves BOTH consumers:
+    the ``buckets``-row distribution table (re-aggregated from the
+    histogram, broadcast into scoring) and the per-doc weight agg
+    (token count and weight are exact integer sums over the
+    histogram).  Before the histogram the token stream was evaluated
+    twice — two full explode+md5 passes over the corpus.  Hashing is
+    md5→bigint mod ``buckets`` so a SQL oracle replays it exactly.
 
     Returns (doc_id, n_tokens, weight_e4, weight) per document."""
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " "))
@@ -265,9 +269,14 @@ def importance_weights(
             F.lit(buckets),
         ),
     )
-    dist = toks.groupBy("b").agg(
-        F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("ct"),
-        F.count(F.lit(1)).alias("cr"),
+    docb = (
+        toks.groupBy("doc_id", "__t", "b")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .localCheckpoint(eager=False)
+    )
+    dist = docb.groupBy("b").agg(
+        F.sum(F.when(F.col("__t"), F.col("__n")).otherwise(0)).alias("ct"),
+        F.sum("__n").alias("cr"),
     )
     tot = dist.agg(
         F.sum("ct").cast("double").alias("tt"),
@@ -288,11 +297,11 @@ def importance_weights(
         .select("b", "lr_e4")
     )
     return (
-        toks.join(F.broadcast(lr), "b")
+        docb.join(F.broadcast(lr), "b")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.sum("lr_e4").alias("weight_e4"),
+            F.sum("__n").cast("long").alias("n_tokens"),
+            F.sum(F.col("__n") * F.col("lr_e4")).alias("weight_e4"),
         )
         .withColumn("weight", F.col("weight_e4") / F.lit(1e4))
     )
