@@ -609,8 +609,17 @@ def theil_sen_slopes(
         F.col(id_col).alias("id"),
     )
     w = Window.partitionBy("g").orderBy("t", "id")
+    # pts is referenced three times (both pair sides + the point
+    # count); it is cap-bounded at groups*max_points rows, so the lazy
+    # lineage cut trades one tiny materialization for two extra runs
+    # of the window sort over the raw table.  (Profiled alternatives
+    # at sf0.1: rank-window median over the pair table 1.67 s vs this
+    # collect_list+array_sort agg 0.41 s; a fully in-array pair
+    # expansion with nested higher-order functions was 4x SLOWER than
+    # the Tungsten pair join — HOF struct comparators don't codegen.)
     pts = base.withColumn("r", F.row_number().over(w)) \
-        .filter(F.col("r") <= max_points)
+        .filter(F.col("r") <= max_points) \
+        .localCheckpoint(eager=False)
     a = pts.select(F.col("g"), F.col("t").alias("t1"),
                    F.col("v").alias("v1"), F.col("r").alias("r1"))
     b = pts.select(F.col("g").alias("g2"), F.col("t").alias("t2"),
