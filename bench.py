@@ -113,6 +113,8 @@ BENCH_QUERIES = [
     "attribution_lasttouch",
     "theil_sen_trend",
     "seasonal_profile",
+    # round-7 addition: KMV set-operation overlap (sketch + all-pairs)
+    "kmv_overlap",
 ]
 
 
