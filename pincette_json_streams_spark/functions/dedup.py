@@ -1215,14 +1215,20 @@ def prefix_filter_pairs(
             f" i -> concat_ws(' ', slice(__w, i, {n})))"
             f" ELSE array() END"
         )).alias("tok"),
-    ).filter(F.size("tok") > 0)
+    ).filter(F.size("tok") > 0) \
+        .localCheckpoint(eager=False)
+    # ^ the shingle kernel is the expensive scan pass and everything
+    # downstream re-derives from it (freq, ordered x3); the LAZY
+    # lineage cut runs it once.  A/B at sf0.1 (each min of 2): no cut
+    # 11.1 s, toks cut 7.2 s, toks+ordered 9.8 s, ordered-only 13.8 s —
+    # cutting `ordered` still LOSES (materializing the wide per-doc
+    # gram arrays costs more than recomputing them from checkpointed
+    # toks, and it blocks AQE's join planning downstream).
     ex = toks.select("id", F.explode("tok").alias("w"))
     freq = ex.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     # ordered is consumed three times (prefix posting + both sides of
-    # the verify join).  Checkpointing it was tried and REVERTED:
-    # materializing the wide gram arrays costs more than recomputing
-    # them AND blocks AQE's join planning downstream (14 s vs 8.4 s at
-    # sf0.1) — the same lesson as pagerank's un-cached edge list.
+    # the verify join) but recomputes from the checkpoint leaf, not
+    # from the raw scan.
     ordered = (
         ex.join(freq, "w")
         .groupBy("id")
