@@ -196,11 +196,17 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
 
     Returns (node, triangles) for every node in at least one triangle.
     """
+    # und is consumed three times (two degree projections + the orient
+    # join) and the oriented edge set four times (both wedge sides +
+    # both closing orientations): lazy lineage cuts run the canonical-
+    # ization and orientation once each instead of re-deriving the raw
+    # edge list per reference (the round-7 pagerank/PPJoin pattern)
     und = (
         edges.select(F.least("src", "dst").alias("a"),
                      F.greatest("src", "dst").alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = (
         und.select(F.col("a").alias("node"))
@@ -222,6 +228,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
                       & (F.col("a") < F.col("b"))),
                    F.col("b")).otherwise(F.col("a")).alias("v"),
         )
+        .localCheckpoint(eager=False)
     )
     w1 = o.select(F.col("u"), F.col("v").alias("x"))
     w2 = o.select(F.col("u"), F.col("v").alias("y"))
@@ -233,7 +240,9 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     # edge set and a != b) so the x<y wedge order always matches
     tri = wedges.join(closing, ["x", "y"]).select(
         F.col("u").alias("n1"), F.col("x").alias("n2"),
-        F.col("y").alias("n3"))
+        F.col("y").alias("n3")).localCheckpoint(eager=False)
+    # ^ the triangle set feeds three member projections; without the
+    # cut each would re-run the wedge join
     members = (
         tri.select(F.col("n1").alias("node"))
         .unionAll(tri.select(F.col("n2").alias("node")))
