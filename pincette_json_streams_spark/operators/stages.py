@@ -2284,6 +2284,52 @@ def _stage_hll_sketch_ext(df, spec, pctx):
     return sketch
 
 
+def _stage_kmv_sketch_ext(df, spec, pctx):
+    # {"value": col, "by": col?, "k": n, "estimate": bool?,
+    #  "_collection": name?} — deterministic KMV distinct-count sketch
+    # (functions/profiling.py kmv_sketch): the k smallest md5 hashes
+    # per group, the mergeable/oracle-checkable cardinality state.
+    # Batch-only: the k-minimum selection is a rank window.  With
+    # estimate=true the stage emits (group, est_distinct, sketch_k)
+    # instead of the sketch rows; _collection always registers the
+    # sketch for later kmv_merge / kmv_overlap.
+    _batch_only(df, "$kmvSketch", "group-wide k-minimum rank window")
+    from pincette_json_streams_spark.functions.profiling import (
+        kmv_estimate, kmv_sketch,
+    )
+
+    group = spec.get("by")
+    src = df
+    if group is None:
+        group = "__all"
+        src = df.withColumn("__all", F.lit("all"))
+    k = int(spec.get("k", 64))
+    sketch = kmv_sketch(src, group, spec.get("value", "value"), k=k)
+    if isinstance(spec.get("_collection"), str):
+        pctx.catalog[spec["_collection"]] = sketch
+    if spec.get("estimate"):
+        return kmv_estimate(sketch, group, k=k)
+    return sketch
+
+
+def _stage_kmv_overlap_ext(df, spec, pctx):
+    # {"value": col, "by": col, "k": n} — pairwise set-operation
+    # estimates between every two groups (functions/profiling.py
+    # kmv_overlap, Beyer et al. SIGMOD 2007): estimated distinct
+    # union, intersection and Jaccard per (group_a < group_b) pair,
+    # from O(k) sketch state — the corpus-overlap question without a
+    # distinct-join over the raw stream.
+    _batch_only(df, "$kmvOverlap", "group-wide k-minimum rank window")
+    from pincette_json_streams_spark.functions.profiling import (
+        kmv_overlap, kmv_sketch,
+    )
+
+    group = spec.get("by", "lang")
+    k = int(spec.get("k", 64))
+    sketch = kmv_sketch(df, group, spec.get("value", "value"), k=k)
+    return kmv_overlap(sketch, group, k=k)
+
+
 def _stage_facet_ext(df, spec, pctx):
     """$facet batch extension (MongoDB shape): run several sub-pipelines
     over the SAME input and emit ONE row with an array column per facet.
@@ -2618,6 +2664,8 @@ STAGES: dict[str, Callable[[DataFrame, Any, PipelineContext], DataFrame]] = {
     "$weightedSample": _stage_weighted_sample_ext,
     "$cmsSketch": _stage_cms_sketch_ext,
     "$hllSketch": _stage_hll_sketch_ext,
+    "$kmvSketch": _stage_kmv_sketch_ext,
+    "$kmvOverlap": _stage_kmv_overlap_ext,
     "$ewma": _stage_ewma_ext,
     "$hdrQuantiles": _stage_hdr_quantiles_ext,
     "$nearDups": _stage_near_dups_ext,

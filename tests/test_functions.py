@@ -4513,6 +4513,53 @@ class TestHdrQuantilesStage:
                                               "bucket_hi", "n"]
 
 
+class TestKmvStages:
+    def test_sketch_stage_estimate_and_catalog(self, spark):
+        from pincette_json_streams_spark.operators.stages import (
+            PipelineContext, compile_pipeline,
+        )
+        df = spark.createDataFrame(
+            [("en", f"tok{i}") for i in range(200)]
+            + [("de", f"tok{i}") for i in range(100, 260)],
+            "lang string, token string")
+        pctx = PipelineContext()
+        out = compile_pipeline(df, [
+            {"$kmvSketch": {"value": "token", "by": "lang", "k": 32,
+                            "estimate": True, "_collection": "sk"}},
+        ], pctx).collect()
+        est = {r["lang"]: r["est_distinct"] for r in out}
+        assert abs(est["en"] - 200) / 200 < 0.5
+        assert "sk" in pctx.catalog
+        assert pctx.catalog["sk"].columns == ["lang", "hashes", "sketch_k"]
+
+    def test_overlap_stage(self, spark):
+        from pincette_json_streams_spark.operators.stages import (
+            PipelineContext, compile_pipeline,
+        )
+        df = spark.createDataFrame(
+            [("a", f"v{i}") for i in range(10)]
+            + [("b", f"v{i}") for i in range(5, 20)],
+            "g string, v string")
+        (r,) = compile_pipeline(df, [
+            {"$kmvOverlap": {"value": "v", "by": "g", "k": 64}},
+        ], PipelineContext()).collect()
+        assert (r["group_a"], r["group_b"]) == ("a", "b")
+        assert r["est_union"] == 20 and r["est_intersection"] == 5
+
+    def test_batch_only_on_stream(self, spark):
+        import pytest as _pytest
+
+        from pincette_json_streams_spark.operators.stages import (
+            PipelineContext, UnsupportedExpression, compile_pipeline,
+        )
+        sdf = (spark.readStream.format("rate").load()
+               .selectExpr("value AS v", "'g' AS g"))
+        with _pytest.raises(UnsupportedExpression):
+            compile_pipeline(sdf, [
+                {"$kmvSketch": {"value": "v", "by": "g"}}
+            ], PipelineContext())
+
+
 class TestNearDupsStage:
     def test_pairs_and_verify(self, spark):
         from pincette_json_streams_spark.operators.stages import (
