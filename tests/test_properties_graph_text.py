@@ -158,3 +158,59 @@ class TestEwmaProperty:
         want = [(t, *m) for t, m in
                 enumerate(self._mirror([float(v) for v in vals], 4))]
         assert got == want
+
+
+class TestKmvOverlapProperty:
+    """kmv_overlap vs a pure-Python KMV mirror: the same md5 hashes,
+    k-min sets and estimate formulas, exercised on random two-slice
+    universes (heavy overlap, disjoint, sub-k exact path)."""
+
+    @staticmethod
+    def _mirror(vals_a, vals_b, k):
+        import hashlib
+        import math
+
+        def hs(vals):
+            out = {int(hashlib.md5(v.encode()).hexdigest()[:8], 16)
+                   / float(1 << 32) for v in vals}
+            return sorted(out)[:k]
+
+        ha, hb = hs(vals_a), hs(vals_b)
+        comb = sorted(set(ha) | set(hb))[:k]
+        n = len(comb)
+        both = set(ha) & set(hb)
+        c = len(set(comb) & both)
+        if n < k:
+            union = n
+            inter = len(both)
+        else:
+            hk = comb[-1]
+            # Spark round() half-up on the same double expression
+            x = (k - 1) / hk
+            union = math.floor(x + 0.5) if x >= 0 else -math.floor(
+                -x + 0.5)
+            inter = math.floor(c * (k - 1) / (k * hk) + 0.5)
+        jac = (inter * 1_000_000) // union if union > 0 else 0
+        return union, inter, jac
+
+    @SPARKY
+    @given(
+        st.sets(st.integers(0, 400), min_size=1, max_size=120),
+        st.sets(st.integers(0, 400), min_size=1, max_size=120),
+        st.sampled_from([8, 32, 64]),
+    )
+    def test_matches_mirror(self, spark, sa, sb, k):
+        from pincette_json_streams_spark.functions.profiling import (
+            kmv_overlap, kmv_sketch,
+        )
+        rows = [("a", f"v{i}") for i in sa] + [("b", f"v{i}") for i in sb]
+        df = spark.createDataFrame(rows, "g string, v string")
+        sk = kmv_sketch(df, "g", "v", k=k)
+        (r,) = kmv_overlap(sk, "g", k=k).collect()
+        want = self._mirror({f"v{i}" for i in sa},
+                            {f"v{i}" for i in sb}, k)
+        got = (r["est_union"], r["est_intersection"], r["jaccard_e6"])
+        assert got == want
+        # structural invariants regardless of estimate noise
+        assert r["est_intersection"] <= r["est_union"]
+        assert 0 <= r["jaccard_e6"] <= 1_000_000
