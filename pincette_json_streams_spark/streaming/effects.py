@@ -192,11 +192,23 @@ class LocalObjectStore:
 _HTTP_ERROR_T = "struct<statusCode:int,body:string>"
 
 
-def _schema_ddl(df: DataFrame, extra: str = "") -> str:
-    base = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
-    )
-    return f"{base}, {extra}" if extra else base
+def _schema_ddl(df: DataFrame, extra: str = ""):
+    """Output schema for a mapInPandas effect stage: the input schema
+    plus optional ``extra`` DDL-declared fields.
+
+    Returns a real StructType, NOT a DDL string: simpleString() does
+    not quote NESTED field names, so a document with hyphenated or
+    case-variant keys inside a struct (e.g. the reference
+    s3attachments corpus message, whose attachment structs carry
+    `Content-Type`/`content-Type`/`content-type`) would produce an
+    unparseable DDL."""
+    from pyspark.sql.types import StructType
+
+    schema = StructType(list(df.schema.fields))
+    if extra:
+        for f in StructType.fromDDL(extra).fields:
+            schema = schema.add(f)
+    return schema
 
 
 def _expr_json(spec_val: Any, df: DataFrame) -> Column:

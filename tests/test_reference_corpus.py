@@ -74,6 +74,43 @@ class TestS3Apps:
             spark, os.path.join(BASE, "s3csv-resumable"), pctx=pctx)
         assert report.ok, str(report)
 
+    def test_s3attachments(self, spark, tmp_path):
+        """The golden s3attachments app, preloaded the way the
+        reference test uploads (TestApp.java:514-518): the four corpus
+        PDFs from resources/files plus the jar key (absent from the
+        repo's resources — a synthetic payload stands in; the golden
+        output only asserts message passthrough after a successful
+        multipart POST)."""
+        from pincette_json_streams_spark.streaming.effects import (
+            HttpResponse,
+        )
+        pdfs = [
+            "com2012_0429nl01.pdf", "com2012_0444nl01.pdf",
+            "com2012_0445nl01.pdf", "com2012_0448nl01.pdf",
+        ]
+        pctx = self._pctx(
+            tmp_path,
+            *[("lars-tst-docs", n, os.path.join(BASE, "files", n))
+              for n in pdfs],
+        )
+        pctx.object_store.write(
+            "lars-tst-docs", "uivi2_4_9.jar", b"PK\x03\x04stand-in")
+        pctx.http_transport = lambda method, url, headers, body: \
+            HttpResponse(200, "")
+        # the golden message carries THREE case-variants of the
+        # content-type part header; Spark's default case-insensitive
+        # resolution merges them at JSON inference, so this app runs
+        # under caseSensitive=true (the reference treats documents as
+        # case-sensitive JSON)
+        prev = spark.conf.get("spark.sql.caseSensitive")
+        spark.conf.set("spark.sql.caseSensitive", "true")
+        try:
+            report = run_app_test(
+                spark, os.path.join(BASE, "s3attachments"), pctx=pctx)
+        finally:
+            spark.conf.set("spark.sql.caseSensitive", prev)
+        assert report.ok, str(report)
+
     def test_s3out(self, spark, tmp_path):
         pctx = self._pctx(tmp_path)
         report = run_app_test(
