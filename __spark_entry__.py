@@ -1617,6 +1617,117 @@ FROM hashed WHERE rn <= {k} GROUP BY lang
 """
 
 
+def q_curation_funnel(spark, sf_dir):
+    """End-to-end corpus-curation funnel — the report every training-
+    data pipeline publishes: per language, how many documents (and
+    characters) survive each curation stage.  Stage 1 exact dedup
+    (min-id keeper per normalized-content fingerprint), stage 2
+    quality gate (the composite length/diversity/stopword/punctuation
+    score >= 0.8), stage 3 decontamination (drop the held-out
+    benchmark slice doc_id % 50 == 0 and any document sharing a
+    distinct word-3-gram with it).  Composes functions/dedup.py
+    exact_dedup + functions/text.py quality_score_from +
+    benchmark_overlap under one oracle; each stage's pruning is exact
+    integer/fingerprint math, so the funnel is engine-identical."""
+    from pincette_json_streams_spark.functions.dedup import exact_dedup
+    from pincette_json_streams_spark.functions.text import (
+        benchmark_overlap, quality_score_from, with_text_features,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    s1 = docs.join(exact_dedup(docs).select("doc_id"), "doc_id")
+    s2 = (
+        with_text_features(s1)
+        .withColumn("q", quality_score_from(F.col("__tf"),
+                                            F.length("text")))
+        .filter(F.col("q") >= 0.8)
+        .select(*docs.columns)
+    )
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    train = s2.filter(F.col("doc_id") % 50 != 0)
+    contaminated = benchmark_overlap(train, bench, n=3) \
+        .select("doc_id")
+    s3 = train.join(contaminated, "doc_id", "left_anti")
+
+    def stage(df, no, name):
+        return df.groupBy("lang").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("n_chars"),
+        ).select("lang", F.lit(no).cast("long").alias("stage_no"),
+                 F.lit(name).alias("stage"), "n_docs", "n_chars")
+
+    return (
+        stage(docs, 0, "raw")
+        .unionByName(stage(s1, 1, "exact_dedup"))
+        .unionByName(stage(s2, 2, "quality"))
+        .unionByName(stage(s3, 3, "decontaminated"))
+    )
+
+
+def _oracle_curation_funnel():
+    from pincette_json_streams_spark.functions.text import (
+        STOPWORDS,
+    )
+    stop_list = "[" + ",".join(f"'{s}'" for s in STOPWORDS) + "]"
+    return f"""
+WITH keep1 AS (
+  SELECT min(doc_id) AS doc_id
+  FROM documents GROUP BY md5({_sql_norm()})
+), s1 AS (
+  SELECT d.* FROM documents d JOIN keep1 USING (doc_id)
+), feat AS (
+  SELECT doc_id, text, lang,
+         string_split_regex(lower(trim(text)), '\\s+') AS words,
+         len(string_split_regex(trim(text), '\\s+')) AS n_words
+  FROM s1
+), scored AS (
+  SELECT doc_id,
+         round((0.4 * ((n_words >= 10 AND n_words <= 5000
+                AND length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE
+                    / greatest(n_words,1) >= 2
+                AND length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE
+                    / greatest(n_words,1) <= 12)::INT)
+           + 0.3 * least(len(list_distinct(words))::DOUBLE
+                         / greatest(n_words,1) * 2, 1.0)
+           + 0.3 * (len(list_intersect(words, {stop_list})) > 0)::INT)
+          * (1.0 - least(len(regexp_extract_all(text,
+                '[^A-Za-z0-9\\s]'))::DOUBLE / greatest(length(text),1) * 5,
+                1.0)), 6) AS q
+  FROM feat
+), s2 AS (
+  SELECT s1.* FROM s1 JOIN scored USING (doc_id) WHERE q >= 0.8
+), norm3 AS (
+  SELECT doc_id, string_split({_sql_norm()}, ' ') AS ws FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(ws) - 2, 1)),
+           i -> array_to_string(ws[i:i+2], ' ')))) AS g
+  FROM norm3
+), benchg AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0
+), contaminated AS (
+  SELECT DISTINCT grams.doc_id FROM grams JOIN benchg USING (g)
+  WHERE doc_id % 50 != 0
+), s3 AS (
+  SELECT * FROM s2
+  WHERE doc_id % 50 != 0
+    AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+)
+SELECT lang, 0::BIGINT AS stage_no, 'raw' AS stage,
+       count(*)::BIGINT AS n_docs, sum(length(text))::BIGINT AS n_chars
+FROM documents GROUP BY lang
+UNION ALL
+SELECT lang, 1, 'exact_dedup', count(*), sum(length(text))
+FROM s1 GROUP BY lang
+UNION ALL
+SELECT lang, 2, 'quality', count(*), sum(length(text))
+FROM s2 GROUP BY lang
+UNION ALL
+SELECT lang, 3, 'decontaminated', count(*), sum(length(text))
+FROM s3 GROUP BY lang
+"""
+
+
 def q_kmv_overlap(spark, sf_dir):
     """KMV set-operation estimates (functions/profiling.py kmv_overlap;
     Beyer et al. SIGMOD 2007): pairwise audience overlap between event
@@ -6599,6 +6710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- NEW in round 7 (never driver-sampled -> very front) --
         "kmv_overlap": q_kmv_overlap,
+        "curation_funnel": q_curation_funnel,
         # -- stalest first: latest driver check r4 --
         "modern_ops": q_modern_ops,
         "bpe_encode": q_bpe_encode,
@@ -6871,6 +6983,7 @@ def oracle_sql() -> dict[str, str]:
         "salted_revenue": _ORACLE_SALTED_REVENUE,
         "kmv_distinct": _oracle_kmv_distinct(),
         "kmv_overlap": _oracle_kmv_overlap(),
+        "curation_funnel": _oracle_curation_funnel(),
         "retention_cohorts": _ORACLE_RETENTION,
         "repetition_stats": _ORACLE_REPETITION,
         "contamination": _ORACLE_CONTAMINATION,

@@ -113,8 +113,10 @@ BENCH_QUERIES = [
     "attribution_lasttouch",
     "theil_sen_trend",
     "seasonal_profile",
-    # round-7 addition: KMV set-operation overlap (sketch + all-pairs)
+    # round-7 additions: KMV set-operation overlap (sketch + all-pairs)
+    # and the composed curation funnel (dedup + quality + decontaminate)
     "kmv_overlap",
+    "curation_funnel",
 ]
 
 
