@@ -1670,8 +1670,9 @@ def _oracle_curation_funnel():
     stop_list = "[" + ",".join(f"'{s}'" for s in STOPWORDS) + "]"
     return f"""
 WITH keep1 AS (
+  -- same 60-bit fingerprint equivalence classes as exact_dedup
   SELECT min(doc_id) AS doc_id
-  FROM documents GROUP BY md5({_sql_norm()})
+  FROM documents GROUP BY substr(md5({_sql_norm()}), 1, 15)
 ), s1 AS (
   SELECT d.* FROM documents d JOIN keep1 USING (doc_id)
 ), feat AS (
