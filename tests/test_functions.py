@@ -3854,9 +3854,12 @@ class TestPageRank:
         tracker = spark.sparkContext.statusTracker()
 
         def jobs_during(iters):
-            before = len(tracker.getJobIdsForGroup(None) or [])
+            # job ids are monotonic: max-id deltas survive the UI store
+            # evicting old jobs in a long shared session (len() deltas
+            # go wrong after spark.ui.retainedJobs evictions)
+            before = max(tracker.getJobIdsForGroup(None) or [0])
             pagerank(df, iters=iters)
-            return len(tracker.getJobIdsForGroup(None) or []) - before
+            return max(tracker.getJobIdsForGroup(None) or [0]) - before
 
         j3, j6 = jobs_during(3), jobs_during(6)
         per_iter = (j6 - j3) / 3.0
