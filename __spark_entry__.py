@@ -1623,24 +1623,32 @@ def q_curation_funnel(spark, sf_dir):
     characters) survive each curation stage.  Stage 1 exact dedup
     (min-id keeper per normalized-content fingerprint), stage 2
     quality gate (the composite length/diversity/stopword/punctuation
-    score >= 0.8), stage 3 decontamination (drop the held-out
-    benchmark slice doc_id % 50 == 0 and any document sharing a
-    distinct word-3-gram with it).  Composes functions/dedup.py
-    exact_dedup + functions/text.py quality_score_from +
-    benchmark_overlap under one oracle; each stage's pruning is exact
-    integer/fingerprint math, so the funnel is engine-identical."""
+    score >= 0.8, evaluated as the exact-integer inequality
+    quality_gate_from — no float anywhere in the surviving-set
+    definition), stage 3 decontamination (drop the held-out benchmark
+    slice doc_id % 50 == 0 and any document sharing a distinct
+    word-3-gram with it).  Composes functions/dedup.py exact_dedup +
+    functions/text.py quality_gate_from + benchmark_overlap under one
+    oracle; every stage's pruning is integer/fingerprint math, so the
+    funnel is engine-identical.  The s1/s2 legs are lineage-cut with
+    a lazy localCheckpoint: four stage() aggregates plus the
+    contamination anti-join would otherwise re-run the dedup
+    fingerprint and the Arrow feature kernel 3-4x (the round-7
+    verdict's measured redundancy)."""
     from pincette_json_streams_spark.functions.dedup import exact_dedup
     from pincette_json_streams_spark.functions.text import (
-        benchmark_overlap, quality_score_from, with_text_features,
+        benchmark_overlap, quality_gate_from, with_text_features,
     )
     docs = _t(spark, sf_dir, "documents")
-    s1 = docs.join(exact_dedup(docs).select("doc_id"), "doc_id")
+    s1 = (
+        docs.join(exact_dedup(docs).select("doc_id"), "doc_id")
+        .localCheckpoint(eager=False)
+    )
     s2 = (
         with_text_features(s1)
-        .withColumn("q", quality_score_from(F.col("__tf"),
-                                            F.length("text")))
-        .filter(F.col("q") >= 0.8)
+        .filter(quality_gate_from(F.col("__tf"), F.length("text")))
         .select(*docs.columns)
+        .localCheckpoint(eager=False)
     )
     bench = docs.filter(F.col("doc_id") % 50 == 0)
     train = s2.filter(F.col("doc_id") % 50 != 0)
@@ -1676,26 +1684,33 @@ WITH keep1 AS (
 ), s1 AS (
   SELECT d.* FROM documents d JOIN keep1 USING (doc_id)
 ), feat AS (
-  SELECT doc_id, text, lang,
-         string_split_regex(lower(trim(text)), '\\s+') AS words,
-         len(string_split_regex(trim(text), '\\s+')) AS n_words
-  FROM s1
-), scored AS (
+  -- the same integer signals quality_gate_from reads off the __tf
+  -- struct; no float is ever formed
   SELECT doc_id,
-         round((0.4 * ((n_words >= 10 AND n_words <= 5000
-                AND length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE
-                    / greatest(n_words,1) >= 2
-                AND length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE
-                    / greatest(n_words,1) <= 12)::INT)
-           + 0.3 * least(len(list_distinct(words))::DOUBLE
-                         / greatest(n_words,1) * 2, 1.0)
-           + 0.3 * (len(list_intersect(words, {stop_list})) > 0)::INT)
-          * (1.0 - least(len(regexp_extract_all(text,
-                '[^A-Za-z0-9\\s]'))::DOUBLE / greatest(length(text),1) * 5,
-                1.0)), 6) AS q
+         string_split_regex(lower(trim(text)), '\\s+') AS words,
+         greatest(len(string_split_regex(trim(text), '\\s+')), 1)::BIGINT
+           AS nw,
+         len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_words,
+         length(regexp_replace(text, '\\s+', '', 'g'))::BIGINT
+           AS stripped_len,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::BIGINT
+           AS n_punct,
+         greatest(length(text), 1)::BIGINT AS ncg
+  FROM s1
+), gated AS (
+  -- quality_score >= 4/5 multiplied through by its positive
+  -- denominators (10*nw and ncg): pure int64, engine-identical
+  SELECT doc_id,
+         (4 * ((n_words >= 10 AND n_words <= 5000
+                AND stripped_len >= 2 * nw
+                AND stripped_len <= 12 * nw)::INT) * nw
+          + 3 * least(2 * len(list_distinct(words))::BIGINT, nw)
+          + 3 * ((len(list_intersect(words, {stop_list})) > 0)::INT) * nw
+         ) * greatest(ncg - 5 * n_punct, 0) * 5 AS lhs,
+         4 * 10 * nw * ncg AS rhs
   FROM feat
 ), s2 AS (
-  SELECT s1.* FROM s1 JOIN scored USING (doc_id) WHERE q >= 0.8
+  SELECT s1.* FROM s1 JOIN gated USING (doc_id) WHERE lhs >= rhs
 ), norm3 AS (
   SELECT doc_id, string_split({_sql_norm()}, ' ') AS ws FROM documents
 ), grams AS (
@@ -1718,13 +1733,20 @@ SELECT lang, 0::BIGINT AS stage_no, 'raw' AS stage,
        count(*)::BIGINT AS n_docs, sum(length(text))::BIGINT AS n_chars
 FROM documents GROUP BY lang
 UNION ALL
-SELECT lang, 1, 'exact_dedup', count(*), sum(length(text))
+-- every branch fully BIGINT-cast: DuckDB's sum(BIGINT) is HUGEINT, and
+-- one uncast branch silently promotes the whole unioned column to
+-- HUGEINT, which pandas/Arrow drivers fetch as float64 — same printed
+-- values, different value hash vs Spark's int64 (the round-7 red row)
+SELECT lang, 1::BIGINT, 'exact_dedup', count(*)::BIGINT,
+       sum(length(text))::BIGINT
 FROM s1 GROUP BY lang
 UNION ALL
-SELECT lang, 2, 'quality', count(*), sum(length(text))
+SELECT lang, 2::BIGINT, 'quality', count(*)::BIGINT,
+       sum(length(text))::BIGINT
 FROM s2 GROUP BY lang
 UNION ALL
-SELECT lang, 3, 'decontaminated', count(*), sum(length(text))
+SELECT lang, 3::BIGINT, 'decontaminated', count(*)::BIGINT,
+       sum(length(text))::BIGINT
 FROM s3 GROUP BY lang
 """
 
@@ -6701,71 +6723,18 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver samples a 50-query prefix of this
     # dict, so the least-recently-driver-checked queries must come
-    # first.  Re-derived after CORRECTNESS_r06 (50/50 green; union of
-    # r1-r6 = all 145 latest-green): 45 queries' latest driver check is
-    # r4 and they lead; then the 6 queries round 7 changed (semantic
-    # dedup assignment rewrite, Theil-Sen single-pass median, winnow
-    # NULL fps, hybrid_rrf oracle rounding, nearDups verify carry,
-    # outlier sd guard); then the r5 block (50); then the r6 block.
-    # The 50-prefix covers every r4-stale query + 5 of the 6 changed.
+    # first.  Re-derived after CORRECTNESS_r07 (49/50 green; union of
+    # r1-r7 = all 147): curation_funnel leads (the one red row — its
+    # oracle's HUGEINT union branches and float quality gate were
+    # rewritten this round and it must re-sample), then the 49 queries
+    # whose latest driver check is r5, then the r6 block, then the
+    # 49 r7-checked queries.  The 50-prefix = curation_funnel + the
+    # whole r5-stale cohort, so after round 8 no query's latest driver
+    # check is older than two rounds.
     return {
-        # -- NEW in round 7 (never driver-sampled -> very front) --
-        "kmv_overlap": q_kmv_overlap,
+        # -- round-8 re-sample: changed this round (oracle/plan rewrite) --
         "curation_funnel": q_curation_funnel,
-        # -- stalest first: latest driver check r4 --
-        "modern_ops": q_modern_ops,
-        "bpe_encode": q_bpe_encode,
-        "emb_pca": q_emb_pca,
-        "aggregate_fold": q_aggregate_fold,
-        "per_batching": q_per_batching,
-        "merge_modes": q_merge_modes,
-        "tz_gallery": q_tz_gallery,
-        "window_timerange": q_window_timerange,
-        "corpus_stats": q_corpus_stats,
-        "sample_split": q_sample_split,
-        "chunk_docs": q_chunk_docs,
-        "passage_dedup": q_passage_dedup,
-        "quantize_embeddings": q_quantize_embeddings,
-        "quality_trim": q_quality_trim,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_clusters_star": q_dedup_clusters_star,
-        "dedup_canonical": q_dedup_canonical,
-        "split_leakfree": q_split_leakfree,
-        "repetition_stats": q_repetition_stats,
-        "aggregate_acl": q_aggregate_acl,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_ngram": q_dedup_ngram,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_embedding": q_dedup_embedding,
-        "ann_lsh": q_ann_lsh,
-        "ann_topk": q_ann_topk,
-        "quality_filter": q_quality_filter,
-        "aggregate_unique": q_aggregate_unique,
-        "aggregate_jslt_reducer": q_aggregate_jslt_reducer,
-        "aggregate_validate": q_aggregate_validate,
-        "pricing_summary": q_pricing_summary,
-        "segment_revenue": q_segment_revenue,
-        "match_query_ops": q_match_query_ops,
-        "project_compute": q_project_compute,
-        "switch_let": q_switch_let,
-        "group_mergeobjects": q_group_mergeobjects,
-        "unwind_words": q_unwind_words,
-        "group_accumulators": q_group_accumulators,
-        "bucket_prices": q_bucket_prices,
-        "count_stage": q_count_stage,
-        "lookup_array": q_lookup_array,
-        "lookup_pipeline": q_lookup_pipeline,
-        "join_part": q_join_part,
-        "merge_part": q_merge_part,
-        # -- changed in round 7 (re-sample: plan rewrites / oracle fix) --
-        "semantic_dedup": q_semantic_dedup,
-        "theil_sen_trend": q_theil_sen,
-        "winnow_pairs": q_winnow_pairs,
-        "hybrid_rrf": q_hybrid_rrf,
-        "dedup_verify": q_dedup_verify,
-        "embedding_outliers": q_embedding_outliers,
-        # -- latest driver check r5 --
+        # -- stalest first: latest driver check r5 --
         "hll_distinct": q_hll_distinct,
         "pq_cells": q_pq_cells,
         "pq_adc": q_pq_adc,
@@ -6815,7 +6784,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "strip_spans": q_strip_spans,
         "window_fields": q_window_fields,
-        # -- latest driver check r6 (freshest) --
+        # -- latest driver check r6 --
+        "hybrid_rrf": q_hybrid_rrf,
+        "dedup_verify": q_dedup_verify,
+        "embedding_outliers": q_embedding_outliers,
         "pq_refined": q_pq_refined,
         "bloom_prefilter": q_bloom_prefilter,
         "pagerank_top": q_pagerank,
@@ -6861,6 +6833,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lookup_topn": q_lookup_topn,
         "facet_summary": q_facet,
         "topn_accumulators": q_topn_accumulators,
+        # -- latest driver check r7 (freshest) --
+        "kmv_overlap": q_kmv_overlap,
+        "modern_ops": q_modern_ops,
+        "bpe_encode": q_bpe_encode,
+        "emb_pca": q_emb_pca,
+        "aggregate_fold": q_aggregate_fold,
+        "per_batching": q_per_batching,
+        "merge_modes": q_merge_modes,
+        "tz_gallery": q_tz_gallery,
+        "window_timerange": q_window_timerange,
+        "corpus_stats": q_corpus_stats,
+        "sample_split": q_sample_split,
+        "chunk_docs": q_chunk_docs,
+        "passage_dedup": q_passage_dedup,
+        "quantize_embeddings": q_quantize_embeddings,
+        "quality_trim": q_quality_trim,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_clusters_star": q_dedup_clusters_star,
+        "dedup_canonical": q_dedup_canonical,
+        "split_leakfree": q_split_leakfree,
+        "repetition_stats": q_repetition_stats,
+        "aggregate_acl": q_aggregate_acl,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_ngram": q_dedup_ngram,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
+        "ann_lsh": q_ann_lsh,
+        "ann_topk": q_ann_topk,
+        "quality_filter": q_quality_filter,
+        "aggregate_unique": q_aggregate_unique,
+        "aggregate_jslt_reducer": q_aggregate_jslt_reducer,
+        "aggregate_validate": q_aggregate_validate,
+        "pricing_summary": q_pricing_summary,
+        "segment_revenue": q_segment_revenue,
+        "match_query_ops": q_match_query_ops,
+        "project_compute": q_project_compute,
+        "switch_let": q_switch_let,
+        "group_mergeobjects": q_group_mergeobjects,
+        "unwind_words": q_unwind_words,
+        "group_accumulators": q_group_accumulators,
+        "bucket_prices": q_bucket_prices,
+        "count_stage": q_count_stage,
+        "lookup_array": q_lookup_array,
+        "lookup_pipeline": q_lookup_pipeline,
+        "join_part": q_join_part,
+        "merge_part": q_merge_part,
+        "semantic_dedup": q_semantic_dedup,
+        "theil_sen_trend": q_theil_sen,
+        "winnow_pairs": q_winnow_pairs,
     }
 
 

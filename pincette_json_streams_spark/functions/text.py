@@ -245,6 +245,48 @@ def quality_score_from(tf: Column, n_chars: Column) -> Column:
     return F.round(score, 6)
 
 
+def quality_gate_from(
+    tf: Column, n_chars: Column, num: int = 4, den: int = 5
+) -> Column:
+    """Exact-integer quality gate: ``quality_score >= num/den`` evaluated
+    in pure int64 arithmetic, for pipelines that *filter* on the score
+    rather than report it.
+
+    ``quality_score_from`` is float math rounded to 6dp — fine for a
+    reported column, but as a *set-defining* predicate it makes the
+    surviving-document set hostage to each engine's float evaluation
+    order and ``round()`` tie semantics.  Multiplying the inequality
+    through by its (positive) denominators removes every float:
+
+        score = (0.4*L + 0.3*D + 0.3*S) * (1 - P)
+        with D = min(2*nd, nw)/nw  and  1-P = max(ncg - 5*np, 0)/ncg
+
+        score >= num/den
+          <=>  (4*L*nw + 3*min(2*nd, nw) + 3*S*nw)
+               * max(ncg - 5*np, 0) * den  >=  num * 10 * nw * ncg
+
+    All factors are int64; products stay far under 2^63 for any document
+    below ~10^8 chars, so the gate is bit-identical on Spark, DuckDB and
+    any ANSI engine — the property an engine-differential oracle needs.
+    Agrees with ``quality_score_from(...) >= num/den`` everywhere except
+    within float-epsilon of the threshold, where this form is the one
+    that is *defined*."""
+    n_words = tf["n_words"]
+    nw = F.greatest(n_words, F.lit(1))
+    length_ok = (
+        (n_words >= 10) & (n_words <= 5000)
+        & (tf["stripped_len"] >= 2 * nw) & (tf["stripped_len"] <= 12 * nw)
+    ).cast("long")
+    ncg = F.greatest(n_chars.cast("long"), F.lit(1))
+    a = (
+        4 * length_ok * nw
+        + 3 * F.least(2 * tf["n_distinct"], nw)
+        + 3 * tf["has_stop"] * nw
+    )
+    b = F.greatest(ncg - 5 * tf["n_punct"], F.lit(0))
+    return a * b * den >= num * 10 * nw * ncg
+
+
 # PII scrubbing patterns, ORDER MATTERS: more-specific classes first so
 # e.g. the phone pattern can't eat half an IPv4 or an SSN.  Engine-
 # portable regex (no lookaround, ASCII classes), so a SQL oracle replays

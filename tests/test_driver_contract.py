@@ -59,19 +59,17 @@ class TestDriverContract:
 
     def test_first_block_covers_stalest_queries(self):
         """The driver samples a prefix: the staleness rotation derived
-        from CORRECTNESS_r01..r06 must hold — never-sampled queries
-        lead, every query whose LATEST driver check is r4 (the stalest
-        cohort) sits inside the first 50 keys, and apart from the six
-        queries round 7 changed (pulled forward for re-sampling), the
-        r5-checked block sits entirely behind the r4-stale block and
-        the r6-checked block sits entirely behind the r5 block."""
+        from CORRECTNESS_r01..r07 must hold — queries changed in round
+        8 lead (curation_funnel: red r7 row, oracle rewritten), every
+        query whose LATEST driver check is r5 (the stalest cohort)
+        sits inside the first 50 keys, and the r6-checked block sits
+        entirely behind the r5 block, the r7 block behind r6."""
         import json
 
-        changed_r7 = {"semantic_dedup", "theil_sen_trend", "winnow_pairs",
-                      "hybrid_rrf", "dedup_verify", "embedding_outliers"}
+        changed_r8 = {"curation_funnel"}
         here = os.path.join(os.path.dirname(__file__), "..")
         rounds: dict[str, int] = {}
-        for r in (1, 2, 3, 4, 5, 6):
+        for r in (1, 2, 3, 4, 5, 6, 7):
             p = os.path.join(here, f"CORRECTNESS_r0{r}.json")
             if not os.path.exists(p):
                 continue
@@ -79,17 +77,51 @@ class TestDriverContract:
                 rounds[k] = r
         keys = list(entry.queries())
         never = {k for k in keys if rounds.get(k, 0) == 0}
-        stale4 = {k for k in keys if rounds.get(k, 0) == 4}
+        stale5 = {k for k in keys if rounds.get(k, 0) == 5}
         prefix = set(keys[:50])
-        assert never | stale4 <= prefix, sorted((never | stale4) - prefix)
+        assert never | stale5 | changed_r8 <= prefix, \
+            sorted((never | stale5 | changed_r8) - prefix)
         idx = {k: i for i, k in enumerate(keys)}
 
         def block(r):
             return [idx[k] for k in keys
-                    if rounds.get(k, 0) == r and k not in changed_r7]
+                    if rounds.get(k, 0) == r and k not in changed_r8]
 
-        assert max(block(4), default=-1) < min(block(5), default=len(keys))
         assert max(block(5), default=-1) < min(block(6), default=len(keys))
+        assert max(block(6), default=-1) < min(block(7), default=len(keys))
+
+    def test_no_oracle_emits_hugeint_or_decimal(self):
+        """CORRECTNESS_r07's one red row (curation_funnel) was a type
+        artifact, not a value bug: DuckDB's sum(BIGINT) is HUGEINT and
+        one uncast UNION branch promoted the whole n_chars column, so
+        a pandas/Arrow-fetching driver saw float64 against Spark's
+        int64 — identical printed values, different value hash.  Lock
+        the whole oracle surface: binding (no execution) every oracle
+        against the sf0.001 views must yield no HUGEINT/UHUGEINT/
+        DECIMAL result column."""
+        import duckdb
+
+        con = duckdb.connect()
+        for t in ("region nation customer supplier part orders lineitem "
+                  "events documents embeddings").split():
+            p = os.path.join(SF_DIR, f"{t}.parquet")
+            if os.path.exists(p):
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * "
+                    f"FROM read_parquet('{p}')"
+                )
+        bad = {}
+        for name, sql in entry.oracle_sql().items():
+            rel = con.sql(sql)  # binds + types; does not execute
+            sus = [
+                f"{c}: {t}"
+                for c, t in zip(rel.columns, rel.types)
+                if str(t).upper() in ("HUGEINT", "UHUGEINT")
+                or "DECIMAL" in str(t).upper()
+            ]
+            if sus:
+                bad[name] = sus
+        assert not bad, f"driver-hash-unsafe oracle column types: {bad}"
 
 
 class TestLocalGateStrictness:

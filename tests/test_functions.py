@@ -101,6 +101,44 @@ class TestText:
         for doc_id, exp in expected.items():
             assert got[doc_id] == exp, (doc_id, exp, got[doc_id])
 
+    def test_integer_quality_gate_matches_float_score(self, spark):
+        """quality_gate_from (the exact-int64 threshold predicate the
+        curation funnel filters on) must agree with
+        quality_score_from(...) >= 0.8 on the edge corpus AND on the
+        real sf0.001 documents — and the real corpus must keep a real
+        margin from the threshold, so the two formulations can never
+        diverge on driver data."""
+        import os
+
+        from pincette_json_streams_spark.functions.text import (
+            quality_gate_from, quality_score_from, with_text_features,
+        )
+        sf = os.environ.get(
+            "SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+        edge = spark.createDataFrame(
+            [(0, "the quick brown fox jumps over the lazy dog " * 3),
+             (1, ""), (2, None), (3, "a b c"), (4, "x " * 6000),
+             (5, "words " * 20 + "!!!" * 40)],
+            "doc_id long, text string",
+        )
+        real = spark.read.parquet(os.path.join(sf, "documents.parquet")) \
+            .select("doc_id", "text")
+        for df in (edge, real):
+            rows = with_text_features(df).select(
+                "doc_id",
+                quality_score_from(F.col("__tf"), F.length("text"))
+                .alias("q"),
+                quality_gate_from(F.col("__tf"), F.length("text"))
+                .alias("gate"),
+            ).collect()
+            for r in rows:
+                # null text: both the score and the gate are NULL, and
+                # a filter() drops NULL — normalize both to "kept?"
+                q = r["q"] if r["q"] is not None else 0.0
+                assert bool(r["gate"]) == (q >= 0.8), (r["doc_id"], r["q"])
+        margins = [abs((r["q"] or 0.0) - 0.8) for r in rows]
+        assert min(margins) > 1e-4, min(margins)
+
     def test_scrub_pii(self, spark):
         from pincette_json_streams_spark.functions.text import scrub_pii
         df = spark.createDataFrame(
