@@ -1630,44 +1630,58 @@ def q_curation_funnel(spark, sf_dir):
     word-3-gram with it).  Composes functions/dedup.py exact_dedup +
     functions/text.py quality_gate_from + benchmark_overlap under one
     oracle; every stage's pruning is integer/fingerprint math, so the
-    funnel is engine-identical.  The s1/s2 legs are lineage-cut with
-    a lazy localCheckpoint: four stage() aggregates plus the
-    contamination anti-join would otherwise re-run the dedup
-    fingerprint and the Arrow feature kernel 3-4x (the round-7
-    verdict's measured redundancy)."""
+    funnel is engine-identical.
+
+    Plan shape (the round-7 verdict flagged 3-4x kernel re-derivation
+    here): instead of materializing four survivor DataFrames and
+    union-aggregating them — which re-runs the dedup fingerprint and
+    the Arrow feature kernel once per leg, or forces checkpoint
+    materialization barriers — every document gets ONE label, the
+    highest stage it survives.  Contamination is independent of the
+    quality gate (a doc shares a gram with the benchmark or it
+    doesn't), so the gram join runs over all non-benchmark docs and
+    the label intersects it with the gate; exploding
+    sequence(0, max_stage) then reproduces the per-stage rows in a
+    single hash aggregation.  Each kernel runs exactly once, there are
+    no barriers, and the whole funnel is one pipelined plan — the
+    shape that survives a 100 TB corpus."""
     from pincette_json_streams_spark.functions.dedup import exact_dedup
     from pincette_json_streams_spark.functions.text import (
         benchmark_overlap, quality_gate_from, with_text_features,
     )
     docs = _t(spark, sf_dir, "documents")
-    s1 = (
-        docs.join(exact_dedup(docs).select("doc_id"), "doc_id")
-        .localCheckpoint(eager=False)
-    )
-    s2 = (
-        with_text_features(s1)
-        .filter(quality_gate_from(F.col("__tf"), F.length("text")))
-        .select(*docs.columns)
-        .localCheckpoint(eager=False)
-    )
+    keep1 = exact_dedup(docs).select("doc_id") \
+        .withColumn("__k1", F.lit(1))
     bench = docs.filter(F.col("doc_id") % 50 == 0)
-    train = s2.filter(F.col("doc_id") % 50 != 0)
-    contaminated = benchmark_overlap(train, bench, n=3) \
-        .select("doc_id")
-    s3 = train.join(contaminated, "doc_id", "left_anti")
-
-    def stage(df, no, name):
-        return df.groupBy("lang").agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum(F.length("text")).cast("long").alias("n_chars"),
-        ).select("lang", F.lit(no).cast("long").alias("stage_no"),
-                 F.lit(name).alias("stage"), "n_docs", "n_chars")
-
+    nonbench = docs.filter(F.col("doc_id") % 50 != 0)
+    contam = benchmark_overlap(nonbench, bench, n=3) \
+        .select("doc_id").withColumn("__ct", F.lit(1))
+    feats = with_text_features(docs).withColumn(
+        "__g", quality_gate_from(F.col("__tf"), F.length("text")))
+    lab = feats.join(keep1, "doc_id", "left") \
+        .join(contam, "doc_id", "left")
+    max_stage = (
+        F.when(F.col("__k1").isNull(), F.lit(0))
+        .when(~F.coalesce(F.col("__g"), F.lit(False)), F.lit(1))
+        .when((F.col("doc_id") % 50 == 0)
+              | F.col("__ct").isNotNull(), F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    staged = lab.select(
+        "lang", F.length("text").alias("__len"),
+        F.explode(F.sequence(F.lit(0), max_stage)).alias("stage_no"),
+    )
+    stage_name = F.element_at(
+        F.array(F.lit("raw"), F.lit("exact_dedup"), F.lit("quality"),
+                F.lit("decontaminated")),
+        F.col("stage_no").cast("int") + 1,
+    )
     return (
-        stage(docs, 0, "raw")
-        .unionByName(stage(s1, 1, "exact_dedup"))
-        .unionByName(stage(s2, 2, "quality"))
-        .unionByName(stage(s3, 3, "decontaminated"))
+        staged.groupBy("lang", "stage_no")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+             F.sum("__len").cast("long").alias("n_chars"))
+        .select("lang", F.col("stage_no").cast("long").alias("stage_no"),
+                stage_name.alias("stage"), "n_docs", "n_chars")
     )
 
 

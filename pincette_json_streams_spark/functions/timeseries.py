@@ -609,10 +609,10 @@ def theil_sen_slopes(
         F.col(id_col).alias("id"),
     )
     w = Window.partitionBy("g").orderBy("t", "id")
-    # pts is referenced three times (both pair sides + the point
-    # count); it is cap-bounded at groups*max_points rows, so the lazy
-    # lineage cut trades one tiny materialization for two extra runs
-    # of the window sort over the raw table.  (Profiled alternatives
+    # pts feeds both pair sides; it is cap-bounded at groups*max_points
+    # rows, so the lazy lineage cut trades one tiny materialization for
+    # an extra run of the window sort over the raw table.  (Profiled
+    # alternatives
     # at sf0.1: rank-window median over the pair table 1.67 s vs this
     # collect_list+array_sort agg 0.41 s; a fully in-array pair
     # expansion with nested higher-order functions was 4x SLOWER than
@@ -638,25 +638,35 @@ def theil_sen_slopes(
     # of max_points^2/2 rows per group): collect the (cap-bounded) pair
     # structs, array_sort gives the same (slope, r1, r2) total order the
     # rank window used, and element (n+1) div 2 is the lower median.
+    # n_points folds into the SAME aggregation as max(r2): a group only
+    # appears here if it has >= 1 distinct-time pair, and then its last
+    # point (row_number n) always partners some earlier point — t is
+    # sort-ascending, so "every earlier t equals t_n" would mean ALL
+    # timestamps are equal and the group has no pairs at all.  (The old
+    # shape re-aggregated the pts frame and joined it back: one extra
+    # shuffle + a join exchange for a value the pair stream already
+    # carries.)
     med = (
         pairs.groupBy("g")
-        .agg(F.array_sort(F.collect_list(
-            F.struct(F.col("slope"), F.col("r1"), F.col("r2"))))
-            .alias("__ps"))
+        .agg(
+            F.array_sort(F.collect_list(
+                F.struct(F.col("slope"), F.col("r1"), F.col("r2"))))
+            .alias("__ps"),
+            F.max("r2").alias("n_points"),
+        )
         .select(
             "g",
+            "n_points",
             F.size("__ps").alias("pn"),
             F.expr(
                 "element_at(__ps, int((size(__ps) + 1) div 2)).slope"
             ).alias("slope"),
         )
     )
-    npts = pts.groupBy("g").agg(F.count(F.lit(1)).alias("n_points"))
-    return (
-        med.join(npts, "g")
-        .select(F.col("g").alias(group_col),
-                F.col("n_points").cast("long").alias("n_points"),
-                F.col("pn").cast("long").alias("n_pairs"),
-                F.floor(F.col("slope") + F.lit(0.5)).cast("bigint")
-                .alias("slope_e6"))
+    return med.select(
+        F.col("g").alias(group_col),
+        F.col("n_points").cast("long").alias("n_points"),
+        F.col("pn").cast("long").alias("n_pairs"),
+        F.floor(F.col("slope") + F.lit(0.5)).cast("bigint")
+        .alias("slope_e6"),
     )

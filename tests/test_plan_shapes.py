@@ -466,6 +466,28 @@ class TestRound7PlanShapes:
         assert plan.count("Window (") <= 3  # cap window only (3 uses)
         assert "CartesianProduct" not in plan
 
+    def test_curation_funnel_single_kernel_pass(self, spark):
+        """The funnel labels every doc with the highest stage it
+        survives and explodes sequence(0, max_stage) — so the Arrow
+        feature kernel must appear EXACTLY once in the plan (formatted
+        explain lists each node twice: tree + details), there is no
+        union-of-four-legs re-derivation, and no checkpoint barrier
+        (ExistingRDD) is needed to get there."""
+        plan = _plan(spark, "curation_funnel")
+        assert plan.count("MapInPandas") == 2, plan.count("MapInPandas")
+        assert "Union" not in plan
+        assert "ExistingRDD" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_theil_sen_no_npts_rejoin(self, spark):
+        """n_points folds into the median aggregation as max(r2) — the
+        round-7 shape re-aggregated the capped-points frame and joined
+        it back (one extra shuffle + join exchange).  Exactly the two
+        pair-side joins (tree + details each) and no more."""
+        plan = _plan(spark, "theil_sen_trend")
+        assert plan.count("SortMergeJoin") + plan.count(
+            "BroadcastHashJoin") + plan.count("ShuffledHashJoin") <= 2
+
     def test_near_dups_verify_evaluates_pairs_once(self, spark):
         """$nearDups with verify must NOT join the raw LSH pair plan
         back against the verified output — jaccard rides through
