@@ -87,9 +87,20 @@ def pagerank(
         .localCheckpoint(eager=False)
     )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
-    n = nodes.count()
+    # one action yields both the vertex count AND the id floor: the
+    # dangling-mass sentinel is node -1, so a real node -1 would
+    # silently merge its in-mass with the dangling mass — enforce the
+    # non-negative-id contract where we already pay for a job
+    stats = nodes.agg(F.count(F.lit(1)).alias("__n"),
+                      F.min("node").alias("__mn")).first()
+    n, min_id = stats["__n"], stats["__mn"]
     if n == 0:
         return nodes.withColumn("rank", F.lit(0).cast("long"))
+    if min_id is not None and min_id < 0:
+        raise ValueError(
+            "pagerank requires non-negative node ids (the dangling-"
+            f"mass sentinel is node -1; got min id {min_id}) — remap "
+            "ids before ranking")
     base = ((100 - damping_pct) * total) // (100 * n)
     # static augmented edge list: real edges carry their src degree;
     # every dangling node gets ONE sentinel edge (deg 1) to node -1

@@ -56,8 +56,12 @@ DEFAULT_MAX_APPS_PER_INSTANCE = 50
 def capacity_per_second(average_message_time_ms: int) -> int:
     """Messages one application instance digests per second —
     ``1000 div avgMs``, integer division like the reference
-    (Work.java:131-133)."""
-    return 1000 // max(int(average_message_time_ms), 1)
+    (Work.java:131-133), clamped to >= 1: a message estimate above
+    1000 ms would otherwise yield capacity 0 and crash the excess-lag
+    division (the reference carries the same latent
+    ArithmeticException; an advisory path should degrade to "one
+    message per second per instance", not raise)."""
+    return max(1, 1000 // max(int(average_message_time_ms), 1))
 
 
 def excess_lag(

@@ -102,6 +102,21 @@ class TestDesiredInstances:
     def test_empty_everything(self):
         assert desired_instances({}, None, None) == 1
 
+    def test_slow_messages_do_not_crash_capacity(self):
+        # averageMessageTimeEstimate > 1000 ms used to yield capacity 0
+        # and a ZeroDivisionError in the excess-lag division (the
+        # reference carries the same latent ArithmeticException); the
+        # advisory path must degrade to 1 msg/s/instance instead
+        from pincette_json_streams_spark.plans.autoscale import (
+            capacity_per_second,
+        )
+        assert capacity_per_second(1500) == 1
+        assert capacity_per_second(1000) == 1
+        assert capacity_per_second(20) == 50
+        lags = {"a": {"t": {"0": 300, "1": 300}}}
+        # excess 500 at 1 msg/s -> 500 extra + 1 base, partition-capped
+        assert calc(lags, {"a": {"t": 100}}, avg=2500) == 2
+
     def test_scale_to_zero_when_fully_drained(self):
         # zero outstanding lag => no base instance for the app
         # (work.scaleToZero defaults true; Work.java:182-188); the

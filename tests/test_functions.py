@@ -3877,6 +3877,17 @@ class TestPageRank:
                       key=lambda r: -r["rank"])
         assert rows[0]["node"] == 3
 
+    def test_negative_node_ids_rejected(self, spark):
+        """The dangling-mass sentinel is node -1: a real node -1 would
+        silently merge its in-mass with the dangling mass, so the
+        non-negative-id contract is enforced (in the same job that
+        already counts vertices), not just documented."""
+        from pincette_json_streams_spark.functions.graph import pagerank
+        df = spark.createDataFrame([(0, -1), (-1, 2)],
+                                   "src long, dst long")
+        with pytest.raises(ValueError, match="non-negative node ids"):
+            pagerank(df, iters=1)
+
     def test_no_per_iteration_driver_data_collects(self, spark):
         """The per-iteration rank state is lineage-cut with a lazy
         localCheckpoint (without it the unrolled DAG re-evaluates the
