@@ -569,10 +569,53 @@ def _truthy(v) -> bool:
     return v is not None and v is not False
 
 
+def _canon_render(v):
+    """jq's number canonicalization when RENDERING to text (tostring/
+    tojson/@json, jslt-fuzz finding): integral floats print as ints
+    (5.0 -> "5", -0.0 -> "-0"), NaN prints as null.  Only used for
+    text output — values in flight keep their float identity."""
+    if isinstance(v, float):
+        if math.isnan(v):
+            return None
+        if v == 0 and math.copysign(1.0, v) < 0:
+            return "-0"  # spliced raw below
+        if math.isfinite(v) and v == int(v) and abs(v) < 2 ** 53:
+            return int(v)
+        return v
+    if isinstance(v, list):
+        return [_canon_render(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _canon_render(x) for k, x in v.items()}
+    return v
+
+
+class _MinusZero(float):
+    pass
+
+
+def _dumps_canon(v) -> str:
+    c = _canon_render(v)
+
+    def splice(x):
+        # json.dumps can't print bare -0; detour through a marker
+        if x == "-0":
+            return -0.0
+        if isinstance(x, list):
+            return [splice(y) for y in x]
+        if isinstance(x, dict):
+            return {k: splice(y) for k, y in x.items()}
+        return x
+
+    if c == "-0":
+        return "-0"
+    s = json.dumps(splice(c), separators=(",", ":"))
+    return s.replace("-0.0", "-0")
+
+
 def _tostr(v) -> str:
     if isinstance(v, str):
         return v
-    return json.dumps(v, separators=(",", ":"))
+    return _dumps_canon(v)
 
 
 class _Env:
@@ -601,7 +644,7 @@ def _format_value(name: str, v) -> str:
         return base(v)
     if name == "json":
         try:
-            return json.dumps(v, separators=(",", ":"))
+            return _dumps_canon(v)
         except (TypeError, ValueError):
             # strict like real jq: a non-JSON value is an error, not a
             # silently stringified repr
@@ -795,7 +838,8 @@ def _eval(node, inp, env: _Env) -> Iterator[Any]:
         for a in _eval(node[2], inp, env):
             for b in _eval(node[3], inp, env):
                 yield {
-                    "==": lambda: a == b, "!=": lambda: a != b,
+                    "==": lambda: _jq_eq(a, b),
+                    "!=": lambda: not _jq_eq(a, b),
                     "<": lambda: _lt(a, b), "<=": lambda: not _lt(b, a),
                     ">": lambda: _lt(b, a), ">=": lambda: not _lt(a, b),
                 }[op]()
@@ -910,14 +954,37 @@ def _lt(a, b):
     if ta != tb:
         return ta < tb
     if isinstance(a, (list, tuple)):
-        return list(a) < list(b)
+        # element-wise through _lt, NOT Python list < (whose per-element
+        # == treats True == 1 — the jslt-differential-fuzz finding)
+        for x, y in zip(a, b):
+            if _lt(x, y):
+                return True
+            if _lt(y, x):
+                return False
+        return len(a) < len(b)
     if isinstance(a, dict):
-        return sorted(a.items()) < sorted(b.items())
+        ka, kb = sorted(a.keys()), sorted(b.keys())
+        if ka != kb:
+            return ka < kb
+        for k in ka:
+            if _lt(a[k], b[k]):
+                return True
+            if _lt(b[k], a[k]):
+                return False
+        return False
     if a is None:
         return False
     if isinstance(a, bool):
         return (not a) and b
     return a < b
+
+
+def _jq_eq(a, b):
+    """jq value equality: type-strict (true != 1 — Python's bool/int
+    equality must not leak through, found by the JSLT differential
+    fuzz), numeric across int/float (1 == 1.0), deep for containers.
+    _sort_key is the total order, so key equality IS value equality."""
+    return _sort_key(a) == _sort_key(b)
 
 
 def _type_name(v):
@@ -1446,7 +1513,7 @@ def _call(name, args, inp, env: _Env):
             if isinstance(a, dict) and isinstance(b, dict):
                 return all(k in a and deep_contains(a[k], v)
                            for k, v in b.items())
-            return a == b
+            return _jq_eq(a, b)
         yield deep_contains(inp, one())
     elif name == "test":
         flags = one(1) if len(args) > 1 else ""
@@ -1506,12 +1573,15 @@ def _call(name, args, inp, env: _Env):
         yield sorted(_arr(inp), key=lambda x: _sort_key(
             list(_eval(args[0], x, env))))
     elif name == "unique":
-        seen, out = set(), []
+        # consecutive _sort_key dedupe: json.dumps keys treated 1 and
+        # 1.0 as distinct (jq: equal) — the sort is already total, so
+        # equal values are adjacent
+        out, last = [], None
         for x in sorted(_arr(inp), key=_sort_key):
-            k = json.dumps(x, sort_keys=True)
-            if k not in seen:
-                seen.add(k)
+            k = _sort_key(x)
+            if not out or k != last:
                 out.append(x)
+                last = k
         yield out
     elif name == "min":
         v = _arr(inp)
@@ -1569,7 +1639,7 @@ def _call(name, args, inp, env: _Env):
                 out[nk] = e.get("value", e.get("v"))
         yield out
     elif name == "tojson":
-        yield json.dumps(inp, separators=(",", ":"))
+        yield _dumps_canon(inp)
     elif name == "fromjson":
         yield json.loads(inp)
     elif name in ("group_by", "unique_by", "min_by", "max_by"):
@@ -1768,11 +1838,11 @@ def _call(name, args, inp, env: _Env):
     # GROUP_BY/UNIQUE_BY/ANY/ALL aliases) ---
     elif name == "IN":
         if len(args) == 1:
-            yield any(v == inp for v in _eval(args[0], inp, env))
+            yield any(_jq_eq(v, inp) for v in _eval(args[0], inp, env))
         else:
             # def IN(src; s): any(src == s; .) — cartesian equality
             vals = list(_eval(args[1], inp, env))
-            yield any(a == b for a in _eval(args[0], inp, env)
+            yield any(_jq_eq(a, b) for a in _eval(args[0], inp, env)
                       for b in vals)
     elif name == "INDEX":
         if len(args) == 1:
@@ -1975,9 +2045,10 @@ def _call(name, args, inp, env: _Env):
                 if needle:
                     n = len(needle)
                     hits = [i for i in range(len(inp) - n + 1)
-                            if inp[i:i + n] == needle]
+                            if _jq_eq(inp[i:i + n], needle)]
             else:
-                hits = [i for i, x in enumerate(inp) if x == needle]
+                hits = [i for i, x in enumerate(inp)
+                        if _jq_eq(x, needle)]
         elif inp is None:
             yield None
             return

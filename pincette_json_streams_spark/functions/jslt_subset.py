@@ -403,6 +403,24 @@ class _Parser:
 # evaluator
 # --------------------------------------------------------------------------
 
+def _jslt_eq(a, b):
+    """JSLT value equality: booleans are their own type (true != 1 —
+    Python's bool/int equality must not leak, jslt-differential-fuzz
+    finding), numbers compare numerically across int/float, containers
+    deep-compare."""
+    if isinstance(a, bool) or isinstance(b, bool):
+        return isinstance(a, bool) and isinstance(b, bool) and a == b
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        return float(a) == float(b)
+    if isinstance(a, list) and isinstance(b, list):
+        return len(a) == len(b) and all(
+            _jslt_eq(x, y) for x, y in zip(a, b))
+    if isinstance(a, dict) and isinstance(b, dict):
+        return a.keys() == b.keys() and all(
+            _jslt_eq(v, b[k]) for k, v in a.items())
+    return a == b
+
+
 def _truthy(v):
     # JSLT boolean(): false is null, false, 0/0.0, "", [], {}
     if v is None or v is False:
@@ -484,9 +502,9 @@ def _eval(node, ctx, env):
         op, a, b = node[1], _eval(node[2], ctx, env), \
             _eval(node[3], ctx, env)
         if op == "==":
-            return a == b
+            return _jslt_eq(a, b)
         if op == "!=":
-            return a != b
+            return not _jslt_eq(a, b)
         if a is None or b is None:
             return False
         return {"<": a < b, "<=": a <= b, ">": a > b, ">=": a >= b}[op]
@@ -716,10 +734,10 @@ def _call(name, args, ctx, env):
         arr, val = a(0), a(1)
         if arr is None:
             return None
-        try:
-            return arr.index(val)
-        except ValueError:
-            return -1
+        for i, x in enumerate(arr):
+            if _jslt_eq(x, val):
+                return i
+        return -1
     if name == "array":
         v = a()
         if v is None or isinstance(v, list):
@@ -741,7 +759,11 @@ def _call(name, args, ctx, env):
         el, seq = a(0), a(1)
         if isinstance(seq, dict):
             return el in seq
-        return el in seq if seq is not None else False
+        if seq is None:
+            return False
+        if isinstance(seq, str):
+            return isinstance(el, str) and el in seq
+        return any(_jslt_eq(el, x) for x in seq)
     if name == "join":
         arr, sep = a(0), a(1)
         return sep.join(_to_string(x) for x in arr)

@@ -84,16 +84,20 @@ def measure(spark, sf_dir: str) -> dict:
     os.symlink(events_path, os.path.join(topic_dir, "events.parquet"))
     results = {}
     try:
-        # Each pipeline drains TWICE with a fresh checkpoint: the first
-        # pass carries one-time costs (codegen/JIT warm-up, stream-init
-        # bookkeeping) that dominate a sub-second drain and made the
-        # metric swing ~40% round-over-round (r4 106k vs r5 74k was
-        # exactly this — warm passes measure 240k+ on the same build).
-        # The warm pass is the design-capacity number: a real deployment
-        # runs micro-batch N, not micro-batch 0, forever.
+        # Each pipeline drains THREE times with a fresh checkpoint: the
+        # first pass carries one-time costs (codegen/JIT warm-up,
+        # stream-init bookkeeping) that dominate a sub-second drain and
+        # made the metric swing ~40% round-over-round (r4 106k vs r5 74k
+        # was exactly this — warm passes measure 240k+ on the same
+        # build), and a SINGLE warm pass still wobbled 10-12% with host
+        # noise (r6->r7 grouped_update/aggregate dips with no engine
+        # change).  The reported number is the min over the WARM passes
+        # — the same min-of-N protocol as the batch record; cold is
+        # reported separately.  A real deployment runs micro-batch N,
+        # not micro-batch 0, forever.
         for name, spec in SPECS.items():
             per_pass = []
-            for warm in range(2):
+            for warm in range(3):
                 catalog = file_stream_catalog(
                     spark, {"events": topic_dir}, {"events": events_schema})
                 app = StreamingApp(spark, spec, catalog)
@@ -109,7 +113,7 @@ def measure(spark, sf_dir: str) -> dict:
                 t0 = time.time()
                 app.run_until_drained(sink, timeout=300)
                 per_pass.append(time.time() - t0)
-            results[name] = round(n_events / min(per_pass), 1)
+            results[name] = round(n_events / min(per_pass[1:]), 1)
             results[f"{name}_cold"] = round(n_events / per_pass[0], 1)
 
         # stateful event-sourcing aggregate (BASELINE anchor 3: the
@@ -126,11 +130,12 @@ def measure(spark, sf_dir: str) -> dict:
         cmd_schema = ("_id string, _command string, "
                       "_jwt map<string,string>, event_id long, "
                       "value double")
-        # two passes like the pipelines above: the cold stateful drain
-        # carries the Arrow/state-store warm-up (isolated 3-trial run:
-        # 10.4k cold -> 17.5k/20.3k warm on the same build)
+        # three passes like the pipelines above (min of the two warm
+        # drains): the cold stateful drain carries the Arrow/state-store
+        # warm-up (isolated 3-trial run: 10.4k cold -> 17.5k/20.3k warm
+        # on the same build)
         agg_times = []
-        for warm in range(2):
+        for warm in range(3):
             catalog = file_stream_catalog(
                 spark, {"bench-acct-command": cmd_dir},
                 {"bench-acct-command": cmd_schema})
@@ -149,7 +154,8 @@ def measure(spark, sf_dir: str) -> dict:
             t0 = time.time()
             app.run_until_drained(agg_sink, timeout=600)
             agg_times.append(time.time() - t0)
-        results["aggregate_commands"] = round(n_events / min(agg_times), 1)
+        results["aggregate_commands"] = \
+            round(n_events / min(agg_times[1:]), 1)
         results["aggregate_commands_cold"] = \
             round(n_events / agg_times[0], 1)
     finally:

@@ -846,3 +846,44 @@ class TestSqlStyleBuiltins:
         assert jq('UNIQUE_BY(.a) | length', [{"a": 1}, {"a": 1}]) == [1]
         assert jq('ANY', [True, False]) == [True]
         assert jq('ALL', [True, False]) == [False]
+
+
+class TestTypeStrictEquality:
+    """jslt-differential-fuzz findings (round 8): Python's bool/int
+    equality (True == 1) must not leak into jq value equality, and
+    text rendering canonicalizes integral floats like the binary."""
+
+    def test_bool_number_distinct(self):
+        assert jq('true == 1', None) == [False]
+        assert jq('false == 0', None) == [False]
+        assert jq('true != 1', None) == [True]
+        assert jq('[true] == [1]', None) == [False]
+        assert jq('{"a": true} == {"a": 1}', None) == [False]
+
+    def test_numeric_equality_across_int_float(self):
+        assert jq('1 == 1.0', None) == [True]
+        assert jq('[1] == [1.0]', None) == [True]
+        assert jq('0 == -0.0', None) == [True]
+
+    def test_membership_and_dedupe(self):
+        assert jq('index(true)', [1]) == [None]
+        assert jq('index(1)', [True, 1]) == [1]
+        assert jq('IN(1)', True) == [False]
+        assert jq('unique', [1, 1.0, True]) == [[True, 1]]
+        assert jq('contains([1])', [True]) == [False]
+        assert jq('contains([1])', [True, 1]) == [True]
+
+    def test_sort_ranks_bools_inside_arrays(self):
+        # _lt used Python list < (element == leaks); jq ranks
+        # true < 1 by type
+        assert jq('sort', [[1], [True]]) == [[[True], [1]]]
+
+    def test_tostring_canonicalizes_integral_floats(self):
+        # jq renders 5.0 as "5", -0.0 as "-0"; values in flight keep
+        # their float identity (5.0 + 1 stays numeric)
+        assert jq('(2.5 + 2.5) | tostring', None) == ["5"]
+        assert jq('(0 * -2.5) | tostring', None) == ["-0"]
+        assert jq('[5.0, 2.5] | tojson', None) == ["[5,2.5]"]
+        assert jq('{"a": 1.0} | tojson', None) == ['{"a":1}']
+        assert jq('@json "x\\(5.0)"', None) == ["x5"]
+        assert jq('2.5 | tostring', None) == ["2.5"]

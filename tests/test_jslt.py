@@ -320,3 +320,28 @@ class TestArithmeticStrictness:
         assert compile_jslt('null * 2')(None) is None
         assert compile_jslt('3 * 2')(None) == 6
         assert compile_jslt('7 / 2')(None) == 3.5
+
+
+class TestTypeStrictEquality:
+    """jslt-differential-fuzz findings (round 8): booleans are their
+    own type in JSLT equality — Python's True == 1 must not leak."""
+
+    def test_bool_number_distinct(self):
+        from pincette_json_streams_spark.functions.jslt_subset import (
+            compile_jslt,
+        )
+        assert compile_jslt('true == 1')(None) is False
+        assert compile_jslt('false == 0')(None) is False
+        assert compile_jslt('true != 1')(None) is True
+        assert compile_jslt('[true] == [1]')(None) is False
+        assert compile_jslt('1 == 1.0')(None) is True
+        assert compile_jslt('"1" == 1')(None) is False
+
+    def test_membership_type_strict(self):
+        from pincette_json_streams_spark.functions.jslt_subset import (
+            compile_jslt,
+        )
+        assert compile_jslt('contains(true, [1, 2])')(None) is False
+        assert compile_jslt('contains(1, [true, 1.0])')(None) is True
+        assert compile_jslt('index-of([true, 1], 1)')(None) == 1
+        assert compile_jslt('index-of([1], true)')(None) == -1
