@@ -1825,6 +1825,89 @@ FROM o ORDER BY group_a, group_b
 """
 
 
+def q_ann_hamming(spark, sf_dir):
+    """Binary-sketch ANN (functions/similarity.py hamming_topk;
+    Charikar SimHash family): embeddings fold into two positive 32-bit
+    sign-lanes, candidates rank by XOR+popcount Hamming distance — the
+    memory-bound ANN path (32x smaller than float32, pure int64, no
+    cosine in the hot loop).  Query set = vec_id % 100 == 0 (bounded,
+    broadcast); completes the ANN family next to brute/LSH/IVF/PQ."""
+    from pincette_json_streams_spark.functions.similarity import (
+        hamming_topk,
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 100 == 0) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    return hamming_topk(emb, qs, k=10)
+
+
+def _oracle_ann_hamming(k=10):
+    lane = ("list_sum(list_transform(generate_series(1, 32), "
+            "i -> CASE WHEN embedding[{off} + i] > 0 "
+            "THEN (1::BIGINT << (32 - i)) ELSE 0::BIGINT END))")
+    return f"""
+WITH sigs AS (
+  SELECT vec_id, {lane.format(off=0)} AS s0, {lane.format(off=32)} AS s1
+  FROM embeddings
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id,
+         (bit_count(xor(c.s0, q.s0))
+          + bit_count(xor(c.s1, q.s1)))::BIGINT AS hamming
+  FROM sigs c, sigs q WHERE q.vec_id % 100 = 0
+), ranked AS (
+  SELECT query_id, vec_id, hamming,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY hamming ASC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank::BIGINT AS rank, vec_id, hamming
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def q_changepoint_scan(spark, sf_dir):
+    """Mean-shift changepoint scan (functions/timeseries.py
+    mean_shift_changepoints): per event type, the 5 moments where the
+    mean of the next 50 observations shifts most against the previous
+    50 — the sliding two-sample changepoint test.  Full windows only,
+    so the shift is a raw int64 sum difference on the 1e-6 value grid;
+    one keyed exchange shared by both frames and the rank window."""
+    from pincette_json_streams_spark.functions.timeseries import (
+        mean_shift_changepoints,
+    )
+    ev = _t(spark, sf_dir, "events")
+    return mean_shift_changepoints(ev, window=50, top=5)
+
+
+_ORACLE_CHANGEPOINT = """
+WITH base AS (
+  SELECT event_type AS g, epoch_ns(ts) AS t, event_id AS id,
+         floor(value * 1000000 + 0.5)::BIGINT AS v
+  FROM events
+  WHERE NOT isnan(value) AND NOT isinf(value)
+), scored AS (
+  SELECT g, t, id,
+         (sum(v) OVER (PARTITION BY g ORDER BY t, id
+             ROWS BETWEEN CURRENT ROW AND 49 FOLLOWING)
+          - sum(v) OVER (PARTITION BY g ORDER BY t, id
+             ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING))::BIGINT
+           AS shift_e6,
+         count(*) OVER (PARTITION BY g ORDER BY t, id
+             ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING) AS cb,
+         count(*) OVER (PARTITION BY g ORDER BY t, id
+             ROWS BETWEEN CURRENT ROW AND 49 FOLLOWING) AS ca
+  FROM base
+), full_w AS (
+  SELECT g, t, id, shift_e6,
+         row_number() OVER (PARTITION BY g
+             ORDER BY abs(shift_e6) DESC, t ASC, id ASC) AS rank
+  FROM scored WHERE cb = 50 AND ca = 50
+)
+SELECT g AS event_type, rank::BIGINT AS rank, id AS event_id, shift_e6
+FROM full_w WHERE rank <= 5
+"""
+
+
 def q_repetition_stats(spark, sf_dir):
     """Gopher/MassiveText-style repetition quality signals per document:
     most-frequent-word fraction, most-frequent-2-gram fraction, fraction
@@ -6738,14 +6821,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver samples a 50-query prefix of this
     # dict, so the least-recently-driver-checked queries must come
     # first.  Re-derived after CORRECTNESS_r07 (49/50 green; union of
-    # r1-r7 = all 147): curation_funnel leads (the one red row — its
-    # oracle's HUGEINT union branches and float quality gate were
-    # rewritten this round and it must re-sample), then the 49 queries
-    # whose latest driver check is r5, then the r6 block, then the
-    # 49 r7-checked queries.  The 50-prefix = curation_funnel + the
-    # whole r5-stale cohort, so after round 8 no query's latest driver
-    # check is older than two rounds.
+    # r1-r7 = all 147): the two round-8 additions lead (never
+    # sampled), then curation_funnel (the one red row — its oracle's
+    # HUGEINT union branches and float quality gate were rewritten
+    # this round and it must re-sample), then the 49 queries whose
+    # latest driver check is r5 (the two newcomers displace the last
+    # two of them — strip_spans, window_fields — to round 9), then the
+    # r6 block, then the 49 r7-checked queries.
     return {
+        # -- NEW in round 8 (never driver-sampled -> very front) --
+        "ann_hamming": q_ann_hamming,
+        "changepoint_scan": q_changepoint_scan,
         # -- round-8 re-sample: changed this round (oracle/plan rewrite) --
         "curation_funnel": q_curation_funnel,
         # -- stalest first: latest driver check r5 --
@@ -6902,6 +6988,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "ann_hamming": _oracle_ann_hamming(),
+        "changepoint_scan": _ORACLE_CHANGEPOINT,
         "hll_distinct": _ORACLE_HLL_DISTINCT,
         "pq_cells": _ORACLE_PQ_CELLS,
         "pq_adc": _ORACLE_PQ_ADC,

@@ -117,6 +117,10 @@ BENCH_QUERIES = [
     # and the composed curation funnel (dedup + quality + decontaminate)
     "kmv_overlap",
     "curation_funnel",
+    # round-8 additions: binary-sketch ANN (XOR+popcount over the full
+    # corpus x bounded query set) and the keyed changepoint window scan
+    "ann_hamming",
+    "changepoint_scan",
 ]
 
 

@@ -23,8 +23,8 @@ from pincette_json_streams_spark.functions.dedup import (
 )
 
 __all__ = [
-    "brute_force_topk", "embedding_moments", "embedding_outliers",
-    "ivf_topk", "lsh_topk",
+    "binary_signatures", "brute_force_topk", "embedding_moments",
+    "embedding_outliers", "hamming_topk", "ivf_topk", "lsh_topk",
     "pca_components", "pca_project", "pq_adc_topk", "pq_codebooks",
     "pq_encode", "pq_refine_codebooks", "quantize_embeddings",
     "rrf_fuse", "semantic_dedup", "train_kmeans_centroids",
@@ -134,6 +134,86 @@ def lsh_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
+def binary_signatures(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    lane_bits: int = 32,
+) -> DataFrame:
+    """Sign-bit binary sketch of an embedding column: each ``lane_bits``
+    consecutive dimensions fold into one big-endian integer word
+    (bit j set iff the dimension is > 0), so a d-dim float vector
+    compresses to d/lane_bits int64 lanes — 32x smaller than float32,
+    and Hamming distance between sketches approximates angular distance
+    (Charikar SimHash, STOC'02; same family as functions/dedup.py
+    simhash but over embedding signs instead of token hashes).
+
+    32-bit lanes keep every word positive (no sign-bit wraparound), so
+    the fold is exact int64 math any SQL engine replays bit-for-bit.
+    Plan shape: one projection over the scan — no shuffle, no UDF; the
+    polynomial fold is a native aggregate() HOF inside codegen.
+
+    -> (id_col, sig_0, sig_1, ...)."""
+    dims = df.select(F.size(vec_col).alias("d")).first()["d"]
+    lanes = (dims + lane_bits - 1) // lane_bits
+
+    def lane(i):
+        sl = F.slice(F.col(vec_col), i * lane_bits + 1, lane_bits)
+        return F.aggregate(
+            sl, F.lit(0).cast("long"),
+            lambda acc, x: acc * 2
+            + F.when(x > 0, 1).otherwise(0).cast("long"),
+        ).alias(f"sig_{i}")
+
+    return df.select(F.col(id_col), *[lane(i) for i in range(lanes)])
+
+
+def hamming_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    lane_bits: int = 32,
+) -> DataFrame:
+    """Approximate top-k by Hamming distance between sign-bit sketches
+    — the memory-bound ANN path: the corpus never materializes floats
+    past the one sketch projection, candidates rank by XOR+popcount
+    (pure int64, engine-identical), ties by vec_id.
+
+    Scale shape: sketches are one no-shuffle projection; the bounded
+    query sketch set broadcasts; the only exchange is the per-query
+    top-k window.  At 100 TB the same sketch column is what an
+    LSH/multi-probe index buckets on — this operator is the exact
+    scoring kernel of that index.
+
+    -> (query_id, rank, vec_id, hamming)."""
+    sigs = binary_signatures(corpus, vec_col, id_col, lane_bits)
+    lanes = [c for c in sigs.columns if c.startswith("sig_")]
+    qs = binary_signatures(
+        queries.withColumnRenamed(query_id_col, "query_id"),
+        vec_col, "query_id", lane_bits,
+    ).select("query_id",
+             *[F.col(c).alias(f"q_{c}") for c in lanes])
+    ham = sum(
+        F.bit_count(F.expr(f"{c} ^ q_{c}")) for c in lanes
+    ).cast("long")
+    scored = (
+        sigs.withColumnRenamed(id_col, "vec_id")
+        .crossJoin(F.broadcast(qs))
+        .select("query_id", "vec_id", ham.alias("hamming"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank",
+                          F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "hamming")
     )
 
 

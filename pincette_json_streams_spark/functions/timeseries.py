@@ -20,9 +20,74 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "asof_join", "counter_increase", "ewma_halflife", "forward_fill",
-    "interval_join", "retention_cohorts", "sessionize",
-    "sessionize_stream", "theil_sen_slopes", "time_bucket_gapfill",
+    "interval_join", "mean_shift_changepoints", "retention_cohorts",
+    "sessionize", "sessionize_stream", "theil_sen_slopes",
+    "time_bucket_gapfill",
 ]
+
+
+def mean_shift_changepoints(
+    df,
+    by: str = "event_type",
+    ts: str = "ts_nanos",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    window: int = 50,
+    top: int = 5,
+    scale: int = 10 ** 6,
+):
+    """Changepoint scan: per group, the ``top`` timestamps where the
+    mean of the next ``window`` observations shifts most against the
+    mean of the previous ``window`` (the sliding two-sample test that
+    approximates offline changepoint detection without CUSUM's
+    sequential recursion — which no SQL window can express and no
+    oracle could replay).
+
+    Determinism/scale contract:
+      * values collapse to the ``scale`` integer grid first;
+      * only FULL windows compete (count == window on both sides), so
+        the two sides have identical weight and the mean shift is
+        proportional to the raw SUM difference — the score
+        ``shift = sum_after - sum_before`` is pure int64, no division,
+        no floats, engine-identical;
+      * ranking is (|shift| desc, ts, id) — a total order.
+
+    One keyed exchange: both frames and the rank window share the
+    (group, ts, id) sort, so Spark plans a single shuffle + sort and
+    reuses it for all three window functions.
+
+    -> (group, rank, id, shift_e6) with shift in grid units.
+    """
+    from pyspark.sql.window import Window as _W
+
+    vd = F.col(value_col).cast("double")
+    base = df.filter(
+        ~F.isnan(vd) & (F.abs(vd) != float("inf"))
+    ).select(
+        F.col(by).alias("g"), F.col(ts).alias("t"),
+        F.col(id_col).alias("id"),
+        F.floor(vd * scale + F.lit(0.5)).cast("bigint").alias("v"),
+    )
+    order = _W.partitionBy("g").orderBy("t", "id")
+    before = order.rowsBetween(-window, -1)
+    after = order.rowsBetween(_W.currentRow, window - 1)
+    scored = base.select(
+        "g", "t", "id",
+        (F.sum("v").over(after) - F.sum("v").over(before))
+        .alias("shift_e6"),
+        F.count(F.lit(1)).over(before).alias("__cb"),
+        F.count(F.lit(1)).over(after).alias("__ca"),
+    ).filter((F.col("__cb") == window) & (F.col("__ca") == window))
+    rank_w = _W.partitionBy("g").orderBy(
+        F.abs(F.col("shift_e6")).desc(), F.col("t").asc(),
+        F.col("id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(rank_w)
+                          .cast("long"))
+        .filter(F.col("rank") <= top)
+        .select(F.col("g").alias(by), "rank", F.col("id").alias(id_col),
+                "shift_e6")
+    )
 
 
 def asof_join(

@@ -2330,6 +2330,47 @@ def _stage_kmv_overlap_ext(df, spec, pctx):
     return kmv_overlap(sketch, group, k=k)
 
 
+def _stage_hamming_topk_ext(df, spec, pctx):
+    # {"vector": col, "id": col, "k": n, "queries": {"mod": m}?} —
+    # binary-sketch ANN (functions/similarity.py hamming_topk): sign
+    # lanes + XOR/popcount ranking, the memory-bound ANN path.  The
+    # query set is the id-mod slice (bounded, broadcast); batch-only:
+    # the per-query top-k is a rank window.
+    _batch_only(df, "$hammingTopk", "per-query rank window")
+    from pincette_json_streams_spark.functions.similarity import (
+        hamming_topk,
+    )
+
+    vec = spec.get("vector", "embedding")
+    idc = spec.get("id", "vec_id")
+    mod = int((spec.get("queries") or {}).get("mod", 100))
+    qs = df.filter(F.col(idc) % mod == 0).select(
+        F.col(idc).alias("query_id"), F.col(vec))
+    return hamming_topk(df, qs, k=int(spec.get("k", 10)),
+                        vec_col=vec, id_col=idc)
+
+
+def _stage_changepoints_ext(df, spec, pctx):
+    # {"by": col, "ts": col, "value": col, "id": col, "window": n,
+    #  "top": n} — sliding two-sample mean-shift changepoint scan
+    # (functions/timeseries.py mean_shift_changepoints); integer sum
+    # difference over full equal windows, one keyed exchange.
+    _batch_only(df, "$changepoints", "keyed window over ordered frames")
+    from pincette_json_streams_spark.functions.timeseries import (
+        mean_shift_changepoints,
+    )
+
+    return mean_shift_changepoints(
+        df,
+        by=spec.get("by", "event_type"),
+        ts=spec.get("ts", "ts_nanos"),
+        value_col=spec.get("value", "value"),
+        id_col=spec.get("id", "event_id"),
+        window=int(spec.get("window", 50)),
+        top=int(spec.get("top", 5)),
+    )
+
+
 def _stage_facet_ext(df, spec, pctx):
     """$facet batch extension (MongoDB shape): run several sub-pipelines
     over the SAME input and emit ONE row with an array column per facet.
@@ -2666,6 +2707,8 @@ STAGES: dict[str, Callable[[DataFrame, Any, PipelineContext], DataFrame]] = {
     "$hllSketch": _stage_hll_sketch_ext,
     "$kmvSketch": _stage_kmv_sketch_ext,
     "$kmvOverlap": _stage_kmv_overlap_ext,
+    "$hammingTopk": _stage_hamming_topk_ext,
+    "$changepoints": _stage_changepoints_ext,
     "$ewma": _stage_ewma_ext,
     "$hdrQuantiles": _stage_hdr_quantiles_ext,
     "$nearDups": _stage_near_dups_ext,

@@ -59,14 +59,16 @@ class TestDriverContract:
 
     def test_first_block_covers_stalest_queries(self):
         """The driver samples a prefix: the staleness rotation derived
-        from CORRECTNESS_r01..r07 must hold — queries changed in round
-        8 lead (curation_funnel: red r7 row, oracle rewritten), every
-        query whose LATEST driver check is r5 (the stalest cohort)
-        sits inside the first 50 keys, and the r6-checked block sits
-        entirely behind the r5 block, the r7 block behind r6."""
+        from CORRECTNESS_r01..r07 must hold — round-8 additions and
+        changed queries lead (curation_funnel: red r7 row, oracle
+        rewritten), the r5-stale cohort fills the rest of the first 50
+        keys (minus the slots the newcomers displaced), and the
+        r6-checked block sits entirely behind the r5 block, the r7
+        block behind r6."""
         import json
 
         changed_r8 = {"curation_funnel"}
+        new_r8 = {"ann_hamming", "changepoint_scan"}
         here = os.path.join(os.path.dirname(__file__), "..")
         rounds: dict[str, int] = {}
         for r in (1, 2, 3, 4, 5, 6, 7):
@@ -79,8 +81,12 @@ class TestDriverContract:
         never = {k for k in keys if rounds.get(k, 0) == 0}
         stale5 = {k for k in keys if rounds.get(k, 0) == 5}
         prefix = set(keys[:50])
-        assert never | stale5 | changed_r8 <= prefix, \
-            sorted((never | stale5 | changed_r8) - prefix)
+        assert never | changed_r8 <= prefix, \
+            sorted((never | changed_r8) - prefix)
+        # the two round-8 newcomers displace exactly that many r5-stale
+        # queries past the 50-prefix (they re-sample in round 9)
+        assert len(stale5 - prefix) <= len(new_r8), \
+            sorted(stale5 - prefix)
         idx = {k: i for i, k in enumerate(keys)}
 
         def block(r):

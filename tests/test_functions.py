@@ -4794,3 +4794,139 @@ class TestSequenceExplosionGuards:
         assert time_bucket_gapfill(
             ok, by="k", ts="ts", bucket=60,
             aggs={"s": F.sum("v")}).count() == 4
+
+
+class TestBinarySketchAnn:
+    def test_signature_bits(self, spark):
+        from pincette_json_streams_spark.functions.similarity import (
+            binary_signatures,
+        )
+        # 64 dims: dim 1 (big-endian bit 31 of lane 0) and dim 64
+        # (bit 0 of lane 1) positive
+        vec = [1.0] + [-1.0] * 62 + [0.5]
+        df = spark.createDataFrame([(1, vec)],
+                                   "vec_id long, embedding array<float>")
+        (r,) = binary_signatures(df).collect()
+        assert r["sig_0"] == 1 << 31
+        assert r["sig_1"] == 1
+        # zero is NOT positive (strict > 0, both engines)
+        df0 = spark.createDataFrame([(1, [0.0] * 64)],
+                                    "vec_id long, embedding array<float>")
+        (r0,) = binary_signatures(df0).collect()
+        assert r0["sig_0"] == 0 and r0["sig_1"] == 0
+
+    def test_hamming_topk_orders_by_sign_agreement(self, spark):
+        from pincette_json_streams_spark.functions.similarity import (
+            hamming_topk,
+        )
+        base = [1.0] * 64
+        flip8 = [1.0] * 56 + [-1.0] * 8
+        flip32 = [1.0] * 32 + [-1.0] * 32
+        df = spark.createDataFrame(
+            [(0, base), (1, flip8), (2, flip32)],
+            "vec_id long, embedding array<float>")
+        q = df.filter("vec_id = 0") \
+            .selectExpr("vec_id AS query_id", "embedding")
+        rows = {r["rank"]: (r["vec_id"], r["hamming"])
+                for r in hamming_topk(df, q, k=3).collect()}
+        assert rows[1] == (0, 0)      # self
+        assert rows[2] == (1, 8)
+        assert rows[3] == (2, 32)
+
+    def test_no_shuffle_before_topk_window(self, spark):
+        """Sketching is a projection; the only exchange feeds the
+        per-query rank window (plus the broadcast of the query side)."""
+        from pincette_json_streams_spark.functions.similarity import (
+            hamming_topk,
+        )
+        df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = df.filter("vec_id % 100 = 0") \
+            .selectExpr("vec_id AS query_id", "embedding")
+        out = hamming_topk(df, q)
+        plan = out._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted"))
+        import re
+        shuffles = len(re.findall(r"Exchange hashpartitioning", plan))
+        assert shuffles <= 2, plan[:2000]  # window exchange (tree+details)
+        assert "CartesianProduct" not in plan
+
+
+class TestMeanShiftChangepoints:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "event_type string, ts_nanos long, event_id long, "
+                  "value double")
+
+    def test_detects_planted_step(self, spark):
+        from pincette_json_streams_spark.functions.timeseries import (
+            mean_shift_changepoints,
+        )
+        # 20 points at 1.0 then 20 at 5.0; window=5 -> the boundary
+        # (first point of the high regime, t=20) maximizes the shift
+        rows = [("a", t, t, 1.0 if t < 20 else 5.0) for t in range(40)]
+        out = mean_shift_changepoints(
+            self._df(spark, rows), window=5, top=1).collect()
+        (r,) = out
+        assert r["event_id"] == 20
+        assert r["shift_e6"] == 5 * 5_000_000 - 5 * 1_000_000
+
+    def test_full_windows_only_and_hostile_values(self, spark):
+        from pincette_json_streams_spark.functions.timeseries import (
+            mean_shift_changepoints,
+        )
+        rows = [("a", t, t, float("nan") if t == 3 else 1.0)
+                for t in range(8)]
+        rows.append(("a", 99, 99, float("inf")))
+        # 8 clean points, window=4: no position has 4 before AND 4
+        # after -> empty, and the NaN/inf rows never poison a sum
+        out = mean_shift_changepoints(
+            self._df(spark, rows), window=4, top=3).collect()
+        assert out == []
+
+    def test_single_keyed_exchange(self, spark):
+        from pincette_json_streams_spark.functions.timeseries import (
+            mean_shift_changepoints,
+        )
+        rows = [("a", t, t, float(t % 7)) for t in range(200)]
+        out = mean_shift_changepoints(self._df(spark, rows), window=10)
+        plan = out._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted"))
+        import re
+        shuffles = len(set(re.findall(
+            r"Exchange hashpartitioning\(g[#\d, ]*", plan)))
+        assert shuffles <= 1, plan[:2000]
+
+
+class TestRound8Stages:
+    def test_hamming_topk_stage(self, spark):
+        from pincette_json_streams_spark.operators.stages import (
+            PipelineContext, compile_pipeline,
+        )
+        df = spark.createDataFrame(
+            [(0, [1.0] * 64), (1, [1.0] * 60 + [-1.0] * 4),
+             (100, [-1.0] * 64)],
+            "vec_id long, embedding array<float>")
+        rows = compile_pipeline(df, [
+            {"$hammingTopk": {"k": 2, "queries": {"mod": 100}}},
+        ], PipelineContext()).collect()
+        got = {(r["query_id"], r["rank"]): (r["vec_id"], r["hamming"])
+               for r in rows}
+        assert got[(0, 1)] == (0, 0)
+        assert got[(0, 2)] == (1, 4)
+        assert got[(100, 1)] == (100, 0)
+
+    def test_changepoints_stage(self, spark):
+        from pincette_json_streams_spark.operators.stages import (
+            PipelineContext, compile_pipeline,
+        )
+        df = spark.createDataFrame(
+            [("a", t, t, 1.0 if t < 20 else 3.0) for t in range(40)],
+            "event_type string, ts_nanos long, event_id long, "
+            "value double")
+        (r,) = compile_pipeline(df, [
+            {"$changepoints": {"window": 5, "top": 1}},
+        ], PipelineContext()).collect()
+        assert r["event_id"] == 20
+        assert r["shift_e6"] == 5 * 3_000_000 - 5 * 1_000_000
