@@ -67,6 +67,13 @@ class JqError(ValueError):
     pass
 
 
+class JqHalt(Exception):
+    """halt / halt_error: terminates the whole program — deliberately
+    NOT a JqError, so try/catch and `?` cannot intercept it (jq
+    semantics, round-8 fuzz); compile_jq's runner converts it to a
+    JqError at the very top so callers still see one error type."""
+
+
 # --------------------------------------------------------------------------
 # lexer
 # --------------------------------------------------------------------------
@@ -85,6 +92,37 @@ _KEYWORDS = {"if", "then", "elif", "else", "end", "and", "or", "not",
              "true", "false", "null", "try", "catch"}
 
 
+def _scan_string(src: str, start: int) -> int:
+    """``start`` is the opening quote; returns the index just past the
+    closing quote, honoring ``\(...)`` interpolation — whose expression
+    may itself contain strings (with their own interpolations), which a
+    regex cannot track (round-8 fuzz: `"v=\(getpath(["a"]))"`)."""
+    i = start + 1
+    n = len(src)
+    while i < n:
+        c = src[i]
+        if c == "\\":
+            if i + 1 < n and src[i + 1] == "(":
+                depth = 1
+                i += 2
+                while i < n and depth:
+                    if src[i] == '"':
+                        i = _scan_string(src, i)
+                        continue
+                    if src[i] == "(":
+                        depth += 1
+                    elif src[i] == ")":
+                        depth -= 1
+                    i += 1
+                continue
+            i += 2
+            continue
+        if c == '"':
+            return i + 1
+        i += 1
+    raise JqError("jq: unterminated string")
+
+
 def _lex(src: str) -> list[tuple[str, str]]:
     out = []
     pos = 0
@@ -97,6 +135,12 @@ def _lex(src: str) -> list[tuple[str, str]]:
         if kind == "ws":
             continue
         text = m.group()
+        if kind == "str":
+            # the regex stops at the first inner quote; re-scan with
+            # interpolation awareness to get the REAL string extent
+            end = _scan_string(src, m.start())
+            text = src[m.start():end]
+            pos = end
         if kind == "loc":
             # $__loc__ carries its source line (jq manual: {file, line})
             out.append(("loc", str(src[:m.start()].count("\n") + 1)))
@@ -304,6 +348,11 @@ class _Parser:
 
     def primary(self):
         k, v = self.peek()
+        if k == "op" and v == "..":
+            # `..` is sugar for recurse (round-8 fuzz: the lexer
+            # tokenized it but no parse rule consumed it)
+            self.next()
+            return ("call", "recurse", [])
         if k == "op" and v == ".":
             self.next()
             k2, v2 = self.peek()
@@ -413,6 +462,11 @@ class _Parser:
                 depth = 1
                 j = i + 2
                 while j < len(body) and depth:
+                    if body[j] == '"':
+                        # nested string inside the interpolation: its
+                        # quotes/parens must not confuse the scan
+                        j = _scan_string(body, j)
+                        continue
                     if body[j] == "(":
                         depth += 1
                     elif body[j] == ")":
@@ -577,9 +631,12 @@ def _canon_render(v):
     if isinstance(v, float):
         if math.isnan(v):
             return None
+        if math.isinf(v):
+            # jq prints infinities clamped to the double max
+            return math.copysign(1.7976931348623157e+308, v)
         if v == 0 and math.copysign(1.0, v) < 0:
             return "-0"  # spliced raw below
-        if math.isfinite(v) and v == int(v) and abs(v) < 2 ** 53:
+        if v == int(v) and abs(v) < 2 ** 53:
             return int(v)
         return v
     if isinstance(v, list):
@@ -1090,7 +1147,21 @@ def _paths_of(node, inp, env) -> Iterator[list]:
         yield []
     elif tag == "index":
         for base in _paths_of(node[1], inp, env):
+            cur = _get_in(inp, base)
             for k in _eval(node[2], inp, env):
+                # jq: path(.a) errors on non-object/non-null bases
+                # (round-8 fuzz — path(.a?) on [] must yield NOTHING,
+                # the `?` suppressing this error, not ["a"])
+                if isinstance(k, str):
+                    if cur is not None and not isinstance(cur, dict):
+                        raise JqError(
+                            f"jq: cannot index {_type_name(cur)}"
+                            f' with string "{k}"')
+                elif isinstance(k, (int, float))                         and not isinstance(k, bool):
+                    if cur is not None and not isinstance(cur, list):
+                        raise JqError(
+                            f"jq: cannot index {_type_name(cur)}"
+                            " with number")
                 yield base + [k]
     elif tag == "iterate":
         for base in _paths_of(node[1], inp, env):
@@ -1122,6 +1193,19 @@ def _paths_of(node, inp, env) -> Iterator[list]:
     elif tag == "call" and node[1] == "getpath":
         for p in _eval(node[2][0], inp, env):
             yield list(p)
+    elif tag == "call" and node[1] == "recurse" and not node[2]:
+        # path(..): every path in document order, starting with []
+        def walk(base, v):
+            yield base
+            if isinstance(v, list):
+                for i, x in enumerate(v):
+                    yield from walk(base + [i], x)
+            elif isinstance(v, dict):
+                for k, x in v.items():
+                    yield from walk(base + [k], x)
+        yield from walk([], inp)
+    elif tag == "call" and node[1] == "empty" and not node[2]:
+        return
     else:
         raise JqError("jq: invalid path expression")
 
@@ -1157,6 +1241,11 @@ def _set_in(doc, path, value):
             # jq: setpath([0]; v) on an object is an ERROR, never a
             # silent clobber into a list
             raise JqError("jq: cannot index object with number")
+        if doc is not None and not isinstance(doc, list):
+            # only null auto-vivifies (round-8 fuzz: jq errors on
+            # scalars — `false | .a = 1` is an error, not {"a": 1})
+            raise JqError(
+                f"jq: cannot index {_type_name(doc)} with number")
         out = list(doc) if isinstance(doc, list) else []
         if head < 0:
             # jq setpath normalises negative indices against the
@@ -1171,6 +1260,9 @@ def _set_in(doc, path, value):
         return out
     if isinstance(doc, list):
         raise JqError("jq: cannot index array with string")
+    if doc is not None and not isinstance(doc, dict):
+        raise JqError(
+            f'jq: cannot index {_type_name(doc)} with string "{head}"')
     out = dict(doc) if isinstance(doc, dict) else {}
     out[head] = _set_in(out.get(head), rest, value)
     return out
@@ -1194,7 +1286,12 @@ def _del_in(doc, path):
             return out
         if isinstance(doc, list) and isinstance(head, int):
             return [x for i, x in enumerate(doc) if i != head]
-        return doc
+        if doc is None or isinstance(doc, list):
+            return doc
+        # the tolerance is for CONTAINER/segment mismatches only;
+        # deleting a field of a scalar errors like jq (round-8 fuzz)
+        raise JqError(
+            f"jq: cannot delete field of {_type_name(doc)}")
     if isinstance(doc, dict):
         out = dict(doc)
         if head in out:
@@ -1208,21 +1305,49 @@ def _del_in(doc, path):
     return doc
 
 
+_NO_OUT = object()
+
+
 def _assign(node, inp, env):
     op, target, rhs = node[1], node[2], node[3]
-    path = _path_of(target, inp, env)
     if op == "=":
+        # all target paths receive each RHS value (RHS evaluated
+        # against the ORIGINAL input); one result per RHS output.
+        # Paths resolve LAZILY on the first output: jq never touches
+        # the target when the RHS stream is empty — `0 | .a = empty`
+        # is empty, not an index error (round-8 fuzz)
+        paths = None
         for v in _eval(rhs, inp, env):
-            yield _set_in(inp, path, v)
+            if paths is None:
+                paths = list(_paths_of(target, inp, env))
+            out = inp
+            for pth in paths:
+                out = _set_in(out, pth, v)
+            yield out
     elif op == "|=":
-        cur = _get_in(inp, path)
-        for v in _eval(rhs, cur, env):
-            yield _set_in(inp, path, v)
+        # jq 1.6+/1.7: the update uses the FIRST output only (ours
+        # used every output, keeping the last — round-8 fuzz);
+        # an EMPTY update stream deletes the path (1.7 semantics,
+        # the map_values contract this engine already documents)
+        out = inp
+        for pth in list(_paths_of(target, inp, env)):
+            cur = _get_in(out, pth)
+            v = next(iter(_eval(rhs, cur, env)), _NO_OUT)
+            if v is _NO_OUT:
+                out = _delpaths(out, [pth])
+            else:
+                out = _set_in(out, pth, v)
+        yield out
     elif op in ("+=", "-="):
-        cur = _get_in(inp, path)
+        paths = None
         for v in _eval(rhs, inp, env):
-            yield _set_in(inp, path,
-                          _arith(op[0], cur, v))
+            if paths is None:
+                paths = list(_paths_of(target, inp, env))
+            out = inp
+            for pth in paths:
+                out = _set_in(
+                    out, pth, _arith(op[0], _get_in(inp, pth), v))
+            yield out
     else:
         raise JqError(f"jq: bad assignment {op}")
 
@@ -1320,6 +1445,16 @@ def _call(name, args, inp, env: _Env):
         if not isinstance(v, dict):
             raise JqError(f"jq: {_type_name(v)} has no entries"
                           f" ({name} requires an object)")
+        return v
+
+    def _strv(v):
+        # type holes here would surface as raw Python TypeErrors that
+        # try/catch and `?` cannot intercept (round-8 fuzz findings on
+        # the regex/string builtin family)
+        if not isinstance(v, str):
+            raise JqError(
+                f"jq: {_type_name(v)} cannot be used by {name}"
+                " (string required)")
         return v
 
     if name == "length":
@@ -1483,11 +1618,27 @@ def _call(name, args, inp, env: _Env):
             raise JqError(f"jq: {_type_name(inp)} cannot be upcased")
         yield inp.upper()
     elif name == "split":
-        yield inp.split(one())
-    elif name == "join":
         sep = one()
-        yield sep.join(_tostr(x) if not isinstance(x, str) else x
-                       for x in inp)
+        if not isinstance(inp, str) or not isinstance(sep, str):
+            raise JqError(
+                "jq: split input and separator must be strings")
+        # jq: splitting the EMPTY string yields [] (Python: [""])
+        yield inp.split(sep) if inp else []
+    elif name == "join":
+        sep = _strv(one())
+        vals = inp.values() if isinstance(inp, dict) else _arr(inp)
+
+        def cell(x):
+            # jq join: null -> "", scalars -> tostring, containers error
+            if x is None:
+                return ""
+            if isinstance(x, str):
+                return x
+            if isinstance(x, (list, dict)):
+                raise JqError(
+                    f"jq: string and {_type_name(x)} cannot be added")
+            return _tostr(x)
+        yield sep.join(cell(x) for x in vals)
     elif name == "ltrimstr":
         s = one()
         yield inp[len(s):] if isinstance(inp, str) and \
@@ -1497,9 +1648,15 @@ def _call(name, args, inp, env: _Env):
         yield inp[:-len(s)] if isinstance(inp, str) and s and \
             inp.endswith(s) else inp
     elif name == "startswith":
-        yield inp.startswith(one())
+        arg = one()
+        if not isinstance(inp, str) or not isinstance(arg, str):
+            raise JqError("jq: startswith() requires string inputs")
+        yield inp.startswith(arg)
     elif name == "endswith":
-        yield inp.endswith(one())
+        arg = one()
+        if not isinstance(inp, str) or not isinstance(arg, str):
+            raise JqError("jq: endswith() requires string inputs")
+        yield inp.endswith(arg)
     elif name == "contains":
         # jq's DEEP containment: substring for strings, every element
         # of b contained in some element of a for arrays, per-key
@@ -1518,9 +1675,11 @@ def _call(name, args, inp, env: _Env):
     elif name == "test":
         flags = one(1) if len(args) > 1 else ""
         f, _g, _n = _re_flags(flags, name)
-        yield re.search(_jq_re(one()), inp, f) is not None
+        yield re.search(_jq_re(_strv(one())), _strv(inp), f) \
+            is not None
     elif name in ("match", "capture", "scan"):
-        pat = _jq_re(one(0))
+        _strv(inp)
+        pat = _jq_re(_strv(one(0)))
         flags = one(1) if len(args) > 1 else ""
         f, glob, ignore_empty = _re_flags(flags, name)
         glob = name == "scan" or glob
@@ -1641,7 +1800,10 @@ def _call(name, args, inp, env: _Env):
     elif name == "tojson":
         yield _dumps_canon(inp)
     elif name == "fromjson":
-        yield json.loads(inp)
+        try:
+            yield json.loads(_strv(inp))
+        except ValueError:
+            raise JqError(f"jq: {inp!r} cannot be parsed as JSON")
     elif name in ("group_by", "unique_by", "min_by", "max_by"):
         inp = _arr(inp)
 
@@ -1711,7 +1873,11 @@ def _call(name, args, inp, env: _Env):
         yield {"trim": inp.strip, "ltrim": inp.lstrip,
                "rtrim": inp.rstrip}[name]()
     elif name in ("sub", "gsub"):
-        pat = _jq_re(one(0))
+        if not isinstance(inp, str):
+            raise JqError(
+                f"jq: {_type_name(inp)} cannot be matched, as it is"
+                " not a string")
+        pat = _jq_re(_strv(one(0)))
         flags = one(2) if len(args) > 2 else ""
         f, glob, ignore_empty = _re_flags(flags, name)
         matches = list(re.finditer(pat, inp, f))
@@ -1756,7 +1922,8 @@ def _call(name, args, inp, env: _Env):
     elif name == "splits":
         # manual scan, not re.split: Python's split EMITS capture
         # groups into the result, jq never does
-        pat = _jq_re(one(0))
+        _strv(inp)
+        pat = _jq_re(_strv(one(0)))
         flags = one(1) if len(args) > 1 else ""
         f, _g, ignore_empty = _re_flags(flags, name)
         last = 0
@@ -1767,20 +1934,35 @@ def _call(name, args, inp, env: _Env):
             last = m.end()
         yield inp[last:]
     elif name == "ascii":
-        yield chr(int(inp))
+        cp = int(_num(inp))
+        if not 0 <= cp < 0x110000:
+            raise JqError(f"jq: ascii: codepoint {cp} out of range")
+        yield chr(cp)
+    elif name == "utf8bytelength":
+        yield len(_strv(inp).encode("utf-8"))
     elif name == "explode":
-        yield [ord(c) for c in inp]
+        yield [ord(c) for c in _strv(inp)]
     elif name == "implode":
+        if not isinstance(inp, list) or any(
+                isinstance(c, bool) or not isinstance(c, int)
+                for c in inp):
+            raise JqError("jq: implode input must be an array of"
+                          " codepoints")
         yield "".join(chr(c) for c in inp)
     elif name == "todate":
         import datetime as _dt
         yield _dt.datetime.fromtimestamp(
-            int(inp), _dt.timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
+            int(_num(inp)), _dt.timezone.utc)             .strftime("%Y-%m-%dT%H:%M:%SZ")
     elif name == "fromdate":
         import datetime as _dt
-        yield int(_dt.datetime.strptime(
-            inp, "%Y-%m-%dT%H:%M:%SZ")
-            .replace(tzinfo=_dt.timezone.utc).timestamp())
+        try:
+            yield int(_dt.datetime.strptime(
+                _strv(inp), "%Y-%m-%dT%H:%M:%SZ")
+                .replace(tzinfo=_dt.timezone.utc).timestamp())
+        except ValueError:
+            raise JqError(
+                f'jq: date "{inp}" does not match format'
+                ' "%Y-%m-%dT%H:%M:%SZ"')
     elif name == "todateiso8601":
         yield from _call("todate", args, inp, env)
     elif name == "fromdateiso8601":
@@ -1933,12 +2115,14 @@ def _call(name, args, inp, env: _Env):
                     f"{_type_name(seg)} (getpath)")
         yield v
     elif name == "setpath":
-        p = _first_or_err(_eval(args[0], inp, env), 'path expression')
-        v = _first_or_err(_eval(args[1], inp, env), 'value expression')
-        yield _set_in(inp, p, v)
+        # both arguments are STREAMS; jq iterates the value outermost
+        # (round-8 fuzz: setpath(["a"]; range(0;3)) emits 3 results)
+        for v in _eval(args[1], inp, env):
+            for pth in _eval(args[0], inp, env):
+                yield _set_in(inp, pth, v)
     elif name == "delpaths":
-        yield _delpaths(inp, _first_or_err(
-            _eval(args[0], inp, env), 'delpaths argument'))
+        for ps in _eval(args[0], inp, env):
+            yield _delpaths(inp, ps)
     elif name in ("paths", "leaf_paths"):
         def pwalk(v, pre):
             if isinstance(v, dict):
@@ -2090,9 +2274,11 @@ def _call(name, args, inp, env: _Env):
         yield inp if isinstance(inp, list) else [inp]
     elif name in ("halt_error", "halt"):
         if name == "halt":
-            raise JqError("jq: halt")
-        raise JqError(inp if isinstance(inp, str)
-                      else json.dumps(inp, default=str))
+            raise JqHalt("jq: halt")
+        raise JqHalt(inp if isinstance(inp, str)
+                     else json.dumps(inp, default=str))
+    elif name == "input_line_number":
+        yield 0
     elif name == "tostream":
         def tstream(v, pre):
             if isinstance(v, (dict, list)) and len(v) > 0:
@@ -2189,6 +2375,10 @@ def compile_jq(
         funcs[dname] = (dparams, dbody, funcs)
 
     def run(value):
-        return list(_eval(body, value, _Env(funcs, {})))
+        try:
+            return list(_eval(body, value, _Env(funcs, {})))
+        except JqHalt as e:
+            # surfaced only here: halt bypasses every try/catch/`?`
+            raise JqError(str(e))
 
     return run

@@ -625,7 +625,14 @@ class TestPathProperties:
                 _del_in, _get_in,
             )
             before = _get_in(doc, path)
-            after = _del_in(doc, path)
+            try:
+                after = _del_in(doc, path)
+            except JqError:
+                # round-8 narrowing: deleting a field of a SCALAR
+                # (top-level or nested under the path) errors like jq;
+                # the mixed-segment tolerance covers container/segment
+                # mismatches only
+                return
             if before is not None and isinstance(doc, (dict, list)):
                 got = _get_in(after, path)
                 # deleting a list element shifts later siblings into
@@ -887,3 +894,96 @@ class TestTypeStrictEquality:
         assert jq('{"a": 1.0} | tojson', None) == ['{"a":1}']
         assert jq('@json "x\\(5.0)"', None) == ["x5"]
         assert jq('2.5 | tostring', None) == ["2.5"]
+
+
+class TestRound8FuzzFindings:
+    """Widened-grammar differential fuzz (round 8): assignment
+    machinery, path type checks, halt semantics, string-family type
+    guards, interpolation lexing — all locked binary-independent."""
+
+    def test_update_assign_first_output_and_empty_delete(self):
+        # jq 1.7: |= uses the FIRST output; an empty update deletes
+        assert jq(".a |= (range(0; 3))", {"a": 9}) == [{"a": 0}]
+        assert jq(".a |= empty", {"a": 9, "b": 1}) == [{"b": 1}]
+
+    def test_assignment_multi_path_and_lazy_target(self):
+        assert jq("(.a, .b) = 1", {}) == [{"a": 1, "b": 1}]
+        # RHS first: an empty RHS never touches an invalid target
+        assert jq(".a = empty", 0) == []
+        assert jq(".a = (select(false))", 0) == []
+
+    def test_assignment_errors_on_scalars(self):
+        for prog, inp in ((".a = 1", False), (".a += 1", "x"),
+                          (".a |= .", 5), (".[0] = 5", 3)):
+            with pytest.raises(JqError):
+                jq(prog, inp)
+        # null still auto-vivifies
+        assert jq(".a = 1", None) == [{"a": 1}]
+        assert jq(".[0] = 5", None) == [[5]]
+
+    def test_path_type_checks(self):
+        assert jq("[path(.a?)]", []) == [[]]
+        assert jq("[path(.a?)]", False) == [[]]
+        assert jq("[path(.a?)]", None) == [[["a"]]]
+        with pytest.raises(JqError):
+            jq("path(.a)", [1])
+
+    def test_setpath_delpaths_stream_their_arguments(self):
+        assert jq('setpath((["a"],["b"]); range(0;2))', None) == [
+            {"a": 0}, {"b": 0}, {"a": 1}, {"b": 1}]
+        assert jq('delpaths([["a"]], [["b"]])',
+                  {"a": 1, "b": 2}) == [{"b": 2}, {"a": 1}]
+
+    def test_delpaths_scalar_field_errors(self):
+        # container/segment mismatches stay tolerated (r4 contract),
+        # but deleting a field OF A SCALAR errors like jq
+        with pytest.raises(JqError):
+            jq('delpaths([["a"]])', 7)
+        with pytest.raises(JqError):
+            jq('delpaths([["a","b"]])', {"a": 5})
+        assert jq('delpaths([["a"], [0]])', {"a": 1}) == [{}]
+
+    def test_halt_error_uncatchable(self):
+        for prog in ("halt_error?", 'try (halt_error) catch "c"',
+                     "(halt_error) // 1"):
+            with pytest.raises(JqError):
+                jq(prog, True)
+
+    def test_string_family_type_guards(self):
+        # non-string inputs raise JqError (catchable), never TypeError
+        for prog, inp in (('sub("a"; "b")?', {}), ("fromjson?", {}),
+                          ("explode?", -3), ('split(" ")?', {}),
+                          ("implode?", "abc"), ("fromdate?", "bad"),
+                          ('startswith("a")?', 3), ("[splits(0)]?", "x"),
+                          ('test("a")?', [1])):
+            assert jq(prog, inp) == []
+
+    def test_split_empty_string(self):
+        assert jq('split(" ")', "") == [[]]
+        assert jq('split(" ")', "a b") == [["a", "b"]]
+
+    def test_join_jq_semantics(self):
+        # null -> "", scalars -> tostring, container elements error
+        assert jq('join("-")', [1, None, True, "x"]) == ["1--true-x"]
+        assert jq('join("-")', {}) == [""]
+        with pytest.raises(JqError):
+            jq('join("-")', [["a"]])
+
+    def test_recurse_dotdot_and_paths(self):
+        assert jq("[..]", {"a": [1]}) == [[{"a": [1]}, [1], 1]]
+        assert jq("[path(..)]", {"a": [1]}) == [[[], ["a"], ["a", 0]]]
+
+    def test_utf8bytelength_and_misc(self):
+        assert jq("utf8bytelength", "hi") == [2]
+        assert jq("input_line_number", False) == [0]
+
+    def test_string_interpolation_nested_quotes(self):
+        assert jq('@text "v=\\(getpath(["a"]) | tostring)"',
+                  {"c": 1}) == ["v=null"]
+        assert jq('"x=\\("in(ner)" + "s")"', None) == ["x=in(ner)s"]
+        assert jq('"a=\\("q=\\(1+1)")"', None) == ["a=q=2"]
+
+    def test_infinite_rendering(self):
+        assert jq("infinite | tostring",
+                  None) == ["1.7976931348623157e+308"]
+        assert jq("nan | tostring", None) == ["null"]
