@@ -214,3 +214,95 @@ class TestKmvOverlapProperty:
         # structural invariants regardless of estimate noise
         assert r["est_intersection"] <= r["est_union"]
         assert 0 <= r["jaccard_e6"] <= 1_000_000
+
+
+class TestHammingSketchProperty:
+    @staticmethod
+    def _mirror(vecs, queries, k):
+        def sig(v):
+            w0 = w1 = 0
+            for i, x in enumerate(v[:32]):
+                w0 = w0 * 2 + (1 if x > 0 else 0)
+            for i, x in enumerate(v[32:64]):
+                w1 = w1 * 2 + (1 if x > 0 else 0)
+            return w0, w1
+        out = []
+        for qid, qv in queries:
+            q0, q1 = sig(qv)
+            scored = sorted(
+                (bin((sig(v)[0] ^ q0)).count("1")
+                 + bin((sig(v)[1] ^ q1)).count("1"), vid)
+                for vid, v in vecs)
+            out.extend((qid, r + 1, vid, h)
+                       for r, (h, vid) in enumerate(scored[:k]))
+        return sorted(out)
+
+    @SPARKY
+    @given(st.lists(
+        st.tuples(st.integers(0, 30),
+                  st.lists(st.floats(-2, 2, allow_nan=False,
+                                     width=32),
+                           min_size=64, max_size=64)),
+        min_size=1, max_size=12, unique_by=lambda t: t[0]),
+        st.integers(1, 4))
+    def test_matches_mirror(self, spark, vecs, k):
+        from pincette_json_streams_spark.functions.similarity import (
+            hamming_topk,
+        )
+        df = spark.createDataFrame(vecs,
+                                   "vec_id long, embedding array<float>")
+        q = df.filter("vec_id % 3 = 0") \
+            .selectExpr("vec_id AS query_id", "embedding")
+        queries = [(i, v) for i, v in vecs if i % 3 == 0]
+        got = sorted((r["query_id"], r["rank"], r["vec_id"],
+                      r["hamming"])
+                     for r in hamming_topk(df, q, k=k).collect())
+        assert got == self._mirror(vecs, queries, k)
+
+
+class TestChangepointProperty:
+    @staticmethod
+    def _mirror(rows, window, top):
+        import math
+        by_g: dict = {}
+        for g, t, i, v in rows:
+            if not math.isfinite(v):
+                continue
+            by_g.setdefault(g, []).append(
+                (t, i, math.floor(v * 10 ** 6 + 0.5)))
+        out = []
+        for g, pts in by_g.items():
+            pts.sort()
+            cands = []
+            for idx in range(len(pts)):
+                if idx < window or idx + window > len(pts):
+                    continue
+                sb = sum(v for _, _, v in pts[idx - window:idx])
+                sa = sum(v for _, _, v in pts[idx:idx + window])
+                cands.append((-(abs(sa - sb)), pts[idx][0],
+                              pts[idx][1], sa - sb))
+            cands.sort()
+            out.extend((g, r + 1, i, s)
+                       for r, (_, t, i, s) in enumerate(cands[:top]))
+        return sorted(out)
+
+    @SPARKY
+    @given(st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 500),
+                  st.floats(-100, 100, allow_nan=False)),
+        min_size=1, max_size=60),
+        st.integers(1, 4), st.integers(1, 3))
+    def test_matches_mirror(self, spark, raw, window, top):
+        from pincette_json_streams_spark.functions.timeseries import (
+            mean_shift_changepoints,
+        )
+        # unique (ts, id) per group for a total order
+        rows = [(g, t, i, v) for i, (g, t, v) in enumerate(raw)]
+        df = spark.createDataFrame(
+            rows, "event_type string, ts_nanos long, event_id long, "
+                  "value double")
+        got = sorted(
+            (r["event_type"], r["rank"], r["event_id"], r["shift_e6"])
+            for r in mean_shift_changepoints(
+                df, window=window, top=top).collect())
+        assert got == self._mirror(rows, window, top)
