@@ -456,9 +456,24 @@ def _eval(node, ctx, env):
         base = _eval(node[1], ctx, env)
         lo = _eval(node[2], ctx, env) if node[2] else None
         hi = _eval(node[3], ctx, env) if node[3] else None
-        return base[lo:hi] if base is not None else None
+        if base is None:
+            return None
+        if not isinstance(base, (list, str)):
+            # navigation-null philosophy, like .key on a non-object
+            return None
+        for b in (lo, hi):
+            if b is not None and (isinstance(b, bool)
+                                  or not isinstance(b, int)):
+                raise JsltError("jslt: slice bounds must be integers")
+        return base[lo:hi]
     if tag == "neg":
-        return -_eval(node[1], ctx, env)
+        v = _eval(node[1], ctx, env)
+        if v is None:
+            return None
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            raise JsltError(
+                f"jslt: cannot negate {type(v).__name__}")
+        return -v
     if tag == "arith":
         op, a, b = node[1], _eval(node[2], ctx, env), \
             _eval(node[3], ctx, env)
@@ -477,6 +492,11 @@ def _eval(node, ctx, env):
                 sa = a if isinstance(a, str) else _to_string(a)
                 sb = b if isinstance(b, str) else _to_string(b)
                 return sa + sb
+            for x in (a, b):
+                if isinstance(x, bool) or not isinstance(x, (int, float)):
+                    raise JsltError(
+                        f"jslt: + cannot combine {type(a).__name__}"
+                        f" and {type(b).__name__}")
             return a + b
         if a is None or b is None:
             return None
@@ -507,6 +527,13 @@ def _eval(node, ctx, env):
             return not _jslt_eq(a, b)
         if a is None or b is None:
             return False
+        num_a = not isinstance(a, bool) and isinstance(a, (int, float))
+        num_b = not isinstance(b, bool) and isinstance(b, (int, float))
+        if not ((num_a and num_b) or (isinstance(a, str)
+                                      and isinstance(b, str))):
+            raise JsltError(
+                f"jslt: cannot compare {type(a).__name__} {op} "
+                f"{type(b).__name__}")
         return {"<": a < b, "<=": a <= b, ">": a > b, ">=": a >= b}[op]
     if tag == "and":
         return _truthy(_eval(node[1], ctx, env)) and \
@@ -530,11 +557,17 @@ def _eval(node, ctx, env):
         return [_eval(e, ctx, env) for e in node[1]]
     if tag == "for_array":
         src = _eval(node[1], ctx, env)
+        if src is None:
+            return None
+        if not isinstance(src, (list, dict)):
+            raise JsltError(
+                f"jslt: for requires an array or object, got "
+                f"{type(src).__name__}")
         # JSLT reference: an object input is converted to an array of
         # {"key", "value"} objects (same as the object-for), not its
         # bare values
         items = src if isinstance(src, list) else [
-            {"key": k, "value": v} for k, v in (src or {}).items()
+            {"key": k, "value": v} for k, v in src.items()
         ]
         out = []
         for x in items:
@@ -545,8 +578,14 @@ def _eval(node, ctx, env):
         return out
     if tag == "for_object":
         src = _eval(node[1], ctx, env)
+        if src is None:
+            return None
+        if not isinstance(src, (list, dict)):
+            raise JsltError(
+                f"jslt: for requires an array or object, got "
+                f"{type(src).__name__}")
         items = src if isinstance(src, list) else [
-            {"key": k, "value": v} for k, v in (src or {}).items()
+            {"key": k, "value": v} for k, v in src.items()
         ]
         cond = node[4] if len(node) > 4 else None
         out = {}
@@ -581,7 +620,16 @@ def _eval(node, ctx, env):
                         out[k] = mv
         return out
     if tag == "call":
-        return _call(node[1], node[2], ctx, env)
+        try:
+            return _call(node[1], node[2], ctx, env)
+        except (JsltError, RecursionError):
+            raise
+        except Exception as e:
+            # safety net: a type hole in any builtin must surface as a
+            # catchable JsltError, never a raw Python exception that
+            # kills an executor task with an opaque stack
+            raise JsltError(
+                f"jslt: {node[1]}: {type(e).__name__}: {e}")
     raise JsltError(f"jslt: unhandled node {tag}")
 
 
@@ -645,6 +693,16 @@ def _java_time_format(fmt: str) -> str:
     return out
 
 
+_NULL1 = frozenset((
+    "round floor ceiling lowercase uppercase trim capture replace "
+    "split join sha256-hex hash-int base64-encode base64-decode "
+    "uri-encode uri-decode substr parse-time format-time parse-url "
+    "zip zip-with-index sum flatten parse-iso-instant get-pointer "
+    "error"
+).split())
+_FALSE1 = frozenset(("test", "starts-with", "ends-with"))
+
+
 def _call(name, args, ctx, env):
     if name in env["funcs"]:
         params, body = env["funcs"][name]
@@ -657,6 +715,18 @@ def _call(name, args, ctx, env):
         return _eval(args[i], ctx, env)
 
     n = len(args)
+    # JSLT's documented convention: most functions propagate a null
+    # FIRST argument as null (round-8 hostile-type sweep: 329 raw
+    # Python TypeError/AttributeError holes found — in a Spark
+    # executor those kill the task instead of surfacing a catchable
+    # JsltError)
+    if name in _NULL1 and n >= 1 and a(0) is None:
+        return None
+    if name in _FALSE1 and n >= 1 and a(0) is None:
+        return False
+    if name in ("min", "max", "mod") and n >= 2 \
+            and (a(0) is None or a(1) is None):
+        return None
     if name == "size":
         v = a()
         return None if v is None else (

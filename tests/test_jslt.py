@@ -345,3 +345,71 @@ class TestTypeStrictEquality:
         assert compile_jslt('contains(1, [true, 1.0])')(None) is True
         assert compile_jslt('index-of([true, 1], 1)')(None) == 1
         assert compile_jslt('index-of([1], true)')(None) == -1
+
+
+class TestHostileTypeMatrix:
+    """Round-8 sweep: every builtin / operator shape crossed with every
+    hostile literal must yield a VALUE or a catchable JsltError — never
+    a raw Python exception (which would kill a Spark executor task
+    with an opaque stack instead of surfacing through try/fallback).
+    The same sweep found 329 TypeError/AttributeError holes before the
+    null-propagation tables and operator type guards."""
+
+    HOSTILE = ['null', 'true', '0', '-3', '2.5', '""', '"x y"',
+               '[]', '[1, "a"]', '{}', '{"a": 1}']
+    SHAPES = [
+        "size(X)", "string(X)", "number(X, 0)", "boolean(X)", "not(X)",
+        "round(X)", "floor(X)", "ceiling(X)", "lowercase(X)",
+        "uppercase(X)", "trim(X)", 'split(X, ",")', 'split("a,b", X)',
+        'join(X, "-")', "join([1,2], X)", "contains(X, [1])",
+        "contains(1, X)", "flatten(X)", "sum(X)", "min(X, 1)",
+        "max(X, 1)", "mod(X, 2)", "mod(7, X)", 'test(X, "a")',
+        'test("a", X)', 'capture(X, "(?<x>a)")', 'replace(X, "a", "b")',
+        'replace("aa", X, "b")', 'starts-with(X, "a")',
+        'starts-with("ab", X)', 'ends-with(X, "a")', "is-integral(X)",
+        'get-key(X, "a")', 'get-key({"a":1}, X)', "error(X)",
+        "array(X)", "from-json(X)", "to-json(X)", "sha256-hex(X)",
+        "hash-int(X)", "zip(X, [1])", "zip([1], X)",
+        "zip-with-index(X)", "index-of(X, 1)",
+        'parse-time(X, "yyyy")', 'format-time(X, "yyyy")',
+        "parse-url(X)", "fallback(X, 1)", "substr(X, 0, 2)",
+        'substr("abc", X, 2)', "base64-encode(X)", "base64-decode(X)",
+        "uri-encode(X)", "uri-decode(X)", 'get-pointer(X, "/a")',
+        "parse-iso-instant(X)", "all(X)", "any(X)",
+        "X + 1", "1 + X", "X * 2", "X - 1", "X / 2", "2 / X",
+        "X < 1", "X and true", "[for (X) .]",
+        '{for (X) string(.key // 0): .value}', "X[0]", "X[0:2]",
+        ".a[X]",
+    ]
+
+    def test_no_raw_exceptions(self):
+        import itertools
+
+        from pincette_json_streams_spark.functions.jslt_subset import (
+            JsltError, compile_jslt,
+        )
+        crashes = []
+        for tpl, lit in itertools.product(self.SHAPES, self.HOSTILE):
+            prog = tpl.replace("X", lit)
+            try:
+                compile_jslt(prog)({"a": [1, 2]})
+            except (JsltError, RecursionError):
+                pass
+            except Exception as e:  # noqa: BLE001 — a crash IS a bug
+                crashes.append((prog, f"{type(e).__name__}: {e}"))
+        assert not crashes, crashes[:10]
+
+    def test_null_propagation_conventions(self):
+        from pincette_json_streams_spark.functions.jslt_subset import (
+            compile_jslt,
+        )
+        # JSLT's documented rule: string/number functions return null
+        # on null input; the boolean predicates return false
+        for prog in ("round(null)", "lowercase(null)", "trim(null)",
+                     'replace(null, "a", "b")', "min(null, 1)",
+                     "mod(null, 2)", "[for (null) .]", "-null",
+                     "null[0:2]"):
+            assert compile_jslt(prog)(None) is None, prog
+        for prog in ('test(null, "a")', 'starts-with(null, "a")',
+                     'ends-with(null, "a")'):
+            assert compile_jslt(prog)(None) is False, prog
