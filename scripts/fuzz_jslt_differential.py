@@ -96,6 +96,10 @@ def gen(rng, typ=ANY, depth=0, in_loop=False):
     d = depth + 1
     if typ == NUM:
         k = rng.random()
+        if k < 0.12:
+            return N("minmax", NUM, gen(rng, NUM, d, in_loop),
+                     gen(rng, NUM, d, in_loop),
+                     fn=rng.choice(["min", "max"]))
         if k < 0.5:
             op = rng.choice(["+", "-", "*"])
             return N("arith", NUM, gen(rng, NUM, d, in_loop),
@@ -106,6 +110,8 @@ def gen(rng, typ=ANY, depth=0, in_loop=False):
         return N("lit", NUM, v=rng.choice([0, 1, 7, -3, 2.5]))
     if typ == STR:
         k = rng.random()
+        if k < 0.12:
+            return N("joinarr", STR, gen(rng, ARR, d, in_loop))
         if k < 0.3:
             return N("concat", STR, gen(rng, STR, d, in_loop),
                      gen(rng, STR, d, in_loop))
@@ -124,6 +130,17 @@ def gen(rng, typ=ANY, depth=0, in_loop=False):
         return N("lit", STR, v=rng.choice(["s", "", "x y", "AbC"]))
     if typ == BOOL:
         k = rng.random()
+        if k < 0.08:
+            f = rng.choice(["is-string", "is-array", "is-object",
+                            "is-number", "is-boolean"])
+            return N("ispred", BOOL, gen(rng, ANY, d, in_loop), fn=f)
+        if k < 0.16:
+            return N("strpred", BOOL, gen(rng, STR, d, in_loop),
+                     gen(rng, STR, d, in_loop),
+                     fn=rng.choice(["starts-with", "ends-with"]))
+        if k < 0.22:
+            return N("contains", BOOL, gen(rng, ANY, d, in_loop),
+                     gen(rng, ARR, d, in_loop))
         if k < 0.3:
             op = rng.choice(["<", ">", "<=", ">="])
             return N("cmp", BOOL, gen(rng, NUM, d, in_loop),
@@ -157,6 +174,10 @@ def gen(rng, typ=ANY, depth=0, in_loop=False):
                  keys=ks)
     # ANY
     k = rng.random()
+    if k < 0.08:
+        # pipe: left value becomes the right side's context
+        return N("pipe", ANY, gen(rng, ANY, d, in_loop),
+                 gen(rng, ANY, d, True))
     if k < 0.35:
         return any_leaf()
     if k < 0.45:
@@ -228,6 +249,24 @@ def to_jslt(n, ctx="."):
         return f"(if ({c}) {a} else {to_jslt(n.kids[2], ctx)})"
     if n.kind == "index":
         return f"({to_jslt(n.kids[0], ctx)})[{n.meta['i']}]"
+    if n.kind == "pipe":
+        return (f"({to_jslt(n.kids[0], ctx)} | "
+                f"{to_jslt(n.kids[1])})")
+    if n.kind == "ispred":
+        return f"{n.meta['fn']}({to_jslt(n.kids[0], ctx)})"
+    if n.kind == "strpred":
+        return (f"{n.meta['fn']}({to_jslt(n.kids[0], ctx)}, "
+                f"{to_jslt(n.kids[1], ctx)})")
+    if n.kind == "contains":
+        return (f"contains({to_jslt(n.kids[0], ctx)}, "
+                f"{to_jslt(n.kids[1], ctx)})")
+    if n.kind == "minmax":
+        return (f"{n.meta['fn']}({to_jslt(n.kids[0], ctx)}, "
+                f"{to_jslt(n.kids[1], ctx)})")
+    if n.kind == "joinarr":
+        # join stringifies scalar elements; restrict via tostring map
+        return (f'join([for ({to_jslt(n.kids[0], ctx)}) string(.)], '
+                f'"-")')
     if n.kind == "let":
         # JSLT let is a program-level binding; inline via a def instead
         # so it nests: def only sees $params, so use a 1-arg function
@@ -298,6 +337,34 @@ def to_jq(n):
     if n.kind == "index":
         return (f"([(({to_jq(n.kids[0])})[{n.meta['i']}])?] | "
                 "if length == 0 then null else .[0] end)")
+    if n.kind == "pipe":
+        return f"(({to_jq(n.kids[0])}) | ({to_jq(n.kids[1])}))"
+    if n.kind == "ispred":
+        t = {"is-string": "string", "is-array": "array",
+             "is-object": "object", "is-number": "number",
+             "is-boolean": "boolean"}[n.meta["fn"]]
+        return f'((({to_jq(n.kids[0])}) | type) == "{t}")'
+    if n.kind == "strpred":
+        f = {"starts-with": "startswith",
+             "ends-with": "endswith"}[n.meta["fn"]]
+        # JSLT: false on null input; jq: error on non-strings
+        return (f"(({to_jq(n.kids[0])}) as $s | "
+                f"(({to_jq(n.kids[1])})) as $p | "
+                f"if $s == null then false else ($s | {f}($p)) end)")
+    if n.kind == "contains":
+        # JSLT contains(el, seq): membership with type-strict equality
+        return (f"(({to_jq(n.kids[0])}) as $e | "
+                f"(({to_jq(n.kids[1])})) as $a | "
+                "([$a[] | select(. == $e)] | length) > 0)")
+    if n.kind == "minmax":
+        f = {"min": "<", "max": ">"}[n.meta["fn"]]
+        return (f"(({to_jq(n.kids[0])}) as $x | "
+                f"(({to_jq(n.kids[1])})) as $y | "
+                f"if $x == null or $y == null then null "
+                f"elif $x {f} $y then $x else $y end)")
+    if n.kind == "joinarr":
+        return (f"(({to_jq(n.kids[0])}) | "
+                'map(tostring) | join("-"))')
     if n.kind == "let":
         return f"(({to_jq(n.kids[0])}) as $v | {to_jq(n.kids[1])})"
     raise AssertionError(n.kind)
