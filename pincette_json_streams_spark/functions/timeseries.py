@@ -674,43 +674,39 @@ def theil_sen_slopes(
         F.col(id_col).alias("id"),
     )
     w = Window.partitionBy("g").orderBy("t", "id")
-    # pts feeds both pair sides; it is cap-bounded at groups*max_points
-    # rows, so the lazy lineage cut trades one tiny materialization for
-    # an extra run of the window sort over the raw table.  (Profiled
-    # alternatives
-    # at sf0.1: rank-window median over the pair table 1.67 s vs this
-    # collect_list+array_sort agg 0.41 s; a fully in-array pair
-    # expansion with nested higher-order functions was 4x SLOWER than
-    # the Tungsten pair join — HOF struct comparators don't codegen.)
     pts = base.withColumn("r", F.row_number().over(w)) \
-        .filter(F.col("r") <= max_points) \
-        .localCheckpoint(eager=False)
-    a = pts.select(F.col("g"), F.col("t").alias("t1"),
-                   F.col("v").alias("v1"), F.col("r").alias("r1"))
-    b = pts.select(F.col("g").alias("g2"), F.col("t").alias("t2"),
-                   F.col("v").alias("v2"), F.col("r").alias("r2"))
+        .filter(F.col("r") <= max_points)
+    # Pair expansion WITHOUT a self-join (round-8 A/B, 0.91 -> 0.77 s
+    # at sf0.1): collect each group's capped points into one sorted
+    # array, then nested generators (posexplode + explode of the
+    # tail slice) emit the i<j pairs MAP-SIDE — the pairs never leave
+    # the group's partition, so the median aggregation's shuffle sees
+    # mostly locally-combined state.  (The round-7 alternative
+    # profile: rank-window median 1.67 s; a fully in-array HOF pair
+    # expansion was 4x slower — HOF struct comparators don't codegen;
+    # generators do.  The old shape — pts self-joined on g — paid a
+    # join exchange and needed a lazy checkpoint to avoid evaluating
+    # the window twice; here pts is referenced once.)
+    arr = pts.groupBy("g").agg(
+        F.array_sort(F.collect_list(F.struct("r", "t", "v")))
+        .alias("a"))
     pairs = (
-        a.join(b, (F.col("g") == F.col("g2"))
-               & (F.col("r1") < F.col("r2")))
-        .filter(F.col("t1") != F.col("t2"))
-        .select("g", "r1", "r2",
-                (F.col("v2") - F.col("v1")).cast("double")
-                .__truediv__((F.col("t2") - F.col("t1")).cast("double"))
+        arr.select("g", "a", F.posexplode("a").alias("i", "x"))
+        .select("g", "x",
+                F.explode(F.expr("slice(a, i + 2, size(a))"))
+                .alias("y"))
+        .filter(F.col("x.t") != F.col("y.t"))
+        .select("g", F.col("x.r").alias("r1"),
+                F.col("y.r").alias("r2"),
+                ((F.col("y.v") - F.col("x.v")).cast("double")
+                 / (F.col("y.t") - F.col("x.t")).cast("double"))
                 .alias("slope"))
     )
-    # ONE hash-agg pass over the pair stream instead of two stacked
-    # window exchanges (row_number + count were each a full sort/shuffle
-    # of max_points^2/2 rows per group): collect the (cap-bounded) pair
-    # structs, array_sort gives the same (slope, r1, r2) total order the
-    # rank window used, and element (n+1) div 2 is the lower median.
     # n_points folds into the SAME aggregation as max(r2): a group only
     # appears here if it has >= 1 distinct-time pair, and then its last
     # point (row_number n) always partners some earlier point — t is
     # sort-ascending, so "every earlier t equals t_n" would mean ALL
-    # timestamps are equal and the group has no pairs at all.  (The old
-    # shape re-aggregated the pts frame and joined it back: one extra
-    # shuffle + a join exchange for a value the pair stream already
-    # carries.)
+    # timestamps are equal and the group has no pairs at all.
     med = (
         pairs.groupBy("g")
         .agg(

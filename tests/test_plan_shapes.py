@@ -479,14 +479,15 @@ class TestRound7PlanShapes:
         assert "ExistingRDD" not in plan
         assert "CartesianProduct" not in plan
 
-    def test_theil_sen_no_npts_rejoin(self, spark):
-        """n_points folds into the median aggregation as max(r2) — the
-        round-7 shape re-aggregated the capped-points frame and joined
-        it back (one extra shuffle + join exchange).  Exactly the two
-        pair-side joins (tree + details each) and no more."""
+    def test_theil_sen_no_joins_at_all(self, spark):
+        """Round-8 shape: pairs expand from each group's collected
+        point array via nested generators — no self-join, no npts
+        re-aggregation join, no checkpoint barrier.  The plan must be
+        join-free and barrier-free."""
         plan = _plan(spark, "theil_sen_trend")
         assert plan.count("SortMergeJoin") + plan.count(
-            "BroadcastHashJoin") + plan.count("ShuffledHashJoin") <= 2
+            "BroadcastHashJoin") + plan.count("ShuffledHashJoin") == 0
+        assert "ExistingRDD" not in plan
 
     def test_near_dups_verify_evaluates_pairs_once(self, spark):
         """$nearDups with verify must NOT join the raw LSH pair plan
