@@ -1778,6 +1778,13 @@ def _call(name, args, inp, env: _Env):
     elif name == "from_entries":
         out = {}
         for e in _arr(inp):
+            if not isinstance(e, dict):
+                # jq indexes each entry with "key": non-objects error
+                # (round-8 fuzz: a list entry crashed with a raw
+                # AttributeError)
+                raise JqError(
+                    f"jq: Cannot index {_type_name(e)}"
+                    ' with string "key"')
             k = e.get("key", e.get("k"))
             if not isinstance(k, str):
                 raise JqError(f"jq: Cannot use {_type_name(k)} as "
@@ -1945,6 +1952,7 @@ def _call(name, args, inp, env: _Env):
     elif name == "implode":
         if not isinstance(inp, list) or any(
                 isinstance(c, bool) or not isinstance(c, int)
+                or not 0 <= c < 0x110000
                 for c in inp):
             raise JqError("jq: implode input must be an array of"
                           " codepoints")

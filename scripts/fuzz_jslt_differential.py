@@ -397,6 +397,11 @@ def norm(v):
         return None
     if isinstance(v, float) and math.isfinite(v) and v == int(v):
         return int(v)
+    if v == "-0":
+        # jq 1.6's all-doubles arithmetic yields -0.0 where an
+        # integer-preserving model (ours, jq 1.7) yields int 0; only
+        # visible through tostring
+        return "0"
     if isinstance(v, list):
         return [norm(x) for x in v]
     if isinstance(v, dict):
