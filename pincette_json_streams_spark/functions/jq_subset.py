@@ -769,7 +769,11 @@ def _format_value(name: str, v) -> str:
         def q(x):
             if isinstance(x, (dict, list)):
                 raise JqError("jq: @sh cells must be scalars")
-            return "'" + base(x).replace("'", "'\\''") + "'"
+            if isinstance(x, str):
+                # only STRINGS are shell-quoted; numbers/bools/null
+                # render bare (round-8 fuzz vs the binary)
+                return "'" + x.replace("'", "'\\''") + "'"
+            return base(x)
         return " ".join(q(x) for x in v) if isinstance(v, list) else q(v)
     raise JqError(f"jq: unknown format @{name}")
 
