@@ -66,7 +66,20 @@ def compile_expr(expr: Any, ctx: Ctx) -> Column:
                     handler = OPERATOR_EXTENSIONS.get(op)
                 if handler is None:
                     raise UnsupportedExpression(f"unknown operator {op}")
-                return handler(args, ctx)
+                try:
+                    return handler(args, ctx)
+                except (UnsupportedExpression, RecursionError):
+                    raise
+                except Exception as e:
+                    # a malformed spec ({$cond: true}, {$dateTrunc:
+                    # null}, ...) must surface as a build-time spec
+                    # error naming the operator, never a raw Python
+                    # traceback from inside the handler (round-8
+                    # hostile-spec sweep: 48 operators leaked
+                    # TypeError/KeyError/IndexError)
+                    raise UnsupportedExpression(
+                        f"{op}: malformed arguments {args!r}: "
+                        f"{type(e).__name__}: {e}") from e
         # document literal -> struct with compiled member expressions
         if any(k.startswith("$") for k in expr):
             raise UnsupportedExpression(

@@ -844,3 +844,39 @@ class TestTimezonePropertyVsZoneinfo:
         assert ev(df, {"$dateToString": {
             "date": {"$toDate": "2024-06-15T12:00:00Z"},
             "format": "%z"}}) == "+0000"
+
+
+class TestHostileSpecMatrix:
+    """Round-8 sweep: every registered operator crossed with malformed
+    argument shapes must either compile or raise UnsupportedExpression
+    naming the operator — never a raw Python traceback from inside a
+    handler (the sweep found 48 operators leaking TypeError/KeyError/
+    IndexError on specs like {$cond: true} or {$dateTrunc: null})."""
+
+    HOSTILE = [None, True, 0, -3, 2.5, "", "x", [], [1], {"$x": 1},
+               "$a", "$b", "$d", "$missing", ["$a"], ["$a", "$b"],
+               ["$a", 1, None]]
+
+    def test_no_raw_exceptions_at_compile(self, spark):
+        from pincette_json_streams_spark.operators.context import (
+            ctx_for,
+        )
+        from pincette_json_streams_spark.operators.expressions import (
+            OPERATORS, UnsupportedExpression, compile_expr,
+        )
+        df = spark.createDataFrame(
+            [(1, "s", 2.5, [1, 2], {"k": "v"})],
+            "a long, b string, c double, d array<long>, "
+            "e map<string,string>")
+        ctx = ctx_for(df)
+        crashes = []
+        for op in sorted(OPERATORS):
+            for arg in self.HOSTILE:
+                try:
+                    compile_expr({op: arg}, ctx)
+                except UnsupportedExpression:
+                    pass  # a NAMED spec error is the contract
+                except Exception as e:  # noqa: BLE001
+                    crashes.append(
+                        (op, repr(arg)[:25], type(e).__name__))
+        assert not crashes, crashes[:10]
