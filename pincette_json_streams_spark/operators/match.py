@@ -122,6 +122,21 @@ def _field_condition(path: str, value: Any, ctx: Ctx) -> Column:
 
 
 def _field_op(path: str, op: str, arg: Any, ctx: Ctx) -> Column:
+    try:
+        return _field_op_inner(path, op, arg, ctx)
+    except (UnsupportedExpression, RecursionError):
+        raise
+    except Exception as e:
+        # a malformed predicate ({$all: 5}, {$regex: 5}, {$bitsAllSet:
+        # "x"}) must surface as a build-time spec error naming the
+        # operator, never a raw Python/Py4J traceback (round-8
+        # hostile-spec sweep)
+        raise UnsupportedExpression(
+            f"{op} on {path!r}: malformed argument {arg!r}: "
+            f"{type(e).__name__}") from e
+
+
+def _field_op_inner(path: str, op: str, arg: Any, ctx: Ctx) -> Column:
     if op == "$exists":
         present = (
             ctx.field(path).isNotNull() if ctx.has_field(path) else F.lit(False)

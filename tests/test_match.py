@@ -293,3 +293,45 @@ class TestJsonSchemaNullElements:
         assert match({"items": {"minimum": 1}}) == ["r1", "r3"]
         # type: integer rejects the null element
         assert match({"items": {"type": "integer"}}) == ["r2", "r3"]
+
+
+class TestHostileQueryMatrix:
+    """Round-8 sweep: malformed query predicates must raise a named
+    UnsupportedExpression at build time, never a raw Python/Py4J
+    traceback ({$all: 5}, {$regex: 5}, {$bitsAllSet: "x"} leaked
+    TypeError/Py4JError before the _field_op boundary guard)."""
+
+    HOSTILE = [None, True, 0, 2.5, "", "x", [], [1], {},
+               {"$gt": None}, {"$in": 5}, {"$regex": 5},
+               {"$exists": "maybe"}, {"$mod": 3}, {"$mod": []},
+               {"$mod": [0, 1]}, {"$size": "big"}, {"$all": 5},
+               {"$elemMatch": 7}, {"$bitsAllSet": "x"}, {"$not": 5},
+               {"$type": 3.7}]
+
+    def test_no_raw_exceptions_at_compile(self, spark):
+        from pincette_json_streams_spark.operators.context import (
+            ctx_for,
+        )
+        from pincette_json_streams_spark.operators.expressions import (
+            UnsupportedExpression,
+        )
+        from pincette_json_streams_spark.operators.match import (
+            compile_query,
+        )
+        df = spark.createDataFrame(
+            [(1, "s", 2.5, [1, 2])],
+            "a long, b string, c double, d array<long>")
+        ctx = ctx_for(df)
+        crashes = []
+        for field in ("a", "b", "d", "missing"):
+            for h in self.HOSTILE:
+                for spec in ({field: h}, {"$and": [{field: h}]},
+                             {"$nor": [{field: h}]}):
+                    try:
+                        compile_query(spec, ctx)
+                    except UnsupportedExpression:
+                        pass
+                    except Exception as e:  # noqa: BLE001
+                        crashes.append((str(spec)[:40],
+                                        type(e).__name__))
+        assert not crashes, crashes[:10]
