@@ -132,7 +132,23 @@ def compile_pipeline(
             handler = STAGE_EXTENSIONS.get(name)
         if handler is None:
             raise UnsupportedExpression(f"unknown stage {name}")
-        df = handler(df, spec, pctx)
+        try:
+            df = handler(df, spec, pctx)
+        except (UnsupportedExpression, ValueError, RecursionError):
+            # ValueError passes through: stages raise it DELIBERATELY
+            # for data-dependent contract violations with crafted
+            # messages ($merge whenMatched=fail, $validate build
+            # errors); the sweep's malformed-spec leaks were
+            # TypeError/KeyError/AttributeError/AnalysisException
+            raise
+        except Exception as e:
+            # a malformed stage spec must surface as a build-time
+            # error naming the stage, never an opaque KeyError/
+            # TypeError/AnalysisException from inside the handler
+            # (round-8 hostile-spec sweep: 63 of 79 stages leaked)
+            raise UnsupportedExpression(
+                f"{name}: malformed stage spec {spec!r}: "
+                f"{type(e).__name__}: {str(e)[:200]}") from e
     return df
 
 

@@ -1923,3 +1923,38 @@ def rows_by_key(spark, df):
                          "window": {"range": [-1, 0],
                                     "unit": "hour"}}}}}])
     return {(r["u"], r["ts"]): r["s"] for r in out}
+
+
+class TestHostileStageSpecMatrix:
+    """Round-8 sweep: a malformed stage spec must raise a NAMED
+    build-time error (UnsupportedExpression, or a deliberately-raised
+    ValueError with a crafted message), never an opaque KeyError/
+    TypeError/AttributeError/AnalysisException from inside a handler
+    (63 of 79 stages leaked before the dispatch-boundary guard)."""
+
+    HOSTILE = [None, True, 0, 2.5, "", "x", [], [1], {}, {"$x": 1},
+               {"input": None}, {"by": 7}]
+
+    def test_no_raw_exceptions_at_compile(self, spark):
+        from pincette_json_streams_spark.operators.expressions import (
+            UnsupportedExpression,
+        )
+        from pincette_json_streams_spark.operators.stages import (
+            STAGES, PipelineContext, compile_pipeline,
+        )
+        df = spark.createDataFrame(
+            [(1, "s", 2.5, [1, 2])],
+            "a long, b string, c double, d array<long>")
+        crashes = []
+        for stage in sorted(STAGES):
+            for h in self.HOSTILE:
+                try:
+                    compile_pipeline(df, [{stage: h}],
+                                     PipelineContext())
+                except (UnsupportedExpression, ValueError,
+                        RecursionError):
+                    pass
+                except Exception as e:  # noqa: BLE001
+                    crashes.append((stage, repr(h)[:20],
+                                    type(e).__name__))
+        assert not crashes, crashes[:10]
