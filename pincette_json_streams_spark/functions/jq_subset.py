@@ -93,7 +93,7 @@ _KEYWORDS = {"if", "then", "elif", "else", "end", "and", "or", "not",
 
 
 def _scan_string(src: str, start: int) -> int:
-    """``start`` is the opening quote; returns the index just past the
+    r"""``start`` is the opening quote; returns the index just past the
     closing quote, honoring ``\(...)`` interpolation — whose expression
     may itself contain strings (with their own interpolations), which a
     regex cannot track (round-8 fuzz: `"v=\(getpath(["a"]))"`)."""
@@ -635,7 +635,7 @@ def _canon_render(v):
             # jq prints infinities clamped to the double max
             return math.copysign(1.7976931348623157e+308, v)
         if v == 0 and math.copysign(1.0, v) < 0:
-            return "-0"  # spliced raw below
+            return _MinusZero(-0.0)  # typed marker, rendered as "-0"
         if v == int(v) and abs(v) < 2 ** 53:
             return int(v)
         return v
@@ -647,26 +647,35 @@ def _canon_render(v):
 
 
 class _MinusZero(float):
+    """Marker for a genuine negative-zero float so only true -0.0
+    nodes render as '-0' (a data string "-0.0" must stay intact)."""
     pass
 
 
-def _dumps_canon(v) -> str:
-    c = _canon_render(v)
-
-    def splice(x):
-        # json.dumps can't print bare -0; detour through a marker
-        if x == "-0":
-            return -0.0
-        if isinstance(x, list):
-            return [splice(y) for y in x]
-        if isinstance(x, dict):
-            return {k: splice(y) for k, y in x.items()}
-        return x
-
-    if c == "-0":
+def _dump_node(x) -> str:
+    # hand-rolled canonical JSON renderer: json.dumps can't print a
+    # bare -0, and a blanket text replace would corrupt strings /
+    # numbers merely CONTAINING "-0.0" (e.g. -0.05, "x-0.0y")
+    if x is None:
+        return "null"
+    if x is True:
+        return "true"
+    if x is False:
+        return "false"
+    if isinstance(x, _MinusZero):
         return "-0"
-    s = json.dumps(splice(c), separators=(",", ":"))
-    return s.replace("-0.0", "-0")
+    if isinstance(x, (int, float, str)):
+        return json.dumps(x)
+    if isinstance(x, list):
+        return "[" + ",".join(_dump_node(y) for y in x) + "]"
+    if isinstance(x, dict):
+        return "{" + ",".join(
+            json.dumps(k) + ":" + _dump_node(y) for k, y in x.items()) + "}"
+    raise TypeError(f"{type(x).__name__} is not JSON-serializable")
+
+
+def _dumps_canon(v) -> str:
+    return _dump_node(_canon_render(v))
 
 
 def _tostr(v) -> str:
@@ -1349,8 +1358,11 @@ def _assign(node, inp, env):
                 paths = list(_paths_of(target, inp, env))
             out = inp
             for pth in paths:
+                # read from the RUNNING accumulator, not the original
+                # input: jq reduces over paths, so duplicate targets
+                # accumulate ({a:1} | (.a,.a) += 1 yields a=3)
                 out = _set_in(
-                    out, pth, _arith(op[0], _get_in(inp, pth), v))
+                    out, pth, _arith(op[0], _get_in(out, pth), v))
             yield out
     else:
         raise JqError(f"jq: bad assignment {op}")

@@ -142,6 +142,7 @@ def binary_signatures(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     lane_bits: int = 32,
+    dims: int = None,
 ) -> DataFrame:
     """Sign-bit binary sketch of an embedding column: each ``lane_bits``
     consecutive dimensions fold into one big-endian integer word
@@ -156,17 +157,39 @@ def binary_signatures(
     Plan shape: one projection over the scan — no shuffle, no UDF; the
     polynomial fold is a native aggregate() HOF inside codegen.
 
+    Vectors must be uniform-width: rows whose ``size(vec) != dims``
+    raise at execution (a shorter slice would silently fold fewer
+    doublings, shifting every bit weight).  Pass ``dims`` explicitly to
+    skip the plan-build probe job; with ``dims=None`` an EMPTY input
+    raises a named error instead of a bare NoneType subscript.
+
     -> (id_col, sig_0, sig_1, ...)."""
-    dims = df.select(F.size(vec_col).alias("d")).first()["d"]
+    if dims is None:
+        row = df.select(F.size(vec_col).alias("d")).first()
+        if row is None or row["d"] is None:
+            raise ValueError(
+                "binary_signatures: cannot infer dims from an empty "
+                f"input (or null {vec_col!r}); pass dims= explicitly")
+        dims = row["d"]
     lanes = (dims + lane_bits - 1) // lane_bits
+
+    ragged = F.raise_error(F.concat(
+        F.lit(f"binary_signatures: ragged vector (expected {dims} "
+              f"dims, got "), F.size(vec_col).cast("string"),
+        F.lit(f") at {id_col}="), F.col(id_col).cast("string"))
+    ).cast("long")
 
     def lane(i):
         sl = F.slice(F.col(vec_col), i * lane_bits + 1, lane_bits)
-        return F.aggregate(
+        val = F.aggregate(
             sl, F.lit(0).cast("long"),
             lambda acc, x: acc * 2
             + F.when(x > 0, 1).otherwise(0).cast("long"),
-        ).alias(f"sig_{i}")
+        )
+        # guard lives INSIDE the lane expression so column pruning
+        # can't drop it: any selected lane still trips on ragged rows
+        return (F.when(F.size(vec_col) == dims, val).otherwise(ragged)
+                .alias(f"sig_{i}"))
 
     return df.select(F.col(id_col), *[lane(i) for i in range(lanes)])
 
@@ -192,11 +215,19 @@ def hamming_topk(
     scoring kernel of that index.
 
     -> (query_id, rank, vec_id, hamming)."""
-    sigs = binary_signatures(corpus, vec_col, id_col, lane_bits)
+    # probe dims ONCE (from the bounded query side — one tiny job) and
+    # pin both sketch widths to it, so a corpus/query dim mismatch
+    # raises instead of silently mis-aligning lanes
+    qrow = queries.select(F.size(vec_col).alias("d")).first()
+    if qrow is None or qrow["d"] is None:
+        raise ValueError("hamming_topk: empty query set (or null "
+                         f"{vec_col!r}); nothing to score")
+    dims = qrow["d"]
+    sigs = binary_signatures(corpus, vec_col, id_col, lane_bits, dims)
     lanes = [c for c in sigs.columns if c.startswith("sig_")]
     qs = binary_signatures(
         queries.withColumnRenamed(query_id_col, "query_id"),
-        vec_col, "query_id", lane_bits,
+        vec_col, "query_id", lane_bits, dims,
     ).select("query_id",
              *[F.col(c).alias(f"q_{c}") for c in lanes])
     ham = sum(

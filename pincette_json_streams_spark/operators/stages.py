@@ -25,6 +25,7 @@ from typing import Any, Callable, Optional
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 
 from pincette_json_streams_spark.operators.context import Ctx, ctx_for
 from pincette_json_streams_spark.operators.expressions import (
@@ -139,8 +140,15 @@ def compile_pipeline(
             # for data-dependent contract violations with crafted
             # messages ($merge whenMatched=fail, $validate build
             # errors); the sweep's malformed-spec leaks were
-            # TypeError/KeyError/AttributeError/AnalysisException
+            # TypeError/KeyError/AttributeError
             raise
+        except AnalysisException as e:
+            # a binding failure (missing input column, catalog/schema
+            # mismatch) is a DATA problem, not a malformed spec —
+            # rebranding it as spec error misdirects the user
+            raise UnsupportedExpression(
+                f"{name}: failed to bind against the input schema: "
+                f"{str(e)[:300]}") from e
         except Exception as e:
             # a malformed stage spec must surface as a build-time
             # error naming the stage, never an opaque KeyError/
