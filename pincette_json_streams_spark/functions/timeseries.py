@@ -657,11 +657,25 @@ def theil_sen_slopes(
       * timestamps collapse to integer SECONDS and values to the
         ``scale`` grid, so every slope is the SAME IEEE division on
         both engines; equal-time pairs are excluded (vertical slope);
-      * the median is the LOWER median selected by rank over
-        (slope, i, j) — a total order, so the chosen pair (not just
-        the value) is engine-identical; the slope is computed over
-        grid values, so it is ALREADY in 1e-6 value-units per second —
-        the output just rounds it half-up to an integer.
+      * the median is the LOWER median of the sorted slope VALUES.
+        Slope ties cannot change the selected value, and the slope set
+        itself is engine-identical (same integer subtractions, same
+        IEEE division; t strictly increases within a pair so -0.0
+        cannot arise), so sorting plain doubles — a native, codegen
+        sort — replaces the old (slope, i, j) struct sort whose
+        comparator does not codegen; the slope is computed over grid
+        values, so it is ALREADY in 1e-6 value-units per second — the
+        output just rounds it half-up to an integer.
+
+    Round-9 measurement lesson (scripts/ab_theil2.py): a bare
+    ``.count()`` on this aggregate lets Catalyst PRUNE the
+    collect_list/array_sort work, so any A/B that counts the unsorted
+    aggregate measures a skeleton plan — time the full consumer (the
+    top-k wrapper or ``.collect()``).  Honest wrapped interleaved
+    timings at sf0.1: round-8 generator shape 3.6-4.4 s (its 0.7 s
+    record was the pruned skeleton), round-7 struct-sort self-join
+    1.8-3.1 s, this shape (self-join pairs + plain-double median)
+    1.25-1.66 s.
 
     Returns (group, n_points, n_pairs, slope_e6)."""
     from pyspark.sql.window import Window
@@ -674,32 +688,22 @@ def theil_sen_slopes(
         F.col(id_col).alias("id"),
     )
     w = Window.partitionBy("g").orderBy("t", "id")
+    # pts feeds both pair sides; the lazy lineage cut materializes the
+    # cap-bounded frame once instead of running the window sort twice
     pts = base.withColumn("r", F.row_number().over(w)) \
-        .filter(F.col("r") <= max_points)
-    # Pair expansion WITHOUT a self-join (round-8 A/B, 0.91 -> 0.77 s
-    # at sf0.1): collect each group's capped points into one sorted
-    # array, then nested generators (posexplode + explode of the
-    # tail slice) emit the i<j pairs MAP-SIDE — the pairs never leave
-    # the group's partition, so the median aggregation's shuffle sees
-    # mostly locally-combined state.  (The round-7 alternative
-    # profile: rank-window median 1.67 s; a fully in-array HOF pair
-    # expansion was 4x slower — HOF struct comparators don't codegen;
-    # generators do.  The old shape — pts self-joined on g — paid a
-    # join exchange and needed a lazy checkpoint to avoid evaluating
-    # the window twice; here pts is referenced once.)
-    arr = pts.groupBy("g").agg(
-        F.array_sort(F.collect_list(F.struct("r", "t", "v")))
-        .alias("a"))
+        .filter(F.col("r") <= max_points) \
+        .localCheckpoint(eager=False)
+    a = pts.select("g", F.col("t").alias("t1"), F.col("v").alias("v1"),
+                   F.col("r").alias("r1"))
+    b = pts.select(F.col("g").alias("g2"), F.col("t").alias("t2"),
+                   F.col("v").alias("v2"), F.col("r").alias("r2"))
     pairs = (
-        arr.select("g", "a", F.posexplode("a").alias("i", "x"))
-        .select("g", "x",
-                F.explode(F.expr("slice(a, i + 2, size(a))"))
-                .alias("y"))
-        .filter(F.col("x.t") != F.col("y.t"))
-        .select("g", F.col("x.r").alias("r1"),
-                F.col("y.r").alias("r2"),
-                ((F.col("y.v") - F.col("x.v")).cast("double")
-                 / (F.col("y.t") - F.col("x.t")).cast("double"))
+        a.join(b, (F.col("g") == F.col("g2"))
+               & (F.col("r1") < F.col("r2")))
+        .filter(F.col("t1") != F.col("t2"))
+        .select("g", "r2",
+                ((F.col("v2") - F.col("v1")).cast("double")
+                 / (F.col("t2") - F.col("t1")).cast("double"))
                 .alias("slope"))
     )
     # n_points folds into the SAME aggregation as max(r2): a group only
@@ -710,9 +714,7 @@ def theil_sen_slopes(
     med = (
         pairs.groupBy("g")
         .agg(
-            F.array_sort(F.collect_list(
-                F.struct(F.col("slope"), F.col("r1"), F.col("r2"))))
-            .alias("__ps"),
+            F.array_sort(F.collect_list("slope")).alias("__ps"),
             F.max("r2").alias("n_points"),
         )
         .select(
@@ -720,7 +722,7 @@ def theil_sen_slopes(
             "n_points",
             F.size("__ps").alias("pn"),
             F.expr(
-                "element_at(__ps, int((size(__ps) + 1) div 2)).slope"
+                "element_at(__ps, int((size(__ps) + 1) div 2))"
             ).alias("slope"),
         )
     )

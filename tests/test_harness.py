@@ -248,3 +248,18 @@ class TestBenchContract:
         qs, os_ = entry.queries(), entry.oracle_sql()
         assert sorted(set(qs) - set(os_)) == []
         assert not set(os_) - set(qs)       # no orphan oracles
+
+    def test_bench_record_witnessed(self):
+        """Round-9 record-integrity rule: every bench_record.json value
+        must be witnessed by the committed bench_out.json pass_detail —
+        records may not undercut the witness min, budgets may not
+        exceed the witness median (the round-8 theil_sen_trend record
+        carried an unreproducible 0.77 s while its own committed
+        pass_detail showed 3.4-4.0 s, and the widened budget hid a real
+        plan regression)."""
+        import os as _os
+        import sys as _sys
+        _sys.path.insert(0, _os.path.join(_os.path.dirname(
+            _os.path.dirname(_os.path.abspath(__file__))), "scripts"))
+        from audit_bench_record import audit
+        assert audit() == []

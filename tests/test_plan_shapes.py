@@ -479,15 +479,23 @@ class TestRound7PlanShapes:
         assert "ExistingRDD" not in plan
         assert "CartesianProduct" not in plan
 
-    def test_theil_sen_no_joins_at_all(self, spark):
-        """Round-8 shape: pairs expand from each group's collected
-        point array via nested generators — no self-join, no npts
-        re-aggregation join, no checkpoint barrier.  The plan must be
-        join-free and barrier-free."""
+    def test_theil_sen_single_join_double_median(self, spark):
+        """Round-9 shape (scripts/ab_theil2.py, honest WRAPPED timings
+        after the round-8 'join-free is faster' A/B turned out to be
+        measuring a column-pruned skeleton): ONE pair self-join over
+        the checkpointed capped points, and the median aggregation
+        collects PLAIN DOUBLES — no struct sort (its comparator does
+        not codegen), no posexplode/explode generator cascade."""
         plan = _plan(spark, "theil_sen_trend")
-        assert plan.count("SortMergeJoin") + plan.count(
-            "BroadcastHashJoin") + plan.count("ShuffledHashJoin") == 0
-        assert "ExistingRDD" not in plan
+        joins = (plan.count("SortMergeJoin")
+                 + plan.count("BroadcastHashJoin")
+                 + plan.count("ShuffledHashJoin"))
+        # formatted explain lists each node twice (tree + details)
+        assert joins == 2, plan
+        assert "Generate" not in plan
+        assert "CartesianProduct" not in plan
+        # the median agg sorts a bare double array, not structs
+        assert "array_sort" in plan and "struct(slope" not in plan
 
     def test_near_dups_verify_evaluates_pairs_once(self, spark):
         """$nearDups with verify must NOT join the raw LSH pair plan
