@@ -1865,6 +1865,67 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def q_ann_hamming_lsh(spark, sf_dir):
+    """Sub-linear Hamming ANN (functions/similarity.py
+    hamming_lsh_topk): the banded-LSH index over the round-8 sign-lane
+    sketches — corpus posts one byte-band key per band, queries
+    multi-probe each band's exact value plus every 1-bit flip, and
+    candidates come from the band equi-join against the broadcast
+    probe set (NO crossJoin against the corpus; the dedup.py:252
+    star-edge pattern applied to sketch lanes).  Pigeonhole recall
+    guarantee: every neighbour within Hamming 8 of a 64-dim sketch is
+    a candidate; re-rank is the exact XOR+popcount kernel.  Integer-
+    exact end to end, so the oracle replays it bit-for-bit."""
+    from pincette_json_streams_spark.functions.similarity import (
+        hamming_lsh_topk,
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 100 == 0) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    return hamming_lsh_topk(emb, qs, k=10)
+
+
+def _oracle_ann_hamming_lsh(k=10):
+    lane = ("list_sum(list_transform(generate_series(1, 32), "
+            "i -> CASE WHEN embedding[{off} + i] > 0 "
+            "THEN (1::BIGINT << (32 - i)) ELSE 0::BIGINT END))")
+    return f"""
+WITH sigs AS (
+  SELECT vec_id, {lane.format(off=0)} AS s0, {lane.format(off=32)} AS s1
+  FROM embeddings
+), postings AS (
+  SELECT vec_id, s0, s1, b.band,
+         ((CASE WHEN b.band < 4 THEN s0 ELSE s1 END)
+          >> ((3 - (b.band % 4)) * 8)) & 255 AS bv
+  FROM sigs, generate_series(0, 7) AS b(band)
+), qbands AS (
+  SELECT vec_id AS query_id, s0 AS qs0, s1 AS qs1, b.band,
+         ((CASE WHEN b.band < 4 THEN s0 ELSE s1 END)
+          >> ((3 - (b.band % 4)) * 8)) & 255 AS base
+  FROM sigs, generate_series(0, 7) AS b(band)
+  WHERE vec_id % 100 = 0
+), probes AS (
+  SELECT query_id, qs0, qs1, band,
+         CASE WHEN j.j = 0 THEN base
+              ELSE xor(base, 1::BIGINT << (j.j - 1)) END AS bv
+  FROM qbands, generate_series(0, 8) AS j(j)
+), cand AS (
+  SELECT q.query_id, p.vec_id,
+         min((bit_count(xor(p.s0, q.qs0))
+              + bit_count(xor(p.s1, q.qs1)))::BIGINT) AS hamming
+  FROM postings p JOIN probes q ON p.band = q.band AND p.bv = q.bv
+  GROUP BY q.query_id, p.vec_id
+), ranked AS (
+  SELECT query_id, vec_id, hamming,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY hamming ASC, vec_id ASC) AS rank
+  FROM cand
+)
+SELECT query_id, rank::BIGINT AS rank, vec_id, hamming
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def q_changepoint_scan(spark, sf_dir):
     """Mean-shift changepoint scan (functions/timeseries.py
     mean_shift_changepoints): per event type, the 5 moments where the
@@ -6820,68 +6881,17 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver samples a 50-query prefix of this
     # dict, so the least-recently-driver-checked queries must come
-    # first.  Re-derived after CORRECTNESS_r07 (49/50 green; union of
-    # r1-r7 = all 147): the two round-8 additions lead (never
-    # sampled), then curation_funnel (the one red row — its oracle's
-    # HUGEINT union branches and float quality gate were rewritten
-    # this round and it must re-sample), then the 49 queries whose
-    # latest driver check is r5 (the two newcomers displace the last
-    # two of them — strip_spans, window_fields — to round 9), then the
-    # r6 block, then the 49 r7-checked queries.
+    # first.  Re-derived after CORRECTNESS_r08 (50/50 green; union of
+    # r1-r8 = all 149 green at their latest check): the round-9
+    # addition leads (never sampled), then strip_spans/window_fields —
+    # the only two queries whose latest driver check is r5 (displaced
+    # by the r8 newcomers) — then the 48-query r6 block (of which 47
+    # fit in this round's sample; topn_accumulators rolls to r10),
+    # then the r7 block, then the 50 queries just checked in r8.
     return {
-        # -- NEW in round 8 (never driver-sampled -> very front) --
-        "ann_hamming": q_ann_hamming,
-        "changepoint_scan": q_changepoint_scan,
-        # -- round-8 re-sample: changed this round (oracle/plan rewrite) --
-        "curation_funnel": q_curation_funnel,
+        # -- NEW in round 9 (never driver-sampled -> very front) --
+        "ann_hamming_lsh": q_ann_hamming_lsh,
         # -- stalest first: latest driver check r5 --
-        "hll_distinct": q_hll_distinct,
-        "pq_cells": q_pq_cells,
-        "pq_adc": q_pq_adc,
-        "bm25_topk": q_bm25_topk,
-        "dsir_weights": q_dsir_weights,
-        "jq_formats": q_jq_formats,
-        "string_ops": q_string_ops,
-        "datetime_ops": q_datetime_ops,
-        "arith_ops": q_arith_ops,
-        "array_ops": q_array_ops,
-        "type_convert": q_type_convert,
-        "validate": q_validate,
-        "events_funnel": q_events_funnel,
-        "redact": q_redact,
-        "redact_nested": q_redact_nested,
-        "replace_root": q_replace_root,
-        "array_setops": q_array_setops,
-        "match_arrays": q_match_arrays,
-        "jq_stage": q_jq_stage,
-        "jslt_stage": q_jslt_stage,
-        "epoch_ops": q_epoch_ops,
-        "misc_ops": q_misc_ops,
-        "trig_ops": q_trig_ops,
-        "bitwise_match": q_bitwise_match,
-        "encode_ops": q_encode_ops,
-        "array_ops2": q_array_ops2,
-        "jes_ops": q_jes_ops,
-        "sort_limit": q_sort_limit,
-        "setkey_stage": q_setkey_stage,
-        "region_revenue": q_region_revenue,
-        "top_customers": q_top_customers,
-        "text_stats": q_text_stats,
-        "pii_scrub": q_pii_scrub,
-        "token_vocab": q_token_vocab,
-        "dedup_stage": q_dedup_stage,
-        "bpe_pairs": q_bpe_pairs,
-        "sort_by_count": q_sort_by_count,
-        "bigram_lm": q_bigram_lm,
-        "geo_near": q_geo_near,
-        "date_parts": q_date_parts,
-        "json_schema": q_json_schema,
-        "emb_moments": q_emb_moments,
-        "dedup_quality": q_dedup_quality,
-        "counter_rate": q_counter_rate,
-        "rollup_revenue": q_rollup_revenue,
-        "interval_hits": q_interval_join,
-        "dup_spans": q_dup_spans,
         "strip_spans": q_strip_spans,
         "window_fields": q_window_fields,
         # -- latest driver check r6 --
@@ -6983,12 +6993,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "theil_sen_trend": q_theil_sen,
         "winnow_pairs": q_winnow_pairs,
+        # -- latest driver check r8 (freshest -> very back) --
+        "ann_hamming": q_ann_hamming,
+        "changepoint_scan": q_changepoint_scan,
+        "curation_funnel": q_curation_funnel,
+        "hll_distinct": q_hll_distinct,
+        "pq_cells": q_pq_cells,
+        "pq_adc": q_pq_adc,
+        "bm25_topk": q_bm25_topk,
+        "dsir_weights": q_dsir_weights,
+        "jq_formats": q_jq_formats,
+        "string_ops": q_string_ops,
+        "datetime_ops": q_datetime_ops,
+        "arith_ops": q_arith_ops,
+        "array_ops": q_array_ops,
+        "type_convert": q_type_convert,
+        "validate": q_validate,
+        "events_funnel": q_events_funnel,
+        "redact": q_redact,
+        "redact_nested": q_redact_nested,
+        "replace_root": q_replace_root,
+        "array_setops": q_array_setops,
+        "match_arrays": q_match_arrays,
+        "jq_stage": q_jq_stage,
+        "jslt_stage": q_jslt_stage,
+        "epoch_ops": q_epoch_ops,
+        "misc_ops": q_misc_ops,
+        "trig_ops": q_trig_ops,
+        "bitwise_match": q_bitwise_match,
+        "encode_ops": q_encode_ops,
+        "array_ops2": q_array_ops2,
+        "jes_ops": q_jes_ops,
+        "sort_limit": q_sort_limit,
+        "setkey_stage": q_setkey_stage,
+        "region_revenue": q_region_revenue,
+        "top_customers": q_top_customers,
+        "text_stats": q_text_stats,
+        "pii_scrub": q_pii_scrub,
+        "token_vocab": q_token_vocab,
+        "dedup_stage": q_dedup_stage,
+        "bpe_pairs": q_bpe_pairs,
+        "sort_by_count": q_sort_by_count,
+        "bigram_lm": q_bigram_lm,
+        "geo_near": q_geo_near,
+        "date_parts": q_date_parts,
+        "json_schema": q_json_schema,
+        "emb_moments": q_emb_moments,
+        "dedup_quality": q_dedup_quality,
+        "counter_rate": q_counter_rate,
+        "rollup_revenue": q_rollup_revenue,
+        "interval_hits": q_interval_join,
+        "dup_spans": q_dup_spans,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
         "ann_hamming": _oracle_ann_hamming(),
+        "ann_hamming_lsh": _oracle_ann_hamming_lsh(),
         "changepoint_scan": _ORACLE_CHANGEPOINT,
         "hll_distinct": _ORACLE_HLL_DISTINCT,
         "pq_cells": _ORACLE_PQ_CELLS,

@@ -121,6 +121,9 @@ BENCH_QUERIES = [
     # corpus x bounded query set) and the keyed changepoint window scan
     "ann_hamming",
     "changepoint_scan",
+    # round-9 addition: the banded-LSH index over the sign-lane
+    # sketches (band equi-join candidates + XOR+popcount re-rank)
+    "ann_hamming_lsh",
 ]
 
 

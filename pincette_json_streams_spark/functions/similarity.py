@@ -248,6 +248,126 @@ def hamming_topk(
     )
 
 
+def hamming_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    band_bits: int = 8,
+    probe_bits: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    lane_bits: int = 32,
+) -> DataFrame:
+    """Sub-linear Hamming ANN: the banded-LSH index over the sign-lane
+    sketches of :func:`binary_signatures`, with :func:`hamming_topk`'s
+    XOR+popcount scoring as the re-rank kernel — the composition that
+    turns the round-8 scoring kernel into an index (same band-bucket
+    equi-join shape as the MinHash star-edge plan in
+    ``functions/dedup.py:252``).
+
+    Index build: each sketch splits into ``n_lanes * lane_bits /
+    band_bits`` byte-bands; every corpus row posts one (band, value)
+    key per band — a fixed small-integer explode of the 32x-compressed
+    sketch, never of the float vectors.  Probe: each query posts, per
+    band, the exact band value plus (``probe_bits=1``) every 1-bit
+    flip — ``band_bits + 1`` probes per band.  Candidates come from the
+    (band, value) EQUI-JOIN of postings against the broadcast probe
+    set; there is NO crossJoin against the corpus, so candidate work is
+    proportional to bucket collisions, not corpus size.
+
+    Determinism / recall contract (pigeonhole): a corpus vector at
+    total Hamming distance ``d`` from the query has some band with at
+    most ``floor(d / n_bands)`` differing bits, so every neighbour with
+    ``d <= n_bands * probe_bits`` (d <= 8 for 64-dim sketches) is
+    GUARANTEED a candidate, and the whole plan is integer-exact — an
+    ANSI-SQL oracle replays it bit-for-bit.  Recall beyond that radius
+    is probabilistic; gauge it against :func:`hamming_topk` like
+    ``ann_recall`` does against brute force.
+
+    100 TB shape: postings are (band:int, value:int, id, lanes) — one
+    narrow shuffle-free projection + explode; the probe side is the
+    bounded query set (broadcast); dedup of multi-band hits is one
+    hash agg keyed (query_id, vec_id) over candidates only; the final
+    top-k window is per-query over candidates only.
+
+    -> (query_id, rank, vec_id, hamming)."""
+    if lane_bits % band_bits != 0:
+        raise ValueError(
+            f"hamming_lsh_topk: band_bits={band_bits} must divide "
+            f"lane_bits={lane_bits}")
+    if probe_bits not in (0, 1):
+        raise ValueError("hamming_lsh_topk: probe_bits must be 0 or 1")
+    qrow = queries.select(F.size(vec_col).alias("d")).first()
+    if qrow is None or qrow["d"] is None:
+        raise ValueError("hamming_lsh_topk: empty query set (or null "
+                         f"{vec_col!r}); nothing to score")
+    dims = qrow["d"]
+    sigs = binary_signatures(corpus, vec_col, id_col, lane_bits, dims)
+    lanes = [c for c in sigs.columns if c.startswith("sig_")]
+    per_lane = lane_bits // band_bits
+    n_bands = len(lanes) * per_lane
+    mask = (1 << band_bits) - 1
+
+    def band_val(b):
+        # big-endian within the lane: band 0 is the lane's high byte
+        lane = F.col(lanes[b // per_lane])
+        shift = (per_lane - 1 - (b % per_lane)) * band_bits
+        return F.shiftright(lane, shift).bitwiseAND(F.lit(mask))
+
+    postings = sigs.select(
+        F.col(id_col).alias("vec_id"), *lanes,
+        F.explode(F.array(*[
+            F.struct(F.lit(b).cast("int").alias("band"),
+                     band_val(b).alias("bv"))
+            for b in range(n_bands)
+        ])).alias("p"),
+    ).select("vec_id", *lanes, "p.band", "p.bv")
+
+    qs = binary_signatures(
+        queries.withColumnRenamed(query_id_col, "query_id"),
+        vec_col, "query_id", lane_bits, dims,
+    ).select("query_id", *[F.col(c).alias(f"q_{c}") for c in lanes])
+
+    def q_band_val(b):
+        lane = F.col(f"q_{lanes[b // per_lane]}")
+        shift = (per_lane - 1 - (b % per_lane)) * band_bits
+        return F.shiftright(lane, shift).bitwiseAND(F.lit(mask))
+
+    probe_structs = []
+    for b in range(n_bands):
+        bv = q_band_val(b)
+        probe_structs.append(F.struct(
+            F.lit(b).cast("int").alias("band"), bv.alias("bv")))
+        if probe_bits:
+            for j in range(band_bits):
+                probe_structs.append(F.struct(
+                    F.lit(b).cast("int").alias("band"),
+                    bv.bitwiseXOR(F.lit(1 << j)).alias("bv")))
+    probes = qs.select(
+        "query_id", *[f"q_{c}" for c in lanes],
+        F.explode(F.array(*probe_structs)).alias("p"),
+    ).select("query_id", *[f"q_{c}" for c in lanes], "p.band", "p.bv")
+
+    ham = sum(
+        F.bit_count(F.expr(f"{c} ^ q_{c}")) for c in lanes
+    ).cast("long")
+    # lanes ride along both sides, so the candidate row already has
+    # everything the re-rank needs — no second join back to the corpus
+    cand = postings.join(F.broadcast(probes), ["band", "bv"]).select(
+        "query_id", "vec_id", ham.alias("hamming"))
+    dedup = cand.groupBy("query_id", "vec_id").agg(
+        F.min("hamming").alias("hamming"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("vec_id").asc())
+    return (
+        dedup.withColumn("rank",
+                         F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "hamming")
+    )
+
+
 def _rounded_cosines(V, C):
     """(n, nlist) cosine matrix of rows V against centroids C, rounded to
     6 decimals so engine-order float noise cannot flip an argmax."""

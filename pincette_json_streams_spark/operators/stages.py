@@ -2374,6 +2374,30 @@ def _stage_hamming_topk_ext(df, spec, pctx):
                         vec_col=vec, id_col=idc)
 
 
+def _stage_hamming_lsh_topk_ext(df, spec, pctx):
+    # {"vector": col, "id": col, "k": n, "bandBits": n?, "probeBits":
+    #  0|1?, "queries": {"mod": m}?} — sub-linear Hamming ANN
+    # (functions/similarity.py hamming_lsh_topk): byte-band LSH index
+    # over the sign-lane sketches, multi-probe 1-bit flips, candidates
+    # from the band equi-join against the broadcast probe set,
+    # XOR/popcount re-rank.  Batch-only: per-query top-k rank window.
+    _batch_only(df, "$hammingLshTopk", "per-query rank window")
+    from pincette_json_streams_spark.functions.similarity import (
+        hamming_lsh_topk,
+    )
+
+    vec = spec.get("vector", "embedding")
+    idc = spec.get("id", "vec_id")
+    mod = int((spec.get("queries") or {}).get("mod", 100))
+    qs = df.filter(F.col(idc) % mod == 0).select(
+        F.col(idc).alias("query_id"), F.col(vec))
+    return hamming_lsh_topk(
+        df, qs, k=int(spec.get("k", 10)),
+        band_bits=int(spec.get("bandBits", 8)),
+        probe_bits=int(spec.get("probeBits", 1)),
+        vec_col=vec, id_col=idc)
+
+
 def _stage_changepoints_ext(df, spec, pctx):
     # {"by": col, "ts": col, "value": col, "id": col, "window": n,
     #  "top": n} — sliding two-sample mean-shift changepoint scan
@@ -2732,6 +2756,7 @@ STAGES: dict[str, Callable[[DataFrame, Any, PipelineContext], DataFrame]] = {
     "$kmvSketch": _stage_kmv_sketch_ext,
     "$kmvOverlap": _stage_kmv_overlap_ext,
     "$hammingTopk": _stage_hamming_topk_ext,
+    "$hammingLshTopk": _stage_hamming_lsh_topk_ext,
     "$changepoints": _stage_changepoints_ext,
     "$ewma": _stage_ewma_ext,
     "$hdrQuantiles": _stage_hdr_quantiles_ext,

@@ -4851,6 +4851,120 @@ class TestBinarySketchAnn:
         assert shuffles <= 2, plan[:2000]  # window exchange (tree+details)
         assert "CartesianProduct" not in plan
 
+    def test_lsh_guaranteed_radius(self, spark):
+        """Pigeonhole contract: with 8 byte-bands and 1-bit probes,
+        every neighbour within Hamming 8 MUST be a candidate — plant
+        vectors at distance 0, 8 (one flip per band: guaranteed) and
+        check they rank exactly as the exact kernel would."""
+        from pincette_json_streams_spark.functions.similarity import (
+            hamming_lsh_topk,
+        )
+        base = [1.0] * 64
+        # one sign flip inside EVERY byte-band -> per-band distance 1,
+        # total 8: the worst case the guarantee still covers
+        spread8 = [(-1.0 if i % 8 == 0 else 1.0) for i in range(64)]
+        df = spark.createDataFrame(
+            [(0, base), (1, spread8)],
+            "vec_id long, embedding array<float>")
+        q = df.filter("vec_id = 0") \
+            .selectExpr("vec_id AS query_id", "embedding")
+        rows = {r["rank"]: (r["vec_id"], r["hamming"])
+                for r in hamming_lsh_topk(df, q, k=3).collect()}
+        assert rows[1] == (0, 0)
+        assert rows[2] == (1, 8)
+
+    def test_lsh_mirror_and_recall(self, spark):
+        """Pure-Python mirror of the full banded plan on deterministic
+        pseudo-random vectors: the Spark result must equal the mirror
+        EXACTLY (same candidates, same ranks), and candidate recall
+        vs the exact kernel must clear 0.8 on this corpus."""
+        import hashlib
+        from pincette_json_streams_spark.functions.similarity import (
+            hamming_lsh_topk, hamming_topk,
+        )
+
+        def vec(i):
+            out = []
+            for j in range(64):
+                h = hashlib.md5(f"{i}:{j}".encode()).digest()[0]
+                out.append(1.0 if h % 2 else -1.0)
+            return out
+
+        n, k = 120, 5
+        data = [(i, vec(i)) for i in range(n)]
+        df = spark.createDataFrame(
+            data, "vec_id long, embedding array<float>")
+        q = df.filter("vec_id % 40 = 0") \
+            .selectExpr("vec_id AS query_id", "embedding")
+
+        def sig(v):
+            s = [0, 0]
+            for lane in range(2):
+                for j in range(32):
+                    s[lane] = s[lane] * 2 + (1 if v[lane * 32 + j] > 0
+                                             else 0)
+            return s
+
+        def bands(s):
+            return [((s[b // 4] >> ((3 - b % 4) * 8)) & 255, b)
+                    for b in range(8)]
+
+        sigs = {i: sig(v) for i, v in data}
+        expect = {}
+        for qid in (0, 40, 80):
+            probes = set()
+            for bv, b in bands(sigs[qid]):
+                probes.add((bv, b))
+                for j in range(8):
+                    probes.add((bv ^ (1 << j), b))
+            cands = sorted(
+                (bin(sigs[i][0] ^ sigs[qid][0]).count("1")
+                 + bin(sigs[i][1] ^ sigs[qid][1]).count("1"), i)
+                for i in range(n)
+                if any((bv, b) in probes for bv, b in bands(sigs[i])))
+            expect[qid] = [(r + 1, i, h)
+                           for r, (h, i) in enumerate(cands[:k])]
+        got = {}
+        for r in hamming_lsh_topk(df, q, k=k).collect():
+            got.setdefault(r["query_id"], []).append(
+                (r["rank"], r["vec_id"], r["hamming"]))
+        for qid in expect:
+            assert sorted(got[qid]) == expect[qid], qid
+
+    def test_lsh_recall_on_real_corpus(self, spark):
+        """Recall gauge vs the exact kernel, ann_recall-style, on the
+        real (clustered) embeddings where neighbours sit inside or
+        near the guaranteed radius — sign-random corpora put top-k at
+        Hamming ~d/2 where any LSH index honestly degrades."""
+        from pincette_json_streams_spark.functions.similarity import (
+            hamming_lsh_topk, hamming_topk,
+        )
+        df = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet")
+        q = df.filter("vec_id % 100 = 0") \
+            .selectExpr("vec_id AS query_id", "embedding")
+        exact = {(r["query_id"], r["vec_id"])
+                 for r in hamming_topk(df, q, k=10).collect()}
+        approx = {(r["query_id"], r["vec_id"])
+                  for r in hamming_lsh_topk(df, q, k=10).collect()}
+        assert len(exact & approx) / len(exact) >= 0.75
+
+    def test_lsh_no_cartesian_and_broadcast_probes(self, spark):
+        """Index contract: candidates come from a band equi-join
+        against the BROADCAST probe set — never a crossJoin of the
+        corpus."""
+        from pincette_json_streams_spark.functions.similarity import (
+            hamming_lsh_topk,
+        )
+        df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = df.filter("vec_id % 100 = 0") \
+            .selectExpr("vec_id AS query_id", "embedding")
+        plan = hamming_lsh_topk(df, q)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoop" not in plan
+        assert "BroadcastHashJoin" in plan
+
 
 class TestMeanShiftChangepoints:
     def _df(self, spark, rows):
