@@ -169,6 +169,19 @@ def gen(rng, typ=ANY, depth=0, in_loop=False):
         return N("arr", ARR, *[gen(rng, ANY, d, in_loop)
                                for _ in range(rng.randint(0, 2))])
     if typ == OBJ:
+        if rng.random() < 0.4:
+            # object template with a `*` matcher: explicit pairs
+            # shadow matched keys (even when their value is null and
+            # the pair itself drops), `- k1, k2` excludes more keys,
+            # the matcher expr runs with the matched VALUE as context,
+            # and matched nulls drop like explicit nulls
+            ks = rng.sample(["a", "b"], rng.randint(0, 2))
+            pool = [k for k in ["a", "b", "c"] if k not in ks]
+            ms = rng.sample(pool, rng.randint(0, min(2, len(pool))))
+            return N("objmatch", OBJ,
+                     *[gen(rng, ANY, d, in_loop) for _ in ks],
+                     gen(rng, ANY, d, True),
+                     keys=ks, minus=ms)
         ks = rng.sample(["a", "b", "c"], rng.randint(1, 3))
         return N("obj", OBJ, *[gen(rng, ANY, d, in_loop) for _ in ks],
                  keys=ks)
@@ -238,6 +251,15 @@ def to_jslt(n, ctx="."):
             f'"{k}": {to_jslt(x, ctx)}'
             for k, x in zip(n.meta["keys"], n.kids))
         return "{" + pairs + "}"
+    if n.kind == "objmatch":
+        parts = [f'"{k}": {to_jslt(x, ctx)}'
+                 for k, x in zip(n.meta["keys"], n.kids[:-1])]
+        star = "*"
+        if n.meta["minus"]:
+            star += " - " + ", ".join(n.meta["minus"])
+        # matcher context is the matched VALUE -> render `.`-relative
+        parts.append(f"{star} : {to_jslt(n.kids[-1])}")
+        return "{" + ", ".join(parts) + "}"
     if n.kind == "for":
         # the loop body's context is the element, i.e. "."
         return f"[for ({to_jslt(n.kids[0], ctx)}) {to_jslt(n.kids[1])}]"
@@ -327,6 +349,23 @@ def to_jq(n):
             for k, x in zip(n.meta["keys"], n.kids))
         return ("({" + pairs + "} | "
                 "with_entries(select(.value != null)))")
+    if n.kind == "objmatch":
+        pairs = ", ".join(
+            f'"{k}": ({to_jq(x)})'
+            for k, x in zip(n.meta["keys"], n.kids[:-1]))
+        explicit = ("({" + pairs + "} | "
+                    "with_entries(select(.value != null)))")
+        excluded = list(n.meta["keys"]) + list(n.meta["minus"])
+        keep = " and ".join(f'.key != "{k}"' for k in excluded) or "true"
+        matched = (
+            '(if (. | type) == "object" then '
+            f"(with_entries(select({keep})) "
+            f"| map_values({to_jq(n.kids[-1])}) "
+            "| with_entries(select(.value != null))) "
+            "else {} end)")
+        # matched keys are disjoint from explicit keys by construction,
+        # so jq's right-biased `+` cannot overwrite an explicit pair
+        return f"({explicit} + {matched})"
     if n.kind == "for":
         return f"(({to_jq(n.kids[0])}) | map({to_jq(n.kids[1])}))"
     if n.kind == "if":

