@@ -59,19 +59,16 @@ class TestDriverContract:
 
     def test_first_block_covers_stalest_queries(self):
         """The driver samples a prefix: the staleness rotation derived
-        from CORRECTNESS_r01..r07 must hold — round-8 additions and
-        changed queries lead (curation_funnel: red r7 row, oracle
-        rewritten), the r5-stale cohort fills the rest of the first 50
-        keys (minus the slots the newcomers displaced), and the
-        r6-checked block sits entirely behind the r5 block, the r7
-        block behind r6."""
+        from CORRECTNESS_r01..r08 must hold — never-sampled round-9
+        additions lead, then the stalest cohorts in ascending
+        last-checked order (r5 block before r6 before r7 before r8),
+        so the 50-prefix always covers the least-recently-checked
+        queries."""
         import json
 
-        changed_r8 = {"curation_funnel"}
-        new_r8 = {"ann_hamming", "changepoint_scan"}
         here = os.path.join(os.path.dirname(__file__), "..")
         rounds: dict[str, int] = {}
-        for r in (1, 2, 3, 4, 5, 6, 7):
+        for r in (1, 2, 3, 4, 5, 6, 7, 8):
             p = os.path.join(here, f"CORRECTNESS_r0{r}.json")
             if not os.path.exists(p):
                 continue
@@ -79,22 +76,23 @@ class TestDriverContract:
                 rounds[k] = r
         keys = list(entry.queries())
         never = {k for k in keys if rounds.get(k, 0) == 0}
-        stale5 = {k for k in keys if rounds.get(k, 0) == 5}
         prefix = set(keys[:50])
-        assert never | changed_r8 <= prefix, \
-            sorted((never | changed_r8) - prefix)
-        # the two round-8 newcomers displace exactly that many r5-stale
-        # queries past the 50-prefix (they re-sample in round 9)
-        assert len(stale5 - prefix) <= len(new_r8), \
-            sorted(stale5 - prefix)
+        assert never <= prefix, sorted(never - prefix)
         idx = {k: i for i, k in enumerate(keys)}
 
         def block(r):
-            return [idx[k] for k in keys
-                    if rounds.get(k, 0) == r and k not in changed_r8]
+            return [idx[k] for k in keys if rounds.get(k, 0) == r]
 
-        assert max(block(5), default=-1) < min(block(6), default=len(keys))
-        assert max(block(6), default=-1) < min(block(7), default=len(keys))
+        for a, b in ((5, 6), (6, 7), (7, 8)):
+            assert max(block(a), default=-1) \
+                < min(block(b), default=len(keys)), (a, b)
+        # the prefix budget is spent on the stalest queries: nothing
+        # OUTSIDE the first 50 may be staler than anything inside
+        worst_in = min((rounds.get(k, 0) for k in keys[:50]
+                        if rounds.get(k, 0)), default=0)
+        best_out = min((rounds.get(k, 0) for k in keys[50:]
+                        if rounds.get(k, 0)), default=9)
+        assert best_out >= worst_in, (worst_in, best_out)
 
     def test_no_oracle_emits_hugeint_or_decimal(self):
         """CORRECTNESS_r07's one red row (curation_funnel) was a type
