@@ -1926,6 +1926,44 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def q_dup_containment(spark, sf_dir):
+    """Exact n-gram containment join (functions/dedup.py
+    containment_pairs; Broder's containment, SEQUENCES 1997): pairs
+    where the smaller n-gram set is >= 50% inside the other —
+    C = |A∩B| / min(|A|,|B|) on the 1e-6 integer grid.  The asymmetric
+    sibling of dedup_ngram: boilerplate wrappers and quoted passages
+    live in the high-containment/low-Jaccard region symmetric Jaccard
+    cannot see.  Same cluster-compressed inverted-index shape; the
+    containment gate is an integer cross-multiplication."""
+    from pincette_json_streams_spark.functions.dedup import (
+        containment_pairs,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    return containment_pairs(docs, n=3, threshold_pct=50)
+
+
+_ORACLE_DUP_CONTAINMENT = f"""
+WITH norm AS (
+  SELECT doc_id AS id, string_split({_sql_norm()}, ' ') AS w FROM documents
+), ng AS (
+  SELECT id, list_distinct(
+    [array_to_string(w[i : i + 2], ' ')
+     for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS g
+  FROM norm
+), posting AS (
+  SELECT id, unnest(g) AS gram FROM ng
+), shared AS (
+  SELECT l.id AS id_a, r.id AS id_b, count(*) AS inter
+  FROM posting l JOIN posting r ON l.gram = r.gram AND l.id < r.id
+  GROUP BY 1, 2
+), sizes AS (SELECT id, len(g) AS sz FROM ng)
+SELECT id_a, id_b, a.sz::BIGINT AS sz_a, b.sz::BIGINT AS sz_b,
+       ((inter * 1000000) // least(a.sz, b.sz))::BIGINT AS cont_e6
+FROM shared JOIN sizes a ON a.id = id_a JOIN sizes b ON b.id = id_b
+WHERE (inter * 1000000) // least(a.sz, b.sz) >= 500000
+"""
+
+
 def q_changepoint_scan(spark, sf_dir):
     """Mean-shift changepoint scan (functions/timeseries.py
     mean_shift_changepoints): per event type, the 5 moments where the
@@ -6891,6 +6929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- NEW in round 9 (never driver-sampled -> very front) --
         "ann_hamming_lsh": q_ann_hamming_lsh,
+        "dup_containment": q_dup_containment,
         # -- stalest first: latest driver check r5 --
         "strip_spans": q_strip_spans,
         "window_fields": q_window_fields,
@@ -7051,6 +7090,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "ann_hamming": _oracle_ann_hamming(),
         "ann_hamming_lsh": _oracle_ann_hamming_lsh(),
+        "dup_containment": _ORACLE_DUP_CONTAINMENT,
         "changepoint_scan": _ORACLE_CHANGEPOINT,
         "hll_distinct": _ORACLE_HLL_DISTINCT,
         "pq_cells": _ORACLE_PQ_CELLS,

@@ -121,9 +121,11 @@ BENCH_QUERIES = [
     # corpus x bounded query set) and the keyed changepoint window scan
     "ann_hamming",
     "changepoint_scan",
-    # round-9 addition: the banded-LSH index over the sign-lane
-    # sketches (band equi-join candidates + XOR+popcount re-rank)
+    # round-9 additions: the banded-LSH index over the sign-lane
+    # sketches (band equi-join candidates + XOR+popcount re-rank) and
+    # the exact containment join (asymmetric dedup)
     "ann_hamming_lsh",
+    "dup_containment",
 ]
 
 

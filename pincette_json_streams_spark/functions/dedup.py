@@ -736,6 +736,98 @@ def ngram_jaccard_pairs(
     return cross.unionByName(within)
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold_pct: int = 80,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT join: pairs where the smaller document's
+    n-gram set is (near-)inside the other's —
+    ``C = |A ∩ B| / min(|A|, |B|)`` on the 1e-6 integer grid.
+
+    This is the asymmetric sibling of :func:`ngram_jaccard_pairs` and
+    the question Jaccard cannot answer: a 50-shingle quote embedded in
+    a 5,000-shingle page has Jaccard ~0.01 (invisible at any usable
+    threshold) but containment 1.0.  Boilerplate wrappers, quoted
+    passages, and template-padded near-supersets — the common web-crawl
+    contamination shapes — are exactly the high-containment/low-Jaccard
+    region (Broder's "containment" from the original resemblance paper,
+    SEQUENCES 1997).
+
+    Same scale shape as the Jaccard join: distinct n-gram SETS pair
+    via the inverted-index equi-join (cluster compression — exact
+    duplicates never touch the quadratic), one hash-agg counts shared
+    grams per set pair, and the containment test is an integer
+    cross-multiplication — ``inter * 1e6 div min(sz) >= pct * 1e4`` —
+    replayable bit-for-bit in ANSI SQL.
+
+    Returns (id_a, id_b, sz_a, sz_b, cont_e6) with id_a < id_b and
+    sizes in set-gram units aligned to their ids."""
+    thr_e6 = threshold_pct * 10_000
+    base = _spread(df).select(
+        F.col(id_col).alias("id"),
+        _word_ngrams_hashed_vec(n)(F.col(text_col)).alias("ss"),
+    ).select("id", F.col("ss.gid").alias("gid"), F.col("ss.ng").alias("ng"))
+    groups = (
+        base.groupBy("gid")
+        .agg(F.first("ng").alias("ng"),
+             F.sort_array(F.collect_list("id")).alias("ids"))
+    ).persist()
+
+    posting = groups.select("gid", F.explode("ng").alias("g"))
+    l, r = posting.alias("l"), posting.alias("r")
+    shared = (
+        l.join(r, (F.col("l.g") == F.col("r.g"))
+               & (F.col("l.gid") < F.col("r.gid")))
+        .groupBy(F.col("l.gid").alias("gid_a"),
+                 F.col("r.gid").alias("gid_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sets = groups.select("gid", "ids", F.size("ng").alias("sz"))
+    cross = (
+        shared.join(
+            sets.select(F.col("gid").alias("gid_a"),
+                        F.col("ids").alias("ids_a"),
+                        F.col("sz").alias("g_sz_a")), "gid_a")
+        .join(
+            sets.select(F.col("gid").alias("gid_b"),
+                        F.col("ids").alias("ids_b"),
+                        F.col("sz").alias("g_sz_b")), "gid_b")
+        .withColumn(
+            "cont_e6",
+            F.expr("(inter * 1000000L) div least(g_sz_a, g_sz_b)"))
+        .filter(F.col("cont_e6") >= thr_e6)
+        .select(F.explode("ids_a").alias("ia"), "ids_b",
+                "g_sz_a", "g_sz_b", "cont_e6")
+        .select("ia", F.explode("ids_b").alias("ib"),
+                "g_sz_a", "g_sz_b", "cont_e6")
+        # sizes travel WITH their ids through the least/greatest swap
+        .select(
+            F.least("ia", "ib").alias("id_a"),
+            F.greatest("ia", "ib").alias("id_b"),
+            F.when(F.col("ia") <= F.col("ib"), F.col("g_sz_a"))
+            .otherwise(F.col("g_sz_b")).cast("long").alias("sz_a"),
+            F.when(F.col("ia") <= F.col("ib"), F.col("g_sz_b"))
+            .otherwise(F.col("g_sz_a")).cast("long").alias("sz_b"),
+            "cont_e6",
+        )
+    )
+    within = (
+        groups.filter(F.size("ids") > 1)
+        .select(F.explode("ids").alias("ia"), F.col("ids"),
+                F.size("ng").alias("sz"))
+        .select("ia", F.explode("ids").alias("ib"), "sz")
+        .filter(F.col("ia") < F.col("ib"))
+        .select(F.col("ia").alias("id_a"), F.col("ib").alias("id_b"),
+                F.col("sz").cast("long").alias("sz_a"),
+                F.col("sz").cast("long").alias("sz_b"),
+                F.lit(1_000_000).cast("long").alias("cont_e6"))
+    )
+    return cross.unionByName(within)
+
+
 # --------------------------------------------------------------------------
 # embedding near-dup / similarity
 # --------------------------------------------------------------------------

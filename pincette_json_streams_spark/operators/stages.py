@@ -2228,6 +2228,27 @@ def _stage_prefix_jaccard_ext(df, spec, pctx):
     )
 
 
+def _stage_containment_ext(df, spec, pctx):
+    # {"text": col, "id": col, "thresholdPct": n, "n": n} — exact
+    # n-gram CONTAINMENT join (functions/dedup.py containment_pairs):
+    # pairs where the smaller n-gram set is >= pct inside the other —
+    # the asymmetric sibling of $prefixJaccard/$nearDups that catches
+    # boilerplate wrappers and quoted passages symmetric Jaccard
+    # cannot see.
+    _batch_only(df, "$containment", "corpus-wide posting self-join")
+    from pincette_json_streams_spark.functions.dedup import (
+        containment_pairs,
+    )
+
+    return containment_pairs(
+        df,
+        text_col=spec.get("text", "text"),
+        id_col=spec.get("id", "doc_id"),
+        n=int(spec.get("n", 3)),
+        threshold_pct=int(spec.get("thresholdPct", 80)),
+    )
+
+
 def _stage_robust_z_ext(df, spec, pctx):
     # {"value": col, "by": col, "id": col, "scale": n?} — median/MAD
     # robust z-scores (functions/profiling.py robust_zscores): the
@@ -2762,6 +2783,7 @@ STAGES: dict[str, Callable[[DataFrame, Any, PipelineContext], DataFrame]] = {
     "$hdrQuantiles": _stage_hdr_quantiles_ext,
     "$nearDups": _stage_near_dups_ext,
     "$prefixJaccard": _stage_prefix_jaccard_ext,
+    "$containment": _stage_containment_ext,
     "$robustZ": _stage_robust_z_ext,
     "$sampleFrames": _stage_sample_frames_ext,
     "$cdcChunks": _stage_cdc_chunks_ext,

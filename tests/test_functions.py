@@ -533,6 +533,68 @@ class TestDedup:
         assert got[(0, 1)] == pytest.approx(1.0)
         assert (0, 2) in got
 
+    def test_containment_pairs(self, spark):
+        """The asymmetric case Jaccard cannot see: a short quote fully
+        inside a long page has containment 1.0 but tiny Jaccard; plus
+        exact duplicates (within-cluster path), the python mirror on
+        every reported value, and the id<->size alignment."""
+        from pincette_json_streams_spark.functions.dedup import (
+            containment_pairs, ngram_jaccard_pairs,
+        )
+        quote = "the quick brown fox jumps over the lazy dog"
+        filler_a = " ".join(f"word{i} token{i} item{i}"
+                            for i in range(20))
+        filler_b = " ".join(f"alpha{i} beta{i} gamma{i}"
+                            for i in range(20))
+        page = filler_a + " " + quote + " " + filler_b
+        rows = [(1, quote), (2, page), (3, page),
+                (4, "completely unrelated text about spark engines "
+                    "and distributed data processing at scale")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {(r["id_a"], r["id_b"]): (r["sz_a"], r["sz_b"],
+                                        r["cont_e6"])
+               for r in containment_pairs(
+                   df, n=3, threshold_pct=90).collect()}
+        # quote-in-page: containment 1.0 on both copies
+        assert got[(1, 2)][2] == 1_000_000
+        assert got[(1, 3)][2] == 1_000_000
+        # exact duplicates via the within-cluster path
+        assert got[(2, 3)][2] == 1_000_000
+        assert (1, 4) not in got and (2, 4) not in got
+        # sizes align to their ids: doc 1 (the quote) is the small side
+        sz_a, sz_b, _ = got[(1, 2)]
+        assert sz_a < sz_b
+        assert got[(2, 3)][0] == got[(2, 3)][1]
+        # the same pair is INVISIBLE to symmetric Jaccard at any
+        # usable threshold — the reason this operator exists
+        jac = {(r["id_a"], r["id_b"]) for r in ngram_jaccard_pairs(
+            df, n=3, threshold=0.3).collect()}
+        assert (1, 2) not in jac and (2, 3) in jac
+
+        # python mirror over the full matrix at a lower threshold
+        import re
+
+        def ngrams(text):
+            w = re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+            k = max(len(w) - 2, 1)
+            return {" ".join(w[i:i + 3]) for i in range(k)}
+
+        sets = {i: ngrams(t) for i, t in rows}
+        expect = {}
+        for a in sets:
+            for b in sets:
+                if a < b and sets[a] & sets[b]:
+                    inter = len(sets[a] & sets[b])
+                    c = inter * 1_000_000 \
+                        // min(len(sets[a]), len(sets[b]))
+                    if c >= 400_000:
+                        expect[(a, b)] = (len(sets[a]), len(sets[b]), c)
+        got40 = {(r["id_a"], r["id_b"]): (r["sz_a"], r["sz_b"],
+                                          r["cont_e6"])
+                 for r in containment_pairs(
+                     df, n=3, threshold_pct=40).collect()}
+        assert got40 == expect
+
     def test_connected_components(self, spark):
         from pincette_json_streams_spark.functions.dedup import (
             connected_components,
