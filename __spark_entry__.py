@@ -1964,6 +1964,77 @@ WHERE (inter * 1000000) // least(a.sz, b.sz) >= 500000
 """
 
 
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (functions/similarity.py
+    hard_negative_topk): per query vector, the 10 most-similar corpus
+    vectors with a DIFFERENT label — the near-boundary negatives that
+    carry the gradient in contrastive training.  brute_force_topk's
+    determinism contract (rounded cosine, vec_id ties) with the label
+    exclusion riding the scoring join.  Cosine dropped from the
+    output (rank order is the contract, same as ann_topk)."""
+    from pincette_json_streams_spark.functions.similarity import (
+        hard_negative_topk,
+    )
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>"))
+    qs = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label")
+    return hard_negative_topk(emb, qs, k=10).select(
+        "query_id", F.col("rank").cast("long").alias("rank"),
+        "vec_id", F.col("neg_label").cast("long").alias("neg_label"))
+
+
+_ORACLE_HARD_NEGATIVES = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label
+  FROM embeddings WHERE vec_id % 100 = 0
+), scored AS (
+  SELECT q.query_id, e.vec_id, e.label AS neg_label,
+         list_dot_product(q.qv, e.embedding::DOUBLE[]) /
+         (sqrt(list_dot_product(q.qv, q.qv)) *
+          sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                e.embedding::DOUBLE[]))) AS cosine
+  FROM embeddings e, q WHERE e.label != q.label
+), ranked AS (
+  SELECT query_id, vec_id, neg_label,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank::BIGINT AS rank, vec_id,
+       neg_label::BIGINT AS neg_label
+FROM ranked WHERE rank <= 10
+"""
+
+
+def q_balanced_sample(spark, sf_dir):
+    """Exact-count class rebalancing (functions/sampling.py
+    balanced_topn_sample): the 20 lowest-md5-ranked vectors of every
+    label — uniform label distribution with GUARANTEED counts, the
+    deterministic sibling of the fraction-based stratified sample.
+    No RNG: rank = md5(key), so reruns and growing strata never move
+    an already-selected row."""
+    from pincette_json_streams_spark.functions.sampling import (
+        balanced_topn_sample,
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    return balanced_topn_sample(
+        emb.select("vec_id", "label"), "label", 20, key_col="vec_id",
+    ).select("vec_id", F.col("label").cast("long").alias("label"))
+
+
+_ORACLE_BALANCED_SAMPLE = """
+WITH r AS (
+  SELECT vec_id, label,
+         row_number() OVER (PARTITION BY label
+                            ORDER BY md5(vec_id::VARCHAR), vec_id)
+           AS rn
+  FROM embeddings
+)
+SELECT vec_id, label::BIGINT AS label FROM r WHERE rn <= 20
+"""
+
+
 def q_changepoint_scan(spark, sf_dir):
     """Mean-shift changepoint scan (functions/timeseries.py
     mean_shift_changepoints): per event type, the 5 moments where the
@@ -6930,6 +7001,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- NEW in round 9 (never driver-sampled -> very front) --
         "ann_hamming_lsh": q_ann_hamming_lsh,
         "dup_containment": q_dup_containment,
+        "hard_negatives": q_hard_negatives,
+        "balanced_sample": q_balanced_sample,
         # -- stalest first: latest driver check r5 --
         "strip_spans": q_strip_spans,
         "window_fields": q_window_fields,
@@ -7091,6 +7164,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_hamming": _oracle_ann_hamming(),
         "ann_hamming_lsh": _oracle_ann_hamming_lsh(),
         "dup_containment": _ORACLE_DUP_CONTAINMENT,
+        "hard_negatives": _ORACLE_HARD_NEGATIVES,
+        "balanced_sample": _ORACLE_BALANCED_SAMPLE,
         "changepoint_scan": _ORACLE_CHANGEPOINT,
         "hll_distinct": _ORACLE_HLL_DISTINCT,
         "pq_cells": _ORACLE_PQ_CELLS,

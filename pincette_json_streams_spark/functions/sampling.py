@@ -76,6 +76,43 @@ def stratified_hash_sample(
     return df.filter(hash_bucket(F.col(key_col), salt) < thresh)
 
 
+def balanced_topn_sample(
+    df: DataFrame,
+    strata_col: str,
+    n_per_stratum: int,
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """EXACT-count class balancing: the ``n_per_stratum``
+    lowest-md5-ranked rows of each stratum survive — the guaranteed-
+    count sibling of :func:`stratified_hash_sample` (which keeps a
+    FRACTION and drifts with stratum size).  Rebalancing a skewed
+    label/language/source distribution to uniform before training is
+    the canonical use.
+
+    Determinism: rank = md5(salt || key) ordered lexicographically,
+    ties by key — no RNG, so the selection is stable under reruns,
+    growing strata only ever APPEND to the tail (an existing row's
+    rank never changes), and an ANSI-SQL oracle replays it exactly.
+
+    Scale shape: one shuffle (the per-stratum rank window).  Skewed
+    strata are bounded by the window's own partitioning; at 100 TB the
+    pre-filter ``hash_bucket < p`` trick (keep a generous super-sample
+    per stratum first, one scan, no shuffle) bounds the window input
+    when n_per_stratum << stratum size."""
+    from pyspark.sql.window import Window
+
+    rank_key = F.md5(F.concat(F.lit(salt),
+                              F.col(key_col).cast("string")))
+    w = Window.partitionBy(strata_col).orderBy(rank_key,
+                                               F.col(key_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
+    )
+
+
 def train_test_split(
     df: DataFrame,
     test_fraction: float = 0.1,

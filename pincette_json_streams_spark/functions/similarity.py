@@ -101,6 +101,54 @@ def brute_force_topk(
     )
 
 
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Hard-negative mining: for each query, the top-k most-similar
+    corpus vectors with a DIFFERENT label — the negatives that sit
+    closest to the decision boundary, the staple of contrastive /
+    metric-learning data pipelines (a random negative is trivially
+    separable; the hard ones carry the gradient).
+
+    Same determinism contract as :func:`brute_force_topk` (cosine
+    rounded to 6 decimals, ties by vec_id); the label filter rides the
+    scoring join, so excluded same-label rows never reach the rank
+    window.  Scale shape: bounded query set broadcast against the
+    corpus scan + one per-query top-k window; swap the scoring join
+    for the banded Hamming index (:func:`hamming_lsh_topk`) when the
+    corpus outgrows brute-force scoring.
+
+    -> (query_id, rank, vec_id, neg_label, cosine)."""
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.col(label_col).alias("q_label"),
+    )
+    c = corpus.select(F.col(id_col).alias("vec_id"),
+                      F.col(vec_col).alias("cv"),
+                      F.col(label_col).alias("neg_label"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neg_label") != F.col("q_label"))
+        .select("query_id", "vec_id", "neg_label",
+                F.round(cosine_vec(F.col("qv"), F.col("cv")), 6)
+                .alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "neg_label", "cosine")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

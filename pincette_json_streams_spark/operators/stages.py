@@ -2228,6 +2228,47 @@ def _stage_prefix_jaccard_ext(df, spec, pctx):
     )
 
 
+def _stage_hard_negatives_ext(df, spec, pctx):
+    # {"vector": col, "id": col, "label": col, "k": n,
+    #  "queries": {"mod": m}?} — hard-negative mining
+    # (functions/similarity.py hard_negative_topk): per query, the
+    # top-k most-similar corpus vectors with a DIFFERENT label; the
+    # label filter rides the scoring join.  Batch-only: per-query
+    # rank window.
+    _batch_only(df, "$hardNegatives", "per-query rank window")
+    from pincette_json_streams_spark.functions.similarity import (
+        hard_negative_topk,
+    )
+
+    vec = spec.get("vector", "embedding")
+    idc = spec.get("id", "vec_id")
+    lab = spec.get("label", "label")
+    mod = int((spec.get("queries") or {}).get("mod", 100))
+    qs = df.filter(F.col(idc) % mod == 0).select(
+        F.col(idc).alias("query_id"), F.col(vec), F.col(lab))
+    return hard_negative_topk(df, qs, k=int(spec.get("k", 10)),
+                              vec_col=vec, id_col=idc, label_col=lab)
+
+
+def _stage_balanced_sample_ext(df, spec, pctx):
+    # {"by": col, "n": count, "key": col, "salt": s?} — exact-count
+    # class rebalancing (functions/sampling.py balanced_topn_sample):
+    # the n lowest-md5-ranked rows of every stratum survive.
+    # Batch-only: per-stratum rank window.
+    _batch_only(df, "$balancedSample", "per-stratum rank window")
+    from pincette_json_streams_spark.functions.sampling import (
+        balanced_topn_sample,
+    )
+
+    return balanced_topn_sample(
+        df,
+        strata_col=spec.get("by", "label"),
+        n_per_stratum=int(spec.get("n", 100)),
+        key_col=spec.get("key", "doc_id"),
+        salt=str(spec.get("salt", "")),
+    )
+
+
 def _stage_containment_ext(df, spec, pctx):
     # {"text": col, "id": col, "thresholdPct": n, "n": n} — exact
     # n-gram CONTAINMENT join (functions/dedup.py containment_pairs):
@@ -2784,6 +2825,8 @@ STAGES: dict[str, Callable[[DataFrame, Any, PipelineContext], DataFrame]] = {
     "$nearDups": _stage_near_dups_ext,
     "$prefixJaccard": _stage_prefix_jaccard_ext,
     "$containment": _stage_containment_ext,
+    "$hardNegatives": _stage_hard_negatives_ext,
+    "$balancedSample": _stage_balanced_sample_ext,
     "$robustZ": _stage_robust_z_ext,
     "$sampleFrames": _stage_sample_frames_ext,
     "$cdcChunks": _stage_cdc_chunks_ext,

@@ -5015,6 +5015,73 @@ class TestBinarySketchAnn:
         for qid in expect:
             assert sorted(got[qid]) == expect[qid], qid
 
+    def test_hard_negative_topk(self, spark):
+        """The label filter excludes same-label rows BEFORE ranking
+        (a same-label vector closer than every negative must not
+        consume a rank), ordering matches the rounded-cosine/vec_id
+        contract, and a query whose label covers the whole corpus
+        yields nothing."""
+        from pincette_json_streams_spark.functions.similarity import (
+            hard_negative_topk,
+        )
+        rows = [
+            (0, [1.0, 0.0], 7),    # the query
+            (1, [1.0, 0.001], 7),  # same label, nearest — excluded
+            (2, [1.0, 0.1], 3),    # hard negative (closest other-label)
+            (3, [0.0, 1.0], 3),    # easy negative
+            (4, [1.0, 0.2], 7),    # same label — excluded
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label int")
+        q = df.filter("vec_id = 0").selectExpr(
+            "vec_id AS query_id", "embedding", "label")
+        got = [(r["rank"], r["vec_id"], r["neg_label"])
+               for r in hard_negative_topk(df, q, k=5)
+               .orderBy("rank").collect()]
+        assert got == [(1, 2, 3), (2, 3, 3)]
+        # all-same-label corpus: no negatives exist
+        uni = df.withColumn("label", F.lit(7))
+        qq = uni.filter("vec_id = 0").selectExpr(
+            "vec_id AS query_id", "embedding", "label")
+        assert hard_negative_topk(uni, qq, k=5).count() == 0
+
+    def test_balanced_topn_sample(self, spark):
+        """Exact per-stratum counts, md5-rank determinism (python
+        mirror), stability under corpus growth (an existing row's rank
+        never changes), and strata smaller than n survive whole."""
+        import hashlib
+        from pincette_json_streams_spark.functions.sampling import (
+            balanced_topn_sample,
+        )
+        rows = [(i, "big") for i in range(50)] + \
+               [(100 + i, "small") for i in range(3)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string")
+        out = balanced_topn_sample(df, "lang", 5).collect()
+        by_lang = {}
+        for r in out:
+            by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+        assert len(by_lang["big"]) == 5
+        assert by_lang["small"] == {100, 101, 102}  # undersized: all
+        # python mirror of the md5 ranking
+        expect = set(sorted(
+            range(50),
+            key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+        )[:5])
+        assert by_lang["big"] == expect
+        # growth determinism: after appending 50 new keys the
+        # selection still equals the python mirror over the grown
+        # stratum — no RNG, no order dependence, a rerun is a replay
+        grown = df.unionByName(spark.createDataFrame(
+            [(1000 + i, "big") for i in range(50)],
+            "doc_id long, lang string"))
+        out5 = {r["doc_id"] for r in balanced_topn_sample(
+            grown, "lang", 5).collect() if r["lang"] == "big"}
+        expect_grown = set(sorted(
+            list(range(50)) + [1000 + i for i in range(50)],
+            key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+        )[:5])
+        assert out5 == expect_grown
+
     def test_lsh_recall_on_real_corpus(self, spark):
         """Recall gauge vs the exact kernel, ann_recall-style, on the
         real (clustered) embeddings where neighbours sit inside or
