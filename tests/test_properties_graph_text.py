@@ -306,3 +306,62 @@ class TestChangepointProperty:
             for r in mean_shift_changepoints(
                 df, window=window, top=top).collect())
         assert got == self._mirror(rows, window, top)
+
+
+class TestContainmentProperty:
+    """Round-9 containment join: no-false-negative law vs a
+    brute-force mirror over random word documents, exact value
+    equality, and the containment >= Jaccard dominance law (the
+    asymmetric metric can only be LARGER — min(sz) <= union)."""
+
+    @staticmethod
+    def _ngrams(text, n=3):
+        import re
+        w = re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+        k = max(len(w) - (n - 1), 1)
+        return {" ".join(w[i:i + n]) for i in range(k)}
+
+    @classmethod
+    def _mirror(cls, rows, pct):
+        sets = {i: cls._ngrams(t) for i, t in rows}
+        out = {}
+        for a in sets:
+            for b in sets:
+                if a < b and sets[a] & sets[b]:
+                    inter = len(sets[a] & sets[b])
+                    c = (inter * 1_000_000
+                         // min(len(sets[a]), len(sets[b])))
+                    if c >= pct * 10_000:
+                        out[(a, b)] = (len(sets[a]), len(sets[b]), c)
+        return out
+
+    @SPARKY
+    @given(st.lists(
+        st.lists(st.sampled_from(
+            ["alpha", "beta", "gamma", "delta", "eps"]),
+            min_size=1, max_size=12).map(" ".join),
+        min_size=2, max_size=8),
+        st.integers(30, 90))
+    def test_matches_mirror_and_dominates_jaccard(self, spark, texts,
+                                                  pct):
+        from pincette_json_streams_spark.functions.dedup import (
+            containment_pairs, ngram_jaccard_pairs,
+        )
+        rows = list(enumerate(texts))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {(r["id_a"], r["id_b"]): (r["sz_a"], r["sz_b"],
+                                        r["cont_e6"])
+               for r in containment_pairs(
+                   df, n=3, threshold_pct=pct).collect()}
+        assert got == self._mirror(rows, pct)
+        # dominance: for every pair Jaccard reports (threshold 0 =
+        # every candidate), containment on the same pair is >= it
+        jac = {(r["id_a"], r["id_b"]): r["jaccard"]
+               for r in ngram_jaccard_pairs(
+                   df, n=3, threshold=0.0).collect()}
+        all_cont = {(r["id_a"], r["id_b"]): r["cont_e6"]
+                    for r in containment_pairs(
+                        df, n=3, threshold_pct=0).collect()}
+        for pair, j in jac.items():
+            assert pair in all_cont
+            assert all_cont[pair] >= int(j * 1_000_000) - 1, (pair, j)
