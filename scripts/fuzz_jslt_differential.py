@@ -169,6 +169,18 @@ def gen(rng, typ=ANY, depth=0, in_loop=False):
         return N("arr", ARR, *[gen(rng, ANY, d, in_loop)
                                for _ in range(rng.randint(0, 2))])
     if typ == OBJ:
+        if rng.random() < 0.25:
+            # object comprehension {for (src) K : V if (C)} — array
+            # sources iterate elements, object sources iterate
+            # {key, value} wrappers; the filter uses JSLT truthiness
+            # (render BOOL-typed conditions only); null VALUES drop;
+            # duplicate keys: last wins in both engines
+            src = gen(rng, rng.choice([ARR, OBJ]), d, in_loop)
+            key = gen(rng, STR, d, True)
+            val = gen(rng, ANY, d, True)
+            cond = gen(rng, BOOL, d, True) if rng.random() < 0.5 \
+                else None
+            return N("objfor", OBJ, src, key, val, cond)
         if rng.random() < 0.4:
             # object template with a `*` matcher: explicit pairs
             # shadow matched keys (even when their value is null and
@@ -251,6 +263,13 @@ def to_jslt(n, ctx="."):
             f'"{k}": {to_jslt(x, ctx)}'
             for k, x in zip(n.meta["keys"], n.kids))
         return "{" + pairs + "}"
+    if n.kind == "objfor":
+        src, key, val, cond = n.kids
+        body = (f"{{for ({to_jslt(src, ctx)}) "
+                f"{to_jslt(key)} : {to_jslt(val)}")
+        if cond is not None:
+            body += f" if ({to_jslt(cond)})"
+        return body + "}"
     if n.kind == "objmatch":
         parts = [f'"{k}": {to_jslt(x, ctx)}'
                  for k, x in zip(n.meta["keys"], n.kids[:-1])]
@@ -349,6 +368,19 @@ def to_jq(n):
             for k, x in zip(n.meta["keys"], n.kids))
         return ("({" + pairs + "} | "
                 "with_entries(select(.value != null)))")
+    if n.kind == "objfor":
+        src, key, val, cond = n.kids
+        sel = f"select({to_jq(cond)}) | " if cond is not None else ""
+        return (
+            f"(({to_jq(src)}) as $__s | "
+            '(if ($__s | type) == "object" then ($__s | to_entries) '
+            "else $__s end) | "
+            f"[ .[] | {sel}{{key: ({to_jq(key)}), "
+            f"value: ({to_jq(val)})}} ] | "
+            # null-valued PAIRS are omitted BEFORE insertion (JSLT
+            # spec), so a later null duplicate cannot erase an earlier
+            # value — filtering after from_entries would
+            "map(select(.value != null)) | from_entries)")
     if n.kind == "objmatch":
         pairs = ", ".join(
             f'"{k}": ({to_jq(x)})'

@@ -216,6 +216,17 @@ class TestSpecCompletion:
                    {"a": 1, "b": 2, "c": 3})
         assert out == {"b": 2, "c": 3}
 
+    def test_object_for_duplicate_key_null_omission(self):
+        """Null-valued PAIRS are omitted BEFORE insertion (JSLT spec),
+        so a later null duplicate cannot erase an earlier value, while
+        a later non-null duplicate overwrites — the corner the
+        object-for fuzz grammar caught in its own jq renderer (which
+        dropped nulls AFTER last-wins from_entries)."""
+        assert jslt('{for ([7, null]) "s" : .}', None) == {"s": 7}
+        assert jslt('{for ([null, 7]) "s" : .}', None) == {"s": 7}
+        assert jslt('{for ([7, 8]) "s" : .}', None) == {"s": 8}
+        assert jslt('{for ([null]) "s" : .}', None) == {}
+
     def test_fallback(self):
         assert jslt('fallback(.a, .b, "dflt")', {"b": 5}) == 5
         assert jslt('fallback(.a, .b)', {}) is None
