@@ -742,6 +742,7 @@ def containment_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold_pct: int = 80,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """Exact n-gram CONTAINMENT join: pairs where the smaller document's
     n-gram set is (near-)inside the other's —
@@ -756,12 +757,29 @@ def containment_pairs(
     region (Broder's "containment" from the original resemblance paper,
     SEQUENCES 1997).
 
-    Same scale shape as the Jaccard join: distinct n-gram SETS pair
-    via the inverted-index equi-join (cluster compression — exact
-    duplicates never touch the quadratic), one hash-agg counts shared
-    grams per set pair, and the containment test is an integer
+    Default scale shape (same as the Jaccard join): distinct n-gram
+    SETS pair via the inverted-index equi-join (cluster compression —
+    exact duplicates never touch the quadratic), one hash-agg counts
+    shared grams per set pair, and the containment test is an integer
     cross-multiplication — ``inter * 1e6 div min(sz) >= pct * 1e4`` —
     replayable bit-for-bit in ANSI SQL.
+
+    ``prefix_filter=True`` switches candidate generation to the
+    ASYMMETRIC prefix filter (the containment counterpart of PPJoin's;
+    cf. ProbeCount/DivideSkip, Li et al. ICDE 2008): sets order
+    rare-first, each probes only its ``sz - ceil(t*sz) + 1`` rarest
+    grams against the FULL postings of larger sets; pigeonhole on the
+    SMALL side guarantees zero false negatives, and an exact
+    array_intersect verifies.  Measured at sf0.1 (5k docs, pct=50):
+    the simple count-agg wins — 0.7-1.7 s vs 3.0-4.3 s — because the
+    global-frequency pass + verify join cost more than the candidates
+    they save; the prefix path is for corpora where posting lists of
+    COMMON grams dominate (the 100 TB regime), where probing only
+    rare prefixes is the difference between a bounded join and a
+    quadratic one.  Both paths return identical rows (locked in
+    tests).  (MinHash banding is deliberately NOT offered as the
+    index here: signature agreement tracks Jaccard, which is ~0 on
+    exactly the quote-in-page pairs this operator exists to find.)
 
     Returns (id_a, id_b, sz_a, sz_b, cont_e6) with id_a < id_b and
     sizes in set-gram units aligned to their ids."""
@@ -776,25 +794,70 @@ def containment_pairs(
              F.sort_array(F.collect_list("id")).alias("ids"))
     ).persist()
 
-    posting = groups.select("gid", F.explode("ng").alias("g"))
-    l, r = posting.alias("l"), posting.alias("r")
-    shared = (
-        l.join(r, (F.col("l.g") == F.col("r.g"))
-               & (F.col("l.gid") < F.col("r.gid")))
-        .groupBy(F.col("l.gid").alias("gid_a"),
-                 F.col("r.gid").alias("gid_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sets = groups.select("gid", "ids", F.size("ng").alias("sz"))
+    if prefix_filter:
+        ex = groups.select("gid", F.explode("ng").alias("g"))
+        freq = ex.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+        ordered = (
+            ex.join(freq, "g")
+            .groupBy("gid")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("c", "g"))),
+                lambda s: s["g"]).alias("arr"))
+            .withColumn("sz", F.size("arr"))
+        )
+        # required shared grams tau = ceil(pct*sz/100); prefix = the
+        # sz - tau + 1 rarest (pct=0 -> tau=0 -> the whole set,
+        # degrading gracefully to the full join)
+        probe = ordered.withColumn(
+            "p",
+            F.expr(f"sz - (({threshold_pct} * sz + 99) div 100) + 1")
+        ).select("gid", "sz",
+                 F.explode(F.expr("slice(arr, 1, int(p))")).alias("g"))
+        full = ordered.select("gid", "sz", F.explode("arr").alias("g"))
+        a, b = probe.alias("a"), full.alias("b")
+        cand = (
+            # canonical direction: the probe (prefix) side is the
+            # SMALLER set; equal sizes break by gid
+            a.join(b, (F.col("a.g") == F.col("b.g"))
+                   & ((F.col("a.sz") < F.col("b.sz"))
+                      | ((F.col("a.sz") == F.col("b.sz"))
+                         & (F.col("a.gid") < F.col("b.gid")))))
+            .select(F.col("a.gid").alias("gid_a"),
+                    F.col("b.gid").alias("gid_b"))
+            .dropDuplicates(["gid_a", "gid_b"])
+        )
+        sets = ordered.join(groups.select("gid", "ids"), "gid")
+        shared = (
+            cand.join(
+                sets.select(F.col("gid").alias("gid_a"),
+                            F.col("arr").alias("arr_a")), "gid_a")
+            .join(
+                sets.select(F.col("gid").alias("gid_b"),
+                            F.col("arr").alias("arr_b")), "gid_b")
+            .select("gid_a", "gid_b",
+                    F.size(F.array_intersect("arr_a", "arr_b"))
+                    .cast("bigint").alias("inter"))
+        )
+    else:
+        posting = groups.select("gid", F.explode("ng").alias("g"))
+        l, r = posting.alias("l"), posting.alias("r")
+        shared = (
+            l.join(r, (F.col("l.g") == F.col("r.g"))
+                   & (F.col("l.gid") < F.col("r.gid")))
+            .groupBy(F.col("l.gid").alias("gid_a"),
+                     F.col("r.gid").alias("gid_b"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    sets2 = groups.select("gid", "ids", F.size("ng").alias("sz"))
     cross = (
         shared.join(
-            sets.select(F.col("gid").alias("gid_a"),
-                        F.col("ids").alias("ids_a"),
-                        F.col("sz").alias("g_sz_a")), "gid_a")
+            sets2.select(F.col("gid").alias("gid_a"),
+                         F.col("ids").alias("ids_a"),
+                         F.col("sz").alias("g_sz_a")), "gid_a")
         .join(
-            sets.select(F.col("gid").alias("gid_b"),
-                        F.col("ids").alias("ids_b"),
-                        F.col("sz").alias("g_sz_b")), "gid_b")
+            sets2.select(F.col("gid").alias("gid_b"),
+                         F.col("ids").alias("ids_b"),
+                         F.col("sz").alias("g_sz_b")), "gid_b")
         .withColumn(
             "cont_e6",
             F.expr("(inter * 1000000L) div least(g_sz_a, g_sz_b)"))

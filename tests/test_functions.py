@@ -594,6 +594,19 @@ class TestDedup:
                  for r in containment_pairs(
                      df, n=3, threshold_pct=40).collect()}
         assert got40 == expect
+        # the prefix-filter path (the 100 TB candidate strategy) must
+        # return IDENTICAL rows — zero false negatives by pigeonhole
+        for pct in (40, 90):
+            d_ = {(r["id_a"], r["id_b"]): (r["sz_a"], r["sz_b"],
+                                           r["cont_e6"])
+                  for r in containment_pairs(
+                      df, n=3, threshold_pct=pct).collect()}
+            p_ = {(r["id_a"], r["id_b"]): (r["sz_a"], r["sz_b"],
+                                           r["cont_e6"])
+                  for r in containment_pairs(
+                      df, n=3, threshold_pct=pct,
+                      prefix_filter=True).collect()}
+            assert d_ == p_, pct
 
     def test_connected_components(self, spark):
         from pincette_json_streams_spark.functions.dedup import (
