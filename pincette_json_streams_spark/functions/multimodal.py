@@ -891,7 +891,8 @@ _IMG_FIELDS = ("format", "width", "height", "channels",
                "mean_rgb", "luma_hist")
 
 
-def _decode_image(b: bytes | None, hist_bins: int) -> dict:
+def _decode_image(b: bytes | None, hist_bins: int,
+                  return_pixels: bool = False) -> dict:
     """REAL pixel decode, stdlib + numpy only:
 
     - PNG: 8-bit greyscale/RGB/(+alpha), non-interlaced — zlib IDAT
@@ -1026,6 +1027,8 @@ def _decode_image(b: bytes | None, hist_bins: int) -> dict:
         hist, _ = np.histogram(luma, bins=hist_bins, range=(0, 256))
         total = max(int(hist.sum()), 1)
         out["luma_hist"] = [round(float(x) / total, 6) for x in hist]
+        if return_pixels:
+            out["_px"] = px
         return out
     except Exception:
         return dict.fromkeys(_IMG_FIELDS)
@@ -1053,6 +1056,113 @@ def decode_image(
                 lambda b: _decode_image(
                     bytes(b) if b is not None else None, hist_bins)
             )
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def _int_luma(px) -> "object":
+    """HxW integer luma grid (BT.709-ish weights on a 1e-4 integer
+    grid: (2126 R + 7152 G + 722 B) div 10000) — pure int math so the
+    resize grid is engine- and platform-exact."""
+    import numpy as np
+
+    rgb = (px[:, :, :3] if px.shape[2] >= 3
+           else np.repeat(px[:, :, :1], 3, 2)).astype(np.int64)
+    return (2126 * rgb[:, :, 0] + 7152 * rgb[:, :, 1]
+            + 722 * rgb[:, :, 2]) // 10000
+
+
+def _bands(n_in: int, n_out: int):
+    """Deterministic integer banding: output cell i covers input rows
+    [i*n_in div n_out, (i+1)*n_in div n_out), widened to at least one
+    row — box-average when downsizing, nearest-pixel when upsizing."""
+    out = []
+    for i in range(n_out):
+        lo = i * n_in // n_out
+        hi = max((i + 1) * n_in // n_out, lo + 1)
+        out.append((lo, hi))
+    return out
+
+
+def _resize_cell_grid(luma, w_out: int, h_out: int):
+    """(h_out, w_out) integer grid of box-averaged luma: each cell is
+    sum div count over its band — floor division, so the thumbnail is
+    bit-identical on every platform."""
+    rows = _bands(luma.shape[0], h_out)
+    cols = _bands(luma.shape[1], w_out)
+    return [[int(luma[rl:rh, cl:ch].sum())
+             // ((rh - rl) * (ch - cl))
+             for (cl, ch) in cols] for (rl, rh) in rows]
+
+
+def _resize_and_dhash(b: bytes | None, width: int, height: int) -> dict:
+    """Thumbnail + dHash from one decode: the width x height
+    box-average luma grid (row-major), plus the classic
+    difference-hash fingerprint (Krawetz): a (width+1) x height grid,
+    bit = 1 iff cell[r][c] < cell[r][c+1], packed row-major.  The
+    default 8x8 = 64 bits exactly fills int64 (values >= 2^63 wrap to
+    negative two's-complement) — sign is irrelevant to the XOR +
+    bit_count Hamming distance consumers compute; resize_image
+    raises at plan build when width*height > 64 rather than silently
+    truncating."""
+    out = {"format": None, "grid_w": None, "grid_h": None,
+           "pixels": None, "dhash": None}
+    d = _decode_image(b, 1, return_pixels=True)
+    px = d.get("_px")
+    if px is None:
+        return out
+    luma = _int_luma(px)
+    grid = _resize_cell_grid(luma, width, height)
+    wide = _resize_cell_grid(luma, width + 1, height)
+    bits = 0
+    for r in range(height):
+        for c in range(width):
+            bits = (bits << 1) | (1 if wide[r][c] < wide[r][c + 1]
+                                  else 0)
+    if bits >= 1 << 63:                 # wrap into signed int64
+        bits -= 1 << 64
+    out.update(format=d["format"], grid_w=width, grid_h=height,
+               pixels=[v for row in grid for v in row], dhash=bits)
+    return out
+
+
+def resize_image(
+    df: DataFrame,
+    media_col: str = "media",
+    out_col: str = "thumb",
+    width: int = 8,
+    height: int = 8,
+) -> DataFrame:
+    """REAL image resize over the real decoders (PNG/BMP/GIF/JPEG):
+    struct(format, grid_w, grid_h, pixels array<int>, dhash long).
+
+    ``pixels`` is the width x height box-averaged integer luma grid
+    (floor division — bit-identical on every platform); ``dhash`` is
+    the classic difference-hash over a (width+1) x height grid, the
+    standard perceptual fingerprint for image near-dup: XOR+popcount
+    Hamming distance between dhashes feeds the SAME banded index as
+    the text/embedding sketches (functions/similarity.py
+    hamming_lsh_topk's byte-band pattern applies unchanged to one
+    64-bit lane).
+
+    Arrow-batched ``mapInPandas``; undecodable payloads yield NULL
+    fields instead of failing the batch (same contract as
+    decode_image)."""
+    if width * height > 64:
+        raise ValueError(
+            f"resize_image: dhash needs width*height <= 64 bits, got "
+            f"{width}x{height}")
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + (f", {out_col} struct<format:string,grid_w:int,grid_h:int,"
+         "pixels:array<int>,dhash:bigint>")
+
+    def run(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            pdf[out_col] = pdf[media_col].map(
+                lambda b: _resize_and_dhash(
+                    bytes(b) if b is not None else None, width, height))
             yield pdf
 
     return df.mapInPandas(run, schema=out_schema)

@@ -1703,6 +1703,22 @@ def _stage_decode_image_ext(df, spec, pctx):
                         hist_bins=int(spec.get("bins", 16)))
 
 
+def _stage_resize_image_ext(df, spec, pctx):
+    # {"field": binary col, "as": out, "width": n, "height": n} —
+    # REAL integer box-resize + dHash perceptual fingerprint over the
+    # real decoders (functions/multimodal.py resize_image); the dhash
+    # long feeds XOR/popcount Hamming near-dup directly
+    from pincette_json_streams_spark.functions.multimodal import (
+        resize_image,
+    )
+
+    spec = spec if isinstance(spec, dict) else {}
+    return resize_image(df, media_col=spec.get("field", "media"),
+                        out_col=spec.get("as", "thumb"),
+                        width=int(spec.get("width", 8)),
+                        height=int(spec.get("height", 8)))
+
+
 def _batch_only(df, stage: str, why: str) -> None:
     # A clear spec-level error beats the AnalysisException Spark would
     # throw at sink start for an unstreamable plan.
@@ -2803,6 +2819,7 @@ STAGES: dict[str, Callable[[DataFrame, Any, PipelineContext], DataFrame]] = {
     "$probeMedia": _stage_probe_media_ext,
     "$decodeAudio": _stage_decode_audio_ext,
     "$decodeImage": _stage_decode_image_ext,
+    "$resizeImage": _stage_resize_image_ext,
     "$windowFields": _stage_window_fields_ext,
     # MongoDB's canonical name — real Mongo pipelines run unchanged
     "$setWindowFields": _stage_window_fields_ext,

@@ -1197,6 +1197,46 @@ class TestImageDecode:
         # JPEG: honestly undecodable without a DCT codec -> NULLs
         assert got["junk"]["format"] is None
 
+    def test_resize_and_dhash(self, spark):
+        """Integer box-resize + dHash over the REAL decoder: exact
+        hand-computed luma grid (BT.709 integer weights, floor div),
+        exact dHash bits, graceful NULLs on undecodable payloads,
+        upscale-by-nearest, and the 64-bit dhash capacity guard."""
+        from pincette_json_streams_spark.functions.multimodal import (
+            resize_image,
+        )
+        # 2x2 RGB: red, green / blue, white (Up filter on row 2)
+        row1 = bytes([255, 0, 0, 0, 255, 0])
+        row2 = bytes([0, 0, 255, 255, 255, 255])
+        up = bytes((c - p) % 256 for c, p in zip(row2, row1))
+        png = self._png(b"\x00" + row1 + b"\x02" + up, 2, 2)
+        df = spark.createDataFrame(
+            [("p", bytearray(png)), ("junk", bytearray(b"\x00\x01"))],
+            "asset_id string, media binary")
+        got = {r["asset_id"]: r["thumb"].asDict()
+               for r in resize_image(df, width=2, height=2).collect()}
+        t = got["p"]
+        # luma: red 2126*255//10000=54, green 182, blue 18, white 255
+        assert t["pixels"] == [54, 182, 18, 255]
+        assert (t["grid_w"], t["grid_h"]) == (2, 2)
+        # dHash wide grid (3x2): rows [54,54,182] / [18,18,255]
+        # bits: 54<54=0, 54<182=1, 18<18=0, 18<255=1 -> 0b0101
+        assert t["dhash"] == 0b0101
+        assert got["junk"]["format"] is None
+        assert got["junk"]["dhash"] is None
+        # 1x1 box average: (54+182+18+255)//4
+        one = {r["asset_id"]: r["thumb"].asDict()
+               for r in resize_image(df, width=1, height=1).collect()}
+        assert one["p"]["pixels"] == [127]
+        # upscale 4x1: nearest columns, rows averaged
+        wide = {r["asset_id"]: r["thumb"].asDict()
+                for r in resize_image(df, width=4, height=1).collect()}
+        assert wide["p"]["pixels"] == [36, 36, 218, 218]
+        # identical images share a dhash; the capacity guard raises
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            resize_image(df, width=9, height=8)
+
     def test_png_sub_and_paeth_filters_roundtrip(self, spark):
         """Filters 1 (Sub) and 4 (Paeth) must reconstruct exactly."""
         from pincette_json_streams_spark.functions.multimodal import (
