@@ -6991,12 +6991,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver samples a 50-query prefix of this
     # dict, so the least-recently-driver-checked queries must come
     # first.  Re-derived after CORRECTNESS_r08 (50/50 green; union of
-    # r1-r8 = all 149 green at their latest check): the round-9
-    # addition leads (never sampled), then strip_spans/window_fields —
+    # r1-r8 = all 149 green at their latest check): the four round-9
+    # additions lead (never sampled), then strip_spans/window_fields —
     # the only two queries whose latest driver check is r5 (displaced
-    # by the r8 newcomers) — then the 48-query r6 block (of which 47
-    # fit in this round's sample; topn_accumulators rolls to r10),
-    # then the r7 block, then the 50 queries just checked in r8.
+    # by the r8 newcomers) — then the 48-query r6 block (of which 44
+    # fit in this round's sample; the last four roll to r10), then
+    # the r7 block, then the 50 queries just checked in r8.
     return {
         # -- NEW in round 9 (never driver-sampled -> very front) --
         "ann_hamming_lsh": q_ann_hamming_lsh,
