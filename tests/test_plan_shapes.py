@@ -523,3 +523,37 @@ class TestRound7PlanShapes:
         # Generate nodes); a re-join of the pair plan would double the
         # LSH subtree (~12+)
         assert plan.count("Generate (") <= 8
+
+
+class TestRound9PlanShapes:
+    def test_dup_containment_posting_equijoin(self, spark):
+        """Candidate generation is the posting equi-join + one
+        hash-agg count — never a cartesian of documents."""
+        plan = _plan(spark, "dup_containment")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoop" not in plan
+        assert "HashAggregate" in plan
+
+    def test_hard_negatives_broadcasts_query_side(self, spark):
+        """The bounded query set broadcasts against the corpus scan
+        (the allowed nested-loop form, like ann_topk); the corpus
+        itself must never shuffle for the scoring join."""
+        plan = _plan(spark, "hard_negatives")
+        assert "BroadcastNestedLoopJoin" in plan \
+            or "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_balanced_sample_single_exchange(self, spark):
+        """Exact-count rebalancing is ONE per-stratum rank window —
+        a single hash-partition exchange, no joins."""
+        import re
+        plan = _plan(spark, "balanced_sample")
+        assert "Join" not in plan
+        shuffles = len(re.findall(r"Exchange hashpartitioning", plan))
+        assert shuffles <= 2, plan[:1500]  # tree + details sections
+
+    def test_ann_hamming_lsh_no_corpus_crossjoin(self, spark):
+        plan = _plan(spark, "ann_hamming_lsh")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoop" not in plan
