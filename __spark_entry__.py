@@ -1964,6 +1964,54 @@ WHERE (inter * 1000000) // least(a.sz, b.sz) >= 500000
 """
 
 
+def q_hamming_pairs(spark, sf_dir):
+    """All-pairs Hamming near-duplicates over sign-lane sketches
+    (functions/similarity.py hamming_near_pairs): band-collision
+    candidates (one byte-band posting per row, equi-join, id_a <
+    id_b), exact XOR+popcount verify, min-agg dedup.  The self-join
+    sibling of ann_hamming_lsh — and the SAME operator that pairs
+    image dHashes (multimodal.resize_image) for perceptual image
+    dedup.  max_hamming=18 exceeds the guaranteed radius (7 = bands-1)
+    on purpose: this corpus's closest sketches sit at distance 15+,
+    and BOTH engines replay the identical band-collision candidate
+    rule, so the output is deterministic even where recall is
+    probabilistic."""
+    from pincette_json_streams_spark.functions.similarity import (
+        binary_signatures, hamming_near_pairs,
+    )
+    import warnings
+    emb = _t(spark, sf_dir, "embeddings")
+    sigs = binary_signatures(emb, dims=64)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # radius warning is the point
+        return hamming_near_pairs(sigs, max_hamming=18)
+
+
+def _oracle_hamming_pairs(mh=18):
+    lane = ("list_sum(list_transform(generate_series(1, 32), "
+            "i -> CASE WHEN embedding[{off} + i] > 0 "
+            "THEN (1::BIGINT << (32 - i)) ELSE 0::BIGINT END))")
+    return f"""
+WITH sigs AS (
+  SELECT vec_id, {lane.format(off=0)} AS s0, {lane.format(off=32)} AS s1
+  FROM embeddings
+), postings AS (
+  SELECT vec_id, s0, s1, b.band,
+         ((CASE WHEN b.band < 4 THEN s0 ELSE s1 END)
+          >> ((3 - (b.band % 4)) * 8)) & 255 AS bv
+  FROM sigs, generate_series(0, 7) AS b(band)
+)
+SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+       min((bit_count(xor(l.s0, r.s0))
+            + bit_count(xor(l.s1, r.s1)))::BIGINT) AS hamming
+FROM postings l JOIN postings r
+  ON l.band = r.band AND l.bv = r.bv AND l.vec_id < r.vec_id
+GROUP BY 1, 2
+HAVING min(bit_count(xor(l.s0, r.s0))
+           + bit_count(xor(l.s1, r.s1))) <= {mh}
+"""
+
+
 def q_hard_negatives(spark, sf_dir):
     """Hard-negative mining (functions/similarity.py
     hard_negative_topk): per query vector, the 10 most-similar corpus
@@ -7003,6 +7051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_containment": q_dup_containment,
         "hard_negatives": q_hard_negatives,
         "balanced_sample": q_balanced_sample,
+        "hamming_pairs": q_hamming_pairs,
         # -- stalest first: latest driver check r5 --
         "strip_spans": q_strip_spans,
         "window_fields": q_window_fields,
@@ -7166,6 +7215,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_containment": _ORACLE_DUP_CONTAINMENT,
         "hard_negatives": _ORACLE_HARD_NEGATIVES,
         "balanced_sample": _ORACLE_BALANCED_SAMPLE,
+        "hamming_pairs": _oracle_hamming_pairs(),
         "changepoint_scan": _ORACLE_CHANGEPOINT,
         "hll_distinct": _ORACLE_HLL_DISTINCT,
         "pq_cells": _ORACLE_PQ_CELLS,

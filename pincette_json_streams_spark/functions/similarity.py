@@ -416,6 +416,81 @@ def hamming_lsh_topk(
     )
 
 
+def hamming_near_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    lane_cols: "Sequence[str]" = ("sig_0", "sig_1"),
+    max_hamming: int = 7,
+    band_bits: int = 8,
+    lane_bits: int = 32,
+) -> DataFrame:
+    """ALL-PAIRS Hamming near-duplicates over precomputed sketch lanes
+    — the self-join sibling of :func:`hamming_lsh_topk` (which answers
+    per-query top-k): every pair of rows whose total XOR+popcount
+    distance across ``lane_cols`` is <= ``max_hamming``.
+
+    Works on ANY int64 sketch lanes: the sign-lane embedding sketches
+    of :func:`binary_signatures`, the dHash perceptual fingerprints of
+    ``multimodal.resize_image`` (image near-dup end to end), or the
+    token simhash — one operator, every modality.
+
+    Index shape: each row posts one (band, value) key per byte-band;
+    candidates are band COLLISIONS (the equi-join on the exact band
+    value, id_a < id_b), then the exact integer distance verifies.
+    Pigeonhole guarantee: a pair at distance d has some band with
+    ZERO flips whenever ``d < n_bands``, so ``max_hamming <=
+    n_bands - 1`` (the default 7 for a 64-bit sketch in 8 byte-bands)
+    has ZERO false negatives — exact, not probabilistic, and the SQL
+    oracle replays it bit-for-bit.  Larger ``max_hamming`` degrades
+    honestly: candidates still come from band collisions, so recall
+    beyond the radius is probabilistic (raise ``band_bits`` coverage
+    by lowering it, the standard LSH trade).
+
+    -> (id_a, id_b, hamming)."""
+    lanes = list(lane_cols)
+    n_bands = len(lanes) * (lane_bits // band_bits)
+    if max_hamming > n_bands - 1:
+        import warnings
+        warnings.warn(
+            f"hamming_near_pairs: max_hamming={max_hamming} exceeds "
+            f"the guaranteed radius {n_bands - 1} (= n_bands - 1); "
+            "recall beyond it is probabilistic")
+    per_lane = lane_bits // band_bits
+    mask = (1 << band_bits) - 1
+
+    def band_val(b):
+        lane = F.col(lanes[b // per_lane])
+        shift = (per_lane - 1 - (b % per_lane)) * band_bits
+        return F.shiftright(lane, shift).bitwiseAND(F.lit(mask))
+
+    postings = df.select(
+        F.col(id_col).alias("id"), *lanes,
+        F.explode(F.array(*[
+            F.struct(F.lit(b).cast("int").alias("band"),
+                     band_val(b).alias("bv"))
+            for b in range(n_bands)
+        ])).alias("p"),
+    ).select("id", *lanes, "p.band", "p.bv")
+    l = postings.alias("l")
+    r = postings.select(
+        F.col("id").alias("id_r"), "band", "bv",
+        *[F.col(c).alias(f"r_{c}") for c in lanes]).alias("r")
+    ham = sum(
+        F.bit_count(F.expr(f"l.{c} ^ r_{c}")) for c in lanes
+    ).cast("long")
+    return (
+        l.join(r, (F.col("l.band") == F.col("r.band"))
+               & (F.col("l.bv") == F.col("r.bv"))
+               & (F.col("l.id") < F.col("id_r")))
+        .select(F.col("l.id").alias("id_a"),
+                F.col("id_r").alias("id_b"),
+                ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .groupBy("id_a", "id_b")
+        .agg(F.min("hamming").alias("hamming"))
+    )
+
+
 def _rounded_cosines(V, C):
     """(n, nlist) cosine matrix of rows V against centroids C, rounded to
     6 decimals so engine-order float noise cannot flip an argmax."""

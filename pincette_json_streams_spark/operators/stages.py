@@ -2452,6 +2452,30 @@ def _stage_hamming_topk_ext(df, spec, pctx):
                         vec_col=vec, id_col=idc)
 
 
+def _stage_hamming_pairs_ext(df, spec, pctx):
+    # {"id": col, "lanes": [cols], "maxHamming": n, "bandBits": n?,
+    #  "laneBits": n?} — all-pairs Hamming near-duplicates over
+    # precomputed sketch lanes (functions/similarity.py
+    # hamming_near_pairs): band-collision candidates, exact
+    # XOR/popcount verify; zero false negatives for maxHamming <=
+    # n_bands - 1.  Works on sign-lane sketches AND image dHashes.
+    _batch_only(df, "$hammingPairs", "corpus-wide band self-join")
+    from pincette_json_streams_spark.functions.similarity import (
+        hamming_near_pairs,
+    )
+
+    lanes = spec.get("lanes", ["sig_0", "sig_1"])
+    if not isinstance(lanes, list) or not lanes:
+        raise UnsupportedExpression(
+            "$hammingPairs: 'lanes' must be a non-empty list of "
+            "sketch columns")
+    return hamming_near_pairs(
+        df, id_col=spec.get("id", "vec_id"), lane_cols=lanes,
+        max_hamming=int(spec.get("maxHamming", 7)),
+        band_bits=int(spec.get("bandBits", 8)),
+        lane_bits=int(spec.get("laneBits", 32)))
+
+
 def _stage_hamming_lsh_topk_ext(df, spec, pctx):
     # {"vector": col, "id": col, "k": n, "bandBits": n?, "probeBits":
     #  0|1?, "queries": {"mod": m}?} — sub-linear Hamming ANN
@@ -2836,6 +2860,7 @@ STAGES: dict[str, Callable[[DataFrame, Any, PipelineContext], DataFrame]] = {
     "$kmvOverlap": _stage_kmv_overlap_ext,
     "$hammingTopk": _stage_hamming_topk_ext,
     "$hammingLshTopk": _stage_hamming_lsh_topk_ext,
+    "$hammingPairs": _stage_hamming_pairs_ext,
     "$changepoints": _stage_changepoints_ext,
     "$ewma": _stage_ewma_ext,
     "$hdrQuantiles": _stage_hdr_quantiles_ext,

@@ -5135,6 +5135,72 @@ class TestBinarySketchAnn:
         )[:5])
         assert out5 == expect_grown
 
+    def test_hamming_near_pairs_guaranteed_radius(self, spark):
+        """Self-join pigeonhole: a pair at distance d < n_bands always
+        shares an exact band, so max_hamming <= 7 (64-bit sketch, 8
+        byte-bands) has ZERO false negatives; beyond-radius pairs must
+        not appear at the default threshold."""
+        from pincette_json_streams_spark.functions.similarity import (
+            binary_signatures, hamming_near_pairs,
+        )
+        base = [1.0] * 64
+        spread7 = [(-1.0 if i in (0, 9, 18, 27, 36, 45, 54) else 1.0)
+                   for i in range(64)]   # one flip in 7 of 8 bands
+        far = [(-1.0 if i % 2 == 0 else 1.0) for i in range(64)]
+        df = spark.createDataFrame(
+            [(0, base), (1, spread7), (2, far)],
+            "vec_id long, embedding array<float>")
+        sigs = binary_signatures(df, dims=64)
+        got = {(r["id_a"], r["id_b"]): r["hamming"]
+               for r in hamming_near_pairs(sigs).collect()}
+        assert got == {(0, 1): 7}
+
+    def test_hamming_pairs_image_dhash_composition(self, spark):
+        """End-to-end image near-dup: PNG bytes -> resize_image dHash
+        -> hamming_near_pairs on the single 64-bit lane.  Identical
+        images pair at distance 0; a structurally different image
+        stays out at the guaranteed radius."""
+        import struct
+        import zlib
+        from pincette_json_streams_spark.functions.multimodal import (
+            resize_image,
+        )
+        from pincette_json_streams_spark.functions.similarity import (
+            hamming_near_pairs,
+        )
+
+        def chunk(typ, data):
+            c = struct.pack(">I", len(data)) + typ + data
+            return c + struct.pack(
+                ">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+
+        def png(pixels, w, h):
+            raw = b"".join(b"\x00" + bytes(row) for row in pixels)
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+            return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                    + chunk(b"IDAT", zlib.compress(raw))
+                    + chunk(b"IEND", b""))
+
+        # 4x4 horizontal gradient (dHash-friendly structure) and an
+        # inverted one
+        grad = [[v for x in range(4) for v in (x * 80, x * 80, x * 80)]
+                for _ in range(4)]
+        inv = [[v for x in range(4)
+                for v in ((3 - x) * 80, (3 - x) * 80, (3 - x) * 80)]
+               for _ in range(4)]
+        df = spark.createDataFrame(
+            [(1, bytearray(png(grad, 4, 4))),
+             (2, bytearray(png(grad, 4, 4))),
+             (3, bytearray(png(inv, 4, 4)))],
+            "asset_id long, media binary")
+        sk = resize_image(df).select(
+            "asset_id", F.col("thumb.dhash").alias("dhash"))
+        got = {(r["id_a"], r["id_b"]): r["hamming"]
+               for r in hamming_near_pairs(
+                   sk, id_col="asset_id", lane_cols=["dhash"],
+                   lane_bits=64, max_hamming=7).collect()}
+        assert got == {(1, 2): 0}
+
     def test_lsh_recall_on_real_corpus(self, spark):
         """Recall gauge vs the exact kernel, ann_recall-style, on the
         real (clustered) embeddings where neighbours sit inside or
