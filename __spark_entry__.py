@@ -7039,11 +7039,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver samples a 50-query prefix of this
     # dict, so the least-recently-driver-checked queries must come
     # first.  Re-derived after CORRECTNESS_r08 (50/50 green; union of
-    # r1-r8 = all 149 green at their latest check): the four round-9
+    # r1-r8 = all 149 green at their latest check): the five round-9
     # additions lead (never sampled), then strip_spans/window_fields —
     # the only two queries whose latest driver check is r5 (displaced
-    # by the r8 newcomers) — then the 48-query r6 block (of which 44
-    # fit in this round's sample; the last four roll to r10), then
+    # by the r8 newcomers) — then the 48-query r6 block (of which 43
+    # fit in this round's sample; the last five roll to r10), then
     # the r7 block, then the 50 queries just checked in r8.
     return {
         # -- NEW in round 9 (never driver-sampled -> very front) --

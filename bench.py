@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     # the exact containment join (asymmetric dedup)
     "ann_hamming_lsh",
     "dup_containment",
+    "hamming_pairs",
 ]
 
 
