@@ -221,6 +221,21 @@ def main():
     # region_revenue "regression" vanished on re-measure).  Three passes
     # per query, min taken, measures the plan rather than the neighbors;
     # disclosed via "passes"/"agg" and the per-pass detail below.
+    # Additionally: gate the timed loop on the 1-min load average —
+    # round 9 measured three full runs contaminated by EXTERNAL load
+    # (loadavg to 14 with nothing of ours running); waiting out a noisy
+    # window costs up to 3 minutes and is disclosed in the payload
+    # (load_wait_sec / loadavg_before).
+    load_before = -1.0
+    load_wait = 0.0
+    try:
+        deadline = time.time() + 180
+        load_before = os.getloadavg()[0]
+        while os.getloadavg()[0] > 1.5 and time.time() < deadline:
+            time.sleep(5)
+            load_wait += 5
+    except OSError:
+        pass
     times: dict[str, float] = {}
     all_passes: dict[str, list[float]] = {}
     total_rows = 0
@@ -294,6 +309,8 @@ def main():
         "queries_small": small_times,
         "streaming": streaming,
         "regressions_vs_record": regressions,
+        "loadavg_before": round(load_before, 2),
+        "load_wait_sec": round(load_wait, 1),
         "loadavg_after": [round(load1, 2), round(load5, 2)],
     })
     # file copy FIRST: Spark progress bars share stdout with the JSON
