@@ -7038,73 +7038,21 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver samples a 50-query prefix of this
     # dict, so the least-recently-driver-checked queries must come
-    # first.  Re-derived after CORRECTNESS_r08 (50/50 green; union of
-    # r1-r8 = all 149 green at their latest check): the five round-9
-    # additions lead (never sampled), then strip_spans/window_fields —
-    # the only two queries whose latest driver check is r5 (displaced
-    # by the r8 newcomers) — then the 48-query r6 block (of which 43
-    # fit in this round's sample; the last five roll to r10), then
-    # the r7 block, then the 50 queries just checked in r8.
+    # first.  Re-derived after CORRECTNESS_r09 (50/50 green; union of
+    # r1-r9 = all 154 green at their latest check): the five queries
+    # whose latest driver check is r6 lead, then the 49-query r7
+    # cohort (45 of which fit in this round's 50-sample; the last
+    # four roll to r11), then the r8 block, then the 50 queries just
+    # checked in r9.  Round-10 newcomers are prepended above the r6
+    # block as they land (never driver-sampled -> very front).
     return {
-        # -- NEW in round 9 (never driver-sampled -> very front) --
-        "ann_hamming_lsh": q_ann_hamming_lsh,
-        "dup_containment": q_dup_containment,
-        "hard_negatives": q_hard_negatives,
-        "balanced_sample": q_balanced_sample,
-        "hamming_pairs": q_hamming_pairs,
-        # -- stalest first: latest driver check r5 --
-        "strip_spans": q_strip_spans,
-        "window_fields": q_window_fields,
         # -- latest driver check r6 --
-        "hybrid_rrf": q_hybrid_rrf,
-        "dedup_verify": q_dedup_verify,
-        "embedding_outliers": q_embedding_outliers,
-        "pq_refined": q_pq_refined,
-        "bloom_prefilter": q_bloom_prefilter,
-        "pagerank_top": q_pagerank,
-        "ewma_drift": q_ewma_drift,
-        "prefix_jaccard": q_prefix_jaccard,
-        "hll_windowed": q_hll_windowed,
-        "graph_triangles": q_graph_triangles,
-        "robust_outliers": q_robust_outliers,
-        "collocations_npmi": q_collocations,
-        "attribution_lasttouch": q_attribution,
-        "seasonal_profile": q_seasonal_profile,
-        "hdr_quantiles": q_hdr_quantiles,
-        "hdr_merge": q_hdr_merge,
-        "url_dedup": q_url_dedup,
-        "zorder_key": q_zorder_key,
-        "densify_fill": q_densify_fill,
-        "cms_heavy": q_cms_heavy,
-        "weighted_sample": q_weighted_sample,
-        "decontaminate": q_decontaminate,
-        "date_arith": q_date_arith,
-        "percentile_accum": q_percentile_accum,
-        "union_buckets": q_union_buckets,
-        "linear_fill": q_linear_fill,
-        "cms_merge": q_cms_merge,
-        "domain_mix": q_domain_mix,
-        "pack_sequences": q_pack_sequences,
-        "dedup_incremental": q_dedup_incremental,
-        "token_drift": q_token_drift,
-        "salted_revenue": q_salted_revenue,
-        "kmv_distinct": q_kmv_distinct,
-        "retention_cohorts": q_retention_cohorts,
-        "asof_join": q_asof_join,
-        "sessionize_events": q_sessionize_events,
-        "contamination": q_contamination,
-        "lm_score": q_lm_score,
-        "ann_ivf": q_ann_ivf,
-        "ann_recall": q_ann_recall,
-        "events_gapfill": q_events_gapfill,
-        "profile_table": q_profile_table,
-        "tfidf_terms": q_tfidf_terms,
         "graph_lookup": q_graph_lookup,
         "window_modern": q_window_modern,
         "lookup_topn": q_lookup_topn,
         "facet_summary": q_facet,
         "topn_accumulators": q_topn_accumulators,
-        # -- latest driver check r7 (freshest) --
+        # -- latest driver check r7 --
         "kmv_overlap": q_kmv_overlap,
         "modern_ops": q_modern_ops,
         "bpe_encode": q_bpe_encode,
@@ -7154,7 +7102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "theil_sen_trend": q_theil_sen,
         "winnow_pairs": q_winnow_pairs,
-        # -- latest driver check r8 (freshest -> very back) --
+        # -- latest driver check r8 --
         "ann_hamming": q_ann_hamming,
         "changepoint_scan": q_changepoint_scan,
         "curation_funnel": q_curation_funnel,
@@ -7205,6 +7153,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_revenue": q_rollup_revenue,
         "interval_hits": q_interval_join,
         "dup_spans": q_dup_spans,
+        # -- latest driver check r9 --
+        "ann_hamming_lsh": q_ann_hamming_lsh,
+        "dup_containment": q_dup_containment,
+        "hard_negatives": q_hard_negatives,
+        "balanced_sample": q_balanced_sample,
+        "hamming_pairs": q_hamming_pairs,
+        "strip_spans": q_strip_spans,
+        "window_fields": q_window_fields,
+        "hybrid_rrf": q_hybrid_rrf,
+        "dedup_verify": q_dedup_verify,
+        "embedding_outliers": q_embedding_outliers,
+        "pq_refined": q_pq_refined,
+        "bloom_prefilter": q_bloom_prefilter,
+        "pagerank_top": q_pagerank,
+        "ewma_drift": q_ewma_drift,
+        "prefix_jaccard": q_prefix_jaccard,
+        "hll_windowed": q_hll_windowed,
+        "graph_triangles": q_graph_triangles,
+        "robust_outliers": q_robust_outliers,
+        "collocations_npmi": q_collocations,
+        "attribution_lasttouch": q_attribution,
+        "seasonal_profile": q_seasonal_profile,
+        "hdr_quantiles": q_hdr_quantiles,
+        "hdr_merge": q_hdr_merge,
+        "url_dedup": q_url_dedup,
+        "zorder_key": q_zorder_key,
+        "densify_fill": q_densify_fill,
+        "cms_heavy": q_cms_heavy,
+        "weighted_sample": q_weighted_sample,
+        "decontaminate": q_decontaminate,
+        "date_arith": q_date_arith,
+        "percentile_accum": q_percentile_accum,
+        "union_buckets": q_union_buckets,
+        "linear_fill": q_linear_fill,
+        "cms_merge": q_cms_merge,
+        "domain_mix": q_domain_mix,
+        "pack_sequences": q_pack_sequences,
+        "dedup_incremental": q_dedup_incremental,
+        "token_drift": q_token_drift,
+        "salted_revenue": q_salted_revenue,
+        "kmv_distinct": q_kmv_distinct,
+        "retention_cohorts": q_retention_cohorts,
+        "asof_join": q_asof_join,
+        "sessionize_events": q_sessionize_events,
+        "contamination": q_contamination,
+        "lm_score": q_lm_score,
+        "ann_ivf": q_ann_ivf,
+        "ann_recall": q_ann_recall,
+        "events_gapfill": q_events_gapfill,
+        "profile_table": q_profile_table,
+        "tfidf_terms": q_tfidf_terms,
     }
 
 
