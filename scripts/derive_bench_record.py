@@ -40,7 +40,22 @@ def main() -> int:
     with open(path, "w") as fh:
         json.dump(record, fh, indent=1, sort_keys=True)
         fh.write("\n")
-    print(f"wrote {path}: {len(detail)} queries, "
+    # Pin the witness: the external driver overwrites bench_out.json
+    # with its own runs, so the audit must read a copy that only THIS
+    # script writes (and that gets committed next to the record).
+    witness = {
+        "sf": out["sf"],
+        "cpus": out["cpus"],
+        "pass_detail": {q: p for q, p in sorted(detail.items())},
+        "note": "witness copy of the bench_out.json pass_detail this "
+                "record was derived from; written only by "
+                "scripts/derive_bench_record.py",
+    }
+    wpath = os.path.join(REPO, "bench_witness.json")
+    with open(wpath, "w") as fh:
+        json.dump(witness, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(f"wrote {path} + {wpath}: {len(detail)} queries, "
           f"suite min-sum {round(sum(record['queries'].values()), 1)}s")
     return 0
 

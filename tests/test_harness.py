@@ -251,12 +251,15 @@ class TestBenchContract:
 
     def test_bench_record_witnessed(self):
         """Round-9 record-integrity rule: every bench_record.json value
-        must be witnessed by the committed bench_out.json pass_detail —
-        records may not undercut the witness min, budgets may not
-        exceed the witness median (the round-8 theil_sen_trend record
-        carried an unreproducible 0.77 s while its own committed
+        must be witnessed by the committed bench_witness.json
+        pass_detail — records may not undercut the witness min, budgets
+        may not exceed the witness median (the round-8 theil_sen_trend
+        record carried an unreproducible 0.77 s while its own committed
         pass_detail showed 3.4-4.0 s, and the widened budget hid a real
-        plan regression)."""
+        plan regression).  The witness is a copy written only by
+        scripts/derive_bench_record.py: the driver overwrites
+        bench_out.json every round, so auditing that file directly
+        reddened CI on an artifact the builder never committed."""
         import os as _os
         import sys as _sys
         _sys.path.insert(0, _os.path.join(_os.path.dirname(
