@@ -2044,9 +2044,14 @@ WITH q AS (
                                 e.embedding::DOUBLE[]))) AS cosine
   FROM embeddings e, q WHERE e.label != q.label
 ), ranked AS (
+  -- rank on round(cosine, 6) to MATCH the Spark contract
+  -- (hard_negative_topk ranks the rounded score, ties broken by
+  -- vec_id): ranking the unrounded double here would order
+  -- sub-1e-6-apart candidates differently than Spark's tie-break
   SELECT query_id, vec_id, neg_label,
          row_number() OVER (PARTITION BY query_id
-                            ORDER BY cosine DESC, vec_id ASC) AS rank
+                            ORDER BY round(cosine, 6) DESC,
+                                     vec_id ASC) AS rank
   FROM scored
 )
 SELECT query_id, rank::BIGINT AS rank, vec_id,
@@ -2968,6 +2973,100 @@ def q_dedup_ngram(spark, sf_dir):
     )
     docs = _t(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, n=3, threshold=0.4)
+
+
+def q_dedup_ngram_capped(spark, sf_dir):
+    """The round-10 df-cap path of ngram_jaccard_pairs (the 100 TB
+    skew guard): grams in more than df_cap=5 distinct n-gram sets are
+    corpus stopwords; candidate generation is the bounded in-array
+    posting expansion (NO posting self-join — pair output <= cap^2
+    per gram by construction), and the value is the exact Jaccard
+    over the capped gram universe.  The cap is deliberately
+    aggressive so the dropped-gram, capped-size, and verbatim-dup
+    (1.0 regardless of cap) paths are all exercised and
+    oracle-replayed."""
+    from pincette_json_streams_spark.functions.dedup import (
+        ngram_jaccard_pairs,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.2, df_cap=5)
+
+
+def q_dup_containment_capped(spark, sf_dir):
+    """df-capped containment join: same capped gram universe as
+    dedup_ngram_capped, containment = inter*1e6 div min(capped sz);
+    verbatim duplicates report their CAPPED sizes with cont_e6=1e6
+    (including size 0 when every gram of the doc is boilerplate)."""
+    from pincette_json_streams_spark.functions.dedup import (
+        containment_pairs,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    return containment_pairs(docs, n=3, threshold_pct=50, df_cap=5)
+
+
+def _oracle_ngram_capped_cte(cap=5):
+    """Shared CTE prefix replaying the df-capped gram universe: df
+    counts DISTINCT n-gram SETS (the sorted-set digest d mirrors the
+    cluster compression — verified: at both SFs identical sets only
+    arise from identical normalized text, so Spark's order-sensitive
+    set digest and this sorted one partition identically)."""
+    return f"""
+WITH norm AS (
+  SELECT doc_id AS id, string_split({_sql_norm()}, ' ') AS w FROM documents
+), ng AS (
+  SELECT id, list_distinct(
+    [array_to_string(w[i : i + 2], ' ')
+     for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS g
+  FROM norm
+), dg AS (
+  SELECT id, g, md5(array_to_string(list_sort(g), chr(31))) AS d FROM ng
+), posting AS (
+  SELECT id, d, unnest(g) AS gram FROM dg
+), gdf AS (
+  SELECT gram, count(DISTINCT d) AS c FROM posting GROUP BY 1
+), kept AS (
+  SELECT p.id, p.d, p.gram FROM posting p JOIN gdf USING (gram)
+  WHERE gdf.c <= {cap}
+), ksz AS (
+  SELECT id, count(*) AS sz FROM kept GROUP BY 1
+), shared AS (
+  SELECT l.id AS id_a, r.id AS id_b, count(*) AS inter
+  FROM kept l JOIN kept r ON l.gram = r.gram AND l.id < r.id
+   AND l.d <> r.d
+  GROUP BY 1, 2
+)"""
+
+
+_ORACLE_NGRAM_CAPPED = _oracle_ngram_capped_cte() + """,
+ ident AS (
+  SELECT a.id AS id_a, b.id AS id_b, 1.0::DOUBLE AS jaccard
+  FROM dg a JOIN dg b ON a.d = b.d AND a.id < b.id
+), crossj AS (
+  SELECT id_a, id_b,
+         round(inter::DOUBLE / (a.sz + b.sz - inter), 6) AS jaccard
+  FROM shared JOIN ksz a ON a.id = id_a JOIN ksz b ON b.id = id_b
+  WHERE round(inter::DOUBLE / (a.sz + b.sz - inter), 6) >= 0.2
+)
+SELECT * FROM ident UNION ALL SELECT * FROM crossj
+"""
+
+
+_ORACLE_CONTAINMENT_CAPPED = _oracle_ngram_capped_cte() + """,
+ ident AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         coalesce(ka.sz, 0)::BIGINT AS sz_a,
+         coalesce(kb.sz, 0)::BIGINT AS sz_b,
+         1000000::BIGINT AS cont_e6
+  FROM dg a JOIN dg b ON a.d = b.d AND a.id < b.id
+  LEFT JOIN ksz ka ON ka.id = a.id LEFT JOIN ksz kb ON kb.id = b.id
+), crossj AS (
+  SELECT id_a, id_b, a.sz::BIGINT AS sz_a, b.sz::BIGINT AS sz_b,
+         ((inter * 1000000) // least(a.sz, b.sz))::BIGINT AS cont_e6
+  FROM shared JOIN ksz a ON a.id = id_a JOIN ksz b ON b.id = id_b
+  WHERE (inter * 1000000) // least(a.sz, b.sz) >= 500000
+)
+SELECT * FROM ident UNION ALL SELECT * FROM crossj
+"""
 
 
 _ORACLE_NGRAM = f"""
@@ -7046,6 +7145,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # checked in r9.  Round-10 newcomers are prepended above the r6
     # block as they land (never driver-sampled -> very front).
     return {
+        # -- NEW in round 10 (never driver-sampled -> very front) --
+        "dedup_ngram_capped": q_dedup_ngram_capped,
+        "dup_containment_capped": q_dup_containment_capped,
         # -- latest driver check r6 --
         "graph_lookup": q_graph_lookup,
         "window_modern": q_window_modern,
@@ -7355,6 +7457,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_canonical": _oracle_dedup_canonical(),
         "split_leakfree": _oracle_split_leakfree(),
         "dedup_ngram": _ORACLE_NGRAM,
+        "dedup_ngram_capped": _ORACLE_NGRAM_CAPPED,
+        "dup_containment_capped": _ORACLE_CONTAINMENT_CAPPED,
         "dedup_simhash": _oracle_simhash(),
         "dedup_embedding": _ORACLE_DEDUP_EMBEDDING,
         "ann_lsh": _oracle_ann_lsh(),

@@ -127,6 +127,11 @@ BENCH_QUERIES = [
     "ann_hamming_lsh",
     "dup_containment",
     "hamming_pairs",
+    # round-10 additions: the df-capped posting joins (the 100 TB
+    # skew guard — bounded in-array pair expansion, no posting
+    # self-join)
+    "dedup_ngram_capped",
+    "dup_containment_capped",
 ]
 
 

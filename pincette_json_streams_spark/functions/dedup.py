@@ -672,17 +672,86 @@ def _word_ngrams_hashed_vec(n: int):
                       PandasUDFType.SCALAR)
 
 
+def _capped_shared_and_sizes(groups, df_cap: int):
+    """df-capped inter/size frames for the n-gram posting family.
+
+    Grams whose *distinct-set* document frequency exceeds ``df_cap``
+    are corpus stopwords: dropped from the postings AND from the set
+    sizes, so the similarity downstream is the exact Jaccard /
+    containment over the capped gram universe.  (df counts distinct
+    n-gram SETS, post cluster-compression — that is the posting-list
+    length that drives the join blow-up; a gram carried by 10^6
+    verbatim copies of one page has df 1 here.)
+
+    Scale shape (the winnow_pairs lesson, cf. text.py span postings):
+    instead of self-joining the postings on the gram — where one
+    boilerplate shingle shared by 10^6 sets makes that key's pair
+    output quadratic — group ONCE on the gram, keep only posting
+    lists of length <= df_cap, and expand the i<j pairs in-array.
+    Pair output is bounded by df_cap^2 per gram by construction, and
+    the heavy grams never leave the first hash-agg.
+
+    Returns (shared, sizes): shared = (gid_a, gid_b, inter) counting
+    co-occurring SURVIVING grams; sizes = (gid, sz) counting surviving
+    grams per set (df-1 grams count toward sz even though they can
+    never produce a pair; a set whose every gram is capped drops out
+    of sizes — and of the candidate stream — entirely)."""
+    gl = (
+        groups.select("gid", F.explode("ng").alias("g"))
+        .groupBy("g")
+        .agg(F.sort_array(F.collect_list("gid")).alias("gids"))
+        .filter(F.size("gids") <= F.lit(int(df_cap)))
+    ).persist()
+    sizes = (
+        gl.select(F.explode("gids").alias("gid"))
+        .groupBy("gid")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    # gids is sorted, so (gids[i], gids[j]) with i<j is exactly the
+    # l.gid < r.gid self-join output for this gram
+    pairs = F.flatten(F.transform(
+        F.sequence(F.lit(1), F.size("gids") - 1),
+        lambda i: F.transform(
+            F.slice(F.col("gids"), i + 1, F.size("gids")),
+            lambda j: F.struct(
+                F.element_at(F.col("gids"), i.cast("int")).alias("a"),
+                j.alias("b"),
+            ),
+        ),
+    ))
+    shared = (
+        gl.filter(F.size("gids") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.a").alias("gid_a"), F.col("p.b").alias("gid_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return shared, sizes
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.2,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over word n-gram sets for every pair sharing at least
     one n-gram.  Inverted-index join over *distinct n-gram sets* (cluster
     compression, see minhash_lsh_pairs) — exact-duplicate clusters pair at
-    Jaccard 1 without touching the quadratic join."""
+    Jaccard 1 without touching the quadratic join.
+
+    ``df_cap``: when set, grams whose distinct-set document frequency
+    exceeds the cap are treated as corpus stopwords — dropped from the
+    postings and from the set sizes, so the reported value is the exact
+    Jaccard over the CAPPED gram universe (the text.py:1180 span-posting
+    pattern).  This is the 100 TB skew guard: without it one boilerplate
+    shingle shared by 10^6 distinct sets makes that posting key's pair
+    expansion quadratic.  Capping changes the measure — recall effect:
+    pairs similar ONLY through boilerplate grams vanish (usually the
+    point), and borderline pairs shift by at most the capped grams'
+    share of their union.  Verbatim-identical documents (same set
+    digest) still pair at Jaccard 1.0 regardless of the cap."""
     base = _spread(df).select(
         F.col(id_col).alias("id"),
         _word_ngrams_hashed_vec(n)(F.col(text_col)).alias("ss"),
@@ -695,16 +764,20 @@ def ngram_jaccard_pairs(
              F.sort_array(F.collect_list("id")).alias("ids"))
     ).persist()
 
-    posting = groups.select("gid", F.explode("ng").alias("g"))
-    l, r = posting.alias("l"), posting.alias("r")
-    shared = (
-        l.join(r, (F.col("l.g") == F.col("r.g"))
-               & (F.col("l.gid") < F.col("r.gid")))
-        .groupBy(F.col("l.gid").alias("gid_a"),
-                 F.col("r.gid").alias("gid_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sets = groups.select("gid", "ids", F.size("ng").alias("sz"))
+    if df_cap is None:
+        posting = groups.select("gid", F.explode("ng").alias("g"))
+        l, r = posting.alias("l"), posting.alias("r")
+        shared = (
+            l.join(r, (F.col("l.g") == F.col("r.g"))
+                   & (F.col("l.gid") < F.col("r.gid")))
+            .groupBy(F.col("l.gid").alias("gid_a"),
+                     F.col("r.gid").alias("gid_b"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        sets = groups.select("gid", "ids", F.size("ng").alias("sz"))
+    else:
+        shared, sizes = _capped_shared_and_sizes(groups, df_cap)
+        sets = groups.select("gid", "ids").join(sizes, "gid")
     cross = (
         shared.join(
             sets.select(F.col("gid").alias("gid_a"),
@@ -743,6 +816,7 @@ def containment_pairs(
     n: int = 3,
     threshold_pct: int = 80,
     prefix_filter: bool = False,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Exact n-gram CONTAINMENT join: pairs where the smaller document's
     n-gram set is (near-)inside the other's —
@@ -781,8 +855,23 @@ def containment_pairs(
     index here: signature agreement tracks Jaccard, which is ~0 on
     exactly the quote-in-page pairs this operator exists to find.)
 
+    ``df_cap`` (default path only; mutually exclusive with
+    ``prefix_filter``): the same distinct-set document-frequency cap
+    as :func:`ngram_jaccard_pairs` — grams above the cap become
+    corpus stopwords, candidate generation switches to the bounded
+    in-array posting expansion (pair output <= df_cap^2 per gram),
+    and containment is exact over the CAPPED gram universe with
+    capped sizes reported.  Recall effect: a quote whose every gram
+    is boilerplate (df > cap) no longer registers as contained —
+    which for web-crawl boilerplate is the intent.  Verbatim-identical
+    documents still pair at cont_e6 = 1e6 regardless of the cap.
+
     Returns (id_a, id_b, sz_a, sz_b, cont_e6) with id_a < id_b and
     sizes in set-gram units aligned to their ids."""
+    if prefix_filter and df_cap is not None:
+        raise ValueError(
+            "containment_pairs: prefix_filter and df_cap are distinct "
+            "candidate-generation strategies; pick one")
     thr_e6 = threshold_pct * 10_000
     base = _spread(df).select(
         F.col(id_col).alias("id"),
@@ -838,6 +927,8 @@ def containment_pairs(
                     F.size(F.array_intersect("arr_a", "arr_b"))
                     .cast("bigint").alias("inter"))
         )
+    elif df_cap is not None:
+        shared, _cap_sizes = _capped_shared_and_sizes(groups, df_cap)
     else:
         posting = groups.select("gid", F.explode("ng").alias("g"))
         l, r = posting.alias("l"), posting.alias("r")
@@ -848,7 +939,17 @@ def containment_pairs(
                      F.col("r.gid").alias("gid_b"))
             .agg(F.count(F.lit(1)).alias("inter"))
         )
-    sets2 = groups.select("gid", "ids", F.size("ng").alias("sz"))
+    if df_cap is not None:
+        # capped sizes travel into the output; a set whose every gram
+        # is capped keeps sz 0 (it can only appear in `within`)
+        sets2 = (
+            groups.select("gid", "ids")
+            .join(_cap_sizes, "gid", "left")
+            .select("gid", "ids",
+                    F.coalesce("sz", F.lit(0)).alias("sz"))
+        )
+    else:
+        sets2 = groups.select("gid", "ids", F.size("ng").alias("sz"))
     cross = (
         shared.join(
             sets2.select(F.col("gid").alias("gid_a"),
@@ -878,9 +979,10 @@ def containment_pairs(
         )
     )
     within = (
-        groups.filter(F.size("ids") > 1)
-        .select(F.explode("ids").alias("ia"), F.col("ids"),
-                F.size("ng").alias("sz"))
+        # read sizes from sets2 so df_cap mode reports CAPPED sizes
+        # consistently (uncapped: sets2.sz == size(ng), same plan)
+        sets2.filter(F.size("ids") > 1)
+        .select(F.explode("ids").alias("ia"), F.col("ids"), "sz")
         .select("ia", F.explode("ids").alias("ib"), "sz")
         .filter(F.col("ia") < F.col("ib"))
         .select(F.col("ia").alias("id_a"), F.col("ib").alias("id_b"),

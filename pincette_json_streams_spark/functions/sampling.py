@@ -91,9 +91,13 @@ def balanced_topn_sample(
     the canonical use.
 
     Determinism: rank = md5(salt || key) ordered lexicographically,
-    ties by key — no RNG, so the selection is stable under reruns,
-    growing strata only ever APPEND to the tail (an existing row's
-    rank never changes), and an ANSI-SQL oracle replays it exactly.
+    ties by key — no RNG, so reruns replay the IDENTICAL selection
+    and an ANSI-SQL oracle replays it exactly.  Selection over a
+    grown stratum is re-derived, so membership can change as rows
+    are added (a new key whose md5 sorts ahead of existing keys
+    shifts ranks and can evict a previously selected row); for an
+    add-only contract use :func:`train_test_split`-style bucket
+    membership, which depends only on the row's own key.
 
     Scale shape: one shuffle (the per-stratum rank window).  Skewed
     strata are bounded by the window's own partitioning; at 100 TB the

@@ -430,9 +430,15 @@ def hamming_near_pairs(
     distance across ``lane_cols`` is <= ``max_hamming``.
 
     Works on ANY int64 sketch lanes: the sign-lane embedding sketches
-    of :func:`binary_signatures`, the dHash perceptual fingerprints of
-    ``multimodal.resize_image`` (image near-dup end to end), or the
-    token simhash — one operator, every modality.
+    of :func:`binary_signatures` (32-bit lanes — the default), the
+    dHash perceptual fingerprints of ``multimodal.resize_image``
+    (ONE 64-bit lane: pass ``lane_cols=["dhash"], lane_bits=64``), or
+    the token simhash — one operator, every modality.  ``lane_bits``
+    must match the sketch width: when ``lane_bits < 64`` every lane
+    value is runtime-checked to fit (a 64-bit dHash silently banded
+    as 32 bits would halve the band count and shrink the guaranteed
+    radius from 7 to 3 — that misuse now raises instead of silently
+    losing recall).
 
     Index shape: each row posts one (band, value) key per byte-band;
     candidates are band COLLISIONS (the equi-join on the exact band
@@ -463,8 +469,28 @@ def hamming_near_pairs(
         shift = (per_lane - 1 - (b % per_lane)) * band_bits
         return F.shiftright(lane, shift).bitwiseAND(F.lit(mask))
 
+    if lane_bits < 64:
+        # fail loudly on lanes wider than lane_bits: banding only the
+        # low bits while the exact verify XORs all 64 silently shrinks
+        # the guaranteed radius (the dHash-with-default-32 trap)
+        def _checked(c):
+            ok = F.col(c).isNull() | (
+                (F.col(c) >= 0)
+                & (F.shiftright(F.col(c), lane_bits) == 0))
+            return F.when(ok, F.col(c)).otherwise(F.raise_error(
+                F.concat(
+                    F.lit(f"hamming_near_pairs: lane '{c}' value "),
+                    F.col(c).cast("string"),
+                    F.lit(f" does not fit lane_bits={lane_bits}; pass "
+                          "lane_bits matching the sketch width "
+                          "(dHash lanes are 64-bit)")))).alias(c)
+
+        lane_guard = [_checked(c) for c in lanes]
+    else:
+        lane_guard = [F.col(c) for c in lanes]
+
     postings = df.select(
-        F.col(id_col).alias("id"), *lanes,
+        F.col(id_col).alias("id"), *lane_guard,
         F.explode(F.array(*[
             F.struct(F.lit(b).cast("int").alias("band"),
                      band_val(b).alias("bv"))

@@ -2286,23 +2286,28 @@ def _stage_balanced_sample_ext(df, spec, pctx):
 
 
 def _stage_containment_ext(df, spec, pctx):
-    # {"text": col, "id": col, "thresholdPct": n, "n": n} — exact
-    # n-gram CONTAINMENT join (functions/dedup.py containment_pairs):
-    # pairs where the smaller n-gram set is >= pct inside the other —
-    # the asymmetric sibling of $prefixJaccard/$nearDups that catches
-    # boilerplate wrappers and quoted passages symmetric Jaccard
-    # cannot see.
+    # {"text": col, "id": col, "thresholdPct": n, "n": n, "dfCap": n?}
+    # — exact n-gram CONTAINMENT join (functions/dedup.py
+    # containment_pairs): pairs where the smaller n-gram set is >= pct
+    # inside the other — the asymmetric sibling of
+    # $prefixJaccard/$nearDups that catches boilerplate wrappers and
+    # quoted passages symmetric Jaccard cannot see.  dfCap (the 100 TB
+    # skew guard): grams in more than dfCap distinct sets become
+    # corpus stopwords and candidate generation switches to the
+    # bounded in-array posting expansion — no posting self-join.
     _batch_only(df, "$containment", "corpus-wide posting self-join")
     from pincette_json_streams_spark.functions.dedup import (
         containment_pairs,
     )
 
+    df_cap = spec.get("dfCap")
     return containment_pairs(
         df,
         text_col=spec.get("text", "text"),
         id_col=spec.get("id", "doc_id"),
         n=int(spec.get("n", 3)),
         threshold_pct=int(spec.get("thresholdPct", 80)),
+        df_cap=int(df_cap) if df_cap is not None else None,
     )
 
 

@@ -608,6 +608,91 @@ class TestDedup:
                       prefix_filter=True).collect()}
             assert d_ == p_, pct
 
+    def test_ngram_df_cap(self, spark):
+        """The 100 TB skew guard: grams above the distinct-set df cap
+        become corpus stopwords.  Locks (a) huge cap == uncapped
+        output bit-for-bit, (b) a python mirror of the capped
+        semantics on a skewed fixture (one boilerplate shingle in
+        half the docs) where genuine near-dups SURVIVE the cap while
+        boilerplate-only pairs vanish, (c) verbatim duplicates pair
+        at 1.0 / 1e6 regardless of the cap, (d) the knob is mutually
+        exclusive with prefix_filter."""
+        import re
+        from collections import Counter
+
+        from pincette_json_streams_spark.functions.dedup import (
+            containment_pairs, ngram_jaccard_pairs,
+        )
+        boiler = "all rights reserved copyright twenty twenty four"
+        rows = [(1, "the quick brown fox jumps over the lazy dog"),
+                (2, "the quick brown fox jumps over the lazy cat"),
+                (3, "the quick brown fox jumps over the lazy dog"),
+                (4, None)]
+        rows += [(10 + i, f"page {i} unique body text number {i} "
+                  f"alpha{i} beta{i} gamma{i} " + boiler)
+                 for i in range(12)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+
+        # (a) huge cap == uncapped, both operators
+        for fn, kw in ((ngram_jaccard_pairs, {"threshold": 0.05}),
+                       (containment_pairs, {"threshold_pct": 5})):
+            unc = sorted(map(tuple, fn(df, n=3, **kw).collect()))
+            cap = sorted(map(tuple,
+                             fn(df, n=3, df_cap=10 ** 6, **kw).collect()))
+            assert unc == cap, fn.__name__
+
+        # (b)+(c) python mirror of the capped semantics, cap=3: the
+        # boilerplate grams (df=12 over distinct sets) get dropped
+        def ngrams(t):
+            w = re.sub(r"\s+", " ", t.lower()).strip().split(" ")
+            return {" ".join(w[i:i + 3])
+                    for i in range(max(len(w) - 2, 1))}
+
+        cap = 3
+        sets = {i: ngrams(t) for i, t in rows if t is not None}
+        gdf = Counter(
+            g for s in {frozenset(v) for v in sets.values()} for g in s)
+        kept = {i: {g for g in s if gdf[g] <= cap}
+                for i, s in sets.items()}
+        exp_j, exp_c = {}, {}
+        for a in sets:
+            for b in sets:
+                if a >= b:
+                    continue
+                if sets[a] == sets[b]:
+                    exp_j[(a, b)] = 1.0
+                    exp_c[(a, b)] = (len(kept[a]), len(kept[b]),
+                                     1_000_000)
+                    continue
+                inter = len(kept[a] & kept[b])
+                if not inter:
+                    continue
+                j = inter / (len(kept[a]) + len(kept[b]) - inter)
+                if j >= 0.05:
+                    exp_j[(a, b)] = round(j, 6)
+                c = inter * 1_000_000 // min(len(kept[a]), len(kept[b]))
+                if c >= 50_000:
+                    exp_c[(a, b)] = (len(kept[a]), len(kept[b]), c)
+        got_j = {(r["id_a"], r["id_b"]): r["jaccard"]
+                 for r in ngram_jaccard_pairs(
+                     df, n=3, threshold=0.05, df_cap=cap).collect()}
+        assert set(got_j) == set(exp_j)
+        for k, v in exp_j.items():
+            assert got_j[k] == pytest.approx(v, abs=2e-6), k
+        got_c = {(r["id_a"], r["id_b"]): (r["sz_a"], r["sz_b"],
+                                          r["cont_e6"])
+                 for r in containment_pairs(
+                     df, n=3, threshold_pct=5, df_cap=cap).collect()}
+        assert got_c == exp_c
+        # genuine near-dups survived; boilerplate-only pairs vanished
+        assert (1, 2) in got_j and got_j[(1, 3)] == 1.0
+        assert (10, 11) not in got_j and (10, 11) not in got_c
+        assert got_c[(1, 3)][2] == 1_000_000
+
+        # (d) mutual exclusion with the prefix-filter strategy
+        with pytest.raises(ValueError):
+            containment_pairs(df, prefix_filter=True, df_cap=5)
+
     def test_connected_components(self, spark):
         from pincette_json_streams_spark.functions.dedup import (
             connected_components,
@@ -5100,8 +5185,10 @@ class TestBinarySketchAnn:
 
     def test_balanced_topn_sample(self, spark):
         """Exact per-stratum counts, md5-rank determinism (python
-        mirror), stability under corpus growth (an existing row's rank
-        never changes), and strata smaller than n survive whole."""
+        mirror), replay determinism over a grown stratum (the
+        selection is RE-DERIVED — membership can change as rows are
+        added; only reruns on identical data are exact replays), and
+        strata smaller than n survive whole."""
         import hashlib
         from pincette_json_streams_spark.functions.sampling import (
             balanced_topn_sample,
@@ -5154,6 +5241,28 @@ class TestBinarySketchAnn:
         got = {(r["id_a"], r["id_b"]): r["hamming"]
                for r in hamming_near_pairs(sigs).collect()}
         assert got == {(0, 1): 7}
+
+    def test_hamming_near_pairs_lane_width_guard(self, spark):
+        """A 64-bit lane (e.g. a dHash) passed with the default
+        lane_bits=32 must raise at execution instead of silently
+        banding only the low 32 bits (which would shrink the
+        guaranteed radius from 7 to 3 with no visible signal)."""
+        from pincette_json_streams_spark.functions.similarity import (
+            hamming_near_pairs,
+        )
+        df = spark.createDataFrame(
+            [(0, 1 << 40), (1, 1 << 40)], "vec_id long, dhash long")
+        with pytest.raises(Exception, match="does not fit lane_bits"):
+            hamming_near_pairs(df, lane_cols=["dhash"]).collect()
+        # the correct call works, and negative int64 dHashes are fine
+        # at lane_bits=64 (no guard applies)
+        neg = spark.createDataFrame(
+            [(0, -(1 << 62)), (1, -(1 << 62))],
+            "vec_id long, dhash long")
+        got = hamming_near_pairs(
+            neg, lane_cols=["dhash"], lane_bits=64).collect()
+        assert [(r["id_a"], r["id_b"], r["hamming"])
+                for r in got] == [(0, 1, 0)]
 
     def test_hamming_pairs_image_dhash_composition(self, spark):
         """End-to-end image near-dup: PNG bytes -> resize_image dHash

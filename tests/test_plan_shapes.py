@@ -557,3 +557,29 @@ class TestRound9PlanShapes:
         plan = _plan(spark, "ann_hamming_lsh")
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoop" not in plan
+
+
+class TestRound10PlanShapes:
+    def test_df_capped_paths_have_no_posting_self_join(self, spark):
+        """df_cap switches candidate generation to the bounded
+        in-array expansion: the gram-posting SELF-join (the gid<gid
+        join condition in the uncapped plan) must be gone — heavy
+        grams never leave the first hash-agg, and pair output is
+        bounded by df_cap^2 per gram by construction."""
+        import re
+
+        # the uncapped plans DO carry the self-join marker (guards
+        # the marker itself against plan-printer drift)
+        for capped, uncapped in (("dedup_ngram_capped", "dedup_ngram"),
+                                 ("dup_containment_capped",
+                                  "dup_containment")):
+            assert re.search(r"Join condition: \(gid#\d+ < gid#\d+\)",
+                             _plan(spark, uncapped)), uncapped
+            plan = _plan(spark, capped)
+            assert not re.search(
+                r"Join condition: \(gid#\d+ < gid#\d+\)", plan), capped
+            assert "CartesianProduct" not in plan
+            assert "BroadcastNestedLoop" not in plan
+            # pair expansion is a generator over the collected
+            # posting list, not a join
+            assert "Generate" in plan, capped

@@ -365,3 +365,64 @@ class TestContainmentProperty:
         for pair, j in jac.items():
             assert pair in all_cont
             assert all_cont[pair] >= int(j * 1_000_000) - 1, (pair, j)
+
+    @SPARKY
+    @given(st.lists(
+        st.lists(st.sampled_from(
+            ["alpha", "beta", "gamma", "delta", "eps"]),
+            min_size=1, max_size=12).map(" ".join),
+        min_size=2, max_size=8),
+        st.integers(20, 80), st.integers(1, 6))
+    def test_df_cap_matches_capped_mirror(self, spark, texts, pct, cap):
+        """df_cap semantics law: the reported values are the EXACT
+        Jaccard/containment over the capped gram universe (grams with
+        distinct-set df > cap removed from postings AND sizes), with
+        verbatim-identical documents still pairing at 1.0 / 1e6."""
+        from collections import Counter
+
+        from pincette_json_streams_spark.functions.dedup import (
+            containment_pairs, ngram_jaccard_pairs,
+        )
+        rows = list(enumerate(texts))
+        sets = {i: self._ngrams(t) for i, t in rows}
+        gdf = Counter(
+            g for s in {frozenset(v) for v in sets.values()} for g in s)
+        kept = {i: {g for g in s if gdf[g] <= cap}
+                for i, s in sets.items()}
+        exp_c, exp_j = {}, {}
+        thr = pct / 100.0
+        for a in sets:
+            for b in sets:
+                if a >= b:
+                    continue
+                if sets[a] == sets[b]:
+                    exp_c[(a, b)] = (len(kept[a]), len(kept[b]),
+                                     1_000_000)
+                    exp_j[(a, b)] = 1.0
+                    continue
+                inter = len(kept[a] & kept[b])
+                if not inter:
+                    continue
+                c = inter * 1_000_000 // min(len(kept[a]), len(kept[b]))
+                if c >= pct * 10_000:
+                    exp_c[(a, b)] = (len(kept[a]), len(kept[b]), c)
+                j = inter / (len(kept[a]) + len(kept[b]) - inter)
+                if round(j, 6) >= thr:
+                    exp_j[(a, b)] = round(j, 6)
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got_c = {(r["id_a"], r["id_b"]): (r["sz_a"], r["sz_b"],
+                                          r["cont_e6"])
+               for r in containment_pairs(
+                   df, n=3, threshold_pct=pct, df_cap=cap).collect()}
+        assert got_c == exp_c
+        got_j = {(r["id_a"], r["id_b"]): r["jaccard"]
+                 for r in ngram_jaccard_pairs(
+                     df, n=3, threshold=thr, df_cap=cap).collect()}
+        # Spark rounds half-up in BigDecimal, python rounds half-even:
+        # compare keys exactly but values on a 2e-6 tolerance, and
+        # allow threshold-boundary disagreement only at the boundary
+        for k in set(exp_j) ^ set(got_j):
+            v = exp_j.get(k, got_j.get(k))
+            assert abs(v - thr) < 2e-6, (k, v)
+        for k in set(exp_j) & set(got_j):
+            assert abs(got_j[k] - exp_j[k]) < 2e-6, k
