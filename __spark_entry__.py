@@ -3069,6 +3069,109 @@ SELECT * FROM ident UNION ALL SELECT * FROM crossj
 """
 
 
+def q_audio_fingerprint(spark, sf_dir):
+    """REAL WAV round-trip + integer perceptual fingerprint
+    (functions/multimodal.py audio_fingerprint): per doc_id a PCM16
+    mono WAV is synthesized from the replayable sample formula
+    s[i] = ((doc_id*1000003 + i*7919) % 65536) - 32768 (i < 1024),
+    packed into a real RIFF container, decoded by the stdlib wave
+    decoder, and fingerprinted with the Haitsma-Kalker bit rule over
+    integer dyadic-lag band energies.  The oracle replays the EXACT
+    integer math straight from the formula — so a container-parse,
+    width-normalization or fingerprint-arithmetic bug all surface as
+    a value mismatch.  The resulting int64 lane feeds hamming_near_
+    pairs/$hammingPairs unchanged (composition locked in pytest) —
+    audio joins text/embeddings/images on ONE near-dup index."""
+    from pyspark.sql.functions import pandas_udf
+
+    from pincette_json_streams_spark.functions.multimodal import (
+        audio_fingerprint,
+    )
+
+    @pandas_udf("binary")
+    def synth(ids):
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        out = []
+        i = np.arange(1024, dtype=np.int64)
+        for did in ids:
+            s = ((int(did) * 1000003 + i * 7919) % 65536
+                 - 32768).astype("<i2")
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(8000)
+                w.writeframes(s.tobytes())
+            out.append(buf.getvalue())
+        return pd.Series(out)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    wav = docs.withColumn("media", synth(F.col("doc_id")))
+    return audio_fingerprint(wav).select("doc_id", "afp")
+
+
+# replay of multimodal._audio_fp_int: lags (1,2,4,8,16), frames
+# n = i // 64, E(n,m) = sum of squared lag-diffs (diffs below the lag
+# are 0), D_m = E_m - E_{m+1}, bit(n,m) = D(n,m) > D(n-1,m) with
+# D(-1,*) = 0, fingerprint = two's-complement int64 of bits at
+# k = n*4+m.  Window-function lags instead of self-joins: 45 s -> 1.8 s
+# at sf0.01 for identical values.
+_ORACLE_AUDIO_FP = """
+WITH docs AS (SELECT doc_id FROM documents),
+samp AS (
+  SELECT doc_id, i::BIGINT AS i,
+         ((doc_id * 1000003 + i * 7919) % 65536) - 32768 AS s
+  FROM docs CROSS JOIN range(1024) t(i)
+),
+d AS (
+  SELECT doc_id, i // 64 AS n,
+         coalesce(s - lag(s, 1)  OVER win, 0) AS d0,
+         coalesce(s - lag(s, 2)  OVER win, 0) AS d1,
+         coalesce(s - lag(s, 4)  OVER win, 0) AS d2,
+         coalesce(s - lag(s, 8)  OVER win, 0) AS d3,
+         coalesce(s - lag(s, 16) OVER win, 0) AS d4
+  FROM samp WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+),
+e AS (
+  SELECT doc_id, n,
+         sum(d0*d0) AS e0, sum(d1*d1) AS e1, sum(d2*d2) AS e2,
+         sum(d3*d3) AS e3, sum(d4*d4) AS e4
+  FROM d GROUP BY 1, 2
+),
+dv AS (
+  SELECT doc_id, n, e0 - e1 AS v0, e1 - e2 AS v1, e2 - e3 AS v2,
+         e3 - e4 AS v3
+  FROM e
+),
+b AS (
+  SELECT doc_id, n,
+         CASE WHEN v0 > coalesce(lag(v0) OVER win, 0)
+              THEN 1 ELSE 0 END AS b0,
+         CASE WHEN v1 > coalesce(lag(v1) OVER win, 0)
+              THEN 1 ELSE 0 END AS b1,
+         CASE WHEN v2 > coalesce(lag(v2) OVER win, 0)
+              THEN 1 ELSE 0 END AS b2,
+         CASE WHEN v3 > coalesce(lag(v3) OVER win, 0)
+              THEN 1 ELSE 0 END AS b3
+  FROM dv WINDOW win AS (PARTITION BY doc_id ORDER BY n)
+)
+SELECT doc_id,
+       (sum((b0::BIGINT << (n*4)) + (b1::BIGINT << (n*4+1))
+            + (b2::BIGINT << (n*4+2))
+            + CASE WHEN n < 15 THEN b3::BIGINT << (n*4+3)
+                   ELSE 0 END)
+        + CASE WHEN max(CASE WHEN n = 15 THEN b3 ELSE 0 END) = 1
+               THEN (-9223372036854775807 - 1) ELSE 0 END)::BIGINT
+       AS afp
+FROM b GROUP BY doc_id
+"""
+
+
 _ORACLE_NGRAM = f"""
 WITH norm AS (
   SELECT doc_id AS id, string_split({_sql_norm()}, ' ') AS w FROM documents
@@ -7148,6 +7251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- NEW in round 10 (never driver-sampled -> very front) --
         "dedup_ngram_capped": q_dedup_ngram_capped,
         "dup_containment_capped": q_dup_containment_capped,
+        "audio_fingerprint": q_audio_fingerprint,
         # -- latest driver check r6 --
         "graph_lookup": q_graph_lookup,
         "window_modern": q_window_modern,
@@ -7459,6 +7563,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram": _ORACLE_NGRAM,
         "dedup_ngram_capped": _ORACLE_NGRAM_CAPPED,
         "dup_containment_capped": _ORACLE_CONTAINMENT_CAPPED,
+        "audio_fingerprint": _ORACLE_AUDIO_FP,
         "dedup_simhash": _oracle_simhash(),
         "dedup_embedding": _ORACLE_DEDUP_EMBEDDING,
         "ann_lsh": _oracle_ann_lsh(),

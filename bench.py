@@ -129,9 +129,11 @@ BENCH_QUERIES = [
     "hamming_pairs",
     # round-10 additions: the df-capped posting joins (the 100 TB
     # skew guard — bounded in-array pair expansion, no posting
-    # self-join)
+    # self-join) and the audio perceptual fingerprint (real WAV
+    # round-trip + integer HK sketch, zero shuffle)
     "dedup_ngram_capped",
     "dup_containment_capped",
+    "audio_fingerprint",
 ]
 
 

@@ -36,9 +36,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
-    "MEDIA_SCHEMA", "attach_media_metadata", "cdc_chunks",
-    "decode_audio", "decode_features", "decode_image", "probe_media",
-    "sample_frames",
+    "MEDIA_SCHEMA", "attach_media_metadata", "audio_fingerprint",
+    "cdc_chunks", "decode_audio", "decode_features", "decode_image",
+    "probe_media", "sample_frames",
 ]
 
 # canonical media column group
@@ -283,6 +283,127 @@ def decode_audio(
             yield pdf
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+# Audio perceptual fingerprint: 16 frames x 64 samples, dyadic-lag
+# difference energies as integer band proxies (lag 1 ~ highest band),
+# Haitsma-Kalker bit rule (ISMIR 2002, public) over band-energy deltas.
+_AFP_LAGS = (1, 2, 4, 8, 16)
+_AFP_FRAMES = 16
+_AFP_FRAME_LEN = 64
+
+
+def _wav_mono16(b: bytes | None):
+    """PCM WAV -> int64 mono samples on the 16-bit grid: every width
+    normalizes to its top 16 bits (u8 -> (v-128)<<8, 24-bit -> >>8,
+    32-bit -> >>16) and channels SUM (integer — no float mean), so the
+    fingerprint math downstream is exact and SQL-replayable."""
+    import io
+    import wave
+
+    import numpy as np
+
+    if not b:
+        return None
+    try:
+        with wave.open(io.BytesIO(b)) as w:
+            ch = w.getnchannels()
+            sw = w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+    except (wave.Error, EOFError):
+        return None
+    if sw == 1:
+        x = (np.frombuffer(raw, np.uint8).astype(np.int64) - 128) << 8
+    elif sw == 2:
+        x = np.frombuffer(raw, "<i2").astype(np.int64)
+    elif sw == 3:
+        a = np.frombuffer(raw, np.uint8)
+        a = a[: (len(a) // 3) * 3].reshape(-1, 3).astype(np.uint32)
+        v = (a[:, 0] | (a[:, 1] << 8) | (a[:, 2] << 16)).astype(np.int32)
+        x = ((v << 8) >> 8).astype(np.int64) >> 8
+    elif sw == 4:
+        x = np.frombuffer(raw, "<i4").astype(np.int64) >> 16
+    else:
+        return None
+    if ch > 1:
+        x = x[: (len(x) // ch) * ch].reshape(-1, ch).sum(axis=1)
+    return x
+
+
+def _audio_fp_int(x) -> int:
+    """64-bit fingerprint from int64 mono samples (zero-padded /
+    truncated to 16 frames x 64 samples).
+
+    E(n, m) = sum over frame n of (s[i] - s[i-L_m])^2 for global
+    i >= L_m, lags (1,2,4,8,16) — integer band-energy proxies from
+    high to low.  D(n, m) = E(n, m) - E(n, m+1); bit(n, m) = 1 iff
+    D(n, m) > D(n-1, m) with D(-1, *) = 0; fingerprint bit position
+    k = n*4 + m, two's-complement int64.  All arithmetic stays in
+    int64 (|s| <= 2^17 after channel sum, diff^2 * 64 <= 2^43)."""
+    import numpy as np
+
+    n_total = _AFP_FRAMES * _AFP_FRAME_LEN
+    s = np.zeros(n_total, np.int64)
+    m = min(len(x), n_total)
+    s[:m] = x[:m]
+    E = np.zeros((_AFP_FRAMES, len(_AFP_LAGS)), np.int64)
+    for mi, lag in enumerate(_AFP_LAGS):
+        d = np.zeros(n_total, np.int64)
+        d[lag:] = s[lag:] - s[:-lag]
+        E[:, mi] = (d * d).reshape(_AFP_FRAMES, _AFP_FRAME_LEN) \
+            .sum(axis=1)
+    D = E[:, :-1] - E[:, 1:]
+    prev = np.vstack([np.zeros((1, D.shape[1]), np.int64), D[:-1]])
+    bits = D > prev
+    fp = 0
+    for n in range(_AFP_FRAMES):
+        for mm in range(D.shape[1]):
+            if bits[n, mm]:
+                fp |= 1 << (n * D.shape[1] + mm)
+    if fp >= 1 << 63:
+        fp -= 1 << 64
+    return fp
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    media_col: str = "media",
+    out_col: str = "afp",
+    base64: bool = False,
+) -> DataFrame:
+    """REAL audio perceptual fingerprint for PCM WAV payloads: one
+    int64 sketch lane per row (NULL for undecodable/empty), computed
+    by the Haitsma-Kalker bit rule over integer dyadic-lag band
+    energies (see :func:`_audio_fp_int`).  The lane feeds
+    :func:`similarity.hamming_near_pairs` / ``$hammingPairs`` with
+    ``lane_bits=64`` UNCHANGED — text shingles, embedding sign
+    sketches, image dHashes and audio now share ONE near-dup index
+    family.
+
+    Integer-exact by construction, so a SQL oracle replays the
+    fingerprint bit-for-bit from the raw samples (driver query
+    ``audio_fingerprint``).  ``base64=True`` decodes a base64 string
+    column first (JSON-transported media).
+
+    Scale shape: per-row map over Arrow batches — zero shuffle; bytes
+    never leave the executor."""
+    src = df.withColumn(
+        "__wav", F.unbase64(F.col(media_col))) if base64 else df
+    wav_col = "__wav" if base64 else media_col
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", {out_col} bigint"
+
+    def run(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            def fp(b):
+                x = _wav_mono16(bytes(b) if b is not None else None)
+                return None if x is None else _audio_fp_int(x)
+
+            pdf[out_col] = pdf[wav_col].map(fp).astype("object")
+            yield pdf.drop(columns=["__wav"]) if base64 else pdf
+
+    return src.mapInPandas(run, schema=out_schema)
 
 
 def _png_unfilter(raw: bytes, w: int, h: int, bpp: int):

@@ -1703,6 +1703,27 @@ def _stage_decode_image_ext(df, spec, pctx):
                         hist_bins=int(spec.get("bins", 16)))
 
 
+def _stage_audio_fingerprint_ext(df, spec, pctx):
+    # {"field": col, "as": col?, "base64": bool?} — REAL PCM WAV
+    # perceptual fingerprint (functions/multimodal.py
+    # audio_fingerprint): one int64 Haitsma-Kalker-style sketch lane
+    # per row from integer dyadic-lag band energies; feeds
+    # $hammingPairs with laneBits: 64 unchanged, putting audio on the
+    # same near-dup index family as text/embeddings/images.  Per-row
+    # Arrow map, zero shuffle; base64: true decodes JSON-transported
+    # media first.
+    from pincette_json_streams_spark.functions.multimodal import (
+        audio_fingerprint,
+    )
+
+    return audio_fingerprint(
+        df,
+        media_col=spec.get("field", "media"),
+        out_col=spec.get("as", "afp"),
+        base64=bool(spec.get("base64", False)),
+    )
+
+
 def _stage_resize_image_ext(df, spec, pctx):
     # {"field": binary col, "as": out, "width": n, "height": n} —
     # REAL integer box-resize + dHash perceptual fingerprint over the
@@ -2846,6 +2867,7 @@ STAGES: dict[str, Callable[[DataFrame, Any, PipelineContext], DataFrame]] = {
     "$asofLookup": _stage_asof_lookup_ext,
     "$scrubPii": _stage_scrub_pii_ext,
     "$probeMedia": _stage_probe_media_ext,
+    "$audioFingerprint": _stage_audio_fingerprint_ext,
     "$decodeAudio": _stage_decode_audio_ext,
     "$decodeImage": _stage_decode_image_ext,
     "$resizeImage": _stage_resize_image_ext,

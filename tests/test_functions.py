@@ -1005,6 +1005,111 @@ class TestMultimodal:
         assert got["junk"]["sample_rate"] is None
         assert got["none"]["sample_rate"] is None
 
+    @staticmethod
+    def _wav_bytes(samples, sr=8000, width=2, channels=1):
+        import io
+        import struct
+        import wave
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(channels)
+            w.setsampwidth(width)
+            w.setframerate(sr)
+            if width == 2:
+                data = b"".join(struct.pack("<h", s)
+                                for s in samples
+                                for _ in range(channels))
+            elif width == 1:
+                data = bytes(((s >> 8) + 128) & 0xFF
+                             for s in samples for _ in range(channels))
+            else:  # 4
+                data = b"".join(struct.pack("<i", s << 16)
+                                for s in samples
+                                for _ in range(channels))
+            w.writeframes(data)
+        return buf.getvalue()
+
+    @staticmethod
+    def _afp_mirror(samples):
+        """Pure-python mirror of multimodal._audio_fp_int: 16 frames x
+        64 samples, lag-diff energies (1,2,4,8,16), HK bit rule,
+        two's-complement int64."""
+        lags = (1, 2, 4, 8, 16)
+        n_total = 1024
+        s = list(samples[:n_total]) + [0] * max(
+            0, n_total - len(samples))
+        E = [[0] * 5 for _ in range(16)]
+        for mi, lag in enumerate(lags):
+            for i in range(lag, n_total):
+                d = s[i] - s[i - lag]
+                E[i // 64][mi] += d * d
+        fp = 0
+        prev = [0, 0, 0, 0]
+        for n in range(16):
+            cur = [E[n][m] - E[n][m + 1] for m in range(4)]
+            for m in range(4):
+                if cur[m] > prev[m]:
+                    fp |= 1 << (n * 4 + m)
+            prev = cur
+        return fp - (1 << 64) if fp >= 1 << 63 else fp
+
+    def test_audio_fingerprint(self, spark):
+        """The integer perceptual fingerprint: python-mirror equality,
+        width invariance (16 vs 32-bit PCM of the same signal),
+        channel-sum scale invariance (stereo duplicate == mono — the
+        HK bit rule compares energies, so uniform scaling can't flip
+        bits), NULL for undecodable/empty payloads, base64 transport,
+        and the hamming_near_pairs composition that puts audio on the
+        shared near-dup index."""
+        import base64
+
+        import numpy as np
+
+        from pincette_json_streams_spark.functions.multimodal import (
+            audio_fingerprint,
+        )
+        from pincette_json_streams_spark.functions.similarity import (
+            hamming_near_pairs,
+        )
+        rng = np.random.default_rng(7)
+        a = rng.integers(-32768, 32768, 1024).tolist()
+        b = [int(np.clip(v + 40, -32768, 32767)) if i % 200 == 0
+             else v for i, v in enumerate(a)]          # near-dup
+        c = rng.integers(-32768, 32768, 1024).tolist()  # unrelated
+        df = spark.createDataFrame(
+            [(1, bytearray(self._wav_bytes(a))),
+             (2, bytearray(self._wav_bytes(b))),
+             (3, bytearray(self._wav_bytes(c))),
+             (4, bytearray(self._wav_bytes(a, width=4))),
+             (5, bytearray(self._wav_bytes(a, channels=2))),
+             (6, bytearray(b"not audio")), (7, None)],
+            "clip_id long, media binary")
+        got = {r["clip_id"]: r["afp"]
+               for r in audio_fingerprint(df).collect()}
+        assert got[1] == self._afp_mirror(a)
+        assert got[2] == self._afp_mirror(b)
+        assert got[3] == self._afp_mirror(c)
+        assert got[4] == got[1]        # width-invariant
+        assert got[5] == got[1]        # channel-sum scale-invariant
+        assert got[6] is None and got[7] is None
+        ham_ac = bin((got[1] ^ got[3]) & (2 ** 64 - 1)).count("1")
+        assert ham_ac > 7              # unrelated clips stay apart
+        # base64 transport (the JSON-message path of $audioFingerprint)
+        b64 = spark.createDataFrame(
+            [(1, base64.b64encode(self._wav_bytes(a)).decode())],
+            "clip_id long, media string")
+        got64 = audio_fingerprint(b64, base64=True).collect()
+        assert got64[0]["afp"] == got[1]
+        assert "media" in got64[0].asDict()  # payload column survives
+        # composition: the afp lane feeds the shared Hamming index
+        pairs = hamming_near_pairs(
+            audio_fingerprint(df).filter("afp is not null"),
+            id_col="clip_id", lane_cols=["afp"], lane_bits=64,
+            max_hamming=7).collect()
+        got_pairs = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert (1, 2) in got_pairs and (1, 3) not in got_pairs
+
     def test_metadata_and_decode_stub(self, spark):
         from pincette_json_streams_spark.functions.multimodal import (
             attach_media_metadata, decode_features,

@@ -426,3 +426,31 @@ class TestContainmentProperty:
             assert abs(v - thr) < 2e-6, (k, v)
         for k in set(exp_j) & set(got_j):
             assert abs(got_j[k] - exp_j[k]) < 2e-6, k
+
+
+class TestAudioFingerprintProperty:
+    """Round-10 audio fingerprint law: for random PCM signals, widths
+    and channel layouts, the Spark fingerprint equals the pure-python
+    mirror of the width-normalized, channel-summed integer samples —
+    the contract that makes the SQL oracle's replay sound."""
+
+    @SPARKY
+    @given(st.lists(st.integers(-32768, 32767),
+                    min_size=1, max_size=1400),
+           st.sampled_from([1, 2, 4]), st.sampled_from([1, 2]))
+    def test_matches_mirror(self, spark, samples, width, channels):
+        from tests.test_functions import TestMultimodal as TM
+
+        df = spark.createDataFrame(
+            [(0, bytearray(TM._wav_bytes(samples, width=width,
+                                         channels=channels)))],
+            "clip_id long, media binary")
+        from pincette_json_streams_spark.functions.multimodal import (
+            audio_fingerprint,
+        )
+        got = audio_fingerprint(df).collect()[0]["afp"]
+        # the decoder normalizes width to the 16-bit grid (u8 loses
+        # the low byte) and SUMS channels
+        norm = [((s >> 8) << 8) if width == 1 else s for s in samples]
+        mono = [v * channels for v in norm]
+        assert got == TM._afp_mirror(mono)
