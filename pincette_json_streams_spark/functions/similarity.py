@@ -24,10 +24,11 @@ from pincette_json_streams_spark.functions.dedup import (
 
 __all__ = [
     "binary_signatures", "brute_force_topk", "embedding_moments",
-    "embedding_outliers", "hamming_topk", "ivf_topk", "lsh_topk",
-    "pca_components", "pca_project", "pq_adc_topk", "pq_codebooks",
-    "pq_encode", "pq_refine_codebooks", "quantize_embeddings",
-    "rrf_fuse", "semantic_dedup", "train_kmeans_centroids",
+    "embedding_outliers", "hamming_probe", "hamming_topk", "ivf_topk",
+    "lsh_topk", "pca_components", "pca_project", "pq_adc_topk",
+    "pq_codebooks", "pq_encode", "pq_refine_codebooks",
+    "quantize_embeddings", "rrf_fuse", "semantic_dedup",
+    "train_kmeans_centroids",
 ]
 
 
@@ -514,6 +515,97 @@ def hamming_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .groupBy("id_a", "id_b")
         .agg(F.min("hamming").alias("hamming"))
+    )
+
+
+def hamming_probe(
+    df: DataFrame,
+    index: DataFrame,
+    id_col: str = "vec_id",
+    index_id_col: str = "vec_id",
+    lane_cols: "Sequence[str]" = ("sig_0", "sig_1"),
+    max_hamming: int = 7,
+    band_bits: int = 8,
+    lane_bits: int = 32,
+) -> DataFrame:
+    """STREAM-STATIC near-dup probe against the banded Hamming index —
+    the streaming face of :func:`hamming_near_pairs` /
+    ``hamming_lsh_topk``: each probe row (a message with sketch lanes)
+    emits every STATIC ``index`` row within ``max_hamming``.
+
+    Streaming-legal by construction (append mode, zero state): probe
+    rows explode one (band, value) key per byte-band, the static index
+    posts the same keys once per micro-batch-independent plan, and the
+    candidates come from a stream-static INNER equi-join.  The usual
+    multi-band duplicate (a pair colliding in 3 bands emits 3 join
+    rows) is removed WITHOUT an aggregation — streaming dedup would
+    need state — by the FIRST-COLLIDING-BAND filter: both sides' lanes
+    ride the join, so "is this the lowest band where the two sketches
+    agree?" is a row-local expression, and exactly one row per
+    matching pair survives.  Same pigeonhole contract as the batch
+    operators: zero false negatives for ``max_hamming <= n_bands - 1``.
+
+    Scale shape: the index side is a plain DataFrame (collection) —
+    Catalyst broadcasts it when small, otherwise the stream shuffles
+    on the (band, value) key (stateless, append-safe).  Candidate work
+    is proportional to band collisions, never to |stream| x |index|.
+
+    -> probe columns (minus lanes) + (match_id, hamming)."""
+    lanes = list(lane_cols)
+    if lane_bits % band_bits != 0:
+        raise ValueError(
+            f"hamming_probe: band_bits={band_bits} must divide "
+            f"lane_bits={lane_bits}")
+    per_lane = lane_bits // band_bits
+    n_bands = len(lanes) * per_lane
+    if max_hamming > n_bands - 1:
+        import warnings
+        warnings.warn(
+            f"hamming_probe: max_hamming={max_hamming} exceeds the "
+            f"guaranteed radius {n_bands - 1}; recall beyond it is "
+            "probabilistic")
+    mask = (1 << band_bits) - 1
+
+    def band_val(col_of, b):
+        lane = F.col(col_of(b // per_lane))
+        shift = (per_lane - 1 - (b % per_lane)) * band_bits
+        return F.shiftright(lane, shift).bitwiseAND(F.lit(mask))
+
+    keep = [c for c in df.columns if c not in lanes]
+    probe = df.select(
+        *keep, *lanes,
+        F.explode(F.array(*[
+            F.struct(F.lit(b).cast("int").alias("band"),
+                     band_val(lambda i: lanes[i], b).alias("bv"))
+            for b in range(n_bands)
+        ])).alias("p"),
+    ).select(*keep, *lanes, "p.band", "p.bv")
+    post = index.select(
+        F.col(index_id_col).alias("match_id"),
+        *[F.col(c).alias(f"x_{c}") for c in lanes],
+        # band values computed from the ORIGINAL lane columns — the
+        # x_ aliases would be lateral column references in this select
+        F.explode(F.array(*[
+            F.struct(F.lit(b).cast("int").alias("band"),
+                     band_val(lambda i: lanes[i], b).alias("bv"))
+            for b in range(n_bands)
+        ])).alias("p"),
+    ).select("match_id", *[f"x_{c}" for c in lanes], "p.band", "p.bv")
+    joined = probe.join(post, ["band", "bv"])
+    collide = F.array(*[
+        band_val(lambda i: lanes[i], b)
+        == band_val(lambda i: f"x_{lanes[i]}", b)
+        for b in range(n_bands)
+    ])
+    first_band = F.array_position(collide, True) - 1
+    ham = sum(
+        F.bit_count(F.expr(f"{c} ^ x_{c}")) for c in lanes
+    ).cast("long")
+    return (
+        joined.filter(F.col("band") == first_band)
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select(*keep, "match_id", "hamming")
     )
 
 

@@ -2526,6 +2526,38 @@ def _stage_hamming_lsh_topk_ext(df, spec, pctx):
         vec_col=vec, id_col=idc)
 
 
+def _stage_hamming_probe_ext(df, spec, pctx):
+    # {"index": collection, "id": col?, "indexId": col?,
+    #  "lanes": [cols]?, "maxHamming": n?, "bandBits": n?,
+    #  "laneBits": n?} — STREAM-STATIC near-dup probe against the
+    # banded Hamming index (functions/similarity.py hamming_probe):
+    # the streaming face of $hammingPairs/$hammingLshTopk.  Each
+    # message's sketch lanes probe the static index collection's band
+    # postings via an equi-join; multi-band duplicates are removed by
+    # the first-colliding-band EXPRESSION (no aggregation, no state),
+    # so the stage is append-mode streaming-legal.  NOT _batch_only —
+    # that is the point.
+    from pincette_json_streams_spark.functions.similarity import (
+        hamming_probe,
+    )
+
+    lanes = spec.get("lanes", ["sig_0", "sig_1"])
+    if not isinstance(lanes, list) or not lanes:
+        raise UnsupportedExpression(
+            "$hammingProbe: 'lanes' must be a non-empty list of "
+            "sketch columns")
+    return hamming_probe(
+        df,
+        pctx.collection(spec["index"]),
+        id_col=spec.get("id", "vec_id"),
+        index_id_col=spec.get("indexId", spec.get("id", "vec_id")),
+        lane_cols=lanes,
+        max_hamming=int(spec.get("maxHamming", 7)),
+        band_bits=int(spec.get("bandBits", 8)),
+        lane_bits=int(spec.get("laneBits", 32)),
+    )
+
+
 def _stage_changepoints_ext(df, spec, pctx):
     # {"by": col, "ts": col, "value": col, "id": col, "window": n,
     #  "top": n} — sliding two-sample mean-shift changepoint scan
@@ -2888,6 +2920,7 @@ STAGES: dict[str, Callable[[DataFrame, Any, PipelineContext], DataFrame]] = {
     "$hammingTopk": _stage_hamming_topk_ext,
     "$hammingLshTopk": _stage_hamming_lsh_topk_ext,
     "$hammingPairs": _stage_hamming_pairs_ext,
+    "$hammingProbe": _stage_hamming_probe_ext,
     "$changepoints": _stage_changepoints_ext,
     "$ewma": _stage_ewma_ext,
     "$hdrQuantiles": _stage_hdr_quantiles_ext,

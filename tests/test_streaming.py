@@ -1103,3 +1103,69 @@ class TestMetricsListener:
         assert all(a["application"] == "my-app" for _, a in msgs)
         assert all(a["profile.frame.type"] == "json-streams"
                    for _, a in msgs)
+
+
+class TestHammingProbeStreaming:
+    def test_stream_static_near_dup_lookup(self, spark, tmp_path):
+        """$hammingProbe is the STREAMING face of the banded Hamming
+        index: a stream of sketch rows probes a static index
+        collection via a stream-static equi-join, with multi-band
+        duplicates removed by the first-colliding-band expression
+        (no aggregation, no state — plain append mode).  Matches and
+        distances must equal the batch hamming_near_pairs contract."""
+        import numpy as np
+
+        from pincette_json_streams_spark.functions.similarity import (
+            binary_signatures,
+        )
+
+        rng = np.random.default_rng(11)
+        corpus = [(i, rng.standard_normal(64).astype("float32").tolist())
+                  for i in range(40)]
+        cdf = spark.createDataFrame(
+            corpus, "vec_id long, embedding array<float>")
+        index = binary_signatures(cdf, dims=64)
+
+        # probes: an exact copy of corpus row 3 (distance 0), a 1-flip
+        # neighbour of row 7, and an unrelated vector
+        near7 = np.array(corpus[7][1])
+        near7[5] = -near7[5]
+        probes = [(103, corpus[3][1]),
+                  (107, near7.tolist()),
+                  (999, rng.standard_normal(64)
+                        .astype("float32").tolist())]
+        pdf = binary_signatures(
+            spark.createDataFrame(
+                probes, "vec_id long, embedding array<float>"),
+            dims=64).toPandas()
+        d = str(tmp_path / "probe_topic")
+        spark.createDataFrame(pdf).write.parquet(d)
+
+        catalog = file_stream_catalog(
+            spark, {"probes": d},
+            {"probes": "vec_id long, sig_0 long, sig_1 long"})
+        catalog["sketch_index"] = index  # STATIC side
+        app = StreamingApp(spark, {
+            "application": "probe-app", "parts": [
+                {"type": "stream", "name": "lookups",
+                 "fromTopic": "probes", "toTopic": "hits",
+                 "pipeline": [
+                     {"$hammingProbe": {"index": "sketch_index",
+                                        "maxHamming": 7}},
+                 ]},
+            ],
+        }, catalog)
+        sink = memory_sink(tmp_path)
+        app.run_until_drained(sink)
+        got = {(r["vec_id"], r["match_id"]): r["hamming"]
+               for r in spark.sql(
+                   f"SELECT * FROM mem_{sink.run_id}_hits").collect()}
+        assert got[(103, 3)] == 0
+        assert got[(107, 7)] == 1
+        assert all(k[0] != 999 for k in got), got
+        # exactly one row per matching pair (the first-colliding-band
+        # filter, not state, did the dedup)
+        assert len(got) == len(set(got))
+        vals = spark.sql(
+            f"SELECT * FROM mem_{sink.run_id}_hits").collect()
+        assert len(vals) == len(got)
