@@ -2526,6 +2526,32 @@ def _stage_hamming_lsh_topk_ext(df, spec, pctx):
         vec_col=vec, id_col=idc)
 
 
+def _stage_binary_signatures_ext(df, spec, pctx):
+    # {"vector": col, "id": col?, "laneBits": n?, "dims": n?} —
+    # sign-bit binary sketch of an embedding column
+    # (functions/similarity.py binary_signatures): one projection, no
+    # shuffle, no UDF — streaming-legal, which is what lets an
+    # embedding stream build its lanes in YAML before $hammingProbe.
+    # dims is REQUIRED on a streaming frame (inference needs a probe
+    # job batch mode runs at plan build).
+    from pincette_json_streams_spark.functions.similarity import (
+        binary_signatures,
+    )
+
+    dims = spec.get("dims")
+    if dims is None and df.isStreaming:
+        raise UnsupportedExpression(
+            "$binarySignatures: 'dims' is required on a streaming "
+            "input (width inference needs a batch probe job)")
+    return binary_signatures(
+        df,
+        vec_col=spec.get("vector", "embedding"),
+        id_col=spec.get("id", "vec_id"),
+        lane_bits=int(spec.get("laneBits", 32)),
+        dims=int(dims) if dims is not None else None,
+    )
+
+
 def _stage_hamming_probe_ext(df, spec, pctx):
     # {"index": collection, "id": col?, "indexId": col?,
     #  "lanes": [cols]?, "maxHamming": n?, "bandBits": n?,
@@ -2917,6 +2943,7 @@ STAGES: dict[str, Callable[[DataFrame, Any, PipelineContext], DataFrame]] = {
     "$hllSketch": _stage_hll_sketch_ext,
     "$kmvSketch": _stage_kmv_sketch_ext,
     "$kmvOverlap": _stage_kmv_overlap_ext,
+    "$binarySignatures": _stage_binary_signatures_ext,
     "$hammingTopk": _stage_hamming_topk_ext,
     "$hammingLshTopk": _stage_hamming_lsh_topk_ext,
     "$hammingPairs": _stage_hamming_pairs_ext,

@@ -1134,22 +1134,23 @@ class TestHammingProbeStreaming:
                   (107, near7.tolist()),
                   (999, rng.standard_normal(64)
                         .astype("float32").tolist())]
-        pdf = binary_signatures(
-            spark.createDataFrame(
-                probes, "vec_id long, embedding array<float>"),
-            dims=64).toPandas()
         d = str(tmp_path / "probe_topic")
-        spark.createDataFrame(pdf).write.parquet(d)
+        spark.createDataFrame(
+            probes, "vec_id long, embedding array<float>"
+        ).write.parquet(d)
 
         catalog = file_stream_catalog(
             spark, {"probes": d},
-            {"probes": "vec_id long, sig_0 long, sig_1 long"})
+            {"probes": "vec_id long, embedding array<float>"})
         catalog["sketch_index"] = index  # STATIC side
+        # the full YAML story: raw embedding stream -> sign sketch
+        # ($binarySignatures, dims required when streaming) -> probe
         app = StreamingApp(spark, {
             "application": "probe-app", "parts": [
                 {"type": "stream", "name": "lookups",
                  "fromTopic": "probes", "toTopic": "hits",
                  "pipeline": [
+                     {"$binarySignatures": {"dims": 64}},
                      {"$hammingProbe": {"index": "sketch_index",
                                         "maxHamming": 7}},
                  ]},
