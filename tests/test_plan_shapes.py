@@ -583,3 +583,37 @@ class TestRound10PlanShapes:
             # pair expansion is a generator over the collected
             # posting list, not a join
             assert "Generate" in plan, capped
+
+    def test_audio_fingerprint_zero_shuffle_map(self, spark):
+        """The fingerprint is a per-row Arrow map: zero exchanges,
+        zero joins — media bytes never leave the executor."""
+        import re
+        plan = _plan(spark, "audio_fingerprint")
+        assert not re.search(r"\bExchange\b", plan)
+        assert "Join" not in plan
+
+    def test_hamming_probe_stateless_no_agg(self, spark):
+        """The streaming face dedups via the first-colliding-band
+        EXPRESSION, never an aggregation (streaming dedup would need
+        state): no aggregate operators, no cartesian, and the plan
+        compiles identically on a streaming frame."""
+        import re
+
+        import numpy as np
+
+        from pincette_json_streams_spark.functions.similarity import (
+            binary_signatures, hamming_probe,
+        )
+        vecs = [(i, np.random.default_rng(i).standard_normal(64)
+                 .astype("float32").tolist()) for i in range(10)]
+        sigs = binary_signatures(
+            spark.createDataFrame(
+                vecs, "vec_id long, embedding array<float>"), dims=64)
+        probe = hamming_probe(sigs.limit(3), sigs)
+        qe = probe._jdf.queryExecution()
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
+            .fromString("formatted")
+        plan = qe.explainString(mode)
+        assert not re.search(
+            r"HashAggregate|SortAggregate|ObjectHashAggregate", plan)
+        assert "CartesianProduct" not in plan
