@@ -1865,6 +1865,61 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def q_hamming_probe(spark, sf_dir):
+    """The streaming face of the Hamming index run in batch
+    (functions/similarity.py hamming_probe; the identical plan backs
+    $hammingProbe on streams): probe sketches explode one byte-band
+    key each, equi-join the index postings, and the first-colliding-
+    band EXPRESSION dedups multi-band hits with zero aggregations —
+    the property that makes the stage append-mode streaming-legal.
+    Probes are 1-element-negated copies of every 100th embedding
+    (<= 1 sketch bit from their source row); max_hamming=7 is the
+    pigeonhole-guaranteed radius, so the output EQUALS brute force
+    and the SQL oracle replays it exactly."""
+    from pincette_json_streams_spark.functions.similarity import (
+        binary_signatures, hamming_probe,
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 100 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.concat(
+            F.array(-F.element_at("embedding", 1)),
+            F.expr("slice(embedding, 2, size(embedding) - 1)"),
+        ).alias("embedding"),
+    )
+    sigs = binary_signatures(emb, dims=64)
+    psigs = binary_signatures(probes, dims=64)
+    return hamming_probe(psigs, sigs, max_hamming=7).select(
+        "vec_id", "match_id", "hamming")
+
+
+def _oracle_hamming_probe():
+    lane = ("list_sum(list_transform(generate_series(1, 32), "
+            "i -> CASE WHEN {v} > 0 "
+            "THEN (1::BIGINT << (32 - i)) ELSE 0::BIGINT END))")
+    corpus_v = "embedding[{off} + i]"
+    probe_v = ("(CASE WHEN {off} + i = 1 THEN -embedding[1] "
+               "ELSE embedding[{off} + i] END)")
+    return f"""
+WITH sigs AS (
+  SELECT vec_id,
+         {lane.format(v=corpus_v.format(off=0))} AS s0,
+         {lane.format(v=corpus_v.format(off=32))} AS s1
+  FROM embeddings
+), probes AS (
+  SELECT vec_id + 1000000 AS vec_id,
+         {lane.format(v=probe_v.format(off=0))} AS s0,
+         {lane.format(v=probe_v.format(off=32))} AS s1
+  FROM embeddings WHERE vec_id % 100 = 0
+)
+SELECT p.vec_id, c.vec_id AS match_id,
+       (bit_count(xor(c.s0, p.s0))
+        + bit_count(xor(c.s1, p.s1)))::BIGINT AS hamming
+FROM probes p, sigs c
+WHERE bit_count(xor(c.s0, p.s0)) + bit_count(xor(c.s1, p.s1)) <= 7
+"""
+
+
 def q_ann_hamming_lsh(spark, sf_dir):
     """Sub-linear Hamming ANN (functions/similarity.py
     hamming_lsh_topk): the banded-LSH index over the round-8 sign-lane
@@ -7252,6 +7307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_capped": q_dedup_ngram_capped,
         "dup_containment_capped": q_dup_containment_capped,
         "audio_fingerprint": q_audio_fingerprint,
+        "hamming_probe": q_hamming_probe,
         # -- latest driver check r6 --
         "graph_lookup": q_graph_lookup,
         "window_modern": q_window_modern,
@@ -7564,6 +7620,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_capped": _ORACLE_NGRAM_CAPPED,
         "dup_containment_capped": _ORACLE_CONTAINMENT_CAPPED,
         "audio_fingerprint": _ORACLE_AUDIO_FP,
+        "hamming_probe": _oracle_hamming_probe(),
         "dedup_simhash": _oracle_simhash(),
         "dedup_embedding": _ORACLE_DEDUP_EMBEDDING,
         "ann_lsh": _oracle_ann_lsh(),

@@ -260,6 +260,15 @@ def main():
         times[name] = min(runs)
         all_passes[name] = runs
         total_rows += n
+        # Round-10 methodology fix: many dedup queries persist() their
+        # compressed group tables and nothing ever unpersisted them, so
+        # 87 queries x 3 passes accumulated cached blocks until the
+        # storage pool thrashed — three consecutive runs each showed a
+        # DIFFERENT heavy persist-user spiking 3-8x (canonical, then
+        # minhash, then ngram) while the rest of the suite sat at
+        # ratio ~1.0 to the record.  Clearing between queries makes
+        # every query's passes independent of suite position/size.
+        spark.catalog.clearCache()
 
     total = round(sum(times.values()), 3)
 
@@ -311,6 +320,7 @@ def main():
         "cpus": int(cpus),
         "passes": 3,
         "agg": "min",
+        "cache_cleared_between_queries": True,
         "pass_detail": all_passes,
         "sf_small": os.path.basename(small_dir).replace("sf", ""),
         "queries_small": small_times,
