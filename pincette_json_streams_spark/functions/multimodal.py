@@ -38,7 +38,8 @@ from pyspark.sql import functions as F
 __all__ = [
     "MEDIA_SCHEMA", "attach_media_metadata", "audio_fingerprint",
     "cdc_chunks", "decode_audio", "decode_features", "decode_image",
-    "probe_media", "sample_frames",
+    "probe_media", "sample_frames", "video_fingerprint",
+    "video_near_pairs",
 ]
 
 # canonical media column group
@@ -1612,3 +1613,127 @@ def cdc_chunks(
             })
 
     return df.select(id_col, data_col).mapInPandas(run, out_schema)
+
+
+def video_fingerprint(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "vid",
+    n_frames: int = 8,
+    width: int = 8,
+    height: int = 8,
+) -> DataFrame:
+    """Per-frame perceptual fingerprints for video: the composition
+    sample_frames ∘ resize_image's dHash — one row per sampled frame
+    with a 64-bit dHash lane, so VIDEO rides the same banded Hamming
+    index as text shingles, embedding sign-sketches, image dHashes
+    and audio fingerprints (``hamming_near_pairs`` /
+    ``$hammingPairs`` / ``$hammingProbe`` with ``lane_bits=64``).
+
+    REAL for MJPEG-in-AVI and animated GIF (the stdlib-grade
+    decoders); codec containers registered via ``register_codec``
+    decode for real too; anything else falls back to NO rows for
+    that video (the byte-slice stub's slices do not decode as
+    images, so emitting lanes from them would be garbage — absence
+    is the honest signal, and ``probe_media`` tells callers which
+    container they had).
+
+    Scale shape: per-row Arrow map, zero shuffle; only (id,
+    frame_idx, dhash) leave the executor — ~16 bytes per sampled
+    frame at 100 TB, the index rows, never the video bytes.
+
+    -> one row per sampled, decodable frame: (id_col, frame_idx int,
+    dhash bigint; dhash NULL when a real container's frame fails to
+    decode)."""
+    codecs = list(_CODEC_REGISTRY.values())
+    id_type = dict(df.dtypes)[id_col]
+    out_schema = f"{id_col} {id_type}, frame_idx int, dhash bigint"
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for rid, b in zip(pdf[id_col], pdf[media_col]):
+                if b is None:
+                    continue
+                data = bytes(b)
+                real = _avi_mjpeg_frames(data)
+                if real is None:
+                    real = _gif_frames(data)
+                if real is None:
+                    for probe, fr in codecs:
+                        if probe(data):
+                            real = fr(data)
+                            break
+                if not real:
+                    continue
+                step = max(len(real) / float(n_frames), 1.0)
+                seen = set()
+                for j in range(min(n_frames, len(real))):
+                    k = min(int(j * step), len(real) - 1)
+                    if k in seen:
+                        continue
+                    seen.add(k)
+                    d = _resize_and_dhash(real[k], width, height)
+                    ids.append(rid)
+                    idxs.append(k)
+                    hashes.append(d["dhash"])
+            yield pd.DataFrame({
+                id_col: pd.Series(ids, dtype="object"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "dhash": pd.Series(hashes, dtype="object"),
+            })
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def video_near_pairs(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "vid",
+    n_frames: int = 8,
+    max_hamming: int = 7,
+    min_matching_frames: int = 1,
+) -> DataFrame:
+    """Video near-duplicates on the shared Hamming index: sampled
+    frames fingerprint to dHash lanes (:func:`video_fingerprint`),
+    frame pairs come from the banded-index self-join
+    (``hamming_near_pairs`` — candidates ∝ band collisions, never
+    |frames|²), and videos pair by how many of their sampled frames
+    match.  Requires integer ``id_col`` < 2^47 (frame rows get the
+    synthetic key ``vid * 2^16 + frame_idx`` so the pair join keeps
+    one scalar id column).
+
+    -> (vid_a, vid_b, matching_frames, min_hamming) with
+    vid_a < vid_b."""
+    from pincette_json_streams_spark.functions.similarity import (
+        hamming_near_pairs,
+    )
+
+    fps = (
+        video_fingerprint(df, media_col, id_col, n_frames)
+        .filter(F.col("dhash").isNotNull())
+        .select(
+            (F.col(id_col).cast("long") * F.lit(1 << 16)
+             + F.col("frame_idx")).alias("fid"),
+            "dhash",
+        )
+    )
+    pairs = hamming_near_pairs(
+        fps, id_col="fid", lane_cols=["dhash"],
+        max_hamming=max_hamming, lane_bits=64)
+    return (
+        pairs.select(
+            F.shiftright("id_a", 16).alias("va"),
+            F.shiftright("id_b", 16).alias("vb"),
+            "hamming",
+        )
+        .filter(F.col("va") != F.col("vb"))
+        .select(F.least("va", "vb").alias("vid_a"),
+                F.greatest("va", "vb").alias("vid_b"), "hamming")
+        .groupBy("vid_a", "vid_b")
+        .agg(F.count(F.lit(1)).alias("matching_frames"),
+             F.min("hamming").alias("min_hamming"))
+        .filter(F.col("matching_frames") >= min_matching_frames)
+    )

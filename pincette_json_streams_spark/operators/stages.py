@@ -1724,6 +1724,52 @@ def _stage_audio_fingerprint_ext(df, spec, pctx):
     )
 
 
+def _stage_video_fingerprint_ext(df, spec, pctx):
+    # {"field": col, "id": col?, "frames": n?, "base64": bool?} —
+    # per-frame perceptual fingerprints (functions/multimodal.py
+    # video_fingerprint): sample_frames ∘ dHash, one row per sampled
+    # frame with a 64-bit lane for $hammingPairs/$hammingProbe
+    # (laneBits: 64).  REAL for MJPEG-AVI / animated GIF / registered
+    # codecs; other containers emit no rows (honest absence).
+    from pincette_json_streams_spark.functions.multimodal import (
+        video_fingerprint,
+    )
+
+    field = spec.get("field", "media")
+    if spec.get("base64"):
+        df = df.withColumn(field, F.unbase64(F.col(field)))
+    return video_fingerprint(
+        df,
+        media_col=field,
+        id_col=spec.get("id", "vid"),
+        n_frames=int(spec.get("frames", 8)),
+    )
+
+
+def _stage_video_near_dups_ext(df, spec, pctx):
+    # {"field": col, "id": col?, "frames": n?, "maxHamming": n?,
+    #  "minFrames": n?, "base64": bool?} — video near-duplicates on
+    # the shared banded Hamming index (functions/multimodal.py
+    # video_near_pairs): frame dHash lanes -> band-collision pairs ->
+    # per-video-pair rollup.
+    _batch_only(df, "$videoNearDups", "corpus-wide frame self-join")
+    from pincette_json_streams_spark.functions.multimodal import (
+        video_near_pairs,
+    )
+
+    field = spec.get("field", "media")
+    if spec.get("base64"):
+        df = df.withColumn(field, F.unbase64(F.col(field)))
+    return video_near_pairs(
+        df,
+        media_col=field,
+        id_col=spec.get("id", "vid"),
+        n_frames=int(spec.get("frames", 8)),
+        max_hamming=int(spec.get("maxHamming", 7)),
+        min_matching_frames=int(spec.get("minFrames", 1)),
+    )
+
+
 def _stage_resize_image_ext(df, spec, pctx):
     # {"field": binary col, "as": out, "width": n, "height": n} —
     # REAL integer box-resize + dHash perceptual fingerprint over the
@@ -2929,6 +2975,8 @@ STAGES: dict[str, Callable[[DataFrame, Any, PipelineContext], DataFrame]] = {
     "$decodeAudio": _stage_decode_audio_ext,
     "$decodeImage": _stage_decode_image_ext,
     "$resizeImage": _stage_resize_image_ext,
+    "$videoFingerprint": _stage_video_fingerprint_ext,
+    "$videoNearDups": _stage_video_near_dups_ext,
     "$windowFields": _stage_window_fields_ext,
     # MongoDB's canonical name — real Mongo pipelines run unchanged
     "$setWindowFields": _stage_window_fields_ext,

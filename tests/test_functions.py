@@ -3108,6 +3108,47 @@ class TestAviFrames:
         out = sample_frames(df).collect()[0]["frames"]
         assert len(out) == 4                      # stub slices
 
+    def test_video_fingerprint_and_near_pairs(self, spark):
+        """Video on the shared Hamming index: per sampled frame one
+        64-bit dHash lane (REAL MJPEG-AVI decode), videos pair by
+        matching frames through the banded index.  Identical-content
+        videos pair on every sampled frame at distance 0; a
+        structurally different video stays out; codec-stub payloads
+        and NULLs emit NO rows (honest absence, not garbage
+        lanes)."""
+        import numpy as np
+
+        from pincette_json_streams_spark.functions.multimodal import (
+            video_fingerprint, video_near_pairs,
+        )
+        enc = _JpegTestEncoder()
+
+        def grad(k):
+            # roll the gradient by k columns: each frame index gets a
+            # structurally DISTINCT image (distinct dHash), so a frame
+            # matches only its counterpart in the duplicate video
+            base = np.tile(np.arange(0, 256, 16, dtype=np.uint8),
+                           (16, 1))[:, :16]
+            return np.roll(base, k * 3, axis=1)
+
+        va = [enc.encode(grad(k)) for k in range(4)]
+        vb = [enc.encode(grad(k)) for k in range(4)]
+        vc = [enc.encode(grad(k).T.copy()) for k in range(4)]
+        df = spark.createDataFrame(
+            [(1, bytearray(self._avi(va))),
+             (2, bytearray(self._avi(vb))),
+             (3, bytearray(self._avi(vc))),
+             (4, bytearray(b"not a video" * 50)), (5, None)],
+            "vid long, media binary")
+        fps = video_fingerprint(df, n_frames=4).collect()
+        got = sorted((r["vid"], r["frame_idx"]) for r in fps)
+        assert got == [(v, i) for v in (1, 2, 3) for i in range(4)]
+        assert all(r["dhash"] is not None for r in fps)
+        pairs = [(r["vid_a"], r["vid_b"], r["matching_frames"],
+                  r["min_hamming"])
+                 for r in video_near_pairs(df, n_frames=4).collect()]
+        assert pairs == [(1, 2, 4, 0)]
+
 
 class TestDecoderFuzz:
     """Decoders must never crash on hostile bytes — NULL fields only
