@@ -1170,3 +1170,58 @@ class TestHammingProbeStreaming:
         vals = spark.sql(
             f"SELECT * FROM mem_{sink.run_id}_hits").collect()
         assert len(vals) == len(got)
+
+    def test_streaming_audio_near_dup_lookup(self, spark, tmp_path):
+        """The round-10 modalities compose on streams: WAV messages
+        fingerprint in-flight ($audioFingerprint is a pure Arrow map,
+        streaming-legal) and probe a STATIC audio index via
+        $hammingProbe — near-dup audio lookup with zero state."""
+        import numpy as np
+
+        from pincette_json_streams_spark.functions.multimodal import (
+            audio_fingerprint,
+        )
+        from tests.test_functions import TestMultimodal as TM
+
+        rng = np.random.default_rng(23)
+        clips = {i: rng.integers(-32768, 32768, 1024).tolist()
+                 for i in range(6)}
+        index = audio_fingerprint(spark.createDataFrame(
+            [(i, bytearray(TM._wav_bytes(s)))
+             for i, s in clips.items()],
+            "clip_id long, media binary")).select("clip_id", "afp")
+
+        # probe: a re-encoded copy of clip 2 (32-bit PCM of the same
+        # samples -> identical fingerprint) and an unrelated clip
+        probes = [(102, bytearray(TM._wav_bytes(clips[2], width=4))),
+                  (999, bytearray(TM._wav_bytes(
+                      rng.integers(-32768, 32768, 1024).tolist())))]
+        d = str(tmp_path / "audio_probes")
+        spark.createDataFrame(
+            probes, "clip_id long, media binary").write.parquet(d)
+        catalog = file_stream_catalog(
+            spark, {"clips": d},
+            {"clips": "clip_id long, media binary"})
+        catalog["audio_index"] = index
+        app = StreamingApp(spark, {
+            "application": "audio-probe", "parts": [
+                {"type": "stream", "name": "lookups",
+                 "fromTopic": "clips", "toTopic": "hits",
+                 "pipeline": [
+                     {"$audioFingerprint": {"field": "media"}},
+                     {"$unset": "media"},
+                     {"$hammingProbe": {"index": "audio_index",
+                                        "id": "clip_id",
+                                        "indexId": "clip_id",
+                                        "lanes": ["afp"],
+                                        "laneBits": 64,
+                                        "maxHamming": 7}},
+                 ]},
+            ],
+        }, catalog)
+        sink = memory_sink(tmp_path)
+        app.run_until_drained(sink)
+        got = {(r["clip_id"], r["match_id"]): r["hamming"]
+               for r in spark.sql(
+                   f"SELECT * FROM mem_{sink.run_id}_hits").collect()}
+        assert got == {(102, 2): 0}
