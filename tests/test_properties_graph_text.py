@@ -454,3 +454,35 @@ class TestAudioFingerprintProperty:
         norm = [((s >> 8) << 8) if width == 1 else s for s in samples]
         mono = [v * channels for v in norm]
         assert got == TM._afp_mirror(mono)
+
+
+class TestHammingProbeProperty:
+    """Round-10 probe law: within the pigeonhole radius
+    (max_hamming <= n_bands - 1) the stream-static probe's output
+    EQUALS brute force — zero false negatives from banding, zero
+    duplicates from the first-colliding-band filter."""
+
+    @SPARKY
+    @given(st.lists(st.tuples(st.integers(0, 2 ** 32 - 1),
+                              st.integers(0, 2 ** 32 - 1)),
+                    min_size=1, max_size=14),
+           st.integers(1, 7))
+    def test_matches_brute_force(self, spark, lanes, max_h):
+        from pincette_json_streams_spark.functions.similarity import (
+            hamming_probe,
+        )
+        rows = [(i, a, b) for i, (a, b) in enumerate(lanes)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, sig_0 long, sig_1 long")
+        probes = df.limit(max(1, len(rows) // 2))
+        got = {(r["vec_id"], r["match_id"]): r["hamming"]
+               for r in hamming_probe(
+                   probes, df, max_hamming=max_h).collect()}
+        expect = {}
+        n_probe = max(1, len(rows) // 2)
+        for i, a, b in rows[:n_probe]:
+            for j, c, d in rows:
+                h = bin(a ^ c).count("1") + bin(b ^ d).count("1")
+                if h <= max_h:
+                    expect[(i, j)] = h
+        assert got == expect
