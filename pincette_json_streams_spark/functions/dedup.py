@@ -1498,8 +1498,22 @@ def prefix_filter_pairs(
     pref = ordered.withColumn(
         "p", F.expr(f"sz - (({threshold_pct} * sz + 99) div 100) + 1")
     ).select(
-        "id", "sz", F.explode(F.expr("slice(arr, 1, int(p))")).alias("w"))
+        "id", "sz",
+        F.posexplode(F.expr("slice(arr, 1, int(p))"))
+        .alias("pos", "w"))
     a, b = pref.alias("a"), pref.alias("b")
+    # PPJoin positional filter: both arrays share ONE global rarity
+    # order, so for a pair's EARLIEST common prefix token at (0-based)
+    # positions (pa, pb) the total overlap is at most
+    # 1 + min(sz_a - pa - 1, sz_b - pb - 1), and Jaccard >= t needs
+    # overlap * (100 + pct) >= pct * (sz_a + sz_b) (the equivalent
+    # overlap threshold, integer cross-multiplied).  Later common
+    # tokens give smaller bounds, so per-row filtering + distinct
+    # keeps a pair iff its earliest (loosest-bound) row survives —
+    # candidates only shrink, output provably unchanged.
+    ubound = F.lit(1) + F.least(
+        F.col("a.sz") - F.col("a.pos") - 1,
+        F.col("b.sz") - F.col("b.pos") - 1)
     cand = (
         # PPJoin length filter riding the posting join: Jaccard >= t
         # forces t * max(sz) <= min(sz), so the integer
@@ -1509,7 +1523,10 @@ def prefix_filter_pairs(
         a.join(b, (F.col("a.w") == F.col("b.w"))
                & (F.col("a.id") < F.col("b.id"))
                & (F.col("a.sz") * 100 >= threshold_pct * F.col("b.sz"))
-               & (F.col("b.sz") * 100 >= threshold_pct * F.col("a.sz")))
+               & (F.col("b.sz") * 100 >= threshold_pct * F.col("a.sz"))
+               & (ubound * (100 + threshold_pct)
+                  >= threshold_pct
+                  * (F.col("a.sz") + F.col("b.sz"))))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
