@@ -3148,6 +3148,20 @@ class TestAviFrames:
                   r["min_hamming"])
                  for r in video_near_pairs(df, n_frames=4).collect()]
         assert pairs == [(1, 2, 4, 0)]
+        # a corrupt frame inside a REAL container emits a NULL-dhash
+        # row (honest, filterable); the good frames still pair
+        vd = [va[0], b"\xff\xd8corrupt jpeg body", va[2], va[3]]
+        df2 = spark.createDataFrame(
+            [(1, bytearray(self._avi(va))),
+             (6, bytearray(self._avi(vd)))],
+            "vid long, media binary")
+        fps2 = video_fingerprint(df2, n_frames=4).collect()
+        by = {(r["vid"], r["frame_idx"]): r["dhash"] for r in fps2}
+        assert by[(6, 1)] is None
+        assert by[(6, 0)] == by[(1, 0)]
+        p2 = [(r["vid_a"], r["vid_b"], r["matching_frames"])
+              for r in video_near_pairs(df2, n_frames=4).collect()]
+        assert p2 == [(1, 6, 3)]
 
 
 class TestDecoderFuzz:
