@@ -1958,3 +1958,53 @@ class TestHostileStageSpecMatrix:
                     crashes.append((stage, repr(h)[:20],
                                     type(e).__name__))
         assert not crashes, crashes[:10]
+
+
+class TestMultimodalStages:
+    """Stage-level drives of the multimodal fingerprint family — the
+    function-level coverage lives in test_functions; these lock the
+    YAML spec surface ($resizeImage thumbnail+dHash columns,
+    $videoFingerprint per-frame lane rows)."""
+
+    def test_resize_image_stage(self, spark):
+        import struct
+
+        def bmp_1x1(r, g, b):
+            px = bytes([b, g, r, 0])
+            header = b"BM" + struct.pack("<IHHI", 54 + len(px),
+                                         0, 0, 54)
+            dib = struct.pack("<IiiHHIIiiII", 40, 1, 1, 1, 24, 0,
+                              len(px), 2835, 2835, 0, 0)
+            return header + dib + px
+
+        df = spark.createDataFrame(
+            [("a", bytearray(bmp_1x1(255, 0, 0))),
+             ("b", bytearray(b"junk"))],
+            "asset_id string, media binary")
+        out = run(df, [{"$resizeImage": {"field": "media",
+                                          "width": 2, "height": 2}}])
+        got = {r["asset_id"]: r["thumb"].asDict() for r in out.collect()}
+        # red, BT.709 integer luma: 2126*255 // 10000 = 54
+        assert got["a"]["pixels"] == [54, 54, 54, 54]
+        assert got["a"]["dhash"] == 0      # flat image: no increases
+        assert got["b"]["dhash"] is None
+
+    def test_video_fingerprint_stage(self, spark):
+        import numpy as np
+
+        from tests.test_functions import TestAviFrames, _JpegTestEncoder
+
+        enc = _JpegTestEncoder()
+        frames = [enc.encode(np.roll(np.tile(
+            np.arange(0, 256, 16, dtype=np.uint8), (16, 1))[:, :16],
+            k * 3, axis=1)) for k in range(3)]
+        df = spark.createDataFrame(
+            [(7, bytearray(TestAviFrames._avi(frames)))],
+            "vid long, media binary")
+        out = run(df, [{"$videoFingerprint": {"field": "media",
+                                               "id": "vid",
+                                               "frames": 3}}])
+        rows = out.collect()
+        assert sorted((r["vid"], r["frame_idx"]) for r in rows) \
+            == [(7, 0), (7, 1), (7, 2)]
+        assert all(r["dhash"] is not None for r in rows)
