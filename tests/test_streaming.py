@@ -1225,3 +1225,64 @@ class TestHammingProbeStreaming:
                for r in spark.sql(
                    f"SELECT * FROM mem_{sink.run_id}_hits").collect()}
         assert got == {(102, 2): 0}
+
+    def test_index_persisted_as_changelog_collection(self, spark,
+                                                     tmp_path):
+        """Production index maintenance: the sketch index lives in a
+        ChangeLogCollection (§2.1 collection semantics — upsert new
+        sketches, tombstone retired ones) and $hammingProbe probes its
+        SNAPSHOT.  An updated sketch replaces its old version; a
+        deleted id stops matching."""
+        import numpy as np
+
+        from pincette_json_streams_spark.functions.similarity import (
+            binary_signatures,
+        )
+        from pincette_json_streams_spark.sources.changelog import (
+            ChangeLogCollection,
+        )
+
+        rng = np.random.default_rng(31)
+        vecs = [(i, rng.standard_normal(64).astype("float32").tolist())
+                for i in range(8)]
+        sigs = binary_signatures(spark.createDataFrame(
+            vecs, "vec_id long, embedding array<float>"), dims=64)
+        coll = ChangeLogCollection(
+            str(tmp_path / "sketch_index"),
+            "_id long, sig_0 long, sig_1 long")
+        coll.upsert(sigs.select(F.col("vec_id").alias("_id"),
+                                "sig_0", "sig_1"))
+        # retire id 3, replace id 4 with a fresh sketch
+        coll.delete(spark.createDataFrame([(3,)], "_id long"))
+        new4 = binary_signatures(spark.createDataFrame(
+            [(4, rng.standard_normal(64).astype("float32").tolist())],
+            "vec_id long, embedding array<float>"), dims=64)
+        coll.upsert(new4.select(F.col("vec_id").alias("_id"),
+                                "sig_0", "sig_1"))
+
+        d = str(tmp_path / "probes2")
+        # probe with the ORIGINAL sketches of ids 3 and 4 + id 5
+        sigs.filter("vec_id in (3, 4, 5)").write.parquet(d)
+        catalog = file_stream_catalog(
+            spark, {"probes": d},
+            {"probes": "vec_id long, sig_0 long, sig_1 long"})
+        catalog["sketch_index"] = coll.snapshot(spark)
+        app = StreamingApp(spark, {
+            "application": "clc-probe", "parts": [
+                {"type": "stream", "name": "lookups",
+                 "fromTopic": "probes", "toTopic": "hits",
+                 "pipeline": [
+                     {"$hammingProbe": {"index": "sketch_index",
+                                        "indexId": "_id",
+                                        "maxHamming": 7}},
+                 ]},
+            ],
+        }, catalog)
+        sink = memory_sink(tmp_path)
+        app.run_until_drained(sink)
+        got = {(r["vec_id"], r["match_id"]): r["hamming"]
+               for r in spark.sql(
+                   f"SELECT * FROM mem_{sink.run_id}_hits").collect()}
+        assert (5, 5) in got and got[(5, 5)] == 0   # untouched id
+        assert all(k[1] != 3 for k in got)          # tombstoned
+        assert (4, 4) not in got or got[(4, 4)] > 0  # replaced sketch
