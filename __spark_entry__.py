@@ -1920,6 +1920,62 @@ WHERE bit_count(xor(c.s0, p.s0)) + bit_count(xor(c.s1, p.s1)) <= 7
 """
 
 
+def q_ivf_probe(spark, sf_dir):
+    """STREAM-STATIC cosine radius lookup run in batch
+    (functions/similarity.py ivf_probe; the identical plan backs
+    $ivfProbe on streams — the dense-vector sibling of hamming_probe):
+    probes (every 100th embedding, re-keyed +1e6) assign to their 2
+    nearest stride-64 centroids via the broadcast Arrow argmax,
+    candidates come from the equi-join on list id against the full
+    corpus (each corpus row in exactly ONE list, so pairs are unique
+    by construction — no dedup, no state), and the rounded cosine
+    filters >= 0.2.  The oracle replays assignment (rounded-cosine
+    argmax, ties by centroid id) and the radius filter exactly."""
+    from pincette_json_streams_spark.functions.similarity import (
+        ivf_probe,
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = [list(r["embedding"]) for r in
+             emb.filter(F.col("vec_id") % 64 == 0)
+             .orderBy("vec_id").select("embedding").collect()]
+    probes = emb.filter(F.col("vec_id") % 100 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    return ivf_probe(probes, emb, cents, min_cosine=0.2, nprobe=2)
+
+
+_ORACLE_IVF_PROBE = """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), cent AS (
+  SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id % 64 = 0
+), cos_vc AS (
+  SELECT v.vec_id, v.e, cent.cid,
+         round(list_dot_product(v.e, cent.ce) /
+               (sqrt(list_dot_product(v.e, v.e)) *
+                sqrt(list_dot_product(cent.ce, cent.ce))), 6) AS c
+  FROM v, cent
+), ranked_assign AS (
+  SELECT vec_id, e, cid,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY c DESC, cid ASC) AS rnk
+  FROM cos_vc
+), assigned AS (
+  SELECT vec_id, e, cid AS list_id FROM ranked_assign WHERE rnk = 1
+), q AS (
+  SELECT vec_id + 1000000 AS probe_id, e AS qv, cid AS list_id
+  FROM ranked_assign WHERE vec_id % 100 = 0 AND rnk <= 2
+)
+SELECT q.probe_id AS vec_id, a.vec_id AS match_id,
+       round(list_dot_product(q.qv, a.e) /
+             (sqrt(list_dot_product(q.qv, q.qv)) *
+              sqrt(list_dot_product(a.e, a.e))), 6) AS cosine
+FROM assigned a JOIN q USING (list_id)
+WHERE round(list_dot_product(q.qv, a.e) /
+            (sqrt(list_dot_product(q.qv, q.qv)) *
+             sqrt(list_dot_product(a.e, a.e))), 6) >= 0.2
+"""
+
+
 def q_ann_hamming_lsh(spark, sf_dir):
     """Sub-linear Hamming ANN (functions/similarity.py
     hamming_lsh_topk): the banded-LSH index over the round-8 sign-lane
@@ -7308,6 +7364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_containment_capped": q_dup_containment_capped,
         "audio_fingerprint": q_audio_fingerprint,
         "hamming_probe": q_hamming_probe,
+        "ivf_probe": q_ivf_probe,
         # -- latest driver check r6 --
         "graph_lookup": q_graph_lookup,
         "window_modern": q_window_modern,
@@ -7621,6 +7678,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_containment_capped": _ORACLE_CONTAINMENT_CAPPED,
         "audio_fingerprint": _ORACLE_AUDIO_FP,
         "hamming_probe": _oracle_hamming_probe(),
+        "ivf_probe": _ORACLE_IVF_PROBE,
         "dedup_simhash": _oracle_simhash(),
         "dedup_embedding": _ORACLE_DEDUP_EMBEDDING,
         "ann_lsh": _oracle_ann_lsh(),

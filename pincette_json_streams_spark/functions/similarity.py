@@ -24,7 +24,8 @@ from pincette_json_streams_spark.functions.dedup import (
 
 __all__ = [
     "binary_signatures", "brute_force_topk", "embedding_moments",
-    "embedding_outliers", "hamming_probe", "hamming_topk", "ivf_topk",
+    "embedding_outliers", "hamming_probe", "hamming_topk",
+    "ivf_probe", "ivf_topk",
     "lsh_topk", "pca_components", "pca_project", "pq_adc_topk",
     "pq_codebooks", "pq_encode", "pq_refine_codebooks",
     "quantize_embeddings", "rrf_fuse", "semantic_dedup",
@@ -774,6 +775,71 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
+def ivf_probe(
+    df: DataFrame,
+    index: DataFrame,
+    centroids: "list[list[float]]",
+    min_cosine: float = 0.8,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    index_vec_col: str | None = None,
+    index_id_col: str = "vec_id",
+) -> DataFrame:
+    """STREAM-STATIC cosine radius lookup — the dense-vector sibling of
+    :func:`hamming_probe`: each (streaming or batch) probe row emits
+    every STATIC ``index`` row with rounded cosine >= ``min_cosine``
+    among the IVF candidates.
+
+    Streaming-legal by construction (append mode, zero state): probe
+    rows assign to their ``nprobe`` nearest centroids (a pure Arrow map
+    — the centroid matrix ships in the closure, the broadcast-variable
+    pattern), the static index assigns each row to its ONE nearest
+    list, candidates come from the stream-static equi-join on list id,
+    and the exact Arrow cosine filters.  Every index row lives in
+    exactly one list while the probe explodes ``nprobe`` lists, so
+    (probe, match) pairs are unique by construction — no dedup, no
+    aggregation.  This is a RADIUS query, not top-k: per-probe top-k
+    needs a rank window (stateful on streams) — run
+    :func:`ivf_topk` in batch for that.
+
+    ``centroids`` is REQUIRED (train offline with
+    :func:`train_kmeans_centroids`, or collect a deterministic stride
+    sample in batch): a streaming plan cannot collect its own seed
+    set.  Recall contract: a match surfaces iff its index row's single
+    assigned list is among the probe's ``nprobe`` lists — the standard
+    IVF recall dial, gauged against brute force like ``ann_recall``.
+
+    -> probe columns (minus the vector) + (match_id, cosine)."""
+    import numpy as np
+
+    C = np.array(centroids, dtype=np.float64)
+    if C.ndim != 2 or not len(C):
+        raise ValueError("ivf_probe: centroids must be a non-empty "
+                         "list of equal-length vectors")
+    cids = np.arange(len(C), dtype=np.int64)
+    keep = [c for c in df.columns if c != vec_col]
+    probe = df.select(
+        *keep, F.col(vec_col).cast("array<double>").alias("__qv"),
+    ).withColumn(
+        "list_id",
+        F.explode(_assign_udf(C, cids, nprobe)(F.col("__qv"))))
+    idx = index.select(
+        F.col(index_id_col).alias("match_id"),
+        F.col(index_vec_col or vec_col).cast("array<double>")
+        .alias("__cv"),
+    ).withColumn(
+        "list_id",
+        F.element_at(_assign_udf(C, cids, 1)(F.col("__cv")), 1))
+    return (
+        probe.join(idx, "list_id")
+        .withColumn("cosine",
+                    F.round(cosine_vec(F.col("__qv"), F.col("__cv")),
+                            6))
+        .filter(F.col("cosine") >= min_cosine)
+        .select(*keep, "match_id", "cosine")
     )
 
 

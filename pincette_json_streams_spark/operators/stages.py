@@ -2630,6 +2630,42 @@ def _stage_hamming_probe_ext(df, spec, pctx):
     )
 
 
+def _stage_ivf_probe_ext(df, spec, pctx):
+    # {"index": collection, "centroids": collection,
+    #  "centroidVector": col?, "centroidId": col?, "vector": col?,
+    #  "indexVector": col?, "indexId": col?, "minCosine": x?,
+    #  "nprobe": n?} — STREAM-STATIC cosine radius lookup
+    # (functions/similarity.py ivf_probe), the dense sibling of
+    # $hammingProbe: probe rows assign to nprobe nearest centroids
+    # (broadcast Arrow map), candidates come from the equi-join on
+    # list id against the static index, exact rounded cosine filters.
+    # Zero state — streaming-legal.  The centroid collection is
+    # collected ORDERED BY centroidId at plan build (bounded: it is a
+    # centroid set, not a corpus).
+    from pincette_json_streams_spark.functions.similarity import (
+        ivf_probe,
+    )
+
+    cvec = spec.get("centroidVector", "embedding")
+    cid = spec.get("centroidId", "vec_id")
+    cents = [list(r[0]) for r in pctx.collection(spec["centroids"])
+             .orderBy(cid).select(cvec).collect()]
+    if not cents:
+        raise UnsupportedExpression(
+            "$ivfProbe: empty centroids collection "
+            f"{spec['centroids']!r}")
+    return ivf_probe(
+        df,
+        pctx.collection(spec["index"]),
+        cents,
+        min_cosine=float(spec.get("minCosine", 0.8)),
+        nprobe=int(spec.get("nprobe", 2)),
+        vec_col=spec.get("vector", "embedding"),
+        index_vec_col=spec.get("indexVector"),
+        index_id_col=spec.get("indexId", "vec_id"),
+    )
+
+
 def _stage_changepoints_ext(df, spec, pctx):
     # {"by": col, "ts": col, "value": col, "id": col, "window": n,
     #  "top": n} — sliding two-sample mean-shift changepoint scan
@@ -2996,6 +3032,7 @@ STAGES: dict[str, Callable[[DataFrame, Any, PipelineContext], DataFrame]] = {
     "$hammingLshTopk": _stage_hamming_lsh_topk_ext,
     "$hammingPairs": _stage_hamming_pairs_ext,
     "$hammingProbe": _stage_hamming_probe_ext,
+    "$ivfProbe": _stage_ivf_probe_ext,
     "$changepoints": _stage_changepoints_ext,
     "$ewma": _stage_ewma_ext,
     "$hdrQuantiles": _stage_hdr_quantiles_ext,

@@ -1286,3 +1286,51 @@ class TestHammingProbeStreaming:
         assert (5, 5) in got and got[(5, 5)] == 0   # untouched id
         assert all(k[1] != 3 for k in got)          # tombstoned
         assert (4, 4) not in got or got[(4, 4)] > 0  # replaced sketch
+
+
+class TestIvfProbeStreaming:
+    def test_stream_static_cosine_lookup(self, spark, tmp_path):
+        """$ivfProbe is the dense-vector sibling of $hammingProbe:
+        embedding messages assign to their nprobe nearest centroids
+        in-flight (broadcast Arrow map) and join the static index on
+        list id — cosine radius lookup with zero state.  An exact
+        copy of an index vector matches itself at cosine 1.0."""
+        import numpy as np
+
+        rng = np.random.default_rng(41)
+        corpus = [(i, rng.standard_normal(16).astype("float32").tolist())
+                  for i in range(30)]
+        cdf = spark.createDataFrame(
+            corpus, "vec_id long, embedding array<float>")
+        cents = cdf.filter("vec_id % 8 = 0")  # 4 centroids
+
+        probes = [(103, corpus[3][1]),
+                  (999, (np.array(corpus[5][1]) * -1.0).tolist())]
+        d = str(tmp_path / "ivf_probes")
+        spark.createDataFrame(
+            probes, "vec_id long, embedding array<float>"
+        ).write.parquet(d)
+        catalog = file_stream_catalog(
+            spark, {"probes": d},
+            {"probes": "vec_id long, embedding array<float>"})
+        catalog["corpus_index"] = cdf
+        catalog["cents"] = cents
+        app = StreamingApp(spark, {
+            "application": "ivf-probe", "parts": [
+                {"type": "stream", "name": "lookups",
+                 "fromTopic": "probes", "toTopic": "hits",
+                 "pipeline": [
+                     {"$ivfProbe": {"index": "corpus_index",
+                                    "centroids": "cents",
+                                    "minCosine": 0.95,
+                                    "nprobe": 2}},
+                 ]},
+            ],
+        }, catalog)
+        sink = memory_sink(tmp_path)
+        app.run_until_drained(sink)
+        got = {(r["vec_id"], r["match_id"]): r["cosine"]
+               for r in spark.sql(
+                   f"SELECT * FROM mem_{sink.run_id}_hits").collect()}
+        assert got[(103, 3)] == 1.0
+        assert all(k[0] != 999 for k in got), got
