@@ -1701,34 +1701,43 @@ def video_near_pairs(
     frame pairs come from the banded-index self-join
     (``hamming_near_pairs`` — candidates ∝ band collisions, never
     |frames|²), and videos pair by how many of their sampled frames
-    match.  Requires integer ``id_col`` < 2^47 (frame rows get the
-    synthetic key ``vid * 2^16 + frame_idx`` so the pair join keeps
-    one scalar id column).
+    match.  ``id_col`` may be any type: integer vids < 2^47 use the
+    packed scalar key ``vid * 2^16 + frame_idx`` (shift-decoded
+    after the join); anything else (string URLs, big ids) uses the
+    delimited string key ``vid || 0x1f || frame_idx`` — both keep the
+    pair join on ONE scalar id column.
 
     -> (vid_a, vid_b, matching_frames, min_hamming) with
-    vid_a < vid_b."""
+    vid_a < vid_b (ordered in the id's own type)."""
+    from pyspark.sql import types as T
+
     from pincette_json_streams_spark.functions.similarity import (
         hamming_near_pairs,
     )
 
-    fps = (
-        video_fingerprint(df, media_col, id_col, n_frames)
+    fps = video_fingerprint(df, media_col, id_col, n_frames) \
         .filter(F.col("dhash").isNotNull())
-        .select(
-            (F.col(id_col).cast("long") * F.lit(1 << 16)
-             + F.col("frame_idx")).alias("fid"),
-            "dhash",
-        )
-    )
+    id_type = fps.schema[id_col].dataType
+    integral = isinstance(
+        id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType))
+    if integral:
+        fid = (F.col(id_col).cast("long") * F.lit(1 << 16)
+               + F.col("frame_idx"))
+    else:
+        fid = F.concat_ws("\x1f", F.col(id_col).cast("string"),
+                          F.col("frame_idx").cast("string"))
     pairs = hamming_near_pairs(
-        fps, id_col="fid", lane_cols=["dhash"],
+        fps.select(fid.alias("fid"), "dhash"),
+        id_col="fid", lane_cols=["dhash"],
         max_hamming=max_hamming, lane_bits=64)
+    if integral:
+        va = F.shiftright("id_a", 16).cast(id_type)
+        vb = F.shiftright("id_b", 16).cast(id_type)
+    else:
+        va = F.split("id_a", "\x1f").getItem(0).cast(id_type)
+        vb = F.split("id_b", "\x1f").getItem(0).cast(id_type)
     return (
-        pairs.select(
-            F.shiftright("id_a", 16).alias("va"),
-            F.shiftright("id_b", 16).alias("vb"),
-            "hamming",
-        )
+        pairs.select(va.alias("va"), vb.alias("vb"), "hamming")
         .filter(F.col("va") != F.col("vb"))
         .select(F.least("va", "vb").alias("vid_a"),
                 F.greatest("va", "vb").alias("vid_b"), "hamming")

@@ -3162,6 +3162,16 @@ class TestAviFrames:
         p2 = [(r["vid_a"], r["vid_b"], r["matching_frames"])
               for r in video_near_pairs(df2, n_frames=4).collect()]
         assert p2 == [(1, 6, 3)]
+        # string ids (URL-keyed corpora) ride the delimited frame key
+        dfs = spark.createDataFrame(
+            [("http://a/clip", bytearray(self._avi(va))),
+             ("http://b/clip", bytearray(self._avi(vb))),
+             ("http://c/clip", bytearray(self._avi(vc)))],
+            "vid string, media binary")
+        ps = [(r["vid_a"], r["vid_b"], r["matching_frames"],
+               r["min_hamming"])
+              for r in video_near_pairs(dfs, n_frames=4).collect()]
+        assert ps == [("http://a/clip", "http://b/clip", 4, 0)]
 
 
 class TestDecoderFuzz:
