@@ -7351,67 +7351,15 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver samples a 50-query prefix of this
     # dict, so the least-recently-driver-checked queries must come
-    # first.  Re-derived after CORRECTNESS_r09 (50/50 green; union of
-    # r1-r9 = all 154 green at their latest check): the five queries
-    # whose latest driver check is r6 lead, then the 49-query r7
-    # cohort (45 of which fit in this round's 50-sample; the last
-    # four roll to r11), then the r8 block, then the 50 queries just
-    # checked in r9.  Round-10 newcomers are prepended above the r6
-    # block as they land (never driver-sampled -> very front).
+    # first.  Re-derived after CORRECTNESS_r10 (50/50 green; union of
+    # r1-r10 = all 159 green at their latest check): the nine queries
+    # whose latest driver check is r7 lead, then the 50-query r8
+    # cohort (41 of which fit in this round's 50-sample; the last
+    # nine roll to r12), then the r9 block, then the 50 just checked
+    # in r10.  Round-11 newcomers are prepended above the r7 block
+    # as they land (never driver-sampled -> very front).
     return {
-        # -- NEW in round 10 (never driver-sampled -> very front) --
-        "dedup_ngram_capped": q_dedup_ngram_capped,
-        "dup_containment_capped": q_dup_containment_capped,
-        "audio_fingerprint": q_audio_fingerprint,
-        "hamming_probe": q_hamming_probe,
-        "ivf_probe": q_ivf_probe,
-        # -- latest driver check r6 --
-        "graph_lookup": q_graph_lookup,
-        "window_modern": q_window_modern,
-        "lookup_topn": q_lookup_topn,
-        "facet_summary": q_facet,
-        "topn_accumulators": q_topn_accumulators,
-        # -- latest driver check r7 --
-        "kmv_overlap": q_kmv_overlap,
-        "modern_ops": q_modern_ops,
-        "bpe_encode": q_bpe_encode,
-        "emb_pca": q_emb_pca,
-        "aggregate_fold": q_aggregate_fold,
-        "per_batching": q_per_batching,
-        "merge_modes": q_merge_modes,
-        "tz_gallery": q_tz_gallery,
-        "window_timerange": q_window_timerange,
-        "corpus_stats": q_corpus_stats,
-        "sample_split": q_sample_split,
-        "chunk_docs": q_chunk_docs,
-        "passage_dedup": q_passage_dedup,
-        "quantize_embeddings": q_quantize_embeddings,
-        "quality_trim": q_quality_trim,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_clusters_star": q_dedup_clusters_star,
-        "dedup_canonical": q_dedup_canonical,
-        "split_leakfree": q_split_leakfree,
-        "repetition_stats": q_repetition_stats,
-        "aggregate_acl": q_aggregate_acl,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_ngram": q_dedup_ngram,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_embedding": q_dedup_embedding,
-        "ann_lsh": q_ann_lsh,
-        "ann_topk": q_ann_topk,
-        "quality_filter": q_quality_filter,
-        "aggregate_unique": q_aggregate_unique,
-        "aggregate_jslt_reducer": q_aggregate_jslt_reducer,
-        "aggregate_validate": q_aggregate_validate,
-        "pricing_summary": q_pricing_summary,
-        "segment_revenue": q_segment_revenue,
-        "match_query_ops": q_match_query_ops,
-        "project_compute": q_project_compute,
-        "switch_let": q_switch_let,
-        "group_mergeobjects": q_group_mergeobjects,
-        "unwind_words": q_unwind_words,
-        "group_accumulators": q_group_accumulators,
+        # -- latest driver check r7 (9 queries) --
         "bucket_prices": q_bucket_prices,
         "count_stage": q_count_stage,
         "lookup_array": q_lookup_array,
@@ -7421,7 +7369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "theil_sen_trend": q_theil_sen,
         "winnow_pairs": q_winnow_pairs,
-        # -- latest driver check r8 --
+        # -- latest driver check r8 (50 queries) --
         "ann_hamming": q_ann_hamming,
         "changepoint_scan": q_changepoint_scan,
         "curation_funnel": q_curation_funnel,
@@ -7472,7 +7420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_revenue": q_rollup_revenue,
         "interval_hits": q_interval_join,
         "dup_spans": q_dup_spans,
-        # -- latest driver check r9 --
+        # -- latest driver check r9 (50 queries) --
         "ann_hamming_lsh": q_ann_hamming_lsh,
         "dup_containment": q_dup_containment,
         "hard_negatives": q_hard_negatives,
@@ -7523,6 +7471,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gapfill": q_events_gapfill,
         "profile_table": q_profile_table,
         "tfidf_terms": q_tfidf_terms,
+        # -- latest driver check r10 (50 queries) --
+        "dedup_ngram_capped": q_dedup_ngram_capped,
+        "dup_containment_capped": q_dup_containment_capped,
+        "audio_fingerprint": q_audio_fingerprint,
+        "hamming_probe": q_hamming_probe,
+        "ivf_probe": q_ivf_probe,
+        "graph_lookup": q_graph_lookup,
+        "window_modern": q_window_modern,
+        "lookup_topn": q_lookup_topn,
+        "facet_summary": q_facet,
+        "topn_accumulators": q_topn_accumulators,
+        "kmv_overlap": q_kmv_overlap,
+        "modern_ops": q_modern_ops,
+        "bpe_encode": q_bpe_encode,
+        "emb_pca": q_emb_pca,
+        "aggregate_fold": q_aggregate_fold,
+        "per_batching": q_per_batching,
+        "merge_modes": q_merge_modes,
+        "tz_gallery": q_tz_gallery,
+        "window_timerange": q_window_timerange,
+        "corpus_stats": q_corpus_stats,
+        "sample_split": q_sample_split,
+        "chunk_docs": q_chunk_docs,
+        "passage_dedup": q_passage_dedup,
+        "quantize_embeddings": q_quantize_embeddings,
+        "quality_trim": q_quality_trim,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_clusters_star": q_dedup_clusters_star,
+        "dedup_canonical": q_dedup_canonical,
+        "split_leakfree": q_split_leakfree,
+        "repetition_stats": q_repetition_stats,
+        "aggregate_acl": q_aggregate_acl,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_ngram": q_dedup_ngram,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
+        "ann_lsh": q_ann_lsh,
+        "ann_topk": q_ann_topk,
+        "quality_filter": q_quality_filter,
+        "aggregate_unique": q_aggregate_unique,
+        "aggregate_jslt_reducer": q_aggregate_jslt_reducer,
+        "aggregate_validate": q_aggregate_validate,
+        "pricing_summary": q_pricing_summary,
+        "segment_revenue": q_segment_revenue,
+        "match_query_ops": q_match_query_ops,
+        "project_compute": q_project_compute,
+        "switch_let": q_switch_let,
+        "group_mergeobjects": q_group_mergeobjects,
+        "unwind_words": q_unwind_words,
+        "group_accumulators": q_group_accumulators,
     }
 
 

@@ -31,7 +31,10 @@ from pincette_json_streams_spark.operators.stages import (
     PipelineContext,
     compile_pipeline,
 )
-from pincette_json_streams_spark.plans.spec import load_application
+from pincette_json_streams_spark.plans.spec import (
+    SpecError,
+    load_application,
+)
 from pincette_json_streams_spark.plans.planner import Application
 from pincette_json_streams_spark.sources.changelog import (
     ChangeLogCollection,

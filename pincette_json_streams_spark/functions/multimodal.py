@@ -1701,11 +1701,17 @@ def video_near_pairs(
     frame pairs come from the banded-index self-join
     (``hamming_near_pairs`` — candidates ∝ band collisions, never
     |frames|²), and videos pair by how many of their sampled frames
-    match.  ``id_col`` may be any type: integer vids < 2^47 use the
-    packed scalar key ``vid * 2^16 + frame_idx`` (shift-decoded
-    after the join); anything else (string URLs, big ids) uses the
-    delimited string key ``vid || 0x1f || frame_idx`` — both keep the
-    pair join on ONE scalar id column.
+    match.  ``id_col`` may be any type: integer vids in [0, 2^31)
+    use the packed scalar key ``vid * 2^32 + frame_idx``
+    (shift-decoded after the join; 32 frame bits cover any physical
+    video — 4.2 billion frames); anything else (string URLs, big
+    ids) uses the delimited string key ``vid || 0x1f || frame_idx``
+    — both keep the pair join on ONE scalar id column.  Integer vids
+    outside [0, 2^31) raise at execution (``raise_error`` in the fid
+    expression, same pattern as ``binary_signatures``'s ragged
+    guard) rather than shift-decoding to the WRONG vid and emitting
+    mis-attributed pairs; cast such ids to string to take the
+    delimited path.
 
     -> (vid_a, vid_b, matching_frames, min_hamming) with
     vid_a < vid_b (ordered in the id's own type)."""
@@ -1721,8 +1727,19 @@ def video_near_pairs(
     integral = isinstance(
         id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType))
     if integral:
-        fid = (F.col(id_col).cast("long") * F.lit(1 << 16)
-               + F.col("frame_idx"))
+        vid_l = F.col(id_col).cast("long")
+        idx_l = F.col("frame_idx").cast("long")
+        ok = ((vid_l >= 0) & (vid_l < F.lit(1 << 31))
+              & (idx_l >= 0) & (idx_l < F.lit(1 << 32)))
+        fid = F.when(ok, vid_l * F.lit(1 << 32) + idx_l).otherwise(
+            F.raise_error(F.concat(
+                F.lit("video_near_pairs: packed key needs vid in "
+                      "[0, 2^31) and frame_idx in [0, 2^32); got "
+                      "vid="),
+                vid_l.cast("string"), F.lit(" frame_idx="),
+                idx_l.cast("string"),
+                F.lit(" — cast the id column to string for the "
+                      "delimited key path"))).cast("long"))
     else:
         fid = F.concat_ws("\x1f", F.col(id_col).cast("string"),
                           F.col("frame_idx").cast("string"))
@@ -1731,8 +1748,8 @@ def video_near_pairs(
         id_col="fid", lane_cols=["dhash"],
         max_hamming=max_hamming, lane_bits=64)
     if integral:
-        va = F.shiftright("id_a", 16).cast(id_type)
-        vb = F.shiftright("id_b", 16).cast(id_type)
+        va = F.shiftright("id_a", 32).cast(id_type)
+        vb = F.shiftright("id_b", 32).cast(id_type)
     else:
         va = F.split("id_a", "\x1f").getItem(0).cast(id_type)
         vb = F.split("id_b", "\x1f").getItem(0).cast(id_type)

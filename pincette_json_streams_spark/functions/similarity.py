@@ -418,6 +418,27 @@ def hamming_lsh_topk(
     )
 
 
+def _checked_lane(c: str, lane_bits: int, op: str):
+    """Lane-width runtime guard: fail loudly on lane values wider than
+    ``lane_bits`` — banding only the low bits while the exact verify
+    XORs all 64 silently shrinks the guaranteed recall radius (the
+    dHash-with-default-32 trap).  No-op (identity) for lane_bits=64.
+    The value is cast to LONG before the shift: ``shiftright`` on an
+    IntegerType lane masks the shift amount (32 & 31 = 0), which would
+    turn the guard into ``value == 0``."""
+    if lane_bits >= 64:
+        return F.col(c)
+    v = F.col(c).cast("long")
+    ok = v.isNull() | ((v >= 0) & (F.shiftright(v, lane_bits) == 0))
+    return F.when(ok, F.col(c)).otherwise(F.raise_error(
+        F.concat(
+            F.lit(f"{op}: lane '{c}' value "),
+            v.cast("string"),
+            F.lit(f" does not fit lane_bits={lane_bits}; pass "
+                  "lane_bits matching the sketch width "
+                  "(dHash lanes are 64-bit)")))).alias(c)
+
+
 def hamming_near_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -471,25 +492,9 @@ def hamming_near_pairs(
         shift = (per_lane - 1 - (b % per_lane)) * band_bits
         return F.shiftright(lane, shift).bitwiseAND(F.lit(mask))
 
-    if lane_bits < 64:
-        # fail loudly on lanes wider than lane_bits: banding only the
-        # low bits while the exact verify XORs all 64 silently shrinks
-        # the guaranteed radius (the dHash-with-default-32 trap)
-        def _checked(c):
-            ok = F.col(c).isNull() | (
-                (F.col(c) >= 0)
-                & (F.shiftright(F.col(c), lane_bits) == 0))
-            return F.when(ok, F.col(c)).otherwise(F.raise_error(
-                F.concat(
-                    F.lit(f"hamming_near_pairs: lane '{c}' value "),
-                    F.col(c).cast("string"),
-                    F.lit(f" does not fit lane_bits={lane_bits}; pass "
-                          "lane_bits matching the sketch width "
-                          "(dHash lanes are 64-bit)")))).alias(c)
-
-        lane_guard = [_checked(c) for c in lanes]
-    else:
-        lane_guard = [F.col(c) for c in lanes]
+    lane_guard = [
+        _checked_lane(c, lane_bits, "hamming_near_pairs")
+        for c in lanes]
 
     postings = df.select(
         F.col(id_col).alias("id"), *lane_guard,
@@ -574,7 +579,8 @@ def hamming_probe(
 
     keep = [c for c in df.columns if c not in lanes]
     probe = df.select(
-        *keep, *lanes,
+        *keep,
+        *[_checked_lane(c, lane_bits, "hamming_probe") for c in lanes],
         F.explode(F.array(*[
             F.struct(F.lit(b).cast("int").alias("band"),
                      band_val(lambda i: lanes[i], b).alias("bv"))
@@ -583,7 +589,8 @@ def hamming_probe(
     ).select(*keep, *lanes, "p.band", "p.bv")
     post = index.select(
         F.col(index_id_col).alias("match_id"),
-        *[F.col(c).alias(f"x_{c}") for c in lanes],
+        *[_checked_lane(c, lane_bits, "hamming_probe")
+          .alias(f"x_{c}") for c in lanes],
         # band values computed from the ORIGINAL lane columns — the
         # x_ aliases would be lateral column references in this select
         F.explode(F.array(*[

@@ -62,16 +62,38 @@ class TestDriverContract:
         hold — never-sampled additions lead, then the stalest cohorts
         in ascending last-checked order, so the 50-prefix always
         covers the least-recently-checked queries.  Cohorts are
-        re-derived from ALL CORRECTNESS_r*.json files present, so the
-        test stays generic as rounds accumulate."""
+        re-derived from the COMMITTED CORRECTNESS_r*.json files (git
+        ls-files), so the test stays generic as rounds accumulate but
+        does not flip red when the external driver drops a new,
+        uncommitted CORRECTNESS_r{N}.json into the tree at round end
+        (the bench twin of this failure mode was fixed in bf7cbbf by
+        pinning the audit to bench_witness.json; r10's one red test
+        was this very glob picking up the driver's artifact).  The
+        rotation is re-derived at the NEXT round start, at which
+        point the file is committed and the ordering moves."""
         import glob
         import json
         import re
+        import subprocess
 
         here = os.path.join(os.path.dirname(__file__), "..")
+        try:
+            tracked = subprocess.run(
+                ["git", "ls-files", "CORRECTNESS_r*.json"],
+                cwd=here, capture_output=True, text=True, check=True,
+            ).stdout.split()
+            paths = [os.path.join(here, p) for p in tracked]
+        except (OSError, subprocess.CalledProcessError):
+            tracked = []
+            paths = []
+        if not paths:
+            # not a git checkout (e.g. a git-archive export, which
+            # carries only committed files anyway): fall back to glob
+            paths = sorted(glob.glob(os.path.join(
+                here, "CORRECTNESS_r*.json")))
+        assert paths, "no CORRECTNESS files found"
         rounds: dict[str, int] = {}
-        for p in sorted(glob.glob(os.path.join(
-                here, "CORRECTNESS_r*.json"))):
+        for p in paths:
             r = int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
             for k in json.load(open(p)):
                 rounds[k] = max(rounds.get(k, 0), r)

@@ -3173,6 +3173,36 @@ class TestAviFrames:
               for r in video_near_pairs(dfs, n_frames=4).collect()]
         assert ps == [("http://a/clip", "http://b/clip", 4, 0)]
 
+    def test_packed_key_range_guard(self, spark):
+        """The packed frame key (vid * 2^32 + frame_idx) is guarded:
+        integer vids outside [0, 2^31) RAISE instead of shift-decoding
+        to the wrong vid and emitting mis-attributed pairs (ADVICE
+        r10); boundary vids just inside the range pack, join and
+        decode correctly."""
+        import numpy as np
+        import pytest
+
+        from pincette_json_streams_spark.functions.multimodal import (
+            video_near_pairs,
+        )
+        enc = _JpegTestEncoder()
+        base = np.tile(np.arange(0, 256, 16, dtype=np.uint8),
+                       (16, 1))[:, :16]
+        frames = [enc.encode(np.roll(base, k * 3, axis=1))
+                  for k in range(2)]
+        blob = bytearray(self._avi(frames))
+        hi = (1 << 31) - 1
+        df_ok = spark.createDataFrame(
+            [(hi, blob), (hi - 1, blob)], "vid long, media binary")
+        ok = [(r["vid_a"], r["vid_b"], r["matching_frames"])
+              for r in video_near_pairs(df_ok, n_frames=2).collect()]
+        assert ok == [(hi - 1, hi, 2)]
+        for bad in (-1, 1 << 31):
+            df_bad = spark.createDataFrame(
+                [(bad, blob), (1, blob)], "vid long, media binary")
+            with pytest.raises(Exception, match="packed key needs"):
+                video_near_pairs(df_bad, n_frames=2).collect()
+
 
 class TestDecoderFuzz:
     """Decoders must never crash on hostile bytes — NULL fields only
@@ -5433,6 +5463,47 @@ class TestBinarySketchAnn:
             neg, lane_cols=["dhash"], lane_bits=64).collect()
         assert [(r["id_a"], r["id_b"], r["hamming"])
                 for r in got] == [(0, 1, 0)]
+        # IntegerType lanes must not defeat the guard: shiftright on
+        # an int column masks the shift amount (32 & 31 = 0), so the
+        # guard casts to long first (ADVICE r10)
+        int_df = spark.createDataFrame(
+            [(0, 7), (1, 7)], "vec_id long, sig int")
+        got_i = hamming_near_pairs(
+            int_df, lane_cols=["sig"], lane_bits=32).collect()
+        assert [(r["id_a"], r["id_b"]) for r in got_i] == [(0, 1)]
+
+    def test_hamming_probe_lane_width_guard(self, spark):
+        """The streaming probe carries the SAME lane-width guard as
+        its batch twin on BOTH sides: a 64-bit dHash probed with the
+        default lane_bits=32 raises at execution (a production stream
+        would otherwise silently lose recall at distances 4..7)
+        instead of emitting a missable Python warning (ADVICE r10)."""
+        from pincette_json_streams_spark.functions.similarity import (
+            hamming_probe,
+        )
+        wide = spark.createDataFrame(
+            [(0, 1 << 40)], "vec_id long, sig_0 long")
+        ok = spark.createDataFrame(
+            [(1, 5)], "vec_id long, sig_0 long")
+        # probe side over-wide
+        with pytest.raises(Exception, match="does not fit lane_bits"):
+            hamming_probe(wide, ok, lane_cols=["sig_0"],
+                          band_bits=8, lane_bits=32).collect()
+        # index side over-wide
+        with pytest.raises(Exception, match="does not fit lane_bits"):
+            hamming_probe(ok, wide, lane_cols=["sig_0"],
+                          band_bits=8, lane_bits=32).collect()
+        # 64-bit lanes (negative dHashes included) pass with
+        # lane_bits=64 — the guard is identity there
+        neg = spark.createDataFrame(
+            [(0, -(1 << 62))], "vec_id long, dhash long")
+        neg2 = spark.createDataFrame(
+            [(9, -(1 << 62))], "vec_id long, dhash long")
+        got = hamming_probe(
+            neg, neg2, lane_cols=["dhash"], lane_bits=64,
+            band_bits=8).collect()
+        assert [(r["vec_id"], r["match_id"], r["hamming"])
+                for r in got] == [(0, 9, 0)]
 
     def test_hamming_pairs_image_dhash_composition(self, spark):
         """End-to-end image near-dup: PNG bytes -> resize_image dHash
