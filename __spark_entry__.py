@@ -3283,6 +3283,175 @@ FROM b GROUP BY doc_id
 """
 
 
+def q_audio_windows(spark, sf_dir):
+    """Per-WINDOW audio fingerprints (functions/multimodal.py
+    audio_fingerprint_windows): per doc_id a 1536-sample PCM16 WAV is
+    synthesized from a replayable two-round multiply-xorshift mix
+    of x0 = g*1000003 + (i+shift)*7919 (a plain linear congruence —
+    or even one multiplicative round — leaves lag-diff lattice
+    structure that near-collides fingerprints ACROSS groups; two
+    avalanche rounds measure 0 cross-group pairs at radius 7) with
+    content group g = doc_id//4 and shift = (doc_id%2)*512, so
+    consecutive doc_ids share content at a whole-hop time shift.  Each clip yields its two FULL
+    1024-sample windows at hop 512 (no zero-padded tail windows —
+    mostly-pad windows would near-collide across unrelated clips),
+    each fingerprinted by the exact whole-clip HK math; the oracle
+    replays every window bit-for-bit from the formula.  The window lanes feed
+    audio_near_pairs — shift-robust audio near-dup, which the single
+    whole-clip lane provably cannot do."""
+    from pincette_json_streams_spark.functions.multimodal import (
+        audio_fingerprint_windows,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    wav = docs.withColumn("media", _synth_shifted_wav(F.col("doc_id")))
+    return audio_fingerprint_windows(wav, id_col="doc_id").select(
+        "doc_id",
+        F.col("window_idx").cast("long").alias("window_idx"),
+        "afp")
+
+
+def q_audio_near_pairs(spark, sf_dir):
+    """Shift-robust audio near-dup (functions/multimodal.py
+    audio_near_pairs): per-window HK lanes -> banded Hamming index
+    pairs -> per-clip rollup.  Same synthetic corpus as
+    q_audio_windows: doc_ids in one content group of four share
+    content, half of them shifted by exactly one hop, so unshifted
+    twins pair on both full windows at distance 0 and shifted pairs
+    on the realigned window.  max_hamming=7 = n_bands-1 (8
+    byte-bands on one 64-bit lane), so the banded output EQUALS the
+    oracle's brute force by the pigeonhole contract."""
+    from pincette_json_streams_spark.functions.multimodal import (
+        audio_near_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    wav = docs.withColumn("media", _synth_shifted_wav(F.col("doc_id")))
+    return audio_near_pairs(wav, id_col="doc_id").select(
+        "id_a", "id_b", "matching_windows", "min_hamming")
+
+
+def _synth_shifted_wav(col):
+    """pandas UDF: doc_id -> 1536-sample PCM16 mono RIFF/WAV from the
+    replayable formula (group/shift derived from doc_id; see
+    q_audio_windows)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def synth(ids):
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        out = []
+        i = np.arange(1536, dtype=np.int64)
+        for did in ids:
+            g = int(did) // 4
+            sh = (int(did) % 2) * 512
+            x0 = g * 1000003 + (i + sh) * 7919
+            x1 = (x0 % (1 << 20)) * 2654435761 % (1 << 32)
+            x2 = x1 ^ (x1 >> 16)
+            x3 = (x2 % (1 << 30)) * 2246822519 % (1 << 32)
+            x4 = x3 ^ (x3 >> 13)
+            s = (x4 % 65536 - 32768).astype("<i2")
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(8000)
+                w.writeframes(s.tobytes())
+            out.append(buf.getvalue())
+        return pd.Series(out)
+
+    return synth(col)
+
+
+# replay of audio_fingerprint_windows on the shifted-corpus formula:
+# a 1536-sample clip has two FULL 1024-sample windows at hop 512
+# (j in 0..1; local sample li maps to global j*512 + li, always
+# inside the clip, so no padding branch); the per-window fingerprint
+# is the exact _ORACLE_AUDIO_FP machine with PARTITION BY (doc_id, j)
+# and frame n = li // 64.
+_SQL_AUDIO_WINDOW_FP = """
+WITH docs AS (
+  SELECT doc_id, doc_id // 4 AS g, (doc_id % 2) * 512 AS sh
+  FROM documents
+),
+mix1 AS (
+  SELECT doc_id, j::BIGINT AS j, li::BIGINT AS li,
+         ((g * 1000003 + (j*512 + li + sh) * 7919) % 1048576)
+           * 2654435761 % 4294967296 AS x1
+  FROM docs CROSS JOIN range(2) w(j) CROSS JOIN range(1024) t(li)
+),
+samp AS (
+  SELECT doc_id, j, li,
+         xor(x3, x3 >> 13) % 65536 - 32768 AS s
+  FROM (SELECT doc_id, j, li,
+               (xor(x1, x1 >> 16) % 1073741824) * 2246822519
+                 % 4294967296 AS x3
+        FROM mix1)
+),
+d AS (
+  SELECT doc_id, j, li // 64 AS n,
+         coalesce(s - lag(s, 1)  OVER win, 0) AS d0,
+         coalesce(s - lag(s, 2)  OVER win, 0) AS d1,
+         coalesce(s - lag(s, 4)  OVER win, 0) AS d2,
+         coalesce(s - lag(s, 8)  OVER win, 0) AS d3,
+         coalesce(s - lag(s, 16) OVER win, 0) AS d4
+  FROM samp WINDOW win AS (PARTITION BY doc_id, j ORDER BY li)
+),
+e AS (
+  SELECT doc_id, j, n,
+         sum(d0*d0) AS e0, sum(d1*d1) AS e1, sum(d2*d2) AS e2,
+         sum(d3*d3) AS e3, sum(d4*d4) AS e4
+  FROM d GROUP BY 1, 2, 3
+),
+dv AS (
+  SELECT doc_id, j, n, e0 - e1 AS v0, e1 - e2 AS v1, e2 - e3 AS v2,
+         e3 - e4 AS v3
+  FROM e
+),
+b AS (
+  SELECT doc_id, j, n,
+         CASE WHEN v0 > coalesce(lag(v0) OVER win, 0)
+              THEN 1 ELSE 0 END AS b0,
+         CASE WHEN v1 > coalesce(lag(v1) OVER win, 0)
+              THEN 1 ELSE 0 END AS b1,
+         CASE WHEN v2 > coalesce(lag(v2) OVER win, 0)
+              THEN 1 ELSE 0 END AS b2,
+         CASE WHEN v3 > coalesce(lag(v3) OVER win, 0)
+              THEN 1 ELSE 0 END AS b3
+  FROM dv WINDOW win AS (PARTITION BY doc_id, j ORDER BY n)
+),
+wfp AS (
+  SELECT doc_id, j AS window_idx,
+         (sum((b0::BIGINT << (n*4)) + (b1::BIGINT << (n*4+1))
+              + (b2::BIGINT << (n*4+2))
+              + CASE WHEN n < 15 THEN b3::BIGINT << (n*4+3)
+                     ELSE 0 END)
+          + CASE WHEN max(CASE WHEN n = 15 THEN b3 ELSE 0 END) = 1
+                 THEN (-9223372036854775807 - 1) ELSE 0 END)::BIGINT
+         AS afp
+  FROM b GROUP BY doc_id, j
+)
+"""
+
+_ORACLE_AUDIO_WINDOWS = _SQL_AUDIO_WINDOW_FP + """
+SELECT doc_id, window_idx, afp FROM wfp
+"""
+
+_ORACLE_AUDIO_NEAR_PAIRS = _SQL_AUDIO_WINDOW_FP + """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       count(*)::BIGINT AS matching_windows,
+       min(bit_count(xor(a.afp, b.afp)))::BIGINT AS min_hamming
+FROM wfp a JOIN wfp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.afp, b.afp)) <= 7
+GROUP BY 1, 2
+"""
+
+
 _ORACLE_NGRAM = f"""
 WITH norm AS (
   SELECT doc_id AS id, string_split({_sql_norm()}, ' ') AS w FROM documents
@@ -7359,6 +7528,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # in r10.  Round-11 newcomers are prepended above the r7 block
     # as they land (never driver-sampled -> very front).
     return {
+        # -- NEW in round 11 (never driver-sampled -> very front) --
+        "audio_windows": q_audio_windows,
+        "audio_near_pairs": q_audio_near_pairs,
         # -- latest driver check r7 (9 queries) --
         "bucket_prices": q_bucket_prices,
         "count_stage": q_count_stage,
@@ -7676,6 +7848,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_capped": _ORACLE_NGRAM_CAPPED,
         "dup_containment_capped": _ORACLE_CONTAINMENT_CAPPED,
         "audio_fingerprint": _ORACLE_AUDIO_FP,
+        "audio_windows": _ORACLE_AUDIO_WINDOWS,
+        "audio_near_pairs": _ORACLE_AUDIO_NEAR_PAIRS,
         "hamming_probe": _oracle_hamming_probe(),
         "ivf_probe": _ORACLE_IVF_PROBE,
         "dedup_simhash": _oracle_simhash(),

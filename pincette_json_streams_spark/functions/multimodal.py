@@ -407,6 +407,114 @@ def audio_fingerprint(
     return src.mapInPandas(run, schema=out_schema)
 
 
+# one fingerprint window = the full HK geometry (16 frames x 64
+# samples); the default hop overlaps windows by half so a clip
+# shifted by k*hop samples still aligns whole windows bit-for-bit
+_AFP_WINDOW = _AFP_FRAMES * _AFP_FRAME_LEN
+
+
+def audio_fingerprint_windows(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "clip_id",
+    out_col: str = "afp",
+    hop: int = _AFP_WINDOW // 2,
+    base64: bool = False,
+) -> DataFrame:
+    """Per-WINDOW audio perceptual fingerprints: one int64
+    Haitsma-Kalker lane (the exact :func:`_audio_fp_int` math) per
+    1024-sample window, windows starting every ``hop`` samples — the
+    audio twin of :func:`video_fingerprint`'s per-frame dHash lanes.
+    The whole-clip :func:`audio_fingerprint` emits ONE lane from the
+    first 1024 samples, so it can neither see past the clip head nor
+    match time-shifted or clipped audio; per-window lanes fix both: a
+    clip shifted by a multiple of ``hop`` reproduces the original's
+    windows bit-for-bit at later indices, and
+    :func:`audio_near_pairs` rolls window matches up to clip pairs.
+
+    Window ``j`` covers samples ``[j*hop, j*hop + 1024)``.  Only
+    FULL windows are emitted (standard STFT-style framing): a
+    mostly-zero-padded tail window fingerprints as mostly-zero bits
+    and would near-collide with every other clip's tail — quadratic
+    junk pairs at corpus scale.  Trailing samples shorter than one
+    window are covered by the previous overlapping window up to
+    ``hop - 1`` samples.  Clips shorter than 1024 samples emit ONE
+    zero-padded window — identical to the whole-clip
+    :func:`audio_fingerprint` lane.  Undecodable/NULL payloads emit
+    NO rows (honest absence).  Integer-exact like the whole-clip
+    lane, so a SQL oracle replays every window bit-for-bit from the
+    raw samples (driver query ``audio_windows``).
+
+    Scale shape: per-row Arrow map, zero shuffle; only (id,
+    window_idx, afp) ≈ 20 bytes per window leave the executor, never
+    the audio bytes.
+
+    -> one row per window: (id_col, window_idx int, afp bigint)."""
+    if hop <= 0:
+        raise ValueError(f"audio_fingerprint_windows: hop={hop} "
+                         "must be positive")
+    src = df.withColumn(
+        "__wav", F.unbase64(F.col(media_col))) if base64 else df
+    wav_col = "__wav" if base64 else media_col
+    id_type = dict(df.dtypes)[id_col]
+    out_schema = f"{id_col} {id_type}, window_idx int, {out_col} bigint"
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, fps = [], [], []
+            for rid, b in zip(pdf[id_col], pdf[wav_col]):
+                x = _wav_mono16(bytes(b) if b is not None else None)
+                if x is None:
+                    continue
+                n_win = max(1, 1 + (len(x) - _AFP_WINDOW) // hop)
+                for j in range(n_win):
+                    ids.append(rid)
+                    idxs.append(j)
+                    fps.append(_audio_fp_int(
+                        x[j * hop:j * hop + _AFP_WINDOW]))
+            yield pd.DataFrame({
+                id_col: pd.Series(ids, dtype="object"),
+                "window_idx": pd.Series(idxs, dtype="int32"),
+                out_col: pd.Series(fps, dtype="object"),
+            })
+
+    return src.mapInPandas(run, schema=out_schema)
+
+
+def audio_near_pairs(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "clip_id",
+    hop: int = _AFP_WINDOW // 2,
+    max_hamming: int = 7,
+    min_matching_windows: int = 1,
+) -> DataFrame:
+    """Audio near-duplicates on the shared Hamming index, robust to
+    time shifts and clipping: per-window HK lanes
+    (:func:`audio_fingerprint_windows`) pair through the banded-index
+    self-join (``hamming_near_pairs`` — candidates ∝ band collisions,
+    never |windows|²), and clips pair by how many windows match —
+    the exact shape :func:`video_near_pairs` uses for frames, down
+    to the shared packed/delimited window key and its range guard.
+    A clip shifted by a multiple of ``hop``, or clipped to a
+    sub-range, still shares whole windows with the original, which
+    the single whole-clip lane of :func:`audio_fingerprint`
+    provably cannot match.
+
+    -> (id_a, id_b, matching_windows, min_hamming) with
+    id_a < id_b (ordered in the id's own type)."""
+    fps = audio_fingerprint_windows(
+        df, media_col=media_col, id_col=id_col, hop=hop,
+    ).filter(F.col("afp").isNotNull())
+    return _lane_rollup_pairs(
+        fps, id_col=id_col, idx_col="window_idx", lane_col="afp",
+        max_hamming=max_hamming, min_matching=min_matching_windows,
+        out_a="id_a", out_b="id_b", count_name="matching_windows",
+        op="audio_near_pairs")
+
+
 def _png_unfilter(raw: bytes, w: int, h: int, bpp: int):
     """Reverse PNG scanline filters (types 0-4) -> HxW*bpp bytes.
     Pure numpy; spec: https://www.w3.org/TR/png-3/#9Filters."""
@@ -1715,37 +1823,63 @@ def video_near_pairs(
 
     -> (vid_a, vid_b, matching_frames, min_hamming) with
     vid_a < vid_b (ordered in the id's own type)."""
+    fps = video_fingerprint(df, media_col, id_col, n_frames) \
+        .filter(F.col("dhash").isNotNull())
+    return _lane_rollup_pairs(
+        fps, id_col=id_col, idx_col="frame_idx", lane_col="dhash",
+        max_hamming=max_hamming, min_matching=min_matching_frames,
+        out_a="vid_a", out_b="vid_b", count_name="matching_frames",
+        op="video_near_pairs")
+
+
+def _lane_rollup_pairs(
+    fps: DataFrame,
+    id_col: str,
+    idx_col: str,
+    lane_col: str,
+    max_hamming: int,
+    min_matching: int,
+    out_a: str,
+    out_b: str,
+    count_name: str,
+    op: str,
+) -> DataFrame:
+    """Shared frame/window rollup for :func:`video_near_pairs` and
+    :func:`audio_near_pairs`: pack (id, idx) into ONE scalar key,
+    find near-dup lanes through the banded Hamming index, decode the
+    key and roll lane matches up to id pairs.  Integer ids in
+    [0, 2^31) use the packed long key ``id * 2^32 + idx`` (32 idx
+    bits cover any physical clip); anything else the delimited
+    string key ``id || 0x1f || idx``.  Out-of-range integer ids
+    RAISE (mis-attributed pairs would be silent data corruption)."""
     from pyspark.sql import types as T
 
     from pincette_json_streams_spark.functions.similarity import (
         hamming_near_pairs,
     )
 
-    fps = video_fingerprint(df, media_col, id_col, n_frames) \
-        .filter(F.col("dhash").isNotNull())
     id_type = fps.schema[id_col].dataType
     integral = isinstance(
         id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType))
     if integral:
         vid_l = F.col(id_col).cast("long")
-        idx_l = F.col("frame_idx").cast("long")
+        idx_l = F.col(idx_col).cast("long")
         ok = ((vid_l >= 0) & (vid_l < F.lit(1 << 31))
               & (idx_l >= 0) & (idx_l < F.lit(1 << 32)))
         fid = F.when(ok, vid_l * F.lit(1 << 32) + idx_l).otherwise(
             F.raise_error(F.concat(
-                F.lit("video_near_pairs: packed key needs vid in "
-                      "[0, 2^31) and frame_idx in [0, 2^32); got "
-                      "vid="),
-                vid_l.cast("string"), F.lit(" frame_idx="),
+                F.lit(f"{op}: packed key needs id in "
+                      "[0, 2^31) and index in [0, 2^32); got id="),
+                vid_l.cast("string"), F.lit(f" {idx_col}="),
                 idx_l.cast("string"),
                 F.lit(" — cast the id column to string for the "
                       "delimited key path"))).cast("long"))
     else:
         fid = F.concat_ws("\x1f", F.col(id_col).cast("string"),
-                          F.col("frame_idx").cast("string"))
+                          F.col(idx_col).cast("string"))
     pairs = hamming_near_pairs(
-        fps.select(fid.alias("fid"), "dhash"),
-        id_col="fid", lane_cols=["dhash"],
+        fps.select(fid.alias("fid"), lane_col),
+        id_col="fid", lane_cols=[lane_col],
         max_hamming=max_hamming, lane_bits=64)
     if integral:
         va = F.shiftright("id_a", 32).cast(id_type)
@@ -1756,10 +1890,10 @@ def video_near_pairs(
     return (
         pairs.select(va.alias("va"), vb.alias("vb"), "hamming")
         .filter(F.col("va") != F.col("vb"))
-        .select(F.least("va", "vb").alias("vid_a"),
-                F.greatest("va", "vb").alias("vid_b"), "hamming")
-        .groupBy("vid_a", "vid_b")
-        .agg(F.count(F.lit(1)).alias("matching_frames"),
+        .select(F.least("va", "vb").alias(out_a),
+                F.greatest("va", "vb").alias(out_b), "hamming")
+        .groupBy(out_a, out_b)
+        .agg(F.count(F.lit(1)).alias(count_name),
              F.min("hamming").alias("min_hamming"))
-        .filter(F.col("matching_frames") >= min_matching_frames)
+        .filter(F.col(count_name) >= min_matching)
     )

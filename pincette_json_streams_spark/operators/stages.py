@@ -1724,6 +1724,54 @@ def _stage_audio_fingerprint_ext(df, spec, pctx):
     )
 
 
+def _stage_audio_fingerprint_windows_ext(df, spec, pctx):
+    # {"field": col, "id": col?, "as": col?, "hop": n?,
+    #  "base64": bool?} — per-WINDOW audio fingerprints
+    # (functions/multimodal.py audio_fingerprint_windows): one int64
+    # HK lane per full 1024-sample window at the given hop, the audio
+    # twin of $videoFingerprint's per-frame lanes.  Unlike the single
+    # whole-clip $audioFingerprint lane, window lanes survive time
+    # shifts and clipping; feed $audioNearDups or $hammingPairs /
+    # $hammingProbe with laneBits: 64.
+    from pincette_json_streams_spark.functions.multimodal import (
+        audio_fingerprint_windows,
+    )
+
+    return audio_fingerprint_windows(
+        df,
+        media_col=spec.get("field", "media"),
+        id_col=spec.get("id", "clip_id"),
+        out_col=spec.get("as", "afp"),
+        hop=int(spec.get("hop", 512)),
+        base64=bool(spec.get("base64", False)),
+    )
+
+
+def _stage_audio_near_dups_ext(df, spec, pctx):
+    # {"field": col, "id": col?, "hop": n?, "maxHamming": n?,
+    #  "minWindows": n?, "base64": bool?} — shift/clip-robust audio
+    # near-duplicates on the shared banded Hamming index
+    # (functions/multimodal.py audio_near_pairs): per-window HK lanes
+    # -> band-collision pairs -> per-clip rollup, the audio twin of
+    # $videoNearDups.
+    _batch_only(df, "$audioNearDups", "corpus-wide window self-join")
+    from pincette_json_streams_spark.functions.multimodal import (
+        audio_near_pairs,
+    )
+
+    field = spec.get("field", "media")
+    if spec.get("base64"):
+        df = df.withColumn(field, F.unbase64(F.col(field)))
+    return audio_near_pairs(
+        df,
+        media_col=field,
+        id_col=spec.get("id", "clip_id"),
+        hop=int(spec.get("hop", 512)),
+        max_hamming=int(spec.get("maxHamming", 7)),
+        min_matching_windows=int(spec.get("minWindows", 1)),
+    )
+
+
 def _stage_video_fingerprint_ext(df, spec, pctx):
     # {"field": col, "id": col?, "frames": n?, "base64": bool?} —
     # per-frame perceptual fingerprints (functions/multimodal.py
@@ -2378,6 +2426,32 @@ def _stage_containment_ext(df, spec, pctx):
     )
 
 
+def _stage_ngram_pairs_ext(df, spec, pctx):
+    # {"text": col, "id": col, "threshold": f, "n": n, "dfCap": n?}
+    # — exact n-gram JACCARD pairs (functions/dedup.py
+    # ngram_jaccard_pairs), the symmetric sibling of $containment.
+    # dfCap (the 100 TB skew guard) was Python-API-only until round
+    # 11: grams in more than dfCap distinct sets become corpus
+    # stopwords and candidate generation switches to the bounded
+    # in-array posting expansion — no posting self-join, pair output
+    # <= dfCap^2 per gram.  The reported value is the exact Jaccard
+    # over the capped gram universe.
+    _batch_only(df, "$ngramPairs", "corpus-wide posting self-join")
+    from pincette_json_streams_spark.functions.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    df_cap = spec.get("dfCap")
+    return ngram_jaccard_pairs(
+        df,
+        text_col=spec.get("text", "text"),
+        id_col=spec.get("id", "doc_id"),
+        n=int(spec.get("n", 3)),
+        threshold=float(spec.get("threshold", 0.2)),
+        df_cap=int(df_cap) if df_cap is not None else None,
+    )
+
+
 def _stage_robust_z_ext(df, spec, pctx):
     # {"value": col, "by": col, "id": col, "scale": n?} — median/MAD
     # robust z-scores (functions/profiling.py robust_zscores): the
@@ -3008,6 +3082,8 @@ STAGES: dict[str, Callable[[DataFrame, Any, PipelineContext], DataFrame]] = {
     "$scrubPii": _stage_scrub_pii_ext,
     "$probeMedia": _stage_probe_media_ext,
     "$audioFingerprint": _stage_audio_fingerprint_ext,
+    "$audioFingerprintWindows": _stage_audio_fingerprint_windows_ext,
+    "$audioNearDups": _stage_audio_near_dups_ext,
     "$decodeAudio": _stage_decode_audio_ext,
     "$decodeImage": _stage_decode_image_ext,
     "$resizeImage": _stage_resize_image_ext,
@@ -3039,6 +3115,7 @@ STAGES: dict[str, Callable[[DataFrame, Any, PipelineContext], DataFrame]] = {
     "$nearDups": _stage_near_dups_ext,
     "$prefixJaccard": _stage_prefix_jaccard_ext,
     "$containment": _stage_containment_ext,
+    "$ngramPairs": _stage_ngram_pairs_ext,
     "$hardNegatives": _stage_hard_negatives_ext,
     "$balancedSample": _stage_balanced_sample_ext,
     "$robustZ": _stage_robust_z_ext,

@@ -1110,6 +1110,83 @@ class TestMultimodal:
         got_pairs = {(r["id_a"], r["id_b"]) for r in pairs}
         assert (1, 2) in got_pairs and (1, 3) not in got_pairs
 
+    def test_audio_fingerprint_windows(self, spark):
+        """Per-window lanes: full-window framing (a 1536-sample clip
+        at hop 512 yields windows 0 and 1, each mirror-equal to the
+        HK fingerprint of its slice), clips shorter than one window
+        emit ONE zero-padded window identical to the whole-clip lane,
+        undecodable/NULL payloads emit nothing, hop must be
+        positive."""
+        import numpy as np
+        import pytest
+
+        from pincette_json_streams_spark.functions.multimodal import (
+            audio_fingerprint, audio_fingerprint_windows,
+        )
+        rng = np.random.default_rng(11)
+        a = rng.integers(-32768, 32768, 1536).tolist()
+        short = rng.integers(-32768, 32768, 300).tolist()
+        df = spark.createDataFrame(
+            [(1, bytearray(self._wav_bytes(a))),
+             (2, bytearray(self._wav_bytes(short))),
+             (3, bytearray(b"junk")), (4, None)],
+            "clip_id long, media binary")
+        got = {(r["clip_id"], r["window_idx"]): r["afp"]
+               for r in audio_fingerprint_windows(df).collect()}
+        assert set(got) == {(1, 0), (1, 1), (2, 0)}
+        assert got[(1, 0)] == self._afp_mirror(a[:1024])
+        assert got[(1, 1)] == self._afp_mirror(a[512:1536])
+        whole = {r["clip_id"]: r["afp"]
+                 for r in audio_fingerprint(df).collect()}
+        assert got[(2, 0)] == whole[2]   # short clip == whole-clip lane
+        with pytest.raises(ValueError, match="hop"):
+            audio_fingerprint_windows(df, hop=0)
+
+    def test_audio_near_pairs_shift_and_clip(self, spark):
+        """The round-10 gap closed: a clip time-shifted or clipped by
+        a whole hop pairs with the original through per-window lanes
+        — and the single whole-clip lane PROVABLY fails both (its
+        hamming to the original is beyond the radius).  Unrelated
+        audio stays out; string ids ride the delimited window key."""
+        import numpy as np
+
+        from pincette_json_streams_spark.functions.multimodal import (
+            audio_fingerprint, audio_near_pairs,
+        )
+        rng = np.random.default_rng(13)
+        base = rng.integers(-32768, 32768, 2048).tolist()
+        orig = base[:1536]
+        shifted = base[512:2048]     # same content, one hop later
+        clipped = orig[512:1536]     # sub-range of the original
+        other = rng.integers(-32768, 32768, 1536).tolist()
+        df = spark.createDataFrame(
+            [(1, bytearray(self._wav_bytes(orig))),
+             (2, bytearray(self._wav_bytes(shifted))),
+             (3, bytearray(self._wav_bytes(clipped))),
+             (4, bytearray(self._wav_bytes(other)))],
+            "clip_id long, media binary")
+        pairs = {(r["id_a"], r["id_b"]): (r["matching_windows"],
+                                          r["min_hamming"])
+                 for r in audio_near_pairs(df).collect()}
+        # orig.w1 == shifted.w0 == clipped.w0 (all base[512:1536])
+        assert pairs[(1, 2)][1] == 0 and pairs[(1, 3)][1] == 0
+        assert pairs[(2, 3)][1] == 0
+        assert not any(4 in p for p in pairs)
+        # the whole-clip lane cannot match either transform
+        whole = {r["clip_id"]: r["afp"]
+                 for r in audio_fingerprint(df).collect()}
+        for twin in (2, 3):
+            h = bin((whole[1] ^ whole[twin]) & (2 ** 64 - 1)).count("1")
+            assert h > 7, f"whole-clip lane unexpectedly matches {twin}"
+        # string ids (URL-keyed corpora) use the delimited window key
+        dfs = spark.createDataFrame(
+            [("s3://a.wav", bytearray(self._wav_bytes(orig))),
+             ("s3://b.wav", bytearray(self._wav_bytes(shifted)))],
+            "clip_id string, media binary")
+        ps = audio_near_pairs(dfs).collect()
+        assert [(r["id_a"], r["id_b"]) for r in ps] \
+            == [("s3://a.wav", "s3://b.wav")]
+
     def test_metadata_and_decode_stub(self, spark):
         from pincette_json_streams_spark.functions.multimodal import (
             attach_media_metadata, decode_features,

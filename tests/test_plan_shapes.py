@@ -617,3 +617,33 @@ class TestRound10PlanShapes:
         assert not re.search(
             r"HashAggregate|SortAggregate|ObjectHashAggregate", plan)
         assert "CartesianProduct" not in plan
+
+
+class TestRound11PlanShapes:
+    def test_audio_near_pairs_banded_index_shape(self, spark):
+        """Shift-robust audio dedup keeps the banded-index scale
+        shape: window lanes come from ONE Arrow map (no media bytes
+        in any exchange), candidates from the band-posting equi-join
+        (never a cartesian/nested-loop over windows), and the packed
+        long window key rides the join — no string frame keys for
+        integer ids."""
+        import re
+
+        plan = _plan(spark, "audio_near_pairs")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoop" not in plan
+        # the posting self-join is an equi-join on (band, bv) plus
+        # the window-key inequality and the exact XOR/popcount verify
+        # riding the join condition — cartesian-free candidates
+        assert re.search(r"(BroadcastHash|SortMerge|ShuffledHash)Join"
+                         r" Inner", plan)
+        assert re.search(r"bit_count\(.*\^.*\).*<= 7", plan)
+        assert re.search(r"id#\d+L? < id_r#\d+", plan)
+        # the fingerprint map appears once per join side (re-read),
+        # never once per band
+        n_maps = len(re.findall(r"^\(\d+\) MapInPandas", plan,
+                                re.MULTILINE))
+        assert 1 <= n_maps <= 2, n_maps
+        # integer ids pack to a LONG key: the delimited string path
+        # (concat_ws on 0x1f) must not appear for long clip ids
+        assert "concat_ws" not in plan

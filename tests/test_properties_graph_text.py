@@ -455,6 +455,34 @@ class TestAudioFingerprintProperty:
         mono = [v * channels for v in norm]
         assert got == TM._afp_mirror(mono)
 
+    @SPARKY
+    @given(st.lists(st.integers(-32768, 32767),
+                    min_size=1, max_size=3000),
+           st.sampled_from([256, 512, 1024]))
+    def test_windows_match_mirror(self, spark, samples, hop):
+        """Round-11 per-window law: for any signal length and hop,
+        audio_fingerprint_windows emits exactly the full-window
+        starts (plus one zero-padded window for sub-window clips),
+        each window mirror-equal to the whole-clip fingerprint of
+        its slice — the contract that makes the per-window SQL
+        oracle's replay and the shift-alignment property sound."""
+        from tests.test_functions import TestMultimodal as TM
+
+        from pincette_json_streams_spark.functions.multimodal import (
+            audio_fingerprint_windows,
+        )
+        df = spark.createDataFrame(
+            [(0, bytearray(TM._wav_bytes(samples)))],
+            "clip_id long, media binary")
+        got = {r["window_idx"]: r["afp"]
+               for r in audio_fingerprint_windows(df, hop=hop)
+               .collect()}
+        n_win = max(1, 1 + (len(samples) - 1024) // hop)
+        assert set(got) == set(range(n_win))
+        for j in range(n_win):
+            assert got[j] == TM._afp_mirror(
+                samples[j * hop:j * hop + 1024]), j
+
 
 class TestHammingProbeProperty:
     """Round-10 probe law: within the pigeonhole radius

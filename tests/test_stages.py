@@ -2008,3 +2008,50 @@ class TestMultimodalStages:
         assert sorted((r["vid"], r["frame_idx"]) for r in rows) \
             == [(7, 0), (7, 1), (7, 2)]
         assert all(r["dhash"] is not None for r in rows)
+
+    def test_audio_fingerprint_windows_stage(self, spark):
+        """$audioFingerprintWindows: per-window HK lanes from YAML,
+        matching the whole-clip lane on each full window slice."""
+        import numpy as np
+
+        from tests.test_functions import TestMultimodal as TM
+
+        rng = np.random.default_rng(23)
+        a = rng.integers(-32768, 32768, 1536).tolist()
+        df = spark.createDataFrame(
+            [(9, bytearray(TM._wav_bytes(a)))],
+            "clip_id long, media binary")
+        out = run(df, [{"$audioFingerprintWindows": {
+            "field": "media", "id": "clip_id", "hop": 512}}])
+        got = {(r["clip_id"], r["window_idx"]): r["afp"]
+               for r in out.collect()}
+        assert set(got) == {(9, 0), (9, 1)}
+        assert got[(9, 0)] == TM._afp_mirror(a[:1024])
+        assert got[(9, 1)] == TM._afp_mirror(a[512:1536])
+
+
+class TestNgramPairsStage:
+    """$ngramPairs: the YAML surface for exact n-gram Jaccard —
+    including df_cap, which until round 11 was Python-API-only, so a
+    YAML-first user could not reach the 100 TB skew-guarded path."""
+
+    def test_ngram_pairs_and_df_cap_binding(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c d e f"), (2, "a b c d e f"),
+             (3, "a b c d e zz"), (4, "m n o p q r")],
+            "doc_id long, text string")
+        out = run(df, [{"$ngramPairs": {
+            "text": "text", "id": "doc_id", "n": 3,
+            "threshold": 0.4}}])
+        got = {(r["id_a"], r["id_b"]): r["jaccard"]
+               for r in out.collect()}
+        assert got == {(1, 2): 1.0, (1, 3): 0.6, (2, 3): 0.6}
+        # dfCap reaches the capped path: every gram of docs 1-3 is
+        # shared by >= 2 distinct sets, so dfCap=1 drops them all —
+        # only the verbatim-identical pair (same set digest) survives
+        capped = run(df, [{"$ngramPairs": {
+            "text": "text", "id": "doc_id", "n": 3,
+            "threshold": 0.4, "dfCap": 1}}])
+        got_c = {(r["id_a"], r["id_b"]): r["jaccard"]
+                 for r in capped.collect()}
+        assert got_c == {(1, 2): 1.0}
