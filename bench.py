@@ -134,6 +134,13 @@ BENCH_QUERIES = [
     "dedup_ngram_capped",
     "dup_containment_capped",
     "audio_fingerprint",
+    # round-11 additions: the round-10 streaming flagships finally
+    # regression-gated (the exact gap round 9 flagged for
+    # hamming_pairs), plus the per-window audio family
+    "hamming_probe",
+    "ivf_probe",
+    "audio_windows",
+    "audio_near_pairs",
 ]
 
 

@@ -32,7 +32,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-QUERIES = ["pagerank_top", "graph_triangles", "bloom_prefilter"]
+QUERIES = [
+    "pagerank_top", "graph_triangles", "bloom_prefilter",
+    # round-11 additions: the remaining >2x-vs-twin SUB-SECOND rows
+    # whose sf0.01->sf0.1 pairs are nearly flat — same fixed-cost
+    # story, now falsifiable the same way
+    "dsir_weights", "dup_spans", "bigram_lm",
+]
 
 
 def per_job_floor(spark, n: int = 20) -> float:

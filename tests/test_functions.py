@@ -5741,3 +5741,73 @@ class TestRound8Stages:
         ], PipelineContext()).collect()
         assert r["event_id"] == 20
         assert r["shift_e6"] == 5 * 3_000_000 - 5 * 1_000_000
+
+
+class TestCodecSeam:
+    """The register_codec extension seam, driven end-to-end with the
+    shipped worked example (functions/codecs.py: uncompressed
+    YUV4MPEG2 -> per-frame grayscale BMPs) — the exact shape a
+    crawl-video user swaps a real H.264/MP4 decoder into."""
+
+    @staticmethod
+    def _y4m(frames_y, w, h):
+        head = f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420jpeg\n".encode()
+        y_size = w * h
+        c_size = y_size // 4
+        body = b"".join(
+            b"FRAME\n" + bytes(y) + b"\x80" * (2 * c_size)
+            for y in frames_y)
+        return head + body
+
+    def test_y4m_codec_through_video_near_pairs(self, spark):
+        import numpy as np
+
+        from pincette_json_streams_spark.functions.codecs import (
+            y4m_frames, y4m_probe,
+        )
+        from pincette_json_streams_spark.functions.multimodal import (
+            register_codec, unregister_codec, video_near_pairs,
+        )
+
+        def grad(k):
+            base = np.tile(np.arange(0, 256, 16, dtype=np.uint8),
+                           (16, 1))[:, :16]
+            return np.roll(base, k * 3, axis=1).tobytes()
+
+        va = self._y4m([grad(k) for k in range(4)], 16, 16)
+        vb = self._y4m([grad(k) for k in range(4)], 16, 16)
+        vc = self._y4m([grad(k)[::-1] for k in range(4)], 16, 16)
+        df = spark.createDataFrame(
+            [(1, bytearray(va)), (2, bytearray(vb)),
+             (3, bytearray(vc)), (4, bytearray(b"not a video"))],
+            "vid long, media binary")
+        # without the codec, Y4M payloads honestly emit NO rows
+        assert video_near_pairs(df, n_frames=4).collect() == []
+        register_codec("y4m", y4m_probe, y4m_frames)
+        try:
+            pairs = [(r["vid_a"], r["vid_b"], r["matching_frames"],
+                      r["min_hamming"])
+                     for r in video_near_pairs(df, n_frames=4)
+                     .collect()]
+            assert pairs == [(1, 2, 4, 0)]
+        finally:
+            unregister_codec("y4m")
+
+    def test_y4m_demux_shapes(self):
+        from pincette_json_streams_spark.functions.codecs import (
+            y4m_frames, y4m_probe,
+        )
+        from pincette_json_streams_spark.functions.multimodal import (
+            _decode_image,
+        )
+        y = bytes(range(16)) * 16
+        blob = self._y4m([y, y], 16, 16)
+        assert y4m_probe(blob) and not y4m_probe(b"RIFF....")
+        frames = y4m_frames(blob)
+        assert len(frames) == 2
+        dec = _decode_image(frames[0], 16)
+        assert dec["format"] == "bmp" and dec["width"] == 16
+        # malformed payloads: honest absence, never an exception
+        assert y4m_frames(b"YUV4MPEG2 W0 H0\n") == []
+        assert y4m_frames(b"YUV4MPEG2 garbage") == []
+        assert y4m_frames(blob[:40]) == []
