@@ -1877,8 +1877,17 @@ def _lane_rollup_pairs(
     else:
         fid = F.concat_ws("\x1f", F.col(id_col).cast("string"),
                           F.col(idx_col).cast("string"))
+    keyed = fps.select(fid.alias("fid"), lane_col)
+    if not keyed.isStreaming:
+        # both sides of the banded posting self-join read this frame:
+        # without a persist the upstream media decode + fingerprint
+        # Arrow map runs TWICE (measured 25-70% of audio_near_pairs
+        # wall time at sf0.1).  The cached frame is the tiny lane
+        # table (~20 bytes/window), never the media bytes — the same
+        # cluster-compression persist ngram_jaccard_pairs uses.
+        keyed = keyed.persist()
     pairs = hamming_near_pairs(
-        fps.select(fid.alias("fid"), lane_col),
+        keyed,
         id_col="fid", lane_cols=[lane_col],
         max_hamming=max_hamming, lane_bits=64)
     if integral:
