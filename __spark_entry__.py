@@ -3368,6 +3368,56 @@ def _synth_shifted_wav(col):
     return synth(col)
 
 
+def q_audio_clusters(spark, sf_dir):
+    """Audio dedup DECISION: the per-window near-pair edges
+    (q_audio_near_pairs) resolve into clusters via the same
+    min-label-propagation connected components the text pipeline uses
+    — shifted and unshifted copies of one recording land in ONE
+    cluster with a deterministic canonical clip (keep = doc_id ==
+    cluster_id).  Composition of two independently-benched pieces
+    (audio_near_pairs + connected_components), closing the
+    candidate-pairs -> cluster -> survivor arc for the audio
+    modality exactly as dedup_clusters does for text."""
+    from pincette_json_streams_spark.functions.dedup import (
+        connected_components,
+    )
+    from pincette_json_streams_spark.functions.multimodal import (
+        audio_near_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    wav = docs.withColumn("media", _synth_shifted_wav(F.col("doc_id")))
+    pairs = audio_near_pairs(wav, id_col="doc_id")
+    comp = connected_components(pairs, nodes=docs)
+    w = Window.partitionBy("cluster_id")
+    return comp.select(
+        F.col("id").alias("doc_id"), "cluster_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
+        (F.col("id") == F.col("cluster_id")).alias("keep"),
+    )
+
+
+def _oracle_audio_clusters():
+    return f"""
+WITH RECURSIVE pairs AS ({_ORACLE_AUDIO_NEAR_PAIRS}),
+nodes AS (SELECT doc_id AS id FROM documents),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+walk(id, reach) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT w.id, e.b FROM walk w JOIN edges e ON e.a = w.reach
+),
+comp AS (
+  SELECT id AS doc_id, min(reach) AS cluster_id FROM walk GROUP BY id
+)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       doc_id = cluster_id AS keep
+FROM comp
+"""
+
+
 # replay of audio_fingerprint_windows on the shifted-corpus formula:
 # a 1536-sample clip has two FULL 1024-sample windows at hop 512
 # (j in 0..1; local sample li maps to global j*512 + li, always
@@ -7531,6 +7581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- NEW in round 11 (never driver-sampled -> very front) --
         "audio_windows": q_audio_windows,
         "audio_near_pairs": q_audio_near_pairs,
+        "audio_clusters": q_audio_clusters,
         # -- latest driver check r7 (9 queries) --
         "bucket_prices": q_bucket_prices,
         "count_stage": q_count_stage,
@@ -7850,6 +7901,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_fingerprint": _ORACLE_AUDIO_FP,
         "audio_windows": _ORACLE_AUDIO_WINDOWS,
         "audio_near_pairs": _ORACLE_AUDIO_NEAR_PAIRS,
+        "audio_clusters": _oracle_audio_clusters(),
         "hamming_probe": _oracle_hamming_probe(),
         "ivf_probe": _ORACLE_IVF_PROBE,
         "dedup_simhash": _oracle_simhash(),
