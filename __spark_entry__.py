@@ -3397,6 +3397,153 @@ def q_audio_clusters(spark, sf_dir):
     )
 
 
+def q_video_frames(spark, sf_dir):
+    """REAL video decode + per-frame dHash, oracle-checked — until
+    round 11 the video family was pytest-only ("self"): JPEG/GIF
+    entropy coding cannot be replayed in SQL.  The Y4M codec seam
+    (functions/codecs.py, registered through the public
+    register_codec API exactly as a crawl-video user would) makes the
+    decode lossless: per doc_id a 4-frame uncompressed YUV4MPEG2 clip
+    is synthesized whose 9x8 luma planes come from the replayable
+    two-round avalanche formula, each frame demuxes to a 24-bit
+    grayscale BMP, and the 9x8 geometry makes the dHash's
+    (width+1) x height box-average grid the IDENTITY — so DuckDB
+    replays every dHash bit-for-bit from the pixel formula.  Frames
+    are shared across doc_ids like the audio corpus: content group
+    g = doc_id//4, frame offset (doc_id%2)*2, so consecutive docs
+    overlap on two of four frames."""
+    from pincette_json_streams_spark.functions.codecs import (
+        y4m_frames, y4m_probe,
+    )
+    from pincette_json_streams_spark.functions.multimodal import (
+        register_codec, video_fingerprint,
+    )
+
+    register_codec("y4m", y4m_probe, y4m_frames)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    vid = docs.withColumn("media", _synth_shifted_y4m(F.col("doc_id")))
+    return video_fingerprint(vid, id_col="doc_id", n_frames=4).select(
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        "dhash")
+
+
+def q_video_near_dups(spark, sf_dir):
+    """Video near-dup pairs, oracle-checked end-to-end through the
+    REAL decode path (see q_video_frames): banded per-frame dHash
+    matches roll up to clip pairs; max_hamming=7 = n_bands-1 so the
+    banded output EQUALS the oracle's brute force by the pigeonhole
+    contract.  Frame-offset twins (2 shared frames) and identical
+    twins (4 shared frames) both pair at distance 0."""
+    from pincette_json_streams_spark.functions.codecs import (
+        y4m_frames, y4m_probe,
+    )
+    from pincette_json_streams_spark.functions.multimodal import (
+        register_codec, video_near_pairs,
+    )
+
+    register_codec("y4m", y4m_probe, y4m_frames)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    vid = docs.withColumn("media", _synth_shifted_y4m(F.col("doc_id")))
+    return video_near_pairs(vid, id_col="doc_id", n_frames=4).select(
+        "vid_a", "vid_b", "matching_frames", "min_hamming")
+
+
+def _synth_shifted_y4m(col):
+    """pandas UDF: doc_id -> a 4-frame 9x8 uncompressed Y4M clip.
+    Luma pixel p (row-major, 0..71) of GLOBAL frame fg is the
+    two-round avalanche mix of x0 = g*1000003 + fg*7919 + p*97 with
+    g = doc_id//4; the clip's frames are fg = off..off+3 with
+    off = (doc_id%2)*2 — so parity twins overlap on two frames and
+    same-parity twins are identical, mirroring the audio corpus."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def synth(ids):
+        import numpy as np
+        import pandas as pd
+
+        p = np.arange(72, dtype=np.int64)
+        out = []
+        for did in ids:
+            g = int(did) // 4
+            off = (int(did) % 2) * 2
+            frames = []
+            for fg in range(off, off + 4):
+                x0 = g * 1000003 + fg * 7919 + p * 97
+                x1 = (x0 % (1 << 20)) * 2654435761 % (1 << 32)
+                x2 = x1 ^ (x1 >> 16)
+                x3 = (x2 % (1 << 30)) * 2246822519 % (1 << 32)
+                x4 = x3 ^ (x3 >> 13)
+                frames.append((x4 % 256).astype(np.uint8).tobytes())
+            head = b"YUV4MPEG2 W9 H8 F25:1 Ip A1:1 C420jpeg\n"
+            body = b"".join(
+                b"FRAME\n" + y + b"\x80" * (2 * (72 // 4))
+                for y in frames)
+            out.append(head + body)
+        return pd.Series(out)
+
+    return synth(col)
+
+
+# replay of the video dHash on the 9x8 synthetic frames: luma of a
+# gray BMP is the pixel value (BT.709 integer weights sum to 10000),
+# and the 9x8 -> (8+1)x8 box-average grid is the identity, so
+# bit(r, c) = y(p=r*9+c) < y(p=r*9+c+1), packed row-major MSB-first
+# (bit position 63 - (r*8 + c)); two's-complement wrap on bit 63.
+_SQL_VIDEO_FRAME_FP = """
+WITH docs AS (
+  SELECT doc_id, doc_id // 4 AS g, (doc_id % 2) * 2 AS off
+  FROM documents
+),
+px AS (
+  SELECT doc_id, f::BIGINT AS f, p::BIGINT AS p,
+         xor(x3, x3 >> 13) % 256 AS y
+  FROM (
+    SELECT doc_id, f, p,
+           (xor(x1, x1 >> 16) % 1073741824) * 2246822519
+             % 4294967296 AS x3
+    FROM (
+      SELECT doc_id, f, p,
+             ((g * 1000003 + (off + f) * 7919 + p * 97) % 1048576)
+               * 2654435761 % 4294967296 AS x1
+      FROM docs CROSS JOIN range(4) fr(f) CROSS JOIN range(72) t(p)
+    )
+  )
+),
+bits AS (
+  SELECT a.doc_id, a.f, a.p // 9 AS r, a.p % 9 AS c,
+         CASE WHEN a.y < b.y THEN 1 ELSE 0 END AS bit
+  FROM px a JOIN px b
+    ON b.doc_id = a.doc_id AND b.f = a.f AND b.p = a.p + 1
+  WHERE a.p % 9 < 8
+),
+vfp AS (
+  SELECT doc_id, f AS frame_idx,
+         (sum(CASE WHEN r = 0 AND c = 0 THEN 0
+                   ELSE bit::BIGINT << (63 - (r*8 + c)) END)
+          + CASE WHEN max(CASE WHEN r = 0 AND c = 0 THEN bit
+                          ELSE 0 END) = 1
+                 THEN (-9223372036854775807 - 1) ELSE 0 END)::BIGINT
+         AS dhash
+  FROM bits GROUP BY doc_id, f
+)
+"""
+
+_ORACLE_VIDEO_FRAMES = _SQL_VIDEO_FRAME_FP + """
+SELECT doc_id, frame_idx, dhash FROM vfp
+"""
+
+_ORACLE_VIDEO_NEAR_DUPS = _SQL_VIDEO_FRAME_FP + """
+SELECT a.doc_id AS vid_a, b.doc_id AS vid_b,
+       count(*)::BIGINT AS matching_frames,
+       min(bit_count(xor(a.dhash, b.dhash)))::BIGINT AS min_hamming
+FROM vfp a JOIN vfp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= 7
+GROUP BY 1, 2
+"""
+
+
 def _oracle_audio_clusters():
     return f"""
 WITH RECURSIVE pairs AS ({_ORACLE_AUDIO_NEAR_PAIRS}),
@@ -7582,6 +7729,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_windows": q_audio_windows,
         "audio_near_pairs": q_audio_near_pairs,
         "audio_clusters": q_audio_clusters,
+        "video_frames": q_video_frames,
+        "video_near_dups": q_video_near_dups,
         # -- latest driver check r7 (9 queries) --
         "bucket_prices": q_bucket_prices,
         "count_stage": q_count_stage,
@@ -7902,6 +8051,8 @@ def oracle_sql() -> dict[str, str]:
         "audio_windows": _ORACLE_AUDIO_WINDOWS,
         "audio_near_pairs": _ORACLE_AUDIO_NEAR_PAIRS,
         "audio_clusters": _oracle_audio_clusters(),
+        "video_frames": _ORACLE_VIDEO_FRAMES,
+        "video_near_dups": _ORACLE_VIDEO_NEAR_DUPS,
         "hamming_probe": _oracle_hamming_probe(),
         "ivf_probe": _ORACLE_IVF_PROBE,
         "dedup_simhash": _oracle_simhash(),

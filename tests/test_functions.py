@@ -5781,6 +5781,10 @@ class TestCodecSeam:
             [(1, bytearray(va)), (2, bytearray(vb)),
              (3, bytearray(vc)), (4, bytearray(b"not a video"))],
             "vid long, media binary")
+        # the y4m codec may already be registered by the driver
+        # queries (q_video_frames runs earlier in a full pytest
+        # session) — clear it so the no-codec contract is honest
+        unregister_codec("y4m")
         # without the codec, Y4M payloads honestly emit NO rows
         assert video_near_pairs(df, n_frames=4).collect() == []
         register_codec("y4m", y4m_probe, y4m_frames)
