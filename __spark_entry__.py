@@ -3303,7 +3303,8 @@ def q_audio_windows(spark, sf_dir):
         audio_fingerprint_windows,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _t(spark, sf_dir, "documents").select("doc_id") \
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
     wav = docs.withColumn("media", _synth_shifted_wav(F.col("doc_id")))
     return audio_fingerprint_windows(wav, id_col="doc_id").select(
         "doc_id",
@@ -3325,7 +3326,8 @@ def q_audio_near_pairs(spark, sf_dir):
         audio_near_pairs,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _t(spark, sf_dir, "documents").select("doc_id") \
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
     wav = docs.withColumn("media", _synth_shifted_wav(F.col("doc_id")))
     return audio_near_pairs(wav, id_col="doc_id").select(
         "id_a", "id_b", "matching_windows", "min_hamming")
@@ -3385,7 +3387,8 @@ def q_audio_clusters(spark, sf_dir):
         audio_near_pairs,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _t(spark, sf_dir, "documents").select("doc_id") \
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
     wav = docs.withColumn("media", _synth_shifted_wav(F.col("doc_id")))
     pairs = audio_near_pairs(wav, id_col="doc_id")
     comp = connected_components(pairs, nodes=docs)
@@ -3420,7 +3423,8 @@ def q_video_frames(spark, sf_dir):
     )
 
     register_codec("y4m", y4m_probe, y4m_frames)
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _t(spark, sf_dir, "documents").select("doc_id") \
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
     vid = docs.withColumn("media", _synth_shifted_y4m(F.col("doc_id")))
     return video_fingerprint(vid, id_col="doc_id", n_frames=4).select(
         "doc_id",
@@ -3443,7 +3447,8 @@ def q_video_near_dups(spark, sf_dir):
     )
 
     register_codec("y4m", y4m_probe, y4m_frames)
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _t(spark, sf_dir, "documents").select("doc_id") \
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
     vid = docs.withColumn("media", _synth_shifted_y4m(F.col("doc_id")))
     return video_near_pairs(vid, id_col="doc_id", n_frames=4).select(
         "vid_a", "vid_b", "matching_frames", "min_hamming")

@@ -143,6 +143,19 @@ BENCH_QUERIES = [
     "audio_near_pairs",
 ]
 
+# Correctness-gated but NOT benchmarked (same policy family as
+# embedding_outliers / pq_refined): audio_clusters is a composition
+# of two already-benched pieces (audio_near_pairs + the
+# connected-components kernel benched via dedup_canonical), and
+# video_frames / video_near_dups spend their Spark time in REAL
+# container decode that the SQL oracle replays as pure math — a
+# Spark-vs-DuckDB wall-clock ratio there compares decode work against
+# formula evaluation, not engine against engine.  A gating attempt
+# this round produced only steal-contaminated runs (bench_runs/ has
+# the clean 91-query witnesses); informal low-load passes measured
+# video_frames ~1.0s, video_near_dups ~0.8s, audio_clusters ~4.4s at
+# sf0.1.
+
 
 def check_regressions(times: dict, sf, record_path: str | None = None,
                       factor: float = 2.0, allowance: float = 1.0) -> dict:
