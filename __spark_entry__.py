@@ -7723,12 +7723,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver samples a 50-query prefix of this
     # dict, so the least-recently-driver-checked queries must come
     # first.  Re-derived after CORRECTNESS_r10 (50/50 green; union of
-    # r1-r10 = all 159 green at their latest check): the nine queries
-    # whose latest driver check is r7 lead, then the 50-query r8
-    # cohort (41 of which fit in this round's 50-sample; the last
-    # nine roll to r12), then the r9 block, then the 50 just checked
-    # in r10.  Round-11 newcomers are prepended above the r7 block
-    # as they land (never driver-sampled -> very front).
+    # r1-r10 = all green at their latest check): round-11 newcomers
+    # lead (never driver-sampled -> very front; five landed this
+    # round), then the nine r7-stale queries, then the 50-query r8
+    # cohort — with 5 newcomers, 36 r8 queries fit the 50-sample and
+    # 14 roll to r12 (derive the counts AFTER newcomers are
+    # prepended) — then the r9 block, then the 50 just checked in
+    # r10.
     return {
         # -- NEW in round 11 (never driver-sampled -> very front) --
         "audio_windows": q_audio_windows,
