@@ -38,6 +38,10 @@ QUERIES = [
     # whose sf0.01->sf0.1 pairs are nearly flat — same fixed-cost
     # story, now falsifiable the same way
     "dsir_weights", "dup_spans", "bigram_lm",
+    # round-11: the iterative connected-components rollup over audio
+    # window near-pair edges — wall time is dominated by per-iteration
+    # job launches, the same fixed-cost story as pagerank
+    "audio_clusters",
 ]
 
 
