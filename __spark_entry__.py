@@ -3454,6 +3454,60 @@ def q_video_near_dups(spark, sf_dir):
         "vid_a", "vid_b", "matching_frames", "min_hamming")
 
 
+def q_video_clusters(spark, sf_dir):
+    """Video dedup DECISION, symmetric with q_audio_clusters: banded
+    frame near-pair edges (q_video_near_dups) resolve into clusters
+    via min-label-propagation connected components — frame-offset and
+    identical copies of one clip land in ONE cluster with a
+    deterministic canonical video.  Candidate pairs -> cluster ->
+    survivor, now for every modality on the shared index."""
+    from pincette_json_streams_spark.functions.codecs import (
+        y4m_frames, y4m_probe,
+    )
+    from pincette_json_streams_spark.functions.dedup import (
+        connected_components,
+    )
+    from pincette_json_streams_spark.functions.multimodal import (
+        register_codec, video_near_pairs,
+    )
+
+    register_codec("y4m", y4m_probe, y4m_frames)
+    docs = _t(spark, sf_dir, "documents").select("doc_id") \
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
+    vid = docs.withColumn("media", _synth_shifted_y4m(F.col("doc_id")))
+    pairs = video_near_pairs(vid, id_col="doc_id", n_frames=4) \
+        .select(F.col("vid_a").alias("id_a"),
+                F.col("vid_b").alias("id_b"))
+    comp = connected_components(pairs, nodes=docs)
+    w = Window.partitionBy("cluster_id")
+    return comp.select(
+        F.col("id").alias("doc_id"), "cluster_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
+        (F.col("id") == F.col("cluster_id")).alias("keep"),
+    )
+
+
+def _oracle_video_clusters():
+    return f"""
+WITH RECURSIVE pairs AS ({_ORACLE_VIDEO_NEAR_DUPS}),
+nodes AS (SELECT doc_id AS id FROM documents),
+edges AS (SELECT vid_a AS a, vid_b AS b FROM pairs
+          UNION SELECT vid_b, vid_a FROM pairs),
+walk(id, reach) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT w.id, e.b FROM walk w JOIN edges e ON e.a = w.reach
+),
+comp AS (
+  SELECT id AS doc_id, min(reach) AS cluster_id FROM walk GROUP BY id
+)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       doc_id = cluster_id AS keep
+FROM comp
+"""
+
+
 def _synth_shifted_y4m(col):
     """pandas UDF: doc_id -> a 4-frame 9x8 uncompressed Y4M clip.
     Luma pixel p (row-major, 0..71) of GLOBAL frame fg is the
@@ -7737,6 +7791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_clusters": q_audio_clusters,
         "video_frames": q_video_frames,
         "video_near_dups": q_video_near_dups,
+        "video_clusters": q_video_clusters,
         # -- latest driver check r7 (9 queries) --
         "bucket_prices": q_bucket_prices,
         "count_stage": q_count_stage,
@@ -8059,6 +8114,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_clusters": _oracle_audio_clusters(),
         "video_frames": _ORACLE_VIDEO_FRAMES,
         "video_near_dups": _ORACLE_VIDEO_NEAR_DUPS,
+        "video_clusters": _oracle_video_clusters(),
         "hamming_probe": _oracle_hamming_probe(),
         "ivf_probe": _ORACLE_IVF_PROBE,
         "dedup_simhash": _oracle_simhash(),

@@ -144,9 +144,9 @@ BENCH_QUERIES = [
 ]
 
 # Correctness-gated but NOT benchmarked (same policy family as
-# embedding_outliers / pq_refined): audio_clusters is a composition
-# of two already-benched pieces (audio_near_pairs + the
-# connected-components kernel benched via dedup_canonical), and
+# embedding_outliers / pq_refined): audio_clusters / video_clusters
+# are compositions of already-benched pieces (the near-pair operators
+# + the connected-components kernel benched via dedup_canonical), and
 # video_frames / video_near_dups spend their Spark time in REAL
 # container decode that the SQL oracle replays as pure math — a
 # Spark-vs-DuckDB wall-clock ratio there compares decode work against
