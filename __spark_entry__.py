@@ -7778,10 +7778,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict, so the least-recently-driver-checked queries must come
     # first.  Re-derived after CORRECTNESS_r10 (50/50 green; union of
     # r1-r10 = all green at their latest check): round-11 newcomers
-    # lead (never driver-sampled -> very front; five landed this
+    # lead (never driver-sampled -> very front; six landed this
     # round), then the nine r7-stale queries, then the 50-query r8
-    # cohort — with 5 newcomers, 36 r8 queries fit the 50-sample and
-    # 14 roll to r12 (derive the counts AFTER newcomers are
+    # cohort — with 6 newcomers, 35 r8 queries fit the 50-sample and
+    # 15 roll to r12 (derive the counts AFTER newcomers are
     # prepended) — then the r9 block, then the 50 just checked in
     # r10.
     return {
