@@ -55,13 +55,17 @@ import struct
 
 _Y4M_MAGIC = b"YUV4MPEG2 "
 
-# chroma plane area as a fraction of the luma plane, by colourspace
-# tag prefix (C420jpeg/C420paldv/C420mpeg2 all subsample 2x2)
-_CHROMA_FRACTION = {
-    b"420": 0.25,
-    b"422": 0.5,
-    b"444": 1.0,
-    b"mono": 0.0,
+# chroma plane size in bytes, by colourspace tag prefix
+# (C420jpeg/C420paldv/C420mpeg2 all subsample 2x2).  Subsampled
+# dimensions round UP per the Y4M/YUV convention — ceil(w/2)*ceil(h/2)
+# for 4:2:0 — so spec-valid odd-dimension streams demux aligned
+# (a floor-based w*h*frac undersizes the plane, e.g. W9 H8 C420 is
+# 20 bytes/plane, not 18, and truncates every later frame).
+_CHROMA_PLANE = {
+    b"420": lambda w, h: ((w + 1) // 2) * ((h + 1) // 2),
+    b"422": lambda w, h: ((w + 1) // 2) * h,
+    b"444": lambda w, h: w * h,
+    b"mono": lambda w, h: 0,
 }
 
 
@@ -97,21 +101,21 @@ def y4m_frames(data: bytes) -> list:
     except ValueError:
         return []
     w = h = None
-    chroma = 0.25  # C420 is the Y4M default colourspace
+    plane = _CHROMA_PLANE[b"420"]  # C420 is the Y4M default colourspace
     for param in data[len(_Y4M_MAGIC):nl].split(b" "):
         if param.startswith(b"W"):
             w = int(param[1:])
         elif param.startswith(b"H"):
             h = int(param[1:])
         elif param.startswith(b"C"):
-            for tag, frac in _CHROMA_FRACTION.items():
+            for tag, fn in _CHROMA_PLANE.items():
                 if param[1:].startswith(tag):
-                    chroma = frac
+                    plane = fn
                     break
     if not w or not h or w * h > 1 << 26:
         return []
     y_size = w * h
-    frame_size = y_size + 2 * int(y_size * chroma)
+    frame_size = y_size + 2 * plane(w, h)
     frames = []
     pos = nl + 1
     while data.startswith(b"FRAME", pos):

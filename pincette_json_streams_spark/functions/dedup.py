@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from pincette_json_streams_spark.functions.caching import tracked_persist
 from pincette_json_streams_spark.functions.text import (
     fingerprint,
     normalize_text,
@@ -312,7 +313,7 @@ def minhash_lsh_pairs(
     )
     # three consumers (both sides of the LSH self-join + the within-group
     # expansion) would each recompute the whole signature pipeline
-    groups = groups.persist()
+    groups = tracked_persist(groups)
 
     # Bands carry ONLY the group digest: exploding (and then shuffling)
     # the shingle arrays band-times would multiply the join payload ~300x.
@@ -444,7 +445,7 @@ def incremental_dedup(
     else:
         idx_sig = minhash_index(index, text_col, id_col,
                                 num_hashes, bands, k)
-    new_sig = new_sig.persist()
+    new_sig = tracked_persist(new_sig)
 
     nb = new_sig.select("id", F.explode("bks").alias("bk"))
     rb = (
@@ -575,9 +576,9 @@ def simhash_pairs(
     # cluster compression (see minhash_lsh_pairs): docs sharing a
     # signature pair at Hamming 0 without any join — the LSH self-join
     # runs over distinct signatures only
-    groups = base.groupBy("sig").agg(
+    groups = tracked_persist(base.groupBy("sig").agg(
         F.sort_array(F.collect_list("id")).alias("ids")
-    ).persist()
+    ))
     banded = groups.select(
         "sig", "ids",
         F.explode(
@@ -696,12 +697,12 @@ def _capped_shared_and_sizes(groups, df_cap: int):
     grams per set (df-1 grams count toward sz even though they can
     never produce a pair; a set whose every gram is capped drops out
     of sizes — and of the candidate stream — entirely)."""
-    gl = (
+    gl = tracked_persist((
         groups.select("gid", F.explode("ng").alias("g"))
         .groupBy("g")
         .agg(F.sort_array(F.collect_list("gid")).alias("gids"))
         .filter(F.size("gids") <= F.lit(int(df_cap)))
-    ).persist()
+    ))
     sizes = (
         gl.select(F.explode("gids").alias("gid"))
         .groupBy("gid")
@@ -758,11 +759,11 @@ def ngram_jaccard_pairs(
     ).select("id", F.col("ss.gid").alias("gid"), F.col("ss.ng").alias("ng"))
     # md5-digest group key (see minhash_lsh_pairs: array keys shuffle 10x
     # slower than digest strings; digest computed in the Arrow pass)
-    groups = (
+    groups = tracked_persist(
         base.groupBy("gid")
         .agg(F.first("ng").alias("ng"),
              F.sort_array(F.collect_list("id")).alias("ids"))
-    ).persist()
+    )
 
     if df_cap is None:
         posting = groups.select("gid", F.explode("ng").alias("g"))
@@ -877,11 +878,11 @@ def containment_pairs(
         F.col(id_col).alias("id"),
         _word_ngrams_hashed_vec(n)(F.col(text_col)).alias("ss"),
     ).select("id", F.col("ss.gid").alias("gid"), F.col("ss.ng").alias("ng"))
-    groups = (
+    groups = tracked_persist(
         base.groupBy("gid")
         .agg(F.first("ng").alias("ng"),
              F.sort_array(F.collect_list("id")).alias("ids"))
-    ).persist()
+    )
 
     if prefix_filter:
         ex = groups.select("gid", F.explode("ng").alias("g"))

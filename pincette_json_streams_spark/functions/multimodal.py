@@ -35,6 +35,8 @@ from typing import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pincette_json_streams_spark.functions.caching import tracked_persist
+
 __all__ = [
     "MEDIA_SCHEMA", "attach_media_metadata", "audio_fingerprint",
     "cdc_chunks", "decode_audio", "decode_features", "decode_image",
@@ -1885,7 +1887,10 @@ def _lane_rollup_pairs(
         # wall time at sf0.1).  The cached frame is the tiny lane
         # table (~20 bytes/window), never the media bytes — the same
         # cluster-compression persist ngram_jaccard_pairs uses.
-        keyed = keyed.persist()
+        # Registered with functions.caching so long-lived sessions can
+        # drop it between corpus passes via release_caches() — the
+        # CacheManager never garbage-collects these on its own.
+        keyed = tracked_persist(keyed)
     pairs = hamming_near_pairs(
         keyed,
         id_col="fid", lane_cols=[lane_col],

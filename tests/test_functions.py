@@ -5743,6 +5743,53 @@ class TestRound8Stages:
         assert r["shift_e6"] == 5 * 3_000_000 - 5 * 1_000_000
 
 
+class TestReleaseCaches:
+    """functions.release_caches(): the library-user cleanup for the
+    internal persists (LSH group tables, the frame/window rollup lane
+    table).  The CacheManager holds those entries until an explicit
+    unpersist — they are NOT garbage-collected with the Python
+    DataFrame — so a long-lived session needs this surface (bench.py
+    clears the whole cache between queries; library callers should
+    not have to nuke their own caches too)."""
+
+    def test_release_caches_empties_cache_manager(self, spark):
+        from pincette_json_streams_spark.functions import (
+            release_caches,
+        )
+        from pincette_json_streams_spark.functions.dedup import (
+            minhash_lsh_pairs,
+        )
+        release_caches()  # other tests' leftovers are not ours
+        cm = spark._jsparkSession.sharedState().cacheManager()
+        df = spark.createDataFrame(
+            [(1, "a b c d e f g h i j"), (2, "a b c d e f g h i j")],
+            "id long, text string")
+        minhash_lsh_pairs(df, "text", "id").collect()
+        assert not cm.isEmpty()
+        assert release_caches() >= 1
+        assert cm.isEmpty()
+        assert release_caches() == 0
+
+    def test_lane_rollup_persist_is_tracked(self, spark):
+        from pincette_json_streams_spark.functions import (
+            release_caches,
+        )
+        from pincette_json_streams_spark.functions.multimodal import (
+            _lane_rollup_pairs,
+        )
+        release_caches()
+        fps = spark.createDataFrame(
+            [(1, 0, 7), (1, 1, 9), (2, 0, 7), (2, 1, 9)],
+            "vid long, frame_idx long, lane long")
+        rows = _lane_rollup_pairs(
+            fps, id_col="vid", idx_col="frame_idx", lane_col="lane",
+            max_hamming=0, min_matching=2, out_a="vid_a",
+            out_b="vid_b", count_name="matching_frames",
+            op="video_near_pairs").collect()
+        assert [(r["vid_a"], r["vid_b"]) for r in rows] == [(1, 2)]
+        assert release_caches() >= 1
+
+
 class TestCodecSeam:
     """The register_codec extension seam, driven end-to-end with the
     shipped worked example (functions/codecs.py: uncompressed
@@ -5815,3 +5862,34 @@ class TestCodecSeam:
         assert y4m_frames(b"YUV4MPEG2 W0 H0\n") == []
         assert y4m_frames(b"YUV4MPEG2 garbage") == []
         assert y4m_frames(blob[:40]) == []
+
+    def test_y4m_odd_dimensions_round_up(self):
+        """Spec-valid odd-dimension streams: chroma planes are
+        ceil(w/2)*ceil(h/2) (4:2:0) / ceil(w/2)*h (4:2:2), NOT
+        floor(w*h*frac) — a floor-sized demux misaligns every frame
+        after the first and silently truncates the stream."""
+        from pincette_json_streams_spark.functions.codecs import (
+            y4m_frames,
+        )
+        w, h = 9, 7
+        y_size = w * h
+        plane_420 = ((w + 1) // 2) * ((h + 1) // 2)   # 20, not 15
+        frames = [bytes([k * 37 % 256] * y_size) for k in range(3)]
+
+        def stream(cs, plane):
+            head = f"YUV4MPEG2 W{w} H{h} F25:1 {cs}\n".encode()
+            return head + b"".join(
+                b"FRAME\n" + y + b"\x80" * (2 * plane)
+                for y in frames)
+
+        got = y4m_frames(stream("C420jpeg", plane_420))
+        assert len(got) == 3
+        got = y4m_frames(stream("C422", ((w + 1) // 2) * h))
+        assert len(got) == 3
+        got = y4m_frames(stream("C444", y_size))
+        assert len(got) == 3
+        # default colourspace (no C param) is 420 — same ceil sizing
+        no_c = (f"YUV4MPEG2 W{w} H{h} F25:1\n".encode()
+                + b"".join(b"FRAME\n" + y + b"\x80" * (2 * plane_420)
+                           for y in frames))
+        assert len(y4m_frames(no_c)) == 3
