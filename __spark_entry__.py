@@ -7776,68 +7776,12 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver samples a 50-query prefix of this
     # dict, so the least-recently-driver-checked queries must come
-    # first.  Re-derived after CORRECTNESS_r10 (50/50 green; union of
-    # r1-r10 = all green at their latest check): round-11 newcomers
-    # lead (never driver-sampled -> very front; six landed this
-    # round), then the nine r7-stale queries, then the 50-query r8
-    # cohort — with 6 newcomers, 35 r8 queries fit the 50-sample and
-    # 15 roll to r12 (derive the counts AFTER newcomers are
-    # prepended) — then the r9 block, then the 50 just checked in
-    # r10.
+    # first.  GENERATED by scripts/rotate_queries.py from the committed
+    # CORRECTNESS_r*.json files (r8..r11 at derivation time):
+    # never-sampled newcomers first, then cohorts by latest checked
+    # round ascending, relative order preserved inside each cohort.
     return {
-        # -- NEW in round 11 (never driver-sampled -> very front) --
-        "audio_windows": q_audio_windows,
-        "audio_near_pairs": q_audio_near_pairs,
-        "audio_clusters": q_audio_clusters,
-        "video_frames": q_video_frames,
-        "video_near_dups": q_video_near_dups,
-        "video_clusters": q_video_clusters,
-        # -- latest driver check r7 (9 queries) --
-        "bucket_prices": q_bucket_prices,
-        "count_stage": q_count_stage,
-        "lookup_array": q_lookup_array,
-        "lookup_pipeline": q_lookup_pipeline,
-        "join_part": q_join_part,
-        "merge_part": q_merge_part,
-        "semantic_dedup": q_semantic_dedup,
-        "theil_sen_trend": q_theil_sen,
-        "winnow_pairs": q_winnow_pairs,
-        # -- latest driver check r8 (50 queries) --
-        "ann_hamming": q_ann_hamming,
-        "changepoint_scan": q_changepoint_scan,
-        "curation_funnel": q_curation_funnel,
-        "hll_distinct": q_hll_distinct,
-        "pq_cells": q_pq_cells,
-        "pq_adc": q_pq_adc,
-        "bm25_topk": q_bm25_topk,
-        "dsir_weights": q_dsir_weights,
-        "jq_formats": q_jq_formats,
-        "string_ops": q_string_ops,
-        "datetime_ops": q_datetime_ops,
-        "arith_ops": q_arith_ops,
-        "array_ops": q_array_ops,
-        "type_convert": q_type_convert,
-        "validate": q_validate,
-        "events_funnel": q_events_funnel,
-        "redact": q_redact,
-        "redact_nested": q_redact_nested,
-        "replace_root": q_replace_root,
-        "array_setops": q_array_setops,
-        "match_arrays": q_match_arrays,
-        "jq_stage": q_jq_stage,
-        "jslt_stage": q_jslt_stage,
-        "epoch_ops": q_epoch_ops,
-        "misc_ops": q_misc_ops,
-        "trig_ops": q_trig_ops,
-        "bitwise_match": q_bitwise_match,
-        "encode_ops": q_encode_ops,
-        "array_ops2": q_array_ops2,
-        "jes_ops": q_jes_ops,
-        "sort_limit": q_sort_limit,
-        "setkey_stage": q_setkey_stage,
-        "region_revenue": q_region_revenue,
-        "top_customers": q_top_customers,
-        "text_stats": q_text_stats,
+        # -- latest driver check r8 (15 queries) --
         "pii_scrub": q_pii_scrub,
         "token_vocab": q_token_vocab,
         "dedup_stage": q_dedup_stage,
@@ -7955,6 +7899,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_mergeobjects": q_group_mergeobjects,
         "unwind_words": q_unwind_words,
         "group_accumulators": q_group_accumulators,
+        # -- latest driver check r11 (50 queries) --
+        "audio_windows": q_audio_windows,
+        "audio_near_pairs": q_audio_near_pairs,
+        "audio_clusters": q_audio_clusters,
+        "video_frames": q_video_frames,
+        "video_near_dups": q_video_near_dups,
+        "video_clusters": q_video_clusters,
+        "bucket_prices": q_bucket_prices,
+        "count_stage": q_count_stage,
+        "lookup_array": q_lookup_array,
+        "lookup_pipeline": q_lookup_pipeline,
+        "join_part": q_join_part,
+        "merge_part": q_merge_part,
+        "semantic_dedup": q_semantic_dedup,
+        "theil_sen_trend": q_theil_sen,
+        "winnow_pairs": q_winnow_pairs,
+        "ann_hamming": q_ann_hamming,
+        "changepoint_scan": q_changepoint_scan,
+        "curation_funnel": q_curation_funnel,
+        "hll_distinct": q_hll_distinct,
+        "pq_cells": q_pq_cells,
+        "pq_adc": q_pq_adc,
+        "bm25_topk": q_bm25_topk,
+        "dsir_weights": q_dsir_weights,
+        "jq_formats": q_jq_formats,
+        "string_ops": q_string_ops,
+        "datetime_ops": q_datetime_ops,
+        "arith_ops": q_arith_ops,
+        "array_ops": q_array_ops,
+        "type_convert": q_type_convert,
+        "validate": q_validate,
+        "events_funnel": q_events_funnel,
+        "redact": q_redact,
+        "redact_nested": q_redact_nested,
+        "replace_root": q_replace_root,
+        "array_setops": q_array_setops,
+        "match_arrays": q_match_arrays,
+        "jq_stage": q_jq_stage,
+        "jslt_stage": q_jslt_stage,
+        "epoch_ops": q_epoch_ops,
+        "misc_ops": q_misc_ops,
+        "trig_ops": q_trig_ops,
+        "bitwise_match": q_bitwise_match,
+        "encode_ops": q_encode_ops,
+        "array_ops2": q_array_ops2,
+        "jes_ops": q_jes_ops,
+        "sort_limit": q_sort_limit,
+        "setkey_stage": q_setkey_stage,
+        "region_revenue": q_region_revenue,
+        "top_customers": q_top_customers,
+        "text_stats": q_text_stats,
     }
 
 
