@@ -7764,6 +7764,136 @@ ORDER BY id
 """
 
 
+# ---------------------------------------------------------------------------
+# round 12: web-crawl ingestion tier (functions/crawl.py)
+# ---------------------------------------------------------------------------
+
+def _synth_page_html(doc_id, lang, source, text):
+    """Deterministic HTML page per document, built entirely from
+    Catalyst string expressions: title with an entity, a script that
+    must contribute nothing, a nav whose text is ~all anchor chars
+    (link-density drop), two real content blocks, a sub-minimum
+    block, and a link-only footer.  The DuckDB oracle replays the
+    EXPECTED extraction directly from the raw columns — the same
+    synthesis-controlled-oracle pattern as audio/video."""
+    return F.concat(
+        F.lit('<html><head><title>Doc '), doc_id, F.lit(' &amp; '),
+        lang,
+        F.lit('</title><script>var x="<p>junk</p>";</script>'
+              '<style>p{color:red}</style></head><body>'
+              '<nav><a href="/">Home</a> <a href="/about">About us'
+              '</a> <a href="/contact">Contact</a></nav>'
+              '<article><p>Summary &amp; source '), source,
+        F.lit(' of record '), doc_id, F.lit('.</p><p>'), text,
+        F.lit('</p><p>tiny</p></article>'
+              '<footer><a href="/terms">Terms</a> '
+              '<a href="/privacy">Privacy</a></footer></body></html>'))
+
+
+def q_html_extract(spark, sf_dir):
+    """HTML main-content extraction (functions/crawl.py
+    html_extract): Arc90-style block filter — script/style subtrees
+    contribute nothing, blocks under 15 collapsed chars or over 0.4
+    link density drop, survivors join by newline; title decoded with
+    entities.  Per-row Arrow map, zero shuffle (plan-shape-locked).
+    Extends the reference pipeline language (no crawl tier there);
+    stage twin $htmlExtract."""
+    from pincette_json_streams_spark.functions.crawl import (
+        html_extract,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        _synth_page_html(F.col("doc_id"), F.col("lang"),
+                         F.col("source"), F.col("text")).alias("html"))
+    return html_extract(
+        pages, "html", title_col="page_title", text_col="main_text",
+    ).select("doc_id", "page_title", "main_text", "n_blocks")
+
+
+_ORACLE_HTML_EXTRACT = """
+SELECT doc_id,
+       'Doc ' || doc_id || ' & ' || lang AS page_title,
+       'Summary & source ' || source || ' of record ' || doc_id
+         || '.' || chr(10) || text AS main_text,
+       CAST(2 AS BIGINT) AS n_blocks
+FROM documents
+"""
+
+
+def q_warc_extract(spark, sf_dir):
+    """WARC demux -> HTTP response filter -> main-content extraction
+    (functions/crawl.py warc_records + html_extract): documents pack
+    into multi-record WARC files (one warcinfo + a request AND a
+    response per doc, ISO 28500 framing with byte-exact
+    Content-Length), demux back out, and only the response payloads
+    reach the extractor.  The demux is a stateless Arrow flat-map —
+    the only Exchange in the plan is the test-side file assembly
+    groupBy, locked in tests/test_plan_shapes.py.  Stage twin
+    $warcRecords; gzip (member-per-record and whole-file) covered in
+    tests/test_functions.py."""
+    from pincette_json_streams_spark.functions.crawl import (
+        html_extract, warc_records,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    html = _synth_page_html(F.col("doc_id"), F.col("lang"),
+                            F.col("source"), F.col("text"))
+    http = F.concat(
+        F.lit('HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n'),
+        html)
+    rec = F.concat(
+        F.lit('WARC/1.0\r\nWARC-Type: response\r\n'
+              'WARC-Record-ID: <urn:uuid:'), F.col("doc_id"),
+        F.lit('>\r\nWARC-Target-URI: https://crawl.example/doc/'),
+        F.col("doc_id"),
+        F.lit('\r\nWARC-Date: 2026-01-01T00:00:00Z\r\n'
+              'Content-Type: application/http; msgtype=response\r\n'
+              'Content-Length: '),
+        F.octet_length(http).cast("string"),
+        F.lit('\r\n\r\n'), http, F.lit('\r\n\r\n'))
+    req = F.concat(
+        F.lit('WARC/1.0\r\nWARC-Type: request\r\n'
+              'WARC-Target-URI: https://crawl.example/doc/'),
+        F.col("doc_id"),
+        F.lit('\r\nContent-Length: 18\r\n\r\n'
+              'GET / HTTP/1.1\r\n\r\n\r\n\r\n'))
+    files = (
+        docs.select(
+            (F.col("doc_id") % 25).alias("file_id"),
+            F.struct("doc_id",
+                     F.concat(req, rec).alias("rec")).alias("s"))
+        .groupBy("file_id")
+        .agg(F.concat(
+            F.lit('WARC/1.0\r\nWARC-Type: warcinfo\r\n'
+                  'Content-Length: 9\r\n\r\nfoo: bar\n\r\n\r\n'),
+            F.concat_ws("", F.transform(
+                F.array_sort(F.collect_list("s")),
+                lambda x: x["rec"]))).alias("w"))
+        .select("file_id", F.encode("w", "UTF-8").alias("warc")))
+    resp = warc_records(files, "warc").filter(
+        F.col("warc_type") == "response")
+    return html_extract(
+        resp.select(
+            F.regexp_extract("target_uri", r"doc/(\d+)$", 1)
+            .cast("long").alias("doc_id"),
+            "http_status",
+            F.decode("payload", "UTF-8").alias("html")),
+        "html", title_col="page_title", text_col="main_text",
+    ).select("doc_id", "http_status", "page_title", "main_text",
+             "n_blocks")
+
+
+_ORACLE_WARC_EXTRACT = """
+SELECT doc_id,
+       CAST(200 AS BIGINT) AS http_status,
+       'Doc ' || doc_id || ' & ' || lang AS page_title,
+       'Summary & source ' || source || ' of record ' || doc_id
+         || '.' || chr(10) || text AS main_text,
+       CAST(2 AS BIGINT) AS n_blocks
+FROM documents
+"""
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -7781,6 +7911,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # never-sampled newcomers first, then cohorts by latest checked
     # round ascending, relative order preserved inside each cohort.
     return {
+        # -- never driver-sampled -> very front (2 queries) --
+        "html_extract": q_html_extract,
+        "warc_extract": q_warc_extract,
         # -- latest driver check r8 (15 queries) --
         "pii_scrub": q_pii_scrub,
         "token_vocab": q_token_vocab,
@@ -7955,6 +8088,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "html_extract": _ORACLE_HTML_EXTRACT,
+        "warc_extract": _ORACLE_WARC_EXTRACT,
         "ann_hamming": _oracle_ann_hamming(),
         "ann_hamming_lsh": _oracle_ann_hamming_lsh(),
         "dup_containment": _ORACLE_DUP_CONTAINMENT,

@@ -141,6 +141,11 @@ BENCH_QUERIES = [
     "ivf_probe",
     "audio_windows",
     "audio_near_pairs",
+    # round-12 additions: the crawl ingestion tier (WARC demux +
+    # HTML main-content extraction — the Arrow flat-map/map passes
+    # that gate a crawl corpus before everything else)
+    "html_extract",
+    "warc_extract",
 ]
 
 # Correctness-gated but NOT benchmarked (same policy family as

@@ -1,0 +1,310 @@
+"""Web-crawl ingestion: WARC demux and HTML main-content extraction.
+
+The first tier of any crawl-scale training corpus (Common Crawl is
+~100 TB of WARC per monthly snapshot): split archive files into
+records, keep the HTTP responses, and strip boilerplate from the HTML
+so only the main content reaches the dedup / quality / language
+stages downstream.
+
+Both operators are per-row Arrow ``mapInPandas`` passes — zero
+shuffle; archive bytes never leave the executor that read them.  At
+100 TB parallelism comes from the file grain: WARC snapshots ship as
+~1 GB compressed segments, millions of them, so one file per task
+saturates any cluster (``spark.sql.files.maxPartitionBytes`` is
+irrelevant for whole-file binary reads — each file is one row).  A
+single file's records are demuxed sequentially; WARC's
+gzip-member-per-record layout would allow intra-file splitting, but
+with segment counts >> core counts the file grain is already ideal
+and keeps the demux stdlib-pure.
+
+Parity note: the reference platform (pincette-json-streams) has no
+crawl tier — this extends the pipeline language the same way the
+dedup/similarity/multimodal families do, following the reference's
+stage/test conventions (see docs/extension_stages.md).
+
+Public formats only: WARC/1.0 and WARC/1.1 per ISO 28500 (header
+block terminated by CRLF CRLF, ``Content-Length`` octets of payload,
+two CRLFs between records; files may be plain or gzip, one member per
+record or one member for the whole file — ``gzip.decompress`` handles
+both since it reads all members).  HTML per the WHATWG spec via
+:mod:`html.parser` (stdlib, tolerant of tag soup), with an
+Arc90-readability-style block filter: segment text at block-level
+tags, drop ``script/style/noscript/template/svg`` subtrees entirely,
+then keep blocks that are long enough and not link-dominated
+(navigation, footers and "related links" boxes are mostly anchor
+text — the classic link-density signal).
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from html.parser import HTMLParser
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["html_extract", "warc_records", "extract_main_text"]
+
+# tags that open/close a text block for density scoring
+_BLOCK_TAGS = frozenset((
+    "p", "div", "li", "h1", "h2", "h3", "h4", "h5", "h6", "td", "th",
+    "tr", "ul", "ol", "table", "article", "section", "header",
+    "footer", "nav", "aside", "blockquote", "pre", "br", "main",
+    "figure", "figcaption", "dd", "dt", "dl", "form", "body",
+))
+# subtrees that contribute NO text at all
+_SKIP_TAGS = frozenset(("script", "style", "noscript", "template",
+                        "svg", "iframe"))
+# void elements never appear on the skip stack (no close tag)
+_VOID = frozenset(("br", "hr", "img", "meta", "link", "input"))
+
+
+class _MainText(HTMLParser):
+    """One-pass block segmenter: text runs accumulate into the
+    current block; block-level tags flush it; anchor depth tracks how
+    many of the block's characters are link text."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[tuple[str, int]] = []  # (text, link_chars)
+        self.title_parts: list[str] = []
+        self._parts: list[str] = []
+        self._link_chars = 0
+        self._a_depth = 0
+        self._skip_depth = 0
+        self._in_title = False
+
+    def _flush(self):
+        text = " ".join("".join(self._parts).split())
+        if text:
+            self.blocks.append((text, self._link_chars))
+        self._parts = []
+        self._link_chars = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _SKIP_TAGS:
+            self._skip_depth += 1
+            return
+        if self._skip_depth:
+            return
+        if tag == "title":
+            self._in_title = True
+        elif tag == "a":
+            self._a_depth += 1
+        if tag in _BLOCK_TAGS:
+            self._flush()
+
+    def handle_endtag(self, tag):
+        if tag in _SKIP_TAGS:
+            self._skip_depth = max(0, self._skip_depth - 1)
+            return
+        if self._skip_depth:
+            return
+        if tag == "title":
+            self._in_title = False
+        elif tag == "a":
+            self._a_depth = max(0, self._a_depth - 1)
+        if tag in _BLOCK_TAGS:
+            self._flush()
+
+    def handle_data(self, data):
+        if self._skip_depth:
+            return
+        if self._in_title:
+            self.title_parts.append(data)
+            return
+        self._parts.append(data)
+        if self._a_depth:
+            self._link_chars += len(data)
+
+
+def extract_main_text(
+    html: str,
+    min_block_chars: int = 15,
+    max_link_density: float = 0.4,
+) -> tuple:
+    """(title, text, n_blocks) for one HTML document, or
+    (None, None, None) if it cannot be parsed at all.
+
+    A block survives when its whitespace-collapsed text has at least
+    ``min_block_chars`` characters AND at most ``max_link_density`` of
+    them are anchor text; survivors join with a single newline.
+    Pure-Python on purpose: the hot path is the Arrow batch loop in
+    :func:`html_extract`, and the parse is O(bytes) with no
+    backtracking."""
+    if html is None:
+        return (None, None, None)
+    p = _MainText()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        return (None, None, None)
+    p._flush()
+    title = " ".join("".join(p.title_parts).split())
+    kept = [
+        t for t, link_chars in p.blocks
+        if len(t) >= min_block_chars
+        and link_chars <= max_link_density * len(t)
+    ]
+    return (title, "\n".join(kept), len(kept))
+
+
+def html_extract(
+    df: DataFrame,
+    html_col: str = "html",
+    title_col: str = "title",
+    text_col: str = "text",
+    blocks_col: str = "n_blocks",
+    min_block_chars: int = 15,
+    max_link_density: float = 0.4,
+) -> DataFrame:
+    """Boilerplate removal: append the page ``<title>``, the
+    extracted main text and the surviving block count to every row.
+
+    Undecodable/NULL HTML yields NULL outputs — honest absence, the
+    multimodal decoders' contract.  Streaming-legal (stateless
+    per-row map) and zero-shuffle; at 100 TB this runs at the scan's
+    parallelism with nothing on the wire.
+    """
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", {title_col} string, {text_col} string, {blocks_col} bigint"
+
+    def run(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            cols = [
+                extract_main_text(h, min_block_chars, max_link_density)
+                for h in pdf[html_col]
+            ]
+            pdf[title_col] = [c[0] for c in cols]
+            pdf[text_col] = [c[1] for c in cols]
+            pdf[blocks_col] = [c[2] for c in cols]
+            pdf[blocks_col] = pdf[blocks_col].astype("object")
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def _parse_warc(buf: bytes) -> list:
+    """Records of one (decompressed) WARC file:
+    (warc_type, record_id, target_uri, warc_date, content_type,
+    http_status, payload).  Tolerant: stops at the first malformed
+    record rather than guessing — partial demux of a truncated file
+    is the honest result."""
+    out = []
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        # skip inter-record CRLFs
+        while pos < n and buf[pos:pos + 2] == b"\r\n":
+            pos += 2
+        if not buf.startswith(b"WARC/", pos):
+            break
+        hdr_end = buf.find(b"\r\n\r\n", pos)
+        if hdr_end < 0:
+            break
+        headers = {}
+        for line in buf[pos:hdr_end].split(b"\r\n")[1:]:
+            k, _, v = line.partition(b":")
+            headers[k.strip().lower()] = v.strip()
+        try:
+            length = int(headers.get(b"content-length", b""))
+        except ValueError:
+            break
+        body = hdr_end + 4
+        if body + length > n:
+            break
+        payload = buf[body:body + length]
+        http_status = None
+        if payload.startswith(b"HTTP/"):
+            line_end = payload.find(b"\r\n")
+            parts = payload[:line_end].split(b" ", 2)
+            if len(parts) >= 2 and parts[1].isdigit():
+                http_status = int(parts[1])
+            pe = payload.find(b"\r\n\r\n")
+            if pe >= 0:
+                payload = payload[pe + 4:]
+
+        def s(key):
+            v = headers.get(key)
+            return v.decode("utf-8", "replace") if v is not None else None
+
+        out.append((
+            s(b"warc-type"), s(b"warc-record-id"),
+            s(b"warc-target-uri"), s(b"warc-date"),
+            s(b"content-type"), http_status, payload,
+        ))
+        pos = body + length
+    return out
+
+
+_WARC_FIELDS = ("warc_type string, record_id string, target_uri string,"
+                " warc_date string, content_type string,"
+                " http_status bigint, payload binary")
+
+
+def warc_records(
+    df: DataFrame,
+    data_col: str = "warc",
+    keep_cols: list | None = None,
+) -> DataFrame:
+    """Demux WARC files (one binary per row, plain or gzip) into one
+    row per record: WARC headers as columns plus the raw payload —
+    for ``response``/``request`` records the HTTP envelope is split
+    off (``http_status`` column, body in ``payload``).
+
+    ``keep_cols`` (default: every input column except ``data_col``)
+    pass through onto each record row.  Scale shape: stateless
+    flat-map over Arrow batches, zero shuffle; one ~1 GB segment per
+    task is the Common Crawl grain.
+    """
+    passthrough = [c for c in (keep_cols if keep_cols is not None
+                               else df.columns) if c != data_col]
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields if f.name in passthrough
+    )
+    out_schema = (out_schema + ", " if out_schema else "") + _WARC_FIELDS
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                raw = row[data_col]
+                if raw is None:
+                    continue
+                raw = bytes(raw)
+                if raw[:2] == b"\x1f\x8b":
+                    try:  # all members: per-record OR whole-file gzip
+                        raw = gzip.decompress(raw)
+                    except Exception:
+                        continue
+                base = tuple(row[c] for c in passthrough)
+                rows.extend(base + rec for rec in _parse_warc(raw))
+            cols = passthrough + [
+                "warc_type", "record_id", "target_uri", "warc_date",
+                "content_type", "http_status", "payload"]
+            out = pd.DataFrame(rows, columns=cols)
+            if len(out):
+                out["http_status"] = out["http_status"].astype("object")
+                out["payload"] = out["payload"].map(
+                    lambda b: bytearray(b) if b is not None else None)
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def gzip_members(records: list) -> bytes:
+    """Helper for tests/synthesis: compress each byte string as its
+    own gzip member (the Common Crawl record-per-member layout) and
+    concatenate — ``warc_records`` must demux this identically to the
+    plain file."""
+    out = io.BytesIO()
+    for rec in records:
+        out.write(gzip.compress(rec))
+    return out.getvalue()

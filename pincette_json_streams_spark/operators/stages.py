@@ -1703,6 +1703,114 @@ def _stage_decode_image_ext(df, spec, pctx):
                         hist_bins=int(spec.get("bins", 16)))
 
 
+def _stage_text_features_ext(df, spec, pctx):
+    # {"field": col?, "as": col?, "score": col?, "lang": col?} — one
+    # Arrow pass attaches the integer text-signal struct
+    # (functions/text.py with_text_features: n_words, n_distinct,
+    # n_punct, stripped_len, has_stop, ... + the marker-word language
+    # guess).  "score" / "lang" additionally surface the 6dp quality
+    # score (quality_score_from — same float math as quality_score,
+    # signals computed once) and the language as top-level fields.
+    # Until round 12 this family was Python-API-only — a YAML-first
+    # user could not reach the text-quality tier at all.
+    from pincette_json_streams_spark.functions.text import (
+        quality_score_from, with_text_features,
+    )
+
+    spec = spec if isinstance(spec, dict) else {}
+    field = spec.get("field", "text")
+    out = spec.get("as", "tf")
+    res = with_text_features(df, text_col=field, out=out)
+    if spec.get("lang"):
+        res = res.withColumn(spec["lang"], F.col(out)["lang"])
+    if spec.get("score"):
+        res = res.withColumn(
+            spec["score"],
+            quality_score_from(F.col(out),
+                               F.length(F.col(field))))
+    return res
+
+
+def _stage_quality_gate_ext(df, spec, pctx):
+    # {"field": col?, "num": n?, "den": n?, "tf": col?} — keep only
+    # messages whose quality score is >= num/den (default 4/5),
+    # evaluated in EXACT int64 arithmetic (functions/text.py
+    # quality_gate_from) so the surviving set is bit-identical across
+    # engines — the set-defining form, vs the reported 6dp float
+    # score.  "tf" reuses an existing $textFeatures struct; without
+    # it the signals are computed here and dropped again.
+    from pincette_json_streams_spark.functions.text import (
+        quality_gate_from, with_text_features,
+    )
+
+    spec = spec if isinstance(spec, dict) else {}
+    field = spec.get("field", "text")
+    num = int(spec.get("num", 4))
+    den = int(spec.get("den", 5))
+    tf = spec.get("tf")
+    if tf:
+        return df.filter(
+            quality_gate_from(F.col(tf), F.length(F.col(field)),
+                              num=num, den=den))
+    tmp = "__qgate_tf"
+    res = with_text_features(df, text_col=field, out=tmp)
+    return res.filter(
+        quality_gate_from(F.col(tmp), F.length(F.col(field)),
+                          num=num, den=den)).drop(tmp)
+
+
+def _stage_warc_records_ext(df, spec, pctx):
+    # {"field": col?, "base64": bool?, "keep": [col]?} — demux WARC
+    # archive files (one binary per message, plain or gzip) into one
+    # message per record (functions/crawl.py warc_records): WARC
+    # headers as columns, HTTP envelope split off for
+    # request/response records (http_status + body payload).
+    # Stateless Arrow flat-map: streaming-legal, zero shuffle; at
+    # crawl scale parallelism is the archive-file grain (~1 GB
+    # segments, millions of them).  base64: true decodes
+    # JSON-transported archive bytes first.
+    from pincette_json_streams_spark.functions.crawl import (
+        warc_records,
+    )
+
+    field = spec.get("field", "warc") if isinstance(spec, dict) else \
+        "warc"
+    spec = spec if isinstance(spec, dict) else {}
+    src = df
+    if bool(spec.get("base64", False)):
+        src = df.withColumn(field, F.unbase64(F.col(field)))
+    return warc_records(src, data_col=field,
+                        keep_cols=spec.get("keep"))
+
+
+def _stage_html_extract_ext(df, spec, pctx):
+    # {"field": col?, "title": col?, "text": col?, "blocks": col?,
+    #  "minBlockChars": n?, "maxLinkDensity": f?} — boilerplate
+    # removal (functions/crawl.py html_extract): page <title>, the
+    # main text (Arc90-style block filter: script/style subtrees
+    # dropped, short or link-dominated blocks dropped) and the
+    # surviving block count appended to every message.  Binary
+    # payloads (e.g. straight from $warcRecords) are read as UTF-8.
+    # Per-row Arrow map: streaming-legal, zero shuffle.
+    from pincette_json_streams_spark.functions.crawl import (
+        html_extract,
+    )
+
+    spec = spec if isinstance(spec, dict) else {}
+    field = spec.get("field", "html")
+    src = df
+    if dict(src.dtypes).get(field) == "binary":
+        src = src.withColumn(field, F.decode(F.col(field), "UTF-8"))
+    return html_extract(
+        src, html_col=field,
+        title_col=spec.get("title", "title"),
+        text_col=spec.get("text", "text"),
+        blocks_col=spec.get("blocks", "n_blocks"),
+        min_block_chars=int(spec.get("minBlockChars", 15)),
+        max_link_density=float(spec.get("maxLinkDensity", 0.4)),
+    )
+
+
 def _stage_audio_fingerprint_ext(df, spec, pctx):
     # {"field": col, "as": col?, "base64": bool?} — REAL PCM WAV
     # perceptual fingerprint (functions/multimodal.py
@@ -3082,6 +3190,10 @@ STAGES: dict[str, Callable[[DataFrame, Any, PipelineContext], DataFrame]] = {
     "$scrubPii": _stage_scrub_pii_ext,
     "$probeMedia": _stage_probe_media_ext,
     "$audioFingerprint": _stage_audio_fingerprint_ext,
+    "$warcRecords": _stage_warc_records_ext,
+    "$textFeatures": _stage_text_features_ext,
+    "$qualityGate": _stage_quality_gate_ext,
+    "$htmlExtract": _stage_html_extract_ext,
     "$audioFingerprintWindows": _stage_audio_fingerprint_windows_ext,
     "$audioNearDups": _stage_audio_near_dups_ext,
     "$decodeAudio": _stage_decode_audio_ext,

@@ -5743,6 +5743,115 @@ class TestRound8Stages:
         assert r["shift_e6"] == 5 * 3_000_000 - 5 * 1_000_000
 
 
+class TestCrawl:
+    """Round-12 web-crawl ingestion tier (functions/crawl.py):
+    WARC demux + Arc90-style HTML main-content extraction."""
+
+    @staticmethod
+    def _warc_response(uri, body, rec_id="<urn:uuid:1>"):
+        http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                + body)
+        return (b"WARC/1.0\r\nWARC-Type: response\r\n"
+                b"WARC-Record-ID: " + rec_id.encode() + b"\r\n"
+                b"WARC-Target-URI: " + uri.encode() + b"\r\n"
+                b"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+                b"Content-Type: application/http; msgtype=response\r\n"
+                b"Content-Length: " + str(len(http)).encode()
+                + b"\r\n\r\n" + http + b"\r\n\r\n")
+
+    _WARCINFO = (b"WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+                 b"Content-Length: 9\r\n\r\nfoo: bar\n\r\n\r\n")
+
+    def test_warc_gzip_variants_demux_identically(self, spark):
+        import gzip
+
+        from pincette_json_streams_spark.functions.crawl import (
+            gzip_members, warc_records,
+        )
+        recs = [self._WARCINFO,
+                self._warc_response("https://x.example/1",
+                                    b"<p>first page body text</p>"),
+                self._warc_response("https://x.example/2",
+                                    b"<p>second page body text</p>")]
+        plain = b"".join(recs)
+        df = spark.createDataFrame(
+            [("plain", bytearray(plain)),
+             ("member_gz", bytearray(gzip_members(recs))),
+             ("whole_gz", bytearray(gzip.compress(plain)))],
+            "variant string, warc binary")
+        rows = warc_records(df, "warc").collect()
+        by_var = {}
+        for r in rows:
+            by_var.setdefault(r["variant"], []).append(
+                (r["warc_type"], r["target_uri"], r["http_status"],
+                 bytes(r["payload"]) if r["payload"] else None))
+        assert set(by_var) == {"plain", "member_gz", "whole_gz"}
+        expect = [("warcinfo", None, None, b"foo: bar\n"),
+                  ("response", "https://x.example/1", 200,
+                   b"<p>first page body text</p>"),
+                  ("response", "https://x.example/2", 200,
+                   b"<p>second page body text</p>")]
+        for var, got in by_var.items():
+            assert got == expect, var
+
+    def test_warc_truncated_and_garbage_are_honest(self, spark):
+        from pincette_json_streams_spark.functions.crawl import (
+            warc_records,
+        )
+        good = self._warc_response("https://x.example/1",
+                                   b"<p>kept page</p>")
+        cut = self._warc_response("https://x.example/2",
+                                  b"<p>lost page</p>")[:-30]
+        df = spark.createDataFrame(
+            [(1, bytearray(good + cut)), (2, bytearray(b"not warc")),
+             (3, None)],
+            "fid long, warc binary")
+        rows = warc_records(df, "warc").collect()
+        # the truncated trailing record demuxes to NOTHING (partial
+        # demux of a truncated file, never a garbage record)
+        assert [(r["fid"], r["target_uri"]) for r in rows] \
+            == [(1, "https://x.example/1")]
+
+    def test_html_extract_filters_and_nulls(self, spark):
+        from pincette_json_streams_spark.functions.crawl import (
+            html_extract,
+        )
+        page = ("<html><head><title>T &amp; t</title>"
+                "<script>ignore<p>this</p></script></head><body>"
+                "<nav><a>Home</a> <a>About</a> <a>Contact</a></nav>"
+                "<p>Main content paragraph number one here.</p>"
+                "<p>short</p>"
+                "<div>Second real block, plain prose with "
+                "<a>one link</a> inside but mostly text.</div>"
+                "</body></html>")
+        df = spark.createDataFrame(
+            [(1, page), (2, None)], "pid long, html string")
+        rows = {r["pid"]: r for r in html_extract(df, "html").collect()}
+        assert rows[1]["title"] == "T & t"
+        assert rows[1]["text"] == (
+            "Main content paragraph number one here.\n"
+            "Second real block, plain prose with one link inside "
+            "but mostly text.")
+        assert rows[1]["n_blocks"] == 2
+        assert rows[2]["title"] is None and rows[2]["text"] is None \
+            and rows[2]["n_blocks"] is None
+
+    def test_link_density_boundary(self):
+        from pincette_json_streams_spark.functions.crawl import (
+            extract_main_text,
+        )
+        # 20 chars, 8 link chars = 0.4 exactly -> kept (<=)
+        kept = "<p><a>12345678</a>x 2345678901</p>"
+        t = extract_main_text(kept, min_block_chars=10,
+                              max_link_density=0.4)
+        assert t[1] == "12345678x 2345678901"
+        # 9 link chars of 20 = 0.45 -> dropped
+        t = extract_main_text("<p><a>123456789</a>x 345678901</p>",
+                              min_block_chars=10,
+                              max_link_density=0.4)
+        assert t[1] == ""
+
+
 class TestReleaseCaches:
     """functions.release_caches(): the library-user cleanup for the
     internal persists (LSH group tables, the frame/window rollup lane

@@ -647,3 +647,35 @@ class TestRound11PlanShapes:
         # integer ids pack to a LONG key: the delimited string path
         # (concat_ws on 0x1f) must not appear for long clip ids
         assert "concat_ws" not in plan
+
+
+class TestRound12PlanShapes:
+    def test_html_extract_zero_shuffle_map(self, spark):
+        """Boilerplate removal is a per-row Arrow map over the
+        synthesized pages: zero exchanges, zero joins — page bytes
+        never leave the executor that scanned them."""
+        import re
+
+        plan = _plan(spark, "html_extract")
+        assert not re.search(r"\bExchange\b", plan)
+        assert "Join" not in plan
+
+    def test_warc_extract_only_exchange_is_test_assembly(self, spark):
+        """The crawl tier itself (warc_records demux -> response
+        filter -> html_extract) is shuffle-free: the ONLY exchange
+        in the driver query's plan is the test-side file-assembly
+        groupBy (documents -> multi-record WARC files), which a real
+        crawl replaces with the archive scan.  Both Arrow flat-maps
+        (demux, extraction) must sit ABOVE that exchange with
+        nothing between them on the wire."""
+        import re
+
+        plan = _plan(spark, "warc_extract")
+        assert "Join" not in plan
+        assert "CartesianProduct" not in plan
+        exchanges = re.findall(r"^\(\d+\) Exchange", plan,
+                               re.MULTILINE)
+        assert len(exchanges) == 1, plan[:2000]
+        maps = len(re.findall(r"^\(\d+\) MapInPandas", plan,
+                              re.MULTILINE))
+        assert maps == 2, maps

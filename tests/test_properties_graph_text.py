@@ -514,3 +514,57 @@ class TestHammingProbeProperty:
                 if h <= max_h:
                     expect[(i, j)] = h
         assert got == expect
+
+
+class TestCrawlProperty:
+    """Round-12 crawl-tier laws: WARC framing round-trips for
+    arbitrary payload bytes (incl. CRLF-bearing payloads, which a
+    delimiter-scanning parser would split wrongly — Content-Length
+    is the only framing truth), and HTML extraction never leaks
+    markup for arbitrary block text."""
+
+    @SPARKY
+    @given(st.lists(st.binary(min_size=0, max_size=200), min_size=1,
+                    max_size=6),
+           st.sampled_from(["plain", "member_gz", "whole_gz"]))
+    def test_warc_payload_roundtrip(self, spark, payloads, variant):
+        import gzip
+
+        from pincette_json_streams_spark.functions.crawl import (
+            gzip_members, warc_records,
+        )
+        recs = [
+            (b"WARC/1.0\r\nWARC-Type: resource\r\n"
+             b"WARC-Target-URI: https://x.example/" + str(i).encode()
+             + b"\r\nContent-Length: " + str(len(p)).encode()
+             + b"\r\n\r\n" + p + b"\r\n\r\n")
+            for i, p in enumerate(payloads)]
+        blob = {"plain": b"".join(recs),
+                "member_gz": gzip_members(recs),
+                "whole_gz": gzip.compress(b"".join(recs))}[variant]
+        df = spark.createDataFrame([(bytearray(blob),)],
+                                   "warc binary")
+        rows = warc_records(df, "warc").collect()
+        assert [(r["target_uri"],
+                 bytes(r["payload"]) if r["payload"] is not None
+                 else b"") for r in rows] \
+            == [(f"https://x.example/{i}", p)
+                for i, p in enumerate(payloads)]
+
+    @SPARKY
+    @given(st.lists(
+        st.text(alphabet="abcdefghij XYZ.,'", min_size=20,
+                max_size=80),
+        min_size=1, max_size=5))
+    def test_extract_collapses_and_never_leaks_markup(self, blocks):
+        from pincette_json_streams_spark.functions.crawl import (
+            extract_main_text,
+        )
+        html = ("<html><body>"
+                + "".join(f"<p>{b}</p>" for b in blocks)
+                + "</body></html>")
+        title, text, n = extract_main_text(html, min_block_chars=1)
+        expect = [" ".join(b.split()) for b in blocks]
+        expect = [b for b in expect if b]
+        assert text == "\n".join(expect) and n == len(expect)
+        assert "<" not in text and ">" not in text

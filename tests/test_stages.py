@@ -2055,3 +2055,102 @@ class TestNgramPairsStage:
         got_c = {(r["id_a"], r["id_b"]): r["jaccard"]
                  for r in capped.collect()}
         assert got_c == {(1, 2): 1.0}
+
+
+class TestCrawlStages:
+    """$warcRecords + $htmlExtract: the YAML surface of the round-12
+    crawl ingestion tier (functions/crawl.py), composing into the
+    archive -> responses -> main-text pipeline a crawl corpus runs
+    first."""
+
+    def test_warc_then_html_extract_pipeline(self, spark):
+        import base64
+
+        from tests.test_functions import TestCrawl as TC
+
+        page = ("<html><head><title>Page one</title></head><body>"
+                "<nav><a>Home</a> <a>About</a> <a>More links</a></nav>"
+                "<p>Body paragraph with plenty of real text.</p>"
+                "</body></html>")
+        blob = TC._WARCINFO + TC._warc_response(
+            "https://x.example/1", page.encode())
+        df = spark.createDataFrame(
+            [(5, base64.b64encode(blob).decode())],
+            "fid long, warc string")
+        out = run(df, [
+            {"$warcRecords": {"field": "warc", "base64": True}},
+            {"$match": {"warc_type": "response"}},
+            {"$htmlExtract": {"field": "payload", "title": "t",
+                              "text": "body"}},
+        ])
+        rows = out.collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r["fid"], r["target_uri"], r["http_status"]) \
+            == (5, "https://x.example/1", 200)
+        assert r["t"] == "Page one"
+        assert r["body"] == "Body paragraph with plenty of real text."
+        assert r["n_blocks"] == 1
+
+    def test_html_extract_knobs(self, spark):
+        page = ("<body><p>tiny</p>"
+                "<p>the keeper block with enough characters</p></body>")
+        df = spark.createDataFrame([(1, page)], "pid long, html string")
+        out = run(df, [{"$htmlExtract": {
+            "field": "html", "minBlockChars": 3,
+            "blocks": "kept"}}])
+        r = out.collect()[0]
+        assert r["kept"] == 2 and r["text"].startswith("tiny\n")
+
+
+class TestTextFeatureStages:
+    """$textFeatures / $qualityGate: the YAML surface of the text
+    quality tier (functions/text.py), Python-API-only until round 12
+    — the same reachability gap $ngramPairs closed for df_cap in
+    round 11."""
+
+    GOOD = ("The quick brown fox jumps over the lazy dog and then "
+            "the fox runs far away into the quiet green woods again")
+    BAD = "!!! ??? !!! ??? !!! ??? !!! ??? !!! ???"
+
+    def test_text_features_stage_columns(self, spark):
+        from pincette_json_streams_spark.functions.text import (
+            quality_score, lang_id,
+        )
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(1, self.GOOD), (2, self.BAD)], "pid long, text string")
+        out = run(df, [{"$textFeatures": {
+            "field": "text", "as": "tf", "score": "q",
+            "lang": "lg"}}])
+        rows = {r["pid"]: r for r in out.collect()}
+        ref = {r["pid"]: r for r in df.select(
+            "pid", quality_score(F.col("text")).alias("q"),
+            lang_id(F.col("text")).alias("lg")).collect()}
+        for pid in (1, 2):
+            assert rows[pid]["q"] == ref[pid]["q"]
+            assert rows[pid]["lg"] == ref[pid]["lg"]
+            assert rows[pid]["tf"]["n_words"] is not None
+        assert rows[1]["q"] > rows[2]["q"]
+        assert rows[1]["lg"] == "en"
+
+    def test_quality_gate_stage_filters(self, spark):
+        df = spark.createDataFrame(
+            [(1, self.GOOD), (2, self.BAD)], "pid long, text string")
+        out = run(df, [{"$qualityGate": {"field": "text",
+                                         "num": 1, "den": 2}}])
+        assert [r["pid"] for r in out.collect()] == [1]
+        assert out.columns == ["pid", "text"]  # temp struct dropped
+
+    def test_quality_gate_reuses_tf_struct(self, spark):
+        df = spark.createDataFrame(
+            [(1, self.GOOD), (2, self.BAD)], "pid long, text string")
+        out = run(df, [
+            {"$textFeatures": {"field": "text", "as": "tf"}},
+            {"$qualityGate": {"field": "text", "tf": "tf",
+                              "num": 1, "den": 2}},
+        ])
+        rows = out.collect()
+        assert [r["pid"] for r in rows] == [1]
+        assert "tf" in out.columns
