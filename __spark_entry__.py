@@ -7894,6 +7894,50 @@ FROM documents
 """
 
 
+def q_robots_filter(spark, sf_dir):
+    """Robots Exclusion Protocol filter (functions/robots.py, RFC
+    9309): even-numbered source hosts publish a robots.txt
+    (Disallow: /doc/ overridden by the longer Allow: /doc/pub/ —
+    exercising the longest-match rule), odd hosts publish none (RFC
+    default allow).  robots_rules parses in one Arrow map; the
+    decision is all-native: broadcast rules join on host +
+    regexp_like + max_by argmax (plan-shape-locked).  The oracle
+    replays the expected decision from the synthesis directly."""
+    from pincette_json_streams_spark.functions.robots import (
+        robots_rules, url_allowed,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    robots = (
+        docs.select("source").distinct()
+        .filter(F.substring("source", 4, 10).cast("long") % 2 == 0)
+        .select(
+            F.concat(F.col("source"), F.lit(".example")).alias("host"),
+            F.lit("User-agent: evilbot\nDisallow: /\n\n"
+                  "User-agent: *\nDisallow: /doc/\n"
+                  "Allow: /doc/pub/\n").alias("robots")))
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example/doc/"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("pub/"))
+            .otherwise(F.lit("")),
+            F.col("doc_id")).alias("url"))
+    return url_allowed(urls, robots_rules(robots)).select(
+        "doc_id", "url", F.col("allowed").cast("long").alias("allowed"))
+
+
+_ORACLE_ROBOTS_FILTER = """
+SELECT doc_id,
+       'https://' || source || '.example/doc/' ||
+         CASE WHEN doc_id % 3 = 0 THEN 'pub/' ELSE '' END || doc_id
+         AS url,
+       CAST(CASE WHEN CAST(substr(source, 4) AS BIGINT) % 2 = 0
+                 THEN CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+                 ELSE 1 END AS BIGINT) AS allowed
+FROM documents
+"""
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -7911,7 +7955,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # never-sampled newcomers first, then cohorts by latest checked
     # round ascending, relative order preserved inside each cohort.
     return {
-        # -- never driver-sampled -> very front (2 queries) --
+        # -- never driver-sampled -> very front (3 queries) --
+        "robots_filter": q_robots_filter,
         "html_extract": q_html_extract,
         "warc_extract": q_warc_extract,
         # -- latest driver check r8 (15 queries) --
@@ -8088,6 +8133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "robots_filter": _ORACLE_ROBOTS_FILTER,
         "html_extract": _ORACLE_HTML_EXTRACT,
         "warc_extract": _ORACLE_WARC_EXTRACT,
         "ann_hamming": _oracle_ann_hamming(),

@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     # that gate a crawl corpus before everything else)
     "html_extract",
     "warc_extract",
+    "robots_filter",
 ]
 
 # Correctness-gated but NOT benchmarked (same policy family as

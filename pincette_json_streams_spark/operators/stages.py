@@ -1703,6 +1703,37 @@ def _stage_decode_image_ext(df, spec, pctx):
                         hist_bins=int(spec.get("bins", 16)))
 
 
+def _stage_robots_filter_ext(df, spec, pctx):
+    # {"robots": collection, "field": col?, "agent": str?,
+    #  "as": col?, "keep": bool?} — RFC 9309 politeness gate
+    # (functions/robots.py): the static "robots" collection holds
+    # (host, robots) rows; robots_rules parses them once (per-row
+    # Arrow map) and url_allowed decides each message's URL with
+    # native expressions only (broadcast host equi-join +
+    # regexp_like + max_by longest-match; Allow wins ties; no rules
+    # = allowed).  Default drops disallowed messages; "keep": true
+    # instead annotates every message with the boolean ("as", default
+    # "allowed").  Stream-static join of the same class as
+    # $hammingProbe — streaming-legal.
+    from pincette_json_streams_spark.functions.robots import (
+        robots_rules, url_allowed,
+    )
+
+    rules = robots_rules(
+        pctx.collection(spec["robots"]),
+        robots_col=spec.get("robotsField", "robots"),
+        host_col=spec.get("hostField", "host"))
+    out_col = spec.get("as", "allowed")
+    res = url_allowed(
+        df, rules,
+        url_col=spec.get("field", "url"),
+        agent=str(spec.get("agent", "*")),
+        out_col=out_col)
+    if bool(spec.get("keep", False)):
+        return res
+    return res.filter(F.col(out_col)).drop(out_col)
+
+
 def _stage_text_features_ext(df, spec, pctx):
     # {"field": col?, "as": col?, "score": col?, "lang": col?} — one
     # Arrow pass attaches the integer text-signal struct
@@ -3191,6 +3222,7 @@ STAGES: dict[str, Callable[[DataFrame, Any, PipelineContext], DataFrame]] = {
     "$probeMedia": _stage_probe_media_ext,
     "$audioFingerprint": _stage_audio_fingerprint_ext,
     "$warcRecords": _stage_warc_records_ext,
+    "$robotsFilter": _stage_robots_filter_ext,
     "$textFeatures": _stage_text_features_ext,
     "$qualityGate": _stage_quality_gate_ext,
     "$htmlExtract": _stage_html_extract_ext,

@@ -5852,6 +5852,89 @@ class TestCrawl:
         assert t[1] == ""
 
 
+class TestRobots:
+    """Round-12 Robots Exclusion Protocol (functions/robots.py, RFC
+    9309 subset): parse -> rules table -> all-native longest-match
+    decision."""
+
+    TXT = ("User-agent: *\n"
+           "Disallow: /private/\n"
+           "Allow: /private/pub\n"
+           "Disallow: /*.pdf$\n"
+           "\n"
+           "User-agent: gptbot\n"
+           "Disallow: /\n"
+           "Allow: /api/\n")
+
+    def _decide(self, spark, urls, agent="*"):
+        from pincette_json_streams_spark.functions.robots import (
+            robots_rules, url_allowed,
+        )
+        robots = spark.createDataFrame(
+            [("example.com", self.TXT), ("open.org", None)],
+            "host string, robots string")
+        df = spark.createDataFrame(
+            [(i, u) for i, u in enumerate(urls)],
+            "uid long, url string")
+        out = url_allowed(df, robots_rules(robots), agent=agent)
+        return [r["allowed"] for r in out.orderBy("uid").collect()]
+
+    def test_longest_match_wildcards_and_defaults(self, spark):
+        urls = [
+            "https://example.com/private/doc.html",   # Disallow
+            "https://example.com/private/pub/x",      # longer Allow
+            "https://example.com/report.pdf",         # /*.pdf$
+            "https://example.com/report.pdf?x=1",     # $ anchor -> no
+            "https://example.com/ok/page",            # no match
+            "http://u@EXAMPLE.com:8080/private/y",    # host normalizes
+            "https://example.com",                    # path defaults /
+            "https://open.org/anything",              # no robots
+        ]
+        assert self._decide(spark, urls) == [
+            False, True, False, True, True, False, True, True]
+
+    def test_agent_group_selection(self, spark):
+        urls = ["https://example.com/api/go",
+                "https://example.com/other",
+                "https://open.org/x"]
+        # gptbot group overrides * entirely for example.com
+        assert self._decide(spark, urls, agent="GPTBot") == [
+            True, False, True]
+
+    def test_parse_semantics(self):
+        from pincette_json_streams_spark.functions.robots import (
+            parse_robots,
+        )
+        # stacked UA lines share the group; empty Disallow is no
+        # rule; comments and unknown directives drop; a UA line
+        # after rules starts a NEW group
+        txt = ("User-agent: a\nUser-agent: b\n"
+               "Disallow: /x # comment\n"
+               "Crawl-delay: 10\n"
+               "Disallow:\n"
+               "User-agent: c\nAllow: /y\n")
+        assert parse_robots(txt) == [
+            ("a", False, "/x"), ("b", False, "/x"),
+            ("c", True, "/y")]
+        assert parse_robots(None) == []
+
+    def test_rules_passthrough_of_url_columns(self, spark):
+        from pincette_json_streams_spark.functions.robots import (
+            robots_rules, url_allowed,
+        )
+        robots = spark.createDataFrame(
+            [("h.example", "User-agent: *\nDisallow: /no\n")],
+            "host string, robots string")
+        urls = spark.createDataFrame(
+            [(1, "k1", "https://h.example/no/1"),
+             (2, "k2", "https://h.example/yes")],
+            "uid long, tag string, url string")
+        rows = {r["uid"]: (r["tag"], r["allowed"])
+                for r in url_allowed(
+                    urls, robots_rules(robots)).collect()}
+        assert rows == {1: ("k1", False), 2: ("k2", True)}
+
+
 class TestReleaseCaches:
     """functions.release_caches(): the library-user cleanup for the
     internal persists (LSH group tables, the frame/window rollup lane

@@ -679,3 +679,19 @@ class TestRound12PlanShapes:
         maps = len(re.findall(r"^\(\d+\) MapInPandas", plan,
                               re.MULTILINE))
         assert maps == 2, maps
+
+    def test_robots_filter_broadcasts_rules(self, spark):
+        """The politeness gate at frontier scale: the rules side
+        (a few rows per host) BROADCASTS onto the URL stream — no
+        shuffle of the frontier, no cartesian, and the match itself
+        is native regexp_like + max_by (no Python in the decision
+        path: exactly one MapInPandas, the robots PARSE)."""
+        import re
+
+        plan = _plan(spark, "robots_filter")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoop" not in plan
+        assert re.search(r"BroadcastHashJoin", plan)
+        maps = len(re.findall(r"^\(\d+\) MapInPandas", plan,
+                              re.MULTILINE))
+        assert maps == 1, maps

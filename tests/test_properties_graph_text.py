@@ -568,3 +568,41 @@ class TestCrawlProperty:
         expect = [b for b in expect if b]
         assert text == "\n".join(expect) and n == len(expect)
         assert "<" not in text and ">" not in text
+
+
+class TestRobotsProperty:
+    """Round-12 robots law: for random rule sets and paths, the
+    all-native Spark decision (broadcast join + regexp_like + max_by
+    longest-match) equals the pure-Python RFC mirror."""
+
+    path_st = st.lists(
+        st.sampled_from(["/a", "/b", "/a/b", "/a/c.pdf", "/x",
+                         "/a/b/c", "/", "/q?k=v"]),
+        min_size=1, max_size=6)
+    rules_st = st.lists(
+        st.tuples(st.booleans(),
+                  st.sampled_from(["/a", "/a/", "/a/b", "/*.pdf$",
+                                   "/a*c", "/x", "/", "/q"])),
+        min_size=0, max_size=6)
+
+    @SPARKY
+    @given(rules_st, path_st)
+    def test_matches_mirror(self, spark, rules, paths):
+        from pincette_json_streams_spark.functions.robots import (
+            robots_allowed_mirror, robots_rules, url_allowed,
+        )
+        txt = "User-agent: *\n" + "".join(
+            f"{'Allow' if a else 'Disallow'}: {p}\n"
+            for a, p in rules)
+        robots = spark.createDataFrame(
+            [("h.example", txt)], "host string, robots string")
+        urls = spark.createDataFrame(
+            [(i, f"https://h.example{p}")
+             for i, p in enumerate(paths)],
+            "uid long, url string")
+        got = {r["uid"]: r["allowed"]
+               for r in url_allowed(urls,
+                                    robots_rules(robots)).collect()}
+        want = {i: robots_allowed_mirror(txt, f"https://h.example{p}")
+                for i, p in enumerate(paths)}
+        assert got == want

@@ -2154,3 +2154,28 @@ class TestTextFeatureStages:
         rows = out.collect()
         assert [r["pid"] for r in rows] == [1]
         assert "tf" in out.columns
+
+
+class TestRobotsFilterStage:
+    """$robotsFilter: the YAML politeness gate (functions/robots.py)
+    — stream-static rules join, drop-or-annotate."""
+
+    def test_drop_and_annotate_modes(self, spark):
+        robots = spark.createDataFrame(
+            [("h.example",
+              "User-agent: *\nDisallow: /no/\nAllow: /no/ok\n")],
+            "host string, robots string")
+        df = spark.createDataFrame(
+            [(1, "https://h.example/no/x"),
+             (2, "https://h.example/no/ok/y"),
+             (3, "https://h.example/fine")],
+            "uid long, url string")
+        dropped = run(df, [{"$robotsFilter": {"robots": "robots"}}],
+                      catalog={"robots": robots})
+        assert sorted(r["uid"] for r in dropped.collect()) == [2, 3]
+        assert "allowed" not in dropped.columns
+        kept = run(df, [{"$robotsFilter": {
+            "robots": "robots", "keep": True, "as": "ok"}}],
+            catalog={"robots": robots})
+        assert {r["uid"]: r["ok"] for r in kept.collect()} \
+            == {1: False, 2: True, 3: True}

@@ -1334,3 +1334,62 @@ class TestIvfProbeStreaming:
                    f"SELECT * FROM mem_{sink.run_id}_hits").collect()}
         assert got[(103, 3)] == 1.0
         assert all(k[0] != 999 for k in got), got
+
+
+class TestCrawlStreaming:
+    """The crawl tier's streaming-legality claim, driven for real:
+    $warcRecords (stateless Arrow flat-map) and $htmlExtract +
+    $textFeatures + $qualityGate (per-row maps / stateless filter)
+    compile and drain on an actual streaming frame — append mode,
+    no state, no watermark needed."""
+
+    def test_crawl_funnel_on_a_stream(self, spark, tmp_path):
+        import base64
+
+        from pincette_json_streams_spark.streaming.runtime import (
+            StreamingApp, file_stream_catalog,
+        )
+        from tests.test_functions import TestCrawl as TC
+
+        good = ("<html><head><title>Good</title></head><body>"
+                "<p>The quick brown fox jumps over the lazy dog and "
+                "keeps running through the green field.</p>"
+                "</body></html>")
+        noise = ("<html><head><title>Noise</title></head><body>"
+                 "<p>!!! ??? !!! ??? !!! ??? spam spam !!!</p>"
+                 "</body></html>")
+        blob = (TC._WARCINFO
+                + TC._warc_response("https://s.example/good",
+                                    good.encode())
+                + TC._warc_response("https://s.example/noise",
+                                    noise.encode()))
+        d = str(tmp_path / "archives")
+        spark.createDataFrame(
+            [(1, base64.b64encode(blob).decode())],
+            "fid long, warc string").write.parquet(d)
+        catalog = file_stream_catalog(
+            spark, {"archives": d}, {"archives": "fid long, warc string"})
+        app = StreamingApp(spark, {
+            "application": "crawl-stream", "parts": [
+                {"type": "stream", "name": "ingest",
+                 "fromTopic": "archives", "toTopic": "docs",
+                 "pipeline": [
+                     {"$warcRecords": {"field": "warc",
+                                       "base64": True}},
+                     {"$match": {"warc_type": "response"}},
+                     {"$htmlExtract": {"field": "payload"}},
+                     {"$textFeatures": {"field": "text", "as": "tf",
+                                        "lang": "lang"}},
+                     {"$qualityGate": {"field": "text", "tf": "tf",
+                                       "num": 1, "den": 2}},
+                     {"$project": {"url": "$target_uri", "title": 1,
+                                   "lang": 1}},
+                 ]},
+            ],
+        }, catalog)
+        sink = memory_sink(tmp_path)
+        app.run_until_drained(sink)
+        rows = spark.sql(
+            f"SELECT * FROM mem_{sink.run_id}_docs").collect()
+        assert [(r["url"], r["title"], r["lang"]) for r in rows] \
+            == [("https://s.example/good", "Good", "en")]
