@@ -39,13 +39,15 @@ from __future__ import annotations
 
 import gzip
 import io
+import re
 from html.parser import HTMLParser
 from typing import Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["html_extract", "warc_records", "extract_main_text"]
+__all__ = ["html_extract", "warc_records", "extract_main_text",
+           "decode_html_bytes"]
 
 # tags that open/close a text block for density scoring
 _BLOCK_TAGS = frozenset((
@@ -152,6 +154,56 @@ def extract_main_text(
     return (title, "\n".join(kept), len(kept))
 
 
+_BOMS = (
+    (b"\xef\xbb\xbf", "utf-8-sig"),
+    (b"\xff\xfe\x00\x00", "utf-32-le"),
+    (b"\x00\x00\xfe\xff", "utf-32-be"),
+    (b"\xff\xfe", "utf-16-le"),
+    (b"\xfe\xff", "utf-16-be"),
+)
+_META_CHARSET = re.compile(
+    rb"""<meta[^>]+charset\s*=\s*["']?([A-Za-z0-9_.:-]+)""",
+    re.IGNORECASE)
+_CT_CHARSET = re.compile(r"charset\s*=\s*\"?([A-Za-z0-9_.:-]+)",
+                         re.IGNORECASE)
+
+
+def decode_html_bytes(b, content_type: str | None = None) -> str | None:
+    """Bytes -> text with the crawl-world charset ladder: BOM first
+    (the spec's strongest signal), then the HTTP ``Content-Type``
+    charset parameter, then a ``<meta charset>`` /
+    ``http-equiv Content-Type`` scan of the first 2 KiB, then UTF-8,
+    and finally latin-1 — which never fails, so a page always decodes
+    to SOMETHING the extractor can segment (mojibake text still
+    dedups/quality-gates correctly downstream; a dropped page does
+    not)."""
+    if b is None:
+        return None
+    b = bytes(b)
+    for bom, enc in _BOMS:
+        if b.startswith(bom):
+            try:
+                return b[len(bom):].decode(
+                    "utf-8" if enc == "utf-8-sig" else enc)
+            except UnicodeDecodeError:
+                break
+    for cand in (
+        (_CT_CHARSET.search(content_type).group(1)
+         if content_type and _CT_CHARSET.search(content_type)
+         else None),
+        (_META_CHARSET.search(b[:2048]).group(1).decode("ascii")
+         if _META_CHARSET.search(b[:2048]) else None),
+        "utf-8",
+    ):
+        if not cand:
+            continue
+        try:
+            return b.decode(cand)
+        except (UnicodeDecodeError, LookupError):
+            continue
+    return b.decode("latin-1")
+
+
 def html_extract(
     df: DataFrame,
     html_col: str = "html",
@@ -160,24 +212,40 @@ def html_extract(
     blocks_col: str = "n_blocks",
     min_block_chars: int = 15,
     max_link_density: float = 0.4,
+    content_type_col: str | None = None,
 ) -> DataFrame:
     """Boilerplate removal: append the page ``<title>``, the
     extracted main text and the surviving block count to every row.
 
-    Undecodable/NULL HTML yields NULL outputs — honest absence, the
-    multimodal decoders' contract.  Streaming-legal (stateless
-    per-row map) and zero-shuffle; at 100 TB this runs at the scan's
-    parallelism with nothing on the wire.
+    A binary ``html_col`` (e.g. straight from :func:`warc_records`)
+    decodes through :func:`decode_html_bytes` — BOM, then the
+    ``content_type_col`` charset parameter (pass
+    ``"http_content_type"`` after the demux), then ``<meta charset>``,
+    then UTF-8, then latin-1.  Undecodable/NULL HTML yields NULL
+    outputs — honest absence, the multimodal decoders' contract.
+    Streaming-legal (stateless per-row map) and zero-shuffle; at
+    100 TB this runs at the scan's parallelism with nothing on the
+    wire.
     """
+    from pyspark.sql import types as T
+
+    is_binary = isinstance(df.schema[html_col].dataType, T.BinaryType)
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     ) + f", {title_col} string, {text_col} string, {blocks_col} bigint"
 
     def run(batches: Iterator) -> Iterator:
         for pdf in batches:
+            if is_binary:
+                cts = (pdf[content_type_col] if content_type_col
+                       else [None] * len(pdf))
+                pages = [decode_html_bytes(h, ct)
+                         for h, ct in zip(pdf[html_col], cts)]
+            else:
+                pages = pdf[html_col]
             cols = [
                 extract_main_text(h, min_block_chars, max_link_density)
-                for h in pdf[html_col]
+                for h in pages
             ]
             pdf[title_col] = [c[0] for c in cols]
             pdf[text_col] = [c[1] for c in cols]
@@ -219,6 +287,7 @@ def _parse_warc(buf: bytes) -> list:
             break
         payload = buf[body:body + length]
         http_status = None
+        http_content_type = None
         if payload.startswith(b"HTTP/"):
             line_end = payload.find(b"\r\n")
             parts = payload[:line_end].split(b" ", 2)
@@ -226,6 +295,12 @@ def _parse_warc(buf: bytes) -> list:
                 http_status = int(parts[1])
             pe = payload.find(b"\r\n\r\n")
             if pe >= 0:
+                for hl in payload[line_end + 2:pe].split(b"\r\n"):
+                    hk, _, hv = hl.partition(b":")
+                    if hk.strip().lower() == b"content-type":
+                        http_content_type = hv.strip().decode(
+                            "utf-8", "replace")
+                        break
                 payload = payload[pe + 4:]
 
         def s(key):
@@ -235,7 +310,8 @@ def _parse_warc(buf: bytes) -> list:
         out.append((
             s(b"warc-type"), s(b"warc-record-id"),
             s(b"warc-target-uri"), s(b"warc-date"),
-            s(b"content-type"), http_status, payload,
+            s(b"content-type"), http_status, http_content_type,
+            payload,
         ))
         pos = body + length
     return out
@@ -243,7 +319,8 @@ def _parse_warc(buf: bytes) -> list:
 
 _WARC_FIELDS = ("warc_type string, record_id string, target_uri string,"
                 " warc_date string, content_type string,"
-                " http_status bigint, payload binary")
+                " http_status bigint, http_content_type string,"
+                " payload binary")
 
 
 def warc_records(
@@ -288,7 +365,8 @@ def warc_records(
                 rows.extend(base + rec for rec in _parse_warc(raw))
             cols = passthrough + [
                 "warc_type", "record_id", "target_uri", "warc_date",
-                "content_type", "http_status", "payload"]
+                "content_type", "http_status", "http_content_type",
+                "payload"]
             out = pd.DataFrame(rows, columns=cols)
             if len(out):
                 out["http_status"] = out["http_status"].astype("object")

@@ -1816,12 +1816,18 @@ def _stage_warc_records_ext(df, spec, pctx):
 
 def _stage_html_extract_ext(df, spec, pctx):
     # {"field": col?, "title": col?, "text": col?, "blocks": col?,
-    #  "minBlockChars": n?, "maxLinkDensity": f?} — boilerplate
+    #  "minBlockChars": n?, "maxLinkDensity": f?,
+    #  "contentType": col?} — boilerplate
     # removal (functions/crawl.py html_extract): page <title>, the
     # main text (Arc90-style block filter: script/style subtrees
     # dropped, short or link-dominated blocks dropped) and the
     # surviving block count appended to every message.  Binary
-    # payloads (e.g. straight from $warcRecords) are read as UTF-8.
+    # payloads (e.g. straight from $warcRecords) decode through the
+    # charset ladder: BOM, the HTTP Content-Type charset param (the
+    # "contentType" column — defaults to $warcRecords'
+    # http_content_type when present), <meta charset>, UTF-8,
+    # latin-1 (which never fails: a mojibake page still flows to the
+    # dedup/quality gates, a dropped page does not).
     # Per-row Arrow map: streaming-legal, zero shuffle.
     from pincette_json_streams_spark.functions.crawl import (
         html_extract,
@@ -1829,16 +1835,21 @@ def _stage_html_extract_ext(df, spec, pctx):
 
     spec = spec if isinstance(spec, dict) else {}
     field = spec.get("field", "html")
-    src = df
-    if dict(src.dtypes).get(field) == "binary":
-        src = src.withColumn(field, F.decode(F.col(field), "UTF-8"))
+    # binary payloads decode through the charset ladder (BOM ->
+    # Content-Type charset -> <meta charset> -> UTF-8 -> latin-1);
+    # straight after $warcRecords the HTTP header column rides along
+    # automatically unless overridden
+    ct = spec.get("contentType",
+                  "http_content_type"
+                  if "http_content_type" in df.columns else None)
     return html_extract(
-        src, html_col=field,
+        df, html_col=field,
         title_col=spec.get("title", "title"),
         text_col=spec.get("text", "text"),
         blocks_col=spec.get("blocks", "n_blocks"),
         min_block_chars=int(spec.get("minBlockChars", 15)),
         max_link_density=float(spec.get("maxLinkDensity", 0.4)),
+        content_type_col=ct,
     )
 
 

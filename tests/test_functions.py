@@ -6085,3 +6085,57 @@ class TestCodecSeam:
                 + b"".join(b"FRAME\n" + y + b"\x80" * (2 * plane_420)
                            for y in frames))
         assert len(y4m_frames(no_c)) == 3
+
+
+class TestCharsetLadder:
+    """decode_html_bytes: the crawl-world charset ladder (BOM >
+    HTTP Content-Type charset > <meta charset> > UTF-8 > latin-1) —
+    and its ride-along through $htmlExtract's binary path."""
+
+    def test_ladder_order(self):
+        from pincette_json_streams_spark.functions.crawl import (
+            decode_html_bytes,
+        )
+        t = "<html><p>café habría straße</p></html>"
+        assert decode_html_bytes(
+            b"\xff\xfe" + t.encode("utf-16-le")) == t
+        assert decode_html_bytes(
+            b"\xfe\xff" + t.encode("utf-16-be")) == t
+        assert decode_html_bytes(
+            b"\xef\xbb\xbf" + t.encode("utf-8")) == t
+        assert decode_html_bytes(t.encode("utf-8")) == t
+        # invalid UTF-8 falls through to latin-1, never raises
+        assert decode_html_bytes(t.encode("latin-1")) == t
+        # HTTP header charset beats the meta scan
+        lying = ('<html><head><meta charset="utf-8"></head>'
+                 '<p>café</p></html>')
+        assert decode_html_bytes(
+            lying.encode("latin-1"),
+            "text/html; charset=ISO-8859-1") == lying
+        meta = ('<html><head><meta charset="iso-8859-1"></head>'
+                '<p>café</p></html>')
+        assert decode_html_bytes(meta.encode("latin-1")) == meta
+        assert decode_html_bytes(None) is None
+        # unknown charset name in the header -> next rung, no crash
+        assert decode_html_bytes(
+            t.encode("utf-8"), "text/html; charset=bogus-enc") == t
+
+    def test_binary_html_extract_uses_content_type(self, spark):
+        from pincette_json_streams_spark.functions.crawl import (
+            html_extract,
+        )
+        page = ("<html><head><title>Café menu</title></head><body>"
+                "<p>Crème brûlée and jamón ibérico for señoras.</p>"
+                "</body></html>")
+        df = spark.createDataFrame(
+            [(1, bytearray(page.encode("latin-1")),
+              "text/html; charset=ISO-8859-1"),
+             (2, bytearray(page.encode("utf-8")), "text/html")],
+            "pid long, payload binary, http_content_type string")
+        rows = {r["pid"]: r for r in html_extract(
+            df, "payload",
+            content_type_col="http_content_type").collect()}
+        for pid in (1, 2):
+            assert rows[pid]["title"] == "Café menu"
+            assert rows[pid]["text"] \
+                == "Crème brûlée and jamón ibérico for señoras."
