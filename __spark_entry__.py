@@ -3536,8 +3536,12 @@ def _synth_shifted_y4m(col):
                 x4 = x3 ^ (x3 >> 13)
                 frames.append((x4 % 256).astype(np.uint8).tobytes())
             head = b"YUV4MPEG2 W9 H8 F25:1 Ip A1:1 C420jpeg\n"
+            # spec chroma sizing for odd width: ceil(9/2)*ceil(8/2)
+            # = 20 bytes/plane (round 12 — the floor-sized 18-byte
+            # padding only demuxed because the codec made the same
+            # floor error, fixed together per the round-11 advice)
             body = b"".join(
-                b"FRAME\n" + y + b"\x80" * (2 * (72 // 4))
+                b"FRAME\n" + y + b"\x80" * (2 * 20)
                 for y in frames)
             out.append(head + body)
         return pd.Series(out)
