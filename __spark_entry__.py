@@ -7942,6 +7942,72 @@ FROM documents
 """
 
 
+def q_sitemap_urls(spark, sf_dir):
+    """Sitemap protocol parsing (functions/crawl.py sitemap_urls,
+    sitemaps.org): per source host, one <urlset> file (every doc a
+    <url> with XML-escaped query string, lastmod, changefreq,
+    priority) plus one <sitemapindex> file pointing at it — the demux
+    must distinguish leaf URLs from index entries by kind.  Stateless
+    Arrow flat-map like warc_records; the oracle replays the expected
+    rows from documents (entity &amp; decodes back to &; priority
+    N/10 parses to the identical nearest-double both engines)."""
+    from pincette_json_streams_spark.functions.crawl import (
+        sitemap_urls,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    entry = F.concat(
+        F.lit("<url><loc>https://"), F.col("source"),
+        F.lit(".example/doc/"), F.col("doc_id"),
+        F.lit("?a=1&amp;b=2</loc><lastmod>2026-01-"),
+        F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+        F.lit("</lastmod><changefreq>weekly</changefreq>"
+              "<priority>0."),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit("</priority></url>"))
+    urlsets = (
+        docs.select("source",
+                    F.struct("doc_id", entry.alias("e")).alias("s"))
+        .groupBy("source")
+        .agg(F.concat(
+            F.lit('<?xml version="1.0" encoding="UTF-8"?><urlset '
+                  'xmlns="http://www.sitemaps.org/schemas/'
+                  'sitemap/0.9">'),
+            F.concat_ws("", F.transform(
+                F.array_sort(F.collect_list("s")), lambda x: x["e"])),
+            F.lit("</urlset>")).alias("sitemap")))
+    indexes = docs.select("source").distinct().select(
+        "source",
+        F.concat(
+            F.lit("<sitemapindex><sitemap><loc>https://"),
+            F.col("source"),
+            F.lit(".example/sitemap-docs.xml</loc><lastmod>"
+                  "2026-02-01</lastmod></sitemap>"
+                  "</sitemapindex>")).alias("sitemap"))
+    return sitemap_urls(
+        urlsets.unionByName(indexes), "sitemap",
+    ).select("source", "kind", "loc", "lastmod", "changefreq",
+             "priority")
+
+
+_ORACLE_SITEMAP_URLS = """
+SELECT source, 'url' AS kind,
+       'https://' || source || '.example/doc/' || doc_id
+         || '?a=1&b=2' AS loc,
+       '2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+         AS lastmod,
+       'weekly' AS changefreq,
+       CAST(doc_id % 10 AS DOUBLE) / 10 AS priority
+FROM documents
+UNION ALL
+SELECT DISTINCT source, 'sitemap' AS kind,
+       'https://' || source || '.example/sitemap-docs.xml' AS loc,
+       '2026-02-01' AS lastmod,
+       CAST(NULL AS VARCHAR) AS changefreq,
+       CAST(NULL AS DOUBLE) AS priority
+FROM documents
+"""
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
@@ -7959,7 +8025,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # never-sampled newcomers first, then cohorts by latest checked
     # round ascending, relative order preserved inside each cohort.
     return {
-        # -- never driver-sampled -> very front (3 queries) --
+        # -- never driver-sampled -> very front (4 queries) --
+        "sitemap_urls": q_sitemap_urls,
         "robots_filter": q_robots_filter,
         "html_extract": q_html_extract,
         "warc_extract": q_warc_extract,
@@ -8137,6 +8204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "sitemap_urls": _ORACLE_SITEMAP_URLS,
         "robots_filter": _ORACLE_ROBOTS_FILTER,
         "html_extract": _ORACLE_HTML_EXTRACT,
         "warc_extract": _ORACLE_WARC_EXTRACT,

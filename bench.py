@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "html_extract",
     "warc_extract",
     "robots_filter",
+    "sitemap_urls",
 ]
 
 # Correctness-gated but NOT benchmarked (same policy family as

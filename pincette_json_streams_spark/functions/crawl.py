@@ -47,7 +47,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["html_extract", "warc_records", "extract_main_text",
-           "decode_html_bytes"]
+           "decode_html_bytes", "sitemap_urls", "parse_sitemap"]
 
 # tags that open/close a text block for density scoring
 _BLOCK_TAGS = frozenset((
@@ -386,3 +386,102 @@ def gzip_members(records: list) -> bytes:
     for rec in records:
         out.write(gzip.compress(rec))
     return out.getvalue()
+
+
+def parse_sitemap(xml_text: str) -> list:
+    """One sitemap document -> [(kind, loc, lastmod, changefreq,
+    priority)] per the sitemaps.org protocol: ``<urlset>`` entries
+    yield kind ``"url"``, ``<sitemapindex>`` entries kind
+    ``"sitemap"`` (the frontier follows those to more sitemaps).
+    Namespace-agnostic (tags match on local name), XML entities
+    decode via the parser, malformed documents yield [] — honest
+    absence.  Gzip payloads (sitemap.xml.gz) are handled by the
+    caller-facing :func:`sitemap_urls`."""
+    import xml.etree.ElementTree as ET
+
+    if not xml_text:
+        return []
+    try:
+        root = ET.fromstring(xml_text)
+    except ET.ParseError:
+        return []
+
+    def local(tag):
+        return tag.rsplit("}", 1)[-1].lower()
+
+    kind = {"urlset": "url", "sitemapindex": "sitemap"}.get(
+        local(root.tag))
+    if kind is None:
+        return []
+    out = []
+    for entry in root:
+        if local(entry.tag) not in ("url", "sitemap"):
+            continue
+        fields = {"loc": None, "lastmod": None, "changefreq": None,
+                  "priority": None}
+        for child in entry:
+            name = local(child.tag)
+            if name in fields and child.text is not None:
+                fields[name] = child.text.strip()
+        if fields["loc"]:
+            try:
+                prio = (float(fields["priority"])
+                        if fields["priority"] is not None else None)
+            except ValueError:
+                prio = None
+            out.append((kind, fields["loc"], fields["lastmod"],
+                        fields["changefreq"], prio))
+    return out
+
+
+_SITEMAP_FIELDS = ("kind string, loc string, lastmod string,"
+                   " changefreq string, priority double")
+
+
+def sitemap_urls(
+    df: DataFrame,
+    xml_col: str = "sitemap",
+    keep_cols: list | None = None,
+) -> DataFrame:
+    """Explode sitemap documents (string XML or binary, plain or
+    gzip — ``sitemap.xml.gz`` is the protocol's standard transport)
+    into one row per ``<url>``/``<sitemap>`` entry.  Stateless Arrow
+    flat-map like :func:`warc_records`: zero shuffle, streaming-legal,
+    file-grain parallelism.  ``kind`` distinguishes leaf URLs from
+    index entries (feed the latter back to the fetcher)."""
+    passthrough = [c for c in (keep_cols if keep_cols is not None
+                               else df.columns) if c != xml_col]
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields if f.name in passthrough
+    )
+    out_schema = (out_schema + ", " if out_schema else "") \
+        + _SITEMAP_FIELDS
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                raw = row[xml_col]
+                if raw is None:
+                    continue
+                if isinstance(raw, (bytes, bytearray)):
+                    raw = bytes(raw)
+                    if raw[:2] == b"\x1f\x8b":
+                        try:
+                            raw = gzip.decompress(raw)
+                        except Exception:
+                            continue
+                    raw = raw.decode("utf-8", "replace")
+                base = tuple(row[c] for c in passthrough)
+                rows.extend(base + rec for rec in parse_sitemap(raw))
+            cols = passthrough + ["kind", "loc", "lastmod",
+                                  "changefreq", "priority"]
+            out = pd.DataFrame(rows, columns=cols)
+            if len(out):
+                out["priority"] = out["priority"].astype("object")
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)

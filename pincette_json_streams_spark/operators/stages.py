@@ -1703,6 +1703,27 @@ def _stage_decode_image_ext(df, spec, pctx):
                         hist_bins=int(spec.get("bins", 16)))
 
 
+def _stage_sitemap_urls_ext(df, spec, pctx):
+    # {"field": col?, "base64": bool?, "keep": [col]?} — explode
+    # sitemap documents (string XML or binary, plain or gzip) into
+    # one message per <url>/<sitemap> entry (functions/crawl.py
+    # sitemap_urls): kind/loc/lastmod/changefreq/priority columns;
+    # "sitemap"-kind rows are index entries the fetcher follows.
+    # Stateless Arrow flat-map like $warcRecords — streaming-legal,
+    # zero shuffle.
+    from pincette_json_streams_spark.functions.crawl import (
+        sitemap_urls,
+    )
+
+    spec = spec if isinstance(spec, dict) else {}
+    field = spec.get("field", "sitemap")
+    src = df
+    if bool(spec.get("base64", False)):
+        src = df.withColumn(field, F.unbase64(F.col(field)))
+    return sitemap_urls(src, xml_col=field,
+                        keep_cols=spec.get("keep"))
+
+
 def _stage_robots_filter_ext(df, spec, pctx):
     # {"robots": collection, "field": col?, "agent": str?,
     #  "as": col?, "keep": bool?} — RFC 9309 politeness gate
@@ -3233,6 +3254,7 @@ STAGES: dict[str, Callable[[DataFrame, Any, PipelineContext], DataFrame]] = {
     "$probeMedia": _stage_probe_media_ext,
     "$audioFingerprint": _stage_audio_fingerprint_ext,
     "$warcRecords": _stage_warc_records_ext,
+    "$sitemapUrls": _stage_sitemap_urls_ext,
     "$robotsFilter": _stage_robots_filter_ext,
     "$textFeatures": _stage_text_features_ext,
     "$qualityGate": _stage_quality_gate_ext,

@@ -197,3 +197,26 @@ class TestBenchRegressionBudget:
         # missing record: silent no-op (fresh clones)
         assert bench.check_regressions(
             {"q1": 9}, 0.1, str(tmp_path / "nope.json")) == {}
+
+
+class TestMediaSynthCodecCoupling:
+    """The driver video queries synthesize Y4M that the registered
+    codec must demux FULLY — round 12 broke this silently by fixing
+    the codec's odd-width chroma sizing while the synth still padded
+    the old floor size (caught by the consolidated sweep, not by any
+    pytest: the driver-contract tests check schemas, not row counts).
+    This locks the coupling at the cheapest level: one synthesized
+    clip must demux to exactly its 4 frames."""
+
+    def test_synth_y4m_demuxes_to_four_frames(self, spark):
+        import __spark_entry__ as e
+        from pincette_json_streams_spark.functions.codecs import (
+            y4m_frames, y4m_probe,
+        )
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([(5,)], "doc_id long").withColumn(
+            "media", e._synth_shifted_y4m(F.col("doc_id")))
+        blob = bytes(df.collect()[0]["media"])
+        assert y4m_probe(blob)
+        assert len(y4m_frames(blob)) == 4

@@ -6087,6 +6087,62 @@ class TestCodecSeam:
         assert len(y4m_frames(no_c)) == 3
 
 
+class TestSitemap:
+    """Round-12 sitemap protocol demux (functions/crawl.py
+    sitemap_urls): urlset vs sitemapindex kinds, namespaces,
+    entities, gzip transport, malformed-input honesty."""
+
+    XML = ('<?xml version="1.0" encoding="UTF-8"?>'
+           '<urlset xmlns="http://www.sitemaps.org/schemas/'
+           'sitemap/0.9">'
+           '<url><loc>https://x.example/a?b=1&amp;c=2</loc>'
+           '<lastmod>2026-01-01</lastmod>'
+           '<changefreq>daily</changefreq>'
+           '<priority>0.8</priority></url>'
+           '<url><loc>https://x.example/b</loc></url>'
+           '</urlset>')
+
+    def test_kinds_gzip_and_malformed(self, spark):
+        import gzip
+
+        from pincette_json_streams_spark.functions.crawl import (
+            sitemap_urls,
+        )
+        idx = ("<sitemapindex><sitemap>"
+               "<loc>https://x.example/more.xml</loc>"
+               "</sitemap></sitemapindex>")
+        df = spark.createDataFrame(
+            [(1, bytearray(self.XML.encode())),
+             (2, bytearray(gzip.compress(self.XML.encode()))),
+             (3, bytearray(idx.encode())),
+             (4, bytearray(b"<html>not a sitemap</html>")),
+             (5, bytearray(b"broken < xml")), (6, None)],
+            "fid long, sitemap binary")
+        rows = sitemap_urls(df, "sitemap").collect()
+        by_fid = {}
+        for r in rows:
+            by_fid.setdefault(r["fid"], []).append(
+                (r["kind"], r["loc"], r["lastmod"], r["changefreq"],
+                 r["priority"]))
+        urls = [("url", "https://x.example/a?b=1&c=2", "2026-01-01",
+                 "daily", 0.8),
+                ("url", "https://x.example/b", None, None, None)]
+        assert by_fid == {
+            1: urls, 2: urls,
+            3: [("sitemap", "https://x.example/more.xml",
+                 None, None, None)]}
+
+    def test_string_column_and_passthrough(self, spark):
+        from pincette_json_streams_spark.functions.crawl import (
+            sitemap_urls,
+        )
+        df = spark.createDataFrame(
+            [("h1", self.XML)], "host string, sitemap string")
+        rows = sitemap_urls(df, "sitemap").collect()
+        assert [(r["host"], r["kind"]) for r in rows] \
+            == [("h1", "url"), ("h1", "url")]
+
+
 class TestCharsetLadder:
     """decode_html_bytes: the crawl-world charset ladder (BOM >
     HTTP Content-Type charset > <meta charset> > UTF-8 > latin-1) —

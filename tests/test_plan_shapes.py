@@ -680,6 +680,23 @@ class TestRound12PlanShapes:
                               re.MULTILINE))
         assert maps == 2, maps
 
+    def test_sitemap_urls_flatmap_shape(self, spark):
+        """The sitemap demux itself is a stateless Arrow flat-map:
+        join-free, and the only exchanges are the two test-side
+        synthesis aggregations (urlset assembly groupBy + the
+        distinct for index files) — a real crawl replaces both with
+        the archive scan."""
+        import re
+
+        plan = _plan(spark, "sitemap_urls")
+        assert "Join" not in plan
+        assert "CartesianProduct" not in plan
+        exchanges = re.findall(r"^\(\d+\) Exchange", plan,
+                               re.MULTILINE)
+        assert len(exchanges) <= 2, plan[:2000]
+        assert re.search(r"^\(\d+\) MapInPandas", plan,
+                         re.MULTILINE)
+
     def test_robots_filter_broadcasts_rules(self, spark):
         """The politeness gate at frontier scale: the rules side
         (a few rows per host) BROADCASTS onto the URL stream — no

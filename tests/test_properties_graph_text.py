@@ -606,3 +606,40 @@ class TestRobotsProperty:
         want = {i: robots_allowed_mirror(txt, f"https://h.example{p}")
                 for i, p in enumerate(paths)}
         assert got == want
+
+
+class TestSitemapProperty:
+    """Round-12 sitemap law: random URL/metadata lists round-trip
+    through XML synthesis (with entity escaping) -> sitemap_urls."""
+
+    @SPARKY
+    @given(st.lists(
+        st.tuples(
+            st.text(alphabet="abz019/?=&<>'\"", min_size=0,
+                    max_size=12),
+            st.one_of(st.none(),
+                      st.sampled_from(["2026-01-01", "2026-02-03"])),
+            st.one_of(st.none(), st.floats(0, 1, width=32))),
+        min_size=1, max_size=6))
+    def test_roundtrip(self, spark, entries):
+        from xml.sax.saxutils import escape
+
+        from pincette_json_streams_spark.functions.crawl import (
+            sitemap_urls,
+        )
+        xml = "<urlset>" + "".join(
+            "<url><loc>https://h.example/"
+            + escape(p, {'"': "&quot;", "'": "&apos;"})
+            + "</loc>"
+            + (f"<lastmod>{lm}</lastmod>" if lm else "")
+            + (f"<priority>{pr!r}</priority>"
+               if pr is not None else "")
+            + "</url>"
+            for p, lm, pr in entries) + "</urlset>"
+        df = spark.createDataFrame([(xml,)], "sitemap string")
+        rows = sitemap_urls(df, "sitemap").collect()
+        got = [(r["loc"], r["lastmod"], r["priority"]) for r in rows]
+        want = [("https://h.example/" + p, lm,
+                 float(repr(pr)) if pr is not None else None)
+                for p, lm, pr in entries]
+        assert got == want
