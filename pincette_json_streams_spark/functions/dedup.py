@@ -75,22 +75,39 @@ def _hash_str(col: Column) -> Column:
 
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Round-robin repartition to total cores before CPU-heavy per-row
-    work.  Two traps this dodges (both measured): (1) small parquet
-    arrives as ONE input split, serializing the signature UDF on a single
-    core; (2) `repartition(col)` without an explicit count lets AQE
-    coalesce the ~MB-sized shuffle back to one partition by byte size --
-    AQE can't know the downstream UDF is CPU-bound per row (5k docs:
-    3.2 s -> 0.9 s)."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+def _spread(df: DataFrame, by: str | None = None) -> DataFrame:
+    """Repartition to total cores before CPU-heavy per-row work.  Two
+    traps this dodges (both measured): (1) small parquet arrives as ONE
+    input split, serializing the signature UDF on a single core; (2)
+    `repartition(col)` without an explicit count lets AQE coalesce the
+    ~MB-sized shuffle back to one partition by byte size -- AQE can't
+    know the downstream UDF is CPU-bound per row (5k docs: 3.2 s ->
+    0.9 s).
+
+    ``by``: a high-cardinality (unique-id) column to hash-partition on.
+    Preferred over keyless round-robin wherever an id exists, for two
+    reasons (guide §2.5/§2.3): round-robin repartition first pays a
+    LOCAL BYTE-SORT of the full input rows (sortBeforeRepartition,
+    on by default since SPARK-23207 so retried tasks reproduce their
+    row->partition assignment) — on wide text/binary rows that sort is
+    the dominant cost of the exchange (measured at sf0.1: 0.77 s ->
+    0.50 s for the documents table); and hash-by-id is deterministic
+    under task retry by construction, so it keeps the retry-safety
+    that sortBeforeRepartition exists to provide, without the sort.
+    A unique id spreads uniformly by hash; callers without a unique
+    column keep the round-robin path."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if by is not None:
+        return df.repartition(n, F.col(by))
+    return df.repartition(n)
 
 
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Keep the lowest-id representative per normalized-content group."""
-    keyed = _spread(df).withColumn("__fp", fingerprint(F.col(text_col)))
+    keyed = _spread(df, by=id_col).withColumn(
+        "__fp", fingerprint(F.col(text_col)))
     return (
         keyed.groupBy("__fp")
         .agg(
@@ -281,7 +298,7 @@ def minhash_lsh_pairs(
     if edges not in ("pairs", "star"):
         raise ValueError(f"edges must be 'pairs' or 'star', got {edges!r}")
     base = (
-        _spread(df)
+        _spread(df, by=id_col)
         .select(
             F.col(id_col).alias("id"),
             # ONE fused Arrow pass: shingle, md5, signature, group digest
@@ -397,7 +414,7 @@ def minhash_index(
     position-salted banded LSH keys).  Parquet-persist this per corpus
     snapshot; `incremental_dedup` joins new batches against it."""
     return (
-        _spread(df)
+        _spread(df, by=id_col)
         .select(
             F.col(id_col).alias("id"),
             _shingle_band_vec(num_hashes, k, bands)(
@@ -567,7 +584,7 @@ def simhash_pairs(
     band when bands > max_hamming ... approximate for smaller band counts)."""
     band_width = bits // bands
     base = (
-        _spread(df)
+        _spread(df, by=id_col)
         .select(
             F.col(id_col).alias("id"),
             _simhash_vec(bits)(F.col(text_col)).alias("sig"),
@@ -753,7 +770,7 @@ def ngram_jaccard_pairs(
     point), and borderline pairs shift by at most the capped grams'
     share of their union.  Verbatim-identical documents (same set
     digest) still pair at Jaccard 1.0 regardless of the cap."""
-    base = _spread(df).select(
+    base = _spread(df, by=id_col).select(
         F.col(id_col).alias("id"),
         _word_ngrams_hashed_vec(n)(F.col(text_col)).alias("ss"),
     ).select("id", F.col("ss.gid").alias("gid"), F.col("ss.ng").alias("ng"))
@@ -874,7 +891,7 @@ def containment_pairs(
             "containment_pairs: prefix_filter and df_cap are distinct "
             "candidate-generation strategies; pick one")
     thr_e6 = threshold_pct * 10_000
-    base = _spread(df).select(
+    base = _spread(df, by=id_col).select(
         F.col(id_col).alias("id"),
         _word_ngrams_hashed_vec(n)(F.col(text_col)).alias("ss"),
     ).select("id", F.col("ss.gid").alias("gid"), F.col("ss.ng").alias("ng"))
@@ -1142,7 +1159,7 @@ def embedding_pairs(
         )
         return pairs.filter(F.col("cosine") >= threshold)
 
-    bucketed = _spread(base).withColumn(
+    bucketed = _spread(base, by="id").withColumn(
         "bucket", hyperplane_bucket(F.col("v"), planes))
     # prefilter margin: the authoritative test is round(cos, 6) >=
     # threshold, applied JVM-side below; the kernel only discards pairs
@@ -1460,7 +1477,7 @@ def prefix_filter_pairs(
 
     words = F.filter(F.split(normalize_text(F.col(text_col)), " "),
                      lambda x: x != "")
-    toks = _spread(df).select(
+    toks = _spread(df, by=id_col).select(
         F.col(id_col).alias("id"), words.alias("__w"),
     ).select(
         "id",

@@ -207,23 +207,48 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
 
     Returns (node, triangles) for every node in at least one triangle.
     """
-    # und is consumed three times (two degree projections + the orient
-    # join) and the oriented edge set four times (both wedge sides +
-    # both closing orientations): lazy lineage cuts run the canonical-
-    # ization and orientation once each instead of re-deriving the raw
-    # edge list per reference (the round-7 pagerank/PPJoin pattern)
-    und = (
-        edges.select(F.least("src", "dst").alias("a"),
-                     F.greatest("src", "dst").alias("b"))
+    und = _canonical_undirected(und_or_edges=edges)
+    return _triangle_counts_from(und)
+
+
+def _canonical_undirected(und_or_edges: DataFrame) -> DataFrame:
+    """Canonicalize an edge list to the distinct undirected simple
+    edge set (a < b, no self-loops), lineage-cut: the frame is
+    consumed several times downstream (degree projections + the
+    orient join), and when ``edges`` is itself a join derivation the
+    lazy checkpoint runs that derivation once instead of per
+    reference (the round-7 pagerank/PPJoin pattern)."""
+    return (
+        und_or_edges.select(F.least("src", "dst").alias("a"),
+                            F.greatest("src", "dst").alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
         .localCheckpoint(eager=False)
     )
-    deg = (
+
+
+def _degree_counts(und: DataFrame) -> DataFrame:
+    """(node, d) degree aggregate over a canonical undirected edge
+    set."""
+    return (
         und.select(F.col("a").alias("node"))
         .unionAll(und.select(F.col("b").alias("node")))
         .groupBy("node").agg(F.count(F.lit(1)).alias("d"))
     )
+
+
+def _triangle_counts_from(und: DataFrame) -> DataFrame:
+    """Triangle counts over an already-canonicalized (and
+    lineage-cut) undirected edge set — the shared kernel of
+    :func:`triangle_counts` and :func:`clustering_coefficients`, so
+    the canonicalization distinct (and the caller's raw edge
+    derivation) runs once, not once per consumer (r12 optimization:
+    clustering_coefficients previously re-derived the edge self-join
+    + distinct a second time for its own degree aggregate)."""
+    # the oriented edge set is consumed four times (both wedge sides +
+    # both closing orientations): lazy lineage cut runs the
+    # orientation once
+    deg = _degree_counts(und)
     da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
     db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
     # orient low (deg, id) -> high (deg, id)
@@ -269,18 +294,10 @@ def clustering_coefficients(edges: DataFrame) -> DataFrame:
     ``(2 * 1e6 * triangles) div (deg * (deg-1))`` — pure integer, so
     cross-engine exact.  Nodes with degree < 2 are excluded (the
     coefficient is undefined there)."""
-    und = (
-        edges.select(F.least("src", "dst").alias("a"),
-                     F.greatest("src", "dst").alias("b"))
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-    )
-    deg = (
-        und.select(F.col("a").alias("node"))
-        .unionAll(und.select(F.col("b").alias("node")))
-        .groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("deg"))
-    )
-    tri = triangle_counts(edges)
+    und = _canonical_undirected(und_or_edges=edges)
+    deg = _degree_counts(und).select(
+        "node", F.col("d").cast("long").alias("deg"))
+    tri = _triangle_counts_from(und)
     return (
         deg.filter(F.col("deg") >= 2)
         .join(tri, "node", "left")

@@ -1110,7 +1110,7 @@ def winnow_fingerprints(
     from .dedup import _spread
 
     fp = _winnow_fp_vec(k, window)
-    return _spread(df).select(
+    return _spread(df, by=id_col).select(
         F.col(id_col).alias("id"),
         F.explode(fp(F.col(text_col))).alias("fp"),
     )
