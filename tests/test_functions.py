@@ -3885,10 +3885,12 @@ class TestWinnowing:
         assert out == {(0, 1)}
 
     def test_plan_is_map_only_until_join(self, spark):
-        """Fingerprinting itself must not hash-shuffle — the only
-        Exchange allowed is the deliberate round-robin fan-out before
-        the CPU-bound Arrow kernel (`_spread`, same pattern as the
-        minhash family)."""
+        """Fingerprinting itself must not aggregate-shuffle — the only
+        Exchange allowed is the deliberate fan-out before the CPU-bound
+        Arrow kernel (`_spread`, same pattern as the minhash family).
+        Since r12 the fan-out hash-partitions on the unique doc id
+        (REPARTITION_BY_NUM) instead of round-robin: deterministic
+        under retry without the sortBeforeRepartition byte-sort."""
         from pincette_json_streams_spark.functions.text import (
             winnow_fingerprints,
         )
@@ -3897,8 +3899,8 @@ class TestWinnowing:
         plan = winnow_fingerprints(df)._jdf.queryExecution().executedPlan() \
             .toString()
         assert plan.count("Exchange") == 1
-        assert "RoundRobinPartitioning" in plan
-        assert "hashpartitioning" not in plan
+        assert "REPARTITION_BY_NUM" in plan
+        assert "hashpartitioning(doc_id" in plan
 
     def test_arrow_kernel_bit_identical_to_columns(self, spark):
         """The Arrow fingerprint kernel must replay the pure-Column
