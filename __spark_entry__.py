@@ -2964,21 +2964,21 @@ def q_dedup_canonical(spark, sf_dir):
     comp = connected_components(pairs, nodes=docs.select("doc_id"))
     labeled = comp.select(F.col("id").alias("doc_id"), "cluster_id") \
         .join(docs.select("doc_id", "n_chars"), "doc_id")
+    # r12: the representative is the TOP row of the same cluster_id
+    # window the old rank-then-self-join derived it from — first()
+    # over the ordered full-frame window computes it in the SAME
+    # exchange+sort as the rank did, deleting the rep branch (which
+    # re-ran the comp-join-docs lineage) and the join back (plan:
+    # 2 Window + Join + 2 Exchange -> 2 Window over one Exchange).
     w = Window.partitionBy("cluster_id").orderBy(
-        F.desc("n_chars"), F.asc("doc_id"))
-    ranked = labeled.withColumn("rk", F.row_number().over(w))
-    rep = ranked.where(F.col("rk") == 1).select(
-        "cluster_id", F.col("doc_id").alias("rep_id"))
-    return (
-        labeled.join(rep, "cluster_id")
-        .select(
-            "doc_id", "cluster_id",
-            F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
-             .cast("long").alias("cluster_size"),
-            "rep_id",
-            (F.col("doc_id") == F.col("rep_id")).alias("keep"),
-        )
-    )
+        F.desc("n_chars"), F.asc("doc_id")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    return labeled.select(
+        "doc_id", "cluster_id",
+        F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
+         .cast("long").alias("cluster_size"),
+        F.first("doc_id").over(w).alias("rep_id"),
+    ).withColumn("keep", F.col("doc_id") == F.col("rep_id"))
 
 
 def _oracle_dedup_canonical():
