@@ -1501,10 +1501,19 @@ def prefix_filter_pairs(
     # toks, and it blocks AQE's join planning downstream).
     ex = toks.select("id", F.explode("tok").alias("w"))
     freq = ex.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    # ordered is consumed three times (prefix posting + both sides of
-    # the verify join) but recomputes from the checkpoint leaf, not
-    # from the raw scan.
-    ordered = (
+    # ordered has FOUR consumers (both sides of the prefix posting
+    # self-join + both sides of the verify join); persist() computes
+    # the explode + freq join + rare-first regroup once and serves the
+    # other three from the deserialized in-memory cache.  NOT
+    # localCheckpoint: the r8 A/B measured eager checkpoint of these
+    # wide gram arrays LOSING (13.8 s vs 7.2) to recompute because of
+    # the serialization barrier, while plain persist wins the r12
+    # interleaved A/B 6 rounds of 8 (min 7.42 s vs 7.99, median 9.11
+    # vs 10.83) — and at corpus scale computing the regroup shuffle
+    # once instead of four times is the only shape that survives.
+    # tracked_persist registers it for release_caches() so long-lived
+    # library sessions do not accumulate cached blocks.
+    ordered = tracked_persist(
         ex.join(freq, "w")
         .groupBy("id")
         .agg(F.transform(

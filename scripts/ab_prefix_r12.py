@@ -126,6 +126,82 @@ def shape_c(df, threshold_pct=60, n=3):
     return _finish(ordered, threshold_pct)
 
 
+def shape_d(df, threshold_pct=60, n=3):
+    """ordered persisted (deserialized in-memory cache): computed once,
+    3 cache hits for the other consumers (pref-b, sets-a, sets-b)."""
+    toks = _toks(df, "text", "doc_id", n)
+    ex = toks.select("id", F.explode("tok").alias("w"))
+    freq = ex.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    ordered = (
+        ex.join(freq, "w")
+        .groupBy("id")
+        .agg(F.transform(
+            F.array_sort(F.collect_list(F.struct("c", "w"))),
+            lambda s: s["w"]).alias("arr"))
+        .withColumn("sz", F.size("arr"))
+    ).persist()
+    return _finish(ordered, threshold_pct)
+
+
+def shape_e(df, threshold_pct=60, n=3):
+    """freq checkpoint + pref persisted (the self-join sides share one
+    computation of the exploded prefix postings)."""
+    toks = _toks(df, "text", "doc_id", n)
+    ex = toks.select("id", F.explode("tok").alias("w"))
+    freq = ex.groupBy("w").agg(F.count(F.lit(1)).alias("c")) \
+        .localCheckpoint(eager=False)
+    ordered = (
+        ex.join(freq, "w")
+        .groupBy("id")
+        .agg(F.transform(
+            F.array_sort(F.collect_list(F.struct("c", "w"))),
+            lambda s: s["w"]).alias("arr"))
+        .withColumn("sz", F.size("arr"))
+    )
+    pref = ordered.withColumn(
+        "p", F.expr(f"sz - (({threshold_pct} * sz + 99) div 100) + 1")
+    ).select(
+        "id", "sz",
+        F.posexplode(F.expr("slice(arr, 1, int(p))")).alias("pos", "w")
+    ).persist()
+    a, b = pref.alias("a"), pref.alias("b")
+    ubound = F.lit(1) + F.least(
+        F.col("a.sz") - F.col("a.pos") - 1,
+        F.col("b.sz") - F.col("b.pos") - 1)
+    cand = (
+        a.join(b, (F.col("a.w") == F.col("b.w"))
+               & (F.col("a.id") < F.col("b.id"))
+               & (F.col("a.sz") * 100 >= threshold_pct * F.col("b.sz"))
+               & (F.col("b.sz") * 100 >= threshold_pct * F.col("a.sz"))
+               & (ubound * (100 + threshold_pct)
+                  >= threshold_pct
+                  * (F.col("a.sz") + F.col("b.sz"))))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sets = ordered.select("id", "arr", "sz")
+    verified = (
+        cand.join(sets.select(F.col("id").alias("id_a"),
+                              F.col("arr").alias("arr_a"),
+                              F.col("sz").alias("sz_a")), "id_a")
+        .join(sets.select(F.col("id").alias("id_b"),
+                          F.col("arr").alias("arr_b"),
+                          F.col("sz").alias("sz_b")), "id_b")
+        .withColumn("inter",
+                    F.size(F.array_intersect("arr_a", "arr_b"))
+                    .cast("bigint"))
+        .withColumn("uni",
+                    (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+                    .cast("bigint"))
+        .filter(F.col("inter") * 100 >= F.lit(threshold_pct)
+                * F.col("uni"))
+    )
+    return verified.select(
+        "id_a", "id_b", "inter", "uni",
+        F.expr("(inter * 1000000) div uni").alias("jacc_e6"),
+    )
+
+
 def main():
     rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
@@ -142,7 +218,8 @@ def main():
     docs = load_table(spark, sf_dir, "documents")
 
     shapes = {"A_current": shape_a, "B_freq_ckpt": shape_b,
-              "C_window": shape_c}
+              "C_window": shape_c, "D_ordered_persist": shape_d,
+              "E_pref_persist": shape_e}
     # correctness first: all shapes must agree exactly
     ref = None
     for k, fn in shapes.items():
