@@ -122,6 +122,126 @@ class _MainText(HTMLParser):
             self._link_chars += len(data)
 
 
+# --- fast-path scanner (r12 optimization) ---------------------------------
+#
+# html.parser spends ~50 us per TAG in interpreter overhead (goahead /
+# parse_starttag / updatepos), which makes the extractor the dominant
+# per-byte cost of the whole crawl tier (~2.8 MB/s measured).  Pages in
+# the SAFE class below are tokenized by one compiled regex instead —
+# identical output, ~10x less Python per tag.  Anything outside the
+# class (quote-in-name soup, spaced `</ tag`, unterminated constructs,
+# stray `<` in text) falls back to the html.parser path, so tolerance
+# for arbitrary tag soup is exactly what it was.
+#
+# SAFE class: every `<` begins a comment, a `<!...>` / `<?...>`
+# declaration, or a `</?name ...>` tag whose attributes contain `<`/`>`
+# only inside single- or double-quoted values that themselves contain
+# neither.  Within the class, `<[^>]*>`-style tokenization provably
+# agrees with html.parser's incremental scanner: tags cannot contain an
+# unquoted `>`, quoted values cannot hide one, and CDATA content
+# (script/style) is skipped to the literal `</name` exactly like
+# set_cdata_mode does.  Possessive quantifiers keep the safety check
+# O(bytes) with no backtracking.
+_ATTRS = "(?:[^<>\"'/]|/(?!>)|\"[^\"<>]*\"|'[^'<>]*')*+"
+# comment bodies must contain no `--` at all: html.parser terminates a
+# comment at `--\s*>` (not only the literal `-->`), so any interior
+# `--` could end it earlier than the regex — outside the safe class
+_COMMENT = r"!--(?:[^-]|-(?!-))*+-->"
+_SAFE_RX = re.compile(
+    r"(?s)[^<]*+(?:<(?:" + _COMMENT + r"|![^<>]*+>|\?[^<>]*+>"
+    r"|/[a-zA-Z][^\t\n\r\f /><]*+\s*+>"
+    r"|[a-zA-Z][^\t\n\r\f /><\"']*+" + _ATTRS + r"/?+>)[^<]*+)*+")
+_TOKEN_RX = re.compile(
+    r"(?s)<(?:" + _COMMENT + r"|![^>]*+>|\?[^>]*+>"
+    r"|(/?+)([a-zA-Z][^\t\n\r\f /><\"']*+)" + _ATTRS + r"(/?+)>)")
+_CDATA_CLOSE = {
+    t: re.compile(r"</\s*%s" % t, re.IGNORECASE)
+    for t in ("script", "style")
+}
+
+
+def _fast_scan(html: str):
+    """(blocks, title_parts) for a SAFE-class page — byte-for-byte the
+    same output _MainText produces (differentially fuzzed in
+    tests/test_functions.py)."""
+    from html import unescape
+
+    blocks: list[tuple[str, int]] = []
+    title_parts: list[str] = []
+    parts: list[str] = []
+    link_chars = 0
+    a_depth = 0
+    skip_depth = 0
+    in_title = False
+    pos = 0
+    n = len(html)
+
+    def flush():
+        nonlocal link_chars
+        text = " ".join("".join(parts).split())
+        if text:
+            blocks.append((text, link_chars))
+        parts.clear()
+        link_chars = 0
+
+    def data(seg, raw=False):
+        nonlocal link_chars
+        if skip_depth or not seg:
+            return
+        if not raw and "&" in seg:
+            seg = unescape(seg)
+        if in_title:
+            title_parts.append(seg)
+            return
+        parts.append(seg)
+        if a_depth:
+            link_chars += len(seg)
+
+    search = _TOKEN_RX.search
+    while pos < n:
+        m = search(html, pos)
+        if m is None:
+            data(html[pos:])
+            break
+        start = m.start()
+        if start != pos:
+            data(html[pos:start])
+        pos = m.end()
+        slash, name, trail = m.group(1, 2, 3)
+        if name is None:  # comment / declaration / PI
+            continue
+        name = name.lower()
+        closing, self_closing = slash == "/", trail == "/"
+        if not closing:
+            if name in _SKIP_TAGS:
+                skip_depth += 1
+            elif not skip_depth:
+                if name == "title":
+                    in_title = True
+                elif name == "a":
+                    a_depth += 1
+                if name in _BLOCK_TAGS:
+                    flush()
+            if name in _CDATA_CLOSE and not self_closing:
+                # html.parser CDATA: raw until the literal `</name`
+                end = _CDATA_CLOSE[name].search(html, pos)
+                stop = end.start() if end else n
+                data(html[pos:stop], raw=True)
+                pos = stop
+        if closing or self_closing:
+            if name in _SKIP_TAGS:
+                skip_depth = max(0, skip_depth - 1)
+            elif not skip_depth:
+                if name == "title":
+                    in_title = False
+                elif name == "a":
+                    a_depth = max(0, a_depth - 1)
+                if name in _BLOCK_TAGS:
+                    flush()
+    flush()
+    return blocks, title_parts
+
+
 def extract_main_text(
     html: str,
     min_block_chars: int = 15,
@@ -135,19 +255,26 @@ def extract_main_text(
     them are anchor text; survivors join with a single newline.
     Pure-Python on purpose: the hot path is the Arrow batch loop in
     :func:`html_extract`, and the parse is O(bytes) with no
-    backtracking."""
+    backtracking.  SAFE-class pages (see ``_SAFE_RX``) take the
+    compiled-regex fast scanner; everything else keeps the tolerant
+    html.parser path — identical output either way (differentially
+    fuzzed)."""
     if html is None:
         return (None, None, None)
-    p = _MainText()
-    try:
-        p.feed(html)
-        p.close()
-    except Exception:
-        return (None, None, None)
-    p._flush()
-    title = " ".join("".join(p.title_parts).split())
+    if _SAFE_RX.fullmatch(html) is not None:
+        blocks, title_parts = _fast_scan(html)
+    else:
+        p = _MainText()
+        try:
+            p.feed(html)
+            p.close()
+        except Exception:
+            return (None, None, None)
+        p._flush()
+        blocks, title_parts = p.blocks, p.title_parts
+    title = " ".join("".join(title_parts).split())
     kept = [
-        t for t, link_chars in p.blocks
+        t for t, link_chars in blocks
         if len(t) >= min_block_chars
         and link_chars <= max_link_density * len(t)
     ]

@@ -5814,6 +5814,113 @@ class TestCrawl:
         assert [(r["fid"], r["target_uri"]) for r in rows] \
             == [(1, "https://x.example/1")]
 
+    def test_fast_scanner_matches_html_parser(self):
+        """r12: the SAFE-class regex scanner must be byte-identical to
+        the html.parser path — seeded differential fuzz over nested
+        tags, entities, comments, declarations, script/style CDATA
+        (incl. fake tags in strings), quoted/unquoted attrs, unclosed
+        tags, and a corner-case gallery.  Unsafe pages exercise the
+        fallback (trivially identical); safe pages exercise the
+        scanner against the reference parser."""
+        import random
+
+        from pincette_json_streams_spark.functions.crawl import (
+            _SAFE_RX, _MainText, extract_main_text,
+        )
+
+        def reference(html, mbc=15, mld=0.4):
+            p = _MainText()
+            try:
+                p.feed(html)
+                p.close()
+            except Exception:
+                return (None, None, None)
+            p._flush()
+            title = " ".join("".join(p.title_parts).split())
+            kept = [t for t, lc in p.blocks
+                    if len(t) >= mbc and lc <= mld * len(t)]
+            return (title, "\n".join(kept), len(kept))
+
+        rng = random.Random(12345)
+        tags = ["p", "div", "a", "span", "b", "title", "script",
+                "style", "nav", "li", "article", "template", "svg",
+                "noscript", "br", "h1", "td", "footer"]
+        words = ["alpha", "beta &amp; gamma", "x &lt;y&gt;",
+                 "hello world", "&#65;BC", "text & more", "caf\xe9",
+                 "1 < 2", "a>b", "&amp", "&nosuch;"]
+
+        def attrs():
+            r = rng.random()
+            if r < 0.5:
+                return ""
+            if r < 0.7:
+                return ' class="x y"'
+            if r < 0.8:
+                return " href='/a/b'"
+            if r < 0.9:
+                return ' data-x="q>r"'  # quoted '>' => fallback class
+            return " id=plain"
+
+        def page(depth=0):
+            out = []
+            for _ in range(rng.randint(1, 6)):
+                r = rng.random()
+                if r < 0.35 or depth > 4:
+                    out.append(rng.choice(words))
+                elif r < 0.45:
+                    out.append("<!-- note %s -->"
+                               % rng.choice(["x", "-", "a- -b", ">"]))
+                elif r < 0.5:
+                    out.append("<!DOCTYPE html>"
+                               if rng.random() < 0.5 else "<?pi x?>")
+                else:
+                    t = rng.choice(tags)
+                    if t in ("script", "style"):
+                        body = rng.choice(
+                            ["var x=1;", 'var s="<p>junk</p>";',
+                             "a < b && b > c", "/* -- */", ""])
+                        out.append(f"<{t}{attrs()}>{body}</{t}>")
+                    elif t == "br":
+                        out.append("<br>" if rng.random() < 0.5
+                                   else "<br/>")
+                    else:
+                        inner = (page(depth + 1)
+                                 if rng.random() < 0.7
+                                 else rng.choice(words))
+                        if rng.random() < 0.9:
+                            out.append(f"<{t}{attrs()}>{inner}</{t}>")
+                        else:
+                            out.append(f"<{t}{attrs()}>{inner}")
+            return "".join(out)
+
+        n_safe = 0
+        for _ in range(2500):
+            h = page()
+            if _SAFE_RX.fullmatch(h) is not None:
+                n_safe += 1
+            assert extract_main_text(h) == reference(h), h
+        assert n_safe >= 500  # the fast path is actually exercised
+
+        corner = [
+            "", "plain", "a < b", "<p>x</p>", "<<p>>", "<!-->",
+            "<!--->", "<!-- -- >x-->tail", "<p>1<p>2", "</p>stray",
+            "<P CLASS='X'>Mixed</P>", "<a><a>xx</a>y</a>z",
+            "<script>", "<script>x",
+            "<title>T &amp; <b>t</b></title><p>Some main content"
+            " here</p>",
+            "<script src='x'/>data after self-closed script</script>",
+            "<template><p>hidden</p></template><p>visible paragraph"
+            " content</p>",
+            "<svg><text>ignored</text></svg><p>plenty of visible"
+            " prose here</p>",
+            "<div a=1 b='2' c=\"3\">unquoted and quoted attrs"
+            " body</div>",
+            "<p>x</p  >odd close", "<p/>solo", "<br></br>",
+            "<a href=/x>link text here</a>",
+        ]
+        for h in corner:
+            assert extract_main_text(h) == reference(h), h
+
     def test_html_extract_filters_and_nulls(self, spark):
         from pincette_json_streams_spark.functions.crawl import (
             html_extract,
