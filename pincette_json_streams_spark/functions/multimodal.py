@@ -368,6 +368,55 @@ def _audio_fp_int(x) -> int:
     return fp
 
 
+# chunk height for the batched HK kernel: (256, 1024) int64 scratch is
+# ~2 MB — stays in cache, avoiding the multi-80 MB temporaries a
+# whole-batch vectorization allocates (measured pathological on this
+# class of host: 0.36-11 s for the same work; chunked is a stable
+# ~0.2 s)
+_AFP_CHUNK = 256
+
+
+def _audio_fp_batch(windows) -> "list":
+    """Vectorized :func:`_audio_fp_int` over a list of int64 sample
+    arrays (each zero-padded/truncated to one window) — bit-identical
+    by construction: the same int64 lag diffs, squares, frame sums,
+    D-column differences and strict > comparisons, with the bit pack
+    as an exact uint64 dot product.  ~5x less per-window numpy
+    dispatch overhead than the scalar loop (r12 A/B: 0.20 s vs 1.1 s
+    per 10k windows)."""
+    import numpy as np
+
+    if not windows:
+        return []
+    n_total = _AFP_FRAMES * _AFP_FRAME_LEN
+    n_lags = len(_AFP_LAGS)
+    k_all = len(windows)
+    X = np.zeros((k_all, n_total), np.int64)
+    for i, x in enumerate(windows):
+        m = min(len(x), n_total)
+        X[i, :m] = x[:m]
+    out = np.empty(k_all, np.int64)
+    d = np.zeros((_AFP_CHUNK, n_total), np.int64)
+    E = np.empty((_AFP_CHUNK, _AFP_FRAMES, n_lags), np.int64)
+    pw = 1 << np.arange(_AFP_FRAMES * (n_lags - 1), dtype=np.uint64)
+    for i0 in range(0, k_all, _AFP_CHUNK):
+        C = X[i0:i0 + _AFP_CHUNK]
+        k = C.shape[0]
+        for mi, lag in enumerate(_AFP_LAGS):
+            d[:k] = 0
+            np.subtract(C[:, lag:], C[:, :-lag], out=d[:k, lag:])
+            np.multiply(d[:k], d[:k], out=d[:k])
+            E[:k, :, mi] = d[:k].reshape(
+                k, _AFP_FRAMES, _AFP_FRAME_LEN).sum(axis=2)
+        D = E[:k, :, :-1] - E[:k, :, 1:]
+        prev = np.concatenate(
+            [np.zeros((k, 1, D.shape[2]), np.int64), D[:, :-1]], axis=1)
+        bits = (D > prev).reshape(k, -1)
+        out[i0:i0 + k] = (bits.astype(np.uint64) * pw).sum(axis=1) \
+            .astype(np.uint64).view(np.int64)
+    return [int(v) for v in out]
+
+
 def audio_fingerprint(
     df: DataFrame,
     media_col: str = "media",
@@ -399,11 +448,15 @@ def audio_fingerprint(
 
     def run(batches: Iterator) -> Iterator:
         for pdf in batches:
-            def fp(b):
-                x = _wav_mono16(bytes(b) if b is not None else None)
-                return None if x is None else _audio_fp_int(x)
-
-            pdf[out_col] = pdf[wav_col].map(fp).astype("object")
+            samples = [
+                _wav_mono16(bytes(b) if b is not None else None)
+                for b in pdf[wav_col]
+            ]
+            fps = _audio_fp_batch([x for x in samples if x is not None])
+            it = iter(fps)
+            pdf[out_col] = [None if x is None else next(it)
+                            for x in samples]
+            pdf[out_col] = pdf[out_col].astype("object")
             yield pdf.drop(columns=["__wav"]) if base64 else pdf
 
     return src.mapInPandas(run, schema=out_schema)
@@ -474,8 +527,8 @@ def audio_fingerprint_windows(
                 for j in range(n_win):
                     ids.append(rid)
                     idxs.append(j)
-                    fps.append(_audio_fp_int(
-                        x[j * hop:j * hop + _AFP_WINDOW]))
+                    fps.append(x[j * hop:j * hop + _AFP_WINDOW])
+            fps = _audio_fp_batch(fps)
             yield pd.DataFrame({
                 id_col: pd.Series(ids, dtype="object"),
                 "window_idx": pd.Series(idxs, dtype="int32"),

@@ -1091,6 +1091,20 @@ class TestMultimodal:
         assert got[2] == self._afp_mirror(b)
         assert got[3] == self._afp_mirror(c)
         assert got[4] == got[1]        # width-invariant
+        # r12: the chunked batch kernel must be bit-identical to the
+        # scalar kernel on varied lengths (short/padded, exact, long/
+        # truncated) and across a chunk boundary
+        import numpy as np
+
+        from pincette_json_streams_spark.functions.multimodal import (
+            _AFP_CHUNK, _audio_fp_batch, _audio_fp_int,
+        )
+        rng = np.random.RandomState(7)
+        lens = [1, 100, 1023, 1024, 1025, 2048] + [1024] * _AFP_CHUNK
+        wins = [rng.randint(-2 ** 15, 2 ** 15, n).astype(np.int64)
+                for n in lens]
+        assert _audio_fp_batch(wins) == [_audio_fp_int(w) for w in wins]
+        assert _audio_fp_batch([]) == []
         assert got[5] == got[1]        # channel-sum scale-invariant
         assert got[6] is None and got[7] is None
         ham_ac = bin((got[1] ^ got[3]) & (2 ** 64 - 1)).count("1")
