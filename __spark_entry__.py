@@ -8026,63 +8026,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver samples a 50-query prefix of this
     # dict, so the least-recently-driver-checked queries must come
     # first.  GENERATED by scripts/rotate_queries.py from the committed
-    # CORRECTNESS_r*.json files (r8..r11 at derivation time):
+    # CORRECTNESS_r*.json files (r9..r12 at derivation time):
     # never-sampled newcomers first, then cohorts by latest checked
     # round ascending, relative order preserved inside each cohort.
     return {
-        # -- never driver-sampled -> very front (4 queries) --
-        "sitemap_urls": q_sitemap_urls,
-        "robots_filter": q_robots_filter,
-        "html_extract": q_html_extract,
-        "warc_extract": q_warc_extract,
-        # -- latest driver check r8 (15 queries) --
-        "pii_scrub": q_pii_scrub,
-        "token_vocab": q_token_vocab,
-        "dedup_stage": q_dedup_stage,
-        "bpe_pairs": q_bpe_pairs,
-        "sort_by_count": q_sort_by_count,
-        "bigram_lm": q_bigram_lm,
-        "geo_near": q_geo_near,
-        "date_parts": q_date_parts,
-        "json_schema": q_json_schema,
-        "emb_moments": q_emb_moments,
-        "dedup_quality": q_dedup_quality,
-        "counter_rate": q_counter_rate,
-        "rollup_revenue": q_rollup_revenue,
-        "interval_hits": q_interval_join,
-        "dup_spans": q_dup_spans,
-        # -- latest driver check r9 (50 queries) --
-        "ann_hamming_lsh": q_ann_hamming_lsh,
-        "dup_containment": q_dup_containment,
-        "hard_negatives": q_hard_negatives,
-        "balanced_sample": q_balanced_sample,
-        "hamming_pairs": q_hamming_pairs,
-        "strip_spans": q_strip_spans,
-        "window_fields": q_window_fields,
-        "hybrid_rrf": q_hybrid_rrf,
-        "dedup_verify": q_dedup_verify,
-        "embedding_outliers": q_embedding_outliers,
-        "pq_refined": q_pq_refined,
-        "bloom_prefilter": q_bloom_prefilter,
-        "pagerank_top": q_pagerank,
-        "ewma_drift": q_ewma_drift,
-        "prefix_jaccard": q_prefix_jaccard,
-        "hll_windowed": q_hll_windowed,
-        "graph_triangles": q_graph_triangles,
-        "robust_outliers": q_robust_outliers,
-        "collocations_npmi": q_collocations,
-        "attribution_lasttouch": q_attribution,
-        "seasonal_profile": q_seasonal_profile,
-        "hdr_quantiles": q_hdr_quantiles,
-        "hdr_merge": q_hdr_merge,
-        "url_dedup": q_url_dedup,
-        "zorder_key": q_zorder_key,
-        "densify_fill": q_densify_fill,
-        "cms_heavy": q_cms_heavy,
-        "weighted_sample": q_weighted_sample,
-        "decontaminate": q_decontaminate,
-        "date_arith": q_date_arith,
-        "percentile_accum": q_percentile_accum,
+        # -- latest driver check r9 (19 queries) --
         "union_buckets": q_union_buckets,
         "linear_fill": q_linear_fill,
         "cms_merge": q_cms_merge,
@@ -8204,6 +8152,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_revenue": q_region_revenue,
         "top_customers": q_top_customers,
         "text_stats": q_text_stats,
+        # -- latest driver check r12 (50 queries) --
+        "sitemap_urls": q_sitemap_urls,
+        "robots_filter": q_robots_filter,
+        "html_extract": q_html_extract,
+        "warc_extract": q_warc_extract,
+        "pii_scrub": q_pii_scrub,
+        "token_vocab": q_token_vocab,
+        "dedup_stage": q_dedup_stage,
+        "bpe_pairs": q_bpe_pairs,
+        "sort_by_count": q_sort_by_count,
+        "bigram_lm": q_bigram_lm,
+        "geo_near": q_geo_near,
+        "date_parts": q_date_parts,
+        "json_schema": q_json_schema,
+        "emb_moments": q_emb_moments,
+        "dedup_quality": q_dedup_quality,
+        "counter_rate": q_counter_rate,
+        "rollup_revenue": q_rollup_revenue,
+        "interval_hits": q_interval_join,
+        "dup_spans": q_dup_spans,
+        "ann_hamming_lsh": q_ann_hamming_lsh,
+        "dup_containment": q_dup_containment,
+        "hard_negatives": q_hard_negatives,
+        "balanced_sample": q_balanced_sample,
+        "hamming_pairs": q_hamming_pairs,
+        "strip_spans": q_strip_spans,
+        "window_fields": q_window_fields,
+        "hybrid_rrf": q_hybrid_rrf,
+        "dedup_verify": q_dedup_verify,
+        "embedding_outliers": q_embedding_outliers,
+        "pq_refined": q_pq_refined,
+        "bloom_prefilter": q_bloom_prefilter,
+        "pagerank_top": q_pagerank,
+        "ewma_drift": q_ewma_drift,
+        "prefix_jaccard": q_prefix_jaccard,
+        "hll_windowed": q_hll_windowed,
+        "graph_triangles": q_graph_triangles,
+        "robust_outliers": q_robust_outliers,
+        "collocations_npmi": q_collocations,
+        "attribution_lasttouch": q_attribution,
+        "seasonal_profile": q_seasonal_profile,
+        "hdr_quantiles": q_hdr_quantiles,
+        "hdr_merge": q_hdr_merge,
+        "url_dedup": q_url_dedup,
+        "zorder_key": q_zorder_key,
+        "densify_fill": q_densify_fill,
+        "cms_heavy": q_cms_heavy,
+        "weighted_sample": q_weighted_sample,
+        "decontaminate": q_decontaminate,
+        "date_arith": q_date_arith,
+        "percentile_accum": q_percentile_accum,
     }
 
 
