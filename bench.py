@@ -215,6 +215,13 @@ def main():
         # table, small enough not to broadcast the LSH self-join sides
         # (measured 2-3x slower when broadcast at 64m)
         .config("spark.ui.enabled", "false")
+        # the console progress bar shares the driver's output streams
+        # with the one-line JSON contract and has truncated it before
+        # (BENCH_r03 and BENCH_r11 both lost their tail mid-line, which
+        # nulled two rounds of round-over-round comparison);
+        # setLogLevel("ERROR") does NOT suppress it, so turn it off
+        # explicitly — the JSON line below stays the last flushed write
+        .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -369,8 +376,11 @@ def main():
             fh.write(payload + "\n")
     except OSError:
         pass
+    # newline FIRST so the JSON line starts at column 0 even if some
+    # earlier writer (JVM logging, a progress remnant) left a partial
+    # line on stdout; then the payload as the final flushed write
     sys.stdout.flush()
-    print(payload, flush=True)
+    print("\n" + payload, flush=True)
 
 
 if __name__ == "__main__":
