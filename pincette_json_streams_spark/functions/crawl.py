@@ -143,16 +143,33 @@ class _MainText(HTMLParser):
 # set_cdata_mode does.  Possessive quantifiers keep the safety check
 # O(bytes) with no backtracking.
 _ATTRS = "(?:[^<>\"'/]|/(?!>)|\"[^\"<>]*\"|'[^'<>]*')*+"
+# the SAFE classifier's attr alternative additionally rejects NUL
+# anywhere in a tag: html.parser's tagfind_tolerant name class excludes
+# \x00, so `<p\x00 ...>` is emitted as literal DATA by html.parser while
+# a naive tokenizer would eat it as a tag — NUL bytes are common in
+# real decoded crawl pages, so such pages must take the fallback
+_ATTRS_SAFE = "(?:[^<>\"'/\x00]|/(?!>)|\"[^\"<>\x00]*\"|'[^'<>\x00]*')*+"
 # comment bodies must contain no `--` at all: html.parser terminates a
 # comment at `--\s*>` (not only the literal `-->`), so any interior
 # `--` could end it earlier than the regex — outside the safe class
 _COMMENT = r"!--(?:[^-]|-(?!-))*+-->"
+# declarations exclude marked sections (`<![`): html.parser's
+# parse_marked_section scans `<![CDATA[..]]>` to the literal `]]>`
+# and drops it whole, while `![^<>]*>` would end at the first `>`
+# and leak the remainder as text — outside the safe class.
+# End-tag and start-tag name classes are IDENTICAL (both exclude
+# quotes and NUL): a SAFE end-tag must tokenize under _TOKEN_RX,
+# whose _ATTRS cannot absorb a lone quote — `</p'>` previously
+# classified SAFE but failed to tokenize, leaking the literal tag
+# into block text.  SAFE must always be a SUBSET of what _TOKEN_RX
+# tokenizes html.parser-identically.
 _SAFE_RX = re.compile(
-    r"(?s)[^<]*+(?:<(?:" + _COMMENT + r"|![^<>]*+>|\?[^<>]*+>"
-    r"|/[a-zA-Z][^\t\n\r\f /><]*+\s*+>"
-    r"|[a-zA-Z][^\t\n\r\f /><\"']*+" + _ATTRS + r"/?+>)[^<]*+)*+")
+    r"(?s)[^<]*+(?:<(?:" + _COMMENT + r"|!(?!\[)[^<>]*+>|\?[^<>]*+>"
+    r"|/[a-zA-Z][^\t\n\r\f /><\"'\x00]*+\s*+>"
+    r"|[a-zA-Z][^\t\n\r\f /><\"'\x00]*+" + _ATTRS_SAFE
+    + r"/?+>)[^<]*+)*+")
 _TOKEN_RX = re.compile(
-    r"(?s)<(?:" + _COMMENT + r"|![^>]*+>|\?[^>]*+>"
+    r"(?s)<(?:" + _COMMENT + r"|!(?!\[)[^>]*+>|\?[^>]*+>"
     r"|(/?+)([a-zA-Z][^\t\n\r\f /><\"']*+)" + _ATTRS + r"(/?+)>)")
 _CDATA_CLOSE = {
     t: re.compile(r"</\s*%s" % t, re.IGNORECASE)

@@ -5861,7 +5861,8 @@ class TestCrawl:
                 "noscript", "br", "h1", "td", "footer"]
         words = ["alpha", "beta &amp; gamma", "x &lt;y&gt;",
                  "hello world", "&#65;BC", "text & more", "caf\xe9",
-                 "1 < 2", "a>b", "&amp", "&nosuch;"]
+                 "1 < 2", "a>b", "&amp", "&nosuch;",
+                 "nul\x00data", "tail]]>"]
 
         def attrs():
             r = rng.random()
@@ -5871,9 +5872,11 @@ class TestCrawl:
                 return ' class="x y"'
             if r < 0.8:
                 return " href='/a/b'"
-            if r < 0.9:
+            if r < 0.88:
                 return ' data-x="q>r"'  # quoted '>' => fallback class
-            return " id=plain"
+            if r < 0.94:
+                return " id=plain"
+            return " a='\x00'"  # NUL in a tag => fallback class (r13)
 
         def page(depth=0):
             out = []
@@ -5885,8 +5888,11 @@ class TestCrawl:
                     out.append("<!-- note %s -->"
                                % rng.choice(["x", "-", "a- -b", ">"]))
                 elif r < 0.5:
-                    out.append("<!DOCTYPE html>"
-                               if rng.random() < 0.5 else "<?pi x?>")
+                    out.append(rng.choice(
+                        ["<!DOCTYPE html>", "<?pi x?>",
+                         # marked sections / quote-closers: r13 ADVICE
+                         # divergence classes, must hit the fallback
+                         "<![CDATA[a>b]]>", "</p'>", '</b">']))
                 else:
                     t = rng.choice(tags)
                     if t in ("script", "style"):
@@ -5931,9 +5937,24 @@ class TestCrawl:
             " body</div>",
             "<p>x</p  >odd close", "<p/>solo", "<br></br>",
             "<a href=/x>link text here</a>",
+            # r13 ADVICE gallery: three classes of page the r12 SAFE
+            # class admitted but tokenized differently from
+            # html.parser — all must now take the fallback path
+            "<p>long enough text here </p'> more text</p>",
+            "<p>quote close</p\">tail text goes here</p>",
+            "<![CDATA[a>b]]><p>visible paragraph content</p>",
+            "x<![CDATA[hidden > stuff]]>y<p>main prose block here</p>",
+            "<!%s>odd marked section body here" % "[RCDATA[q>r]]",
+            "<p\x00 class='x'>text with a NUL-name tag</p>",
+            "<p>attr NUL<b a='\x00v'>bold text body</b></p>",
+            "<p \x00>NUL in attrs of a real paragraph tag</p>",
+            "</p\x00>NUL close-tag name with trailing prose",
         ]
         for h in corner:
             assert extract_main_text(h) == reference(h), h
+            # and every ADVICE page must be OUT of the SAFE class
+            if "\x00" in h or "<![" in h or "</p'" in h or '</p"' in h:
+                assert _SAFE_RX.fullmatch(h) is None, h
 
     def test_html_extract_filters_and_nulls(self, spark):
         from pincette_json_streams_spark.functions.crawl import (
