@@ -651,20 +651,47 @@ def simhash_pairs(
 # --------------------------------------------------------------------------
 
 def _word_ngrams_hashed_vec(n: int):
-    """Distinct word n-grams as 60-bit md5-prefix hashes, one Arrow pass.
+    """Distinct word n-grams as 60-bit hashes, one Arrow pass.
 
     Hashing shrinks the posting-join key from a ~25-char string to 8
     bytes; 60 bits keeps accidental collisions (which would perturb the
     Jaccard count) at ~1e-10 for corpus-scale vocabulary.  The set
-    *cardinalities* are unchanged w.h.p., so Jaccard values equal the
-    string-set values the SQL oracle computes."""
+    *cardinalities* are unchanged w.h.p., so Jaccard/containment values
+    equal the string-set values the SQL oracle computes — the hash is
+    INTERNAL (never joined against an oracle-replayed value, unlike the
+    minhash family's ``_hash_str_py``), so its construction is free to
+    change as long as distinct grams stay distinct w.h.p.
+
+    r13 kernel (guide §4.2 — this pass runs at the scan grain, so its
+    per-byte cost IS the 100 TB cost; the r12 profile measured the
+    string-building + per-gram md5 version at 2.4 MB/s single-thread,
+    70% in gram-string assembly and one md5 call per gram): hash each
+    DISTINCT WORD once (md5 top-64, memoized across the task — corpus
+    vocabulary is orders of magnitude smaller than the gram stream),
+    then combine the n word hashes per gram with a vectorized
+    multiply-xor polynomial + splitmix64 finalizer in numpy and dedup
+    with np.unique.  No gram strings are ever built.  ~4x the
+    throughput on the same corpus; collision behaviour is the same
+    heuristic 60-bit story as the md5 prefix.  ``ng`` is now emitted
+    sorted (np.unique), which also makes the cluster-compression
+    digest canonical in the set (the md5-of-occurrence-order digest
+    could split two equal sets met in different orders)."""
     import hashlib
 
     from pyspark.sql.functions import PandasUDFType, pandas_udf
 
     def f(texts):
+        import numpy as np
         import pandas as pd
 
+        md5 = hashlib.md5
+        wcache: dict = {}
+        lookup = wcache.__getitem__
+        C = np.uint64(0x9E3779B97F4A7C15)  # odd (golden-ratio) mixer
+        M1 = np.uint64(0xBF58476D1CE4E5B9)
+        M2 = np.uint64(0x94D049BB133111EB)
+        S30, S27, S31 = np.uint64(30), np.uint64(27), np.uint64(31)
+        FOUR = np.uint64(4)
         gids, ngs = [], []
         for s in texts:
             if s is None:
@@ -672,18 +699,43 @@ def _word_ngrams_hashed_vec(n: int):
                 ngs.append(None)
                 continue
             words = _normalize_py(s).split(" ")
-            cnt = max(len(words) - (n - 1), 1)
-            grams = dict.fromkeys(
-                " ".join(words[i:i + n]) for i in range(cnt)
-            )
-            ng = list(dict.fromkeys(
-                int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
-                for g in grams
-            ))
+            if len(words) < n:
+                # degenerate doc: one (short) gram — hash the string
+                g = " ".join(words)
+                ng = [int.from_bytes(
+                    md5(g.encode("utf-8")).digest()[:8], "big") >> 4]
+            else:
+                # C-speed map on the warm-vocabulary fast path; the
+                # KeyError fallback fills the memo and retries (rare
+                # once the task's vocabulary is seen)
+                try:
+                    hs = list(map(lookup, words))
+                except KeyError:
+                    for w in words:
+                        if w not in wcache:
+                            wcache[w] = int.from_bytes(
+                                md5(w.encode("utf-8")).digest()[:8],
+                                "big")
+                    hs = list(map(lookup, words))
+                hv = np.array(hs, dtype=np.uint64)
+                m = len(hv) - n + 1
+                acc = hv[:m].copy()
+                for j in range(1, n):
+                    acc *= C
+                    acc ^= hv[j:m + j]
+                # splitmix64 finalizer spreads the polynomial output
+                acc ^= acc >> S30
+                acc *= M1
+                acc ^= acc >> S27
+                acc *= M2
+                acc ^= acc >> S31
+                # shift BEFORE unique: two 64-bit values differing only
+                # in the dropped low bits must collapse to one gram
+                ng = np.unique(acc >> FOUR).astype(np.int64).tolist()
             ngs.append(ng)
             # internal cluster-compression digest (see _shingle_band_vec)
-            gids.append(hashlib.md5(
-                ",".join(map(str, ng)).encode()).hexdigest())
+            gids.append(md5(
+                np.asarray(ng, np.int64).tobytes()).hexdigest())
         return pd.DataFrame({"gid": gids, "ng": ngs})
 
     return pandas_udf(f, "struct<gid: string, ng: array<bigint>>",

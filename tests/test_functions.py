@@ -533,6 +533,59 @@ class TestDedup:
         assert got[(0, 1)] == pytest.approx(1.0)
         assert (0, 2) in got
 
+    def test_ngram_hash_kernel_matches_string_sets(self):
+        """r13 kernel equivalence lock (the d70c1fc pattern): the
+        vectorized word-hash/polynomial gram kernel must preserve
+        exactly what the Jaccard/containment math consumes — per-doc
+        distinct-gram COUNT, pairwise intersection COUNT, and the
+        identical-set partition (gid) — against the plain string-set
+        reference, over fuzz texts incl. degenerate 1-2 word docs,
+        repeated grams, same set met in different occurrence order,
+        unicode and whitespace soup."""
+        import random
+
+        from pincette_json_streams_spark.functions.dedup import (
+            _normalize_py, _word_ngrams_hashed_vec,
+        )
+
+        # drive the pandas_udf body directly (no Spark needed)
+        f = _word_ngrams_hashed_vec(3).func
+        rng = random.Random(424242)
+        vocab = ["alpha", "beta", "Gamma", "d\xe9lta", "x", "", "the",
+                 "word9", "TAB\tsep"]
+        texts = []
+        for _ in range(400):
+            k = rng.randint(1, 40)
+            texts.append(" ".join(rng.choice(vocab) for _ in range(k)))
+        # same multiset in reversed order (gid canonicality), dup docs
+        texts += [texts[0], " ".join(reversed(texts[0].split(" "))),
+                  "one", "two words", None]
+        import pandas as pd
+        out = f(pd.Series(texts))
+        n = 3
+
+        def ref_set(s):
+            words = _normalize_py(s).split(" ")
+            cnt = max(len(words) - (n - 1), 1)
+            return set(" ".join(words[i:i + n]) for i in range(cnt))
+
+        refs = [None if s is None else ref_set(s) for s in texts]
+        for i, s in enumerate(texts):
+            if s is None:
+                assert out["ng"][i] is None and out["gid"][i] is None
+                continue
+            assert len(out["ng"][i]) == len(refs[i]), (i, s)
+            assert out["ng"][i] == sorted(out["ng"][i])  # canonical
+        for _ in range(2000):
+            i, j = (rng.randrange(len(texts)) for _ in range(2))
+            if texts[i] is None or texts[j] is None:
+                continue
+            assert (len(set(out["ng"][i]) & set(out["ng"][j]))
+                    == len(refs[i] & refs[j])), (i, j)
+            # identical string sets <=> identical gid
+            assert ((refs[i] == refs[j])
+                    == (out["gid"][i] == out["gid"][j])), (i, j)
+
     def test_containment_pairs(self, spark):
         """The asymmetric case Jaccard cannot see: a short quote fully
         inside a long page has containment 1.0 but tiny Jaccard; plus
