@@ -490,13 +490,28 @@ def warc_records(
     )
     out_schema = (out_schema + ", " if out_schema else "") + _WARC_FIELDS
 
-    def run(batches: Iterator) -> Iterator:
-        import pandas as pd
+    # Arrow-native flat-map (r13): the output rows are assembled as
+    # COLUMNS — passthrough values replicate via one take() over an
+    # int32 source-row index (zero per-row Python), the record fields
+    # land in per-column lists and become pa arrays directly.  The
+    # previous shape paid pandas row machinery twice per record
+    # (iterrows Series construction + pd.DataFrame(list-of-tuples)
+    # transpose + a per-cell bytes->bytearray map).
+    rec_names = ["warc_type", "record_id", "target_uri", "warc_date",
+                 "content_type", "http_status", "http_content_type",
+                 "payload"]
 
-        for pdf in batches:
-            rows = []
-            for _, row in pdf.iterrows():
-                raw = row[data_col]
+    def run(batches: Iterator) -> Iterator:
+        import pyarrow as pa
+
+        rec_types = [pa.string(), pa.string(), pa.string(), pa.string(),
+                     pa.string(), pa.int64(), pa.string(), pa.binary()]
+        for batch in batches:
+            data = batch.column(
+                batch.schema.get_field_index(data_col)).to_pylist()
+            idx: list = []
+            rec_cols: list = [[] for _ in rec_names]
+            for i, raw in enumerate(data):
                 if raw is None:
                     continue
                 raw = bytes(raw)
@@ -505,20 +520,22 @@ def warc_records(
                         raw = gzip.decompress(raw)
                     except Exception:
                         continue
-                base = tuple(row[c] for c in passthrough)
-                rows.extend(base + rec for rec in _parse_warc(raw))
-            cols = passthrough + [
-                "warc_type", "record_id", "target_uri", "warc_date",
-                "content_type", "http_status", "http_content_type",
-                "payload"]
-            out = pd.DataFrame(rows, columns=cols)
-            if len(out):
-                out["http_status"] = out["http_status"].astype("object")
-                out["payload"] = out["payload"].map(
-                    lambda b: bytearray(b) if b is not None else None)
-            yield out
+                recs = _parse_warc(raw)
+                if not recs:
+                    continue
+                idx.extend([i] * len(recs))
+                for col, vals in zip(rec_cols, zip(*recs)):
+                    col.extend(vals)
+            take = pa.array(idx, type=pa.int32())
+            arrays = [
+                batch.column(batch.schema.get_field_index(c)).take(take)
+                for c in passthrough
+            ] + [pa.array(c, type=t)
+                 for c, t in zip(rec_cols, rec_types)]
+            yield pa.RecordBatch.from_arrays(
+                arrays, names=passthrough + rec_names)
 
-    return df.mapInPandas(run, schema=out_schema)
+    return df.mapInArrow(run, schema=out_schema)
 
 
 def gzip_members(records: list) -> bytes:
@@ -602,13 +619,20 @@ def sitemap_urls(
     out_schema = (out_schema + ", " if out_schema else "") \
         + _SITEMAP_FIELDS
 
-    def run(batches: Iterator) -> Iterator:
-        import pandas as pd
+    # same Arrow-native columnar assembly as warc_records (r13)
+    rec_names = ["kind", "loc", "lastmod", "changefreq", "priority"]
 
-        for pdf in batches:
-            rows = []
-            for _, row in pdf.iterrows():
-                raw = row[xml_col]
+    def run(batches: Iterator) -> Iterator:
+        import pyarrow as pa
+
+        rec_types = [pa.string(), pa.string(), pa.string(),
+                     pa.string(), pa.float64()]
+        for batch in batches:
+            data = batch.column(
+                batch.schema.get_field_index(xml_col)).to_pylist()
+            idx: list = []
+            rec_cols: list = [[] for _ in rec_names]
+            for i, raw in enumerate(data):
                 if raw is None:
                     continue
                 if isinstance(raw, (bytes, bytearray)):
@@ -619,13 +643,19 @@ def sitemap_urls(
                         except Exception:
                             continue
                     raw = raw.decode("utf-8", "replace")
-                base = tuple(row[c] for c in passthrough)
-                rows.extend(base + rec for rec in parse_sitemap(raw))
-            cols = passthrough + ["kind", "loc", "lastmod",
-                                  "changefreq", "priority"]
-            out = pd.DataFrame(rows, columns=cols)
-            if len(out):
-                out["priority"] = out["priority"].astype("object")
-            yield out
+                recs = parse_sitemap(raw)
+                if not recs:
+                    continue
+                idx.extend([i] * len(recs))
+                for col, vals in zip(rec_cols, zip(*recs)):
+                    col.extend(vals)
+            take = pa.array(idx, type=pa.int32())
+            arrays = [
+                batch.column(batch.schema.get_field_index(c)).take(take)
+                for c in passthrough
+            ] + [pa.array(c, type=t)
+                 for c, t in zip(rec_cols, rec_types)]
+            yield pa.RecordBatch.from_arrays(
+                arrays, names=passthrough + rec_names)
 
-    return df.mapInPandas(run, schema=out_schema)
+    return df.mapInArrow(run, schema=out_schema)

@@ -676,9 +676,13 @@ class TestRound12PlanShapes:
         exchanges = re.findall(r"^\(\d+\) Exchange", plan,
                                re.MULTILINE)
         assert len(exchanges) == 1, plan[:2000]
-        maps = len(re.findall(r"^\(\d+\) MapInPandas", plan,
+        # r13: the demux is an Arrow-native flat-map (MapInArrow),
+        # the extraction stays MapInPandas — still exactly two
+        # Python maps above the one test-assembly exchange
+        maps = len(re.findall(r"^\(\d+\) MapIn(?:Pandas|Arrow)", plan,
                               re.MULTILINE))
         assert maps == 2, maps
+        assert re.search(r"^\(\d+\) MapInArrow", plan, re.MULTILINE)
 
     def test_sitemap_urls_flatmap_shape(self, spark):
         """The sitemap demux itself is a stateless Arrow flat-map:
@@ -694,7 +698,8 @@ class TestRound12PlanShapes:
         exchanges = re.findall(r"^\(\d+\) Exchange", plan,
                                re.MULTILINE)
         assert len(exchanges) <= 2, plan[:2000]
-        assert re.search(r"^\(\d+\) MapInPandas", plan,
+        # r13: Arrow-native flat-map
+        assert re.search(r"^\(\d+\) MapInArrow", plan,
                          re.MULTILINE)
 
     def test_robots_filter_broadcasts_rules(self, spark):
