@@ -1177,6 +1177,83 @@ class TestMultimodal:
         got_pairs = {(r["id_a"], r["id_b"]) for r in pairs}
         assert (1, 2) in got_pairs and (1, 3) not in got_pairs
 
+    def test_riff_walk_matches_wave_module(self):
+        """r13: the bytes-level RIFF chunk walk must be byte-identical
+        to the stdlib wave module wherever it claims a file (the
+        d70c1fc fast-path pattern) — canonical files of every
+        width/channel count, extra/odd/trailing chunks, truncation at
+        every boundary, RIFF/data size-field lies, last-fmt-wins,
+        non-PCM tags, data-before-fmt — and must CLAIM the canonical
+        class (else the fast path silently stops paying for itself)."""
+        import io
+        import struct
+        import wave
+
+        from pincette_json_streams_spark.functions.multimodal import (
+            _riff_pcm_parts, _wav_mono16, _wave_module_parts,
+        )
+
+        def canon(sw=2, ch=1, rate=8000, nframes=300):
+            bio = io.BytesIO()
+            w = wave.open(bio, "wb")
+            w.setnchannels(ch)
+            w.setsampwidth(sw)
+            w.setframerate(rate)
+            w.writeframes(bytes(range(256))
+                          * ((nframes * sw * ch) // 256 + 1))
+            w.close()
+            return bio.getvalue()
+
+        def insert_chunk(b, name, payload):
+            i = b.find(b"data")
+            chunk = (name + len(payload).to_bytes(4, "little") + payload
+                     + (b"\x00" if len(payload) & 1 else b""))
+            nb = b[:i] + chunk + b[i:]
+            return b"RIFF" + (len(nb) - 8).to_bytes(4, "little") + nb[8:]
+
+        base = canon()
+        i = base.find(b"data")
+        j = base.find(b"fmt ")
+        ds = int.from_bytes(base[i + 4:i + 8], "little")
+        fmt2 = struct.pack("<HHLLHH", 1, 1, 16000, 32000, 2, 16)
+        gallery = {f"canon_sw{sw}_ch{ch}": canon(sw, ch)
+                   for sw in (1, 2, 3, 4) for ch in (1, 2, 3)}
+        gallery.update({
+            "extra_odd_chunk": insert_chunk(base, b"LIST", b"x" * 7),
+            "extra_even_chunk": insert_chunk(base, b"JUNK", b"y" * 8),
+            "two_fmt_last_wins": insert_chunk(base, b"fmt ", fmt2),
+            "trailing_chunk": base + b"tail\x04\x00\x00\x00abcd",
+            "riff_size_small": b"RIFF\x1e\x00\x00\x00" + base[8:],
+            "riff_size_big": b"RIFF" + (10 ** 6).to_bytes(4, "little")
+                             + base[8:],
+            "data_size_big": base[:i + 4]
+                             + (10 ** 6).to_bytes(4, "little")
+                             + base[i + 8:],
+            "data_size_odd": base[:i + 4]
+                             + (ds - 1).to_bytes(4, "little")
+                             + base[i + 8:],
+            "fmt_extensible": base[:j + 8] + b"\xfe\xff" + base[j + 10:],
+            "fmt_tag0": base[:j + 8] + b"\x00\x00" + base[j + 10:],
+            "garbage": b"not a riff at all",
+            "empty_data": canon(nframes=0),
+        })
+        for cut in (4, 11, 12, 13, 20, 35, 36, 40, 44, 45, 50,
+                    len(base) - 3, len(base) - 1):
+            gallery[f"trunc_{cut}"] = base[:cut]
+        claimed = 0
+        for name, b in gallery.items():
+            fp = _riff_pcm_parts(b)
+            if fp is not None:
+                claimed += 1
+                assert fp == _wave_module_parts(b), name
+        # every canonical file and the benign-chunk variants must take
+        # the fast path; here that is most of the gallery
+        assert claimed >= 20, claimed
+        for name in gallery:
+            if name.startswith("canon_"):
+                assert _riff_pcm_parts(gallery[name]) is not None, name
+                assert _wav_mono16(gallery[name]) is not None, name
+
     def test_audio_fingerprint_windows(self, spark):
         """Per-window lanes: full-window framing (a 1536-sample clip
         at hop 512 yields windows 0 and 1, each mirror-equal to the
