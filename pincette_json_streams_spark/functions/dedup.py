@@ -1535,12 +1535,26 @@ def prefix_filter_pairs(
         "id",
         # CASE guard, not greatest(.., 0): sequence(1, 0) DESCENDS to
         # [1, 0] and slice(…, 0, n) throws — a sub-n-word doc would
-        # kill the job (found by the Hypothesis property suite)
+        # kill the job (found by the Hypothesis property suite).
+        # r13 (guide §2.3, narrower types): shingles are hashed to
+        # 64-bit with native xxhash64 INSIDE the kernel pass, so every
+        # downstream structure — the exploded postings, the freq key,
+        # the rare-first regroup's wide per-doc arrays (the biggest
+        # exchange of the query), and the verify's array_intersect —
+        # carries 8-byte longs instead of ~25-char strings.  The hash
+        # is internal: the output is (id pairs, inter, uni, jacc_e6),
+        # counts over DISTINCT sets, unchanged w.h.p. exactly like the
+        # ngram family's kernel (collisions ~2^-64; the SQL oracle
+        # replays string sets and the round's oracle runs PASS
+        # hash-exact).  Rare-first ORDER tie-breaks change (hash vs
+        # string), but the PPJoin prefix/positional bounds hold for
+        # ANY one global total order, and the verify is an exact
+        # intersect — candidate sets may differ, output cannot.
         F.array_distinct(F.expr(
             f"CASE WHEN size(__w) >= {n} THEN "
             f"transform(sequence(1, size(__w) - {n - 1}),"
-            f" i -> concat_ws(' ', slice(__w, i, {n})))"
-            f" ELSE array() END"
+            f" i -> xxhash64(concat_ws(' ', slice(__w, i, {n}))))"
+            f" ELSE CAST(array() AS array<bigint>) END"
         )).alias("tok"),
     ).filter(F.size("tok") > 0) \
         .localCheckpoint(eager=False)
