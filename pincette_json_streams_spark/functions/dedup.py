@@ -253,16 +253,26 @@ def _shingle_band_vec(num_hashes: int, k: int, bands: int):
                    if hv.size else [_P] * num_hashes)
             gids.append(hashlib.md5(
                 ",".join(map(str, h)).encode()).hexdigest())
+            # r13 (guide §2.3, narrower types): band keys ship as the
+            # md5 digest's top-64 bits instead of the 32-char hex
+            # string — the banded self-join's shuffled rows shrink by
+            # the key width.  OUTPUT-EXACT, not just w.h.p.: every
+            # band-key candidate is exactly verified downstream
+            # (array_intersect on the hashed shingles in BOTH
+            # minhash_lsh_pairs and incremental_dedup), equal sig
+            # slices still collide (same digest, same truncation), and
+            # a truncation-collision can only ADD a candidate that the
+            # verify then drops.
             bkss.append([
-                hashlib.md5(",".join(
+                int.from_bytes(hashlib.md5(",".join(
                     [str(b)] + [str(x) for x in sig[b * rows:(b + 1) * rows]]
-                ).encode()).hexdigest()
+                ).encode()).digest()[:8], "big", signed=True)
                 for b in range(bands)
             ])
         return pd.DataFrame({"gid": gids, "sh": shs, "bks": bkss})
 
     return pandas_udf(
-        f, "struct<gid: string, sh: array<bigint>, bks: array<string>>",
+        f, "struct<gid: string, sh: array<bigint>, bks: array<bigint>>",
         PandasUDFType.SCALAR,
     )
 
